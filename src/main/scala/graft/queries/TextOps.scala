@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import QueryUtils._
+
+/** Text-analysis operators for the training-data pipeline, over `documents`.
+  *
+  * All of these are expressed with built-in (codegen'd) functions — no UDFs —
+  * so they stay inside whole-stage codegen and scale linearly with input
+  * splits: every operator here is embarrassingly parallel per-row except the
+  * dedup window/groupBys, which shuffle once on the hash key.
+  */
+object TextOps {
+
+  /** Per-document structural stats: chars, tokens, punctuation ratio. */
+  def t01TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_live"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.!?]", "")).as("n_punct"))
+      .orderBy("doc_id")
+
+  val t01Sql: String =
+    """SELECT doc_id, LENGTH(text) AS n_chars_live,
+       LEN(regexp_extract_all(text, '\S+')) AS n_tokens,
+       LENGTH(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
+       FROM documents ORDER BY doc_id"""
+
+  /** Exact deduplication: content-hash groups; first doc_id in a group is the
+    * keeper, later ones are flagged dup. One shuffle on the 256-bit hash; at
+    * 100 TB this is the canonical exact-dedup plan (hash once, never compare
+    * full texts across the wire). */
+  def t02ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("dup_rank", row_number().over(w))
+      .select(col("doc_id"), col("h"), (col("dup_rank") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val t02Sql: String =
+    """SELECT doc_id, h, dup_rank > 1 AS is_dup FROM (
+         SELECT doc_id, sha256(text) AS h,
+                ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS dup_rank
+         FROM documents) t
+       ORDER BY doc_id"""
+
+  /** Language profile: per-lang doc counts and length stats. */
+  def t03LangProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  val t03Sql: String =
+    """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS sum_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Quality scoring: stopword ratio, mean token length, length flags —
+    * the standard cheap pre-training quality filters. */
+  def t04QualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = expr("split(text, ' ')")
+    val stops = expr(
+      "size(filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and')))")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        stops.cast("long").as("n_stopwords"),
+        (stops.cast("double") / size(toks)).as("stopword_ratio"),
+        (col("n_chars") < lit(150)).as("too_short"))
+      .orderBy("doc_id")
+  }
+
+  val t04Sql: String =
+    """SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) AS n_stopwords,
+       CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS stopword_ratio,
+       n_chars < 150 AS too_short
+       FROM documents ORDER BY doc_id"""
+
+  /** Document fingerprinting: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text — robust to formatting-only edits. */
+  def t05Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val t05Sql: String =
+    """SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+       FROM documents ORDER BY doc_id"""
+
+  /** Token-count histogram: corpus-level token budget per source — the
+    * "how many tokens do I have" query every training pipeline runs. */
+  def t06TokenBudget(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .orderBy("source", "lang")
+
+  val t06Sql: String =
+    """SELECT source, lang, COUNT(*) AS docs,
+       SUM(LEN(regexp_extract_all(text, '\S+'))) AS tokens
+       FROM documents GROUP BY source, lang ORDER BY source, lang"""
+
+  /** N-gram extraction: top character trigrams per language (the feature
+    * a real n-gram language-ID model trains on). explode → count → top-k
+    * per group via window. */
+  def t07TopTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(expr("split(text, ' ')")).as("tok"))
+      .filter(length(col("tok")) >= 3)
+      .select(col("lang"), substring(col("tok"), 1, 3).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+
+  val t07Sql: String =
+    """SELECT lang, tok, cnt, rank FROM (
+         SELECT lang, tok, cnt,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+         FROM (
+           SELECT lang, SUBSTRING(u.tok, 1, 3) AS tok, COUNT(*) AS cnt
+           FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+           WHERE LENGTH(u.tok) >= 3
+           GROUP BY lang, SUBSTRING(u.tok, 1, 3))) t
+       WHERE rank <= 5 ORDER BY lang, rank"""
+}
