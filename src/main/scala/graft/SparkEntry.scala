@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Dedup, Multimodal, Relational => R, Similarity, TextOps => T}
+import graft.queries.{Dedup, IcebergOps => I, Multimodal, Relational => R, Similarity, TextOps => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -42,6 +42,11 @@ object SparkEntry {
     "ann02_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "mm01_binary_stats" -> (Multimodal.mm01BinaryStats _),
     "mm02_features" -> (Multimodal.mm02Features _),
+    "ice01_scan_filter" -> (I.ice01ScanFilter _),
+    "ice02_partition_agg" -> (I.ice02PartitionAgg _),
+    "ice03_time_travel" -> (I.ice03TimeTravel _),
+    "ice04_mor_delete" -> (I.ice04MorDelete _),
+    "ice05_day_partition" -> (I.ice05DayPartition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +78,10 @@ object SparkEntry {
     "d03_ngram_jaccard" -> Dedup.d03Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
+    "ice01_scan_filter" -> I.ice01Sql,
+    "ice02_partition_agg" -> I.ice02Sql,
+    "ice03_time_travel" -> I.ice03Sql,
+    "ice04_mor_delete" -> I.ice04Sql,
+    "ice05_day_partition" -> I.ice05Sql,
   )
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, to_date}
+
+import graft.core._
+import graft.spark.{IcebergTable, IcebergTables, TableWriter}
+import graft.tables.Tables
+import QueryUtils._
+
+/** Oracle-checked queries that execute THROUGH the Iceberg engine: source
+  * parquet → committed Iceberg table (once per sfDir, cached on disk) →
+  * core scan planner (stats pruning / partition pruning / time travel / MoR)
+  * → Spark execution. The DuckDB oracle runs the equivalent query on the raw
+  * parquet, so a hash match proves the whole metadata plane preserves the
+  * data exactly. */
+object IcebergOps {
+
+  private def cacheRoot = sys.props.getOrElse("graft.table.cache",
+    sys.env.getOrElse("GRAFT_TABLE_CACHE", "/tmp/graft_tables"))
+
+  /** Create-or-load a cached Iceberg table derived from a test table. */
+  private def cached(name: String, sfDir: String)(create: String => IcebergTable): IcebergTable =
+    synchronized {
+      val loc = s"$cacheRoot/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+      if (new File(loc, "metadata").exists()) IcebergTables.load(loc)
+      else create(loc)
+    }
+
+  /** Scan + filter + project through the metrics-pruned Iceberg scan. */
+  def ice01ScanFilter(s: SparkSession, d: String): DataFrame = {
+    val table = cached("lineitem", d) { loc =>
+      TableWriter.create(
+        Tables.lineitem(s, d).repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), loc)
+    }
+    table.newScan(
+        And(Expr.greaterThan("l_quantity", DoubleLit(45)),
+          Expr.greaterThanOrEq("l_orderkey", LongLit(100))),
+        selected = Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      .toDF(s)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val ice01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 45 AND l_orderkey >= 100
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** Identity-partitioned table: partition pruning + aggregation. */
+  def ice02PartitionAgg(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_by_status", d) { loc =>
+      TableWriter.create(Tables.orders(s, d), loc,
+        partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    }
+    table.newScan(Expr.in("o_orderstatus", Seq(StrLit("F"), StrLit("O"))))
+      .toDF(s)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val ice02Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders WHERE o_orderstatus IN ('F', 'O')
+       GROUP BY o_orderstatus, o_orderpriority
+       ORDER BY o_orderstatus, o_orderpriority"""
+
+  /** Snapshot isolation: two commits, query pinned to the first snapshot. */
+  def ice03TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val table = cached("customer_2snap", d) { loc =>
+      val src = Tables.customer(s, d)
+      val t1 = TableWriter.create(src.filter(col("c_nationkey") < 10), loc)
+      TableWriter.append(t1, src.filter(col("c_nationkey") >= 10))
+    }
+    val firstSnap = table.metadata.snapshots.head.snapshotId
+    table.newScan(snapshotId = Some(firstSnap))
+      .toDF(s)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  val ice03Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+       WHERE c_nationkey < 10 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Merge-on-read: positional deletes anti-joined at read time. */
+  def ice04MorDelete(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_mor", d) { loc =>
+      val t1 = TableWriter.create(Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value"), loc)
+      TableWriter.deleteWhere(t1, s, col("event_type") === "error")
+    }
+    table.newScan()
+      .toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val ice04Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       FROM events WHERE event_type <> 'error'
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Day-transform partitioned events: temporal partition pruning. */
+  def ice05DayPartition(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_daily", d) { loc =>
+      TableWriter.create(Tables.events(s, d).select("event_id", "ts", "value"), loc,
+        partitionBy = Seq("ts" -> DayTransform))
+    }
+    table.newScan(And(
+        Expr.greaterThanOrEq("ts", StrLit("2024-01-10T00:00:00").to(TimestampT)),
+        Expr.lessThan("ts", StrLit("2024-01-15T00:00:00").to(TimestampT))))
+      .toDF(s)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+  }
+
+  val ice05Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       GROUP BY CAST(ts AS DATE) ORDER BY day"""
+}

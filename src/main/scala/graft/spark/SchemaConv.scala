@@ -1,0 +1,90 @@
+package graft.spark
+
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Iceberg ↔ Spark schema mapping.
+  *
+  * Field IDs survive as `StructField.metadata` under `"iceberg.field-id"` —
+  * the same convention Spark's own Parquet/Iceberg integrations use — so
+  * stats lookup and schema evolution stay ID-based even though Spark resolves
+  * by name. Types without a Spark analog degrade per SURVEY §1.2: `time` →
+  * LongType(µs), `uuid` → StringType, `fixed[N]` → BinaryType, each tagged in
+  * metadata. */
+object SchemaConv {
+  val FieldIdKey = "iceberg.field-id"
+  val TypeTagKey = "iceberg.type"
+
+  def toSparkType(t: IcebergType): DataType = t match {
+    case BooleanT => BooleanType
+    case IntT => IntegerType
+    case LongT => LongType
+    case FloatT => FloatType
+    case DoubleT => DoubleType
+    case DateT => DateType
+    case TimeT => LongType
+    case TimestampT => TimestampNTZType
+    case TimestampTzT => TimestampType
+    case StringT => StringType
+    case UuidT => StringType
+    case BinaryT => BinaryType
+    case FixedT(_) => BinaryType
+    case DecimalT(p, s) => DecimalType(p, s)
+    case s: StructT => toSparkStruct(s)
+    case l: ListT => ArrayType(toSparkType(l.element), containsNull = !l.elementRequired)
+    case m: MapT => MapType(toSparkType(m.key), toSparkType(m.value),
+      valueContainsNull = !m.valueRequired)
+  }
+
+  def toSparkStruct(s: StructT): StructType =
+    StructType(s.fields.map { f =>
+      val mb = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong)
+      f.fieldType match {
+        case TimeT | UuidT | FixedT(_) => mb.putString(TypeTagKey, f.fieldType.repr)
+        case _ =>
+      }
+      f.doc.foreach(d => mb.putString("comment", d))
+      StructField(f.name, toSparkType(f.fieldType), nullable = !f.required,
+        metadata = mb.build())
+    })
+
+  def toSparkSchema(schema: Schema): StructType = toSparkStruct(schema.struct)
+
+  /** Spark → Iceberg, assigning fresh sequential field IDs (for table
+    * creation from a DataFrame). */
+  def fromSparkSchema(st: StructType): Schema = {
+    var nextId = 0
+    def alloc(): Int = { nextId += 1; nextId }
+    def convType(dt: DataType): IcebergType = dt match {
+      case BooleanType => BooleanT
+      case ByteType | ShortType | IntegerType => IntT
+      case LongType => LongT
+      case FloatType => FloatT
+      case DoubleType => DoubleT
+      case DateType => DateT
+      case TimestampNTZType => TimestampT
+      case TimestampType => TimestampTzT
+      case StringType => StringT
+      case BinaryType => BinaryT
+      case d: DecimalType => DecimalT(d.precision, d.scale)
+      case a: ArrayType =>
+        val id = alloc()
+        ListT(id, convType(a.elementType), elementRequired = !a.containsNull)
+      case m: MapType =>
+        val kid = alloc(); val vid = alloc()
+        MapT(kid, convType(m.keyType), vid, convType(m.valueType),
+          valueRequired = !m.valueContainsNull)
+      case s: StructType => StructT(convFields(s))
+      case other => throw new IllegalArgumentException(s"unsupported Spark type: $other")
+    }
+    def convFields(s: StructType): Seq[NestedField] =
+      s.fields.toSeq.map { f =>
+        val id = alloc()
+        NestedField(id, f.name, convType(f.dataType), required = !f.nullable)
+      }
+    // two passes would misnumber; the single pass above allocates parent
+    // field ids before child ids, matching Iceberg's fresh-assignment order
+    Schema(0, StructT(convFields(st)))
+  }
+}

@@ -1,0 +1,412 @@
+package graft.spark
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr => sexpr, to_date, udf, year => syear}
+
+import graft.core._
+
+/** The write/commit path — "Writing is WIP" in the reference
+  * (cmd/icegopher/main.go:314,330); here it's implemented: Spark writes the
+  * parquet (distributed, partitioned), the driver turns parquet FOOTERS into
+  * per-file Iceberg stats (no second data pass — O(files) metadata reads),
+  * then commits manifest → manifest list → vN.metadata.json atomically via
+  * rename, with a version-hint for readers.
+  */
+object TableWriter {
+
+  /** Create a new table at `location` from a DataFrame. `partitionBy` maps
+    * source column name → transform; data is written hive-partitioned on the
+    * transformed value so the scan planner can prune on partition tuples. */
+  def create(df: DataFrame, location: String,
+             partitionBy: Seq[(String, Transform)] = Nil,
+             properties: Map[String, String] = Map.empty): IcebergTable = {
+    val schema = SchemaConv.fromSparkSchema(df.schema)
+    val spec = PartitionSpec(0, partitionBy.zipWithIndex.map { case ((src, t), i) =>
+      val f = schema.findFieldByName(src).getOrElse(
+        throw new IllegalArgumentException(s"partition source column '$src' not found"))
+      PartitionField(f.id, PartitionSpec.PartitionDataIdStart + i,
+        partName(src, t), t)
+    })
+    commit(df, location, schema, spec, properties, version = 1, parentSnapshot = None,
+      existingEntries = Nil, existingManifests = Nil, sequenceNumber = 1)
+  }
+
+  /** Append a snapshot: new files join the previous snapshot's manifests. */
+  def append(table: IcebergTable, df: DataFrame): IcebergTable = {
+    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    }
+    val version = currentVersion(table.location) + 1
+    commit(df, table.location, table.schema, table.spec, table.properties,
+      version, table.currentSnapshot, Nil, prevManifests,
+      table.metadata.lastSequenceNumber + 1)
+  }
+
+  /** Positional MoR delete: rows of `table` matching `predicate` become
+    * (file_path, pos) tombstones in a delete manifest — no data rewrite. */
+  def deleteWhere(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
+                  predicate: Column): IcebergTable = {
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = currentVersion(table.location) + 1
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/deletes-$snapId")
+
+    // compute tombstones with one distributed scan over current data
+    val scan = table.newScan()
+    val df = scan.toDF(spark)
+      .withColumn("__p", org.apache.spark.sql.functions
+        .regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select(col("__p").as("file_path"), col("__pos").as("pos"))
+      .orderBy("file_path", "pos")
+    df.write.parquet(delDir.getPath)
+
+    val delFiles = listParquet(delDir).map { f =>
+      statsFromFooter(f, scan.table.newScan().snapshotSchema,
+        Map.empty, content = DataFileContent.PositionDeletes,
+        overrideSchema = Some(posDeleteSchema))
+    }
+    val deleteEntries = delFiles.map(info => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+
+    val manifestFile = new File(metaDir, s"manifest-del-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, deleteEntries, StructT(Nil))
+    val delManifest = ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = table.spec.specId, content = 1,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFilesCount = deleteEntries.size, existingFilesCount = 0,
+      deletedFilesCount = 0,
+      addedRowsCount = delFiles.map(_.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = Nil, formatVersion = 2)
+
+    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    }
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
+
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      System.currentTimeMillis(), listFile.getPath,
+      Some(SnapshotSummary(OpDelete)), Some(table.schema.schemaId))
+    writeMetadata(table.location, table.metadata.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = System.currentTimeMillis(),
+      snapshots = table.metadata.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = table.metadata.snapshotLog :+
+        SnapshotLogEntry(snapId, System.currentTimeMillis()),
+      refs = table.metadata.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), version)
+    IcebergTables.load(table.location)
+  }
+
+  /** Create a branch or tag pointing at a snapshot. */
+  def createRef(table: IcebergTable, name: String, refType: RefType,
+                snapshotId: Option[Long] = None): IcebergTable = {
+    val id = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)).getOrElse(
+      throw new IllegalArgumentException("table has no snapshot to reference"))
+    val version = currentVersion(table.location) + 1
+    writeMetadata(table.location, table.metadata.copy(
+      refs = table.metadata.refs + (name -> SnapshotRef(id, refType))), version)
+    IcebergTables.load(table.location)
+  }
+
+  val posDeleteSchema: Schema = Schema(0, StructT(Seq(
+    NestedField(2147483546, "file_path", StringT, required = true),
+    NestedField(2147483545, "pos", LongT, required = true))))
+
+  // ------------------------------------------------------------------ guts
+
+  private def partName(src: String, t: Transform): String = t match {
+    case IdentityTransform => src
+    case BucketTransform(n) => s"${src}_bucket"
+    case TruncateTransform(w) => s"${src}_trunc"
+    case other => s"${src}_${other.repr}"
+  }
+
+  /** Spark column computing a transform value (write path only; the UDFs here
+    * run once per written row, pruning later uses the core evaluators). */
+  private def transformColumn(t: Transform, src: Column, typ: IcebergType): Column = t match {
+    case IdentityTransform => src
+    case DayTransform => to_date(src)
+    case MonthTransform => sexpr(s"(year(${srcName(src)}) - 1970) * 12 + month(${srcName(src)}) - 1")
+    case YearTransform => syear(src) - 1970
+    case HourTransform => sexpr(s"floor(unix_timestamp(${srcName(src)}) / 3600)")
+    case BucketTransform(n) => typ match {
+      case LongT | IntT =>
+        udf((v: java.lang.Long) => if (v == null) null
+          else Integer.valueOf(BucketHash(LongLit(v), n))).apply(src.cast("long"))
+      case StringT =>
+        udf((v: String) => if (v == null) null
+          else Integer.valueOf(BucketHash(StrLit(v), n))).apply(src)
+      case other => throw new IllegalArgumentException(s"bucket write on $other unsupported")
+    }
+    case TruncateTransform(w) => typ match {
+      case IntT | LongT => (src - (((src % w) + w) % w)).cast(SchemaConv.toSparkType(typ))
+      case StringT => src.substr(0, w)
+      case other => throw new IllegalArgumentException(s"truncate write on $other unsupported")
+    }
+    case other => throw new IllegalArgumentException(s"cannot write transform $other")
+  }
+
+  private def srcName(c: Column): String = c.toString
+
+  private def commit(df: DataFrame, location: String, schema: Schema,
+                     spec: PartitionSpec, properties: Map[String, String],
+                     version: Int, parentSnapshot: Option[Snapshot],
+                     existingEntries: Seq[ManifestEntry],
+                     existingManifests: Seq[ManifestFile],
+                     sequenceNumber: Long): IcebergTable = {
+    val snapId = System.nanoTime()
+    val dataDir = new File(location, s"data/snap-$snapId")
+    val metaDir = new File(location, "metadata")
+    metaDir.mkdirs()
+
+    // distributed write, hive-partitioned on transformed values. The
+    // transform value is written under a `_p_` alias so hive partitioning
+    // consumes the alias and the SOURCE columns stay in the data files
+    // (partitionBy drops its columns from the files).
+    if (spec.isUnpartitioned) df.write.parquet(dataDir.getPath)
+    else {
+      val withParts = spec.fields.foldLeft(df) { (d, pf) =>
+        val srcField = schema.findFieldById(pf.sourceId).get
+        d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
+          srcField.fieldType))
+      }
+      withParts.write.partitionBy(spec.fields.map(f => s"_p_${f.name}"): _*)
+        .parquet(dataDir.getPath)
+    }
+
+    val partType = spec.partitionType(schema)
+    val files = listParquet(dataDir)
+    val entries = files.map { f =>
+      val partition = parsePartitionValues(dataDir, f, partType)
+      val info = statsFromFooter(f, schema, partition, DataFileContent.Data, None)
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(sequenceNumber),
+        Some(sequenceNumber), info)
+    }
+
+    val manifestFile = new File(metaDir, s"manifest-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, entries, partType)
+    val newManifest = ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = spec.specId, content = 0,
+      sequenceNumber = sequenceNumber, minSequenceNumber = sequenceNumber,
+      addedSnapshotId = snapId,
+      addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = entries.map(_.dataFile.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = partitionSummaries(entries, partType),
+      formatVersion = 2)
+
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, existingManifests :+ newManifest)
+
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, parentSnapshot.map(_.snapshotId), sequenceNumber,
+      now, listFile.getPath, Some(SnapshotSummary(OpAppend,
+        Map("added-data-files" -> entries.size.toString,
+          "added-records" -> entries.map(_.dataFile.recordCount).sum.toString))),
+      Some(schema.schemaId))
+
+    val prevMeta: Option[TableMetadata] =
+      if (version == 1) None
+      else Some(IcebergTables.load(location).metadata)
+
+    val md = TableMetadata(
+      formatVersion = 2,
+      tableUuid = prevMeta.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString),
+      location = location,
+      lastSequenceNumber = sequenceNumber,
+      lastUpdatedMs = now,
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = Some(spec.fields.map(_.fieldId).maxOption.getOrElse(999)),
+      properties = properties,
+      snapshots = prevMeta.map(_.snapshots).getOrElse(Nil) :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = prevMeta.map(_.snapshotLog).getOrElse(Nil) :+
+        SnapshotLogEntry(snapId, now),
+      metadataLog = prevMeta.map(m => m.metadataLog :+
+        MetadataLogEntry(m.location + s"/metadata/v${version - 1}.metadata.json",
+          m.lastUpdatedMs)).getOrElse(Nil),
+      sortOrders = Seq(SortOrder.unsorted),
+      defaultSortOrderId = 0,
+      // carry existing branches/tags forward; only main advances
+      refs = prevMeta.map(_.refs).getOrElse(Map.empty) +
+        (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)))
+    writeMetadata(location, md, version)
+    IcebergTables.load(location)
+  }
+
+  private def writeMetadata(location: String, md: TableMetadata, version: Int): Unit = {
+    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    val tmp = new File(metaDir, s".v$version.metadata.json.tmp")
+    Files.write(tmp.toPath, md.toJson.getBytes(StandardCharsets.UTF_8))
+    val dst = new File(metaDir, s"v$version.metadata.json")
+    // atomic commit: readers see either the old or the new version
+    Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.write(new File(metaDir, "version-hint.text").toPath,
+      version.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def currentVersion(location: String): Int = {
+    val metaDir = new File(location, "metadata")
+    Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      .maxOption.getOrElse(0)
+  }
+
+  private def listParquet(dir: File): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(dir).sortBy(_.getPath)
+  }
+
+  /** Hive-style `name=value` path segments → partition tuple values. */
+  private def parsePartitionValues(root: File, file: File,
+                                   partType: StructT): Map[String, Any] = {
+    if (partType.fields.isEmpty) return Map.empty
+    val rel = root.toPath.relativize(file.toPath)
+    val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+    val kv = segs.flatMap { s =>
+      s.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k.stripPrefix("_p_") -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+    partType.fields.flatMap { f =>
+      kv.get(f.name).flatMap { raw =>
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(f.name -> (f.fieldType match {
+          case IntT => Integer.valueOf(raw.toInt)
+          case LongT => java.lang.Long.valueOf(raw.toLong)
+          case DateT => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+          case StringT => raw
+          case BooleanT => java.lang.Boolean.valueOf(raw)
+          case other => raw
+        }))
+      }
+    }.toMap
+  }
+
+  private def partitionSummaries(entries: Seq[ManifestEntry],
+                                 partType: StructT): Seq[FieldSummary] =
+    partType.fields.map { f =>
+      val values = entries.flatMap(e => Option(e.dataFile.partition.get(f.name).orNull))
+      val hasNull = entries.exists(e => e.dataFile.partition.get(f.name).forall(_ == null))
+      val lits = values.flatMap(v => avroValueToLiteral(v, f.fieldType))
+      val sorted = lits.sortWith((a, b) => LiteralOrdering.compare(a, b).exists(_ < 0))
+      FieldSummary(hasNull, Some(false),
+        sorted.headOption.map(_.toBytes), sorted.lastOption.map(_.toBytes))
+    }
+
+  private def avroValueToLiteral(v: Any, t: IcebergType): Option[Literal] = v match {
+    case null => None
+    case i: java.lang.Integer => Some(if (t == DateT) DateLit(i) else IntLit(i))
+    case l: java.lang.Long => Some(if (t == TimestampT) TsLit(l) else LongLit(l))
+    case s: String => Some(StrLit(s))
+    case b: java.lang.Boolean => Some(BoolLit(b))
+    case _ => None
+  }
+
+  /** Parquet footer → per-file Iceberg stats: min/max/null counts aggregated
+    * across row groups; split offsets = row-group start positions. Metadata
+    * read only — never touches row data. */
+  private def statsFromFooter(file: File, schema: Schema,
+                              partition: Map[String, Any], content: Int,
+                              overrideSchema: Option[Schema]): DataFileInfo = {
+    val effSchema = overrideSchema.getOrElse(schema)
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.getPath), new Configuration()))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val splitOffsets = blocks.map(_.getStartingPos).sorted
+
+      val colSizes = scala.collection.mutable.Map[Int, Long]()
+      val valCounts = scala.collection.mutable.Map[Int, Long]()
+      val nullCounts = scala.collection.mutable.Map[Int, Long]()
+      val lowerB = scala.collection.mutable.Map[Int, Literal]()
+      val upperB = scala.collection.mutable.Map[Int, Literal]()
+
+      for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val colPath = chunk.getPath.toDotString
+        effSchema.findFieldByName(colPath).foreach { field =>
+          val id = field.id
+          colSizes.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getTotalSize))
+          valCounts.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getValueCount))
+          val stats = chunk.getStatistics
+          if (stats != null && !stats.isEmpty) {
+            if (stats.isNumNullsSet)
+              nullCounts.updateWith(id)(v => Some(v.getOrElse(0L) + stats.getNumNulls))
+            if (stats.hasNonNullValue) {
+              for (mn <- parquetStatToLiteral(stats.genericGetMin.asInstanceOf[AnyRef], field.fieldType))
+                lowerB.updateWith(id) {
+                  case Some(cur) if LiteralOrdering.compare(cur, mn).exists(_ <= 0) => Some(cur)
+                  case _ => Some(mn)
+                }
+              for (mx <- parquetStatToLiteral(stats.genericGetMax.asInstanceOf[AnyRef], field.fieldType))
+                upperB.updateWith(id) {
+                  case Some(cur) if LiteralOrdering.compare(cur, mx).exists(_ >= 0) => Some(cur)
+                  case _ => Some(mx)
+                }
+            }
+          }
+        }
+      }
+      DataFileInfo(
+        content = content, path = file.getPath, format = "PARQUET",
+        partition = partition, recordCount = rowCount,
+        fileSizeInBytes = file.length(),
+        columnSizes = colSizes.toMap, valueCounts = valCounts.toMap,
+        nullValueCounts = nullCounts.toMap, nanValueCounts = Map.empty,
+        lowerBounds = lowerB.map { case (k, v) => k -> v.toBytes }.toMap,
+        upperBounds = upperB.map { case (k, v) => k -> v.toBytes }.toMap,
+        splitOffsets = splitOffsets, equalityIds = Nil, sortOrderId = Some(0))
+    } finally reader.close()
+  }
+
+  private def parquetStatToLiteral(v: AnyRef, t: IcebergType): Option[Literal] = (v, t) match {
+    case (null, _) => None
+    case (i: java.lang.Integer, IntT) => Some(IntLit(i))
+    case (i: java.lang.Integer, DateT) => Some(DateLit(i))
+    case (l: java.lang.Long, LongT) => Some(LongLit(l))
+    case (l: java.lang.Long, TimestampT | TimestampTzT) => Some(TsLit(l))
+    case (l: java.lang.Long, TimeT) => Some(TimeLit(l))
+    case (f: java.lang.Float, FloatT) => Some(FloatLit(f))
+    case (d: java.lang.Double, DoubleT) => Some(DoubleLit(d))
+    case (b: java.lang.Boolean, BooleanT) => Some(BoolLit(b))
+    case (b: org.apache.parquet.io.api.Binary, StringT) =>
+      Some(StrLit(b.toStringUsingUTF8))
+    case (b: org.apache.parquet.io.api.Binary, BinaryT) => Some(BytesLit(b.getBytes))
+    case (b: org.apache.parquet.io.api.Binary, DecimalT(_, s)) =>
+      Some(DecLit(BigInt(new java.math.BigInteger(b.getBytes)), s))
+    case (i: java.lang.Integer, DecimalT(_, s)) => Some(DecLit(BigInt(i.intValue()), s))
+    case (l: java.lang.Long, DecimalT(_, s)) => Some(DecLit(BigInt(l.longValue()), s))
+    case _ => None
+  }
+}

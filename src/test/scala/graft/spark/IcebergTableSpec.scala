@@ -1,0 +1,189 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** End-to-end: write an Iceberg table from the driver-generated parquet,
+  * read it back through the scan planner, verify file skipping, time travel,
+  * branches/tags, and merge-on-read positional deletes. */
+class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(name).toFile.getPath
+
+  test("create + read back round trips row count and values") {
+    val loc = tmpDir("tbl_basic")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val table = TableWriter.create(src, loc)
+    assert(table.currentSnapshot.nonEmpty)
+    assert(table.schema.fields.map(_.name) == Seq("r_regionkey", "r_name"))
+
+    val back = table.newScan().toDF(spark)
+    assert(back.count() == src.count())
+    assert(back.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq ==
+      src.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("stats-based file skipping prunes files") {
+    val loc = tmpDir("tbl_prune")
+    // 4 files with disjoint orderkey ranges via sorted repartitionByRange
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    val table = TableWriter.create(src, loc)
+    val all = table.newScan().planFiles()
+    assert(all.size == 4)
+
+    val minKey = src.agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .collect()(0).getLong(0)
+    val some = table.newScan(Expr.equalTo("o_orderkey", LongLit(minKey))).planFiles()
+    assert(some.size == 1, s"expected 1 file after stats pruning, got ${some.size}")
+
+    val none = table.newScan(Expr.equalTo("o_orderkey", LongLit(-5))).planFiles()
+    assert(none.isEmpty)
+
+    // and the DataFrame result is still correct
+    val cnt = table.newScan(Expr.equalTo("o_orderkey", LongLit(minKey))).toDF(spark).count()
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") === minKey).count()
+    assert(cnt == expect)
+  }
+
+  test("partitioned table prunes on partition tuples and summaries") {
+    val loc = tmpDir("tbl_part")
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val table = TableWriter.create(src, loc,
+      partitionBy = Seq("c_mktsegment" -> IdentityTransform))
+    val all = table.newScan().planFiles()
+    assert(all.size >= 5) // one file per segment at least
+
+    val one = table.newScan(Expr.equalTo("c_mktsegment", StrLit("BUILDING"))).planFiles()
+    assert(one.nonEmpty && one.size < all.size)
+    assert(one.forall(_.file.partition("c_mktsegment") == "BUILDING"))
+
+    val df = table.newScan(Expr.equalTo("c_mktsegment", StrLit("BUILDING"))).toDF(spark)
+    val expect = src.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(df.count() == expect)
+  }
+
+  test("bucket-partitioned table prunes equality predicates") {
+    val loc = tmpDir("tbl_bucket")
+    val src = spark.read.parquet(s"$sf/supplier.parquet")
+    val table = TableWriter.create(src, loc,
+      partitionBy = Seq("s_suppkey" -> BucketTransform(4)))
+    val all = table.newScan().planFiles()
+    assert(all.size > 1)
+    val one = table.newScan(Expr.equalTo("s_suppkey", LongLit(1))).planFiles()
+    assert(one.size < all.size)
+    val df = table.newScan(Expr.equalTo("s_suppkey", LongLit(1))).toDF(spark)
+    assert(df.count() == 1)
+  }
+
+  test("append creates a second snapshot; time travel reads the first") {
+    val loc = tmpDir("tbl_tt")
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val t1 = TableWriter.create(src.filter(col("n_regionkey") === 0), loc)
+    val firstSnap = t1.currentSnapshot.get.snapshotId
+    val firstCount = t1.newScan().toDF(spark).count()
+
+    val t2 = TableWriter.append(t1, src.filter(col("n_regionkey") =!= 0))
+    assert(t2.metadata.snapshots.size == 2)
+    assert(t2.newScan().toDF(spark).count() == src.count())
+    // snapshot pin
+    assert(t2.newScan(snapshotId = Some(firstSnap)).toDF(spark).count() == firstCount)
+    // as-of-time travel
+    val t1Time = t2.metadata.snapshotLog.head.timestampMs
+    assert(t2.newScan(asOfTimestampMs = Some(t1Time)).toDF(spark).count() == firstCount)
+  }
+
+  test("branches and tags resolve to snapshots") {
+    val loc = tmpDir("tbl_refs")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val tagged = TableWriter.createRef(t1, "v1.0", TagRef)
+    val t2 = TableWriter.append(tagged, src) // doubles the rows
+    assert(t2.newScan().toDF(spark).count() == 2 * src.count())
+    assert(t2.newScan(ref = Some("v1.0")).toDF(spark).count() == src.count())
+    assert(t2.newScan(ref = Some("main")).toDF(spark).count() == 2 * src.count())
+    intercept[IllegalArgumentException](t2.newScan(ref = Some("nope")).planFiles())
+  }
+
+  test("merge-on-read positional deletes") {
+    val loc = tmpDir("tbl_mor")
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val t2 = TableWriter.deleteWhere(t1, spark, col("n_regionkey") === 2)
+    val expect = src.filter(col("n_regionkey") =!= 2).count()
+    val got = t2.newScan().toDF(spark)
+    assert(got.count() == expect)
+    assert(got.filter(col("n_regionkey") === 2).count() == 0)
+    // delete files are matched to tasks
+    val tasks = t2.newScan().planFiles()
+    assert(tasks.exists(_.deleteFiles.nonEmpty))
+    // time travel back to before the delete still sees all rows
+    val firstSnap = t2.metadata.snapshots.head.snapshotId
+    assert(t2.newScan(snapshotId = Some(firstSnap)).toDF(spark).count() == src.count())
+  }
+
+  test("projection prunes columns") {
+    val loc = tmpDir("tbl_proj")
+    val src = spark.read.parquet(s"$sf/part.parquet")
+    val table = TableWriter.create(src, loc)
+    val df = table.newScan(selected = Seq("p_partkey", "p_name")).toDF(spark)
+    assert(df.columns.toSeq == Seq("p_partkey", "p_name"))
+    assert(df.count() == src.count())
+  }
+
+  test("metadata tables") {
+    val loc = tmpDir("tbl_meta")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val t2 = TableWriter.append(t1, src)
+    assert(t2.snapshotsDF(spark).count() == 2)
+    assert(t2.historyDF(spark).count() == 2)
+    assert(t2.refsDF(spark).collect().map(_.getString(0)).contains("main"))
+    assert(t2.filesDF(spark).count() == t2.newScan().planFiles().size)
+    assert(t2.manifestsDF(spark).count() == 2)
+  }
+
+  test("schema conversion round trips field ids") {
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+    val iceberg = SchemaConv.fromSparkSchema(src.schema)
+    assert(iceberg.fields.map(_.id) == (1 to src.schema.size))
+    val back = SchemaConv.toSparkSchema(iceberg)
+    assert(back.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.fields.forall(_.metadata.contains(SchemaConv.FieldIdKey)))
+  }
+
+  test("spark filter conversion") {
+    import org.apache.spark.sql.sources._
+    val e = FilterConv.fromSparkFilter(
+      And(EqualTo("a", 5), GreaterThan("b", "x")))
+    assert(e.contains(graft.core.And(
+      Expr.equalTo("a", IntLit(5)), Expr.greaterThan("b", StrLit("x")))))
+    assert(FilterConv.fromSparkFilter(StringContains("a", "z")).isEmpty)
+  }
+}
