@@ -1,0 +1,281 @@
+package graft.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.core.TableMetadata
+
+/** Catalog abstraction + REST implementation (parity with
+  * `table/catalog/catalog.go:99-125` and `table/catalog/rest.go:179-557`):
+  * OAuth2 client-credentials token fetch, `/v1/config` defaults←props←
+  * overrides merge, bearer-session headers, namespace/table listing and
+  * mutation, table load, and the per-status error taxonomy. All plain JDK
+  * HTTP — the catalog plane is driver-side control traffic. */
+sealed abstract class CatalogError(msg: String) extends RuntimeException(msg)
+final class BadRequestError(m: String) extends CatalogError(m)
+final class UnauthorizedError(m: String) extends CatalogError(m)
+final class ForbiddenError(m: String) extends CatalogError(m)
+final class NoSuchTableError(m: String) extends CatalogError(m)
+final class NoSuchNamespaceError(m: String) extends CatalogError(m)
+final class AlreadyExistsError(m: String) extends CatalogError(m)
+final class AuthExpiredError(m: String) extends CatalogError(m)
+final class ServiceUnavailableError(m: String) extends CatalogError(m)
+final class ServerError(m: String) extends CatalogError(m)
+final class RestError(code: Int, m: String) extends CatalogError(s"HTTP $code: $m")
+final class OAuthError(val error: String, val description: String)
+  extends CatalogError(s"$error: $description")
+
+final case class LoadedTable(identifier: Seq[String], metadataLocation: String,
+                             metadata: TableMetadata, config: Map[String, String])
+
+final case class PropertiesUpdateSummary(removed: Seq[String], updated: Seq[String],
+                                         missing: Seq[String])
+
+trait Catalog {
+  def name: String
+  def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]]
+  def createNamespace(ns: Seq[String], props: Map[String, String] = Map.empty): Unit
+  def dropNamespace(ns: Seq[String]): Unit
+  def namespaceProperties(ns: Seq[String]): Map[String, String]
+  def updateNamespaceProperties(ns: Seq[String], removals: Seq[String],
+                                updates: Map[String, String]): PropertiesUpdateSummary
+  def listTables(ns: Seq[String]): Seq[Seq[String]]
+  def loadTable(identifier: Seq[String]): LoadedTable
+  def dropTable(identifier: Seq[String]): Unit
+  def renameTable(from: Seq[String], to: Seq[String]): Unit
+}
+
+object Catalog {
+  /** `LoadCatalog` scheme dispatch (catalog.go:49-62, 99-125): http(s) →
+    * REST; anything else is unsupported in this build. */
+  def load(name: String, uri: String, props: Map[String, String] = Map.empty): Catalog = {
+    val scheme = URI.create(uri).getScheme
+    scheme match {
+      case "http" | "https" => new RestCatalog(name, uri, props)
+      case other => throw new IllegalArgumentException(
+        s"unsupported catalog type for scheme '$other'")
+    }
+  }
+}
+
+object RestCatalog {
+  /** Namespace levels join with the unit separator in REST paths (rest.go:40). */
+  val NamespaceSeparator = "\u001f"
+  val KeyCredential = "credential"
+  val KeyToken = "token"
+  val KeyWarehouse = "warehouse"
+  val KeyPrefix = "prefix"
+}
+
+final class RestCatalog(val name: String, uri: String,
+                        initialProps: Map[String, String]) extends Catalog {
+  import RestCatalog._
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private var baseUri: URI = normalize(uri)
+  private var props: Map[String, String] = initialProps
+
+  // session establishment: token then config (rest.go:179-199)
+  private var token: Option[String] = props.get(KeyToken)
+  locally {
+    if (token.isEmpty) props.get(KeyCredential).foreach { cred =>
+      token = Some(fetchAccessToken(cred))
+    }
+    fetchConfig()
+  }
+
+  private def normalize(u: String): URI = {
+    val s = if (u.endsWith("/")) u.dropRight(1) else u
+    URI.create(if (s.endsWith("/v1")) s else s + "/v1")
+  }
+
+  private def prefixedPath(segments: String*): String = {
+    val prefix = props.get(KeyPrefix).filter(_.nonEmpty).map(p => s"/$p").getOrElse("")
+    baseUri.toString + prefix + segments.map(s =>
+      "/" + URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")).mkString
+  }
+
+  /** OAuth2 client-credentials flow (rest.go:201-242): `credential` is
+    * `clientId:secret` (or just a secret). */
+  private def fetchAccessToken(creds: String): String = {
+    val (id, secret) = creds.split(":", 2) match {
+      case Array(i, s) => (i, s)
+      case Array(s) => ("", s)
+    }
+    def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+    val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+      s"&client_secret=${enc(secret)}&scope=catalog"
+    val req = HttpRequest.newBuilder(URI.create(baseUri.toString + "/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+    val rsp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    rsp.statusCode() match {
+      case 200 =>
+        mapper.readTree(rsp.body()).get("access_token").asText()
+      case 400 | 401 =>
+        val n = mapper.readTree(rsp.body())
+        throw new OAuthError(
+          Option(n.get("error")).map(_.asText()).getOrElse("unknown"),
+          Option(n.get("error_description")).map(_.asText()).getOrElse(""))
+      case _ => throw statusError(rsp.statusCode(), rsp.body())
+    }
+  }
+
+  /** `/v1/config` merge: defaults ← our props ← overrides (rest.go:272-309). */
+  private def fetchConfig(): Unit = {
+    val q = props.get(KeyWarehouse)
+      .map(w => "?warehouse=" + URLEncoder.encode(w, StandardCharsets.UTF_8))
+      .getOrElse("")
+    val rsp = get(baseUri.toString + "/config" + q)
+    val cfg = mapper.readTree(rsp)
+    def toMap(key: String): Map[String, String] =
+      Option(cfg.get(key)).map { o =>
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+    props = toMap("defaults") ++ props ++ toMap("overrides")
+    props.get("uri").foreach(u => baseUri = normalize(u))
+  }
+
+  // --------------------------------------------------------- http plumbing
+
+  private def request(method: String, url: String, body: Option[String] = None): String = {
+    var b = HttpRequest.newBuilder(URI.create(url))
+      .header("X-Client-Version", "0.14.1")
+      .header("User-Agent", "graft/0.1.0")
+    token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+    b = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+    }
+    val rsp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (rsp.statusCode() / 100 != 2) throw statusError(rsp.statusCode(), rsp.body())
+    rsp.body()
+  }
+
+  private def get(url: String): String = request("GET", url)
+
+  /** Error taxonomy per HTTP status (rest.go:320-359). */
+  private def statusError(code: Int, body: String): CatalogError = {
+    val msg = try {
+      val n = mapper.readTree(body)
+      Option(n.get("error")).flatMap(e => Option(e.get("message")).map(_.asText()))
+        .getOrElse(body)
+    } catch { case _: Exception => body }
+    code match {
+      case 400 => new BadRequestError(msg)
+      case 401 => new UnauthorizedError(msg)
+      case 403 => new ForbiddenError(msg)
+      case 404 => new NoSuchTableError(msg)
+      case 409 => new AlreadyExistsError(msg)
+      case 419 => new AuthExpiredError(msg)
+      case 503 => new ServiceUnavailableError(msg)
+      case c if c >= 500 => new ServerError(msg)
+      case c => new RestError(c, msg)
+    }
+  }
+
+  // ------------------------------------------------------------ operations
+
+  def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]] = {
+    val q = if (parent.nonEmpty)
+      "?parent=" + URLEncoder.encode(parent.mkString(""), StandardCharsets.UTF_8)
+    else ""
+    val n = mapper.readTree(get(prefixedPath("namespaces") + q))
+    val out = Vector.newBuilder[Seq[String]]
+    Option(n.get("namespaces")).foreach(_.forEach { ns =>
+      val segs = Vector.newBuilder[String]; ns.forEach(s => segs += s.asText())
+      out += segs.result()
+    })
+    out.result()
+  }
+
+  def createNamespace(ns: Seq[String], props: Map[String, String] = Map.empty): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("namespace"); ns.foreach(arr.add)
+    val p = body.putObject("properties")
+    props.foreach { case (k, v) => p.put(k, v) }
+    request("POST", prefixedPath("namespaces"), Some(mapper.writeValueAsString(body)))
+  }
+
+  def dropNamespace(ns: Seq[String]): Unit =
+    request("DELETE", prefixedPath("namespaces", ns.mkString("")))
+
+  def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val n = mapper.readTree(get(prefixedPath("namespaces", ns.mkString(""))))
+    Option(n.get("properties")).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  def updateNamespaceProperties(ns: Seq[String], removals: Seq[String],
+                                updates: Map[String, String]): PropertiesUpdateSummary = {
+    val body = mapper.createObjectNode()
+    val rm = body.putArray("removals"); removals.foreach(rm.add)
+    val up = body.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
+    val rsp = mapper.readTree(request("POST",
+      prefixedPath("namespaces", ns.mkString(""), "properties"),
+      Some(mapper.writeValueAsString(body))))
+    def arr(k: String): Seq[String] = {
+      val b = Vector.newBuilder[String]
+      Option(rsp.get(k)).foreach(_.forEach(v => b += v.asText()))
+      b.result()
+    }
+    PropertiesUpdateSummary(arr("removed"), arr("updated"), arr("missing"))
+  }
+
+  def listTables(ns: Seq[String]): Seq[Seq[String]] = {
+    val n = mapper.readTree(get(prefixedPath("namespaces", ns.mkString(""), "tables")))
+    val out = Vector.newBuilder[Seq[String]]
+    Option(n.get("identifiers")).foreach(_.forEach { id =>
+      val segs = Vector.newBuilder[String]
+      Option(id.get("namespace")).foreach(_.forEach(s => segs += s.asText()))
+      segs += id.get("name").asText()
+      out += segs.result()
+    })
+    out.result()
+  }
+
+  /** GET table JSON → parsed metadata (rest.go:388-416). */
+  def loadTable(identifier: Seq[String]): LoadedTable = {
+    require(identifier.size >= 2, s"invalid table identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val tbl = identifier.last
+    val n = mapper.readTree(get(
+      prefixedPath("namespaces", ns.mkString(""), "tables", tbl)))
+    val md = TableMetadata.parseNode(n.get("metadata"))
+    val cfg = Option(n.get("config")).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    LoadedTable(identifier,
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""), md, cfg)
+  }
+
+  def dropTable(identifier: Seq[String]): Unit = {
+    val ns = identifier.dropRight(1)
+    request("DELETE", prefixedPath("namespaces", ns.mkString(""),
+      "tables", identifier.last))
+  }
+
+  def renameTable(from: Seq[String], to: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    def ident(node: com.fasterxml.jackson.databind.node.ObjectNode,
+              id: Seq[String]): Unit = {
+      val arr = node.putArray("namespace"); id.dropRight(1).foreach(arr.add)
+      node.put("name", id.last)
+    }
+    ident(body.putObject("source"), from)
+    ident(body.putObject("destination"), to)
+    request("POST", prefixedPath("tables", "rename"),
+      Some(mapper.writeValueAsString(body)))
+  }
+}
