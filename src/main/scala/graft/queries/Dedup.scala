@@ -78,19 +78,35 @@ object Dedup {
       bucketCap = 200, topK = 50)
 
   /** 64-bit SimHash from word tokens, weighted by term frequency: for each
-    * bit position, sum +1/-1 over token-hash bits; sign → bit. Computed as 64
-    * conditional sums over the exploded token stream — one shuffle. */
+    * bit position, count set token-hash bits; majority → bit.
+    *
+    * Implementation packs 4 bit-counters into 16-bit lanes of each of 16
+    * longs, so the aggregate is 16 plain `sum`s + a count instead of 64
+    * conditional sums — ~4× less generated code and one shuffle either way.
+    * Lane width caps documents at 65 535 tokens; longer documents should be
+    * chunked upstream (standard practice for near-dup pipelines). */
   def simhash(docs: DataFrame): DataFrame = {
+    val lanesPerWord = 4 // 16-bit lanes
+    val words = 64 / lanesPerWord
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    // packed_g = Σ_j ((h >> (4g+j)) & 1) << 16j  — 4 bit-counts per long
+    val packs = (0 until words).map { g =>
+      (0 until lanesPerWord).map { j =>
+        shiftleft(shiftright(col("h"), g * lanesPerWord + j).bitwiseAND(1), 16 * j)
+      }.reduce(_ + _).as(s"p$g")
     }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    val aggs = (0 until words).map(g => sum(col(s"p$g")).as(s"s$g")) :+
+      count(lit(1)).as("n_tok")
+    // bit i (in group g, lane j) set iff 2 * count_ones > n_tokens
+    val packedBits = (0 until 64).map { i =>
+      val g = i / lanesPerWord; val j = i % lanesPerWord
+      val cnt = shiftright(col(s"s$g"), 16 * j).bitwiseAND(0xFFFFL)
+      when(cnt * 2 > col("n_tok"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    toks.select(col("doc_id") +: packs: _*)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), packedBits.as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit keys
@@ -98,7 +114,10 @@ object Dedup {
     * join per band, verify true Hamming distance. */
   def d02SimhashPairs(s: SparkSession, d: String, maxHamming: Int = 16,
                       topK: Int = 100): DataFrame = {
-    val sh = simhash(Tables.documents(s, d))
+    // fingerprints are tiny (one long per doc); persist so the banded
+    // self-join reads them once instead of recomputing the token aggregation
+    // for each side
+    val sh = simhash(Tables.documents(s, d)).persist()
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

@@ -31,17 +31,27 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Exact top-k neighbors (ids + rank only — floats never leave the plan,
-    * keeping the result hash-comparable across engines). */
+    * keeping the result hash-comparable across engines). Norms are computed
+    * once per vector BEFORE the pair join, so the per-pair work is a single
+    * dot product — at N candidates × Q queries that's the difference between
+    * O((N+Q)·d) and O(N·Q·d) norm work. */
   def annBruteForce(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"))
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nnorm"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     cand.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qnorm") * col("nnorm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
