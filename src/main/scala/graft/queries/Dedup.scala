@@ -113,11 +113,15 @@ object Dedup {
     * (any pair within Hamming distance 3 shares ≥1 exact band — pigeonhole),
     * join per band, verify true Hamming distance. */
   def d02SimhashPairs(s: SparkSession, d: String, maxHamming: Int = 16,
-                      topK: Int = 100): DataFrame = {
+                      topK: Int = 100): DataFrame =
+    d02SimhashPairsFrom(Tables.documents(s, d), maxHamming, topK)
+
+  def d02SimhashPairsFrom(docs: DataFrame, maxHamming: Int,
+                          topK: Int): DataFrame = {
     // fingerprints are tiny (one long per doc); persist so the banded
     // self-join reads them once instead of recomputing the token aggregation
     // for each side
-    val sh = simhash(Tables.documents(s, d)).persist()
+    val sh = simhash(docs).persist()
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

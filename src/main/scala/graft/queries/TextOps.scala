@@ -36,9 +36,12 @@ object TextOps {
     * keeper, later ones are flagged dup. One shuffle on the 256-bit hash; at
     * 100 TB this is the canonical exact-dedup plan (hash once, never compare
     * full texts across the wire). */
-  def t02ExactDedup(s: SparkSession, d: String): DataFrame = {
+  def t02ExactDedup(s: SparkSession, d: String): DataFrame =
+    exactDedupFrom(Tables.documents(s, d))
+
+  def exactDedupFrom(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .withColumn("dup_rank", row_number().over(w))
       .select(col("doc_id"), col("h"), (col("dup_rank") > 1).as("is_dup"))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.core.{FileScanTask, ManifestIO}
+import graft.spark.IcebergTable
+
+/** Streaming surface.
+  *
+  * The reference has no streaming (SURVEY §2.2); the honest analogs are:
+  *   1. Structured Streaming transforms over an event stream —
+  *      watermarked tumbling-window aggregation and stateful
+  *      sessionization via mapGroupsWithState, the two canonical shapes.
+  *   2. Iceberg *incremental* reads — the files appended between two
+  *      snapshots, the batch-world equivalent of a changefeed (and exactly
+  *      what a `readStream` source over an Iceberg table would poll).
+  *
+  * All operators here work identically on batch DataFrames (Spark's
+  * unified API): the specs drive them through MemoryStream.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window count+sum per event type. Late data beyond
+    * the watermark is dropped; state is bounded by (types × open windows). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+                         value: Double)
+  final case class SessionState(count: Long, sum: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, events: Long, sum_value: Double,
+                              closed: Boolean)
+
+  /** Stateful sessionization: per-user running aggregates with an optional
+    * inactivity timeout — the `mapGroupsWithState` shape for custom state
+    * the built-in windows can't express. State per key is O(1).
+    * `timeoutMs <= 0` disables the processing-time timeout (deterministic
+    * micro-batch behavior for tests). */
+  def sessionize(events: Dataset[Event],
+                 timeoutMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(user, s.count, s.sum, closed = true)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, 0L))
+            val next = SessionState(prev.count + evs.size,
+              prev.sum + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).maxOption.getOrElse(0L)))
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            SessionOut(user, next.count, next.sum, closed = false)
+          }
+      }
+  }
+
+  /** Files appended strictly after `fromSnapshotId` up to and including
+    * `toSnapshotId` (defaults to current) — an append-only changefeed in
+    * file granularity, resolved purely from metadata. */
+  def appendedFilesBetween(table: IcebergTable, fromSnapshotId: Long,
+                           toSnapshotId: Option[Long] = None): Seq[FileScanTask] = {
+    val md = table.metadata
+    val from = md.snapshotById(fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $fromSnapshotId not found"))
+    val to = toSnapshotId.flatMap(md.snapshotById).orElse(md.currentSnapshot)
+      .getOrElse(throw new IllegalArgumentException("no target snapshot"))
+    val fromSeq = from.sequenceNumber
+    ManifestIO.readManifestList(table.io.open(to.manifestList))
+      .filter(m => m.content == 0 && m.sequenceNumber > fromSeq)
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+      .filter(_.sequenceNumber.exists(_ > fromSeq))
+      .map(e => FileScanTask(e.dataFile))
+  }
+
+  /** Incremental read as a DataFrame: the rows added after a snapshot. */
+  def incrementalRead(table: IcebergTable, spark: SparkSession,
+                      fromSnapshotId: Long): DataFrame = {
+    val tasks = appendedFilesBetween(table, fromSnapshotId)
+    val schema = graft.spark.SchemaConv.toSparkSchema(table.schema)
+    if (tasks.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(tasks.map(_.file.path): _*)
+  }
+}

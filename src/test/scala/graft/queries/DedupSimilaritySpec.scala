@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+
+/** Correctness of the non-SQL-expressible pipeline operators: MinHash-LSH
+  * must find planted near-duplicates (recall), SimHash must rank planted
+  * near-dups closest, LSH ANN must approximate brute-force top-k. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Corpus with planted near-duplicates: pairs (i, i+1000) share ~90% of
+    * their tokens; everything else is dissimilar. */
+  private def plantedDocs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(60)))
+    val dups = base.take(10).map { case (i, text) =>
+      val toks = text.split(" ")
+      // mutate ~10% of tokens
+      val mutated = toks.zipWithIndex.map { case (t, j) =>
+        if (j % 10 == 0) vocab(rnd.nextInt(vocab.size)) else t
+      }
+      (i + 1000, mutated.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH recalls planted near-dup pairs") {
+    val pairs = Dedup.minhashPairs(plantedDocs, shingleN = 1, k = 16, bands = 8,
+      bucketCap = 100, topK = 50).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 1000L))
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall; found=${found.take(20)}")
+    // planted pairs verify with high exact jaccard
+    val plantedJ = pairs.filter(r => expected.contains((r.getLong(0), r.getLong(1))))
+      .map(_.getDouble(2))
+    assert(plantedJ.forall(_ > 0.5))
+  }
+
+  test("simhash finds very-near dups (its detection regime is hamming<=3 per band math)") {
+    // SimHash 4x16-bit banding guarantees candidates at hamming<=3, i.e.
+    // ~97%+ similarity — plant dups with only ~2% of tokens mutated
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(100)))
+    val dups = base.take(10).map { case (i, text) =>
+      val toks = text.split(" ")
+      val mutated = toks.zipWithIndex.map { case (t, j) =>
+        if (j == 50 || j == 99) vocab(rnd.nextInt(vocab.size)) else t
+      }
+      (i + 1000, mutated.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.d02SimhashPairsFrom(docs, maxHamming = 16, topK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    val expected = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+    val hits = pairs.count(p => expected.contains((p._1, p._2)))
+    assert(hits >= 8, s"only $hits planted pairs found: ${pairs.toSeq}")
+  }
+
+  test("lsh ann approximates brute-force top-k with decent recall") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous banding on random vectors (the hardest case for LSH)
+    val lsh = Similarity.annLsh(spark, sf, nQueries = 10, k = 5,
+      nBits = 16, bandBits = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall vs brute force = $recall")
+  }
+
+  test("exact dedup flags identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = TextOps.exactDedupFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.{SparkTestSession, TableWriter}
+
+/** Drives the streaming operators through MemoryStream (real incremental
+  * execution, not batch shortcuts) and the incremental Iceberg read across
+  * snapshots. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events, "10 minutes", "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), "click", 1.0), (t(2), "click", 2.0), (t(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+      val clicks = rows.find(r => r.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+      // late-but-within-watermark data updates the first window
+      input.addData((t(3), "click", 4.0))
+      q.processAllAvailable()
+      val clicks2 = spark.table("winagg").collect()
+        .filter(r => r.getString(1) == "click").maxBy(_.getLong(2))
+      assert(clicks2.getLong(2) == 3 && clicks2.getDouble(3) == 7.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessionize(input.toDS(), timeoutMs = 0)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def ev(u: Long, min: Int, v: Double) = EventStreams.Event(u,
+        Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), "click", v)
+      input.addData(ev(1, 0, 1.0), ev(1, 1, 2.0), ev(2, 0, 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(sessions(1L) == (2L, 3.0))
+      assert(sessions(2L) == (1L, 5.0))
+      // second batch accumulates into existing state
+      input.addData(ev(1, 2, 10.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions").collect().filter(_.getLong(0) == 1L)
+        .maxBy(_.getLong(1))
+      assert(s1.getLong(1) == 3 && s1.getDouble(2) == 13.0)
+    } finally q.stop()
+  }
+
+  test("incremental read returns only post-snapshot rows") {
+    val loc = Files.createTempDirectory("tbl_incr").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val t1 = TableWriter.create(src.filter(col("n_regionkey") === 0), loc)
+    val snap1 = t1.currentSnapshot.get.snapshotId
+    val t2 = TableWriter.append(t1, src.filter(col("n_regionkey") === 1))
+    val t3 = TableWriter.append(t2, src.filter(col("n_regionkey") === 2))
+
+    val incr = EventStreams.incrementalRead(t3, spark, snap1)
+    val expect = src.filter(col("n_regionkey") === 1 || col("n_regionkey") === 2).count()
+    assert(incr.count() == expect)
+    assert(incr.filter(col("n_regionkey") === 0).count() == 0)
+
+    // bounded range: only snapshot 2's files
+    val snap2 = t3.metadata.snapshots(1).snapshotId
+    val bounded = EventStreams.appendedFilesBetween(t3, snap1, Some(snap2))
+    val rows2 = bounded.map(_.file.recordCount).sum
+    assert(rows2 == src.filter(col("n_regionkey") === 1).count())
+  }
+}
