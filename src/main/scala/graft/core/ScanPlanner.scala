@@ -282,19 +282,28 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
         .filter(e => metrics.eval(e.dataFile.stats))
     }
 
-    // positional deletes: entries sorted by sequence number for the
-    // binary-search assignment (scanner.go:144-193)
-    val deleteEntries = deleteManifests
+    // delete files: positional entries sorted by sequence number for the
+    // binary-search assignment (scanner.go:144-193); equality deletes
+    // (which the reference only decodes, manifest.go:438-443) apply to data
+    // files committed STRICTLY BEFORE the delete per the Iceberg spec
+    val allDeleteEntries = deleteManifests
       .filter(m => evals(m.partitionSpecId)._1.eval(m))
       .flatMap(m => ManifestIO.readManifestEntries(io.open(m.path), m))
+    val posDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.PositionDeletes)
       .sortBy(_.sequenceNumber.getOrElse(0L))
+    val eqDeleteEntries = allDeleteEntries
+      .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
 
     dataEntries.map { e =>
-      val deletes =
-        if (deleteEntries.isEmpty) Nil
-        else matchDeletes(e, deleteEntries)
-      FileScanTask(e.dataFile, deletes)
+      val posDeletes =
+        if (posDeleteEntries.isEmpty) Nil
+        else matchDeletes(e, posDeleteEntries)
+      val dataSeq = e.sequenceNumber.getOrElse(0L)
+      val eqDeletes = eqDeleteEntries
+        .filter(_.sequenceNumber.exists(_ > dataSeq))
+        .map(_.dataFile)
+      FileScanTask(e.dataFile, posDeletes ++ eqDeletes)
     }
   }
 

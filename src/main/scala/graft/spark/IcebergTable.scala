@@ -108,23 +108,53 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         projectedSparkSchema(sparkSchema))
 
-    val paths = tasks.map(_.file.path)
-    var df = spark.read.schema(sparkSchema).parquet(paths: _*)
+    // group data files by the equality-delete files assigned to them: an
+    // equality delete applies only to files committed before it, so each
+    // group gets its own anti-joins and the groups union back together.
+    // (Positional deletes join on file_path and are safe to apply globally.)
+    val grouped = tasks.groupBy(_.deleteFiles
+      .filter(_.content == graft.core.DataFileContent.EqualityDeletes)
+      .map(_.path).sorted)
 
-    val deletePaths = tasks.flatMap(_.deleteFiles.map(_.path)).distinct
-    if (deletePaths.nonEmpty) {
-      // merge-on-read: anti-join on (file, row position). `_metadata` is
-      // Spark's per-row file provenance — no extra scan cost.
-      val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
-      val deletes = spark.read.parquet(deletePaths: _*)
-        .select(norm(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
-      df = df
-        .withColumn("__path", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(deletes, col("__path") === col("__del_path") &&
-          col("__pos") === col("__del_pos"), "left_anti")
-        .drop("__path", "__pos")
+    val posDeletePaths = tasks.flatMap(_.deleteFiles
+      .filter(_.content == graft.core.DataFileContent.PositionDeletes)
+      .map(_.path)).distinct
+    val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
+
+    def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
+      var gdf = spark.read.schema(sparkSchema)
+        .parquet(groupTasks.map(_.file.path): _*)
+      if (posDeletePaths.nonEmpty) {
+        // merge-on-read: anti-join on (file, row position). `_metadata` is
+        // Spark's per-row file provenance — no extra scan cost.
+        val deletes = spark.read.parquet(posDeletePaths: _*)
+          .select(norm(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
+        gdf = gdf
+          .withColumn("__path", norm(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(deletes, col("__path") === col("__del_path") &&
+            col("__pos") === col("__del_pos"), "left_anti")
+          .drop("__path", "__pos")
+      }
+      // equality deletes for THIS group, one anti-join per column set; the
+      // delete side is deduplicated key tuples, typically tiny → broadcast
+      val eqFiles = groupTasks.headOption.toSeq.flatMap(_.deleteFiles
+        .filter(_.content == graft.core.DataFileContent.EqualityDeletes))
+      eqFiles.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
+        val colNames = eqIds.flatMap(id => snapshotSchema.findColumnName(id))
+        if (colNames.size == eqIds.size && colNames.nonEmpty) {
+          val delRows = spark.read.parquet(files.map(_.path).distinct: _*)
+            .select(colNames.map(col): _*).distinct()
+          gdf = gdf.join(org.apache.spark.sql.functions.broadcast(delRows),
+            colNames, "left_anti")
+        }
+      }
+      gdf
     }
+
+    var df = grouped.toSeq.sortBy(_._1.mkString(","))
+      .map { case (eqPaths, ts) => readGroup(ts, eqPaths) }
+      .reduce(_.unionAll(_))
 
     if (filter != AlwaysTrue) df = df.filter(FilterConv.toColumn(filter))
     if (selected.nonEmpty && !selected.contains("*"))

@@ -114,6 +114,56 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Equality MoR delete: any row whose `equalityCols` tuple appears in
+    * `keys` is deleted — no data rewrite, no scan at commit time at all
+    * (the delete applies table-wide to earlier-sequence files). */
+  def deleteEquality(table: IcebergTable, keys: DataFrame,
+                     equalityCols: Seq[String]): IcebergTable = {
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = currentVersion(table.location) + 1
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/eqdeletes-$snapId")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.getPath)
+
+    val eqIds = equalityCols.map(c => table.schema.findFieldByName(c).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$c' not in schema")).id)
+    val delFiles = listParquet(delDir).map { f =>
+      statsFromFooter(f, table.schema, Map.empty,
+        content = graft.core.DataFileContent.EqualityDeletes, None)
+        .copy(equalityIds = eqIds)
+    }
+    val entries = delFiles.map(info => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+    val manifestFile = new File(metaDir, s"manifest-eqdel-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, entries, StructT(Nil))
+    val delManifest = ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = table.spec.specId, content = 1,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = delFiles.map(_.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = Nil, formatVersion = 2)
+    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    }
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath, Some(SnapshotSummary(OpDelete)),
+      Some(table.schema.schemaId))
+    writeMetadata(table.location, table.metadata.copy(
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = table.metadata.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = table.metadata.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = table.metadata.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), version)
+    IcebergTables.load(table.location)
+  }
+
   /** Create a branch or tag pointing at a snapshot. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
                 snapshotId: Option[Long] = None): IcebergTable = {

@@ -147,6 +147,24 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.newScan(snapshotId = Some(firstSnap)).toDF(spark).count() == src.count())
   }
 
+  test("merge-on-read equality deletes") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_eqdel")
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val keys = Seq(1L, 5L, 9L).toDF("c_custkey")
+    val t2 = TableWriter.deleteEquality(t1, keys, Seq("c_custkey"))
+    val got = t2.newScan().toDF(spark)
+    assert(got.count() == src.count() - 3)
+    assert(got.filter(col("c_custkey").isin(1L, 5L, 9L)).count() == 0)
+    // rows appended AFTER the equality delete are not affected
+    val t3 = TableWriter.append(t2, src.filter(col("c_custkey") === 1L))
+    assert(t3.newScan().toDF(spark).filter(col("c_custkey") === 1L).count() == 1)
+    // time travel before the delete sees everything
+    val firstSnap = t3.metadata.snapshots.head.snapshotId
+    assert(t3.newScan(snapshotId = Some(firstSnap)).toDF(spark).count() == src.count())
+  }
+
   test("projection prunes columns") {
     val loc = tmpDir("tbl_proj")
     val src = spark.read.parquet(s"$sf/part.parquet")
