@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+
+/** Physical-plan audit: the scale properties that must hold at 100 TB are
+  * asserted on the actual executed plans at test scale —
+  *   - dimension joins broadcast (no shuffle of the fact side for dims)
+  *   - filters reach the parquet scan as PushedFilters
+  *   - projections prune the read schema
+  *   - no CartesianProduct anywhere (LSH/dedup candidate pairs must come
+  *     from bucket joins); broadcast NLJ is allowed only for the tiny
+  *     query-side ANN joins
+  *   - aggregations plan map-side partial aggregation before the exchange
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03: dimension joins broadcast, filter pushed to scan") {
+    val p = plan(Relational.q03TopOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "fact-dim join should not sort-merge")
+    assert(p.contains("PushedFilters: [IsNotNull"), "expected pushed filters")
+  }
+
+  test("q05: 6-table star join is all broadcast on the fact side") {
+    val p = plan(Relational.q05LocalSupplier(spark, sf))
+    assert(p.split("BroadcastHashJoin").length >= 4, s"expected >=4 broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: partial aggregation before the exchange") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair: HashAggregate appears on both sides of Exchange
+    val exIdx = p.indexOf("Exchange")
+    assert(exIdx > 0 && p.indexOf("HashAggregate", exIdx) > 0,
+      "expected final HashAggregate after the exchange")
+  }
+
+  test("q02: selective filter + projection reach the parquet scan") {
+    val df = Relational.q02FilterProject(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed:\n$p")
+    assert(p.contains("ReadSchema:"), p)
+    // read schema includes only needed columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_tax"), s"unpruned read schema: $readSchema")
+  }
+
+  test("dedup/similarity plans never cartesian product") {
+    for ((name, df) <- Seq(
+        "d01" -> Dedup.d01MinhashLsh(spark, sf),
+        "d02" -> Dedup.d02SimhashPairs(spark, sf),
+        "ann02" -> Similarity.annLsh(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not global sort") {
+    val p = plan(Relational.q03TopOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"limit+order not fused:\n$p")
+  }
+
+  test("q10 anti join broadcasts the filtered subquery side") {
+    val p = plan(Relational.q10AntiJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+}
