@@ -1,0 +1,168 @@
+package graft.spark
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{PartitionSpec, Schema => IceSchema, SortOrder, TableMetadata}
+
+/** Spark session-catalog plugin: register with
+  * `spark.sql.catalog.graft=graft.spark.GraftCatalog` and
+  * `spark.sql.catalog.graft.warehouse=/path/to/warehouse`, then
+  * `SELECT * FROM graft.db.tbl` resolves through the Iceberg metadata plane
+  * (S1's Spark mapping in SURVEY §2.1). Warehouse layout:
+  * `<warehouse>/<namespace>/<table>/metadata/v*.metadata.json`.
+  *
+  * Reads go through [[GraftSparkTable]] (full pushdown wiring);
+  * DDL surface: create (empty table), drop, rename, namespaces. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: File = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    warehouse = new File(wh.stripPrefix("file://"))
+    warehouse.mkdirs()
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): File =
+    new File(new File(warehouse, ident.namespace().mkString(File.separator)),
+      ident.name())
+
+  private def isTable(dir: File): Boolean = new File(dir, "metadata").isDirectory
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new File(warehouse, namespace.mkString(File.separator))
+    if (!nsDir.isDirectory) throw new IllegalArgumentException(
+      s"namespace ${namespace.mkString(".")} not found")
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(isTable)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+    new GraftSparkTable(IcebergTables.load(dir.getPath))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    val iceSchema = SchemaConv.fromSparkSchema(schema)
+    val now = System.currentTimeMillis()
+    val md = TableMetadata(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = dir.getPath,
+      lastSequenceNumber = 0,
+      lastUpdatedMs = now,
+      lastColumnId = iceSchema.highestFieldId,
+      schemas = Seq(iceSchema),
+      currentSchemaId = iceSchema.schemaId,
+      partitionSpecs = Seq(PartitionSpec.unpartitioned),
+      defaultSpecId = 0,
+      lastPartitionId = Some(999),
+      properties = properties.asScala.toMap,
+      snapshots = Nil, currentSnapshotId = None,
+      snapshotLog = Nil, metadataLog = Nil,
+      sortOrders = Seq(SortOrder.unsorted), defaultSortOrderId = 0,
+      refs = Map.empty)
+    val metaDir = new File(dir, "metadata"); metaDir.mkdirs()
+    java.nio.file.Files.write(new File(metaDir, "v1.metadata.json").toPath,
+      md.toJson.getBytes("UTF-8"))
+    java.nio.file.Files.write(new File(metaDir, "version-hint.text").toPath,
+      "1".getBytes("UTF-8"))
+    new GraftSparkTable(IcebergTables.load(dir.getPath))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { deleteRec(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(oldIdent)
+    // ALTER TABLE ... RENAME TO passes the target unresolved — it may still
+    // carry this catalog's name as the leading namespace segment
+    val targetNs = newIdent.namespace() match {
+      case ns if ns.headOption.contains(catalogName) => ns.drop(1)
+      case ns => ns
+    }
+    val to = tableDir(Identifier.of(targetNs, newIdent.name()))
+    to.getParentFile.mkdirs()
+    if (!from.renameTo(to))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !isTable(f))
+      .map(f => Array(f.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = new File(warehouse, namespace.mkString(File.separator))
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !isTable(f))
+        .map(f => namespace :+ f.getName)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val dir = new File(warehouse, namespace.mkString(File.separator))
+    if (!dir.isDirectory) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+    Map("location" -> dir.getPath).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    new File(warehouse, namespace.mkString(File.separator)).mkdirs()
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported yet")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new File(warehouse, namespace.mkString(File.separator))
+    if (!dir.isDirectory) false
+    else if (!cascade && Option(dir.listFiles()).exists(_.nonEmpty)) false
+    else { deleteRec(dir); true }
+  }
+}

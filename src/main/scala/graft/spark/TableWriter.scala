@@ -196,15 +196,9 @@ object TableWriter {
     case MonthTransform => sexpr(s"(year(${srcName(src)}) - 1970) * 12 + month(${srcName(src)}) - 1")
     case YearTransform => syear(src) - 1970
     case HourTransform => sexpr(s"floor(unix_timestamp(${srcName(src)}) / 3600)")
-    case BucketTransform(n) => typ match {
-      case LongT | IntT =>
-        udf((v: java.lang.Long) => if (v == null) null
-          else Integer.valueOf(BucketHash(LongLit(v), n))).apply(src.cast("long"))
-      case StringT =>
-        udf((v: String) => if (v == null) null
-          else Integer.valueOf(BucketHash(StrLit(v), n))).apply(src)
-      case other => throw new IllegalArgumentException(s"bucket write on $other unsupported")
-    }
+    case BucketTransform(n) =>
+      // codegen'd native expression — full write throughput, spec-exact hash
+      graft.spark.functions.functions.icebergBucket(n, src)
     case TruncateTransform(w) => typ match {
       case IntT | LongT => (src - (((src % w) + w) % w)).cast(SchemaConv.toSparkType(typ))
       case StringT => src.substr(0, w)
