@@ -81,12 +81,13 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
                            ref: Option[String], asOfTimestampMs: Option[Long],
                            caseSensitive: Boolean) {
 
+  /** Current-state scans use the table's current schema; explicit time
+    * travel resolves the pinned snapshot's schema (scanner.go:54-61). */
   def snapshotSchema: Schema = {
-    val snap = snapshotId.flatMap(table.metadata.snapshotById)
+    val pinned = snapshotId.flatMap(table.metadata.snapshotById)
       .orElse(ref.flatMap(table.metadata.snapshotByName))
       .orElse(asOfTimestampMs.flatMap(table.metadata.snapshotAsOfTime))
-      .orElse(table.metadata.currentSnapshot)
-    snap.flatMap(_.schemaId).flatMap(table.metadata.schemaById)
+    pinned.flatMap(_.schemaId).flatMap(table.metadata.schemaById)
       .getOrElse(table.metadata.currentSchema)
   }
 

@@ -164,6 +164,47 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Compaction: rewrite the current snapshot's live rows (MoR deletes
+    * applied) into `targetFiles` fresh files and commit a REPLACE snapshot.
+    * The rewrite is one distributed pass; small-file pressure and delete
+    * debt reset to zero. */
+  def compact(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
+              targetFiles: Int = 0): IcebergTable = {
+    var df = table.newScan().toDF(spark)
+    if (targetFiles > 0) df = df.repartition(targetFiles)
+    val version = currentVersion(table.location) + 1
+    val committed = commit(df, table.location, table.schema, table.spec,
+      table.properties, version, table.currentSnapshot,
+      Nil, Nil, // replace: the new manifest list carries ONLY the new files
+      table.metadata.lastSequenceNumber + 1)
+    // rewrite the snapshot op to REPLACE for an honest history
+    val md = committed.metadata
+    val fixed = md.copy(snapshots = md.snapshots.init :+
+      md.snapshots.last.copy(summary = Some(SnapshotSummary(OpReplace))))
+    writeMetadata(table.location, fixed, currentVersion(table.location) + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Schema evolution: add an optional column (new field id above all
+    * existing ids). Existing files stay valid — readers see null for the new
+    * column; the scan resolves each snapshot's schema by id. */
+  def addColumn(table: IcebergTable, name: String,
+                colType: graft.core.IcebergType, doc: Option[String] = None): IcebergTable = {
+    val md = table.metadata
+    require(md.currentSchema.findFieldByName(name).isEmpty, s"column '$name' exists")
+    val newId = md.lastColumnId + 1
+    val newSchema = Schema(md.currentSchemaId + 1,
+      StructT(md.currentSchema.fields :+ NestedField(newId, name, colType, required = false, doc)),
+      md.currentSchema.identifierFieldIds)
+    val version = currentVersion(table.location) + 1
+    writeMetadata(table.location, md.copy(
+      lastColumnId = newId,
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), version)
+    IcebergTables.load(table.location)
+  }
+
   /** Create a branch or tag pointing at a snapshot. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
                 snapshotId: Option[Long] = None): IcebergTable = {
@@ -277,8 +318,11 @@ object TableWriter {
       location = location,
       lastSequenceNumber = sequenceNumber,
       lastUpdatedMs = now,
-      lastColumnId = schema.highestFieldId,
-      schemas = Seq(schema),
+      lastColumnId = math.max(schema.highestFieldId,
+        prevMeta.map(_.lastColumnId).getOrElse(0)),
+      // carry prior schema versions so older snapshots keep resolving
+      schemas = (prevMeta.map(_.schemas.filterNot(_.schemaId == schema.schemaId))
+        .getOrElse(Nil) :+ schema),
       currentSchemaId = schema.schemaId,
       partitionSpecs = Seq(spec),
       defaultSpecId = spec.specId,

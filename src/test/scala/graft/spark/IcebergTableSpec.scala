@@ -165,6 +165,43 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.newScan(snapshotId = Some(firstSnap)).toDF(spark).count() == src.count())
   }
 
+  test("compaction rewrites deletes away and preserves results") {
+    val loc = tmpDir("tbl_compact")
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t1 = TableWriter.create(src.repartition(6), loc)
+    val t2 = TableWriter.deleteWhere(t1, spark, col("c_nationkey") === 3)
+    val before = t2.newScan().toDF(spark).count()
+    assert(t2.newScan().planFiles().exists(_.deleteFiles.nonEmpty))
+
+    val t3 = TableWriter.compact(t2, spark, targetFiles = 2)
+    val tasks = t3.newScan().planFiles()
+    assert(tasks.size == 2)
+    assert(tasks.forall(_.deleteFiles.isEmpty), "compaction must absorb deletes")
+    assert(t3.newScan().toDF(spark).count() == before)
+    assert(t3.currentSnapshot.flatMap(_.summary).map(_.operation).contains(OpReplace))
+    // pre-compaction snapshot still time-travels with its deletes applied
+    val prevSnap = t2.currentSnapshot.get.snapshotId
+    assert(t3.newScan(snapshotId = Some(prevSnap)).toDF(spark).count() == before)
+  }
+
+  test("schema evolution: added column is null for old files, real for new") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_evolve")
+    val t1 = TableWriter.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), loc)
+    val t2 = TableWriter.addColumn(t1, "score", DoubleT)
+    assert(t2.schema.fields.map(_.name) == Seq("id", "name", "score"))
+    assert(t2.metadata.schemas.size == 2)
+    // old files read with nulls in the new column
+    val read = t2.newScan().toDF(spark)
+    assert(read.columns.toSeq == Seq("id", "name", "score"))
+    assert(read.filter(col("score").isNull).count() == 2)
+    // append rows carrying the new column
+    val t3 = TableWriter.append(t2, Seq((3L, "c", 0.5)).toDF("id", "name", "score"))
+    val all = t3.newScan().toDF(spark)
+    assert(all.count() == 3)
+    assert(all.filter(col("score").isNotNull).count() == 1)
+  }
+
   test("projection prunes columns") {
     val loc = tmpDir("tbl_proj")
     val src = spark.read.parquet(s"$sf/part.parquet")
