@@ -47,6 +47,7 @@ object SparkEntry {
     "ice03_time_travel" -> (I.ice03TimeTravel _),
     "ice04_mor_delete" -> (I.ice04MorDelete _),
     "ice05_day_partition" -> (I.ice05DayPartition _),
+    "ice06_sql_catalog" -> (I.ice06SqlCatalog _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,6 @@ object SparkEntry {
     "ice03_time_travel" -> I.ice03Sql,
     "ice04_mor_delete" -> I.ice04Sql,
     "ice05_day_partition" -> I.ice05Sql,
+    "ice06_sql_catalog" -> I.ice06Sql,
   )
 }

@@ -126,4 +126,27 @@ object IcebergOps {
     """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
        GROUP BY CAST(ts AS DATE) ORDER BY day"""
+
+  /** SQL-identifier access through the session catalog plugin: the whole
+    * path is Spark SQL text → GraftCatalog → Iceberg metadata → pruned scan. */
+  def ice06SqlCatalog(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse"
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    synchronized {
+      if (!new File(s"$wh/db/part/metadata").exists())
+        TableWriter.create(Tables.part(s, d), s"$wh/db/part")
+    }
+    s.sql(
+      """SELECT p_brand, COUNT(*) AS n, MIN(p_retailprice) AS min_price,
+         MAX(p_retailprice) AS max_price
+         FROM graft.db.part WHERE p_size >= 10
+         GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  val ice06Sql: String =
+    """SELECT p_brand, COUNT(*) AS n, MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price
+       FROM part WHERE p_size >= 10
+       GROUP BY p_brand ORDER BY p_brand"""
 }
