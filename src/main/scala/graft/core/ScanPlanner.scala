@@ -258,16 +258,18 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
 
     val manifests = ManifestIO.readManifestList(io.open(snapshot.manifestList))
 
-    // per-spec projection + evaluators (manifests may span spec versions)
-    val specCache = scala.collection.mutable.Map[Int, (ManifestEvaluator, PartitionEvaluator)]()
-    def evals(specId: Int): (ManifestEvaluator, PartitionEvaluator) =
-      specCache.getOrElseUpdate(specId, {
+    // per-spec projection + evaluators (manifests may span spec versions);
+    // built eagerly so the parallel manifest scan below reads an immutable map
+    val specEvals: Map[Int, (ManifestEvaluator, PartitionEvaluator)] =
+      (manifests.map(_.partitionSpecId).distinct :+ 0).distinct.map { specId =>
         val spec = metadata.partitionSpecs.find(_.specId == specId)
           .getOrElse(PartitionSpec.unpartitioned)
         val partExpr = InclusiveProjection.project(spec, schema, bound)
-        (new ManifestEvaluator(spec, schema, partExpr),
+        specId -> (new ManifestEvaluator(spec, schema, partExpr),
           new PartitionEvaluator(spec, schema, partExpr))
-      })
+      }.toMap
+    def evals(specId: Int): (ManifestEvaluator, PartitionEvaluator) =
+      specEvals.getOrElse(specId, specEvals(0))
 
     val (dataManifests, deleteManifests) =
       manifests.partition(_.content == 0)
@@ -275,12 +277,15 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     // two-level pruning: drop whole manifests on partition summaries
     val liveDataManifests = dataManifests.filter(m => evals(m.partitionSpecId)._1.eval(m))
 
-    val dataEntries = liveDataManifests.flatMap { m =>
+    // manifests decode in parallel on the driver: I/O-bound small Avro
+    // files — at O(1000) manifests this keeps planning in driver seconds
+    import scala.collection.parallel.CollectionConverters._
+    val dataEntries = liveDataManifests.par.flatMap { m =>
       val (_, partEval) = evals(m.partitionSpecId)
       ManifestIO.readManifestEntries(io.open(m.path), m)
         .filter(e => partEval.eval(e.dataFile.partition))
         .filter(e => metrics.eval(e.dataFile.stats))
-    }
+    }.seq
 
     // delete files: positional entries sorted by sequence number for the
     // binary-search assignment (scanner.go:144-193); equality deletes

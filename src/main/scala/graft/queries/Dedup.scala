@@ -44,10 +44,14 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(sigs.slice(b * rows, (b + 1) * rows): _*).as("key"))
     }
+    // shingling + k minhashes is the expensive projection — materialize it
+    // once; the banded self-join and bucket-size window below would
+    // otherwise recompute it per side
     val shingled = docs
       .select(col("doc_id"), wordShingles(col("text"), shingleN).as("shingles"))
       .select(col("doc_id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.key"))
+      .persist()
     // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
     // millions of docs in one bucket; capping bounds the O(bucket²) pair join.
     val sized = shingled

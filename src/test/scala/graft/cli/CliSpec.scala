@@ -1,0 +1,67 @@
+package graft.cli
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.{SparkTestSession, TableWriter}
+
+/** CLI verbs against a local table, asserting on captured stdout (the
+  * automated analog of cmd/icegopher's output tests). */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val tableLoc: String = {
+    val loc = Files.createTempDirectory("cli_tbl").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src, loc, properties = Map("owner" -> "graft-tests"))
+    TableWriter.append(t1, src)
+    loc
+  }
+
+  private def run(args: String*): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(out)) { Main.main(args.toArray) }
+    out.toString("UTF-8")
+  }
+
+  test("describe") {
+    val out = run("describe", tableLoc)
+    assert(out.contains("Table format version: 2"))
+    assert(out.contains("Current snapshot:"))
+    assert(out.contains("r_regionkey"))
+  }
+
+  test("schema and uuid and location") {
+    assert(run("schema", tableLoc).contains("r_name"))
+    assert(run("uuid", tableLoc).trim.matches("[0-9a-f-]{36}"))
+    assert(run("location", tableLoc).trim == tableLoc)
+  }
+
+  test("spec on unpartitioned table") {
+    assert(run("spec", tableLoc).contains("[unpartitioned]"))
+  }
+
+  test("snapshots lists both commits") {
+    val out = run("snapshots", tableLoc)
+    assert(out.linesIterator.size == 2)
+    assert(out.contains("append"))
+  }
+
+  test("refs lists main branch") {
+    assert(run("refs", tableLoc).contains("main\tbranch"))
+  }
+
+  test("properties get") {
+    assert(run("properties", "get", tableLoc).contains("owner\tgraft-tests"))
+    assert(run("properties", "get", tableLoc, "owner").trim == "graft-tests")
+  }
+
+  test("files prints the snapshot tree") {
+    val out = run("files", tableLoc)
+    assert(out.contains("Snapshot "))
+    assert(out.contains("Manifest:"))
+    assert(out.contains("Datafile:"))
+  }
+}
