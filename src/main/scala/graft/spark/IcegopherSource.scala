@@ -53,13 +53,55 @@ class IcegopherSource extends TableProvider
     new GraftSparkTable(IcebergTables.load(properties.get("path")))
 }
 
-final class GraftSparkTable(table: IcebergTable) extends Table with SupportsRead {
+final class GraftSparkTable(table: IcebergTable) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** DELETE FROM ... WHERE: committed as positional merge-on-read delete
+    * files — no data rewrite. Only fully-convertible predicates are
+    * accepted; otherwise Spark falls back to an error (no silent rewrite). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val expr = filters.flatMap(FilterConv.fromSparkFilter)
+      .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val current = IcebergTables.load(table.location)
+    TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
+  }
   override def name(): String = table.location
   override def schema(): StructType = SchemaConv.toSparkSchema(table.schema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, schema(), options)
+
+  /** Write path: the V1Write bridge hands us the source DataFrame intact, so
+    * INSERT INTO / df.writeTo(...).append() reuse the same distributed
+    * parquet write + footer-stats manifest commit as the library API.
+    * `overwrite` (INSERT OVERWRITE / truncate) starts the manifest list from
+    * scratch — a REPLACE commit. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              val current = IcebergTables.load(table.location) // fresh metadata
+              if (overwrite) TableWriter.overwrite(current, data)
+              else TableWriter.append(current, data)
+              ()
+            }
+        }
+    }
 }
 
 final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
@@ -120,28 +162,48 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    tasks.map(t => GraftInputPartition(t.file.path, required.json,
-      limit): InputPartition).toArray
+    tasks.map { t =>
+      val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
+        .map(_.path)
+      val eq = t.deleteFiles.filter(_.content == graft.core.DataFileContent.EqualityDeletes)
+        .map(d => EqDelete(d.path,
+          d.equalityIds.flatMap(id => table.schema.findColumnName(id))))
+      GraftInputPartition(t.file.path, required.json, limit, pos, eq,
+        SchemaConv.toSparkSchema(table.schema).json): InputPartition
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory()
 }
 
+final case class EqDelete(path: String, cols: Seq[String])
+
 final case class GraftInputPartition(path: String, schemaJson: String,
-                                     limit: Option[Int]) extends InputPartition
+                                     limit: Option[Int],
+                                     posDeletes: Seq[String] = Nil,
+                                     eqDeletes: Seq[EqDelete] = Nil,
+                                     fullSchemaJson: String = "") extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    val full = if (p.fullSchemaJson.nonEmpty)
+      DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
+    else DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
     new GroupRowReader(p.path,
-      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.limit)
+      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.limit,
+      p.posDeletes, p.eqDeletes, full)
   }
 }
 
 /** Row-at-a-time parquet reader via parquet-hadoop's example Group API, with
   * column projection pushed into the read schema. */
-final class GroupRowReader(path: String, schema: StructType, limit: Option[Int])
+final class GroupRowReader(path: String, schema: StructType, limit: Option[Int],
+                           posDeletePaths: Seq[String] = Nil,
+                           eqDeletes: Seq[EqDelete] = Nil,
+                           fullSchemaOpt: StructType = null)
     extends PartitionReader[InternalRow] {
+  private val fullSchema: StructType = Option(fullSchemaOpt).getOrElse(schema)
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -154,7 +216,9 @@ final class GroupRowReader(path: String, schema: StructType, limit: Option[Int])
         new org.apache.hadoop.fs.Path(path), conf))
     try {
       val fileSchema = footer.getFileMetaData.getSchema
-      val keep = schema.fieldNames.toSet
+      // read schema = required columns ∪ equality-delete key columns (the
+      // latter are needed for tombstone checks even when projected away)
+      val keep = schema.fieldNames.toSet ++ eqDeletes.flatMap(_.cols)
       val projected = new org.apache.parquet.schema.MessageType("projected",
         fileSchema.getFields.asScala.filter(f => keep.contains(f.getName)).asJava)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -166,13 +230,77 @@ final class GroupRowReader(path: String, schema: StructType, limit: Option[Int])
     ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
 
+  /** Positions tombstoned for THIS data file by positional delete files. */
+  private lazy val deletedPositions: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val myPath = path.stripPrefix("file:")
+    posDeletePaths.foreach { dp =>
+      val r = ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(dp)).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val fp = g.getBinary("file_path", 0).toStringUsingUTF8.stripPrefix("file:")
+          if (fp == myPath) set.add(g.getLong("pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  /** Key tuples from equality-delete files (per column list), compared on
+    * this reader's decoded representations. */
+  private lazy val deletedKeys: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
+    eqDeletes.groupBy(_.cols).toSeq.flatMap { case (cols, files) =>
+      if (cols.isEmpty) None
+      else {
+        val set = new java.util.HashSet[Seq[Any]]()
+        files.foreach { ed =>
+          val r = ParquetReader.builder(new GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(ed.path)).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val key = cols.map { c =>
+                val gi = g.getType.getFieldIndex(c)
+                if (g.getFieldRepetitionCount(gi) == 0) null
+                else readValue(g, gi, fullSchema(fullSchema.fieldIndex(c)).dataType)
+              }
+              set.add(key)
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        Some((cols, set))
+      }
+    }
+
   private var current: Group = _
-  private var count = 0L
+  private var rowPos = -1L // position within the data file (pre-delete)
+  private var emitted = 0L
+
+  private def isDeleted(g: Group): Boolean = {
+    if (!deletedPositions.isEmpty && deletedPositions.contains(rowPos)) return true
+    deletedKeys.exists { case (cols, set) =>
+      val key = cols.map { c =>
+        val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
+        val gi = g.getType.getFieldIndex(c)
+        if (g.getFieldRepetitionCount(gi) == 0) null else readValue(g, gi, dt)
+      }
+      set.contains(key)
+    }
+  }
 
   override def next(): Boolean = {
-    if (limit.exists(count >= _)) return false
+    if (limit.exists(emitted >= _)) return false
     current = reader.read()
-    count += 1
+    rowPos += 1
+    while (current != null && isDeleted(current)) {
+      current = reader.read()
+      rowPos += 1
+    }
+    if (current != null) emitted += 1
     current != null
   }
 

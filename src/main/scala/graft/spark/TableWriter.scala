@@ -41,6 +41,21 @@ object TableWriter {
       existingEntries = Nil, existingManifests = Nil, sequenceNumber = 1)
   }
 
+  /** Overwrite (INSERT OVERWRITE / truncate-then-write): the new snapshot's
+    * manifest list starts empty — previous files remain reachable only
+    * through time travel. */
+  def overwrite(table: IcebergTable, df: DataFrame): IcebergTable = {
+    val version = currentVersion(table.location) + 1
+    val t = commit(df, table.location, table.schema, table.spec, table.properties,
+      version, table.currentSnapshot, Nil, Nil,
+      table.metadata.lastSequenceNumber + 1)
+    val md = t.metadata
+    writeMetadata(table.location, md.copy(snapshots = md.snapshots.init :+
+      md.snapshots.last.copy(summary = Some(SnapshotSummary(OpOverwrite)))),
+      currentVersion(table.location) + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Append a snapshot: new files join the previous snapshot's manifests. */
   def append(table: IcebergTable, df: DataFrame): IcebergTable = {
     val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>

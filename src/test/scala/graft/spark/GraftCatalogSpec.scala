@@ -54,6 +54,56 @@ class GraftCatalogSpec extends AnyFunSuite {
   private def tables(db: String): Set[String] =
     spark.sql(s"SHOW TABLES IN graft.$db").collect().map(_.getString(1)).toSet
 
+  test("INSERT INTO / INSERT OVERWRITE through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("CREATE TABLE graft.db4.ins (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db4.ins VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graft.db4.ins").collect()(0).getLong(0) == 2)
+    spark.sql("INSERT INTO graft.db4.ins VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.db4.ins").collect()(0).getLong(0) == 3)
+    // snapshot history: one per insert
+    val t = IcebergTables.load(s"$warehouse/db4/ins")
+    assert(t.metadata.snapshots.size == 2)
+
+    spark.sql("INSERT OVERWRITE graft.db4.ins VALUES (9, 'z')")
+    val rows = spark.sql("SELECT id, name FROM graft.db4.ins").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9)
+    // previous data still reachable by time travel
+    val t2 = IcebergTables.load(s"$warehouse/db4/ins")
+    val prevSnap = t2.metadata.snapshots(1).snapshotId
+    assert(t2.newScan(snapshotId = Some(prevSnap)).toDF(spark).count() == 3)
+  }
+
+  test("DELETE FROM commits merge-on-read tombstones") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    spark.sql("CREATE TABLE graft.db5.d (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.db5.d VALUES (1,'a'), (2,'b'), (3,'a'), (4,'c')")
+    spark.sql("DELETE FROM graft.db5.d WHERE grp = 'a'")
+    val tdbg = IcebergTables.load(s"$warehouse/db5/d")
+    assert(tdbg.metadata.snapshots.size == 2,
+      s"snapshots=${tdbg.metadata.snapshots.map(_.summary)}")
+    val rows = spark.sql("SELECT id FROM graft.db5.d ORDER BY id").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 4L))
+    // it was a MoR commit (delete files present), not a rewrite
+    val t = IcebergTables.load(s"$warehouse/db5/d")
+    assert(t.currentSnapshot.flatMap(_.summary).map(_.operation)
+      .contains(graft.core.OpDelete))
+    assert(t.newScan().planFiles().exists(_.deleteFiles.nonEmpty))
+  }
+
+  test("equality deletes apply through SQL reads even with pruned projection") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    spark.sql("CREATE TABLE graft.db6.e (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.db6.e VALUES (1,'a'), (2,'b'), (3,'a')")
+    val t = IcebergTables.load(s"$warehouse/db6/e")
+    TableWriter.deleteEquality(t, Seq("a").toDF("grp"), Seq("grp"))
+    // projection does NOT include grp — the reader must still fetch it to
+    // apply the tombstones
+    val ids = spark.sql("SELECT id FROM graft.db6.e ORDER BY id").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L))
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
