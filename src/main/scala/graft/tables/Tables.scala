@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * (PushedFilters / ReadSchema pruning).
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** The documented TESTDATA.md table set; anything else fails fast here
+    * rather than as a path error at action time. */
+  val Known: Set[String] = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(Known.contains(name), s"unknown test table '$name' (known: $Known)")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
