@@ -28,6 +28,9 @@ object SparkEntry {
     "q13_rollup" -> (R.q13Rollup _),
     "q14_scalar" -> (R.q14Scalar _),
     "q15_minmax" -> (R.q15MinMax _),
+    "q16_in_subquery" -> (R.q16InSubquery _),
+    "q17_avg_compare" -> (R.q17AvgCompare _),
+    "q18_having" -> (R.q18Having _),
     "t01_text_stats" -> (T.t01TextStats _),
     "t02_exact_dedup" -> (T.t02ExactDedup _),
     "t03_lang_profile" -> (T.t03LangProfile _),
@@ -35,6 +38,7 @@ object SparkEntry {
     "t05_fingerprint" -> (T.t05Fingerprint _),
     "t06_token_budget" -> (T.t06TokenBudget _),
     "t07_top_trigrams" -> (T.t07TopTrigrams _),
+    "t08_length_histogram" -> (T.t08LengthHistogram _),
     "d01_minhash_lsh" -> (Dedup.d01MinhashLsh _),
     "d02_simhash_pairs" -> ((s, d) => Dedup.d02SimhashPairs(s, d)),
     "d03_ngram_jaccard" -> ((s, d) => Dedup.d03NgramJaccard(s, d)),
@@ -48,6 +52,7 @@ object SparkEntry {
     "ice04_mor_delete" -> (I.ice04MorDelete _),
     "ice05_day_partition" -> (I.ice05DayPartition _),
     "ice06_sql_catalog" -> (I.ice06SqlCatalog _),
+    "ice07_dsv2_format" -> (I.ice07Dsv2Format _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,6 +74,9 @@ object SparkEntry {
     "q13_rollup" -> R.q13Sql,
     "q14_scalar" -> R.q14Sql,
     "q15_minmax" -> R.q15Sql,
+    "q16_in_subquery" -> R.q16Sql,
+    "q17_avg_compare" -> R.q17Sql,
+    "q18_having" -> R.q18Sql,
     "t01_text_stats" -> T.t01Sql,
     "t02_exact_dedup" -> T.t02Sql,
     "t03_lang_profile" -> T.t03Sql,
@@ -76,6 +84,7 @@ object SparkEntry {
     "t05_fingerprint" -> T.t05Sql,
     "t06_token_budget" -> T.t06Sql,
     "t07_top_trigrams" -> T.t07Sql,
+    "t08_length_histogram" -> T.t08Sql,
     "d03_ngram_jaccard" -> Dedup.d03Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
@@ -85,5 +94,6 @@ object SparkEntry {
     "ice04_mor_delete" -> I.ice04Sql,
     "ice05_day_partition" -> I.ice05Sql,
     "ice06_sql_catalog" -> I.ice06Sql,
+    "ice07_dsv2_format" -> I.ice07Sql,
   )
 }

@@ -149,4 +149,22 @@ object IcebergOps {
        MAX(p_retailprice) AS max_price
        FROM part WHERE p_size >= 10
        GROUP BY p_brand ORDER BY p_brand"""
+
+  /** DSv2 `format("icegopher")` read path: pushdown-driven pruning + the
+    * row reader (incl. its projection and type decode) against the oracle. */
+  def ice07Dsv2Format(s: SparkSession, d: String): DataFrame = {
+    val table = cached("supplier_dsv2", d) { loc =>
+      TableWriter.create(Tables.supplier(s, d), loc)
+    }
+    s.read.format("icegopher").load(table.location)
+      .filter(col("s_nationkey") < 15)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val ice07Sql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n, ${sqlDsum("s_acctbal")} AS sum_bal
+       FROM supplier WHERE s_nationkey < 15
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
 }

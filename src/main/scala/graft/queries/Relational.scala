@@ -288,6 +288,55 @@ object Relational {
        p_size % 7 AS size_mod, CONCAT_WS('-', p_brand, p_type) AS brand_type
        FROM part ORDER BY p_partkey"""
 
+  /** IN-subquery semi join: orders from customers in big segments. */
+  def q16InSubquery(s: SparkSession, d: String): DataFrame = {
+    val bigSegCust = Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey")
+    Tables.orders(s, d)
+      .join(broadcast(bigSegCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q16Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders WHERE o_custkey IN (
+         SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Correlated-aggregate comparison (TPC-H Q17 shape): lineitems under 30%
+    * of their part's average quantity. Computed as agg + re-join (the
+    * decorrelated plan Catalyst itself would produce). */
+  def q17AvgCompare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.3) * col("avg_qty"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+       FROM lineitem l1 WHERE l_quantity < 0.3 * (
+         SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""
+
+  /** GROUP BY ... HAVING: large-volume customers (TPC-H Q18 shape). */
+  def q18Having(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 230)
+      .orderBy(col("sum_qty").desc, col("l_orderkey"))
+
+  val q18Sql: String =
+    s"""SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty FROM lineitem
+       GROUP BY l_orderkey HAVING ${sqlDsum("l_quantity")} > 230
+       ORDER BY sum_qty DESC, l_orderkey"""
+
   /** Min/max/count summary stats (order-independent, exact on doubles). */
   def q15MinMax(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

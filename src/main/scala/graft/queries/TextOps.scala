@@ -125,6 +125,20 @@ object TextOps {
        SUM(LEN(regexp_extract_all(text, '\S+'))) AS tokens
        FROM documents GROUP BY source, lang ORDER BY source, lang"""
 
+  /** Length histogram: doc-size distribution in fixed 50-char buckets — the
+    * shape check every corpus ingest runs. Integer bucket math is exact in
+    * both engines. */
+  def t08LengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("bucket")
+
+  val t08Sql: String =
+    """SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket, COUNT(*) AS docs
+       FROM documents GROUP BY 1 ORDER BY bucket"""
+
   /** N-gram extraction: top character trigrams per language (the feature
     * a real n-gram language-ID model trains on). explode → count → top-k
     * per group via window. */
