@@ -31,6 +31,7 @@ object SparkEntry {
     "q16_in_subquery" -> (R.q16InSubquery _),
     "q17_avg_compare" -> (R.q17AvgCompare _),
     "q18_having" -> (R.q18Having _),
+    "q19_cube" -> (R.q19Cube _),
     "t01_text_stats" -> (T.t01TextStats _),
     "t02_exact_dedup" -> (T.t02ExactDedup _),
     "t03_lang_profile" -> (T.t03LangProfile _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q16_in_subquery" -> R.q16Sql,
     "q17_avg_compare" -> R.q17Sql,
     "q18_having" -> R.q18Sql,
+    "q19_cube" -> R.q19Sql,
     "t01_text_stats" -> T.t01Sql,
     "t02_exact_dedup" -> T.t02Sql,
     "t03_lang_profile" -> T.t03Sql,

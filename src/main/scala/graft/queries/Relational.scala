@@ -269,6 +269,20 @@ object Relational {
        GROUP BY ROLLUP (r_name, n_name)
        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
 
+  /** Cube: all grouping-set combinations over two dimensions. */
+  def q19Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q19Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
   /** Scalar function battery: string/math/date functions row-wise. */
   def q14Scalar(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
