@@ -40,6 +40,7 @@ object SparkEntry {
     "t06_token_budget" -> (T.t06TokenBudget _),
     "t07_top_trigrams" -> (T.t07TopTrigrams _),
     "t08_length_histogram" -> (T.t08LengthHistogram _),
+    "t09_hash_sample" -> (T.t09HashSample _),
     "d01_minhash_lsh" -> (Dedup.d01MinhashLsh _),
     "d02_simhash_pairs" -> ((s, d) => Dedup.d02SimhashPairs(s, d)),
     "d03_ngram_jaccard" -> ((s, d) => Dedup.d03NgramJaccard(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "t06_token_budget" -> T.t06Sql,
     "t07_top_trigrams" -> T.t07Sql,
     "t08_length_histogram" -> T.t08Sql,
+    "t09_hash_sample" -> T.t09Sql,
     "d03_ngram_jaccard" -> Dedup.d03Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,

@@ -139,6 +139,25 @@ object TextOps {
     """SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket, COUNT(*) AS docs
        FROM documents GROUP BY 1 ORDER BY bucket"""
 
+  /** Deterministic hash sampling: content-stable 20% sample keyed on a hash
+    * of the document id — reproducible across engines/runs/cluster sizes,
+    * unlike `rand()`-based sampling. The standard way to carve eval shards
+    * out of a training corpus. */
+  def t09HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"))
+      .filter(col("h") % 10 < 2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("sampled"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("lang")
+
+  val t09Sql: String =
+    """SELECT lang, COUNT(*) AS sampled, SUM(n_chars) AS sampled_chars
+       FROM documents
+       WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT) % 10 < 2
+       GROUP BY lang ORDER BY lang"""
+
   /** N-gram extraction: top character trigrams per language (the feature
     * a real n-gram language-ID model trains on). explode → count → top-k
     * per group via window. */

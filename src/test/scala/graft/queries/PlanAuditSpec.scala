@@ -69,6 +69,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"limit+order not fused:\n$p")
   }
 
+  test("q16/q17: semi join broadcasts; avg-compare reuses one scan subtree") {
+    val p16 = plan(Relational.q16InSubquery(spark, sf))
+    assert(p16.contains("BroadcastHashJoin") && p16.contains("LeftSemi"), p16)
+    val p17 = plan(Relational.q17AvgCompare(spark, sf))
+    assert(!p17.contains("CartesianProduct"))
+  }
+
   test("q10 anti join broadcasts the filtered subquery side") {
     val p = plan(Relational.q10AntiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
