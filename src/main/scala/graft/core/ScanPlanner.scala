@@ -121,7 +121,17 @@ final class ManifestEvaluator(spec: PartitionSpec, schema: Schema,
       def upper = s.upperBound.flatMap(b => LiteralCodec.fromBytes(t, b))
       op match {
         case OpIsNull => s.containsNull
-        case OpNotNull => s.lowerBound.nonEmpty // no non-null values → no bounds
+        case OpNotNull =>
+          // Skip only on positive evidence that every value is null:
+          // containsNull AND no bounds recorded. Missing bounds alone must
+          // never skip — writers may omit bounds for types they don't
+          // summarize. Float/double may hide NaN (which has no bounds but
+          // is not null), so additionally require containsNaN == false.
+          val allNull = s.containsNull && s.lowerBound.isEmpty && (t match {
+            case FloatT | DoubleT => s.containsNaN.contains(false)
+            case _ => true
+          })
+          !allNull
         case OpIsNan => s.containsNaN.getOrElse(true)
         case OpNotNan => true
         case OpEq =>
@@ -315,10 +325,10 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
   /** scanner.go:162-193: keep delete entries whose seq number is ≥ the data
     * file's (a delete applies to files committed before it), then check the
     * delete file's file_path bounds actually cover this data file. */
-  private def matchDeletes(data: ManifestEntry,
+  private[core] def matchDeletes(data: ManifestEntry,
                            sorted: Seq[ManifestEntry]): Seq[DataFileInfo] = {
     val dataSeq = data.sequenceNumber.getOrElse(0L)
-    val idx = sorted.indexWhere(e => dataSeq <= e.sequenceNumber.getOrElse(0L) + 1)
+    val idx = sorted.indexWhere(e => dataSeq <= e.sequenceNumber.getOrElse(0L))
     if (idx < 0) return Nil
     val pathEval = new InclusiveMetricsEvaluator(PositionalDeleteSchema,
       Expr.equalTo("file_path", StrLit(data.dataFile.path)), caseSensitive = false)

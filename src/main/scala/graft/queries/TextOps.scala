@@ -67,7 +67,7 @@ object TextOps {
       .orderBy("lang")
 
   val t03Sql: String =
-    """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS sum_chars,
+    """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
@@ -122,7 +122,7 @@ object TextOps {
 
   val t06Sql: String =
     """SELECT source, lang, COUNT(*) AS docs,
-       SUM(LEN(regexp_extract_all(text, '\S+'))) AS tokens
+       CAST(SUM(LEN(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
        FROM documents GROUP BY source, lang ORDER BY source, lang"""
 
   /** Length histogram: doc-size distribution in fixed 50-char buckets — the
@@ -153,7 +153,7 @@ object TextOps {
       .orderBy("lang")
 
   val t09Sql: String =
-    """SELECT lang, COUNT(*) AS sampled, SUM(n_chars) AS sampled_chars
+    """SELECT lang, COUNT(*) AS sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
        FROM documents
        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT) % 10 < 2
        GROUP BY lang ORDER BY lang"""

@@ -11,7 +11,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, expr => sexpr, to_date, udf, year => syear}
+import org.apache.spark.sql.functions.{col, expr => sexpr, input_file_name, isnan, sum => ssum, to_date, udf, year => syear}
 
 import graft.core._
 
@@ -293,9 +293,11 @@ object TableWriter {
 
     val partType = spec.partitionType(schema)
     val files = listParquet(dataDir)
+    val nanCounts = nanCountsByFile(df.sparkSession, dataDir, schema)
     val entries = files.map { f =>
       val partition = parsePartitionValues(dataDir, f, partType)
-      val info = statsFromFooter(f, schema, partition, DataFileContent.Data, None)
+      val info = statsFromFooter(f, schema, partition, DataFileContent.Data, None,
+        nanCounts.getOrElse(f.getPath, Map.empty))
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(sequenceNumber),
         Some(sequenceNumber), info)
     }
@@ -409,10 +411,24 @@ object TableWriter {
           case DateT => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
           case StringT => raw
           case BooleanT => java.lang.Boolean.valueOf(raw)
+          case FloatT => java.lang.Float.valueOf(raw)
+          case DoubleT => java.lang.Double.valueOf(raw)
+          case DecimalT(_, sc) =>
+            // stored as the Iceberg single-value byte encoding; the Avro
+            // partition schema falls back to BYTES for decimals and the
+            // readers decode via LiteralCodec
+            DecLit(BigInt(new java.math.BigDecimal(raw).setScale(sc)
+              .unscaledValue()), sc).toBytes
           case other => raw
         }))
       }
     }.toMap
+  }
+
+  private def isNaNLit(l: Literal): Boolean = l match {
+    case FloatLit(f) => f.isNaN
+    case DoubleLit(d) => d.isNaN
+    case _ => false
   }
 
   private def partitionSummaries(entries: Seq[ManifestEntry],
@@ -421,8 +437,13 @@ object TableWriter {
       val values = entries.flatMap(e => Option(e.dataFile.partition.get(f.name).orNull))
       val hasNull = entries.exists(e => e.dataFile.partition.get(f.name).forall(_ == null))
       val lits = values.flatMap(v => avroValueToLiteral(v, f.fieldType))
-      val sorted = lits.sortWith((a, b) => LiteralOrdering.compare(a, b).exists(_ < 0))
-      FieldSummary(hasNull, Some(false),
+      // NaN values are excluded from bounds (per spec) and reported via
+      // containsNaN, so the ManifestEvaluator's all-null inference stays
+      // sound for float/double partitions
+      val hasNaN = lits.exists(isNaNLit)
+      val sorted = lits.filterNot(isNaNLit)
+        .sortWith((a, b) => LiteralOrdering.compare(a, b).exists(_ < 0))
+      FieldSummary(hasNull, Some(hasNaN),
         sorted.headOption.map(_.toBytes), sorted.lastOption.map(_.toBytes))
     }
 
@@ -432,7 +453,38 @@ object TableWriter {
     case l: java.lang.Long => Some(if (t == TimestampT) TsLit(l) else LongLit(l))
     case s: String => Some(StrLit(s))
     case b: java.lang.Boolean => Some(BoolLit(b))
+    case f: java.lang.Float => Some(FloatLit(f))
+    case d: java.lang.Double => Some(DoubleLit(d))
+    case b: Array[Byte] => LiteralCodec.fromBytes(t, b)
     case _ => None
+  }
+
+  /** Parquet footers don't record NaN counts (the thrift `distinct_count` is
+    * likewise deprecated/absent in parquet-mr), so `nan_value_counts` is
+    * computed at write time with ONE distributed aggregation over only the
+    * float/double columns, one output row per file — column-pruned, no
+    * shuffle of data columns, metadata-sized collect. Skipped entirely when
+    * the schema has no floating-point fields. */
+  private def nanCountsByFile(spark: org.apache.spark.sql.SparkSession,
+                              dataDir: File, schema: Schema): Map[String, Map[Int, Long]] = {
+    val floatFields = schema.fields.filter(f =>
+      f.fieldType == FloatT || f.fieldType == DoubleT)
+    if (floatFields.isEmpty) return Map.empty
+    val aggs = floatFields.map(f =>
+      ssum(isnan(col(f.name)).cast("long")).as(s"n_${f.id}"))
+    spark.read.parquet(dataDir.getPath)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per written file: metadata-sized, like footer reads
+      .map { r =>
+        val raw = r.getString(0)
+        val path =
+          try java.nio.file.Paths.get(new java.net.URI(raw)).toString
+          catch { case _: Exception => raw.stripPrefix("file:") }
+        path -> floatFields.zipWithIndex.map { case (f, i) =>
+          f.id -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+        }.toMap
+      }.toMap
   }
 
   /** Parquet footer → per-file Iceberg stats: min/max/null counts aggregated
@@ -440,7 +492,8 @@ object TableWriter {
     * read only — never touches row data. */
   private def statsFromFooter(file: File, schema: Schema,
                               partition: Map[String, Any], content: Int,
-                              overrideSchema: Option[Schema]): DataFileInfo = {
+                              overrideSchema: Option[Schema],
+                              nanCounts: Map[Int, Long] = Map.empty): DataFileInfo = {
     val effSchema = overrideSchema.getOrElse(schema)
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file.getPath), new Configuration()))
@@ -486,7 +539,9 @@ object TableWriter {
         partition = partition, recordCount = rowCount,
         fileSizeInBytes = file.length(),
         columnSizes = colSizes.toMap, valueCounts = valCounts.toMap,
-        nullValueCounts = nullCounts.toMap, nanValueCounts = Map.empty,
+        // zero entries are kept on purpose: nanCount==0 is positive evidence
+        // that lets an isNaN predicate prune the file
+        nullValueCounts = nullCounts.toMap, nanValueCounts = nanCounts,
         lowerBounds = lowerB.map { case (k, v) => k -> v.toBytes }.toMap,
         upperBounds = upperB.map { case (k, v) => k -> v.toBytes }.toMap,
         splitOffsets = splitOffsets, equalityIds = Nil, sortOrderId = Some(0))

@@ -202,6 +202,55 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.filter(col("score").isNotNull).count() == 1)
   }
 
+  test("writer records nan counts; isNaN prunes NaN-free files") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_nan")
+    // two files with disjoint id ranges: NaN lands only in the first
+    val src = Seq((1L, Double.NaN), (2L, 0.5), (3L, 1.5), (4L, 2.5))
+      .toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+      .sortWithinPartitions("id")
+    val table = TableWriter.create(src, loc)
+    val tasks = table.newScan().planFiles()
+    assert(tasks.size == 2)
+    val vId = table.schema.findFieldByName("v").get.id
+    // both files carry an entry; exactly one is non-zero
+    assert(tasks.forall(_.file.nanValueCounts.contains(vId)))
+    assert(tasks.count(_.file.nanValueCounts(vId) > 0) == 1)
+    // isNaN prunes down to the NaN-bearing file
+    val pruned = table.newScan(Expr.isNan("v")).planFiles()
+    assert(pruned.size == 1)
+    assert(pruned.head.file.nanValueCounts(vId) == 1L)
+    // and the result is right
+    assert(table.newScan(Expr.isNan("v")).toDF(spark)
+      .filter(col("v").isNaN).count() == 1)
+  }
+
+  test("float/double partition summaries carry bounds and honest containsNaN") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_fpart")
+    val src = Seq((1L, 0.5), (2L, 0.5), (3L, 2.5), (4L, 2.5))
+      .toDF("id", "score")
+    val table = TableWriter.create(src, loc,
+      partitionBy = Seq("score" -> IdentityTransform))
+    val manifests = ManifestIO.readManifestList(
+      table.io.open(table.currentSnapshot.get.manifestList))
+    val summary = manifests.head.partitions.head
+    assert(summary.containsNaN.contains(false))
+    assert(summary.lowerBound.flatMap(b => LiteralCodec.fromBytes(DoubleT, b))
+      .contains(DoubleLit(0.5)))
+    assert(summary.upperBound.flatMap(b => LiteralCodec.fromBytes(DoubleT, b))
+      .contains(DoubleLit(2.5)))
+    // notNull over the double partition keeps all files (the latent
+    // unknown-skip bug this guards against dropped them)
+    assert(table.newScan(Expr.notNull("score")).planFiles().size ==
+      table.newScan().planFiles().size)
+    // and partition pruning on the double works
+    val one = table.newScan(Expr.equalTo("score", DoubleLit(0.5))).planFiles()
+    assert(one.nonEmpty &&
+      one.size < table.newScan().planFiles().size)
+  }
+
   test("projection prunes columns") {
     val loc = tmpDir("tbl_proj")
     val src = spark.read.parquet(s"$sf/part.parquet")
