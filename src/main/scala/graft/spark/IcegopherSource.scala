@@ -6,14 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{StructType, _}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.core.{AlwaysTrue, And => CoreAnd, BooleanExpression, Expr, FileScanTask}
 
@@ -23,17 +23,22 @@ import graft.core.{AlwaysTrue, And => CoreAnd, BooleanExpression, Expr, FileScan
   * `V2ScanRelationPushDown` drives our ScanBuilder — pushed filters reach the
   * core planner for manifest/stats pruning (SupportsPushDownFilters), column
   * pruning reaches the parquet reader (SupportsPushDownRequiredColumns),
-  * limits short-circuit (SupportsPushDownLimit), and planned-file stats feed
-  * the CBO/broadcast decisions (SupportsReportStatistics).
+  * limits short-circuit (SupportsPushDownLimit), planned-file stats feed the
+  * CBO/broadcast decisions (SupportsReportStatistics), and runtime filters
+  * from joins re-plan the file set (SupportsRuntimeFiltering → dynamic
+  * partition pruning).
   *
   * Every pushed filter is ALSO returned as residual, so Spark re-applies it
   * row-wise — pruning is inclusive (skip-only) and can never change results.
   *
-  * Row decode here uses a row-at-a-time parquet reader, fine for metadata-
-  * sized reads; the high-throughput path is `IcebergTable.toDF`, which feeds
-  * the same pruned file set to Spark's vectorized reader. Time travel:
-  * `.option("snapshot-id", …)` / `.option("branch", …)` /
-  * `.option("as-of-timestamp-ms", …)`.
+  * Execution: each file is SPLIT on its stored row-group offsets
+  * (`splitOffsets`, mirroring the reference's FileScanTask Start/Length,
+  * `table/scanner/scanner.go:97-110`) and decoded by Spark's vectorized
+  * parquet reader — columnar batches inside whole-stage codegen when the
+  * task carries no deletes, row-at-a-time with MoR delete filtering when it
+  * does. Delete files are parsed ONCE per executor (not once per task) via
+  * [[DeleteFileCache]]. Time travel: `.option("snapshot-id", …)` /
+  * `.option("branch", …)` / `.option("as-of-timestamp-ms", …)`.
   */
 class IcegopherSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -141,11 +146,41 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],
                       branch: Option[String], asOf: Option[Long],
                       limit: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  private lazy val tasks: Seq[FileScanTask] =
-    table.newScan(filter, snapshotId = snapshotId, ref = branch,
-      asOfTimestampMs = asOf).planFiles()
+  /** Runtime filters (dynamic partition pruning / runtime group filtering):
+    * Spark hands us the join-side values after build-side execution; we AND
+    * them into the scan filter and re-plan the file set before any task
+    * launches. Metadata-only — no data read to prune. */
+  private var runtimeFilter: BooleanExpression = AlwaysTrue
+
+  override def filterAttributes(): Array[NamedReference] =
+    table.spec.fields.flatMap { pf =>
+      table.schema.findFieldById(pf.sourceId).map(f =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    }.toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val converted = filters.flatMap(FilterConv.fromSparkFilter)
+    if (converted.nonEmpty) {
+      runtimeFilter = converted.reduce(CoreAnd(_, _))
+      plannedTasks = null // re-plan with the tighter filter
+    }
+  }
+
+  @volatile private var plannedTasks: Seq[FileScanTask] = _
+  private def tasks: Seq[FileScanTask] = {
+    if (plannedTasks == null)
+      plannedTasks = table.newScan(CoreAnd(filter, runtimeFilter) match {
+        case CoreAnd(AlwaysTrue, AlwaysTrue) => AlwaysTrue
+        case CoreAnd(l, AlwaysTrue) => l
+        case CoreAnd(AlwaysTrue, r) => r
+        case e => e
+      }, snapshotId = snapshotId, ref = branch,
+        asOfTimestampMs = asOf).planFiles()
+    plannedTasks
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -161,16 +196,81 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       java.util.OptionalLong.of(tasks.map(_.file.recordCount).sum)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    tasks.map { t =>
+  /** One InputPartition per row-group range: each file is split on its
+    * stored `splitOffsets`, adjacent row groups coalesced up to
+    * `spark.sql.files.maxPartitionBytes` — so a single large file fans out
+    * across the cluster instead of pinning one task. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Spark's own split sizing: cap at files.maxPartitionBytes, but don't
+    // produce splits smaller than the open cost, and aim for one split per
+    // core when the scan is small (FilePartition.maxSplitBytes semantics)
+    val maxSplit = {
+      val (confMax, openCost) =
+        try {
+          val c = org.apache.spark.sql.internal.SQLConf.get
+          (c.filesMaxPartitionBytes, c.filesOpenCostInBytes)
+        } catch { case _: Exception => (128L * 1024 * 1024, 4L * 1024 * 1024) }
+      val parallelism =
+        try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+        catch { case _: Exception => 1 }
+      val totalBytes = tasks.map(t => t.file.fileSizeInBytes + openCost).sum
+      math.min(confMax, math.max(openCost, totalBytes / math.max(1, parallelism)))
+    }
+    // columnar-ness must be uniform across the scan (Spark refuses mixed
+    // partitions), so it's decided here for the whole file set
+    val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty)
+    tasks.flatMap { t =>
       val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
         .map(_.path)
       val eq = t.deleteFiles.filter(_.content == graft.core.DataFileContent.EqualityDeletes)
         .map(d => EqDelete(d.path,
           d.equalityIds.flatMap(id => table.schema.findColumnName(id))))
-      GraftInputPartition(t.file.path, required.json, limit, pos, eq,
-        SchemaConv.toSparkSchema(table.schema).json): InputPartition
+      val read = readerSchema(pos.nonEmpty, eq)
+      splitRanges(t.file.splitOffsets, t.file.fileSizeInBytes, maxSplit).map {
+        case (start, len) =>
+          GraftInputPartition(t.file.path, start, len, required.json, read.json,
+            limit, pos, eq, columnar): InputPartition
+      }
     }.toArray
+  }
+
+  /** What the parquet reader materializes: the projected columns, plus
+    * equality-delete key columns (needed for tombstone checks even when
+    * projected away), plus the row-index column Spark's vectorized reader
+    * fills with file row positions (needed to match positional deletes). */
+  private def readerSchema(needRowIndex: Boolean, eq: Seq[EqDelete]): StructType = {
+    val fullSpark = SchemaConv.toSparkSchema(table.schema)
+    var s = required
+    eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
+      s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
+    }
+    if (needRowIndex)
+      s = s.add(StructField(GraftReaders.RowIndexCol, LongType, nullable = true))
+    s
+  }
+
+  /** Row-group ranges for a file: `splitOffsets` are the row-group start
+    * positions; parquet assigns a row group to the range containing its
+    * midpoint, so ranges aligned on starts partition the file exactly. */
+  private def splitRanges(offsets: Seq[Long], fileSize: Long,
+                          maxSplit: Long): Seq[(Long, Long)] = {
+    if (offsets.size <= 1) return Seq((0L, fileSize))
+    val starts = offsets.sorted
+    val ends = starts.tail :+ fileSize
+    val out = Vector.newBuilder[(Long, Long)]
+    var rs = starts.head
+    var re = rs
+    starts.zip(ends).foreach { case (s, e) =>
+      if (e - rs > maxSplit && re > rs) { out += ((rs, re - rs)); rs = s }
+      re = e
+    }
+    if (re > rs) out += ((rs, re - rs))
+    // the first range must start at 0 so no row group is orphaned
+    out.result() match {
+      case (s0, l0) +: rest if s0 > 0 => (0L, s0 + l0) +: rest
+      case r => r
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory()
@@ -178,157 +278,264 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
 
 final case class EqDelete(path: String, cols: Seq[String])
 
-final case class GraftInputPartition(path: String, schemaJson: String,
+final case class GraftInputPartition(path: String, start: Long, length: Long,
+                                     requiredJson: String, readJson: String,
                                      limit: Option[Int],
                                      posDeletes: Seq[String] = Nil,
                                      eqDeletes: Seq[EqDelete] = Nil,
-                                     fullSchemaJson: String = "") extends InputPartition
+                                     columnar: Boolean = false)
+    extends InputPartition
 
+/** Columnar when NO partition of the scan carries deletes or a limit (Spark
+  * requires uniform columnar-ness, so the scan decides once for all
+  * partitions); otherwise rows — still vectorized underneath. */
 final class GraftReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftInputPartition].columnar
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftBatchReader(p)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val full = if (p.fullSchemaJson.nonEmpty)
-      DataType.fromJson(p.fullSchemaJson).asInstanceOf[StructType]
-    else DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-    new GroupRowReader(p.path,
-      DataType.fromJson(p.schemaJson).asInstanceOf[StructType], p.limit,
-      p.posDeletes, p.eqDeletes, full)
+    new GraftRowReader(p)
   }
 }
 
-/** Row-at-a-time parquet reader via parquet-hadoop's example Group API, with
-  * column projection pushed into the read schema. */
-final class GroupRowReader(path: String, schema: StructType, limit: Option[Int],
-                           posDeletePaths: Seq[String] = Nil,
-                           eqDeletes: Seq[EqDelete] = Nil,
-                           fullSchemaOpt: StructType = null)
+/** Shared plumbing for Spark's vectorized parquet reader. */
+private[spark] object GraftReaders {
+  /** Spark's temporary metadata column name: when present in the requested
+    * schema, `VectorizedParquetRecordReader` fills it with the row's
+    * position in the FILE (correct across row groups and splits) — exactly
+    * the coordinate positional deletes address. */
+  val RowIndexCol: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  def createVectorized(path: String, start: Long, length: Long,
+                       readSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val conf = new Configuration()
+    // the keys ParquetReadSupport consults when clipping the file schema
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", readSchema.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.set("spark.sql.session.timeZone", "UTC")
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(path), start, length, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, attempt)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader
+  }
+}
+
+/** Columnar read: vectorized batches straight into whole-stage codegen. */
+final class GraftBatchReader(p: GraftInputPartition)
+    extends PartitionReader[ColumnarBatch] {
+  private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
+  private val reader =
+    GraftReaders.createVectorized(p.path, p.start, p.length, readSchema)
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** Row read over the same vectorized decode, applying MoR deletes:
+  * positional tombstones matched on the reader-provided file row index,
+  * equality tombstones matched on the key columns. Output rows are projected
+  * down to the required schema (delete-key and row-index columns dropped). */
+final class GraftRowReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
-  private val fullSchema: StructType = Option(fullSchemaOpt).getOrElse(schema)
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.hadoop.ParquetReader
-  import org.apache.parquet.hadoop.example.GroupReadSupport
+  private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
+  private val required = DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  private val reader =
+    GraftReaders.createVectorized(p.path, p.start, p.length, readSchema)
 
-  private val conf = new Configuration()
-  locally {
-    // projection: subset of the file schema by required column names
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf))
-    try {
-      val fileSchema = footer.getFileMetaData.getSchema
-      // read schema = required columns ∪ equality-delete key columns (the
-      // latter are needed for tombstone checks even when projected away)
-      val keep = schema.fieldNames.toSet ++ eqDeletes.flatMap(_.cols)
-      val projected = new org.apache.parquet.schema.MessageType("projected",
-        fileSchema.getFields.asScala.filter(f => keep.contains(f.getName)).asJava)
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        projected.toString)
-    } finally footer.close()
-  }
-
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
-
-  /** Positions tombstoned for THIS data file by positional delete files. */
-  private lazy val deletedPositions: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    val myPath = path.stripPrefix("file:")
-    posDeletePaths.foreach { dp =>
-      val r = ParquetReader.builder(new GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(dp)).build()
-      try {
-        var g = r.read()
-        while (g != null) {
-          val fp = g.getBinary("file_path", 0).toStringUsingUTF8.stripPrefix("file:")
-          if (fp == myPath) set.add(g.getLong("pos", 0))
-          g = r.read()
-        }
-      } finally r.close()
-    }
-    set
-  }
-
-  /** Key tuples from equality-delete files (per column list), compared on
-    * this reader's decoded representations. */
-  private lazy val deletedKeys: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
-    eqDeletes.groupBy(_.cols).toSeq.flatMap { case (cols, files) =>
-      if (cols.isEmpty) None
-      else {
-        val set = new java.util.HashSet[Seq[Any]]()
-        files.foreach { ed =>
-          val r = ParquetReader.builder(new GroupReadSupport(),
-            new org.apache.hadoop.fs.Path(ed.path)).build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              val key = cols.map { c =>
-                val gi = g.getType.getFieldIndex(c)
-                if (g.getFieldRepetitionCount(gi) == 0) null
-                else readValue(g, gi, fullSchema(fullSchema.fieldIndex(c)).dataType)
-              }
-              set.add(key)
-              g = r.read()
-            }
-          } finally r.close()
-        }
-        Some((cols, set))
-      }
+  private val rowIdxOrd: Int =
+    if (p.posDeletes.nonEmpty) readSchema.fieldIndex(GraftReaders.RowIndexCol) else -1
+  private val posSet: java.util.HashSet[java.lang.Long] =
+    if (p.posDeletes.isEmpty) null
+    else DeleteFileCache.positionsFor(p.posDeletes, p.path)
+  private val eqMatchers: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    p.eqDeletes.groupBy(_.cols).toSeq.collect { case (cols, files) if cols.nonEmpty =>
+      val ords = cols.map(readSchema.fieldIndex).toArray
+      val dts = ords.map(readSchema(_).dataType)
+      val set = new java.util.HashSet[Seq[Any]]()
+      files.foreach(f => set.addAll(DeleteFileCache.equalityKeys(f.path, cols,
+        ords.indices.map(i => readSchema(ords(i))).toArray)))
+      (ords, dts, set)
     }
 
-  private var current: Group = _
-  private var rowPos = -1L // position within the data file (pre-delete)
+  private val project: UnsafeProjection = UnsafeProjection.create(
+    required.fields.map(f =>
+      BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
+        : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq)
+
+  private var current: InternalRow = _
   private var emitted = 0L
 
-  private def isDeleted(g: Group): Boolean = {
-    if (!deletedPositions.isEmpty && deletedPositions.contains(rowPos)) return true
-    deletedKeys.exists { case (cols, set) =>
-      val key = cols.map { c =>
-        val dt = fullSchema(fullSchema.fieldIndex(c)).dataType
-        val gi = g.getType.getFieldIndex(c)
-        if (g.getFieldRepetitionCount(gi) == 0) null else readValue(g, gi, dt)
+  private def deleted(row: InternalRow): Boolean = {
+    if (posSet != null && posSet.contains(row.getLong(rowIdxOrd))) return true
+    eqMatchers.exists { case (ords, dts, set) =>
+      val key: Seq[Any] = ords.indices.map { i =>
+        if (row.isNullAt(ords(i))) null
+        else DeleteFileCache.canonical(row.get(ords(i), dts(i)))
       }
       set.contains(key)
     }
   }
 
   override def next(): Boolean = {
-    if (limit.exists(emitted >= _)) return false
-    current = reader.read()
-    rowPos += 1
-    while (current != null && isDeleted(current)) {
-      current = reader.read()
-      rowPos += 1
+    if (p.limit.exists(emitted >= _)) return false
+    while (reader.nextKeyValue()) {
+      val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+      if (!deleted(row)) {
+        current = row
+        emitted += 1
+        return true
+      }
     }
-    if (current != null) emitted += 1
-    current != null
+    false
   }
 
-  override def get(): InternalRow = {
-    val g = current
-    val gType = g.getType
-    val row = new GenericInternalRow(schema.length)
-    var i = 0
-    while (i < schema.length) {
-      val f = schema(i)
-      val gi = gType.getFieldIndex(f.name)
-      if (g.getFieldRepetitionCount(gi) == 0) row.update(i, null)
-      else row.update(i, readValue(g, gi, f.dataType))
-      i += 1
+  override def get(): InternalRow = project(current)
+  override def close(): Unit = reader.close()
+}
+
+/** Executor-wide parse-once cache for delete files.
+  *
+  * A delete file is typically matched to MANY data files; without a cache
+  * every task re-reads it (O(deleteFiles × dataFiles) I/O — the round-2
+  * scale bug). Here each executor JVM parses a delete file once and shares
+  * the decoded set across all its tasks; distinct executors each read it
+  * once — strictly better than driver-side broadcast for large delete sets,
+  * and the same strategy Apache Iceberg's Spark runtime uses. Bounded LRU so
+  * pathological delete counts can't pin executor memory. */
+private[spark] object DeleteFileCache {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  /** Number of delete-file parses performed in this JVM (spec hook). */
+  val fileReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val MaxEntries = 64
+  private def lru[K, V](): java.util.Map[K, V] =
+    new java.util.LinkedHashMap[K, V](MaxEntries * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > MaxEntries
     }
-    row
+  private val posCache = lru[String, Map[String, java.util.HashSet[java.lang.Long]]]()
+  private val eqCache = lru[(String, Seq[String]), java.util.HashSet[Seq[Any]]]()
+
+  private def norm(path: String): String = path.stripPrefix("file:")
+
+  /** Union of tombstoned positions for `dataPath` across `deleteFiles`. */
+  def positionsFor(deleteFiles: Seq[String],
+                   dataPath: String): java.util.HashSet[java.lang.Long] = {
+    val target = norm(dataPath)
+    val out = new java.util.HashSet[java.lang.Long]()
+    deleteFiles.foreach { df =>
+      val byPath = posCache.synchronized {
+        val cached = posCache.get(df)
+        if (cached != null) cached
+        else { val loaded = loadPositions(df); posCache.put(df, loaded); loaded }
+      }
+      byPath.get(target).foreach(out.addAll)
+    }
+    out
   }
 
-  private def readValue(g: Group, gi: Int, dt: DataType): Any = dt match {
+  /** Decoded key tuples of one equality-delete file for `cols`. */
+  def equalityKeys(deleteFile: String, cols: Seq[String],
+                   fields: Array[StructField]): java.util.HashSet[Seq[Any]] =
+    eqCache.synchronized {
+      val key = (deleteFile, cols)
+      val cached = eqCache.get(key)
+      if (cached != null) cached
+      else {
+        val loaded = loadEqualityKeys(deleteFile, cols, fields)
+        eqCache.put(key, loaded)
+        loaded
+      }
+    }
+
+  private def loadPositions(deleteFile: String)
+      : Map[String, java.util.HashSet[java.lang.Long]] = {
+    fileReads.incrementAndGet()
+    val out = scala.collection.mutable.Map[String, java.util.HashSet[java.lang.Long]]()
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(deleteFile)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val fp = norm(g.getBinary("file_path", 0).toStringUsingUTF8)
+        out.getOrElseUpdate(fp, new java.util.HashSet[java.lang.Long]())
+          .add(g.getLong("pos", 0))
+        g = r.read()
+      }
+    } finally r.close()
+    out.toMap
+  }
+
+  private def loadEqualityKeys(deleteFile: String, cols: Seq[String],
+                               fields: Array[StructField])
+      : java.util.HashSet[Seq[Any]] = {
+    fileReads.incrementAndGet()
+    val set = new java.util.HashSet[Seq[Any]]()
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(deleteFile)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val key: Seq[Any] = cols.indices.map { i =>
+          val gi = g.getType.getFieldIndex(cols(i))
+          if (g.getFieldRepetitionCount(gi) == 0) null
+          else canonical(readGroupValue(g, gi, fields(i).dataType))
+        }
+        set.add(key)
+        g = r.read()
+      }
+    } finally r.close()
+    set
+  }
+
+  /** Canonical comparable form shared by the delete-file decode and the
+    * data-row decode (arrays have reference equality; box them). */
+  def canonical(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
+
+  /** Primitive decode for equality-delete KEY columns (identifier fields are
+    * primitives per the Iceberg spec; nested keys are rejected upstream). */
+  private def readGroupValue(g: Group, gi: Int, dt: DataType): Any = dt match {
     case BooleanType => g.getBoolean(gi, 0)
     case IntegerType | DateType => g.getInteger(gi, 0)
     case LongType => g.getLong(gi, 0)
     case FloatType => g.getFloat(gi, 0)
     case DoubleType => g.getDouble(gi, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
     case BinaryType => g.getBinary(gi, 0).getBytes
     case TimestampType | TimestampNTZType =>
-      // test tables carry µs/ms int64 timestamps; unit from logical type
       val lt = g.getType.getType(gi).asPrimitiveType().getLogicalTypeAnnotation
       val raw = g.getLong(gi, 0)
       lt match {
@@ -344,18 +551,15 @@ final class GroupRowReader(path: String, schema: StructType, limit: Option[Int],
       val prim = g.getType.getType(gi).asPrimitiveType()
       prim.getPrimitiveTypeName match {
         case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
-          org.apache.spark.sql.types.Decimal(BigDecimal(BigInt(g.getInteger(gi, 0)), d.scale), d.precision, d.scale)
+          Decimal(BigDecimal(BigInt(g.getInteger(gi, 0)), d.scale), d.precision, d.scale)
         case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
-          org.apache.spark.sql.types.Decimal(BigDecimal(BigInt(g.getLong(gi, 0)), d.scale), d.precision, d.scale)
+          Decimal(BigDecimal(BigInt(g.getLong(gi, 0)), d.scale), d.precision, d.scale)
         case _ =>
-          org.apache.spark.sql.types.Decimal(BigDecimal(
-            BigInt(new java.math.BigInteger(g.getBinary(gi, 0).getBytes)), d.scale),
-            d.precision, d.scale)
+          Decimal(BigDecimal(BigInt(new java.math.BigInteger(
+            g.getBinary(gi, 0).getBytes)), d.scale), d.precision, d.scale)
       }
     case other =>
       throw new UnsupportedOperationException(
-        s"icegopher DSv2 row reader does not support $other; use IcebergTable.toDF")
+        s"equality-delete key of type $other is not supported")
   }
-
-  override def close(): Unit = reader.close()
 }

@@ -1,0 +1,130 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The round-3 read-path requirements: a multi-row-group file must fan out
+  * into multiple input partitions (split on `splitOffsets`), and delete
+  * files must be parsed once per JVM, not once per task. */
+class VectorizedReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(name).toFile.getPath
+
+  private def partitionsOf(table: IcebergTable): Array[_] = {
+    val builder = new GraftScanBuilder(table,
+      SchemaConv.toSparkSchema(table.schema),
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    builder.build().toBatch.planInputPartitions()
+  }
+
+  test("multi-row-group file splits into multiple input partitions") {
+    val loc = tmpDir("tbl_split")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024) // force several row groups
+    val table =
+      try TableWriter.create(
+        spark.read.parquet(s"$sf/orders.parquet").coalesce(1), loc)
+      finally {
+        if (prev == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", prev)
+      }
+
+    val tasks = table.newScan().planFiles()
+    assert(tasks.size == 1, "one data file expected")
+    assert(tasks.head.file.splitOffsets.size > 1, "several row groups expected")
+
+    // sanity: ranges tile the file (cap split size so a test-sized file
+    // actually fans out, as a 100-TB scan would under the default 128 MB)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    val parts =
+      try partitionsOf(table).map(_.asInstanceOf[GraftInputPartition])
+      finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    assert(parts.length > 1,
+      s"expected >1 input partition for ${tasks.head.file.splitOffsets.size} row groups")
+    assert(parts.map(_.start).min == 0L)
+    assert(parts.map(p => p.start + p.length).max == tasks.head.file.fileSizeInBytes)
+
+    // and the split read returns exactly the source rows
+    val got = spark.read.format("icegopher").load(loc)
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    assert(got.count() == src.count())
+    assert(got.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect()(0).getLong(0)
+      == src.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect()(0).getLong(0))
+  }
+
+  test("each positional delete file is parsed once per JVM, not per task") {
+    val loc = tmpDir("tbl_delonce")
+    // several data files, one delete commit touching all of them
+    val t1 = TableWriter.create(
+      spark.read.parquet(s"$sf/customer.parquet").repartition(6), loc)
+    val t2 = TableWriter.deleteWhere(t1, spark, col("c_custkey") % 10 === 0)
+    val tasks = t2.newScan().planFiles()
+    assert(tasks.count(_.deleteFiles.nonEmpty) > 1,
+      "delete file should be matched to multiple data files")
+    val deleteFiles = tasks.flatMap(_.deleteFiles).map(_.path).distinct
+
+    val before = DeleteFileCache.fileReads.get()
+    val got = spark.read.format("icegopher").load(loc)
+    val expect = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") % 10 =!= 0)
+    assert(got.count() == expect.count())
+    val reads = DeleteFileCache.fileReads.get() - before
+    assert(reads <= deleteFiles.size,
+      s"delete files parsed $reads times for ${deleteFiles.size} files across ${tasks.size} tasks")
+  }
+
+  test("row-index delete matching is exact across row groups") {
+    val loc = tmpDir("tbl_splitdel")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    val t1 =
+      try TableWriter.create(
+        spark.read.parquet(s"$sf/orders.parquet").coalesce(1), loc)
+      finally {
+        if (prev == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", prev)
+      }
+    assert(t1.newScan().planFiles().head.file.splitOffsets.size > 1)
+    // delete rows spread across the whole file (every 7th order)
+    val t2 = TableWriter.deleteWhere(t1, spark, col("o_orderkey") % 7 === 0)
+    val got = spark.read.format("icegopher").load(loc)
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 7 =!= 0)
+    assert(got.count() == expect.count())
+    assert(got.filter(col("o_orderkey") % 7 === 0).count() == 0)
+  }
+
+  test("nested and exotic columns decode through the SQL path") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_nested")
+    val src = Seq(
+      (1L, ("a", 1.5), Seq(1, 2, 3), Map("x" -> 1L)),
+      (2L, ("b", 2.5), Seq(4), Map("y" -> 2L)))
+      .toDF("id", "s", "arr", "m")
+    val table = TableWriter.create(src, loc)
+    val got = spark.read.format("icegopher").load(loc)
+    assert(got.schema("s").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val rows = got.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getStruct(1).getString(0) == "a")
+    assert(rows(0).getSeq[Int](2) == Seq(1, 2, 3))
+    assert(rows(1).getMap[String, Long](3) == Map("y" -> 2L))
+    // matches the library read path
+    assert(got.orderBy("id").collect().toSeq ==
+      table.newScan().toDF(spark).orderBy("id").collect().toSeq)
+  }
+}
