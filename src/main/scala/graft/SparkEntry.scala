@@ -55,6 +55,7 @@ object SparkEntry {
     "ice05_day_partition" -> (I.ice05DayPartition _),
     "ice06_sql_catalog" -> (I.ice06SqlCatalog _),
     "ice07_dsv2_format" -> (I.ice07Dsv2Format _),
+    "ice08_sql_time_travel" -> (I.ice08SqlTimeTravel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "ice05_day_partition" -> I.ice05Sql,
     "ice06_sql_catalog" -> I.ice06Sql,
     "ice07_dsv2_format" -> I.ice07Sql,
+    "ice08_sql_time_travel" -> I.ice08Sql,
   )
 }

@@ -167,4 +167,32 @@ object IcebergOps {
     s"""SELECT s_nationkey, COUNT(*) AS n, ${sqlDsum("s_acctbal")} AS sum_bal
        FROM supplier WHERE s_nationkey < 15
        GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  /** SQL time travel: `VERSION AS OF` through the session catalog — the
+    * catalog's `loadTable(ident, version)` hook pins the snapshot AND
+    * resolves that snapshot's schema (mirrors ice03, which pins via the
+    * library API). */
+  def ice08SqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse"
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val table = synchronized {
+      val loc = s"$wh/db/customer_tt"
+      if (new File(s"$loc/metadata").exists()) IcebergTables.load(loc)
+      else {
+        val src = Tables.customer(s, d)
+        val t1 = TableWriter.create(src.filter(col("c_nationkey") < 10), loc)
+        TableWriter.append(t1, src.filter(col("c_nationkey") >= 10))
+      }
+    }
+    val firstSnap = table.metadata.snapshots.head.snapshotId
+    s.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n
+          FROM graft.db.customer_tt VERSION AS OF $firstSnap
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val ice08Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+       WHERE c_nationkey < 10 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 }

@@ -54,11 +54,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(f => Identifier.of(namespace, f.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  private def loadIce(ident: Identifier): IcebergTable = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
-    new GraftSparkTable(IcebergTables.load(dir.getPath))
+    IcebergTables.load(dir.getPath)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftSparkTable(loadIce(ident))
+
+  /** SQL time travel `VERSION AS OF <v>`: `<v>` is a snapshot id or a
+    * branch/tag name (the same resolution the scan API offers). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadIce(ident)
+    val snapId = version.toLongOption
+      .filter(id => t.metadata.snapshotById(id).isDefined)
+      .orElse(t.metadata.snapshotByName(version).map(_.snapshotId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot resolve version '$version': not a snapshot id or ref of $ident"))
+    new GraftSparkTable(t, Some(snapId))
+  }
+
+  /** SQL time travel `TIMESTAMP AS OF <t>`: Spark hands the timestamp in
+    * MICROseconds; resolve the latest snapshot at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadIce(ident)
+    val snap = t.metadata.snapshotAsOfTime(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $ident as of ${timestamp / 1000L} ms"))
+    new GraftSparkTable(t, Some(snap.snapshotId))
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
@@ -98,8 +123,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(IcebergTables.load(dir.getPath))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported yet")
+  /** ALTER TABLE: ADD COLUMN (top-level, added optional — the only safe
+    * Iceberg evolution without default values) and SET/UNSET TBLPROPERTIES,
+    * delegating to the library write path. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    var t = loadIce(ident)
+    val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
+    val unsetProps = scala.collection.mutable.ArrayBuffer[String]()
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN supports top-level columns only")
+        t = TableWriter.addColumn(t, a.fieldNames()(0),
+          primitiveIceType(a.dataType()), Option(a.comment()))
+      case s: TableChange.SetProperty => setProps += s.property() -> s.value()
+      case r: TableChange.RemoveProperty => unsetProps += r.property()
+      case other => throw new UnsupportedOperationException(
+        s"table change ${other.getClass.getSimpleName} is not supported")
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      t = TableWriter.updateProperties(t, setProps.toMap, unsetProps.toSeq)
+    new GraftSparkTable(t)
+  }
+
+  private def primitiveIceType(dt: org.apache.spark.sql.types.DataType)
+      : graft.core.IcebergType = {
+    import org.apache.spark.sql.types._
+    import graft.core._
+    dt match {
+      case BooleanType => BooleanT
+      case ByteType | ShortType | IntegerType => IntT
+      case LongType => LongT
+      case FloatType => FloatT
+      case DoubleType => DoubleT
+      case DateType => DateT
+      case TimestampNTZType => TimestampT
+      case TimestampType => TimestampTzT
+      case StringType => StringT
+      case BinaryType => BinaryT
+      case d: DecimalType => DecimalT(d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"ADD COLUMN of type $other is not supported")
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -58,9 +58,20 @@ class IcegopherSource extends TableProvider
     new GraftSparkTable(IcebergTables.load(properties.get("path")))
 }
 
-final class GraftSparkTable(table: IcebergTable) extends Table
+/** `pinnedSnapshotId` is set by the catalog's time-travel hooks
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`): the scan is pinned to that
+  * snapshot and the table reports the SNAPSHOT's schema, so old reads
+  * resolve the schema they were written under. */
+final class GraftSparkTable(table: IcebergTable,
+                            pinnedSnapshotId: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def activeSchema: graft.core.Schema = pinnedSnapshotId
+    .flatMap(table.metadata.snapshotById)
+    .flatMap(_.schemaId)
+    .flatMap(table.metadata.schemaById)
+    .getOrElse(table.schema)
 
   /** DELETE FROM ... WHERE: committed as positional merge-on-read delete
     * files — no data rewrite. Only fully-convertible predicates are
@@ -76,12 +87,12 @@ final class GraftSparkTable(table: IcebergTable) extends Table
     TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
   }
   override def name(): String = table.location
-  override def schema(): StructType = SchemaConv.toSparkSchema(table.schema)
+  override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, schema(), options)
+    new GraftScanBuilder(table, schema(), options, pinnedSnapshotId)
 
   /** Write path: the V1Write bridge hands us the source DataFrame intact, so
     * INSERT INTO / df.writeTo(...).append() reuse the same distributed
@@ -110,7 +121,8 @@ final class GraftSparkTable(table: IcebergTable) extends Table
 }
 
 final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
-                             options: CaseInsensitiveStringMap)
+                             options: CaseInsensitiveStringMap,
+                             pinnedSnapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -135,7 +147,7 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     val expr = pushed.flatMap(FilterConv.fromSparkFilter)
       .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
     new GraftScan(table, expr, required,
-      Option(options.get("snapshot-id")).map(_.toLong),
+      Option(options.get("snapshot-id")).map(_.toLong).orElse(pinnedSnapshotId),
       Option(options.get("branch")),
       Option(options.get("as-of-timestamp-ms")).map(_.toLong),
       limit)

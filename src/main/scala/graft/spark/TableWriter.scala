@@ -220,6 +220,16 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
+  def updateProperties(table: IcebergTable, set: Map[String, String],
+                       unset: Seq[String] = Nil): IcebergTable = {
+    val version = currentVersion(table.location) + 1
+    writeMetadata(table.location, table.metadata.copy(
+      properties = table.metadata.properties ++ set -- unset,
+      lastUpdatedMs = System.currentTimeMillis()), version)
+    IcebergTables.load(table.location)
+  }
+
   /** Create a branch or tag pointing at a snapshot. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
                 snapshotId: Option[Long] = None): IcebergTable = {

@@ -104,6 +104,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(2L))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    spark.sql("CREATE TABLE graft.db7.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db7.tt VALUES (1), (2)")
+    val afterFirst = IcebergTables.load(s"$warehouse/db7/tt")
+    val firstSnap = afterFirst.currentSnapshot.get.snapshotId
+    Thread.sleep(5) // distinct commit timestamps
+    spark.sql("INSERT INTO graft.db7.tt VALUES (3)")
+
+    assert(spark.sql("SELECT count(*) FROM graft.db7.tt").collect()(0).getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db7.tt VERSION AS OF $firstSnap")
+      .collect()(0).getLong(0) == 2)
+    // a tag name resolves as a version too
+    TableWriter.createRef(IcebergTables.load(s"$warehouse/db7/tt"), "v1", graft.core.TagRef,
+      Some(firstSnap))
+    assert(spark.sql("SELECT count(*) FROM graft.db7.tt VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) == 2)
+    // timestamp pinned between the two commits sees only the first
+    val tsMs = afterFirst.currentSnapshot.get.timestampMs
+    val ts = java.time.Instant.ofEpochMilli(tsMs)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db7.tt TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("ALTER TABLE ADD COLUMN and SET/UNSET TBLPROPERTIES") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    spark.sql("CREATE TABLE graft.db8.ev (id BIGINT)")
+    spark.sql("INSERT INTO graft.db8.ev VALUES (1), (2)")
+    val firstSnap = IcebergTables.load(s"$warehouse/db8/ev").currentSnapshot.get.snapshotId
+
+    spark.sql("ALTER TABLE graft.db8.ev ADD COLUMN score DOUBLE")
+    // old rows read with nulls in the new column
+    val rows = spark.sql("SELECT id, score FROM graft.db8.ev ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(1)))
+    spark.sql("INSERT INTO graft.db8.ev VALUES (3, 0.5)")
+    assert(spark.sql("SELECT count(*) FROM graft.db8.ev WHERE score IS NOT NULL")
+      .collect()(0).getLong(0) == 1)
+    // old-snapshot time travel resolves the OLD schema (no score column)
+    val old = spark.sql(s"SELECT * FROM graft.db8.ev VERSION AS OF $firstSnap")
+    assert(old.columns.toSeq == Seq("id"))
+    assert(old.count() == 2)
+
+    spark.sql("ALTER TABLE graft.db8.ev SET TBLPROPERTIES ('write.target-size'='512m', 'x'='1')")
+    assert(IcebergTables.load(s"$warehouse/db8/ev").properties("write.target-size") == "512m")
+    spark.sql("ALTER TABLE graft.db8.ev UNSET TBLPROPERTIES ('x')")
+    val props = IcebergTables.load(s"$warehouse/db8/ev").properties
+    assert(props.get("x").isEmpty && props("write.target-size") == "512m")
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
