@@ -20,13 +20,29 @@ import graft.spark.IcebergTables
   *   graft snapshots TABLE                 snapshot log
   *   graft refs TABLE                      branches and tags
   *   graft properties get TABLE [KEY]      table properties
+  *   graft properties set TABLE KEY VALUE  set a table property
+  *   graft properties remove TABLE KEY     remove a table property
+  *   graft drop TABLE                      drop a table
+  *   graft rename OLD NEW                  rename a table
+  *
+  * Mutation verbs (parity with `cmd/icegopher/main.go:160-190,272-333`,
+  * where the reference panics on drop/rename — here they work): local
+  * table paths mutate the filesystem/metadata directly; `ns.table`
+  * identifiers go through the REST catalog.
   */
 object Main {
+
+  /** Verb failure: `main` prints + exits 2; tests intercept it. */
+  final case class CliError(msg: String) extends RuntimeException(msg)
 
   private case class Config(uri: String = "", json: Boolean = false,
                             credential: String = "")
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    try run(args)
+    catch { case CliError(msg) => System.err.println(msg); sys.exit(2) }
+
+  private[cli] def run(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     var cfg = Config()
     flags.foreach {
@@ -50,15 +66,22 @@ object Main {
       case "snapshots" :: id :: Nil => snapshots(loadMeta(cfg, id))
       case "refs" :: id :: Nil => refs(loadMeta(cfg, id))
       case "properties" :: "get" :: id :: rest => properties(loadMeta(cfg, id), rest)
+      case "properties" :: "set" :: id :: key :: value :: Nil =>
+        setProperty(cfg, id, key, value)
+      case "properties" :: "remove" :: id :: key :: Nil =>
+        removeProperty(cfg, id, key)
+      case "drop" :: id :: Nil => drop(cfg, id)
+      case "rename" :: from :: to :: Nil => rename(cfg, from, to)
       case _ => die(usage)
     }
   }
 
   private val usage =
     "usage: graft [--uri=URI] [--credential=ID:SECRET] [--json] " +
-      "<list|location|uuid|schema|spec|describe|files|snapshots|refs|properties> ..."
+      "<list|location|uuid|schema|spec|describe|files|snapshots|refs|" +
+      "properties|drop|rename> ..."
 
-  private def die(msg: String): Nothing = { System.err.println(msg); sys.exit(2) }
+  private def die(msg: String): Nothing = throw CliError(msg)
 
   private def catalog(cfg: Config): Catalog = {
     if (cfg.uri.isEmpty) die("--uri is required for catalog commands")
@@ -143,4 +166,55 @@ object Main {
     }
     case _ => die(usage)
   }
+
+  private def isLocal(id: String): Boolean =
+    id.contains("/") || id.startsWith("file:")
+
+  private def setProperty(cfg: Config, id: String, key: String, value: String): Unit =
+    if (isLocal(id)) {
+      graft.spark.TableWriter.updateProperties(IcebergTables.load(id), Map(key -> value))
+      println(s"set $key on $id")
+    } else die("properties set on catalog tables requires a commit endpoint; " +
+      "use a local table path")
+
+  private def removeProperty(cfg: Config, id: String, key: String): Unit =
+    if (isLocal(id)) {
+      val t = IcebergTables.load(id)
+      if (!t.properties.contains(key)) die(s"property $key not found")
+      graft.spark.TableWriter.updateProperties(t, Map.empty, Seq(key))
+      println(s"removed $key from $id")
+    } else die("properties remove on catalog tables requires a commit endpoint; " +
+      "use a local table path")
+
+  private def drop(cfg: Config, id: String): Unit =
+    if (isLocal(id)) {
+      val dir = new java.io.File(id.stripPrefix("file:"))
+      if (!new java.io.File(dir, "metadata").isDirectory)
+        die(s"$id is not an Iceberg table")
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rec)
+        f.delete()
+      }
+      rec(dir)
+      println(s"dropped $id")
+    } else {
+      catalog(cfg).dropTable(id.split('.').toSeq)
+      println(s"dropped $id")
+    }
+
+  private def rename(cfg: Config, from: String, to: String): Unit =
+    if (isLocal(from)) {
+      val src = new java.io.File(from.stripPrefix("file:"))
+      if (!new java.io.File(src, "metadata").isDirectory)
+        die(s"$from is not an Iceberg table")
+      val dst = new java.io.File(to.stripPrefix("file:"))
+      if (dst.exists()) die(s"$to already exists")
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      if (!src.renameTo(dst)) die(s"rename $from -> $to failed")
+      println(s"renamed $from -> $to")
+    } else {
+      catalog(cfg).renameTable(from.split('.').toSeq, to.split('.').toSeq)
+      println(s"renamed $from -> $to")
+    }
 }

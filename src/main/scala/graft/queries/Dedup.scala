@@ -33,9 +33,15 @@ object Dedup {
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
     * Pipeline: shingle → k minhashes → `bands` band keys → explode →
-    * self-join on (band, key) with id< to form each pair once → exact-Jaccard
-    * verify on the shingle arrays → top `topK` pairs. One shuffle for the
-    * bucket join, one for the final top-k.
+    * self-join on (band, key) with id< to form each pair once → dedupe pairs
+    * on (id_a, id_b) → re-join shingles once → exact-Jaccard verify → top
+    * `topK`.
+    *
+    * Shuffle hygiene at 100 TB: the shingle arrays (near-full document
+    * content) NEVER enter the LSH shuffles — bucket sizing, the banded
+    * self-join, and the pair dedupe all move (doc_id, band, key) triples
+    * only. Shingles are re-joined exactly once, against the already-tiny
+    * verified candidate set.
     */
   def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 16,
                    bands: Int = 8, bucketCap: Int = 100, topK: Int = 50): DataFrame = {
@@ -44,28 +50,34 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(sigs.slice(b * rows, (b + 1) * rows): _*).as("key"))
     }
-    // shingling + k minhashes is the expensive projection — materialize it
-    // once; the banded self-join and bucket-size window below would
-    // otherwise recompute it per side
+    // shingling is the expensive projection — materialize it once; reused by
+    // the band-key derivation and (once) by the final verify join
     val shingled = docs
       .select(col("doc_id"), wordShingles(col("text"), shingleN).as("shingles"))
-      .select(col("doc_id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.key"))
+      .persist()
+    // keys only from here on: (doc_id, band, key)
+    val keyed = shingled
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist()
     // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
-    // millions of docs in one bucket; capping bounds the O(bucket²) pair join.
-    val sized = shingled
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+    // millions of docs in one bucket; capping bounds the O(bucket²) pair
+    // join. Sized via aggregate + key-only join (a window here would carry
+    // every row's payload through one partition per bucket).
+    val smallBuckets = keyed.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= bucketCap)
-    val a = sized.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
-      col("band"), col("key"))
-    val b = sized.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
-      col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+      .select("band", "key")
+    val sized = keyed.join(smallBuckets, Seq("band", "key"))
+    val a = sized.select(col("doc_id").as("id_a"), col("band"), col("key"))
+    val b = sized.select(col("doc_id").as("id_b"), col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
+      .select("id_a", "id_b")
+      .distinct() // a pair found in several bands is verified once
+    candidates
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

@@ -22,7 +22,7 @@ class CliSpec extends AnyFunSuite {
 
   private def run(args: String*): String = {
     val out = new ByteArrayOutputStream()
-    Console.withOut(new PrintStream(out)) { Main.main(args.toArray) }
+    Console.withOut(new PrintStream(out)) { Main.run(args.toArray) }
     out.toString("UTF-8")
   }
 
@@ -63,5 +63,51 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("Snapshot "))
     assert(out.contains("Manifest:"))
     assert(out.contains("Datafile:"))
+  }
+
+  private def freshTable(): String = {
+    val loc = Files.createTempDirectory("cli_mut").toFile.getPath
+    TableWriter.create(
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet"), loc,
+      properties = Map("owner" -> "graft-tests"))
+    loc
+  }
+
+  test("properties set and remove") {
+    val loc = freshTable()
+    run("properties", "set", loc, "retention", "30d")
+    assert(run("properties", "get", loc, "retention").trim == "30d")
+    run("properties", "remove", loc, "retention")
+    assert(intercept[Main.CliError](
+      run("properties", "get", loc, "retention")).msg.contains("not found"))
+    // removing a missing key is an error
+    assert(intercept[Main.CliError](
+      run("properties", "remove", loc, "nope")).msg.contains("not found"))
+  }
+
+  test("rename moves the table, old path stops resolving") {
+    val loc = freshTable()
+    val dst = loc + "_renamed"
+    run("rename", loc, dst)
+    assert(run("uuid", dst).trim.matches("[0-9a-f-]{36}"))
+    assert(intercept[Main.CliError](run("rename", loc, dst + "2"))
+      .msg.contains("not an Iceberg table"))
+    // renaming onto an existing table is refused
+    val other = freshTable()
+    assert(intercept[Main.CliError](run("rename", other, dst))
+      .msg.contains("already exists"))
+  }
+
+  test("drop deletes the table; dropping a non-table is an error") {
+    val loc = freshTable()
+    run("drop", loc)
+    assert(!new java.io.File(loc, "metadata").exists())
+    assert(intercept[Main.CliError](run("drop", loc))
+      .msg.contains("not an Iceberg table"))
+  }
+
+  test("unknown verb and missing --uri are errors, not exits") {
+    assert(intercept[Main.CliError](run("frobnicate")).msg.contains("usage:"))
+    assert(intercept[Main.CliError](run("list")).msg.contains("--uri"))
   }
 }

@@ -64,6 +64,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d01: shingle arrays stay out of the LSH shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Dedup.d01MinhashLsh(spark, sf).queryExecution.executedPlan
+    // no window operator anywhere (bucket sizing must be aggregate+join)
+    assert(exec.collect { case w: WindowExec => w }.isEmpty,
+      "bucket sizing must not use a window")
+    // no exchange carrying shingles partitioned by LSH keys or pair ids —
+    // the only shingle-bearing exchanges are the doc_id-keyed verify joins
+    val shingleExchanges = exec.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(a => a.name.startsWith("sh")) => e
+    }
+    shingleExchanges.foreach { e =>
+      val partCols = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name))
+        case _ => Nil
+      }
+      assert(partCols.forall(c => c.startsWith("doc_id") || c.startsWith("id_")),
+        s"shingles shuffled by non-id keys ${partCols.mkString(",")}")
+      assert(!partCols.exists(_ == "band") && !partCols.exists(_ == "key"),
+        "shingles must not ride the banded join")
+    }
+    // the pair-dedupe aggregate groups on ids only, no shingle payload
+    exec.collect { case a: HashAggregateExec => a }.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.references.exists(_.name.startsWith("sh"))),
+        "pair dedupe must group on (id_a, id_b) only")
+    }
+  }
+
   test("top-k queries use TakeOrderedAndProject, not global sort") {
     val p = plan(Relational.q03TopOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"limit+order not fused:\n$p")
