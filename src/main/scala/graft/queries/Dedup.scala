@@ -64,11 +64,13 @@ object Dedup {
     // millions of docs in one bucket; capping bounds the O(bucket²) pair
     // join. Sized via aggregate + key-only join (a window here would carry
     // every row's payload through one partition per bucket).
-    val smallBuckets = keyed.groupBy("band", "key")
+    // oversized-bucket keys are FEW by construction (each needs > bucketCap
+    // members), so the exclusion list is broadcast-safe at any scale
+    val bigBuckets = keyed.groupBy("band", "key")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= bucketCap)
+      .filter(col("bucket_n") > bucketCap)
       .select("band", "key")
-    val sized = keyed.join(smallBuckets, Seq("band", "key"))
+    val sized = keyed.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
     val a = sized.select(col("doc_id").as("id_a"), col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("band"), col("key"))
     val candidates = a.join(b, Seq("band", "key"))

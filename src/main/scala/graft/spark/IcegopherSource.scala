@@ -124,11 +124,13 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
                              options: CaseInsensitiveStringMap,
                              pinnedSnapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept the convertible subset for file skipping; everything remains a
@@ -143,16 +145,164 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = {
-    val expr = pushed.flatMap(FilterConv.fromSparkFilter)
-      .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
-    new GraftScan(table, expr, required,
-      Option(options.get("snapshot-id")).map(_.toLong).orElse(pinnedSnapshotId),
+  // ------------------------------------------------- aggregate pushdown
+  // Ungrouped, unfiltered COUNT/COUNT(col)/MIN/MAX are answered ENTIRELY
+  // from manifest stats: record counts, null counts, per-column bounds.
+  // At 100 TB this turns `SELECT count(*) FROM t` into an O(manifests)
+  // driver read — zero data-file I/O, zero tasks of real work. Refused
+  // (→ Spark aggregates normally) whenever correctness would need data:
+  // any filter, group-by, delete files, missing stats, truncatable
+  // string/binary bounds, or NaN-ambiguous float/double bounds.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = metadataAggregate(agg)
+    aggResult.isDefined
+  }
+
+  private def snapshotPins: (Option[Long], Option[String], Option[Long]) =
+    (Option(options.get("snapshot-id")).map(_.toLong).orElse(pinnedSnapshotId),
       Option(options.get("branch")),
-      Option(options.get("as-of-timestamp-ms")).map(_.toLong),
-      limit)
+      Option(options.get("as-of-timestamp-ms")).map(_.toLong))
+
+  private def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || limit.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+
+    val (snap, ref, asOf) = snapshotPins
+    val tasks =
+      try table.newScan(snapshotId = snap, ref = ref, asOfTimestampMs = asOf).planFiles()
+      catch { case _: Exception => return None }
+    // deleted rows are invisible to manifest stats — bail out
+    if (tasks.exists(_.deleteFiles.nonEmpty)) return None
+    val files = tasks.map(_.file)
+
+    def colId(e: org.apache.spark.sql.connector.expressions.Expression): Option[graft.core.NestedField] =
+      e.references() match {
+        case Array(r) if r.fieldNames().length == 1 =>
+          table.schema.findFieldByName(r.fieldNames()(0))
+        case _ => None
+      }
+
+    /** Decoded bound for every file, or None if any file lacks it. */
+    def bounds(f: graft.core.NestedField,
+               side: graft.core.DataFileInfo => Map[Int, Array[Byte]]): Option[Seq[graft.core.Literal]] = {
+      val all = files.map(df => side(df).get(f.id)
+        .flatMap(b => graft.core.LiteralCodec.fromBytes(f.fieldType, b)))
+      if (all.forall(_.isDefined)) Some(all.flatten) else None
+    }
+
+    /** Bounds are trustworthy only for fixed-width types: string/binary
+      * bounds may be writer-truncated, float/double bounds exclude NaN. */
+    def boundSafe(f: graft.core.NestedField): Boolean = f.fieldType match {
+      case graft.core.IntT | graft.core.LongT | graft.core.DateT |
+           graft.core.TimeT | graft.core.TimestampT | graft.core.TimestampTzT |
+           graft.core.BooleanT | graft.core.DecimalT(_, _) => true
+      case graft.core.FloatT | graft.core.DoubleT =>
+        // only if every file PROVES it holds no NaN
+        files.forall(df => df.nanValueCounts.get(f.id).contains(0L))
+      case _ => false
+    }
+
+    def toCatalyst(l: graft.core.Literal): Any = l match {
+      case graft.core.IntLit(v) => v
+      case graft.core.LongLit(v) => v
+      case graft.core.FloatLit(v) => v
+      case graft.core.DoubleLit(v) => v
+      case graft.core.BoolLit(v) => v
+      case graft.core.DateLit(v) => v
+      case graft.core.TimeLit(v) => v
+      case graft.core.TsLit(v) => v
+      case graft.core.DecLit(unscaled, scale) =>
+        org.apache.spark.sql.types.Decimal(BigDecimal(unscaled, scale))
+      case other => throw new IllegalStateException(s"unexpected bound literal $other")
+    }
+
+    val fields = Vector.newBuilder[StructField]
+    val values = Vector.newBuilder[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += files.map(_.recordCount).sum
+      case c: Count if !c.isDistinct =>
+        val f = colId(c.column()).getOrElse(return None)
+        val counts = files.map(df =>
+          for {
+            v <- df.valueCounts.get(f.id)
+            n <- df.nullValueCounts.get(f.id)
+          } yield v - n)
+        if (!counts.forall(_.isDefined)) return None
+        fields += StructField(s"count_${f.name}", LongType, nullable = false)
+        values += counts.flatten.sum
+      case m: Min =>
+        val f = colId(m.column()).getOrElse(return None)
+        if (!boundSafe(f)) return None
+        val bs = bounds(f, _.lowerBounds).getOrElse(return None)
+        if (bs.isEmpty) return None
+        val lit = bs.reduce((a, b) =>
+          if (graft.core.LiteralOrdering.compare(a, b).exists(_ <= 0)) a else b)
+        fields += StructField(s"min_${f.name}", SchemaConv.toSparkType(f.fieldType))
+        values += toCatalyst(lit)
+      case m: Max =>
+        val f = colId(m.column()).getOrElse(return None)
+        if (!boundSafe(f)) return None
+        val bs = bounds(f, _.upperBounds).getOrElse(return None)
+        if (bs.isEmpty) return None
+        val lit = bs.reduce((a, b) =>
+          if (graft.core.LiteralOrdering.compare(a, b).exists(_ >= 0)) a else b)
+        fields += StructField(s"max_${f.name}", SchemaConv.toSparkType(f.fieldType))
+        values += toCatalyst(lit)
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result().toArray))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new GraftAggScan(table, schema, values)
+    case None =>
+      val expr = pushed.flatMap(FilterConv.fromSparkFilter)
+        .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
+      val (snap, ref, asOf) = snapshotPins
+      new GraftScan(table, expr, required, snap, ref, asOf, limit)
   }
 }
+
+/** Complete aggregate pushdown result: one precomputed row, zero data I/O. */
+final class GraftAggScan(table: IcebergTable, aggSchema: StructType,
+                         values: Array[Any])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"icegopher ${table.location} [metadata-only aggregate]"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(64L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(p.asInstanceOf[GraftAggPartition].values.clone())
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],

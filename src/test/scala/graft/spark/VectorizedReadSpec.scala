@@ -108,6 +108,59 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(got.filter(col("o_orderkey") % 7 === 0).count() == 0)
   }
 
+  test("ungrouped COUNT/MIN/MAX are answered from metadata, no data scan") {
+    val loc = tmpDir("tbl_aggpush")
+    val src = spark.read.parquet(s"$sf/orders.parquet").repartition(4)
+    TableWriter.create(src, loc)
+
+    val df = spark.read.format("icegopher").load(loc)
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.min("o_orderkey").as("min_k"),
+        org.apache.spark.sql.functions.max("o_orderkey").as("max_k"),
+        org.apache.spark.sql.functions.count("o_orderdate").as("n_comment"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("metadata-only aggregate"), s"aggregate not pushed:\n$p")
+
+    val row = df.collect()(0)
+    val exp = src.agg(org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.min("o_orderkey"),
+      org.apache.spark.sql.functions.max("o_orderkey"),
+      org.apache.spark.sql.functions.count("o_orderdate")).collect()(0)
+    assert(row.getLong(0) == exp.getLong(0))
+    assert(row.getLong(1) == exp.getLong(1))
+    assert(row.getLong(2) == exp.getLong(2))
+    assert(row.getLong(3) == exp.getLong(3))
+  }
+
+  test("aggregate pushdown refuses filters, deletes, and unsafe bounds") {
+    val loc = tmpDir("tbl_aggref")
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    val t1 = TableWriter.create(src, loc)
+
+    // filtered aggregate must NOT be metadata-answered but stays correct
+    val filtered = spark.read.format("icegopher").load(loc)
+      .filter(col("c_nationkey") > 5)
+      .agg(org.apache.spark.sql.functions.count("*"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(filtered.collect()(0).getLong(0) ==
+      src.filter(col("c_nationkey") > 5).count())
+
+    // min on a string column is refused (bounds may be truncated)
+    val strMin = spark.read.format("icegopher").load(loc)
+      .agg(org.apache.spark.sql.functions.min("c_name"))
+    assert(!strMin.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(strMin.collect()(0).getString(0) ==
+      src.agg(org.apache.spark.sql.functions.min("c_name")).collect()(0).getString(0))
+
+    // after a MoR delete, counts must come from data, not stale stats
+    TableWriter.deleteWhere(t1, spark, col("c_custkey") <= 10)
+    val afterDel = spark.read.format("icegopher").load(loc)
+      .agg(org.apache.spark.sql.functions.count("*"))
+    assert(!afterDel.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(afterDel.collect()(0).getLong(0) ==
+      src.filter(col("c_custkey") > 10).count())
+  }
+
   test("nested and exotic columns decode through the SQL path") {
     import spark.implicits._
     val loc = tmpDir("tbl_nested")
