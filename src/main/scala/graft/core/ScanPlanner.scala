@@ -306,7 +306,7 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       .flatMap(m => ManifestIO.readManifestEntries(io.open(m.path), m))
     val posDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.PositionDeletes)
-      .sortBy(_.sequenceNumber.getOrElse(0L))
+      .sortBy(_.sequenceNumber.getOrElse(0L)).toIndexedSeq
     val eqDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
 
@@ -328,7 +328,16 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
   private[core] def matchDeletes(data: ManifestEntry,
                            sorted: Seq[ManifestEntry]): Seq[DataFileInfo] = {
     val dataSeq = data.sequenceNumber.getOrElse(0L)
-    val idx = sorted.indexWhere(e => dataSeq <= e.sequenceNumber.getOrElse(0L))
+    // binary search for the first entry with seq >= dataSeq: planning is
+    // O(F log D) instead of O(F·D) when delete files accumulate
+    var lo = 0
+    var hi = sorted.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid).sequenceNumber.getOrElse(0L) < dataSeq) lo = mid + 1
+      else hi = mid
+    }
+    val idx = if (lo < sorted.size) lo else -1
     if (idx < 0) return Nil
     val pathEval = new InclusiveMetricsEvaluator(PositionalDeleteSchema,
       Expr.equalTo("file_path", StrLit(data.dataFile.path)), caseSensitive = false)

@@ -61,8 +61,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     IcebergTables.load(dir.getPath)
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `db.t.snapshots` arrives as namespace [db, t],
+    // name "snapshots" — serve it when db.t is a table and the name is a
+    // known metadata view (a real nested table named e.g. "snapshots"
+    // would shadow these, checked first)
+    if (!isTable(tableDir(ident)) && ident.namespace().nonEmpty &&
+        MetadataTables.Names.contains(ident.name())) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (isTable(tableDir(parent)))
+        return MetadataTables.build(loadIce(parent), ident.name())
+    }
     new GraftSparkTable(loadIce(ident))
+  }
 
   /** SQL time travel `VERSION AS OF <v>`: `<v>` is a snapshot id or a
     * branch/tag name (the same resolution the scan API offers). */

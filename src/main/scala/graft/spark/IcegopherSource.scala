@@ -400,8 +400,9 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * equality-delete key columns (needed for tombstone checks even when
     * projected away), plus the row-index column Spark's vectorized reader
     * fills with file row positions (needed to match positional deletes). */
+  private lazy val fullSpark = SchemaConv.toSparkSchema(table.schema)
+
   private def readerSchema(needRowIndex: Boolean, eq: Seq[EqDelete]): StructType = {
-    val fullSpark = SchemaConv.toSparkSchema(table.schema)
     var s = required
     eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
       s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))

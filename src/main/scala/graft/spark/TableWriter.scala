@@ -26,10 +26,18 @@ object TableWriter {
 
   /** Create a new table at `location` from a DataFrame. `partitionBy` maps
     * source column name → transform; data is written hive-partitioned on the
-    * transformed value so the scan planner can prune on partition tuples. */
+    * transformed value so the scan planner can prune on partition tuples.
+    *
+    * `sortBy` goes beyond the reference (which carries sort orders as inert
+    * metadata, sorting.go:29-157): the data is RANGE-CLUSTERED on the sort
+    * columns at write time — one range shuffle — so per-file min/max bounds
+    * become disjoint and stats pruning drops all but the matching files for
+    * range/point predicates on those columns. The order is recorded in table
+    * metadata and stamped on each data file (`sort_order_id`). */
   def create(df: DataFrame, location: String,
              partitionBy: Seq[(String, Transform)] = Nil,
-             properties: Map[String, String] = Map.empty): IcebergTable = {
+             properties: Map[String, String] = Map.empty,
+             sortBy: Seq[String] = Nil): IcebergTable = {
     val schema = SchemaConv.fromSparkSchema(df.schema)
     val spec = PartitionSpec(0, partitionBy.zipWithIndex.map { case ((src, t), i) =>
       val f = schema.findFieldByName(src).getOrElse(
@@ -37,9 +45,19 @@ object TableWriter {
       PartitionField(f.id, PartitionSpec.PartitionDataIdStart + i,
         partName(src, t), t)
     })
+    val sortOrder = sortOrderFor(schema, sortBy)
     commit(df, location, schema, spec, properties, version = 1, parentSnapshot = None,
-      existingEntries = Nil, existingManifests = Nil, sequenceNumber = 1)
+      existingEntries = Nil, existingManifests = Nil, sequenceNumber = 1,
+      sortOrder = sortOrder)
   }
+
+  private def sortOrderFor(schema: Schema, sortBy: Seq[String]): SortOrder =
+    if (sortBy.isEmpty) SortOrder.unsorted
+    else SortOrder(1, sortBy.map { c =>
+      val f = schema.findFieldByName(c).getOrElse(
+        throw new IllegalArgumentException(s"sort column '$c' not found"))
+      SortField(f.id, IdentityTransform, SortAsc, NullsFirst)
+    })
 
   /** Overwrite (INSERT OVERWRITE / truncate-then-write): the new snapshot's
     * manifest list starts empty — previous files remain reachable only
@@ -280,19 +298,30 @@ object TableWriter {
                      version: Int, parentSnapshot: Option[Snapshot],
                      existingEntries: Seq[ManifestEntry],
                      existingManifests: Seq[ManifestFile],
-                     sequenceNumber: Long): IcebergTable = {
+                     sequenceNumber: Long,
+                     sortOrder: SortOrder = SortOrder.unsorted): IcebergTable = {
     val snapId = System.nanoTime()
     val dataDir = new File(location, s"data/snap-$snapId")
     val metaDir = new File(location, "metadata")
     metaDir.mkdirs()
 
+    // write-time clustering per the sort order: one range shuffle, then a
+    // local sort — files end up with disjoint bound ranges on the sort keys
+    val clustered =
+      if (sortOrder.isUnsorted) df
+      else {
+        val sortCols = sortOrder.fields.map(sf =>
+          col(schema.findFieldById(sf.sourceId).get.name))
+        df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+      }
+
     // distributed write, hive-partitioned on transformed values. The
     // transform value is written under a `_p_` alias so hive partitioning
     // consumes the alias and the SOURCE columns stay in the data files
     // (partitionBy drops its columns from the files).
-    if (spec.isUnpartitioned) df.write.parquet(dataDir.getPath)
+    if (spec.isUnpartitioned) clustered.write.parquet(dataDir.getPath)
     else {
-      val withParts = spec.fields.foldLeft(df) { (d, pf) =>
+      val withParts = spec.fields.foldLeft(clustered) { (d, pf) =>
         val srcField = schema.findFieldById(pf.sourceId).get
         d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
           srcField.fieldType))
@@ -308,6 +337,7 @@ object TableWriter {
       val partition = parsePartitionValues(dataDir, f, partType)
       val info = statsFromFooter(f, schema, partition, DataFileContent.Data, None,
         nanCounts.getOrElse(f.getPath, Map.empty))
+        .copy(sortOrderId = Some(sortOrder.orderId))
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(sequenceNumber),
         Some(sequenceNumber), info)
     }
@@ -362,8 +392,9 @@ object TableWriter {
       metadataLog = prevMeta.map(m => m.metadataLog :+
         MetadataLogEntry(m.location + s"/metadata/v${version - 1}.metadata.json",
           m.lastUpdatedMs)).getOrElse(Nil),
-      sortOrders = Seq(SortOrder.unsorted),
-      defaultSortOrderId = 0,
+      sortOrders = (prevMeta.map(_.sortOrders).getOrElse(Seq(SortOrder.unsorted)) :+
+        sortOrder).distinctBy(_.orderId),
+      defaultSortOrderId = sortOrder.orderId,
       // carry existing branches/tags forward; only main advances
       refs = prevMeta.map(_.refs).getOrElse(Map.empty) +
         (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)))

@@ -154,6 +154,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(props.get("x").isEmpty && props("write.target-size") == "512m")
   }
 
+  test("SQL metadata tables: snapshots/history/refs/files/manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    spark.sql("CREATE TABLE graft.db9.m (id BIGINT)")
+    spark.sql("INSERT INTO graft.db9.m VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db9.m VALUES (3)")
+
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM graft.db9.m.snapshots ORDER BY committed_at_ms")
+      .collect()
+    assert(snaps.length == 2)
+    assert(snaps.forall(_.getString(1) == "append"))
+
+    assert(spark.sql("SELECT * FROM graft.db9.m.history").count() == 2)
+    val refs = spark.sql("SELECT name, type FROM graft.db9.m.refs").collect()
+    assert(refs.exists(r => r.getString(0) == "main" && r.getString(1) == "branch"))
+    assert(spark.sql("SELECT * FROM graft.db9.m.files").count() ==
+      IcebergTables.load(s"$warehouse/db9/m").newScan().planFiles().size)
+    assert(spark.sql("SELECT * FROM graft.db9.m.manifests").count() == 2)
+    // aggregations over metadata tables work like any table
+    assert(spark.sql(
+      "SELECT CAST(sum(record_count) AS BIGINT) FROM graft.db9.m.files")
+      .collect()(0).getLong(0) == 3)
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")

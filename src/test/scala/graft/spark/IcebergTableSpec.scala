@@ -251,6 +251,33 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       one.size < table.newScan().planFiles().size)
   }
 
+  test("write-side sort order clusters files for stats pruning") {
+    val loc = tmpDir("tbl_sorted")
+    val src = spark.read.parquet(s"$sf/orders.parquet").repartition(8) // scrambled
+    // AQE would coalesce a test-sized range shuffle into one partition;
+    // keep several so the disjoint-bounds property is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val table =
+      try TableWriter.create(src, loc, sortBy = Seq("o_orderkey"))
+      finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // metadata records the order; files are stamped with it
+    assert(table.metadata.defaultSortOrderId == 1)
+    assert(table.metadata.sortOrders.exists(o => o.orderId == 1 &&
+      o.fields.map(_.direction) == Seq(SortAsc)))
+    val tasks = table.newScan().planFiles()
+    assert(tasks.size > 1)
+    assert(tasks.forall(_.file.sortOrderId.contains(1)))
+    // range clustering → disjoint bounds → point predicate hits ONE file
+    val keyId = table.schema.findFieldByName("o_orderkey").get.id
+    val someKey = src.agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .collect()(0).getLong(0)
+    val hit = table.newScan(Expr.equalTo("o_orderkey", LongLit(someKey))).planFiles()
+    assert(hit.size == 1,
+      s"sorted write should prune to 1 file, got ${hit.size} of ${tasks.size}")
+    // and results are complete despite the rewrite shuffle
+    assert(table.newScan().toDF(spark).count() == src.count())
+  }
+
   test("projection prunes columns") {
     val loc = tmpDir("tbl_proj")
     val src = spark.read.parquet(s"$sf/part.parquet")
