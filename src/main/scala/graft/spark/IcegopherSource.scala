@@ -89,8 +89,8 @@ final class GraftSparkTable(table: IcebergTable,
   override def name(): String = table.location
   override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, schema(), options, pinnedSnapshotId)
 
@@ -270,7 +270,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       val expr = pushed.flatMap(FilterConv.fromSparkFilter)
         .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
       val (snap, ref, asOf) = snapshotPins
-      new GraftScan(table, expr, required, snap, ref, asOf, limit)
+      new GraftScan(table, expr, required, snap, ref, asOf, limit,
+        Option(options.get("stream-start")).getOrElse("earliest"))
   }
 }
 
@@ -307,7 +308,7 @@ final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],
                       branch: Option[String], asOf: Option[Long],
-                      limit: Option[Int])
+                      limit: Option[Int], streamStart: String = "earliest")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -346,6 +347,9 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(table.location, required, streamStart)
   override def description(): String =
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 

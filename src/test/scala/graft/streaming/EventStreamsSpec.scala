@@ -84,4 +84,47 @@ class EventStreamsSpec extends AnyFunSuite {
     val rows2 = bounded.map(_.file.recordCount).sum
     assert(rows2 == src.filter(col("n_regionkey") === 1).count())
   }
+
+  test("readStream over an Iceberg table emits appends per micro-batch") {
+    val loc = Files.createTempDirectory("tbl_stream").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val t1 = TableWriter.create(src.filter(col("n_regionkey") === 0), loc)
+
+    val q = spark.readStream.format("icegopher").load(loc)
+      .writeStream.format("memory").queryName("icestream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // earliest (default): first batch replays the whole table
+      val first = spark.table("icestream").count()
+      assert(first == src.filter(col("n_regionkey") === 0).count())
+
+      // append mid-stream → next micro-batch carries ONLY the new files
+      TableWriter.append(graft.spark.IcebergTables.load(loc),
+        src.filter(col("n_regionkey") === 1))
+      q.processAllAvailable()
+      val total = spark.table("icestream").count()
+      assert(total == src.filter(col("n_regionkey") <= 1).count())
+      assert(spark.table("icestream")
+        .filter(col("n_regionkey") === 1).count() == total - first)
+    } finally q.stop()
+  }
+
+  test("readStream with stream-start=latest skips existing data") {
+    val loc = Files.createTempDirectory("tbl_stream2").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    TableWriter.create(src, loc)
+
+    val q = spark.readStream.format("icegopher")
+      .option("stream-start", "latest").load(loc)
+      .writeStream.format("memory").queryName("icestream2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("icestream2").count() == 0) // nothing replayed
+      TableWriter.append(graft.spark.IcebergTables.load(loc), src.limit(2))
+      q.processAllAvailable()
+      assert(spark.table("icestream2").count() == 2)
+    } finally q.stop()
+  }
 }
