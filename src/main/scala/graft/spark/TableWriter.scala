@@ -197,6 +197,37 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** MoR UPDATE: rows matching `predicate` get `assignments` applied — the
+    * originals become positional tombstones, the rewritten rows are
+    * appended. Only the MATCHING rows are ever rewritten; untouched data
+    * files are untouched. (Two commits: delete, then append.)
+    *
+    * The updated projection is planned against the PRE-delete snapshot
+    * (planFiles resolves eagerly), so the lazily-executed append still
+    * reads the original rows after the tombstones commit. */
+  def updateWhere(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
+                  predicate: Column,
+                  assignments: Map[String, Column]): IcebergTable = {
+    assignments.keys.foreach(c => require(
+      table.schema.findFieldByName(c).isDefined, s"unknown column '$c'"))
+    val updated = table.newScan().toDF(spark)
+      .filter(predicate)
+      .select(table.schema.fields.map(f =>
+        assignments.getOrElse(f.name, col(f.name)).as(f.name)): _*)
+    val afterDelete = deleteWhere(table, spark, predicate)
+    append(afterDelete, updated)
+  }
+
+  /** Upsert by key (MERGE's matched-update + not-matched-insert for keyed
+    * tables): existing rows with a key present in `rows` are equality-
+    * tombstoned, then `rows` is appended. No scan at delete time, one
+    * distributed write — metadata-sized commits regardless of table size. */
+  def upsert(table: IcebergTable, rows: DataFrame,
+             keyCols: Seq[String]): IcebergTable = {
+    val afterDelete = deleteEquality(table, rows.select(keyCols.map(col): _*), keyCols)
+    append(afterDelete, rows)
+  }
+
   /** Compaction: rewrite the current snapshot's live rows (MoR deletes
     * applied) into `targetFiles` fresh files and commit a REPLACE snapshot.
     * The rewrite is one distributed pass; small-file pressure and delete
@@ -326,7 +357,17 @@ object TableWriter {
         d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
           srcField.fieldType))
       }
-      withParts.write.partitionBy(spec.fields.map(f => s"_p_${f.name}"): _*)
+      // hash-distribute by partition value before the partitioned write
+      // (Iceberg's write.distribution-mode=hash): without this, every task
+      // writes a file for every partition value it happens to hold —
+      // tasks × partitions small files at cluster scale. Skip when the
+      // data was range-clustered by an explicit sort order (already
+      // partition-aligned for the common time-sorted case).
+      val partCols = spec.fields.map(f => col(s"_p_${f.name}"))
+      val distributed =
+        if (!sortOrder.isUnsorted) withParts
+        else withParts.repartition(partCols: _*)
+      distributed.write.partitionBy(spec.fields.map(f => s"_p_${f.name}"): _*)
         .parquet(dataDir.getPath)
     }
 

@@ -251,6 +251,47 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       one.size < table.newScan().planFiles().size)
   }
 
+  test("MoR update rewrites only matching rows") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_upd")
+    val t1 = TableWriter.create(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "grp", "v"), loc)
+    val t2 = TableWriter.updateWhere(t1, spark, col("grp") === "a",
+      Map("v" -> (col("v") * 2)))
+    val got = t2.newScan().toDF(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 20.0), (2L, 20.0), (3L, 60.0)))
+    // time travel to before the update still sees originals
+    val firstSnap = t2.metadata.snapshots.head.snapshotId
+    assert(t2.newScan(snapshotId = Some(firstSnap)).toDF(spark)
+      .filter(col("v") === 10.0).count() == 1)
+  }
+
+  test("upsert replaces keyed rows and inserts new ones") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_ups")
+    val t1 = TableWriter.create(
+      Seq((1L, "old"), (2L, "keep")).toDF("id", "name"), loc)
+    val t2 = TableWriter.upsert(t1,
+      Seq((1L, "new"), (3L, "ins")).toDF("id", "name"), Seq("id"))
+    val got = t2.newScan().toDF(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("partitioned write distributes by partition value (no file explosion)") {
+    val loc = tmpDir("tbl_dist")
+    // 8 upstream tasks x 5 segments would naively write up to 40 files;
+    // hash distribution bounds it at one file per partition value
+    val src = spark.read.parquet(s"$sf/customer.parquet").repartition(8)
+    val table = TableWriter.create(src, loc,
+      partitionBy = Seq("c_mktsegment" -> IdentityTransform))
+    val files = table.newScan().planFiles()
+    val segments = src.select("c_mktsegment").distinct().count()
+    assert(files.size == segments,
+      s"expected one file per segment ($segments), got ${files.size}")
+  }
+
   test("write-side sort order clusters files for stats pruning") {
     val loc = tmpDir("tbl_sorted")
     val src = spark.read.parquet(s"$sf/orders.parquet").repartition(8) // scrambled
