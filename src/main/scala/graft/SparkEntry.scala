@@ -56,6 +56,7 @@ object SparkEntry {
     "ice06_sql_catalog" -> (I.ice06SqlCatalog _),
     "ice07_dsv2_format" -> (I.ice07Dsv2Format _),
     "ice08_sql_time_travel" -> (I.ice08SqlTimeTravel _),
+    "ice09_agg_pushdown" -> (I.ice09AggPushdown _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     "ice06_sql_catalog" -> I.ice06Sql,
     "ice07_dsv2_format" -> I.ice07Sql,
     "ice08_sql_time_travel" -> I.ice08Sql,
+    "ice09_agg_pushdown" -> I.ice09Sql,
   )
 }

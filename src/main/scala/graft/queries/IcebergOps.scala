@@ -195,4 +195,28 @@ object IcebergOps {
   val ice08Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n FROM customer
        WHERE c_nationkey < 10 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Metadata-only aggregate pushdown, checked against the data: Spark
+    * answers COUNT/MIN/MAX from manifest stats (zero data I/O —
+    * `GraftScanBuilder.pushAggregation`); DuckDB computes the same from the
+    * raw rows. A hash match proves the writer's footer-derived stats are
+    * EXACT, not just inclusive. */
+  def ice09AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val table = cached("part_agg", d) { loc =>
+      TableWriter.create(Tables.part(s, d).repartition(4), loc)
+    }
+    s.read.format("icegopher").load(table.location)
+      .agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("p_size").as("min_size"),
+        org.apache.spark.sql.functions.max("p_size").as("max_size"),
+        org.apache.spark.sql.functions.min("p_retailprice").as("min_price"),
+        org.apache.spark.sql.functions.max("p_retailprice").as("max_price"))
+  }
+
+  val ice09Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+       FROM part"""
 }

@@ -108,6 +108,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p17.contains("CartesianProduct"))
   }
 
+  test("ice09: COUNT/MIN/MAX answered from metadata incl. NaN-proven doubles") {
+    val p = plan(IcebergOps.ice09AggPushdown(spark, sf))
+    assert(p.contains("metadata-only aggregate"),
+      s"aggregate (incl. double min/max) not pushed:\n$p")
+  }
+
   test("q10 anti join broadcasts the filtered subquery side") {
     val p = plan(Relational.q10AntiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
