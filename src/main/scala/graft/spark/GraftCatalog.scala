@@ -109,6 +109,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     dir.mkdirs()
     val iceSchema = SchemaConv.fromSparkSchema(schema)
+    val spec = specFromTransforms(iceSchema, partitions)
     val now = System.currentTimeMillis()
     val md = TableMetadata(
       formatVersion = 2,
@@ -119,9 +120,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       lastColumnId = iceSchema.highestFieldId,
       schemas = Seq(iceSchema),
       currentSchemaId = iceSchema.schemaId,
-      partitionSpecs = Seq(PartitionSpec.unpartitioned),
-      defaultSpecId = 0,
-      lastPartitionId = Some(999),
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = Some(spec.fields.map(_.fieldId).maxOption.getOrElse(999)),
       properties = properties.asScala.toMap,
       snapshots = Nil, currentSnapshotId = None,
       snapshotLog = Nil, metadataLog = Nil,
@@ -133,6 +134,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.write(new File(metaDir, "version-hint.text").toPath,
       "1".getBytes("UTF-8"))
     new GraftSparkTable(IcebergTables.load(dir.getPath))
+  }
+
+  /** `PARTITIONED BY (days(ts), bucket(4, id), ...)` in CREATE TABLE DDL →
+    * Iceberg partition spec. Accepts identity/years/months/days/hours/
+    * bucket/truncate; literal+reference argument order is free (Spark and
+    * Iceberg DDL dialects disagree on truncate). */
+  private def specFromTransforms(schema: graft.core.Schema,
+                                 transforms: Array[Transform]): PartitionSpec = {
+    import graft.core.{Transform => IceTransform, _}
+    import org.apache.spark.sql.connector.{expressions => cx}
+    if (transforms.isEmpty) return PartitionSpec.unpartitioned
+    val fields = transforms.zipWithIndex.map { case (t, i) =>
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"partition transform ${t.describe()} must reference one top-level column")
+      val src = schema.findFieldByName(refs(0).fieldNames()(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source column '${refs(0).describe()}' not in schema"))
+      def intArg: Int = t.arguments().collectFirst {
+        case l: cx.Literal[_] => l.value() match {
+          case n: java.lang.Number => n.intValue()
+          case other => other.toString.toInt
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name()} transform requires an integer argument"))
+      val (ice, name): (IceTransform, String) = t.name() match {
+        case "identity" => (IdentityTransform, src.name)
+        case "years" | "year" => (YearTransform, s"${src.name}_year")
+        case "months" | "month" => (MonthTransform, s"${src.name}_month")
+        case "days" | "day" => (DayTransform, s"${src.name}_day")
+        case "hours" | "hour" => (HourTransform, s"${src.name}_hour")
+        case "bucket" => (BucketTransform(intArg), s"${src.name}_bucket")
+        case "truncate" => (TruncateTransform(intArg), s"${src.name}_trunc")
+        case other => throw new UnsupportedOperationException(
+          s"partition transform '$other' is not supported")
+      }
+      PartitionField(src.id, PartitionSpec.PartitionDataIdStart + i, name, ice)
+    }
+    PartitionSpec(0, fields.toIndexedSeq)
   }
 
   /** ALTER TABLE: ADD COLUMN (top-level, added optional — the only safe

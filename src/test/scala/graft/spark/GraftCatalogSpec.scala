@@ -178,6 +178,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("CREATE TABLE PARTITIONED BY with transforms, partitioned INSERT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    spark.sql(
+      """CREATE TABLE graft.db10.p (id BIGINT, cat STRING, ts TIMESTAMP_NTZ)
+         PARTITIONED BY (cat, bucket(4, id))""")
+    val t = IcebergTables.load(s"$warehouse/db10/p")
+    assert(t.spec.fields.map(f => (f.name, f.transform.repr)) ==
+      Seq(("cat", "identity"), ("id_bucket", "bucket[4]")))
+
+    spark.sql(
+      """INSERT INTO graft.db10.p VALUES
+         (1, 'a', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+         (2, 'b', TIMESTAMP_NTZ '2024-01-02 00:00:00'),
+         (3, 'a', TIMESTAMP_NTZ '2024-01-03 00:00:00')""")
+    val t2 = IcebergTables.load(s"$warehouse/db10/p")
+    // files carry partition tuples; identity pruning works through SQL
+    val pruned = t2.newScan(graft.core.Expr.equalTo("cat", graft.core.StrLit("a")))
+      .planFiles()
+    assert(pruned.nonEmpty && pruned.size < t2.newScan().planFiles().size)
+    assert(spark.sql("SELECT count(*) FROM graft.db10.p WHERE cat = 'a'")
+      .collect()(0).getLong(0) == 2)
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
