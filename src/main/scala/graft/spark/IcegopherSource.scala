@@ -65,13 +65,33 @@ class IcegopherSource extends TableProvider
 final class GraftSparkTable(table: IcebergTable,
                             pinnedSnapshotId: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE / non-pushable DELETE → copy-on-write rewrite of
+    * only the affected files (see [[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(table.location, info.command())
 
   private def activeSchema: graft.core.Schema = pinnedSnapshotId
     .flatMap(table.metadata.snapshotById)
     .flatMap(_.schemaId)
     .flatMap(table.metadata.schemaById)
     .getOrElse(table.schema)
+
+  /** `_file` metadata column (per-row source data file): selectable as
+    * `SELECT _file, * FROM t` and the group coordinate for copy-on-write
+    * row-level operations. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftReaders.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "path of the data file the row lives in"
+    })
 
   /** DELETE FROM ... WHERE: committed as positional merge-on-read delete
     * files — no data rewrite. Only fully-convertible predicates are
@@ -315,35 +335,59 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   /** Runtime filters (dynamic partition pruning / runtime group filtering):
     * Spark hands us the join-side values after build-side execution; we AND
     * them into the scan filter and re-plan the file set before any task
-    * launches. Metadata-only — no data read to prune. */
+    * launches. Metadata-only — no data read to prune. Filters on the
+    * `_file` metadata column restrict the file set directly (the group
+    * filter of copy-on-write row-level operations). */
   private var runtimeFilter: BooleanExpression = AlwaysTrue
+  private var filePathFilter: Option[Set[String]] = None
 
-  override def filterAttributes(): Array[NamedReference] =
-    table.spec.fields.flatMap { pf =>
+  override def filterAttributes(): Array[NamedReference] = {
+    val partCols = table.spec.fields.flatMap { pf =>
       table.schema.findFieldById(pf.sourceId).map(f =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
-    }.toArray
+    }
+    (partCols :+
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftReaders.FileCol)).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val converted = filters.flatMap(FilterConv.fromSparkFilter)
-    if (converted.nonEmpty) {
-      runtimeFilter = converted.reduce(CoreAnd(_, _))
+    import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
+    val (fileFilters, rest) =
+      filters.partition(_.references.contains(GraftReaders.FileCol))
+    val paths = fileFilters.collect {
+      case SIn(c, vs) if c == GraftReaders.FileCol =>
+        vs.map(String.valueOf(_: Any)).toSet
+      case SEq(c, v) if c == GraftReaders.FileCol => Set(String.valueOf(v))
+    }.reduceOption(_ intersect _)
+    val converted = rest.flatMap(FilterConv.fromSparkFilter)
+    if (paths.isDefined || converted.nonEmpty) {
+      paths.foreach(p => filePathFilter = Some(p))
+      if (converted.nonEmpty) runtimeFilter = converted.reduce(CoreAnd(_, _))
       plannedTasks = null // re-plan with the tighter filter
     }
   }
 
   @volatile private var plannedTasks: Seq[FileScanTask] = _
   private def tasks: Seq[FileScanTask] = {
-    if (plannedTasks == null)
-      plannedTasks = table.newScan(CoreAnd(filter, runtimeFilter) match {
+    if (plannedTasks == null) {
+      val planned = table.newScan(CoreAnd(filter, runtimeFilter) match {
         case CoreAnd(AlwaysTrue, AlwaysTrue) => AlwaysTrue
         case CoreAnd(l, AlwaysTrue) => l
         case CoreAnd(AlwaysTrue, r) => r
         case e => e
       }, snapshotId = snapshotId, ref = branch,
         asOfTimestampMs = asOf).planFiles()
+      plannedTasks = filePathFilter match {
+        case Some(paths) => planned.filter(t => paths.contains(t.file.path))
+        case None => planned
+      }
+    }
     plannedTasks
   }
+
+  /** Data files this scan reads (post runtime filtering) — the group set a
+    * copy-on-write row-level commit replaces. */
+  private[spark] def scannedFilePaths: Seq[String] = tasks.map(_.file.path)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -383,8 +427,10 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       math.min(confMax, math.max(openCost, totalBytes / math.max(1, parallelism)))
     }
     // columnar-ness must be uniform across the scan (Spark refuses mixed
-    // partitions), so it's decided here for the whole file set
-    val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty)
+    // partitions), so it's decided here for the whole file set; `_file`
+    // projection rides the row path
+    val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
+      !required.fieldNames.contains(GraftReaders.FileCol)
     tasks.flatMap { t =>
       val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
         .map(_.path)
@@ -407,7 +453,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   private lazy val fullSpark = SchemaConv.toSparkSchema(table.schema)
 
   private def readerSchema(needRowIndex: Boolean, eq: Seq[EqDelete]): StructType = {
-    var s = required
+    // `_file` is synthesized by the reader, never read from parquet
+    var s = StructType(required.fields.filterNot(_.name == GraftReaders.FileCol))
     eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
       s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
     }
@@ -473,6 +520,9 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 
 /** Shared plumbing for Spark's vectorized parquet reader. */
 private[spark] object GraftReaders {
+  /** Metadata column name for per-row file provenance. */
+  val FileCol: String = "_file"
+
   /** Spark's temporary metadata column name: when present in the requested
     * schema, `VectorizedParquetRecordReader` fills it with the row's
     * position in the FILE (correct across row groups and splits) — exactly
@@ -551,9 +601,15 @@ final class GraftRowReader(p: GraftInputPartition)
     }
 
   private val project: UnsafeProjection = UnsafeProjection.create(
-    required.fields.map(f =>
-      BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
-        : org.apache.spark.sql.catalyst.expressions.Expression).toIndexedSeq)
+    required.fields.map { f =>
+      if (f.name == GraftReaders.FileCol)
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.path), StringType)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      else
+        BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+    }.toIndexedSeq)
 
   private var current: InternalRow = _
   private var emitted = 0L

@@ -228,6 +228,75 @@ object TableWriter {
     append(afterDelete, rows)
   }
 
+  /** Copy-on-write commit for row-level operations: atomically swap
+    * `removedPaths` for `added` files in one OVERWRITE snapshot. Kept data
+    * files carry over as EXISTING entries with their original sequence
+    * numbers (so older positional deletes still apply to them); delete
+    * manifests carry over untouched — tombstones referencing removed files
+    * are inert (their file_path bounds can't match the new files).
+    *
+    * Restriction: partitioned tables are refused — replacement files are
+    * written without hive partition derivation, which would silently break
+    * partition pruning. */
+  def replaceFiles(location: String, removedPaths: Set[String],
+                   added: Seq[File]): IcebergTable = {
+    val table = IcebergTables.load(location)
+    require(table.spec.isUnpartitioned,
+      "copy-on-write row-level operations require an unpartitioned table " +
+        "(use deleteWhere/updateWhere MoR paths for partitioned tables)")
+    val md = table.metadata
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+
+    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    }
+    val (dataManifests, deleteManifests) = prevManifests.partition(_.content == 0)
+    val keptEntries = dataManifests
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+      .filterNot(e => removedPaths.contains(e.dataFile.path))
+      .map(e => e.copy(status = ManifestEntryStatus.Existing))
+    val addedEntries = added.map { f =>
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
+        statsFromFooter(f, table.schema, Map.empty, DataFileContent.Data, None))
+    }
+
+    val partType = table.spec.partitionType(table.schema)
+    val entries = keptEntries ++ addedEntries
+    val manifestFile = new File(metaDir, s"manifest-cow-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, entries, partType)
+    val newManifest = ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = table.spec.specId, content = 0,
+      sequenceNumber = seq, minSequenceNumber =
+        entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+      addedSnapshotId = snapId,
+      addedFilesCount = addedEntries.size, existingFilesCount = keptEntries.size,
+      deletedFilesCount = 0,
+      addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
+      existingRowsCount = keptEntries.map(_.dataFile.recordCount).sum,
+      deletedRowsCount = 0,
+      partitions = partitionSummaries(entries, partType), formatVersion = 2)
+
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, deleteManifests :+ newManifest)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath, Some(SnapshotSummary(OpOverwrite,
+        Map("replaced-data-files" -> removedPaths.size.toString,
+          "added-data-files" -> addedEntries.size.toString))),
+      Some(table.schema.schemaId))
+    writeMetadata(location, md.copy(
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef))),
+      currentVersion(location) + 1)
+    IcebergTables.load(location)
+  }
+
   /** Compaction: rewrite the current snapshot's live rows (MoR deletes
     * applied) into `targetFiles` fresh files and commit a REPLACE snapshot.
     * The rewrite is one distributed pass; small-file pressure and delete

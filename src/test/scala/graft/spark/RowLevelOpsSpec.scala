@@ -1,0 +1,101 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL UPDATE / MERGE / complex DELETE via copy-on-write row-level
+  * operations, plus the `_file` metadata column they ride on. */
+class RowLevelOpsSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft_rlo_wh").toFile.getPath
+
+  private lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.rlo")
+    s
+  }
+
+  test("_file metadata column is selectable and file-accurate") {
+    spark.sql("CREATE TABLE graft.rlo.f (id BIGINT)")
+    spark.sql("INSERT INTO graft.rlo.f VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.rlo.f VALUES (3)")
+    val rows = spark.sql("SELECT id, _file FROM graft.rlo.f").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(3L) != rows(1L), "second commit is a different file")
+    // _file values are exactly the planned data files
+    val planned = IcebergTables.load(s"$warehouse/rlo/f")
+      .newScan().planFiles().map(_.file.path).toSet
+    assert(rows.values.toSet == planned)
+  }
+
+  test("SQL UPDATE rewrites only affected files") {
+    spark.sql("CREATE TABLE graft.rlo.u (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rlo.u VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    spark.sql("INSERT INTO graft.rlo.u VALUES (3, 'b', 30.0)")
+    val before = spark.sql("SELECT DISTINCT _file FROM graft.rlo.u WHERE id = 3")
+      .collect()(0).getString(0)
+    val untouched = spark.sql("SELECT DISTINCT _file FROM graft.rlo.u WHERE id = 1")
+      .collect()(0).getString(0)
+
+    spark.sql("UPDATE graft.rlo.u SET v = v * 2 WHERE id = 3")
+
+    val got = spark.sql("SELECT id, v FROM graft.rlo.u ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 60.0)))
+    // the file containing id=1,2 was not rewritten (group filtering)
+    val after1 = spark.sql("SELECT DISTINCT _file FROM graft.rlo.u WHERE id = 1")
+      .collect()(0).getString(0)
+    assert(after1 == untouched, "unaffected file must not be rewritten")
+    val after3 = spark.sql("SELECT DISTINCT _file FROM graft.rlo.u WHERE id = 3")
+      .collect()(0).getString(0)
+    assert(after3 != before, "affected file must be replaced")
+    // history records an overwrite commit
+    val t = IcebergTables.load(s"$warehouse/rlo/u")
+    assert(t.currentSnapshot.flatMap(_.summary).map(_.operation)
+      .contains(graft.core.OpOverwrite))
+  }
+
+  test("MERGE INTO updates matches and inserts the rest") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.rlo.m (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.rlo.m VALUES (1, 'old'), (2, 'keep')")
+    Seq((1L, "new"), (3L, "ins")).toDF("id", "name")
+      .createOrReplaceTempView("updates")
+
+    spark.sql(
+      """MERGE INTO graft.rlo.m t USING updates s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET t.name = s.name
+         WHEN NOT MATCHED THEN INSERT *""")
+
+    val got = spark.sql("SELECT id, name FROM graft.rlo.m ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("non-pushable DELETE falls back to copy-on-write and stays exact") {
+    spark.sql("CREATE TABLE graft.rlo.d (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.rlo.d VALUES (1, 'aax'), (2, 'bbb'), (3, 'aay')")
+    // LIKE is not convertible by FilterConv → SupportsDelete refuses it and
+    // Spark routes through the row-level rewrite
+    spark.sql("DELETE FROM graft.rlo.d WHERE s LIKE '%a_'")
+    val got = spark.sql("SELECT id FROM graft.rlo.d ORDER BY id").collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("UPDATE preserves time travel to the pre-update snapshot") {
+    spark.sql("CREATE TABLE graft.rlo.tt (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rlo.tt VALUES (1, 1.0), (2, 2.0)")
+    val snap = IcebergTables.load(s"$warehouse/rlo/tt").currentSnapshot.get.snapshotId
+    spark.sql("UPDATE graft.rlo.tt SET v = 9.0 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM graft.rlo.tt WHERE id = 1")
+      .collect()(0).getDouble(0) == 9.0)
+    assert(spark.sql(s"SELECT v FROM graft.rlo.tt VERSION AS OF $snap WHERE id = 1")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+}
