@@ -41,9 +41,11 @@ object SparkEntry {
     "t07_top_trigrams" -> (T.t07TopTrigrams _),
     "t08_length_histogram" -> (T.t08LengthHistogram _),
     "t09_hash_sample" -> (T.t09HashSample _),
+    "t10_lang_id" -> (T.t10LangId _),
     "d01_minhash_lsh" -> (Dedup.d01MinhashLsh _),
     "d02_simhash_pairs" -> ((s, d) => Dedup.d02SimhashPairs(s, d)),
     "d03_ngram_jaccard" -> ((s, d) => Dedup.d03NgramJaccard(s, d)),
+    "d04_embedding_neardup" -> ((s, d) => Dedup.d04EmbeddingNearDup(s, d)),
     "ann01_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann02_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "mm01_binary_stats" -> (Multimodal.mm01BinaryStats _),
@@ -91,7 +93,9 @@ object SparkEntry {
     "t07_top_trigrams" -> T.t07Sql,
     "t08_length_histogram" -> T.t08Sql,
     "t09_hash_sample" -> T.t09Sql,
+    "t10_lang_id" -> T.t10Sql,
     "d03_ngram_jaccard" -> Dedup.d03Sql,
+    "d04_embedding_neardup" -> Dedup.d04Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
     "ice01_scan_filter" -> I.ice01Sql,

@@ -173,6 +173,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-duplicates, exact over a bounded id range (the
+    * oracle-checkable verify shape, like d03): all pairs with cosine ≥
+    * `minCos`, cosine computed in double with a fixed left-fold order on
+    * BOTH engines and rounded to 6 decimals so the threshold compare is
+    * engine-stable. The unbounded scale path is the same computation behind
+    * the LSH banding of [[graft.queries.Similarity.annLsh]]. */
+  def d04EmbeddingNearDup(s: SparkSession, d: String, maxId: Int = 60,
+                          minCos: Double = 0.2): DataFrame = {
+    import graft.queries.Similarity.dot
+    val vecs = Tables.embeddings(s, d).filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("norm").as("n_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("norm").as("n_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos_r"))
+      .filter(col("cos_r") >= minCos)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d04Sql: String =
+    """WITH v AS (
+         SELECT vec_id, embedding,
+                sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  for i in range(1, len(embedding)+1)])) AS norm
+         FROM embeddings WHERE vec_id < 60)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                for i in range(1, len(a.embedding)+1)]) / (a.norm * b.norm), 6) AS cos_r
+       FROM v a, v b
+       WHERE a.vec_id < b.vec_id
+         AND ROUND(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+           for i in range(1, len(a.embedding)+1)]) / (a.norm * b.norm), 6) >= 0.2
+       ORDER BY id_a, id_b"""
+
   val d03Sql: String =
     """WITH sh AS (
          SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,43 @@ object TextOps {
        FROM documents
        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT) % 10 < 2
        GROUP BY lang ORDER BY lang"""
+
+  /** Language identification: score each document against per-language
+    * stopword profiles (the cheap n-gram/stopword heuristic production
+    * pipelines run before a real classifier); argmax with a fixed
+    * tie-break order. Purely codegen'd set-membership counting —
+    * embarrassingly parallel at any scale. */
+  def t10LangId(s: SparkSession, d: String): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      size(expr(s"filter(split(lower(text), ' '), x -> x IN (${
+        words.map(w => s"'$w'").mkString(", ")}))")).cast("long")
+    val en = hits(Seq("the", "and", "of", "to", "a"))
+    val de = hits(Seq("der", "und", "die", "das", "ein"))
+    val fr = hits(Seq("le", "la", "et", "les", "des"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), en.as("n_en"), de.as("n_de"), fr.as("n_fr"))
+      .withColumn("lang_guess",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr"), "en")
+          .when(col("n_de") >= col("n_fr"), "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    """SELECT doc_id,
+       LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','a'))) AS n_en,
+       LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('der','und','die','das','ein'))) AS n_de,
+       LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des'))) AS n_fr,
+       CASE WHEN LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','a')))
+                 >= LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('der','und','die','das','ein')))
+             AND LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','a')))
+                 >= LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des')))
+            THEN 'en'
+            WHEN LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('der','und','die','das','ein')))
+                 >= LEN(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des')))
+            THEN 'de'
+            ELSE 'fr' END AS lang_guess
+       FROM documents ORDER BY doc_id"""
 
   /** N-gram extraction: top character trigrams per language (the feature
     * a real n-gram language-ID model trains on). explode → count → top-k
