@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Literal => IceLiteral, _}
 
 /** Copy-on-write row-level operations: SQL UPDATE / MERGE / (non-pushable)
   * DELETE.
@@ -23,6 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * files for the newly written ones. Untouched files are never read or
   * rewritten; without group filtering the rewrite degrades to a full-table
   * copy, which is slower but still correct.
+  *
+  * Partitioned tables work: each write task derives the partition tuple per
+  * row with the core transforms and keeps one open file per partition
+  * value, and the commit records the tuples in the manifest (scans resolve
+  * files from manifests, so no hive directory layout is needed).
   *
   * (Pushable DELETEs never get here — `SupportsDelete` commits merge-on-
   * read tombstones without touching data.) */
@@ -82,40 +88,56 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     writeDir.mkdirs()
-    GraftCowWriterFactory(writeDir.getPath, writeSchema.json)
+    val table = IcebergTables.load(location)
+    val partFields = table.spec.fields.map { pf =>
+      val src = table.schema.findFieldById(pf.sourceId).getOrElse(
+        throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
+      PartFieldSpec(src.name, pf.transform.repr, pf.name)
+    }
+    GraftCowWriterFactory(writeDir.getPath, writeSchema.json, partFields)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.collect { case m: GraftCowCommit if m.rows > 0 =>
-      new File(m.path)
-    }
+    val added = messages.collect { case m: GraftCowCommit => m.files }.flatten
     TableWriter.replaceFiles(location, replacedFiles().toSet, added.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.collect { case m: GraftCowCommit => new File(m.path).delete() }
+    messages.collect { case m: GraftCowCommit =>
+      m.files.foreach(f => new File(f.path).delete())
+    }
     writeDir.delete()
   }
 }
 
-final case class GraftCowCommit(path: String, rows: Long) extends WriterCommitMessage
+/** One partition field of the write: source column, transform repr, name. */
+final case class PartFieldSpec(srcCol: String, transformRepr: String,
+                               partName: String)
 
-final case class GraftCowWriterFactory(dir: String, schemaJson: String)
+final case class CowFileOut(path: String, rows: Long,
+                            partition: Map[String, Any])
+
+final case class GraftCowCommit(files: Seq[CowFileOut]) extends WriterCommitMessage
+
+final case class GraftCowWriterFactory(dir: String, schemaJson: String,
+                                       partFields: Seq[PartFieldSpec])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
-      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields)
 }
 
-/** One parquet file per task, written through Spark's ParquetWriteSupport
-  * (same encoding as Spark's own parquet sink). */
+/** Parquet writing through Spark's ParquetWriteSupport (same encoding as
+  * Spark's own parquet sink), one open file per partition tuple seen by
+  * this task. Partition tuples are derived per row with the CORE transforms
+  * (bucket/truncate/day/... exactly as the spec defines them) and shipped
+  * to the driver in the commit message — manifests carry them, so reads
+  * prune correctly without a hive directory layout. */
 final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
-                               schema: StructType)
+                               schema: StructType, partFields: Seq[PartFieldSpec])
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-
-  private val file = new File(dir, f"part-$partitionId%05d-$taskId.parquet")
 
   private val conf = {
     val c = new Configuration()
@@ -140,20 +162,82 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       new ParquetWriteSupport()
   }
 
-  private lazy val writer: ParquetWriter[InternalRow] =
-    new B(new Path(file.getPath)).withConf(conf).build()
-  private var rows = 0L
+  private case class Sink(file: File, writer: ParquetWriter[InternalRow],
+                          partition: Map[String, Any]) { var rows = 0L }
 
-  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+  // one sink per partition tuple this task sees (empty tuple when
+  // unpartitioned → exactly one file)
+  private val sinks = scala.collection.mutable.LinkedHashMap[Seq[Any], Sink]()
+  private val resolved = partFields.map { pf =>
+    val ord = schema.fieldIndex(pf.srcCol)
+    (pf, ord, schema(ord).dataType, Transform.parse(pf.transformRepr))
+  }
+
+  private def toIceLiteral(raw: Any, dt: DataType): Option[IceLiteral] = raw match {
+    case null => None
+    case i: java.lang.Integer => Some(dt match {
+      case DateType => DateLit(i)
+      case _ => IntLit(i)
+    })
+    case l: java.lang.Long => Some(dt match {
+      case TimestampType | TimestampNTZType => TsLit(l)
+      case _ => LongLit(l)
+    })
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(StrLit(u.toString))
+    case s: String => Some(StrLit(s))
+    case b: java.lang.Boolean => Some(BoolLit(b))
+    case f: java.lang.Float => Some(FloatLit(f))
+    case d: java.lang.Double => Some(DoubleLit(d))
+    case d: org.apache.spark.sql.types.Decimal => dt match {
+      case t: DecimalType =>
+        Some(DecLit(BigInt(d.toJavaBigDecimal.unscaledValue()), t.scale))
+      case _ => None
+    }
+    case other => throw new UnsupportedOperationException(
+      s"partition source value $other (${other.getClass}) unsupported")
+  }
+
+  private def literalToAvro(l: IceLiteral): Any = l match {
+    case IntLit(v) => Integer.valueOf(v)
+    case LongLit(v) => java.lang.Long.valueOf(v)
+    case DateLit(v) => Integer.valueOf(v)
+    case TsLit(v) => java.lang.Long.valueOf(v)
+    case TimeLit(v) => java.lang.Long.valueOf(v)
+    case StrLit(v) => v
+    case BoolLit(v) => java.lang.Boolean.valueOf(v)
+    case FloatLit(v) => java.lang.Float.valueOf(v)
+    case DoubleLit(v) => java.lang.Double.valueOf(v)
+    case other => other.toBytes
+  }
+
+  private def partitionOf(row: InternalRow): Map[String, Any] =
+    resolved.map { case (pf, ord, dt, transform) =>
+      val lit = if (row.isNullAt(ord)) None else toIceLiteral(row.get(ord, dt), dt)
+      pf.partName -> lit.flatMap(l => transform.apply(Some(l)))
+        .map(literalToAvro).orNull
+    }.toMap
+
+  override def write(row: InternalRow): Unit = {
+    val partition = partitionOf(row)
+    val key = resolved.map { case (pf, _, _, _) => partition(pf.partName) }
+    val sink = sinks.getOrElseUpdate(key, {
+      val f = new File(dir, f"part-$partitionId%05d-$taskId-${sinks.size}%03d.parquet")
+      Sink(f, new B(new Path(f.getPath)).withConf(conf).build(), partition)
+    })
+    sink.writer.write(row)
+    sink.rows += 1
+  }
 
   override def commit(): WriterCommitMessage = {
-    if (rows > 0) writer.close()
-    GraftCowCommit(file.getPath, rows)
+    sinks.values.foreach(_.writer.close())
+    GraftCowCommit(sinks.values.toSeq.filter(_.rows > 0)
+      .map(s => CowFileOut(s.file.getPath, s.rows, s.partition)))
   }
 
-  override def abort(): Unit = {
-    try if (rows > 0) writer.close() finally file.delete()
-  }
+  override def abort(): Unit =
+    sinks.values.foreach { s =>
+      try s.writer.close() finally s.file.delete()
+    }
 
   override def close(): Unit = ()
 }

@@ -229,21 +229,15 @@ object TableWriter {
   }
 
   /** Copy-on-write commit for row-level operations: atomically swap
-    * `removedPaths` for `added` files in one OVERWRITE snapshot. Kept data
-    * files carry over as EXISTING entries with their original sequence
+    * `removedPaths` for `added` files (each with its partition tuple, as
+    * derived row-wise by the task writers) in one OVERWRITE snapshot. Kept
+    * data files carry over as EXISTING entries with their original sequence
     * numbers (so older positional deletes still apply to them); delete
     * manifests carry over untouched — tombstones referencing removed files
-    * are inert (their file_path bounds can't match the new files).
-    *
-    * Restriction: partitioned tables are refused — replacement files are
-    * written without hive partition derivation, which would silently break
-    * partition pruning. */
+    * are inert (their file_path bounds can't match the new files). */
   def replaceFiles(location: String, removedPaths: Set[String],
-                   added: Seq[File]): IcebergTable = {
+                   added: Seq[graft.spark.CowFileOut]): IcebergTable = {
     val table = IcebergTables.load(location)
-    require(table.spec.isUnpartitioned,
-      "copy-on-write row-level operations require an unpartitioned table " +
-        "(use deleteWhere/updateWhere MoR paths for partitioned tables)")
     val md = table.metadata
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
@@ -259,7 +253,8 @@ object TableWriter {
       .map(e => e.copy(status = ManifestEntryStatus.Existing))
     val addedEntries = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
-        statsFromFooter(f, table.schema, Map.empty, DataFileContent.Data, None))
+        statsFromFooter(new File(f.path), table.schema,
+          f.partition.filter(_._2 != null), DataFileContent.Data, None))
     }
 
     val partType = table.spec.partitionType(table.schema)

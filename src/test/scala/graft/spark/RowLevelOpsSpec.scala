@@ -88,6 +88,41 @@ class RowLevelOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L))
   }
 
+  test("UPDATE on a partitioned table keeps partition tuples and pruning") {
+    spark.sql(
+      """CREATE TABLE graft.rlo.p (id BIGINT, cat STRING, v DOUBLE)
+         PARTITIONED BY (cat)""")
+    spark.sql(
+      """INSERT INTO graft.rlo.p VALUES
+         (1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0), (4, 'c', 4.0)""")
+    spark.sql("UPDATE graft.rlo.p SET v = v + 100 WHERE id = 2")
+
+    val got = spark.sql("SELECT id, v FROM graft.rlo.p ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 102.0), (3L, 3.0), (4L, 4.0)))
+    // replacement files carry their partition tuple → pruning still exact
+    val t = IcebergTables.load(s"$warehouse/rlo/p")
+    val aFiles = t.newScan(graft.core.Expr.equalTo("cat", graft.core.StrLit("a")))
+      .planFiles()
+    assert(aFiles.nonEmpty && aFiles.forall(_.file.partition("cat") == "a"))
+    assert(aFiles.size < t.newScan().planFiles().size)
+    assert(spark.sql("SELECT count(*) FROM graft.rlo.p WHERE cat = 'a'")
+      .collect()(0).getLong(0) == 2)
+
+    // MERGE on the partitioned table too (update + cross-partition insert)
+    import spark.implicits._
+    Seq((3L, "b", 30.0), (9L, "d", 9.0)).toDF("id", "cat", "v")
+      .createOrReplaceTempView("pm")
+    spark.sql(
+      """MERGE INTO graft.rlo.p t USING pm s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET t.v = s.v
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM graft.rlo.p WHERE id = 3")
+      .collect()(0).getDouble(0) == 30.0)
+    assert(spark.sql("SELECT count(*) FROM graft.rlo.p WHERE cat = 'd'")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("UPDATE preserves time travel to the pre-update snapshot") {
     spark.sql("CREATE TABLE graft.rlo.tt (id BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO graft.rlo.tt VALUES (1, 1.0), (2, 2.0)")
