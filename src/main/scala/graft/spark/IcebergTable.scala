@@ -16,6 +16,13 @@ import graft.core._
 final class IcebergTable(val location: String, val metadataPath: String,
                          val metadata: TableMetadata, val io: FileIO) {
 
+  /** Metadata version this table was loaded at — commits pin their CAS to
+    * `loadedVersion + 1`, so a writer holding stale state conflicts instead
+    * of silently dropping a concurrent commit. */
+  def loadedVersion: Int =
+    "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(metadataPath)
+      .map(_.group(1).toInt).getOrElse(0)
+
   def schema: Schema = metadata.currentSchema
   def spec: PartitionSpec = metadata.partitionSpec
   def sortOrder: SortOrder = metadata.sortOrder

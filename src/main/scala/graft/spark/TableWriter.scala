@@ -63,7 +63,7 @@ object TableWriter {
     * manifest list starts empty — previous files remain reachable only
     * through time travel. */
   def overwrite(table: IcebergTable, df: DataFrame): IcebergTable = {
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     val t = commit(df, table.location, table.schema, table.spec, table.properties,
       version, table.currentSnapshot, Nil, Nil,
       table.metadata.lastSequenceNumber + 1)
@@ -79,7 +79,7 @@ object TableWriter {
     val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     }
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     commit(df, table.location, table.schema, table.spec, table.properties,
       version, table.currentSnapshot, Nil, prevManifests,
       table.metadata.lastSequenceNumber + 1)
@@ -91,7 +91,7 @@ object TableWriter {
                   predicate: Column): IcebergTable = {
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val delDir = new File(table.location, s"data/deletes-$snapId")
 
@@ -154,7 +154,7 @@ object TableWriter {
                      equalityCols: Seq[String]): IcebergTable = {
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val delDir = new File(table.location, s"data/eqdeletes-$snapId")
     keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.getPath)
@@ -300,7 +300,7 @@ object TableWriter {
               targetFiles: Int = 0): IcebergTable = {
     var df = table.newScan().toDF(spark)
     if (targetFiles > 0) df = df.repartition(targetFiles)
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     val committed = commit(df, table.location, table.schema, table.spec,
       table.properties, version, table.currentSnapshot,
       Nil, Nil, // replace: the new manifest list carries ONLY the new files
@@ -324,7 +324,7 @@ object TableWriter {
     val newSchema = Schema(md.currentSchemaId + 1,
       StructT(md.currentSchema.fields :+ NestedField(newId, name, colType, required = false, doc)),
       md.currentSchema.identifierFieldIds)
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     writeMetadata(table.location, md.copy(
       lastColumnId = newId,
       schemas = md.schemas :+ newSchema,
@@ -336,10 +336,63 @@ object TableWriter {
   /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
   def updateProperties(table: IcebergTable, set: Map[String, String],
                        unset: Seq[String] = Nil): IcebergTable = {
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     writeMetadata(table.location, table.metadata.copy(
       properties = table.metadata.properties ++ set -- unset,
       lastUpdatedMs = System.currentTimeMillis()), version)
+    IcebergTables.load(table.location)
+  }
+
+  /** Roll `main` back to an earlier snapshot (metadata-only): the current
+    * pointer moves, history is preserved, rolled-back snapshots stay
+    * reachable by id until expired. */
+  def rollbackTo(table: IcebergTable, snapshotId: Long): IcebergTable = {
+    val md = table.metadata
+    require(md.snapshotById(snapshotId).isDefined, s"snapshot $snapshotId not found")
+    val now = System.currentTimeMillis()
+    writeMetadata(table.location, md.copy(
+      currentSnapshotId = Some(snapshotId),
+      lastUpdatedMs = now,
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapshotId, BranchRef))), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Expire snapshots older than `olderThanMs`, always retaining the
+    * current snapshot, the newest `retainLast`, and every ref target.
+    * Metadata-only by default; with `deleteFiles` the data/manifest files
+    * reachable ONLY from expired snapshots are removed from disk. */
+  def expireSnapshots(table: IcebergTable, olderThanMs: Long,
+                      retainLast: Int = 1,
+                      deleteFiles: Boolean = false): IcebergTable = {
+    val md = table.metadata
+    val keepIds: Set[Long] =
+      md.currentSnapshotId.toSet ++
+        md.refs.values.map(_.snapshotId) ++
+        md.snapshots.sortBy(-_.timestampMs).take(math.max(1, retainLast))
+          .map(_.snapshotId)
+    val (kept, expired) = md.snapshots.partition(s =>
+      keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+    if (expired.isEmpty) return table
+
+    if (deleteFiles) {
+      def reachable(snaps: Seq[Snapshot]): Set[String] = snaps.flatMap { s =>
+        val manifests = ManifestIO.readManifestList(table.io.open(s.manifestList))
+        s.manifestList +: (manifests.map(_.path) ++ manifests.flatMap(m =>
+          ManifestIO.readManifestEntries(table.io.open(m.path), m,
+            discardDeleted = false).map(_.dataFile.path)))
+      }.toSet
+      val live = reachable(kept)
+      (reachable(expired) -- live).foreach(p => new File(p).delete())
+    }
+
+    writeMetadata(table.location, md.copy(
+      snapshots = kept,
+      snapshotLog = md.snapshotLog.filter(e =>
+        kept.exists(_.snapshotId == e.snapshotId)),
+      lastUpdatedMs = System.currentTimeMillis()),
+      table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -348,7 +401,7 @@ object TableWriter {
                 snapshotId: Option[Long] = None): IcebergTable = {
     val id = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)).getOrElse(
       throw new IllegalArgumentException("table has no snapshot to reference"))
-    val version = currentVersion(table.location) + 1
+    val version = table.loadedVersion + 1
     writeMetadata(table.location, table.metadata.copy(
       refs = table.metadata.refs + (name -> SnapshotRef(id, refType))), version)
     IcebergTables.load(table.location)
@@ -507,14 +560,29 @@ object TableWriter {
     IcebergTables.load(location)
   }
 
+  /** Thrown when another writer committed the same version first —
+    * optimistic concurrency, the caller may reload + retry. */
+  final class CommitConflictException(version: Int, location: String)
+    extends RuntimeException(
+      s"metadata version $version of $location was committed concurrently")
+
   private def writeMetadata(location: String, md: TableMetadata, version: Int): Unit = {
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
-    val tmp = new File(metaDir, s".v$version.metadata.json.tmp")
+    val tmp = new File(metaDir, s".v$version.metadata.json.tmp-${System.nanoTime()}")
     Files.write(tmp.toPath, md.toJson.getBytes(StandardCharsets.UTF_8))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    // atomic commit: readers see either the old or the new version
-    Files.move(tmp.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // COMPARE-AND-SWAP commit: a hard link creation is atomic and FAILS if
+    // the target exists (unlike POSIX rename, which silently replaces), so
+    // two writers racing to version N cannot clobber each other — the
+    // loser gets a CommitConflictException and can reload + retry. Readers
+    // see either the old or the new version, never a partial file.
+    try Files.createLink(dst.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw new CommitConflictException(version, location)
+    }
+    Files.deleteIfExists(tmp.toPath)
     Files.write(new File(metaDir, "version-hint.text").toPath,
       version.toString.getBytes(StandardCharsets.UTF_8))
   }

@@ -328,6 +328,61 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == src.count())
   }
 
+  test("concurrent commits at the same version conflict instead of clobbering") {
+    val loc = tmpDir("tbl_cas")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    // two writers load the SAME table state, both try to commit version 2
+    val stale = IcebergTables.load(loc)
+    TableWriter.append(t1, src) // wins
+    intercept[TableWriter.CommitConflictException] {
+      TableWriter.append(stale, src) // loser must not silently clobber
+    }
+    // the winning commit is intact
+    assert(IcebergTables.load(loc).newScan().toDF(spark).count() == 2 * src.count())
+  }
+
+  test("rollback moves main to an earlier snapshot, history preserved") {
+    val loc = tmpDir("tbl_rb")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val snap1 = t1.currentSnapshot.get.snapshotId
+    val t2 = TableWriter.append(t1, src)
+    assert(t2.newScan().toDF(spark).count() == 2 * src.count())
+
+    val t3 = TableWriter.rollbackTo(t2, snap1)
+    assert(t3.currentSnapshot.get.snapshotId == snap1)
+    assert(t3.newScan().toDF(spark).count() == src.count())
+    // the rolled-back snapshot remains reachable by id
+    val snap2 = t2.currentSnapshot.get.snapshotId
+    assert(t3.newScan(snapshotId = Some(snap2)).toDF(spark).count() == 2 * src.count())
+  }
+
+  test("expireSnapshots drops old snapshots and orphaned files") {
+    val loc = tmpDir("tbl_exp")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val firstSnap = t1.currentSnapshot.get.snapshotId
+    // overwrite: first snapshot's files become unreachable from current
+    val t2 = TableWriter.overwrite(t1, src.limit(2))
+    val firstFiles = t2.newScan(snapshotId = Some(firstSnap)).planFiles()
+      .map(_.file.path)
+    assert(firstFiles.forall(p => new java.io.File(p).exists()))
+
+    val t3 = TableWriter.expireSnapshots(t2,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1,
+      deleteFiles = true)
+    assert(t3.metadata.snapshots.map(_.snapshotId) ==
+      Seq(t2.currentSnapshot.get.snapshotId))
+    // expired snapshot no longer resolvable; its orphaned files are gone
+    intercept[IllegalArgumentException] {
+      t3.newScan(snapshotId = Some(firstSnap)).planFiles()
+    }
+    assert(firstFiles.forall(p => !new java.io.File(p).exists()))
+    // current data intact
+    assert(t3.newScan().toDF(spark).count() == 2)
+  }
+
   test("metadata tables") {
     val loc = tmpDir("tbl_meta")
     val src = spark.read.parquet(s"$sf/region.parquet")
