@@ -21,7 +21,25 @@ import graft.core.{PartitionSpec, Schema => IceSchema, SortOrder, TableMetadata}
   *
   * Reads go through [[GraftSparkTable]] (full pushdown wiring);
   * DDL surface: create (empty table), drop, rename, namespaces. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  /** `CALL graft.system.<proc>(...)` maintenance procedures. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live in the 'system' namespace, got $ident")
+    GraftProcedures.load(ident.name(), tableRef => {
+      val parts = tableRef.split('.')
+      tableDir(Identifier.of(parts.init, parts.last)).getPath
+    })
+  }
 
   private var catalogName: String = _
   private var warehouse: File = _

@@ -84,22 +84,27 @@ final class LocalRowsTable(tableName: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan with Batch {
-      override def readSchema(): StructType = tableSchema
-      override def toBatch: Batch = this
-      override def description(): String = s"$tableName [metadata table]"
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(LocalRowsPartition(rows.toArray))
-      override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-            new PartitionReader[InternalRow] {
-              private val all = p.asInstanceOf[LocalRowsPartition].rows
-              private var i = -1
-              override def next(): Boolean = { i += 1; i < all.length }
-              override def get(): InternalRow = new GenericInternalRow(all(i))
-              override def close(): Unit = ()
-            }
+    () => new LocalRowsScan(tableName, tableSchema, rows)
+}
+
+/** A one-partition Scan over driver-computed rows (metadata tables,
+  * procedure results). */
+final class LocalRowsScan(name: String, rowsSchema: StructType,
+                          rows: Seq[Array[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = rowsSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"$name [metadata rows]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LocalRowsPartition(rows.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val all = p.asInstanceOf[LocalRowsPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < all.length }
+          override def get(): InternalRow = new GenericInternalRow(all(i))
+          override def close(): Unit = ()
         }
     }
 }

@@ -1,0 +1,91 @@
+package graft.spark
+
+import java.util.Collections
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures, Iceberg-style:
+  *
+  *   CALL graft.system.rollback_to_snapshot('db.t', <snapshot_id>)
+  *   CALL graft.system.expire_snapshots('db.t', <older_than_ms>, <retain_last>)
+  *   CALL graft.system.compact('db.t', <target_files>)
+  *
+  * Each returns a one-row result summarizing the action. Table argument is
+  * a catalog-relative `db.table` identifier. */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots", "compact")
+
+  def load(name: String, resolveLocation: String => String): UnboundProcedure =
+    name match {
+      case "rollback_to_snapshot" => proc(name,
+        Seq("table" -> StringType, "snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val prev = table.currentSnapshot.map(_.snapshotId)
+        val out = TableWriter.rollbackTo(table, in.getLong(1))
+        Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+      }
+      case "expire_snapshots" => proc(name,
+        Seq("table" -> StringType, "older_than_ms" -> LongType,
+          "retain_last" -> IntegerType),
+        StructType(Seq(
+          StructField("expired_snapshots", IntegerType, nullable = false),
+          StructField("remaining_snapshots", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val before = table.metadata.snapshots.size
+        val out = TableWriter.expireSnapshots(table, in.getLong(1),
+          retainLast = in.getInt(2), deleteFiles = true)
+        val after = out.metadata.snapshots.size
+        Array[Any](before - after, after)
+      }
+      case "compact" => proc(name,
+        Seq("table" -> StringType, "target_files" -> IntegerType),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val before = table.newScan().planFiles().size
+        val out = TableWriter.compact(table,
+          org.apache.spark.sql.SparkSession.active, in.getInt(1))
+        Array[Any](before, out.newScan().planFiles().size)
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure $other")
+    }
+
+  private def proc(procName: String, params: Seq[(String, DataType)],
+                   out: StructType)(body: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft $procName"
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val values = body(input).map {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+          // procedure output must be a LocalScan (driver-side rows)
+          val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType = out
+            override def rows(): Array[InternalRow] = Array(
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(values))
+            override def description(): String = s"$procName result"
+          }
+          Collections.singletonList(scan).iterator()
+        }
+      }
+    }
+}

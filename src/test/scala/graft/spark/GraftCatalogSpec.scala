@@ -201,6 +201,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2)
   }
 
+  test("CALL procedures: rollback, expire, compact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
+    spark.sql("CREATE TABLE graft.db11.c (id BIGINT)")
+    spark.sql("INSERT INTO graft.db11.c VALUES (1), (2)")
+    val snap1 = IcebergTables.load(s"$warehouse/db11/c").currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO graft.db11.c VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM graft.db11.c").collect()(0).getLong(0) == 3)
+
+    val rb = spark.sql(
+      s"CALL graft.system.rollback_to_snapshot('db11.c', ${snap1}L)").collect()
+    assert(rb(0).getLong(1) == snap1)
+    assert(spark.sql("SELECT count(*) FROM graft.db11.c").collect()(0).getLong(0) == 2)
+
+    // compact to one file
+    spark.sql("INSERT INTO graft.db11.c VALUES (4), (5)")
+    val cp = spark.sql("CALL graft.system.compact('db11.c', 1)").collect()
+    assert(cp(0).getInt(1) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db11.c").collect()(0).getLong(0) == 4)
+
+    // expire everything but the newest snapshot
+    val horizon = System.currentTimeMillis() + 1000
+    val ex = spark.sql(
+      s"CALL graft.system.expire_snapshots('db11.c', ${horizon}L, 1)").collect()
+    assert(ex(0).getInt(1) == 1, s"remaining=${ex(0).getInt(1)}")
+    assert(spark.sql("SELECT count(*) FROM graft.db11.c").collect()(0).getLong(0) == 4)
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
