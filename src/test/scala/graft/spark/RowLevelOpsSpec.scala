@@ -123,6 +123,39 @@ class RowLevelOpsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1)
   }
 
+  test("full lifecycle: insert, MoR delete, CoW update, compact, time travel") {
+    spark.sql("CREATE TABLE graft.rlo.life (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.rlo.life VALUES
+         (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0),(5,'c',5.0)""")
+    val loc = s"$warehouse/rlo/life"
+    val snap0 = IcebergTables.load(loc).currentSnapshot.get.snapshotId
+
+    // MoR tombstone delete (pushable predicate)
+    spark.sql("DELETE FROM graft.rlo.life WHERE id = 5")
+    assert(IcebergTables.load(loc).newScan().planFiles()
+      .exists(_.deleteFiles.nonEmpty), "expected MoR tombstones")
+
+    // CoW update on a table that already carries tombstones: the rewrite
+    // reads through the deletes, so the deleted row must not resurrect
+    spark.sql("UPDATE graft.rlo.life SET v = v * 10 WHERE grp = 'a'")
+    val afterUpdate = spark.sql("SELECT id, v FROM graft.rlo.life ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(afterUpdate.toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 3.0), (4L, 4.0)))
+
+    // compaction absorbs remaining tombstones
+    spark.sql("CALL graft.system.compact('rlo.life', 1)")
+    val t = IcebergTables.load(loc)
+    assert(t.newScan().planFiles().forall(_.deleteFiles.isEmpty))
+    assert(spark.sql("SELECT CAST(sum(v) AS DOUBLE) FROM graft.rlo.life")
+      .collect()(0).getDouble(0) == 37.0)
+
+    // every historical state still resolves exactly
+    assert(spark.sql(s"SELECT count(*) FROM graft.rlo.life VERSION AS OF $snap0")
+      .collect()(0).getLong(0) == 5)
+  }
+
   test("UPDATE preserves time travel to the pre-update snapshot") {
     spark.sql("CREATE TABLE graft.rlo.tt (id BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO graft.rlo.tt VALUES (1, 1.0), (2, 2.0)")
