@@ -22,7 +22,26 @@ import graft.core.{PartitionSpec, Schema => IceSchema, SortOrder, TableMetadata}
   * Reads go through [[GraftSparkTable]] (full pushdown wiring);
   * DDL surface: create (empty table), drop, rename, namespaces. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  /** Partition-transform functions: SQL-callable and REQUIRED for
+    * storage-partitioned joins (Spark resolves a table's reported
+    * transforms against its catalog's functions). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      graft.spark.functions.GraftFunctions.Names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!ok || !graft.spark.functions.GraftFunctions.Names.contains(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    graft.spark.functions.GraftFunctions.load(ident.name())
+  }
 
   /** `CALL graft.system.<proc>(...)` maintenance procedures. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -1,0 +1,115 @@
+package graft.spark.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+import graft.core.Murmur3
+
+/** DataSource V2 function catalog surface for the Iceberg partition
+  * transforms. Two jobs:
+  *
+  *  1. SQL access: `SELECT graft.system.bucket(16, id)` etc.
+  *  2. Storage-partitioned joins: Spark resolves a table's reported
+  *     `bucket/years/months/days/hours` partition transforms against the
+  *     owning catalog's FunctionCatalog — without these bindings,
+  *     KeyGroupedPartitioning over transform-partitioned tables cannot be
+  *     planned and co-partitioned joins fall back to shuffles.
+  *
+  * Semantics are the spec transforms (bucket = murmur3_x86_32 of the
+  * single-value encoding, temporal = offsets from 1970), byte-identical to
+  * the write path's [[IcebergBucketExpr]] / core transforms. */
+object GraftFunctions {
+
+  val Names: Seq[String] = Seq("bucket", "years", "months", "days", "hours")
+
+  def load(name: String): UnboundFunction = name match {
+    case "bucket" => BucketFunction
+    case "years" | "months" | "days" | "hours" => new TimeFunction(name)
+    case other => throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col): Iceberg bucket transform (murmur3 of the single-value encoding)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 2, "bucket takes (numBuckets, value)")
+      val valueType = inputType(1).dataType
+      valueType match {
+        case IntegerType | LongType | DateType | TimestampType |
+             TimestampNTZType | StringType | BinaryType | _: DecimalType =>
+        case other =>
+          throw new UnsupportedOperationException(s"bucket over $other")
+      }
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String =
+          s"graft.bucket(${valueType.catalogString})"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          val hash = valueType match {
+            case IntegerType | DateType => IcebergBucketExpr.hashLong(input.getInt(1).toLong)
+            case LongType | TimestampType | TimestampNTZType =>
+              IcebergBucketExpr.hashLong(input.getLong(1))
+            case StringType => Murmur3.hashBytes(input.getUTF8String(1).getBytes, 0)
+            case BinaryType => Murmur3.hashBytes(input.getBinary(1), 0)
+            case d: DecimalType => Murmur3.hashBytes(
+              input.getDecimal(1, d.precision, d.scale)
+                .toJavaBigDecimal.unscaledValue().toByteArray, 0)
+          }
+          (hash & Int.MaxValue) % n
+        }
+      }
+    }
+  }
+
+  /** years/months/days/hours over date/timestamp, spec semantics (offsets
+    * from 1970-01-01; days of a date is the date's epoch-day ordinal). */
+  final class TimeFunction(fn: String) extends UnboundFunction {
+    override def name(): String = fn
+    override def description(): String = s"$fn(col): Iceberg $fn transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 1, s"$fn takes one argument")
+      val valueType = inputType(0).dataType
+      val fromMicros: Long => Int = {
+        val micosPerDay = 86400L * 1000000L
+        def epochDay(us: Long): Long = Math.floorDiv(us, micosPerDay)
+        fn match {
+          case "days" => us => epochDay(us).toInt
+          case "hours" => us => Math.floorDiv(us, 3600L * 1000000L).toInt
+          case "months" | "years" => us =>
+            val d = java.time.LocalDate.ofEpochDay(epochDay(us))
+            if (fn == "years") d.getYear - 1970
+            else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+        }
+      }
+      val fromDays: Int => Int = fn match {
+        case "days" => d => d
+        case "hours" => _ => throw new UnsupportedOperationException("hours(date)")
+        case "months" | "years" => days =>
+          val d = java.time.LocalDate.ofEpochDay(days.toLong)
+          if (fn == "years") d.getYear - 1970
+          else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      }
+      valueType match {
+        case DateType | TimestampType | TimestampNTZType =>
+        case other => throw new UnsupportedOperationException(s"$fn over $other")
+      }
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(valueType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = fn
+        override def canonicalName(): String = s"graft.$fn(${valueType.catalogString})"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = valueType match {
+          case DateType => fromDays(input.getInt(0))
+          case _ => fromMicros(input.getLong(0))
+        }
+      }
+    }
+  }
+}

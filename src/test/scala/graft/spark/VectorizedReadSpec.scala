@@ -161,6 +161,56 @@ class VectorizedReadSpec extends AnyFunSuite {
       src.filter(col("c_custkey") > 10).count())
   }
 
+  test("storage-partitioned join: co-bucketed tables join with no shuffle") {
+    // transform resolution rides the owning catalog's FunctionCatalog, so
+    // the tables must come from the catalog, not a bare path load
+    val wh = tmpDir("spj_wh")
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("CREATE NAMESPACE graft.spj")
+    val cust = s.read.parquet(s"$sf/customer.parquet")
+    val orders = s.read.parquet(s"$sf/orders.parquet")
+    TableWriter.create(cust, s"$wh/spj/cust",
+      partitionBy = Seq("c_custkey" -> graft.core.BucketTransform(4)))
+    TableWriter.create(orders, s"$wh/spj/ord",
+      partitionBy = Seq("o_custkey" -> graft.core.BucketTransform(4)))
+
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val joined = s.sql(
+      """SELECT c.c_custkey, o.o_totalprice
+         FROM graft.spj.cust c JOIN graft.spj.ord o
+           ON c.c_custkey = o.o_custkey""")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"join sides were shuffled despite co-bucketing:\n$plan")
+
+    // and the result matches the raw-parquet join
+    val expect = cust.join(orders, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "o_totalprice")
+    assert(joined.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      expect.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+  }
+
+  test("catalog SQL can call the transform functions directly") {
+    val wh = tmpDir("fn_wh")
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // must agree with the core transform (which matches the spec vectors)
+    val expected = graft.core.BucketTransform(16)
+      .apply(Some(graft.core.IntLit(34))).get.asInstanceOf[graft.core.IntLit].v
+    assert(s.sql("SELECT graft.system.bucket(16, 34)").collect()(0).getInt(0) ==
+      expected)
+    assert(s.sql("SELECT graft.system.days(DATE '2024-01-10')")
+      .collect()(0).getInt(0) == 19732)
+    assert(s.sql("SELECT graft.system.years(TIMESTAMP_NTZ '2024-06-01 00:00:00')")
+      .collect()(0).getInt(0) == 54)
+  }
+
   test("nested and exotic columns decode through the SQL path") {
     import spark.implicits._
     val loc = tmpDir("tbl_nested")
