@@ -59,6 +59,7 @@ object SparkEntry {
     "ice07_dsv2_format" -> (I.ice07Dsv2Format _),
     "ice08_sql_time_travel" -> (I.ice08SqlTimeTravel _),
     "ice09_agg_pushdown" -> (I.ice09AggPushdown _),
+    "ice10_spj" -> (I.ice10StoragePartitionedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +108,6 @@ object SparkEntry {
     "ice07_dsv2_format" -> I.ice07Sql,
     "ice08_sql_time_travel" -> I.ice08Sql,
     "ice09_agg_pushdown" -> I.ice09Sql,
+    "ice10_spj" -> I.ice10Sql,
   )
 }

@@ -219,4 +219,36 @@ object IcebergOps {
        MIN(p_size) AS min_size, MAX(p_size) AS max_size,
        MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
        FROM part"""
+
+  /** Storage-partitioned join: both sides bucket(8) on the join key through
+    * the catalog, `spark.sql.sources.v2.bucketing.enabled` on — the join
+    * executes with NO exchange on either side (asserted in
+    * VectorizedReadSpec; here the oracle proves the shuffle-free plan is
+    * also value-exact). */
+  def ice10StoragePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse"
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    synchronized {
+      if (!new File(s"$wh/db/cust_b/metadata").exists())
+        TableWriter.create(Tables.customer(s, d), s"$wh/db/cust_b",
+          partitionBy = Seq("c_custkey" -> BucketTransform(8)))
+      if (!new File(s"$wh/db/orders_b/metadata").exists())
+        TableWriter.create(Tables.orders(s, d), s"$wh/db/orders_b",
+          partitionBy = Seq("o_custkey" -> BucketTransform(8)))
+    }
+    s.sql(
+      s"""SELECT c.c_mktsegment, COUNT(*) AS n, ${sqlDsum("o.o_totalprice")} AS sum_price
+          FROM graft.db.cust_b c JOIN graft.db.orders_b o
+            ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderstatus = 'F'
+          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+  }
+
+  val ice10Sql: String =
+    s"""SELECT c.c_mktsegment, COUNT(*) AS n, ${sqlDsum("o.o_totalprice")} AS sum_price
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       WHERE o.o_orderstatus = 'F'
+       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
 }
