@@ -357,10 +357,15 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
           .partitioning.UnknownPartitioning(0)
       }
     }
-    val distinctTuples = tasks.map(t =>
-      specFields.map(pf => t.file.partition.get(pf.name).orNull)).distinct.size
+    // byte-encoded tuple values (e.g. decimal partitions) have reference
+    // equality — grouping on them would be wrong, so don't report keys
+    val tuples = tasks.map(t =>
+      specFields.map(pf => t.file.partition.get(pf.name).orNull))
+    if (tuples.exists(_.exists(_.isInstanceOf[Array[Byte]])))
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      keys.toArray, math.max(1, distinctTuples))
+      keys.toArray, math.max(1, tuples.distinct.size))
   }
 
   /** Runtime filters (dynamic partition pruning / runtime group filtering):
