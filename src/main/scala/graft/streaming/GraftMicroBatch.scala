@@ -59,10 +59,17 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     val t = freshTable()
     val snap = t.metadata.snapshots.filter(_.sequenceNumber <= toSeq)
       .maxByOption(_.sequenceNumber).getOrElse(return Array.empty)
+    // only sequences committed by APPEND snapshots are emitted: an
+    // overwrite/replace (compaction) carries rewritten OLD rows — emitting
+    // its files would duplicate data the stream already delivered
+    val appendSeqs: Set[Long] = t.metadata.snapshots
+      .filter(_.summary.forall(_.operation == graft.core.OpAppend))
+      .map(_.sequenceNumber).toSet
     graft.core.ManifestIO.readManifestList(t.io.open(snap.manifestList))
       .filter(m => m.content == 0 && m.sequenceNumber > fromSeq)
       .flatMap(m => graft.core.ManifestIO.readManifestEntries(t.io.open(m.path), m))
-      .filter(_.sequenceNumber.exists(s => s > fromSeq && s <= toSeq))
+      .filter(_.sequenceNumber.exists(s =>
+        s > fromSeq && s <= toSeq && appendSeqs.contains(s)))
       .map(e => GraftInputPartition(e.dataFile.path, 0L, e.dataFile.fileSizeInBytes,
         required.json, required.json, limit = None): InputPartition)
       .toArray

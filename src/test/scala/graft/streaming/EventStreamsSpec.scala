@@ -110,6 +110,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream does not re-emit compacted rows as appends") {
+    val loc = Files.createTempDirectory("tbl_stream3").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+
+    val q = spark.readStream.format("icegopher").load(loc)
+      .writeStream.format("memory").queryName("icestream3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("icestream3").count() == src.count())
+      // compaction rewrites the same rows into new files — the stream must
+      // NOT deliver them again
+      TableWriter.compact(graft.spark.IcebergTables.load(loc), spark, 1)
+      q.processAllAvailable()
+      assert(spark.table("icestream3").count() == src.count(),
+        "compaction must not duplicate streamed rows")
+      // but a real append after the compaction still flows
+      TableWriter.append(graft.spark.IcebergTables.load(loc), src.limit(3))
+      q.processAllAvailable()
+      assert(spark.table("icestream3").count() == src.count() + 3)
+    } finally q.stop()
+  }
+
   test("readStream with stream-start=latest skips existing data") {
     val loc = Files.createTempDirectory("tbl_stream2").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
