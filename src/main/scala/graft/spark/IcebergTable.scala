@@ -195,14 +195,29 @@ object IcebergTables {
 
   private def resolveLatest(tableDir: File): File = {
     val metaDir = new File(tableDir, "metadata")
-    val hint = new File(metaDir, "version-hint.text")
-    if (hint.exists()) {
-      val v = new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim
-      val f = new File(metaDir, s"v$v.metadata.json")
-      if (f.exists()) return f
+    // The hint is written AFTER the CAS commit, so under concurrent writers
+    // it can lag the latest version — reconcile against the listing and
+    // take the larger (correctness over the listing-free fast path).
+    val hintVersion: Option[Int] = {
+      val hint = new File(metaDir, "version-hint.text")
+      if (!hint.exists()) None
+      else new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim.toIntOption
     }
     val candidates = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("v\\d+\\.metadata\\.json"))
+    val maxListed = candidates
+      .map(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      .maxOption
+    (hintVersion, maxListed) match {
+      case (Some(h), Some(m)) =>
+        val v = math.max(h, m)
+        val f = new File(metaDir, s"v$v.metadata.json")
+        if (f.exists()) return f
+      case (Some(h), None) =>
+        val f = new File(metaDir, s"v$h.metadata.json")
+        if (f.exists()) return f
+      case _ =>
+    }
     if (candidates.isEmpty)
       throw new IllegalArgumentException(s"no metadata json found under $metaDir")
     candidates.maxBy(f => f.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
