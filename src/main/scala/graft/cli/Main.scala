@@ -24,6 +24,8 @@ import graft.spark.IcebergTables
   *   graft properties remove TABLE KEY     remove a table property
   *   graft drop TABLE                      drop a table
   *   graft rename OLD NEW                  rename a table
+  *   graft rollback TABLE SNAPSHOT_ID      move main to an earlier snapshot
+  *   graft expire TABLE OLDER_MS [RETAIN]  expire snapshots + orphan files
   *
   * Mutation verbs (parity with `cmd/icegopher/main.go:160-190,272-333`,
   * where the reference panics on drop/rename — here they work): local
@@ -72,6 +74,16 @@ object Main {
         removeProperty(cfg, id, key)
       case "drop" :: id :: Nil => drop(cfg, id)
       case "rename" :: from :: to :: Nil => rename(cfg, from, to)
+      case "rollback" :: id :: snap :: Nil =>
+        requireLocal(id)
+        graft.spark.TableWriter.rollbackTo(IcebergTables.load(id), snap.toLong)
+        println(s"rolled back $id to $snap")
+      case "expire" :: id :: olderThan :: rest =>
+        requireLocal(id)
+        val retain = rest.headOption.map(_.toInt).getOrElse(1)
+        graft.spark.TableWriter.expireSnapshots(IcebergTables.load(id),
+          olderThan.toLong, retain, deleteFiles = true)
+        println(s"expired snapshots of $id older than $olderThan (retain $retain)")
       case _ => die(usage)
     }
   }
@@ -79,7 +91,11 @@ object Main {
   private val usage =
     "usage: graft [--uri=URI] [--credential=ID:SECRET] [--json] " +
       "<list|location|uuid|schema|spec|describe|files|snapshots|refs|" +
-      "properties|drop|rename> ..."
+      "properties|drop|rename|rollback|expire> ..."
+
+  private def requireLocal(id: String): Unit =
+    if (!(id.contains("/") || id.startsWith("file:")))
+      die("this verb requires a local table path")
 
   private def die(msg: String): Nothing = throw CliError(msg)
 

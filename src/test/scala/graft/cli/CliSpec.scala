@@ -106,6 +106,25 @@ class CliSpec extends AnyFunSuite {
       .msg.contains("not an Iceberg table"))
   }
 
+  test("rollback and expire verbs") {
+    val loc = freshTable()
+    val t1 = graft.spark.IcebergTables.load(loc)
+    val snap1 = t1.currentSnapshot.get.snapshotId
+    TableWriter.append(t1,
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+    // expire everything but the newest snapshot
+    run("expire", loc, (System.currentTimeMillis() + 1000).toString, "1")
+    val afterExpire = graft.spark.IcebergTables.load(loc)
+    assert(afterExpire.metadata.snapshots.size == 1)
+    assert(afterExpire.metadata.snapshots.head.snapshotId != snap1)
+    // rollback within remaining history (roll to the survivor = no-op move)
+    val survivor = afterExpire.currentSnapshot.get.snapshotId
+    run("rollback", loc, survivor.toString)
+    assert(graft.spark.IcebergTables.load(loc).currentSnapshot.get.snapshotId == survivor)
+    assert(intercept[Main.CliError](run("rollback", "ns.tbl", "1"))
+      .msg.contains("local table path"))
+  }
+
   test("unknown verb and missing --uri are errors, not exits") {
     assert(intercept[Main.CliError](run("frobnicate")).msg.contains("usage:"))
     assert(intercept[Main.CliError](run("list")).msg.contains("--uri"))
