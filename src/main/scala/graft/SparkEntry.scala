@@ -48,6 +48,7 @@ object SparkEntry {
     "d04_embedding_neardup" -> ((s, d) => Dedup.d04EmbeddingNearDup(s, d)),
     "ann01_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann02_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann03_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "mm01_binary_stats" -> (Multimodal.mm01BinaryStats _),
     "mm02_features" -> (Multimodal.mm02Features _),
     "ice01_scan_filter" -> (I.ice01ScanFilter _),

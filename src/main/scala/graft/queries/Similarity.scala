@@ -85,6 +85,59 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other canonical ANN scale
+    * path: K coarse centroids partition the corpus; each query probes only
+    * its `nProbe` nearest cells, turning O(N·Q) into O(Q·(K + N·nProbe/K)).
+    *
+    * Centroids are a deterministic hash-sample of the corpus itself (the
+    * cheap stand-in for k-means that needs no iteration and no RNG state —
+    * reproducible across runs/cluster sizes). Assignment is one broadcast
+    * pass over the corpus (centroids are tiny by construction); the probe
+    * join is an equi-join on cell id — NO cross join at any scale. */
+  def annIvf(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // deterministic coarse centroids: the nCells vectors with the smallest
+    // content hash (stable under any partitioning)
+    val centroids = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(nCells)
+      .select(col("cid"), col("ce"))
+    val cb = broadcast(centroids)
+
+    // corpus → nearest cell: one pass, centroids broadcast, per-pair work a
+    // single dot product over pre-normalized vectors
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.join(cb)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+    // queries probe their nProbe nearest cells
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(cb)
+      .select(col("qid"), col("qe"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+
+    // candidates = corpus of the probed cells only; exact cosine + top-k
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: compare each query only to candidates
     * sharing a signature band. Bands of `bandBits` bits out of `nBits`. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,

@@ -78,6 +78,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall vs brute force = $recall")
   }
 
+  test("ivf ann approximates brute-force top-k with decent recall") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing a quarter of the cells on random vectors (hard case for IVF:
+    // no cluster structure, neighbors scatter across cells)
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 10, k = 5,
+      nCells = 16, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall vs brute force = $recall")
+    // every query still returns a full top-k from its probed cells
+    val perQuery = Similarity.annIvf(spark, sf, nQueries = 10, k = 5,
+      nCells = 16, nProbe = 8).collect().groupBy(_.getLong(0))
+    assert(perQuery.size == 10 && perQuery.values.forall(_.length == 5))
+  }
+
   test("exact dedup flags identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "d01" -> Dedup.d01MinhashLsh(spark, sf),
         "d02" -> Dedup.d02SimhashPairs(spark, sf),
-        "ann02" -> Similarity.annLsh(spark, sf))) {
+        "ann02" -> Similarity.annLsh(spark, sf),
+        "ann03" -> Similarity.annIvf(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
