@@ -432,6 +432,10 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * copy-on-write row-level commit replaces. */
   private[spark] def scannedFilePaths: Seq[String] = tasks.map(_.file.path)
 
+  /** Metadata version this scan read — CoW commits pin their CAS to it so a
+    * concurrent commit between scan and rewrite conflicts loudly. */
+  private[spark] def scannedVersion: Int = table.loadedVersion
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)

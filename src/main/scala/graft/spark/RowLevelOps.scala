@@ -69,16 +69,18 @@ final class GraftRowLevelOperation(location: String,
         new GraftReplaceDataWrite(location, info.schema(),
           () => {
             require(capturedScan != null, "row-level write before scan was planned")
-            capturedScan.scannedFilePaths
+            (capturedScan.scannedFilePaths, capturedScan.scannedVersion)
           })
     }
 }
 
 /** V2 batch write for the replacement rows: tasks write parquet files with
   * Spark's own row write support; the driver commit swaps the replaced
-  * files in one OVERWRITE snapshot. */
+  * files in one OVERWRITE snapshot, pinned to the metadata version the
+  * scan read (CommitConflictException on concurrent commits — a MoR
+  * delete landing mid-rewrite would otherwise be silently undone). */
 final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
-                                  replacedFiles: () => Seq[String])
+                                  replacedFiles: () => (Seq[String], Int))
     extends Write with BatchWrite {
 
   private val writeDir =
@@ -99,7 +101,9 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case m: GraftCowCommit => m.files }.flatten
-    TableWriter.replaceFiles(location, replacedFiles().toSet, added.toSeq)
+    val (paths, scannedVersion) = replacedFiles()
+    TableWriter.replaceFiles(location, paths.toSet, added.toSeq,
+      expectedVersion = Some(scannedVersion))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

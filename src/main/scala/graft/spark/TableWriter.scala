@@ -230,14 +230,31 @@ object TableWriter {
 
   /** Copy-on-write commit for row-level operations: atomically swap
     * `removedPaths` for `added` files (each with its partition tuple, as
-    * derived row-wise by the task writers) in one OVERWRITE snapshot. Kept
-    * data files carry over as EXISTING entries with their original sequence
-    * numbers (so older positional deletes still apply to them); delete
-    * manifests carry over untouched — tombstones referencing removed files
-    * are inert (their file_path bounds can't match the new files). */
+    * derived row-wise by the task writers) in one OVERWRITE snapshot.
+    *
+    * Metadata work is O(affected files), not O(table): manifests whose
+    * entries reference no removed path carry over BY REFERENCE in the new
+    * manifest list (the files on disk are untouched); only manifests that
+    * contain a removed file are rewritten — their kept entries become
+    * EXISTING with their original sequence numbers, so older positional
+    * deletes still apply to them — and the added files get one new
+    * manifest. Delete manifests carry over untouched; tombstones
+    * referencing removed files are inert (their file_path bounds can't
+    * match the new files).
+    *
+    * `expectedVersion` pins the commit to the metadata version the
+    * row-level scan read: if anything committed in between (e.g. a MoR
+    * DELETE whose tombstones reference a replaced file — which this
+    * rewrite would silently undo), the commit fails with
+    * CommitConflictException instead of losing the concurrent write. */
   def replaceFiles(location: String, removedPaths: Set[String],
-                   added: Seq[graft.spark.CowFileOut]): IcebergTable = {
+                   added: Seq[graft.spark.CowFileOut],
+                   expectedVersion: Option[Int] = None): IcebergTable = {
     val table = IcebergTables.load(location)
+    expectedVersion.foreach { v =>
+      if (table.loadedVersion != v)
+        throw new CommitConflictException(table.loadedVersion, location)
+    }
     val md = table.metadata
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
@@ -247,35 +264,69 @@ object TableWriter {
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     }
     val (dataManifests, deleteManifests) = prevManifests.partition(_.content == 0)
-    val keptEntries = dataManifests
-      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
-      .filterNot(e => removedPaths.contains(e.dataFile.path))
-      .map(e => e.copy(status = ManifestEntryStatus.Existing))
+    val partType = table.spec.partitionType(table.schema)
+
+    // one parallel metadata pass over the data manifests to find the
+    // affected ones; untouched manifests are never rewritten
+    val withEntries = {
+      import scala.collection.parallel.CollectionConverters._
+      dataManifests.par.map { m =>
+        m -> ManifestIO.readManifestEntries(table.io.open(m.path), m)
+      }.seq.toSeq
+    }
+    val (touched, untouched) = withEntries.partition { case (_, es) =>
+      es.exists(e => removedPaths.contains(e.dataFile.path))
+    }
+
+    val rewritten = touched.zipWithIndex.flatMap { case ((m, es), i) =>
+      val kept = es.filterNot(e => removedPaths.contains(e.dataFile.path))
+        .map(_.copy(status = ManifestEntryStatus.Existing))
+      if (kept.isEmpty) None // all of this manifest's files were replaced
+      else {
+        val mf = new File(metaDir, s"manifest-cow-$snapId-$i.avro")
+        ManifestIO.writeManifest(mf, kept, partType)
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = m.partitionSpecId, content = 0,
+          sequenceNumber = seq,
+          minSequenceNumber = kept.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+          addedSnapshotId = snapId,
+          addedFilesCount = 0, existingFilesCount = kept.size,
+          deletedFilesCount = es.size - kept.size,
+          addedRowsCount = 0,
+          existingRowsCount = kept.map(_.dataFile.recordCount).sum,
+          deletedRowsCount = es.map(_.dataFile.recordCount).sum -
+            kept.map(_.dataFile.recordCount).sum,
+          partitions = partitionSummaries(kept, partType), formatVersion = 2))
+      }
+    }
+
     val addedEntries = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None))
     }
-
-    val partType = table.spec.partitionType(table.schema)
-    val entries = keptEntries ++ addedEntries
-    val manifestFile = new File(metaDir, s"manifest-cow-$snapId.avro")
-    ManifestIO.writeManifest(manifestFile, entries, partType)
-    val newManifest = ManifestFile(
-      path = manifestFile.getPath, length = manifestFile.length(),
-      partitionSpecId = table.spec.specId, content = 0,
-      sequenceNumber = seq, minSequenceNumber =
-        entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
-      addedSnapshotId = snapId,
-      addedFilesCount = addedEntries.size, existingFilesCount = keptEntries.size,
-      deletedFilesCount = 0,
-      addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
-      existingRowsCount = keptEntries.map(_.dataFile.recordCount).sum,
-      deletedRowsCount = 0,
-      partitions = partitionSummaries(entries, partType), formatVersion = 2)
+    val addManifest =
+      if (addedEntries.isEmpty) None
+      else {
+        val mf = new File(metaDir, s"manifest-cow-$snapId.avro")
+        ManifestIO.writeManifest(mf, addedEntries, partType)
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 0,
+          sequenceNumber = seq, minSequenceNumber = seq,
+          addedSnapshotId = snapId,
+          addedFilesCount = addedEntries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = partitionSummaries(addedEntries, partType),
+          formatVersion = 2))
+      }
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
-    ManifestIO.writeManifestList(listFile, deleteManifests :+ newManifest)
+    ManifestIO.writeManifestList(listFile,
+      untouched.map(_._1) ++ rewritten ++ addManifest ++ deleteManifests)
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
       now, listFile.getPath, Some(SnapshotSummary(OpOverwrite,
@@ -288,7 +339,7 @@ object TableWriter {
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
       refs = md.refs + (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef))),
-      currentVersion(location) + 1)
+      table.loadedVersion + 1)
     IcebergTables.load(location)
   }
 

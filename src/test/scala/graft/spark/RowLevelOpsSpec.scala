@@ -156,6 +156,60 @@ class RowLevelOpsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 5)
   }
 
+  test("CoW commit carries untouched manifests by reference (O(delta) metadata)") {
+    spark.sql("CREATE TABLE graft.rlo.om (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rlo.om VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft.rlo.om VALUES (3, 3.0)")
+    spark.sql("INSERT INTO graft.rlo.om VALUES (4, 4.0)")
+    val loc = s"$warehouse/rlo/om"
+    def manifests(): Seq[graft.core.ManifestFile] = {
+      val t = IcebergTables.load(loc)
+      graft.core.ManifestIO.readManifestList(
+        t.io.open(t.currentSnapshot.get.manifestList))
+    }
+    val before = manifests()
+    assert(before.size == 3, "three appends → three manifests")
+    val beforeByPath = before.map(m => m.path -> m).toMap
+    val beforeBytes = before.map(m =>
+      m.path -> Files.readAllBytes(new java.io.File(m.path).toPath)).toMap
+
+    spark.sql("UPDATE graft.rlo.om SET v = 40.0 WHERE id = 4")
+
+    val after = manifests()
+    // the two manifests not containing id=4 carry over by reference —
+    // identical path, identical bytes on disk
+    val carried = after.filter(m => beforeByPath.contains(m.path))
+    assert(carried.size == 2, s"expected 2 untouched manifests, got $after")
+    carried.foreach { m =>
+      assert(m == beforeByPath(m.path), "carried manifest metadata unchanged")
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(new java.io.File(m.path).toPath), beforeBytes(m.path)),
+        "carried manifest file bytes unchanged")
+    }
+    val got = spark.sql("SELECT id, v FROM graft.rlo.om ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 40.0)))
+  }
+
+  test("CoW commit pinned to the scanned version conflicts with a concurrent commit") {
+    spark.sql("CREATE TABLE graft.rlo.race (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rlo.race VALUES (1, 1.0), (2, 2.0)")
+    val loc = s"$warehouse/rlo/race"
+    val scanned = IcebergTables.load(loc)
+    val files = scanned.newScan().planFiles().map(_.file.path)
+    // a MoR delete lands between the CoW scan and its commit: its tombstones
+    // reference the file the CoW is about to replace — carrying on would
+    // silently resurrect the deleted row, so the commit must conflict
+    TableWriter.deleteWhere(scanned, spark, org.apache.spark.sql.functions.col("id") === 2)
+    intercept[TableWriter.CommitConflictException] {
+      TableWriter.replaceFiles(loc, files.toSet, Nil,
+        expectedVersion = Some(scanned.loadedVersion))
+    }
+    // the concurrent delete survived
+    assert(spark.sql("SELECT id FROM graft.rlo.race ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("UPDATE preserves time travel to the pre-update snapshot") {
     spark.sql("CREATE TABLE graft.rlo.tt (id BIGINT, v DOUBLE)")
     spark.sql("INSERT INTO graft.rlo.tt VALUES (1, 1.0), (2, 2.0)")
