@@ -69,6 +69,42 @@ object EventStreams {
       }
   }
 
+  /** Per-snapshot changelog: the data files each APPEND snapshot with
+    * sequence in `(fromSeq, toSeq]` added, read from that snapshot's OWN
+    * manifest list — NOT the latest one. Resolving from the latest list is
+    * a data-loss race: a compaction/overwrite committed after an append
+    * but before the window is planned removes the append's manifest from
+    * every later list (REPLACE starts from empty), and the replace's own
+    * files are rewrites the stream already delivered — the appended rows
+    * would silently vanish from the changefeed.
+    *
+    * Fails loudly if a snapshot in the window was expired: its files can
+    * no longer be resolved, and skipping it silently would be the same
+    * data loss. */
+  def appendedFilesInWindow(table: IcebergTable, fromSeq: Long,
+                            toSeq: Long): Seq[FileScanTask] = {
+    if (toSeq <= fromSeq) return Nil
+    val window = table.metadata.snapshots
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+    val present = window.map(_.sequenceNumber).toSet
+    val missing = ((fromSeq + 1) to toSeq).filterNot(present.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot resolve changefeed window ($fromSeq, $toSeq] of ${table.location}: " +
+        s"snapshot(s) for sequence(s) ${missing.mkString(", ")} were expired")
+    window.sortBy(_.sequenceNumber)
+      // only APPEND snapshots emit: overwrite/replace (compaction, CoW
+      // rewrites) carry rows the stream already delivered
+      .filter(_.summary.forall(_.operation == graft.core.OpAppend))
+      .flatMap { s =>
+        ManifestIO.readManifestList(table.io.open(s.manifestList))
+          .filter(m => m.content == 0 && m.sequenceNumber == s.sequenceNumber)
+          .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+          .filter(e => e.status == graft.core.ManifestEntryStatus.Added &&
+            e.sequenceNumber.contains(s.sequenceNumber))
+          .map(e => FileScanTask(e.dataFile))
+      }
+  }
+
   /** Files appended strictly after `fromSnapshotId` up to and including
     * `toSnapshotId` (defaults to current) — an append-only changefeed in
     * file granularity, resolved purely from metadata. */
@@ -79,12 +115,7 @@ object EventStreams {
       throw new IllegalArgumentException(s"snapshot $fromSnapshotId not found"))
     val to = toSnapshotId.flatMap(md.snapshotById).orElse(md.currentSnapshot)
       .getOrElse(throw new IllegalArgumentException("no target snapshot"))
-    val fromSeq = from.sequenceNumber
-    ManifestIO.readManifestList(table.io.open(to.manifestList))
-      .filter(m => m.content == 0 && m.sequenceNumber > fromSeq)
-      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
-      .filter(_.sequenceNumber.exists(_ > fromSeq))
-      .map(e => FileScanTask(e.dataFile))
+    appendedFilesInWindow(table, from.sequenceNumber, to.sequenceNumber)
   }
 
   /** Incremental read as a DataFrame: the rows added after a snapshot. */

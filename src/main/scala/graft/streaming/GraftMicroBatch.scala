@@ -56,21 +56,11 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     val fromSeq = start.asInstanceOf[GraftOffset].seq
     val toSeq = end.asInstanceOf[GraftOffset].seq
     if (toSeq <= fromSeq) return Array.empty
-    val t = freshTable()
-    val snap = t.metadata.snapshots.filter(_.sequenceNumber <= toSeq)
-      .maxByOption(_.sequenceNumber).getOrElse(return Array.empty)
-    // only sequences committed by APPEND snapshots are emitted: an
-    // overwrite/replace (compaction) carries rewritten OLD rows — emitting
-    // its files would duplicate data the stream already delivered
-    val appendSeqs: Set[Long] = t.metadata.snapshots
-      .filter(_.summary.forall(_.operation == graft.core.OpAppend))
-      .map(_.sequenceNumber).toSet
-    graft.core.ManifestIO.readManifestList(t.io.open(snap.manifestList))
-      .filter(m => m.content == 0 && m.sequenceNumber > fromSeq)
-      .flatMap(m => graft.core.ManifestIO.readManifestEntries(t.io.open(m.path), m))
-      .filter(_.sequenceNumber.exists(s =>
-        s > fromSeq && s <= toSeq && appendSeqs.contains(s)))
-      .map(e => GraftInputPartition(e.dataFile.path, 0L, e.dataFile.fileSizeInBytes,
+    // per-snapshot changelog: each append snapshot's files come from its
+    // OWN manifest list, so a compaction racing the batch planner cannot
+    // hide an append committed inside the window (see appendedFilesInWindow)
+    EventStreams.appendedFilesInWindow(freshTable(), fromSeq, toSeq)
+      .map(t => GraftInputPartition(t.file.path, 0L, t.file.fileSizeInBytes,
         required.json, required.json, limit = None): InputPartition)
       .toArray
   }

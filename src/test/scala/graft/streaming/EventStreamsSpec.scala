@@ -134,6 +134,54 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append racing a compaction is not lost by the stream") {
+    val loc = Files.createTempDirectory("tbl_stream4").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+
+    val q = spark.readStream.format("icegopher").load(loc)
+      .writeStream.format("memory").queryName("icestream4")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("icestream4").count() == src.count())
+      // append AND compaction land before the next batch is planned: the
+      // compaction's manifest list no longer carries the append's manifest
+      // (REPLACE starts from empty), so resolving the window from the
+      // latest snapshot would silently drop the appended rows
+      val t2 = TableWriter.append(graft.spark.IcebergTables.load(loc), src.limit(3))
+      TableWriter.compact(t2, spark, 1)
+      q.processAllAvailable()
+      assert(spark.table("icestream4").count() == src.count() + 3,
+        "append committed before a compaction must still be streamed")
+    } finally q.stop()
+
+    // the library changefeed walks per-snapshot lists the same way
+    val t = graft.spark.IcebergTables.load(loc)
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    val appended = EventStreams.appendedFilesInWindow(t,
+      snaps.head.sequenceNumber, snaps.last.sequenceNumber)
+    assert(appended.map(_.file.recordCount).sum == 3,
+      "changefeed over (create, compact] must surface exactly the appended rows")
+  }
+
+  test("changefeed fails loudly when a window snapshot was expired") {
+    val loc = Files.createTempDirectory("tbl_stream5").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    Thread.sleep(5)
+    val t2 = TableWriter.append(t1, src.limit(2))
+    val t3 = TableWriter.append(t2, src.limit(1))
+    // expire everything but the newest two snapshots: seq 1's snapshot is gone
+    val expired = TableWriter.expireSnapshots(t3,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 2)
+    assert(expired.metadata.snapshots.size == 2)
+    val ex = intercept[IllegalStateException] {
+      EventStreams.appendedFilesInWindow(expired, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("expired"))
+  }
+
   test("readStream with stream-start=latest skips existing data") {
     val loc = Files.createTempDirectory("tbl_stream2").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
