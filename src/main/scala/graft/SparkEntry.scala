@@ -99,6 +99,7 @@ object SparkEntry {
     "d03_ngram_jaccard" -> Dedup.d03Sql,
     "d04_embedding_neardup" -> Dedup.d04Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
+    "ann03_ivf" -> Similarity.annIvfSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
     "ice01_scan_filter" -> I.ice01Sql,
     "ice02_partition_agg" -> I.ice02Sql,

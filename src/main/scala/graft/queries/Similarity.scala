@@ -98,10 +98,11 @@ object Similarity {
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // deterministic coarse centroids: the nCells vectors with the smallest
-    // content hash (stable under any partitioning)
+    // content hash (stable under any partitioning; md5-of-id so the oracle
+    // engine derives the identical sample)
     val centroids = emb
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        xxhash64(col("vec_id")).as("h"))
+        md5(col("vec_id").cast("string")).as("h"))
       .orderBy("h").limit(nCells)
       .select(col("cid"), col("ce"))
     val cb = broadcast(centroids)
@@ -137,6 +138,46 @@ object Similarity {
       .select("qid", "nid", "rank")
       .orderBy("qid", "rank")
   }
+
+  /** DuckDB mirror of [[annIvf]]: same md5-ordered centroid sample, same
+    * left-fold double dot products (the d04Sql determinism discipline), same
+    * rank tie-breaks — byte-exact against the Spark plan. */
+  val annIvfSql: String =
+    """WITH e AS (
+         SELECT vec_id, embedding,
+                sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  for i in range(1, len(embedding)+1)])) AS norm
+         FROM embeddings),
+       c AS (
+         SELECT vec_id AS cid, embedding AS ce, norm AS cnorm
+         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       assigned AS (
+         SELECT vec_id, embedding, norm, cid FROM (
+           SELECT e.vec_id, e.embedding, e.norm, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    (list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                       for i in range(1, len(e.embedding)+1)]) / (e.norm * c.cnorm)) DESC,
+                    c.cid) AS rk
+           FROM e, c) t
+         WHERE rk = 1),
+       probes AS (
+         SELECT qid, qe, qnorm, cid FROM (
+           SELECT e.vec_id AS qid, e.embedding AS qe, e.norm AS qnorm, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    (list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)
+                       for i in range(1, len(e.embedding)+1)]) / (e.norm * c.cnorm)) DESC,
+                    c.cid) AS rk
+           FROM e, c WHERE e.vec_id < 10) t
+         WHERE rk <= 4)
+       SELECT qid, nid, rank FROM (
+         SELECT p.qid, a.vec_id AS nid,
+                ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                  (list_sum([CAST(p.qe[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                     for i in range(1, len(p.qe)+1)]) / (p.qnorm * a.norm)) DESC,
+                  a.vec_id) AS rank
+         FROM assigned a JOIN probes p ON a.cid = p.cid
+         WHERE p.qid <> a.vec_id) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** LSH-bucketed approximate top-k: compare each query only to candidates
     * sharing a signature band. Bands of `bandBits` bits out of `nBits`. */
