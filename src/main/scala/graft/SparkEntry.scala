@@ -96,9 +96,12 @@ object SparkEntry {
     "t08_length_histogram" -> T.t08Sql,
     "t09_hash_sample" -> T.t09Sql,
     "t10_lang_id" -> T.t10Sql,
+    "d01_minhash_lsh" -> Dedup.d01Sql,
+    "d02_simhash_pairs" -> Dedup.d02Sql,
     "d03_ngram_jaccard" -> Dedup.d03Sql,
     "d04_embedding_neardup" -> Dedup.d04Sql,
     "ann01_brute_force" -> Similarity.annBruteForceSql,
+    "ann02_lsh" -> Similarity.annLshSql,
     "ann03_ivf" -> Similarity.annIvfSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
     "ice01_scan_filter" -> I.ice01Sql,

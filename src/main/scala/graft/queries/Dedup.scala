@@ -17,6 +17,32 @@ import graft.tables.Tables
   */
 object Dedup {
 
+  /** One-slot semantic-plan-keyed persist: returns a cached DataFrame for
+    * the given plan, reusing the previous persist while the plan is
+    * semantically unchanged and releasing it when it changes. The dedup
+    * pipelines return lazy DataFrames, so callers can never scope an
+    * unpersist; this bounds executor storage to ONE resident set per slot
+    * across repeated battery/spec runs instead of leaking every run's
+    * cache. */
+  private final class CacheSlot {
+    private var cur: Option[DataFrame] = None
+    def apply(df: DataFrame): DataFrame = synchronized {
+      cur match {
+        // same-session only: a Dataset is bound to the session that built
+        // it, so handing a cached one to a sibling session would silently
+        // switch the caller's session (and its conf) mid-plan
+        case Some(c) if (c.sparkSession eq df.sparkSession) && c.sameSemantics(df) => c
+        case prev =>
+          prev.foreach(_.unpersist())
+          val p = df.persist()
+          cur = Some(p)
+          p
+      }
+    }
+  }
+  private val simhashSlot = new CacheSlot
+  private val minhashKeyedSlot = new CacheSlot
+
   /** Distinct word n-gram shingles of `text` (space-tokenized). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -26,9 +52,38 @@ object Dedup {
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(shingle, i). */
-  def minhashSig(shingles: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => array_min(transform(shingles, sh => xxhash64(sh, lit(i)))))
+  /** Cross-engine 64-bit hash: the first 16 hex chars of md5, bit-identical
+    * to DuckDB's `('0x' || substr(md5(x),1,16))::UBIGINT` (signed here,
+    * unsigned there — same bits, and all uses mask or XOR so signedness
+    * never leaks). Pluggable alternative to xxhash64 for oracle-checked
+    * battery entries; the library default stays xxhash64, which is
+    * non-cryptographic and several times cheaper per token at 100 TB. */
+  def md5Hash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+
+  /** 60-bit variant (15 hex chars): always positive, so signed (Spark) and
+    * unsigned (DuckDB) minima/orderings agree — required where hash VALUES
+    * are compared, e.g. minhash minima. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-battery-run fixed 60-bit seeds for the XOR minhash family (shared
+    * by the Spark plan and the generated [[d01Sql]], so both engines derive
+    * identical minima). */
+  val minhashSeeds: IndexedSeq[Long] = {
+    val r = new scala.util.Random(101)
+    IndexedSeq.fill(64)(r.nextLong() & ((1L << 60) - 1))
+  }
+
+  /** MinHash signatures from an already-hashed shingle array: for seed i,
+    * min over shingles of mix(hash, i). The expensive string hash runs ONCE
+    * per shingle; the k per-seed variants are cheap integer mixes. Default
+    * mix re-hashes the long with xxhash64 (min-wise independent); the
+    * oracle battery swaps in an XOR permutation both engines can mirror. */
+  def minhashSig(hashes: Column, k: Int,
+                 mix: (Column, Int) => Column = (h, i) => xxhash64(h, lit(i))): Seq[Column] =
+    (0 until k).map(i => array_min(transform(hashes, h => mix(h, i))))
 
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
@@ -44,28 +99,34 @@ object Dedup {
     * verified candidate set.
     */
   def minhashPairs(docs: DataFrame, shingleN: Int = 2, k: Int = 16,
-                   bands: Int = 8, bucketCap: Int = 100, topK: Int = 50): DataFrame = {
+                   bands: Int = 8, bucketCap: Int = 100, topK: Int = 50,
+                   shingleHash: Column => Column = xxhash64(_),
+                   mix: (Column, Int) => Column = (h, i) => xxhash64(h, lit(i)),
+                   bandKey: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
     val rows = k / bands // minhash rows per band
-    val sigs = minhashSig(col("shingles"), k)
+    val sigs = minhashSig(col("hs"), k, mix)
     val bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(sigs.slice(b * rows, (b + 1) * rows): _*).as("key"))
+      struct(lit(b).as("band"), bandKey(sigs.slice(b * rows, (b + 1) * rows)).as("key"))
     }
-    // shingling is the expensive projection — materialize it once; reused by
-    // the band-key derivation and (once) by the final verify join
-    val shingled = docs
-      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("shingles"))
-      .persist()
-    // keys only from here on: (doc_id, band, key)
-    val keyed = shingled
+    // TWO stacked projections in one codegen stage: (1) shingle + hash each
+    // shingle ONCE, (2) k cheap integer mixes → minima → band keys. Only
+    // (doc_id, band, key) triples ever leave, so no document payload enters
+    // any LSH shuffle — and the key-only triples are what gets persisted
+    // (one slot, released when the input changes), so the corpus is scanned
+    // and hashed exactly once for the four downstream consumers (bucket
+    // sizing, anti-join probe, both self-join sides)
+    val keyed = minhashKeyedSlot(docs
+      .select(col("doc_id"),
+        transform(wordShingles(col("text"), shingleN), shingleHash).as("hs"))
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .persist()
+      .select(col("doc_id"), col("bk.band"), col("bk.key")))
     // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
     // millions of docs in one bucket; capping bounds the O(bucket²) pair
-    // join. Sized via aggregate + key-only join (a window here would carry
-    // every row's payload through one partition per bucket).
-    // oversized-bucket keys are FEW by construction (each needs > bucketCap
-    // members), so the exclusion list is broadcast-safe at any scale
+    // join. Sized via aggregate + key-only broadcast anti-join; the count is
+    // a streaming hash-agg (no sort), so even a degenerate bucket's
+    // key-only rows cost O(n) scan in its partition, and the exclusion
+    // list is FEW rows by construction (each needs > bucketCap members) —
+    // broadcast-safe at any scale
     val bigBuckets = keyed.groupBy("band", "key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > bucketCap)
@@ -77,9 +138,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // a pair found in several bands is verified once
+    // verify: shingle ONLY the candidate docs (post-LSH, tiny) — one corpus
+    // re-scan total: both sides broadcast the SAME candidate-shingle set
+    // (the two broadcast exchanges differ only by alias, so the second is a
+    // ReusedExchange), so the corpus never re-enters an exchange
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val candShingles = docs
+      .join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
     candidates
-      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(broadcast(candShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(candShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -90,10 +160,58 @@ object Dedup {
   /** Query-battery entry: weak-similarity sweep on the synthetic corpus
     * (aggressive banding so the pipeline provably produces candidates even
     * though the corpus has no true near-dups — see DedupSpec for the planted
-    * near-dup recall test). */
+    * near-dup recall test). Uses one md5 per shingle + the XOR seed family
+    * so [[d01Sql]] derives the identical buckets; the library default
+    * (xxhash64) is the cheaper, min-wise-independent scale path. */
   def d01MinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d), shingleN = 1, k = 16, bands = 8,
-      bucketCap = 200, topK = 50)
+      bucketCap = 200, topK = 50,
+      shingleHash = md5Hash60,
+      mix = (h, i) => h.bitwiseXOR(lit(minhashSeeds(i))),
+      // 64-bit band key (not the 32-char hex string): equality-only use, so
+      // the signed/unsigned split vs DuckDB is irrelevant, and the narrow
+      // key halves every LSH exchange row
+      bandKey = cs => md5Hash64(concat_ws(",", cs: _*)))
+
+  /** DuckDB mirror of [[d01MinhashLsh]]: same 60-bit md5 shingle hashes,
+    * same XOR seeds (both sides of the mirror read [[minhashSeeds]]), same
+    * md5 band keys, same bucket cap, same exact-Jaccard verify. The bucket
+    * cap is a window here where Spark uses agg + anti-join — same surviving
+    * set, each engine's natural formulation. */
+  val d01Sql: String = {
+    val mins = (0 until 16).map(i =>
+      s"list_min([xor(h, ${minhashSeeds(i)}) for h in hs]) AS m$i")
+      .mkString(",\n                ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5(m${2 * b}::VARCHAR || ',' || m${2 * b + 1}::VARCHAR),1,16))::UBIGINT AS key FROM sig")
+      .mkString("\n         UNION ALL ")
+    s"""WITH sh AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS shingles
+         FROM documents),
+       hs AS (
+         SELECT doc_id, shingles,
+                [('0x' || substr(md5(s),1,15))::BIGINT for s in shingles] AS hs
+         FROM sh),
+       sig AS (
+         SELECT doc_id, shingles,
+                $mins
+         FROM hs),
+       banded AS ($bandSelects),
+       sized AS (
+         SELECT doc_id, band, key FROM banded
+         QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 200),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b USING (band, key)
+         WHERE a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b,
+              CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                LEN(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       FROM cand c
+       JOIN sh sa ON sa.doc_id = c.id_a
+       JOIN sh sb ON sb.doc_id = c.id_b
+       ORDER BY jaccard DESC, id_a, id_b LIMIT 50"""
+  }
 
   /** 64-bit SimHash from word tokens, weighted by term frequency: for each
     * bit position, count set token-hash bits; majority → bit.
@@ -103,11 +221,12 @@ object Dedup {
     * conditional sums — ~4× less generated code and one shuffle either way.
     * Lane width caps documents at 65 535 tokens; longer documents should be
     * chunked upstream (standard practice for near-dup pipelines). */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame,
+              tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val lanesPerWord = 4 // 16-bit lanes
     val words = 64 / lanesPerWord
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
     // packed_g = Σ_j ((h >> (4g+j)) & 1) << 16j  — 4 bit-counts per long
     val packs = (0 until words).map { g =>
       (0 until lanesPerWord).map { j =>
@@ -132,14 +251,17 @@ object Dedup {
     * join per band, verify true Hamming distance. */
   def d02SimhashPairs(s: SparkSession, d: String, maxHamming: Int = 16,
                       topK: Int = 100): DataFrame =
-    d02SimhashPairsFrom(Tables.documents(s, d), maxHamming, topK)
+    // md5-based token hash so [[d02Sql]] derives bit-identical fingerprints;
+    // the library default (xxhash64) is the cheaper scale path
+    d02SimhashPairsFrom(Tables.documents(s, d), maxHamming, topK, md5Hash64)
 
-  def d02SimhashPairsFrom(docs: DataFrame, maxHamming: Int,
-                          topK: Int): DataFrame = {
-    // fingerprints are tiny (one long per doc); persist so the banded
-    // self-join reads them once instead of recomputing the token aggregation
-    // for each side
-    val sh = simhash(docs).persist()
+  def d02SimhashPairsFrom(docs: DataFrame, maxHamming: Int, topK: Int,
+                          tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
+    // even at full scale); persist (one slot, released when the input
+    // changes) so the banded self-join reads them once instead of
+    // recomputing the token aggregation per side
+    val sh = simhashSlot(simhash(docs, tokenHash))
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
@@ -156,6 +278,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
       .limit(topK)
+  }
+
+  /** DuckDB mirror of [[d02SimhashPairs]]: same md5 64-bit token hash (bit
+    * patterns identical; unsigned there, signed here — every use masks or
+    * XORs, so signedness never leaks), per-bit majority counts, 4×16-bit
+    * banding, Hamming verify. */
+  val d02Sql: String = {
+    val sums = (0 until 64).map(i => s"SUM((h >> $i) & 1::UBIGINT) AS s$i")
+      .mkString(",\n                ")
+    val fpTerms = (0 until 64).map { i =>
+      val p = java.lang.Long.toUnsignedString(1L << i)
+      s"CASE WHEN 2*s$i > n THEN ${p}::UBIGINT ELSE 0::UBIGINT END"
+    }.mkString("\n              + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, fp, $b AS band, (fp >> ${b * 16}) & 65535::UBIGINT AS key FROM fp")
+      .mkString("\n         UNION ALL ")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       h AS (
+         SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks),
+       agg AS (
+         SELECT doc_id, COUNT(*) AS n,
+                $sums
+         FROM h GROUP BY doc_id),
+       fp AS (
+         SELECT doc_id,
+              ($fpTerms) AS fp
+         FROM agg),
+       banded AS ($bandSelects),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+         FROM banded a JOIN banded b USING (band, key)
+         WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       FROM pairs
+       WHERE bit_count(xor(fa, fb)) <= 16
+       ORDER BY hamming, id_a, id_b LIMIT 100"""
   }
 
   /** Exact word-bigram Jaccard over a bounded id range — the ground-truth

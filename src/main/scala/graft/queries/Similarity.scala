@@ -179,6 +179,45 @@ object Similarity {
          WHERE p.qid <> a.vec_id) t
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** DuckDB mirror of [[annLsh]]: the seeded hyperplanes are embedded as
+    * round-trip-exact double literals (Java's Double.toString guarantees
+    * the decimal form parses back to the identical bits), the signature
+    * dots are the same left-fold sums, so both engines derive identical
+    * buckets and ranks. */
+  val annLshSql: String = {
+    val planes = hyperplanes(16, 64)
+    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+      val dot = p.zipWithIndex.map { case (v, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ($v)"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n            + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT vec_id, embedding, norm, $b AS band, (sig >> ${b * 4}) & 15 AS key FROM sig")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS (
+         SELECT vec_id, embedding,
+                sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  for i in range(1, len(embedding)+1)])) AS norm
+         FROM embeddings),
+       sig AS (
+         SELECT vec_id, embedding, norm,
+              ($sigTerms) AS sig
+         FROM e),
+       banded AS ($bandSelects),
+       pairs AS (
+         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid,
+                list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  for i in range(1, len(q.embedding)+1)]) / (q.norm * c.norm) AS cos
+         FROM banded c JOIN banded q USING (band, key)
+         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       SELECT qid, nid, rank FROM (
+         SELECT qid, nid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         FROM pairs) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   /** LSH-bucketed approximate top-k: compare each query only to candidates
     * sharing a signature band. Bands of `bandBits` bits out of `nBits`. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,

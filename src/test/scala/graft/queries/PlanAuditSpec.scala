@@ -69,7 +69,13 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val exec = Dedup.d01MinhashLsh(spark, sf).queryExecution.executedPlan
+    // AQE-off session: AdaptiveSparkPlanExec is a leaf, so node-level
+    // collects on the default session's executedPlan see nothing at all
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = Dedup.d01MinhashLsh(s, sf).queryExecution.executedPlan
+    assert(exec.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+      "plan audit is vacuous: no exchanges visible")
     // no window operator anywhere (bucket sizing must be aggregate+join)
     assert(exec.collect { case w: WindowExec => w }.isEmpty,
       "bucket sizing must not use a window")
