@@ -224,6 +224,47 @@ final class PartitionEvaluator(spec: PartitionSpec, schema: Schema,
   }
 }
 
+/** Delete-file → data-file matching (scanner.go:144-193), extracted as a
+  * pure serializable helper so both driver-side planning ([[ScanPlanner]])
+  * and executor-side distributed metadata scans
+  * ([[graft.spark.MetadataTables]] `files`) run the identical semantics. */
+object DeleteMatching extends Serializable {
+
+  /** Positional-delete file schema (manifest.go:548-551): file_path is
+    * field 2147483546, pos 2147483545. */
+  val PositionalDeleteSchema = Schema(0, StructT(Seq(
+    NestedField(2147483546, "file_path", StringT, required = true),
+    NestedField(2147483545, "pos", LongT, required = true))))
+
+  /** scanner.go:162-193: keep delete entries whose seq number is ≥ the data
+    * file's (a delete applies to files committed before it), then check the
+    * delete file's file_path bounds actually cover this data file. `sorted`
+    * must be ascending by sequence number; planning is O(F log D) instead
+    * of O(F·D) when delete files accumulate. */
+  def posDeletes(data: ManifestEntry, sorted: Seq[ManifestEntry]): Seq[DataFileInfo] = {
+    val dataSeq = data.sequenceNumber.getOrElse(0L)
+    var lo = 0
+    var hi = sorted.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid).sequenceNumber.getOrElse(0L) < dataSeq) lo = mid + 1
+      else hi = mid
+    }
+    val idx = if (lo < sorted.size) lo else -1
+    if (idx < 0) return Nil
+    val pathEval = new InclusiveMetricsEvaluator(PositionalDeleteSchema,
+      Expr.equalTo("file_path", StrLit(data.dataFile.path)), caseSensitive = false)
+    sorted.drop(idx)
+      .filter(e => pathEval.eval(e.dataFile.stats))
+      .map(_.dataFile)
+  }
+
+  /** Equality deletes apply to data files committed STRICTLY BEFORE the
+    * delete per the Iceberg spec. */
+  def eqDeletes(dataSeq: Long, entries: Seq[ManifestEntry]): Seq[DataFileInfo] =
+    entries.filter(_.sequenceNumber.exists(_ > dataSeq)).map(_.dataFile)
+}
+
 /** The scan: the `PlanFiles` orchestration the reference declares but never
   * implements (`table/scanner/scanner.go:32-34`). Pipeline per §3.2 of the
   * survey: snapshot pin → manifest-list read → manifest-summary prune →
@@ -236,11 +277,8 @@ final class PartitionEvaluator(spec: PartitionSpec, schema: Schema,
   */
 final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
 
-  /** Positional-delete file schema (manifest.go:548-551): file_path is
-    * field 2147483546, pos 2147483545. */
-  val PositionalDeleteSchema = Schema(0, StructT(Seq(
-    NestedField(2147483546, "file_path", StringT, required = true),
-    NestedField(2147483545, "pos", LongT, required = true))))
+  /** Positional-delete file schema — see [[DeleteMatching.PositionalDeleteSchema]]. */
+  val PositionalDeleteSchema: Schema = DeleteMatching.PositionalDeleteSchema
 
   def planFiles(
       rowFilter: BooleanExpression = AlwaysTrue,
@@ -315,34 +353,13 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
         if (posDeleteEntries.isEmpty) Nil
         else matchDeletes(e, posDeleteEntries)
       val dataSeq = e.sequenceNumber.getOrElse(0L)
-      val eqDeletes = eqDeleteEntries
-        .filter(_.sequenceNumber.exists(_ > dataSeq))
-        .map(_.dataFile)
+      val eqDeletes = DeleteMatching.eqDeletes(dataSeq, eqDeleteEntries)
       FileScanTask(e.dataFile, posDeletes ++ eqDeletes)
     }
   }
 
-  /** scanner.go:162-193: keep delete entries whose seq number is ≥ the data
-    * file's (a delete applies to files committed before it), then check the
-    * delete file's file_path bounds actually cover this data file. */
+  /** See [[DeleteMatching.posDeletes]]. */
   private[core] def matchDeletes(data: ManifestEntry,
-                           sorted: Seq[ManifestEntry]): Seq[DataFileInfo] = {
-    val dataSeq = data.sequenceNumber.getOrElse(0L)
-    // binary search for the first entry with seq >= dataSeq: planning is
-    // O(F log D) instead of O(F·D) when delete files accumulate
-    var lo = 0
-    var hi = sorted.size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (sorted(mid).sequenceNumber.getOrElse(0L) < dataSeq) lo = mid + 1
-      else hi = mid
-    }
-    val idx = if (lo < sorted.size) lo else -1
-    if (idx < 0) return Nil
-    val pathEval = new InclusiveMetricsEvaluator(PositionalDeleteSchema,
-      Expr.equalTo("file_path", StrLit(data.dataFile.path)), caseSensitive = false)
-    sorted.drop(idx)
-      .filter(e => pathEval.eval(e.dataFile.stats))
-      .map(_.dataFile)
-  }
+                           sorted: Seq[ManifestEntry]): Seq[DataFileInfo] =
+    DeleteMatching.posDeletes(data, sorted)
 }

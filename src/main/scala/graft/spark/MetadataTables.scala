@@ -10,18 +10,26 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.ManifestIO
+import graft.core.{DataFileContent, DeleteMatching, ManifestEntry, ManifestFile, ManifestIO}
 
 /** Iceberg-style SQL metadata tables: `SELECT * FROM graft.db.t.snapshots`
   * (also `history`, `refs`, `files`, `manifests`) — the same inspection
   * surface the CLI verbs and `IcebergTable.*DF` offer, reachable from pure
-  * SQL. Rows are metadata-sized and computed on the driver at load time;
-  * execution ships the precomputed rows in a single partition. */
+  * SQL.
+  *
+  * Scale split: `snapshots`/`history`/`refs`/`manifests` rows come straight
+  * from the table metadata or the one manifest-list Avro file — genuinely
+  * metadata-sized, so they are computed on the driver and shipped in a
+  * single partition. `files` is O(data files) — millions of rows on a large
+  * table — so it is a DISTRIBUTED scan: one input partition per data
+  * manifest, with entry decode and delete matching running on executors
+  * ([[FilesMetadataTable]]); the driver only reads the manifest list. */
 object MetadataTables {
 
   val Names: Set[String] = Set("snapshots", "history", "refs", "files", "manifests")
 
   def build(table: IcebergTable, kind: String): Table = {
+    if (kind == "files") return buildFiles(table)
     def s(v: String): Any = UTF8String.fromString(v)
     val (schema, rows): (StructType, Seq[Array[Any]]) = kind match {
       case "snapshots" => (StructType(Seq(
@@ -45,15 +53,6 @@ object MetadataTables {
         table.metadata.refs.toSeq.sortBy(_._1).map { case (name, r) =>
           Array[Any](s(name), s(r.refType.repr), r.snapshotId)
         })
-      case "files" => (StructType(Seq(
-          StructField("file_path", StringType, nullable = false),
-          StructField("file_format", StringType, nullable = false),
-          StructField("record_count", LongType, nullable = false),
-          StructField("file_size_in_bytes", LongType, nullable = false),
-          StructField("delete_files", IntegerType, nullable = false))),
-        table.newScan().planFiles().map(t => Array[Any](s(t.file.path),
-          s(t.file.format), t.file.recordCount, t.file.fileSizeInBytes,
-          t.deleteFiles.size)))
       case "manifests" => (StructType(Seq(
           StructField("path", StringType, nullable = false),
           StructField("length", LongType, nullable = false),
@@ -72,6 +71,93 @@ object MetadataTables {
     }
     new LocalRowsTable(s"${table.location}#$kind", schema, rows)
   }
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("delete_files", IntegerType, nullable = false)))
+
+  /** Driver work is manifest-LIST-sized: read the list, split data vs
+    * delete manifests, decode the (few) delete manifests so every partition
+    * can count matching deletes with the same semantics `planFiles` uses.
+    * Partition maps are stripped from the shipped delete entries — matching
+    * never reads them, and their values can hold non-serializable Avro
+    * `Utf8`. */
+  private def buildFiles(table: IcebergTable): Table = {
+    val manifests = table.currentSnapshot.toSeq
+      .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
+    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    val deleteEntries = deleteManifests
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+      .map(e => e.copy(dataFile = e.dataFile.copy(partition = Map.empty)))
+    val pos = deleteEntries
+      .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+      .sortBy(_.sequenceNumber.getOrElse(0L)).toIndexedSeq
+    val eq = deleteEntries
+      .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
+    new FilesMetadataTable(s"${table.location}#files",
+      table.metadata.properties, dataManifests, pos, eq)
+  }
+}
+
+/** Distributed `files` metadata table: one input partition per data
+  * manifest; executors decode manifest entries and match delete files,
+  * exactly as SURVEY §2.1 S9 prescribes (`createDataset(manifests)
+  * .flatMap(readEntries)` shape, realized as a DSv2 Batch so it stays
+  * inside the catalog surface). */
+final class FilesMetadataTable(tableName: String, props: Map[String, String],
+                               dataManifests: Seq[ManifestFile],
+                               posDeletes: IndexedSeq[ManifestEntry],
+                               eqDeletes: Seq[ManifestEntry])
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = MetadataTables.FilesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = MetadataTables.FilesSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"$tableName [distributed manifest entries]"
+      override def planInputPartitions(): Array[InputPartition] =
+        dataManifests.map(m => ManifestEntriesPartition(m): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new FilesReaderFactory(props, posDeletes, eqDeletes)
+    }
+}
+
+final case class ManifestEntriesPartition(manifest: ManifestFile) extends InputPartition
+
+/** Serialized once per stage; each task opens its manifest through a FileIO
+  * rebuilt from the table's IO properties and streams rows out. */
+final class FilesReaderFactory(props: Map[String, String],
+                               posDeletes: IndexedSeq[ManifestEntry],
+                               eqDeletes: Seq[ManifestEntry])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val m = p.asInstanceOf[ManifestEntriesPartition].manifest
+      private val entries =
+        ManifestIO.readManifestEntries(IOConfig.fileIO(props).open(m.path), m).iterator
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!entries.hasNext) return false
+        val e = entries.next()
+        val nDeletes =
+          (if (posDeletes.isEmpty) 0 else DeleteMatching.posDeletes(e, posDeletes).size) +
+            DeleteMatching.eqDeletes(e.sequenceNumber.getOrElse(0L), eqDeletes).size
+        row = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(e.dataFile.path),
+          UTF8String.fromString(e.dataFile.format),
+          e.dataFile.recordCount, e.dataFile.fileSizeInBytes, nDeletes))
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 /** A read-only table over driver-computed rows (metadata-sized by

@@ -169,13 +169,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db9.m.history").count() == 2)
     val refs = spark.sql("SELECT name, type FROM graft.db9.m.refs").collect()
     assert(refs.exists(r => r.getString(0) == "main" && r.getString(1) == "branch"))
-    assert(spark.sql("SELECT * FROM graft.db9.m.files").count() ==
-      IcebergTables.load(s"$warehouse/db9/m").newScan().planFiles().size)
+    // `files` is a DISTRIBUTED scan: one input partition per data manifest
+    // (two append snapshots → two manifests), entries decoded on executors
+    val filesDf = spark.sql("SELECT * FROM graft.db9.m.files")
+    assert(filesDf.rdd.getNumPartitions == 2,
+      s"files should scan per-manifest, got ${filesDf.rdd.getNumPartitions} partition(s)")
+    // row-for-row against the driver-side planFiles surface
+    val t = IcebergTables.load(s"$warehouse/db9/m")
+    val expected = t.newScan().planFiles().map(ft => (ft.file.path, ft.file.format,
+      ft.file.recordCount, ft.file.fileSizeInBytes, ft.deleteFiles.size)).toSet
+    val got = filesDf.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got == expected)
     assert(spark.sql("SELECT * FROM graft.db9.m.manifests").count() == 2)
     // aggregations over metadata tables work like any table
     assert(spark.sql(
       "SELECT CAST(sum(record_count) AS BIGINT) FROM graft.db9.m.files")
       .collect()(0).getLong(0) == 3)
+    // MoR tombstones show up in the executor-side delete matching
+    TableWriter.deleteWhere(t, spark, org.apache.spark.sql.functions.col("id") === 1L)
+    val withDeletes = spark.sql("SELECT file_path, delete_files FROM graft.db9.m.files")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val expectedDel = IcebergTables.load(s"$warehouse/db9/m").newScan().planFiles()
+      .map(ft => (ft.file.path, ft.deleteFiles.size)).toMap
+    assert(withDeletes == expectedDel)
+    assert(withDeletes.values.sum >= 1, "expected at least one matched delete file")
   }
 
   test("CREATE TABLE PARTITIONED BY with transforms, partitioned INSERT") {
