@@ -96,7 +96,10 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
       PartFieldSpec(src.name, pf.transform.repr, pf.name)
     }
-    GraftCowWriterFactory(writeDir.getPath, writeSchema.json, partFields)
+    GraftCowWriterFactory(writeDir.getPath, writeSchema.json, partFields,
+      GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
+      GraftCowWriterFactory.parquetPropsOf(
+        org.apache.spark.sql.SparkSession.active))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -119,16 +122,47 @@ final case class PartFieldSpec(srcCol: String, transformRepr: String,
                                partName: String)
 
 final case class CowFileOut(path: String, rows: Long,
-                            partition: Map[String, Any])
+                            partition: Map[String, Any],
+                            nanCounts: Map[Int, Long] = Map.empty)
 
 final case class GraftCowCommit(files: Seq[CowFileOut]) extends WriterCommitMessage
 
+/** One float/double column of the write: name + Iceberg field id, so task
+  * writers can count NaNs inline (parquet footers don't record them and a
+  * post-hoc data pass would double the write cost). */
+final case class FloatFieldSpec(colName: String, fieldId: Int)
+
 final case class GraftCowWriterFactory(dir: String, schemaJson: String,
-                                       partFields: Seq[PartFieldSpec])
+                                       partFields: Seq[PartFieldSpec],
+                                       floatFields: Seq[FloatFieldSpec] = Nil,
+                                       parquetProps: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields, floatFields,
+      parquetProps)
+}
+
+object GraftCowWriterFactory {
+  /** The table's float/double fields present in the write schema. */
+  def floatFieldsOf(schema: graft.core.Schema, writeSchema: StructType): Seq[FloatFieldSpec] =
+    schema.fields.collect {
+      case f if (f.fieldType == graft.core.FloatT || f.fieldType == graft.core.DoubleT) &&
+        writeSchema.fieldNames.contains(f.name) => FloatFieldSpec(f.name, f.id)
+    }
+
+  /** Driver-side capture of the session's parquet writer settings
+    * (`parquet.*` Hadoop conf — block/page size etc. — plus the session
+    * compression codec), shipped to the task writers so a direct
+    * `ParquetWriter` behaves like Spark's own parquet sink. */
+  def parquetPropsOf(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val fromHadoop = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("parquet.")).toMap
+    fromHadoop + ("parquet.compression" ->
+      spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
+  }
 }
 
 /** Parquet writing through Spark's ParquetWriteSupport (same encoding as
@@ -138,13 +172,16 @@ final case class GraftCowWriterFactory(dir: String, schemaJson: String,
   * to the driver in the commit message — manifests carry them, so reads
   * prune correctly without a hive directory layout. */
 final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
-                               schema: StructType, partFields: Seq[PartFieldSpec])
+                               schema: StructType, partFields: Seq[PartFieldSpec],
+                               floatFields: Seq[FloatFieldSpec] = Nil,
+                               parquetProps: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
   private val conf = {
     val c = new Configuration()
+    parquetProps.foreach { case (k, v) => c.set(k, v) }
     ParquetWriteSupport.setSchema(schema, c)
     c.set("spark.sql.session.timeZone", "UTC")
     c.setBoolean("spark.sql.parquet.writeLegacyFormat", false)
@@ -166,8 +203,26 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       new ParquetWriteSupport()
   }
 
+  // the direct Builder path ignores these conf keys (only ParquetOutputFormat
+  // reads them), so apply explicitly to match Spark's sink behavior
+  private val codec = {
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    parquetProps.get("parquet.compression").map(_.toUpperCase) match {
+      case None | Some("SNAPPY") => CompressionCodecName.SNAPPY
+      case Some("NONE") | Some("UNCOMPRESSED") => CompressionCodecName.UNCOMPRESSED
+      case Some(c) =>
+        try CompressionCodecName.valueOf(c)
+        catch { case _: IllegalArgumentException => CompressionCodecName.SNAPPY }
+    }
+  }
+  private val rowGroupBytes = parquetProps.get("parquet.block.size")
+    .flatMap(_.toLongOption).getOrElse(ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+
   private case class Sink(file: File, writer: ParquetWriter[InternalRow],
-                          partition: Map[String, Any]) { var rows = 0L }
+                          partition: Map[String, Any]) {
+    var rows = 0L
+    val nan = new Array[Long](floatFields.size)
+  }
 
   // one sink per partition tuple this task sees (empty tuple when
   // unpartitioned → exactly one file)
@@ -175,6 +230,11 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
   private val resolved = partFields.map { pf =>
     val ord = schema.fieldIndex(pf.srcCol)
     (pf, ord, schema(ord).dataType, Transform.parse(pf.transformRepr))
+  }
+  // (ordinal, isDouble) per float/double column, for inline NaN counting
+  private val floatOrds = floatFields.map { ff =>
+    val ord = schema.fieldIndex(ff.colName)
+    (ord, schema(ord).dataType == DoubleType)
   }
 
   private def toIceLiteral(raw: Any, dt: DataType): Option[IceLiteral] = raw match {
@@ -226,16 +286,29 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     val key = resolved.map { case (pf, _, _, _) => partition(pf.partName) }
     val sink = sinks.getOrElseUpdate(key, {
       val f = new File(dir, f"part-$partitionId%05d-$taskId-${sinks.size}%03d.parquet")
-      Sink(f, new B(new Path(f.getPath)).withConf(conf).build(), partition)
+      Sink(f, new B(new Path(f.getPath)).withConf(conf)
+        .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes).build(), partition)
     })
     sink.writer.write(row)
     sink.rows += 1
+    var i = 0
+    while (i < floatOrds.length) {
+      val (ord, isDouble) = floatOrds(i)
+      if (!row.isNullAt(ord)) {
+        val isNaN =
+          if (isDouble) java.lang.Double.isNaN(row.getDouble(ord))
+          else java.lang.Float.isNaN(row.getFloat(ord))
+        if (isNaN) sink.nan(i) += 1
+      }
+      i += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     sinks.values.foreach(_.writer.close())
     GraftCowCommit(sinks.values.toSeq.filter(_.rows > 0)
-      .map(s => CowFileOut(s.file.getPath, s.rows, s.partition)))
+      .map(s => CowFileOut(s.file.getPath, s.rows, s.partition,
+        floatFields.zipWithIndex.map { case (ff, i) => ff.fieldId -> s.nan(i) }.toMap)))
   }
 
   override def abort(): Unit =

@@ -11,16 +11,17 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, expr => sexpr, input_file_name, isnan, sum => ssum, to_date, udf, year => syear}
+import org.apache.spark.sql.functions.{col, expr => sexpr, to_date, udf, year => syear}
 
 import graft.core._
 
 /** The write/commit path — "Writing is WIP" in the reference
-  * (cmd/icegopher/main.go:314,330); here it's implemented: Spark writes the
-  * parquet (distributed, partitioned), the driver turns parquet FOOTERS into
-  * per-file Iceberg stats (no second data pass — O(files) metadata reads),
-  * then commits manifest → manifest list → vN.metadata.json atomically via
-  * rename, with a version-hint for readers.
+  * (cmd/icegopher/main.go:314,330); here it's implemented: distributed task
+  * writers (shared with the CoW path) write the parquet, derive partition
+  * tuples per row, and count float/double NaNs inline; the driver turns
+  * parquet FOOTERS into per-file Iceberg stats (no second data pass —
+  * O(files) metadata reads), then commits manifest → manifest list →
+  * vN.metadata.json atomically via rename, with a version-hint for readers.
   */
 object TableWriter {
 
@@ -304,7 +305,7 @@ object TableWriter {
     val addedEntries = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
-          f.partition.filter(_._2 != null), DataFileContent.Data, None))
+          f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
     val addManifest =
       if (addedEntries.isEmpty) None
@@ -514,38 +515,58 @@ object TableWriter {
         df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
       }
 
-    // distributed write, hive-partitioned on transformed values. The
-    // transform value is written under a `_p_` alias so hive partitioning
-    // consumes the alias and the SOURCE columns stay in the data files
-    // (partitionBy drops its columns from the files).
-    if (spec.isUnpartitioned) clustered.write.parquet(dataDir.getPath)
-    else {
-      val withParts = spec.fields.foldLeft(clustered) { (d, pf) =>
-        val srcField = schema.findFieldById(pf.sourceId).get
-        d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
-          srcField.fieldType))
+    // distribution (Iceberg's write.distribution-mode=hash): hash by the
+    // TRANSFORMED partition value before writing, so each partition value
+    // lands in few tasks — without this, every task writes a file for every
+    // partition value it happens to hold (tasks × partitions small files at
+    // cluster scale). Skip when the data was range-clustered by an explicit
+    // sort order (already partition-aligned for the common time-sorted
+    // case). The derived columns exist only to key the exchange — the
+    // select drops them before rows reach the writers.
+    val distributed =
+      if (spec.isUnpartitioned || !sortOrder.isUnsorted) clustered
+      else {
+        val withParts = spec.fields.foldLeft(clustered) { (d, pf) =>
+          val srcField = schema.findFieldById(pf.sourceId).get
+          d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
+            srcField.fieldType))
+        }
+        withParts.repartition(spec.fields.map(f => col(s"_p_${f.name}")): _*)
+          .select(clustered.columns.map(col): _*)
       }
-      // hash-distribute by partition value before the partitioned write
-      // (Iceberg's write.distribution-mode=hash): without this, every task
-      // writes a file for every partition value it happens to hold —
-      // tasks × partitions small files at cluster scale. Skip when the
-      // data was range-clustered by an explicit sort order (already
-      // partition-aligned for the common time-sorted case).
-      val partCols = spec.fields.map(f => col(s"_p_${f.name}"))
-      val distributed =
-        if (!sortOrder.isUnsorted) withParts
-        else withParts.repartition(partCols: _*)
-      distributed.write.partitionBy(spec.fields.map(f => s"_p_${f.name}"): _*)
-        .parquet(dataDir.getPath)
-    }
+
+    // distributed write through the task writers (shared with the CoW
+    // path): each task derives partition tuples per row with the core
+    // transforms, keeps one open parquet file per tuple, and counts
+    // float/double NaNs inline — so commit needs NO second pass over the
+    // written data (footers don't record NaN counts). Partition tuples ride
+    // the commit messages into the manifest; no hive directory layout.
+    dataDir.mkdirs()
+    val writeSchema = distributed.schema
+    val factory = GraftCowWriterFactory(dataDir.getPath, writeSchema.json,
+      spec.fields.map { pf =>
+        val src = schema.findFieldById(pf.sourceId).get
+        PartFieldSpec(src.name, pf.transform.repr, pf.name)
+      },
+      GraftCowWriterFactory.floatFieldsOf(schema, writeSchema),
+      GraftCowWriterFactory.parquetPropsOf(df.sparkSession))
+    val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val w = factory.createWriter(pid, pid.toLong)
+        var ok = false
+        try {
+          rows.foreach(w.write)
+          val m = w.commit().asInstanceOf[GraftCowCommit]
+          ok = true
+          Iterator.single(m)
+        } finally if (!ok) w.abort()
+      }
+      .collect().toSeq.flatMap(_.files) // one row per written file: metadata-sized
 
     val partType = spec.partitionType(schema)
-    val files = listParquet(dataDir)
-    val nanCounts = nanCountsByFile(df.sparkSession, dataDir, schema)
-    val entries = files.map { f =>
-      val partition = parsePartitionValues(dataDir, f, partType)
-      val info = statsFromFooter(f, schema, partition, DataFileContent.Data, None,
-        nanCounts.getOrElse(f.getPath, Map.empty))
+    val entries = outs.sortBy(_.path).map { o =>
+      val info = statsFromFooter(new File(o.path), schema,
+        o.partition.filter(_._2 != null), DataFileContent.Data, None, o.nanCounts)
         .copy(sortOrderId = Some(sortOrder.orderId))
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(sequenceNumber),
         Some(sequenceNumber), info)
@@ -654,42 +675,6 @@ object TableWriter {
     walk(dir).sortBy(_.getPath)
   }
 
-  /** Hive-style `name=value` path segments → partition tuple values. */
-  private def parsePartitionValues(root: File, file: File,
-                                   partType: StructT): Map[String, Any] = {
-    if (partType.fields.isEmpty) return Map.empty
-    val rel = root.toPath.relativize(file.toPath)
-    val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-    val kv = segs.flatMap { s =>
-      s.split("=", 2) match {
-        case Array(k, v) =>
-          Some(k.stripPrefix("_p_") -> java.net.URLDecoder.decode(v, "UTF-8"))
-        case _ => None
-      }
-    }.toMap
-    partType.fields.flatMap { f =>
-      kv.get(f.name).flatMap { raw =>
-        if (raw == "__HIVE_DEFAULT_PARTITION__") None
-        else Some(f.name -> (f.fieldType match {
-          case IntT => Integer.valueOf(raw.toInt)
-          case LongT => java.lang.Long.valueOf(raw.toLong)
-          case DateT => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
-          case StringT => raw
-          case BooleanT => java.lang.Boolean.valueOf(raw)
-          case FloatT => java.lang.Float.valueOf(raw)
-          case DoubleT => java.lang.Double.valueOf(raw)
-          case DecimalT(_, sc) =>
-            // stored as the Iceberg single-value byte encoding; the Avro
-            // partition schema falls back to BYTES for decimals and the
-            // readers decode via LiteralCodec
-            DecLit(BigInt(new java.math.BigDecimal(raw).setScale(sc)
-              .unscaledValue()), sc).toBytes
-          case other => raw
-        }))
-      }
-    }.toMap
-  }
-
   private def isNaNLit(l: Literal): Boolean = l match {
     case FloatLit(f) => f.isNaN
     case DoubleLit(d) => d.isNaN
@@ -722,34 +707,6 @@ object TableWriter {
     case d: java.lang.Double => Some(DoubleLit(d))
     case b: Array[Byte] => LiteralCodec.fromBytes(t, b)
     case _ => None
-  }
-
-  /** Parquet footers don't record NaN counts (the thrift `distinct_count` is
-    * likewise deprecated/absent in parquet-mr), so `nan_value_counts` is
-    * computed at write time with ONE distributed aggregation over only the
-    * float/double columns, one output row per file — column-pruned, no
-    * shuffle of data columns, metadata-sized collect. Skipped entirely when
-    * the schema has no floating-point fields. */
-  private def nanCountsByFile(spark: org.apache.spark.sql.SparkSession,
-                              dataDir: File, schema: Schema): Map[String, Map[Int, Long]] = {
-    val floatFields = schema.fields.filter(f =>
-      f.fieldType == FloatT || f.fieldType == DoubleT)
-    if (floatFields.isEmpty) return Map.empty
-    val aggs = floatFields.map(f =>
-      ssum(isnan(col(f.name)).cast("long")).as(s"n_${f.id}"))
-    spark.read.parquet(dataDir.getPath)
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per written file: metadata-sized, like footer reads
-      .map { r =>
-        val raw = r.getString(0)
-        val path =
-          try java.nio.file.Paths.get(new java.net.URI(raw)).toString
-          catch { case _: Exception => raw.stripPrefix("file:") }
-        path -> floatFields.zipWithIndex.map { case (f, i) =>
-          f.id -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
-        }.toMap
-      }.toMap
   }
 
   /** Parquet footer → per-file Iceberg stats: min/max/null counts aggregated
