@@ -297,9 +297,14 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       case _ => metadata.currentSnapshot.getOrElse(return Nil)
     }
 
-    // scans resolve the snapshot's schema, not the table's current one
-    val schema = snapshot.schemaId.flatMap(metadata.schemaById)
-      .getOrElse(metadata.currentSchema)
+    // time-travel scans resolve the SNAPSHOT's schema version; current-table
+    // scans use the CURRENT schema (the current snapshot may predate a
+    // metadata-only schema evolution like RENAME/DROP COLUMN)
+    val timeTravel = snapshotId.isDefined || ref.isDefined || asOfTimestampMs.isDefined
+    val schema =
+      if (!timeTravel) metadata.currentSchema
+      else snapshot.schemaId.flatMap(metadata.schemaById)
+        .getOrElse(metadata.currentSchema)
 
     val bound = Expr.bind(schema, Expr.rewriteNot(rowFilter), caseSensitive)
     val metrics = new InclusiveMetricsEvaluator(schema, rowFilter, caseSensitive)

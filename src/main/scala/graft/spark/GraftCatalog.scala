@@ -212,20 +212,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     PartitionSpec(0, fields.toIndexedSeq)
   }
 
-  /** ALTER TABLE: ADD COLUMN (top-level, added optional — the only safe
-    * Iceberg evolution without default values) and SET/UNSET TBLPROPERTIES,
-    * delegating to the library write path. */
+  /** ALTER TABLE: ADD/RENAME/DROP COLUMN (top-level; added columns are
+    * optional — the only safe Iceberg evolution without default values) and
+    * SET/UNSET TBLPROPERTIES, delegating to the library write path.
+    * RENAME/DROP are metadata-only: field-id resolution keeps existing data
+    * files readable and old snapshots projecting their own schema. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     var t = loadIce(ident)
     val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
     val unsetProps = scala.collection.mutable.ArrayBuffer[String]()
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(s"$what supports top-level columns only")
+      fieldNames(0)
+    }
     changes.foreach {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            "ADD COLUMN supports top-level columns only")
-        t = TableWriter.addColumn(t, a.fieldNames()(0),
+        t = TableWriter.addColumn(t, topLevel(a.fieldNames(), "ADD COLUMN"),
           primitiveIceType(a.dataType()), Option(a.comment()))
+      case r: TableChange.RenameColumn =>
+        t = TableWriter.renameColumn(t,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        t = TableWriter.dropColumn(t, topLevel(d.fieldNames(), "DROP COLUMN"))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case r: TableChange.RemoveProperty => unsetProps += r.property()
       case other => throw new UnsupportedOperationException(

@@ -96,7 +96,8 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
       PartFieldSpec(src.name, pf.transform.repr, pf.name)
     }
-    GraftCowWriterFactory(writeDir.getPath, writeSchema.json, partFields,
+    GraftCowWriterFactory(writeDir.getPath,
+      GraftCowWriterFactory.withParquetIds(writeSchema, table.schema).json, partFields,
       GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(
         org.apache.spark.sql.SparkSession.active))
@@ -144,12 +145,29 @@ final case class GraftCowWriterFactory(dir: String, schemaJson: String,
 }
 
 object GraftCowWriterFactory {
+  /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val ParquetFieldIdKey = "parquet.field.id"
+
   /** The table's float/double fields present in the write schema. */
   def floatFieldsOf(schema: graft.core.Schema, writeSchema: StructType): Seq[FloatFieldSpec] =
     schema.fields.collect {
       case f if (f.fieldType == graft.core.FloatT || f.fieldType == graft.core.DoubleT) &&
         writeSchema.fieldNames.contains(f.name) => FloatFieldSpec(f.name, f.id)
     }
+
+  /** Stamp Iceberg field ids onto the write schema as parquet field-id
+    * metadata, so written files carry ids and renamed columns keep
+    * resolving (readers match by id when the file has ids). Top-level
+    * fields only, matching the ALTER TABLE surface. */
+  def withParquetIds(writeSchema: StructType, schema: graft.core.Schema): StructType =
+    StructType(writeSchema.fields.map { f =>
+      schema.findFieldByName(f.name) match {
+        case Some(nf) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(ParquetFieldIdKey, nf.id.toLong).build())
+        case None => f
+      }
+    })
 
   /** Driver-side capture of the session's parquet writer settings
     * (`parquet.*` Hadoop conf — block/page size etc. — plus the session
@@ -186,7 +204,7 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     c.set("spark.sql.session.timeZone", "UTC")
     c.setBoolean("spark.sql.parquet.writeLegacyFormat", false)
     c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    c.setBoolean("spark.sql.parquet.fieldId.write.enabled", false)
+    c.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     c.setBoolean("spark.sql.parquet.variant.annotateLogicalType.enabled", false)
     c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
     c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)

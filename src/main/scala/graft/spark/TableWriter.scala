@@ -385,6 +385,50 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Schema evolution: rename a top-level column. Field-ID-based resolution
+    * makes this safe — the field keeps its id, so data files written under
+    * the old name still resolve (readers match parquet columns by field id,
+    * SURVEY §1.2), and time travel to pre-rename snapshots projects the old
+    * name via that snapshot's schema version. */
+  def renameColumn(table: IcebergTable, from: String, to: String): IcebergTable = {
+    val md = table.metadata
+    val f = md.currentSchema.findFieldByName(from).getOrElse(
+      throw new IllegalArgumentException(s"column '$from' not found"))
+    require(md.currentSchema.findFieldByName(to).isEmpty, s"column '$to' exists")
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
+      StructT(md.currentSchema.fields.map(x =>
+        if (x.id == f.id) x.copy(name = to) else x)),
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Schema evolution: drop a top-level column (metadata-only — data files
+    * keep the column bytes; current reads never request them, old snapshots
+    * still project them through their own schema version). Partition source
+    * and identifier columns are protected. */
+  def dropColumn(table: IcebergTable, name: String): IcebergTable = {
+    val md = table.metadata
+    val f = md.currentSchema.findFieldByName(name).getOrElse(
+      throw new IllegalArgumentException(s"column '$name' not found"))
+    require(!table.spec.fields.exists(_.sourceId == f.id),
+      s"column '$name' is a partition source; drop the partition field first")
+    require(!md.currentSchema.identifierFieldIds.contains(f.id),
+      s"column '$name' is an identifier field")
+    require(md.currentSchema.fields.size > 1, "cannot drop the last column")
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
+      StructT(md.currentSchema.fields.filterNot(_.id == f.id)),
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
   def updateProperties(table: IcebergTable, set: Map[String, String],
                        unset: Seq[String] = Nil): IcebergTable = {
@@ -543,7 +587,8 @@ object TableWriter {
     // the commit messages into the manifest; no hive directory layout.
     dataDir.mkdirs()
     val writeSchema = distributed.schema
-    val factory = GraftCowWriterFactory(dataDir.getPath, writeSchema.json,
+    val factory = GraftCowWriterFactory(dataDir.getPath,
+      GraftCowWriterFactory.withParquetIds(writeSchema, schema).json,
       spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
         PartFieldSpec(src.name, pf.transform.repr, pf.name)

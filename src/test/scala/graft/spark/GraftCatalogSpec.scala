@@ -154,6 +154,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(props.get("x").isEmpty && props("write.target-size") == "512m")
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: id-based resolution over old files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8b")
+    spark.sql("CREATE TABLE graft.db8b.rn (id BIGINT, amount DOUBLE, note STRING)")
+    spark.sql("INSERT INTO graft.db8b.rn VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val firstSnap = IcebergTables.load(s"$warehouse/db8b/rn").currentSnapshot.get.snapshotId
+
+    // rename: files written under the OLD name must still resolve by field id
+    spark.sql("ALTER TABLE graft.db8b.rn RENAME COLUMN amount TO price")
+    val rows = spark.sql("SELECT id, price FROM graft.db8b.rn ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5), (2L, 2.5)))
+    // filters on the renamed column reach the old files too
+    assert(spark.sql("SELECT count(*) FROM graft.db8b.rn WHERE price > 2.0")
+      .collect()(0).getLong(0) == 1)
+    // new writes use the new name; reads mix old- and new-name files
+    spark.sql("INSERT INTO graft.db8b.rn VALUES (3, 3.5, 'c')")
+    assert(spark.sql("SELECT sum(price) FROM graft.db8b.rn").collect()(0).getDouble(0) == 7.5)
+    // time travel to the pre-rename snapshot resolves the OLD name
+    val old = spark.sql(s"SELECT * FROM graft.db8b.rn VERSION AS OF $firstSnap")
+    assert(old.columns.toSeq == Seq("id", "amount", "note"))
+    assert(old.count() == 2)
+
+    // drop: column disappears from current reads, survives in old snapshots
+    spark.sql("ALTER TABLE graft.db8b.rn DROP COLUMN note")
+    assert(spark.sql("SELECT * FROM graft.db8b.rn").columns.toSeq == Seq("id", "price"))
+    assert(spark.sql(s"SELECT note FROM graft.db8b.rn VERSION AS OF $firstSnap")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // renaming to an existing name is rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db8b.rn RENAME COLUMN price TO id")
+    }
+  }
+
   test("SQL metadata tables: snapshots/history/refs/files/manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("CREATE TABLE graft.db9.m (id BIGINT)")
