@@ -83,6 +83,12 @@ final class IcebergTable(val location: String, val metadataPath: String,
   }
 }
 
+object TableScan {
+  /** Diagnostic: total planFiles invocations in this JVM (specs assert
+    * planning work per query, e.g. one plan per agg-pushdown query). */
+  val planFilesCalls = new java.util.concurrent.atomic.AtomicLong()
+}
+
 final case class TableScan(table: IcebergTable, filter: BooleanExpression,
                            selected: Seq[String], snapshotId: Option[Long],
                            ref: Option[String], asOfTimestampMs: Option[Long],
@@ -103,9 +109,11 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     if (selected.isEmpty || selected.contains("*")) snapshotSchema
     else snapshotSchema.select(caseSensitive, selected: _*)
 
-  def planFiles(): Seq[FileScanTask] =
+  def planFiles(): Seq[FileScanTask] = {
+    TableScan.planFilesCalls.incrementAndGet()
     new ScanPlanner(table.io, table.metadata)
       .planFiles(filter, snapshotId, ref, asOfTimestampMs, caseSensitive)
+  }
 
   /** Execute: pruned file set → Spark parquet scan (+ MoR anti-join when
     * positional deletes exist) → residual filter → projection. */

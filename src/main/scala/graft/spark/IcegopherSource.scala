@@ -174,13 +174,27 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
   // any filter, group-by, delete files, missing stats, truncatable
   // string/binary bounds, or NaN-ambiguous float/double bounds.
 
+  // Spark probes supportCompletePushDown, then calls pushAggregation with
+  // the same Aggregation — memoize so the file set is planned ONCE per
+  // agg-pushdown query, not twice
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+  private def metadataAggregateMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = aggMemo match {
+    case Some((key, v)) if key eq agg => v
+    case _ =>
+      val v = metadataAggregate(agg)
+      aggMemo = Some((agg, v))
+      v
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    metadataAggregate(agg).isDefined
+    metadataAggregateMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = metadataAggregate(agg)
+    aggResult = metadataAggregateMemo(agg)
     aggResult.isDefined
   }
 

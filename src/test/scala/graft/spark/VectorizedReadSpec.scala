@@ -113,6 +113,7 @@ class VectorizedReadSpec extends AnyFunSuite {
     val src = spark.read.parquet(s"$sf/orders.parquet").repartition(4)
     TableWriter.create(src, loc)
 
+    val before = TableScan.planFilesCalls.get()
     val df = spark.read.format("icegopher").load(loc)
       .agg(org.apache.spark.sql.functions.count("*").as("n"),
         org.apache.spark.sql.functions.min("o_orderkey").as("min_k"),
@@ -120,6 +121,10 @@ class VectorizedReadSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.count("o_orderdate").as("n_comment"))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("metadata-only aggregate"), s"aggregate not pushed:\n$p")
+    // the probe (supportCompletePushDown) and the push share one planning
+    // pass — a pushed aggregate query plans the file set exactly once
+    val plans = TableScan.planFilesCalls.get() - before
+    assert(plans == 1, s"agg pushdown planned the file set $plans times")
 
     val row = df.collect()(0)
     val exp = src.agg(org.apache.spark.sql.functions.count("*"),
