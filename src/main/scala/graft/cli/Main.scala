@@ -22,6 +22,9 @@ import graft.spark.IcebergTables
   *   graft properties get TABLE [KEY]      table properties
   *   graft properties set TABLE KEY VALUE  set a table property
   *   graft properties remove TABLE KEY     remove a table property
+  *   graft properties get namespace NS [KEY]      namespace properties
+  *   graft properties set namespace NS KEY VALUE  set a namespace property
+  *   graft properties remove namespace NS KEY     remove a namespace property
   *   graft drop TABLE                      drop a table
   *   graft rename OLD NEW                  rename a table
   *   graft rollback TABLE SNAPSHOT_ID      move main to an earlier snapshot
@@ -63,10 +66,18 @@ object Main {
       case "uuid" :: id :: Nil => println(loadMeta(cfg, id).tableUuid)
       case "schema" :: id :: Nil => println(loadMeta(cfg, id).currentSchema.repr)
       case "spec" :: id :: Nil => printSpec(loadMeta(cfg, id))
-      case "describe" :: id :: Nil => describe(loadMeta(cfg, id))
+      case "describe" :: id :: Nil => describe(loadMeta(cfg, id), cfg.json)
       case "files" :: id :: Nil => files(cfg, id, history)
-      case "snapshots" :: id :: Nil => snapshots(loadMeta(cfg, id))
+      case "snapshots" :: id :: Nil => snapshots(loadMeta(cfg, id), cfg.json)
       case "refs" :: id :: Nil => refs(loadMeta(cfg, id))
+      case "properties" :: "get" :: "namespace" :: ns :: rest =>
+        namespaceProps(catalog(cfg).namespaceProperties(ns.split('.').toSeq), ns, rest)
+      case "properties" :: "set" :: "namespace" :: ns :: key :: value :: Nil =>
+        catalog(cfg).updateNamespaceProperties(ns.split('.').toSeq, Nil, Map(key -> value))
+        println(s"set $key on namespace $ns")
+      case "properties" :: "remove" :: "namespace" :: ns :: key :: Nil =>
+        catalog(cfg).updateNamespaceProperties(ns.split('.').toSeq, Seq(key), Map.empty)
+        println(s"removed $key from namespace $ns")
       case "properties" :: "get" :: id :: rest => properties(loadMeta(cfg, id), rest)
       case "properties" :: "set" :: id :: key :: value :: Nil =>
         setProperty(cfg, id, key, value)
@@ -76,16 +87,30 @@ object Main {
       case "rename" :: from :: to :: Nil => rename(cfg, from, to)
       case "rollback" :: id :: snap :: Nil =>
         requireLocal(id)
-        graft.spark.TableWriter.rollbackTo(IcebergTables.load(id), snap.toLong)
+        val snapId = snap.toLongOption.getOrElse(die(s"invalid snapshot id: $snap"))
+        graft.spark.TableWriter.rollbackTo(IcebergTables.load(id), snapId)
         println(s"rolled back $id to $snap")
       case "expire" :: id :: olderThan :: rest =>
         requireLocal(id)
-        val retain = rest.headOption.map(_.toInt).getOrElse(1)
+        val olderMs = olderThan.toLongOption.getOrElse(
+          die(s"invalid timestamp (ms): $olderThan"))
+        val retain = rest.headOption.map(r =>
+          r.toIntOption.getOrElse(die(s"invalid retain count: $r"))).getOrElse(1)
         graft.spark.TableWriter.expireSnapshots(IcebergTables.load(id),
-          olderThan.toLong, retain, deleteFiles = true)
+          olderMs, retain, deleteFiles = true)
         println(s"expired snapshots of $id older than $olderThan (retain $retain)")
       case _ => die(usage)
     }
+  }
+
+  private def namespaceProps(props: Map[String, String], ns: String,
+                             rest: List[String]): Unit = rest match {
+    case Nil => props.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k\t$v") }
+    case key :: Nil => props.get(key) match {
+      case Some(v) => println(v)
+      case None => die(s"property $key not found on namespace $ns")
+    }
+    case _ => die(usage)
   }
 
   private val usage =
@@ -129,7 +154,24 @@ object Main {
       println(s"${f.fieldId}: ${f.name}: ${f.transform.repr}(${f.sourceId})"))
   }
 
-  private def describe(md: TableMetadata): Unit = {
+  private def describe(md: TableMetadata, json: Boolean): Unit = {
+    if (json) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("format-version", md.formatVersion)
+      o.put("location", md.location)
+      o.put("table-uuid", md.tableUuid)
+      o.put("last-updated-ms", md.lastUpdatedMs)
+      o.put("sort-order-id", md.sortOrder.orderId)
+      val spec = o.putArray("partition-spec")
+      md.partitionSpec.fields.foreach(f => spec.add(f.name))
+      md.currentSnapshot.foreach { s =>
+        o.put("current-snapshot-id", s.snapshotId)
+        o.put("current-sequence-number", s.sequenceNumber)
+      }
+      println(m.writeValueAsString(o))
+      return
+    }
     println(s"Table format version: ${md.formatVersion}")
     println(s"Metadata location:    ${md.location}")
     println(s"Table UUID:           ${md.tableUuid}")
@@ -162,8 +204,19 @@ object Main {
     }
   }
 
-  private def snapshots(md: TableMetadata): Unit =
-    md.snapshots.foreach { s =>
+  private def snapshots(md: TableMetadata, json: Boolean): Unit =
+    if (json) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = m.createArrayNode()
+      md.snapshots.foreach { s =>
+        val o = arr.addObject()
+        o.put("snapshot-id", s.snapshotId)
+        o.put("timestamp-ms", s.timestampMs)
+        o.put("sequence-number", s.sequenceNumber)
+        s.summary.foreach(sum => o.put("operation", sum.operation.repr))
+      }
+      println(m.writeValueAsString(arr))
+    } else md.snapshots.foreach { s =>
       val op = s.summary.map(_.operation.repr).getOrElse("")
       println(s"${s.snapshotId}\t${s.timestampMs}\tseq=${s.sequenceNumber}\t$op")
     }

@@ -309,20 +309,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(f => namespace :+ f.getName)
     }
 
+  /** Namespace properties live in a `.namespace.properties` file inside the
+    * namespace directory — metadata-plane only, invisible to table listing
+    * (dotfile, not a table dir). */
+  private def nsPropsFile(namespace: Array[String]): File =
+    new File(new File(warehouse, namespace.mkString(File.separator)),
+      ".namespace.properties")
+
+  private def readNsProps(namespace: Array[String]): Map[String, String] = {
+    val f = nsPropsFile(namespace)
+    if (!f.isFile) Map.empty
+    else {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+      p.asScala.toMap
+    }
+  }
+
+  private def writeNsProps(namespace: Array[String], props: Map[String, String]): Unit = {
+    val f = nsPropsFile(namespace)
+    if (props.isEmpty) { f.delete(); return }
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = new java.io.FileOutputStream(f)
+    try p.store(out, null) finally out.close()
+  }
+
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = new File(warehouse, namespace.mkString(File.separator))
     if (!dir.isDirectory) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(namespace)
-    Map("location" -> dir.getPath).asJava
+    (readNsProps(namespace) + ("location" -> dir.getPath)).asJava
   }
 
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit =
+                               metadata: util.Map[String, String]): Unit = {
     new File(warehouse, namespace.mkString(File.separator)).mkdirs()
+    val props = metadata.asScala.toMap - "location" - "owner" - "comment"
+    if (props.nonEmpty) writeNsProps(namespace, props)
+  }
 
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported yet")
+                              changes: NamespaceChange*): Unit = {
+    val dir = new File(warehouse, namespace.mkString(File.separator))
+    if (!dir.isDirectory) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+    var props = readNsProps(namespace)
+    changes.foreach {
+      case s: NamespaceChange.SetProperty => props += s.property() -> s.value()
+      case r: NamespaceChange.RemoveProperty => props -= r.property()
+      case other => throw new UnsupportedOperationException(
+        s"namespace change ${other.getClass.getSimpleName} is not supported")
+    }
+    writeNsProps(namespace, props)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = new File(warehouse, namespace.mkString(File.separator))

@@ -129,4 +129,60 @@ class CliSpec extends AnyFunSuite {
     assert(intercept[Main.CliError](run("frobnicate")).msg.contains("usage:"))
     assert(intercept[Main.CliError](run("list")).msg.contains("--uri"))
   }
+
+  test("malformed numeric args die with friendly errors, not stack traces") {
+    val loc = freshTable()
+    assert(intercept[Main.CliError](run("rollback", loc, "abc"))
+      .msg.contains("invalid snapshot id"))
+    assert(intercept[Main.CliError](run("expire", loc, "xyz"))
+      .msg.contains("invalid timestamp"))
+    assert(intercept[Main.CliError](run("expire", loc, "123", "many"))
+      .msg.contains("invalid retain"))
+  }
+
+  test("--json emits machine-readable describe and snapshots") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val desc = m.readTree(run("--json", "describe", tableLoc))
+    assert(desc.get("format-version").asInt() == 2)
+    assert(desc.get("table-uuid").asText().matches("[0-9a-f-]{36}"))
+    assert(desc.has("current-snapshot-id"))
+    val snaps = m.readTree(run("--json", "snapshots", tableLoc))
+    assert(snaps.isArray && snaps.size() == 2)
+    assert(snaps.get(0).get("operation").asText() == "append")
+  }
+
+  test("namespace property verbs go through the REST catalog") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    @volatile var lastBody = ""
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def send(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/v1/config", (ex: HttpExchange) =>
+      send(ex, 200, """{"defaults": {}, "overrides": {}}"""))
+    server.createContext("/v1/namespaces/db1", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath.endsWith("/properties")) {
+        lastBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        send(ex, 200, """{"removed": [], "updated": ["k"], "missing": []}""")
+      } else send(ex, 200,
+        """{"namespace": ["db1"], "properties": {"owner": "me"}}"""))
+    server.start()
+    try {
+      val uri = s"--uri=http://localhost:${server.getAddress.getPort}"
+      assert(run(uri, "properties", "get", "namespace", "db1").contains("owner\tme"))
+      assert(run(uri, "properties", "get", "namespace", "db1", "owner").trim == "me")
+      assert(run(uri, "properties", "set", "namespace", "db1", "k", "v")
+        .contains("set k on namespace db1"))
+      assert(lastBody.contains("\"k\""), s"update body: $lastBody")
+      assert(run(uri, "properties", "remove", "namespace", "db1", "k")
+        .contains("removed k from namespace db1"))
+      assert(lastBody.contains("\"removals\""), s"removal body: $lastBody")
+    } finally server.stop(0)
+  }
 }

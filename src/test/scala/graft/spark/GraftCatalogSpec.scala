@@ -186,6 +186,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES round trips via disk") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
+    spark.sql("ALTER NAMESPACE graft.db12 SET PROPERTIES ('retention'='30d', 'team'='data')")
+    def props(): String = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.db12")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("; ")
+    assert(props().contains("retention") && props().contains("30d"), props())
+    assert(props().contains("team"), props())
+    spark.sql("ALTER NAMESPACE graft.db12 UNSET PROPERTIES ('team')")
+    assert(!props().contains("team"), props())
+    assert(props().contains("retention"), props())
+    // the properties file is not mistaken for a table
+    assert(!spark.sql("SHOW TABLES IN graft.db12").collect()
+      .exists(_.getString(1).contains("namespace")))
+  }
+
   test("SQL metadata tables: snapshots/history/refs/files/manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("CREATE TABLE graft.db9.m (id BIGINT)")
