@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The round-2 battery, frozen: `total_stable` sums exactly these
+    * queries, so the headline number is comparable across rounds even as
+    * new queries join the battery (`total` covers everything current). */
+  val StableSet: Set[String] = Set(
+    "ann01_brute_force", "ann02_lsh", "d01_minhash_lsh", "d02_simhash_pairs",
+    "d03_ngram_jaccard", "ice01_scan_filter", "ice02_partition_agg",
+    "ice03_time_travel", "ice04_mor_delete", "ice05_day_partition",
+    "ice06_sql_catalog", "ice07_dsv2_format", "mm01_binary_stats",
+    "mm02_features", "q01_pricing_summary", "q02_filter_project",
+    "q03_top_orders", "q04_order_priority", "q05_local_supplier",
+    "q06_forecast_revenue", "q07_window_topn", "q08_setop", "q09_distinct_agg",
+    "q10_anti_join", "q11_events_by_type", "q12_events_daily", "q13_rollup",
+    "q14_scalar", "q15_minmax", "q16_in_subquery", "q17_avg_compare",
+    "q18_having", "q19_cube", "t01_text_stats", "t02_exact_dedup",
+    "t03_lang_profile", "t04_quality_score", "t05_fingerprint",
+    "t06_token_budget", "t07_top_trigrams", "t08_length_histogram",
+    "t09_hash_sample")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,7 +52,8 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stable = results.collect { case (k, v) if v >= 0 && StableSet(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
