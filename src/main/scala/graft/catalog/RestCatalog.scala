@@ -24,6 +24,7 @@ final class ForbiddenError(m: String) extends CatalogError(m)
 final class NoSuchTableError(m: String) extends CatalogError(m)
 final class NoSuchNamespaceError(m: String) extends CatalogError(m)
 final class AlreadyExistsError(m: String) extends CatalogError(m)
+final class CommitConflictError(m: String) extends CatalogError(m)
 final class AuthExpiredError(m: String) extends CatalogError(m)
 final class ServiceUnavailableError(m: String) extends CatalogError(m)
 final class ServerError(m: String) extends CatalogError(m)
@@ -231,6 +232,47 @@ final class RestCatalog(val name: String, uri: String,
       b.result()
     }
     PropertiesUpdateSummary(arr("removed"), arr("updated"), arr("missing"))
+  }
+
+  /** Commit property changes to a catalog table via the REST commit
+    * protocol (`POST .../tables/{table}`, the `updateTable` route of the
+    * Iceberg REST spec — the reference stubs this with "Writing is WIP",
+    * rest.go:418-424). The commit is guarded by an `assert-table-uuid`
+    * requirement; a 409 from the server (concurrent commit) surfaces as
+    * [[CommitConflictError]]. Returns the server's post-commit table. */
+  def commitTableProperties(identifier: Seq[String], tableUuid: String,
+                            set: Map[String, String],
+                            remove: Seq[String]): LoadedTable = {
+    require(identifier.size >= 2, s"invalid table identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val body = mapper.createObjectNode()
+    val ident = body.putObject("identifier")
+    val nsArr = ident.putArray("namespace"); ns.foreach(nsArr.add)
+    ident.put("name", identifier.last)
+    val reqs = body.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-table-uuid"); r.put("uuid", tableUuid)
+    val updates = body.putArray("updates")
+    if (set.nonEmpty) {
+      val u = updates.addObject()
+      u.put("action", "set-properties")
+      val m = u.putObject("updates"); set.foreach { case (k, v) => m.put(k, v) }
+    }
+    if (remove.nonEmpty) {
+      val u = updates.addObject()
+      u.put("action", "remove-properties")
+      val arr = u.putArray("removals"); remove.foreach(arr.add)
+    }
+    val rsp =
+      try request("POST", prefixedPath("namespaces", ns.mkString(""),
+        "tables", identifier.last), Some(mapper.writeValueAsString(body)))
+      catch {
+        case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
+      }
+    val n = mapper.readTree(rsp)
+    LoadedTable(identifier,
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""),
+      TableMetadata.parseNode(n.get("metadata")), Map.empty)
   }
 
   def listTables(ns: Seq[String]): Seq[Seq[String]] = {

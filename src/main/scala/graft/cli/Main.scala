@@ -239,21 +239,34 @@ object Main {
   private def isLocal(id: String): Boolean =
     id.contains("/") || id.startsWith("file:")
 
-  private def setProperty(cfg: Config, id: String, key: String, value: String): Unit =
-    if (isLocal(id)) {
-      graft.spark.TableWriter.updateProperties(IcebergTables.load(id), Map(key -> value))
-      println(s"set $key on $id")
-    } else die("properties set on catalog tables requires a commit endpoint; " +
-      "use a local table path")
+  /** Catalog-table commits go through the REST `updateTable` route, pinned
+    * to the loaded table's uuid (409 → commit conflict). */
+  private def restCommit(cfg: Config, id: String, set: Map[String, String],
+                         remove: Seq[String]): Unit = {
+    val cat = catalog(cfg) match {
+      case r: RestCatalog => r
+      case _ => die("properties mutation requires a REST catalog")
+    }
+    val ident = id.split('.').toSeq
+    val loaded = cat.loadTable(ident)
+    cat.commitTableProperties(ident, loaded.metadata.tableUuid, set, remove)
+  }
 
-  private def removeProperty(cfg: Config, id: String, key: String): Unit =
+  private def setProperty(cfg: Config, id: String, key: String, value: String): Unit = {
+    if (isLocal(id))
+      graft.spark.TableWriter.updateProperties(IcebergTables.load(id), Map(key -> value))
+    else restCommit(cfg, id, Map(key -> value), Nil)
+    println(s"set $key on $id")
+  }
+
+  private def removeProperty(cfg: Config, id: String, key: String): Unit = {
     if (isLocal(id)) {
       val t = IcebergTables.load(id)
       if (!t.properties.contains(key)) die(s"property $key not found")
       graft.spark.TableWriter.updateProperties(t, Map.empty, Seq(key))
-      println(s"removed $key from $id")
-    } else die("properties remove on catalog tables requires a commit endpoint; " +
-      "use a local table path")
+    } else restCommit(cfg, id, Map.empty, Seq(key))
+    println(s"removed $key from $id")
+  }
 
   private def drop(cfg: Config, id: String): Unit =
     if (isLocal(id)) {

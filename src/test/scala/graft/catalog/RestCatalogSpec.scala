@@ -15,6 +15,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var port: Int = _
   @volatile private var lastAuth: String = ""
+  @volatile private var lastCommitBody: String = ""
 
   private val tableJson =
     """{
@@ -77,6 +78,13 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
                                 {"namespace": ["db1"], "name": "t2"}]}""")
         case ("GET", "/v1/ns-prefix/namespaces/db1/tables/t1") =>
           send(ex, 200, tableJson)
+        case ("POST", "/v1/ns-prefix/namespaces/db1/tables/t1") =>
+          lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          send(ex, 200, tableJson)
+        case ("POST", "/v1/ns-prefix/namespaces/db1/tables/contended") =>
+          send(ex, 409,
+            """{"error": {"message": "Requirement failed: table uuid changed"}}""")
         case ("GET", "/v1/ns-prefix/namespaces/db1/tables/missing") =>
           send(ex, 404, """{"error": {"message": "table missing not found"}}""")
         case ("POST", "/v1/ns-prefix/namespaces/db1/properties") =>
@@ -139,6 +147,29 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("drop table") {
     catalog().dropTable(Seq("db1", "t2")) // 204 is success; no exception
+  }
+
+  test("commit table properties: updateTable POST with uuid requirement") {
+    val cat = catalog()
+    val committed = cat.commitTableProperties(Seq("db1", "t1"),
+      "9c12d441-03fe-4693-9a96-a0705ddf69c1",
+      Map("retention" -> "30d"), Seq("stale-key"))
+    // the server's post-commit metadata comes back parsed
+    assert(committed.metadataLocation == "s3://warehouse/db/tbl/metadata/v1.metadata.json")
+    // the request carried the requirement + both update actions
+    assert(lastCommitBody.contains("\"assert-table-uuid\""), lastCommitBody)
+    assert(lastCommitBody.contains("9c12d441-03fe-4693-9a96-a0705ddf69c1"))
+    assert(lastCommitBody.contains("\"set-properties\""))
+    assert(lastCommitBody.contains("\"retention\""))
+    assert(lastCommitBody.contains("\"remove-properties\""))
+    assert(lastCommitBody.contains("\"stale-key\""))
+  }
+
+  test("commit conflict: 409 surfaces as CommitConflictError") {
+    val e = intercept[CommitConflictError](
+      catalog().commitTableProperties(Seq("db1", "contended"), "uuid-x",
+        Map("k" -> "v"), Nil))
+    assert(e.getMessage.contains("uuid changed"))
   }
 
   test("catalog scheme dispatch") {
