@@ -225,8 +225,13 @@ object IcebergOps {
     * executes with NO exchange on either side (asserted in
     * VectorizedReadSpec; here the oracle proves the shuffle-free plan is
     * also value-exact). */
-  def ice10StoragePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+  def ice10StoragePartitionedJoin(spark: SparkSession, d: String): DataFrame = {
     val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse"
+    // dedicated child session: the SPJ conf is consulted at EXECUTION time,
+    // so it cannot be restored before returning the lazy frame — isolating
+    // it (and the catalog registration) in a newSession keeps the shared
+    // battery session's plans unaffected
+    val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
