@@ -104,6 +104,7 @@ object SparkEntry {
     "ann02_lsh" -> Similarity.annLshSql,
     "ann03_ivf" -> Similarity.annIvfSql,
     "mm01_binary_stats" -> Multimodal.mm01Sql,
+    "mm02_features" -> Multimodal.mm02Sql,
     "ice01_scan_filter" -> I.ice01Sql,
     "ice02_partition_agg" -> I.ice02Sql,
     "ice03_time_travel" -> I.ice03Sql,

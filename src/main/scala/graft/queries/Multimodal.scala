@@ -28,15 +28,23 @@ object Multimodal {
                            width: Int, height: Int)
 
   /** Deterministic stand-in for an image decoder: derives "dimensions" from
-    * payload bytes. Stateful-per-partition like a real codec handle. */
+    * a content digest of the payload bytes. Stateful-per-partition like a
+    * real codec handle (the MessageDigest instance is reused across rows).
+    * The checksum is the first 60 bits of sha256 — positive, so the modular
+    * "dimension" arithmetic is engine-stable and [[mm02Sql]] can derive
+    * byte-identical features. */
   final class FakeDecoder {
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
     def decode(b: MediaBlob): MediaFeatures = {
+      sha.reset()
+      val d = sha.digest(b.payload)
       var crc = 0L
       var i = 0
-      while (i < b.payload.length) { crc = crc * 31 + (b.payload(i) & 0xff); i += 1 }
+      while (i < 8) { crc = (crc << 8) | (d(i) & 0xffL); i += 1 }
+      crc = crc >>> 4 // 60 bits, always positive
       MediaFeatures(b.media_id, b.n_bytes, crc,
-        width = 64 + (math.abs(crc) % 512).toInt,
-        height = 64 + (math.abs(crc / 512) % 512).toInt)
+        width = 64 + (crc % 512).toInt,
+        height = 64 + ((crc / 512) % 512).toInt)
     }
   }
 
@@ -76,8 +84,23 @@ object Multimodal {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
        FROM documents ORDER BY doc_id"""
 
-  /** Full pipeline as a battery entry (rows-only check — the feature values
-    * come from the stub decoder, which DuckDB can't mirror). */
+  /** Full pipeline as a battery entry. The decode runs through the real
+    * mapPartitions plumbing; the stub's digest-derived features are
+    * deterministic, so the oracle reproduces them exactly. */
   def mm02Features(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d)).toDF().orderBy("media_id")
+
+  /** DuckDB mirror of [[mm02Features]]: same 60-bit sha256 checksum (first
+    * 15 hex chars — positive in both engines), same modular dimension
+    * arithmetic. */
+  val mm02Sql: String =
+    """WITH f AS (
+         SELECT doc_id AS media_id,
+                octet_length(encode(text)) AS n_bytes,
+                ('0x' || substr(sha256(text),1,15))::BIGINT AS checksum
+         FROM documents)
+       SELECT media_id, n_bytes, checksum,
+              CAST(64 + checksum % 512 AS INT) AS width,
+              CAST(64 + (checksum // 512) % 512 AS INT) AS height
+       FROM f ORDER BY media_id"""
 }
