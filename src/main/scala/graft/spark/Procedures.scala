@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * a catalog-relative `db.table` identifier. */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots", "compact")
+  val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
+    "compact", "add_partition_field", "drop_partition_field")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -55,6 +56,28 @@ object GraftProcedures {
         val out = TableWriter.compact(table,
           org.apache.spark.sql.SparkSession.active, in.getInt(1))
         Array[Any](before, out.newScan().planFiles().size)
+      }
+      case "add_partition_field" => proc(name,
+        Seq("table" -> StringType, "column" -> StringType,
+          "transform" -> StringType),
+        StructType(Seq(
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("field_name", StringType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val t = graft.core.Transform.parse(in.getUTF8String(2).toString)
+        val out = TableWriter.addPartitionField(table,
+          in.getUTF8String(1).toString, t)
+        Array[Any](out.spec.specId, out.spec.fields.last.name)
+      }
+      case "drop_partition_field" => proc(name,
+        Seq("table" -> StringType, "field_name" -> StringType),
+        StructType(Seq(
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("remaining_fields", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val out = TableWriter.dropPartitionField(table,
+          in.getUTF8String(1).toString)
+        Array[Any](out.spec.specId, out.spec.fields.size)
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

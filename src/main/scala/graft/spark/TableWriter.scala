@@ -265,7 +265,13 @@ object TableWriter {
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     }
     val (dataManifests, deleteManifests) = prevManifests.partition(_.content == 0)
+    // ADDED files are written under the CURRENT spec; rewritten manifests
+    // keep their OWN spec's partition type (specs may have evolved — writing
+    // old tuples under the new partition struct would drop their values)
     val partType = table.spec.partitionType(table.schema)
+    val partTypeOf: Int => StructT = specId =>
+      md.partitionSpecs.find(_.specId == specId)
+        .map(_.partitionType(table.schema)).getOrElse(partType)
 
     // one parallel metadata pass over the data manifests to find the
     // affected ones; untouched manifests are never rewritten
@@ -285,7 +291,7 @@ object TableWriter {
       if (kept.isEmpty) None // all of this manifest's files were replaced
       else {
         val mf = new File(metaDir, s"manifest-cow-$snapId-$i.avro")
-        ManifestIO.writeManifest(mf, kept, partType)
+        ManifestIO.writeManifest(mf, kept, partTypeOf(m.partitionSpecId))
         Some(ManifestFile(
           path = mf.getPath, length = mf.length(),
           partitionSpecId = m.partitionSpecId, content = 0,
@@ -298,7 +304,8 @@ object TableWriter {
           existingRowsCount = kept.map(_.dataFile.recordCount).sum,
           deletedRowsCount = es.map(_.dataFile.recordCount).sum -
             kept.map(_.dataFile.recordCount).sum,
-          partitions = partitionSummaries(kept, partType), formatVersion = 2))
+          partitions = partitionSummaries(kept, partTypeOf(m.partitionSpecId)),
+          formatVersion = 2))
       }
     }
 
@@ -382,6 +389,55 @@ object TableWriter {
       schemas = md.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastUpdatedMs = System.currentTimeMillis()), version)
+    IcebergTables.load(table.location)
+  }
+
+  /** Partition spec evolution: add a partition field (metadata-only; spec
+    * history is preserved so manifests written under older specs keep
+    * pruning through their own evaluators). Existing data is NOT rewritten —
+    * new writes use the new spec, exactly like Iceberg's
+    * `ADD PARTITION FIELD`. */
+  def addPartitionField(table: IcebergTable, srcCol: String,
+                        transform: Transform,
+                        name: Option[String] = None): IcebergTable = {
+    val md = table.metadata
+    val src = md.currentSchema.findFieldByName(srcCol).getOrElse(
+      throw new IllegalArgumentException(s"column '$srcCol' not found"))
+    val spec = table.spec
+    require(!spec.fields.exists(f => f.sourceId == src.id && f.transform == transform),
+      s"'$srcCol' is already partitioned by ${transform.repr}")
+    val fieldName = name.getOrElse(partName(srcCol, transform))
+    require(!spec.fields.exists(_.name == fieldName),
+      s"partition field '$fieldName' exists")
+    val nextFieldId = (md.partitionSpecs.flatMap(_.fields.map(_.fieldId)) ++
+      md.lastPartitionId).maxOption
+      .getOrElse(PartitionSpec.PartitionDataIdStart - 1) + 1
+    val newSpec = PartitionSpec(
+      md.partitionSpecs.map(_.specId).maxOption.getOrElse(-1) + 1,
+      spec.fields :+ PartitionField(src.id, nextFieldId, fieldName, transform))
+    writeMetadata(table.location, md.copy(
+      partitionSpecs = md.partitionSpecs :+ newSpec,
+      defaultSpecId = newSpec.specId,
+      lastPartitionId = Some(nextFieldId),
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Partition spec evolution: drop a partition field from the default spec
+    * (metadata-only). Files written under older specs stay pruned by their
+    * own spec; new writes stop partitioning on the dropped field. */
+  def dropPartitionField(table: IcebergTable, fieldName: String): IcebergTable = {
+    val md = table.metadata
+    val spec = table.spec
+    require(spec.fields.exists(_.name == fieldName),
+      s"partition field '$fieldName' not found in the default spec")
+    val newSpec = PartitionSpec(
+      md.partitionSpecs.map(_.specId).maxOption.getOrElse(-1) + 1,
+      spec.fields.filterNot(_.name == fieldName))
+    writeMetadata(table.location, md.copy(
+      partitionSpecs = md.partitionSpecs :+ newSpec,
+      defaultSpecId = newSpec.specId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -656,9 +712,13 @@ object TableWriter {
       schemas = (prevMeta.map(_.schemas.filterNot(_.schemaId == schema.schemaId))
         .getOrElse(Nil) :+ schema),
       currentSchemaId = schema.schemaId,
-      partitionSpecs = Seq(spec),
+      // spec HISTORY is preserved: older manifests reference their spec by
+      // id, and scans resolve per-manifest evaluators from this list
+      partitionSpecs = (prevMeta.map(_.partitionSpecs.filterNot(_.specId == spec.specId))
+        .getOrElse(Nil) :+ spec).sortBy(_.specId),
       defaultSpecId = spec.specId,
-      lastPartitionId = Some(spec.fields.map(_.fieldId).maxOption.getOrElse(999)),
+      lastPartitionId = Some((spec.fields.map(_.fieldId) ++
+        prevMeta.flatMap(_.lastPartitionId)).maxOption.getOrElse(999)),
       properties = properties,
       snapshots = prevMeta.map(_.snapshots).getOrElse(Nil) :+ snapshot,
       currentSnapshotId = Some(snapId),

@@ -201,6 +201,48 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.getString(1).contains("namespace")))
   }
 
+  test("partition spec evolution: add/drop partition field across writes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db13")
+    spark.sql(
+      """CREATE TABLE graft.db13.pe (id BIGINT, cat STRING, ts TIMESTAMP_NTZ)
+         PARTITIONED BY (cat)""")
+    spark.sql(
+      """INSERT INTO graft.db13.pe VALUES
+         (1, 'a', TIMESTAMP_NTZ '2024-01-01 00:00:00'),
+         (2, 'b', TIMESTAMP_NTZ '2024-02-01 00:00:00')""")
+    val r = spark.sql(
+      "CALL graft.system.add_partition_field('db13.pe', 'ts', 'day')").collect()
+    assert(r(0).getInt(0) == 1, "expected new default spec id 1")
+    spark.sql(
+      "INSERT INTO graft.db13.pe VALUES (3, 'a', TIMESTAMP_NTZ '2024-03-01 00:00:00')")
+    // reads span files written under BOTH specs
+    assert(spark.sql("SELECT count(*) FROM graft.db13.pe").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM graft.db13.pe WHERE cat = 'a'")
+      .collect()(0).getLong(0) == 2)
+    // filters on the newly-partitioned column stay correct over old files
+    // (old spec can't prune them, inclusive projection must keep them)
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.db13.pe
+         WHERE ts >= TIMESTAMP_NTZ '2024-02-15 00:00:00'""").collect()(0).getLong(0) == 1)
+    val t = IcebergTables.load(s"$warehouse/db13/pe")
+    assert(t.metadata.partitionSpecs.map(_.specId).sorted == Seq(0, 1))
+    assert(t.spec.fields.map(_.transform.repr) == Seq("identity", "day"))
+    // CoW across mixed specs: rewritten manifests keep their own spec
+    spark.sql("UPDATE graft.db13.pe SET cat = 'c' WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db13.pe WHERE cat = 'c'")
+      .collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db13.pe WHERE cat = 'a'")
+      .collect()(0).getLong(0) == 1)
+    // drop the field; new writes stop partitioning on it, reads stay whole
+    val fieldName = t.spec.fields.last.name
+    val r2 = spark.sql(
+      s"CALL graft.system.drop_partition_field('db13.pe', '$fieldName')").collect()
+    assert(r2(0).getInt(1) == 1, "one partition field should remain")
+    spark.sql(
+      "INSERT INTO graft.db13.pe VALUES (4, 'd', TIMESTAMP_NTZ '2024-04-01 00:00:00')")
+    assert(spark.sql("SELECT count(*) FROM graft.db13.pe").collect()(0).getLong(0) == 4)
+  }
+
   test("SQL metadata tables: snapshots/history/refs/files/manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("CREATE TABLE graft.db9.m (id BIGINT)")
