@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
-    "compact", "add_partition_field", "drop_partition_field")
+    "compact", "add_partition_field", "drop_partition_field",
+    "create_branch", "create_tag", "drop_ref")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -78,6 +79,31 @@ object GraftProcedures {
         val out = TableWriter.dropPartitionField(table,
           in.getUTF8String(1).toString)
         Array[Any](out.spec.specId, out.spec.fields.size)
+      }
+      case "create_branch" | "create_tag" => proc(name,
+        Seq("table" -> StringType, "name" -> StringType,
+          "snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val refType =
+          if (name == "create_branch") graft.core.BranchRef else graft.core.TagRef
+        // snapshot_id 0 → current snapshot
+        val snap = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val out = TableWriter.createRef(table, in.getUTF8String(1).toString,
+          refType, snap)
+        Array[Any](in.getUTF8String(1),
+          out.metadata.refs(in.getUTF8String(1).toString).snapshotId)
+      }
+      case "drop_ref" => proc(name,
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(
+          StructField("dropped", StringType, nullable = false),
+          StructField("remaining_refs", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val out = TableWriter.dropRef(table, in.getUTF8String(1).toString)
+        Array[Any](in.getUTF8String(1), out.metadata.refs.size)
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

@@ -559,6 +559,15 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Drop a branch or tag (`main` is protected). */
+  def dropRef(table: IcebergTable, name: String): IcebergTable = {
+    require(name != TableMetadata.MainBranch, "cannot drop the main branch")
+    require(table.metadata.refs.contains(name), s"ref '$name' not found")
+    writeMetadata(table.location, table.metadata.copy(
+      refs = table.metadata.refs - name), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   val posDeleteSchema: Schema = Schema(0, StructT(Seq(
     NestedField(2147483546, "file_path", StringT, required = true),
     NestedField(2147483545, "pos", LongT, required = true))))

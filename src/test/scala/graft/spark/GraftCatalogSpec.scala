@@ -335,6 +335,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.db11.c").collect()(0).getLong(0) == 4)
   }
 
+  test("CALL procedures: create_tag / create_branch / drop_ref") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db14")
+    spark.sql("CREATE TABLE graft.db14.r (id BIGINT)")
+    spark.sql("INSERT INTO graft.db14.r VALUES (1), (2)")
+    val snap1 = IcebergTables.load(s"$warehouse/db14/r").currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO graft.db14.r VALUES (3)")
+
+    // tag the FIRST snapshot; reads through the tag see the old state
+    val tg = spark.sql(
+      s"CALL graft.system.create_tag('db14.r', 'v1', ${snap1}L)").collect()
+    assert(tg(0).getLong(1) == snap1)
+    assert(spark.sql("SELECT count(*) FROM graft.db14.r VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM graft.db14.r").collect()(0).getLong(0) == 3)
+
+    // branch at the current snapshot (snapshot_id 0 → current)
+    spark.sql("CALL graft.system.create_branch('db14.r', 'dev', 0L)")
+    val refs = IcebergTables.load(s"$warehouse/db14/r").metadata.refs
+    assert(refs("v1").refType == graft.core.TagRef)
+    assert(refs("dev").refType == graft.core.BranchRef)
+
+    // drop; main is protected
+    val dr = spark.sql("CALL graft.system.drop_ref('db14.r', 'dev')").collect()
+    assert(dr(0).getString(0) == "dev")
+    assert(!IcebergTables.load(s"$warehouse/db14/r").metadata.refs.contains("dev"))
+    intercept[Exception] {
+      spark.sql("CALL graft.system.drop_ref('db14.r', 'main')").collect()
+    }
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
