@@ -209,6 +209,9 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (pushed.nonEmpty || limit.nonEmpty) return None
     if (agg.groupByExpressions().nonEmpty) return None
+    // incremental reads answer from the appended-file window, not the
+    // snapshot's full stats
+    if (options.get("start-snapshot-id") != null) return None
 
     val (snap, ref, asOf) = snapshotPins
     val tasks =
@@ -304,8 +307,10 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       val expr = pushed.flatMap(FilterConv.fromSparkFilter)
         .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
       val (snap, ref, asOf) = snapshotPins
+      val incremental = Option(options.get("start-snapshot-id")).map(s =>
+        (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong)))
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
-        Option(options.get("stream-start")).getOrElse("earliest"))
+        Option(options.get("stream-start")).getOrElse("earliest"), incremental)
   }
 }
 
@@ -342,7 +347,8 @@ final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],
                       branch: Option[String], asOf: Option[Long],
-                      limit: Option[Int], streamStart: String = "earliest")
+                      limit: Option[Int], streamStart: String = "earliest",
+                      incremental: Option[(Long, Option[Long])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -427,13 +433,22 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   @volatile private var plannedTasks: Seq[FileScanTask] = _
   private def tasks: Seq[FileScanTask] = {
     if (plannedTasks == null) {
-      val planned = table.newScan(CoreAnd(filter, runtimeFilter) match {
-        case CoreAnd(AlwaysTrue, AlwaysTrue) => AlwaysTrue
-        case CoreAnd(l, AlwaysTrue) => l
-        case CoreAnd(AlwaysTrue, r) => r
-        case e => e
-      }, snapshotId = snapshotId, ref = branch,
-        asOfTimestampMs = asOf).planFiles()
+      val planned = incremental match {
+        // incremental batch read: files APPENDED in (start, end] — the
+        // batch form of the streaming changefeed (replace/overwrite
+        // snapshots carry rows a reader at `start` already saw); no file
+        // skipping here, Spark's residual filters keep row correctness
+        case Some((from, to)) =>
+          graft.streaming.EventStreams.appendedFilesBetween(table, from, to)
+        case None =>
+          table.newScan(CoreAnd(filter, runtimeFilter) match {
+            case CoreAnd(AlwaysTrue, AlwaysTrue) => AlwaysTrue
+            case CoreAnd(l, AlwaysTrue) => l
+            case CoreAnd(AlwaysTrue, r) => r
+            case e => e
+          }, snapshotId = snapshotId, ref = branch,
+            asOfTimestampMs = asOf).planFiles()
+      }
       plannedTasks = filePathFilter match {
         case Some(paths) => planned.filter(t => paths.contains(t.file.path))
         case None => planned

@@ -83,6 +83,22 @@ class EventStreamsSpec extends AnyFunSuite {
     val bounded = EventStreams.appendedFilesBetween(t3, snap1, Some(snap2))
     val rows2 = bounded.map(_.file.recordCount).sum
     assert(rows2 == src.filter(col("n_regionkey") === 1).count())
+
+    // same windows through the DSv2 reader options (the SQL-facing surface)
+    val viaSource = spark.read.format("icegopher")
+      .option("start-snapshot-id", snap1).load(loc)
+    assert(viaSource.count() == expect)
+    assert(viaSource.filter(col("n_regionkey") === 0).count() == 0)
+    val viaBounded = spark.read.format("icegopher")
+      .option("start-snapshot-id", snap1).option("end-snapshot-id", snap2).load(loc)
+    assert(viaBounded.count() == src.filter(col("n_regionkey") === 1).count())
+    // filters compose with the window (residual evaluation)
+    assert(viaSource.filter(col("n_regionkey") === 2).count() ==
+      src.filter(col("n_regionkey") === 2).count())
+    // aggregate pushdown must NOT answer an incremental read from
+    // full-table stats
+    assert(viaSource.agg(org.apache.spark.sql.functions.count("*")).collect()(0)
+      .getLong(0) == expect)
   }
 
   test("readStream over an Iceberg table emits appends per micro-batch") {
