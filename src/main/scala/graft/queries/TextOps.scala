@@ -195,6 +195,51 @@ object TextOps {
             ELSE 'fr' END AS lang_guess
        FROM documents ORDER BY doc_id"""
 
+  /** Keyword extraction: top terms per document by a TF-IDF-style score.
+    * The score is the exact rational tf/df (document frequency over the
+    * WHOLE corpus) — same ranking as tf·(N/df) for a fixed corpus, and,
+    * unlike ln-based idf, a single correctly-rounded IEEE division that
+    * both engines compute bit-identically.
+    *
+    * Scale shape: tf and df are both map-side-combined aggregations; the
+    * tf⋈df term join is a plain equi-join (vocabulary-sized right side —
+    * AQE broadcasts when it fits, shuffles when a 100 TB vocabulary
+    * doesn't); the top-k is a per-doc window over the already-aggregated
+    * (doc, term, tf) rows, never raw tokens. */
+  def t11Keywords(s: SparkSession, d: String, maxId: Int = 50,
+                  k: Int = 5): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 3)
+    val tf = toks.filter(col("doc_id") < maxId)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val t11Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       toks2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 3),
+       tf AS (
+         SELECT doc_id, term, COUNT(*) AS tf
+         FROM toks2 WHERE doc_id < 50 GROUP BY doc_id, term),
+       df AS (
+         SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term)
+       SELECT doc_id, term, tf, df, rank FROM (
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                  ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rank
+         FROM tf JOIN df USING (term)) t
+       WHERE rank <= 5 ORDER BY doc_id, rank"""
+
   /** N-gram extraction: top character trigrams per language (the feature
     * a real n-gram language-ID model trains on). explode → count → top-k
     * per group via window. */
