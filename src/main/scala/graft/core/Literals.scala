@@ -63,8 +63,13 @@ object LiteralCodec {
         if (data.length < 1) throw new LiteralCastError("expected at least 1 byte for bool")
         BoolLit(data(0) != 0)
       case IntT => need(4); IntLit(wrapLe(data).getInt)
+      // 4-byte values under widened types: bounds written before an
+      // int→long / float→double type promotion stay decodable (Iceberg
+      // promotion keeps the field id; old files keep old-width stats)
+      case LongT if data.length == 4 => LongLit(wrapLe(data).getInt.toLong)
       case LongT => need(8); LongLit(wrapLe(data).getLong)
       case FloatT => need(4); FloatLit(wrapLe(data).getFloat)
+      case DoubleT if data.length == 4 => DoubleLit(wrapLe(data).getFloat.toDouble)
       case DoubleT => need(8); DoubleLit(wrapLe(data).getDouble)
       case DateT => need(4); DateLit(wrapLe(data).getInt)
       case TimeT => need(8); TimeLit(wrapLe(data).getLong)

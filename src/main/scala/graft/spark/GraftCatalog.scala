@@ -235,6 +235,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case d: TableChange.DeleteColumn =>
         t = TableWriter.dropColumn(t, topLevel(d.fieldNames(), "DROP COLUMN"))
+      case u: TableChange.UpdateColumnType =>
+        t = TableWriter.updateColumnType(t,
+          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"),
+          primitiveIceType(u.newDataType()))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case r: TableChange.RemoveProperty => unsetProps += r.property()
       case other => throw new UnsupportedOperationException(

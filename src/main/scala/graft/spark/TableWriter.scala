@@ -485,6 +485,37 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Schema evolution: widen a column's type per the Iceberg promotion
+    * rules (int→long, float→double, decimal precision growth at fixed
+    * scale). Metadata-only: the field keeps its id, old files keep their
+    * old-width values/stats (readers widen both), old snapshots keep their
+    * own schema version. */
+  def updateColumnType(table: IcebergTable, name: String,
+                       to: IcebergType): IcebergTable = {
+    val md = table.metadata
+    val f = md.currentSchema.findFieldByName(name).getOrElse(
+      throw new IllegalArgumentException(s"column '$name' not found"))
+    val ok = (f.fieldType, to) match {
+      case (a, b) if a == b => true
+      case (IntT, LongT) => true
+      case (FloatT, DoubleT) => true
+      case (DecimalT(p, s), DecimalT(p2, s2)) => s2 == s && p2 >= p
+      case _ => false
+    }
+    require(ok, s"cannot promote ${f.fieldType.repr} to ${to.repr} " +
+      "(allowed: int->long, float->double, decimal precision growth)")
+    if (f.fieldType == to) return table
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
+      StructT(md.currentSchema.fields.map(x =>
+        if (x.id == f.id) x.copy(fieldType = to) else x)),
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
   def updateProperties(table: IcebergTable, set: Map[String, String],
                        unset: Seq[String] = Nil): IcebergTable = {

@@ -53,9 +53,17 @@ class LiteralEdgeSpec extends AnyFunSuite {
 
   test("wrong byte counts are rejected") {
     intercept[LiteralCastError](LiteralCodec.fromBytes(IntT, Array[Byte](1, 2)))
-    intercept[LiteralCastError](LiteralCodec.fromBytes(LongT, Array[Byte](1, 2, 3, 4)))
+    intercept[LiteralCastError](LiteralCodec.fromBytes(LongT, Array[Byte](1, 2, 3)))
     intercept[LiteralCastError](LiteralCodec.fromBytes(UuidT, Array[Byte](1)))
     intercept[LiteralCastError](LiteralCodec.fromBytes(BooleanT, Array.empty[Byte]))
+  }
+
+  test("pre-promotion 4-byte values widen under long/double") {
+    // bounds written before an int→long / float→double promotion
+    assert(LiteralCodec.fromBytes(LongT, IntLit(-7).toBytes)
+      .contains(LongLit(-7L)))
+    assert(LiteralCodec.fromBytes(DoubleT, FloatLit(1.5f).toBytes)
+      .contains(DoubleLit(1.5)))
   }
 
   test("empty decimal bytes decode to zero (spec allows minimal bytes)") {

@@ -201,6 +201,37 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.getString(1).contains("namespace")))
   }
 
+  test("ALTER COLUMN TYPE: int→long / float→double over existing files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db15")
+    spark.sql("CREATE TABLE graft.db15.w (id INT, score FLOAT)")
+    spark.sql("INSERT INTO graft.db15.w VALUES (1, CAST(1.5 AS FLOAT)), (2, CAST(2.5 AS FLOAT))")
+    val firstSnap = IcebergTables.load(s"$warehouse/db15/w").currentSnapshot.get.snapshotId
+
+    spark.sql("ALTER TABLE graft.db15.w ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db15.w ALTER COLUMN score TYPE DOUBLE")
+    // old narrow files decode widened
+    val df = spark.sql("SELECT id, score FROM graft.db15.w ORDER BY id")
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // new writes exceed the old width; reads mix file widths
+    spark.sql("INSERT INTO graft.db15.w VALUES (3000000000, 3.5)")
+    assert(spark.sql("SELECT sum(id) FROM graft.db15.w").collect()(0).getLong(0) ==
+      3000000003L)
+    // filter on the promoted column prunes/reads old-width stats safely
+    assert(spark.sql("SELECT count(*) FROM graft.db15.w WHERE id > 1")
+      .collect()(0).getLong(0) == 2)
+    // time travel resolves the pre-promotion types
+    val old = spark.sql(s"SELECT * FROM graft.db15.w VERSION AS OF $firstSnap")
+    assert(old.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.count() == 2)
+    // narrowing is rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db15.w ALTER COLUMN id TYPE INT")
+    }
+  }
+
   test("partition spec evolution: add/drop partition field across writes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db13")
     spark.sql(
