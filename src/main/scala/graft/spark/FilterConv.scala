@@ -70,6 +70,10 @@ object FilterConv {
         yield graft.core.Or(le, re)
     case sources.Not(c) => fromSparkFilter(c).map(graft.core.Not(_))
     case StringStartsWith(a, p) => Some(Expr.startsWith(a, p))
+    // constant filters: Spark's SupportsDelete.truncateTable probes
+    // canDeleteWhere(AlwaysTrue) — refusing it makes TRUNCATE a silent no-op
+    case _: sources.AlwaysTrue => Some(graft.core.AlwaysTrue)
+    case _: sources.AlwaysFalse => Some(graft.core.AlwaysFalse)
     case _ => None // StringContains/EndsWith etc: residual only
   }
 

@@ -106,6 +106,19 @@ final class GraftSparkTable(table: IcebergTable,
     val current = IcebergTables.load(table.location)
     TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
   }
+
+  /** TRUNCATE TABLE: metadata-only empty overwrite — one commit, no
+    * tombstone per row (the SupportsDelete default would MoR-delete every
+    * row). Previous data stays reachable through time travel. */
+  override def truncateTable(): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val current = IcebergTables.load(table.location)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SchemaConv.toSparkSchema(current.schema))
+    TableWriter.overwrite(current, empty)
+    true
+  }
   override def name(): String = table.location
   override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
   override def capabilities(): util.Set[TableCapability] =

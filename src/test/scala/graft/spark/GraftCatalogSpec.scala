@@ -396,6 +396,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS / RTAS / writeTo / TRUNCATE round trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db16")
+    spark.sql("CREATE TABLE graft.db16.ct AS SELECT id, id * 2 AS v FROM range(10)")
+    assert(spark.sql("SELECT count(*) FROM graft.db16.ct").collect()(0).getLong(0) == 10)
+    spark.sql("REPLACE TABLE graft.db16.ct AS SELECT id, id * 3 AS v FROM range(5)")
+    assert(spark.sql("SELECT sum(v) FROM graft.db16.ct").collect()(0).getLong(0) == 30)
+    // DataFrameWriterV2 append
+    spark.sql("SELECT id, id AS v FROM range(3)").writeTo("graft.db16.ct").append()
+    assert(spark.sql("SELECT count(*) FROM graft.db16.ct").collect()(0).getLong(0) == 8)
+    // TRUNCATE must actually empty the table (one metadata-only overwrite
+    // commit, not a silent no-op and not a tombstone per row)
+    val before = IcebergTables.load(s"$warehouse/db16/ct").metadata.snapshots.size
+    spark.sql("TRUNCATE TABLE graft.db16.ct")
+    assert(spark.sql("SELECT count(*) FROM graft.db16.ct").collect()(0).getLong(0) == 0)
+    val t = IcebergTables.load(s"$warehouse/db16/ct")
+    assert(t.metadata.snapshots.size == before + 1)
+    // pre-truncate data still reachable via time travel
+    val preTruncate = t.metadata.snapshots.init.last.snapshotId
+    assert(spark.sql(s"SELECT count(*) FROM graft.db16.ct VERSION AS OF $preTruncate")
+      .collect()(0).getLong(0) == 8)
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
