@@ -123,7 +123,8 @@ final class GraftSparkTable(table: IcebergTable,
   override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, schema(), options, pinnedSnapshotId)
 
@@ -149,6 +150,9 @@ final class GraftSparkTable(table: IcebergTable,
               else TableWriter.append(current, data)
               ()
             }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new graft.streaming.GraftStreamingWrite(table.location, info.schema())
         }
     }
 }

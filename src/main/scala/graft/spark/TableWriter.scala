@@ -579,6 +579,54 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Append an APPEND snapshot from already-written data files (the
+    * streaming sink's per-epoch commit): footer stats + task-side NaN
+    * counts, one new manifest, previous manifests carried as-is. */
+  def appendFiles(location: String, added: Seq[graft.spark.CowFileOut],
+                  extraSummary: Map[String, String] = Map.empty): IcebergTable = {
+    val table = IcebergTables.load(location)
+    val md = table.metadata
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    val partType = table.spec.partitionType(table.schema)
+    val entries = added.sortBy(_.path).map { f =>
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
+        statsFromFooter(new File(f.path), table.schema,
+          f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
+    }
+    val mf = new File(metaDir, s"manifest-$snapId.avro")
+    ManifestIO.writeManifest(mf, entries, partType)
+    val newManifest = ManifestFile(
+      path = mf.getPath, length = mf.length(),
+      partitionSpecId = table.spec.specId, content = 0,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = entries.map(_.dataFile.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = partitionSummaries(entries, partType), formatVersion = 2)
+    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    }
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, prevManifests :+ newManifest)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath, Some(SnapshotSummary(OpAppend,
+        Map("added-data-files" -> entries.size.toString,
+          "added-records" -> entries.map(_.dataFile.recordCount).sum.toString)
+          ++ extraSummary)),
+      Some(table.schema.schemaId))
+    writeMetadata(location, md.copy(
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef))),
+      table.loadedVersion + 1)
+    IcebergTables.load(location)
+  }
+
   /** Create a branch or tag pointing at a snapshot. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
                 snapshotId: Option[Long] = None): IcebergTable = {

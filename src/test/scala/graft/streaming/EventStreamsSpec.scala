@@ -101,6 +101,39 @@ class EventStreamsSpec extends AnyFunSuite {
       .getLong(0) == expect)
   }
 
+  test("writeStream sink commits one append snapshot per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val loc = Files.createTempDirectory("tbl_sink").toFile.getPath
+    // the sink target must exist with the stream's schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    TableWriter.create(empty, loc)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "s").writeStream.format("icegopher")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sink_ck").toFile.getPath)
+      .start(loc)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.format("icegopher").load(loc).count() == 2)
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.format("icegopher").load(loc).orderBy("id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(got.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+      // one APPEND snapshot per non-empty epoch, each carrying its epoch id
+      val t = graft.spark.IcebergTables.load(loc)
+      val epochSnaps = t.metadata.snapshots.filter(
+        _.summary.exists(_.properties.contains(GraftStreamingWrite.EpochKey)))
+      assert(epochSnaps.size == 2, s"snapshots: ${t.metadata.snapshots}")
+    } finally q.stop()
+  }
+
   test("readStream over an Iceberg table emits appends per micro-batch") {
     val loc = Files.createTempDirectory("tbl_stream").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
