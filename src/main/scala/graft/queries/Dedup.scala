@@ -42,6 +42,7 @@ object Dedup {
   }
   private val simhashSlot = new CacheSlot
   private val minhashKeyedSlot = new CacheSlot
+  private val minhashCandidatesSlot = new CacheSlot
 
   /** Distinct word n-gram shingles of `text` (space-tokenized). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -134,10 +135,13 @@ object Dedup {
     val sized = keyed.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
     val a = sized.select(col("doc_id").as("id_a"), col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("band"), col("key"))
-    val candidates = a.join(b, Seq("band", "key"))
+    // candidate pairs are id-only (tiny relative to the corpus) and feed
+    // three consumers (both verify-side id sets + the final join input) —
+    // one slot-cached materialization instead of three LSH-chain replays
+    val candidates = minhashCandidatesSlot(a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct() // a pair found in several bands is verified once
+      .distinct()) // a pair found in several bands is verified once
     // verify: shingle ONLY the candidate docs (post-LSH, tiny) — one corpus
     // re-scan total: both sides broadcast the SAME candidate-shingle set
     // (the two broadcast exchanges differ only by alias, so the second is a
