@@ -108,14 +108,18 @@ object Similarity {
     val cb = broadcast(centroids)
 
     // corpus → nearest cell: one pass, centroids broadcast, per-pair work a
-    // single dot product over pre-normalized vectors
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    // single dot product. The argmin is a min_by AGGREGATION (tie-broken on
+    // cid like the oracle's window), so map-side partial aggregation
+    // reduces the shuffle to one row per vector — a window here would sort
+    // N×K rows each carrying the full embedding
     val assigned = emb.join(cb)
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("ce")).as("sim"))
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("embedding")),
+        struct(negate(col("sim")), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
 
     // queries probe their nProbe nearest cells
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
