@@ -529,7 +529,13 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
         .map(_.path)
       val eq = t.deleteFiles.filter(_.content == graft.core.DataFileContent.EqualityDeletes)
         .map(d => EqDelete(d.path,
-          d.equalityIds.flatMap(id => table.schema.findColumnName(id))))
+          d.equalityIds.flatMap(id => table.schema.findColumnName(id)),
+          // every name each key field id has had, newest first: delete
+          // files written before a RENAME carry the old column name
+          d.equalityIds.map(id =>
+            (table.schema.findColumnName(id).toSeq ++
+              table.metadata.schemas.reverse.flatMap(s =>
+                s.findFieldById(id).map(_.name))).distinct)))
       val read = readerSchema(pos.nonEmpty, eq)
       // partition tuple in spec-field order, catalyst-typed — the key for
       // storage-partitioned join grouping
@@ -593,7 +599,15 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     new GraftReaderFactory()
 }
 
-final case class EqDelete(path: String, cols: Seq[String])
+/** One equality-delete file: `cols` are the key columns under their CURRENT
+  * names (data-side ordinals); `fileCols` lists, per key, every name the
+  * field id has had (newest first) — the delete file matches whichever name
+  * it was written under. */
+final case class EqDelete(path: String, cols: Seq[String],
+                          fileCols: Seq[Seq[String]] = Nil) {
+  def candidates: Seq[Seq[String]] =
+    if (fileCols.nonEmpty) fileCols else cols.map(Seq(_))
+}
 
 final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      requiredJson: String, readJson: String,
@@ -723,7 +737,7 @@ final class GraftRowReader(p: GraftInputPartition)
       val ords = cols.map(readSchema.fieldIndex).toArray
       val dts = ords.map(readSchema(_).dataType)
       val set = new java.util.HashSet[Seq[Any]]()
-      files.foreach(f => set.addAll(DeleteFileCache.equalityKeys(f.path, cols,
+      files.foreach(f => set.addAll(DeleteFileCache.equalityKeys(f.path, f.candidates,
         ords.indices.map(i => readSchema(ords(i))).toArray)))
       (ords, dts, set)
     }
@@ -794,7 +808,7 @@ private[spark] object DeleteFileCache {
         size() > MaxEntries
     }
   private val posCache = lru[String, Map[String, java.util.HashSet[java.lang.Long]]]()
-  private val eqCache = lru[(String, Seq[String]), java.util.HashSet[Seq[Any]]]()
+  private val eqCache = lru[(String, Seq[Seq[String]]), java.util.HashSet[Seq[Any]]]()
 
   private def norm(path: String): String = path.stripPrefix("file:")
 
@@ -815,14 +829,14 @@ private[spark] object DeleteFileCache {
   }
 
   /** Decoded key tuples of one equality-delete file for `cols`. */
-  def equalityKeys(deleteFile: String, cols: Seq[String],
+  def equalityKeys(deleteFile: String, colCandidates: Seq[Seq[String]],
                    fields: Array[StructField]): java.util.HashSet[Seq[Any]] =
     eqCache.synchronized {
-      val key = (deleteFile, cols)
+      val key = (deleteFile, colCandidates)
       val cached = eqCache.get(key)
       if (cached != null) cached
       else {
-        val loaded = loadEqualityKeys(deleteFile, cols, fields)
+        val loaded = loadEqualityKeys(deleteFile, colCandidates, fields)
         eqCache.put(key, loaded)
         loaded
       }
@@ -846,7 +860,7 @@ private[spark] object DeleteFileCache {
     out.toMap
   }
 
-  private def loadEqualityKeys(deleteFile: String, cols: Seq[String],
+  private def loadEqualityKeys(deleteFile: String, colCandidates: Seq[Seq[String]],
                                fields: Array[StructField])
       : java.util.HashSet[Seq[Any]] = {
     fileReads.incrementAndGet()
@@ -855,9 +869,20 @@ private[spark] object DeleteFileCache {
       new org.apache.hadoop.fs.Path(deleteFile)).build()
     try {
       var g = r.read()
+      var resolved: Array[String] = null
       while (g != null) {
-        val key: Seq[Any] = cols.indices.map { i =>
-          val gi = g.getType.getFieldIndex(cols(i))
+        if (resolved == null) {
+          // a delete file written before a RENAME carries the old column
+          // name — take each key's first historical name the file has
+          val schema = g.getType
+          resolved = colCandidates.map { cands =>
+            cands.find(c => schema.containsField(c)).getOrElse(
+              throw new IllegalStateException(
+                s"equality-delete file $deleteFile has none of ${cands.mkString("/")}"))
+          }.toArray
+        }
+        val key: Seq[Any] = resolved.indices.map { i =>
+          val gi = g.getType.getFieldIndex(resolved(i))
           if (g.getFieldRepetitionCount(gi) == 0) null
           else canonical(readGroupValue(g, gi, fields(i).dataType))
         }

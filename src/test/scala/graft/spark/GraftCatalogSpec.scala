@@ -102,6 +102,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     // apply the tombstones
     val ids = spark.sql("SELECT id FROM graft.db6.e ORDER BY id").collect().map(_.getLong(0))
     assert(ids.toSeq == Seq(2L))
+    // RENAME the key column: delete files on disk still carry the OLD
+    // name — matching must resolve it by field-id name history
+    spark.sql("ALTER TABLE graft.db6.e RENAME COLUMN grp TO category")
+    val ids2 = spark.sql("SELECT id FROM graft.db6.e ORDER BY id").collect().map(_.getLong(0))
+    assert(ids2.toSeq == Seq(2L), "eq-delete must survive a key-column rename")
+    assert(spark.sql("SELECT id FROM graft.db6.e WHERE category = 'b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
