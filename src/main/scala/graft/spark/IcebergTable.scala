@@ -137,8 +137,17 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       .map(_.path)).distinct
     val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
 
+    // field-id matching with name fallback: files written before a column
+    // rename still resolve to the right parquet columns. The confs are
+    // session-level (per-read options don't reach SQLConf) but benign
+    // globally: id matching only engages for schemas carrying
+    // parquet.field.id metadata — exactly the ones annotated here —
+    // and ignoreMissing falls back to name matching for id-less files
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      var gdf = spark.read.schema(sparkSchema)
+      var gdf = spark.read.schema(SchemaConv.parquetIdAnnotated(sparkSchema))
         .parquet(groupTasks.map(_.file.path): _*)
       if (posDeletePaths.nonEmpty) {
         // merge-on-read: anti-join on (file, row position). `_metadata` is
@@ -159,10 +168,22 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       eqFiles.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
         val colNames = eqIds.flatMap(id => snapshotSchema.findColumnName(id))
         if (colNames.size == eqIds.size && colNames.nonEmpty) {
-          val delRows = spark.read.parquet(files.map(_.path).distinct: _*)
-            .select(colNames.map(col): _*).distinct()
-          gdf = gdf.join(org.apache.spark.sql.functions.broadcast(delRows),
-            colNames, "left_anti")
+          // delete files may predate a key-column rename: select each key
+          // by whichever historical name the file carries, aliased to the
+          // current name for the anti-join
+          val delRaw = spark.read.parquet(files.map(_.path).distinct: _*)
+          val delCols = eqIds.flatMap { id =>
+            val current = snapshotSchema.findColumnName(id).get
+            (current +: table.metadata.schemas.reverse
+              .flatMap(s => s.findFieldById(id).map(_.name))).distinct
+              .find(delRaw.columns.contains)
+              .map(n => col(n).as(current))
+          }
+          if (delCols.size == eqIds.size) {
+            val delRows = delRaw.select(delCols: _*).distinct()
+            gdf = gdf.join(org.apache.spark.sql.functions.broadcast(delRows),
+              colNames, "left_anti")
+          }
         }
       }
       gdf

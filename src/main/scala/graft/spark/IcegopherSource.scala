@@ -654,21 +654,6 @@ private[spark] object GraftReaders {
     org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       .ROW_INDEX_TEMPORARY_COLUMN_NAME
 
-  /** Re-key the scan schema's Iceberg field ids under Spark's parquet
-    * field-id metadata key, so ParquetReadSupport clips the file schema BY
-    * ID — a column renamed after the file was written still resolves to the
-    * right parquet column (SURVEY §1.2 field-id resolution). */
-  private def withParquetIds(s: StructType): StructType =
-    StructType(s.fields.map { f =>
-      if (f.metadata.contains(SchemaConv.FieldIdKey))
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putLong(GraftCowWriterFactory.ParquetFieldIdKey,
-            f.metadata.getLong(SchemaConv.FieldIdKey))
-          .build())
-      else f
-    })
-
   def createVectorized(path: String, start: Long, length: Long,
                        readSchema: StructType)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
@@ -677,7 +662,7 @@ private[spark] object GraftReaders {
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      withParquetIds(readSchema).json)
+      SchemaConv.parquetIdAnnotated(readSchema).json)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
     conf.setBoolean("spark.sql.caseSensitive", false)

@@ -51,6 +51,19 @@ object SchemaConv {
 
   def toSparkSchema(schema: Schema): StructType = toSparkStruct(schema.struct)
 
+  /** Re-key the Iceberg field-id metadata under Spark's `parquet.field.id`
+    * key, so parquet readers clip file schemas BY ID — files written before
+    * a column rename still resolve to the right column. */
+  def parquetIdAnnotated(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey))
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(GraftCowWriterFactory.ParquetFieldIdKey,
+            f.metadata.getLong(FieldIdKey))
+          .build())
+      else f
+    })
+
   /** Spark → Iceberg, assigning fresh sequential field IDs (for table
     * creation from a DataFrame). */
   def fromSparkSchema(st: StructType): Schema = {

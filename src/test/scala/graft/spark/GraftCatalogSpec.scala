@@ -239,6 +239,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("renaming a partition source column keeps pruning and writes working") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db17")
+    spark.sql(
+      "CREATE TABLE graft.db17.pr (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO graft.db17.pr VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.db17.pr RENAME COLUMN cat TO category")
+    // writes after the rename resolve the partition source by field id
+    spark.sql("INSERT INTO graft.db17.pr VALUES (3, 'a')")
+    assert(spark.sql("SELECT count(*) FROM graft.db17.pr").collect()(0).getLong(0) == 3)
+    // partition pruning on the NEW name covers files from both eras
+    assert(spark.sql("SELECT count(*) FROM graft.db17.pr WHERE category = 'a'")
+      .collect()(0).getLong(0) == 2)
+    // MoR delete keyed on the renamed partition column
+    spark.sql("DELETE FROM graft.db17.pr WHERE category = 'b'")
+    assert(spark.sql("SELECT id FROM graft.db17.pr ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("partition spec evolution: add/drop partition field across writes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db13")
     spark.sql(
