@@ -237,6 +237,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.db15.w ALTER COLUMN id TYPE INT")
     }
+    // the library read path (MoR delete, compaction) also widens old files
+    spark.sql("DELETE FROM graft.db15.w WHERE id = 1")
+    assert(spark.sql("SELECT sum(id) FROM graft.db15.w").collect()(0).getLong(0) ==
+      3000000002L)
+    TableWriter.compact(IcebergTables.load(s"$warehouse/db15/w"), spark)
+    assert(spark.sql("SELECT sum(id) FROM graft.db15.w").collect()(0).getLong(0) ==
+      3000000002L)
   }
 
   test("renaming a partition source column keeps pruning and writes working") {
