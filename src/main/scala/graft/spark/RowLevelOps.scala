@@ -100,7 +100,8 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
       GraftCowWriterFactory.withParquetIds(writeSchema, table.schema).json, partFields,
       GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(
-        org.apache.spark.sql.SparkSession.active))
+        org.apache.spark.sql.SparkSession.active),
+      GraftCowWriterFactory.targetFileBytes(table.properties))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -136,17 +137,27 @@ final case class FloatFieldSpec(colName: String, fieldId: Int)
 final case class GraftCowWriterFactory(dir: String, schemaJson: String,
                                        partFields: Seq[PartFieldSpec],
                                        floatFields: Seq[FloatFieldSpec] = Nil,
-                                       parquetProps: Map[String, String] = Map.empty)
+                                       parquetProps: Map[String, String] = Map.empty,
+                                       targetFileBytes: Long = Long.MaxValue)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields, floatFields,
-      parquetProps)
+      parquetProps, targetFileBytes)
 }
 
 object GraftCowWriterFactory {
   /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
   val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Iceberg's target data-file size property; writers roll to a new file
+    * when the open one reaches it (512 MB default, Iceberg's own). */
+  val TargetFileSizeProp = "write.target-file-size-bytes"
+  val DefaultTargetFileSize: Long = 512L * 1024 * 1024
+
+  def targetFileBytes(tableProps: Map[String, String]): Long =
+    tableProps.get(TargetFileSizeProp).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(DefaultTargetFileSize)
 
   /** The table's float/double fields present in the write schema. */
   def floatFieldsOf(schema: graft.core.Schema, writeSchema: StructType): Seq[FloatFieldSpec] =
@@ -192,7 +203,8 @@ object GraftCowWriterFactory {
 final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
                                schema: StructType, partFields: Seq[PartFieldSpec],
                                floatFields: Seq[FloatFieldSpec] = Nil,
-                               parquetProps: Map[String, String] = Map.empty)
+                               parquetProps: Map[String, String] = Map.empty,
+                               targetFileBytes: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -240,11 +252,16 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
                           partition: Map[String, Any]) {
     var rows = 0L
     val nan = new Array[Long](floatFields.size)
+    def toOut: CowFileOut = CowFileOut(file.getPath, rows, partition,
+      floatFields.zipWithIndex.map { case (ff, i) => ff.fieldId -> nan(i) }.toMap)
   }
 
-  // one sink per partition tuple this task sees (empty tuple when
-  // unpartitioned → exactly one file)
+  // one OPEN sink per partition tuple this task sees (empty tuple when
+  // unpartitioned → exactly one); sinks that reach `targetFileBytes` roll
+  // into `finished` and a fresh file opens for the tuple
   private val sinks = scala.collection.mutable.LinkedHashMap[Seq[Any], Sink]()
+  private val finished = scala.collection.mutable.ArrayBuffer[CowFileOut]()
+  private var fileSeq = 0
   private val resolved = partFields.map { pf =>
     val ord = schema.fieldIndex(pf.srcCol)
     (pf, ord, schema(ord).dataType, Transform.parse(pf.transformRepr))
@@ -303,7 +320,8 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     val partition = partitionOf(row)
     val key = resolved.map { case (pf, _, _, _) => partition(pf.partName) }
     val sink = sinks.getOrElseUpdate(key, {
-      val f = new File(dir, f"part-$partitionId%05d-$taskId-${sinks.size}%03d.parquet")
+      val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.parquet")
+      fileSeq += 1
       Sink(f, new B(new Path(f.getPath)).withConf(conf)
         .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes).build(), partition)
     })
@@ -320,19 +338,26 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       }
       i += 1
     }
+    // roll at the target size so one task can't produce an unbounded file
+    if (sink.writer.getDataSize >= targetFileBytes) {
+      sink.writer.close()
+      finished += sink.toOut
+      sinks.remove(key)
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     sinks.values.foreach(_.writer.close())
-    GraftCowCommit(sinks.values.toSeq.filter(_.rows > 0)
-      .map(s => CowFileOut(s.file.getPath, s.rows, s.partition,
-        floatFields.zipWithIndex.map { case (ff, i) => ff.fieldId -> s.nan(i) }.toMap)))
+    GraftCowCommit(finished.toSeq ++
+      sinks.values.toSeq.filter(_.rows > 0).map(_.toOut))
   }
 
-  override def abort(): Unit =
+  override def abort(): Unit = {
     sinks.values.foreach { s =>
       try s.writer.close() finally s.file.delete()
     }
+    finished.foreach(f => new File(f.path).delete())
+  }
 
   override def close(): Unit = ()
 }

@@ -738,7 +738,8 @@ object TableWriter {
         PartFieldSpec(src.name, pf.transform.repr, pf.name)
       },
       GraftCowWriterFactory.floatFieldsOf(schema, writeSchema),
-      GraftCowWriterFactory.parquetPropsOf(df.sparkSession))
+      GraftCowWriterFactory.parquetPropsOf(df.sparkSession),
+      GraftCowWriterFactory.targetFileBytes(properties))
     val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val w = factory.createWriter(pid, pid.toLong)

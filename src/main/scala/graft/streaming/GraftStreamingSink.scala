@@ -38,7 +38,8 @@ final class GraftStreamingWrite(location: String, schema: StructType)
       GraftCowWriterFactory.withParquetIds(schema, table.schema).json, partFields,
       GraftCowWriterFactory.floatFieldsOf(table.schema, schema),
       GraftCowWriterFactory.parquetPropsOf(
-        org.apache.spark.sql.SparkSession.active))
+        org.apache.spark.sql.SparkSession.active),
+      GraftCowWriterFactory.targetFileBytes(table.properties))
     new StreamingDataWriterFactory {
       // task attempt ids are globally unique per SparkContext, so file
       // names cannot collide across epochs or retries

@@ -383,6 +383,21 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.newScan().toDF(spark).count() == 2)
   }
 
+  test("writers roll files at write.target-file-size-bytes") {
+    val loc = tmpDir("tbl_roll")
+    val src = spark.read.parquet(s"$sf/orders.parquet").coalesce(1) // ONE task
+    val t = TableWriter.create(src, loc,
+      properties = Map("write.target-file-size-bytes" -> "16384"))
+    val files = t.newScan().planFiles()
+    assert(files.size > 1, s"one task should roll into several files, got ${files.size}")
+    // all rows present, every file bounded well under the source size
+    assert(t.newScan().toDF(spark).count() == src.count())
+    // rolled files stay near the target (the roll triggers AT the
+    // threshold, so files overshoot by at most one row-group flush)
+    assert(files.map(_.file.fileSizeInBytes).max < 16384 * 20,
+      files.map(_.file.fileSizeInBytes).mkString(","))
+  }
+
   test("metadata tables") {
     val loc = tmpDir("tbl_meta")
     val src = spark.read.parquet(s"$sf/region.parquet")
