@@ -1,7 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
 
 /** Skew mitigation utilities — at 100 TB a handful of hot keys (the empty
   * document, a boilerplate URL, a null-ish user id) can pin one reducer for
@@ -34,6 +36,29 @@ object Skew {
       .agg(partial.head, partial.tail: _*)
       .groupBy(col("__key"))
       .agg(merge.head, merge.tail: _*)
+
+  /** Query-battery entry: two-phase salted aggregation over lineitem —
+    * result must be value-identical to a plain GROUP BY (the oracle runs
+    * the plain form), proving the salting is a pure re-plan. Decimal-cast
+    * sums per the cross-engine float discipline. */
+  def sk01SaltedAgg(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    import QueryUtils.D2
+    saltedAggregate(Tables.lineitem(s, d), col("l_returnflag"), salts,
+      partial = Seq(
+        sum(col("l_quantity").cast(D2)).as("p_qty"),
+        count(lit(1)).as("p_n")),
+      merge = Seq(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_n")).as("n")))
+      .withColumnRenamed("__key", "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
+  val sk01Sql: String =
+    """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Salted equi-join of a skewed fact side against a dimension small enough
     * to replicate `salts` times (but perhaps too large / excluded from
