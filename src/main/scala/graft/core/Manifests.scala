@@ -97,6 +97,10 @@ final case class ManifestEntry(
 
 object ManifestIO {
 
+  /** Diagnostic: manifest-entry file reads in this JVM (specs bound the
+    * metadata work of commit paths with it). */
+  val entryReads = new java.util.concurrent.atomic.AtomicLong()
+
   // ---------------------------------------------------------------- reading
 
   def readManifestList(in: InputStream): Seq[ManifestFile] = {
@@ -113,6 +117,7 @@ object ManifestIO {
 
   def readManifestEntries(in: InputStream, manifest: ManifestFile,
                           discardDeleted: Boolean = true): Seq[ManifestEntry] = {
+    entryReads.incrementAndGet()
     val reader = new DataFileStream[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())
     try {

@@ -17,12 +17,15 @@ object LocalFileIO extends FileIO {
 }
 
 /** Unit of work handed to the execution engine: one data file + its matched
-  * positional delete files (scanner.go:87-122). */
+  * positional delete files (scanner.go:87-122). `manifestPath` records which
+  * manifest the entry came from — copy-on-write commits use it to rewrite
+  * only the manifests that actually reference replaced files. */
 final case class FileScanTask(
     file: DataFileInfo,
     deleteFiles: Seq[DataFileInfo] = Nil,
     start: Long = 0L,
-    length: Long = -1L) {
+    length: Long = -1L,
+    manifestPath: String = "") {
   def sizeBytes: Long =
     (if (length > 0) length else file.fileSizeInBytes) +
       deleteFiles.map(_.fileSizeInBytes).sum
@@ -338,6 +341,7 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       ManifestIO.readManifestEntries(io.open(m.path), m)
         .filter(e => partEval.eval(e.dataFile.partition))
         .filter(e => metrics.eval(e.dataFile.stats))
+        .map(e => (m.path, e))
     }.seq
 
     // delete files: positional entries sorted by sequence number for the
@@ -353,13 +357,14 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     val eqDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
 
-    dataEntries.map { e =>
+    dataEntries.map { case (manifestPath, e) =>
       val posDeletes =
         if (posDeleteEntries.isEmpty) Nil
         else matchDeletes(e, posDeleteEntries)
       val dataSeq = e.sequenceNumber.getOrElse(0L)
       val eqDeletes = DeleteMatching.eqDeletes(dataSeq, eqDeleteEntries)
-      FileScanTask(e.dataFile, posDeletes ++ eqDeletes)
+      FileScanTask(e.dataFile, posDeletes ++ eqDeletes,
+        manifestPath = manifestPath)
     }
   }
 

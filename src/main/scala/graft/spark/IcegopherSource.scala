@@ -478,6 +478,12 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * copy-on-write row-level commit replaces. */
   private[spark] def scannedFilePaths: Seq[String] = tasks.map(_.file.path)
 
+  /** Manifests those files came from: a CoW commit only needs to read and
+    * rewrite these — every other manifest provably references no scanned
+    * (hence no replaced) file. */
+  private[spark] def scannedManifestPaths: Set[String] =
+    tasks.map(_.manifestPath).filter(_.nonEmpty).toSet
+
   /** Metadata version this scan read — CoW commits pin their CAS to it so a
     * concurrent commit between scan and rewrite conflicts loudly. */
   private[spark] def scannedVersion: Int = table.loadedVersion

@@ -69,7 +69,8 @@ final class GraftRowLevelOperation(location: String,
         new GraftReplaceDataWrite(location, info.schema(),
           () => {
             require(capturedScan != null, "row-level write before scan was planned")
-            (capturedScan.scannedFilePaths, capturedScan.scannedVersion)
+            (capturedScan.scannedFilePaths, capturedScan.scannedVersion,
+              capturedScan.scannedManifestPaths)
           })
     }
 }
@@ -80,7 +81,7 @@ final class GraftRowLevelOperation(location: String,
   * scan read (CommitConflictException on concurrent commits — a MoR
   * delete landing mid-rewrite would otherwise be silently undone). */
 final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
-                                  replacedFiles: () => (Seq[String], Int))
+                                  replacedFiles: () => (Seq[String], Int, Set[String]))
     extends Write with BatchWrite {
 
   private val writeDir =
@@ -106,9 +107,10 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case m: GraftCowCommit => m.files }.flatten
-    val (paths, scannedVersion) = replacedFiles()
+    val (paths, scannedVersion, manifests) = replacedFiles()
     TableWriter.replaceFiles(location, paths.toSet, added.toSeq,
-      expectedVersion = Some(scannedVersion))
+      expectedVersion = Some(scannedVersion),
+      touchedManifests = if (manifests.nonEmpty) Some(manifests) else None)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

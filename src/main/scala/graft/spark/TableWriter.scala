@@ -250,7 +250,8 @@ object TableWriter {
     * CommitConflictException instead of losing the concurrent write. */
   def replaceFiles(location: String, removedPaths: Set[String],
                    added: Seq[graft.spark.CowFileOut],
-                   expectedVersion: Option[Int] = None): IcebergTable = {
+                   expectedVersion: Option[Int] = None,
+                   touchedManifests: Option[Set[String]] = None): IcebergTable = {
     val table = IcebergTables.load(location)
     expectedVersion.foreach { v =>
       if (table.loadedVersion != v)
@@ -273,17 +274,25 @@ object TableWriter {
       md.partitionSpecs.find(_.specId == specId)
         .map(_.partitionType(table.schema)).getOrElse(partType)
 
-    // one parallel metadata pass over the data manifests to find the
-    // affected ones; untouched manifests are never rewritten
+    // scan provenance (when the caller has it) bounds the metadata work to
+    // O(affected manifests): only manifests the scan actually read files
+    // from can reference a replaced path. Without provenance, one parallel
+    // pass over all data manifests finds the affected ones. Untouched
+    // manifests are never read past this point and never rewritten.
+    val (candidates, skipped) = touchedManifests match {
+      case Some(paths) => dataManifests.partition(m => paths.contains(m.path))
+      case None => (dataManifests, Nil)
+    }
     val withEntries = {
       import scala.collection.parallel.CollectionConverters._
-      dataManifests.par.map { m =>
+      candidates.par.map { m =>
         m -> ManifestIO.readManifestEntries(table.io.open(m.path), m)
       }.seq.toSeq
     }
-    val (touched, untouched) = withEntries.partition { case (_, es) =>
+    val (touched, untouchedRead) = withEntries.partition { case (_, es) =>
       es.exists(e => removedPaths.contains(e.dataFile.path))
     }
+    val untouched = untouchedRead.map(_._1) ++ skipped
 
     val rewritten = touched.zipWithIndex.flatMap { case ((m, es), i) =>
       val kept = es.filterNot(e => removedPaths.contains(e.dataFile.path))
@@ -334,7 +343,7 @@ object TableWriter {
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile,
-      untouched.map(_._1) ++ rewritten ++ addManifest ++ deleteManifests)
+      untouched ++ rewritten ++ addManifest ++ deleteManifests)
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
       now, listFile.getPath, Some(SnapshotSummary(OpOverwrite,

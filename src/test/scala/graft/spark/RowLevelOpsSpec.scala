@@ -189,6 +189,18 @@ class RowLevelOpsSpec extends AnyFunSuite {
     val got = spark.sql("SELECT id, v FROM graft.rlo.om ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 40.0)))
+
+    // with scan provenance, the commit READS only the touched manifests —
+    // replace one more file via the direct API and count entry reads
+    val t2 = IcebergTables.load(loc)
+    val target = t2.newScan().planFiles().find(_.file.recordCount == 1).get
+    val reads0 = graft.core.ManifestIO.entryReads.get()
+    TableWriter.replaceFiles(loc, Set(target.file.path), Nil,
+      touchedManifests = Some(Set(target.manifestPath)))
+    val commitReads = graft.core.ManifestIO.entryReads.get() - reads0
+    assert(commitReads == 1,
+      s"commit should read ONLY the touched manifest, read $commitReads")
+    assert(IcebergTables.load(loc).newScan().toDF(spark).count() == 3)
   }
 
   test("CoW commit pinned to the scanned version conflicts with a concurrent commit") {
