@@ -569,12 +569,19 @@ object TableWriter {
     if (expired.isEmpty) return table
 
     if (deleteFiles) {
-      def reachable(snaps: Seq[Snapshot]): Set[String] = snaps.flatMap { s =>
-        val manifests = ManifestIO.readManifestList(table.io.open(s.manifestList))
-        s.manifestList +: (manifests.map(_.path) ++ manifests.flatMap(m =>
+      // the sweep walks every manifest of every snapshot — parallel driver
+      // I/O, with each distinct manifest read once even when many
+      // snapshots share it
+      def reachable(snaps: Seq[Snapshot]): Set[String] = {
+        import scala.collection.parallel.CollectionConverters._
+        val lists = snaps.map(_.manifestList).distinct
+        val manifests = lists.par.flatMap(l =>
+          ManifestIO.readManifestList(table.io.open(l))).seq.distinctBy(_.path)
+        val dataPaths = manifests.par.flatMap(m =>
           ManifestIO.readManifestEntries(table.io.open(m.path), m,
-            discardDeleted = false).map(_.dataFile.path)))
-      }.toSet
+            discardDeleted = false).map(_.dataFile.path)).seq
+        (lists ++ manifests.map(_.path) ++ dataPaths).toSet
+      }
       val live = reachable(kept)
       (reachable(expired) -- live).foreach(p => new File(p).delete())
     }
