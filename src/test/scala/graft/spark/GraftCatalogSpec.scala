@@ -208,6 +208,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.getString(1).contains("namespace")))
   }
 
+  test("DROP COLUMN then ADD COLUMN with the same name does not resurrect data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db18")
+    spark.sql("CREATE TABLE graft.db18.rz (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.db18.rz VALUES (1, 'old1'), (2, 'old2')")
+    spark.sql("ALTER TABLE graft.db18.rz DROP COLUMN tag")
+    spark.sql("ALTER TABLE graft.db18.rz ADD COLUMN tag STRING")
+    // the re-added column has a NEW field id — files written under the old
+    // id must read as null, not leak the dropped values
+    val rows = spark.sql("SELECT id, tag FROM graft.db18.rz ORDER BY id").collect()
+    assert(rows.forall(_.isNullAt(1)),
+      s"dropped values resurrected: ${rows.mkString(",")}")
+    spark.sql("INSERT INTO graft.db18.rz VALUES (3, 'new3')")
+    val mixed = spark.sql("SELECT id, tag FROM graft.db18.rz ORDER BY id").collect()
+    assert(mixed.map(r => Option(r.getString(1))).toSeq ==
+      Seq(None, None, Some("new3")))
+  }
+
   test("ALTER COLUMN TYPE: int→long / float→double over existing files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db15")
     spark.sql("CREATE TABLE graft.db15.w (id INT, score FLOAT)")
