@@ -263,6 +263,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       3000000002L)
   }
 
+  test("edge partition values: null, empty, special chars, decimal, date") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db19")
+    spark.sql("CREATE TABLE graft.db19.ep (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(
+      "INSERT INTO graft.db19.ep VALUES (1, 'plain'), (2, NULL), (3, 'a b/c=d'), (4, ''), (5, 'ünï©ode')")
+    def ids(where: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM graft.db19.ep WHERE $where").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    assert(ids("cat IS NULL") == Seq(2L))
+    assert(ids("cat = 'a b/c=d'") == Seq(3L))
+    assert(ids("cat = ''") == Seq(4L))
+    assert(ids("cat = 'ünï©ode'") == Seq(5L))
+    assert(ids("cat IS NOT NULL") == Seq(1L, 3L, 4L, 5L))
+    // CoW over a null partition tuple
+    spark.sql("UPDATE graft.db19.ep SET id = 20 WHERE cat IS NULL")
+    assert(ids("cat IS NULL") == Seq(20L))
+
+    spark.sql(
+      "CREATE TABLE graft.db19.dp (id BIGINT, dec DECIMAL(10,2), dt DATE) PARTITIONED BY (dec, dt)")
+    spark.sql(
+      "INSERT INTO graft.db19.dp VALUES (1, 12.34, DATE '2024-03-01'), (2, 56.78, DATE '2024-03-02')")
+    assert(spark.sql("SELECT id FROM graft.db19.dp WHERE dec = 12.34")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT id FROM graft.db19.dp WHERE dt > DATE '2024-03-01'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SELECT CAST(sum(dec) AS STRING) FROM graft.db19.dp")
+      .collect()(0).getString(0) == "69.12")
+  }
+
   test("renaming a partition source column keeps pruning and writes working") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db17")
     spark.sql(
