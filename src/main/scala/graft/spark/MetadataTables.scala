@@ -77,7 +77,20 @@ object MetadataTables {
     StructField("file_format", StringType, nullable = false),
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_in_bytes", LongType, nullable = false),
-    StructField("delete_files", IntegerType, nullable = false)))
+    StructField("delete_files", IntegerType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("partition", StringType, nullable = false)))
+
+  /** Deterministic human-readable partition tuple (`k=v/k=v`, sorted). */
+  private[spark] def partitionRepr(partition: Map[String, Any]): String =
+    partition.toSeq.sortBy(_._1).map { case (k, v) =>
+      val s = v match {
+        case null => "null"
+        case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+        case other => String.valueOf(other)
+      }
+      s"$k=$s"
+    }.mkString("/")
 
   /** Driver work is manifest-LIST-sized: read the list, split data vs
     * delete manifests, decode the (few) delete manifests so every partition
@@ -152,7 +165,10 @@ final class FilesReaderFactory(props: Map[String, String],
         row = new GenericInternalRow(Array[Any](
           UTF8String.fromString(e.dataFile.path),
           UTF8String.fromString(e.dataFile.format),
-          e.dataFile.recordCount, e.dataFile.fileSizeInBytes, nDeletes))
+          e.dataFile.recordCount, e.dataFile.fileSizeInBytes, nDeletes,
+          m.partitionSpecId,
+          UTF8String.fromString(
+            MetadataTables.partitionRepr(e.dataFile.partition))))
         true
       }
       override def get(): InternalRow = row

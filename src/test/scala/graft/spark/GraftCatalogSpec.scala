@@ -384,6 +384,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT CAST(sum(record_count) AS BIGINT) FROM graft.db9.m.files")
       .collect()(0).getLong(0) == 3)
+    // spec_id + partition repr columns ride along
+    assert(spark.sql("SELECT DISTINCT spec_id FROM graft.db9.m.files")
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(spark.sql("SELECT partition FROM graft.db9.m.files")
+      .collect().forall(_.getString(0) == "")) // unpartitioned → empty tuple
     // MoR tombstones show up in the executor-side delete matching
     TableWriter.deleteWhere(t, spark, org.apache.spark.sql.functions.col("id") === 1L)
     val withDeletes = spark.sql("SELECT file_path, delete_files FROM graft.db9.m.files")
