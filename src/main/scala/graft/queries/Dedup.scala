@@ -17,29 +17,6 @@ import graft.tables.Tables
   */
 object Dedup {
 
-  /** One-slot semantic-plan-keyed persist: returns a cached DataFrame for
-    * the given plan, reusing the previous persist while the plan is
-    * semantically unchanged and releasing it when it changes. The dedup
-    * pipelines return lazy DataFrames, so callers can never scope an
-    * unpersist; this bounds executor storage to ONE resident set per slot
-    * across repeated battery/spec runs instead of leaking every run's
-    * cache. */
-  private final class CacheSlot {
-    private var cur: Option[DataFrame] = None
-    def apply(df: DataFrame): DataFrame = synchronized {
-      cur match {
-        // same-session only: a Dataset is bound to the session that built
-        // it, so handing a cached one to a sibling session would silently
-        // switch the caller's session (and its conf) mid-plan
-        case Some(c) if (c.sparkSession eq df.sparkSession) && c.sameSemantics(df) => c
-        case prev =>
-          prev.foreach(_.unpersist())
-          val p = df.persist()
-          cur = Some(p)
-          p
-      }
-    }
-  }
   private val simhashSlot = new CacheSlot
   private val minhashKeyedSlot = new CacheSlot
   private val minhashCandidatesSlot = new CacheSlot

@@ -22,6 +22,9 @@ import graft.tables.Tables
   */
 object Similarity {
 
+  private val lshBandedSlot = new CacheSlot
+  private val ivfAssignedSlot = new CacheSlot
+
   /** Cosine similarity between two float-array columns, computed in double.
     * `zip_with` + `aggregate` stay inside codegen (no UDF). */
   def cosine(a: Column, b: Column): Column = {
@@ -111,15 +114,16 @@ object Similarity {
     // single dot product. The argmin is a min_by AGGREGATION (tie-broken on
     // cid like the oracle's window), so map-side partial aggregation
     // reduces the shuffle to one row per vector — a window here would sort
-    // N×K rows each carrying the full embedding
-    val assigned = emb.join(cb)
+    // N×K rows each carrying the full embedding. Slot-cached: the IVF
+    // index (cell assignment) is reused across queries on the same corpus
+    val assigned = ivfAssignedSlot(emb.join(cb)
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("ce")).as("sim"))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("embedding")),
         struct(negate(col("sim")), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+        col("best.cid").as("cid")))
 
     // queries probe their nProbe nearest cells
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -231,12 +235,14 @@ object Similarity {
     val mask = (1L << bandBits) - 1
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), lshSignature(col("embedding"), planes).as("sig"))
-    // explode into (band, bandKey) — a vector lands in nBands buckets
-    val banded = emb.select(col("vec_id"), col("embedding"), col("sig"),
+    // explode into (band, bandKey) — a vector lands in nBands buckets.
+    // Slot-cached: the LSH index is computed once and reused by both join
+    // sides and across queries on the same corpus
+    val banded = lshBandedSlot(emb.select(col("vec_id"), col("embedding"), col("sig"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key")))
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("band"), col("key"))
