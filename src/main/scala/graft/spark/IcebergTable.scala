@@ -137,26 +137,58 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       .map(_.path)).distinct
     val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
 
-    // field-id matching with name fallback: files written before a column
-    // rename still resolve to the right parquet columns. The confs are
-    // session-level (per-read options don't reach SQLConf) but benign
-    // globally: id matching only engages for schemas carrying
-    // parquet.field.id metadata — exactly the ones annotated here —
-    // and ignoreMissing falls back to name matching for id-less files
+    // field-id matching for files that CARRY parquet field ids; name
+    // matching (with historical-name substitution after renames) for files
+    // that don't — Spark's ignoreMissing semantics are silent-NULL, not
+    // name fallback, so the split is decided per file from its footer.
+    // The session confs are benign globally: id matching only engages for
+    // schemas carrying parquet.field.id metadata — exactly the ones
+    // annotated here — and ignoreMissing covers ids ADDED after a file was
+    // written (schema evolution → nulls).
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val candidateSchema =
+      SchemaConv.withNameCandidates(sparkSchema, table.metadata.schemas)
+
+    /** One DataFrame over a file set: id-annotated read for id-carrying
+      * files, per-name-resolution plain reads for id-less ones (footer
+      * probes cache per path, so repeated scans pay nothing). `_metadata`
+      * provenance (needed for positional-delete matching) only resolves
+      * directly on a file-source relation, so it's projected to plain
+      * columns per sub-read BEFORE any union. */
+    def readByFooter(paths: Seq[String], withProvenance: Boolean): DataFrame = {
+      def prov(df: DataFrame): DataFrame =
+        if (!withProvenance) df
+        else df.withColumn("__path", norm(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+      val (withIds, without) =
+        paths.partition(p => GraftReaders.footerInfo(p).hasIds)
+      val parts = Seq.newBuilder[DataFrame]
+      if (withIds.nonEmpty)
+        parts += prov(spark.read.schema(SchemaConv.parquetIdAnnotated(sparkSchema))
+          .parquet(withIds: _*))
+      // id-less files grouped by how their columns resolve by name, so one
+      // read serves every file written under the same historical names
+      without.groupBy { p =>
+        val names = GraftReaders.footerInfo(p).names
+        SchemaConv.nameFallbackSchema(candidateSchema, names).fieldNames.toSeq
+      }.toSeq.sortBy(_._1.mkString(",")).foreach { case (resolved, ps) =>
+        val fileSide = org.apache.spark.sql.types.StructType(
+          sparkSchema.fields.zip(resolved).map { case (f, n) => f.copy(name = n) })
+        parts += prov(spark.read.schema(fileSide).parquet(ps: _*))
+          .toDF((sparkSchema.fieldNames ++
+            (if (withProvenance) Seq("__path", "__pos") else Nil)).toIndexedSeq: _*)
+      }
+      parts.result().reduce(_.unionAll(_))
+    }
 
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      var gdf = spark.read.schema(SchemaConv.parquetIdAnnotated(sparkSchema))
-        .parquet(groupTasks.map(_.file.path): _*)
+      var gdf = readByFooter(groupTasks.map(_.file.path), posDeletePaths.nonEmpty)
       if (posDeletePaths.nonEmpty) {
-        // merge-on-read: anti-join on (file, row position). `_metadata` is
-        // Spark's per-row file provenance — no extra scan cost.
+        // merge-on-read: anti-join on (file, row position)
         val deletes = spark.read.parquet(posDeletePaths: _*)
           .select(norm(col("file_path")).as("__del_path"), col("pos").as("__del_pos"))
         gdf = gdf
-          .withColumn("__path", norm(col("_metadata.file_path")))
-          .withColumn("__pos", col("_metadata.row_index"))
           .join(deletes, col("__path") === col("__del_path") &&
             col("__pos") === col("__del_pos"), "left_anti")
           .drop("__path", "__pos")

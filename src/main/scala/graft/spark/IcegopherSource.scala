@@ -542,7 +542,10 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
             (table.schema.findColumnName(id).toSeq ++
               table.metadata.schemas.reverse.flatMap(s =>
                 s.findFieldById(id).map(_.name))).distinct)))
-      val read = readerSchema(pos.nonEmpty, eq)
+      // historical names ride along so the per-file name fallback (id-less
+      // files) resolves renamed columns executor-side
+      val read = SchemaConv.withNameCandidates(
+        readerSchema(pos.nonEmpty, eq), table.metadata.schemas)
       // partition tuple in spec-field order, catalyst-typed — the key for
       // storage-partitioned join grouping
       val partValues: Array[Any] = table.spec.fields.map { pf =>
@@ -660,23 +663,54 @@ private[spark] object GraftReaders {
     org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       .ROW_INDEX_TEMPORARY_COLUMN_NAME
 
+  /** Driver/executor-wide footer probe: does the file carry parquet field
+    * ids, and what are its top-level column names? Data files are immutable
+    * once committed, so results cache forever. One footer read per file per
+    * JVM — amortized across splits and queries, and the decode path reads
+    * the footer anyway. */
+  final case class FooterInfo(hasIds: Boolean, names: Set[String])
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FooterInfo]()
+
+  def footerInfo(path: String): FooterInfo =
+    footerCache.computeIfAbsent(path, { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), new Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val msg = r.getFooter.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        FooterInfo(
+          hasIds = msg.getFields.asScala.exists(_.getId != null),
+          names = msg.getFields.asScala.map(_.getName).toSet)
+      } finally r.close()
+    })
+
   def createVectorized(path: String, start: Long, length: Long,
                        readSchema: StructType)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     val conf = new Configuration()
+    // Spark's fieldId.read.ignoreMissing semantics are SILENT NULLS for a
+    // file without ids — not name fallback — so the id/name decision is
+    // made per file from its footer: id matching when the footer carries
+    // ids, name matching (with historical-name substitution for renamed
+    // columns) when it doesn't.
+    val footer = footerInfo(path)
+    val requested =
+      if (footer.hasIds) SchemaConv.parquetIdAnnotated(readSchema)
+      else SchemaConv.nameFallbackSchema(readSchema, footer.names)
     // the keys ParquetReadSupport consults when clipping the file schema
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      SchemaConv.parquetIdAnnotated(readSchema).json)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    // id matching when the file carries ids; silent name fallback otherwise
-    // (files written by other engines without ids)
-    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", footer.hasIds)
+    // with id matching on, a requested id absent from the file means a
+    // column ADDED after the file was written → nulls (correct evolution)
     conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", true)
     conf.set("spark.sql.session.timeZone", "UTC")
     val reader = new org.apache.spark.sql.execution.datasources.parquet

@@ -64,6 +64,53 @@ object SchemaConv {
       else f
     })
 
+  /** Metadata key carrying every historical name a field id has had
+    * (newest first, current name excluded) — the read-time name-mapping
+    * fallback for data files written WITHOUT parquet field ids (other
+    * engines, or this table before id-stamped writes): such a file can
+    * only be resolved by name, and a column renamed since the file was
+    * written only matches under the name the file was written with.
+    * Same idea as Iceberg's `schema.name-mapping.default`, derived here
+    * from the table's own schema history. */
+  val NameCandidatesKey = "graft.name-candidates"
+
+  /** Stamp historical-name candidates onto each id-carrying field (from the
+    * table's schema log). Applied to reader schemas at plan time so the
+    * per-file fallback runs executor-side with no driver lookups. */
+  def withNameCandidates(s: StructType, historicalSchemas: Seq[Schema]): StructType =
+    StructType(s.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) f
+      else {
+        val id = f.metadata.getLong(FieldIdKey).toInt
+        val hist = historicalSchemas.reverse
+          .flatMap(_.findFieldById(id).map(_.name))
+          .distinct.filterNot(_ == f.name)
+        if (hist.isEmpty) f
+        else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(NameCandidatesKey, hist.toArray).build())
+      }
+    })
+
+  /** Requested schema for a data file that carries NO parquet field ids:
+    * id matching is impossible (Spark's ignoreMissing semantics are
+    * silent-NULL, not name fallback), so resolve by name — substituting a
+    * historical name when the current one is absent from the file's footer.
+    * Field POSITIONS are unchanged, so downstream ordinal-based projections
+    * stay valid; `parquet.field.id` is stripped so the reader never tries
+    * id matching against this file. */
+  def nameFallbackSchema(s: StructType, footerNames: Set[String]): StructType =
+    StructType(s.fields.map { f =>
+      val name =
+        if (footerNames.contains(f.name)) f.name
+        else if (f.metadata.contains(NameCandidatesKey))
+          f.metadata.getStringArray(NameCandidatesKey)
+            .find(footerNames.contains).getOrElse(f.name)
+        else f.name
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      mb.remove(GraftCowWriterFactory.ParquetFieldIdKey)
+      f.copy(name = name, metadata = mb.build())
+    })
+
   /** Spark → Iceberg, assigning fresh sequential field IDs (for table
     * creation from a DataFrame). */
   def fromSparkSchema(st: StructType): Schema = {
