@@ -758,7 +758,13 @@ object TableWriter {
       GraftCowWriterFactory.targetFileBytes(properties))
     val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
-        val w = factory.createWriter(pid, pid.toLong)
+        // taskAttemptId (globally unique per attempt) in the file name:
+        // with speculation or a stage retry, two live attempts of the same
+        // partition must never write the same path — the loser's abort()
+        // would delete the winner's committed file
+        val attemptId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(pid.toLong)
+        val w = factory.createWriter(pid, attemptId)
         var ok = false
         try {
           rows.foreach(w.write)
