@@ -152,7 +152,8 @@ final class GraftSparkTable(table: IcebergTable,
             }
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new graft.streaming.GraftStreamingWrite(table.location, info.schema())
+            new graft.streaming.GraftStreamingWrite(table.location, info.schema(),
+              info.queryId())
         }
     }
 }
@@ -327,7 +328,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       val incremental = Option(options.get("start-snapshot-id")).map(s =>
         (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong)))
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
-        Option(options.get("stream-start")).getOrElse("earliest"), incremental)
+        Option(options.get("stream-start")).getOrElse("earliest"), incremental,
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -365,7 +367,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],
                       branch: Option[String], asOf: Option[Long],
                       limit: Option[Int], streamStart: String = "earliest",
-                      incremental: Option[(Long, Option[Long])] = None)
+                      incremental: Option[(Long, Option[Long])] = None,
+                      maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -492,7 +495,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new graft.streaming.GraftMicroBatchStream(table.location, required, streamStart)
+    new graft.streaming.GraftMicroBatchStream(table.location, required,
+      streamStart, maxFilesPerTrigger)
   override def description(): String =
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 

@@ -14,12 +14,18 @@ import graft.spark.{GraftCowCommit, GraftCowWriterFactory, IcebergTables, PartFi
   * APPEND snapshot through the same task writers as batch writes (partition
   * tuples + NaN counts derived per row, parquet field ids stamped).
   *
-  * Exactly-once across epoch retries: the committed epoch id rides the
-  * snapshot summary (`streaming-epoch-id`); a replayed commit for the
-  * already-current epoch deletes its files and returns without a new
-  * snapshot. Readers (including the streaming SOURCE) see each epoch
-  * atomically — a table can sit mid-pipeline as both sink and source. */
-final class GraftStreamingWrite(location: String, schema: StructType)
+  * Exactly-once across epoch retries: each commit stamps BOTH the query id
+  * and the epoch id into the snapshot summary, and a replayed commit scans
+  * the snapshot HISTORY (newest-first) for this query's latest committed
+  * epoch — not just the current snapshot — so the dedup survives
+  * interleaved commits (batch appends, a second stream) landing between
+  * the original commit and its retry, and a fresh query whose epoch
+  * numbering restarts at 0 can never false-match another query's marker.
+  * A replayed epoch deletes its files and returns without a new snapshot.
+  * Readers (including the streaming SOURCE) see each epoch atomically —
+  * a table can sit mid-pipeline as both sink and source. */
+final class GraftStreamingWrite(location: String, schema: StructType,
+                                queryId: String)
     extends StreamingWrite {
 
   private val writeDir =
@@ -52,16 +58,22 @@ final class GraftStreamingWrite(location: String, schema: StructType)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case m: GraftCowCommit => m.files }.flatten.toSeq
     val current = IcebergTables.load(location)
-    val lastEpoch = current.currentSnapshot.flatMap(_.summary)
-      .flatMap(_.properties.get(GraftStreamingWrite.EpochKey))
-    if (lastEpoch.contains(epochId.toString)) {
+    // this query's most recent committed epoch, anywhere in history —
+    // epoch ids within a query are monotonic, so `>=` means replay
+    val lastCommitted: Option[Long] = current.metadata.snapshots.reverseIterator
+      .flatMap(_.summary.map(_.properties))
+      .find(_.get(GraftStreamingWrite.QueryKey).contains(queryId))
+      .flatMap(_.get(GraftStreamingWrite.EpochKey))
+      .flatMap(_.toLongOption)
+    if (lastCommitted.exists(_ >= epochId)) {
       // epoch retry after a successful commit: drop the duplicate files
       added.foreach(f => new File(f.path).delete())
       return
     }
     if (added.isEmpty) return // empty micro-batch: no empty snapshots
     TableWriter.appendFiles(location, added,
-      Map(GraftStreamingWrite.EpochKey -> epochId.toString))
+      Map(GraftStreamingWrite.EpochKey -> epochId.toString,
+        GraftStreamingWrite.QueryKey -> queryId))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -72,4 +84,5 @@ final class GraftStreamingWrite(location: String, schema: StructType)
 
 object GraftStreamingWrite {
   val EpochKey = "streaming-epoch-id"
+  val QueryKey = "streaming-query-id"
 }

@@ -134,6 +134,50 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("epoch-retry dedup survives interleaved commits and fresh queries") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("tbl_dedup").toFile.getPath
+    val table = TableWriter.create(Seq((1L, "a")).toDF("id", "s"), loc)
+    val schema = graft.spark.SchemaConv.toSparkSchema(table.schema)
+
+    // a parquet file matching the table schema, registered via the sink path
+    def dataFile(tag: String, row: (Long, String)): String = {
+      val raw = Files.createTempDirectory(s"raw_$tag").toFile
+      Seq(row).toDF("id", "s").coalesce(1).write.mode("overwrite")
+        .parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      Files.copy(src.toPath, dest.toPath)
+      dest.getPath
+    }
+    def msgs(path: String) = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      graft.spark.GraftCowCommit(Seq(graft.spark.CowFileOut(path, 1, Map.empty))))
+    def snapCount = graft.spark.IcebergTables.load(loc).metadata.snapshots.size
+
+    val wA = new GraftStreamingWrite(loc, schema, "queryA")
+    wA.commit(0, msgs(dataFile("a0", (2L, "b"))))
+    assert(snapCount == 2)
+
+    // an interleaved batch append lands between commit and retry — the
+    // epoch marker is no longer on the CURRENT snapshot
+    TableWriter.append(graft.spark.IcebergTables.load(loc), Seq((3L, "c")).toDF("id", "s"))
+    assert(snapCount == 3)
+
+    // retry of epoch 0 must still dedup (history scan), deleting its files
+    val dup = dataFile("a0retry", (2L, "b"))
+    wA.commit(0, msgs(dup))
+    assert(snapCount == 3, "retried epoch must not re-commit")
+    assert(!new java.io.File(dup).exists(), "retry's duplicate files deleted")
+
+    // a NEW query whose epoch numbering restarts at 0 must NOT be deduped
+    // against queryA's epoch-0 marker
+    val wB = new GraftStreamingWrite(loc, schema, "queryB")
+    wB.commit(0, msgs(dataFile("b0", (4L, "d"))))
+    assert(snapCount == 4, "fresh query's first epoch must commit")
+    assert(spark.read.format("icegopher").load(loc).count() == 4)
+  }
+
   test("readStream over an Iceberg table emits appends per micro-batch") {
     val loc = Files.createTempDirectory("tbl_stream").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
@@ -229,6 +273,56 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.appendedFilesInWindow(expired, 0L, 3L)
     }
     assert(ex.getMessage.contains("expired"))
+  }
+
+  test("readStream earliest over expired history full-scans the oldest retained snapshot") {
+    val loc = Files.createTempDirectory("tbl_stream6").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src, loc) // 5 regions
+    Thread.sleep(5)
+    val t2 = TableWriter.append(t1, src.limit(2))
+    val t3 = TableWriter.append(t2, src.limit(1))
+    // seq-1 snapshot expired: replaying appends from 0 is impossible, but
+    // the oldest retained snapshot is still a correct initial load
+    val expired = TableWriter.expireSnapshots(t3,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 2)
+    assert(expired.metadata.snapshots.size == 2)
+
+    val q = spark.readStream.format("icegopher").load(loc)
+      .writeStream.format("memory").queryName("icestream6")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // oldest retained = snapshot 2 (5 + 2 rows) full-scanned, plus the
+      // seq-3 append (1 row) — the whole current table, no data loss
+      assert(spark.table("icestream6").count() == 8)
+      // live appends keep flowing incrementally after the initial load
+      TableWriter.append(graft.spark.IcebergTables.load(loc), src.limit(3))
+      q.processAllAvailable()
+      assert(spark.table("icestream6").count() == 11)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch") {
+    val loc = Files.createTempDirectory("tbl_stream7").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src.limit(2).coalesce(1), loc)
+    val t2 = TableWriter.append(t1, src.limit(1).coalesce(1))
+    TableWriter.append(t2, src.limit(1).coalesce(1))
+
+    val q = spark.readStream.format("icegopher")
+      .option("maxFilesPerTrigger", "1").load(loc)
+      .writeStream.format("memory").queryName("icestream7")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("icestream7").count() == 4, "no rows lost under rate limit")
+      // three single-file snapshots with a 1-file cap → three non-empty batches
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 rate-limited batches, got $nonEmpty: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
   }
 
   test("readStream with stream-start=latest skips existing data") {
