@@ -64,7 +64,11 @@ object Relational {
        FROM lineitem WHERE l_quantity > 45 AND CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
        ORDER BY l_orderkey, l_linenumber"""
 
-  /** TPC-H Q3: shipping priority — 3-way join, dimension side broadcast. */
+  /** TPC-H Q3: shipping priority — 3-way join. Only the segment-filtered
+    * customer key set gets a broadcast hint (genuinely small at any scale);
+    * orders⋈lineitem shuffles on the join key — at 100 TB the filtered
+    * orders side is tens of GB and must never be hinted broadcast (AQE
+    * still broadcasts it at small SF where it measures small). */
   def q03TopOrders(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -73,7 +77,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
@@ -302,13 +306,16 @@ object Relational {
        p_size % 7 AS size_mod, CONCAT_WS('-', p_brand, p_type) AS brand_type
        FROM part ORDER BY p_partkey"""
 
-  /** IN-subquery semi join: orders from customers in big segments. */
+  /** IN-subquery semi join: orders from customers in big segments. No
+    * broadcast hint on the probe side — two of five market segments is
+    * ~40% of `customer`, unbounded in table size; AQE picks broadcast
+    * where it actually measures small. */
   def q16InSubquery(s: SparkSession, d: String): DataFrame = {
     val bigSegCust = Tables.customer(s, d)
       .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
       .select("c_custkey")
     Tables.orders(s, d)
-      .join(broadcast(bigSegCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(bigSegCust, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("o_orderstatus")

@@ -202,10 +202,10 @@ object TextOps {
     * both engines compute bit-identically.
     *
     * Scale shape: tf and df are both map-side-combined aggregations; the
-    * tf⋈df term join is a plain equi-join (vocabulary-sized right side —
-    * AQE broadcasts when it fits, shuffles when a 100 TB vocabulary
-    * doesn't); the top-k is a per-doc window over the already-aggregated
-    * (doc, term, tf) rows, never raw tokens. */
+    * tf side is bounded by the `maxId` probe slice, so it broadcasts into
+    * the join and the corpus-sized document-frequency table never rides a
+    * join shuffle to meet a small probe; the top-k is a per-doc window
+    * over the already-aggregated (doc, term, tf) rows, never raw tokens. */
   def t11Keywords(s: SparkSession, d: String, maxId: Int = 50,
                   k: Int = 5): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -217,7 +217,7 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
-    tf.join(df, "term")
+    broadcast(tf).join(df, "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))

@@ -115,6 +115,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p17.contains("CartesianProduct"))
   }
 
+  test("no broadcast() hint wraps orders or unbounded customer") {
+    // A forced hint overrides size checks, so a hint on a side that grows
+    // with the table is a guaranteed 100x-scale OOM. Hints are only allowed
+    // on subtrees that are bounded at any scale: never anything derived
+    // from `orders`/`lineitem`, and `customer` only under a single-segment
+    // equality filter. AQE still broadcasts un-hinted sides that measure
+    // small, which the stats-based asserts above cover.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, ResolvedHint}
+    for ((name, df) <- Seq(
+        "q03" -> Relational.q03TopOrders(spark, sf),
+        "q05" -> Relational.q05LocalSupplier(spark, sf),
+        "q10" -> Relational.q10AntiJoin(spark, sf),
+        "q16" -> Relational.q16InSubquery(spark, sf))) {
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        .filter(_.hints.strategy.exists(_.toString.contains("BROADCAST")))
+        .foreach { h =>
+          val cols = h.child.output.map(_.name)
+          assert(!cols.exists(c => c.startsWith("o_") || c.startsWith("l_")),
+            s"$name: broadcast hint wraps an orders/lineitem-derived side: $cols")
+          if (h.child.collectLeaves().exists(_.toString.contains("customer"))) {
+            val segEq = h.child.collect {
+              case f: Filter if f.condition.toString.contains("c_mktsegment") &&
+                f.condition.toString.contains("=") &&
+                !f.condition.toString.toUpperCase.contains("IN(") => f
+            }
+            assert(segEq.nonEmpty,
+              s"$name: broadcast hint wraps customer without a single-segment filter")
+          }
+        }
+    }
+  }
+
   test("ice09: COUNT/MIN/MAX answered from metadata incl. NaN-proven doubles") {
     val p = plan(IcebergOps.ice09AggPushdown(spark, sf))
     assert(p.contains("metadata-only aggregate"),
@@ -124,5 +156,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q10 anti join broadcasts the filtered subquery side") {
     val p = plan(Relational.q10AntiJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("t11: the bounded tf slice broadcasts into the tf-df join") {
+    // the document-frequency table is corpus-sized; it must never be
+    // shuffled to meet the maxId-bounded tf probe
+    val p = plan(TextOps.t11Keywords(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"tf-df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df side rides a sort-merge shuffle:\n$p")
   }
 }
