@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   * slot across repeated battery/spec runs instead of leaking every run's
   * cache. */
 final class CacheSlot {
+  CacheSlot.register(this)
   private var cur: Option[DataFrame] = None
   def apply(df: DataFrame): DataFrame = synchronized {
     cur match {
@@ -25,6 +26,25 @@ final class CacheSlot {
         cur = Some(p)
         p
     }
+  }
+  def release(): Unit = synchronized {
+    cur.foreach(_.unpersist())
+    cur = None
+  }
+}
+
+object CacheSlot {
+  private val slots = new java.util.concurrent.ConcurrentLinkedQueue[CacheSlot]()
+  private def register(s: CacheSlot): Unit = slots.add(s)
+
+  /** Drop every live slot's cached blocks. The slots memoize per-corpus
+    * indexes (minhash candidates, ANN buckets, …) across a battery run; a
+    * long-lived session that is done with a corpus calls this so the last
+    * corpus's blocks don't stay resident indefinitely. Slots refill
+    * transparently on next use. */
+  def releaseAll(): Unit = {
+    val it = slots.iterator()
+    while (it.hasNext) it.next().release()
   }
 }
 

@@ -102,4 +102,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> false))
   }
+
+  test("CacheSlot.releaseAll drops every slot's cached blocks") {
+    // materialize a slot-cached pipeline so its persist holds real blocks
+    Dedup.d01MinhashLsh(spark, sf).count()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    assert(cachedBefore > 0, "expected slot-cached RDDs before release")
+    CacheSlot.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"blocks survived releaseAll: ${spark.sparkContext.getPersistentRDDs}")
+    // slots refill transparently on next use
+    assert(Dedup.d01MinhashLsh(spark, sf).count() > 0)
+  }
 }
