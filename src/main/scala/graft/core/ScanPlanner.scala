@@ -357,7 +357,19 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     val eqDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
 
+    // fail at plan time with the file named, not at execution with an
+    // inscrutable parquet-footer exception: manifests carry the format enum
+    // (reference decodes it too, manifest.go:314-320) but only PARQUET is
+    // readable here
+    def requireParquet(f: DataFileInfo, role: String): Unit =
+      if (!f.format.equalsIgnoreCase("PARQUET"))
+        throw new UnsupportedOperationException(
+          s"unsupported $role file format ${f.format} for ${f.path}: " +
+            "only PARQUET files are readable")
+    allDeleteEntries.foreach(e => requireParquet(e.dataFile, "delete"))
+
     dataEntries.map { case (manifestPath, e) =>
+      requireParquet(e.dataFile, "data")
       val posDeletes =
         if (posDeleteEntries.isEmpty) Nil
         else matchDeletes(e, posDeleteEntries)

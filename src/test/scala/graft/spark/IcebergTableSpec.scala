@@ -46,6 +46,27 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq)
   }
 
+  test("non-parquet data file fails at plan time with path and format named") {
+    import graft.core.ManifestIO
+    val loc = tmpDir("tbl_avro")
+    val table = TableWriter.create(spark.read.parquet(s"$sf/region.parquet"), loc)
+    // rewrite the committed manifest with the entry's format flipped to
+    // AVRO, as a foreign engine's commit could produce
+    val snap = table.currentSnapshot.get
+    val m = ManifestIO.readManifestList(table.io.open(snap.manifestList)).head
+    val entries = ManifestIO.readManifestEntries(
+      new java.io.FileInputStream(m.path.stripPrefix("file:")), m,
+      discardDeleted = false)
+    ManifestIO.writeManifest(new java.io.File(m.path.stripPrefix("file:")),
+      entries.map(e => e.copy(dataFile = e.dataFile.copy(format = "AVRO"))),
+      table.spec.partitionType(table.schema))
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTables.load(loc).newScan().planFiles()
+    }
+    assert(ex.getMessage.contains("AVRO"), ex.getMessage)
+    assert(ex.getMessage.contains(entries.head.dataFile.path), ex.getMessage)
+  }
+
   test("stats-based file skipping prunes files") {
     val loc = tmpDir("tbl_prune")
     // 4 files with disjoint orderkey ranges via sorted repartitionByRange
