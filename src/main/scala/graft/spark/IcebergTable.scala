@@ -72,6 +72,12 @@ final class IcebergTable(val location: String, val metadataPath: String,
       "delete_files")
   }
 
+  /** Per-partition rollup (file/record/byte/delete-file counts) computed as
+    * a distributed job over the files scan — see
+    * [[MetadataTables.partitionsAgg]]. */
+  def partitionsDF(spark: SparkSession): DataFrame =
+    MetadataTables.partitionsAgg(spark, this)
+
   def manifestsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     currentSnapshot.toSeq.flatMap { s =>

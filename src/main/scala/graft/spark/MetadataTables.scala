@@ -26,10 +26,12 @@ import graft.core.{DataFileContent, DeleteMatching, ManifestEntry, ManifestFile,
   * ([[FilesMetadataTable]]); the driver only reads the manifest list. */
 object MetadataTables {
 
-  val Names: Set[String] = Set("snapshots", "history", "refs", "files", "manifests")
+  val Names: Set[String] =
+    Set("snapshots", "history", "refs", "files", "manifests", "partitions")
 
   def build(table: IcebergTable, kind: String): Table = {
     if (kind == "files") return buildFiles(table)
+    if (kind == "partitions") return new PartitionsMetadataTable(table)
     def s(v: String): Any = UTF8String.fromString(v)
     val (schema, rows): (StructType, Seq[Array[Any]]) = kind match {
       case "snapshots" => (StructType(Seq(
@@ -98,7 +100,7 @@ object MetadataTables {
     * Partition maps are stripped from the shipped delete entries — matching
     * never reads them, and their values can hold non-serializable Avro
     * `Utf8`. */
-  private def buildFiles(table: IcebergTable): Table = {
+  private[spark] def buildFiles(table: IcebergTable): Table = {
     val manifests = table.currentSnapshot.toSeq
       .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
     val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
@@ -113,6 +115,71 @@ object MetadataTables {
     new FilesMetadataTable(s"${table.location}#files",
       table.metadata.properties, dataManifests, pos, eq)
   }
+
+  /** DataFrame over the DISTRIBUTED files scan (one partition per data
+    * manifest, executor-side entry decode) — the building block for
+    * per-partition rollups. */
+  private[spark] def filesRelation(spark: org.apache.spark.sql.SparkSession,
+                                   table: IcebergTable)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(buildFiles(table), None, None))
+
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("total_size_bytes", LongType, nullable = false),
+    StructField("delete_file_count", LongType, nullable = false)))
+
+  /** Per-partition rollup over the distributed files scan: the standard
+    * skew-diagnosis surface (which partition holds the rows/bytes, where
+    * the delete files pile up). Aggregation runs as a Spark job —
+    * map-side-combined over one input partition per manifest — and only
+    * the O(partitions) result ever reaches the driver. */
+  private[spark] def partitionsAgg(spark: org.apache.spark.sql.SparkSession,
+                                   table: IcebergTable)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    filesRelation(spark, table)
+      .groupBy(col("partition"), col("spec_id"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("file_size_in_bytes")).as("total_size_bytes"),
+        sum(col("delete_files").cast("long")).as("delete_file_count"))
+      .select("partition", "spec_id", "file_count", "record_count",
+        "total_size_bytes", "delete_file_count")
+  }
+}
+
+/** SQL `db.t.partitions`: the rollup runs as a distributed job when the
+  * scan is planned; only partition-count rows are gathered. */
+final class PartitionsMetadataTable(table: IcebergTable)
+  extends Table with SupportsRead {
+  override def name(): String = s"${table.location}#partitions"
+  override def schema(): StructType = MetadataTables.PartitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = MetadataTables.PartitionsSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"${name()} [distributed rollup]"
+      private lazy val rows: Seq[Array[Any]] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        MetadataTables.partitionsAgg(spark, table).collect().toSeq.map { r =>
+          Array[Any](UTF8String.fromString(r.getString(0)), r.getInt(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        }
+      }
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(LocalRowsPartition(rows.toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new LocalRowsScan(name(), readSchema(), rows).createReaderFactory()
+    }
 }
 
 /** Distributed `files` metadata table: one input partition per data

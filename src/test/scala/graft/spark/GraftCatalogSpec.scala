@@ -352,6 +352,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.db13.pe").collect()(0).getLong(0) == 4)
   }
 
+  test("partitions metadata table matches the files rollup across specs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db14")
+    spark.sql(
+      """CREATE TABLE graft.db14.pt (id BIGINT, cat STRING)
+         PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db14.pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql("CALL graft.system.add_partition_field('db14.pt', 'id', 'bucket[4]')")
+    spark.sql("INSERT INTO graft.db14.pt VALUES (4, 'a'), (5, 'c')")
+    // MoR tombstone so delete_file_count is exercised
+    TableWriter.deleteWhere(IcebergTables.load(s"$warehouse/db14/pt"), spark,
+      org.apache.spark.sql.functions.col("id") === 2L)
+
+    val got = spark.sql(
+      """SELECT partition, spec_id, file_count, record_count,
+                total_size_bytes, delete_file_count
+         FROM graft.db14.pt.partitions""").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = spark.sql(
+      """SELECT partition, spec_id, COUNT(*), CAST(SUM(record_count) AS BIGINT),
+                CAST(SUM(file_size_in_bytes) AS BIGINT),
+                CAST(SUM(delete_files) AS BIGINT)
+         FROM graft.db14.pt.files GROUP BY partition, spec_id""").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected, s"partitions rollup mismatch:\n$got\nvs\n$expected")
+    // both specs present, and the old-spec rows carry no bucket dimension
+    assert(got.keySet.map(_._2) == Set(0, 1))
+    assert(got.exists(_._1._2 == 1), "expected rows under the evolved spec")
+    assert(got.values.map(_._4).sum >= 1, "expected a matched delete file")
+  }
+
   test("SQL metadata tables: snapshots/history/refs/files/manifests") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("CREATE TABLE graft.db9.m (id BIGINT)")
