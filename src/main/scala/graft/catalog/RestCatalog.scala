@@ -35,6 +35,24 @@ final class OAuthError(val error: String, val description: String)
 final case class LoadedTable(identifier: Seq[String], metadataLocation: String,
                              metadata: TableMetadata, config: Map[String, String])
 
+/** Commit requirements per the Iceberg REST spec's `updateTable` route —
+  * the optimistic-concurrency guards the server re-checks atomically. */
+sealed trait TableRequirement
+final case class AssertTableUuid(uuid: String) extends TableRequirement
+/** `snapshotId = None` asserts the ref does NOT exist yet. */
+final case class AssertRefSnapshotId(ref: String, snapshotId: Option[Long])
+  extends TableRequirement
+
+/** Commit updates per the REST spec. `AddSnapshot` + `SetSnapshotRef` are
+  * the data-commit pair: append/CoW writers stage manifests, then move the
+  * branch in one server-side transaction. */
+sealed trait TableUpdate
+final case class SetProperties(updates: Map[String, String]) extends TableUpdate
+final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
+final case class AddSnapshot(snapshot: graft.core.Snapshot) extends TableUpdate
+final case class SetSnapshotRef(refName: String, snapshotId: Long,
+                                refType: String = "branch") extends TableUpdate
+
 final case class PropertiesUpdateSummary(removed: Seq[String], updated: Seq[String],
                                          missing: Seq[String])
 
@@ -234,15 +252,24 @@ final class RestCatalog(val name: String, uri: String,
     PropertiesUpdateSummary(arr("removed"), arr("updated"), arr("missing"))
   }
 
-  /** Commit property changes to a catalog table via the REST commit
-    * protocol (`POST .../tables/{table}`, the `updateTable` route of the
-    * Iceberg REST spec — the reference stubs this with "Writing is WIP",
-    * rest.go:418-424). The commit is guarded by an `assert-table-uuid`
-    * requirement; a 409 from the server (concurrent commit) surfaces as
-    * [[CommitConflictError]]. Returns the server's post-commit table. */
+  /** Commit property changes — sugar over [[commitTable]]. */
   def commitTableProperties(identifier: Seq[String], tableUuid: String,
                             set: Map[String, String],
-                            remove: Seq[String]): LoadedTable = {
+                            remove: Seq[String]): LoadedTable =
+    commitTable(identifier, Seq(AssertTableUuid(tableUuid)),
+      (if (set.nonEmpty) Seq(SetProperties(set)) else Nil) ++
+        (if (remove.nonEmpty) Seq(RemoveProperties(remove)) else Nil))
+
+  /** General table commit via the REST `updateTable` route
+    * (`POST .../tables/{table}` — the reference stubs this with "Writing
+    * is WIP", rest.go:418-424; here it carries data commits too:
+    * add-snapshot + set-snapshot-ref move a branch to freshly-staged
+    * manifests in one server-side transaction). Guards run server-side
+    * atomically; a 409 (requirement failed / concurrent commit) surfaces
+    * as [[CommitConflictError]] so writers can re-plan and retry. Returns
+    * the server's post-commit table. */
+  def commitTable(identifier: Seq[String], requirements: Seq[TableRequirement],
+                  updates: Seq[TableUpdate]): LoadedTable = {
     require(identifier.size >= 2, s"invalid table identifier: $identifier")
     val ns = identifier.dropRight(1)
     val body = mapper.createObjectNode()
@@ -250,21 +277,52 @@ final class RestCatalog(val name: String, uri: String,
     val nsArr = ident.putArray("namespace"); ns.foreach(nsArr.add)
     ident.put("name", identifier.last)
     val reqs = body.putArray("requirements")
-    val r = reqs.addObject()
-    r.put("type", "assert-table-uuid"); r.put("uuid", tableUuid)
-    val updates = body.putArray("updates")
-    if (set.nonEmpty) {
-      val u = updates.addObject()
-      u.put("action", "set-properties")
-      val m = u.putObject("updates"); set.foreach { case (k, v) => m.put(k, v) }
+    requirements.foreach {
+      case AssertTableUuid(uuid) =>
+        val r = reqs.addObject()
+        r.put("type", "assert-table-uuid"); r.put("uuid", uuid)
+      case AssertRefSnapshotId(ref, snapId) =>
+        val r = reqs.addObject()
+        r.put("type", "assert-ref-snapshot-id"); r.put("ref", ref)
+        snapId match {
+          case Some(id) => r.put("snapshot-id", id)
+          case None => r.putNull("snapshot-id")
+        }
     }
-    if (remove.nonEmpty) {
-      val u = updates.addObject()
-      u.put("action", "remove-properties")
-      val arr = u.putArray("removals"); remove.foreach(arr.add)
+    val ups = body.putArray("updates")
+    updates.foreach {
+      case SetProperties(set) =>
+        val u = ups.addObject()
+        u.put("action", "set-properties")
+        val m = u.putObject("updates"); set.foreach { case (k, v) => m.put(k, v) }
+      case RemoveProperties(remove) =>
+        val u = ups.addObject()
+        u.put("action", "remove-properties")
+        val arr = u.putArray("removals"); remove.foreach(arr.add)
+      case AddSnapshot(s) =>
+        val u = ups.addObject()
+        u.put("action", "add-snapshot")
+        val sn = u.putObject("snapshot")
+        sn.put("snapshot-id", s.snapshotId)
+        s.parentSnapshotId.foreach(p => sn.put("parent-snapshot-id", p))
+        sn.put("sequence-number", s.sequenceNumber)
+        sn.put("timestamp-ms", s.timestampMs)
+        sn.put("manifest-list", s.manifestList)
+        s.summary.foreach { sum =>
+          val so = sn.putObject("summary")
+          so.put("operation", sum.operation.repr)
+          sum.properties.foreach { case (k, v) => so.put(k, v) }
+        }
+        s.schemaId.foreach(id => sn.put("schema-id", id))
+      case SetSnapshotRef(refName, snapId, refType) =>
+        val u = ups.addObject()
+        u.put("action", "set-snapshot-ref")
+        u.put("ref-name", refName)
+        u.put("type", refType)
+        u.put("snapshot-id", snapId)
     }
     val rsp =
-      try request("POST", prefixedPath("namespaces", ns.mkString(""),
+      try request("POST", prefixedPath("namespaces", ns.mkString(""),
         "tables", identifier.last), Some(mapper.writeValueAsString(body)))
       catch {
         case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)

@@ -595,16 +595,18 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
-  /** Append an APPEND snapshot from already-written data files (the
-    * streaming sink's per-epoch commit): footer stats + task-side NaN
-    * counts, one new manifest, previous manifests carried as-is. */
-  def appendFiles(location: String, added: Seq[graft.spark.CowFileOut],
-                  extraSummary: Map[String, String] = Map.empty): IcebergTable = {
-    val table = IcebergTables.load(location)
-    val md = table.metadata
-    val seq = md.lastSequenceNumber + 1
+  /** Stage an APPEND snapshot for already-written data files: footer stats
+    * + task-side NaN counts, one new manifest, previous manifests carried
+    * by reference, new manifest list. Pure staging — the returned Snapshot
+    * is not yet committed, so the same staging serves both the local-FS
+    * CAS commit ([[appendFiles]]) and the REST-catalog `updateTable`
+    * commit ([[appendFilesRest]]). */
+  private def stageAppendSnapshot(table: IcebergTable,
+                                  added: Seq[graft.spark.CowFileOut],
+                                  extraSummary: Map[String, String]): Snapshot = {
+    val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
-    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val partType = table.spec.partitionType(table.schema)
     val entries = added.sortBy(_.path).map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
@@ -626,21 +628,58 @@ object TableWriter {
     }
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile, prevManifests :+ newManifest)
-    val now = System.currentTimeMillis()
-    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
-      now, listFile.getPath, Some(SnapshotSummary(OpAppend,
+    Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      System.currentTimeMillis(), listFile.getPath, Some(SnapshotSummary(OpAppend,
         Map("added-data-files" -> entries.size.toString,
           "added-records" -> entries.map(_.dataFile.recordCount).sum.toString)
           ++ extraSummary)),
       Some(table.schema.schemaId))
+  }
+
+  /** Append an APPEND snapshot from already-written data files (the
+    * streaming sink's per-epoch commit) to a local-FS CAS table. */
+  def appendFiles(location: String, added: Seq[graft.spark.CowFileOut],
+                  extraSummary: Map[String, String] = Map.empty): IcebergTable = {
+    val table = IcebergTables.load(location)
+    val md = table.metadata
+    val snapshot = stageAppendSnapshot(table, added, extraSummary)
     writeMetadata(location, md.copy(
-      lastSequenceNumber = seq, lastUpdatedMs = now,
+      lastSequenceNumber = snapshot.sequenceNumber,
+      lastUpdatedMs = snapshot.timestampMs,
       snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef))),
+      currentSnapshotId = Some(snapshot.snapshotId),
+      snapshotLog = md.snapshotLog :+
+        SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapshot.snapshotId, BranchRef))),
       table.loadedVersion + 1)
     IcebergTables.load(location)
+  }
+
+  /** Append already-written data files to a REST-catalog table: stage the
+    * manifest + manifest list under the table location, then commit via
+    * the catalog's `updateTable` route as `add-snapshot` +
+    * `set-snapshot-ref`, guarded by `assert-table-uuid` and
+    * `assert-ref-snapshot-id(main)` so a concurrent commit surfaces as
+    * [[graft.catalog.CommitConflictError]] instead of clobbering. (The
+    * reference's REST catalog panics on any commit, rest.go:418-424.) */
+  def appendFilesRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                      added: Seq[graft.spark.CowFileOut],
+                      extraSummary: Map[String, String] = Map.empty)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val table = new IcebergTable(md.location, loaded.metadataLocation, md,
+      IOConfig.fileIO(md.properties ++ loaded.config))
+    val snapshot = stageAppendSnapshot(table, added, extraSummary)
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+            .orElse(md.currentSnapshotId))),
+      Seq(graft.catalog.AddSnapshot(snapshot),
+        graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
+          snapshot.snapshotId)))
   }
 
   /** Create a branch or tag pointing at a snapshot. */

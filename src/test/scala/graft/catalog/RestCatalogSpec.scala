@@ -172,6 +172,44 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("uuid changed"))
   }
 
+  test("data commit: add-snapshot + set-snapshot-ref with ref guard") {
+    import graft.core.{OpAppend, Snapshot, SnapshotSummary}
+    val snap = Snapshot(42L, Some(41L), 7L, 1700000000000L,
+      "/tbl/metadata/snap-42.avro",
+      Some(SnapshotSummary(OpAppend, Map("added-data-files" -> "3"))), Some(0))
+    catalog().commitTable(Seq("db1", "t1"),
+      Seq(AssertTableUuid("9c12d441-03fe-4693-9a96-a0705ddf69c1"),
+        AssertRefSnapshotId("main", Some(41L))),
+      Seq(AddSnapshot(snap), SetSnapshotRef("main", 42L)))
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastCommitBody)
+    val reqs = body.get("requirements")
+    assert(reqs.get(0).get("type").asText() == "assert-table-uuid")
+    assert(reqs.get(1).get("type").asText() == "assert-ref-snapshot-id")
+    assert(reqs.get(1).get("ref").asText() == "main")
+    assert(reqs.get(1).get("snapshot-id").asLong() == 41L)
+    val ups = body.get("updates")
+    assert(ups.get(0).get("action").asText() == "add-snapshot")
+    val sn = ups.get(0).get("snapshot")
+    assert(sn.get("snapshot-id").asLong() == 42L)
+    assert(sn.get("parent-snapshot-id").asLong() == 41L)
+    assert(sn.get("sequence-number").asLong() == 7L)
+    assert(sn.get("manifest-list").asText() == "/tbl/metadata/snap-42.avro")
+    assert(sn.get("summary").get("operation").asText() == "append")
+    assert(ups.get(1).get("action").asText() == "set-snapshot-ref")
+    assert(ups.get(1).get("ref-name").asText() == "main")
+    assert(ups.get(1).get("type").asText() == "branch")
+    assert(ups.get(1).get("snapshot-id").asLong() == 42L)
+  }
+
+  test("assert-ref-snapshot-id with no snapshot serializes a null guard") {
+    catalog().commitTable(Seq("db1", "t1"),
+      Seq(AssertRefSnapshotId("main", None)), Nil)
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastCommitBody)
+    assert(body.get("requirements").get(0).get("snapshot-id").isNull)
+  }
+
   test("catalog scheme dispatch") {
     assert(Catalog.load("c", s"http://localhost:$port",
       Map(RestCatalog.KeyCredential -> "user:pass")).isInstanceOf[RestCatalog])
