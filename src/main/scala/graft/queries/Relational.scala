@@ -111,7 +111,11 @@ object Relational {
        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
-  /** TPC-H Q5: local supplier volume — 6-table star join, dims broadcast. */
+  /** TPC-H Q5: local supplier volume — 6-table star join. Only the
+    * CONSTANT-size dims (nation: 25 rows, region: 5 rows at any SF) carry
+    * broadcast hints; customer and supplier grow with the table, so their
+    * joins are left to stats/AQE — which still broadcasts them wherever
+    * they measure small, without baking an OOM into the plan at 100×. */
   def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, d)
@@ -124,8 +128,8 @@ object Relational {
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

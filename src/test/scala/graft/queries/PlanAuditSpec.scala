@@ -115,35 +115,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p17.contains("CartesianProduct"))
   }
 
-  test("no broadcast() hint wraps orders or unbounded customer") {
+  test("no broadcast() hint wraps a side that grows with the table") {
     // A forced hint overrides size checks, so a hint on a side that grows
     // with the table is a guaranteed 100x-scale OOM. Hints are only allowed
-    // on subtrees that are bounded at any scale: never anything derived
-    // from `orders`/`lineitem`, and `customer` only under a single-segment
-    // equality filter. AQE still broadcasts un-hinted sides that measure
-    // small, which the stats-based asserts above cover.
+    // on subtrees bounded at any scale: never anything derived from
+    // orders/lineitem/supplier, and customer only as a key set under a
+    // single-segment equality filter. AQE still broadcasts un-hinted sides
+    // that measure small, which the stats-based asserts above cover.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, ResolvedHint}
     for ((name, df) <- Seq(
         "q03" -> Relational.q03TopOrders(spark, sf),
         "q05" -> Relational.q05LocalSupplier(spark, sf),
         "q10" -> Relational.q10AntiJoin(spark, sf),
         "q16" -> Relational.q16InSubquery(spark, sf))) {
-      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-        .filter(_.hints.strategy.exists(_.toString.contains("BROADCAST")))
-        .foreach { h =>
-          val cols = h.child.output.map(_.name)
-          assert(!cols.exists(c => c.startsWith("o_") || c.startsWith("l_")),
-            s"$name: broadcast hint wraps an orders/lineitem-derived side: $cols")
-          if (h.child.collectLeaves().exists(_.toString.contains("customer"))) {
-            val segEq = h.child.collect {
-              case f: Filter if f.condition.toString.contains("c_mktsegment") &&
-                f.condition.toString.contains("=") &&
-                !f.condition.toString.toUpperCase.contains("IN(") => f
-            }
-            assert(segEq.nonEmpty,
-              s"$name: broadcast hint wraps customer without a single-segment filter")
+      val hints = df.queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }
+        .filter(_.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")))
+      hints.foreach { h =>
+        val cols = h.child.output.map(_.name)
+        assert(!cols.exists(c =>
+            c.startsWith("o_") || c.startsWith("l_") || c.startsWith("s_")),
+          s"$name: broadcast hint wraps an unbounded fact/dim side: $cols")
+        if (cols.exists(_.startsWith("c_"))) {
+          val segEq = h.child.collect {
+            case f: Filter if f.condition.toString.contains("c_mktsegment") &&
+              f.condition.toString.contains(" = ") => f
           }
+          assert(segEq.nonEmpty,
+            s"$name: broadcast hint wraps customer without a single-segment filter")
         }
+      }
+      // the guard itself must not be vacuous: q03's customer key set is the
+      // one legitimately hinted side in this set
+      if (name == "q03") assert(hints.nonEmpty, "expected q03's cust hint")
     }
   }
 
