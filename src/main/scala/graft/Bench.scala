@@ -75,6 +75,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val stable = results.collect { case (k, v) if v >= 0 && StableSet(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+    graft.queries.CacheSlot.releaseAll() // battery done: drop pipeline caches
     spark.stop()
   }
 }

@@ -258,6 +258,56 @@ object TableWriter {
         throw new CommitConflictException(table.loadedVersion, location)
     }
     val md = table.metadata
+    val snapshot = stageReplaceSnapshot(table, removedPaths, added, touchedManifests)
+    writeMetadata(location, md.copy(
+      lastSequenceNumber = snapshot.sequenceNumber,
+      lastUpdatedMs = snapshot.timestampMs,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapshot.snapshotId),
+      snapshotLog = md.snapshotLog :+
+        SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapshot.snapshotId, BranchRef))),
+      table.loadedVersion + 1)
+    IcebergTables.load(location)
+  }
+
+  /** Copy-on-write replace against a REST-catalog table: stage rewritten +
+    * added manifests like the local path, then commit `add-snapshot` +
+    * `set-snapshot-ref` through the catalog's `updateTable` route. The
+    * branch-position guard plays the role [[replaceFiles]]' expectedVersion
+    * pin plays locally: if main moved since the caller's scan, the server
+    * answers 409 → [[graft.catalog.CommitConflictError]], and the caller
+    * re-scans and retries. */
+  def replaceFilesRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                       removedPaths: Set[String],
+                       added: Seq[graft.spark.CowFileOut],
+                       touchedManifests: Option[Set[String]] = None)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val table = new IcebergTable(md.location, loaded.metadataLocation, md,
+      IOConfig.fileIO(md.properties ++ loaded.config))
+    val snapshot = stageReplaceSnapshot(table, removedPaths, added, touchedManifests)
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+            .orElse(md.currentSnapshotId))),
+      Seq(graft.catalog.AddSnapshot(snapshot),
+        graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
+          snapshot.snapshotId)))
+  }
+
+  /** Stage an OVERWRITE (CoW) snapshot: manifests containing replaced
+    * paths rewritten under their own spec, untouched manifests carried by
+    * reference, added files in one new manifest. Pure staging shared by
+    * the local CAS and REST commit paths. */
+  private def stageReplaceSnapshot(table: IcebergTable, removedPaths: Set[String],
+                                   added: Seq[graft.spark.CowFileOut],
+                                   touchedManifests: Option[Set[String]]): Snapshot = {
+    val md = table.metadata
+    val location = table.location
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
@@ -344,20 +394,12 @@ object TableWriter {
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile,
       untouched ++ rewritten ++ addManifest ++ deleteManifests)
-    val now = System.currentTimeMillis()
-    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
-      now, listFile.getPath, Some(SnapshotSummary(OpOverwrite,
+    Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      System.currentTimeMillis(), listFile.getPath,
+      Some(SnapshotSummary(OpOverwrite,
         Map("replaced-data-files" -> removedPaths.size.toString,
           "added-data-files" -> addedEntries.size.toString))),
       Some(table.schema.schemaId))
-    writeMetadata(location, md.copy(
-      lastSequenceNumber = seq, lastUpdatedMs = now,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef))),
-      table.loadedVersion + 1)
-    IcebergTables.load(location)
   }
 
   /** Compaction: rewrite the current snapshot's live rows (MoR deletes

@@ -53,6 +53,17 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     ex.close()
   }
 
+  // a REAL committed table on disk, served through the catalog: its current
+  // metadata JSON is read fresh per request so the CoW test sees a snapshot
+  private var cowLoc: String = _
+
+  private def diskTableJson: String = {
+    val t = IcebergTables.load(cowLoc)
+    val md = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(t.metadataPath)), StandardCharsets.UTF_8)
+    s"""{"metadata-location": "${t.metadataPath}", "metadata": $md}"""
+  }
+
   override def beforeAll(): Unit = {
     tableLoc = Files.createTempDirectory("rest_tbl").toFile.getPath
     server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -66,6 +77,11 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
           lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
           send(ex, 200, tableJson)
+        case ("GET", "/v1/namespaces/db/tables/cow") => send(ex, 200, diskTableJson)
+        case ("POST", "/v1/namespaces/db/tables/cow") =>
+          lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          send(ex, 200, diskTableJson)
         case ("GET", "/v1/namespaces/db/tables/busy") => send(ex, 200, tableJson)
         case ("POST", "/v1/namespaces/db/tables/busy") =>
           send(ex, 409,
@@ -123,6 +139,42 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entries.head.dataFile.recordCount == 2)
     // server's post-commit view comes back parsed
     assert(committed.metadata.tableUuid == "11111111-2222-3333-4444-555555555555")
+  }
+
+  test("replaceFilesRest commits a CoW overwrite through updateTable") {
+    import spark.implicits._
+    cowLoc = Files.createTempDirectory("rest_cow").toFile.getPath
+    val t0 = TableWriter.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "data").coalesce(1), cowLoc)
+    val victim = t0.newScan().planFiles().head.file.path
+    val mainBefore = t0.currentSnapshot.get.snapshotId
+
+    // replacement file, as a CoW rewrite task would have produced
+    val raw = Files.createTempDirectory("rest_cow_raw").toFile
+    Seq((1L, "a2"), (2L, "b2")).toDF("id", "data")
+      .coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+    val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(new java.io.File(cowLoc, "data"), "rewrite-1.parquet")
+    Files.copy(src.toPath, dest.toPath)
+
+    val cat = new RestCatalog("r", s"http://localhost:$port", Map.empty)
+    TableWriter.replaceFilesRest(cat, Seq("db", "cow"),
+      Set(victim), Seq(CowFileOut(dest.getPath, 2, Map.empty)))
+
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastCommitBody)
+    // guard pins main to the pre-CoW snapshot the scan saw
+    assert(body.get("requirements").get(1).get("snapshot-id").asLong() == mainBefore)
+    val sn = body.get("updates").get(0).get("snapshot")
+    assert(sn.get("summary").get("operation").asText() == "overwrite")
+    assert(sn.get("summary").get("replaced-data-files").asText() == "1")
+    // the staged manifest list replaces the victim with the rewrite
+    val manifests = graft.core.ManifestIO.readManifestList(
+      new java.io.FileInputStream(sn.get("manifest-list").asText()))
+    val paths = manifests.flatMap(m => graft.core.ManifestIO.readManifestEntries(
+      new java.io.FileInputStream(m.path), m)).map(_.dataFile.path)
+    assert(paths.exists(_.endsWith("rewrite-1.parquet")), paths)
+    assert(!paths.contains(victim), "replaced file must be gone from the new list")
   }
 
   test("409 on the data commit surfaces as CommitConflictError") {
