@@ -329,7 +329,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
         (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong)))
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
         Option(options.get("stream-start")).getOrElse("earliest"), incremental,
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -368,7 +369,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       branch: Option[String], asOf: Option[Long],
                       limit: Option[Int], streamStart: String = "earliest",
                       incremental: Option[(Long, Option[Long])] = None,
-                      maxFilesPerTrigger: Option[Int] = None)
+                      maxFilesPerTrigger: Option[Int] = None,
+                      maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -496,7 +498,7 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(table.location, required,
-      streamStart, maxFilesPerTrigger)
+      streamStart, maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 
@@ -675,8 +677,12 @@ private[spark] object GraftReaders {
   final case class FooterInfo(hasIds: Boolean, names: Set[String])
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, FooterInfo]()
+  // cache is an optimization only: bound its memory on huge tables by
+  // dropping everything once it crosses ~1M paths (refills on demand)
+  private val FooterCacheMax = 1 << 20
 
-  def footerInfo(path: String): FooterInfo =
+  def footerInfo(path: String): FooterInfo = {
+    if (footerCache.size() > FooterCacheMax) footerCache.clear()
     footerCache.computeIfAbsent(path, { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p), new Configuration())
@@ -689,6 +695,7 @@ private[spark] object GraftReaders {
           names = msg.getFields.asScala.map(_.getName).toSet)
       } finally r.close()
     })
+  }
 
   def createVectorized(path: String, start: Long, length: Long,
                        readSchema: StructType)

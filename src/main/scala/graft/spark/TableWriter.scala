@@ -673,7 +673,10 @@ object TableWriter {
     Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
       System.currentTimeMillis(), listFile.getPath, Some(SnapshotSummary(OpAppend,
         Map("added-data-files" -> entries.size.toString,
-          "added-records" -> entries.map(_.dataFile.recordCount).sum.toString)
+          "added-records" -> entries.map(_.dataFile.recordCount).sum.toString,
+          // streaming admission control reads this for maxBytesPerTrigger
+          // without touching manifests
+          "added-files-size" -> entries.map(_.dataFile.fileSizeInBytes).sum.toString)
           ++ extraSummary)),
       Some(table.schema.schemaId))
   }

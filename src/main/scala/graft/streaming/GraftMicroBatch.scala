@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
-  MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles,
-  SupportsAdmissionControl}
+  CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes,
+  ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.core.{FileScanTask, ManifestIO}
@@ -44,18 +44,20 @@ object GraftOffset {
   * snapshot history is retained, otherwise a full scan of the oldest
   * retained snapshot as the first batch, incremental from there).
   *
-  * `.option("maxFilesPerTrigger", n)` bounds each micro-batch
-  * (SupportsAdmissionControl): the end offset advances snapshot by
-  * snapshot only while the cumulative appended-file count stays within
-  * `n` (always at least one snapshot, so the stream makes progress) —
-  * without it, a stream started against a large existing table plans the
-  * entire history into one giant first batch.
+  * `.option("maxFilesPerTrigger", n)` / `.option("maxBytesPerTrigger", b)`
+  * bound each micro-batch (SupportsAdmissionControl): the end offset
+  * advances snapshot by snapshot only while the cumulative appended file
+  * count / byte size stays within budget (always at least one snapshot,
+  * so the stream makes progress) — without a bound, a stream started
+  * against a large existing table plans the entire history into one
+  * giant first batch.
   *
   * Execution reuses the batch read path's vectorized row readers,
   * including MoR delete matching for the initial full scan. */
 final class GraftMicroBatchStream(location: String, required: StructType,
                                   streamStart: String,
-                                  maxFilesPerTrigger: Option[Int] = None)
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def freshTable(): IcebergTable = IcebergTables.load(location)
@@ -79,49 +81,79 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     }
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits =
+      maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n): ReadLimit).toSeq ++
+        maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n): ReadLimit).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
+  /** Flatten allAvailable/maxFiles/maxBytes/composite into budget options. */
+  private def budgetsOf(limit: ReadLimit): (Option[Long], Option[Long]) =
+    limit match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles().toLong), None)
+      case mb: ReadMaxBytes => (None, Some(mb.maxBytes()))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.map(budgetsOf)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (None, None)
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val t = freshTable()
     val latest = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
     val s = start.asInstanceOf[GraftOffset]
-    limit match {
-      case _: ReadAllAvailable => GraftOffset(math.max(s.seq, latest))
-      case mf: ReadMaxFiles =>
-        // advance snapshot by snapshot while the cumulative appended-file
-        // count fits; always include at least one snapshot so a single
-        // oversized commit cannot stall the stream. O(snapshots) metadata.
+    budgetsOf(limit) match {
+      case (None, None) => GraftOffset(math.max(s.seq, latest))
+      case (fileBudget, byteBudget) =>
+        // advance snapshot by snapshot while the cumulative appended file
+        // count AND byte size fit; always include at least one snapshot so
+        // a single oversized commit cannot stall the stream. O(snapshots)
+        // driver metadata: sizes come from the snapshot summary when the
+        // writer recorded them, else one manifest-list read.
         var end = s.seq
-        var budget = mf.maxFiles().toLong
+        var files = fileBudget.getOrElse(Long.MaxValue)
+        var bytes = byteBudget.getOrElse(Long.MaxValue)
         var first = true
+        var stop = false
         t.metadata.snapshots.filter(x =>
             x.sequenceNumber > s.seq && x.sequenceNumber <= latest)
           .sortBy(_.sequenceNumber)
           .foreach { snap =>
             val isAppend = snap.summary.forall(_.operation == graft.core.OpAppend)
-            val files = if (!isAppend) 0L else snap.summary
-              .flatMap(_.properties.get("added-data-files"))
-              .flatMap(_.toLongOption)
+            def summaryLong(key: String): Option[Long] =
+              snap.summary.flatMap(_.properties.get(key)).flatMap(_.toLongOption)
+            lazy val addedManifests =
+              ManifestIO.readManifestList(t.io.open(snap.manifestList))
+                .filter(m => m.content == 0 &&
+                  m.sequenceNumber == snap.sequenceNumber)
+            val nFiles = if (!isAppend) 0L else summaryLong("added-data-files")
+              .getOrElse(addedManifests.map(_.addedFilesCount.toLong).sum)
+            val nBytes = if (!isAppend) 0L else summaryLong("added-files-size")
               .getOrElse {
-                ManifestIO.readManifestList(t.io.open(snap.manifestList))
-                  .filter(m => m.content == 0 &&
-                    m.sequenceNumber == snap.sequenceNumber)
-                  .map(_.addedFilesCount.toLong).sum
+                // entry-level fallback: only for snapshots predating the
+                // size-stamping writer, one small Avro read each
+                addedManifests.flatMap(m =>
+                  ManifestIO.readManifestEntries(t.io.open(m.path), m)
+                    .filter(_.sequenceNumber.contains(snap.sequenceNumber))
+                    .map(_.dataFile.fileSizeInBytes)).sum
               }
-            if (files <= budget || first) {
+            if (!stop && ((nFiles <= files && nBytes <= bytes) || first)) {
               end = snap.sequenceNumber
-              budget -= files
+              files -= nFiles
+              bytes -= nBytes
               first = false
-            } else budget = -1 // stop extending once a snapshot doesn't fit
+            } else stop = true // contiguity: never skip past a full snapshot
           }
         GraftOffset(end)
-      case _ => GraftOffset(math.max(s.seq, latest))
     }
   }
 

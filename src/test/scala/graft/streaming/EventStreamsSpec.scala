@@ -325,6 +325,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds each micro-batch by size") {
+    val loc = Files.createTempDirectory("tbl_stream8").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src.limit(2).coalesce(1), loc)
+    val t2 = TableWriter.append(t1, src.limit(1).coalesce(1))
+    TableWriter.append(t2, src.limit(1).coalesce(1))
+
+    // 1-byte budget: every snapshot exceeds it, so the at-least-one-snapshot
+    // progress rule makes each batch exactly one snapshot
+    val q = spark.readStream.format("icegopher")
+      .option("maxBytesPerTrigger", "1").load(loc)
+      .writeStream.format("memory").queryName("icestream8")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("icestream8").count() == 4, "no rows lost under byte limit")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 byte-limited batches, got $nonEmpty: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("readStream with stream-start=latest skips existing data") {
     val loc = Files.createTempDirectory("tbl_stream2").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
