@@ -68,6 +68,7 @@ object Main {
       case "spec" :: id :: Nil => printSpec(loadMeta(cfg, id))
       case "describe" :: id :: Nil => describe(loadMeta(cfg, id), cfg.json)
       case "files" :: id :: Nil => files(cfg, id, history)
+      case "partitions" :: id :: Nil => partitions(cfg, id)
       case "snapshots" :: id :: Nil => snapshots(loadMeta(cfg, id), cfg.json)
       case "refs" :: id :: Nil => refs(loadMeta(cfg, id))
       case "properties" :: "get" :: "namespace" :: ns :: rest =>
@@ -115,8 +116,8 @@ object Main {
 
   private val usage =
     "usage: graft [--uri=URI] [--credential=ID:SECRET] [--json] " +
-      "<list|location|uuid|schema|spec|describe|files|snapshots|refs|" +
-      "properties|drop|rename|rollback|expire> ..."
+      "<list|location|uuid|schema|spec|describe|files|partitions|snapshots|" +
+      "refs|properties|drop|rename|rollback|expire> ..."
 
   private def requireLocal(id: String): Unit =
     if (!(id.contains("/") || id.startsWith("file:")))
@@ -201,6 +202,37 @@ object Main {
             s"(${e.dataFile.recordCount} rows)")
         }
       }
+    }
+  }
+
+  /** Per-partition rollup (file/record/byte/delete-file counts). CLI-side
+    * this is a driver walk of the planned file set — metadata-plane, like
+    * every other CLI verb; the SQL `db.t.partitions` table is the
+    * distributed version of the same rollup. */
+  private def partitions(cfg: Config, id: String): Unit = {
+    val table = if (id.contains("/")) IcebergTables.load(id)
+      else die("partitions verb requires a local table path in this build")
+    val rows = table.newScan().planFiles()
+      .groupBy(t => graft.spark.MetadataTables.partitionRepr(t.file.partition))
+      .toSeq.sortBy(_._1)
+      .map { case (part, tasks) =>
+        (part, tasks.size, tasks.map(_.file.recordCount).sum,
+          tasks.map(_.file.fileSizeInBytes).sum,
+          tasks.map(_.deleteFiles.size).sum)
+      }
+    if (cfg.json) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = m.createArrayNode()
+      rows.foreach { case (part, nf, nr, nb, nd) =>
+        val o = arr.addObject()
+        o.put("partition", part); o.put("file_count", nf)
+        o.put("record_count", nr); o.put("total_size_bytes", nb)
+        o.put("delete_file_count", nd)
+      }
+      println(m.writeValueAsString(arr))
+    } else rows.foreach { case (part, nf, nr, nb, nd) =>
+      val p = if (part.isEmpty) "<unpartitioned>" else part
+      println(s"$p\tfiles=$nf\trows=$nr\tbytes=$nb\tdeletes=$nd")
     }
   }
 

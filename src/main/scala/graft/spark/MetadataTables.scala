@@ -83,8 +83,9 @@ object MetadataTables {
     StructField("spec_id", IntegerType, nullable = false),
     StructField("partition", StringType, nullable = false)))
 
-  /** Deterministic human-readable partition tuple (`k=v/k=v`, sorted). */
-  private[spark] def partitionRepr(partition: Map[String, Any]): String =
+  /** Deterministic human-readable partition tuple (`k=v/k=v`, sorted) —
+    * shared by the SQL partitions/files tables and the CLI verb. */
+  def partitionRepr(partition: Map[String, Any]): String =
     partition.toSeq.sortBy(_._1).map { case (k, v) =>
       val s = v match {
         case null => "null"

@@ -65,6 +65,27 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("Datafile:"))
   }
 
+  test("partitions prints the per-partition rollup") {
+    // create + append of the 5-row region table → 10 rows in one bucket
+    val out = run("partitions", tableLoc)
+    assert(out.contains("<unpartitioned>"), out)
+    assert(out.contains("rows=10"), out)
+
+    val json = run("--json", "partitions", tableLoc)
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(arr.size() == 1)
+    assert(arr.get(0).get("record_count").asLong() == 10L)
+
+    // partitioned table rolls up per partition value
+    val loc = Files.createTempDirectory("cli_part").toFile.getPath
+    TableWriter.create(
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet"), loc,
+      partitionBy = Seq("r_regionkey" -> graft.core.IdentityTransform))
+    val pOut = run("partitions", loc)
+    assert(pOut.linesIterator.size == 5, pOut)
+    assert(pOut.contains("r_regionkey=0"), pOut)
+  }
+
   private def freshTable(): String = {
     val loc = Files.createTempDirectory("cli_mut").toFile.getPath
     TableWriter.create(
