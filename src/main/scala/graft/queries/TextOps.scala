@@ -266,4 +266,45 @@ object TextOps {
            WHERE LENGTH(u.tok) >= 3
            GROUP BY lang, SUBSTRING(u.tok, 1, 3))) t
        WHERE rank <= 5 ORDER BY lang, rank"""
+
+  /** Repetition / boilerplate profile per document: total and distinct
+    * token counts, the most-repeated token's share of all occurrences
+    * (`top_ratio` — high means boilerplate/spam), and the distinct-to-total
+    * ratio (`distinct_ratio` — low means repetitive text). The standard
+    * cheap quality gates a pretraining pipeline cuts on.
+    *
+    * Scale shape: two map-side-combined aggregations — (doc, token) counts,
+    * then per-doc rollup — both shuffling only ids and counts, never text
+    * beyond the first token explode. Ratios are single correctly-rounded
+    * IEEE divisions of exact integers, bit-identical across engines. */
+  def t12Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .withColumn("top_ratio", col("top_cnt").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_distinct", "top_cnt", "top_ratio",
+        "distinct_ratio")
+      .orderBy("doc_id")
+
+  val t12Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, u.tok AS tok
+         FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+         WHERE LENGTH(u.tok) > 0),
+       cnts AS (
+         SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+       SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_ratio,
+         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS distinct_ratio
+       FROM cnts GROUP BY doc_id ORDER BY doc_id"""
 }
