@@ -362,4 +362,54 @@ object Dedup {
                 LEN(list_distinct(list_concat(a.s, b.s))) AS jaccard
        FROM sh a, sh b WHERE a.doc_id < b.doc_id
        ORDER BY id_a, id_b"""
+
+  /** Cross-document shared-passage profile: per document, the fraction of
+    * its distinct 5-word shingles that also occur in at least one OTHER
+    * document — the passage-level contamination/boilerplate signal used to
+    * cut documents that are largely copies of corpus-common text.
+    *
+    * Scale shape: shingles are hashed to 60-bit keys at the source, so the
+    * distinct pass, the document-frequency aggregation, and the back-join
+    * all shuffle only (id, hash) pairs — raw text never rides a shuffle.
+    * Both aggregations are map-side combined; the hash (positive 60-bit
+    * md5 prefix) is computed identically by both engines. */
+  def d05SharedPassages(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    // distinct (doc, shingle-hash): hash BEFORE any shuffle
+    val sh = docs
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10))"))
+        .as("hs"))
+      .select(col("doc_id"), col("hs").cast("long").as("h"))
+      .distinct()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_shingles"))
+      .select("doc_id", "n_shingles", "n_shared", "shared_ratio")
+      .orderBy("doc_id")
+  }
+
+  val d05Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         WHERE len(string_split(text, ' ')) >= 5),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)),
+       nd AS (SELECT h, COUNT(*) AS nd FROM sh GROUP BY h)
+       SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS shared_ratio
+       FROM sh JOIN nd USING (h)
+       GROUP BY sh.doc_id ORDER BY sh.doc_id"""
 }

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "d01" -> Dedup.d01MinhashLsh(spark, sf),
         "d02" -> Dedup.d02SimhashPairs(spark, sf),
+        "d05" -> Dedup.d05SharedPassages(spark, sf),
         "ann02" -> Similarity.annLsh(spark, sf),
         "ann03" -> Similarity.annIvf(spark, sf))) {
       val p = plan(df)
