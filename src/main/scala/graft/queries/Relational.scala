@@ -379,4 +379,49 @@ object Relational {
        MAX(l_extendedprice) AS max_price, MIN(CAST(l_shipdate AS DATE)) AS min_ship,
        MAX(CAST(l_shipdate AS DATE)) AS max_ship, COUNT(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Batch sessionization over the event stream: a session break is a
+    * >30-minute gap between a user's consecutive events (lag window),
+    * session ids are the running sum of breaks, then a two-level rollup to
+    * per-user session stats. The batch twin of the
+    * mapGroupsWithState streaming sessionizer (EventStreams).
+    *
+    * Scale shape: ONE shuffle on user_id; both windows and the first
+    * rollup run inside that partitioning (Catalyst reuses the exchange),
+    * and all outputs are exact integers. */
+  def q20Sessionization(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val marked = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .withColumn("new_s",
+        when(lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_sessions"),
+        max("n").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val q20Sql: String =
+    """WITH m AS (
+         SELECT user_id, event_id, epoch_us(ts) AS tu,
+           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+         FROM m),
+       c AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY user_id, sess)
+       SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+              COUNT(*) AS n_sessions, CAST(MAX(n) AS BIGINT) AS max_session_events
+       FROM c GROUP BY user_id ORDER BY user_id"""
 }

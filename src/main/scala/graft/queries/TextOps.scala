@@ -293,6 +293,35 @@ object TextOps {
         "distinct_ratio")
       .orderBy("doc_id")
 
+  /** Stratified deterministic sample: k documents per language, ranked by
+    * a content-independent 60-bit hash of the doc id — the mixture-
+    * balancing step of a training-data pipeline (cap each stratum without
+    * a global sort), reproducible across engines and runs.
+    *
+    * Scale shape: one shuffle on the stratum key; the per-stratum window
+    * ranks only (id, hash) rows. For strata too large for one partition,
+    * the same hash ranks under a salted pre-top-k — not needed at battery
+    * scale. */
+  def t13StratifiedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val h = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
+  val t13Sql: String =
+    """SELECT doc_id, lang, rank FROM (
+         SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                      doc_id) AS rank
+         FROM documents) t
+       WHERE rank <= 20 ORDER BY lang, rank"""
+
   val t12Sql: String =
     """WITH toks AS (
          SELECT doc_id, u.tok AS tok

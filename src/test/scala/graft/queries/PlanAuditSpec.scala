@@ -164,6 +164,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("q20: sessionization reuses one user_id partitioning end-to-end") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = Relational.q20Sessionization(s, sf).queryExecution.executedPlan
+    val hashEx = exec.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // windows + both rollups all run inside the single user_id exchange;
+    // only the final orderBy adds a range exchange on top
+    assert(hashEx.size == 1,
+      s"expected one hash exchange (user_id), got ${hashEx.size}")
+  }
+
   test("t11: the bounded tf slice broadcasts into the tf-df join") {
     // the document-frequency table is corpus-sized; it must never be
     // shuffled to meet the maxId-bounded tf probe
