@@ -406,6 +406,27 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate it per event type — the JSON-sidecar pattern of
+    * event pipelines. `get_json_object` is codegen'd; the aggregation is
+    * map-side combined on a low-cardinality key. */
+  def q21JsonExtract(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val q21Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val q20Sql: String =
     """WITH m AS (
          SELECT user_id, event_id, epoch_us(ts) AS tu,
