@@ -25,18 +25,17 @@ object Similarity {
   private val lshBandedSlot = new CacheSlot
   private val ivfAssignedSlot = new CacheSlot
 
-  /** Cosine similarity between two float-array columns, computed in double.
-    * `zip_with` + `aggregate` stay inside codegen (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Cosine similarity between two float-array columns, computed in double
+    * via the native codegen'd dot product. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
+  /** Native codegen'd dot product — see [[graft.spark.functions.DotProductExpr]]:
+    * same value as `aggregate(zip_with(...))` (left-to-right double
+    * accumulation), without the HOF chain's interpreted lambdas and
+    * per-pair intermediate array in the ANN hot loop. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.spark.functions.DotProductExpr.dotProduct(x, y)
 
   /** Exact top-k neighbors (ids + rank only — floats never leave the plan,
     * keeping the result hash-comparable across engines). Norms are computed
@@ -77,13 +76,11 @@ object Similarity {
   }
 
   /** Sign-random-projection signature: one bit per hyperplane, packed into a
-    * long. Entirely expression-based → codegen'd single pass. */
+    * long. Each projection is the native codegen'd dot product against the
+    * literal hyperplane — one pass, zero per-row allocation. */
   def lshSignature(emb: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, lit(p), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(emb, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
