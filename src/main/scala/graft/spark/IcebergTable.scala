@@ -122,13 +122,28 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
   }
 
   /** Execute: pruned file set → Spark parquet scan (+ MoR anti-join when
-    * positional deletes exist) → residual filter → projection. */
-  def toDF(spark: SparkSession): DataFrame = {
+    * positional deletes exist) → residual filter → projection.
+    *
+    * `keepProvenance = true` adds `__path`/`__pos` columns (normalized file
+    * path + file-global row index) to every row — the positional-delete
+    * writer needs them, and Spark's `_metadata` pseudo-column only resolves
+    * directly on a file-source relation, not above the MoR anti-joins. */
+  def toDF(spark: SparkSession): DataFrame = toDF(spark, keepProvenance = false)
+
+  def toDF(spark: SparkSession, keepProvenance: Boolean): DataFrame = {
     val tasks = planFiles()
     val sparkSchema = SchemaConv.toSparkSchema(snapshotSchema)
-    if (tasks.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        projectedSparkSchema(sparkSchema))
+    if (tasks.isEmpty) {
+      var empty = projectedSparkSchema(sparkSchema)
+      if (keepProvenance) empty = org.apache.spark.sql.types.StructType(
+        empty.fields :+
+          org.apache.spark.sql.types.StructField("__path",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
 
     // group data files by the equality-delete files assigned to them: an
     // equality delete applies only to files committed before it, so each
@@ -189,7 +204,8 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     }
 
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      var gdf = readByFooter(groupTasks.map(_.file.path), posDeletePaths.nonEmpty)
+      var gdf = readByFooter(groupTasks.map(_.file.path),
+        posDeletePaths.nonEmpty || keepProvenance)
       if (posDeletePaths.nonEmpty) {
         // merge-on-read: anti-join on (file, row position)
         val deletes = spark.read.parquet(posDeletePaths: _*)
@@ -197,7 +213,7 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
         gdf = gdf
           .join(deletes, col("__path") === col("__del_path") &&
             col("__pos") === col("__del_pos"), "left_anti")
-          .drop("__path", "__pos")
+        if (!keepProvenance) gdf = gdf.drop("__path", "__pos")
       }
       // equality deletes for THIS group, one anti-join per column set; the
       // delete side is deduplicated key tuples, typically tiny → broadcast

@@ -93,18 +93,58 @@ final class GraftSparkTable(table: IcebergTable,
       override def comment(): String = "path of the data file the row lives in"
     })
 
-  /** DELETE FROM ... WHERE: committed as positional merge-on-read delete
-    * files — no data rewrite. Only fully-convertible predicates are
-    * accepted; otherwise Spark falls back to an error (no silent rewrite). */
+  /** DELETE FROM ... WHERE: key-equality predicates (`k = v`,
+    * `k IN (...)`, multi-column `a = x AND b = y`) commit an EQUALITY
+    * delete — a key-list file and one metadata commit, ZERO data scan, so
+    * the delete is O(keys) regardless of table size. Everything else
+    * commits positional merge-on-read tombstones (one distributed scan, no
+    * data rewrite). Only fully-convertible predicates are accepted;
+    * otherwise Spark falls back to an error (no silent rewrite). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val expr = filters.flatMap(FilterConv.fromSparkFilter)
-      .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
     val spark = org.apache.spark.sql.SparkSession.active
     val current = IcebergTables.load(table.location)
-    TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
+    equalityDeleteKeys(filters) match {
+      case Some((cols, rows)) =>
+        val full = SchemaConv.toSparkSchema(current.schema)
+        val keySchema = StructType(
+          cols.map(c => full(full.fieldIndex(c)).copy(nullable = false)))
+        val keys = spark.createDataFrame(
+          java.util.Arrays.asList(
+            rows.map(r => org.apache.spark.sql.Row(r: _*)): _*), keySchema)
+        TableWriter.deleteEquality(current, keys, cols)
+      case None =>
+        val expr = filters.flatMap(FilterConv.fromSparkFilter)
+          .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
+        TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
+    }
+  }
+
+  /** Key-equality shapes that can skip the scan: a conjunction of
+    * single-column equalities (one key tuple) or a single IN (one key per
+    * value). Null values stay on the positional path — SQL null-equality
+    * semantics never match, while an eq-delete key row would. */
+  private def equalityDeleteKeys(filters: Array[Filter])
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val colExists = (c: String) =>
+      SchemaConv.toSparkSchema(table.schema).fieldNames.contains(c)
+    filters match {
+      case _ if filters.isEmpty => None
+      case Array(in: In)
+          if in.values.nonEmpty && !in.values.contains(null) &&
+            colExists(in.attribute) =>
+        Some((Seq(in.attribute), in.values.toSeq.map(Seq(_))))
+      case eqs if eqs.forall {
+            case e: EqualTo => e.value != null && colExists(e.attribute)
+            case _ => false
+          } && eqs.map(_.asInstanceOf[EqualTo].attribute).distinct.length == eqs.length =>
+        val es = eqs.map(_.asInstanceOf[EqualTo])
+        Some((es.map(_.attribute).toSeq, Seq(es.map(_.value).toSeq)))
+      case _ => None
+    }
   }
 
   /** TRUNCATE TABLE: metadata-only empty overwrite — one commit, no

@@ -96,14 +96,13 @@ object TableWriter {
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val delDir = new File(table.location, s"data/deletes-$snapId")
 
-    // compute tombstones with one distributed scan over current data
+    // compute tombstones with one distributed scan over current data;
+    // provenance comes from the scan itself (the `_metadata` pseudo-column
+    // would not resolve above MoR anti-joins when deletes already exist)
     val scan = table.newScan()
-    val df = scan.toDF(spark)
-      .withColumn("__p", org.apache.spark.sql.functions
-        .regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
-      .withColumn("__pos", col("_metadata.row_index"))
+    val df = scan.toDF(spark, keepProvenance = true)
       .filter(predicate)
-      .select(col("__p").as("file_path"), col("__pos").as("pos"))
+      .select(col("__path").as("file_path"), col("__pos").as("pos"))
       .orderBy("file_path", "pos")
     df.write.parquet(delDir.getPath)
 

@@ -123,6 +123,57 @@ class RowLevelOpsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1)
   }
 
+  test("key-equality DELETE commits an equality delete with zero data scan") {
+    spark.sql("CREATE TABLE graft.rlo.eq (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.rlo.eq VALUES
+         (1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0),(5,'c',5.0)""")
+    val loc = s"$warehouse/rlo/eq"
+
+    def newDeleteEntries(): Seq[graft.core.ManifestEntry] = {
+      val t = IcebergTables.load(loc)
+      val snap = t.currentSnapshot.get
+      graft.core.ManifestIO.readManifestList(t.io.open(snap.manifestList))
+        .filter(m => m.content == 1 && m.addedSnapshotId == snap.snapshotId)
+        .flatMap(m => graft.core.ManifestIO.readManifestEntries(t.io.open(m.path), m))
+    }
+
+    // IN list → one equality-delete file with one key per value, no scan
+    val planCallsBefore = TableScan.planFilesCalls.get()
+    spark.sql("DELETE FROM graft.rlo.eq WHERE id IN (1, 3)")
+    val e1 = newDeleteEntries()
+    assert(e1.nonEmpty && e1.forall(
+      _.dataFile.content == graft.core.DataFileContent.EqualityDeletes))
+    assert(e1.map(_.dataFile.recordCount).sum == 2, "one key row per IN value")
+    assert(TableScan.planFilesCalls.get() == planCallsBefore,
+      "equality delete must not scan-plan the table")
+    assert(spark.sql("SELECT id FROM graft.rlo.eq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
+
+    // multi-column conjunction → one key TUPLE on both columns
+    spark.sql("DELETE FROM graft.rlo.eq WHERE grp = 'b' AND id = 4")
+    val e2 = newDeleteEntries()
+    assert(e2.forall(
+      _.dataFile.content == graft.core.DataFileContent.EqualityDeletes))
+    assert(e2.map(_.dataFile.recordCount).sum == 1)
+    assert(e2.head.dataFile.equalityIds.size == 2, "tuple over (grp, id)")
+    assert(spark.sql("SELECT id FROM graft.rlo.eq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 5L))
+
+    // a range predicate stays on the positional path
+    spark.sql("DELETE FROM graft.rlo.eq WHERE id > 4")
+    val e3 = newDeleteEntries()
+    assert(e3.nonEmpty && e3.forall(
+      _.dataFile.content == graft.core.DataFileContent.PositionDeletes))
+    assert(spark.sql("SELECT id FROM graft.rlo.eq").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+
+    // rows inserted AFTER an equality delete are untouched by it
+    spark.sql("INSERT INTO graft.rlo.eq VALUES (1,'a',9.0)")
+    assert(spark.sql("SELECT id FROM graft.rlo.eq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("full lifecycle: insert, MoR delete, CoW update, compact, time travel") {
     spark.sql("CREATE TABLE graft.rlo.life (id BIGINT, grp STRING, v DOUBLE)")
     spark.sql(
