@@ -161,10 +161,18 @@ final class GraftSparkTable(table: IcebergTable,
   }
   override def name(): String = table.location
   override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+    // opt-in (Iceberg-style): lets writes reach the source unvalidated so
+    // `.option("mergeSchema", "true")` can evolve the schema; the write
+    // path then validates/aligns by name itself
+    if (table.properties.get("write.accept-any-schema").contains("true"))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, schema(), options, pinnedSnapshotId)
 
@@ -185,9 +193,24 @@ final class GraftSparkTable(table: IcebergTable,
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              val current = IcebergTables.load(table.location) // fresh metadata
-              if (overwrite) TableWriter.overwrite(current, data)
-              else TableWriter.append(current, data)
+              var current = IcebergTables.load(table.location) // fresh metadata
+              val mergeSchema = info.options().getBoolean("mergeSchema", false)
+              if (mergeSchema) {
+                // schema evolution on write: new primitive columns in the
+                // incoming frame become table columns (fresh field ids)
+                val existing = current.schema.fields.map(_.name).toSet
+                data.schema.fields.filterNot(f => existing.contains(f.name))
+                  .foreach { f =>
+                    val t = SchemaConv.primitiveFromSpark(f.dataType).getOrElse(
+                      throw new UnsupportedOperationException(
+                        s"mergeSchema supports primitive new columns; " +
+                          s"'${f.name}' is ${f.dataType.simpleString}"))
+                    current = TableWriter.addColumn(current, f.name, t)
+                  }
+              }
+              val df = alignToTable(data, current)
+              if (overwrite) TableWriter.overwrite(current, df)
+              else TableWriter.append(current, df)
               ()
             }
           override def toStreaming
@@ -196,6 +219,35 @@ final class GraftSparkTable(table: IcebergTable,
               info.queryId())
         }
     }
+
+  /** Align an incoming frame to the table schema. A no-op for ordinary
+    * writes (Spark already validated and reordered); with ACCEPT_ANY_SCHEMA
+    * the frame arrives raw, so: name-subset frames align by NAME (absent
+    * table columns null-filled), same-arity frames with foreign names align
+    * by POSITION (VALUES lists), anything else is a clear error. Matched
+    * columns are cast to the table's types. */
+  private def alignToTable(data: org.apache.spark.sql.DataFrame,
+                           current: IcebergTable): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = SchemaConv.toSparkSchema(current.schema)
+    if (data.schema.fieldNames.sameElements(target.fieldNames) &&
+        data.schema.fields.map(_.dataType).sameElements(target.fields.map(_.dataType)))
+      return data
+    val dataNames = data.schema.fieldNames.toSet
+    if (dataNames.subsetOf(target.fieldNames.toSet))
+      data.select(target.fields.toIndexedSeq.map { f =>
+        if (dataNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    else if (data.schema.length == target.length)
+      data.select(target.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        col(data.schema.fieldNames(i)).cast(f.dataType).as(f.name)
+      }: _*)
+    else throw new IllegalArgumentException(
+      s"cannot align write schema ${data.schema.simpleString} to table " +
+        s"schema ${target.simpleString}: names don't match and arity differs " +
+        "(use .option(\"mergeSchema\", \"true\") to add new columns)")
+  }
 }
 
 final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,

@@ -111,6 +111,24 @@ object SchemaConv {
       f.copy(name = name, metadata = mb.build())
     })
 
+  /** Spark → Iceberg for a single PRIMITIVE type (mergeSchema column adds —
+    * nested types need coordinated nested-field ids, so they are declined
+    * here and the caller reports a clear error). */
+  def primitiveFromSpark(dt: DataType): Option[IcebergType] = dt match {
+    case BooleanType => Some(BooleanT)
+    case ByteType | ShortType | IntegerType => Some(IntT)
+    case LongType => Some(LongT)
+    case FloatType => Some(FloatT)
+    case DoubleType => Some(DoubleT)
+    case DateType => Some(DateT)
+    case TimestampNTZType => Some(TimestampT)
+    case TimestampType => Some(TimestampTzT)
+    case StringType => Some(StringT)
+    case BinaryType => Some(BinaryT)
+    case d: DecimalType => Some(DecimalT(d.precision, d.scale))
+    case _ => None
+  }
+
   /** Spark → Iceberg, assigning fresh sequential field IDs (for table
     * creation from a DataFrame). */
   def fromSparkSchema(st: StructType): Schema = {

@@ -174,6 +174,41 @@ class RowLevelOpsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("mergeSchema append evolves the table schema on write") {
+    spark.sql(
+      """CREATE TABLE graft.rlo.ms (id BIGINT, v DOUBLE)
+         TBLPROPERTIES ('write.accept-any-schema' = 'true')""")
+    spark.sql("INSERT INTO graft.rlo.ms VALUES (1, 1.0), (2, 2.0)")
+
+    // frame carries a NEW column → mergeSchema adds it, old rows read null
+    import spark.implicits._
+    Seq((3L, 3.0, "c")).toDF("id", "v", "tag")
+      .writeTo("graft.rlo.ms").option("mergeSchema", "true").append()
+    val rows = spark.sql("SELECT id, v, tag FROM graft.rlo.ms ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 1.0, null), (2L, 2.0, null), (3L, 3.0, "c")))
+    val t = IcebergTables.load(s"$warehouse/rlo/ms")
+    assert(t.schema.fields.map(_.name) == Seq("id", "v", "tag"))
+
+    // by-name append with a MISSING column null-fills it
+    Seq((4L, "d")).toDF("id", "tag").writeTo("graft.rlo.ms").append()
+    assert(spark.sql("SELECT v FROM graft.rlo.ms WHERE id = 4")
+      .collect()(0).isNullAt(0))
+
+    // positional VALUES insert still works under ACCEPT_ANY_SCHEMA
+    spark.sql("INSERT INTO graft.rlo.ms VALUES (5, 5.0, 'e')")
+    assert(spark.sql("SELECT tag FROM graft.rlo.ms WHERE id = 5")
+      .collect()(0).getString(0) == "e")
+
+    // without mergeSchema, a new column is a clear error, not silent drop
+    val e = intercept[Exception] {
+      Seq((6L, 6.0, "f", 9L)).toDF("id", "v", "tag", "extra")
+        .writeTo("graft.rlo.ms").append()
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+  }
+
   test("full lifecycle: insert, MoR delete, CoW update, compact, time travel") {
     spark.sql("CREATE TABLE graft.rlo.life (id BIGINT, grp STRING, v DOUBLE)")
     spark.sql(
