@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
-    "compact", "add_partition_field", "drop_partition_field",
+    "compact", "rewrite_sorted", "remove_orphan_files",
+    "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
@@ -57,6 +58,31 @@ object GraftProcedures {
         val out = TableWriter.compact(table,
           org.apache.spark.sql.SparkSession.active, in.getInt(1))
         Array[Any](before, out.newScan().planFiles().size)
+      }
+      case "rewrite_sorted" => proc(name,
+        Seq("table" -> StringType, "target_files" -> IntegerType,
+          "sort_by" -> StringType),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("sorted_by", StringType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "rewrite_sorted needs at least one sort column")
+        val before = table.newScan().planFiles().size
+        val out = TableWriter.compact(table,
+          org.apache.spark.sql.SparkSession.active, in.getInt(1), sortBy = cols)
+        Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
+      }
+      case "remove_orphan_files" => proc(name,
+        Seq("table" -> StringType, "older_than_ms" -> LongType),
+        StructType(Seq(
+          StructField("removed_files", IntegerType, nullable = false),
+          StructField("reclaimed_bytes", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (n, bytes) = TableWriter.removeOrphanFiles(table, in.getLong(1))
+        Array[Any](n, bytes)
       }
       case "add_partition_field" => proc(name,
         Seq("table" -> StringType, "column" -> StringType,

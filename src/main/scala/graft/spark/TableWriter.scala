@@ -406,14 +406,23 @@ object TableWriter {
     * The rewrite is one distributed pass; small-file pressure and delete
     * debt reset to zero. */
   def compact(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
-              targetFiles: Int = 0): IcebergTable = {
+              targetFiles: Int = 0, sortBy: Seq[String] = Nil): IcebergTable = {
     var df = table.newScan().toDF(spark)
-    if (targetFiles > 0) df = df.repartition(targetFiles)
+    val order = sortOrderFor(table.schema, sortBy)
+    if (!order.isUnsorted) {
+      // sorted rewrite: range-cluster on the sort keys (disjoint per-file
+      // bounds → stats pruning) at the requested file count
+      val cols = sortBy.map(col)
+      df = (if (targetFiles > 0) df.repartitionByRange(targetFiles, cols: _*)
+            else df.repartitionByRange(cols: _*))
+        .sortWithinPartitions(cols: _*)
+    } else if (targetFiles > 0) df = df.repartition(targetFiles)
     val version = table.loadedVersion + 1
     val committed = commit(df, table.location, table.schema, table.spec,
       table.properties, version, table.currentSnapshot,
       Nil, Nil, // replace: the new manifest list carries ONLY the new files
-      table.metadata.lastSequenceNumber + 1)
+      table.metadata.lastSequenceNumber + 1,
+      sortOrder = order, preClustered = true)
     // rewrite the snapshot op to REPLACE for an honest history
     val md = committed.metadata
     val fixed = md.copy(snapshots = md.snapshots.init :+
@@ -610,21 +619,8 @@ object TableWriter {
     if (expired.isEmpty) return table
 
     if (deleteFiles) {
-      // the sweep walks every manifest of every snapshot — parallel driver
-      // I/O, with each distinct manifest read once even when many
-      // snapshots share it
-      def reachable(snaps: Seq[Snapshot]): Set[String] = {
-        import scala.collection.parallel.CollectionConverters._
-        val lists = snaps.map(_.manifestList).distinct
-        val manifests = lists.par.flatMap(l =>
-          ManifestIO.readManifestList(table.io.open(l))).seq.distinctBy(_.path)
-        val dataPaths = manifests.par.flatMap(m =>
-          ManifestIO.readManifestEntries(table.io.open(m.path), m,
-            discardDeleted = false).map(_.dataFile.path)).seq
-        (lists ++ manifests.map(_.path) ++ dataPaths).toSet
-      }
-      val live = reachable(kept)
-      (reachable(expired) -- live).foreach(p => new File(p).delete())
+      val live = reachablePaths(table, kept)
+      (reachablePaths(table, expired) -- live).foreach(p => new File(p).delete())
     }
 
     writeMetadata(table.location, md.copy(
@@ -634,6 +630,46 @@ object TableWriter {
       lastUpdatedMs = System.currentTimeMillis()),
       table.loadedVersion + 1)
     IcebergTables.load(table.location)
+  }
+
+  /** Every path the given snapshots reference: manifest lists, manifests,
+    * data/delete files. Parallel driver I/O, each distinct manifest read
+    * once even when many snapshots share it. */
+  private def reachablePaths(table: IcebergTable, snaps: Seq[Snapshot]): Set[String] = {
+    import scala.collection.parallel.CollectionConverters._
+    val lists = snaps.map(_.manifestList).distinct
+    val manifests = lists.par.flatMap(l =>
+      ManifestIO.readManifestList(table.io.open(l))).seq.distinctBy(_.path)
+    val dataPaths = manifests.par.flatMap(m =>
+      ManifestIO.readManifestEntries(table.io.open(m.path), m,
+        discardDeleted = false).map(_.dataFile.path)).seq
+    (lists ++ manifests.map(_.path) ++ dataPaths).toSet
+  }
+
+  /** Garbage-collect files under the table location that NO snapshot
+    * references (failed writes, aborted commits, files from a crashed
+    * driver) and that are older than `olderThanMs` — the grace period
+    * protects files written by in-flight commits whose metadata isn't
+    * visible yet. Metadata JSONs and the version hint are always kept.
+    * Returns (files removed, bytes reclaimed). */
+  def removeOrphanFiles(table: IcebergTable, olderThanMs: Long): (Int, Long) = {
+    val norm = (p: String) => p.stripPrefix("file:")
+    val live = reachablePaths(table, table.metadata.snapshots).map(norm)
+    def walk(dir: File): Seq[File] = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      fs.filter(_.isFile).toSeq ++ fs.filter(_.isDirectory).flatMap(walk)
+    }
+    // hidden files (.crc sidecars, _SUCCESS markers) are infrastructure,
+    // not data — excluded like Iceberg's hidden-path filter
+    val candidates = (walk(new File(table.location, "data")) ++
+      Option(new File(table.location, "metadata").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".avro")))
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+    val orphans = candidates.filter(f =>
+      !live.contains(norm(f.getPath)) && f.lastModified() < olderThanMs)
+    val bytes = orphans.map(_.length()).sum
+    orphans.foreach(_.delete())
+    (orphans.size, bytes)
   }
 
   /** Stage an APPEND snapshot for already-written data files: footer stats
@@ -786,7 +822,8 @@ object TableWriter {
                      existingEntries: Seq[ManifestEntry],
                      existingManifests: Seq[ManifestFile],
                      sequenceNumber: Long,
-                     sortOrder: SortOrder = SortOrder.unsorted): IcebergTable = {
+                     sortOrder: SortOrder = SortOrder.unsorted,
+                     preClustered: Boolean = false): IcebergTable = {
     val snapId = System.nanoTime()
     val dataDir = new File(location, s"data/snap-$snapId")
     val metaDir = new File(location, "metadata")
@@ -795,7 +832,7 @@ object TableWriter {
     // write-time clustering per the sort order: one range shuffle, then a
     // local sort — files end up with disjoint bound ranges on the sort keys
     val clustered =
-      if (sortOrder.isUnsorted) df
+      if (sortOrder.isUnsorted || preClustered) df
       else {
         val sortCols = sortOrder.fields.map(sf =>
           col(schema.findFieldById(sf.sourceId).get.name))

@@ -352,6 +352,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.db13.pe").collect()(0).getLong(0) == 4)
   }
 
+  test("rewrite_sorted clusters files with disjoint sort-key bounds") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db15")
+    spark.sql("CREATE TABLE graft.db15.rs (id BIGINT, v DOUBLE)")
+    // three unsorted commits with interleaved key ranges
+    spark.sql("INSERT INTO graft.db15.rs SELECT id * 7 % 90, CAST(id AS DOUBLE) FROM range(30)")
+    spark.sql("INSERT INTO graft.db15.rs SELECT id * 11 % 90 + 1, CAST(id AS DOUBLE) FROM range(30)")
+    spark.sql("INSERT INTO graft.db15.rs SELECT id * 13 % 90 + 2, CAST(id AS DOUBLE) FROM range(30)")
+    val sum0 = spark.sql("SELECT CAST(SUM(v) AS DOUBLE) FROM graft.db15.rs")
+      .collect()(0).getDouble(0)
+
+    val r = spark.sql(
+      "CALL graft.system.rewrite_sorted('db15.rs', 3, 'id')").collect()(0)
+    assert(r.getInt(1) == 3, s"expected 3 files after, got ${r.getInt(1)}")
+    assert(r.getString(2) == "id")
+    assert(spark.sql("SELECT CAST(SUM(v) AS DOUBLE) FROM graft.db15.rs")
+      .collect()(0).getDouble(0) == sum0, "rewrite must preserve data")
+
+    // disjoint id ranges per file: point lookups prune to one file
+    val t = IcebergTables.load(s"$warehouse/db15/rs")
+    val hit = t.newScan(
+      graft.core.Expr.equalTo("id", graft.core.LongLit(5L))).planFiles()
+    assert(hit.size <= 1, s"sorted rewrite should prune to <=1 file, got ${hit.size}")
+  }
+
+  test("remove_orphan_files deletes only unreferenced, aged files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db16")
+    spark.sql("CREATE TABLE graft.db16.orph (id BIGINT)")
+    spark.sql("INSERT INTO graft.db16.orph VALUES (1), (2)")
+    val loc = s"$warehouse/db16/orph"
+    // a stray file from a crashed write
+    val orphan = new java.io.File(s"$loc/data/stray-000.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+
+    // inside the grace period: nothing removed
+    val r0 = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db16.orph', ${orphan.lastModified() - 1000})")
+      .collect()(0)
+    assert(r0.getInt(0) == 0 && orphan.exists())
+
+    // past the grace period: the orphan goes, referenced data stays
+    val r1 = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db16.orph', ${System.currentTimeMillis() + 60000})")
+      .collect()(0)
+    assert(r1.getInt(0) == 1, s"expected 1 orphan removed, got ${r1.getInt(0)}")
+    assert(r1.getLong(1) == 3L)
+    assert(!orphan.exists())
+    assert(spark.sql("SELECT count(*) FROM graft.db16.orph")
+      .collect()(0).getLong(0) == 2)
+  }
+
   test("partitions metadata table matches the files rollup across specs") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db14")
     spark.sql(
