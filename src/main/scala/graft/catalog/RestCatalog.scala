@@ -252,6 +252,39 @@ final class RestCatalog(val name: String, uri: String,
     PropertiesUpdateSummary(arr("removed"), arr("updated"), arr("missing"))
   }
 
+  /** Create a table on the REST catalog (`POST .../namespaces/{ns}/tables`
+    * per the spec — absent from the reference entirely, whose catalog is
+    * read-only). Returns the server's view of the created table. */
+  def createTable(identifier: Seq[String], schema: graft.core.Schema,
+                  props: Map[String, String] = Map.empty,
+                  location: Option[String] = None): LoadedTable = {
+    require(identifier.size >= 2, s"invalid table identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val body = mapper.createObjectNode()
+    body.put("name", identifier.last)
+    location.foreach(l => body.put("location", l))
+    // schema JSON: the standard iceberg struct payload + schema-id
+    val sw = new java.io.StringWriter()
+    val gen = mapper.createGenerator(sw)
+    graft.core.IcebergTypeJson.write(schema.struct, gen)
+    gen.close()
+    val schemaNode = mapper.readTree(sw.toString)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    schemaNode.put("schema-id", schema.schemaId)
+    val idArr = schemaNode.putArray("identifier-field-ids")
+    schema.identifierFieldIds.foreach(idArr.add)
+    body.set("schema", schemaNode)
+    val p = body.putObject("properties")
+    props.foreach { case (k, v) => p.put(k, v) }
+    val rsp = request("POST",
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables"),
+      Some(mapper.writeValueAsString(body)))
+    val n = mapper.readTree(rsp)
+    LoadedTable(identifier,
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""),
+      TableMetadata.parseNode(n.get("metadata")), Map.empty)
+  }
+
   /** Commit property changes — sugar over [[commitTable]]. */
   def commitTableProperties(identifier: Seq[String], tableUuid: String,
                             set: Map[String, String],

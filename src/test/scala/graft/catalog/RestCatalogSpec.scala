@@ -78,6 +78,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
                                 {"namespace": ["db1"], "name": "t2"}]}""")
         case ("GET", "/v1/ns-prefix/namespaces/db1/tables/t1") =>
           send(ex, 200, tableJson)
+        case ("POST", "/v1/ns-prefix/namespaces/db1/tables") =>
+          lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          send(ex, 200, tableJson)
         case ("POST", "/v1/ns-prefix/namespaces/db1/tables/t1") =>
           lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
@@ -200,6 +204,25 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ups.get(1).get("ref-name").asText() == "main")
     assert(ups.get(1).get("type").asText() == "branch")
     assert(ups.get(1).get("snapshot-id").asLong() == 42L)
+  }
+
+  test("create table posts the schema payload and parses the result") {
+    import graft.core.{LongT, NestedField, Schema, StringT, StructT}
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT, required = true),
+      NestedField(2, "data", StringT))))
+    val created = catalog().createTable(Seq("db1", "tnew"), schema,
+      Map("owner" -> "specs"))
+    assert(created.metadata.tableUuid == "9c12d441-03fe-4693-9a96-a0705ddf69c1")
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastCommitBody)
+    assert(body.get("name").asText() == "tnew")
+    assert(body.get("schema").get("type").asText() == "struct")
+    val fields = body.get("schema").get("fields")
+    assert(fields.get(0).get("name").asText() == "id")
+    assert(fields.get(0).get("required").asBoolean())
+    assert(fields.get(1).get("type").asText() == "string")
+    assert(body.get("properties").get("owner").asText() == "specs")
   }
 
   test("assert-ref-snapshot-id with no snapshot serializes a null guard") {
