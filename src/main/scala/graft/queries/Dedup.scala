@@ -237,7 +237,18 @@ object Dedup {
     d02SimhashPairsFrom(Tables.documents(s, d), maxHamming, topK, md5Hash64)
 
   def d02SimhashPairsFrom(docs: DataFrame, maxHamming: Int, topK: Int,
-                          tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+                          tokenHash: Column => Column = c => xxhash64(c)): DataFrame =
+    simhashBandedPairs(docs, tokenHash)
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(topK)
+
+  /** All banded SimHash candidate pairs with their true Hamming distance
+    * (`id_a`, `id_b`, `hamming`; each pair once, `id_a < id_b`) — the shared
+    * core of [[d02SimhashPairsFrom]] (top-k report) and [[d06DedupClusters]]
+    * (edge set). Only (id, 64-bit fingerprint) rides the banding shuffles. */
+  def simhashBandedPairs(docs: DataFrame,
+                         tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
     // changes) so the banded self-join reads them once instead of
@@ -256,16 +267,13 @@ object Dedup {
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
-      .limit(topK)
   }
 
-  /** DuckDB mirror of [[d02SimhashPairs]]: same md5 64-bit token hash (bit
-    * patterns identical; unsigned there, signed here — every use masks or
-    * XORs, so signedness never leaks), per-bit majority counts, 4×16-bit
-    * banding, Hamming verify. */
-  val d02Sql: String = {
+  /** The `toks → … → pairs` CTE chain shared by [[d02Sql]] and [[d06Sql]]:
+    * md5 64-bit token hash (bit patterns identical to Spark's; unsigned
+    * there, signed here — every use masks or XORs, so signedness never
+    * leaks), per-bit majority counts, 4×16-bit banding, each pair once. */
+  private val simhashPairsCte: String = {
     val sums = (0 until 64).map(i => s"SUM((h >> $i) & 1::UBIGINT) AS s$i")
       .mkString(",\n                ")
     val fpTerms = (0 until 64).map { i =>
@@ -275,7 +283,7 @@ object Dedup {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, fp, $b AS band, (fp >> ${b * 16}) & 65535::UBIGINT AS key FROM fp")
       .mkString("\n         UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        h AS (
          SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks),
@@ -291,12 +299,92 @@ object Dedup {
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
          FROM banded a JOIN banded b USING (band, key)
-         WHERE a.doc_id < b.doc_id)
+         WHERE a.doc_id < b.doc_id)"""
+  }
+
+  /** DuckDB mirror of [[d02SimhashPairs]]. */
+  val d02Sql: String =
+    s"""WITH $simhashPairsCte
        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        FROM pairs
        WHERE bit_count(xor(fa, fb)) <= 16
        ORDER BY hamming, id_a, id_b LIMIT 100"""
+
+  /** Connected components over an undirected edge list (`id_a`, `id_b`) by
+    * min-label propagation: every node's label converges to the smallest
+    * node id in its component. Returns (`id`, `label`).
+    *
+    * Scale shape: each round is one shuffle of (node, label) pairs joined
+    * against the symmetrized edge list — no adjacency materialization, no
+    * driver-side graph. Rounds = component diameter, and for dedup graphs
+    * the diameter is small by construction (LSH bucket caps bound component
+    * size; published alternating-star variants get O(log n) rounds on
+    * adversarial graphs if ever needed). Each round's result is
+    * `localCheckpoint`ed: the lineage would otherwise double per round and
+    * re-execute the whole prefix on every action. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+        .groupBy("src").agg(min("dl").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
   }
+
+  /** Duplicate-CLUSTER resolution — the step after pair detection that real
+    * dedup pipelines need: resolve near-dup pairs (SimHash, Hamming ≤ 6)
+    * into connected components, label every member with the component's
+    * smallest doc_id, and mark that doc as the cluster's canonical
+    * representative (the one a keep-one-per-cluster pass would retain).
+    * Transitive: A~B and B~C put A,B,C in one cluster even if A,C were
+    * never a candidate pair. */
+  def d06DedupClusters(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    val edges = simhashBandedPairs(Tables.documents(s, d), md5Hash64)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).as("is_canonical"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** DuckDB mirror of [[d06DedupClusters]]: identical SimHash edge set, then
+    * a recursive-CTE transitive closure; label = min reachable id. */
+  val d06Sql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs WHERE bit_count(xor(fa, fb)) <= 6
+         UNION ALL
+         SELECT id_b, id_a FROM pairs WHERE bit_count(xor(fa, fb)) <= 6),
+       reach(id, r) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       lab AS (
+         SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+       SELECT id AS doc_id, cluster_id,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              id = cluster_id AS is_canonical
+       FROM lab ORDER BY cluster_id, doc_id"""
 
   /** Exact word-bigram Jaccard over a bounded id range — the ground-truth
     * pairwise measure (kept bounded: this is the verify step, not the sweep). */

@@ -115,4 +115,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // slots refill transparently on next use
     assert(Dedup.d01MinhashLsh(spark, sf).count() > 0)
   }
+
+  test("connected components resolve transitive chains to the min id") {
+    import spark.implicits._
+    // one 6-node chain (multi-round convergence: diameter 5), one pair, and
+    // a triangle that shares no nodes with either
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (40L, 41L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(labels(_) == 10L), s"chain: $labels")
+    assert(labels(40L) == 40L && labels(41L) == 40L)
+    assert((20L to 22L).forall(labels(_) == 20L))
+    assert(labels.size == 11) // nodes only from edges, each exactly once
+  }
+
+  test("d06 clusters near-dup pairs transitively with a canonical member") {
+    val rows = Dedup.d06DedupClusters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      // every cluster's id is its smallest member, which is canonical
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.forall(r => (r.getLong(0) == cid) == r.getBoolean(3)))
+      // edge-derived nodes always have a neighbor: no singleton clusters
+      assert(members.length >= 2 && members.forall(_.getLong(2) == members.length))
+    }
+  }
 }
