@@ -322,6 +322,81 @@ object TextOps {
          FROM documents) t
        WHERE rank <= 20 ORDER BY lang, rank"""
 
+  /** PII detection patterns (email / SSN-shaped id / US-phone-shaped),
+    * restricted to syntax Java regex and RE2 (DuckDB) interpret
+    * identically — char classes, bounded repeats, `\b` word boundaries. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scan + redaction over any text column: per-row match counts for
+    * each pattern family and the redacted text (emails → `[EMAIL]`,
+    * phone-shaped → `[PHONE]`, id-shaped → `[ID]`). Pure codegen'd
+    * `regexp_count`/`regexp_replace` — embarrassingly parallel, no shuffle;
+    * the compliance-scrub pass a training-data pipeline runs before
+    * anything else sees the text. Phone redaction runs before id so the
+    * 3-2-4 id pattern can never re-match inside an already-redacted
+    * 3-3-4 phone. */
+  def piiScan(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_email", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phone", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("n_id", regexp_count(col(textCol), lit(IdRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IdRe, "[ID]"))
+
+  /** Battery entry: the synthetic corpus contains no PII-shaped tokens (no
+    * digits at all — verified), so a direct scan would be all-zeros and
+    * prove nothing. Instead both engines derive the SAME deterministic
+    * contact-card text per customer (name, an id-shaped 3-2-4 number, an
+    * email, a phone for every third customer) and scan THAT — the regex
+    * machinery is exercised end-to-end with nonzero counts, cross-engine.
+    * The planted-PII recall spec covers the library surface directly. */
+  def t14PiiScan(s: SparkSession, d: String): DataFrame = {
+    val text = concat(
+      lit("reach "), col("c_name"), lit(" at "),
+      lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" or "), lower(col("c_name")), lit("@example.com"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    piiScan(Tables.customer(s, d).select(col("c_custkey"), text.as("text")), "text")
+      .select(col("c_custkey"), col("n_email"), col("n_phone"), col("n_id"),
+        col("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val t14Sql: String = {
+    val text =
+      """'reach ' || c_name || ' at ' ||
+         lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' or ' || lower(c_name) || '@example.com' ||
+         CASE WHEN c_custkey % 3 = 0
+           THEN ' call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END"""
+    s"""WITH t AS (SELECT c_custkey, $text AS text FROM customer)
+       SELECT c_custkey,
+         CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '$IdRe')) AS INT) AS n_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '$EmailRe', '[EMAIL]', 'g'),
+           '$PhoneRe', '[PHONE]', 'g'),
+           '$IdRe', '[ID]', 'g') AS redacted
+       FROM t ORDER BY c_custkey"""
+  }
+
   val t12Sql: String =
     """WITH toks AS (
          SELECT doc_id, u.tok AS tok

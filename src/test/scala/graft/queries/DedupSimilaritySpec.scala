@@ -116,6 +116,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.d01MinhashLsh(spark, sf).count() > 0)
   }
 
+  test("pii scan finds and redacts planted emails, phones, and ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice.smith@corp.example.org and bob_99@ex.io today"),
+      (2L, "ssn 123-45-6789 phone 415-555-0199 and 415.555.0123"),
+      (3L, "no pii here, just words and 12345 loose digits"),
+      (4L, "edge: a@b.co ends the line 987-65-4321")).toDF("doc_id", "text")
+    val r = TextOps.piiScan(docs, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def counts(id: Long) = (r(id).getAs[Int]("n_email"),
+      r(id).getAs[Int]("n_phone"), r(id).getAs[Int]("n_id"))
+    def red(id: Long) = r(id).getAs[String]("redacted")
+    assert(counts(1L) == ((2, 0, 0)))
+    assert(red(1L) == "mail [EMAIL] and [EMAIL] today")
+    assert(counts(2L) == ((0, 2, 1)))
+    assert(red(2L) == "ssn [ID] phone [PHONE] and [PHONE]")
+    assert(counts(3L) == ((0, 0, 0)))
+    assert(red(3L) == docs.collect()(2).getString(1)) // untouched
+    assert(red(4L) == "edge: [EMAIL] ends the line [ID]")
+  }
+
   test("connected components resolve transitive chains to the min id") {
     import spark.implicits._
     // one 6-node chain (multi-round convergence: diameter 5), one pair, and
