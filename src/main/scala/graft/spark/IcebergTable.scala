@@ -130,8 +130,16 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     * directly on a file-source relation, not above the MoR anti-joins. */
   def toDF(spark: SparkSession): DataFrame = toDF(spark, keepProvenance = false)
 
-  def toDF(spark: SparkSession, keepProvenance: Boolean): DataFrame = {
+  def toDF(spark: SparkSession, keepProvenance: Boolean): DataFrame =
+    toDF(spark, keepProvenance, pathFilter = None)
+
+  /** Scan restricted to a known file set (changelog readers resolve
+    * added/removed paths from manifests, then read just those files with
+    * full MoR semantics at this scan's snapshot). */
+  private[graft] def toDF(spark: SparkSession, keepProvenance: Boolean,
+                          pathFilter: Option[Set[String]]): DataFrame = {
     val tasks = planFiles()
+      .filter(t => pathFilter.forall(_.contains(t.file.path)))
     val sparkSchema = SchemaConv.toSparkSchema(snapshotSchema)
     if (tasks.isEmpty) {
       var empty = projectedSparkSchema(sparkSchema)

@@ -27,11 +27,15 @@ import graft.core.{DataFileContent, DeleteMatching, ManifestEntry, ManifestFile,
 object MetadataTables {
 
   val Names: Set[String] =
-    Set("snapshots", "history", "refs", "files", "manifests", "partitions")
+    Set("snapshots", "history", "refs", "files", "manifests", "partitions",
+      "entries", "all_files", "all_manifests", "metadata_log_entries")
 
   def build(table: IcebergTable, kind: String): Table = {
     if (kind == "files") return buildFiles(table)
     if (kind == "partitions") return new PartitionsMetadataTable(table)
+    if (kind == "entries") return buildEntries(table)
+    if (kind == "all_files") return buildAllFiles(table)
+    if (kind == "all_manifests") return new AllManifestsTable(table)
     def s(v: String): Any = UTF8String.fromString(v)
     val (schema, rows): (StructType, Seq[Array[Any]]) = kind match {
       case "snapshots" => (StructType(Seq(
@@ -69,6 +73,13 @@ object MetadataTables {
           .map(m => Array[Any](s(m.path), m.length, m.partitionSpecId, m.content,
             m.sequenceNumber, m.addedFilesCount, m.existingFilesCount,
             m.deletedFilesCount)))
+      case "metadata_log_entries" => (StructType(Seq(
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("file", StringType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false))),
+        table.metadata.metadataLog.map(e =>
+          Array[Any](e.timestampMs, s(e.metadataFile), false)) :+
+          Array[Any](table.metadata.lastUpdatedMs, s(table.metadataPath), true))
       case other => throw new IllegalArgumentException(s"unknown metadata table $other")
     }
     new LocalRowsTable(s"${table.location}#$kind", schema, rows)
@@ -126,6 +137,55 @@ object MetadataTables {
     org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(buildFiles(table), None, None))
+
+  val EntriesSchema: StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType),
+    StructField("sequence_number", LongType),
+    StructField("file_sequence_number", LongType),
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false)))
+
+  /** `entries`: the raw manifest-entry surface (data AND delete manifests)
+    * of the current snapshot, post seq-num inheritance — one input
+    * partition per manifest, entry decode on executors. */
+  private[spark] def buildEntries(table: IcebergTable): Table = {
+    val manifests = table.currentSnapshot.toSeq
+      .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
+    new EntriesMetadataTable(s"${table.location}#entries",
+      table.metadata.properties, manifests, includeDeleted = true)
+  }
+
+  /** `all_files`: data/delete files reachable from ANY snapshot. The driver
+    * reads only the manifest LISTS (one small Avro per snapshot), dedupes
+    * manifests by path, and ships one input partition per unique manifest —
+    * entry decode stays on executors, so the table is O(total files) spread
+    * across the cluster even with a deep snapshot history. */
+  private[spark] def buildAllFiles(table: IcebergTable): Table = {
+    val manifests = table.metadata.snapshots
+      .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
+      .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+    new EntriesMetadataTable(s"${table.location}#all_files",
+      table.metadata.properties, manifests, includeDeleted = false)
+  }
+
+  val AllManifestsSchema: StructType = StructType(Seq(
+    StructField("reference_snapshot_id", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("partition_spec_id", IntegerType, nullable = false),
+    StructField("content", IntegerType, nullable = false),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("min_sequence_number", LongType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false),
+    StructField("added_files", IntegerType, nullable = false),
+    StructField("existing_files", IntegerType, nullable = false),
+    StructField("deleted_files", IntegerType, nullable = false)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
@@ -211,6 +271,115 @@ final class FilesMetadataTable(tableName: String, props: Map[String, String],
 }
 
 final case class ManifestEntriesPartition(manifest: ManifestFile) extends InputPartition
+
+/** Distributed `entries` / `all_files` table: one input partition per
+  * manifest (data and delete manifests both), raw entry rows with
+  * inherited sequence numbers — the debugging surface for commit forensics
+  * (DELETED-status entries included). For `all_files` the manifests span
+  * every snapshot (deduped by path) and only live entries are emitted. */
+final class EntriesMetadataTable(tableName: String, props: Map[String, String],
+                                 manifests: Seq[ManifestFile],
+                                 includeDeleted: Boolean)
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = MetadataTables.EntriesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = MetadataTables.EntriesSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"$tableName [distributed manifest entries]"
+      override def planInputPartitions(): Array[InputPartition] =
+        manifests.map(m => ManifestEntriesPartition(m): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new EntriesReaderFactory(props, includeDeleted)
+    }
+}
+
+final class EntriesReaderFactory(props: Map[String, String],
+                                 includeDeleted: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val m = p.asInstanceOf[ManifestEntriesPartition].manifest
+      private val entries = ManifestIO
+        .readManifestEntries(IOConfig.fileIO(props).open(m.path), m,
+          discardDeleted = !includeDeleted)
+        .iterator
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!entries.hasNext) return false
+        val e = entries.next()
+        row = new GenericInternalRow(Array[Any](
+          e.status, e.snapshotId.map(Long.box).orNull,
+          e.sequenceNumber.map(Long.box).orNull,
+          e.fileSequenceNumber.map(Long.box).orNull,
+          e.dataFile.content,
+          UTF8String.fromString(e.dataFile.path),
+          UTF8String.fromString(e.dataFile.format),
+          m.partitionSpecId,
+          UTF8String.fromString(MetadataTables.partitionRepr(e.dataFile.partition)),
+          e.dataFile.recordCount, e.dataFile.fileSizeInBytes))
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
+
+/** Distributed `all_manifests`: one input partition per SNAPSHOT; each task
+  * reads that snapshot's manifest list (one small Avro file) on an
+  * executor, so a deep history never serializes through the driver. */
+final class AllManifestsTable(table: IcebergTable)
+  extends Table with SupportsRead {
+  private val props = table.metadata.properties
+  private val snaps: Seq[(Long, String)] =
+    table.metadata.snapshots.map(sn => (sn.snapshotId, sn.manifestList))
+  override def name(): String = s"${table.location}#all_manifests"
+  override def schema(): StructType = MetadataTables.AllManifestsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = MetadataTables.AllManifestsSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"${name()} [one partition per snapshot]"
+      override def planInputPartitions(): Array[InputPartition] =
+        snaps.map(s => SnapshotManifestListPartition(s._1, s._2): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AllManifestsReaderFactory(props)
+    }
+}
+
+final class AllManifestsReaderFactory(props: Map[String, String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val sp = p.asInstanceOf[SnapshotManifestListPartition]
+      private val ms = ManifestIO
+        .readManifestList(IOConfig.fileIO(props).open(sp.manifestList)).iterator
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!ms.hasNext) return false
+        val m = ms.next()
+        row = new GenericInternalRow(Array[Any](
+          sp.snapshotId, UTF8String.fromString(m.path), m.length,
+          m.partitionSpecId, m.content, m.sequenceNumber,
+          m.minSequenceNumber, m.addedSnapshotId, m.addedFilesCount,
+          m.existingFilesCount, m.deletedFilesCount))
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
+
+final case class SnapshotManifestListPartition(snapshotId: Long,
+                                               manifestList: String)
+  extends InputPartition
 
 /** Serialized once per stage; each task opens its manifest through a FileIO
   * rebuilt from the table's IO properties and streams rows out. */

@@ -21,7 +21,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
-    "create_branch", "create_tag", "drop_ref")
+    "create_branch", "create_tag", "drop_ref", "create_changelog_view")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -130,6 +130,27 @@ object GraftProcedures {
         val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         val out = TableWriter.dropRef(table, in.getUTF8String(1).toString)
         Array[Any](in.getUTF8String(1), out.metadata.refs.size)
+      }
+      case "create_changelog_view" => proc(name,
+        Seq("table" -> StringType, "view_name" -> StringType,
+          "start_snapshot_id" -> LongType, "end_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false),
+          StructField("commits", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val view = in.getUTF8String(1).toString
+        // snapshot_id 0 → unbounded end of the window
+        val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val to = in.getLong(3) match { case 0L => None; case id => Some(id) }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = graft.streaming.Changelog.changelogDF(spark, table, from, to)
+        df.createOrReplaceTempView(view)
+        val commits = graft.streaming.Changelog.changedFilesInWindow(table,
+          from.flatMap(id => table.metadata.snapshotById(id))
+            .map(_.sequenceNumber).getOrElse(0L),
+          to.flatMap(id => table.metadata.snapshotById(id))
+            .orElse(table.currentSnapshot).map(_.sequenceNumber).getOrElse(0L)).size
+        Array[Any](view, commits)
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

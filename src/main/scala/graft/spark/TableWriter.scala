@@ -77,9 +77,9 @@ object TableWriter {
 
   /** Append a snapshot: new files join the previous snapshot's manifests. */
   def append(table: IcebergTable, df: DataFrame): IcebergTable = {
-    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
-    }
+    })
     val version = table.loadedVersion + 1
     commit(df, table.location, table.schema, table.spec, table.properties,
       version, table.currentSnapshot, Nil, prevManifests,
@@ -126,9 +126,9 @@ object TableWriter {
       existingRowsCount = 0, deletedRowsCount = 0,
       partitions = Nil, formatVersion = 2)
 
-    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
-    }
+    })
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
 
@@ -178,9 +178,9 @@ object TableWriter {
       addedRowsCount = delFiles.map(_.recordCount).sum,
       existingRowsCount = 0, deletedRowsCount = 0,
       partitions = Nil, formatVersion = 2)
-    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
-    }
+    })
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
     val now = System.currentTimeMillis()
@@ -298,6 +298,13 @@ object TableWriter {
           snapshot.snapshotId)))
   }
 
+  /** Data manifests whose entries are all DELETED carry no live files —
+    * they exist to record removals in the snapshot that made them, and are
+    * dropped when the NEXT snapshot's manifest list is assembled (matching
+    * Iceberg: delete-recording manifests live exactly one snapshot). */
+  private def liveManifests(ms: Seq[ManifestFile]): Seq[ManifestFile] =
+    ms.filter(m => m.content != 0 || m.addedFilesCount + m.existingFilesCount > 0)
+
   /** Stage an OVERWRITE (CoW) snapshot: manifests containing replaced
     * paths rewritten under their own spec, untouched manifests carried by
     * reference, added files in one new manifest. Pure staging shared by
@@ -311,9 +318,9 @@ object TableWriter {
     val snapId = System.nanoTime()
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
 
-    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
-    }
+    })
     val (dataManifests, deleteManifests) = prevManifests.partition(_.content == 0)
     // ADDED files are written under the CURRENT spec; rewritten manifests
     // keep their OWN spec's partition type (specs may have evolved — writing
@@ -343,28 +350,31 @@ object TableWriter {
     }
     val untouched = untouchedRead.map(_._1) ++ skipped
 
-    val rewritten = touched.zipWithIndex.flatMap { case ((m, es), i) =>
-      val kept = es.filterNot(e => removedPaths.contains(e.dataFile.path))
-        .map(_.copy(status = ManifestEntryStatus.Existing))
-      if (kept.isEmpty) None // all of this manifest's files were replaced
-      else {
-        val mf = new File(metaDir, s"manifest-cow-$snapId-$i.avro")
-        ManifestIO.writeManifest(mf, kept, partTypeOf(m.partitionSpecId))
-        Some(ManifestFile(
-          path = mf.getPath, length = mf.length(),
-          partitionSpecId = m.partitionSpecId, content = 0,
-          sequenceNumber = seq,
-          minSequenceNumber = kept.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
-          addedSnapshotId = snapId,
-          addedFilesCount = 0, existingFilesCount = kept.size,
-          deletedFilesCount = es.size - kept.size,
-          addedRowsCount = 0,
-          existingRowsCount = kept.map(_.dataFile.recordCount).sum,
-          deletedRowsCount = es.map(_.dataFile.recordCount).sum -
-            kept.map(_.dataFile.recordCount).sum,
-          partitions = partitionSummaries(kept, partTypeOf(m.partitionSpecId)),
-          formatVersion = 2))
-      }
+    val rewritten = touched.zipWithIndex.map { case ((m, es), i) =>
+      // removed files stay in the rewritten manifest as DELETED-status
+      // entries (Iceberg spec): the committing snapshot names what it
+      // removed, so `entries` forensics and changelog readers never diff
+      // whole snapshots. The NEXT commit drops all-DELETED manifests.
+      val (gone, kept0) = es.partition(e => removedPaths.contains(e.dataFile.path))
+      val kept = kept0.map(_.copy(status = ManifestEntryStatus.Existing))
+      val removed = gone.map(_.copy(status = ManifestEntryStatus.Deleted,
+        snapshotId = Some(snapId)))
+      val mf = new File(metaDir, s"manifest-cow-$snapId-$i.avro")
+      ManifestIO.writeManifest(mf, kept ++ removed, partTypeOf(m.partitionSpecId))
+      ManifestFile(
+        path = mf.getPath, length = mf.length(),
+        partitionSpecId = m.partitionSpecId, content = 0,
+        sequenceNumber = seq,
+        minSequenceNumber =
+          (kept ++ removed).flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+        addedSnapshotId = snapId,
+        addedFilesCount = 0, existingFilesCount = kept.size,
+        deletedFilesCount = removed.size,
+        addedRowsCount = 0,
+        existingRowsCount = kept.map(_.dataFile.recordCount).sum,
+        deletedRowsCount = removed.map(_.dataFile.recordCount).sum,
+        partitions = partitionSummaries(kept, partTypeOf(m.partitionSpecId)),
+        formatVersion = 2)
     }
 
     val addedEntries = added.map { f =>
@@ -619,7 +629,11 @@ object TableWriter {
     if (expired.isEmpty) return table
 
     if (deleteFiles) {
-      val live = reachablePaths(table, kept)
+      // liveOnly: a DELETED-status entry in a retained snapshot records a
+      // file some RETAINED-or-expired parent held; if no retained snapshot
+      // holds it LIVE, the file is unreachable and must go. The expired
+      // side keeps deleted entries so tombstone-recorded files are swept.
+      val live = reachablePaths(table, kept, liveOnly = true)
       (reachablePaths(table, expired) -- live).foreach(p => new File(p).delete())
     }
 
@@ -635,14 +649,15 @@ object TableWriter {
   /** Every path the given snapshots reference: manifest lists, manifests,
     * data/delete files. Parallel driver I/O, each distinct manifest read
     * once even when many snapshots share it. */
-  private def reachablePaths(table: IcebergTable, snaps: Seq[Snapshot]): Set[String] = {
+  private def reachablePaths(table: IcebergTable, snaps: Seq[Snapshot],
+                             liveOnly: Boolean = false): Set[String] = {
     import scala.collection.parallel.CollectionConverters._
     val lists = snaps.map(_.manifestList).distinct
     val manifests = lists.par.flatMap(l =>
       ManifestIO.readManifestList(table.io.open(l))).seq.distinctBy(_.path)
     val dataPaths = manifests.par.flatMap(m =>
       ManifestIO.readManifestEntries(table.io.open(m.path), m,
-        discardDeleted = false).map(_.dataFile.path)).seq
+        discardDeleted = liveOnly).map(_.dataFile.path)).seq
     (lists ++ manifests.map(_.path) ++ dataPaths).toSet
   }
 
@@ -700,9 +715,9 @@ object TableWriter {
       addedRowsCount = entries.map(_.dataFile.recordCount).sum,
       existingRowsCount = 0, deletedRowsCount = 0,
       partitions = partitionSummaries(entries, partType), formatVersion = 2)
-    val prevManifests = table.currentSnapshot.toSeq.flatMap { s =>
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
-    }
+    })
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile, prevManifests :+ newManifest)
     Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
@@ -917,8 +932,50 @@ object TableWriter {
       partitions = partitionSummaries(entries, partType),
       formatVersion = 2)
 
+    // REPLACE/OVERWRITE (no carried manifests but a parent exists): record
+    // the parent's live files as DELETED-status entries, per the Iceberg
+    // spec — the committing snapshot's manifests name what it removed, so
+    // `entries` forensics and changelog readers see removals without
+    // diffing whole snapshots. Reading the parent manifests here is
+    // O(files replaced) — the same order as the rewrite itself.
+    val removedManifest: Option[ManifestFile] =
+      if (existingManifests.nonEmpty) None
+      else parentSnapshot.flatMap { ps =>
+        val prev = ManifestIO.readManifestList(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(ps.manifestList)))
+        val removed = {
+          import scala.collection.parallel.CollectionConverters._
+          prev.filter(_.content == 0).par.flatMap { m =>
+            ManifestIO.readManifestEntries(
+              new java.io.BufferedInputStream(new java.io.FileInputStream(m.path)), m)
+          }.seq
+        }.map(e => e.copy(status = ManifestEntryStatus.Deleted,
+          snapshotId = Some(snapId),
+          // partition tuples may span evolved specs; deleted entries are
+          // never pruned by partition, so strip rather than re-encode
+          dataFile = e.dataFile.copy(partition = Map.empty)))
+        if (removed.isEmpty) None
+        else {
+          val mf = new File(metaDir, s"manifest-removed-$snapId.avro")
+          ManifestIO.writeManifest(mf, removed.toSeq, StructT(Nil))
+          Some(ManifestFile(
+            path = mf.getPath, length = mf.length(),
+            partitionSpecId = spec.specId, content = 0,
+            sequenceNumber = sequenceNumber,
+            minSequenceNumber =
+              removed.flatMap(_.sequenceNumber).minOption.getOrElse(sequenceNumber),
+            addedSnapshotId = snapId,
+            addedFilesCount = 0, existingFilesCount = 0,
+            deletedFilesCount = removed.size,
+            addedRowsCount = 0, existingRowsCount = 0,
+            deletedRowsCount = removed.map(_.dataFile.recordCount).sum,
+            partitions = Nil, formatVersion = 2))
+        }
+      }
+
     val listFile = new File(metaDir, s"snap-$snapId.avro")
-    ManifestIO.writeManifestList(listFile, existingManifests :+ newManifest)
+    ManifestIO.writeManifestList(listFile,
+      existingManifests ++ Seq(newManifest) ++ removedManifest)
 
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, parentSnapshot.map(_.snapshotId), sequenceNumber,

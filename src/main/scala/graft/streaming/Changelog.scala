@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DataFileContent, ManifestEntryStatus, ManifestIO, OpReplace,
+  Snapshot}
+import graft.spark.IcebergTable
+
+/** Row-level CDC over the snapshot log — the `create_changelog_view`
+  * surface Iceberg exposes, built from the commit provenance our writer
+  * records (every commit names its removed files as DELETED-status
+  * manifest entries; see TableWriter).
+  *
+  * Per-COMMIT semantics, ordered by sequence number:
+  *   - `append`    → the added files' rows as `insert`
+  *   - `overwrite` → added files as `insert`, removed files (read at the
+  *     PARENT snapshot, with the deletes visible there applied — rows
+  *     already deleted earlier are not re-reported) as `delete`
+  *   - `delete` (MoR) → the tombstoned rows as `delete`: positional
+  *     tombstones join the parent scan on (path, pos); equality keys
+  *     semi-join it on the key columns
+  *   - `replace` (compaction) → skipped: rewrites carry rows the
+  *     changelog already delivered
+  *
+  * Scale: resolution is metadata-only (the window's own manifests — never
+  * a diff of whole snapshots); each emitted piece is a distributed
+  * path-restricted scan, so work is O(changed files + matched tombstones),
+  * not O(table). */
+object Changelog {
+
+  final case class ChangeSet(snapshot: Snapshot,
+                             addedPaths: Set[String],
+                             removedPaths: Set[String],
+                             posDeletePaths: Seq[String],
+                             eqDeletes: Seq[(Seq[Int], String)])
+
+  /** File-level change resolution for snapshots with sequence in
+    * `(fromSeq, toSeq]`. Fails loudly on expired window snapshots (same
+    * contract as the appends-only changefeed). */
+  def changedFilesInWindow(table: IcebergTable, fromSeq: Long,
+                           toSeq: Long): Seq[ChangeSet] = {
+    if (toSeq <= fromSeq) return Nil
+    val window = table.metadata.snapshots
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+    val present = window.map(_.sequenceNumber).toSet
+    val missing = ((fromSeq + 1) to toSeq).filterNot(present.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot resolve changelog window ($fromSeq, $toSeq] of ${table.location}: " +
+        s"snapshot(s) for sequence(s) ${missing.mkString(", ")} were expired")
+    window.sortBy(_.sequenceNumber)
+      .filterNot(_.summary.exists(_.operation == OpReplace))
+      .map { s =>
+        // only manifests WRITTEN by this commit (their list sequence is the
+        // commit's) can carry its adds/removes — older ones are never read
+        val own = ManifestIO.readManifestList(table.io.open(s.manifestList))
+          .filter(_.sequenceNumber == s.sequenceNumber)
+        val entries = own.map { m =>
+          m -> ManifestIO.readManifestEntries(table.io.open(m.path), m,
+            discardDeleted = false)
+        }
+        val added = entries.collect { case (m, es) if m.content == 0 =>
+          es.filter(e => e.status == ManifestEntryStatus.Added &&
+            e.sequenceNumber.contains(s.sequenceNumber)).map(_.dataFile.path)
+        }.flatten.toSet
+        val removed = entries.collect { case (m, es) if m.content == 0 =>
+          es.filter(e => e.status == ManifestEntryStatus.Deleted &&
+            e.snapshotId.contains(s.snapshotId)).map(_.dataFile.path)
+        }.flatten.toSet
+        val newDeleteFiles = entries.collect { case (m, es) if m.content == 1 =>
+          es.filter(e => e.status == ManifestEntryStatus.Added &&
+            e.sequenceNumber.contains(s.sequenceNumber))
+        }.flatten
+        ChangeSet(s, added, removed,
+          posDeletePaths = newDeleteFiles
+            .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+            .map(_.dataFile.path),
+          eqDeletes = newDeleteFiles
+            .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
+            .map(e => (e.dataFile.equalityIds, e.dataFile.path)))
+      }
+      .filter(c => c.addedPaths.nonEmpty || c.removedPaths.nonEmpty ||
+        c.posDeletePaths.nonEmpty || c.eqDeletes.nonEmpty)
+  }
+
+  /** The changelog DataFrame: table columns plus `_change_type`
+    * (`insert`/`delete`), `_commit_snapshot_id`, `_commit_sequence`,
+    * ordered by commit. Window is `(fromSnapshotId, toSnapshotId]`;
+    * `fromSnapshotId = None` starts before the oldest retained snapshot. */
+  def changelogDF(spark: SparkSession, table: IcebergTable,
+                  fromSnapshotId: Option[Long],
+                  toSnapshotId: Option[Long] = None): DataFrame = {
+    val md = table.metadata
+    def seqOf(id: Long): Long = md.snapshotById(id).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $id not found in ${table.location}")).sequenceNumber
+    val fromSeq = fromSnapshotId.map(seqOf).getOrElse(0L)
+    val toSeq = toSnapshotId.map(seqOf)
+      .orElse(md.currentSnapshot.map(_.sequenceNumber)).getOrElse(0L)
+
+    val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
+    val outCols = graft.spark.SchemaConv.toSparkSchema(table.schema).fieldNames
+
+    def stamp(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
+      df.select(outCols.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        .withColumn("_commit_sequence", lit(s.sequenceNumber))
+
+    val pieces = changedFilesInWindow(table, fromSeq, toSeq).flatMap { c =>
+      val s = c.snapshot
+      val out = Seq.newBuilder[DataFrame]
+      if (c.addedPaths.nonEmpty)
+        out += stamp(table.newScan(snapshotId = Some(s.snapshotId))
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.addedPaths)),
+          "insert", s)
+      val parent = s.parentSnapshotId
+      if (c.removedPaths.nonEmpty) {
+        // removed files read at the PARENT snapshot so tombstones that
+        // already applied there don't resurface as deletes here
+        require(parent.isDefined, "removed files in a parentless snapshot")
+        out += stamp(table.newScan(snapshotId = parent)
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.removedPaths)),
+          "delete", s)
+      }
+      if (c.posDeletePaths.nonEmpty && parent.isDefined) {
+        val parentRows = table.newScan(snapshotId = parent)
+          .toDF(spark, keepProvenance = true)
+        val tombstones = spark.read.parquet(c.posDeletePaths: _*)
+          .select(norm(col("file_path")).as("__del_path"),
+            col("pos").as("__del_pos"))
+        out += stamp(parentRows.join(tombstones,
+          col("__path") === col("__del_path") &&
+            col("__pos") === col("__del_pos"), "left_semi"), "delete", s)
+      }
+      c.eqDeletes.groupBy(_._1).foreach { case (eqIds, files) =>
+        if (parent.isDefined) {
+          val keyCols = eqIds.flatMap(id => table.schema.findColumnName(id))
+          require(keyCols.size == eqIds.size,
+            s"equality ids $eqIds not resolvable in current schema")
+          val keys = spark.read.parquet(files.map(_._2).distinct: _*)
+            .select(keyCols.map(col).toIndexedSeq: _*).distinct()
+          val parentRows = table.newScan(snapshotId = parent).toDF(spark)
+          out += stamp(parentRows.join(broadcast(keys), keyCols, "left_semi"),
+            "delete", s)
+        }
+      }
+      out.result()
+    }
+
+    if (pieces.isEmpty) {
+      val empty = org.apache.spark.sql.types.StructType(
+        graft.spark.SchemaConv.toSparkSchema(table.schema).fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_sequence",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        empty)
+    } else pieces.reduce(_.unionAll(_))
+  }
+}

@@ -481,6 +481,73 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(withDeletes.values.sum >= 1, "expected at least one matched delete file")
   }
 
+  test("SQL metadata tables: entries/all_files/all_manifests/metadata_log_entries") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db20")
+    spark.sql("CREATE TABLE graft.db20.e (id BIGINT)")
+    spark.sql("INSERT INTO graft.db20.e VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db20.e VALUES (3)")
+    val preCompact = spark.sql("SELECT file_path FROM graft.db20.e.files")
+      .collect().map(_.getString(0)).toSet
+    // compaction rewrites all files into one; the old ones become
+    // DELETED-status entries and history-only files
+    spark.sql("CALL graft.system.compact('db20.e', 1)")
+
+    // entries: raw current-snapshot surface, DELETED entries included
+    val entries = spark.sql(
+      "SELECT status, file_path FROM graft.db20.e.entries").collect()
+    assert(entries.count(_.getInt(0) == 2) == preCompact.size,
+      s"expected ${preCompact.size} DELETED entries post-compaction, got ${entries.toSeq}")
+    assert(entries.count(_.getInt(0) != 2) == 1)
+    // sequence numbers inherited, never null on live entries
+    assert(spark.sql(
+      "SELECT * FROM graft.db20.e.entries WHERE sequence_number IS NULL").count() == 0)
+
+    // all_files: union over snapshots — sees the two pre-compaction files
+    // AND the compacted one; current files sees only the latter
+    val allPaths = spark.sql("SELECT DISTINCT file_path FROM graft.db20.e.all_files")
+      .collect().map(_.getString(0)).toSet
+    val curPaths = spark.sql("SELECT file_path FROM graft.db20.e.files")
+      .collect().map(_.getString(0)).toSet
+    assert(curPaths.size == 1)
+    assert(curPaths.subsetOf(allPaths))
+    assert(allPaths == preCompact ++ curPaths,
+      s"all_files should union historical and current files, got $allPaths")
+
+    // all_manifests: one input partition per snapshot, reference ids ride along
+    val am = spark.sql(
+      "SELECT reference_snapshot_id, path FROM graft.db20.e.all_manifests")
+    assert(am.rdd.getNumPartitions == 3,
+      "all_manifests should plan one partition per snapshot")
+    val refIds = am.collect().map(_.getLong(0)).toSet
+    val snapIds = spark.sql("SELECT snapshot_id FROM graft.db20.e.snapshots")
+      .collect().map(_.getLong(0)).toSet
+    assert(refIds == snapIds)
+
+    // metadata_log_entries: one row per superseded metadata file + current
+    val log = spark.sql(
+      "SELECT file, is_current FROM graft.db20.e.metadata_log_entries ORDER BY timestamp_ms")
+      .collect()
+    assert(log.count(_.getBoolean(1)) == 1)
+    assert(log.last.getBoolean(1), "latest entry should be the current metadata file")
+    assert(log.length >= 3, s"expected the full metadata lineage, got ${log.toSeq}")
+  }
+
+  test("CALL create_changelog_view exposes per-commit changes in SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
+    spark.sql("CREATE TABLE graft.db21.cdc (id BIGINT)")
+    spark.sql("INSERT INTO graft.db21.cdc VALUES (1), (2)")
+    spark.sql("DELETE FROM graft.db21.cdc WHERE id = 1")
+    val res = spark.sql(
+      "CALL graft.system.create_changelog_view('db21.cdc', 'cdc_view', 0, 0)")
+      .collect()
+    assert(res(0).getString(0) == "cdc_view")
+    val rows = spark.sql(
+      "SELECT id, _change_type FROM cdc_view ORDER BY _commit_sequence, id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "insert"), (2L, "insert"), (1L, "delete")),
+      s"got $rows")
+  }
+
   test("CREATE TABLE PARTITIONED BY with transforms, partitioned INSERT") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
     spark.sql(
