@@ -21,7 +21,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
-    "create_branch", "create_tag", "drop_ref", "create_changelog_view")
+    "create_branch", "create_tag", "drop_ref", "create_changelog_view",
+    "rewrite_manifests")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -151,6 +152,18 @@ object GraftProcedures {
           to.flatMap(id => table.metadata.snapshotById(id))
             .orElse(table.currentSnapshot).map(_.sequenceNumber).getOrElse(0L)).size
         Array[Any](view, commits)
+      }
+      case "rewrite_manifests" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(
+          StructField("manifests_before", IntegerType, nullable = false),
+          StructField("manifests_after", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        def count(t: IcebergTable): Int = t.currentSnapshot.toSeq.flatMap(s =>
+          graft.core.ManifestIO.readManifestList(t.io.open(s.manifestList))).size
+        val before = count(table)
+        val out = TableWriter.rewriteManifests(table)
+        Array[Any](before, count(out))
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

@@ -598,6 +598,87 @@ object TableWriter {
   /** Roll `main` back to an earlier snapshot (metadata-only): the current
     * pointer moves, history is preserved, rolled-back snapshots stay
     * reachable by id until expired. */
+  /** Coalesce the current snapshot's data manifests into size-targeted
+    * ones (`commit.manifest.target-size-bytes`, default 8 MB) — a
+    * METADATA-only commit: no data file moves, the plan-time manifest walk
+    * just gets fewer, larger Avro files to open. Entries keep their
+    * explicit snapshot/sequence provenance (no inheritance is lost) and
+    * group per partition spec so tuples stay under their own partition
+    * type. Delete manifests are carried as-is. The new snapshot is a
+    * REPLACE, invisible to changelog readers. */
+  def rewriteManifests(table: IcebergTable): IcebergTable = {
+    val md = table.metadata
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"${table.location} has no snapshot"))
+    val targetBytes = md.properties.get("commit.manifest.target-size-bytes")
+      .flatMap(_.toLongOption).getOrElse(8L * 1024 * 1024)
+    val manifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
+    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    if (dataManifests.size <= 1) return table
+
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+
+    val bySpec = dataManifests.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+    val rewritten = bySpec.flatMap { case (specId, ms) =>
+      val entries = {
+        import scala.collection.parallel.CollectionConverters._
+        ms.sortBy(_.path).par.map { m =>
+          ManifestIO.readManifestEntries(table.io.open(m.path), m)
+            .map(_.copy(status = ManifestEntryStatus.Existing))
+        }.seq.flatten
+      }
+      if (entries.isEmpty) Nil
+      else {
+        val partType = md.partitionSpecs.find(_.specId == specId)
+          .map(_.partitionType(table.schema))
+          .getOrElse(table.spec.partitionType(table.schema))
+        val totalBytes = ms.map(_.length).sum
+        val groups = math.max(1, math.min(entries.size,
+          math.ceil(totalBytes.toDouble / targetBytes).toInt))
+        val perGroup = math.ceil(entries.size.toDouble / groups).toInt
+        entries.grouped(perGroup).zipWithIndex.map { case (es, i) =>
+          val mf = new File(metaDir, s"manifest-rw-$snapId-$specId-$i.avro")
+          ManifestIO.writeManifest(mf, es, partType)
+          ManifestFile(
+            path = mf.getPath, length = mf.length(),
+            partitionSpecId = specId, content = 0,
+            sequenceNumber = seq,
+            minSequenceNumber =
+              es.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+            addedSnapshotId = snapId,
+            addedFilesCount = 0, existingFilesCount = es.size,
+            deletedFilesCount = 0,
+            addedRowsCount = 0,
+            existingRowsCount = es.map(_.dataFile.recordCount).sum,
+            deletedRowsCount = 0,
+            partitions = partitionSummaries(es, partType),
+            formatVersion = 2)
+        }.toSeq
+      }
+    }
+
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, rewritten ++ deleteManifests)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, Some(snap.snapshotId), seq, now,
+      listFile.getPath,
+      Some(SnapshotSummary(OpReplace,
+        Map("manifests-rewritten" -> dataManifests.size.toString,
+          "manifests-created" -> rewritten.size.toString))),
+      Some(table.schema.schemaId))
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   def rollbackTo(table: IcebergTable, snapshotId: Long): IcebergTable = {
     val md = table.metadata
     require(md.snapshotById(snapshotId).isDefined, s"snapshot $snapshotId not found")

@@ -532,6 +532,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(log.length >= 3, s"expected the full metadata lineage, got ${log.toSeq}")
   }
 
+  test("CALL rewrite_manifests coalesces manifests without touching data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db22")
+    spark.sql("CREATE TABLE graft.db22.rm (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db22.rm VALUES ($i)"))
+    val before = IcebergTables.load(s"$warehouse/db22/rm")
+    val filesBefore = before.newScan().planFiles()
+      .map(t => (t.file.path, t.file.recordCount)).toSet
+    assert(spark.sql("SELECT * FROM graft.db22.rm.manifests").count() == 4)
+
+    val res = spark.sql("CALL graft.system.rewrite_manifests('db22.rm')").collect()
+    assert(res(0).getInt(0) == 4 && res(0).getInt(1) == 1, s"got ${res.toSeq}")
+
+    val after = IcebergTables.load(s"$warehouse/db22/rm")
+    // identical file set, same rows, sequence provenance preserved
+    assert(after.newScan().planFiles()
+      .map(t => (t.file.path, t.file.recordCount)).toSet == filesBefore)
+    assert(spark.sql("SELECT * FROM graft.db22.rm").count() == 4)
+    assert(spark.sql(
+      "SELECT * FROM graft.db22.rm.entries WHERE sequence_number IS NULL")
+      .count() == 0)
+    // REPLACE snapshot: invisible to the changelog
+    val t = IcebergTables.load(s"$warehouse/db22/rm")
+    val lastSeq = t.currentSnapshot.get.sequenceNumber
+    assert(graft.streaming.Changelog
+      .changedFilesInWindow(t, lastSeq - 1, lastSeq).isEmpty)
+    // incremental appends still resolve across the rewrite boundary
+    spark.sql("INSERT INTO graft.db22.rm VALUES (5)")
+    val t2 = IcebergTables.load(s"$warehouse/db22/rm")
+    val appended = graft.streaming.EventStreams
+      .appendedFilesInWindow(t2, lastSeq, lastSeq + 1)
+    assert(appended.size == 1)
+  }
+
   test("CALL create_changelog_view exposes per-commit changes in SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
     spark.sql("CREATE TABLE graft.db21.cdc (id BIGINT)")
