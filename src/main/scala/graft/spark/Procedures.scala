@@ -22,7 +22,7 @@ object GraftProcedures {
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
-    "rewrite_manifests")
+    "rewrite_manifests", "rewrite_zorder")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -152,6 +152,23 @@ object GraftProcedures {
           to.flatMap(id => table.metadata.snapshotById(id))
             .orElse(table.currentSnapshot).map(_.sequenceNumber).getOrElse(0L)).size
         Array[Any](view, commits)
+      }
+      case "rewrite_zorder" => proc(name,
+        Seq("table" -> StringType, "target_files" -> IntegerType,
+          "zorder_by" -> StringType),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("zordered_by", StringType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.size >= 2,
+          "rewrite_zorder needs at least two columns (use rewrite_sorted for one)")
+        val before = table.newScan().planFiles().size
+        val out = TableWriter.compact(table,
+          org.apache.spark.sql.SparkSession.active, in.getInt(1), zOrderBy = cols)
+        Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
       }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),

@@ -416,10 +416,24 @@ object TableWriter {
     * The rewrite is one distributed pass; small-file pressure and delete
     * debt reset to zero. */
   def compact(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
-              targetFiles: Int = 0, sortBy: Seq[String] = Nil): IcebergTable = {
+              targetFiles: Int = 0, sortBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil): IcebergTable = {
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "compact takes sortBy or zOrderBy, not both")
     var df = table.newScan().toDF(spark)
     val order = sortOrderFor(table.schema, sortBy)
-    if (!order.isUnsorted) {
+    if (zOrderBy.nonEmpty) {
+      // z-ordered rewrite: range-cluster on the interleaved-bits curve
+      // value — ONE range shuffle, per-file bounds tight in EVERY chosen
+      // column at once (multi-dimensional pruning; lexicographic sort only
+      // prunes on its leading column)
+      zOrderBy.foreach(c => require(table.schema.findFieldByName(c).isDefined,
+        s"z-order column '$c' not in schema"))
+      val zc = graft.spark.functions.ZOrder.zorder(zOrderBy.map(col): _*)
+      df = (if (targetFiles > 0) df.repartitionByRange(targetFiles, zc)
+            else df.repartitionByRange(zc))
+        .sortWithinPartitions(zc)
+    } else if (!order.isUnsorted) {
       // sorted rewrite: range-cluster on the sort keys (disjoint per-file
       // bounds → stats pruning) at the requested file count
       val cols = sortBy.map(col)

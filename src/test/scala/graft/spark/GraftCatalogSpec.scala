@@ -565,6 +565,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(appended.size == 1)
   }
 
+  test("CALL rewrite_zorder clusters on the interleaved curve") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db23")
+    spark.sql("CREATE TABLE graft.db23.z (x BIGINT, y BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.db23.z
+         SELECT id * 2654435761 % 1024 % 32 AS x,
+                CAST((id * 2654435761 % 1024) / 32 AS BIGINT) AS y
+         FROM range(1024)""")
+    val res = spark.sql(
+      "CALL graft.system.rewrite_zorder('db23.z', 4, 'x,y')").collect()
+    assert(res(0).getString(2) == "x,y")
+    assert(spark.sql("SELECT count(*) FROM graft.db23.z").collect()(0).getLong(0)
+      == 1024)
+    // both dimensions carry per-file clustering after the rewrite
+    val t = IcebergTables.load(s"$warehouse/db23/z")
+    val all = t.newScan().planFiles().size
+    val px = t.newScan(graft.core.Expr.lessThan("x",
+      graft.core.LongLit(8L))).planFiles().size
+    val py = t.newScan(graft.core.Expr.lessThan("y",
+      graft.core.LongLit(8L))).planFiles().size
+    assert(all == 4 && px < all && py < all, s"all=$all x=$px y=$py")
+  }
+
   test("CALL create_changelog_view exposes per-commit changes in SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
     spark.sql("CREATE TABLE graft.db21.cdc (id BIGINT)")
