@@ -358,18 +358,20 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
 
     // fail at plan time with the file named, not at execution with an
-    // inscrutable parquet-footer exception: manifests carry the format enum
-    // (reference decodes it too, manifest.go:314-320) but only PARQUET is
-    // readable here
-    def requireParquet(f: DataFileInfo, role: String): Unit =
-      if (!f.format.equalsIgnoreCase("PARQUET"))
+    // inscrutable footer exception: manifests carry the format enum
+    // (reference decodes it too, manifest.go:314-320). Data files may be
+    // PARQUET (vectorized), ORC or AVRO (row readers); delete files are
+    // written by this engine and are always parquet.
+    def requireFormat(f: DataFileInfo, role: String, allowed: Set[String]): Unit =
+      if (!allowed.contains(f.format.toUpperCase))
         throw new UnsupportedOperationException(
           s"unsupported $role file format ${f.format} for ${f.path}: " +
-            "only PARQUET files are readable")
-    allDeleteEntries.foreach(e => requireParquet(e.dataFile, "delete"))
+            s"expected one of ${allowed.mkString(", ")}")
+    allDeleteEntries.foreach(e =>
+      requireFormat(e.dataFile, "delete", Set("PARQUET")))
 
     dataEntries.map { case (manifestPath, e) =>
-      requireParquet(e.dataFile, "data")
+      requireFormat(e.dataFile, "data", Set("PARQUET", "ORC", "AVRO"))
       val posDeletes =
         if (posDeleteEntries.isEmpty) Nil
         else matchDeletes(e, posDeleteEntries)

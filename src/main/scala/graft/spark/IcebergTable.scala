@@ -185,11 +185,27 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       * provenance (needed for positional-delete matching) only resolves
       * directly on a file-source relation, so it's projected to plain
       * columns per sub-read BEFORE any union. */
-    def readByFooter(paths: Seq[String], withProvenance: Boolean): DataFrame = {
+    def readByFooter(groupFiles: Seq[graft.core.DataFileInfo],
+                     withProvenance: Boolean): DataFrame = {
       def prov(df: DataFrame): DataFrame =
         if (!withProvenance) df
         else df.withColumn("__path", norm(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
+      // ORC/AVRO data files decode through the row readers (one task per
+      // file, provenance synthesized from the whole-file row counter);
+      // parquet files take the vectorized path below
+      val (parquetFiles, otherFiles) =
+        groupFiles.partition(_.format.equalsIgnoreCase("PARQUET"))
+      val nonParquetParts = otherFiles.groupBy(_.format.toUpperCase).toSeq
+        .sortBy(_._1).map { case (fmt, fs) =>
+          FormatReaders.nonParquetDF(spark, fmt, fs.map(_.path).sorted,
+            candidateSchema, withProvenance)
+            .toDF((sparkSchema.fieldNames ++
+              (if (withProvenance) Seq("__path", "__pos") else Nil)).toIndexedSeq: _*)
+        }
+      if (parquetFiles.isEmpty && nonParquetParts.nonEmpty)
+        return nonParquetParts.reduce(_.unionAll(_))
+      val paths = parquetFiles.map(_.path)
       val (withIds, without) =
         paths.partition(p => GraftReaders.footerInfo(p).hasIds)
       val parts = Seq.newBuilder[DataFrame]
@@ -208,11 +224,11 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
           .toDF((sparkSchema.fieldNames ++
             (if (withProvenance) Seq("__path", "__pos") else Nil)).toIndexedSeq: _*)
       }
-      parts.result().reduce(_.unionAll(_))
+      (parts.result() ++ nonParquetParts).reduce(_.unionAll(_))
     }
 
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      var gdf = readByFooter(groupTasks.map(_.file.path),
+      var gdf = readByFooter(groupTasks.map(_.file),
         posDeletePaths.nonEmpty || keepProvenance)
       if (posDeletePaths.nonEmpty) {
         // merge-on-read: anti-join on (file, row position)

@@ -627,7 +627,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     // partitions), so it's decided here for the whole file set; `_file`
     // projection rides the row path
     val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
-      !required.fieldNames.contains(GraftReaders.FileCol)
+      !required.fieldNames.contains(GraftReaders.FileCol) &&
+      tasks.forall(_.file.format.equalsIgnoreCase("PARQUET"))
     tasks.flatMap { t =>
       val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
         .map(_.path)
@@ -654,10 +655,18 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
           case other => other
         }
       }.toArray
-      splitRanges(t.file.splitOffsets, t.file.fileSizeInBytes, maxSplit).map {
+      // non-parquet files read as ONE split: their row readers synthesize
+      // the file row index from a running counter, which is only the file
+      // position when the whole file is one task
+      val fmt = t.file.format.toUpperCase
+      val ranges =
+        if (fmt == "PARQUET")
+          splitRanges(t.file.splitOffsets, t.file.fileSizeInBytes, maxSplit)
+        else Seq((0L, t.file.fileSizeInBytes))
+      ranges.map {
         case (start, len) =>
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
-            limit, pos, eq, columnar, partValues): InputPartition
+            limit, pos, eq, columnar, partValues, fmt): InputPartition
       }
     }.toArray
   }
@@ -722,7 +731,8 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      posDeletes: Seq[String] = Nil,
                                      eqDeletes: Seq[EqDelete] = Nil,
                                      columnar: Boolean = false,
-                                     partitionValues: Array[Any] = Array.empty)
+                                     partitionValues: Array[Any] = Array.empty,
+                                     format: String = "PARQUET")
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -852,8 +862,12 @@ final class GraftRowReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
   private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
   private val required = DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
-  private val reader =
-    GraftReaders.createVectorized(p.path, p.start, p.length, readSchema)
+  private val reader: RowFileReader = p.format.toUpperCase match {
+    case "AVRO" => new AvroRowFileReader(p.path, readSchema)
+    case "ORC" => new OrcRowFileReader(p.path, readSchema)
+    case _ => new ParquetRowFileReader(
+      GraftReaders.createVectorized(p.path, p.start, p.length, readSchema))
+  }
 
   private val rowIdxOrd: Int =
     if (p.posDeletes.nonEmpty) readSchema.fieldIndex(GraftReaders.RowIndexCol) else -1
@@ -898,7 +912,7 @@ final class GraftRowReader(p: GraftInputPartition)
   override def next(): Boolean = {
     if (p.limit.exists(emitted >= _)) return false
     while (reader.nextKeyValue()) {
-      val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+      val row = reader.getCurrentValue
       if (!deleted(row)) {
         current = row
         emitted += 1

@@ -46,24 +46,24 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.orderBy("r_regionkey").collect().map(_.getString(1)).toSeq)
   }
 
-  test("non-parquet data file fails at plan time with path and format named") {
+  test("unreadable data format fails at plan time with path and format named") {
     import graft.core.ManifestIO
-    val loc = tmpDir("tbl_avro")
+    val loc = tmpDir("tbl_badfmt")
     val table = TableWriter.create(spark.read.parquet(s"$sf/region.parquet"), loc)
-    // rewrite the committed manifest with the entry's format flipped to
-    // AVRO, as a foreign engine's commit could produce
+    // rewrite the committed manifest with the entry's format flipped to an
+    // unreadable one (AVRO/ORC are real formats now — FormatReadSpec)
     val snap = table.currentSnapshot.get
     val m = ManifestIO.readManifestList(table.io.open(snap.manifestList)).head
     val entries = ManifestIO.readManifestEntries(
       new java.io.FileInputStream(m.path.stripPrefix("file:")), m,
       discardDeleted = false)
     ManifestIO.writeManifest(new java.io.File(m.path.stripPrefix("file:")),
-      entries.map(e => e.copy(dataFile = e.dataFile.copy(format = "AVRO"))),
+      entries.map(e => e.copy(dataFile = e.dataFile.copy(format = "CSV"))),
       table.spec.partitionType(table.schema))
     val ex = intercept[UnsupportedOperationException] {
       IcebergTables.load(loc).newScan().planFiles()
     }
-    assert(ex.getMessage.contains("AVRO"), ex.getMessage)
+    assert(ex.getMessage.contains("CSV"), ex.getMessage)
     assert(ex.getMessage.contains(entries.head.dataFile.path), ex.getMessage)
   }
 
