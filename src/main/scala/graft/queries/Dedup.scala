@@ -500,4 +500,56 @@ object Dedup {
            AS shared_ratio
        FROM sh JOIN nd USING (h)
        GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+
+  /** Benchmark-contamination scan: every corpus document scored by how many
+    * of its distinct 8-word shingles appear in a held-out "benchmark" set
+    * (here the deterministic doc_id % 50 == 0 slice) — the decontamination
+    * pass every training pipeline runs before a data release.
+    *
+    * Scale shape: shingles are hashed to 60-bit keys at the source (text
+    * never rides a shuffle); the benchmark shingle set is aggregated and
+    * BROADCAST (benchmarks are fixed and tiny next to a corpus), so the
+    * corpus side streams map-only — one scan, one broadcast, no shuffle of
+    * the corpus at all beyond the per-document rollup. */
+  def d07Contamination(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    val sh = docs
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10))"))
+        .as("hs"))
+      .select(col("doc_id"), col("hs").cast("long").as("h"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination_rate")
+      .orderBy("doc_id")
+  }
+
+  val d07Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         WHERE len(string_split(text, ' ')) >= 8),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
+         FROM toks, UNNEST(range(1, len(w) - 6)) AS u(i)),
+       bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+       SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         ROUND(CAST(SUM(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*), 6) AS contamination_rate
+       FROM sh LEFT JOIN bench ON sh.h = bench.h
+       WHERE sh.doc_id % 50 <> 0
+       GROUP BY sh.doc_id ORDER BY sh.doc_id"""
 }

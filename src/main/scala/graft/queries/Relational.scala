@@ -445,4 +445,42 @@ object Relational {
        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
               COUNT(*) AS n_sessions, CAST(MAX(n) AS BIGINT) AS max_session_events
        FROM c GROUP BY user_id ORDER BY user_id"""
+
+  /** As-of join — the operator Spark lacks natively (attribution: each
+    * purchase matched to the user's most recent click at or before it).
+    *
+    * Spark-first shape: instead of a per-purchase subquery or a range
+    * join, clicks and purchases are UNIONED and sorted once per user —
+    * `last(ignoreNulls)` over the running window carries the latest click
+    * timestamp forward to each purchase. ONE shuffle on user_id total,
+    * O(n log n) in each user's events, no join explosion; at 100× the
+    * window state is still one row. Ties (click at the purchase's exact
+    * timestamp) sort before the purchase, matching the oracle's `>=`.
+    * The gap — not the click id — is emitted so equal-timestamp click
+    * ties cannot make the result engine-dependent. */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy("user_id").orderBy("tu", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_tu",
+        last(when(col("kind") === 0, col("tu")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("last_click_tu").isNotNull.as("attributed"),
+        (col("tu") - col("last_click_tu")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q22Sql: String =
+    """SELECT p.event_id, p.user_id,
+              (c.event_id IS NOT NULL) AS attributed,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id"""
 }

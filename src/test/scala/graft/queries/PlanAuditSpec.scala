@@ -180,6 +180,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one hash exchange (user_id), got ${hashEx.size}")
   }
 
+  test("q22: as-of join is one user_id exchange, no join operator at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = Relational.q22AsofJoin(s, sf).queryExecution.executedPlan
+    val p = exec.toString
+    // the union+window formulation: no join explosion of clicks×purchases
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    val hashEx = exec.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"expected one hash exchange (user_id), got ${hashEx.size}")
+  }
+
+  test("d07: the benchmark shingle set broadcasts; corpus side never sort-merges") {
+    val p = plan(Dedup.d07Contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus rides a join shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t11: the bounded tf slice broadcasts into the tf-df join") {
     // the document-frequency table is corpus-sized; it must never be
     // shuffled to meet the maxId-bounded tf probe
