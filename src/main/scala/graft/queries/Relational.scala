@@ -483,4 +483,29 @@ object Relational {
        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND p.ts >= c.ts
        ORDER BY p.event_id"""
+
+  /** Range (band) join: each event matched to the value band containing
+    * it — the canonical interval-dimension join (rate tables, SLA tiers,
+    * histogram bands). The band table is generated, tiny, and BROADCAST:
+    * the fact side streams through a nested-loop probe of k intervals
+    * map-only, no shuffle, no cartesian blowup — the right plan at any
+    * fact scale while bands stay O(k). */
+  def q23RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 20).select(col("id").as("band_id"),
+      (col("id") * 50.0).as("lo"), ((col("id") + 1) * 50.0).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"), "inner")
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  val q23Sql: String =
+    s"""SELECT b.band_id, COUNT(*) AS n, ${sqlDsum("e.value")} AS sum_value
+       FROM events e
+       JOIN (SELECT range AS band_id, range * 50.0 AS lo,
+                    (range + 1) * 50.0 AS hi FROM range(0, 20)) b
+         ON e.value >= b.lo AND e.value < b.hi
+       GROUP BY b.band_id ORDER BY b.band_id"""
 }

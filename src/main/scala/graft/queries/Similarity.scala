@@ -256,4 +256,77 @@ object Similarity {
       .select("qid", "nid", "rank")
       .orderBy("qid", "rank")
   }
+
+  /** Distributed k-means over the embedding corpus (one full Lloyd
+    * iteration: assign → exact-mean centroid update → re-assign) — the
+    * clustering pass behind corpus curation / semantic dedup / IVF index
+    * builds.
+    *
+    * Scale shape: centroids are a k-row DataFrame BROADCAST into both
+    * assignment passes (never collected to the driver loop); the corpus
+    * streams map-only through each assignment, and the centroid update is
+    * one map-side-combined (cluster, dim) aggregation — per iteration: one
+    * pass over the data, one k·d-sized shuffle. Cross-engine determinism:
+    * per-row distances fold left-to-right in double, centroid means are
+    * EXACT decimal sums divided once, and both distances and centroid
+    * coordinates round to 6 decimals before any comparison, so assignment
+    * (with min-id tie-break) is bit-identical in both engines. */
+  def ann04Kmeans(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val c0 = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val dists = emb.join(broadcast(centroids), lit(true))
+        .select(col("vec_id"), col("cid"), round(expr(
+          "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
+          6).as("dist_r"))
+      val w = Window.partitionBy("vec_id")
+      dists.withColumn("md", min(col("dist_r")).over(w))
+        .filter(col("dist_r") === col("md"))
+        .groupBy("vec_id")
+        .agg(min(col("cid")).as("cluster"), min(col("dist_r")).as("dist_r"))
+    }
+
+    val c1 = assign(c0).join(emb, "vec_id")
+      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(round(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+        .cast("double") / count(lit(1)), 6).as("cv"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      .select(col("cluster").as("cid"), col("c"))
+
+    assign(c1)
+      .select("vec_id", "cluster", "dist_r")
+      .orderBy("vec_id")
+  }
+
+  val ann04Sql: String =
+    """WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4),
+       d0 AS (SELECT e.vec_id, c.cid,
+                ROUND(list_sum([ (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])
+                  for i in range(1, len(e.e) + 1) ]), 6) AS dist_r
+              FROM e CROSS JOIN c0 c),
+       a0 AS (SELECT vec_id, MIN(cid) AS cluster FROM (
+                SELECT vec_id, cid, dist_r,
+                       MIN(dist_r) OVER (PARTITION BY vec_id) AS md FROM d0)
+              WHERE dist_r = md GROUP BY vec_id),
+       u AS (SELECT a0.cluster, i, CAST(e.e[i] AS DECIMAL(30,10)) AS v
+             FROM a0 JOIN e USING (vec_id), UNNEST(range(1, 65)) t(i)),
+       m AS (SELECT cluster, i,
+                    ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS cv
+             FROM u GROUP BY cluster, i),
+       c1 AS (SELECT cluster AS cid, list(cv ORDER BY i) AS c FROM m GROUP BY cluster),
+       d1 AS (SELECT e.vec_id, c.cid,
+                ROUND(list_sum([ (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])
+                  for i in range(1, len(e.e) + 1) ]), 6) AS dist_r
+              FROM e CROSS JOIN c1 c)
+       SELECT vec_id, MIN(cid) AS cluster, MIN(dist_r) AS dist_r FROM (
+         SELECT vec_id, cid, dist_r,
+                MIN(dist_r) OVER (PARTITION BY vec_id) AS md FROM d1)
+       WHERE dist_r = md GROUP BY vec_id ORDER BY vec_id"""
 }

@@ -204,6 +204,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q23: the band dimension broadcasts into a nested-loop probe") {
+    val p = plan(Relational.q23RangeJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval join should broadcast-probe the tiny band table:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for bands")
+  }
+
+  test("ann04: centroids broadcast into both assignment passes") {
+    val p = plan(Similarity.ann04Kmeans(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k-row centroid side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t11: the bounded tf slice broadcasts into the tf-df join") {
     // the document-frequency table is corpus-sized; it must never be
     // shuffled to meet the maxId-bounded tf probe
