@@ -100,6 +100,37 @@ object Main {
         graft.spark.TableWriter.expireSnapshots(IcebergTables.load(id),
           olderMs, retain, deleteFiles = true)
         println(s"expired snapshots of $id older than $olderThan (retain $retain)")
+      case "rewrite-manifests" :: id :: Nil =>
+        requireLocal(id)
+        val t = IcebergTables.load(id)
+        val before = t.currentSnapshot.toSeq.flatMap(s =>
+          graft.core.ManifestIO.readManifestList(t.io.open(s.manifestList))).size
+        val out = graft.spark.TableWriter.rewriteManifests(t)
+        val after = out.currentSnapshot.toSeq.flatMap(s =>
+          graft.core.ManifestIO.readManifestList(out.io.open(s.manifestList))).size
+        println(s"rewrote manifests of $id: $before -> $after")
+      case "changes" :: id :: rest =>
+        requireLocal(id)
+        val t = IcebergTables.load(id)
+        val fromSeq = rest.headOption.map(r => r.toLongOption.getOrElse(
+          die(s"invalid sequence number: $r"))).getOrElse(0L)
+        val toSeq = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+        val sets = graft.streaming.Changelog.changedFilesInWindow(t, fromSeq, toSeq)
+        if (cfg.json) {
+          val rows = sets.map { c =>
+            s"""{"snapshot_id":${c.snapshot.snapshotId},""" +
+              s""""sequence":${c.snapshot.sequenceNumber},""" +
+              s""""added_files":${c.addedPaths.size},""" +
+              s""""removed_files":${c.removedPaths.size},""" +
+              s""""new_delete_files":${c.posDeletePaths.size + c.eqDeletes.size}}"""
+          }
+          println(rows.mkString("[", ",", "]"))
+        } else {
+          println("sequence\tsnapshot_id\tadded\tremoved\tnew_delete_files")
+          sets.foreach(c => println(s"${c.snapshot.sequenceNumber}\t" +
+            s"${c.snapshot.snapshotId}\t${c.addedPaths.size}\t" +
+            s"${c.removedPaths.size}\t${c.posDeletePaths.size + c.eqDeletes.size}"))
+        }
       case _ => die(usage)
     }
   }
@@ -117,7 +148,7 @@ object Main {
   private val usage =
     "usage: graft [--uri=URI] [--credential=ID:SECRET] [--json] " +
       "<list|location|uuid|schema|spec|describe|files|partitions|snapshots|" +
-      "refs|properties|drop|rename|rollback|expire> ..."
+      "refs|properties|drop|rename|rollback|expire|rewrite-manifests|changes> ..."
 
   private def requireLocal(id: String): Unit =
     if (!(id.contains("/") || id.startsWith("file:")))

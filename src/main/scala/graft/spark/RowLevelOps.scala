@@ -101,7 +101,7 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
       GraftCowWriterFactory.withParquetIds(writeSchema, table.schema).json, partFields,
       GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(
-        org.apache.spark.sql.SparkSession.active),
+        org.apache.spark.sql.SparkSession.active, table.properties),
       GraftCowWriterFactory.targetFileBytes(table.properties))
   }
 
@@ -186,14 +186,26 @@ object GraftCowWriterFactory {
     * (`parquet.*` Hadoop conf — block/page size etc. — plus the session
     * compression codec), shipped to the task writers so a direct
     * `ParquetWriter` behaves like Spark's own parquet sink. */
-  def parquetPropsOf(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+  def parquetPropsOf(spark: org.apache.spark.sql.SparkSession,
+                     tableProps: Map[String, String] = Map.empty)
+      : Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val fromHadoop = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("parquet.")).toMap
-    fromHadoop + ("parquet.compression" ->
+    // Iceberg-style per-column bloom filter table properties → writer
+    // settings: point lookups on high-cardinality keys skip row groups
+    // without any sort (complementary to min/max bounds, which need
+    // clustering to be selective)
+    val bloom = tableProps.collect {
+      case (k, v) if k.startsWith(BloomPropPrefix) =>
+        (s"parquet.bloom.filter.enabled#" + k.stripPrefix(BloomPropPrefix)) -> v
+    }
+    fromHadoop ++ bloom + ("parquet.compression" ->
       spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
   }
+
+  val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column." 
 }
 
 /** Parquet writing through Spark's ParquetWriteSupport (same encoding as
@@ -249,6 +261,12 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
   }
   private val rowGroupBytes = parquetProps.get("parquet.block.size")
     .flatMap(_.toLongOption).getOrElse(ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+  // the direct Builder path also ignores the bloom conf keys — explicit
+  private val bloomCols: Seq[String] = parquetProps.collect {
+    case (k, v) if k.startsWith("parquet.bloom.filter.enabled#") &&
+      v.equalsIgnoreCase("true") =>
+      k.stripPrefix("parquet.bloom.filter.enabled#")
+  }.toSeq.sorted
 
   private case class Sink(file: File, writer: ParquetWriter[InternalRow],
                           partition: Map[String, Any]) {
@@ -324,8 +342,10 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     val sink = sinks.getOrElseUpdate(key, {
       val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.parquet")
       fileSeq += 1
-      Sink(f, new B(new Path(f.getPath)).withConf(conf)
-        .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes).build(), partition)
+        var b = new B(new Path(f.getPath)).withConf(conf)
+        .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes)
+      bloomCols.foreach(c => b = b.withBloomFilterEnabled(c, true))
+      Sink(f, b.build(), partition)
     })
     sink.writer.write(row)
     sink.rows += 1

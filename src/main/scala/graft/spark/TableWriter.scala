@@ -984,7 +984,7 @@ object TableWriter {
         PartFieldSpec(src.name, pf.transform.repr, pf.name)
       },
       GraftCowWriterFactory.floatFieldsOf(schema, writeSchema),
-      GraftCowWriterFactory.parquetPropsOf(df.sparkSession),
+      GraftCowWriterFactory.parquetPropsOf(df.sparkSession, properties),
       GraftCowWriterFactory.targetFileBytes(properties))
     val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>

@@ -44,7 +44,7 @@ final class GraftStreamingWrite(location: String, schema: StructType,
       GraftCowWriterFactory.withParquetIds(schema, table.schema).json, partFields,
       GraftCowWriterFactory.floatFieldsOf(table.schema, schema),
       GraftCowWriterFactory.parquetPropsOf(
-        org.apache.spark.sql.SparkSession.active),
+        org.apache.spark.sql.SparkSession.active, table.properties),
       GraftCowWriterFactory.targetFileBytes(table.properties))
     new StreamingDataWriterFactory {
       // task attempt ids are globally unique per SparkContext, so file

@@ -146,6 +146,24 @@ class CliSpec extends AnyFunSuite {
       .msg.contains("local table path"))
   }
 
+  test("rewrite-manifests and changes verbs") {
+    val loc = freshTable()
+    val t1 = graft.spark.IcebergTables.load(loc)
+    TableWriter.append(t1,
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+    val out = run("rewrite-manifests", loc)
+    assert(out.contains("2 -> 1"), out)
+    // changes: two appends visible, the manifest rewrite invisible
+    val ch = run("changes", loc)
+    val lines = ch.trim.split('\n')
+    assert(lines.head.startsWith("sequence"), ch)
+    assert(lines.length == 3, ch)
+    assert(lines.forall(!_.contains("\t0\t0\t")), "rewrite should not appear")
+    val json = run("--json", "changes", loc, "1")
+    assert(json.contains("\"added_files\":1") && !json.contains("\"sequence\":1"),
+      json)
+  }
+
   test("unknown verb and missing --uri are errors, not exits") {
     assert(intercept[Main.CliError](run("frobnicate")).msg.contains("usage:"))
     assert(intercept[Main.CliError](run("list")).msg.contains("--uri"))

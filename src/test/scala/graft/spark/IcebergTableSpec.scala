@@ -404,6 +404,28 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.newScan().toDF(spark).count() == 2)
   }
 
+  test("bloom filter table property reaches the written parquet") {
+    val loc = tmpDir("tbl_bloom")
+    val src = spark.read.parquet(s"$sf/orders.parquet").coalesce(1)
+    val t = TableWriter.create(src, loc, properties = Map(
+      "write.parquet.bloom-filter-enabled.column.o_orderkey" -> "true"))
+    val path = t.newScan().planFiles().head.file.path
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = r.getFooter.getBlocks.get(0).getColumns.asScala
+      def bloomOffset(c: String): Long =
+        cols.find(_.getPath.toDotString == c).get.getBloomFilterOffset
+      assert(bloomOffset("o_orderkey") >= 0,
+        "o_orderkey should carry a bloom filter")
+      assert(bloomOffset("o_custkey") < 0,
+        "unconfigured columns should not pay for bloom filters")
+    } finally r.close()
+  }
+
   test("writers roll files at write.target-file-size-bytes") {
     val loc = tmpDir("tbl_roll")
     val src = spark.read.parquet(s"$sf/orders.parquet").coalesce(1) // ONE task
