@@ -22,7 +22,7 @@ object GraftProcedures {
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
-    "rewrite_manifests", "rewrite_zorder")
+    "rewrite_manifests", "rewrite_zorder", "fast_forward")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -169,6 +169,16 @@ object GraftProcedures {
         val out = TableWriter.compact(table,
           org.apache.spark.sql.SparkSession.active, in.getInt(1), zOrderBy = cols)
         Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
+      }
+      case "fast_forward" => proc(name,
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val prev = table.currentSnapshot.map(_.snapshotId)
+        val out = TableWriter.fastForward(table, in.getUTF8String(1).toString)
+        Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
       }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),

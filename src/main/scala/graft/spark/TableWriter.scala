@@ -790,7 +790,9 @@ object TableWriter {
     * commit ([[appendFilesRest]]). */
   private def stageAppendSnapshot(table: IcebergTable,
                                   added: Seq[graft.spark.CowFileOut],
-                                  extraSummary: Map[String, String]): Snapshot = {
+                                  extraSummary: Map[String, String],
+                                  parentOverride: Option[Snapshot] = None)
+      : Snapshot = {
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
@@ -810,12 +812,13 @@ object TableWriter {
       addedRowsCount = entries.map(_.dataFile.recordCount).sum,
       existingRowsCount = 0, deletedRowsCount = 0,
       partitions = partitionSummaries(entries, partType), formatVersion = 2)
-    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+    val parent = parentOverride.orElse(table.currentSnapshot)
+    val prevManifests = liveManifests(parent.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     })
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile, prevManifests :+ newManifest)
-    Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+    Snapshot(snapId, parent.map(_.snapshotId), seq,
       System.currentTimeMillis(), listFile.getPath, Some(SnapshotSummary(OpAppend,
         Map("added-data-files" -> entries.size.toString,
           "added-records" -> entries.map(_.dataFile.recordCount).sum.toString,
@@ -844,6 +847,69 @@ object TableWriter {
         SnapshotRef(snapshot.snapshotId, BranchRef))),
       table.loadedVersion + 1)
     IcebergTables.load(location)
+  }
+
+  /** Write-audit-publish: append `df` to a BRANCH — the snapshot forks
+    * from the branch head (or main, for a new branch), only the branch ref
+    * moves; main and every reader of it are untouched until
+    * [[fastForward]] publishes. Same distributed write + staging as a
+    * main-line append. */
+  def appendToBranch(table: IcebergTable, df: DataFrame,
+                     branch: String): IcebergTable = {
+    require(branch != TableMetadata.MainBranch,
+      "use append() for the main branch")
+    val md = table.metadata
+    val parent = md.refs.get(branch) match {
+      case Some(r) =>
+        require(r.refType == BranchRef, s"ref '$branch' is a tag, not a branch")
+        md.snapshotById(r.snapshotId)
+      case None => table.currentSnapshot
+    }
+    val snapId0 = System.nanoTime()
+    val dataDir = new File(table.location, s"data/snap-$snapId0")
+    val outs = writeDistributed(df, dataDir, table.schema, table.spec,
+      table.properties, SortOrder.unsorted, preClustered = false)
+    val snapshot = stageAppendSnapshot(table, outs,
+      Map("branch" -> branch), parentOverride = parent)
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = snapshot.sequenceNumber,
+      lastUpdatedMs = snapshot.timestampMs,
+      snapshots = md.snapshots :+ snapshot,
+      // current snapshot, snapshot log, and main are all UNPUBLISHED state
+      refs = md.refs + (branch -> SnapshotRef(snapshot.snapshotId, BranchRef))),
+      table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Publish a branch: fast-forward `toRef` onto main. Requires main's
+    * head to be an ancestor of the branch head (pure fast-forward — no
+    * merge semantics), which also makes the move safe for readers: every
+    * main row survives on the branch unless a branch commit removed it. */
+  def fastForward(table: IcebergTable, branch: String): IcebergTable = {
+    val md = table.metadata
+    val ref = md.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"ref '$branch' not found"))
+    val head = md.snapshotById(ref.snapshotId).getOrElse(
+      throw new IllegalStateException(s"branch '$branch' head missing"))
+    val mainHead = md.currentSnapshotId
+    // ancestry walk: branch head → parents must pass through main's head
+    @annotation.tailrec
+    def isAncestor(of: Option[Long]): Boolean = of match {
+      case None => mainHead.isEmpty
+      case Some(id) if mainHead.contains(id) => true
+      case Some(id) => isAncestor(md.snapshotById(id).flatMap(_.parentSnapshotId))
+    }
+    require(isAncestor(Some(head.snapshotId)),
+      s"main is not an ancestor of '$branch' — cannot fast-forward")
+    val now = System.currentTimeMillis()
+    writeMetadata(table.location, md.copy(
+      currentSnapshotId = Some(head.snapshotId),
+      lastUpdatedMs = now,
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(head.snapshotId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(head.snapshotId, BranchRef))),
+      table.loadedVersion + 1)
+    IcebergTables.load(table.location)
   }
 
   /** Append already-written data files to a REST-catalog table: stage the
@@ -926,19 +992,16 @@ object TableWriter {
 
   private def srcName(c: Column): String = c.toString
 
-  private def commit(df: DataFrame, location: String, schema: Schema,
-                     spec: PartitionSpec, properties: Map[String, String],
-                     version: Int, parentSnapshot: Option[Snapshot],
-                     existingEntries: Seq[ManifestEntry],
-                     existingManifests: Seq[ManifestFile],
-                     sequenceNumber: Long,
-                     sortOrder: SortOrder = SortOrder.unsorted,
-                     preClustered: Boolean = false): IcebergTable = {
-    val snapId = System.nanoTime()
-    val dataDir = new File(location, s"data/snap-$snapId")
-    val metaDir = new File(location, "metadata")
-    metaDir.mkdirs()
-
+  /** The distributed data write shared by [[commit]] and branch appends:
+    * optional range clustering per the sort order, hash distribution by
+    * the transformed partition value, then the task writers (one open
+    * file per partition tuple, inline NaN counts, attempt-unique names).
+    * Returns one CowFileOut per written file — metadata-sized. */
+  private def writeDistributed(df: DataFrame, dataDir: File, schema: Schema,
+                               spec: PartitionSpec,
+                               properties: Map[String, String],
+                               sortOrder: SortOrder,
+                               preClustered: Boolean): Seq[CowFileOut] = {
     // write-time clustering per the sort order: one range shuffle, then a
     // local sort — files end up with disjoint bound ranges on the sort keys
     val clustered =
@@ -1004,6 +1067,23 @@ object TableWriter {
         } finally if (!ok) w.abort()
       }
       .collect().toSeq.flatMap(_.files) // one row per written file: metadata-sized
+    outs
+  }
+
+  private def commit(df: DataFrame, location: String, schema: Schema,
+                     spec: PartitionSpec, properties: Map[String, String],
+                     version: Int, parentSnapshot: Option[Snapshot],
+                     existingEntries: Seq[ManifestEntry],
+                     existingManifests: Seq[ManifestFile],
+                     sequenceNumber: Long,
+                     sortOrder: SortOrder = SortOrder.unsorted,
+                     preClustered: Boolean = false): IcebergTable = {
+    val snapId = System.nanoTime()
+    val dataDir = new File(location, s"data/snap-$snapId")
+    val metaDir = new File(location, "metadata")
+    metaDir.mkdirs()
+    val outs = writeDistributed(df, dataDir, schema, spec, properties,
+      sortOrder, preClustered)
 
     val partType = spec.partitionType(schema)
     val entries = outs.sortBy(_.path).map { o =>

@@ -565,6 +565,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(appended.size == 1)
   }
 
+  test("CALL fast_forward publishes a branch onto main") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db24")
+    spark.sql("CREATE TABLE graft.db24.wap (id BIGINT)")
+    spark.sql("INSERT INTO graft.db24.wap VALUES (1)")
+    val t = IcebergTables.load(s"$warehouse/db24/wap")
+    import spark.implicits._
+    TableWriter.appendToBranch(t, Seq(2L).toDF("id").coalesce(1), "audit")
+    assert(spark.sql("SELECT * FROM graft.db24.wap").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db24.wap VERSION AS OF 'audit'")
+      .count() == 2)
+    spark.sql("CALL graft.system.fast_forward('db24.wap', 'audit')")
+    assert(spark.sql("SELECT * FROM graft.db24.wap").count() == 2)
+  }
+
   test("CALL rewrite_zorder clusters on the interleaved curve") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db23")
     spark.sql("CREATE TABLE graft.db23.z (x BIGINT, y BIGINT)")

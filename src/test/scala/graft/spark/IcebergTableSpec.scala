@@ -404,6 +404,38 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.newScan().toDF(spark).count() == 2)
   }
 
+  test("write-audit-publish: branch appends are invisible until fast-forward") {
+    val loc = tmpDir("tbl_wap")
+    import spark.implicits._
+    val t1 = TableWriter.create(Seq(1L, 2L).toDF("id").coalesce(1), loc)
+    val mainBefore = t1.currentSnapshot.get.snapshotId
+
+    // two staged commits on the audit branch
+    val t2 = TableWriter.appendToBranch(t1, Seq(3L).toDF("id").coalesce(1), "audit")
+    val t3 = TableWriter.appendToBranch(t2, Seq(4L).toDF("id").coalesce(1), "audit")
+
+    // main unmoved; branch sees the staged rows; branch lineage chains
+    assert(t3.currentSnapshot.get.snapshotId == mainBefore)
+    assert(t3.newScan().toDF(spark).count() == 2)
+    assert(t3.newScan(ref = Some("audit")).toDF(spark)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    val auditHead = t3.metadata.snapshotByName("audit").get
+    assert(t3.metadata.snapshotById(auditHead.parentSnapshotId.get)
+      .flatMap(_.parentSnapshotId).contains(mainBefore))
+
+    // publish: main fast-forwards to the audit head
+    val t4 = TableWriter.fastForward(t3, "audit")
+    assert(t4.currentSnapshot.get.snapshotId == auditHead.snapshotId)
+    assert(t4.newScan().toDF(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+
+    // diverged main (a new commit after the fork) must refuse to fast-forward
+    val t5 = TableWriter.appendToBranch(t4, Seq(9L).toDF("id").coalesce(1), "other")
+    val t6 = TableWriter.append(t5, Seq(5L).toDF("id").coalesce(1))
+    val e = intercept[IllegalArgumentException](TableWriter.fastForward(t6, "other"))
+    assert(e.getMessage.contains("fast-forward"))
+  }
+
   test("bloom filter table property reaches the written parquet") {
     val loc = tmpDir("tbl_bloom")
     val src = spark.read.parquet(s"$sf/orders.parquet").coalesce(1)
