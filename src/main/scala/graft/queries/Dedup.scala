@@ -203,10 +203,11 @@ object Dedup {
     * Lane width caps documents at 65 535 tokens; longer documents should be
     * chunked upstream (standard practice for near-dup pipelines). */
   def simhash(docs: DataFrame,
-              tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+              tokenHash: Column => Column = c => xxhash64(c),
+              tokenizer: Column => Column = c => split(c, " ")): DataFrame = {
     val lanesPerWord = 4 // 16-bit lanes
     val words = 64 / lanesPerWord
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(tokenizer(col("text"))).as("tok"))
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
     // packed_g = Σ_j ((h >> (4g+j)) & 1) << 16j  — 4 bit-counts per long
     val packs = (0 until words).map { g =>
@@ -248,12 +249,14 @@ object Dedup {
     * core of [[d02SimhashPairsFrom]] (top-k report) and [[d06DedupClusters]]
     * (edge set). Only (id, 64-bit fingerprint) rides the banding shuffles. */
   def simhashBandedPairs(docs: DataFrame,
-                         tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+                         tokenHash: Column => Column = c => xxhash64(c),
+                         tokenizer: Column => Column = c => split(c, " "))
+      : DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
     // changes) so the banded self-join reads them once instead of
     // recomputing the token aggregation per side
-    val sh = simhashSlot(simhash(docs, tokenHash))
+    val sh = simhashSlot(simhash(docs, tokenHash, tokenizer))
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
@@ -273,7 +276,7 @@ object Dedup {
     * md5 64-bit token hash (bit patterns identical to Spark's; unsigned
     * there, signed here — every use masks or XORs, so signedness never
     * leaks), per-bit majority counts, 4×16-bit banding, each pair once. */
-  private val simhashPairsCte: String = {
+  private[queries] def simhashPairsCteWith(toksClause: String): String = {
     val sums = (0 until 64).map(i => s"SUM((h >> $i) & 1::UBIGINT) AS s$i")
       .mkString(",\n                ")
     val fpTerms = (0 until 64).map { i =>
@@ -283,8 +286,7 @@ object Dedup {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, fp, $b AS band, (fp >> ${b * 16}) & 65535::UBIGINT AS key FROM fp")
       .mkString("\n         UNION ALL ")
-    s"""toks AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""toks AS ($toksClause),
        h AS (
          SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks),
        agg AS (
@@ -301,6 +303,9 @@ object Dedup {
          FROM banded a JOIN banded b USING (band, key)
          WHERE a.doc_id < b.doc_id)"""
   }
+
+  private[queries] val simhashPairsCte: String = simhashPairsCteWith(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents")
 
   /** DuckDB mirror of [[d02SimhashPairs]]. */
   val d02Sql: String =
@@ -333,14 +338,22 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       val nbrMin = sym.join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
         .groupBy("src").agg(min("dl").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping (path halving): each node also adopts its LABEL's
+      // label within the same pass — convergence drops from O(diameter)
+      // to O(log diameter) rounds, and each round is one checkpoint + one
+      // count job (the convergence check rides the same materialization)
+      val jumped = stepped.alias("x")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jl")).alias("m"),
+          col("x.label") === col("jid"), "left")
+        .select(col("x.id").as("id"), col("x.prev").as("prev"),
+          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = jumped.filter(col("label") =!= col("prev")).count()
+      labels = jumped.select("id", "label")
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")

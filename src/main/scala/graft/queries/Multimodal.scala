@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -103,4 +103,39 @@ object Multimodal {
               CAST(64 + checksum % 512 AS INT) AS width,
               CAST(64 + (checksum // 512) % 512 AS INT) AS height
        FROM f ORDER BY media_id"""
+
+  /** Media near-dup via perceptual hashes: a 64-bit content-structure
+    * hash (SimHash over raw byte 4-grams — no tokenization assumption, so
+    * it applies to ANY binary payload) banded into 4×16-bit keys; items
+    * sharing a band become candidate pairs (equi-join — never an all-pairs
+    * product), verified by full-hash hamming distance, all codegen'd bit
+    * ops. Byte-gram SimHash IS similarity-preserving, so the planted
+    * near-dup payloads genuinely land within the hamming radius here.
+    *
+    * This is the image-dedup shape at 100 TB: banding bounds candidate
+    * generation exactly like MinHash-LSH for text (bucket caps as in
+    * [[graft.queries.Dedup.d01MinhashLsh]] apply unchanged). A real
+    * DCT/wavelet pHash drops in at the hash column and changes nothing
+    * downstream. */
+  def mm03PhashDedup(s: SparkSession, d: String,
+                     maxHamming: Int = 6): DataFrame = {
+    val grams = (c: Column) => expr(
+      "transform(sequence(1, greatest(1, length(text) - 3)), " +
+        "i -> substring(text, i, 4))")
+    Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("hamming").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
+  val mm03Sql: String =
+    s"""WITH ${Dedup.simhashPairsCteWith(
+        "SELECT doc_id, substr(text, i, 4) AS tok FROM documents, " +
+          "UNNEST(range(1, greatest(2, len(text) - 2))) t(i)")}
+       SELECT id_a AS media_a, id_b AS media_b,
+              CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       FROM pairs
+       WHERE bit_count(xor(fa, fb)) <= 6
+       ORDER BY media_a, media_b"""
 }
