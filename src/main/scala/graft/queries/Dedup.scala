@@ -250,13 +250,13 @@ object Dedup {
     * (edge set). Only (id, 64-bit fingerprint) rides the banding shuffles. */
   def simhashBandedPairs(docs: DataFrame,
                          tokenHash: Column => Column = c => xxhash64(c),
-                         tokenizer: Column => Column = c => split(c, " "))
-      : DataFrame = {
+                         tokenizer: Column => Column = c => split(c, " "),
+                         slot: CacheSlot = simhashSlot): DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
     // changes) so the banded self-join reads them once instead of
     // recomputing the token aggregation per side
-    val sh = simhashSlot(simhash(docs, tokenHash, tokenizer))
+    val sh = slot(simhash(docs, tokenHash, tokenizer))
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

@@ -17,6 +17,11 @@ import graft.tables.Tables
   */
 object Multimodal {
 
+  /** The gram-simhash fingerprints get their OWN resident slot: the text
+    * pipelines' token simhash (d02/d06) must not evict the media index
+    * between battery queries — same pattern as the ANN index slots. */
+  private val phashSlot = new CacheSlot
+
   /** An opaque media payload with typed metadata — the schema a 100 TB
     * multimodal lakehouse table would carry (payload inline for small blobs;
     * for large ones this column holds a pointer and the decode step fetches). */
@@ -122,7 +127,8 @@ object Multimodal {
     val grams = (c: Column) => expr(
       "transform(sequence(1, greatest(1, length(text) - 3)), " +
         "i -> substring(text, i, 4))")
-    Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams)
+    Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams,
+        phashSlot)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
