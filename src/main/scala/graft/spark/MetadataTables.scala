@@ -28,12 +28,15 @@ object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "history", "refs", "files", "manifests", "partitions",
-      "entries", "all_files", "all_manifests", "metadata_log_entries")
+      "entries", "all_files", "all_manifests", "metadata_log_entries",
+      "position_deletes", "delete_files")
 
   def build(table: IcebergTable, kind: String): Table = {
     if (kind == "files") return buildFiles(table)
     if (kind == "partitions") return new PartitionsMetadataTable(table)
     if (kind == "entries") return buildEntries(table)
+    if (kind == "position_deletes") return buildPositionDeletes(table)
+    if (kind == "delete_files") return buildDeleteFiles(table)
     if (kind == "all_files") return buildAllFiles(table)
     if (kind == "all_manifests") return new AllManifestsTable(table)
     def s(v: String): Any = UTF8String.fromString(v)
@@ -186,6 +189,51 @@ object MetadataTables {
     StructField("added_files", IntegerType, nullable = false),
     StructField("existing_files", IntegerType, nullable = false),
     StructField("deleted_files", IntegerType, nullable = false)))
+
+  val DeleteFilesSchema: StructType = StructType(Seq(
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("sequence_number", LongType),
+    StructField("equality_ids", StringType, nullable = false)))
+
+  /** `delete_files`: one row per pos/eq delete file in the current
+    * snapshot — delete-manifest-sized, driver-side. */
+  private[spark] def buildDeleteFiles(table: IcebergTable): Table = {
+    val rows = table.currentSnapshot.toSeq
+      .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
+      .filter(_.content == 1)
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+      .sortBy(_.dataFile.path)
+      .map { e =>
+        Array[Any](e.dataFile.content, UTF8String.fromString(e.dataFile.path),
+          UTF8String.fromString(e.dataFile.format), e.dataFile.recordCount,
+          e.dataFile.fileSizeInBytes, e.sequenceNumber.map(Long.box).orNull,
+          UTF8String.fromString(e.dataFile.equalityIds.mkString(",")))
+      }
+    new LocalRowsTable(s"${table.location}#delete_files", DeleteFilesSchema, rows)
+  }
+
+  val PositionDeletesSchema: StructType = StructType(Seq(
+    StructField("data_file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("delete_file_path", StringType, nullable = false)))
+
+  /** `position_deletes`: the tombstone ROWS themselves — O(deleted rows),
+    * so a DISTRIBUTED scan with one input partition per delete file,
+    * parquet decode on executors. */
+  private[spark] def buildPositionDeletes(table: IcebergTable): Table = {
+    val files = table.currentSnapshot.toSeq
+      .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
+      .filter(_.content == 1)
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+      .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+      .map(e => (e.dataFile.path, e.dataFile.fileSizeInBytes))
+      .distinct.sortBy(_._1)
+    new PositionDeletesTable(s"${table.location}#position_deletes", files)
+  }
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
@@ -410,6 +458,51 @@ final class FilesReaderFactory(props: Map[String, String],
       }
       override def get(): InternalRow = row
       override def close(): Unit = ()
+    }
+}
+
+final case class PosDeleteFilePartition(path: String, length: Long)
+  extends InputPartition
+
+final class PositionDeletesTable(tableName: String,
+                                 files: Seq[(String, Long)])
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = MetadataTables.PositionDeletesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = MetadataTables.PositionDeletesSchema
+      override def toBatch: Batch = this
+      override def description(): String = s"$tableName [one partition per delete file]"
+      override def planInputPartitions(): Array[InputPartition] =
+        files.map(f => PosDeleteFilePartition(f._1, f._2): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val fp = p.asInstanceOf[PosDeleteFilePartition]
+              private val readSchema = StructType(Seq(
+                StructField("file_path", StringType, nullable = false),
+                StructField("pos", LongType, nullable = false)))
+              private val reader = GraftReaders.createVectorized(
+                fp.path, 0, fp.length, readSchema)
+              private val self = UTF8String.fromString(fp.path)
+              private var row: InternalRow = _
+              override def next(): Boolean = {
+                if (!reader.nextKeyValue()) return false
+                val r = reader.getCurrentValue.asInstanceOf[InternalRow]
+                row = new GenericInternalRow(Array[Any](
+                  r.getUTF8String(0), r.getLong(1), self))
+                true
+              }
+              override def get(): InternalRow = row
+              override def close(): Unit = reader.close()
+            }
+        }
     }
 }
 

@@ -22,7 +22,8 @@ object GraftProcedures {
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
-    "rewrite_manifests", "rewrite_zorder", "fast_forward")
+    "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
+    "rewrite_position_deletes")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -169,6 +170,28 @@ object GraftProcedures {
         val out = TableWriter.compact(table,
           org.apache.spark.sql.SparkSession.active, in.getInt(1), zOrderBy = cols)
         Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
+      }
+      case "rewrite_position_deletes" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(
+          StructField("delete_files_before", IntegerType, nullable = false),
+          StructField("delete_files_after", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (_, before, after) = TableWriter.rewritePositionDeletes(table,
+          org.apache.spark.sql.SparkSession.active)
+        Array[Any](before, after)
+      }
+      case "add_files" => proc(name,
+        Seq("table" -> StringType, "source_dir" -> StringType),
+        StructType(Seq(
+          StructField("added_files", IntegerType, nullable = false),
+          StructField("added_records", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val before = table.newScan().planFiles()
+        val out = TableWriter.addFiles(table, in.getUTF8String(1).toString)
+        val after = out.newScan().planFiles()
+        val newFiles = after.filterNot(t => before.exists(_.file.path == t.file.path))
+        Array[Any](newFiles.size, newFiles.map(_.file.recordCount).sum)
       }
       case "fast_forward" => proc(name,
         Seq("table" -> StringType, "branch" -> StringType),

@@ -620,6 +620,89 @@ object TableWriter {
     * group per partition spec so tuples stay under their own partition
     * type. Delete manifests are carried as-is. The new snapshot is a
     * REPLACE, invisible to changelog readers. */
+  /** Coalesce the current snapshot's positional delete files into ONE
+    * sorted file, dropping dangling tombstones (rows pointing at data
+    * files no longer live — left behind by compactions/CoW rewrites).
+    * MoR read cost is O(delete files) per scan group, so a table that has
+    * absorbed many small DELETEs reads measurably faster after this.
+    * Sequence safety: the merged file commits at the next sequence
+    * number, which covers every data file the originals covered (pos
+    * tombstones address (path, pos) — files committed later have new
+    * paths, so the wider range cannot over-delete). */
+  def rewritePositionDeletes(table: IcebergTable,
+                             spark: org.apache.spark.sql.SparkSession)
+      : (IcebergTable, Int, Int) = {
+    val md = table.metadata
+    val snap = table.currentSnapshot.getOrElse(return (table, 0, 0))
+    val manifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
+    val deleteManifests = manifests.filter(_.content == 1)
+    val deleteEntries = deleteManifests
+      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
+    val posFiles = deleteEntries
+      .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+    if (posFiles.isEmpty) return (table, 0, 0)
+    val eqEntries = deleteEntries
+      .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
+
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata")
+    val delDir = new File(table.location, s"data/deletes-rw-$snapId")
+
+    val livePaths = table.newScan().planFiles().map(_.file.path).toSet
+    import org.apache.spark.sql.functions.col
+    val merged = spark.read.parquet(posFiles.map(_.dataFile.path).distinct: _*)
+      .filter(col("file_path").isin(livePaths.toSeq.map(
+        _.stripPrefix("file:")): _*))
+      .orderBy("file_path", "pos")
+      .coalesce(1)
+    merged.write.parquet(delDir.getPath)
+
+    val mergedInfos = listParquet(delDir).map { f =>
+      statsFromFooter(f, table.schema, Map.empty,
+        content = DataFileContent.PositionDeletes,
+        overrideSchema = Some(posDeleteSchema))
+    }
+    val mergedEntries = mergedInfos.map(i => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), i))
+    val eqKept = eqEntries.map(_.copy(status = ManifestEntryStatus.Existing))
+    val mf = new File(metaDir, s"manifest-del-rw-$snapId.avro")
+    ManifestIO.writeManifest(mf, mergedEntries ++ eqKept, StructT(Nil))
+    val delManifest = ManifestFile(
+      path = mf.getPath, length = mf.length(),
+      partitionSpecId = table.spec.specId, content = 1,
+      sequenceNumber = seq,
+      minSequenceNumber = (mergedEntries ++ eqKept)
+        .flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+      addedSnapshotId = snapId,
+      addedFilesCount = mergedEntries.size, existingFilesCount = eqKept.size,
+      deletedFilesCount = posFiles.size,
+      addedRowsCount = mergedInfos.map(_.recordCount).sum,
+      existingRowsCount = eqKept.map(_.dataFile.recordCount).sum,
+      deletedRowsCount = posFiles.map(_.dataFile.recordCount).sum,
+      partitions = Nil, formatVersion = 2)
+
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile,
+      manifests.filter(_.content == 0) :+ delManifest)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, Some(snap.snapshotId), seq, now,
+      listFile.getPath,
+      Some(SnapshotSummary(OpReplace,
+        Map("delete-files-rewritten" -> posFiles.size.toString,
+          "delete-files-created" -> mergedEntries.size.toString))),
+      Some(table.schema.schemaId))
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+    (IcebergTables.load(table.location), posFiles.size, mergedEntries.size)
+  }
+
   def rewriteManifests(table: IcebergTable): IcebergTable = {
     val md = table.metadata
     val snap = table.currentSnapshot.getOrElse(
@@ -910,6 +993,57 @@ object TableWriter {
         SnapshotRef(head.snapshotId, BranchRef))),
       table.loadedVersion + 1)
     IcebergTables.load(table.location)
+  }
+
+  /** Import EXISTING parquet files into the table without rewriting them
+    * (Iceberg's `add_files` migration path): footer-derived per-column
+    * stats go into a new APPEND snapshot's manifest; hive-style `k=v`
+    * path segments map to identity partition values. The files are
+    * referenced in place — id-less footers are fine, the read path
+    * resolves them by name. */
+  def addFiles(table: IcebergTable, sourceDir: String): IcebergTable = {
+    def walk(f: File): Seq[File] = {
+      val fs = Option(f.listFiles()).getOrElse(Array.empty)
+      fs.filter(x => x.isFile && x.getName.endsWith(".parquet") &&
+        !x.getName.startsWith(".") && !x.getName.startsWith("_")).toSeq ++
+        fs.filter(_.isDirectory).flatMap(walk)
+    }
+    val files = walk(new File(sourceDir)).sortBy(_.getPath)
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    val identityFields = table.spec.fields.collect {
+      case pf if pf.transform == IdentityTransform =>
+        pf.name -> table.schema.findFieldById(pf.sourceId).get
+    }.toMap
+    def partitionOf(f: File): Map[String, Any] = {
+      val segs = f.getPath.stripPrefix(sourceDir).split('/').filter(_.contains('='))
+      segs.flatMap { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        identityFields.get(k).map { field =>
+          val value: Any =
+            if (v == "null" || v.isEmpty) null
+            else field.fieldType match {
+              case IntT => Integer.valueOf(v)
+              case LongT => java.lang.Long.valueOf(v)
+              case StringT => v
+              case DateT => Integer.valueOf(
+                java.time.LocalDate.parse(v).toEpochDay.toInt)
+              case BooleanT => java.lang.Boolean.valueOf(v)
+              case DoubleT => java.lang.Double.valueOf(v)
+              case FloatT => java.lang.Float.valueOf(v)
+              case other => throw new UnsupportedOperationException(
+                s"add_files: partition value of type $other not parseable")
+            }
+          k -> value
+        }
+      }.toMap
+    }
+    if (identityFields.size != table.spec.fields.size)
+      throw new UnsupportedOperationException(
+        "add_files requires identity partitioning (or none): transformed " +
+          "partition values cannot be inferred from paths")
+    val outs = files.map(f =>
+      graft.spark.CowFileOut(f.getPath, 0L, partitionOf(f), Map.empty))
+    appendFiles(table.location, outs, Map("added-by" -> "add_files"))
   }
 
   /** Append already-written data files to a REST-catalog table: stage the

@@ -565,6 +565,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(appended.size == 1)
   }
 
+  test("CALL add_files imports existing parquet in place, incl. hive partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db25")
+    spark.sql("CREATE TABLE graft.db25.imp (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (identity(cat))")
+    spark.sql("INSERT INTO graft.db25.imp VALUES (1, 'a')")
+    // a hive-layout export from some other system
+    val src = java.nio.file.Files.createTempDirectory("addfiles").toFile.getPath
+    import spark.implicits._
+    Seq((2L, "a"), (3L, "b")).toDF("id", "cat")
+      .write.partitionBy("cat").parquet(s"$src/export")
+    val res = spark.sql(
+      s"CALL graft.system.add_files('db25.imp', '$src/export')").collect()
+    assert(res(0).getInt(0) == 2 && res(0).getLong(1) == 2, res.toSeq.toString)
+    assert(spark.sql("SELECT id FROM graft.db25.imp").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // inferred partition values prune like native ones
+    val t = IcebergTables.load(s"$warehouse/db25/imp")
+    val pruned = t.newScan(graft.core.Expr.equalTo("cat",
+      graft.core.StrLit("b"))).planFiles()
+    assert(pruned.size == 1 && pruned.head.file.path.contains("cat=b"))
+    // imported files were NOT copied
+    assert(pruned.head.file.path.startsWith(src))
+  }
+
+  test("position_deletes/delete_files tables + CALL rewrite_position_deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db26")
+    spark.sql("CREATE TABLE graft.db26.pd (id BIGINT)")
+    spark.sql("INSERT INTO graft.db26.pd SELECT id FROM range(100)")
+    spark.sql("DELETE FROM graft.db26.pd WHERE id < 3")
+    spark.sql("DELETE FROM graft.db26.pd WHERE id >= 97")
+
+    val pd = spark.sql(
+      "SELECT data_file_path, pos, delete_file_path FROM graft.db26.pd.position_deletes")
+    assert(pd.count() == 6)
+    assert(pd.rdd.getNumPartitions == 2, "one partition per delete file")
+    assert(spark.sql("SELECT * FROM graft.db26.pd.delete_files").count() == 2)
+
+    val res = spark.sql(
+      "CALL graft.system.rewrite_position_deletes('db26.pd')").collect()
+    assert(res(0).getInt(0) == 2 && res(0).getInt(1) == 1, res.toSeq.toString)
+    // same visible rows, one delete file, tombstones intact
+    assert(spark.sql("SELECT count(*) FROM graft.db26.pd").collect()(0).getLong(0)
+      == 94)
+    assert(spark.sql("SELECT * FROM graft.db26.pd.delete_files").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db26.pd.position_deletes").count() == 6)
+    // compaction then rewrite drops DANGLING tombstones entirely
+    spark.sql("CALL graft.system.compact('db26.pd', 1)")
+    spark.sql("CALL graft.system.rewrite_position_deletes('db26.pd')")
+    assert(spark.sql("SELECT * FROM graft.db26.pd.position_deletes").count() == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.db26.pd").collect()(0).getLong(0)
+      == 94)
+  }
+
   test("CALL fast_forward publishes a branch onto main") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db24")
     spark.sql("CREATE TABLE graft.db24.wap (id BIGINT)")
