@@ -1340,6 +1340,25 @@ object TableWriter {
     extends RuntimeException(
       s"metadata version $version of $location was committed concurrently")
 
+  /** Optimistic-concurrency retry loop: run `op` against a FRESH load of
+    * the table, reloading and retrying on [[CommitConflictException]] —
+    * the standard commit pattern for concurrent writers (appends and MoR
+    * deletes compose with any concurrent commit; CoW ops re-plan against
+    * the new snapshot on reload, so the retry is semantically a re-run).
+    * The final attempt's conflict propagates. */
+  def withCommitRetry[T](location: String, maxAttempts: Int = 4)
+                        (op: IcebergTable => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op(IcebergTables.load(location))
+      catch {
+        case e: CommitConflictException if attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def writeMetadata(location: String, md: TableMetadata, version: Int): Unit = {
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
     val tmp = new File(metaDir, s".v$version.metadata.json.tmp-${System.nanoTime()}")

@@ -69,6 +69,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch exact-dedup
+    * pass (t02): events whose key columns repeat within the watermark
+    * horizon are dropped, with dedup STATE BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`) — at 100 TB/day the state store
+    * holds one entry per distinct key per horizon, not per all time.
+    * Needs an event-time column named `ts` for the watermark. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-snapshot changelog: the data files each APPEND snapshot with
     * sequence in `(fromSeq, toSeq]` added, read from that snapshot's OWN
     * manifest list — NOT the latest one. Resolving from the latest list is

@@ -363,6 +363,20 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergTables.load(loc).newScan().toDF(spark).count() == 2 * src.count())
   }
 
+  test("withCommitRetry reloads and lands the loser's commit") {
+    val loc = tmpDir("tbl_retry")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    TableWriter.create(src, loc)
+    // N writers race from the same observed state; every append must land
+    val threads = (1 to 3).map { _ =>
+      new Thread(() =>
+        TableWriter.withCommitRetry(loc)(t => TableWriter.append(t, src)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(IcebergTables.load(loc).newScan().toDF(spark).count() == 4 * src.count())
+    assert(IcebergTables.load(loc).metadata.snapshots.size == 4)
+  }
+
   test("rollback moves main to an earlier snapshot, history preserved") {
     val loc = tmpDir("tbl_rb")
     val src = spark.read.parquet(s"$sf/region.parquet")

@@ -40,6 +40,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val deduped = EventStreams.dedupStream(events, Seq("event_id"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedupst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(1), 1L, "a"), (t(2), 2L, "b"), (t(3), 1L, "a-dup"))
+      q.processAllAvailable()
+      // a replay in a later batch within the watermark is dropped too
+      input.addData((t(4), 2L, "b-dup"), (t(5), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedupst").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
