@@ -629,6 +629,19 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
       !required.fieldNames.contains(GraftReaders.FileCol) &&
       tasks.forall(_.file.format.equalsIgnoreCase("PARQUET"))
+    // ROW-GROUP skipping inside each parquet file (chunk stats, dictionary,
+    // bloom filters): the same pushed predicate that pruned whole files at
+    // the manifest level, converted once per scan; applied per file only
+    // when its footer carries every referenced column under its current
+    // name. Conservative by construction — all filters stay residuals.
+    val rgExpr = CoreAnd(filter, runtimeFilter) match {
+      case CoreAnd(l, AlwaysTrue) => l
+      case CoreAnd(AlwaysTrue, r) => r
+      case e => e
+    }
+    val rowGroupPredicate = ParquetRowGroupFilter.convert(rgExpr, table.schema)
+    val rowGroupPredicateCols =
+      ParquetRowGroupFilter.referencedTypes(rgExpr, table.schema)
     tasks.flatMap { t =>
       val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
         .map(_.path)
@@ -666,7 +679,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       ranges.map {
         case (start, len) =>
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
-            limit, pos, eq, columnar, partValues, fmt): InputPartition
+            limit, pos, eq, columnar, partValues, fmt,
+            rowGroupPredicate, rowGroupPredicateCols): InputPartition
       }
     }.toArray
   }
@@ -732,7 +746,10 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      eqDeletes: Seq[EqDelete] = Nil,
                                      columnar: Boolean = false,
                                      partitionValues: Array[Any] = Array.empty,
-                                     format: String = "PARQUET")
+                                     format: String = "PARQUET",
+                                     rowGroupFilter: Option[
+                                       org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+                                     rowGroupFilterCols: Seq[(String, String)] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -776,7 +793,8 @@ private[spark] object GraftReaders {
     * once committed, so results cache forever. One footer read per file per
     * JVM — amortized across splits and queries, and the decode path reads
     * the footer anyway. */
-  final case class FooterInfo(hasIds: Boolean, names: Set[String])
+  final case class FooterInfo(hasIds: Boolean, names: Set[String],
+                              primitiveTypes: Map[String, String])
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, FooterInfo]()
   // cache is an optimization only: bound its memory on huge tables by
@@ -794,13 +812,20 @@ private[spark] object GraftReaders {
         import scala.jdk.CollectionConverters._
         FooterInfo(
           hasIds = msg.getFields.asScala.exists(_.getId != null),
-          names = msg.getFields.asScala.map(_.getName).toSet)
+          names = msg.getFields.asScala.map(_.getName).toSet,
+          primitiveTypes = msg.getFields.asScala.collect {
+            case f if f.isPrimitive =>
+              f.getName -> f.asPrimitiveType().getPrimitiveTypeName.name()
+          }.toMap)
       } finally r.close()
     })
   }
 
   def createVectorized(path: String, start: Long, length: Long,
-                       readSchema: StructType)
+                       readSchema: StructType,
+                       rowGroupFilter: Option[
+                         org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+                       rowGroupFilterCols: Seq[(String, String)] = Nil)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     val conf = new Configuration()
     // Spark's fieldId.read.ignoreMissing semantics are SILENT NULLS for a
@@ -826,6 +851,18 @@ private[spark] object GraftReaders {
     // column ADDED after the file was written → nulls (correct evolution)
     conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", true)
     conf.set("spark.sql.session.timeZone", "UTC")
+    // row-group/bloom/dictionary skipping: only when the file's footer has
+    // every referenced column under its current name AND physical type —
+    // renamed id-less files would silently not match, and files written
+    // before a type promotion (int→long etc.) fail parquet's filter
+    // validator; manifest-level pruning already handled both correctly
+    rowGroupFilter.foreach { pred =>
+      val applicable = rowGroupFilterCols.forall { case (n, t) =>
+        footer.primitiveTypes.get(n).contains(t)
+      }
+      if (applicable)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+    }
     val reader = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC",
@@ -845,7 +882,8 @@ final class GraftBatchReader(p: GraftInputPartition)
     extends PartitionReader[ColumnarBatch] {
   private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
   private val reader =
-    GraftReaders.createVectorized(p.path, p.start, p.length, readSchema)
+    GraftReaders.createVectorized(p.path, p.start, p.length, readSchema,
+      p.rowGroupFilter, p.rowGroupFilterCols)
   reader.enableReturningBatches()
 
   override def next(): Boolean = reader.nextBatch()
@@ -866,7 +904,8 @@ final class GraftRowReader(p: GraftInputPartition)
     case "AVRO" => new AvroRowFileReader(p.path, readSchema)
     case "ORC" => new OrcRowFileReader(p.path, readSchema)
     case _ => new ParquetRowFileReader(
-      GraftReaders.createVectorized(p.path, p.start, p.length, readSchema))
+      GraftReaders.createVectorized(p.path, p.start, p.length, readSchema,
+        p.rowGroupFilter, p.rowGroupFilterCols))
   }
 
   private val rowIdxOrd: Int =

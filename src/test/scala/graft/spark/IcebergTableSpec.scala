@@ -472,6 +472,35 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally r.close()
   }
 
+  test("pushed predicates skip row groups via bloom/dictionary on read") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_rg")
+    // even ids only: a probe for an odd id is within min/max bounds, so
+    // manifest stats CANNOT prune the file — only in-file row-group
+    // filtering (dictionary/bloom) can prove absence
+    TableWriter.create(
+      spark.range(10000).select(($"id" * 2).as("id")).coalesce(1), loc,
+      properties = Map(
+        "write.parquet.bloom-filter-enabled.column.id" -> "true"))
+
+    def decodedRows(cond: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.format("icegopher").load(loc).filter(cond)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }.get
+    }
+    // file NOT pruned (1 planned file), yet zero rows decoded: the row
+    // group was skipped inside the reader
+    val t = IcebergTables.load(loc)
+    assert(t.newScan(Expr.equalTo("id", LongLit(4001L))).planFiles().size == 1)
+    assert(decodedRows(col("id") === 4001L) == 0L,
+      "absent-value probe should decode nothing")
+    // present value decodes (and residual filtering still nets one row)
+    assert(decodedRows(col("id") === 4000L) > 0L)
+  }
+
   test("writers roll files at write.target-file-size-bytes") {
     val loc = tmpDir("tbl_roll")
     val src = spark.read.parquet(s"$sf/orders.parquet").coalesce(1) // ONE task
