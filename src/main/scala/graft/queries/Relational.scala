@@ -508,4 +508,23 @@ object Relational {
                     (range + 1) * 50.0 AS hi FROM range(0, 20)) b
          ON e.value >= b.lo AND e.value < b.hi
        GROUP BY b.band_id ORDER BY b.band_id"""
+
+  /** Exact interpolated percentiles per event type (Spark's `percentile`
+    * and SQL's `percentile_cont` share the same linear-interpolation
+    * definition, so the values are engine-identical on identical data —
+    * no sketch divergence). One shuffle on the low-cardinality group key;
+    * per-group work is the sort Spark's aggregate does internally. */
+  def q24Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy("event_type")
+
+  val q24Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+              ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+              ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }

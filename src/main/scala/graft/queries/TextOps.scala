@@ -411,4 +411,47 @@ object TextOps {
          CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_ratio,
          CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS distinct_ratio
        FROM cnts GROUP BY doc_id ORDER BY doc_id"""
+
+  /** KMV (k-minimum-values) distinct-count sketch per language — the
+    * mergeable cardinality sketch of data pipelines, built DETERMINISTIC:
+    * the k smallest md5-60-bit hashes of the distinct texts give the
+    * estimate (k-1)·2^60 / h_(k) — unlike HLL implementations (which
+    * differ engine to engine), both engines derive the identical sketch
+    * and the identical estimate. Per-group state is k longs — mergeable
+    * across partitions/corpora by keeping the k smallest of the union.
+    * Groups with fewer than k distinct values report exactly. */
+  def t15KmvDistinct(s: SparkSession, d: String, k: Int = 32): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(col("lang"), graft.queries.Dedup.md5Hash60(col("text")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("h")
+    h.withColumn("r", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_distinct_hashes"),
+        max(when(col("r") === k, col("h"))).as("kth"))
+      .select(col("lang"), col("n_distinct_hashes"),
+        round(when(col("kth").isNotNull,
+          lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("kth"))
+          .otherwise(col("n_distinct_hashes").cast("double")), 4)
+          .as("kmv_estimate"))
+      .orderBy("lang")
+  }
+
+  val t15Sql: String =
+    """WITH h AS (
+         SELECT DISTINCT lang,
+                ('0x' || substr(md5(text),1,15))::BIGINT AS h FROM documents),
+       r AS (SELECT lang, h,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+             FROM h),
+       a AS (SELECT lang, COUNT(*) AS n_distinct_hashes,
+                    MAX(CASE WHEN r = 32 THEN h END) AS kth
+             FROM r GROUP BY lang)
+       SELECT lang, n_distinct_hashes,
+              ROUND(CASE WHEN kth IS NOT NULL
+                    THEN 31.0 * 1152921504606846976.0 / kth
+                    ELSE CAST(n_distinct_hashes AS DOUBLE) END, 4)
+                AS kmv_estimate
+       FROM a ORDER BY lang"""
 }
