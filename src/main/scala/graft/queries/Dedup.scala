@@ -331,8 +331,11 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // seed with min(self, min neighbor): the first propagation round is
+    // folded into initialization — one aggregation, no join
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -342,16 +345,16 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // pointer jumping (path halving): each node also adopts its LABEL's
-      // label within the same pass — convergence drops from O(diameter)
-      // to O(log diameter) rounds, and each round is one checkpoint + one
-      // count job (the convergence check rides the same materialization)
-      val jumped = stepped.alias("x")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jl")).alias("m"),
+      // pointer jumping (path halving): each node adopts its label's
+      // label within the same pass — convergence in O(log diameter)
+      // rounds, each round one checkpoint + one count job (the
+      // convergence check rides the same materialization)
+      def jump(df: DataFrame): DataFrame = df.alias("x")
+        .join(df.select(col("id").as("jid"), col("label").as("jl")).alias("m"),
           col("x.label") === col("jid"), "left")
         .select(col("x.id").as("id"), col("x.prev").as("prev"),
           least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-        .localCheckpoint()
+      val jumped = jump(stepped).localCheckpoint()
       changed = jumped.filter(col("label") =!= col("prev")).count()
       labels = jumped.select("id", "label")
       it += 1
