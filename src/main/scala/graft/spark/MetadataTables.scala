@@ -28,8 +28,8 @@ object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "history", "refs", "files", "manifests", "partitions",
-      "entries", "all_files", "all_manifests", "metadata_log_entries",
-      "position_deletes", "delete_files")
+      "entries", "all_files", "all_manifests", "all_entries",
+      "metadata_log_entries", "position_deletes", "delete_files")
 
   def build(table: IcebergTable, kind: String): Table = {
     if (kind == "files") return buildFiles(table)
@@ -37,7 +37,9 @@ object MetadataTables {
     if (kind == "entries") return buildEntries(table)
     if (kind == "position_deletes") return buildPositionDeletes(table)
     if (kind == "delete_files") return buildDeleteFiles(table)
-    if (kind == "all_files") return buildAllFiles(table)
+    if (kind == "all_files") return buildAllFiles(table, includeDeleted = false)
+    if (kind == "all_entries") return buildAllFiles(table, includeDeleted = true,
+      name = "all_entries")
     if (kind == "all_manifests") return new AllManifestsTable(table)
     def s(v: String): Any = UTF8String.fromString(v)
     val (schema, rows): (StructType, Seq[Array[Any]]) = kind match {
@@ -164,17 +166,20 @@ object MetadataTables {
       table.metadata.properties, manifests, includeDeleted = true)
   }
 
-  /** `all_files`: data/delete files reachable from ANY snapshot. The driver
+  /** `all_files` / `all_entries`: data/delete files reachable from ANY
+    * snapshot (`all_entries` keeps DELETED-status rows). The driver
     * reads only the manifest LISTS (one small Avro per snapshot), dedupes
     * manifests by path, and ships one input partition per unique manifest —
     * entry decode stays on executors, so the table is O(total files) spread
     * across the cluster even with a deep snapshot history. */
-  private[spark] def buildAllFiles(table: IcebergTable): Table = {
+  private[spark] def buildAllFiles(table: IcebergTable,
+                                   includeDeleted: Boolean,
+                                   name: String = "all_files"): Table = {
     val manifests = table.metadata.snapshots
       .flatMap(sn => ManifestIO.readManifestList(table.io.open(sn.manifestList)))
       .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
-    new EntriesMetadataTable(s"${table.location}#all_files",
-      table.metadata.properties, manifests, includeDeleted = false)
+    new EntriesMetadataTable(s"${table.location}#$name",
+      table.metadata.properties, manifests, includeDeleted)
   }
 
   val AllManifestsSchema: StructType = StructType(Seq(

@@ -796,7 +796,17 @@ object TableWriter {
   def expireSnapshots(table: IcebergTable, olderThanMs: Long,
                       retainLast: Int = 1,
                       deleteFiles: Boolean = false): IcebergTable = {
-    val md = table.metadata
+    val md0 = table.metadata
+    // ref aging first (Iceberg `max-ref-age-ms`): a branch/tag whose HEAD
+    // snapshot is older than its retention window is dropped, so the
+    // snapshots it pinned become expirable below. Main never ages out.
+    val now = System.currentTimeMillis()
+    val agedOut = md0.refs.filter { case (name, r) =>
+      name != TableMetadata.MainBranch &&
+        r.maxRefAgeMs.exists(maxAge =>
+          md0.snapshotById(r.snapshotId).exists(now - _.timestampMs > maxAge))
+    }.keySet
+    val md = md0.copy(refs = md0.refs -- agedOut)
     val keepIds: Set[Long] =
       md.currentSnapshotId.toSet ++
         md.refs.values.map(_.snapshotId) ++
@@ -804,7 +814,12 @@ object TableWriter {
           .map(_.snapshotId)
     val (kept, expired) = md.snapshots.partition(s =>
       keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
-    if (expired.isEmpty) return table
+    if (expired.isEmpty && agedOut.isEmpty) return table
+    if (expired.isEmpty) {
+      writeMetadata(table.location, md.copy(
+        lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+      return IcebergTables.load(table.location)
+    }
 
     if (deleteFiles) {
       // liveOnly: a DELETED-status entry in a retained snapshot records a
@@ -1074,12 +1089,14 @@ object TableWriter {
 
   /** Create a branch or tag pointing at a snapshot. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
-                snapshotId: Option[Long] = None): IcebergTable = {
+                snapshotId: Option[Long] = None,
+                maxRefAgeMs: Option[Long] = None): IcebergTable = {
     val id = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)).getOrElse(
       throw new IllegalArgumentException("table has no snapshot to reference"))
     val version = table.loadedVersion + 1
     writeMetadata(table.location, table.metadata.copy(
-      refs = table.metadata.refs + (name -> SnapshotRef(id, refType))), version)
+      refs = table.metadata.refs +
+        (name -> SnapshotRef(id, refType, maxRefAgeMs = maxRefAgeMs))), version)
     IcebergTables.load(table.location)
   }
 

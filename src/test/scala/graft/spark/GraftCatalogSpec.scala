@@ -523,6 +523,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(refIds == snapIds)
 
+    // all_entries: the historical union INCLUDING DELETED-status rows
+    val allEntries = spark.sql(
+      "SELECT status, file_path FROM graft.db20.e.all_entries").collect()
+    assert(allEntries.count(_.getInt(0) == 2) == preCompact.size)
+    assert(allEntries.map(_.getString(1)).toSet == allPaths)
+
     // metadata_log_entries: one row per superseded metadata file + current
     val log = spark.sql(
       "SELECT file, is_current FROM graft.db20.e.metadata_log_entries ORDER BY timestamp_ms")

@@ -418,6 +418,31 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.newScan().toDF(spark).count() == 2)
   }
 
+  test("expireSnapshots ages out refs past max-ref-age-ms") {
+    val loc = tmpDir("tbl_refage")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val t1 = TableWriter.create(src, loc)
+    val snap1 = t1.currentSnapshot.get.snapshotId
+    // an aged tag (0 ms retention) and an unaged one pin the same snapshot
+    val t2 = TableWriter.createRef(t1, "aged", graft.core.TagRef,
+      maxRefAgeMs = Some(0L))
+    val t3 = TableWriter.createRef(t2, "durable", graft.core.TagRef)
+    val t4 = TableWriter.append(t3, src)
+    Thread.sleep(5)
+    val t5 = TableWriter.expireSnapshots(t4,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    // the aged ref is gone; the durable one still pins snapshot 1
+    assert(!t5.metadata.refs.contains("aged"))
+    assert(t5.metadata.refs("durable").snapshotId == snap1)
+    assert(t5.metadata.snapshotById(snap1).isDefined,
+      "durable tag must keep its snapshot alive")
+    // drop the durable tag too: the old snapshot now expires
+    val t6 = TableWriter.dropRef(t5, "durable")
+    val t7 = TableWriter.expireSnapshots(t6,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t7.metadata.snapshotById(snap1).isEmpty)
+  }
+
   test("write-audit-publish: branch appends are invisible until fast-forward") {
     val loc = tmpDir("tbl_wap")
     import spark.implicits._
