@@ -256,4 +256,34 @@ object IcebergOps {
        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        WHERE o.o_orderstatus = 'F'
        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+
+  /** Z-ordered + bloom-filtered point read: lineitem rewritten on the
+    * (l_orderkey, l_partkey) Morton curve with a bloom filter on
+    * l_partkey, then a two-column point-range probe runs through BOTH
+    * pruning levels — per-file bounds tight in both curve columns prune
+    * files, and inside survivors the pushed predicate's chunk-stats/
+    * bloom checks skip row groups. The oracle proves the clustered
+    * rewrite preserved the data bit-exactly. */
+  def ice11ZorderPointread(s: SparkSession, d: String): DataFrame = {
+    val table = cached("lineitem_z", d) { loc =>
+      val t = TableWriter.create(Tables.lineitem(s, d)
+          .repartition(8), loc,
+        properties = Map(
+          "write.parquet.bloom-filter-enabled.column.l_partkey" -> "true"))
+      TableWriter.compact(t, s, targetFiles = 8,
+        zOrderBy = Seq("l_orderkey", "l_partkey"))
+    }
+    val scan = table.newScan(
+      And(
+        And(Expr.greaterThanOrEq("l_orderkey", LongLit(1000L)),
+          Expr.lessThan("l_orderkey", LongLit(3000L))),
+        Expr.lessThan("l_partkey", LongLit(500L))),
+      selected = Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"))
+    scan.toDF(s).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val ice11Sql: String =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_partkey < 500
+       ORDER BY l_orderkey, l_linenumber"""
 }
