@@ -136,6 +136,88 @@ class FormatReadSpec extends AnyFunSuite {
     assert(dsv2 == Set(1L, 2L, 5L), s"got $dsv2")
   }
 
+  test("ORC and AVRO readers cover nulls, timestamps, dates, doubles, binary") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("ts", TimestampType),
+      StructField("day", DateType),
+      StructField("bin", BinaryType),
+      StructField("flag", BooleanType)))
+    val rows = Seq(
+      Row(1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456"),
+        java.sql.Date.valueOf("2024-03-01"), Array[Byte](1, 2, 3), true),
+      Row(2L, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+
+    val loc = tmpDir("tbl_fmt_types")
+    TableWriter.create(df.limit(0), loc) // empty table fixes the schema
+    val dataDir = new File(loc, "data"); dataDir.mkdirs()
+
+    // ORC file with the full row set
+    val orcOut = new File(dataDir, "orc-types")
+    df.coalesce(1).write.orc(orcOut.getPath)
+    val orcPath = orcOut.listFiles().find(_.getName.endsWith(".orc")).get.getPath
+    val t1 = appendForeignFile(loc, orcPath, "ORC", 2)
+    val got1 = t1.newScan().toDF(spark).orderBy("id").collect()
+    assert(got1.length == 2)
+    assert(got1(0).getString(1) == "a" && got1(0).getDouble(2) == 1.5)
+    assert(got1(0).getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456"))
+    assert(got1(0).getDate(4) == java.sql.Date.valueOf("2024-03-01"))
+    assert(got1(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](1, 2, 3))
+    assert(got1(0).getBoolean(6))
+    assert((1 to 6).forall(got1(1).isNullAt))
+
+    // AVRO file via the avro-core writer with logical types
+    import org.apache.avro.{LogicalTypes, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val tsType = LogicalTypes.timestampMicros()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG))
+    val dateType = LogicalTypes.date()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.INT))
+    val avroSchema = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("s").`type`().nullable().stringType().noDefault()
+      .name("d").`type`().nullable().doubleType().noDefault()
+      .name("ts").`type`().unionOf().nullType().and().`type`(tsType).endUnion().noDefault()
+      .name("day").`type`().unionOf().nullType().and().`type`(dateType).endUnion().noDefault()
+      .name("bin").`type`().nullable().bytesType().noDefault()
+      .name("flag").`type`().nullable().booleanType().noDefault()
+      .endRecord()
+    val af = new File(dataDir, "types.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, af)
+    val r1 = new GenericData.Record(avroSchema)
+    r1.put("id", 3L); r1.put("s", "b"); r1.put("d", 2.5)
+    r1.put("ts", 1709287200123456L) // micros
+    r1.put("day", 19783) // days
+    r1.put("bin", java.nio.ByteBuffer.wrap(Array[Byte](9)))
+    r1.put("flag", false)
+    w.append(r1)
+    val r2 = new GenericData.Record(avroSchema)
+    r2.put("id", 4L)
+    w.append(r2)
+    w.close()
+    val t2 = appendForeignFile(loc, af.getPath, "AVRO", 2)
+    val got2 = t2.newScan().toDF(spark).filter(col("id") >= 3L)
+      .orderBy("id").collect()
+    assert(got2.length == 2)
+    assert(got2(0).getString(1) == "b" && got2(0).getDouble(2) == 2.5)
+    assert(got2(0).getTimestamp(3).getTime == 1709287200123L)
+    assert(got2(0).getDate(4).toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19783))
+    assert(got2(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](9))
+    assert(!got2(0).getBoolean(6))
+    assert((1 to 6).forall(got2(1).isNullAt))
+  }
+
   test("unknown data format still fails loudly at plan time") {
     val loc = tmpDir("tbl_fmt_bad")
     TableWriter.create(Seq((1L, "pq")).toDF("id", "name").coalesce(1), loc)
