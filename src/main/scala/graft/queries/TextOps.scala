@@ -454,4 +454,40 @@ object TextOps {
                     ELSE CAST(n_distinct_hashes AS DOUBLE) END, 4)
                 AS kmv_estimate
        FROM a ORDER BY lang"""
+
+  /** Corpus composition report: per source, the volume/share/quality
+    * profile — the first table every dataset card and mixing decision
+    * starts from. One map-side-combined aggregation on a low-cardinality
+    * key; share-of-corpus comes from a broadcast scalar join. */
+  def t16SourceMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val agg = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 6)
+          .as("chars_per_token"))
+    val total = agg.agg(sum(col("total_tokens")).as("corpus_tokens"))
+    agg.join(broadcast(total))
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") / col("corpus_tokens"), 6))
+      .select("source", "n_docs", "total_tokens", "total_chars",
+        "chars_per_token", "token_share")
+      .orderBy("source")
+  }
+
+  val t16Sql: String =
+    """WITH a AS (
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                ROUND(CAST(SUM(n_chars) AS DOUBLE) /
+                      SUM(len(string_split(text, ' '))), 6) AS chars_per_token
+         FROM documents GROUP BY source)
+       SELECT source, n_docs, total_tokens, total_chars, chars_per_token,
+              ROUND(CAST(total_tokens AS DOUBLE) /
+                    (SELECT SUM(total_tokens) FROM a), 6) AS token_share
+       FROM a ORDER BY source"""
 }

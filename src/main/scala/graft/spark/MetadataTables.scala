@@ -49,10 +49,15 @@ object MetadataTables {
           StructField("sequence_number", LongType, nullable = false),
           StructField("committed_at_ms", LongType, nullable = false),
           StructField("operation", StringType),
-          StructField("manifest_list", StringType))),
+          StructField("manifest_list", StringType),
+          StructField("summary", MapType(StringType, StringType)))),
         table.metadata.snapshots.map(sn => Array[Any](sn.snapshotId,
           sn.parentSnapshotId.orNull, sn.sequenceNumber, sn.timestampMs,
-          s(sn.summary.map(_.operation.repr).getOrElse("")), s(sn.manifestList))))
+          s(sn.summary.map(_.operation.repr).getOrElse("")), s(sn.manifestList),
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            sn.summary.map(_.properties).getOrElse(Map.empty),
+            (k: Any) => UTF8String.fromString(k.toString),
+            (v: Any) => UTF8String.fromString(v.toString)))))
       case "history" => (StructType(Seq(
           StructField("made_current_at_ms", LongType, nullable = false),
           StructField("snapshot_id", LongType, nullable = false))),

@@ -445,6 +445,10 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()
     assert(snaps.length == 2)
     assert(snaps.forall(_.getString(1) == "append"))
+    // commit summaries ride along as a map column
+    val sums = spark.sql(
+      "SELECT summary['added-data-files'] FROM graft.db9.m.snapshots").collect()
+    assert(sums.forall(_.getString(0).toInt >= 1), sums.mkString(","))
 
     assert(spark.sql("SELECT * FROM graft.db9.m.history").count() == 2)
     val refs = spark.sql("SELECT name, type FROM graft.db9.m.refs").collect()
