@@ -40,15 +40,10 @@ object Changelog {
     * contract as the appends-only changefeed). */
   def changedFilesInWindow(table: IcebergTable, fromSeq: Long,
                            toSeq: Long): Seq[ChangeSet] = {
-    if (toSeq <= fromSeq) return Nil
-    val window = table.metadata.snapshots
-      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-    val present = window.map(_.sequenceNumber).toSet
-    val missing = ((fromSeq + 1) to toSeq).filterNot(present.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"cannot resolve changelog window ($fromSeq, $toSeq] of ${table.location}: " +
-        s"snapshot(s) for sequence(s) ${missing.mkString(", ")} were expired")
-    window.sortBy(_.sequenceNumber)
+    // MAIN-lineage walk (not a sequence filter): unpublished branch
+    // commits consume sequence numbers but must not leak into the
+    // changelog, and the gaps they leave must not read as expired history
+    EventStreams.mainLineageWindow(table, fromSeq, toSeq)
       .filterNot(_.summary.exists(_.operation == OpReplace))
       .map { s =>
         // only manifests WRITTEN by this commit (their list sequence is the

@@ -94,15 +94,7 @@ object EventStreams {
     * data loss. */
   def appendedFilesInWindow(table: IcebergTable, fromSeq: Long,
                             toSeq: Long): Seq[FileScanTask] = {
-    if (toSeq <= fromSeq) return Nil
-    val window = table.metadata.snapshots
-      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-    val present = window.map(_.sequenceNumber).toSet
-    val missing = ((fromSeq + 1) to toSeq).filterNot(present.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"cannot resolve changefeed window ($fromSeq, $toSeq] of ${table.location}: " +
-        s"snapshot(s) for sequence(s) ${missing.mkString(", ")} were expired")
-    window.sortBy(_.sequenceNumber)
+    mainLineageWindow(table, fromSeq, toSeq)
       // only APPEND snapshots emit: overwrite/replace (compaction, CoW
       // rewrites) carry rows the stream already delivered
       .filter(_.summary.forall(_.operation == graft.core.OpAppend))
@@ -114,6 +106,41 @@ object EventStreams {
             e.sequenceNumber.contains(s.sequenceNumber))
           .map(e => FileScanTask(e.dataFile))
       }
+  }
+
+  /** The MAIN-lineage snapshots with sequence in `(fromSeq, toSeq]`,
+    * resolved by walking parent ids down from the current tip — NOT by
+    * filtering all snapshots on sequence: branch commits (write-audit-
+    * publish) consume sequence numbers without ever being on main, so a
+    * dense-sequence filter would leak unpublished branch rows into the
+    * changefeed AND false-positive the expiry check on the gaps they
+    * leave. Fails loudly only when the parent CHAIN truly breaks above
+    * `fromSeq` (history expired). */
+  private[streaming] def mainLineageWindow(table: IcebergTable, fromSeq: Long,
+                                           toSeq: Long)
+      : Seq[graft.core.Snapshot] = {
+    if (toSeq <= fromSeq) return Nil
+    val md = table.metadata
+    val out = Vector.newBuilder[graft.core.Snapshot]
+    var cur = md.currentSnapshot
+    while (cur.exists(_.sequenceNumber > fromSeq)) {
+      val s = cur.get
+      if (s.sequenceNumber <= toSeq) out += s
+      cur = s.parentSnapshotId match {
+        case None =>
+          if (fromSeq > 0) throw new IllegalStateException(
+            s"cannot resolve changefeed window ($fromSeq, $toSeq] of " +
+              s"${table.location}: lineage ends above sequence $fromSeq")
+          None
+        case Some(pid) =>
+          val p = md.snapshotById(pid)
+          if (p.isEmpty) throw new IllegalStateException(
+            s"cannot resolve changefeed window ($fromSeq, $toSeq] of " +
+              s"${table.location}: snapshot ${s.snapshotId}'s parent $pid was expired")
+          p
+      }
+    }
+    out.result().reverse
   }
 
   /** Files appended strictly after `fromSnapshotId` up to and including

@@ -62,6 +62,33 @@ class ChangelogSpec extends AnyFunSuite {
     assert(df == Set((2L, 20.0, "delete"), (2L, 40.0, "insert")), s"got $df")
   }
 
+  test("unpublished branch commits stay out of the changefeed and changelog") {
+    val loc = tmpDir("cdc_wap")
+    val t1 = TableWriter.create(Seq(1L).toDF("id").coalesce(1), loc)
+    // branch commit between two main commits: consumes a sequence number
+    val t2 = TableWriter.appendToBranch(t1, Seq(99L).toDF("id").coalesce(1), "audit")
+    val t3 = TableWriter.append(t2, Seq(2L).toDF("id").coalesce(1))
+
+    // changelog over main: no 99, no expired-history false positive on the
+    // sequence gap the branch commit left
+    val got = changes(loc).sortBy(c => (c._3, c._1))
+    assert(got.map(_._1) == Seq(1L, 2L), s"got $got")
+
+    // appends-only changefeed: same lineage semantics
+    val files = EventStreams.appendedFilesInWindow(IcebergTables.load(loc),
+      0L, t3.currentSnapshot.get.sequenceNumber)
+    assert(files.size == 2, s"expected 2 main appends, got ${files.size}")
+
+    // published branches ARE the lineage: on a fresh table, staging then
+    // fast-forwarding makes the staged rows appear in the changelog
+    val loc2 = tmpDir("cdc_wap2")
+    val u1 = TableWriter.create(Seq(1L).toDF("id").coalesce(1), loc2)
+    val u2 = TableWriter.appendToBranch(u1, Seq(99L).toDF("id").coalesce(1), "audit")
+    assert(changes(loc2).map(_._1) == Seq(1L))
+    TableWriter.fastForward(u2, "audit")
+    assert(changes(loc2).map(_._1).toSet == Set(1L, 99L))
+  }
+
   test("compaction is invisible; overwrite surfaces both sides; window bounds hold") {
     val loc = tmpDir("cdc_rw")
     val t1 = TableWriter.create(Seq(1L, 2L).toDF("id").coalesce(1), loc)
