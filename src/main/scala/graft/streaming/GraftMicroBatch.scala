@@ -69,8 +69,10 @@ final class GraftMicroBatchStream(location: String, required: StructType,
         GraftOffset(t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
       case _ => // earliest
         val latest = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
-        val present = t.metadata.snapshots.map(_.sequenceNumber).toSet
-        val replayable = (1L to latest).forall(present.contains)
+        // replayable iff the MAIN lineage walks back to genesis unbroken
+        // (branch commits leave sequence gaps that are NOT expiry)
+        val replayable =
+          scala.util.Try(EventStreams.mainLineageWindow(t, 0L, latest)).isSuccess
         if (replayable) GraftOffset(0L) // full history retained: replay appends
         else {
           // expired history: the oldest retained snapshot is the earliest
@@ -124,9 +126,9 @@ final class GraftMicroBatchStream(location: String, required: StructType,
         var bytes = byteBudget.getOrElse(Long.MaxValue)
         var first = true
         var stop = false
-        t.metadata.snapshots.filter(x =>
-            x.sequenceNumber > s.seq && x.sequenceNumber <= latest)
-          .sortBy(_.sequenceNumber)
+        // main-lineage snapshots only: branch commits must neither consume
+        // the admission budget nor define the batch end
+        EventStreams.mainLineageWindow(t, s.seq, latest)
           .foreach { snap =>
             val isAppend = snap.summary.forall(_.operation == graft.core.OpAppend)
             def summaryLong(key: String): Option[Long] =
