@@ -74,7 +74,18 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val stable = results.collect { case (k, v) if v >= 0 && StableSet(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's committed artifact keeps only a stdout tail, which has
+    // truncated the JSON line mid-stream before (r5 lost its headline fields).
+    // Persist the full object to a file so the artifact is never a fragment.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     graft.queries.CacheSlot.releaseAll() // battery done: drop pipeline caches
     spark.stop()
   }

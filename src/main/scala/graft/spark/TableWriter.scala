@@ -620,12 +620,29 @@ object TableWriter {
     * group per partition spec so tuples stay under their own partition
     * type. Delete manifests are carried as-is. The new snapshot is a
     * REPLACE, invisible to changelog readers. */
-  /** Coalesce the current snapshot's positional delete files into ONE
-    * sorted file, dropping dangling tombstones (rows pointing at data
-    * files no longer live — left behind by compactions/CoW rewrites).
-    * MoR read cost is O(delete files) per scan group, so a table that has
-    * absorbed many small DELETEs reads measurably faster after this.
-    * Sequence safety: the merged file commits at the next sequence
+  /** Coalesce the current snapshot's positional delete files into a
+    * BOUNDED set of sorted files, dropping dangling tombstones (rows
+    * pointing at data files no longer live — left behind by
+    * compactions/CoW rewrites). MoR read cost is O(delete files) per scan
+    * group, so a table that has absorbed many small DELETEs reads
+    * measurably faster after this.
+    *
+    * Output is bin-packed to `write.target-file-size-bytes`: surviving
+    * tombstones are range-partitioned on (file_path, pos) into
+    * ceil(liveBytes / target) disjoint, individually-sorted files — every
+    * file writes from its own executor task, so a delete-heavy table
+    * never funnels all tombstones through one task (the old `coalesce(1)`
+    * shape). Disjoint sorted ranges preserve the per-file (path, pos)
+    * ordering and path bounds that delete matching prunes on.
+    *
+    * Equality-delete entries keep their partition tuples: manifests that
+    * hold only eq-deletes are carried into the new manifest list AS-IS
+    * (original spec id + partition type intact); eq entries living in
+    * mixed manifests are rewritten grouped per original spec with the
+    * spec's partition type, so a spec-compliant external reader never
+    * sees a partition-scoped eq delete widened to global scope.
+    *
+    * Sequence safety: the merged files commit at the next sequence
     * number, which covers every data file the originals covered (pos
     * tombstones address (path, pos) — files committed later have new
     * paths, so the wider range cannot over-delete). */
@@ -636,13 +653,21 @@ object TableWriter {
     val snap = table.currentSnapshot.getOrElse(return (table, 0, 0))
     val manifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
     val deleteManifests = manifests.filter(_.content == 1)
-    val deleteEntries = deleteManifests
-      .flatMap(m => ManifestIO.readManifestEntries(table.io.open(m.path), m))
-    val posFiles = deleteEntries
+    val manifestEntries = deleteManifests.map(m =>
+      m -> ManifestIO.readManifestEntries(table.io.open(m.path), m))
+    val posFiles = manifestEntries.flatMap(_._2)
       .filter(_.dataFile.content == DataFileContent.PositionDeletes)
     if (posFiles.isEmpty) return (table, 0, 0)
-    val eqEntries = deleteEntries
-      .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
+    // Eq-only manifests ride along untouched (tuples + spec preserved);
+    // only manifests that contain at least one pos-delete entry rewrite.
+    val (eqOnlyManifests, mixedManifests) = manifestEntries.partition {
+      case (_, es) => es.nonEmpty &&
+        es.forall(_.dataFile.content == DataFileContent.EqualityDeletes)
+    }
+    val eqEntries = mixedManifests.flatMap { case (m, es) =>
+      es.filter(_.dataFile.content == DataFileContent.EqualityDeletes)
+        .map(m.partitionSpecId -> _)
+    }
 
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
@@ -651,11 +676,18 @@ object TableWriter {
 
     val livePaths = table.newScan().planFiles().map(_.file.path).toSet
     import org.apache.spark.sql.functions.col
+    val targetBytes = md.properties.get(GraftCowWriterFactory.TargetFileSizeProp)
+      .flatMap(_.toLongOption)
+      .getOrElse(GraftCowWriterFactory.DefaultTargetFileSize)
+    // Upper bound on surviving bytes: the inputs (danglers only shrink it).
+    val liveBytesUb = posFiles.map(_.dataFile.fileSizeInBytes).sum
+    val outFiles = math.max(1,
+      math.ceil(liveBytesUb.toDouble / targetBytes).toInt)
     val merged = spark.read.parquet(posFiles.map(_.dataFile.path).distinct: _*)
       .filter(col("file_path").isin(livePaths.toSeq.map(
         _.stripPrefix("file:")): _*))
-      .orderBy("file_path", "pos")
-      .coalesce(1)
+      .repartitionByRange(outFiles, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
     merged.write.parquet(delDir.getPath)
 
     val mergedInfos = listParquet(delDir).map { f =>
@@ -665,26 +697,49 @@ object TableWriter {
     }
     val mergedEntries = mergedInfos.map(i => ManifestEntry(
       ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), i))
-    val eqKept = eqEntries.map(_.copy(status = ManifestEntryStatus.Existing))
     val mf = new File(metaDir, s"manifest-del-rw-$snapId.avro")
-    ManifestIO.writeManifest(mf, mergedEntries ++ eqKept, StructT(Nil))
-    val delManifest = ManifestFile(
+    ManifestIO.writeManifest(mf, mergedEntries, StructT(Nil))
+    val posManifest = ManifestFile(
       path = mf.getPath, length = mf.length(),
       partitionSpecId = table.spec.specId, content = 1,
       sequenceNumber = seq,
-      minSequenceNumber = (mergedEntries ++ eqKept)
-        .flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+      minSequenceNumber =
+        mergedEntries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
       addedSnapshotId = snapId,
-      addedFilesCount = mergedEntries.size, existingFilesCount = eqKept.size,
+      addedFilesCount = mergedEntries.size, existingFilesCount = 0,
       deletedFilesCount = posFiles.size,
       addedRowsCount = mergedInfos.map(_.recordCount).sum,
-      existingRowsCount = eqKept.map(_.dataFile.recordCount).sum,
+      existingRowsCount = 0,
       deletedRowsCount = posFiles.map(_.dataFile.recordCount).sum,
       partitions = Nil, formatVersion = 2)
+    // Eq entries rescued from mixed manifests: one manifest per original
+    // spec, partition type preserved so tuples survive the rewrite.
+    val eqManifests = eqEntries.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (specId, tagged) =>
+        val es = tagged.map(_._2.copy(status = ManifestEntryStatus.Existing))
+        val partType = md.partitionSpecs.find(_.specId == specId)
+          .map(_.partitionType(table.schema)).getOrElse(StructT(Nil))
+        val emf = new File(metaDir, s"manifest-del-rw-eq-$snapId-$specId.avro")
+        ManifestIO.writeManifest(emf, es, partType)
+        ManifestFile(
+          path = emf.getPath, length = emf.length(),
+          partitionSpecId = specId, content = 1,
+          sequenceNumber = seq,
+          minSequenceNumber =
+            es.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+          addedSnapshotId = snapId,
+          addedFilesCount = 0, existingFilesCount = es.size,
+          deletedFilesCount = 0,
+          addedRowsCount = 0,
+          existingRowsCount = es.map(_.dataFile.recordCount).sum,
+          deletedRowsCount = 0,
+          partitions = partitionSummaries(es, partType), formatVersion = 2)
+    }
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile,
-      manifests.filter(_.content == 0) :+ delManifest)
+      manifests.filter(_.content == 0) ++ eqOnlyManifests.map(_._1) ++
+        (posManifest +: eqManifests))
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, Some(snap.snapshotId), seq, now,
       listFile.getPath,

@@ -628,6 +628,47 @@ class GraftCatalogSpec extends AnyFunSuite {
       == 94)
   }
 
+  test("rewrite_position_deletes bin-packs tombstones to the target file size") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db27")
+    // A tiny target so the surviving tombstones must span several files.
+    spark.sql("CREATE TABLE graft.db27.pd2 (id BIGINT) " +
+      "TBLPROPERTIES ('write.target-file-size-bytes'='2048')")
+    spark.sql("INSERT INTO graft.db27.pd2 SELECT id FROM range(50000)")
+    spark.sql("DELETE FROM graft.db27.pd2 WHERE id < 25000") // MoR tombstones
+    val res = spark.sql(
+      "CALL graft.system.rewrite_position_deletes('db27.pd2')").collect()
+    // Bin-packed: >1 output file, each written by its own task.
+    assert(res(0).getInt(1) > 1, res.toSeq.toString)
+    assert(spark.sql("SELECT * FROM graft.db27.pd2.delete_files").count() > 1)
+    // MoR reads stay exact through the rewrite.
+    val row = spark.sql(
+      "SELECT count(*), sum(id) FROM graft.db27.pd2").collect()(0)
+    assert(row.getLong(0) == 25000L && row.getLong(1) == 937487500L, row.toString)
+    // every surviving tombstone is still present exactly once
+    assert(spark.sql(
+      "SELECT * FROM graft.db27.pd2.position_deletes").count() == 25000)
+  }
+
+  test("rewrite_position_deletes carries eq-delete manifests with tuples intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28")
+    spark.sql("CREATE TABLE graft.db28.mix (id BIGINT)")
+    spark.sql("INSERT INTO graft.db28.mix SELECT id FROM range(100)")
+    var t = IcebergTables.load(s"$warehouse/db28/mix")
+    import spark.implicits._
+    // an equality tombstone (its manifest must survive the rewrite as-is)
+    t = TableWriter.deleteEquality(t, Seq(50L).toDF("id"), Seq("id"))
+    // and positional tombstones that the rewrite coalesces (partial-file
+    // delete so it cannot collapse into a metadata-only file drop)
+    spark.sql("DELETE FROM graft.db28.mix WHERE id < 3")
+    spark.sql("CALL graft.system.rewrite_position_deletes('db28.mix')")
+    assert(spark.sql("SELECT count(*) FROM graft.db28.mix").collect()(0)
+      .getLong(0) == 96) // 100 - 3 positional - 1 equality
+    // both delete shapes still present post-rewrite
+    val contents = spark.sql("SELECT content FROM graft.db28.mix.delete_files")
+      .collect().map(_.getInt(0)).toSet
+    assert(contents == Set(1, 2), s"expected pos+eq delete files: $contents")
+  }
+
   test("CALL fast_forward publishes a branch onto main") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db24")
     spark.sql("CREATE TABLE graft.db24.wap (id BIGINT)")
