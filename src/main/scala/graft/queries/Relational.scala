@@ -64,11 +64,13 @@ object Relational {
        FROM lineitem WHERE l_quantity > 45 AND CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
        ORDER BY l_orderkey, l_linenumber"""
 
-  /** TPC-H Q3: shipping priority — 3-way join. Only the segment-filtered
-    * customer key set gets a broadcast hint (genuinely small at any scale);
-    * orders⋈lineitem shuffles on the join key — at 100 TB the filtered
-    * orders side is tens of GB and must never be hinted broadcast (AQE
-    * still broadcasts it at small SF where it measures small). */
+  /** TPC-H Q3: shipping priority — 3-way join. NO forced broadcast
+    * anywhere: the segment-filtered customer key set is ~1/5 of
+    * `customer`, which grows linearly with SF (~3B keys at sf100k), so a
+    * baked-in hint would OOM the build side at scale. AQE broadcasts it
+    * wherever it measures under the threshold (it does at bench SF) and
+    * falls back to a shuffle join when it doesn't — the right call both
+    * times. orders⋈lineitem shuffles on the join key. */
   def q03TopOrders(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -77,7 +79,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))

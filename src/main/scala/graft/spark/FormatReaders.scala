@@ -15,13 +15,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolved BY NAME with the same historical-name candidates the id-less
   * parquet fallback uses (renamed columns keep resolving), missing columns
   * as null (schema evolution), and the synthetic row-index column filled
-  * from a running per-file counter — non-parquet files are planned as ONE
-  * split per file, so the counter IS the file row position and positional
-  * deletes match exactly like they do on parquet.
+  * with the FILE-ABSOLUTE row position — so positional deletes match
+  * exactly like they do on parquet.
+  *
+  * Splittable: both readers take a (start, length) byte range with the
+  * standard ownership contract — ORC reads the stripes whose first byte
+  * falls in the range (orc-core's `Options.range`), Avro syncs to the
+  * first block boundary at/after `start` and reads until past
+  * `start+length` (avro-mapred's contract) — so a multi-GB file fans out
+  * across tasks instead of becoming one straggler. Each reader derives
+  * its row-index BASE from file metadata alone: ORC sums the row counts
+  * of the stripes before the range; Avro walks the on-disk block headers
+  * (count/size varints + seek over the data) up to the range start,
+  * reading ~20 bytes per skipped block and never decoding a row.
   *
   * Scale: these are row-path readers (no vectorized decode) — correct
-  * first; the scan stays distributed (one task per file) and mixed-format
-  * tables only pay the row path for their non-parquet files. */
+  * first; the scan stays distributed (one task per split) and
+  * mixed-format tables only pay the row path for their non-parquet
+  * files. */
 private[spark] trait RowFileReader {
   def nextKeyValue(): Boolean
   def getCurrentValue: InternalRow
@@ -43,22 +54,31 @@ private[spark] object FormatReaders {
     f.name +: (if (f.metadata.contains(SchemaConv.NameCandidatesKey))
       f.metadata.getStringArray(SchemaConv.NameCandidatesKey).toSeq else Nil)
 
-  def rowReader(format: String, path: String,
-                schema: StructType): RowFileReader =
+  def rowReader(format: String, path: String, schema: StructType,
+                start: Long = 0L, length: Long = Long.MaxValue): RowFileReader =
     format.toUpperCase match {
-      case "AVRO" => new AvroRowFileReader(path, schema)
-      case "ORC" => new OrcRowFileReader(path, schema)
+      case "AVRO" => new AvroRowFileReader(path, schema, start, length)
+      case "ORC" => new OrcRowFileReader(path, schema, start, length)
       case other => throw new UnsupportedOperationException(
         s"no row reader for format $other")
     }
 
+  /** Byte-range splits for a non-parquet file: ceil(size / maxSplit)
+    * contiguous ranges; the readers own the stripes/blocks whose first
+    * byte lands in their range. */
+  def byteRanges(size: Long, maxSplit: Long): Seq[(Long, Long)] = {
+    if (size <= maxSplit) return Seq((0L, size))
+    (0L until size by maxSplit).map(s => (s, math.min(maxSplit, size - s)))
+  }
+
   /** Library-scan DataFrame over non-parquet files: one RDD partition per
-    * file, decoded executor-side through the row readers — with optional
-    * `__path`/`__pos` provenance (whole-file partitions make the running
-    * counter the true file row position, so MoR positional deletes apply
-    * to ORC/Avro files exactly as to parquet). */
+    * byte-range split (stripe/sync-block granularity at read time),
+    * decoded executor-side through the row readers — with optional
+    * `__path`/`__pos` provenance (the readers synthesize the
+    * FILE-ABSOLUTE row position from stripe/block metadata, so MoR
+    * positional deletes apply to ORC/Avro files exactly as to parquet). */
   def nonParquetDF(spark: org.apache.spark.sql.SparkSession, format: String,
-                   paths: Seq[String], schema: StructType,
+                   files: Seq[(String, Long)], schema: StructType,
                    withProvenance: Boolean): org.apache.spark.sql.DataFrame = {
     val readSchema =
       if (withProvenance)
@@ -71,20 +91,31 @@ private[spark] object FormatReaders {
       else schema
     val n = schema.length
     val fmt = format
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = files.flatMap { case (path, size) =>
+      byteRanges(size, maxSplit).map { case (s, l) => (path, s, l) }
+    }
     val rdd = spark.sparkContext
-      .parallelize(paths.toIndexedSeq, math.max(1, paths.size))
+      .parallelize(splits.toIndexedSeq, math.max(1, splits.size))
       .mapPartitions { it =>
-        it.flatMap { path =>
+        it.flatMap { case (path, start, len) =>
           val normed = UTF8String.fromString(
             path.replaceFirst("^file:(//)?", ""))
-          val reader = rowReader(fmt, path, readSchema)
+          val reader = rowReader(fmt, path, readSchema, start, len)
+          // a task that stops consuming early (limit, failure) must not
+          // leak the open stream — close on task completion, like Spark's
+          // own file readers
+          var closed = false
+          def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
           new Iterator[InternalRow] {
             private var advanced = false
             private var has = false
             override def hasNext: Boolean = {
               if (!advanced) {
                 has = reader.nextKeyValue()
-                if (!has) reader.close()
+                if (!has) closeOnce()
                 advanced = true
               }
               has
@@ -111,16 +142,28 @@ private[spark] object FormatReaders {
 }
 
 /** Avro OCF decode via the avro-core reader (no spark-avro needed),
-  * GenericRecord fields mapped to catalyst values. */
-private[spark] final class AvroRowFileReader(path: String, schema: StructType)
+  * GenericRecord fields mapped to catalyst values. `start`/`length`
+  * select the sync-delimited blocks whose preceding sync marker begins in
+  * [start, start+length) — the avro-mapred split contract — and the
+  * row-index base is recovered by walking the block headers before
+  * `start` (seek-over-data, no row decode). */
+private[spark] final class AvroRowFileReader(path: String, schema: StructType,
+                                             start: Long = 0L,
+                                             length: Long = Long.MaxValue)
     extends RowFileReader {
-  import org.apache.avro.file.DataFileStream
+  import org.apache.avro.file.DataFileReader
   import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 
   private val hp = new Path(path)
-  private val in = hp.getFileSystem(new Configuration()).open(hp)
-  private val stream = new DataFileStream[GenericRecord](in,
+  private val fs = hp.getFileSystem(new Configuration())
+  private val end =
+    if (length == Long.MaxValue) Long.MaxValue else start + length
+  private val stream = new DataFileReader[GenericRecord](
+    new org.apache.avro.mapred.FsInput(hp, new Configuration()),
     new GenericDatumReader[GenericRecord]())
+  private val rowIndexBase: Long =
+    if (start <= 0) 0L else AvroBlockWalker.rowsBefore(fs, hp, start)
+  if (start > 0) stream.sync(start)
   private val fileFields: Set[String] = {
     import scala.jdk.CollectionConverters._
     stream.getSchema.getFields.asScala.map(_.name).toSet
@@ -145,7 +188,7 @@ private[spark] final class AvroRowFileReader(path: String, schema: StructType)
   }
   private val rowIdxOrd = schema.fieldNames.indexOf(GraftReaders.RowIndexCol)
 
-  private var rowIndex = -1L
+  private var rowIndex = rowIndexBase - 1
   private var current: InternalRow = _
 
   private def convert(v: Any, dt: DataType, millis: Boolean): Any = v match {
@@ -153,7 +196,13 @@ private[spark] final class AvroRowFileReader(path: String, schema: StructType)
     case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
     case s: String => UTF8String.fromString(s)
     case b: java.nio.ByteBuffer =>
-      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+      dt match {
+        case d: DecimalType => org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(out), d.scale),
+          d.precision, d.scale)
+        case _ => out
+      }
     case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
     case l: java.lang.Long if dt == TimestampType || dt == TimestampNTZType =>
       if (millis) l * 1000L else l.longValue()
@@ -173,7 +222,8 @@ private[spark] final class AvroRowFileReader(path: String, schema: StructType)
   }
 
   override def nextKeyValue(): Boolean = {
-    if (!stream.hasNext) return false
+    if (!stream.hasNext || (end != Long.MaxValue && stream.pastSync(end)))
+      return false
     val rec = stream.next()
     rowIndex += 1
     val values = new Array[Any](schema.length)
@@ -194,9 +244,80 @@ private[spark] final class AvroRowFileReader(path: String, schema: StructType)
   override def close(): Unit = stream.close()
 }
 
+/** Walks an Avro OCF's on-disk block headers — count/size varints + a
+  * seek over the data — to recover how many rows precede a byte offset.
+  * Never decodes a row and never reads block payloads, so skipping to a
+  * split at offset N costs ~20 bytes of I/O per skipped block. */
+private[spark] object AvroBlockWalker {
+  import org.apache.hadoop.fs.{FSDataInputStream, FileSystem}
+
+  /** Rows in blocks whose preceding sync marker begins before `start` —
+    * the file-absolute row index of the first row a split starting at
+    * `start` will read (the avro-mapred ownership contract: a block
+    * belongs to the split whose range contains its marker start). */
+  def rowsBefore(fs: FileSystem, path: Path, start: Long): Long = {
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic(0) == 'O' && magic(1) == 'b' && magic(2) == 'j',
+        s"not an Avro object container file: $path")
+      // file metadata map: (count, entries...) groups until count == 0;
+      // a negative count is followed by the group's byte size (seekable)
+      var n = readZigZag(in)
+      while (n != 0) {
+        if (n < 0) { val size = readZigZag(in); in.seek(in.getPos + size) }
+        else {
+          var i = 0L
+          while (i < n) { skipBytesItem(in); skipBytesItem(in); i += 1 }
+        }
+        n = readZigZag(in)
+      }
+      // the header's trailing 16-byte sync is the first block's marker
+      var marker = in.getPos
+      var rows = 0L
+      while (marker < start && marker + 16 < len) {
+        in.seek(marker + 16)
+        val count = readZigZag(in)
+        val size = readZigZag(in)
+        rows += count
+        marker = in.getPos + size // data end = next block's marker start
+      }
+      rows
+    } finally in.close()
+  }
+
+  /** Zigzag-varint long (Avro's `long` wire format). */
+  private def readZigZag(in: FSDataInputStream): Long = {
+    var b = in.read()
+    if (b < 0) throw new java.io.EOFException()
+    var n: Long = b & 0x7f
+    var shift = 7
+    while ((b & 0x80) != 0) {
+      b = in.read()
+      if (b < 0) throw new java.io.EOFException()
+      n |= (b & 0x7fL) << shift
+      shift += 7
+    }
+    (n >>> 1) ^ -(n & 1)
+  }
+
+  /** Skip one Avro `bytes`/`string` item: varint length + payload. */
+  private def skipBytesItem(in: FSDataInputStream): Unit = {
+    val size = readZigZag(in)
+    in.seek(in.getPos + size)
+  }
+}
+
 /** ORC decode via orc-core's vectorized row batches (bundled with Spark),
-  * surfaced row-by-row. */
-private[spark] final class OrcRowFileReader(path: String, schema: StructType)
+  * surfaced row-by-row. `start`/`length` select the stripes whose first
+  * byte falls inside the range (orc-core's own split contract); the
+  * row-index base is the row count of the stripes before the range, from
+  * stripe metadata alone. */
+private[spark] final class OrcRowFileReader(path: String, schema: StructType,
+                                            start: Long = 0L,
+                                            length: Long = Long.MaxValue)
     extends RowFileReader {
   import org.apache.orc.OrcFile
 
@@ -214,11 +335,20 @@ private[spark] final class OrcRowFileReader(path: String, schema: StructType)
       case n if fileNames.contains(n) => fileNames.indexOf(n)
     }.getOrElse(-1)
   }
-  private val rows = reader.rows()
+  private val rowIndexBase: Long =
+    if (start <= 0) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      reader.getStripes.asScala.takeWhile(_.getOffset < start)
+        .map(_.getNumberOfRows).sum
+    }
+  private val rows =
+    if (start <= 0 && length == Long.MaxValue) reader.rows()
+    else reader.rows(reader.options().range(start, length))
   private val batch = fileSchema.createRowBatch(1024)
   private var inBatch = 0
   private var batchSize = 0
-  private var rowIndex = -1L
+  private var rowIndex = rowIndexBase - 1
   private var current: InternalRow = _
 
   private def value(col: Int, r: Int, dt: DataType): Any = {
@@ -244,6 +374,12 @@ private[spark] final class OrcRowFileReader(path: String, schema: StructType)
         if (dt == BinaryType) bytes else UTF8String.fromBytes(bytes)
       case tv: TimestampColumnVector =>
         tv.time(idx) * 1000L + (tv.nanos(idx) / 1000L) % 1000L
+      case dv: DecimalColumnVector => dt match {
+        case d: DecimalType => org.apache.spark.sql.types.Decimal(
+          dv.vector(idx).getHiveDecimal.bigDecimalValue(), d.precision, d.scale)
+        case _ => throw new UnsupportedOperationException(
+          s"orc decimal vector for $dt in $path")
+      }
       case other => throw new UnsupportedOperationException(
         s"unsupported orc vector ${other.getClass} for $dt in $path")
     }

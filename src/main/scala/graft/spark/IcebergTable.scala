@@ -191,14 +191,16 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
         if (!withProvenance) df
         else df.withColumn("__path", norm(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
-      // ORC/AVRO data files decode through the row readers (one task per
-      // file, provenance synthesized from the whole-file row counter);
-      // parquet files take the vectorized path below
+      // ORC/AVRO data files decode through the row readers (stripe/
+      // sync-block byte-range splits, provenance = file-absolute row
+      // index from stripe/block metadata); parquet files take the
+      // vectorized path below
       val (parquetFiles, otherFiles) =
         groupFiles.partition(_.format.equalsIgnoreCase("PARQUET"))
       val nonParquetParts = otherFiles.groupBy(_.format.toUpperCase).toSeq
         .sortBy(_._1).map { case (fmt, fs) =>
-          FormatReaders.nonParquetDF(spark, fmt, fs.map(_.path).sorted,
+          FormatReaders.nonParquetDF(spark, fmt,
+            fs.map(f => (f.path, f.fileSizeInBytes)).sortBy(_._1),
             candidateSchema, withProvenance)
             .toDF((sparkSchema.fieldNames ++
               (if (withProvenance) Seq("__path", "__pos") else Nil)).toIndexedSeq: _*)

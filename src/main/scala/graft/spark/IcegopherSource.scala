@@ -668,14 +668,15 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
           case other => other
         }
       }.toArray
-      // non-parquet files read as ONE split: their row readers synthesize
-      // the file row index from a running counter, which is only the file
-      // position when the whole file is one task
+      // non-parquet files split on byte ranges: ORC owns the stripes and
+      // Avro the sync blocks whose first byte lands in the range, and the
+      // readers recover the FILE-ABSOLUTE row index from stripe/block
+      // metadata — so positional deletes keep applying across splits
       val fmt = t.file.format.toUpperCase
       val ranges =
         if (fmt == "PARQUET")
           splitRanges(t.file.splitOffsets, t.file.fileSizeInBytes, maxSplit)
-        else Seq((0L, t.file.fileSizeInBytes))
+        else FormatReaders.byteRanges(t.file.fileSizeInBytes, maxSplit)
       ranges.map {
         case (start, len) =>
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
@@ -901,8 +902,8 @@ final class GraftRowReader(p: GraftInputPartition)
   private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
   private val required = DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
   private val reader: RowFileReader = p.format.toUpperCase match {
-    case "AVRO" => new AvroRowFileReader(p.path, readSchema)
-    case "ORC" => new OrcRowFileReader(p.path, readSchema)
+    case "AVRO" => new AvroRowFileReader(p.path, readSchema, p.start, p.length)
+    case "ORC" => new OrcRowFileReader(p.path, readSchema, p.start, p.length)
     case _ => new ParquetRowFileReader(
       GraftReaders.createVectorized(p.path, p.start, p.length, readSchema,
         p.rowGroupFilter, p.rowGroupFilterCols))

@@ -140,12 +140,13 @@ final case class GraftCowWriterFactory(dir: String, schemaJson: String,
                                        partFields: Seq[PartFieldSpec],
                                        floatFields: Seq[FloatFieldSpec] = Nil,
                                        parquetProps: Map[String, String] = Map.empty,
-                                       targetFileBytes: Long = Long.MaxValue)
+                                       targetFileBytes: Long = Long.MaxValue,
+                                       format: String = "PARQUET")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields, floatFields,
-      parquetProps, targetFileBytes)
+      parquetProps, targetFileBytes, format)
 }
 
 object GraftCowWriterFactory {
@@ -208,17 +209,19 @@ object GraftCowWriterFactory {
   val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column." 
 }
 
-/** Parquet writing through Spark's ParquetWriteSupport (same encoding as
-  * Spark's own parquet sink), one open file per partition tuple seen by
-  * this task. Partition tuples are derived per row with the CORE transforms
-  * (bucket/truncate/day/... exactly as the spec defines them) and shipped
-  * to the driver in the commit message — manifests carry them, so reads
-  * prune correctly without a hive directory layout. */
+/** Data-file writing through Spark's ParquetWriteSupport (same encoding
+  * as Spark's own parquet sink) — or the ORC/Avro rolling writers when
+  * `write.format-default` says so — one open file per partition tuple
+  * seen by this task. Partition tuples are derived per row with the CORE
+  * transforms (bucket/truncate/day/... exactly as the spec defines them)
+  * and shipped to the driver in the commit message — manifests carry
+  * them, so reads prune correctly without a hive directory layout. */
 final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
                                schema: StructType, partFields: Seq[PartFieldSpec],
                                floatFields: Seq[FloatFieldSpec] = Nil,
                                parquetProps: Map[String, String] = Map.empty,
-                               targetFileBytes: Long = Long.MaxValue)
+                               targetFileBytes: Long = Long.MaxValue,
+                               format: String = "PARQUET")
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -268,7 +271,26 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       k.stripPrefix("parquet.bloom.filter.enabled#")
   }.toSeq.sorted
 
-  private case class Sink(file: File, writer: ParquetWriter[InternalRow],
+  /** A parquet writer behind the format-agnostic rolling interface. */
+  private final class ParquetRollingWriter(path: String) extends RollingWriter {
+    private val w = {
+      var b = new B(new Path(path)).withConf(conf)
+        .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes)
+      bloomCols.foreach(c => b = b.withBloomFilterEnabled(c, true))
+      b.build()
+    }
+    override def write(row: InternalRow): Unit = w.write(row)
+    override def dataSize: Long = w.getDataSize
+    override def close(): Unit = w.close()
+  }
+
+  private def openWriter(path: String): RollingWriter = format.toUpperCase match {
+    case "ORC" => new OrcRollingWriter(path, schema)
+    case "AVRO" => new AvroRollingWriter(path, schema)
+    case _ => new ParquetRollingWriter(path)
+  }
+
+  private case class Sink(file: File, writer: RollingWriter,
                           partition: Map[String, Any]) {
     var rows = 0L
     val nan = new Array[Long](floatFields.size)
@@ -340,12 +362,10 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     val partition = partitionOf(row)
     val key = resolved.map { case (pf, _, _, _) => partition(pf.partName) }
     val sink = sinks.getOrElseUpdate(key, {
-      val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.parquet")
+      val ext = FormatWriters.fileExtension(format)
+      val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.$ext")
       fileSeq += 1
-        var b = new B(new Path(f.getPath)).withConf(conf)
-        .withCompressionCodec(codec).withRowGroupSize(rowGroupBytes)
-      bloomCols.foreach(c => b = b.withBloomFilterEnabled(c, true))
-      Sink(f, b.build(), partition)
+      Sink(f, openWriter(f.getPath), partition)
     })
     sink.writer.write(row)
     sink.rows += 1
@@ -361,7 +381,7 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       i += 1
     }
     // roll at the target size so one task can't produce an unbounded file
-    if (sink.writer.getDataSize >= targetFileBytes) {
+    if (sink.writer.dataSize >= targetFileBytes) {
       sink.writer.close()
       finished += sink.toOut
       sinks.remove(key)

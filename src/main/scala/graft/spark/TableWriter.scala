@@ -1254,7 +1254,8 @@ object TableWriter {
       },
       GraftCowWriterFactory.floatFieldsOf(schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(df.sparkSession, properties),
-      GraftCowWriterFactory.targetFileBytes(properties))
+      GraftCowWriterFactory.targetFileBytes(properties),
+      FormatWriters.dataFormatOf(properties))
     val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         // taskAttemptId (globally unique per attempt) in the file name:
@@ -1292,10 +1293,19 @@ object TableWriter {
       sortOrder, preClustered)
 
     val partType = spec.partitionType(schema)
+    val dataFormat = FormatWriters.dataFormatOf(properties)
     val entries = outs.sortBy(_.path).map { o =>
-      val info = statsFromFooter(new File(o.path), schema,
-        o.partition.filter(_._2 != null), DataFileContent.Data, None, o.nanCounts)
-        .copy(sortOrderId = Some(sortOrder.orderId))
+      val info = (dataFormat match {
+        case "PARQUET" => statsFromFooter(new File(o.path), schema,
+          o.partition.filter(_._2 != null), DataFileContent.Data, None, o.nanCounts)
+        case "ORC" => statsFromOrc(new File(o.path), schema,
+          o.partition.filter(_._2 != null), o.nanCounts)
+        case _ /* AVRO: no footer stats — counts only */ =>
+          DataFileInfo(DataFileContent.Data, o.path, "AVRO",
+            o.partition.filter(_._2 != null), o.rows,
+            new File(o.path).length(), Map.empty, Map.empty, Map.empty,
+            o.nanCounts, Map.empty, Map.empty, Nil, Nil, None)
+      }).copy(sortOrderId = Some(sortOrder.orderId))
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(sequenceNumber),
         Some(sequenceNumber), info)
     }
@@ -1559,6 +1569,66 @@ object TableWriter {
         nullValueCounts = nullCounts.toMap, nanValueCounts = nanCounts,
         lowerBounds = lowerB.map { case (k, v) => k -> v.toBytes }.toMap,
         upperBounds = upperB.map { case (k, v) => k -> v.toBytes }.toMap,
+        splitOffsets = splitOffsets, equalityIds = Nil, sortOrderId = Some(0))
+    } finally reader.close()
+  }
+
+  /** ORC footer → per-file Iceberg stats: orc-core's per-file column
+    * statistics mapped to counts and (for int/long/date/float/double/
+    * string columns) min/max bounds — bounds are emitted only where the
+    * mapping is exact, so pruning stays correct-or-conservative. Metadata
+    * read only. */
+  private def statsFromOrc(file: File, schema: Schema,
+                           partition: Map[String, Any],
+                           nanCounts: Map[Int, Long]): DataFileInfo = {
+    import org.apache.orc.OrcFile
+    val reader = OrcFile.createReader(new Path(file.getPath),
+      OrcFile.readerOptions(new Configuration()))
+    try {
+      val rowCount = reader.getNumberOfRows
+      val splitOffsets = reader.getStripes.asScala.map(_.getOffset).toSeq.sorted
+      val names = reader.getSchema.getFieldNames.asScala.toSeq
+      val stats = reader.getStatistics // index 0 = root struct
+      val valCounts = scala.collection.mutable.Map[Int, Long]()
+      val nullCounts = scala.collection.mutable.Map[Int, Long]()
+      val lowerB = scala.collection.mutable.Map[Int, Array[Byte]]()
+      val upperB = scala.collection.mutable.Map[Int, Array[Byte]]()
+      names.zipWithIndex.foreach { case (name, i) =>
+        schema.findFieldByName(name).foreach { field =>
+          // flat schemas: top-level child i is orc column i+1
+          val s = stats(i + 1)
+          valCounts(field.id) = rowCount
+          nullCounts(field.id) = rowCount - s.getNumberOfValues
+          def put(mn: Option[Literal], mx: Option[Literal]): Unit =
+            if (s.getNumberOfValues > 0) {
+              mn.foreach(l => lowerB(field.id) = l.toBytes)
+              mx.foreach(l => upperB(field.id) = l.toBytes)
+            }
+          (s, field.fieldType) match {
+            case (ic: org.apache.orc.IntegerColumnStatistics, IntT) =>
+              put(Some(IntLit(ic.getMinimum.toInt)), Some(IntLit(ic.getMaximum.toInt)))
+            case (ic: org.apache.orc.IntegerColumnStatistics, LongT) =>
+              put(Some(LongLit(ic.getMinimum)), Some(LongLit(ic.getMaximum)))
+            case (ic: org.apache.orc.IntegerColumnStatistics, DateT) =>
+              put(Some(DateLit(ic.getMinimum.toInt)), Some(DateLit(ic.getMaximum.toInt)))
+            case (dc: org.apache.orc.DoubleColumnStatistics, FloatT) =>
+              put(Some(FloatLit(dc.getMinimum.toFloat)), Some(FloatLit(dc.getMaximum.toFloat)))
+            case (dc: org.apache.orc.DoubleColumnStatistics, DoubleT) =>
+              put(Some(DoubleLit(dc.getMinimum)), Some(DoubleLit(dc.getMaximum)))
+            case (sc: org.apache.orc.StringColumnStatistics, StringT)
+                if sc.getMinimum != null && sc.getMaximum != null =>
+              put(Some(StrLit(sc.getMinimum)), Some(StrLit(sc.getMaximum)))
+            case _ => // no exact mapping → no bounds (prune-safe)
+          }
+        }
+      }
+      DataFileInfo(
+        content = DataFileContent.Data, path = file.getPath, format = "ORC",
+        partition = partition, recordCount = rowCount,
+        fileSizeInBytes = file.length(),
+        columnSizes = Map.empty, valueCounts = valCounts.toMap,
+        nullValueCounts = nullCounts.toMap, nanValueCounts = nanCounts,
+        lowerBounds = lowerB.toMap, upperBounds = upperB.toMap,
         splitOffsets = splitOffsets, equalityIds = Nil, sortOrderId = Some(0))
     } finally reader.close()
   }

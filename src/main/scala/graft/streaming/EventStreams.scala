@@ -115,7 +115,11 @@ object EventStreams {
     * dense-sequence filter would leak unpublished branch rows into the
     * changefeed AND false-positive the expiry check on the gaps they
     * leave. Fails loudly only when the parent CHAIN truly breaks above
-    * `fromSeq` (history expired). */
+    * `fromSeq` (history expired) — EXCEPT for the unbounded window
+    * (`fromSeq = 0`), which by contract means "everything retained": the
+    * walk stops at the oldest retained ancestor instead of failing, so an
+    * unbounded changelog over a table with expired history reports the
+    * changes its retained commits recorded. */
   private[streaming] def mainLineageWindow(table: IcebergTable, fromSeq: Long,
                                            toSeq: Long)
       : Seq[graft.core.Snapshot] = {
@@ -134,10 +138,10 @@ object EventStreams {
           None
         case Some(pid) =>
           val p = md.snapshotById(pid)
-          if (p.isEmpty) throw new IllegalStateException(
+          if (p.isEmpty && fromSeq > 0) throw new IllegalStateException(
             s"cannot resolve changefeed window ($fromSeq, $toSeq] of " +
               s"${table.location}: snapshot ${s.snapshotId}'s parent $pid was expired")
-          p
+          p // None (expired below an unbounded window) ends the walk
       }
     }
     out.result().reverse

@@ -60,7 +60,8 @@ class FormatReadSpec extends AnyFunSuite {
     IcebergTables.load(loc)
   }
 
-  private def writeAvro(dir: String, rows: Seq[(Long, String)]): String = {
+  private def writeAvro(dir: String, rows: Seq[(Long, String)],
+                        syncInterval: Int = 0): String = {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -69,6 +70,7 @@ class FormatReadSpec extends AnyFunSuite {
     val f = new File(dir, s"foreign-${System.nanoTime()}.avro")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
+    if (syncInterval > 0) w.setSyncInterval(syncInterval)
     w.create(schema, f)
     rows.foreach { case (id, name) =>
       val r = new GenericData.Record(schema)
@@ -216,6 +218,138 @@ class FormatReadSpec extends AnyFunSuite {
     assert(got2(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](9))
     assert(!got2(0).getBoolean(6))
     assert((1 to 6).forall(got2(1).isNullAt))
+  }
+
+  test("multi-stripe ORC / multi-block Avro split across tasks, MoR intact") {
+    val loc = tmpDir("tbl_fmt_split")
+    val n = 20000
+    TableWriter.create(Seq((-1L, "seed")).toDF("id", "name").coalesce(1), loc)
+    val dataDir = new File(loc, "data"); dataDir.mkdirs()
+
+    // many small ORC stripes / Avro sync blocks in a single file each;
+    // md5-hex payloads so compression can't fold the file under one split
+    def payload(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 4).map(r => md.digest(s"$r-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    }
+    val orcOut = new File(dataDir, "orc-multi")
+    (0 until n).map(i => (i.toLong, payload(i))).toDF("id", "name")
+      .coalesce(1).write.option("orc.stripe.size", "65536").orc(orcOut.getPath)
+    val orcPath = orcOut.listFiles().find(_.getName.endsWith(".orc")).get.getPath
+    appendForeignFile(loc, orcPath, "ORC", n)
+    val avroPath = writeAvro(dataDir.getPath,
+      (0 until n).map(i => ((100000 + i).toLong, payload(1000000 + i))),
+      syncInterval = 2048)
+    val t = appendForeignFile(loc, avroPath, "AVRO", n)
+
+    // force byte-range splits well below both file sizes
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      assert(FormatReaders.byteRanges(new File(orcPath).length, 65536).size > 1)
+      assert(FormatReaders.byteRanges(new File(avroPath).length, 65536).size > 1)
+
+      // sanity: split reads cover every row exactly once
+      assert(t.newScan().toDF(spark).count() == 2L * n + 1)
+
+      // MoR delete hits rows in EARLY and LATE stripes/blocks of both
+      // files — only correct if each split's row index is file-absolute
+      val victims = Set(5L, 9999L, 19999L, 100005L, 109999L, 119999L)
+      val t2 = TableWriter.deleteWhere(t, spark,
+        col("id").isin(victims.toSeq: _*))
+
+      val lib = t2.newScan().toDF(spark)
+      assert(lib.count() == 2L * n + 1 - victims.size)
+      assert(lib.filter(col("id").isin(victims.toSeq: _*)).count() == 0)
+      // spot-check the immediate neighbors survived
+      val near = lib.filter(col("id").isin(4L, 6L, 19998L, 109998L))
+        .collect().map(_.getLong(0)).toSet
+      assert(near == Set(4L, 6L, 19998L, 109998L), s"got $near")
+
+      val dsv2 = spark.read.format("icegopher").load(loc)
+      assert(dsv2.count() == 2L * n + 1 - victims.size)
+      assert(dsv2.filter(col("id").isin(victims.toSeq: _*)).count() == 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("write.format-default=orc: appends write ORC files with manifest stats") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("ts", TimestampType),
+      StructField("day", DateType),
+      StructField("bin", BinaryType),
+      StructField("dec", DecimalType(10, 2)),
+      StructField("flag", BooleanType)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456"),
+        java.sql.Date.valueOf("2024-03-01"), Array[Byte](1, 2, 3),
+        new java.math.BigDecimal("12345.67"), true),
+      Row(2L, null, null, null, null, null, null, null),
+      Row(3L, "zeta", -2.25, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        java.sql.Date.valueOf("2020-01-01"), Array[Byte](9),
+        new java.math.BigDecimal("-1.00"), false))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+    val loc = tmpDir("tbl_orc_write")
+    val t0 = TableWriter.create(df, loc,
+      properties = Map("write.format-default" -> "orc"))
+    // the data files ARE orc, recorded as such in the manifest
+    val files = t0.newScan().planFiles()
+    assert(files.nonEmpty && files.forall(_.file.format == "ORC"),
+      files.map(f => (f.file.path, f.file.format)).toString)
+    assert(files.forall(_.file.path.endsWith(".orc")))
+    // reads back identically through the library scan
+    val got = t0.newScan().toDF(spark).orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "alpha" && got(0).getDouble(2) == 1.5)
+    assert(got(0).getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456"))
+    assert(got(0).getDate(4) == java.sql.Date.valueOf("2024-03-01"))
+    assert(got(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](1, 2, 3))
+    assert(got(0).getDecimal(6) == new java.math.BigDecimal("12345.67"))
+    assert(got(0).getBoolean(7))
+    assert((1 to 7).forall(got(1).isNullAt))
+    assert(got(2).getDecimal(6) == new java.math.BigDecimal("-1.00"))
+    // ORC footer stats reached the manifest: bounds + null counts
+    val info = files.head.file
+    assert(info.recordCount == 3 && info.nullValueCounts.nonEmpty)
+    assert(info.lowerBounds.nonEmpty && info.upperBounds.nonEmpty)
+    // ...and they PRUNE: an out-of-range predicate plans zero files
+    assert(t0.newScan(graft.core.Expr.greaterThan("id",
+      graft.core.LongLit(100L))).planFiles().isEmpty)
+    // append keeps honoring the property; MoR delete still matches rows
+    val t1 = TableWriter.append(t0, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(4L, "late", null, null, null,
+        null, null, null)), 1), schema))
+    assert(t1.newScan().planFiles().forall(_.file.format == "ORC"))
+    val t2 = TableWriter.deleteWhere(t1, spark, col("id") === 3L)
+    assert(t2.newScan().toDF(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+  }
+
+  test("write.format-default=avro: appends write Avro files that read back") {
+    val loc = tmpDir("tbl_avro_write")
+    val t0 = TableWriter.create(
+      (0 until 100).map(i => (i.toLong, s"row-$i")).toDF("id", "name"),
+      loc, properties = Map("write.format-default" -> "avro"))
+    val files = t0.newScan().planFiles()
+    assert(files.nonEmpty && files.forall(_.file.format == "AVRO"))
+    assert(files.forall(_.file.path.endsWith(".avro")))
+    assert(files.map(_.file.recordCount).sum == 100)
+    assert(t0.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (0 until 100).map(i => (i.toLong, s"row-$i")).toSet)
+    // DSv2 read + SQL filter over avro-backed data
+    val dsv2 = spark.read.format("icegopher").load(loc)
+    assert(dsv2.filter(col("id") < 10L).count() == 10)
+    // MoR delete against avro rows
+    val t1 = TableWriter.deleteWhere(t0, spark, col("id") % 10 === 0)
+    assert(t1.newScan().toDF(spark).count() == 90)
   }
 
   test("unknown data format still fails loudly at plan time") {
