@@ -15,10 +15,10 @@ import graft.tables.Tables
   *     shuffle (the per-query top-k heap is the window aggregation).
   *   - [[annLsh]]: random-hyperplane LSH — the 100 TB path. Vectors are
   *     bucketed by signature prefix; queries only compare against their own
-  *     bucket (plus multi-probe neighbors), turning O(N·Q) into
-  *     O(Q·bucketSize). All hash bits are computed in one codegen'd
-  *     projection — no shuffle until the bucket join, which is a broadcast
-  *     join on the tiny query side.
+  *     bucket (optionally plus hamming-1 multi-probe neighbor buckets),
+  *     turning O(N·Q) into O(Q·bucketSize). All hash bits are computed in
+  *     one codegen'd projection — no shuffle until the bucket join, which
+  *     is a broadcast join on the tiny query side.
   */
 object Similarity {
 
@@ -224,9 +224,15 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: compare each query only to candidates
-    * sharing a signature band. Bands of `bandBits` bits out of `nBits`. */
+    * sharing a signature band. Bands of `bandBits` bits out of `nBits`.
+    *
+    * `multiProbe`: the query side additionally probes every HAMMING-1
+    * neighbor of each of its band keys — a near-miss on one signature bit
+    * still finds the bucket. Recall lift at ~`bandBits`× QUERY-side rows;
+    * the corpus side (the scale side) is untouched. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-             nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+             nBits: Int = 16, bandBits: Int = 4,
+             multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(nBits, 64)
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
@@ -240,9 +246,14 @@ object Similarity {
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key")))
-    val q = banded.filter(col("vec_id") < nQueries)
+    val q0 = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("band"), col("key"))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("qid"), col("qe"), col("band"),
+        explode(array(col("key") +: (0 until bandBits).map(j =>
+          col("key").bitwiseXOR(lit(1L << j))): _*)).as("key"))
     val cand = banded.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       col("band"), col("key"))
     val w = Window.partitionBy(col("qid"))
@@ -255,6 +266,108 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB mirror of [[annLsh]] with `multiProbe = true`: the query side
+    * additionally probes each band key's hamming-1 neighbors. */
+  val annLshMultiProbeSql: String = {
+    val planes = hyperplanes(16, 64)
+    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+      val dot = p.zipWithIndex.map { case (v, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ($v)"
+      }.mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n            + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT vec_id, embedding, norm, $b AS band, (sig >> ${b * 4}) & 15 AS key FROM sig")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS (
+         SELECT vec_id, embedding,
+                sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  for i in range(1, len(embedding)+1)])) AS norm
+         FROM embeddings),
+       sig AS (
+         SELECT vec_id, embedding, norm,
+              ($sigTerms) AS sig
+         FROM e),
+       banded AS ($bandSelects),
+       probes AS (
+         SELECT vec_id, embedding, norm, band, key FROM banded WHERE vec_id < 10
+         UNION ALL
+         SELECT vec_id, embedding, norm, band, xor(key, 1 << j) AS key
+         FROM banded, UNNEST(range(0, 4)) t(j) WHERE vec_id < 10),
+       pairs AS (
+         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid,
+                list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  for i in range(1, len(q.embedding)+1)]) / (q.norm * c.norm) AS cos
+         FROM banded c JOIN probes q USING (band, key)
+         WHERE q.vec_id <> c.vec_id)
+       SELECT qid, nid, rank FROM (
+         SELECT qid, nid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         FROM pairs) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** K-means to CONVERGENCE as a library API — the generalization of the
+    * deterministic 1-iteration battery entry [[ann04Kmeans]], same
+    * broadcast-loop shape per iteration:
+    *   - centroids live as a k-row DataFrame, BROADCAST into the
+    *     assignment pass — never collected into a driver loop;
+    *   - the corpus streams map-only through assignment; the centroid
+    *     update is one map-side-combined (cluster, dim) aggregation;
+    *   - per-iteration centroids `localCheckpoint` so lineage stays flat
+    *     across iterations (the d06 connected-components discipline);
+    *   - the ONLY driver-side value per iteration is the scalar max
+    *     centroid shift (the convergence test).
+    * Initialization: the k rows with the smallest ids (deterministic,
+    * partitioning-independent). A cluster that loses all members drops
+    * out (k shrinks), matching Lloyd's standard degenerate case.
+    * Returns (id, cluster, dist) — dist the squared distance to the
+    * winning centroid. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             maxIter: Int = 20, tol: Double = 1e-6): DataFrame = {
+    require(k > 0 && maxIter > 0, "k and maxIter must be positive")
+    val emb = df.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__e"))
+    def assign(centroids: DataFrame): DataFrame =
+      emb.join(broadcast(centroids), lit(true))
+        .select(col("__id"), col("__e"), col("cid"), expr(
+          "aggregate(zip_with(__e, __c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+          .as("dist"))
+        .groupBy("__id")
+        .agg(min_by(struct(col("cid"), col("__e")),
+          struct(col("dist"), col("cid"))).as("best"),
+          min(col("dist")).as("dist"))
+        .select(col("__id"), col("best.cid").as("cluster"),
+          col("best.__e").as("__e"), col("dist"))
+    var centroids = emb.orderBy("__id").limit(k)
+      .select(col("__id").as("cid"), col("__e").as("__c")).localCheckpoint()
+    var moved = Double.MaxValue
+    var iter = 0
+    while (iter < maxIter && moved > tol) {
+      val updated = assign(centroids)
+        .select(col("cluster"), posexplode(col("__e")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v")).as("cv"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("__c"))
+        .select(col("cluster").as("cid"), col("__c")).localCheckpoint()
+      // one scalar to the driver per iteration: the max squared shift
+      moved = updated.select(col("cid"), col("__c").as("__cn"))
+        .join(centroids.select(col("cid"), col("__c").as("__co")), "cid")
+        .select(max(expr(
+          "aggregate(zip_with(__cn, __co, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"))
+          .as("m"))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0)
+        }
+      centroids = updated
+      iter += 1
+    }
+    assign(centroids).select(col("__id").as(idCol), col("cluster"), col("dist"))
   }
 
   /** Distributed k-means over the embedding corpus (one full Lloyd

@@ -177,7 +177,8 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val candidateSchema =
-      SchemaConv.withNameCandidates(sparkSchema, table.metadata.schemas)
+      SchemaConv.withNameCandidates(sparkSchema, table.metadata.schemas,
+        SchemaConv.nameMappingOf(table.metadata.properties))
 
     /** One DataFrame over a file set: id-annotated read for id-carrying
       * files, per-name-resolution plain reads for id-less ones (footer

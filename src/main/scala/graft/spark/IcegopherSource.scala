@@ -50,12 +50,17 @@ class IcegopherSource extends TableProvider
     IcebergTables.load(path)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SchemaConv.toSparkSchema(loadTable(options).schema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = SchemaConv.toSparkSchema(loadTable(options).schema)
+    if (options.getBoolean("read-changes", false))
+      StructType(base.fields ++ GraftReaders.CdcCols)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftSparkTable(IcebergTables.load(properties.get("path")))
+    new GraftSparkTable(IcebergTables.load(properties.get("path")),
+      readChanges = "true".equalsIgnoreCase(properties.get("read-changes")))
 }
 
 /** `pinnedSnapshotId` is set by the catalog's time-travel hooks
@@ -63,7 +68,8 @@ class IcegopherSource extends TableProvider
   * snapshot and the table reports the SNAPSHOT's schema, so old reads
   * resolve the schema they were written under. */
 final class GraftSparkTable(table: IcebergTable,
-                            pinnedSnapshotId: Option[Long] = None) extends Table
+                            pinnedSnapshotId: Option[Long] = None,
+                            readChanges: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -160,7 +166,11 @@ final class GraftSparkTable(table: IcebergTable,
     true
   }
   override def name(): String = table.location
-  override def schema(): StructType = SchemaConv.toSparkSchema(activeSchema)
+  override def schema(): StructType = {
+    val base = SchemaConv.toSparkSchema(activeSchema)
+    // read-changes (streaming CDC): rows carry commit provenance columns
+    if (readChanges) StructType(base.fields ++ GraftReaders.CdcCols) else base
+  }
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -422,7 +432,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
         Option(options.get("stream-start")).getOrElse("earliest"), incremental,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+        options.getBoolean("read-changes", false))
   }
 }
 
@@ -462,7 +473,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       limit: Option[Int], streamStart: String = "earliest",
                       incremental: Option[(Long, Option[Long])] = None,
                       maxFilesPerTrigger: Option[Int] = None,
-                      maxBytesPerTrigger: Option[Long] = None)
+                      maxBytesPerTrigger: Option[Long] = None,
+                      readChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -586,11 +598,16 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   private[spark] def scannedVersion: Int = table.loadedVersion
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (readChanges) throw new UnsupportedOperationException(
+      "read-changes is a streaming option (readStream); for batch CDC use " +
+        "CALL create_changelog_view or Changelog.changelogDF")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(table.location, required,
-      streamStart, maxFilesPerTrigger, maxBytesPerTrigger)
+      streamStart, maxFilesPerTrigger, maxBytesPerTrigger, readChanges)
   override def description(): String =
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 
@@ -657,7 +674,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       // historical names ride along so the per-file name fallback (id-less
       // files) resolves renamed columns executor-side
       val read = SchemaConv.withNameCandidates(
-        readerSchema(pos.nonEmpty, eq), table.metadata.schemas)
+        readerSchema(pos.nonEmpty, eq), table.metadata.schemas,
+        SchemaConv.nameMappingOf(table.metadata.properties))
       // partition tuple in spec-field order, catalyst-typed — the key for
       // storage-partitioned join grouping
       val partValues: Array[Any] = table.spec.fields.map { pf =>
@@ -750,7 +768,17 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      format: String = "PARQUET",
                                      rowGroupFilter: Option[
                                        org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-                                     rowGroupFilterCols: Seq[(String, String)] = Nil)
+                                     rowGroupFilterCols: Seq[(String, String)] = Nil,
+                                     // CDC (streaming read-changes): stamp
+                                     // emitted rows with this commit...
+                                     cdc: Option[(String, Long, Long)] = None,
+                                     // ...and when these are set, emit ONLY
+                                     // the rows the named NEW tombstone
+                                     // files delete (posDeletes/eqDeletes
+                                     // above still filter rows already
+                                     // dead before the commit)
+                                     cdcMatchPos: Seq[String] = Nil,
+                                     cdcMatchEq: Seq[EqDelete] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -777,9 +805,22 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 }
 
 /** Shared plumbing for Spark's vectorized parquet reader. */
-private[spark] object GraftReaders {
+private[graft] object GraftReaders {
   /** Metadata column name for per-row file provenance. */
   val FileCol: String = "_file"
+
+  /** CDC output columns (streaming `read-changes` mode): stamped per
+    * input partition from its commit provenance. */
+  val ChangeTypeCol: String = "_change_type"
+  val CommitSnapshotCol: String = "_commit_snapshot_id"
+  val CommitSequenceCol: String = "_commit_sequence"
+  val CdcCols: Seq[org.apache.spark.sql.types.StructField] = Seq(
+    org.apache.spark.sql.types.StructField(ChangeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(CommitSnapshotCol,
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField(CommitSequenceCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
 
   /** Spark's temporary metadata column name: when present in the requested
     * schema, `VectorizedParquetRecordReader` fills it with the row's
@@ -910,12 +951,14 @@ final class GraftRowReader(p: GraftInputPartition)
   }
 
   private val rowIdxOrd: Int =
-    if (p.posDeletes.nonEmpty) readSchema.fieldIndex(GraftReaders.RowIndexCol) else -1
+    if (p.posDeletes.nonEmpty || p.cdcMatchPos.nonEmpty)
+      readSchema.fieldIndex(GraftReaders.RowIndexCol) else -1
   private val posSet: java.util.HashSet[java.lang.Long] =
     if (p.posDeletes.isEmpty) null
     else DeleteFileCache.positionsFor(p.posDeletes, p.path)
-  private val eqMatchers: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
-    p.eqDeletes.groupBy(_.cols).toSeq.collect { case (cols, files) if cols.nonEmpty =>
+  private def buildEqMatchers(eqs: Seq[EqDelete])
+      : Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    eqs.groupBy(_.cols).toSeq.collect { case (cols, files) if cols.nonEmpty =>
       val ords = cols.map(readSchema.fieldIndex).toArray
       val dts = ords.map(readSchema(_).dataType)
       val set = new java.util.HashSet[Seq[Any]]()
@@ -923,37 +966,64 @@ final class GraftRowReader(p: GraftInputPartition)
         ords.indices.map(i => readSchema(ords(i))).toArray)))
       (ords, dts, set)
     }
+  private val eqMatchers = buildEqMatchers(p.eqDeletes)
+  // CDC delete partitions: the NEW tombstones select which rows to EMIT
+  private val matchPosSet: java.util.HashSet[java.lang.Long] =
+    if (p.cdcMatchPos.isEmpty) null
+    else DeleteFileCache.positionsFor(p.cdcMatchPos, p.path)
+  private val matchEqMatchers = buildEqMatchers(p.cdcMatchEq)
 
   private val project: UnsafeProjection = UnsafeProjection.create(
     required.fields.map { f =>
-      if (f.name == GraftReaders.FileCol)
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(p.path), StringType)
-          : org.apache.spark.sql.catalyst.expressions.Expression
-      else
-        BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
-          : org.apache.spark.sql.catalyst.expressions.Expression
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal => CLit}
+      import org.apache.spark.unsafe.types.UTF8String
+      f.name match {
+        case GraftReaders.FileCol =>
+          CLit(UTF8String.fromString(p.path), StringType): Expression
+        case GraftReaders.ChangeTypeCol if p.cdc.isDefined =>
+          CLit(UTF8String.fromString(p.cdc.get._1), StringType): Expression
+        case GraftReaders.CommitSnapshotCol if p.cdc.isDefined =>
+          CLit(p.cdc.get._2, org.apache.spark.sql.types.LongType): Expression
+        case GraftReaders.CommitSequenceCol if p.cdc.isDefined =>
+          CLit(p.cdc.get._3, org.apache.spark.sql.types.LongType): Expression
+        case _ =>
+          BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
+            : Expression
+      }
     }.toIndexedSeq)
 
   private var current: InternalRow = _
   private var emitted = 0L
 
-  private def deleted(row: InternalRow): Boolean = {
-    if (posSet != null && posSet.contains(row.getLong(rowIdxOrd))) return true
-    eqMatchers.exists { case (ords, dts, set) =>
+  private def matchesEq(row: InternalRow,
+                        ms: Seq[(Array[Int], Array[DataType],
+                          java.util.HashSet[Seq[Any]])]): Boolean =
+    ms.exists { case (ords, dts, set) =>
       val key: Seq[Any] = ords.indices.map { i =>
         if (row.isNullAt(ords(i))) null
         else DeleteFileCache.canonical(row.get(ords(i), dts(i)))
       }
       set.contains(key)
     }
+
+  private def deleted(row: InternalRow): Boolean = {
+    if (posSet != null && posSet.contains(row.getLong(rowIdxOrd))) return true
+    matchesEq(row, eqMatchers)
+  }
+
+  /** CDC delete partitions emit only rows the commit's NEW tombstones
+    * kill; everything else passes everything through. */
+  private def cdcSelected(row: InternalRow): Boolean = {
+    if (matchPosSet == null && matchEqMatchers.isEmpty) return true
+    (matchPosSet != null && matchPosSet.contains(row.getLong(rowIdxOrd))) ||
+      matchesEq(row, matchEqMatchers)
   }
 
   override def next(): Boolean = {
     if (p.limit.exists(emitted >= _)) return false
     while (reader.nextKeyValue()) {
       val row = reader.getCurrentValue
-      if (!deleted(row)) {
+      if (!deleted(row) && cdcSelected(row)) {
         current = row
         emitted += 1
         return true

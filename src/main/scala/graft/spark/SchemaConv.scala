@@ -74,20 +74,48 @@ object SchemaConv {
     * from the table's own schema history. */
   val NameCandidatesKey = "graft.name-candidates"
 
-  /** Stamp historical-name candidates onto each id-carrying field (from the
-    * table's schema log). Applied to reader schemas at plan time so the
-    * per-file fallback runs executor-side with no driver lookups. */
-  def withNameCandidates(s: StructType, historicalSchemas: Seq[Schema]): StructType =
+  /** Iceberg's standard name-mapping property: tables written by OTHER
+    * engines carry their id→names mapping here, and it takes precedence
+    * over this table's own schema-log history for id-less file
+    * resolution (interop: the foreign engine knows what names its files
+    * used). Top-level fields; malformed JSON fails loudly. */
+  val NameMappingProp = "schema.name-mapping.default"
+
+  /** Parse `schema.name-mapping.default` → field id → names (mapping
+    * order preserved). Empty when the property is absent. */
+  def nameMappingOf(properties: Map[String, String]): Map[Int, Seq[String]] =
+    properties.get(NameMappingProp).map { json =>
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      require(root.isArray, s"$NameMappingProp must be a JSON array")
+      root.asScala.flatMap { n =>
+        for {
+          id <- Option(n.get("field-id")).filter(_.isIntegralNumber)
+          names <- Option(n.get("names")).filter(_.isArray)
+        } yield id.asInt -> names.asScala.map(_.asText).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Stamp name-resolution candidates onto each id-carrying field: the
+    * table's `schema.name-mapping.default` names first (when the property
+    * exists — interop with tables written by other engines), then the
+    * historical names from this table's own schema log. Applied to reader
+    * schemas at plan time so the per-file fallback runs executor-side
+    * with no driver lookups. */
+  def withNameCandidates(s: StructType, historicalSchemas: Seq[Schema],
+                         nameMapping: Map[Int, Seq[String]] = Map.empty)
+      : StructType =
     StructType(s.fields.map { f =>
       if (!f.metadata.contains(FieldIdKey)) f
       else {
         val id = f.metadata.getLong(FieldIdKey).toInt
+        val mapped = nameMapping.getOrElse(id, Nil)
         val hist = historicalSchemas.reverse
           .flatMap(_.findFieldById(id).map(_.name))
-          .distinct.filterNot(_ == f.name)
-        if (hist.isEmpty) f
+        val candidates = (mapped ++ hist).distinct.filterNot(_ == f.name)
+        if (candidates.isEmpty) f
         else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putStringArray(NameCandidatesKey, hist.toArray).build())
+          .putStringArray(NameCandidatesKey, candidates.toArray).build())
       }
     })
 

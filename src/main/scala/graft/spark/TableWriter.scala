@@ -862,9 +862,35 @@ object TableWriter {
           md0.snapshotById(r.snapshotId).exists(now - _.timestampMs > maxAge))
     }.keySet
     val md = md0.copy(refs = md0.refs -- agedOut)
+    // a branch ref protects its whole UNPUBLISHED lineage, not just its
+    // HEAD: fast_forward walks the parent chain to find the main ancestor,
+    // so expiring an intermediate branch snapshot would leave the branch
+    // permanently unpublishable. The walk stops at the first snapshot
+    // reachable from main (protected or expirable on main's own terms).
+    val mainAncestry: Set[Long] = {
+      val b = Set.newBuilder[Long]
+      var cur = md.currentSnapshotId.flatMap(md.snapshotById)
+      while (cur.isDefined) {
+        b += cur.get.snapshotId
+        cur = cur.get.parentSnapshotId.flatMap(md.snapshotById)
+      }
+      b.result()
+    }
+    val branchLineage: Set[Long] = md.refs.collect {
+      case (name, r) if name != TableMetadata.MainBranch &&
+          r.refType == BranchRef =>
+        val b = Set.newBuilder[Long]
+        var cur = md.snapshotById(r.snapshotId)
+        while (cur.isDefined && !mainAncestry.contains(cur.get.snapshotId)) {
+          b += cur.get.snapshotId
+          cur = cur.get.parentSnapshotId.flatMap(md.snapshotById)
+        }
+        b.result()
+    }.flatten.toSet
     val keepIds: Set[Long] =
       md.currentSnapshotId.toSet ++
         md.refs.values.map(_.snapshotId) ++
+        branchLineage ++
         md.snapshots.sortBy(-_.timestampMs).take(math.max(1, retainLast))
           .map(_.snapshotId)
     val (kept, expired) = md.snapshots.partition(s =>

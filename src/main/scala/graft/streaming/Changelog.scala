@@ -16,7 +16,8 @@ import graft.spark.IcebergTable
   *   - `append`    → the added files' rows as `insert`
   *   - `overwrite` → added files as `insert`, removed files (read at the
   *     PARENT snapshot, with the deletes visible there applied — rows
-  *     already deleted earlier are not re-reported) as `delete`
+  *     already deleted earlier are not re-reported) as `delete`; rows the
+  *     rewrite merely COPIED between files (carryovers) cancel by default
   *   - `delete` (MoR) → the tombstoned rows as `delete`: positional
   *     tombstones join the parent scan on (path, pos); equality keys
   *     semi-join it on the key columns
@@ -37,13 +38,15 @@ object Changelog {
 
   /** File-level change resolution for snapshots with sequence in
     * `(fromSeq, toSeq]`. Fails loudly on expired window snapshots (same
-    * contract as the appends-only changefeed). */
+    * contract as the appends-only changefeed) unless `stopAtRetained`
+    * (the unbounded changelog's "everything retained" contract). */
   def changedFilesInWindow(table: IcebergTable, fromSeq: Long,
-                           toSeq: Long): Seq[ChangeSet] = {
+                           toSeq: Long,
+                           stopAtRetained: Boolean = false): Seq[ChangeSet] = {
     // MAIN-lineage walk (not a sequence filter): unpublished branch
     // commits consume sequence numbers but must not leak into the
     // changelog, and the gaps they leave must not read as expired history
-    EventStreams.mainLineageWindow(table, fromSeq, toSeq)
+    EventStreams.mainLineageWindow(table, fromSeq, toSeq, stopAtRetained)
       .filterNot(_.summary.exists(_.operation == OpReplace))
       .map { s =>
         // only manifests WRITTEN by this commit (their list sequence is the
@@ -81,10 +84,23 @@ object Changelog {
   /** The changelog DataFrame: table columns plus `_change_type`
     * (`insert`/`delete`), `_commit_snapshot_id`, `_commit_sequence`,
     * ordered by commit. Window is `(fromSnapshotId, toSnapshotId]`;
-    * `fromSnapshotId = None` starts before the oldest retained snapshot. */
+    * `fromSnapshotId = None` means "everything retained" — over a table
+    * with expired history it reports the changes recorded by the
+    * retained commits (the lineage walk stops at the oldest retained
+    * ancestor).
+    *
+    * `removeCarryovers` (default true, matching Iceberg's
+    * `create_changelog_view`): a copy-on-write commit rewrites whole
+    * files, so rows merely COPIED to a new file would surface as a
+    * delete at the parent plus an identical insert — per commit, those
+    * pairs cancel via a multiset difference (`exceptAll`) on the data
+    * columns, leaving only genuine changes. The extra shuffle is
+    * O(changed files) and only paid by commits that both add and remove
+    * files. */
   def changelogDF(spark: SparkSession, table: IcebergTable,
                   fromSnapshotId: Option[Long],
-                  toSnapshotId: Option[Long] = None): DataFrame = {
+                  toSnapshotId: Option[Long] = None,
+                  removeCarryovers: Boolean = true): DataFrame = {
     val md = table.metadata
     def seqOf(id: Long): Long = md.snapshotById(id).getOrElse(
       throw new IllegalArgumentException(
@@ -97,26 +113,26 @@ object Changelog {
     val outCols = graft.spark.SchemaConv.toSparkSchema(table.schema).fieldNames
 
     def stamp(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
-      df.select(outCols.map(col).toIndexedSeq: _*)
-        .withColumn("_change_type", lit(tpe))
+      df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         .withColumn("_commit_sequence", lit(s.sequenceNumber))
+    val project = (df: DataFrame) => df.select(outCols.map(col).toIndexedSeq: _*)
 
-    val pieces = changedFilesInWindow(table, fromSeq, toSeq).flatMap { c =>
+    val pieces = changedFilesInWindow(table, fromSeq, toSeq,
+      stopAtRetained = fromSnapshotId.isEmpty).flatMap { c =>
       val s = c.snapshot
-      val out = Seq.newBuilder[DataFrame]
+      val ins = Seq.newBuilder[DataFrame]
+      val del = Seq.newBuilder[DataFrame]
       if (c.addedPaths.nonEmpty)
-        out += stamp(table.newScan(snapshotId = Some(s.snapshotId))
-          .toDF(spark, keepProvenance = false, pathFilter = Some(c.addedPaths)),
-          "insert", s)
+        ins += project(table.newScan(snapshotId = Some(s.snapshotId))
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.addedPaths)))
       val parent = s.parentSnapshotId
       if (c.removedPaths.nonEmpty) {
         // removed files read at the PARENT snapshot so tombstones that
         // already applied there don't resurface as deletes here
         require(parent.isDefined, "removed files in a parentless snapshot")
-        out += stamp(table.newScan(snapshotId = parent)
-          .toDF(spark, keepProvenance = false, pathFilter = Some(c.removedPaths)),
-          "delete", s)
+        del += project(table.newScan(snapshotId = parent)
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.removedPaths)))
       }
       if (c.posDeletePaths.nonEmpty && parent.isDefined) {
         val parentRows = table.newScan(snapshotId = parent)
@@ -124,9 +140,9 @@ object Changelog {
         val tombstones = spark.read.parquet(c.posDeletePaths: _*)
           .select(norm(col("file_path")).as("__del_path"),
             col("pos").as("__del_pos"))
-        out += stamp(parentRows.join(tombstones,
+        del += project(parentRows.join(tombstones,
           col("__path") === col("__del_path") &&
-            col("__pos") === col("__del_pos"), "left_semi"), "delete", s)
+            col("__pos") === col("__del_pos"), "left_semi"))
       }
       c.eqDeletes.groupBy(_._1).foreach { case (eqIds, files) =>
         if (parent.isDefined) {
@@ -136,11 +152,20 @@ object Changelog {
           val keys = spark.read.parquet(files.map(_._2).distinct: _*)
             .select(keyCols.map(col).toIndexedSeq: _*).distinct()
           val parentRows = table.newScan(snapshotId = parent).toDF(spark)
-          out += stamp(parentRows.join(broadcast(keys), keyCols, "left_semi"),
-            "delete", s)
+          del += project(parentRows.join(broadcast(keys), keyCols, "left_semi"))
         }
       }
-      out.result()
+      val insDF = ins.result().reduceOption(_.unionAll(_))
+      val delDF = del.result().reduceOption(_.unionAll(_))
+      (insDF, delDF) match {
+        // a commit that both adds and removes files is a rewrite: cancel
+        // the copied-row pairs so only genuine changes surface
+        case (Some(i), Some(d)) if removeCarryovers =>
+          Seq(stamp(i.exceptAll(d), "insert", s), stamp(d.exceptAll(i), "delete", s))
+        case _ =>
+          insDF.map(stamp(_, "insert", s)).toSeq ++
+            delDF.map(stamp(_, "delete", s)).toSeq
+      }
     }
 
     if (pieces.isEmpty) {

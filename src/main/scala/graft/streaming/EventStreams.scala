@@ -114,14 +114,14 @@ object EventStreams {
     * publish) consume sequence numbers without ever being on main, so a
     * dense-sequence filter would leak unpublished branch rows into the
     * changefeed AND false-positive the expiry check on the gaps they
-    * leave. Fails loudly only when the parent CHAIN truly breaks above
-    * `fromSeq` (history expired) — EXCEPT for the unbounded window
-    * (`fromSeq = 0`), which by contract means "everything retained": the
-    * walk stops at the oldest retained ancestor instead of failing, so an
-    * unbounded changelog over a table with expired history reports the
-    * changes its retained commits recorded. */
+    * leave. Fails loudly when the parent CHAIN truly breaks above
+    * `fromSeq` (history expired) — the changefeed's no-silent-data-loss
+    * contract. `stopAtRetained` opts OUT of that for the unbounded batch
+    * changelog, whose contract is "everything retained": the walk then
+    * stops at the oldest retained ancestor instead of failing. */
   private[streaming] def mainLineageWindow(table: IcebergTable, fromSeq: Long,
-                                           toSeq: Long)
+                                           toSeq: Long,
+                                           stopAtRetained: Boolean = false)
       : Seq[graft.core.Snapshot] = {
     if (toSeq <= fromSeq) return Nil
     val md = table.metadata
@@ -138,10 +138,10 @@ object EventStreams {
           None
         case Some(pid) =>
           val p = md.snapshotById(pid)
-          if (p.isEmpty && fromSeq > 0) throw new IllegalStateException(
+          if (p.isEmpty && !stopAtRetained) throw new IllegalStateException(
             s"cannot resolve changefeed window ($fromSeq, $toSeq] of " +
               s"${table.location}: snapshot ${s.snapshotId}'s parent $pid was expired")
-          p // None (expired below an unbounded window) ends the walk
+          p // None (expired below an opted-out window) ends the walk
       }
     }
     out.result().reverse

@@ -57,7 +57,8 @@ object GraftOffset {
 final class GraftMicroBatchStream(location: String, required: StructType,
                                   streamStart: String,
                                   maxFilesPerTrigger: Option[Int] = None,
-                                  maxBytesPerTrigger: Option[Long] = None)
+                                  maxBytesPerTrigger: Option[Long] = None,
+                                  readChanges: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def freshTable(): IcebergTable = IcebergTables.load(location)
@@ -165,6 +166,7 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     val s = start.asInstanceOf[GraftOffset]
     val toSeq = end.asInstanceOf[GraftOffset].seq
     val t = freshTable()
+    if (readChanges) return planCdcPartitions(t, s, toSeq)
     // initial full scan (earliest over expired history): the offset's own
     // snapshot as a complete MoR-correct scan, plus any appends that landed
     // in (s.seq, toSeq] after it
@@ -179,13 +181,115 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     (initialScan ++ appended).toArray
   }
 
+  /** Streaming CDC (`.option("read-changes", true)`): each micro-batch
+    * carries the row-level changes of the commits in `(fromSeq, toSeq]`,
+    * stamped with `_change_type` / `_commit_snapshot_id` /
+    * `_commit_sequence` — the streaming twin of
+    * [[Changelog.changelogDF]], resolved through the same main-lineage
+    * walk and commit provenance, planned as input partitions so the rows
+    * decode executor-side:
+    *   - appended files → `insert` rows (the commit's deletes applied)
+    *   - removed files → `delete` rows, read at the PARENT snapshot so
+    *     rows already dead there are not re-reported
+    *   - new pos/eq tombstones → `delete` rows: the reader emits exactly
+    *     the rows the NEW tombstones kill (older tombstones still
+    *     filter), O(affected files) via the planner's delete matching
+    *   - REPLACE (compaction) commits are invisible, as in batch
+    *
+    * A copy-on-write rewrite surfaces copied rows as a delete+insert
+    * pair within the SAME batch (net-effect-correct; the batch surface
+    * removes these carryovers, a per-commit join the partition planner
+    * cannot express). Exactly-once: offsets partition the sequence
+    * window. */
+  private def planCdcPartitions(t: IcebergTable, s: GraftOffset,
+                                toSeq: Long): Array[InputPartition] = {
+    val parts = Vector.newBuilder[InputPartition]
+    if (s.full) {
+      // earliest over expired history: the oldest retained snapshot is the
+      // initial load, delivered as inserts of that commit
+      val snap = t.metadata.snapshots.find(_.sequenceNumber == s.seq).getOrElse(
+        throw new IllegalStateException(
+          s"initial-offset snapshot (sequence ${s.seq}) of $location was expired"))
+      parts ++= cdcPartitions(t, snap.snapshotId, snap, "insert", None, Set.empty)
+    }
+    Changelog.changedFilesInWindow(t, s.seq, toSeq).foreach { c =>
+      val snap = c.snapshot
+      if (c.addedPaths.nonEmpty)
+        parts ++= cdcPartitions(t, snap.snapshotId, snap, "insert",
+          Some(c.addedPaths), Set.empty)
+      val parent = snap.parentSnapshotId
+      if (c.removedPaths.nonEmpty && parent.isDefined)
+        parts ++= cdcPartitions(t, parent.get, snap, "delete",
+          Some(c.removedPaths), Set.empty)
+      val newDel = c.posDeletePaths.toSet ++ c.eqDeletes.map(_._2)
+      if (newDel.nonEmpty)
+        parts ++= cdcPartitions(t, snap.snapshotId, snap, "delete",
+          None, newDel)
+    }
+    parts.result().toArray
+  }
+
+  /** Plan CDC row partitions over the files of `snapshotId`, stamped with
+    * `commit`: optionally restricted to `pathFilter`; when `newDeletes`
+    * is non-empty, only tasks those tombstone files touch are planned and
+    * the reader emits only the rows they kill. */
+  private def cdcPartitions(t: IcebergTable, snapshotId: Long,
+                            commit: graft.core.Snapshot, tpe: String,
+                            pathFilter: Option[Set[String]],
+                            newDeletes: Set[String]): Seq[InputPartition] = {
+    val dataRequired = StructType(required.fields.filterNot(f =>
+      f.name == graft.spark.GraftReaders.ChangeTypeCol ||
+        f.name == graft.spark.GraftReaders.CommitSnapshotCol ||
+        f.name == graft.spark.GraftReaders.CommitSequenceCol))
+    val read = SchemaConv.withNameCandidates(dataRequired, t.metadata.schemas,
+      SchemaConv.nameMappingOf(t.metadata.properties))
+    t.newScan(snapshotId = Some(snapshotId)).planFiles()
+      .filter(task => pathFilter.forall(_.contains(task.file.path)))
+      .filter(task => newDeletes.isEmpty ||
+        task.deleteFiles.exists(d => newDeletes.contains(d.path)))
+      .map { task =>
+        def eqOf(files: Seq[graft.core.DataFileInfo]): Seq[EqDelete] =
+          files.map(d => EqDelete(d.path,
+            d.equalityIds.flatMap(id => t.schema.findColumnName(id)),
+            d.equalityIds.map(id =>
+              (t.schema.findColumnName(id).toSeq ++
+                t.metadata.schemas.reverse.flatMap(sc =>
+                  sc.findFieldById(id).map(_.name))).distinct)))
+        val posAll = task.deleteFiles
+          .filter(_.content == graft.core.DataFileContent.PositionDeletes)
+        val eqAll = task.deleteFiles
+          .filter(_.content == graft.core.DataFileContent.EqualityDeletes)
+        val pos = posAll.filterNot(d => newDeletes.contains(d.path)).map(_.path)
+        val matchPos = posAll.filter(d => newDeletes.contains(d.path)).map(_.path)
+        val eq = eqOf(eqAll.filterNot(d => newDeletes.contains(d.path)))
+        val matchEq = eqOf(eqAll.filter(d => newDeletes.contains(d.path)))
+        var readSchema = read
+        (eq ++ matchEq).flatMap(_.cols).distinct
+          .filterNot(c => readSchema.fieldNames.contains(c)).foreach { c =>
+            val full = SchemaConv.toSparkSchema(t.schema)
+            readSchema = readSchema.add(full(full.fieldIndex(c)).copy(nullable = true))
+          }
+        if (pos.nonEmpty || matchPos.nonEmpty)
+          readSchema = readSchema.add(org.apache.spark.sql.types.StructField(
+            graft.spark.GraftReaders.RowIndexCol,
+            org.apache.spark.sql.types.LongType, nullable = true))
+        GraftInputPartition(task.file.path, 0L, task.file.fileSizeInBytes,
+          required.json, readSchema.json, limit = None, pos, eq,
+          columnar = false, partitionValues = Array.empty,
+          format = task.file.format,
+          cdc = Some((tpe, commit.snapshotId, commit.sequenceNumber)),
+          cdcMatchPos = matchPos, cdcMatchEq = matchEq): InputPartition
+      }
+  }
+
   /** Complete scan of the snapshot at `seq`, with positional/equality
     * deletes attached — the streaming twin of the batch read path. */
   private def fullScanPartitions(t: IcebergTable, seq: Long): Seq[InputPartition] = {
     val snap = t.metadata.snapshots.find(_.sequenceNumber == seq).getOrElse(
       throw new IllegalStateException(
         s"initial-offset snapshot (sequence $seq) of $location was expired"))
-    val read = SchemaConv.withNameCandidates(required, t.metadata.schemas)
+    val read = SchemaConv.withNameCandidates(required, t.metadata.schemas,
+      SchemaConv.nameMappingOf(t.metadata.properties))
     t.newScan(snapshotId = Some(snap.snapshotId)).planFiles().map { task =>
       val pos = task.deleteFiles
         .filter(_.content == graft.core.DataFileContent.PositionDeletes).map(_.path)

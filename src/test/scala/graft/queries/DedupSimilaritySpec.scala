@@ -78,6 +78,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall vs brute force = $recall")
   }
 
+  test("multi-probe lsh lifts recall at fixed banding") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(multiProbe: Boolean): Double = {
+      val got = Similarity.annLsh(spark, sf, nQueries = 10, k = 5,
+        nBits = 16, bandBits = 4, multiProbe = multiProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.count(got.contains).toDouble / bf.size
+    }
+    val plain = recallOf(multiProbe = false)
+    val probed = recallOf(multiProbe = true)
+    // hamming-1 neighbor buckets can only ADD candidates: recall is
+    // monotone, and on random vectors (LSH's hardest case) it must
+    // measurably improve at this tight banding
+    assert(probed >= plain, s"multi-probe $probed < plain $plain")
+    assert(probed > plain, s"multi-probe must lift recall at bandBits=4 " +
+      s"(plain=$plain probed=$probed)")
+  }
+
+  test("kmeans converges on a separable corpus, centroids never collected") {
+    import spark.implicits._
+    // three well-separated clusters in 8 dims, 40 points each
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val rnd = new scala.util.Random(c * 1000 + i)
+      val center = Array.tabulate(8)(j => if (j % 3 == c) 10.0 else 0.0)
+      ((c * 40 + i).toLong,
+        center.map(v => (v + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = pts.toDF("id", "vec")
+    val out = Similarity.kmeans(df, "id", "vec", k = 3, maxIter = 25).collect()
+    assert(out.length == 120)
+    // every planted cluster maps to exactly one k-means cluster, and the
+    // three are distinct (perfect separation ⇒ perfect clustering)
+    val byPlanted = out.groupBy(_.getLong(0) / 40)
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+    assert(byPlanted.values.forall(_.size == 1), s"impure clusters: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3, s"merged clusters: $byPlanted")
+    // converged assignment: every point is nearest its own centroid, so
+    // max within-cluster distance is far below the between-center gap
+    assert(out.map(_.getDouble(2)).max < 10.0, "distances look unconverged")
+  }
+
   test("ivf ann approximates brute-force top-k with decent recall") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

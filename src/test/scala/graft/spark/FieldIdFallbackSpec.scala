@@ -70,6 +70,46 @@ class FieldIdFallbackSpec extends AnyFunSuite {
     assert(filtered.map(_.getAs[Long]("id")).toSeq == Seq(4L))
   }
 
+  test("schema.name-mapping.default resolves foreign id-less column names") {
+    import spark.implicits._
+    val loc = tmpDir("tbl_namemap")
+    val t0 = TableWriter.create(Seq((1L, "a")).toDF("id", "val"), loc)
+
+    // a foreign engine's id-less file that used ITS OWN column name —
+    // never part of this table's schema log, so only the standard
+    // name-mapping property can resolve it
+    val rawDir = new File(tmpDir("namemap_raw"))
+    Seq((2L, "b"), (3L, "c")).toDF("id", "value_str")
+      .coalesce(1).write.mode("overwrite").parquet(rawDir.getPath)
+    val raw = rawDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dataDir = new File(loc, "data"); dataDir.mkdirs()
+    val dest = new File(dataDir, "foreign-0001.parquet")
+    Files.copy(raw.toPath, dest.toPath)
+    val t1 = TableWriter.appendFiles(t0.location,
+      Seq(CowFileOut(dest.getPath, 2, Map.empty)))
+
+    // without the mapping the foreign column cannot resolve → nulls
+    val before = spark.read.format("icegopher").load(loc)
+      .orderBy("id").collect()
+    assert(before(1).isNullAt(1) && before(2).isNullAt(1))
+
+    val mapping =
+      """[{"field-id": 1, "names": ["id"]},
+         |{"field-id": 2, "names": ["value_str", "val"]}]""".stripMargin
+    TableWriter.updateProperties(IcebergTables.load(loc),
+      Map("schema.name-mapping.default" -> mapping))
+
+    // mapping present: the foreign file's values resolve through it,
+    // in the library scan and DSv2 both
+    val viaDsv2 = spark.read.format("icegopher").load(loc)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaDsv2.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"got ${viaDsv2.toSeq}")
+    val viaToDf = IcebergTables.load(loc).newScan().toDF(spark)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaToDf.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("column added after an id-less file was written reads as null there") {
     val t1 = mixedTable()
     val table = TableWriter.addColumn(t1, "extra", graft.core.StringT)

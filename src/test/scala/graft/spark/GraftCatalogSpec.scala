@@ -669,6 +669,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(contents == Set(1, 2), s"expected pos+eq delete files: $contents")
   }
 
+  test("read-changes stream surfaces MoR and CoW deletes exactly once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db29")
+    spark.sql("CREATE TABLE graft.db29.cdc (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db29.cdc SELECT id, id * 2 FROM range(10)")
+    val loc = s"$warehouse/db29/cdc"
+    val q = spark.readStream.format("icegopher")
+      .option("read-changes", "true").load(loc)
+      .writeStream.format("memory").queryName("cdcstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val t0 = spark.table("cdcstream")
+      assert(t0.filter(col("_change_type") === "insert").count() == 10)
+      assert(t0.filter(col("_change_type") === "delete").count() == 0)
+
+      // MoR positional delete mid-stream → delete rows in the next batch
+      spark.sql("DELETE FROM graft.db29.cdc WHERE id < 3")
+      q.processAllAvailable()
+      val morDels = spark.table("cdcstream")
+        .filter(col("_change_type") === "delete")
+      assert(morDels.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 2L), "exactly the tombstoned rows, exactly once")
+
+      // equality delete → same surface
+      spark.sql("DELETE FROM graft.db29.cdc WHERE id = 5")
+      q.processAllAvailable()
+      assert(spark.table("cdcstream")
+        .filter(col("_change_type") === "delete" && col("id") === 5L)
+        .count() == 1)
+
+      // CoW delete (non-pushable predicate forces a file rewrite): the
+      // deleted row surfaces as a delete exactly once
+      spark.sql("DELETE FROM graft.db29.cdc WHERE id + v = 9") // id = 3
+      q.processAllAvailable()
+      assert(spark.table("cdcstream")
+        .filter(col("_change_type") === "delete" && col("id") === 3L)
+        .count() == 1)
+      // net effect reconciles: per id, inserts minus deletes = live rows
+      val net = spark.table("cdcstream")
+        .groupBy("id")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            col("_change_type") === "insert", 1).otherwise(-1)).as("net"))
+      val live = net.filter(col("net") === 1).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(live == Set(4L, 6L, 7L, 8L, 9L), s"got $live")
+      assert(net.filter(col("net") =!= 1 && col("net") =!= 0).count() == 0)
+      // stamps carry real commit provenance
+      assert(spark.table("cdcstream")
+        .select("_commit_snapshot_id").distinct().count() >= 4)
+    } finally q.stop()
+  }
+
   test("CALL fast_forward publishes a branch onto main") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db24")
     spark.sql("CREATE TABLE graft.db24.wap (id BIGINT)")
@@ -681,6 +736,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       .count() == 2)
     spark.sql("CALL graft.system.fast_forward('db24.wap', 'audit')")
     assert(spark.sql("SELECT * FROM graft.db24.wap").count() == 2)
+  }
+
+  test("expiry protects unpublished branch lineage; fast_forward survives") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db30")
+    spark.sql("CREATE TABLE graft.db30.wap2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db30.wap2 VALUES (1)")
+    var t = IcebergTables.load(s"$warehouse/db30/wap2")
+    import spark.implicits._
+    // two staged commits on the branch: HEAD plus an INTERMEDIATE snapshot
+    t = TableWriter.appendToBranch(t, Seq(2L).toDF("id").coalesce(1), "audit")
+    Thread.sleep(5)
+    t = TableWriter.appendToBranch(t, Seq(3L).toDF("id").coalesce(1), "audit")
+    // aggressive age-based expiry: without lineage protection the
+    // intermediate branch snapshot (not a HEAD, not the newest) would go,
+    // leaving the branch permanently unpublishable
+    val expired = TableWriter.expireSnapshots(t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(expired.metadata.snapshots.size == 3,
+      s"branch lineage must survive: ${expired.metadata.snapshots.map(_.snapshotId)}")
+    spark.sql("CALL graft.system.fast_forward('db30.wap2', 'audit')")
+    assert(spark.sql("SELECT id FROM graft.db30.wap2").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("CALL rewrite_zorder clusters on the interleaved curve") {

@@ -107,4 +107,41 @@ class ChangelogSpec extends AnyFunSuite {
     val fromCompact = changes(loc, from = Some(compactedAt))
     assert(fromCompact.forall(_._3 == 4L), s"got $fromCompact")
   }
+
+  test("rewrite carryovers cancel by default; opt-out keeps raw pairs") {
+    val loc = tmpDir("cdc_carry")
+    TableWriter.create(Seq(1L, 2L, 3L).toDF("id").coalesce(1), loc)
+    // a CoW-delete-shaped rewrite: 3 goes away, 1 and 2 are merely COPIED
+    TableWriter.overwrite(IcebergTables.load(loc),
+      Seq(1L, 2L).toDF("id").coalesce(1))
+
+    val deduped = changes(loc).filter(_._3 == 2L)
+    assert(deduped == Seq((3L, "delete", 2L)),
+      s"carryovers must cancel, got $deduped")
+
+    val raw = Changelog.changelogDF(spark, IcebergTables.load(loc), None,
+        removeCarryovers = false)
+      .filter(col("_commit_sequence") === 2L)
+      .select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(c => (c._2, c._1))
+    assert(raw == Seq((1L, "delete"), (2L, "delete"), (3L, "delete"),
+      (1L, "insert"), (2L, "insert")), s"got $raw")
+  }
+
+  test("unbounded changelog over expired history reports retained commits") {
+    val loc = tmpDir("cdc_expired")
+    val t1 = TableWriter.create(Seq(1L).toDF("id").coalesce(1), loc)
+    val t2 = TableWriter.append(t1, Seq(2L).toDF("id").coalesce(1))
+    val t3 = TableWriter.append(t2, Seq(3L).toDF("id").coalesce(1))
+    // expire everything but the latest two snapshots
+    TableWriter.expireSnapshots(t3, System.currentTimeMillis() + 1000,
+      retainLast = 2)
+    // fromSnapshotId = None no longer throws: the walk stops at the oldest
+    // retained ancestor and reports what the retained commits recorded
+    // (rows of the expired genesis commit are gone; both retained appends
+    // report their own adds)
+    val got = changes(loc)
+    assert(got.map(_._1).sorted == Seq(2L, 3L), s"got $got")
+  }
 }
