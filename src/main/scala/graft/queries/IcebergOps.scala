@@ -286,4 +286,70 @@ object IcebergOps {
     """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
        WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_partkey < 500
        ORDER BY l_orderkey, l_linenumber"""
+
+  /** Keyed MERGE (upsert) end-to-end: a base table (keys ≡ 0 mod 3) merged
+    * with a change set (keys ≡ 0 mod 2) — overlapping keys are equality-
+    * tombstoned and replaced (matched-UPDATE), new keys are appended
+    * (not-matched-INSERT). The read runs through the MoR scan, so the hash
+    * match proves equality-delete application + append visibility produce
+    * exactly SQL MERGE semantics on the raw data. */
+  def ice12MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_upsert", d) { loc =>
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val base = TableWriter.create(
+        src.filter(col("o_orderkey") % 3 === 0), loc)
+      val changes = src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      TableWriter.upsert(base, changes, Seq("o_orderkey"))
+    }
+    table.newScan().toDF(s)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ice12Sql: String =
+    s"""WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0),
+       chg AS (
+         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0),
+       merged AS (
+         SELECT * FROM chg
+         UNION ALL
+         SELECT * FROM base WHERE o_orderkey % 2 <> 0)
+       SELECT o_orderstatus, COUNT(*) AS n,
+              ${sqlDsum("o_totalprice")} AS sum_price
+       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Row-level CDC through the changelog: create + MoR DELETE commits, then
+    * the per-commit changelog rolled up by change type — inserts are the
+    * initial rows, deletes are exactly the tombstoned rows. Proves commit
+    * provenance (added files at each snapshot, positional tombstones read
+    * against the parent) reconstructs the row-level history. */
+  def ice13Changelog(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_cdc", d) { loc =>
+      val t1 = TableWriter.create(Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value"), loc)
+      TableWriter.deleteWhere(t1, s, col("event_type") === "error")
+    }
+    graft.streaming.Changelog.changelogDF(s, table, None)
+      .groupBy("_change_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("_change_type", "event_type")
+  }
+
+  val ice13Sql: String =
+    """SELECT * FROM (
+         SELECT 'insert' AS _change_type, event_type, COUNT(*) AS n
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'delete' AS _change_type, event_type, COUNT(*) AS n
+         FROM events WHERE event_type = 'error' GROUP BY event_type)
+       ORDER BY _change_type, event_type"""
 }

@@ -529,4 +529,71 @@ object Relational {
               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
               ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Frame-window time-series analytics: per-user 5-row moving average and
+    * row-to-row delta over the purchase stream (lag + ROWS frame — the
+    * window shapes q07/q20/q22 don't cover). Sums run in exact decimal
+    * space inside the frame, so the moving average is engine-identical.
+    *
+    * Scale shape: ONE shuffle on user_id; the frame window and the lag
+    * window share the same partitioning+ordering, so Catalyst evaluates
+    * both in a single Window node over a single sort — no second
+    * exchange. */
+  def q25MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val wf = w.rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), dec(col("value")).as("v"))
+      .withColumn("mov_avg",
+        sum(col("v")).over(wf).cast("double") / count(lit(1)).over(wf))
+      .withColumn("delta", (col("v") - lag(col("v"), 1).over(w)).cast("double"))
+      .select(col("event_id"), col("user_id"),
+        col("v").cast("double").as("value"), col("mov_avg"), col("delta"))
+      .orderBy("event_id")
+  }
+
+  val q25Sql: String =
+    """SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+              CAST(SUM(v) OVER wf AS DOUBLE) / COUNT(*) OVER wf AS mov_avg,
+              CAST(v - LAG(v) OVER w AS DOUBLE) AS delta
+       FROM (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                    CAST(value AS DECIMAL(18,2)) AS v
+             FROM events WHERE event_type = 'purchase')
+       WINDOW w  AS (PARTITION BY user_id ORDER BY tu, event_id),
+              wf AS (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  /** Correlated existence predicates: customers with at least one
+    * high-value order (EXISTS) and no 'F'-status order (NOT EXISTS) —
+    * the classic correlated-subquery pair, planned Spark-first as a
+    * left-semi join chained with a left-anti join (what Catalyst's
+    * RewritePredicateSubquery produces for EXISTS/NOT EXISTS).
+    *
+    * Scale shape: both joins shuffle on o_custkey/c_custkey with the
+    * order-side filters pushed to the scans; each order side is
+    * key-only (one column) by the time it reaches its exchange. */
+  def q26Exists(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val orders = Tables.orders(s, d)
+    val bigSpenders = orders.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    val fStatus = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(bigSpenders, c("c_custkey") === bigSpenders("o_custkey"), "left_semi")
+      .join(fStatus, c("c_custkey") === fStatus("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  val q26Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_nationkey
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       ORDER BY c_custkey"""
 }

@@ -75,4 +75,26 @@ object Skew {
           saltedFact("__salt") === explodedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Query-battery entry: salted fact⋈dimension join — lineitem against an
+    * 8-way-replicated supplier, aggregated per nation. The oracle runs the
+    * PLAIN join, so a hash match proves the salt+replicate re-plan changes
+    * the shuffle key distribution and nothing else. (The salt itself is
+    * partitioning-dependent and random-looking by design; correctness
+    * can't depend on it because every fact row meets exactly one replica
+    * of its dimension row.) */
+  def sk02SaltedJoin(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    import QueryUtils.dsum
+    saltedJoin(Tables.lineitem(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey", salts)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  val sk02Sql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n,
+       ${QueryUtils.sqlDsum("l_extendedprice")} AS sum_price
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
 }

@@ -490,4 +490,42 @@ object TextOps {
               ROUND(CAST(total_tokens AS DOUBLE) /
                     (SELECT SUM(total_tokens) FROM a), 6) AS token_share
        FROM a ORDER BY source"""
+
+  /** Per-source vocabulary profile: token volume, distinct vocabulary,
+    * hapax legomena (words seen exactly once — the classic vocabulary-
+    * richness signal; a high hapax share flags noisy/OCR-damaged text,
+    * a low one flags boilerplate), and the modal word's frequency.
+    *
+    * Scale shape: words are md5-hashed to 60-bit longs AT THE SOURCE (the
+    * d05 discipline — raw strings never ride a shuffle; both engines
+    * derive identical hashes so the oracle still matches bit-exactly),
+    * then two map-side-combined aggregations: (source, word-hash) counts,
+    * re-aggregated per source. */
+  def t17Vocab(s: SparkSession, d: String): DataFrame = {
+    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), wordHash.as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("c").as("max_word_freq"))
+      .orderBy("source")
+  }
+
+  val t17Sql: String =
+    """WITH w AS (
+         SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       c AS (
+         SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h,
+                COUNT(*) AS c
+         FROM w WHERE length(w) > 0 GROUP BY source, h)
+       SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+              COUNT(*) AS n_distinct,
+              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              CAST(MAX(c) AS BIGINT) AS max_word_freq
+       FROM c GROUP BY source ORDER BY source"""
 }
