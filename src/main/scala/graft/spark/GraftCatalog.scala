@@ -20,9 +20,12 @@ import graft.core.{PartitionSpec, Schema => IceSchema, SortOrder, TableMetadata}
   * `<warehouse>/<namespace>/<table>/metadata/v*.metadata.json`.
   *
   * Reads go through [[GraftSparkTable]] (full pushdown wiring);
-  * DDL surface: create (empty table), drop, rename, namespaces. */
+  * DDL surface: create (empty table), drop, rename, namespaces, and
+  * persistent SQL views (`CREATE [OR REPLACE] VIEW` / `SHOW VIEWS` /
+  * `DROP VIEW` via [[ViewCatalog]] — view metadata is versioned JSON per
+  * the Iceberg view spec, see [[ViewMetadata]]). */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
 
   /** Partition-transform functions: SQL-callable and REQUIRED for
     * storage-partitioned joins (Spark resolves a table's reported
@@ -295,6 +298,147 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()
+  }
+
+  // ----------------------------------------------------------------- views
+
+  private def viewFile(ident: Identifier): File =
+    new File(tableDir(ident), "view.metadata.json")
+
+  private def isView(dir: File): Boolean =
+    new File(dir, "view.metadata.json").isFile
+
+  override def viewExists(ident: Identifier): Boolean = viewFile(ident).isFile
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val nsDir = new File(warehouse, ns.mkString(File.separator))
+    if (!nsDir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ns)
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(isView)
+      .map(f => Identifier.of(ns, f.getName))
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!f.isFile)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    new GraftView(ident,
+      ViewMetadata.parse(java.nio.file.Files.readString(f.toPath)))
+  }
+
+  private def versionFromInfo(info: ViewInfo, versionId: Int): ViewVersion =
+    ViewVersion(
+      versionId = versionId,
+      timestampMs = System.currentTimeMillis(),
+      sql = info.sql(),
+      dialect = "spark",
+      defaultCatalog = info.currentCatalog(),
+      defaultNamespace = Option(info.currentNamespace()).map(_.toSeq)
+        .getOrElse(Nil),
+      sparkSchemaJson = info.schema().json,
+      queryColumnNames = Option(info.queryColumnNames()).map(_.toSeq)
+        .getOrElse(Nil),
+      columnAliases = Option(info.columnAliases()).map(_.toSeq).getOrElse(Nil),
+      columnComments = Option(info.columnComments()).map(_.toSeq)
+        .getOrElse(Seq.empty[String]).map(Option(_)))
+
+  private def writeView(ident: Identifier, md: ViewMetadata): Unit = {
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    java.nio.file.Files.write(viewFile(ident).toPath,
+      md.toJson.getBytes("UTF-8"))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val nsDir = new File(warehouse, ident.namespace().mkString(File.separator))
+    if (ident.namespace().nonEmpty && !nsDir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ident.namespace())
+    val md = ViewMetadata(
+      viewUuid = java.util.UUID.randomUUID().toString,
+      location = tableDir(ident).getPath,
+      currentVersionId = 1,
+      versions = Seq(versionFromInfo(info, 1)),
+      properties = Option(info.properties()).map(_.asScala.toMap)
+        .getOrElse(Map.empty))
+    writeView(ident, md)
+    new GraftView(ident, md)
+  }
+
+  /** CREATE OR REPLACE VIEW: appends a new version and moves
+    * `current-version-id` — history is retained like table snapshots. */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    val f = viewFile(ident)
+    if (!f.isFile) {
+      if (!orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(ident)
+      return createView(info)
+    }
+    val prev = ViewMetadata.parse(java.nio.file.Files.readString(f.toPath))
+    val nextId = prev.versions.map(_.versionId).max + 1
+    val md = prev.copy(
+      currentVersionId = nextId,
+      versions = prev.versions :+ versionFromInfo(info, nextId),
+      properties = Option(info.properties()).map(_.asScala.toMap)
+        .getOrElse(Map.empty))
+    writeView(ident, md)
+    new GraftView(ident, md)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val f = viewFile(ident)
+    if (!f.isFile)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    var md = ViewMetadata.parse(java.nio.file.Files.readString(f.toPath))
+    changes.foreach {
+      case s: ViewChange.SetProperty =>
+        md = md.copy(properties = md.properties + (s.property() -> s.value()))
+      case r: ViewChange.RemoveProperty =>
+        md = md.copy(properties = md.properties - r.property())
+      case other => throw new UnsupportedOperationException(
+        s"view change ${other.getClass.getSimpleName} is not supported")
+    }
+    writeView(ident, md)
+    new GraftView(ident, md)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isView(dir)) false
+    else { deleteRec(dir); true }
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isView(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    val targetNs = newIdent.namespace() match {
+      case ns if ns.headOption.contains(catalogName) => ns.drop(1)
+      case ns => ns
+    }
+    val target = Identifier.of(targetNs, newIdent.name())
+    if (viewExists(target))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(target)
+    val to = tableDir(target)
+    to.getParentFile.mkdirs()
+    if (!from.renameTo(to))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
 
   // ------------------------------------------------------------ namespaces

@@ -1,0 +1,328 @@
+package graft.spark
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+
+/** Session extensions that make [[ViewCatalog]] views usable from SQL.
+  *
+  * Spark 4.1 ships the DSv2 `ViewCatalog` API but no SQL surface for it —
+  * `CREATE VIEW cat.db.v` fails analysis with MISSING_CATALOG_ABILITY and
+  * `SELECT` never consults `loadView` (the ecosystem catalogs ship their own
+  * analyzer extensions for exactly this). This is that extension, Spark-first:
+  *
+  *   - a delegating parser post-processor rewrites view DDL (`CREATE [OR
+  *     REPLACE] VIEW`, `DROP VIEW`, `SHOW VIEWS`, `ALTER VIEW SET/UNSET
+  *     TBLPROPERTIES`, `ALTER VIEW RENAME`) that targets a [[ViewCatalog]]
+  *     into runnable commands over the catalog API;
+  *   - a resolution rule substitutes `UnresolvedRelation`s that name a
+  *     stored view with its parsed SQL (references scoped to the view's
+  *     default catalog/namespace), so views compose with every read path
+  *     and nested views resolve by fixed-point application.
+  *
+  * Register with `spark.sql.extensions=graft.spark.GraftSparkExtensions`.
+  * DDL on the session catalog (temp views included) is untouched — the
+  * rewrite only fires when the target resolves to a [[ViewCatalog]]. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) =>
+      new GraftViewSqlParser(session, delegate))
+    ext.injectResolutionRule(session => GraftViewResolution(session))
+  }
+}
+
+private[spark] object GraftViewSupport {
+  /** Resolve `parts` to (view catalog, identifier) if the explicit or
+    * current catalog is a [[ViewCatalog]]; None → leave the plan to Spark. */
+  def viewCatalogAndIdent(session: SparkSession,
+                          parts: Seq[String]): Option[(ViewCatalog, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    def asViewCat(name: String): Option[ViewCatalog] =
+      try cm.catalog(name) match {
+        case v: ViewCatalog => Some(v)
+        case _ => None
+      } catch { case _: Exception => None }
+    if (parts.length > 1) {
+      asViewCat(parts.head) match {
+        case Some(c) =>
+          return Some((c, Identifier.of(parts.tail.init.toArray, parts.last)))
+        case None => ()
+      }
+    }
+    cm.currentCatalog match {
+      case v: ViewCatalog =>
+        val ns = if (parts.length == 1) cm.currentNamespace
+                 else parts.init.toArray
+        Some((v, Identifier.of(ns, parts.last)))
+      case _ => None
+    }
+  }
+
+  /** Namespace resolution for SHOW VIEWS: (catalog name, namespace). */
+  def viewCatalogAndNs(session: SparkSession,
+                       parts: Seq[String]): Option[(String, Seq[String])] = {
+    val cm = session.sessionState.catalogManager
+    def isViewCat(name: String): Boolean =
+      try cm.catalog(name).isInstanceOf[ViewCatalog]
+      catch { case _: Exception => false }
+    if (parts.nonEmpty && isViewCat(parts.head)) Some((parts.head, parts.tail))
+    else if (cm.currentCatalog.isInstanceOf[ViewCatalog])
+      Some((cm.currentCatalog.name(),
+        if (parts.nonEmpty) parts else cm.currentNamespace.toSeq))
+    else None
+  }
+
+  /** Build the substituted read plan for a stored view: parse its SQL,
+    * qualify unqualified table references with the view's default
+    * catalog/namespace (view SQL is scoped to where the view was defined,
+    * not to the reader's context), apply column aliases, alias the subtree
+    * with the view name. */
+  def viewPlan(session: SparkSession, ident: Identifier,
+               view: org.apache.spark.sql.connector.catalog.View): LogicalPlan = {
+    val parsed = session.sessionState.sqlParser.parsePlan(view.query())
+    val defCat = view.currentCatalog()
+    val defNs = view.currentNamespace().toSeq
+    val scoped = parsed.transformUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+        u.copy(multipartIdentifier =
+          (defCat +: defNs) ++ u.multipartIdentifier)
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 + defNs.length &&
+            u.multipartIdentifier.init == defNs =>
+        u.copy(multipartIdentifier = defCat +: u.multipartIdentifier)
+    }
+    val aliases = view.columnAliases()
+    val named = if (aliases != null && aliases.nonEmpty) {
+      val qNames = view.queryColumnNames()
+      Project(aliases.toSeq.zip(qNames.toSeq).map { case (a, q) =>
+        Alias(UnresolvedAttribute.quoted(q), a)()
+      }, scoped)
+    } else scoped
+    SubqueryAlias(ident.name(), named)
+  }
+}
+
+/** Substitutes stored-view references during resolution (fixed point →
+  * nested views resolve transitively; a self-referential view fails
+  * analysis at the iteration limit rather than looping forever). */
+case class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation =>
+      GraftViewSupport.viewCatalogAndIdent(session, u.multipartIdentifier)
+        .filter { case (cat, ident) => cat.viewExists(ident) }
+        .map { case (cat, ident) =>
+          GraftViewSupport.viewPlan(session, ident, cat.loadView(ident))
+        }
+        .getOrElse(u)
+  }
+}
+
+/** Delegating parser: rewrites parsed view DDL that targets a
+  * [[ViewCatalog]] into graft view commands; everything else passes
+  * through untouched. */
+class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def targetsViewCatalog(parts: Seq[String]): Boolean =
+    GraftViewSupport.viewCatalogAndIdent(session, parts).isDefined
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateView => c.child match {
+      case id: UnresolvedIdentifier if targetsViewCatalog(id.nameParts) =>
+        GraftCreateViewCommand(id.nameParts,
+          c.userSpecifiedColumns, c.comment, c.properties,
+          c.originalText.getOrElse(throw new IllegalArgumentException(
+            "CREATE VIEW without original SQL text")),
+          c.query, c.allowExisting, c.replace)
+      case _ => plan
+    }
+    case d: DropView => d.child match {
+      // the parser emits UnresolvedIdentifier here (UnresolvedView appears
+      // in ALTER VIEW); accept either shape
+      case id: UnresolvedIdentifier if targetsViewCatalog(id.nameParts) =>
+        GraftDropViewCommand(id.nameParts, d.ifExists)
+      case v: UnresolvedView if targetsViewCatalog(v.multipartIdentifier) =>
+        GraftDropViewCommand(v.multipartIdentifier, d.ifExists)
+      case _ => plan
+    }
+    case s: ShowViews => s.child match {
+      case ns: UnresolvedNamespace =>
+        GraftViewSupport.viewCatalogAndNs(session, ns.multipartIdentifier)
+          .map { case (cat, nsParts) =>
+            GraftShowViewsCommand(cat, nsParts, s.pattern)
+          }.getOrElse(plan)
+      case _ => plan
+    }
+    case s: SetViewProperties => s.child match {
+      case v: UnresolvedView if targetsViewCatalog(v.multipartIdentifier) =>
+        GraftAlterViewCommand(v.multipartIdentifier,
+          s.properties.toSeq.map(kv => (kv._1, Some(kv._2))))
+      case _ => plan
+    }
+    case s: UnsetViewProperties => s.child match {
+      case v: UnresolvedView if targetsViewCatalog(v.multipartIdentifier) =>
+        GraftAlterViewCommand(v.multipartIdentifier,
+          s.propertyKeys.map(k => (k, None)))
+      case _ => plan
+    }
+    case a: AlterViewAs => a.child match {
+      case v: UnresolvedView if targetsViewCatalog(v.multipartIdentifier) =>
+        GraftAlterViewAsCommand(v.multipartIdentifier, a.originalText, a.query)
+      case _ => plan
+    }
+    case r: RenameTable if r.isView => r.child match {
+      case v: UnresolvedTableOrView if targetsViewCatalog(v.multipartIdentifier) =>
+        GraftRenameViewCommand(v.multipartIdentifier, r.newName)
+      case _ => plan
+    }
+    case _ => plan
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+case class GraftCreateViewCommand(
+    nameParts: Seq[String],
+    userSpecifiedColumns: Seq[(String, Option[String])],
+    comment: Option[String],
+    properties: Map[String, String],
+    sqlText: String,
+    query: LogicalPlan,
+    allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (catalog, ident) =
+      GraftViewSupport.viewCatalogAndIdent(sparkSession, nameParts).get
+    val analyzed = sparkSession.sessionState.executePlan(query).analyzed
+    val queryNames = analyzed.schema.fieldNames
+    if (userSpecifiedColumns.nonEmpty)
+      require(userSpecifiedColumns.length == queryNames.length,
+        s"view column list has ${userSpecifiedColumns.length} names but the " +
+          s"query produces ${queryNames.length} columns")
+    val aliases = userSpecifiedColumns.map(_._1)
+    val colComments = userSpecifiedColumns.map(_._2.orNull)
+    val schema =
+      if (aliases.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(aliases).map {
+        case (f, a) => f.copy(name = a)
+      })
+    val cm = sparkSession.sessionState.catalogManager
+    val props = properties ++ comment.map(ViewCatalog.PROP_COMMENT -> _)
+    val info = new ViewInfo(ident, sqlText,
+      cm.currentCatalog.name(), cm.currentNamespace,
+      schema, queryNames, aliases.toArray, colComments.toArray,
+      props.asJava)
+    if (replace) catalog.replaceView(info, true)
+    else if (allowExisting && catalog.viewExists(ident)) ()
+    else catalog.createView(info)
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(nameParts: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (catalog, ident) =
+      GraftViewSupport.viewCatalogAndIdent(sparkSession, nameParts).get
+    val dropped = catalog.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+case class GraftShowViewsCommand(catalogName: String, ns: Seq[String],
+                                 pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val catalog = sparkSession.sessionState.catalogManager
+      .catalog(catalogName).asInstanceOf[ViewCatalog]
+    // SHOW VIEWS LIKE patterns: '*' any chars, '|' alternation
+    def matches(name: String): Boolean = pattern.forall(p =>
+      p.split("\\|").exists(alt =>
+        name.matches(java.util.regex.Pattern.quote(alt)
+          .replace("*", "\\E.*\\Q"))))
+    catalog.listViews(ns: _*).toSeq
+      .filter(i => matches(i.name()))
+      .sortBy(_.name())
+      .map(i => Row(i.namespace().mkString("."), i.name(), false))
+  }
+}
+
+case class GraftAlterViewCommand(nameParts: Seq[String],
+                                 changes: Seq[(String, Option[String])])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (catalog, ident) =
+      GraftViewSupport.viewCatalogAndIdent(sparkSession, nameParts).get
+    val vc = changes.map {
+      case (k, Some(v)) => ViewChange.setProperty(k, v)
+      case (k, None) => ViewChange.removeProperty(k)
+    }
+    catalog.alterView(ident, vc: _*)
+    Seq.empty
+  }
+}
+
+case class GraftAlterViewAsCommand(nameParts: Seq[String], sqlText: String,
+                                   query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (catalog, ident) =
+      GraftViewSupport.viewCatalogAndIdent(sparkSession, nameParts).get
+    val prev = catalog.loadView(ident) // NoSuchViewException if absent
+    val analyzed = sparkSession.sessionState.executePlan(query).analyzed
+    val cm = sparkSession.sessionState.catalogManager
+    val info = new ViewInfo(ident, sqlText,
+      cm.currentCatalog.name(), cm.currentNamespace,
+      analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty, Array.empty, prev.properties())
+    catalog.replaceView(info, false)
+    Seq.empty
+  }
+}
+
+case class GraftRenameViewCommand(nameParts: Seq[String], newName: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (catalog, ident) =
+      GraftViewSupport.viewCatalogAndIdent(sparkSession, nameParts).get
+    catalog.renameView(ident,
+      Identifier.of(newName.init.toArray, newName.last))
+    Seq.empty
+  }
+}

@@ -23,7 +23,7 @@ object GraftProcedures {
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
-    "rewrite_position_deletes")
+    "rewrite_position_deletes", "cherrypick_snapshot")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -202,6 +202,15 @@ object GraftProcedures {
         val prev = table.currentSnapshot.map(_.snapshotId)
         val out = TableWriter.fastForward(table, in.getUTF8String(1).toString)
         Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+      }
+      case "cherrypick_snapshot" => proc(name,
+        Seq("table" -> StringType, "snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("source_snapshot_id", LongType, nullable = false),
+          StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val out = TableWriter.cherrypickSnapshot(table, in.getLong(1))
+        Array[Any](in.getLong(1), out.currentSnapshot.get.snapshotId)
       }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),

@@ -1091,6 +1091,99 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Cherry-pick an APPEND snapshot onto the current main head (Iceberg's
+    * `cherrypick_snapshot`): the snapshot's added data files are
+    * re-committed as a NEW append at the head — the publish path for a WAP
+    * branch commit when main has MOVED since the branch forked
+    * ([[fastForward]]'s ancestry guard rejects exactly that case).
+    *
+    * Only append snapshots are re-applied: an append commutes with any
+    * interleaved commit (its rows carry the new, highest sequence number,
+    * so older deletes can't silently apply to them), while replays of
+    * overwrites/deletes could resurrect or re-kill rows they never saw.
+    * Re-publishing is metadata-only — the source manifests' ADDED entries
+    * are rewritten (per their ORIGINAL spec) with the new snapshot's
+    * sequence number; the data files are referenced in place. */
+  def cherrypickSnapshot(table: IcebergTable, snapshotId: Long): IcebergTable = {
+    val md = table.metadata
+    val snap = md.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+    require(snap.summary.exists(_.operation == OpAppend),
+      s"only append snapshots can be cherry-picked; $snapshotId is " +
+        snap.summary.map(_.operation.repr).getOrElse("unknown"))
+    // already-published guard: if the snapshot is an ancestor of main's
+    // head — or a previous cherry-pick of it is (summary provenance) —
+    // re-applying it would duplicate its rows
+    @annotation.tailrec
+    def published(of: Option[Long]): Boolean = of match {
+      case None => false
+      case Some(id) if id == snapshotId => true
+      case Some(id) =>
+        val s = md.snapshotById(id)
+        if (s.exists(_.summary.exists(_.properties.get("source-snapshot-id")
+            .contains(snapshotId.toString)))) true
+        else published(s.flatMap(_.parentSnapshotId))
+    }
+    require(!published(md.currentSnapshotId),
+      s"snapshot $snapshotId is already published in main's lineage")
+
+    val parentManifestPaths = snap.parentSnapshotId.flatMap(md.snapshotById)
+      .toSeq.flatMap(p => ManifestIO.readManifestList(table.io.open(p.manifestList)))
+      .map(_.path).toSet
+    val addedManifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
+      .filterNot(m => parentManifestPaths.contains(m.path))
+    require(addedManifests.forall(_.content == 0),
+      s"snapshot $snapshotId added delete manifests — not cherry-pickable")
+
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val partTypeOf: Int => StructT = specId =>
+      md.partitionSpecs.find(_.specId == specId)
+        .map(_.partitionType(table.schema))
+        .getOrElse(table.spec.partitionType(table.schema))
+    val newManifests = addedManifests.zipWithIndex.map { case (m, i) =>
+      val added = ManifestIO.readManifestEntries(table.io.open(m.path), m)
+        .filter(e => e.status == ManifestEntryStatus.Added &&
+          e.snapshotId.contains(snap.snapshotId))
+      val entries = added.map(e => ManifestEntry(
+        ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), e.dataFile))
+      val mf = new File(metaDir, s"manifest-pick-$snapId-$i.avro")
+      ManifestIO.writeManifest(mf, entries, partTypeOf(m.partitionSpecId))
+      ManifestFile(
+        path = mf.getPath, length = mf.length(),
+        partitionSpecId = m.partitionSpecId, content = 0,
+        sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+        addedFilesCount = entries.size, existingFilesCount = 0,
+        deletedFilesCount = 0,
+        addedRowsCount = entries.map(_.dataFile.recordCount).sum,
+        existingRowsCount = 0, deletedRowsCount = 0,
+        partitions = partitionSummaries(entries, partTypeOf(m.partitionSpecId)),
+        formatVersion = 2)
+    }
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    })
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, prevManifests ++ newManifests)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath,
+      Some(SnapshotSummary(OpAppend, Map(
+        "source-snapshot-id" -> snapshotId.toString,
+        "added-data-files" -> newManifests.map(_.addedFilesCount).sum.toString,
+        "added-records" -> newManifests.map(_.addedRowsCount).sum.toString))),
+      Some(table.schema.schemaId))
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Import EXISTING parquet files into the table without rewriting them
     * (Iceberg's `add_files` migration path): footer-derived per-column
     * stats go into a new APPEND snapshot's manifest; hive-style `k=v`

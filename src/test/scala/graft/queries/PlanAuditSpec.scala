@@ -220,6 +220,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q25: lag + frame windows share one user_id exchange and one Window node") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = Relational.q25MovingAvg(s, sf).queryExecution.executedPlan
+    val hashEx = exec.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"expected one hash exchange (user_id), got ${hashEx.size}")
+    // same partitioning+ordering → Catalyst collapses the framed sum/count
+    // and the lag into a single Window over a single sort
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected one Window node, got ${windows.size}")
+  }
+
+  test("q26: EXISTS/NOT EXISTS plan as semi+anti joins with no forced hints") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = Relational.q26Exists(spark, sf)
+    assert(df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h }.isEmpty, "q26 must carry no hints")
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sk02: salted join never cartesians; raw words stay out of t17 shuffles") {
+    val p = plan(Skew.sk02SaltedJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"salted join cartesianed:\n$p")
+    // t17: word strings are hashed at the source; no exchange carries `w`
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = TextOps.t17Vocab(s, sf).queryExecution.executedPlan
+    val ex = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.nonEmpty, "plan audit is vacuous: no exchanges visible")
+    ex.foreach { e =>
+      assert(!e.output.exists(_.name == "w"),
+        s"raw words ride a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("t11: the bounded tf slice broadcasts into the tf-df join") {
     // the document-frequency table is corpus-sized; it must never be
     // shuffled to meet the maxId-bounded tf probe

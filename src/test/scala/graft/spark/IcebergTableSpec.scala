@@ -473,6 +473,29 @@ class IcebergTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t6 = TableWriter.append(t5, Seq(5L).toDF("id").coalesce(1))
     val e = intercept[IllegalArgumentException](TableWriter.fastForward(t6, "other"))
     assert(e.getMessage.contains("fast-forward"))
+
+    // ...which is exactly what cherry-pick is for: re-apply the branch
+    // append onto the diverged head as a new snapshot
+    val otherHead = t6.metadata.snapshotByName("other").get.snapshotId
+    val t7 = TableWriter.cherrypickSnapshot(t6, otherHead)
+    assert(t7.newScan().toDF(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 9L))
+    assert(t7.currentSnapshot.get.summary.get
+      .properties("source-snapshot-id") == otherHead.toString)
+
+    // double-publish guard: the same source cannot be applied twice
+    val dup = intercept[IllegalArgumentException](
+      TableWriter.cherrypickSnapshot(t7, otherHead))
+    assert(dup.getMessage.contains("already published"))
+
+    // non-append snapshots are refused (replaying a delete could re-kill
+    // rows it never saw)
+    val t8 = TableWriter.deleteWhere(t7, spark, col("id") === 9L)
+    val delSnap = t8.currentSnapshot.get.snapshotId
+    val t9 = TableWriter.rollbackTo(t8, t7.currentSnapshot.get.snapshotId)
+    val bad = intercept[IllegalArgumentException](
+      TableWriter.cherrypickSnapshot(t9, delSnap))
+    assert(bad.getMessage.contains("append"))
   }
 
   test("bloom filter table property reaches the written parquet") {
