@@ -144,4 +144,49 @@ object Multimodal {
        FROM pairs
        WHERE bit_count(xor(fa, fb)) <= 6
        ORDER BY media_a, media_b"""
+
+  /** Chunk-level dedup estimator over binary payloads: every payload is cut
+    * into fixed 32-byte chunks, chunks are hashed to 60-bit keys, and each
+    * media reports how many of its distinct chunks also occur in ANOTHER
+    * payload — the storage-dedup ratio a blob store (or a training-data
+    * lake holding repeated crawl snapshots) would reclaim. The
+    * content-defined-chunking upgrade (rolling-hash boundaries, FastCDC)
+    * drops in at the chunk expression and changes nothing downstream.
+    *
+    * Scale shape (the d05 discipline): payload bytes never ride a shuffle —
+    * chunks become (media_id, 60-bit hash) pairs at the scan; both
+    * aggregations are map-side combined; the frequency join moves only
+    * (hash, count) pairs. */
+  def mm04ChunkDedup(s: SparkSession, d: String, chunkLen: Int = 32): DataFrame = {
+    val chunkHash = conv(substring(md5(col("c")), 1, 15), 16, 10).cast("long")
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(0, cast(floor((length(text)-1)/$chunkLen) as int))), " +
+            s"i -> substring(text, i*$chunkLen+1, $chunkLen))")).as("c"))
+      .select(col("media_id"), chunkHash.as("h"))
+      .distinct()
+    val freq = chunks.groupBy("h").agg(count(lit(1)).as("nm"))
+    chunks.join(freq, "h")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nm") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_chunks"))
+      .orderBy("media_id")
+  }
+
+  val mm04Sql: String =
+    """WITH ch AS (
+         SELECT DISTINCT doc_id AS media_id,
+                ('0x' || substr(md5(substr(text, CAST(i*32+1 AS INT), 32)), 1, 15))::BIGINT AS h
+         FROM documents,
+              UNNEST(range(0, greatest(0, CAST(floor((length(text)-1)/32) AS BIGINT)) + 1)) t(i)),
+       f AS (SELECT h, COUNT(*) AS nm FROM ch GROUP BY h)
+       SELECT media_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                AS shared_ratio
+       FROM ch JOIN f USING (h)
+       GROUP BY media_id ORDER BY media_id"""
 }

@@ -491,6 +491,59 @@ object TextOps {
                     (SELECT SUM(total_tokens) FROM a), 6) AS token_share
        FROM a ORDER BY source"""
 
+  /** Trigram-novelty scoring: the share of each document's distinct word
+    * trigrams that fall OUTSIDE the corpus's top-100 most-common trigrams —
+    * a cheap perplexity proxy (low novelty = boilerplate/templated text,
+    * high novelty = fresh content) that needs no language model, only the
+    * corpus itself. The top set is chosen deterministically
+    * (document-frequency desc, hash asc at ties) so both engines pick the
+    * identical set.
+    *
+    * Scale shape: trigrams are md5-hashed to 60-bit longs at the scan (the
+    * d05 discipline); the top-100 set is an aggregate of (hash, df) pairs
+    * and BROADCASTS into the membership join — the corpus side never
+    * shuffles for it. */
+  def t18TrigramNovelty(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
+    val tri = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10))"))
+        .as("hs"))
+      .select(col("doc_id"), col("hs").cast("long").as("h"))
+      .distinct()
+    val top = tri.groupBy("h").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("h"))
+      .limit(topK)
+      .select(col("h"), lit(1L).as("is_top"))
+    tri.join(broadcast(top), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("is_top"), lit(0L))).as("n_common"))
+      .withColumn("novelty",
+        (col("n_trigrams") - col("n_common")).cast("double") / col("n_trigrams"))
+      .orderBy("doc_id")
+  }
+
+  val t18Sql: String =
+    """WITH tri AS (
+         SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+              UNNEST(range(1, len(w) - 1)) t(i)),
+       top AS (
+         SELECT h FROM (SELECT h, COUNT(*) AS df FROM tri GROUP BY h)
+         ORDER BY df DESC, h LIMIT 100)
+       SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+              CAST(SUM(CASE WHEN top.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_common,
+              CAST(COUNT(*) - SUM(CASE WHEN top.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+       FROM tri LEFT JOIN top ON tri.h = top.h
+       GROUP BY tri.doc_id ORDER BY tri.doc_id"""
+
   /** Per-source vocabulary profile: token volume, distinct vocabulary,
     * hapax legomena (words seen exactly once — the classic vocabulary-
     * richness signal; a high hapax share flags noisy/OCR-damaged text,

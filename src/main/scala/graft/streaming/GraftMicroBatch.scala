@@ -59,9 +59,22 @@ final class GraftMicroBatchStream(location: String, required: StructType,
                                   maxFilesPerTrigger: Option[Int] = None,
                                   maxBytesPerTrigger: Option[Long] = None,
                                   readChanges: Boolean = false)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def freshTable(): IcebergTable = IcebergTables.load(location)
+
+  /** Trigger.AvailableNow: pin the drain target to the table's state at
+    * query start. Batches still honor maxFiles/maxBytes admission, but
+    * never advance past the pinned sequence — commits racing the backfill
+    * are left for the next run, which is what gives AvailableNow its
+    * "process exactly what existed, then stop" contract. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap =
+      Some(freshTable().currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+  }
 
   override def initialOffset(): Offset = {
     val t = freshTable()
@@ -112,7 +125,8 @@ final class GraftMicroBatchStream(location: String, required: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val t = freshTable()
-    val latest = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val live = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
+    val latest = availableNowCap.fold(live)(math.min(live, _))
     val s = start.asInstanceOf[GraftOffset]
     budgetsOf(limit) match {
       case (None, None) => GraftOffset(math.max(s.seq, latest))

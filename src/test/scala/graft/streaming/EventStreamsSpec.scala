@@ -368,6 +368,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains existing snapshots in bounded batches, then stops") {
+    val loc = Files.createTempDirectory("tbl_streamAN").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src.limit(2).coalesce(1), loc)
+    val t2 = TableWriter.append(t1, src.limit(1).coalesce(1))
+    TableWriter.append(t2, src.limit(1).coalesce(1))
+
+    val q = spark.readStream.format("icegopher")
+      .option("maxFilesPerTrigger", "1").load(loc)
+      .writeStream.format("memory").queryName("icestreamAN")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+      // the full backlog is delivered, still respecting the per-batch cap
+      assert(spark.table("icestreamAN").count() == 4,
+        "AvailableNow must drain all pre-existing rows")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >=3 rate-limited batches, got $nonEmpty: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("readStream with stream-start=latest skips existing data") {
     val loc = Files.createTempDirectory("tbl_stream2").toFile.getPath
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
