@@ -146,6 +146,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    // mirror of createView's tableExists guard: a view occupies the same
+    // directory (view.metadata.json in tableDir) — writing table metadata
+    // next to it would make the identifier ambiguous and dropView's
+    // recursive delete would destroy the table's data
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     val dir = tableDir(ident)
     dir.mkdirs()
     val iceSchema = SchemaConv.fromSparkSchema(schema)
@@ -289,7 +296,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ns if ns.headOption.contains(catalogName) => ns.drop(1)
       case ns => ns
     }
-    val to = tableDir(Identifier.of(targetNs, newIdent.name()))
+    val target = Identifier.of(targetNs, newIdent.name())
+    if (viewExists(target))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(target)
+    val to = tableDir(target)
     to.getParentFile.mkdirs()
     if (!from.renameTo(to))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
@@ -373,6 +384,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties = Option(info.properties()).map(_.asScala.toMap)
         .getOrElse(Map.empty))
     writeView(ident, md)
+    GraftViewExistsCache.invalidate()
     new GraftView(ident, md)
   }
 
@@ -419,7 +431,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropView(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isView(dir)) false
-    else { deleteRec(dir); true }
+    else { deleteRec(dir); GraftViewExistsCache.invalidate(); true }
   }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -439,6 +451,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     to.getParentFile.mkdirs()
     if (!from.renameTo(to))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+    GraftViewExistsCache.invalidate()
   }
 
   // ------------------------------------------------------------ namespaces
@@ -517,6 +530,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = new File(warehouse, namespace.mkString(File.separator))
     if (!dir.isDirectory) false
     else if (!cascade && Option(dir.listFiles()).exists(_.nonEmpty)) false
-    else { deleteRec(dir); true }
+    else { deleteRec(dir); GraftViewExistsCache.invalidate(); true }
   }
 }

@@ -42,20 +42,23 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
 private[spark] object GraftViewSupport {
   /** Resolve `parts` to (view catalog, identifier) if the explicit or
-    * current catalog is a [[ViewCatalog]]; None → leave the plan to Spark. */
+    * current catalog is a [[ViewCatalog]]; None → leave the plan to Spark.
+    *
+    * An identifier whose head names an EXISTING catalog that is not a
+    * ViewCatalog (e.g. `spark_catalog.default.v` while `USE graft`) is
+    * explicitly aimed elsewhere — it must NOT fall through to the current
+    * catalog, or qualified DDL would be hijacked into the wrong catalog. */
   def viewCatalogAndIdent(session: SparkSession,
                           parts: Seq[String]): Option[(ViewCatalog, Identifier)] = {
     val cm = session.sessionState.catalogManager
-    def asViewCat(name: String): Option[ViewCatalog] =
-      try cm.catalog(name) match {
-        case v: ViewCatalog => Some(v)
-        case _ => None
-      } catch { case _: Exception => None }
     if (parts.length > 1) {
-      asViewCat(parts.head) match {
-        case Some(c) =>
-          return Some((c, Identifier.of(parts.tail.init.toArray, parts.last)))
-        case None => ()
+      val headCat = try Some(cm.catalog(parts.head))
+                    catch { case _: Exception => None }
+      headCat match {
+        case Some(v: ViewCatalog) =>
+          return Some((v, Identifier.of(parts.tail.init.toArray, parts.last)))
+        case Some(_) => return None // qualified at a non-view catalog
+        case None => () // head is a namespace under the current catalog
       }
     }
     cm.currentCatalog match {
@@ -67,15 +70,35 @@ private[spark] object GraftViewSupport {
     }
   }
 
-  /** Namespace resolution for SHOW VIEWS: (catalog name, namespace). */
+  /** Session temp views take precedence over stored views for bare
+    * single-part names (matching Spark's own resolution order), and the
+    * reserved global-temp database is always Spark's (even a miss there
+    * should produce Spark's error, not a graft lookup). */
+  def shadowedByTempView(session: SparkSession, parts: Seq[String]): Boolean =
+    parts match {
+      case Seq(name) =>
+        session.sessionState.catalog.getTempView(name).isDefined
+      case Seq(db, _) =>
+        db == session.conf.get("spark.sql.globalTempDatabase", "global_temp")
+      case _ => false
+    }
+
+  /** Namespace resolution for SHOW VIEWS: (catalog name, namespace).
+    * A head naming an existing non-view catalog is aimed elsewhere → None
+    * (same no-hijack rule as [[viewCatalogAndIdent]]). */
   def viewCatalogAndNs(session: SparkSession,
                        parts: Seq[String]): Option[(String, Seq[String])] = {
     val cm = session.sessionState.catalogManager
-    def isViewCat(name: String): Boolean =
-      try cm.catalog(name).isInstanceOf[ViewCatalog]
-      catch { case _: Exception => false }
-    if (parts.nonEmpty && isViewCat(parts.head)) Some((parts.head, parts.tail))
-    else if (cm.currentCatalog.isInstanceOf[ViewCatalog])
+    if (parts.nonEmpty) {
+      val headCat = try Some(cm.catalog(parts.head))
+                    catch { case _: Exception => None }
+      headCat match {
+        case Some(_: ViewCatalog) => return Some((parts.head, parts.tail))
+        case Some(_) => return None
+        case None => ()
+      }
+    }
+    if (cm.currentCatalog.isInstanceOf[ViewCatalog])
       Some((cm.currentCatalog.name(),
         if (parts.nonEmpty) parts else cm.currentNamespace.toSeq))
     else None
@@ -111,19 +134,58 @@ private[spark] object GraftViewSupport {
   }
 }
 
-/** Substitutes stored-view references during resolution (fixed point →
-  * nested views resolve transitively; a self-referential view fails
-  * analysis at the iteration limit rather than looping forever). */
-case class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation =>
-      GraftViewSupport.viewCatalogAndIdent(session, u.multipartIdentifier)
-        .filter { case (cat, ident) => cat.viewExists(ident) }
-        .map { case (cat, ident) =>
-          GraftViewSupport.viewPlan(session, ident, cat.loadView(ident))
-        }
-        .getOrElse(u)
+/** Per-analysis memo for `viewExists` filesystem probes: the resolution
+  * rule fires for every UnresolvedRelation on every analyzer fixed-point
+  * iteration — without a memo, plain table reads pay a filesystem stat per
+  * iteration whenever the current/named catalog is a ViewCatalog. Entries
+  * are invalidated wholesale on any view DDL through this session's
+  * commands; external (cross-process) catalog writes are picked up on the
+  * next invalidation or JVM, the standard catalog-cache trade-off. */
+private[spark] object GraftViewExistsCache {
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), java.lang.Boolean]()
+  def invalidate(): Unit = {
+    generation.incrementAndGet()
+    cache.clear()
   }
+  def viewExists(cat: ViewCatalog, ident: Identifier): Boolean =
+    cache.computeIfAbsent(
+      (generation.get, cat.name(), ident.toString),
+      _ => java.lang.Boolean.valueOf(cat.viewExists(ident))).booleanValue()
+}
+
+/** Substitutes stored-view references during resolution. Each matched view
+  * is expanded RECURSIVELY with the reference path threaded through, so
+  * nested views resolve in one rule application and a cyclic definition
+  * (constructible via `ALTER VIEW ... AS`) fails immediately with the cycle
+  * named (`view cycle: a -> b -> a`) instead of dying on the analyzer's
+  * generic max-iterations error. Bare single-part names that a session temp
+  * view shadows are left to Spark (temp views outrank stored views). */
+case class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = substitute(plan, Nil)
+
+  private def substitute(plan: LogicalPlan,
+                         path: List[String]): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation
+          if !GraftViewSupport.shadowedByTempView(session, u.multipartIdentifier) =>
+        GraftViewSupport.viewCatalogAndIdent(session, u.multipartIdentifier)
+          .filter { case (cat, ident) =>
+            GraftViewExistsCache.viewExists(cat, ident) }
+          .map { case (cat, ident) =>
+            val key = (cat.name() +: ident.namespace().toSeq :+ ident.name())
+              .mkString(".")
+            if (path.contains(key))
+              throw new IllegalStateException(
+                "view cycle: " + (path.reverse :+ key)
+                  .dropWhile(_ != key).mkString(" -> "))
+            substitute(
+              GraftViewSupport.viewPlan(session, ident, cat.loadView(ident)),
+              key :: path)
+          }
+          .getOrElse(u)
+    }
 }
 
 /** Delegating parser: rewrites parsed view DDL that targets a
@@ -135,8 +197,11 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     rewrite(delegate.parsePlan(sqlText))
 
+  /** DDL on a bare name that a session temp view shadows stays with Spark
+    * (temp views outrank stored views, as in Spark's own resolution). */
   private def targetsViewCatalog(parts: Seq[String]): Boolean =
-    GraftViewSupport.viewCatalogAndIdent(session, parts).isDefined
+    !GraftViewSupport.shadowedByTempView(session, parts) &&
+      GraftViewSupport.viewCatalogAndIdent(session, parts).isDefined
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case c: CreateView => c.child match {
@@ -276,10 +341,17 @@ case class GraftShowViewsCommand(catalogName: String, ns: Seq[String],
       p.split("\\|").exists(alt =>
         name.matches(java.util.regex.Pattern.quote(alt)
           .replace("*", "\\E.*\\Q"))))
-    catalog.listViews(ns: _*).toSeq
+    val stored = catalog.listViews(ns: _*).toSeq
       .filter(i => matches(i.name()))
       .sortBy(_.name())
       .map(i => Row(i.namespace().mkString("."), i.name(), false))
+    // Spark's SHOW VIEWS also lists session temp views matching the
+    // pattern (namespace "", isTemporary=true); mirror that here.
+    val temp = sparkSession.sessionState.catalog
+      .listLocalTempViews("*").map(_.table)
+      .filter(matches).sorted
+      .map(n => Row("", n, true))
+    stored ++ temp
   }
 }
 

@@ -646,6 +646,23 @@ object TableWriter {
     * number, which covers every data file the originals covered (pos
     * tombstones address (path, pos) — files committed later have new
     * paths, so the wider range cannot over-delete). */
+  /** Dangling-tombstone filter as a LEFT SEMI join against a live-paths
+    * dataset, never an In-literal: a 100 TB table has 200k+ live files
+    * (millions when small-filed), and inlining each path as a literal
+    * would bloat the serialized plan of every task and the driver that
+    * builds it. As a join the path set ships once (AQE broadcasts it
+    * when it fits — it is metadata-sized, O(file count)), and the
+    * tombstone side streams through distributed. */
+  private[spark] def filterLiveTombstones(
+      tombstones: org.apache.spark.sql.DataFrame, livePaths: Seq[String],
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val liveDf = livePaths.toDF("live_path")
+    tombstones.join(liveDf, col("file_path") === col("live_path"), "left_semi")
+  }
+
   def rewritePositionDeletes(table: IcebergTable,
                              spark: org.apache.spark.sql.SparkSession)
       : (IcebergTable, Int, Int) = {
@@ -683,9 +700,9 @@ object TableWriter {
     val liveBytesUb = posFiles.map(_.dataFile.fileSizeInBytes).sum
     val outFiles = math.max(1,
       math.ceil(liveBytesUb.toDouble / targetBytes).toInt)
-    val merged = spark.read.parquet(posFiles.map(_.dataFile.path).distinct: _*)
-      .filter(col("file_path").isin(livePaths.toSeq.map(
-        _.stripPrefix("file:")): _*))
+    val merged = filterLiveTombstones(
+        spark.read.parquet(posFiles.map(_.dataFile.path).distinct: _*),
+        livePaths.toSeq.map(_.stripPrefix("file:")), spark)
       .repartitionByRange(outFiles, col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos")
     merged.write.parquet(delDir.getPath)

@@ -649,6 +649,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT * FROM graft.db27.pd2.position_deletes").count() == 25000)
   }
 
+  test("rewrite_position_deletes filters danglers via join, not an In-literal") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Shape check: the live-paths filter must be a LEFT SEMI join (path set
+    // ships once, AQE-broadcastable) with NO In expression — at 100 TB the
+    // live-file list is 200k+ paths and an In-literal would be serialized
+    // into every task's plan.
+    val manyPaths = (0 until 5000).map(i => s"/data/f$i.parquet")
+    val tomb = Seq(("/data/f7.parquet", 1L), ("/dead/x.parquet", 2L))
+      .toDF("file_path", "pos")
+    val filtered = TableWriter.filterLiveTombstones(tomb, manyPaths, spark)
+    val analyzed = filtered.queryExecution.analyzed
+    assert(analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty, "expected a left-semi join for the live-paths filter")
+    assert(analyzed.expressions.flatMap(_.collect {
+      case in: org.apache.spark.sql.catalyst.expressions.In => in
+      case s: org.apache.spark.sql.catalyst.expressions.InSet => s
+    }).isEmpty, "live-paths filter must not inline paths as an In-literal")
+    assert(filtered.collect().map(_.getString(0)).toSeq ==
+      Seq("/data/f7.parquet"))
+    // End-to-end at file-count scale: a table with many small live files
+    // still rewrites exactly (the pathological shape for an In-list).
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28a")
+    spark.sql("CREATE TABLE graft.db28a.manyf (id BIGINT)")
+    spark.range(0, 400).repartition(200).createOrReplaceTempView("manyf_src")
+    spark.sql("INSERT INTO graft.db28a.manyf SELECT id FROM manyf_src")
+    spark.sql("DELETE FROM graft.db28a.manyf WHERE id % 7 = 0")
+    spark.sql("CALL graft.system.rewrite_position_deletes('db28a.manyf')")
+    val row = spark.sql(
+      "SELECT count(*), sum(id) FROM graft.db28a.manyf").collect()(0)
+    val exp = (0L until 400L).filter(_ % 7 != 0)
+    assert(row.getLong(0) == exp.size && row.getLong(1) == exp.sum, row.toString)
+  }
+
   test("rewrite_position_deletes carries eq-delete manifests with tuples intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28")
     spark.sql("CREATE TABLE graft.db28.mix (id BIGINT)")

@@ -136,6 +136,105 @@ class ViewCatalogSpec extends AnyFunSuite {
     assert(v.properties().get("keep") == "me")
   }
 
+  test("cyclic view definitions fail with the cycle named") {
+    setup()
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.cyc_a AS
+      SELECT n_name FROM graft.vdb.nation""")
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.cyc_b AS
+      SELECT n_name FROM graft.vdb.cyc_a""")
+    // close the loop: ALTER analyzes against the OLD cyc_a, so it succeeds;
+    // the cycle must be caught at read time with both members named
+    spark.sql("""ALTER VIEW graft.vdb.cyc_a AS
+      SELECT n_name FROM graft.vdb.cyc_b""")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vdb.cyc_a").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    val msg = chain(e).mkString("\n")
+    assert(msg.contains("view cycle:") && msg.contains("cyc_a") &&
+      msg.contains("cyc_b"), msg)
+    // self-reference is the degenerate cycle (fresh view: the ALTER's query
+    // analyzes against the OLD definition, which points at nation)
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.cyc_c AS
+      SELECT n_name FROM graft.vdb.nation""")
+    spark.sql("""ALTER VIEW graft.vdb.cyc_c AS
+      SELECT n_name FROM graft.vdb.cyc_c""")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vdb.cyc_c").collect()
+    }
+    assert(chain(e2).mkString("\n").contains("view cycle:"))
+    spark.sql("DROP VIEW graft.vdb.cyc_a")
+    spark.sql("DROP VIEW graft.vdb.cyc_b")
+    spark.sql("DROP VIEW graft.vdb.cyc_c")
+  }
+
+  test("qualified DDL at another catalog is not hijacked; temp views outrank") {
+    setup()
+    spark.sql("USE graft.vdb")
+    try {
+      // a stored view and a session temp view sharing a bare name:
+      // reads and DDL on the bare name hit the TEMP view first
+      spark.sql("CREATE OR REPLACE VIEW shadowed AS SELECT 1 AS a")
+      spark.sql("CREATE TEMPORARY VIEW shadowed AS SELECT 2 AS a")
+      assert(spark.sql("SELECT a FROM shadowed").collect()(0).getInt(0) == 2)
+      spark.sql("DROP VIEW shadowed") // must drop the TEMP view
+      assert(spark.sql("SELECT a FROM shadowed").collect()(0).getInt(0) == 1)
+      spark.sql("DROP VIEW shadowed") // now the stored view
+      assert(spark.sql("SHOW VIEWS IN graft.vdb").collect()
+        .forall(_.getString(1) != "shadowed"))
+      // DDL explicitly qualified at the session catalog must reach IT,
+      // not be rewritten into a graft namespace lookup
+      spark.sql("CREATE VIEW spark_catalog.default.sesv AS SELECT 3 AS a")
+      spark.sql("DROP VIEW spark_catalog.default.sesv")
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("SHOW VIEWS includes session temp views (isTemporary=true)") {
+    setup()
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tshow AS SELECT 1 AS a")
+    try {
+      val rows = spark.sql("SHOW VIEWS IN graft.vdb").collect()
+      val tmp = rows.filter(_.getString(1) == "tshow")
+      assert(tmp.length == 1 && tmp(0).getBoolean(2) &&
+        tmp(0).getString(0) == "", tmp.mkString(","))
+    } finally spark.sql("DROP VIEW tshow")
+  }
+
+  test("CREATE TABLE / RENAME onto an existing view is refused") {
+    setup()
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.vguard AS
+      SELECT n_name FROM graft.vdb.nation""")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.vdb.vguard (id BIGINT)")
+    }
+    assert(e.getMessage.contains("vguard"), e.getMessage)
+    // the view's metadata (and dropView's recursive delete scope) is intact
+    assert(spark.sql("SELECT * FROM graft.vdb.vguard").count() == 25)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.vdb.nation RENAME TO graft.vdb.vguard")
+    }
+    assert(e2.getMessage.contains("vguard"), e2.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.vdb.nation").collect()(0)
+      .getLong(0) == 25)
+    spark.sql("DROP VIEW graft.vdb.vguard")
+  }
+
+  test("view drops/creates invalidate the existence cache") {
+    setup()
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.vcache AS
+      SELECT n_name FROM graft.vdb.nation""")
+    assert(spark.sql("SELECT * FROM graft.vdb.vcache").count() == 25)
+    spark.sql("DROP VIEW graft.vdb.vcache")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vdb.vcache").collect()
+    }
+    spark.sql("""CREATE VIEW graft.vdb.vcache AS
+      SELECT n_nationkey FROM graft.vdb.nation WHERE n_nationkey < 5""")
+    assert(spark.sql("SELECT * FROM graft.vdb.vcache").count() == 5)
+    spark.sql("DROP VIEW graft.vdb.vcache")
+  }
+
   test("views survive a fresh catalog instance (persisted metadata)") {
     setup()
     spark.sql("""CREATE OR REPLACE VIEW graft.vdb.persisted AS
