@@ -352,4 +352,65 @@ object IcebergOps {
          SELECT 'delete' AS _change_type, event_type, COUNT(*) AS n
          FROM events WHERE event_type = 'error' GROUP BY event_type)
        ORDER BY _change_type, event_type"""
+
+  /** One extensions-enabled session per warehouse: `SparkSessionExtensions`
+    * apply only at session BUILD, so the view battery entry derives a
+    * session (sharing the SparkContext) instead of mutating the caller's.
+    * The active/default session is restored immediately — the derived one
+    * is reachable only through this holder. */
+  private object ViewSession {
+    private val sessions = scala.collection.mutable.Map[String, SparkSession]()
+    def get(base: SparkSession, wh: String): SparkSession = synchronized {
+      sessions.getOrElseUpdate(wh, {
+        val active = SparkSession.getActiveSession
+        val default = SparkSession.getDefaultSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s = SparkSession.builder()
+          .withExtensions(new graft.spark.GraftSparkExtensions())
+          .config("spark.sql.catalog.graftv", "graft.spark.GraftCatalog")
+          .config("spark.sql.catalog.graftv.warehouse", wh)
+          .config("spark.sql.shuffle.partitions",
+            base.conf.get("spark.sql.shuffle.partitions"))
+          .getOrCreate()
+        default.foreach(SparkSession.setDefaultSession)
+        active.foreach(SparkSession.setActiveSession)
+        s
+      })
+    }
+  }
+
+  /** Persistent SQL views end-to-end against the oracle: a stored view over
+    * the nation table and a second stored view that AGGREGATES THROUGH the
+    * first joined to region — so view DDL, nested-view resolution (the
+    * recursive substitution with cycle detection), default-namespace
+    * scoping, and the Iceberg read path under it all sit on the hash-exact
+    * path. The oracle is the equivalent plain SQL on the raw parquet. */
+  def ice14SqlView(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_views"
+    val vs = ViewSession.get(s, wh)
+    synchronized {
+      if (!new File(s"$wh/vdb/region_counts/view.metadata.json").exists()) {
+        vs.sql("CREATE NAMESPACE IF NOT EXISTS graftv.vdb")
+        if (!new File(s"$wh/vdb/nation/metadata").exists())
+          TableWriter.create(Tables.nation(vs, d), s"$wh/vdb/nation")
+        if (!new File(s"$wh/vdb/region/metadata").exists())
+          TableWriter.create(Tables.region(vs, d), s"$wh/vdb/region")
+        vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.nations_named AS
+          SELECT n_nationkey, n_name, n_regionkey FROM graftv.vdb.nation""")
+        vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.region_counts AS
+          SELECT r.r_name, COUNT(*) AS n_nations, MIN(v.n_name) AS first_nation
+          FROM graftv.vdb.nations_named v
+          JOIN graftv.vdb.region r ON v.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name""")
+      }
+    }
+    vs.sql("""SELECT r_name, n_nations, first_nation
+              FROM graftv.vdb.region_counts ORDER BY r_name""")
+  }
+
+  val ice14Sql: String =
+    """SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY r_name"""
 }

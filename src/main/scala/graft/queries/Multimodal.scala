@@ -145,27 +145,13 @@ object Multimodal {
        WHERE bit_count(xor(fa, fb)) <= 6
        ORDER BY media_a, media_b"""
 
-  /** Chunk-level dedup estimator over binary payloads: every payload is cut
-    * into fixed 32-byte chunks, chunks are hashed to 60-bit keys, and each
-    * media reports how many of its distinct chunks also occur in ANOTHER
-    * payload — the storage-dedup ratio a blob store (or a training-data
-    * lake holding repeated crawl snapshots) would reclaim. The
-    * content-defined-chunking upgrade (rolling-hash boundaries, FastCDC)
-    * drops in at the chunk expression and changes nothing downstream.
-    *
-    * Scale shape (the d05 discipline): payload bytes never ride a shuffle —
-    * chunks become (media_id, 60-bit hash) pairs at the scan; both
-    * aggregations are map-side combined; the frequency join moves only
-    * (hash, count) pairs. */
-  def mm04ChunkDedup(s: SparkSession, d: String, chunkLen: Int = 32): DataFrame = {
-    val chunkHash = conv(substring(md5(col("c")), 1, 15), 16, 10).cast("long")
-    val chunks = Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-        explode(expr(
-          s"transform(sequence(0, greatest(0, cast(floor((length(text)-1)/$chunkLen) as int))), " +
-            s"i -> substring(text, i*$chunkLen+1, $chunkLen))")).as("c"))
-      .select(col("media_id"), chunkHash.as("h"))
-      .distinct()
+  /** Shared downstream of both chunkers: distinct (media_id, chunk-hash)
+    * pairs → per-media shared-chunk stats. Scale shape (the d05
+    * discipline): payload bytes never ride a shuffle — chunks become
+    * (media_id, 60-bit hash) pairs at the scan; both aggregations are
+    * map-side combined; the frequency join moves only (hash, count)
+    * pairs. */
+  private[queries] def sharedChunkStats(chunks: DataFrame): DataFrame = {
     val freq = chunks.groupBy("h").agg(count(lit(1)).as("nm"))
     chunks.join(freq, "h")
       .groupBy("media_id")
@@ -176,12 +162,110 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  private val chunkHash60 =
+    conv(substring(md5(col("c")), 1, 15), 16, 10).cast("long")
+
+  /** Fixed-offset chunker over a BINARY payload column: cut into
+    * `chunkLen`-byte chunks, hash to 60-bit keys, distinct per media. */
+  private[queries] def fixedChunks(media: DataFrame, chunkLen: Int): DataFrame =
+    media
+      .select(col("media_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(0, cast(floor((length(payload)-1)/$chunkLen) as int))), " +
+            s"i -> substring(payload, i*$chunkLen+1, $chunkLen))")).as("c"))
+      .select(col("media_id"), chunkHash60.as("h"))
+      .distinct()
+
+  /** Content-defined chunker over a BINARY payload column: a boundary
+    * falls after byte `i` wherever the hash of the `window`-byte window
+    * ending at `i` is ≡ 0 (mod `divisor`) — so boundaries move WITH the
+    * content, and a payload shifted by a few bytes still cuts into mostly
+    * identical chunks (the property fixed offsets lack; see
+    * [[mm05CdcChunkDedup]]). The window hash here is a per-position
+    * digest — the SQL-expressible stand-in for FastCDC's gear rolling
+    * hash, which drops in via mapPartitions at the same (media_id, hash)
+    * interface when single-pass throughput matters. Expected chunk length
+    * is `divisor` bytes; the final byte is always a boundary. */
+  private[queries] def cdcChunks(media: DataFrame, window: Int = 8,
+                                 divisor: Int = 32): DataFrame = {
+    val w = window
+    media
+      .select(col("media_id"), col("payload"), expr(
+        s"""sort_array(array_distinct(concat(
+              filter(sequence(1, greatest(1, length(payload))),
+                i -> i >= $w AND
+                  conv(substring(md5(substring(payload, i - ${w - 1}, $w)), 1, 15),
+                       16, 10) % $divisor = 0),
+              array(length(payload)))))""").as("b"))
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(1, size(b)),
+             j -> substring(payload,
+                    IF(j = 1, 0, element_at(b, j - 1)) + 1,
+                    element_at(b, j) - IF(j = 1, 0, element_at(b, j - 1))))"""))
+        .as("c"))
+      .select(col("media_id"), chunkHash60.as("h"))
+      .distinct()
+  }
+
+  /** Chunk-level dedup estimator over the media table's BINARY payloads:
+    * every payload is cut into fixed 32-byte chunks, chunks are hashed to
+    * 60-bit keys, and each media reports how many of its distinct chunks
+    * also occur in ANOTHER payload — the storage-dedup ratio a blob store
+    * (or a training-data lake holding repeated crawl snapshots) would
+    * reclaim. Fixed offsets miss duplicates shifted by even one byte —
+    * [[mm05CdcChunkDedup]] is the content-defined variant that catches
+    * them. Oracle: the payload bytes are the documents' text (pure ASCII
+    * in the testdata), so DuckDB's char-indexed substr addresses the same
+    * bytes the Spark side slices from the binary column. */
+  def mm04ChunkDedup(s: SparkSession, d: String, chunkLen: Int = 32): DataFrame =
+    sharedChunkStats(fixedChunks(
+      mediaTable(s, d).toDF().select(col("media_id"), col("payload")),
+      chunkLen))
+
   val mm04Sql: String =
     """WITH ch AS (
          SELECT DISTINCT doc_id AS media_id,
                 ('0x' || substr(md5(substr(text, CAST(i*32+1 AS INT), 32)), 1, 15))::BIGINT AS h
          FROM documents,
               UNNEST(range(0, greatest(0, CAST(floor((length(text)-1)/32) AS BIGINT)) + 1)) t(i)),
+       f AS (SELECT h, COUNT(*) AS nm FROM ch GROUP BY h)
+       SELECT media_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                AS shared_ratio
+       FROM ch JOIN f USING (h)
+       GROUP BY media_id ORDER BY media_id"""
+
+  /** Chunk-level dedup with CONTENT-DEFINED boundaries over the media
+    * table's binary payloads ([[cdcChunks]]): the estimator a blob store
+    * actually wants, because a payload that re-appears shifted by a few
+    * bytes (a prepended header, an edited preamble — the common case in
+    * crawl snapshots) still shares almost all its chunks, where the
+    * fixed-offset cut ([[mm04ChunkDedup]]) shares none. Oracle-checked:
+    * the payloads are the documents' bytes (pure ASCII in the testdata,
+    * so DuckDB's char-indexed substr addresses the same bytes the Spark
+    * side slices from the binary column). */
+  def mm05CdcChunkDedup(s: SparkSession, d: String): DataFrame =
+    sharedChunkStats(cdcChunks(
+      mediaTable(s, d).toDF().select(col("media_id"), col("payload"))))
+
+  val mm05Sql: String =
+    """WITH b AS (
+         SELECT doc_id AS media_id, text, i AS pos
+         FROM documents, UNNEST(range(8, length(text) + 1)) t(i)
+         WHERE ('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 15))::BIGINT
+                 % 32 = 0
+         UNION
+         SELECT doc_id, text, length(text) FROM documents),
+       ordered AS (
+         SELECT media_id, text, pos,
+                lag(pos, 1, 0) OVER (PARTITION BY media_id ORDER BY pos) AS prev
+         FROM b),
+       ch AS (
+         SELECT DISTINCT media_id,
+                ('0x' || substr(md5(substr(text, CAST(prev + 1 AS INT),
+                                           CAST(pos - prev AS INT))), 1, 15))::BIGINT AS h
+         FROM ordered),
        f AS (SELECT h, COUNT(*) AS nm FROM ch GROUP BY h)
        SELECT media_id, COUNT(*) AS n_chunks,
               CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,

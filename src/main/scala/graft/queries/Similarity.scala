@@ -320,14 +320,27 @@ object Similarity {
     *     across iterations (the d06 connected-components discipline);
     *   - the ONLY driver-side value per iteration is the scalar max
     *     centroid shift (the convergence test).
-    * Initialization: the k rows with the smallest ids (deterministic,
-    * partitioning-independent). A cluster that loses all members drops
-    * out (k shrinks), matching Lloyd's standard degenerate case.
+    * Initialization (`initMode`):
+    *   - `"first-k"` (default): the k rows with the smallest ids —
+    *     deterministic and partitioning-independent, the mode the oracle
+    *     entry pins;
+    *   - `"sample"`: the k rows with the smallest `xxhash64(id, seed)` —
+    *     a deterministic hash-spread sample across the whole corpus
+    *     (distributed top-k, no driver collect), which avoids first-k's
+    *     failure mode of seeding every centroid inside whatever cluster
+    *     happens to own the low ids. Convergence quality on real corpora
+    *     is typically strictly better; a spec pins ≤ on a separable
+    *     synthetic corpus.
+    * A cluster that loses all members drops out (k shrinks), matching
+    * Lloyd's standard degenerate case.
     * Returns (id, cluster, dist) — dist the squared distance to the
     * winning centroid. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             maxIter: Int = 20, tol: Double = 1e-6): DataFrame = {
+             maxIter: Int = 20, tol: Double = 1e-6,
+             initMode: String = "first-k", seed: Long = 42L): DataFrame = {
     require(k > 0 && maxIter > 0, "k and maxIter must be positive")
+    require(initMode == "first-k" || initMode == "sample",
+      s"initMode must be 'first-k' or 'sample', got '$initMode'")
     val emb = df.select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__e"))
     def assign(centroids: DataFrame): DataFrame =
@@ -341,7 +354,9 @@ object Similarity {
           min(col("dist")).as("dist"))
         .select(col("__id"), col("best.cid").as("cluster"),
           col("best.__e").as("__e"), col("dist"))
-    var centroids = emb.orderBy("__id").limit(k)
+    val seedOrder =
+      if (initMode == "sample") xxhash64(col("__id"), lit(seed)) else col("__id")
+    var centroids = emb.orderBy(seedOrder).limit(k)
       .select(col("__id").as("cid"), col("__e").as("__c")).localCheckpoint()
     var moved = Double.MaxValue
     var iter = 0

@@ -37,6 +37,39 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new GraftViewSqlParser(session, delegate))
     ext.injectResolutionRule(session => GraftViewResolution(session))
+    ext.injectResolutionRule(session => GraftCdcCarryoverCancel(session))
+  }
+}
+
+/** Wraps `.option("read-changes", true)` streams with
+  * [[graft.streaming.EventStreams.cancelCarryovers]], so the streaming CDC
+  * surface matches the batch changelog's default (CoW carryover delete+
+  * insert pairs cancelled per commit) instead of emitting spurious churn
+  * for every merely-copied row. `.option("cdc-carryovers", "emit")` keeps
+  * the raw pair surface (also the behavior without these extensions).
+  * The substitution preserves the relation's output exprIds, and a marker
+  * option on the wrapped relation keeps the rule idempotent across
+  * analyzer iterations. */
+case class GraftCdcCarryoverCancel(session: SparkSession) extends Rule[LogicalPlan] {
+  private val Marker = "graft-cdc-cancel-applied"
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case rel: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if rel.table.isInstanceOf[GraftSparkTable] &&
+          rel.extraOptions.getBoolean("read-changes", false) &&
+          !"emit".equalsIgnoreCase(
+            rel.extraOptions.getOrDefault("cdc-carryovers", "cancel")) &&
+          !rel.extraOptions.containsKey(Marker) =>
+      val opts = new java.util.HashMap[String, String](
+        rel.extraOptions.asCaseSensitiveMap())
+      opts.put(Marker, "true")
+      val marked = rel.copy(extraOptions =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      val wrapped = graft.streaming.EventStreams.cancelCarryovers(
+        org.apache.spark.sql.graft.ColumnShim.ofRows(session, marked))
+      val analyzed = wrapped.queryExecution.analyzed
+      Project(rel.output.zip(analyzed.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      }, analyzed)
   }
 }
 

@@ -169,4 +169,91 @@ object EventStreams {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(tasks.map(_.file.path): _*)
   }
+
+  /** Executor-side helpers for [[cancelCarryovers]] — a standalone
+    * serializable holder so the task closures don't capture
+    * [[EventStreams]] (non-serializable, driver-only members). */
+  private[streaming] object CarryoverCanon extends Serializable {
+    /** Deterministic, content-based canonical string for a row value —
+      * `toString` alone would hash arrays (binary columns!) by identity. */
+    def canonValue(v: Any): String = v match {
+      case null => "\u0000null"
+      case b: Array[Byte] => "B:" + java.util.Base64.getEncoder.encodeToString(b)
+      case a: Array[_] => a.iterator.map(canonValue).mkString("A[", ",", "]")
+      case s: scala.collection.Seq[_] =>
+        s.iterator.map(canonValue).mkString("A[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.iterator.map { case (k, x) => canonValue(k) + "=" + canonValue(x) }
+          .toSeq.sorted.mkString("M{", ",", "}")
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(canonValue).mkString("R(", ",", ")")
+      case other => other.toString
+    }
+
+    def contentOf(r: org.apache.spark.sql.Row,
+                  contentIdx: Array[Int]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < contentIdx.length) {
+        sb.append(canonValue(r.get(contentIdx(i)))).append('\u0001')
+        i += 1
+      }
+      sb.toString
+    }
+
+    def keyOf(r: org.apache.spark.sql.Row, contentIdx: Array[Int]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(md.digest(
+        contentOf(r, contentIdx)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+
+    def cancelGroup(rows: Iterator[org.apache.spark.sql.Row],
+                    contentIdx: Array[Int], typeIdx: Int)
+        : Iterator[org.apache.spark.sql.Row] =
+      // exact multiset cancel by full content (hash collisions are
+      // resolved here, not by the key)
+      rows.toSeq.groupBy(contentOf(_, contentIdx)).valuesIterator.flatMap {
+        same =>
+          val (dels, inss) = same.partition(_.getString(typeIdx) == "delete")
+          val cancelled = math.min(dels.size, inss.size)
+          dels.drop(cancelled) ++ inss.drop(cancelled)
+      }
+  }
+
+  /** Cancel copy-on-write carryover pairs in a CDC row stream: a CoW
+    * rewrite surfaces every merely-copied row as a `delete` (old file) +
+    * `insert` (new file) pair within the same commit; only the surplus on
+    * either side is a genuine change. This is the streaming equivalent of
+    * the batch changelog's per-commit `exceptAll` (Changelog.scala) —
+    * multiset semantics on full row content, scoped per commit.
+    *
+    * Shape for 100 TB: one shuffle of the batch's CHANGED rows keyed by
+    * md5(commit, row content) — pairs meet in the same task, groups are
+    * O(duplicate count) tiny, and no state is retained across batches
+    * (carryover pairs are always intra-commit, and a commit never spans
+    * micro-batches), so state-store size is zero. Works identically on the
+    * batch changelog DataFrame (Spark's unified API).
+    *
+    * Registered automatically on `.option("read-changes", true)` streams
+    * by [[graft.spark.GraftSparkExtensions]]; pass
+    * `.option("cdc-carryovers", "emit")` for the raw pair surface. */
+  def cancelCarryovers(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema
+    val typeIdx = schema.fieldIndex(graft.spark.GraftReaders.ChangeTypeCol)
+    // commit columns STAY in the key: cancellation is per-commit
+    val contentIdx = schema.fields.indices.filterNot(_ == typeIdx).toArray
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      Encoders.scalaBoolean
+    df.groupByKey(CarryoverCanon.keyOf(_, contentIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], _: GroupState[Boolean]) =>
+          // state never set -> none stored
+          CarryoverCanon.cancelGroup(rows, contentIdx, typeIdx)
+      }
+  }
 }

@@ -211,10 +211,13 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     *   - REPLACE (compaction) commits are invisible, as in batch
     *
     * A copy-on-write rewrite surfaces copied rows as a delete+insert
-    * pair within the SAME batch (net-effect-correct; the batch surface
-    * removes these carryovers, a per-commit join the partition planner
-    * cannot express). Exactly-once: offsets partition the sequence
-    * window. */
+    * pair within the SAME batch (net-effect-correct). The partition
+    * planner itself cannot cancel those pairs (a per-commit row join),
+    * but [[graft.spark.GraftSparkExtensions]] wraps read-changes streams
+    * with [[EventStreams.cancelCarryovers]] so the delivered stream
+    * matches the batch changelog's default; `.option("cdc-carryovers",
+    * "emit")` (or running without the extensions) yields this raw pair
+    * surface. Exactly-once: offsets partition the sequence window. */
   private def planCdcPartitions(t: IcebergTable, s: GraftOffset,
                                 toSeq: Long): Array[InputPartition] = {
     val parts = Vector.newBuilder[InputPartition]

@@ -123,6 +123,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).max < 10.0, "distances look unconverged")
   }
 
+  test("sampled kmeans init reaches at-most the inertia of first-k init") {
+    import spark.implicits._
+    // three well-separated clusters, and the k lowest ids are IDENTICAL
+    // points (dedup'd crawl data is full of this): first-k seeds three
+    // coincident centroids, every point tie-breaks to the first, the other
+    // two clusters drop out, and the run degenerates to k=1 — the id-layout
+    // failure mode first-k cannot escape. Hash-spread sampling is immune.
+    val pts = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val rnd = new scala.util.Random(c * 1000 + i)
+      val center = Array.tabulate(8)(j => if (j % 3 == c) 100.0 else 0.0)
+      val v = if (c == 0 && i < 3) center.map(_.toFloat).toSeq
+        else center.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq
+      ((c * 40 + i).toLong, v)
+    }
+    val df = pts.toDF("id", "vec")
+    def inertia(initMode: String): Double =
+      Similarity.kmeans(df, "id", "vec", k = 3, maxIter = 8,
+          initMode = initMode).collect().map(_.getDouble(2)).sum
+    val firstK = inertia("first-k")
+    val sampled = inertia("sample")
+    assert(sampled <= firstK,
+      s"sampled init inertia $sampled > first-k $firstK")
+    // on this layout the gap is structural, not a tie
+    assert(sampled < firstK / 2,
+      s"sampled=$sampled first-k=$firstK: expected a structural gap")
+  }
+
   test("ivf ann approximates brute-force top-k with decent recall") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -29,4 +29,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats1.values.forall { case (_, w, h) =>
       w >= 64 && w < 576 && h >= 64 && h < 576 })
   }
+
+  test("content-defined chunking catches a byte-shifted duplicate that " +
+      "fixed offsets miss") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // payload B = three bytes prepended to payload A: every fixed 32-byte
+    // frame of B is misaligned with A's, but content-defined boundaries
+    // re-synchronize right after the edit
+    // non-repeating content (a repeating phrase would let fixed frames of
+    // the shifted copy collide with frames of the original elsewhere)
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(1400)(('a' + rnd.nextInt(26)).toChar).mkString
+    val other = Array.fill(300)(('A' + rnd.nextInt(26)).toChar).mkString
+    val media = Seq(
+      (1L, base.getBytes("UTF-8")),
+      (2L, ("xy " + base).getBytes("UTF-8")),
+      (3L, other.getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+
+    val fixed = Multimodal.sharedChunkStats(
+      Multimodal.fixedChunks(media, chunkLen = 32))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cdc = Multimodal.sharedChunkStats(Multimodal.cdcChunks(media))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+
+    // fixed offsets: the 3-byte shift desynchronizes every frame
+    assert(fixed(1L) == 0.0 && fixed(2L) == 0.0,
+      s"fixed-offset chunking unexpectedly matched shifted payloads: $fixed")
+    // content-defined: most chunks re-align and are shared
+    assert(cdc(1L) > 0.5 && cdc(2L) > 0.5,
+      s"CDC chunking failed to catch the shifted duplicate: $cdc")
+    assert(cdc(3L) == 0.0, s"unrelated payload must share nothing: $cdc")
+  }
 }
