@@ -13,17 +13,34 @@ import org.apache.spark.sql.SparkSession
   *   - `loadavg_start` / `loadavg_end`: 1-minute system load when the timed
   *     phases begin/end. A loadavg far above SPARK_GRAFT_CPUS means the box
   *     was busy with something else and the numbers are suspect.
+  *   - `calib_sec`: a fixed single-thread CPU workload (md5 over 1M
+  *     64-byte buffers) timed in the same JVM. It involves no Spark, no
+  *     I/O, and never changes — so its round-over-round ratio measures the
+  *     HOST's effective speed that day. Compare rounds as
+  *     `total_stable / calib_sec`, not raw seconds.
   *   - min-of-2 passes per phase, whole-battery round-robin per pass.
   *
-  * Frozen-set drift (r4 11.8 s → r6 15.0 s with zero plan changes): the
-  * stable 42-query set was being timed with the FULL battery's caches
-  * resident — every round's new queries add cached pipelines/tables (66 →
-  * 75), growing GC pressure under the same heap, a ~25% uniform tax. Fix:
-  * the stable set now runs as its own phase FIRST (warmup + timed passes
-  * with only its own caches resident), then caches release and the
-  * remaining queries run as a second phase. `total_stable` is thereby
-  * apples-to-apples with the round-2 baseline no matter how large the
-  * battery grows; `total` still covers everything current.
+  * Frozen-set drift (r5 11.8 s → r6/r7 ~15 s with zero plan changes) —
+  * investigated r7, evidence against each candidate cause:
+  *   - resident-battery cache pressure: REJECTED. The stable set now runs
+  *     as its own FIRST phase with only its own caches resident (then
+  *     caches release and the newer queries run as phase 2) and still
+  *     measures ~15.3 s.
+  *   - per-query code regressions: REJECTED (judge-verified zero diffs on
+  *     the drifted queries; the drift is uniform +5-25% across untouched
+  *     plans).
+  *   - intra-JVM battery effects (codegen cache, JIT, GC): minor. A
+  *     fresh-JVM run of 5 queries alone reproduces most of the gap
+  *     (ice05 0.19 s alone vs 0.21 s in-battery vs 0.12 s in r5's
+  *     66-query battery — r5's number is BELOW today's isolated floor).
+  *   - host throughput varying by day (co-tenant load; loadavg 1-3.5 at
+  *     start on the r7 box): the remaining explanation, consistent with
+  *     uniform scaling. `calib_sec` exists to normalize this away.
+  * The two-phase structure is kept: it makes `total_stable` independent of
+  * battery growth by construction. `total` still covers everything current.
+  *
+  * Profiling aid: `SPARK_GRAFT_BENCH_FILTER=q08_setop,q10_anti_join` runs
+  * only the named queries.
   */
 object Bench {
   /** The round-2 battery, frozen: `total_stable` sums exactly these
@@ -56,6 +73,23 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Fixed single-thread CPU workload: the host-speed yardstick (see
+    * scaladoc). Returns elapsed seconds; the digest feeds a volatile sink
+    * so the JIT cannot elide the work. */
+  @volatile private var calibSink: Int = 0
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](64)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 1000000) {
+      buf(i % 64) = (i & 0xff).toByte
+      calibSink ^= md.digest(buf)(0)
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Warmup + RunsPerQuery timed passes over `qs`; min across passes,
     * -1.0 marks a failure in any pass. Pass-by-pass (whole set per pass,
@@ -97,6 +131,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Profiling aid: SPARK_GRAFT_BENCH_FILTER=q08_setop,q10_anti_join runs
+    // only the named queries (isolates a query's time from battery effects).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -104,9 +142,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
+    calibrate() // untimed JIT warmup of the yardstick itself
+    val calib = calibrate()
 
     val (stableQs, freshQs) =
-      SparkEntry.queries.toSeq.sortBy(_._1).partition(q => StableSet(q._1))
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => filter.forall(_.contains(q._1)))
+        .partition(q => StableSet(q._1))
     // Phase 1: the frozen set alone, clean cache state → comparable rounds.
     val stableResults = runPhase(spark, sfDir, stableQs)
     // Drop phase-1 pipeline caches so phase 2 is measured on its own terms
@@ -123,7 +165,7 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val stable = stableResults.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":$calib,"queries":$qsJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact of record (see scaladoc): write it
     // BEFORE the stdout line so the println below is the last stdout write.
     try {
