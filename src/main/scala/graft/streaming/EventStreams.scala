@@ -80,6 +80,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream INTERVAL join — the attribution shape
+    * (impression ⋈ click within an attribution window): rows of `right`
+    * join rows of `left` sharing `key` whose `right.tsCol` falls in
+    * `[left.tsCol, left.tsCol + maxDelay]`. The time bound plus the
+    * watermarks is what makes this a BOUNDED-state join: each side
+    * buffers only rows newer than (watermark − maxDelay); without the
+    * interval predicate, stream-stream join state grows forever.
+    * Column names collide between the sides, so both are prefixed
+    * (`l_`/`r_`) in the output. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String = "ts",
+                   maxDelay: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"""l_$key = r_$key AND
+          r_$tsCol >= l_$tsCol AND
+          r_$tsCol <= l_$tsCol + INTERVAL $maxDelay"""))
+  }
+
   /** Per-snapshot changelog: the data files each APPEND snapshot with
     * sequence in `(fromSeq, toSeq]` added, read from that snapshot's OWN
     * manifest list — NOT the latest one. Resolving from the latest list is

@@ -61,5 +61,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cdc(1L) > 0.5 && cdc(2L) > 0.5,
       s"CDC chunking failed to catch the shifted duplicate: $cdc")
     assert(cdc(3L) == 0.0, s"unrelated payload must share nothing: $cdc")
+
+    // the gear rolling-hash chunker (the single-pass 100 TB path) catches
+    // the shifted duplicate through the same interface
+    val gear = Multimodal.sharedChunkStats(Multimodal.gearChunks(media))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gear(1L) > 0.5 && gear(2L) > 0.5,
+      s"gear chunking failed to catch the shifted duplicate: $gear")
+    assert(gear(3L) == 0.0, s"unrelated payload must share nothing: $gear")
+    // deterministic across partitionings (per-partition gear state is
+    // seeded, not accumulated across rows)
+    val gear2 = Multimodal.sharedChunkStats(
+      Multimodal.gearChunks(media.repartition(5)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gear == gear2, s"gear chunking not partitioning-independent")
   }
 }

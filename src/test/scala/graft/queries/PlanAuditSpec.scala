@@ -273,4 +273,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"tf-df join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"df side rides a sort-merge shuffle:\n$p")
   }
+
+  test("mm05: payload bytes and chunk bytes never ride a shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = Multimodal.mm05CdcChunkDedup(s, sf).queryExecution.executedPlan
+    val ex = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.nonEmpty, "plan audit is vacuous: no exchanges visible")
+    // chunking happens at the scan: every exchange carries only ids,
+    // 60-bit hashes, and counts — never the payload or a chunk's bytes
+    ex.foreach { e =>
+      val binCols = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(binCols.isEmpty,
+        s"binary columns ride a shuffle: ${binCols.mkString(",")}")
+      assert(!e.output.exists(a => a.name == "payload" || a.name == "c" ||
+        a.name == "b"),
+        s"chunk machinery rides a shuffle: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
 }

@@ -60,6 +60,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      imps.toDF().toDF("ts", "user_id", "ad"),
+      clicks.toDF().toDF("ts", "user_id", "target"),
+      key = "user_id", maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      imps.addData((t(0), 1L, "adA"), (t(0), 2L, "adB"))
+      // user 1 clicks inside the window, user 2 clicks 20 min late,
+      // user 3 clicks with no impression at all
+      clicks.addData((t(5), 1L, "landing"), (t(20), 2L, "landing"),
+        (t(5), 3L, "landing"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("l_user_id"), r.getAs[String]("l_ad"),
+          r.getAs[String]("r_target")))
+      assert(rows.toSeq == Seq((1L, "adA", "landing")), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
