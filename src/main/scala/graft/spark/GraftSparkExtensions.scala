@@ -177,14 +177,17 @@ private[spark] object GraftViewSupport {
 private[spark] object GraftViewExistsCache {
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, String), java.lang.Boolean]()
   def invalidate(): Unit = {
     generation.incrementAndGet()
     cache.clear()
   }
+  // keyed by catalog INSTANCE (identity), not name: two catalogs may share
+  // a name while pointing at different warehouses (multi-session setups),
+  // and a name-keyed entry would leak existence across them
   def viewExists(cat: ViewCatalog, ident: Identifier): Boolean =
     cache.computeIfAbsent(
-      (generation.get, cat.name(), ident.toString),
+      (generation.get, System.identityHashCode(cat), ident.toString),
       _ => java.lang.Boolean.valueOf(cat.viewExists(ident))).booleanValue()
 }
 
