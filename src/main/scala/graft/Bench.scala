@@ -165,15 +165,22 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val stable = stableResults.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":$calib,"queries":$qsJson,"sf":"$sfDir"}"""
+    val filterJson = filter.fold("")(f =>
+      s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact of record (see scaladoc): write it
     // BEFORE the stdout line so the println below is the last stdout write.
+    // A FILTERED profiling run must never overwrite the full-battery
+    // artifact — it goes to bench_out_filtered.json (and carries the
+    // "filter" field either way).
+    val outFile =
+      if (filter.isDefined) "bench_out_filtered.json" else "bench_out.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_out.json"),
+        java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     graft.queries.CacheSlot.releaseAll() // battery done: drop pipeline caches
     println(json)

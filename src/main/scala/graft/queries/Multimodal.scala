@@ -286,11 +286,14 @@ object Multimodal {
           }
           if (start < payload.length || payload.length == 0)
             out += ((id, hash60(payload, start, payload.length)))
+          // per-payload distinct is ALL the dedup needed: the media table
+          // has one row per media_id, so no (media_id, h) pair can recur
+          // across rows — a DataFrame-level distinct here would add a
+          // pointless extra shuffle before sharedChunkStats' own
           out.result().distinct
         }
       }
       .toDF("media_id", "h")
-      .distinct()
   }
 
   /** Chunk-level dedup with CONTENT-DEFINED boundaries over the media

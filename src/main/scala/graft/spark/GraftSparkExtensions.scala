@@ -176,19 +176,29 @@ private[spark] object GraftViewSupport {
   * next invalidation or JVM, the standard catalog-cache trade-off. */
 private[spark] object GraftViewExistsCache {
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int, String), java.lang.Boolean]()
+  // one sub-map per catalog INSTANCE (reference identity, weakly held so a
+  // dropped session's catalog doesn't pin its cache): two catalogs may
+  // share a name while pointing at different warehouses (multi-session
+  // setups), and any name- or hash-keyed entry could leak existence
+  // across them
+  private val cache = new java.util.WeakHashMap[ViewCatalog,
+    java.util.concurrent.ConcurrentHashMap[(Long, String), java.lang.Boolean]]()
   def invalidate(): Unit = {
     generation.incrementAndGet()
-    cache.clear()
+    cache.synchronized { cache.clear() }
   }
-  // keyed by catalog INSTANCE (identity), not name: two catalogs may share
-  // a name while pointing at different warehouses (multi-session setups),
-  // and a name-keyed entry would leak existence across them
-  def viewExists(cat: ViewCatalog, ident: Identifier): Boolean =
-    cache.computeIfAbsent(
-      (generation.get, System.identityHashCode(cat), ident.toString),
+  def viewExists(cat: ViewCatalog, ident: Identifier): Boolean = {
+    val perCat = cache.synchronized {
+      var m = cache.get(cat)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Long, String), java.lang.Boolean]()
+        cache.put(cat, m)
+      }
+      m
+    }
+    perCat.computeIfAbsent((generation.get, ident.toString),
       _ => java.lang.Boolean.valueOf(cat.viewExists(ident))).booleanValue()
+  }
 }
 
 /** Substitutes stored-view references during resolution. Each matched view
@@ -234,14 +244,24 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
     rewrite(delegate.parsePlan(sqlText))
 
   /** DDL on a bare name that a session temp view shadows stays with Spark
-    * (temp views outrank stored views, as in Spark's own resolution). */
+    * (temp views outrank stored views for DROP/ALTER/RENAME/reads, as in
+    * Spark's own resolution). CREATE [OR REPLACE] VIEW is the exception —
+    * in Spark a temp view never blocks creating a permanent view of the
+    * same name, so [[rewrite]] uses the unshadowed check there. */
   private def targetsViewCatalog(parts: Seq[String]): Boolean =
     !GraftViewSupport.shadowedByTempView(session, parts) &&
+      targetsViewCatalogUnshadowed(parts)
+
+  private def targetsViewCatalogUnshadowed(parts: Seq[String]): Boolean =
+    // the global-temp database stays reserved to Spark even for CREATE
+    !(parts.length == 2 && parts.head ==
+      session.conf.get("spark.sql.globalTempDatabase", "global_temp")) &&
       GraftViewSupport.viewCatalogAndIdent(session, parts).isDefined
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case c: CreateView => c.child match {
-      case id: UnresolvedIdentifier if targetsViewCatalog(id.nameParts) =>
+      case id: UnresolvedIdentifier
+          if targetsViewCatalogUnshadowed(id.nameParts) =>
         GraftCreateViewCommand(id.nameParts,
           c.userSpecifiedColumns, c.comment, c.properties,
           c.originalText.getOrElse(throw new IllegalArgumentException(

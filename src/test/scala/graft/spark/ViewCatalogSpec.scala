@@ -178,6 +178,10 @@ class ViewCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE OR REPLACE VIEW shadowed AS SELECT 1 AS a")
       spark.sql("CREATE TEMPORARY VIEW shadowed AS SELECT 2 AS a")
       assert(spark.sql("SELECT a FROM shadowed").collect()(0).getInt(0) == 2)
+      // ...but CREATE [OR REPLACE] VIEW is NOT blocked by the temp view
+      // (Spark semantics: a temp view never prevents creating a permanent
+      // view of the same name)
+      spark.sql("CREATE OR REPLACE VIEW shadowed AS SELECT 1 AS a")
       spark.sql("DROP VIEW shadowed") // must drop the TEMP view
       assert(spark.sql("SELECT a FROM shadowed").collect()(0).getInt(0) == 1)
       spark.sql("DROP VIEW shadowed") // now the stored view
