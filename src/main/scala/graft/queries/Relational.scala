@@ -293,6 +293,57 @@ object Relational {
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
 
+  /** Explicit GROUPING SETS — the shape rollup/cube cannot express: each
+    * dimension aggregated SEPARATELY plus the grand total, in one pass
+    * (one shuffle; Spark expands the sets map-side, same as rollup). */
+  def q27GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q27Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — "top-2
+    * nations by customers, per region", the shape where the inner query's
+    * result depends on the outer row and a window-rank rewrite is the
+    * plan Catalyst decorrelates it into (rank ≤ 2 over a single shuffle —
+    * no per-row re-execution at any scale). Exercises Spark's SQL LATERAL
+    * surface end-to-end against DuckDB's. */
+  def q28Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("q28_region")
+    Tables.nation(s, d).createOrReplaceTempView("q28_nation")
+    Tables.customer(s, d).createOrReplaceTempView("q28_customer")
+    s.sql("""SELECT r.r_name, l.n_name, l.n_customers
+      FROM q28_region r,
+      LATERAL (SELECT n.n_name, COUNT(*) AS n_customers
+        FROM q28_nation n JOIN q28_customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2) l
+      ORDER BY r.r_name, l.n_customers DESC, l.n_name""")
+  }
+
+  val q28Sql: String =
+    """SELECT r.r_name, l.n_name, l.n_customers
+       FROM region r, LATERAL (
+         SELECT n.n_name, COUNT(*) AS n_customers
+         FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_regionkey = r.r_regionkey
+         GROUP BY n.n_name
+         ORDER BY n_customers DESC, n.n_name
+         LIMIT 2) l
+       ORDER BY r.r_name, l.n_customers DESC, l.n_name"""
+
   /** Scalar function battery: string/math/date functions row-wise. */
   def q14Scalar(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
