@@ -274,6 +274,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"df side rides a sort-merge shuffle:\n$p")
   }
 
+  test("q28: LATERAL decorrelates to a window top-k, no per-row re-execution") {
+    val p = plan(Relational.q28Lateral(spark, sf))
+    // the rank computation must ride WindowGroupLimit (partial+final top-k
+    // pushed below the shuffle), never a per-outer-row loop or cartesian
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral cartesianed:\n$p")
+    // exactly one hash-partitioned exchange feeds the window (the group-by
+    // and the rank share it); everything else broadcasts
+    assert(!p.contains("SortMergeJoin"), s"joins must broadcast at this size:\n$p")
+  }
+
   test("mm05: payload bytes and chunk bytes never ride a shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val s = spark.newSession()
