@@ -86,6 +86,64 @@ class CdcCarryoverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("carryover cancel survives a checkpointed restart exactly-once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdb")
+    spark.sql("CREATE TABLE graft.cdb.ckpt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.cdb.ckpt SELECT id, id * 2 FROM range(10)")
+    val loc = s"$warehouse/cdb/ckpt"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toFile.getPath
+    val outDir = Files.createTempDirectory("graft_cdc_out").toFile.getPath
+    // file sink: the fault-tolerant sink shape (memory sink refuses
+    // checkpoint recovery by design)
+    def start() = spark.readStream.format("icegopher")
+      .option("read-changes", "true").load(loc)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 10)
+
+    // commits land while the stream is DOWN; the restart must deliver
+    // them exactly once, carryovers still cancelled (the wrapper is part
+    // of plan construction, so the restarted query re-applies it)
+    spark.sql("UPDATE graft.cdb.ckpt SET v = v + 100 WHERE id = 7")
+    spark.sql("INSERT INTO graft.cdb.ckpt VALUES (100, 1)")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+          r.getAs[String]("_change_type")))
+      val post = rows.filter(r => r._3 == "delete" || r._2 >= 100 || r._1 == 100L)
+      assert(post.toSet == Set((7L, 14L, "delete"), (7L, 114L, "insert"),
+        (100L, 1L, "insert")), rows.sorted.mkString("\n"))
+      assert(rows.length == 13, s"duplicate delivery: ${rows.length} rows")
+    } finally q2.stop()
+  }
+
+  test("streaming cancel and the batch changelog exceptAll agree") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdb")
+    spark.sql("CREATE TABLE graft.cdb.agree (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.cdb.agree SELECT id, id * 2 FROM range(20)")
+    spark.sql("UPDATE graft.cdb.agree SET v = 0 WHERE id IN (3, 11)")
+    spark.sql("DELETE FROM graft.cdb.agree WHERE id + v = 12") // CoW: id=4
+    val t = IcebergTables.load(s"$warehouse/cdb/agree")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_snapshot_id"))
+    val viaExceptAll = Changelog.changelogDF(spark, t, None,
+      removeCarryovers = true).collect().map(key).toSet
+    val viaGroupCancel = EventStreams.cancelCarryovers(
+      Changelog.changelogDF(spark, t, None, removeCarryovers = false))
+      .collect().map(key).toSet
+    assert(viaExceptAll == viaGroupCancel,
+      s"only in exceptAll: ${viaExceptAll -- viaGroupCancel}\n" +
+        s"only in groupCancel: ${viaGroupCancel -- viaExceptAll}")
+    assert(viaExceptAll.nonEmpty)
+  }
+
   test("cdc-carryovers=emit keeps the raw pair surface") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdb")
     spark.sql("CREATE TABLE graft.cdb.raw (id BIGINT, v BIGINT)")
