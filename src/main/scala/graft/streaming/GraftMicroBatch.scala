@@ -42,7 +42,10 @@ object GraftOffset {
   * `.option("stream-start", "latest")` begins at the current snapshot
   * (default `earliest` replays the table — file-by-file when the full
   * snapshot history is retained, otherwise a full scan of the oldest
-  * retained snapshot as the first batch, incremental from there).
+  * retained snapshot as the first batch, incremental from there); a
+  * snapshot id or branch/tag name pins the start strictly AFTER that
+  * snapshot — the incremental-consumer entry point ("I have processed up
+  * to here, give me what follows").
   *
   * `.option("maxFilesPerTrigger", n)` / `.option("maxBytesPerTrigger", b)`
   * bound each micro-batch (SupportsAdmissionControl): the end offset
@@ -81,7 +84,7 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     streamStart match {
       case "latest" =>
         GraftOffset(t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
-      case _ => // earliest
+      case "earliest" | "" =>
         val latest = t.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)
         // replayable iff the MAIN lineage walks back to genesis unbroken
         // (branch commits leave sequence gaps that are NOT expiry)
@@ -94,6 +97,18 @@ final class GraftMicroBatchStream(location: String, required: StructType,
           val oldest = t.metadata.snapshots.minBy(_.sequenceNumber)
           GraftOffset(oldest.sequenceNumber, full = true)
         }
+      case pin =>
+        // a snapshot id or branch/tag name: the changefeed starts strictly
+        // AFTER that snapshot (the consumer has it; deliver what follows) —
+        // the standard incremental-consumer entry point, same resolution
+        // as batch time travel
+        val snap = pin.toLongOption
+          .flatMap(id => t.metadata.snapshotById(id))
+          .orElse(t.metadata.snapshotByName(pin))
+          .getOrElse(throw new IllegalArgumentException(
+            s"stream-start '$pin' is not 'earliest', 'latest', a snapshot " +
+              s"id, or a ref of $location"))
+        GraftOffset(snap.sequenceNumber)
     }
   }
 

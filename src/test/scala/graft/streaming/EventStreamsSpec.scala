@@ -437,4 +437,48 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(spark.table("icestream2").count() == 2)
     } finally q.stop()
   }
+
+  test("readStream with stream-start=<snapshot/tag> resumes after it") {
+    val loc = Files.createTempDirectory("tbl_stream3").toFile.getPath
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t1 = TableWriter.create(src.limit(2).coalesce(1), loc) // 2 rows
+    val t2 = TableWriter.append(t1, src.limit(3).coalesce(1)) // +3 rows
+    val processed = t2.currentSnapshot.get.snapshotId
+    val t3 = TableWriter.createRef(t2, "done-here", graft.core.TagRef,
+      Some(processed))
+    TableWriter.append(t3, src.limit(4).coalesce(1)) // +4 rows (after pin)
+
+    // pin by snapshot id: only the post-pin append is delivered
+    val q1 = spark.readStream.format("icegopher")
+      .option("stream-start", processed.toString).load(loc)
+      .writeStream.format("memory").queryName("icestream3a")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("icestream3a").count() == 4,
+        "expected only rows appended after the pinned snapshot")
+    } finally q1.stop()
+
+    // pin by tag name: same window
+    val q2 = spark.readStream.format("icegopher")
+      .option("stream-start", "done-here").load(loc)
+      .writeStream.format("memory").queryName("icestream3b")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("icestream3b").count() == 4)
+    } finally q2.stop()
+
+    // an unresolvable pin fails loudly, naming the option
+    val e = intercept[Exception] {
+      val q3 = spark.readStream.format("icegopher")
+        .option("stream-start", "no-such-ref").load(loc)
+        .writeStream.format("memory").queryName("icestream3c")
+        .outputMode(OutputMode.Append()).start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).mkString("\n").contains("stream-start"), e.getMessage)
+  }
 }
