@@ -581,4 +581,51 @@ object TextOps {
               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
               CAST(MAX(c) AS BIGINT) AS max_word_freq
        FROM c GROUP BY source ORDER BY source"""
+
+  /** SEQUENCE PACKING — the concatenate-then-chunk layout every LLM
+    * pretraining pipeline runs: per source, documents are concatenated in
+    * deterministic (doc_id) order into one token stream that is cut every
+    * `budget` tokens; a document's pack is the chunk its FIRST token lands
+    * in (`floor(start_offset / budget)` — straddlers count toward the pack
+    * they start in). Output is per-pack occupancy: documents begun, tokens
+    * begun, and whether the pack's last document straddles into the next
+    * chunk (the attention-masking boundary a loader needs to know about).
+    *
+    * Scale shape: the running token offset is a window sum PARTITIONED BY
+    * source (real pipelines pack per shard — a single global cumsum would
+    * serialize the corpus), so each source packs in parallel after one
+    * hash shuffle; the pack rollup is map-side combined on top of the
+    * same partitioning. Token counts are t06's whitespace tokenizer. */
+  def t19SeqPacking(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
+      .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("pack_id", floor(col("start_tok") / budget))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens_begun"),
+        max(when(col("start_tok") + col("toks") > (col("pack_id") + 1) * budget,
+          1L).otherwise(0L)).as("straddles"))
+      .orderBy("source", "pack_id")
+  }
+
+  val t19Sql: String =
+    """WITH toks AS (
+         SELECT source, doc_id,
+                CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+         FROM documents),
+       offs AS (
+         SELECT source, doc_id, toks,
+                SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks
+                  AS start_tok
+         FROM toks)
+       SELECT source, CAST(FLOOR(start_tok / 512) AS BIGINT) AS pack_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(toks) AS BIGINT) AS tokens_begun,
+              CAST(MAX(CASE WHEN start_tok + toks >
+                     (FLOOR(start_tok / 512) + 1) * 512
+                   THEN 1 ELSE 0 END) AS BIGINT) AS straddles
+       FROM offs GROUP BY source, pack_id ORDER BY source, pack_id"""
 }
