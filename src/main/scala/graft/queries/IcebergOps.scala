@@ -413,4 +413,37 @@ object IcebergOps {
     """SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
        GROUP BY r.r_name ORDER BY r_name"""
+
+  /** Partition-spec evolution end to end: half the orders land under spec 0
+    * (identity on o_orderstatus), the spec then evolves — ADD PARTITION
+    * FIELD day(o_orderdate), metadata-only, no rewrite — and the other half
+    * lands under spec 1. The query filters on BOTH columns, so old-spec
+    * manifests prune by status only (their evaluator can't see the day
+    * field) while new-spec manifests prune by status AND day; the hash
+    * match against the raw parquet proves no row is lost or duplicated
+    * across the spec boundary. At 100 TB this is THE mechanism for fixing
+    * a bad partition layout without a table rewrite. */
+  def ice15PartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_spec_evolved", d) { loc =>
+      val src = Tables.orders(s, d)
+      val t0 = TableWriter.create(src.filter(col("o_orderkey") % 2 === 0), loc,
+        partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+      val t1 = TableWriter.addPartitionField(t0, "o_orderdate", DayTransform)
+      TableWriter.append(t1, src.filter(col("o_orderkey") % 2 === 1))
+    }
+    table.newScan(And(
+        Expr.equalTo("o_orderstatus", StrLit("F")),
+        Expr.lessThan("o_orderdate", StrLit("1995-01-01T00:00:00").to(TimestampT))))
+      .toDF(s)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("day")
+  }
+
+  val ice15Sql: String =
+    s"""SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS total
+       FROM orders
+       WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+       GROUP BY CAST(o_orderdate AS DATE) ORDER BY day"""
 }

@@ -647,4 +647,57 @@ object Relational {
          AND NOT EXISTS (SELECT 1 FROM orders o
                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
        ORDER BY c_custkey"""
+
+  /** PIVOT: daily event counts spread into one column per event type.
+    * The pivot values are EXPLICIT — with an inferred value list Spark runs
+    * an extra distinct-collect job over the fact table before planning; the
+    * explicit list keeps this a single pass (one partial-agg shuffle on the
+    * day key, then a map-side conditional projection — same cost as a plain
+    * groupBy at any scale). */
+  def q29Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("click" -> "n_click", "error" -> "n_error",
+        "purchase" -> "n_purchase", "signup" -> "n_signup", "view" -> "n_view"))
+      .orderBy("day")
+
+  val q29Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+       FROM events GROUP BY CAST(ts AS DATE) ORDER BY day"""
+
+  /** UNPIVOT (melt): wide lineitem measures to long (measure, value) rows,
+    * then aggregate per measure. The unpivot itself is a row-local Expand —
+    * zero shuffle, output rows = input × measures — so the only exchange is
+    * the 3-group aggregate after it; at 100 TB the Expand never
+    * materializes (it feeds the partial agg inside the same codegen stage). */
+  def q30Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+        max(col("value")).as("max_value"))
+      .orderBy("measure")
+
+  val q30Sql: String =
+    s"""WITH melted AS (
+         SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+       SELECT measure, COUNT(*) AS n, ${sqlDsum("value")} AS total,
+              MAX(value) AS max_value
+       FROM melted GROUP BY measure ORDER BY measure"""
 }
