@@ -141,7 +141,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = loadAvg()
+    // Contamination guard: a busy box inflates every number (r6/r7's
+    // committed artifacts both ran at loadavg 2.7-3.5 and read as phantom
+    // regressions). Warn LOUDLY and back off up to BusyRetries times before
+    // timing; if the box never quiets down, proceed anyway (the driver
+    // needs an artifact) but stamp `busy_at_start` so the artifact is
+    // self-incriminating.
+    val BusyThreshold = 1.5
+    val BusyRetries = 4
+    var loadStart = loadAvg()
+    var deferred = 0
+    while (loadStart > BusyThreshold && deferred < BusyRetries) {
+      System.err.println(
+        f"[bench] WARNING: loadavg $loadStart%.2f > $BusyThreshold — box is " +
+        s"busy, numbers would be contaminated; waiting 30s (${deferred + 1}/$BusyRetries)")
+      Thread.sleep(30000)
+      deferred += 1
+      loadStart = loadAvg()
+    }
+    if (loadStart > BusyThreshold)
+      System.err.println(f"[bench] WARNING: still busy (loadavg " +
+        f"$loadStart%.2f) after $deferred waits — TIMINGS SUSPECT; compare " +
+        "rounds via stable_norm, not raw seconds")
     calibrate() // untimed JIT warmup of the yardstick itself
     val calib = calibrate()
 
@@ -164,10 +185,21 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val stable = stableResults.values.filter(_ >= 0).sum
+    // A failed frozen-set query must make the headline VISIBLY invalid:
+    // silently excluding it would make a regression-to-failure read as an
+    // improvement across rounds. total_stable = -1 when any stable query
+    // failed; stable_failed carries the count.
+    val stableFailed = stableResults.values.count(_ < 0)
+    val stable =
+      if (stableFailed > 0) -1.0
+      else stableResults.values.sum
+    // stable_norm = total_stable / calib_sec: the host-speed-normalized
+    // headline — THE round-over-round comparable (r7 clean: 70.1).
+    val stableNorm =
+      if (stableFailed > 0 || calib <= 0) -1.0 else stable / calib
     val filterJson = filter.fold("")(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact of record (see scaladoc): write it
     // BEFORE the stdout line so the println below is the last stdout write.
     // A FILTERED profiling run must never overwrite the full-battery

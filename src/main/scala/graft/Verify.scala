@@ -16,9 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir).coalesce(1).cache()
+        val n = df.count()
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        df.unpersist()
+        // A 0-row result hash-matches a 0-row oracle vacuously — it proves
+        // nothing about the operator. Flag it loudly so a filter that
+        // silently drifted outside the data range can't pass unnoticed.
+        if (n == 0L)
+          System.err.println(s"[verify] SUSPECT: $name returned 0 rows — " +
+            "oracle match would be vacuous")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -18,11 +18,11 @@ import QueryUtils._
   * data exactly. */
 object IcebergOps {
 
-  private def cacheRoot = sys.props.getOrElse("graft.table.cache",
+  private[queries] def cacheRoot = sys.props.getOrElse("graft.table.cache",
     sys.env.getOrElse("GRAFT_TABLE_CACHE", "/tmp/graft_tables"))
 
   /** Create-or-load a cached Iceberg table derived from a test table. */
-  private def cached(name: String, sfDir: String)(create: String => IcebergTable): IcebergTable =
+  private[queries] def cached(name: String, sfDir: String)(create: String => IcebergTable): IcebergTable =
     synchronized {
       val loc = s"$cacheRoot/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
       if (new File(loc, "metadata").exists()) IcebergTables.load(loc)
@@ -433,7 +433,7 @@ object IcebergOps {
     }
     table.newScan(And(
         Expr.equalTo("o_orderstatus", StrLit("F")),
-        Expr.lessThan("o_orderdate", StrLit("1995-01-01T00:00:00").to(TimestampT))))
+        Expr.lessThan("o_orderdate", StrLit("1998-01-01T00:00:00").to(TimestampT))))
       .toDF(s)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
@@ -444,6 +444,6 @@ object IcebergOps {
     s"""SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
        ${sqlDsum("o_totalprice")} AS total
        FROM orders
-       WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+       WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY CAST(o_orderdate AS DATE) ORDER BY day"""
 }

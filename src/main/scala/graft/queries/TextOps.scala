@@ -591,17 +591,57 @@ object TextOps {
     * begun, and whether the pack's last document straddles into the next
     * chunk (the attention-masking boundary a loader needs to know about).
     *
-    * Scale shape: the running token offset is a window sum PARTITIONED BY
-    * source (real pipelines pack per shard — a single global cumsum would
-    * serialize the corpus), so each source packs in parallel after one
-    * hash shuffle; the pack rollup is map-side combined on top of the
-    * same partitioning. Token counts are t06's whitespace tokenizer. */
-  def t19SeqPacking(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
-      .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
+    * Scale shape: the running token offset is a HIERARCHICAL prefix sum,
+    * not a per-source window — a `partitionBy(source)` window would
+    * serialize a skewed corpus's dominant source (web crawl at 60-80% of
+    * the data is the normal shape) into ONE task. Instead each source is
+    * cut into `shards` contiguous doc_id ranges, the running sum is
+    * windowed per (source, shard) — dominant source spread over up to
+    * `shards` tasks — and the tiny per-shard totals (shards × |sources|
+    * rows, metadata-sized) roll into per-shard base offsets that are
+    * broadcast back and added. Long addition is associative, so the
+    * offsets are bit-identical to a single global per-source cumsum.
+    * Token counts are t06's whitespace tokenizer. */
+  def t19SeqPacking(s: SparkSession, d: String, budget: Int = 512,
+                    shards: Int = 32): DataFrame =
+    packSequences(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+            .as("toks")),
+      budget, shards)
+
+  /** Library form of t19 over any `(source, doc_id, toks)` frame.
+    * `shards` bounds the largest window task at ~|source|/shards docs;
+    * shard boundaries are doc_id value ranges (deterministic, no sampling
+    * pass), which is balanced when doc_ids are roughly uniform within a
+    * source — the common monotone-ingest layout. The result does NOT
+    * depend on the shard assignment, only task sizing does. */
+  def packSequences(toks: DataFrame, budget: Int, shards: Int): DataFrame = {
+    // Contiguous deterministic shards by doc_id value range per source:
+    // shard = floor((doc_id - min) * shards / (max - min + 1)). Contiguity
+    // is what makes local running sums prefix-composable.
+    val bounds = toks.groupBy("source")
+      .agg(min("doc_id").as("_mn"), max("doc_id").as("_mx"))
+    val sharded = toks.join(broadcast(bounds), "source")
+      .withColumn("_shard",
+        floor((col("doc_id") - col("_mn")) * shards /
+          (col("_mx") - col("_mn") + 1)))
+      .drop("_mn", "_mx")
+    // Per-shard base offsets: map-side-combined totals, then a window over
+    // the metadata-sized rollup (shards rows per source).
+    val wBase = Window.partitionBy("source").orderBy("_shard")
+    val bases = sharded.groupBy("source", "_shard")
+      .agg(sum("toks").as("_st"))
+      .withColumn("_base", sum(col("_st")).over(wBase) - col("_st"))
+      .select("source", "_shard", "_base")
+    // Local running sum within each (source, shard) window task, plus the
+    // shard's broadcast base = the global per-source offset.
+    val wLocal = Window.partitionBy("source", "_shard").orderBy("doc_id")
+    sharded
+      .withColumn("_local_end", sum(col("toks")).over(wLocal))
+      .join(broadcast(bases), Seq("source", "_shard"))
+      .withColumn("start_tok", col("_base") + col("_local_end") - col("toks"))
       .withColumn("pack_id", floor(col("start_tok") / budget))
       .groupBy("source", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
