@@ -81,23 +81,48 @@ object Dedup {
                    shingleHash: Column => Column = xxhash64(_),
                    mix: (Column, Int) => Column = (h, i) => xxhash64(h, lit(i)),
                    bandKey: Seq[Column] => Column = cs => xxhash64(cs: _*)): DataFrame = {
+    // Key-only triples are what gets persisted (one slot, released when the
+    // input changes), so the corpus is scanned and hashed exactly once for
+    // the four downstream consumers (bucket sizing, anti-join probe, both
+    // self-join sides)
+    val keyed = minhashKeyedSlot(
+      bandedKeys(docs, shingleN, k, bands, shingleHash, mix, bandKey))
+    pairsFromKeyed(keyed, docs, shingleN, bucketCap, topK)
+  }
+
+  /** The LSH index rows of `docs`: (doc_id, band, key) triples. Factored
+    * out of [[minhashPairs]] so [[DedupIndex]] can maintain the same
+    * triples incrementally from a changefeed — hashing ONLY changed docs.
+    *
+    * TWO stacked projections in one codegen stage: (1) shingle + hash each
+    * shingle ONCE, (2) k cheap integer mixes → minima → band keys. Only
+    * (doc_id, band, key) triples ever leave, so no document payload enters
+    * any LSH shuffle. */
+  def bandedKeys(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
+                 shingleHash: Column => Column,
+                 mix: (Column, Int) => Column,
+                 bandKey: Seq[Column] => Column): DataFrame = {
     val rows = k / bands // minhash rows per band
     val sigs = minhashSig(col("hs"), k, mix)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(sigs.slice(b * rows, (b + 1) * rows)).as("key"))
     }
-    // TWO stacked projections in one codegen stage: (1) shingle + hash each
-    // shingle ONCE, (2) k cheap integer mixes → minima → band keys. Only
-    // (doc_id, band, key) triples ever leave, so no document payload enters
-    // any LSH shuffle — and the key-only triples are what gets persisted
-    // (one slot, released when the input changes), so the corpus is scanned
-    // and hashed exactly once for the four downstream consumers (bucket
-    // sizing, anti-join probe, both self-join sides)
-    val keyed = minhashKeyedSlot(docs
+    docs
       .select(col("doc_id"),
         transform(wordShingles(col("text"), shingleN), shingleHash).as("hs"))
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key")))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate pairs + exact-Jaccard verify from already-computed index
+    * triples (`keyed`: doc_id, band, key — from [[bandedKeys]] or a
+    * [[DedupIndex]] table). Shuffle hygiene as in [[minhashPairs]]: the
+    * shingle arrays never enter the LSH shuffles; shingles are re-computed
+    * once, only for the post-LSH candidate set. */
+  def pairsFromKeyed(keyed: DataFrame, docs: DataFrame, shingleN: Int,
+                     bucketCap: Int, topK: Int,
+                     candidateCache: DataFrame => DataFrame =
+                       minhashCandidatesSlot.apply): DataFrame = {
     // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
     // millions of docs in one bucket; capping bounds the O(bucket²) pair
     // join. Sized via aggregate + key-only broadcast anti-join; the count is
@@ -115,7 +140,7 @@ object Dedup {
     // candidate pairs are id-only (tiny relative to the corpus) and feed
     // three consumers (both verify-side id sets + the final join input) —
     // one slot-cached materialization instead of three LSH-chain replays
-    val candidates = minhashCandidatesSlot(a.join(b, Seq("band", "key"))
+    val candidates = candidateCache(a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()) // a pair found in several bands is verified once
@@ -159,7 +184,12 @@ object Dedup {
     * md5 band keys, same bucket cap, same exact-Jaccard verify. The bucket
     * cap is a window here where Spark uses agg + anti-join — same surviving
     * set, each engine's natural formulation. */
-  val d01Sql: String = {
+  val d01Sql: String = minhashLshSqlOver("SELECT doc_id, text FROM documents")
+
+  /** The d01 oracle text over an arbitrary `(doc_id, text)` relation —
+    * shared by d01 (raw documents) and d08 (the post-changelog final
+    * state), so the two oracles can never drift apart. */
+  def minhashLshSqlOver(docsRel: String): String = {
     val mins = (0 until 16).map(i =>
       s"list_min([xor(h, ${minhashSeeds(i)}) for h in hs]) AS m$i")
       .mkString(",\n                ")
@@ -168,7 +198,7 @@ object Dedup {
       .mkString("\n         UNION ALL ")
     s"""WITH sh AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS shingles
-         FROM documents),
+         FROM ($docsRel)),
        hs AS (
          SELECT doc_id, shingles,
                 [('0x' || substr(md5(s),1,15))::BIGINT for s in shingles] AS hs

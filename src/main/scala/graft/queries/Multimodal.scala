@@ -309,6 +309,18 @@ object Multimodal {
     sharedChunkStats(cdcChunks(
       mediaTable(s, d).toDF().select(col("media_id"), col("payload"))))
 
+  /** Battery entry mm06: the same chunk-dedup estimator served by the
+    * GEAR single-pass chunker ([[gearChunks]]) — the production 100 TB
+    * path. Timed by the bench right next to mm05's per-position-digest
+    * oracle twin, so `bench_out.json` carries the measured gear-vs-digest
+    * speedup every round. No DuckDB oracle (a gear rolling hash is not
+    * SQL-expressible — the driver records the weaker rows-only check);
+    * correctness rides MultimodalSpec's shift-robustness, partitioning-
+    * independence, and gear-vs-digest agreement specs. */
+  def mm06GearChunkDedup(s: SparkSession, d: String): DataFrame =
+    sharedChunkStats(gearChunks(
+      mediaTable(s, d).toDF().select(col("media_id"), col("payload"))))
+
   val mm05Sql: String =
     """WITH b AS (
          SELECT doc_id AS media_id, text, i AS pos

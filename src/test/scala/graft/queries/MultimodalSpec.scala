@@ -76,4 +76,39 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(gear == gear2, s"gear chunking not partitioning-independent")
   }
+
+  test("gear and digest CDC chunkers agree on shared-chunk estimates " +
+      "within tolerance on planted near-dups") {
+    import spark.implicits._
+    // A richer planted corpus: originals, byte-shifted near-dups (prefix
+    // edits of varying length), and unrelated payloads. The two chunkers
+    // cut at different boundaries (different window hashes), so per-media
+    // ratios differ — but both must tell the same STORY: near-dup pairs
+    // share most chunks, unrelated payloads share none.
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bases = (0 until 6).map(i => i -> blob(900 + i * 100)).toMap
+    val rows =
+      bases.toSeq.flatMap { case (i, b) =>
+        Seq((i * 10L, b.getBytes("UTF-8")),
+          (i * 10L + 1, (blob(3 + i) + b).getBytes("UTF-8")))
+      } ++ (100 until 104).map(j => (j.toLong, blob(700).getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "payload")
+
+    def ratios(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.sharedChunkStats(df)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cdc = ratios(Multimodal.cdcChunks(media))
+    val gear = ratios(Multimodal.gearChunks(media))
+    for (id <- cdc.keys) {
+      val (c, g) = (cdc(id), gear(id))
+      assert(math.abs(c - g) <= 0.25,
+        s"media $id: gear $g vs digest $c disagree beyond tolerance")
+      // same qualitative verdict: near-dup members well-shared, unrelated 0
+      if (id >= 100) assert(c == 0.0 && g == 0.0,
+        s"unrelated payload $id shares chunks: cdc=$c gear=$g")
+      else assert(c > 0.5 && g > 0.5,
+        s"planted near-dup $id under-shared: cdc=$c gear=$g")
+    }
+  }
 }
