@@ -48,7 +48,9 @@ def main(sf_dir, out_dir):
             continue
         a, b = sorted(norm(spark_rows)), sorted(norm(duck_rows))
         if a == b:
-            print(f"  + {q}: MATCH ({len(a)} rows)")
+            # a 0-row match is vacuous — it proves nothing about the operator
+            flag = " [SUSPECT: 0 rows — vacuous match]" if not a else ""
+            print(f"  + {q}: MATCH ({len(a)} rows){flag}")
             n_ok += 1
         else:
             n_bad += 1

@@ -147,14 +147,12 @@ object DedupIndex {
     * index FULL-built at commit 1 and incrementally synced over commits
     * 2-4's changelog. Cached per sfDir like the ice* fixtures. */
   private def d08Fixture(s: SparkSession, d: String)
-      : (IcebergTable, IcebergTable) = IcebergOps.synchronized {
+      : (IcebergTable, IcebergTable) = {
     val root =
       s"${IcebergOps.cacheRoot}/${d.replaceAll("[^A-Za-z0-9]", "_")}/d08"
     val docsLoc = s"$root/docs"
     val idxLoc = s"$root/index"
-    if (new java.io.File(docsLoc, "metadata").exists())
-      (IcebergTables.load(docsLoc), IcebergTables.load(idxLoc))
-    else {
+    IcebergOps.provisionOnce(new java.io.File(root)) {
       val src = Tables.documents(s, d).select("doc_id", "text")
       val t1 = TableWriter.create(src.filter(col("doc_id") % 2 === 0), docsLoc)
       val c1 = t1.currentSnapshot.get.snapshotId
@@ -165,9 +163,10 @@ object DedupIndex {
       val t3 = TableWriter.updateWhere(t2, s, col("doc_id") % 5 === 0,
         Map("text" -> concat(col("text"), lit(" v2"))))
       val t4 = TableWriter.deleteWhere(t3, s, col("doc_id") % 7 === 0)
-      val idx = syncFromChangelog(s, t4, idx0, Some(c1), OracleParams)
-      (t4, idx)
+      syncFromChangelog(s, t4, idx0, Some(c1), OracleParams)
+      ()
     }
+    (IcebergTables.load(docsLoc), IcebergTables.load(idxLoc))
   }
 
   /** Battery entry d08: d01's near-dup sweep, but served from the

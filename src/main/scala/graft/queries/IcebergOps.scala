@@ -21,13 +21,48 @@ object IcebergOps {
   private[queries] def cacheRoot = sys.props.getOrElse("graft.table.cache",
     sys.env.getOrElse("GRAFT_TABLE_CACHE", "/tmp/graft_tables"))
 
-  /** Create-or-load a cached Iceberg table derived from a test table. */
-  private[queries] def cached(name: String, sfDir: String)(create: String => IcebergTable): IcebergTable =
+  /** Cross-process-safe once-only provisioning of a fixture directory:
+    * callers race on a file lock NEXT TO `root` (never inside — the build
+    * may wipe root); the winner runs `build` and writes a completion
+    * marker, losers — same JVM or another process — block on the lock and
+    * then see the marker. A crash mid-build leaves no marker, so the next
+    * caller wipes the partial state and rebuilds instead of loading a
+    * half-written fixture. Intra-JVM serialization rides the object
+    * monitor (a FileLock is held per-JVM; a second thread locking the
+    * same file would throw OverlappingFileLockException). */
+  private[queries] def provisionOnce(root: File)(build: => Unit): Unit =
     synchronized {
-      val loc = s"$cacheRoot/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
-      if (new File(loc, "metadata").exists()) IcebergTables.load(loc)
-      else create(loc)
+      val done = new File(root, ".graft-complete")
+      if (done.isFile) return
+      root.getParentFile.mkdirs()
+      val lockPath =
+        new File(root.getParentFile, s".${root.getName}.lock").toPath
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!done.isFile) {
+            if (root.exists()) deleteRec(root)
+            build
+            done.createNewFile()
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** Create-or-load a cached Iceberg table derived from a test table. */
+  private[queries] def cached(name: String, sfDir: String)(create: String => IcebergTable): IcebergTable = {
+    val loc = s"$cacheRoot/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+    provisionOnce(new File(loc)) { create(loc); () }
+    IcebergTables.load(loc)
+  }
 
   /** Scan + filter + project through the metrics-pruned Iceberg scan. */
   def ice01ScanFilter(s: SparkSession, d: String): DataFrame = {
@@ -389,21 +424,17 @@ object IcebergOps {
   def ice14SqlView(s: SparkSession, d: String): DataFrame = {
     val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_views"
     val vs = ViewSession.get(s, wh)
-    synchronized {
-      if (!new File(s"$wh/vdb/region_counts/view.metadata.json").exists()) {
-        vs.sql("CREATE NAMESPACE IF NOT EXISTS graftv.vdb")
-        if (!new File(s"$wh/vdb/nation/metadata").exists())
-          TableWriter.create(Tables.nation(vs, d), s"$wh/vdb/nation")
-        if (!new File(s"$wh/vdb/region/metadata").exists())
-          TableWriter.create(Tables.region(vs, d), s"$wh/vdb/region")
-        vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.nations_named AS
-          SELECT n_nationkey, n_name, n_regionkey FROM graftv.vdb.nation""")
-        vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.region_counts AS
-          SELECT r.r_name, COUNT(*) AS n_nations, MIN(v.n_name) AS first_nation
-          FROM graftv.vdb.nations_named v
-          JOIN graftv.vdb.region r ON v.n_regionkey = r.r_regionkey
-          GROUP BY r.r_name""")
-      }
+    provisionOnce(new File(wh)) {
+      vs.sql("CREATE NAMESPACE IF NOT EXISTS graftv.vdb")
+      TableWriter.create(Tables.nation(vs, d), s"$wh/vdb/nation")
+      TableWriter.create(Tables.region(vs, d), s"$wh/vdb/region")
+      vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.nations_named AS
+        SELECT n_nationkey, n_name, n_regionkey FROM graftv.vdb.nation""")
+      vs.sql("""CREATE OR REPLACE VIEW graftv.vdb.region_counts AS
+        SELECT r.r_name, COUNT(*) AS n_nations, MIN(v.n_name) AS first_nation
+        FROM graftv.vdb.nations_named v
+        JOIN graftv.vdb.region r ON v.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""")
     }
     vs.sql("""SELECT r_name, n_nations, first_nation
               FROM graftv.vdb.region_counts ORDER BY r_name""")

@@ -112,10 +112,16 @@ object TextOps {
 
   /** Token-count histogram: corpus-level token budget per source — the
     * "how many tokens do I have" query every training pipeline runs. */
-  def t06TokenBudget(s: SparkSession, d: String): DataFrame =
+  /** `tokenCounter` is the pluggable tokenizer seam: the default
+    * whitespace counter is the DuckDB-expressible oracle twin; pass
+    * [[graft.spark.functions.Bpe.countUdf]] for real BPE-token-denominated
+    * budgets (broadcast merge table, row-local, zero extra shuffles). */
+  def t06TokenBudget(s: SparkSession, d: String,
+                     tokenCounter: Column => Column =
+                       graft.spark.functions.Bpe.whitespaceCount): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), col("lang"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
+        tokenCounter(col("text")).as("toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
       .orderBy("source", "lang")
@@ -603,12 +609,13 @@ object TextOps {
     * offsets are bit-identical to a single global per-source cumsum.
     * Token counts are t06's whitespace tokenizer. */
   def t19SeqPacking(s: SparkSession, d: String, budget: Int = 512,
-                    shards: Int = 32): DataFrame =
+                    shards: Int = 32,
+                    tokenCounter: Column => Column =
+                      graft.spark.functions.Bpe.whitespaceCount): DataFrame =
     packSequences(
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
-            .as("toks")),
+          tokenCounter(col("text")).as("toks")),
       budget, shards)
 
   /** Library form of t19 over any `(source, doc_id, toks)` frame.

@@ -113,6 +113,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (isTable(tableDir(parent)))
         return MetadataTables.build(loadIce(parent), ident.name())
     }
+    // `db.v.versions` over a VIEW: its retained version history
+    if (!isTable(tableDir(ident)) && ident.namespace().nonEmpty &&
+        ident.name() == "versions") {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val vf = viewFile(parent)
+      if (vf.isFile)
+        return MetadataTables.buildViewVersions(tableDir(parent).getPath,
+          ViewMetadata.parse(java.nio.file.Files.readString(vf.toPath)))
+    }
     new GraftSparkTable(loadIce(ident))
   }
 

@@ -67,8 +67,25 @@ case class GraftCdcCarryoverCancel(session: SparkSession) extends Rule[LogicalPl
       val wrapped = graft.streaming.EventStreams.cancelCarryovers(
         org.apache.spark.sql.graft.ColumnShim.ofRows(session, marked))
       val analyzed = wrapped.queryExecution.analyzed
+      // The wrapper round-trips through an object encoder
+      // (flatMapGroupsWithState → SerializeFromObject), which must not
+      // change the relation's schema. Fail loudly on any type drift, and
+      // re-assert nullability the encoder widened (the cancel operator
+      // re-emits source rows verbatim, so a source-non-null column is
+      // still non-null) instead of silently loosening the stream schema.
+      require(rel.output.length == analyzed.output.length &&
+        rel.output.zip(analyzed.output).forall { case (o, n) =>
+          // type equality modulo nullability (sql form carries no nullity)
+          o.dataType.sql == n.dataType.sql },
+        "carryover-cancel wrapper changed the read-changes schema: " +
+          s"${rel.output.map(a => s"${a.name}:${a.dataType.simpleString}")} " +
+          s"vs ${analyzed.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
       Project(rel.output.zip(analyzed.output).map { case (o, n) =>
-        Alias(n, o.name)(exprId = o.exprId)
+        val e: Expression =
+          if (!o.nullable && n.nullable)
+            org.apache.spark.sql.catalyst.expressions.KnownNotNull(n)
+          else n
+        Alias(e, o.name)(exprId = o.exprId)
       }, analyzed)
   }
 }
@@ -188,6 +205,10 @@ private[spark] object GraftViewExistsCache {
     cache.synchronized { cache.clear() }
   }
   def viewExists(cat: ViewCatalog, ident: Identifier): Boolean = {
+    // Memoize ONLY GraftCatalog instances: our DDL paths invalidate this
+    // cache, a third-party ViewCatalog's DDL does not — caching its
+    // probes would serve stale existence with no invalidation hook.
+    if (!cat.isInstanceOf[GraftCatalog]) return cat.viewExists(ident)
     val perCat = cache.synchronized {
       var m = cache.get(cat)
       if (m == null) {

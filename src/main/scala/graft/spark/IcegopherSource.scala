@@ -166,6 +166,58 @@ final class GraftSparkTable(table: IcebergTable,
     true
   }
   override def name(): String = table.location
+
+  /** Surface the Iceberg partition spec as Spark connector transforms, so
+    * `SHOW CREATE TABLE` prints a PARTITIONED BY clause that round-trips
+    * through [[GraftCatalog.createTable]] and `DESCRIBE EXTENDED` lists
+    * the partitioning. Void transforms (spec-evolution tombstones) are
+    * omitted — they partition nothing. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    table.spec.fields.flatMap { f =>
+      table.schema.findColumnName(f.sourceId).flatMap { src =>
+        f.transform match {
+          case graft.core.IdentityTransform => Some(Expressions.identity(src))
+          case graft.core.BucketTransform(n) => Some(Expressions.bucket(n, src))
+          case graft.core.TruncateTransform(w) => Some(Expressions.apply(
+            "truncate", Expressions.literal(w), Expressions.column(src)))
+          case graft.core.YearTransform => Some(Expressions.years(src))
+          case graft.core.MonthTransform => Some(Expressions.months(src))
+          case graft.core.DayTransform => Some(Expressions.days(src))
+          case graft.core.HourTransform => Some(Expressions.hours(src))
+          case _ => None // void / unknown: partitions nothing
+        }
+      }
+    }.toArray
+  }
+
+  /** Table properties as DESCRIBE EXTENDED / SHOW CREATE TABLE surface
+    * them: the user's own properties plus the Iceberg-style read-only
+    * facts a user debugs with — format version, sort order, current
+    * snapshot — and `provider` so SHOW CREATE prints `USING icegopher`. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    table.properties.foreach { case (k, v) => m.put(k, v) }
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER,
+      "icegopher")
+    m.put("format-version", table.metadata.formatVersion.toString)
+    if (!table.sortOrder.isUnsorted)
+      m.put("sort-order", table.sortOrder.fields.map { f =>
+        val src = table.schema.findColumnName(f.sourceId).getOrElse(s"#${f.sourceId}")
+        val expr = f.transform match {
+          case graft.core.IdentityTransform => src
+          case t => s"${t.repr}($src)"
+        }
+        s"$expr ${f.direction.repr} ${f.nullOrder.repr}"
+      }.mkString(", "))
+    table.currentSnapshot.foreach { s =>
+      m.put("current-snapshot-id", s.snapshotId.toString)
+      m.put("current-snapshot-sequence-number", s.sequenceNumber.toString)
+      m.put("current-snapshot-timestamp-ms", s.timestampMs.toString)
+    }
+    m
+  }
+
   override def schema(): StructType = {
     val base = SchemaConv.toSparkSchema(activeSchema)
     // read-changes (streaming CDC): rows carry commit provenance columns

@@ -95,6 +95,28 @@ object MetadataTables {
     new LocalRowsTable(s"${table.location}#$kind", schema, rows)
   }
 
+  /** `db.v.versions` over a VIEW: the retained Iceberg-view-spec version
+    * history ([[GraftViews]] keeps every CREATE OR REPLACE as a new
+    * version and moves `current-version-id`) — queryable the same way
+    * table snapshot history is (`db.t.snapshots`). */
+  def buildViewVersions(location: String, md: ViewMetadata): Table = {
+    def s(v: String): Any = UTF8String.fromString(v)
+    val schema = StructType(Seq(
+      StructField("version_id", IntegerType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("sql", StringType, nullable = false),
+      StructField("dialect", StringType, nullable = false),
+      StructField("default_catalog", StringType),
+      StructField("default_namespace", StringType),
+      StructField("schema_json", StringType, nullable = false)))
+    val rows = md.versions.sortBy(_.versionId).map(v => Array[Any](
+      v.versionId, v.versionId == md.currentVersionId, v.timestampMs,
+      s(v.sql), s(v.dialect), s(v.defaultCatalog),
+      s(v.defaultNamespace.mkString(".")), s(v.sparkSchemaJson)))
+    new LocalRowsTable(s"$location#versions", schema, rows)
+  }
+
   val FilesSchema: StructType = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
     StructField("file_format", StringType, nullable = false),

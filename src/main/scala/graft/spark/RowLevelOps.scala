@@ -102,7 +102,8 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
       GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(
         org.apache.spark.sql.SparkSession.active, table.properties),
-      GraftCowWriterFactory.targetFileBytes(table.properties))
+      GraftCowWriterFactory.targetFileBytes(table.properties),
+      maxOpenFiles = GraftCowWriterFactory.maxOpenFilesOf(table.properties))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -141,12 +142,14 @@ final case class GraftCowWriterFactory(dir: String, schemaJson: String,
                                        floatFields: Seq[FloatFieldSpec] = Nil,
                                        parquetProps: Map[String, String] = Map.empty,
                                        targetFileBytes: Long = Long.MaxValue,
-                                       format: String = "PARQUET")
+                                       format: String = "PARQUET",
+                                       maxOpenFiles: Int =
+                                         GraftCowWriterFactory.DefaultMaxOpenFiles)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields, floatFields,
-      parquetProps, targetFileBytes, format)
+      parquetProps, targetFileBytes, format, maxOpenFiles)
 }
 
 object GraftCowWriterFactory {
@@ -161,6 +164,22 @@ object GraftCowWriterFactory {
   def targetFileBytes(tableProps: Map[String, String]): Long =
     tableProps.get(TargetFileSizeProp).flatMap(_.toLongOption)
       .filter(_ > 0).getOrElse(DefaultTargetFileSize)
+
+  /** Hard cap on CONCURRENTLY open data files per task writer. The append
+    * path locally sorts rows by partition tuple, so one open file at a
+    * time suffices there; this cap protects the paths that can't
+    * guarantee tuple-grouped input (CoW rewrites, the streaming sink,
+    * range-clustered writes whose sort keys aren't the partition keys) —
+    * an open parquet writer buffers up to a row group, so open writers ×
+    * tasks is the memory bill. Evicting closes the file; a tuple that
+    * reappears just opens a new file (same shape the roll-at-target-size
+    * path already produces). */
+  val MaxOpenFilesProp = "write.task.max-open-files"
+  val DefaultMaxOpenFiles: Int = 4
+
+  def maxOpenFilesOf(tableProps: Map[String, String]): Int =
+    tableProps.get(MaxOpenFilesProp).flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(DefaultMaxOpenFiles)
 
   /** The table's float/double fields present in the write schema. */
   def floatFieldsOf(schema: graft.core.Schema, writeSchema: StructType): Seq[FloatFieldSpec] =
@@ -221,7 +240,9 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
                                floatFields: Seq[FloatFieldSpec] = Nil,
                                parquetProps: Map[String, String] = Map.empty,
                                targetFileBytes: Long = Long.MaxValue,
-                               format: String = "PARQUET")
+                               format: String = "PARQUET",
+                               maxOpenFiles: Int =
+                                 GraftCowWriterFactory.DefaultMaxOpenFiles)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -358,15 +379,33 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
         .map(literalToAvro).orNull
     }.toMap
 
+  private def closeSink(key: Seq[Any]): Unit = {
+    val s = sinks(key)
+    s.writer.close()
+    if (s.rows > 0) finished += s.toOut else s.file.delete()
+    sinks.remove(key)
+  }
+
+  private[spark] def openSinks: Int = sinks.size
+
   override def write(row: InternalRow): Unit = {
     val partition = partitionOf(row)
     val key = resolved.map { case (pf, _, _, _) => partition(pf.partName) }
-    val sink = sinks.getOrElseUpdate(key, {
-      val ext = FormatWriters.fileExtension(format)
-      val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.$ext")
-      fileSeq += 1
-      Sink(f, openWriter(f.getPath), partition)
-    })
+    val sink = sinks.get(key) match {
+      case Some(s) =>
+        // LRU refresh: move the touched sink to the tail so eviction
+        // drops the longest-idle tuple (for tuple-sorted input that is
+        // exactly the already-finished one)
+        sinks.remove(key); sinks.put(key, s); s
+      case None =>
+        if (sinks.size >= maxOpenFiles) closeSink(sinks.head._1)
+        val ext = FormatWriters.fileExtension(format)
+        val f = new File(dir, f"part-$partitionId%05d-$taskId-$fileSeq%03d.$ext")
+        fileSeq += 1
+        val s = Sink(f, openWriter(f.getPath), partition)
+        sinks.put(key, s)
+        s
+    }
     sink.writer.write(row)
     sink.rows += 1
     var i = 0
@@ -381,11 +420,7 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
       i += 1
     }
     // roll at the target size so one task can't produce an unbounded file
-    if (sink.writer.dataSize >= targetFileBytes) {
-      sink.writer.close()
-      finished += sink.toOut
-      sinks.remove(key)
-    }
+    if (sink.writer.dataSize >= targetFileBytes) closeSink(key)
   }
 
   override def commit(): WriterCommitMessage = {

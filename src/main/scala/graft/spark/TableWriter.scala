@@ -1370,7 +1370,15 @@ object TableWriter {
           d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
             srcField.fieldType))
         }
-        withParts.repartition(spec.fields.map(f => col(s"_p_${f.name}")): _*)
+        val keys = spec.fields.map(f => col(s"_p_${f.name}"))
+        // local sort by the partition tuple AFTER the exchange: rows reach
+        // the task writer grouped by tuple, so it writes one file at a
+        // time instead of holding an open writer per tuple it will ever
+        // see — with thousands of (e.g. day × status) tuples per task,
+        // concurrent open parquet writers are the classic dynamic-
+        // partition OOM. No extra shuffle: sortWithinPartitions is local.
+        withParts.repartition(keys: _*)
+          .sortWithinPartitions(keys: _*)
           .select(clustered.columns.map(col): _*)
       }
 
@@ -1391,7 +1399,8 @@ object TableWriter {
       GraftCowWriterFactory.floatFieldsOf(schema, writeSchema),
       GraftCowWriterFactory.parquetPropsOf(df.sparkSession, properties),
       GraftCowWriterFactory.targetFileBytes(properties),
-      FormatWriters.dataFormatOf(properties))
+      FormatWriters.dataFormatOf(properties),
+      GraftCowWriterFactory.maxOpenFilesOf(properties))
     val outs: Seq[CowFileOut] = distributed.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         // taskAttemptId (globally unique per attempt) in the file name:

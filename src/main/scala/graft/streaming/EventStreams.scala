@@ -260,7 +260,16 @@ object EventStreams {
     *
     * Registered automatically on `.option("read-changes", true)` streams
     * by [[graft.spark.GraftSparkExtensions]]; pass
-    * `.option("cdc-carryovers", "emit")` for the raw pair surface. */
+    * `.option("cdc-carryovers", "emit")` for the raw pair surface.
+    *
+    * CHECKPOINT CONSTRAINT: this wrapper inserts a stateful operator
+    * (`flatMapGroupsWithState`) into the stream plan, and Spark validates
+    * the stateful-operator graph against the checkpoint on restart. The
+    * `cdc-carryovers` mode (and whether the extensions are installed) must
+    * therefore stay FIXED for the lifetime of a checkpoint: restarting a
+    * `cancel`-mode checkpoint in `emit` mode (or vice versa, or without
+    * the extensions) fails Spark's state-operator validation. To switch
+    * modes, start a new checkpoint from a pinned `stream-start`. */
   def cancelCarryovers(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val schema = df.schema

@@ -45,7 +45,8 @@ final class GraftStreamingWrite(location: String, schema: StructType,
       GraftCowWriterFactory.floatFieldsOf(table.schema, schema),
       GraftCowWriterFactory.parquetPropsOf(
         org.apache.spark.sql.SparkSession.active, table.properties),
-      GraftCowWriterFactory.targetFileBytes(table.properties))
+      GraftCowWriterFactory.targetFileBytes(table.properties),
+      maxOpenFiles = GraftCowWriterFactory.maxOpenFilesOf(table.properties))
     new StreamingDataWriterFactory {
       // task attempt ids are globally unique per SparkContext, so file
       // names cannot collide across epochs or retries

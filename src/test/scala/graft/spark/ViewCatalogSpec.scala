@@ -239,6 +239,27 @@ class ViewCatalogSpec extends AnyFunSuite {
     spark.sql("DROP VIEW graft.vdb.vcache")
   }
 
+  test("db.v.versions surfaces the retained version history") {
+    setup()
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.vhist AS
+      SELECT n_name FROM graft.vdb.nation""")
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.vhist AS
+      SELECT n_name, n_regionkey FROM graft.vdb.nation""")
+    spark.sql("""CREATE OR REPLACE VIEW graft.vdb.vhist AS
+      SELECT n_regionkey, COUNT(*) AS n FROM graft.vdb.nation
+      GROUP BY n_regionkey""")
+    val rows = spark.sql(
+      """SELECT version_id, is_current, sql FROM graft.vdb.vhist.versions
+         ORDER BY version_id""").collect()
+    assert(rows.length == 3, s"expected 3 retained versions, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // only the LAST version is current, and it carries the latest SQL
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(false, false, true))
+    assert(rows(2).getString(2).contains("GROUP BY"))
+    assert(rows(0).getString(2).contains("SELECT n_name FROM"))
+    spark.sql("DROP VIEW graft.vdb.vhist")
+  }
+
   test("views survive a fresh catalog instance (persisted metadata)") {
     setup()
     spark.sql("""CREATE OR REPLACE VIEW graft.vdb.persisted AS
