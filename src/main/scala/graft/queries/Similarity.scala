@@ -24,6 +24,7 @@ object Similarity {
 
   private val lshBandedSlot = new CacheSlot
   private val ivfAssignedSlot = new CacheSlot
+  private val pqCodesSlot = new CacheSlot
 
   /** Cosine similarity between two float-array columns, computed in double
     * via the native codegen'd dot product. */
@@ -308,6 +309,151 @@ object Similarity {
          FROM pairs) t
        WHERE rank <= 5 ORDER BY qid, rank"""
   }
+
+  /** Product-quantization (PQ) approximate top-k with exact re-rank — the
+    * memory-bound 100 TB ANN path (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011; also the layout behind
+    * FAISS's IVF-PQ indexes): each vector is split into `nSub` subspaces
+    * and every subspace slice is replaced by the id of its nearest
+    * codeword, so a 64-dim float vector compresses to `nSub` small codes
+    * (here 8 bytes — 32× smaller). Queries never touch raw candidate
+    * vectors until the final re-rank:
+    *   1. codebook: `kSub` sampled corpus rows (the ann03 md5-sample
+    *      discipline — deterministic, no RNG, oracle-derivable), sliced
+    *      into per-subspace codewords — a `kSub × nSub`-row DataFrame,
+    *      BROADCAST everywhere it's used;
+    *   2. encode: one pass over the corpus — per (vector, subspace) the
+    *      argmin-L2 codeword via map-side-combined `min_by` aggregation;
+    *      only (vec_id, m, j) ints shuffle, never the vectors. Slot-cached:
+    *      the PQ index is built once per corpus and reused across queries;
+    *   3. ADC (asymmetric distance computation): per query, a tiny
+    *      (query × subspace × codeword) distance table — integer-quantized
+    *      micro-units so the cross-engine sum is order-independent —
+    *      broadcast against the codes; the scan aggregates `nSub` ints per
+    *      (query, candidate) with map-side combine;
+    *   4. the `shortlist` best ADC candidates per query are re-ranked with
+    *      EXACT cosine (vectors fetched only for shortlist × queries rows).
+    * At 100 TB the codes table is the only per-candidate state the scan
+    * touches (32× less I/O than raw vectors), and composing with ann03's
+    * IVF cell filter (encode residuals per probed cell) bounds the ADC
+    * scan itself — this entry keeps the full-corpus ADC so the oracle
+    * stays one SQL mirror. */
+  def annPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+            nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50): DataFrame = {
+    val dim = 64
+    val subDim = dim / nSub
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+
+    // subspace L2, rounded like ann04 so both engines order identically
+    def l2r(a: String, b: String): Column = round(expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"), 6)
+    // integer micro-units: summing longs is order-independent, so the ADC
+    // total is bit-identical regardless of aggregation order in either engine
+    def l2Micro(a: String, b: String): Column = round(expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+      * 1e6).cast("long")
+
+    def sliced(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        explode(array((0 until nSub).map(m =>
+          struct(lit(m).as("m"), slice(col("e"), m * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+        .select(col(idAs), col("s.m").as("m"), col("s.sv").as("sv"))
+
+    // codebook: kSub sampled rows → one codeword per (m, j)
+    val codebook = sliced(
+      emb.select(col("vec_id"), col("e"), md5(col("vec_id").cast("string")).as("h"))
+        .orderBy("h").limit(kSub).select(col("vec_id"), col("e")), "j")
+      .select(col("j"), col("m"), col("sv").as("cw"))
+
+    // encode: argmin codeword per (vector, subspace); min_by aggregates with
+    // map-side combine — no window sort, no vector bytes in the shuffle
+    val codes = pqCodesSlot(sliced(emb, "vec_id").join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("j"), l2r("sv", "cw").as("dist_r"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j")))
+
+    // ADC table: query × subspace × codeword distances (tiny; broadcast)
+    val qd = sliced(emb.filter(col("vec_id") < nQueries), "qid")
+      .join(broadcast(codebook), "m")
+      .select(col("qid"), col("m"), col("j"), l2Micro("sv", "cw").as("dm"))
+
+    // shortlist: approx distance = sum of the candidate's per-subspace
+    // table entries; ints only until the re-rank
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+    val short = codes.join(broadcast(qd), Seq("m", "j"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("dm")).as("approx"))
+      .withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= shortlist)
+      .select("qid", "nid")
+
+    // exact cosine re-rank of the shortlist only
+    val en = emb.select(col("vec_id"), col("e"),
+      sqrt(dot(col("e"), col("e"))).as("norm"))
+    val q = en.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qnorm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // short is BOUNDED at nQueries × shortlist rows for any corpus size —
+    // broadcast it so the re-rank streams the corpus map-only
+    en.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB mirror of [[annPq]]: same md5-sampled codebook, same rounded
+    * subspace L2s, same integer-micro-unit ADC sums (order-independent in
+    * both engines by construction), same tie-breaks — byte-exact. */
+  val annPqSql: String =
+    """WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       c AS (
+         SELECT vec_id AS j, e AS ce FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
+       codes AS (
+         SELECT vec_id, m, j FROM (
+           SELECT e.vec_id, s.m, c.j,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.m ORDER BY
+                    ROUND(list_sum([ (e.e[s.m*8+i] - c.ce[s.m*8+i]) * (e.e[s.m*8+i] - c.ce[s.m*8+i])
+                      for i in range(1, 9) ]), 6), c.j) AS rk
+           FROM e, sub s, c) t
+         WHERE rk = 1),
+       qd AS (
+         SELECT e.vec_id AS qid, s.m, c.j,
+                CAST(ROUND(list_sum([ (e.e[s.m*8+i] - c.ce[s.m*8+i]) * (e.e[s.m*8+i] - c.ce[s.m*8+i])
+                  for i in range(1, 9) ]) * 1000000) AS BIGINT) AS dm
+         FROM e, sub s, c WHERE e.vec_id < 10),
+       adc AS (
+         SELECT q.qid, cd.vec_id AS nid, SUM(q.dm) AS approx
+         FROM codes cd JOIN qd q ON cd.m = q.m AND cd.j = q.j
+         WHERE q.qid <> cd.vec_id
+         GROUP BY q.qid, cd.vec_id),
+       short AS (
+         SELECT qid, nid FROM (
+           SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, nid) AS rk
+           FROM adc) t
+         WHERE rk <= 50),
+       en AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM e)
+       SELECT qid, nid, rank FROM (
+         SELECT sh.qid, sh.nid,
+                ROW_NUMBER() OVER (PARTITION BY sh.qid ORDER BY
+                  (list_sum([q.e[i] * n.e[i] for i in range(1, len(q.e)+1)])
+                     / (q.norm * n.norm)) DESC, sh.nid) AS rank
+         FROM short sh
+         JOIN en q ON q.vec_id = sh.qid
+         JOIN en n ON n.vec_id = sh.nid) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** K-means to CONVERGENCE as a library API — the generalization of the
     * deterministic 1-iteration battery entry [[ann04Kmeans]], same

@@ -156,28 +156,7 @@ object TableWriter {
     val snapId = System.nanoTime()
     val version = table.loadedVersion + 1
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
-    val delDir = new File(table.location, s"data/eqdeletes-$snapId")
-    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.getPath)
-
-    val eqIds = equalityCols.map(c => table.schema.findFieldByName(c).getOrElse(
-      throw new IllegalArgumentException(s"equality column '$c' not in schema")).id)
-    val delFiles = listParquet(delDir).map { f =>
-      statsFromFooter(f, table.schema, Map.empty,
-        content = graft.core.DataFileContent.EqualityDeletes, None)
-        .copy(equalityIds = eqIds)
-    }
-    val entries = delFiles.map(info => ManifestEntry(
-      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
-    val manifestFile = new File(metaDir, s"manifest-eqdel-$snapId.avro")
-    ManifestIO.writeManifest(manifestFile, entries, StructT(Nil))
-    val delManifest = ManifestFile(
-      path = manifestFile.getPath, length = manifestFile.length(),
-      partitionSpecId = table.spec.specId, content = 1,
-      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
-      addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
-      addedRowsCount = delFiles.map(_.recordCount).sum,
-      existingRowsCount = 0, deletedRowsCount = 0,
-      partitions = Nil, formatVersion = 2)
+    val delManifest = writeEqDeleteManifest(table, keys, equalityCols, snapId, seq)
     val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     })
@@ -195,6 +174,63 @@ object TableWriter {
       refs = table.metadata.refs + (TableMetadata.MainBranch ->
         SnapshotRef(snapId, BranchRef))), version)
     IcebergTables.load(table.location)
+  }
+
+  /** Write `keys` as equality-delete parquet + its content=1 manifest for
+    * snapshot `snapId` at sequence `seq`; shared by [[deleteEquality]]
+    * (own commit) and [[replaceEquality]] (same commit as the data). */
+  private def writeEqDeleteManifest(table: IcebergTable, keys: DataFrame,
+                                    equalityCols: Seq[String],
+                                    snapId: Long, seq: Long): ManifestFile = {
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/eqdeletes-$snapId")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.getPath)
+    val eqIds = equalityCols.map(c => table.schema.findFieldByName(c).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$c' not in schema")).id)
+    val delFiles = listParquet(delDir).map { f =>
+      statsFromFooter(f, table.schema, Map.empty,
+        content = graft.core.DataFileContent.EqualityDeletes, None)
+        .copy(equalityIds = eqIds)
+    }
+    val entries = delFiles.map(info => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+    val manifestFile = new File(metaDir, s"manifest-eqdel-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, entries, StructT(Nil))
+    ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = table.spec.specId, content = 1,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = delFiles.map(_.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = Nil, formatVersion = 2)
+  }
+
+  /** ATOMIC retract-and-replace: ONE snapshot carrying an equality-delete
+    * manifest on `keyCols` plus the appended `rows` — the Flink-CDC-style
+    * MoR upsert commit. The delete applies only to files with a STRICTLY
+    * SMALLER sequence number (Iceberg's rule), so the same-sequence
+    * appended rows are exempt by construction. Unlike [[upsert]] (two
+    * commits), a reader can never observe the retracted-but-not-replaced
+    * intermediate state, and a crash leaves either the old or the new
+    * state — the primitive an incrementally-maintained view needs.
+    * `extraProperties` merge into table properties in the same commit
+    * (e.g. a maintenance watermark: state and bookkeeping move together
+    * or not at all). */
+  def replaceEquality(table: IcebergTable, keys: DataFrame,
+                      keyCols: Seq[String], rows: DataFrame,
+                      extraProperties: Map[String, String] = Map.empty)
+      : IcebergTable = {
+    val seq = table.metadata.lastSequenceNumber + 1
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    })
+    commit(rows, table.location, table.schema, table.spec,
+      table.properties ++ extraProperties, table.loadedVersion + 1,
+      table.currentSnapshot, Nil, prevManifests, seq,
+      extraManifestsFor =
+        snapId => Seq(writeEqDeleteManifest(table, keys, keyCols, snapId, seq)),
+      op = OpOverwrite)
   }
 
   /** MoR UPDATE: rows matching `predicate` get `assignments` applied — the
@@ -1429,7 +1465,12 @@ object TableWriter {
                      existingManifests: Seq[ManifestFile],
                      sequenceNumber: Long,
                      sortOrder: SortOrder = SortOrder.unsorted,
-                     preClustered: Boolean = false): IcebergTable = {
+                     preClustered: Boolean = false,
+                     // extra manifests minted for THIS snapshot (the id is
+                     // only known in here) — lets one commit carry e.g. an
+                     // equality-delete manifest next to the appended data
+                     extraManifestsFor: Long => Seq[ManifestFile] = _ => Nil,
+                     op: graft.core.SnapshotOp = OpAppend): IcebergTable = {
     val snapId = System.nanoTime()
     val dataDir = new File(location, s"data/snap-$snapId")
     val metaDir = new File(location, "metadata")
@@ -1511,11 +1552,12 @@ object TableWriter {
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile,
-      existingManifests ++ Seq(newManifest) ++ removedManifest)
+      existingManifests ++ extraManifestsFor(snapId) ++
+        Seq(newManifest) ++ removedManifest)
 
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, parentSnapshot.map(_.snapshotId), sequenceNumber,
-      now, listFile.getPath, Some(SnapshotSummary(OpAppend,
+      now, listFile.getPath, Some(SnapshotSummary(op,
         Map("added-data-files" -> entries.size.toString,
           "added-records" -> entries.map(_.dataFile.recordCount).sum.toString))),
       Some(schema.schemaId))

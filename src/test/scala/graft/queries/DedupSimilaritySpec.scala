@@ -169,6 +169,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.size == 10 && perQuery.values.forall(_.length == 5))
   }
 
+  test("pq ann: 32x-compressed codes still recall brute-force top-k") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random vectors are PQ's hard case (no subspace structure to exploit);
+    // a 50-of-500 ADC shortlist still has to carry most of the true top-5
+    val recall = bf.count(pq.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"PQ recall vs brute force = $recall")
+    // full top-k per query, ranks dense 1..k
+    val perQuery = Similarity.annPq(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getLong(0))
+    assert(perQuery.size == 10 &&
+      perQuery.values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
   test("exact dedup flags identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

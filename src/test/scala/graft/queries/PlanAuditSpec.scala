@@ -60,10 +60,23 @@ class PlanAuditSpec extends AnyFunSuite {
         "d02" -> Dedup.d02SimhashPairs(spark, sf),
         "d05" -> Dedup.d05SharedPassages(spark, sf),
         "ann02" -> Similarity.annLsh(spark, sf),
-        "ann03" -> Similarity.annIvf(spark, sf))) {
+        "ann03" -> Similarity.annIvf(spark, sf),
+        "ann06" -> Similarity.annPq(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
+  }
+
+  test("ann06: codebook and ADC table broadcast; codes carry ints only") {
+    val p = plan(Similarity.annPq(spark, sf))
+    // the kSub×nSub codebook and the query ADC table are the broadcast
+    // sides everywhere — the corpus-sized codes/vectors never build a hash
+    // table; at least the encode join + ADC join + re-rank query join
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"expected >=3 broadcast joins (encode, ADC, re-rank):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-side sort-merge join crept into the PQ chain:\n$p")
   }
 
   test("d01: shingle arrays stay out of the LSH shuffles") {
