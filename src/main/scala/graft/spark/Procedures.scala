@@ -23,7 +23,8 @@ object GraftProcedures {
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
-    "rewrite_position_deletes", "cherrypick_snapshot")
+    "rewrite_position_deletes", "cherrypick_snapshot",
+    "sync_dedup_index", "sync_agg_view")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -223,6 +224,39 @@ object GraftProcedures {
         val before = count(table)
         val out = TableWriter.rewriteManifests(table)
         Array[Any](before, count(out))
+      }
+      // incremental-maintenance procedures: fold the docs table's
+      // changefeed into a maintained structure. after_snapshot_id 0 →
+      // full history (bootstrap catch-up).
+      case "sync_dedup_index" => proc(name,
+        Seq("docs" -> StringType, "index" -> StringType,
+          "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("index_snapshot_id", LongType, nullable = false),
+          StructField("index_rows", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val idx = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val out = graft.queries.DedupIndex.syncFromChangelog(spark, docs, idx,
+          from, graft.queries.DedupIndex.Params())
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
+      }
+      case "sync_agg_view" => proc(name,
+        Seq("docs" -> StringType, "view" -> StringType,
+          "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("view_snapshot_id", LongType, nullable = false),
+          StructField("applied_sequence", LongType)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val view = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val out = graft.queries.MatView.syncFromChangelog(spark, docs, view, from)
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.properties.get(graft.queries.MatView.AppliedSeqProp)
+            .flatMap(_.toLongOption).orNull)
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

@@ -104,6 +104,33 @@ object Bpe {
     Merges(ranks.result())
   }
 
+  /** Parse a published GPT-2-style `merges.txt`: optional `#version`
+    * header, then one `left right` pair per line, rank = line order —
+    * the standard interchange format for pretrained BPE vocabularies
+    * (Sennrich et al.'s `apply_bpe` and its descendants). */
+  def parseMerges(lines: IterableOnce[String]): Merges = {
+    val ranks = Map.newBuilder[(String, String), Int]
+    var rank = 0
+    for (raw <- lines.iterator) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        line.split("\\s+") match {
+          case Array(a, b) => ranks += (a, b) -> rank; rank += 1
+          case _ => throw new IllegalArgumentException(
+            s"malformed merges line: '$line' (expected 'left right')")
+        }
+      }
+    }
+    Merges(ranks.result())
+  }
+
+  /** Load a merges file from disk (driver-side; the result broadcasts
+    * through [[countUdf]]). */
+  def loadMerges(path: String): Merges = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
   /** The `Column => Column` token counter over a BROADCAST merge table —
     * drop-in for the whitespace counter in t06/t19's library forms. */
   def countUdf(spark: SparkSession, merges: Merges): Column => Column = {

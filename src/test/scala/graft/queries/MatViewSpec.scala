@@ -71,4 +71,36 @@ class MatViewSpec extends AnyFunSuite {
     assert(v3.currentSnapshot.get.snapshotId == v1.currentSnapshot.get.snapshotId,
       "overlapping window rows at/below the watermark must be filtered")
   }
+
+  test("streaming read-changes maintenance equals from-scratch rebuild") {
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, String, String)*) =
+      rows.toDF("doc_id", "source", "lang", "text")
+    val docsLoc = fresh("sdocs")
+    val viewLoc = fresh("sview")
+    val t1 = TableWriter.create(docs(
+      (1L, "web", "en", "aa bb cc"), (2L, "web", "de", "dd ee"),
+      (3L, "books", "en", "ff gg hh ii")), docsLoc)
+    // bootstrap EMPTY (watermark unset) — the stream replays from earliest
+    MatView.build(docs().limit(0), viewLoc)
+    val ck = fresh("sck")
+    val q = MatView.maintain(spark, docsLoc, viewLoc, ck)
+    try {
+      q.processAllAvailable()
+      val t2 = TableWriter.append(t1, docs((4L, "web", "en", "jj kk")))
+      q.processAllAvailable()
+      val t3 = TableWriter.updateWhere(t2, spark, col("doc_id") === 2L,
+        Map("text" -> concat(col("text"), lit(" more"))))
+      q.processAllAvailable()
+      val t4 = TableWriter.deleteWhere(t3, spark, col("doc_id") === 3L)
+      q.processAllAvailable()
+      val got = graft.spark.IcebergTables.load(viewLoc).newScan().toDF(spark)
+        .select("source", "lang", "docs", "tokens", "chars")
+        .orderBy("source", "lang").collect().toSeq
+      val want = MatView.aggregate(t4.newScan().toDF(spark))
+        .orderBy("source", "lang").collect().toSeq
+      assert(got == want, s"streamed view drifted: got=$got want=$want")
+    } finally q.stop()
+  }
 }

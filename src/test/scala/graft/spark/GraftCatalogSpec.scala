@@ -937,6 +937,43 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 8)
   }
 
+  test("CALL sync_dedup_index / sync_agg_view fold the changefeed") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db17")
+    val src = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "lang", "text")
+    val t1 = TableWriter.create(src.filter(col("doc_id") < 100),
+      s"$warehouse/db17/docs")
+    val c1 = t1.currentSnapshot.get.snapshotId
+    graft.queries.DedupIndex.build(
+      t1.newScan().toDF(spark).select("doc_id", "text"),
+      s"$warehouse/db17/idx", graft.queries.DedupIndex.Params())
+    graft.queries.MatView.build(t1.newScan().toDF(spark),
+      s"$warehouse/db17/mv")
+    val t2 = TableWriter.append(t1,
+      src.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    TableWriter.updateWhere(t2, spark, col("doc_id") % 9 === 0,
+      Map("text" -> concat(col("text"), lit(" x"))))
+    val idxRow = spark.sql(
+      s"CALL graft.system.sync_dedup_index('db17.docs', 'db17.idx', ${c1}L)")
+      .collect()(0)
+    val docsNow = IcebergTables.load(s"$warehouse/db17/docs")
+    val wantIdx = graft.queries.DedupIndex.rows(
+      docsNow.newScan().toDF(spark).select("doc_id", "text"),
+      graft.queries.DedupIndex.Params()).count()
+    assert(idxRow.getLong(1) == wantIdx,
+      s"index rows ${idxRow.getLong(1)} != from-scratch $wantIdx")
+    val mvRow = spark.sql(
+      s"CALL graft.system.sync_agg_view('db17.docs', 'db17.mv', ${c1}L)")
+      .collect()(0)
+    assert(!mvRow.isNullAt(1), "watermark not stamped")
+    val got = IcebergTables.load(s"$warehouse/db17/mv").newScan().toDF(spark)
+      .orderBy("source", "lang").collect().toSeq
+    val want = graft.queries.MatView.aggregate(docsNow.newScan().toDF(spark))
+      .orderBy("source", "lang").collect().toSeq
+    assert(got == want, "synced view != from-scratch aggregate")
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")

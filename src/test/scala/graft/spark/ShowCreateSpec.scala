@@ -69,6 +69,15 @@ class ShowCreateSpec extends AnyFunSuite {
       s"snapshot/format not in properties: $props")
   }
 
+  test("SHOW TBLPROPERTIES reads the same property surface") {
+    val rows = spark.sql("SHOW TBLPROPERTIES graft.dbsc.orders").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // `provider` is a Spark-reserved property, filtered from this output
+    // (it still prints via SHOW CREATE TABLE's USING clause)
+    assert(rows.contains("current-snapshot-id") && rows.contains("format-version"),
+      rows)
+  }
+
   test("DESCRIBE EXTENDED surfaces the sort order when one is active") {
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     TableWriter.create(src, s"$warehouse/dbsc/nation_sorted",

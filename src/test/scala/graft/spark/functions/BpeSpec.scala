@@ -56,6 +56,18 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("parseMerges reads the published merges.txt format") {
+    val m = Bpe.parseMerges(Seq(
+      "#version: 0.2", "", "l o", "lo w", "e r"))
+    assert(m.ranks == Map(("l", "o") -> 0, ("lo", "w") -> 1, ("e", "r") -> 2))
+    assert(Bpe.encodeWord("lower", m) == Vector("low", "er"))
+    // a loaded table and a learned one go through the identical encoder
+    val err = intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Seq("a b c"))
+    }
+    assert(err.getMessage.contains("malformed"))
+  }
+
   test("t19 packing runs token-denominated through the BPE seam") {
     val m = Bpe.learn(Seq("aa bb aa bb cc"), numMerges = 4)
     val packed = graft.queries.TextOps.t19SeqPacking(
