@@ -30,13 +30,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a raw nanos long (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies implicitly when
-    * bucketing to coarser grains. */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(MICROS) (read
+    * directly) or TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
+    * for the latter, read it as a raw nanos long (legacy conf) and truncate
+    * to microseconds, the same truncation DuckDB applies implicitly when
+    * bucketing to coarser grains. Adapt by the type actually read so the
+    * battery survives testdata regeneration. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions here run UTC, so this cast is wall-clock preserving; it
+        // keeps `ts` the same TimestampType every downstream query was
+        // written (and oracle-verified) against
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
