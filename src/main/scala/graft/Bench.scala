@@ -70,6 +70,18 @@ object Bench {
     * cannot poison the round artifact the judge grades. */
   val RunsPerQuery = 2
 
+  /** Pass-spread ratio above which a query earns an adaptive third pass:
+    * two same-plan passes differing by >1.5× is the signature of a
+    * co-tenant arriving MID-run (the start-time guard can't see it — r8's
+    * driver artifact was contaminated exactly this way, busy_waits 3,
+    * loadavg 1.36→2.74). Min-of-3 only where needed keeps the battery
+    * cheap on a clean box. */
+  val SpreadRatio = 1.5
+
+  /** Spread checks ignore queries faster than this (seconds): at the
+    * 50-200 ms floor, scheduler jitter alone exceeds [[SpreadRatio]]. */
+  val SpreadFloor = 0.2
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
@@ -96,10 +108,18 @@ object Bench {
     * not back-to-back per query) so the second run of a query doesn't just
     * replay the first run's still-hot executor state; a spike has to hit
     * the SAME query in BOTH passes to survive the min. */
+  /** Phase result: per-query min time, plus the contamination telemetry the
+    * artifact stamps (see [[SpreadRatio]]). `reruns` = queries that earned a
+    * third pass; `unstable` = queries whose spread STILL exceeded the ratio
+    * across all passes after it — the artifact's mid-run-co-tenant
+    * signature. */
+  private final case class PhaseResult(times: Map[String, Double],
+                                       reruns: Int, unstable: Int)
+
   private def runPhase(spark: SparkSession, sfDir: String,
                        qs: Seq[(String, (SparkSession, String) =>
                          org.apache.spark.sql.DataFrame)])
-      : Map[String, Double] = {
+      : PhaseResult = {
     // Untimed warmup: JIT + whole-stage-codegen compilation and one-time
     // Iceberg table materialization happen here, so the timed passes
     // measure steady-state throughput (what a resident engine serves).
@@ -109,23 +129,48 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    def onePass(): Map[String, Double] = qs.map { case (name, fn) =>
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       // A failed query must be distinguishable from a timing: record -1.0
       // (and log the error) instead of the elapsed wall time.
       try {
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        -1.0
+      }
+    }
+    def onePass(): Map[String, Double] =
+      qs.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val passes = (1 to RunsPerQuery).map(_ => onePass())
+    val fnOf = qs.toMap
+    var reruns = 0
+    var unstable = 0
+    val times = qs.map { case (name, _) =>
+      val runs = passes.map(_(name))
+      if (runs.exists(_ < 0)) name -> -1.0
+      else {
+        var all = runs
+        // Adaptive third pass: a >SpreadRatio spread between two same-plan
+        // passes means something EXTERNAL hit one of them — re-measure so a
+        // single co-tenant burst can't poison the min (it would have to
+        // straddle all three runs).
+        if (all.min >= SpreadFloor && all.max / all.min > SpreadRatio) {
+          reruns += 1
+          System.err.println(f"[bench] $name pass spread ${all.max / all.min}%.2fx" +
+            " — adaptive third pass")
+          val t3 = timeOne(name, fnOf(name))
+          if (t3 >= 0) all = all :+ t3
+        }
+        if (all.min >= SpreadFloor && all.max / all.min > SpreadRatio)
+          unstable += 1
+        name -> all.min
       }
     }.toMap
-    val passes = (1 to RunsPerQuery).map(_ => onePass())
-    qs.map { case (name, _) =>
-      val runs = passes.map(_(name))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
-    }.toMap
+    PhaseResult(times, reruns, unstable)
   }
 
   def main(args: Array[String]): Unit = {
@@ -138,6 +183,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Timestamp semantics must not depend on the host tz (events.ts and
+      // to_date() buckets would silently shift on a non-UTC host run
+      // outside sbt's javaOptions).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -171,14 +220,21 @@ object Bench {
         .filter(q => filter.forall(_.contains(q._1)))
         .partition(q => StableSet(q._1))
     // Phase 1: the frozen set alone, clean cache state → comparable rounds.
-    val stableResults = runPhase(spark, sfDir, stableQs)
+    val stablePhase = runPhase(spark, sfDir, stableQs)
+    val stableResults = stablePhase.times
+    // Per-phase loadavg stamp: a co-tenant arriving between phases shows up
+    // as a jump HERE even when loadavg_start was clean.
+    val loadMid = loadAvg()
     // Drop phase-1 pipeline caches so phase 2 is measured on its own terms
     // (and phase 1's resident blocks don't tax phase 2's GC either).
     graft.queries.CacheSlot.releaseAll()
     // Phase 2: everything added after round 2.
-    val freshResults = runPhase(spark, sfDir, freshQs)
+    val freshPhase = runPhase(spark, sfDir, freshQs)
+    val freshResults = freshPhase.times
     val results = stableResults ++ freshResults
     val loadEnd = loadAvg()
+    val spreadReruns = stablePhase.reruns + freshPhase.reruns
+    val spreadUnstable = stablePhase.unstable + freshPhase.unstable
 
     val qsJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
@@ -199,7 +255,14 @@ object Bench {
       if (stableFailed > 0 || calib <= 0) -1.0 else stable / calib
     val filterJson = filter.fold("")(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
+    // suspect: the artifact self-flags when the numbers should not be
+    // trusted round-over-round — either the box was already busy when
+    // timing began, or ≥3 queries showed a >SpreadRatio pass spread that
+    // survived the adaptive third pass (the mid-run co-tenant signature;
+    // loadavg_end alone can't be the test, Spark itself drives it to ~cpus
+    // on a clean run).
+    val suspect = loadStart > BusyThreshold || spreadUnstable >= 3
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact of record (see scaladoc): write it
     // BEFORE the stdout line so the println below is the last stdout write.
     // A FILTERED profiling run must never overwrite the full-battery

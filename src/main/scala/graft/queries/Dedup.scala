@@ -277,10 +277,20 @@ object Dedup {
   /** All banded SimHash candidate pairs with their true Hamming distance
     * (`id_a`, `id_b`, `hamming`; each pair once, `id_a < id_b`) — the shared
     * core of [[d02SimhashPairsFrom]] (top-k report) and [[d06DedupClusters]]
-    * (edge set). Only (id, 64-bit fingerprint) rides the banding shuffles. */
+    * (edge set). Only (id, 64-bit fingerprint) rides the banding shuffles.
+    *
+    * Degenerate buckets are capped exactly like MinHash ([[pairsFromKeyed]]):
+    * at web scale boilerplate-identical documents (templated pages, license
+    * headers) share one fingerprint, land in the SAME bucket in EVERY band,
+    * and the self-join would go O(bucket²). Buckets over `bucketCap` are
+    * dropped via an aggregate + broadcast anti-join — the exclusion list is
+    * few rows by construction (each entry needs > cap members), so the
+    * anti-join is broadcast-safe at any scale and the pair blowup is bounded
+    * by cap² per bucket. */
   def simhashBandedPairs(docs: DataFrame,
                          tokenHash: Column => Column = c => xxhash64(c),
                          tokenizer: Column => Column = c => split(c, " "),
+                         bucketCap: Int = 200,
                          slot: CacheSlot = simhashSlot): DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
@@ -291,9 +301,17 @@ object Dedup {
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+    // streaming hash-agg over (band, key) — the banded rows are (long, long,
+    // int, long) tuples off the persisted fingerprints, so sizing costs one
+    // cheap scan, never a sort
+    val bigBuckets = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap)
+      .select("band", "key")
+    val sized = banded.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
+    val a = sized.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+    val b = sized.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
       col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -305,8 +323,12 @@ object Dedup {
   /** The `toks → … → pairs` CTE chain shared by [[d02Sql]] and [[d06Sql]]:
     * md5 64-bit token hash (bit patterns identical to Spark's; unsigned
     * there, signed here — every use masks or XORs, so signedness never
-    * leaks), per-bit majority counts, 4×16-bit banding, each pair once. */
-  private[queries] def simhashPairsCteWith(toksClause: String): String = {
+    * leaks), per-bit majority counts, 4×16-bit banding, the same
+    * degenerate-bucket cap as [[simhashBandedPairs]] (a window QUALIFY here
+    * where Spark uses agg + broadcast anti-join — same surviving set, each
+    * engine's natural formulation), each pair once. */
+  private[queries] def simhashPairsCteWith(toksClause: String,
+                                           bucketCap: Int = 200): String = {
     val sums = (0 until 64).map(i => s"SUM((h >> $i) & 1::UBIGINT) AS s$i")
       .mkString(",\n                ")
     val fpTerms = (0 until 64).map { i =>
@@ -327,7 +349,10 @@ object Dedup {
          SELECT doc_id,
               ($fpTerms) AS fp
          FROM agg),
-       banded AS ($bandSelects),
+       banded0 AS ($bandSelects),
+       banded AS (
+         SELECT doc_id, fp, band, key FROM banded0
+         QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= $bucketCap),
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
          FROM banded a JOIN banded b USING (band, key)

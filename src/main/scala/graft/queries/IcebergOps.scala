@@ -407,6 +407,10 @@ object IcebergOps {
           .config("spark.sql.catalog.graftv.warehouse", wh)
           .config("spark.sql.shuffle.partitions",
             base.conf.get("spark.sql.shuffle.partitions"))
+          // inherit the caller's timestamp semantics: the derived session
+          // must bucket events.ts identically on a non-UTC host
+          .config("spark.sql.session.timeZone",
+            base.conf.get("spark.sql.session.timeZone"))
           .getOrCreate()
         default.foreach(SparkSession.setDefaultSession)
         active.foreach(SparkSession.setActiveSession)

@@ -128,7 +128,7 @@ object Multimodal {
       "transform(sequence(1, greatest(1, length(text) - 3)), " +
         "i -> substring(text, i, 4))")
     Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams,
-        phashSlot)
+        slot = phashSlot)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -313,13 +313,71 @@ object Multimodal {
     * GEAR single-pass chunker ([[gearChunks]]) — the production 100 TB
     * path. Timed by the bench right next to mm05's per-position-digest
     * oracle twin, so `bench_out.json` carries the measured gear-vs-digest
-    * speedup every round. No DuckDB oracle (a gear rolling hash is not
-    * SQL-expressible — the driver records the weaker rows-only check);
-    * correctness rides MultimodalSpec's shift-robustness, partitioning-
-    * independence, and gear-vs-digest agreement specs. */
+    * speedup every round. Oracle-checked via [[mm06Sql]]'s recursive CTE
+    * (one byte per recursion step, the same gear table inlined as
+    * literals); correctness also rides MultimodalSpec's shift-robustness,
+    * partitioning-independence, and gear-vs-digest agreement specs. */
   def mm06GearChunkDedup(s: SparkSession, d: String): DataFrame =
     sharedChunkStats(gearChunks(
       mediaTable(s, d).toDF().select(col("media_id"), col("payload"))))
+
+  /** DuckDB mirror of [[mm06GearChunkDedup]]: the gear recurrence
+    * `h = (h << 1) + gear(byte)` is a per-document sequential state
+    * machine, expressed as a recursive CTE advancing one byte per
+    * iteration (state = position, chunk start, rolling h; every document
+    * steps in the same breadth-wise pass, so total work is O(total
+    * bytes)). Java-long wraparound becomes explicit `% 2^64` on HUGEINT;
+    * `h & mask` becomes `% 2^maskBits` (identical for the low-bit mask on
+    * a non-negative value). The 256-entry gear table is inlined as
+    * literals from the SAME `java.util.Random(seed)` stream the Spark
+    * side draws in [[gearChunks]], so both engines chunk identically. */
+  val mm06Sql: String = {
+    val maskBits = 5; val minChunk = 8; val maxChunk = 128
+    val rnd = new java.util.Random(0x9E3779B97F4A7C15L)
+    val gearRows = (0 until 256).map { b =>
+      s"($b,${java.lang.Long.toUnsignedString(rnd.nextLong())}::HUGEINT)"
+    }.mkString(",")
+    s"""WITH RECURSIVE gear(b, g) AS (VALUES $gearRows),
+       docs0 AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+       st(media_id, pos, cstart, nstart, h, cut) AS (
+         SELECT media_id, 0::BIGINT, 0::BIGINT, 1::BIGINT, 0::HUGEINT, FALSE FROM docs0
+         UNION ALL
+         SELECT media_id, pos, cstart,
+                CASE WHEN cut THEN pos + 1 ELSE cstart END,
+                CASE WHEN cut THEN 0::HUGEINT ELSE h2 END,
+                cut
+         FROM (
+           SELECT st.media_id, st.pos + 1 AS pos, st.nstart AS cstart,
+                  (st.h * 2 + g.g) % 18446744073709551616::HUGEINT AS h2,
+                  ((st.pos + 1 - st.nstart + 1 >= $minChunk
+                      AND (st.h * 2 + g.g) % 18446744073709551616::HUGEINT
+                            % ${1 << maskBits} = 0)
+                   OR st.pos + 1 - st.nstart + 1 >= $maxChunk) AS cut
+           FROM st
+           JOIN docs0 d ON d.media_id = st.media_id
+           JOIN gear g ON g.b = ascii(substr(d.text, CAST(st.pos + 1 AS INT), 1))
+           WHERE st.pos < d.len
+         ) x),
+       chunks AS (
+         SELECT st.media_id,
+                substr(d.text, CAST(st.cstart AS INT), CAST(st.pos - st.cstart + 1 AS INT)) AS c
+         FROM st JOIN docs0 d USING (media_id) WHERE st.cut
+         UNION ALL
+         SELECT st.media_id, substr(d.text, CAST(st.nstart AS INT), CAST(d.len - st.nstart + 1 AS INT))
+         FROM st JOIN docs0 d USING (media_id)
+         WHERE st.pos = d.len AND st.nstart <= d.len
+         UNION ALL
+         SELECT media_id, '' FROM docs0 WHERE len = 0),
+       ch AS (
+         SELECT DISTINCT media_id, ('0x' || substr(md5(c),1,15))::BIGINT AS h FROM chunks),
+       f AS (SELECT h, COUNT(*) AS nm FROM ch GROUP BY h)
+       SELECT media_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              CAST(SUM(CASE WHEN nm > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                AS shared_ratio
+       FROM ch JOIN f USING (h)
+       GROUP BY media_id ORDER BY media_id"""
+  }
 
   val mm05Sql: String =
     """WITH b AS (

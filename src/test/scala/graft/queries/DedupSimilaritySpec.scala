@@ -67,6 +67,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits >= 8, s"only $hits planted pairs found: ${pairs.toSeq}")
   }
 
+  test("simhash degenerate buckets are capped: identical-fingerprint floods " +
+      "are dropped, genuine pairs elsewhere survive") {
+    // The web-scale failure mode: boilerplate-identical documents share ONE
+    // fingerprint, land in the same bucket in every band, and an uncapped
+    // self-join goes O(bucket²). Plant 50 identical docs (one degenerate
+    // bucket per band) plus one genuine near-dup pair with different text.
+    import spark.implicits._
+    val boiler = (0L until 50L).map(i => (i, "common license header boilerplate text repeated"))
+    val pairDocs = Seq(
+      (100L, "a genuinely distinct document about distributed query engines"),
+      (101L, "a genuinely distinct document about distributed query engines"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.simhashBandedPairs(docs, Dedup.md5Hash64, bucketCap = 10,
+      slot = new CacheSlot).collect()
+    // the 50-doc flood (50*49/2 = 1225 pairs) is gone; the 2-doc bucket stays
+    assert(capped.length == 1, s"expected 1 surviving pair, got ${capped.length}")
+    assert(capped.head.getLong(0) == 100L && capped.head.getLong(1) == 101L)
+    val uncapped = Dedup.simhashBandedPairs(docs, Dedup.md5Hash64, bucketCap = 1000,
+      slot = new CacheSlot).count()
+    assert(uncapped == 1226L, s"uncapped should see the flood: $uncapped")
+  }
+
   test("lsh ann approximates brute-force top-k with decent recall") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
