@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.{IcebergTable, IcebergTables, TableWriter}
+import graft.streaming.Changelog
+import graft.tables.Tables
+
+/** Persistent, incrementally-maintained product-quantization ANN index —
+  * the [[DedupIndex]] pattern applied to [[Similarity.annPq]]'s codes.
+  *
+  * A session-built PQ index ([[Similarity.annPq]]'s slot cache) dies with
+  * the session and re-encodes the whole corpus on every cold start; at
+  * 100 TB that bootstrap is the dominant cost. This module persists the
+  * index as TWO Graft Iceberg tables and maintains the codes from the
+  * corpus changefeed:
+  *
+  *   - **codebook** `(j, m, cw)` — built ONCE at bootstrap from the
+  *     then-current corpus sample and never re-trained on syncs (re-training
+  *     would invalidate every existing code; rebuilding the codebook is an
+  *     explicit full re-index, as in FAISS practice);
+  *   - **codes** `(vec_id, m, j)` — added vectors encode against the FIXED
+  *     codebook (an append of `nSub` int rows per vector), deleted vectors
+  *     retract via a metadata-sized equality tombstone on `vec_id`, and an
+  *     updated vector re-encodes ONLY itself (retract + fresh encode).
+  *
+  * Each maintenance batch is one equality-delete commit plus one append
+  * commit, both O(changed vectors) regardless of corpus size, and
+  * content-idempotent on micro-batch re-delivery (retract-then-insert of
+  * the window's net effect). Query serving reads the codes table — no
+  * corpus re-encode — through the same ADC + exact-re-rank plan as ann06.
+  *
+  * Reference scope note: the reference (a metadata-plane client) has no
+  * analog; this is engine-native functionality the LLM-pipeline brief
+  * requires.
+  */
+object AnnIndex {
+
+  /** PQ geometry. Must match what the codebook was built with; the battery
+    * pins ann06's (8 subspaces × 16 codewords over 64 dims). */
+  final case class Params(nSub: Int = 8, kSub: Int = 16)
+
+  /** Bootstrap: build codebook + codes tables from the corpus' current
+    * state. `emb` must be the (vec_id, e double-array) projection
+    * ([[Similarity.pqEmb]]). */
+  def build(emb: DataFrame, codebookLoc: String, codesLoc: String,
+            p: Params = Params()): (IcebergTable, IcebergTable) = {
+    val cb = Similarity.pqCodebook(emb, p.nSub, p.kSub)
+    val cbTable = TableWriter.create(cb, codebookLoc)
+    val codesTable =
+      TableWriter.create(Similarity.pqEncode(emb, cb, p.nSub), codesLoc)
+    (cbTable, codesTable)
+  }
+
+  /** Net effect of a changelog window, one row per touched vector: the
+    * LAST change per vec_id wins (by `_commit_sequence`); within one
+    * commit an insert outranks the delete (a CoW rewrite's delete applies
+    * to pre-commit rows). A vector updated five times in the window
+    * re-encodes once; inserted-then-dropped never touches the index. */
+  private[queries] def netEffect(changes: DataFrame): DataFrame = {
+    val vecCols = changes.columns
+      .filterNot(_.startsWith("_commit")).filterNot(_ == "_change_type")
+    changes.groupBy("vec_id").agg(
+      max_by(
+        struct(col("_change_type") +: vecCols.map(col).toIndexedSeq: _*),
+        struct(col("_commit_sequence"),
+          (col("_change_type") === "insert").cast("int"))).as("_n"))
+      .select("_n.*")
+  }
+
+  /** Apply one changelog window (batch or micro-batch) to the codes table:
+    * ONE equality-delete commit retracting every touched vector's codes +
+    * ONE append commit encoding the net-inserted vectors against the FIXED
+    * codebook. Both commits are O(changed vectors). */
+  def applyChanges(codes: IcebergTable, codebook: DataFrame,
+                   changes: DataFrame, p: Params): IcebergTable = {
+    val net = netEffect(changes).persist()
+    try {
+      if (net.isEmpty) codes
+      else {
+        // Retract-all-touched (fresh inserts retract vacuously) keeps the
+        // commit pair idempotent on re-delivery of the same window.
+        val afterRetract =
+          TableWriter.deleteEquality(codes, net.select("vec_id"), Seq("vec_id"))
+        val ins = net.filter(col("_change_type") === "insert")
+        if (ins.isEmpty) afterRetract
+        else TableWriter.append(afterRetract,
+          Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
+      }
+    } finally { net.unpersist(); () }
+  }
+
+  /** Batch catch-up: apply every commit after `afterSnapshotId` (None =
+    * the full history) in one net-effect window. */
+  def syncFromChangelog(spark: SparkSession, corpus: IcebergTable,
+                        codes: IcebergTable, codebook: DataFrame,
+                        afterSnapshotId: Option[Long],
+                        p: Params = Params()): IcebergTable =
+    applyChanges(codes, codebook,
+      Changelog.changelogDF(spark, corpus, afterSnapshotId), p)
+
+  /** Continuous maintenance: consume the corpus table's `read-changes`
+    * stream and fold each micro-batch into the codes table. Offsets
+    * checkpoint per snapshot sequence window and [[applyChanges]] is
+    * content-idempotent, so a restarted query re-delivering its in-flight
+    * batch converges to the same index state. */
+  def maintain(spark: SparkSession, corpusLocation: String,
+               codebookLocation: String, codesLocation: String,
+               checkpoint: String, p: Params = Params())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val codebook = IcebergTables.load(codebookLocation).newScan().toDF(spark)
+    spark.readStream.format("icegopher")
+      .option("read-changes", "true")
+      .load(corpusLocation)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChanges(IcebergTables.load(codesLocation), codebook, batch, p)
+        ()
+      }
+      .start()
+  }
+
+  /** Approximate top-k served FROM the maintained index (no corpus
+    * re-encode): the ADC scan reads the codes table; only the bounded
+    * shortlist touches raw vectors, against `corpus`. */
+  def topK(spark: SparkSession, codes: IcebergTable, codebook: DataFrame,
+           corpus: DataFrame, queries: DataFrame, p: Params,
+           k: Int, shortlist: Int): DataFrame =
+    Similarity.pqTopK(corpus, codes.newScan().toDF(spark), codebook,
+      queries, p.nSub, k, shortlist)
+
+  // ---------------------------------------------------------------- battery
+
+  /** ann07 fixture: the embeddings corpus driven through every changefeed
+    * shape — create (even vec_ids), append (odd), update (negate the
+    * embedding on vec_id % 5), delete (vec_id % 7) — with codebook+codes
+    * built at commit 1 and the codes incrementally synced over commits
+    * 2-4's changelog. Cached per sfDir like the ice* and d08 fixtures. */
+  private def ann07Fixture(s: SparkSession, d: String)
+      : (IcebergTable, IcebergTable, IcebergTable) = {
+    val root =
+      s"${IcebergOps.cacheRoot}/${d.replaceAll("[^A-Za-z0-9]", "_")}/ann07"
+    val corpusLoc = s"$root/corpus"
+    val cbLoc = s"$root/codebook"
+    val codesLoc = s"$root/codes"
+    IcebergOps.provisionOnce(new java.io.File(root)) {
+      val src = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val t1 = TableWriter.create(src.filter(col("vec_id") % 2 === 0), corpusLoc)
+      val c1 = t1.currentSnapshot.get.snapshotId
+      // bootstrap: full build over commit 1's state, read back THROUGH the
+      // table (what a real pipeline indexes)
+      val (cbT, codes0) = build(
+        Similarity.pqEmb(t1.newScan().toDF(s)), cbLoc, codesLoc)
+      val t2 = TableWriter.append(t1, src.filter(col("vec_id") % 2 === 1))
+      val t3 = TableWriter.updateWhere(t2, s, col("vec_id") % 5 === 0,
+        Map("embedding" -> transform(col("embedding"), x => negate(x))))
+      val t4 = TableWriter.deleteWhere(t3, s, col("vec_id") % 7 === 0)
+      syncFromChangelog(s, t4, codes0, cbT.newScan().toDF(s), Some(c1))
+      ()
+    }
+    (IcebergTables.load(corpusLoc), IcebergTables.load(cbLoc),
+      IcebergTables.load(codesLoc))
+  }
+
+  /** Battery entry ann07: ann06's PQ top-k, but served from the
+    * INCREMENTALLY-maintained codes table over the [[ann07Fixture]] commit
+    * sequence. The oracle runs the PQ SQL over the equivalent final state
+    * (codebook sampled from the bootstrap-time state), so a hash match
+    * proves index-after-changefeed ≡ from-scratch encode of the final
+    * corpus against the bootstrap codebook. */
+  def ann07IncrementalPq(s: SparkSession, d: String,
+                         nQueries: Int = 10, k: Int = 5,
+                         shortlist: Int = 50): DataFrame = {
+    val (corpusT, cbT, codesT) = ann07Fixture(s, d)
+    val corpus = Similarity.pqEmb(corpusT.newScan().toDF(s))
+    topK(s, codesT, cbT.newScan().toDF(s), corpus,
+      corpus.filter(col("vec_id") < nQueries), Params(), k, shortlist)
+  }
+
+  /** The fixture's final corpus state, derived from the raw parquet: even
+    * half + odd half (all rows), embeddings negated where vec_id % 5 = 0,
+    * vec_id % 7 = 0 deleted. The codebook samples the BOOTSTRAP state
+    * (even vec_ids, original embeddings). */
+  val ann07Sql: String = Similarity.annPqSqlOver(
+    """SELECT vec_id,
+              CASE WHEN vec_id % 5 = 0
+                   THEN [CAST(-x AS DOUBLE) for x in embedding]
+                   ELSE [CAST(x AS DOUBLE) for x in embedding] END AS e
+       FROM embeddings WHERE vec_id % 7 <> 0""",
+    """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       FROM embeddings WHERE vec_id % 2 = 0""")
+}

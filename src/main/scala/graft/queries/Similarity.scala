@@ -340,43 +340,68 @@ object Similarity {
     * stays one SQL mirror. */
   def annPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
             nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50): DataFrame = {
-    val dim = 64
-    val subDim = dim / nSub
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val emb = pqEmb(Tables.embeddings(s, d))
+    val codebook = pqCodebook(emb, nSub, kSub)
+    // Slot-cached: the PQ index is built once per corpus and reused across
+    // queries on the same corpus
+    val codes = pqCodesSlot(pqEncode(emb, codebook, nSub))
+    pqTopK(emb, codes, codebook,
+      emb.filter(col("vec_id") < nQueries), nSub, k, shortlist)
+  }
 
-    // subspace L2, rounded like ann04 so both engines order identically
-    def l2r(a: String, b: String): Column = round(expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"), 6)
-    // integer micro-units: summing longs is order-independent, so the ADC
-    // total is bit-identical regardless of aggregation order in either engine
-    def l2Micro(a: String, b: String): Column = round(expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
-      * 1e6).cast("long")
+  /** (vec_id, e double-array) projection every PQ stage starts from. */
+  private[queries] def pqEmb(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
 
-    def sliced(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-        explode(array((0 until nSub).map(m =>
-          struct(lit(m).as("m"), slice(col("e"), m * subDim + 1, subDim).as("sv"))): _*)).as("s"))
-        .select(col(idAs), col("s.m").as("m"), col("s.sv").as("sv"))
+  // subspace L2, rounded like ann04 so both engines order identically
+  private def pqL2r(a: String, b: String): Column = round(expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"), 6)
+  // integer micro-units: summing longs is order-independent, so the ADC
+  // total is bit-identical regardless of aggregation order in either engine
+  private def pqL2Micro(a: String, b: String): Column = round(expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    * 1e6).cast("long")
 
-    // codebook: kSub sampled rows → one codeword per (m, j)
-    val codebook = sliced(
+  /** Explode (id, e) into `nSub` (id, m, sv) subspace slices. */
+  private[queries] def pqSliced(df: DataFrame, idAs: String, nSub: Int): DataFrame = {
+    val subDim = 64 / nSub
+    df.select(col("vec_id").as(idAs),
+      explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"), slice(col("e"), m * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col(idAs), col("s.m").as("m"), col("s.sv").as("sv"))
+  }
+
+  /** PQ codebook: `kSub` sampled corpus rows (the ann03 md5-sample
+    * discipline — deterministic, no RNG, oracle-derivable), one codeword
+    * per (m, j) — a `kSub × nSub`-row DataFrame, BROADCAST everywhere. */
+  private[queries] def pqCodebook(emb: DataFrame, nSub: Int, kSub: Int): DataFrame =
+    pqSliced(
       emb.select(col("vec_id"), col("e"), md5(col("vec_id").cast("string")).as("h"))
-        .orderBy("h").limit(kSub).select(col("vec_id"), col("e")), "j")
+        .orderBy("h").limit(kSub).select(col("vec_id"), col("e")), "j", nSub)
       .select(col("j"), col("m"), col("sv").as("cw"))
 
-    // encode: argmin codeword per (vector, subspace); min_by aggregates with
-    // map-side combine — no window sort, no vector bytes in the shuffle
-    val codes = pqCodesSlot(sliced(emb, "vec_id").join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"), col("j"), l2r("sv", "cw").as("dist_r"))
+  /** Encode: argmin codeword per (vector, subspace) → (vec_id, m, j);
+    * min_by aggregates with map-side combine — no window sort, no vector
+    * bytes in the shuffle. */
+  private[queries] def pqEncode(emb: DataFrame, codebook: DataFrame,
+                                nSub: Int): DataFrame =
+    pqSliced(emb, "vec_id", nSub).join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("j"), pqL2r("sv", "cw").as("dist_r"))
       .groupBy("vec_id", "m")
-      .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j")))
+      .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j"))
 
+  /** ADC shortlist + exact re-rank from an ALREADY-BUILT code set — shared
+    * by [[annPq]] (session-built codes) and [[AnnIndex]] (codes served from
+    * the persistent, incrementally-maintained index table). `corpus` is the
+    * (vec_id, e) relation candidates re-rank against; `queries` likewise
+    * (qid side). Plan shape as documented on [[annPq]]. */
+  private[queries] def pqTopK(corpus: DataFrame, codes: DataFrame,
+                              codebook: DataFrame, queries: DataFrame,
+                              nSub: Int, k: Int, shortlist: Int): DataFrame = {
     // ADC table: query × subspace × codeword distances (tiny; broadcast)
-    val qd = sliced(emb.filter(col("vec_id") < nQueries), "qid")
+    val qd = pqSliced(queries, "qid", nSub)
       .join(broadcast(codebook), "m")
-      .select(col("qid"), col("m"), col("j"), l2Micro("sv", "cw").as("dm"))
+      .select(col("qid"), col("m"), col("j"), pqL2Micro("sv", "cw").as("dm"))
 
     // shortlist: approx distance = sum of the candidate's per-subspace
     // table entries; ints only until the re-rank
@@ -390,10 +415,11 @@ object Similarity {
       .select("qid", "nid")
 
     // exact cosine re-rank of the shortlist only
-    val en = emb.select(col("vec_id"), col("e"),
+    val en = corpus.select(col("vec_id"), col("e"),
       sqrt(dot(col("e"), col("e"))).as("norm"))
-    val q = en.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qnorm"))
+    val q = queries
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        sqrt(dot(col("e"), col("e"))).as("qnorm"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     // short is BOUNDED at nQueries × shortlist rows for any corpus size —
     // broadcast it so the re-rank streams the corpus map-only
@@ -410,11 +436,20 @@ object Similarity {
   /** DuckDB mirror of [[annPq]]: same md5-sampled codebook, same rounded
     * subspace L2s, same integer-micro-unit ADC sums (order-independent in
     * both engines by construction), same tie-breaks — byte-exact. */
-  val annPqSql: String =
-    """WITH e AS (
-         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+  val annPqSql: String = annPqSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
+    "SELECT * FROM e")
+
+  /** The PQ oracle over arbitrary relations: `eRel` is the (vec_id, e)
+    * corpus the codes/queries/re-rank run against; `cbSourceRel` the
+    * relation the 16-row codebook samples from (ann07 pins it to the
+    * BOOTSTRAP-time corpus state, which is exactly what a maintained index
+    * encodes against — the codebook is a snapshot artifact and never
+    * re-trains on incremental syncs). */
+  def annPqSqlOver(eRel: String, cbSourceRel: String): String =
+    s"""WITH e AS ($eRel),
        c AS (
-         SELECT vec_id AS j, e AS ce FROM e
+         SELECT vec_id AS j, e AS ce FROM ($cbSourceRel) cb0
          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
        sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
        codes AS (

@@ -491,16 +491,57 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Split a dotted column path into (parent struct path, leaf name). */
+  private def splitColPath(name: String): (Seq[String], String) = {
+    val parts = name.split('.').toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty), s"bad column path '$name'")
+    (parts.init, parts.last)
+  }
+
+  /** Rewrite the struct at dotted `parentPath` (empty = the root struct)
+    * with `f`, leaving every other field untouched. Evolution descends
+    * STRUCT chains only — list elements / map values have no stable
+    * user-facing field *names* to evolve through (Iceberg addresses them as
+    * `element`/`value`), so a non-struct segment is refused loudly rather
+    * than guessed at. */
+  private def rewriteStructAt(root: StructT, parentPath: Seq[String],
+                              what: String)(f: StructT => StructT): StructT = {
+    def rec(s: StructT, path: Seq[String]): StructT = path match {
+      case Seq() => f(s)
+      case seg +: rest =>
+        val fld = s.fields.find(_.name == seg).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: no field '$seg' on the path"))
+        fld.fieldType match {
+          case st: StructT =>
+            StructT(s.fields.map(x =>
+              if (x.id == fld.id) x.copy(fieldType = rec(st, rest)) else x))
+          case other => throw new UnsupportedOperationException(
+            s"$what: '$seg' is ${other.repr}, not a struct — evolution " +
+              "through list/map types is not supported")
+        }
+    }
+    rec(root, parentPath)
+  }
+
   /** Schema evolution: add an optional column (new field id above all
-    * existing ids). Existing files stay valid — readers see null for the new
-    * column; the scan resolves each snapshot's schema by id. */
+    * existing ids). `name` may be a nested path (`a.b.c` adds field `c` to
+    * the struct at `a.b`). Existing files stay valid — readers see null for
+    * the new column; the scan resolves each snapshot's schema by id. */
   def addColumn(table: IcebergTable, name: String,
                 colType: graft.core.IcebergType, doc: Option[String] = None): IcebergTable = {
     val md = table.metadata
     require(md.currentSchema.findFieldByName(name).isEmpty, s"column '$name' exists")
+    val (parent, leaf) = splitColPath(name)
+    // ids for the new subtree must come from last-column-id, which tracks
+    // the max ever assigned (an id from a DROPPED column must never be
+    // reused — old data files still carry it)
     val newId = md.lastColumnId + 1
-    val newSchema = Schema(md.currentSchemaId + 1,
-      StructT(md.currentSchema.fields :+ NestedField(newId, name, colType, required = false, doc)),
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "ADD COLUMN") { s =>
+      require(!s.fields.exists(_.name == leaf), s"column '$name' exists")
+      StructT(s.fields :+ NestedField(newId, leaf, colType, required = false, doc))
+    }
+    val newSchema = Schema(md.currentSchemaId + 1, newStruct,
       md.currentSchema.identifierFieldIds)
     val version = table.loadedVersion + 1
     writeMetadata(table.location, md.copy(
@@ -567,12 +608,17 @@ object TableWriter {
     * name via that snapshot's schema version. */
   def renameColumn(table: IcebergTable, from: String, to: String): IcebergTable = {
     val md = table.metadata
+    require(!to.contains('.'), s"new name must be a bare name, got '$to'")
     val f = md.currentSchema.findFieldByName(from).getOrElse(
       throw new IllegalArgumentException(s"column '$from' not found"))
-    require(md.currentSchema.findFieldByName(to).isEmpty, s"column '$to' exists")
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
-      StructT(md.currentSchema.fields.map(x =>
-        if (x.id == f.id) x.copy(name = to) else x)),
+    val (parent, leaf) = splitColPath(from)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "RENAME COLUMN") { s =>
+      // collision only matters among SIBLINGS — `a.b.x` and `x` coexist
+      require(!s.fields.exists(_.name == to), s"column '$to' exists")
+      s.copy(fields = s.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) x.copy(name = to) else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
       md.currentSchema.identifierFieldIds)
     writeMetadata(table.location, md.copy(
       schemas = md.schemas :+ newSchema,
@@ -589,13 +635,21 @@ object TableWriter {
     val md = table.metadata
     val f = md.currentSchema.findFieldByName(name).getOrElse(
       throw new IllegalArgumentException(s"column '$name' not found"))
-    require(!table.spec.fields.exists(_.sourceId == f.id),
+    // dropping a struct drops its whole subtree: every id under it must be
+    // safe, not just the root's
+    val subtree = graft.core.SchemaIndex.subtreeIds(f)
+    require(!table.spec.fields.exists(pf => subtree.contains(pf.sourceId)),
       s"column '$name' is a partition source; drop the partition field first")
-    require(!md.currentSchema.identifierFieldIds.contains(f.id),
-      s"column '$name' is an identifier field")
-    require(md.currentSchema.fields.size > 1, "cannot drop the last column")
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
-      StructT(md.currentSchema.fields.filterNot(_.id == f.id)),
+    require(!md.currentSchema.identifierFieldIds.exists(subtree.contains),
+      s"column '$name' is (or contains) an identifier field")
+    val (parent, leaf) = splitColPath(name)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "DROP COLUMN") { s =>
+      require(s.fields.size > 1,
+        if (parent.isEmpty) "cannot drop the last column"
+        else s"cannot drop the last field of struct '${parent.mkString(".")}'")
+      s.copy(fields = s.fields.filterNot(x => x.id == f.id && x.name == leaf))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
       md.currentSchema.identifierFieldIds)
     writeMetadata(table.location, md.copy(
       schemas = md.schemas :+ newSchema,

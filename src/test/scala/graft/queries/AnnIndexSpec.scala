@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.spark.{IcebergTables, SparkTestSession, TableWriter}
+
+/** Incremental PQ-ANN index maintenance: after ANY commit sequence —
+  * appends, copy-on-write updates, MoR deletes — the incrementally-
+  * maintained codes table must equal a from-scratch encode of the table's
+  * final state against the SAME bootstrap codebook (the codebook is frozen
+  * at build time; re-training it is an explicit full re-index). */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val P = AnnIndex.Params()
+
+  /** Deterministic 64-dim float vectors; `scale` perturbs so updates
+    * genuinely move a vector to a different codeword neighborhood. */
+  private def vec(id: Long, scale: Float = 1f): Array[Float] =
+    Array.tabulate(64)(i => scale * (((id * 31 + i * 7) % 13).toFloat - 6f))
+
+  private def embDF(ids: Seq[Long], scale: Float = 1f) = {
+    val s = spark
+    import s.implicits._
+    ids.map(id => (id, vec(id, scale))).toDF("vec_id", "embedding")
+  }
+
+  private def codesOf(t: graft.spark.IcebergTable): Set[(Long, Int, Long)] =
+    t.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** From-scratch: encode the corpus' final state against `codebook`. */
+  private def freshEncode(corpus: graft.spark.IcebergTable,
+                          codebook: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    Similarity.pqEncode(Similarity.pqEmb(corpus.newScan().toDF(spark)),
+        codebook, P.nSub)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("batch changelog sync equals from-scratch encode against the frozen codebook") {
+    val loc = Files.createTempDirectory("ann_corpus").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val cbLoc = Files.createTempDirectory("ann_cb").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_codes").toFile.getPath
+    val (cbT, codes0) = AnnIndex.build(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), cbLoc, cdLoc, P)
+    val cb = cbT.newScan().toDF(spark)
+    val t2 = TableWriter.append(t1, embDF(20L until 30L))
+    val t3 = TableWriter.updateWhere(t2, spark, col("vec_id") === 5L,
+      Map("embedding" -> transform(col("embedding"), x => negate(x))))
+    val t4 = TableWriter.deleteWhere(t3, spark, col("vec_id") === 7L)
+    val synced = AnnIndex.syncFromChangelog(spark, t4, codes0, cb, Some(c1), P)
+    assert(codesOf(synced) == freshEncode(t4, cb))
+    // the deleted vector is fully retracted; the updated one re-encoded
+    assert(!codesOf(synced).exists(_._1 == 7L))
+    assert(codesOf(synced).count(_._1 == 5L) == P.nSub)
+  }
+
+  test("re-delivered window is content-idempotent") {
+    val loc = Files.createTempDirectory("ann_corpus2").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val cbLoc = Files.createTempDirectory("ann_cb2").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_codes2").toFile.getPath
+    val (cbT, codes0) = AnnIndex.build(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), cbLoc, cdLoc, P)
+    val cb = cbT.newScan().toDF(spark)
+    val t2 = TableWriter.append(t1, embDF(20L until 25L))
+    val once = AnnIndex.syncFromChangelog(spark, t2, codes0, cb, Some(c1), P)
+    val state1 = codesOf(once)
+    // same window applied again (a crashed micro-batch re-delivers)
+    val twice = AnnIndex.syncFromChangelog(spark, t2, once, cb, Some(c1), P)
+    assert(codesOf(twice) == state1)
+  }
+
+  test("streaming read-changes maintenance equals from-scratch encode") {
+    val loc = Files.createTempDirectory("ann_corpus3").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val cbLoc = Files.createTempDirectory("ann_cb3").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_codes3").toFile.getPath
+    // bootstrap codebook from commit-1 state; codes start EMPTY and the
+    // stream (from earliest) replays commit 1 into them
+    val cb = Similarity.pqCodebook(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), P.nSub, P.kSub)
+    TableWriter.create(cb, cbLoc)
+    TableWriter.create(
+      Similarity.pqEncode(Similarity.pqEmb(embDF(Nil)), cb, P.nSub), cdLoc)
+    val ck = Files.createTempDirectory("ann_ck3").toFile.getPath
+    val q = AnnIndex.maintain(spark, loc, cbLoc, cdLoc, ck, P)
+    try {
+      q.processAllAvailable()
+      val t2 = TableWriter.append(t1, embDF(20L until 25L))
+      q.processAllAvailable()
+      val t3 = TableWriter.deleteWhere(t2, spark, col("vec_id") === 3L)
+      q.processAllAvailable()
+      assert(codesOf(IcebergTables.load(cdLoc)) ==
+        freshEncode(t3, IcebergTables.load(cbLoc).newScan().toDF(spark)))
+    } finally q.stop()
+  }
+}
