@@ -232,32 +232,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     PartitionSpec(0, fields.toIndexedSeq)
   }
 
-  /** ALTER TABLE: ADD/RENAME/DROP COLUMN (top-level; added columns are
-    * optional — the only safe Iceberg evolution without default values) and
-    * SET/UNSET TBLPROPERTIES, delegating to the library write path.
-    * RENAME/DROP are metadata-only: field-id resolution keeps existing data
-    * files readable and old snapshots projecting their own schema. */
+  /** ALTER TABLE: ADD/RENAME/DROP COLUMN — top-level or NESTED struct
+    * paths (`a.b.c`; added columns are optional — the only safe Iceberg
+    * evolution without default values) — and SET/UNSET TBLPROPERTIES,
+    * delegating to the library write path. RENAME/DROP are metadata-only:
+    * field-id resolution keeps existing data files readable and old
+    * snapshots projecting their own schema; nested fields carry ids the
+    * same as top-level ones, so the same machinery covers both. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     var t = loadIce(ident)
     val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
     val unsetProps = scala.collection.mutable.ArrayBuffer[String]()
-    def topLevel(fieldNames: Array[String], what: String): String = {
-      if (fieldNames.length != 1)
-        throw new UnsupportedOperationException(s"$what supports top-level columns only")
-      fieldNames(0)
-    }
+    def dotted(fieldNames: Array[String]): String = fieldNames.mkString(".")
     changes.foreach {
       case a: TableChange.AddColumn =>
-        t = TableWriter.addColumn(t, topLevel(a.fieldNames(), "ADD COLUMN"),
+        t = TableWriter.addColumn(t, dotted(a.fieldNames()),
           primitiveIceType(a.dataType()), Option(a.comment()))
       case r: TableChange.RenameColumn =>
-        t = TableWriter.renameColumn(t,
-          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        t = TableWriter.renameColumn(t, dotted(r.fieldNames()), r.newName())
       case d: TableChange.DeleteColumn =>
-        t = TableWriter.dropColumn(t, topLevel(d.fieldNames(), "DROP COLUMN"))
+        t = TableWriter.dropColumn(t, dotted(d.fieldNames()))
       case u: TableChange.UpdateColumnType =>
-        t = TableWriter.updateColumnType(t,
-          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"),
+        t = TableWriter.updateColumnType(t, dotted(u.fieldNames()),
           primitiveIceType(u.newDataType()))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case r: TableChange.RemoveProperty => unsetProps += r.property()

@@ -64,29 +64,31 @@ case class GraftCdcCarryoverCancel(session: SparkSession) extends Rule[LogicalPl
       opts.put(Marker, "true")
       val marked = rel.copy(extraOptions =
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
-      val wrapped = graft.streaming.EventStreams.cancelCarryovers(
-        org.apache.spark.sql.graft.ColumnShim.ofRows(session, marked))
-      val analyzed = wrapped.queryExecution.analyzed
+      // Build the wrapper as LOGICAL NODES (catalyst constructors, no
+      // Dataset round-trip): the deserializers inside are Unresolved and
+      // THIS analyzer resolves them on its next fixed-point iteration —
+      // no nested `queryExecution.analyzed` call from inside the rule.
+      val wrapped = graft.streaming.EventStreams.cancelCarryoversPlan(marked)
       // The wrapper round-trips through an object encoder
       // (flatMapGroupsWithState → SerializeFromObject), which must not
       // change the relation's schema. Fail loudly on any type drift, and
       // re-assert nullability the encoder widened (the cancel operator
       // re-emits source rows verbatim, so a source-non-null column is
       // still non-null) instead of silently loosening the stream schema.
-      require(rel.output.length == analyzed.output.length &&
-        rel.output.zip(analyzed.output).forall { case (o, n) =>
+      require(rel.output.length == wrapped.output.length &&
+        rel.output.zip(wrapped.output).forall { case (o, n) =>
           // type equality modulo nullability (sql form carries no nullity)
           o.dataType.sql == n.dataType.sql },
         "carryover-cancel wrapper changed the read-changes schema: " +
           s"${rel.output.map(a => s"${a.name}:${a.dataType.simpleString}")} " +
-          s"vs ${analyzed.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
-      Project(rel.output.zip(analyzed.output).map { case (o, n) =>
+          s"vs ${wrapped.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+      Project(rel.output.zip(wrapped.output).map { case (o, n) =>
         val e: Expression =
           if (!o.nullable && n.nullable)
             org.apache.spark.sql.catalyst.expressions.KnownNotNull(n)
           else n
         Alias(e, o.name)(exprId = o.exprId)
-      }, analyzed)
+      }, wrapped)
   }
 }
 

@@ -190,17 +190,26 @@ object GraftCowWriterFactory {
 
   /** Stamp Iceberg field ids onto the write schema as parquet field-id
     * metadata, so written files carry ids and renamed columns keep
-    * resolving (readers match by id when the file has ids). Top-level
-    * fields only, matching the ALTER TABLE surface. */
-  def withParquetIds(writeSchema: StructType, schema: graft.core.Schema): StructType =
-    StructType(writeSchema.fields.map { f =>
-      schema.findFieldByName(f.name) match {
-        case Some(nf) =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong(ParquetFieldIdKey, nf.id.toLong).build())
-        case None => f
-      }
-    })
+    * resolving (readers match by id when the file has ids). Recurses into
+    * nested structs, matching the nested ALTER TABLE surface — a renamed
+    * `a.b.c` resolves by id in any file written through this stamp. */
+  def withParquetIds(writeSchema: StructType, schema: graft.core.Schema): StructType = {
+    def stamp(st: StructType, ice: graft.core.StructT): StructType =
+      StructType(st.fields.map { f =>
+        ice.fields.find(_.name == f.name) match {
+          case Some(nf) =>
+            val dt = (f.dataType, nf.fieldType) match {
+              case (s: StructType, is: graft.core.StructT) => stamp(s, is)
+              case (other, _) => other
+            }
+            f.copy(dataType = dt,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putLong(ParquetFieldIdKey, nf.id.toLong).build())
+          case None => f
+        }
+      })
+    stamp(writeSchema, schema.struct)
+  }
 
   /** Driver-side capture of the session's parquet writer settings
     * (`parquet.*` Hadoop conf — block/page size etc. — plus the session

@@ -53,15 +53,22 @@ object SchemaConv {
 
   /** Re-key the Iceberg field-id metadata under Spark's `parquet.field.id`
     * key, so parquet readers clip file schemas BY ID — files written before
-    * a column rename still resolve to the right column. */
+    * a column rename still resolve to the right column. Recurses into
+    * nested structs (Spark's reader id-matches at every nesting level), so
+    * NESTED renames resolve old files by id too. */
   def parquetIdAnnotated(s: StructType): StructType =
     StructType(s.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => parquetIdAnnotated(st)
+        case other => other
+      }
       if (f.metadata.contains(FieldIdKey))
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong(GraftCowWriterFactory.ParquetFieldIdKey,
-            f.metadata.getLong(FieldIdKey))
-          .build())
-      else f
+        f.copy(dataType = dt,
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(GraftCowWriterFactory.ParquetFieldIdKey,
+              f.metadata.getLong(FieldIdKey))
+            .build())
+      else f.copy(dataType = dt)
     })
 
   /** Metadata key carrying every historical name a field id has had

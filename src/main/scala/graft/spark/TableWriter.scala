@@ -678,9 +678,13 @@ object TableWriter {
     require(ok, s"cannot promote ${f.fieldType.repr} to ${to.repr} " +
       "(allowed: int->long, float->double, decimal precision growth)")
     if (f.fieldType == to) return table
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1,
-      StructT(md.currentSchema.fields.map(x =>
-        if (x.id == f.id) x.copy(fieldType = to) else x)),
+    val (parent, leaf) = splitColPath(name)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
+        "ALTER COLUMN TYPE") { s =>
+      s.copy(fields = s.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) x.copy(fieldType = to) else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
       md.currentSchema.identifierFieldIds)
     writeMetadata(table.location, md.copy(
       schemas = md.schemas :+ newSchema,

@@ -21,12 +21,56 @@ import graft.core.Murmur3
   * the write path's [[IcebergBucketExpr]] / core transforms. */
 object GraftFunctions {
 
-  val Names: Seq[String] = Seq("bucket", "years", "months", "days", "hours")
+  val Names: Seq[String] =
+    Seq("bucket", "years", "months", "days", "hours", "graft_bpe_count")
 
   def load(name: String): UnboundFunction = name match {
     case "bucket" => BucketFunction
     case "years" | "months" | "days" | "hours" => new TimeFunction(name)
+    case "graft_bpe_count" => BpeCountFunction
     case other => throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  /** Session conf holding the path of a GPT-2-style `merges.txt`; the
+    * function binds the PARSED table (loaded once per path) so executors
+    * get it with the serialized function, no per-row I/O. */
+  val BpeMergesPathConf = "spark.graft.bpe.merges-path"
+
+  private val mergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bpe.Merges]()
+
+  /** `graft_bpe_count(text)`: BPE token count of a string under the
+    * pretrained merge table named by [[BpeMergesPathConf]] — the
+    * SQL-callable face of [[Bpe.countText]] (t06/t19's library seam).
+    * With the conf unset the count degenerates to summed per-word
+    * character counts (an empty merge table), matching the documented
+    * [[Bpe]] semantics — set the conf for real token budgets. */
+  object BpeCountFunction extends UnboundFunction {
+    override def name(): String = "graft_bpe_count"
+    override def description(): String =
+      s"graft_bpe_count(text): BPE token count under the merges file at '$BpeMergesPathConf'"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 1 && inputType(0).dataType == StringType,
+        "graft_bpe_count takes one STRING argument")
+      // bind runs driver-side during analysis: resolve the session's merges
+      // path HERE so the bound function carries the parsed table
+      val merges = org.apache.spark.sql.SparkSession.active.conf
+        .getOption(BpeMergesPathConf) match {
+          case Some(path) if path.nonEmpty =>
+            mergesCache.computeIfAbsent(path, p => Bpe.loadMerges(p))
+          case _ => Bpe.Merges(Map.empty)
+        }
+      new ScalarFunction[java.lang.Long] {
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = LongType
+        override def name(): String = "graft_bpe_count"
+        override def canonicalName(): String =
+          s"graft.graft_bpe_count(merges=${merges.ranks.size})"
+        override def produceResult(input: InternalRow): java.lang.Long =
+          if (input.isNullAt(0)) 0L
+          else Bpe.countText(input.getUTF8String(0).toString, merges)
+      }
+    }
   }
 
   object BucketFunction extends UnboundFunction {

@@ -270,22 +270,46 @@ object EventStreams {
     * `cancel`-mode checkpoint in `emit` mode (or vice versa, or without
     * the extensions) fails Spark's state-operator validation. To switch
     * modes, start a new checkpoint from a pinned `stream-start`. */
-  def cancelCarryovers(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val schema = df.schema
+  def cancelCarryovers(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnShim.ofRows(df.sparkSession,
+      cancelCarryoversPlan(df.queryExecution.analyzed))
+
+  /** The logical-plan form of [[cancelCarryovers]]: builds the
+    * `AppendColumns` (grouping key) + `FlatMapGroupsWithState` (cancel)
+    * nodes DIRECTLY via their catalyst constructors, leaving
+    * `UnresolvedDeserializer`s for whatever analyzer run owns the plan.
+    * This is what lets [[graft.spark.GraftCdcCarryoverCancel]] wrap a
+    * relation from INSIDE an analyzer rule without re-entering the
+    * analyzer (`Dataset.ofRows(...).queryExecution.analyzed` mid-rule —
+    * the fragile form this replaces); the rule's host analyzer resolves
+    * the deserializers on its next fixed-point iteration. */
+  def cancelCarryoversPlan(child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.plans.logical.{AppendColumns, FlatMapGroupsWithState, LogicalGroupState}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(child.output.map(a =>
+      StructField(a.name, a.dataType, a.nullable, a.metadata)))
     val typeIdx = schema.fieldIndex(graft.spark.GraftReaders.ChangeTypeCol)
     // commit columns STAY in the key: cancellation is per-commit
     val contentIdx = schema.fields.indices.filterNot(_ == typeIdx).toArray
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
-    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
-      Encoders.scalaBoolean
-    df.groupByKey(CarryoverCanon.keyOf(_, contentIdx))(Encoders.STRING)
-      .flatMapGroupsWithState[Boolean, Row](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row], _: GroupState[Boolean]) =>
-          // state never set -> none stored
-          CarryoverCanon.cancelGroup(rows, contentIdx, typeIdx)
-      }
+    implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val appended = AppendColumns[Row, String](
+      CarryoverCanon.keyOf(_, contentIdx), child)
+    // state never set -> none stored
+    val cancel: (Any, Iterator[Any], LogicalGroupState[Any]) => Iterator[Any] =
+      (_, rows, _) => CarryoverCanon.cancelGroup(
+        rows.asInstanceOf[Iterator[Row]], contentIdx, typeIdx)
+        .asInstanceOf[Iterator[Any]]
+    FlatMapGroupsWithState[String, Row, Boolean, Row](
+      cancel,
+      appended.newColumns,
+      child.output,
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      isMapGroupsWithState = false,
+      GroupStateTimeout.NoTimeout,
+      appended)
   }
 }

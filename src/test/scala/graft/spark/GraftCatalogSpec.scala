@@ -193,6 +193,88 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("NESTED schema evolution: ADD/RENAME/DROP on a.b.c struct paths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db19")
+    spark.sql("CREATE TABLE graft.db19.n (id BIGINT, " +
+      "info STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE, lon: DOUBLE>>)")
+    spark.sql("INSERT INTO graft.db19.n VALUES " +
+      "(1, named_struct('name', 'a', 'geo', named_struct('lat', 1.0, 'lon', 2.0)))")
+
+    // add a field to a doubly-nested struct: fresh id, old file reads null
+    spark.sql("ALTER TABLE graft.db19.n ADD COLUMN info.geo.alt DOUBLE")
+    val t1 = IcebergTables.load(s"$warehouse/db19/n")
+    val altField = t1.schema.findFieldByName("info.geo.alt")
+    assert(altField.isDefined && altField.get.id > 5,
+      s"nested add must allocate a fresh id above existing ones: $altField")
+    val r1 = spark.sql("SELECT id, info.geo.alt FROM graft.db19.n").collect()
+    assert(r1.length == 1 && r1.head.isNullAt(1))
+
+    // write a row carrying the new nested field
+    spark.sql("INSERT INTO graft.db19.n VALUES (2, named_struct('name', 'b', " +
+      "'geo', named_struct('lat', 3.0, 'lon', 4.0, 'alt', 5.0)))")
+
+    // rename the nested field: files written under the OLD name (and the
+    // new one) must both resolve by field id
+    spark.sql("ALTER TABLE graft.db19.n RENAME COLUMN info.geo.lat TO latitude")
+    val rows = spark.sql(
+      "SELECT id, info.geo.latitude, info.geo.alt FROM graft.db19.n ORDER BY id")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1),
+      Option(r.get(2)))).toSeq ==
+      Seq((1L, 1.0, None), (2L, 3.0, Some(5.0))),
+      rows.mkString(","))
+    // filters on the renamed nested field reach old files
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db19.n WHERE info.geo.latitude < 2.0")
+      .collect()(0).getLong(0) == 1)
+
+    // drop a nested member: disappears from the schema, siblings survive
+    spark.sql("ALTER TABLE graft.db19.n DROP COLUMN info.geo.lon")
+    val t2 = IcebergTables.load(s"$warehouse/db19/n")
+    assert(t2.schema.findFieldByName("info.geo.lon").isEmpty)
+    assert(t2.schema.findFieldByName("info.geo.latitude").isDefined)
+    val afterDrop = spark.sql("SELECT id, info.geo.* FROM graft.db19.n ORDER BY id")
+    assert(afterDrop.columns.toSeq == Seq("id", "latitude", "alt"))
+    assert(afterDrop.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 3.0)))
+
+    // sibling-name collision is rejected; unrelated-scope same name is fine
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db19.n RENAME COLUMN info.geo.alt TO latitude")
+    }
+    spark.sql("ALTER TABLE graft.db19.n RENAME COLUMN info.geo.alt TO id")
+    assert(IcebergTables.load(s"$warehouse/db19/n")
+      .schema.findFieldByName("info.geo.id").isDefined)
+  }
+
+  test("SQL graft_bpe_count counts tokens under the configured merges file") {
+    import graft.spark.functions.{Bpe, GraftFunctions}
+    // a tiny pretrained-format merges file: 'a b' then 'ab c'
+    val mergesFile = Files.createTempFile("merges", ".txt")
+    Files.writeString(mergesFile, "#version: 0.2\na b\nab c\n")
+    spark.conf.set(GraftFunctions.BpeMergesPathConf, mergesFile.toString)
+    try {
+      // 'abc' -> [abc] (1 token), 'abd' -> [ab, d] (2), 'xyz' -> 3 chars
+      val n = spark.sql(
+        "SELECT graft.system.graft_bpe_count('abc abd xyz')").collect()(0).getLong(0)
+      assert(n == 6L, s"expected 1+2+3 tokens, got $n")
+      // agrees with the library encoder on arbitrary text
+      val merges = Bpe.loadMerges(mergesFile.toString)
+      val text = "aab abc cab"
+      val viaSql = spark.sql(s"SELECT graft.system.graft_bpe_count('$text')")
+        .collect()(0).getLong(0)
+      assert(viaSql == Bpe.countText(text, merges))
+      // over a table column, not just literals
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db27")
+      spark.sql("CREATE TABLE graft.db27.bpe (id BIGINT, txt STRING)")
+      spark.sql("INSERT INTO graft.db27.bpe VALUES (1, 'abc'), (2, 'abc abd')")
+      val rows = spark.sql(
+        "SELECT id, graft.system.graft_bpe_count(txt) AS n FROM graft.db27.bpe ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 1L), (2L, 3L)))
+    } finally spark.conf.unset(GraftFunctions.BpeMergesPathConf)
+  }
+
   test("ALTER NAMESPACE SET/UNSET PROPERTIES round trips via disk") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
     spark.sql("ALTER NAMESPACE graft.db12 SET PROPERTIES ('retention'='30d', 'team'='data')")
