@@ -117,6 +117,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d02: degenerate-bucket cap is aggregate + broadcast anti-join, no window") {
+    val p = plan(Dedup.d02SimhashPairs(spark, sf))
+    // the cap must appear as a BROADCAST anti-join on the key-only bucket
+    // exclusion list (the MinHash recipe) — never a window sort over the
+    // banded rows, and the banded self-join itself must not sort-merge
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"missing broadcast anti-join bucket cap:\n$p")
+    assert(!p.contains("Window"), s"bucket cap must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("top-k queries use TakeOrderedAndProject, not global sort") {
     val p = plan(Relational.q03TopOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"limit+order not fused:\n$p")
