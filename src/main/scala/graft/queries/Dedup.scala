@@ -457,6 +457,63 @@ object Dedup {
               id = cluster_id AS is_canonical
        FROM lab ORDER BY cluster_id, doc_id"""
 
+  /** Keep-one-per-cluster RESOLUTION POLICY — the step after [[d06DedupClusters]]
+    * that actually shrinks a corpus: within each near-dup cluster keep the
+    * highest-quality member (here: most tokens, ties to the lowest doc_id —
+    * the keep-longest policy production dedup recipes default to; any
+    * scoring column drops into the same `max_by`) and count what was
+    * dropped. Emits one decision row per cluster.
+    *
+    * Scale shape: rides d06's bounded cluster machinery; the quality join
+    * moves only (doc_id, n_tokens) pairs and the per-cluster argmax is a
+    * map-side-combined `max_by` aggregation — no window over the corpus,
+    * no text in any shuffle. */
+  def d09KeepBest(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    val clusters = d06DedupClusters(s, d, maxHamming)
+      .select("doc_id", "cluster_id")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clusters.join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        // argmax by (n_tokens, -doc_id): most tokens, then lowest id
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), negate(col("doc_id")))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("kept_doc_id"),
+        col("best.n_tokens").as("kept_tokens"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB mirror of [[d09KeepBest]]: d06's cluster CTE chain + a
+    * per-cluster top-1 window (same keep-longest/lowest-id order). */
+  val d09Sql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs WHERE bit_count(xor(fa, fb)) <= 6
+         UNION ALL
+         SELECT id_b, id_a FROM pairs WHERE bit_count(xor(fa, fb)) <= 6),
+       reach(id, r) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       lab AS (
+         SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+       tk AS (
+         SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens FROM documents),
+       j AS (
+         SELECT lab.cluster_id, lab.id AS doc_id, tk.n_tokens
+         FROM lab JOIN tk ON tk.doc_id = lab.id)
+       SELECT cluster_id, doc_id AS kept_doc_id, n_tokens AS kept_tokens,
+              cnt - 1 AS n_dropped
+       FROM (SELECT j.*,
+                    COUNT(*) OVER (PARTITION BY cluster_id) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                      ORDER BY n_tokens DESC, doc_id) AS rk
+             FROM j) t
+       WHERE rk = 1 ORDER BY cluster_id"""
+
   /** Exact word-bigram Jaccard over a bounded id range — the ground-truth
     * pairwise measure (kept bounded: this is the verify step, not the sweep). */
   def d03NgramJaccard(s: SparkSession, d: String, maxId: Int = 25): DataFrame = {

@@ -490,6 +490,186 @@ object Similarity {
          JOIN en n ON n.vec_id = sh.nid) t
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  private val ivfPqAssignedSlot = new CacheSlot
+  private val ivfPqCodesSlot = new CacheSlot
+
+  /** IVF-PQ: the composed 100 TB ANN path [[annPq]]'s doc promises — the
+    * coarse IVF quantizer bounds WHICH codes each query scans (nProbe
+    * cells instead of the full corpus), and product quantization on the
+    * CELL RESIDUALS (vector − its centroid; residuals are what FAISS's
+    * IVF-PQ encodes, since they're smaller and near-isotropic) bounds how
+    * much each candidate costs (nSub ints). Per query the ADC table is
+    * built per PROBED CELL from the query's residual w.r.t. that cell's
+    * centroid, so distances compare residual-to-residual within a cell.
+    *
+    * Scale shape: centroids and the residual codebook are metadata-sized
+    * broadcasts; encode is one corpus pass (map-side-combined argmin);
+    * the ADC scan joins codes⋈(query ADC tables) on (cell, subspace,
+    * codeword) — candidates outside probed cells never match, so the
+    * probe bound composes multiplicatively with the 32× code compression;
+    * only the bounded shortlist touches raw vectors.
+    *
+    * Residual codebook sampling is SALTED (`md5('r' || id)`): the plain
+    * md5 order would pick exactly the centroid rows, whose residuals are
+    * all-zero — a degenerate codebook. Deterministic and oracle-mirrored
+    * like every sample here. */
+  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+               kSub: Int = 16, shortlist: Int = 50): DataFrame = {
+    val subDim = 64 / nSub
+    val emb = pqEmb(Tables.embeddings(s, d))
+    val en = emb.select(col("vec_id"), col("e"),
+      sqrt(dot(col("e"), col("e"))).as("norm"))
+    val cents = en.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("norm").as("cn"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h").limit(nCells).select("cid", "ce", "cn")
+    val cb = broadcast(cents)
+
+    def slices(df: DataFrame, vecCol: String, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+
+          explode(array((0 until nSub).map(m => struct(lit(m).as("m"),
+            slice(col(vecCol), m * subDim + 1, subDim).as("sv"))): _*)).as("s"): _*)
+        .select(keep.map(col) :+ col("s.m").as("m") :+ col("s.sv").as("sv"): _*)
+
+    // assign each vector to its nearest cell (ann03's exact discipline:
+    // full-precision cosine, min-cid tie); carry the RESIDUAL out
+    val assigned = ivfPqAssignedSlot(en.join(cb)
+      .select(col("vec_id"), col("e"), col("cid"), col("ce"),
+        (dot(col("e"), col("ce")) / (col("norm") * col("cn"))).as("sim"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("e"), col("ce")),
+        struct(negate(col("sim")), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        zip_with(col("best.e"), col("best.ce"), (x, y) => x - y).as("r")))
+
+    // residual codebook: kSub SALTED-sampled residuals, per-subspace slices
+    val rcodebook = slices(
+      assigned.select(col("vec_id"), col("r"),
+          md5(concat(lit("r"), col("vec_id").cast("string"))).as("h"))
+        .orderBy("h").limit(kSub)
+        .select(col("vec_id").as("j"), col("r")), "r", Seq("j"))
+      .select(col("j"), col("m"), col("sv").as("cw"))
+
+    // encode residuals; codes CARRY the cell id so the ADC join composes
+    // cell filtering with codeword lookup in one equi-join
+    val codes = ivfPqCodesSlot(
+      slices(assigned, "r", Seq("vec_id", "cid")).join(broadcast(rcodebook), "m")
+        .select(col("vec_id"), col("cid"), col("m"), col("j"),
+          pqL2r("sv", "cw").as("dist_r"))
+        .groupBy("vec_id", "cid", "m")
+        .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j")))
+
+    // queries probe their nProbe nearest cells; ADC tables are built from
+    // the query's PER-CELL residual (qid × nProbe × nSub × kSub rows —
+    // metadata-sized, broadcast)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val probes = en.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
+      .join(cb)
+      .select(col("qid"), col("qe"), col("cid"), col("ce"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("qr"))
+    val qd = slices(probes, "qr", Seq("qid", "cid"))
+      .join(broadcast(rcodebook), "m")
+      .select(col("qid"), col("cid"), col("m"), col("j"),
+        pqL2Micro("sv", "cw").as("dm"))
+
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+    val short = codes.join(broadcast(qd), Seq("cid", "m", "j"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("dm")).as("approx"))
+      .withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= shortlist)
+      .select("qid", "nid")
+
+    // exact cosine re-rank of the bounded shortlist
+    val q = en.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qnorm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    en.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB mirror of [[annIvfPq]]: same md5 centroid sample, salted
+    * residual-codebook sample, rounded residual L2s for code assignment,
+    * integer-micro-unit ADC sums, and tie-breaks — byte-exact. */
+  val annIvfPqSql: String =
+    """WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       en AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM e),
+       c AS (
+         SELECT vec_id AS cid, e AS ce, norm AS cn FROM en
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       assigned AS (
+         SELECT vec_id, cid,
+                [e[i] - ce[i] for i in range(1, len(e)+1)] AS r
+         FROM (
+           SELECT en.vec_id, en.e, c.cid, c.ce,
+                  ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+                    (list_sum([en.e[i] * c.ce[i] for i in range(1, len(en.e)+1)])
+                       / (en.norm * c.cn)) DESC, c.cid) AS rk
+           FROM en, c) t
+         WHERE rk = 1),
+       rcb AS (
+         SELECT vec_id AS j, r AS cw FROM assigned
+         ORDER BY md5('r' || CAST(vec_id AS VARCHAR)) LIMIT 16),
+       sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
+       codes AS (
+         SELECT vec_id, cid, m, j FROM (
+           SELECT a.vec_id, a.cid, s.m, rcb.j,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id, s.m ORDER BY
+                    ROUND(list_sum([ (a.r[s.m*8+i] - rcb.cw[s.m*8+i]) * (a.r[s.m*8+i] - rcb.cw[s.m*8+i])
+                      for i in range(1, 9) ]), 6), rcb.j) AS rk
+           FROM assigned a, sub s, rcb) t
+         WHERE rk = 1),
+       probes AS (
+         SELECT qid, cid, qr FROM (
+           SELECT en.vec_id AS qid, c.cid,
+                  [en.e[i] - c.ce[i] for i in range(1, len(en.e)+1)] AS qr,
+                  ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+                    (list_sum([en.e[i] * c.ce[i] for i in range(1, len(en.e)+1)])
+                       / (en.norm * c.cn)) DESC, c.cid) AS rk
+           FROM en, c WHERE en.vec_id < 10) t
+         WHERE rk <= 4),
+       qd AS (
+         SELECT p.qid, p.cid, s.m, rcb.j,
+                CAST(ROUND(list_sum([ (p.qr[s.m*8+i] - rcb.cw[s.m*8+i]) * (p.qr[s.m*8+i] - rcb.cw[s.m*8+i])
+                  for i in range(1, 9) ]) * 1000000) AS BIGINT) AS dm
+         FROM probes p, sub s, rcb),
+       adc AS (
+         SELECT q.qid, cd.vec_id AS nid, SUM(q.dm) AS approx
+         FROM codes cd JOIN qd q ON cd.cid = q.cid AND cd.m = q.m AND cd.j = q.j
+         WHERE q.qid <> cd.vec_id
+         GROUP BY q.qid, cd.vec_id),
+       short AS (
+         SELECT qid, nid FROM (
+           SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, nid) AS rk
+           FROM adc) t
+         WHERE rk <= 50)
+       SELECT qid, nid, rank FROM (
+         SELECT sh.qid, sh.nid,
+                ROW_NUMBER() OVER (PARTITION BY sh.qid ORDER BY
+                  (list_sum([q.e[i] * n.e[i] for i in range(1, len(q.e)+1)])
+                     / (q.norm * n.norm)) DESC, sh.nid) AS rank
+         FROM short sh
+         JOIN en q ON q.vec_id = sh.qid
+         JOIN en n ON n.vec_id = sh.nid) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   /** K-means to CONVERGENCE as a library API — the generalization of the
     * deterministic 1-iteration battery entry [[ann04Kmeans]], same
     * broadcast-loop shape per iteration:

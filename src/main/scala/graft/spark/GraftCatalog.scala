@@ -265,6 +265,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(t)
   }
 
+  /** ADD COLUMN type conversion — nested types included (struct/array/
+    * map); field ids here are PLACEHOLDERS (0): `TableWriter.addColumn`
+    * reassigns every id in the subtree fresh above last-column-id. */
   private def primitiveIceType(dt: org.apache.spark.sql.types.DataType)
       : graft.core.IcebergType = {
     import org.apache.spark.sql.types._
@@ -281,6 +284,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case StringType => StringT
       case BinaryType => BinaryT
       case d: DecimalType => DecimalT(d.precision, d.scale)
+      case s: StructType => StructT(s.fields.toSeq.map(f =>
+        NestedField(0, f.name, primitiveIceType(f.dataType),
+          required = !f.nullable)))
+      case a: ArrayType =>
+        ListT(0, primitiveIceType(a.elementType),
+          elementRequired = !a.containsNull)
+      case m: MapType =>
+        MapT(0, primitiveIceType(m.keyType), 0,
+          primitiveIceType(m.valueType), valueRequired = !m.valueContainsNull)
       case other => throw new UnsupportedOperationException(
         s"ADD COLUMN of type $other is not supported")
     }

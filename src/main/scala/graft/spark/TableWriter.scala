@@ -526,8 +526,12 @@ object TableWriter {
 
   /** Schema evolution: add an optional column (new field id above all
     * existing ids). `name` may be a nested path (`a.b.c` adds field `c` to
-    * the struct at `a.b`). Existing files stay valid — readers see null for
-    * the new column; the scan resolves each snapshot's schema by id. */
+    * the struct at `a.b`), and `colType` may itself be NESTED (struct/
+    * list/map) — every id inside the new subtree is REASSIGNED fresh here
+    * (parent before children, Iceberg's assignment order), so callers
+    * build nested types with placeholder ids. Existing files stay valid —
+    * readers see null for the new column; the scan resolves each
+    * snapshot's schema by id. */
   def addColumn(table: IcebergTable, name: String,
                 colType: graft.core.IcebergType, doc: Option[String] = None): IcebergTable = {
     val md = table.metadata
@@ -536,16 +540,31 @@ object TableWriter {
     // ids for the new subtree must come from last-column-id, which tracks
     // the max ever assigned (an id from a DROPPED column must never be
     // reused — old data files still carry it)
-    val newId = md.lastColumnId + 1
+    var nextId = md.lastColumnId
+    def alloc(): Int = { nextId += 1; nextId }
+    def reassign(t: graft.core.IcebergType): graft.core.IcebergType = t match {
+      case s: StructT => StructT(s.fields.map { f =>
+        val id = alloc(); f.copy(id = id, fieldType = reassign(f.fieldType))
+      })
+      case l: graft.core.ListT =>
+        val id = alloc(); l.copy(elementId = id, element = reassign(l.element))
+      case m: graft.core.MapT =>
+        val kid = alloc(); val vid = alloc()
+        m.copy(keyId = kid, key = reassign(m.key),
+          valueId = vid, value = reassign(m.value))
+      case p => p
+    }
+    val newId = alloc()
+    val assigned = reassign(colType)
     val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "ADD COLUMN") { s =>
       require(!s.fields.exists(_.name == leaf), s"column '$name' exists")
-      StructT(s.fields :+ NestedField(newId, leaf, colType, required = false, doc))
+      StructT(s.fields :+ NestedField(newId, leaf, assigned, required = false, doc))
     }
     val newSchema = Schema(md.currentSchemaId + 1, newStruct,
       md.currentSchema.identifierFieldIds)
     val version = table.loadedVersion + 1
     writeMetadata(table.location, md.copy(
-      lastColumnId = newId,
+      lastColumnId = nextId,
       schemas = md.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
       lastUpdatedMs = System.currentTimeMillis()), version)

@@ -191,6 +191,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.size == 10 && perQuery.values.forall(_.length == 5))
   }
 
+  test("ivf-pq ann: probe-bounded residual codes still recall brute-force top-k") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // double approximation (cell probe bound AND code compression) on
+    // random vectors — the hardest case for both; generous probes
+    val ivfpq = Similarity.annIvfPq(spark, sf, nQueries = 10, k = 5,
+      nCells = 16, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivfpq.contains).toDouble / bf.size
+    assert(recall >= 0.3, s"IVF-PQ recall vs brute force = $recall")
+    // full top-k per query with dense ranks
+    val perQuery = Similarity.annIvfPq(spark, sf, nQueries = 10, k = 5)
+      .collect().groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)),
+      "ranks must be dense 1..k per query")
+  }
+
   test("pq ann: 32x-compressed codes still recall brute-force top-k") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -61,10 +61,19 @@ class PlanAuditSpec extends AnyFunSuite {
         "d05" -> Dedup.d05SharedPassages(spark, sf),
         "ann02" -> Similarity.annLsh(spark, sf),
         "ann03" -> Similarity.annIvf(spark, sf),
-        "ann06" -> Similarity.annPq(spark, sf))) {
+        "ann06" -> Similarity.annPq(spark, sf),
+        "ann08" -> Similarity.annIvfPq(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
+  }
+
+  test("ann08: centroids/codebook/ADC broadcast; codes never sort-merge") {
+    val p = plan(Similarity.annIvfPq(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-side sort-merge join crept into the IVF-PQ chain:\n$p")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      s"expected >=4 broadcast joins (assign, encode, ADC, re-rank):\n$p")
   }
 
   test("ann06: codebook and ADC table broadcast; codes carry ints only") {

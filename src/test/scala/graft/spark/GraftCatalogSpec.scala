@@ -245,6 +245,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graft.db19.n RENAME COLUMN info.geo.alt TO id")
     assert(IcebergTables.load(s"$warehouse/db19/n")
       .schema.findFieldByName("info.geo.id").isDefined)
+
+    // ADD COLUMN of a whole STRUCT: every id in the subtree is assigned
+    // fresh above last-column-id; old rows read the struct as null
+    spark.sql("ALTER TABLE graft.db19.n ADD COLUMN " +
+      "meta STRUCT<source: STRING, tags: ARRAY<STRING>>")
+    val t3 = IcebergTables.load(s"$warehouse/db19/n")
+    val metaId = t3.schema.findFieldByName("meta").get.id
+    val srcId = t3.schema.findFieldByName("meta.source").get.id
+    val tagsId = t3.schema.findFieldByName("meta.tags").get.id
+    assert(metaId < srcId && srcId < tagsId, s"ids $metaId/$srcId/$tagsId")
+    assert(t3.metadata.lastColumnId >= tagsId + 1, // +1: the list element id
+      s"last-column-id ${t3.metadata.lastColumnId} must cover the subtree")
+    spark.sql("INSERT INTO graft.db19.n VALUES (3, " +
+      "named_struct('name', 'c', 'geo', named_struct('latitude', 6.0, 'id', 7.0)), " +
+      "named_struct('source', 'web', 'tags', array('x', 'y')))")
+    val withMeta = spark.sql(
+      "SELECT id, meta.source, meta.tags FROM graft.db19.n ORDER BY id").collect()
+    assert(withMeta.map(r => Option(r.getString(1))).toSeq ==
+      Seq(None, None, Some("web")))
+    assert(withMeta(2).getSeq[String](2) == Seq("x", "y"))
   }
 
   test("SQL graft_bpe_count counts tokens under the configured merges file") {
