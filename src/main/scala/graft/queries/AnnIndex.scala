@@ -41,6 +41,13 @@ object AnnIndex {
     * pins ann06's (8 subspaces × 16 codewords over 64 dims). */
   final case class Params(nSub: Int = 8, kSub: Int = 16)
 
+  /** Bootstrap from the raw `(vec_id, embedding)` corpus shape — the
+    * user-facing entry (the SQL procedure and specs go through here). */
+  def buildFromCorpus(corpus: DataFrame, codebookLoc: String,
+                      codesLoc: String, p: Params = Params())
+      : (IcebergTable, IcebergTable) =
+    build(Similarity.pqEmb(corpus), codebookLoc, codesLoc, p)
+
   /** Bootstrap: build codebook + codes tables from the corpus' current
     * state. `emb` must be the (vec_id, e double-array) projection
     * ([[Similarity.pqEmb]]). */

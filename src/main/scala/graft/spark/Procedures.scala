@@ -24,7 +24,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "cherrypick_snapshot",
-    "sync_dedup_index", "sync_agg_view")
+    "sync_dedup_index", "sync_agg_view", "sync_ann_index")
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -257,6 +257,22 @@ object GraftProcedures {
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.properties.get(graft.queries.MatView.AppliedSeqProp)
             .flatMap(_.toLongOption).orNull)
+      }
+      case "sync_ann_index" => proc(name,
+        Seq("corpus" -> StringType, "codebook" -> StringType,
+          "codes" -> StringType, "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("codes_snapshot_id", LongType, nullable = false),
+          StructField("code_rows", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        val from = in.getLong(3) match { case 0L => None; case id => Some(id) }
+        val out = graft.queries.AnnIndex.syncFromChangelog(spark, corpus,
+          codes, cb.newScan().toDF(spark), from)
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

@@ -132,7 +132,12 @@ object SchemaConv {
     * historical name when the current one is absent from the file's footer.
     * Field POSITIONS are unchanged, so downstream ordinal-based projections
     * stay valid; `parquet.field.id` is stripped so the reader never tries
-    * id matching against this file. */
+    * id matching against this file.
+    *
+    * Known bound: the historical-name substitution is TOP-LEVEL only. A
+    * NESTED field renamed after a foreign id-less file was written reads
+    * as null from that file (files written by this engine always carry
+    * ids at every level, so they resolve nested renames by id). */
   def nameFallbackSchema(s: StructType, footerNames: Set[String]): StructType =
     StructType(s.fields.map { f =>
       val name =

@@ -1076,6 +1076,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == want, "synced view != from-scratch aggregate")
   }
 
+  test("CALL sync_ann_index folds the embedding changefeed into the codes table") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28")
+    val src = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val t1 = TableWriter.create(src.filter(col("vec_id") < 30),
+      s"$warehouse/db28/vecs")
+    val c1 = t1.currentSnapshot.get.snapshotId
+    graft.queries.AnnIndex.buildFromCorpus(t1.newScan().toDF(spark),
+      s"$warehouse/db28/cb", s"$warehouse/db28/codes")
+    TableWriter.append(t1, src.filter(col("vec_id") >= 30 && col("vec_id") < 40))
+    val row = spark.sql(
+      s"CALL graft.system.sync_ann_index('db28.vecs', 'db28.cb', 'db28.codes', ${c1}L)")
+      .collect()(0)
+    // 40 vectors × 8 subspaces
+    assert(row.getLong(1) == 40L * 8, s"code rows ${row.getLong(1)}")
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
