@@ -165,7 +165,14 @@ object Bench {
           val t3 = timeOne(name, fnOf(name))
           if (t3 >= 0) all = all :+ t3
         }
-        if (all.min >= SpreadFloor && all.max / all.min > SpreadRatio)
+        // Unstable = the spread persists after DROPPING the single worst
+        // pass (max/min over all three can only grow, so testing it would
+        // flag every rerun query and the third pass could never clear
+        // one): with the outlier gone, the two best passes agreeing means
+        // the spike was transient — only a still-wide best pair is the
+        // co-tenant signature.
+        val best = all.sorted.take(2)
+        if (best.head >= SpreadFloor && best.last / best.head > SpreadRatio)
           unstable += 1
         name -> all.min
       }

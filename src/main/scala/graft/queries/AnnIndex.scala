@@ -60,43 +60,15 @@ object AnnIndex {
     (cbTable, codesTable)
   }
 
-  /** Net effect of a changelog window, one row per touched vector: the
-    * LAST change per vec_id wins (by `_commit_sequence`); within one
-    * commit an insert outranks the delete (a CoW rewrite's delete applies
-    * to pre-commit rows). A vector updated five times in the window
-    * re-encodes once; inserted-then-dropped never touches the index. */
-  private[queries] def netEffect(changes: DataFrame): DataFrame = {
-    val vecCols = changes.columns
-      .filterNot(_.startsWith("_commit")).filterNot(_ == "_change_type")
-    changes.groupBy("vec_id").agg(
-      max_by(
-        struct(col("_change_type") +: vecCols.map(col).toIndexedSeq: _*),
-        struct(col("_commit_sequence"),
-          (col("_change_type") === "insert").cast("int"))).as("_n"))
-      .select("_n.*")
-  }
-
   /** Apply one changelog window (batch or micro-batch) to the codes table:
     * ONE equality-delete commit retracting every touched vector's codes +
     * ONE append commit encoding the net-inserted vectors against the FIXED
-    * codebook. Both commits are O(changed vectors). */
+    * codebook ([[ChangefeedFold.applyChanges]] keyed on `vec_id`). Both
+    * commits are O(changed vectors). */
   def applyChanges(codes: IcebergTable, codebook: DataFrame,
-                   changes: DataFrame, p: Params): IcebergTable = {
-    val net = netEffect(changes).persist()
-    try {
-      if (net.isEmpty) codes
-      else {
-        // Retract-all-touched (fresh inserts retract vacuously) keeps the
-        // commit pair idempotent on re-delivery of the same window.
-        val afterRetract =
-          TableWriter.deleteEquality(codes, net.select("vec_id"), Seq("vec_id"))
-        val ins = net.filter(col("_change_type") === "insert")
-        if (ins.isEmpty) afterRetract
-        else TableWriter.append(afterRetract,
-          Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
-      }
-    } finally { net.unpersist(); () }
-  }
+                   changes: DataFrame, p: Params): IcebergTable =
+    ChangefeedFold.applyChanges(codes, changes, "vec_id",
+      ins => Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
 
   /** Batch catch-up: apply every commit after `afterSnapshotId` (None =
     * the full history) in one net-effect window. */

@@ -119,22 +119,28 @@ object Dedup {
     * [[DedupIndex]] table). Shuffle hygiene as in [[minhashPairs]]: the
     * shingle arrays never enter the LSH shuffles; shingles are re-computed
     * once, only for the post-LSH candidate set. */
+  /** Drop degenerate (band, key) buckets with more than `cap` members: at
+    * web scale a boilerplate shingle-set / identical fingerprint can put
+    * millions of docs in one bucket, and a banded self-join goes
+    * O(bucket²). Sized via aggregate + key-only broadcast anti-join; the
+    * count is a streaming hash-agg (no sort), so even a degenerate
+    * bucket's key-only rows cost O(n) scan in its partition, and the
+    * exclusion list is FEW rows by construction (each entry needs > cap
+    * members) — broadcast-safe at any scale. Shared by the MinHash and
+    * SimHash caps so the recipe cannot drift. */
+  private[queries] def dropOversizedBuckets(keyed: DataFrame, cap: Int): DataFrame = {
+    val bigBuckets = keyed.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select("band", "key")
+    keyed.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
+  }
+
   def pairsFromKeyed(keyed: DataFrame, docs: DataFrame, shingleN: Int,
                      bucketCap: Int, topK: Int,
                      candidateCache: DataFrame => DataFrame =
                        minhashCandidatesSlot.apply): DataFrame = {
-    // Drop degenerate buckets: at web scale a boilerplate shingle-set can put
-    // millions of docs in one bucket; capping bounds the O(bucket²) pair
-    // join. Sized via aggregate + key-only broadcast anti-join; the count is
-    // a streaming hash-agg (no sort), so even a degenerate bucket's
-    // key-only rows cost O(n) scan in its partition, and the exclusion
-    // list is FEW rows by construction (each needs > bucketCap members) —
-    // broadcast-safe at any scale
-    val bigBuckets = keyed.groupBy("band", "key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > bucketCap)
-      .select("band", "key")
-    val sized = keyed.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
+    val sized = dropOversizedBuckets(keyed, bucketCap)
     val a = sized.select(col("doc_id").as("id_a"), col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("band"), col("key"))
     // candidate pairs are id-only (tiny relative to the corpus) and feed
@@ -301,14 +307,9 @@ object Dedup {
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    // streaming hash-agg over (band, key) — the banded rows are (long, long,
-    // int, long) tuples off the persisted fingerprints, so sizing costs one
-    // cheap scan, never a sort
-    val bigBuckets = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > bucketCap)
-      .select("band", "key")
-    val sized = banded.join(broadcast(bigBuckets), Seq("band", "key"), "left_anti")
+    // banded rows are (long, long, int, long) tuples off the persisted
+    // fingerprints, so sizing costs one cheap scan, never a sort
+    val sized = dropOversizedBuckets(banded, bucketCap)
     val a = sized.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),

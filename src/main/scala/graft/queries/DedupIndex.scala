@@ -61,45 +61,20 @@ object DedupIndex {
   def build(docs: DataFrame, location: String, p: Params): IcebergTable =
     TableWriter.create(rows(docs, p), location)
 
-  /** Net effect of a changelog window, one row per touched doc: the LAST
-    * change per doc_id wins (by `_commit_sequence`); within one commit an
-    * insert outranks the delete — a CoW rewrite's delete applies to
-    * pre-commit rows, so the commit's net state for the doc is its
-    * inserted version. Collapsing first means a doc updated five times in
-    * the window is hashed once, and a doc inserted then dropped never
-    * touches the index at all. */
-  private[queries] def netEffect(changes: DataFrame): DataFrame = {
-    val docCols = changes.columns
-      .filterNot(_.startsWith("_commit")).filterNot(_ == "_change_type")
-    changes.groupBy("doc_id").agg(
-      max_by(
-        struct(col("_change_type") +: docCols.map(col).toIndexedSeq: _*),
-        struct(col("_commit_sequence"),
-          (col("_change_type") === "insert").cast("int"))).as("_n"))
-      .select("_n.*")
-  }
+  /** Net effect of a changelog window, one row per touched doc —
+    * [[ChangefeedFold.netEffect]] keyed on `doc_id`. */
+  private[queries] def netEffect(changes: DataFrame): DataFrame =
+    ChangefeedFold.netEffect(changes, "doc_id")
 
   /** Apply one changelog window (batch or micro-batch) to the index:
     * ONE equality-delete commit retracting every touched doc's triples +
-    * ONE append commit with the net-inserted docs' fresh triples. Both
-    * commits are O(changed docs); unchanged corpus files and unchanged
-    * index files are never read or rewritten. */
+    * ONE append commit with the net-inserted docs' fresh triples
+    * ([[ChangefeedFold.applyChanges]]). Both commits are O(changed docs);
+    * unchanged corpus files and unchanged index files are never read or
+    * rewritten. */
   def applyChanges(index: IcebergTable, changes: DataFrame,
-                   p: Params): IcebergTable = {
-    val net = netEffect(changes).persist()
-    try {
-      if (net.isEmpty) index
-      else {
-        // Retract-all-touched (fresh inserts retract vacuously) keeps the
-        // commit pair idempotent on re-delivery of the same window.
-        val afterRetract =
-          TableWriter.deleteEquality(index, net.select("doc_id"), Seq("doc_id"))
-        val ins = net.filter(col("_change_type") === "insert")
-        if (ins.isEmpty) afterRetract
-        else TableWriter.append(afterRetract, rows(ins, p))
-      }
-    } finally { net.unpersist(); () }
-  }
+                   p: Params): IcebergTable =
+    ChangefeedFold.applyChanges(index, changes, "doc_id", ins => rows(ins, p))
 
   /** Batch catch-up: apply every commit after `afterSnapshotId` (None =
     * the full history) in one net-effect window. */

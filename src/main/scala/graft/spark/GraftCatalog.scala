@@ -243,17 +243,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var t = loadIce(ident)
     val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
     val unsetProps = scala.collection.mutable.ArrayBuffer[String]()
-    def dotted(fieldNames: Array[String]): String = fieldNames.mkString(".")
+    // Spark hands over PARSED path segments — pass them through as-is (a
+    // joined-then-resplit string would mis-nest a literal dotted name)
     changes.foreach {
       case a: TableChange.AddColumn =>
-        t = TableWriter.addColumn(t, dotted(a.fieldNames()),
+        t = TableWriter.addColumnAt(t, a.fieldNames().toIndexedSeq,
           primitiveIceType(a.dataType()), Option(a.comment()))
       case r: TableChange.RenameColumn =>
-        t = TableWriter.renameColumn(t, dotted(r.fieldNames()), r.newName())
+        t = TableWriter.renameColumnAt(t, r.fieldNames().toIndexedSeq, r.newName())
       case d: TableChange.DeleteColumn =>
-        t = TableWriter.dropColumn(t, dotted(d.fieldNames()))
+        t = TableWriter.dropColumnAt(t, d.fieldNames().toIndexedSeq)
       case u: TableChange.UpdateColumnType =>
-        t = TableWriter.updateColumnType(t, dotted(u.fieldNames()),
+        t = TableWriter.updateColumnTypeAt(t, u.fieldNames().toIndexedSeq,
           primitiveIceType(u.newDataType()))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case r: TableChange.RemoveProperty => unsetProps += r.property()

@@ -267,7 +267,9 @@ final class GraftSparkTable(table: IcebergTable,
                       throw new UnsupportedOperationException(
                         s"mergeSchema supports primitive new columns; " +
                           s"'${f.name}' is ${f.dataType.simpleString}"))
-                    current = TableWriter.addColumn(current, f.name, t)
+                    // Seq-path form: f.name is a literal TOP-LEVEL name
+                    // even if it contains a dot
+                    current = TableWriter.addColumnAt(current, Seq(f.name), t)
                   }
               }
               val df = alignToTable(data, current)

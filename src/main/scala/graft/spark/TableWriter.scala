@@ -491,11 +491,31 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
-  /** Split a dotted column path into (parent struct path, leaf name). */
+  /** Split a dotted column path into (parent struct path, leaf name).
+    * Convenience for the string-named evolution entry points; a column
+    * whose literal name contains a dot must go through the `Seq[String]`
+    * overloads (SQL ALTER TABLE does — Spark hands us the parsed parts). */
   private def splitColPath(name: String): (Seq[String], String) = {
     val parts = name.split('.').toIndexedSeq
     require(parts.nonEmpty && parts.forall(_.nonEmpty), s"bad column path '$name'")
     (parts.init, parts.last)
+  }
+
+  /** Resolve a segment path to its field by WALKING struct levels — never
+    * the flat name index, which is ambiguous when a literal name contains
+    * a dot. */
+  private def resolveField(root: StructT, path: Seq[String],
+                           what: String): Option[NestedField] = {
+    def rec(s: StructT, p: Seq[String]): Option[NestedField] = p match {
+      case Seq(leaf) => s.fields.find(_.name == leaf)
+      case seg +: rest => s.fields.find(_.name == seg).flatMap(_.fieldType match {
+        case st: StructT => rec(st, rest)
+        case _ => None
+      })
+      case _ => None
+    }
+    require(path.nonEmpty && path.forall(_.nonEmpty), s"$what: empty column path")
+    rec(root, path)
   }
 
   /** Rewrite the struct at dotted `parentPath` (empty = the root struct)
@@ -533,10 +553,23 @@ object TableWriter {
     * readers see null for the new column; the scan resolves each
     * snapshot's schema by id. */
   def addColumn(table: IcebergTable, name: String,
-                colType: graft.core.IcebergType, doc: Option[String] = None): IcebergTable = {
-    val md = table.metadata
-    require(md.currentSchema.findFieldByName(name).isEmpty, s"column '$name' exists")
+                colType: graft.core.IcebergType, doc: Option[String]): IcebergTable = {
     val (parent, leaf) = splitColPath(name)
+    addColumnAt(table, parent :+ leaf, colType, doc)
+  }
+
+  def addColumn(table: IcebergTable, name: String,
+                colType: graft.core.IcebergType): IcebergTable =
+    addColumn(table, name, colType, None)
+
+  def addColumnAt(table: IcebergTable, path: Seq[String],
+                  colType: graft.core.IcebergType,
+                  doc: Option[String] = None): IcebergTable = {
+    val md = table.metadata
+    val (parent, leaf) = (path.init, path.last)
+    val name = path.mkString(".")
+    require(resolveField(md.currentSchema.struct, path, "ADD COLUMN").isEmpty,
+      s"column '$name' exists")
     // ids for the new subtree must come from last-column-id, which tracks
     // the max ever assigned (an id from a DROPPED column must never be
     // reused — old data files still carry it)
@@ -626,11 +659,17 @@ object TableWriter {
     * SURVEY §1.2), and time travel to pre-rename snapshots projects the old
     * name via that snapshot's schema version. */
   def renameColumn(table: IcebergTable, from: String, to: String): IcebergTable = {
+    val (parent, leaf) = splitColPath(from)
+    renameColumnAt(table, parent :+ leaf, to)
+  }
+
+  def renameColumnAt(table: IcebergTable, path: Seq[String],
+                     to: String): IcebergTable = {
     val md = table.metadata
     require(!to.contains('.'), s"new name must be a bare name, got '$to'")
-    val f = md.currentSchema.findFieldByName(from).getOrElse(
-      throw new IllegalArgumentException(s"column '$from' not found"))
-    val (parent, leaf) = splitColPath(from)
+    val (parent, leaf) = (path.init, path.last)
+    val f = resolveField(md.currentSchema.struct, path, "RENAME COLUMN").getOrElse(
+      throw new IllegalArgumentException(s"column '${path.mkString(".")}' not found"))
     val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "RENAME COLUMN") { s =>
       // collision only matters among SIBLINGS — `a.b.x` and `x` coexist
       require(!s.fields.exists(_.name == to), s"column '$to' exists")
@@ -651,8 +690,14 @@ object TableWriter {
     * still project them through their own schema version). Partition source
     * and identifier columns are protected. */
   def dropColumn(table: IcebergTable, name: String): IcebergTable = {
+    val (parent, leaf) = splitColPath(name)
+    dropColumnAt(table, parent :+ leaf)
+  }
+
+  def dropColumnAt(table: IcebergTable, path: Seq[String]): IcebergTable = {
     val md = table.metadata
-    val f = md.currentSchema.findFieldByName(name).getOrElse(
+    val name = path.mkString(".")
+    val f = resolveField(md.currentSchema.struct, path, "DROP COLUMN").getOrElse(
       throw new IllegalArgumentException(s"column '$name' not found"))
     // dropping a struct drops its whole subtree: every id under it must be
     // safe, not just the root's
@@ -661,7 +706,7 @@ object TableWriter {
       s"column '$name' is a partition source; drop the partition field first")
     require(!md.currentSchema.identifierFieldIds.exists(subtree.contains),
       s"column '$name' is (or contains) an identifier field")
-    val (parent, leaf) = splitColPath(name)
+    val (parent, leaf) = (path.init, path.last)
     val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "DROP COLUMN") { s =>
       require(s.fields.size > 1,
         if (parent.isEmpty) "cannot drop the last column"
@@ -684,8 +729,15 @@ object TableWriter {
     * own schema version. */
   def updateColumnType(table: IcebergTable, name: String,
                        to: IcebergType): IcebergTable = {
+    val (parent, leaf) = splitColPath(name)
+    updateColumnTypeAt(table, parent :+ leaf, to)
+  }
+
+  def updateColumnTypeAt(table: IcebergTable, path: Seq[String],
+                         to: IcebergType): IcebergTable = {
     val md = table.metadata
-    val f = md.currentSchema.findFieldByName(name).getOrElse(
+    val name = path.mkString(".")
+    val f = resolveField(md.currentSchema.struct, path, "ALTER COLUMN TYPE").getOrElse(
       throw new IllegalArgumentException(s"column '$name' not found"))
     val ok = (f.fieldType, to) match {
       case (a, b) if a == b => true
@@ -697,7 +749,7 @@ object TableWriter {
     require(ok, s"cannot promote ${f.fieldType.repr} to ${to.repr} " +
       "(allowed: int->long, float->double, decimal precision growth)")
     if (f.fieldType == to) return table
-    val (parent, leaf) = splitColPath(name)
+    val (parent, leaf) = (path.init, path.last)
     val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
         "ALTER COLUMN TYPE") { s =>
       s.copy(fields = s.fields.map(x =>

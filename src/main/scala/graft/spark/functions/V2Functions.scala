@@ -54,18 +54,21 @@ object GraftFunctions {
         "graft_bpe_count takes one STRING argument")
       // bind runs driver-side during analysis: resolve the session's merges
       // path HERE so the bound function carries the parsed table
-      val merges = org.apache.spark.sql.SparkSession.active.conf
-        .getOption(BpeMergesPathConf) match {
-          case Some(path) if path.nonEmpty =>
-            mergesCache.computeIfAbsent(path, p => Bpe.loadMerges(p))
-          case _ => Bpe.Merges(Map.empty)
-        }
+      val mergesPath = org.apache.spark.sql.SparkSession.active.conf
+        .getOption(BpeMergesPathConf).filter(_.nonEmpty)
+      val merges = mergesPath match {
+        case Some(path) => mergesCache.computeIfAbsent(path, p => Bpe.loadMerges(p))
+        case None => Bpe.Merges(Map.empty)
+      }
       new ScalarFunction[java.lang.Long] {
         override def inputTypes(): Array[DataType] = Array(StringType)
         override def resultType(): DataType = LongType
         override def name(): String = "graft_bpe_count"
+        // canonicalName decides plan-level equivalence: two binds are only
+        // interchangeable under the SAME merge table, so the path (not
+        // just the table size) must be part of the identity
         override def canonicalName(): String =
-          s"graft.graft_bpe_count(merges=${merges.ranks.size})"
+          s"graft.graft_bpe_count(merges=${mergesPath.getOrElse("<none>")})"
         override def produceResult(input: InternalRow): java.lang.Long =
           if (input.isNullAt(0)) 0L
           else Bpe.countText(input.getUTF8String(0).toString, merges)

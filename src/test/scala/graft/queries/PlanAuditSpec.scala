@@ -72,17 +72,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Similarity.annIvfPq(spark, sf))
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-side sort-merge join crept into the IVF-PQ chain:\n$p")
-    assert(p.split("BroadcastHashJoin").length >= 4,
-      s"expected >=4 broadcast joins (assign, encode, ADC, re-rank):\n$p")
+    // the keyless centroid assign joins are broadcast NESTED-LOOP (tiny
+    // build side, fine); the keyed chain must stay broadcast HASH: encode,
+    // query-ADC build, codes⋈ADC shortlist, and the two re-rank joins
+    assert(p.split("BroadcastHashJoin", -1).length - 1 >= 4,
+      s"expected >=4 broadcast hash joins (encode, ADC, shortlist, re-rank):\n$p")
   }
 
   test("ann06: codebook and ADC table broadcast; codes carry ints only") {
     val p = plan(Similarity.annPq(spark, sf))
     // the kSub×nSub codebook and the query ADC table are the broadcast
     // sides everywhere — the corpus-sized codes/vectors never build a hash
-    // table; at least the encode join + ADC join + re-rank query join
-    assert(p.split("BroadcastHashJoin").length >= 3,
-      s"expected >=3 broadcast joins (encode, ADC, re-rank):\n$p")
+    // table; at least the encode join + ADC join + re-rank query join.
+    // split() yields occurrences+1 parts, so count occurrences explicitly
+    assert(p.split("BroadcastHashJoin", -1).length - 1 >= 3,
+      s"expected >=3 broadcast hash joins (encode, ADC, re-rank):\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-side sort-merge join crept into the PQ chain:\n$p")
