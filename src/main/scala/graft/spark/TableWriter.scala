@@ -1544,7 +1544,7 @@ object TableWriter {
         // partition OOM. No extra shuffle: sortWithinPartitions is local.
         withParts.repartition(keys: _*)
           .sortWithinPartitions(keys: _*)
-          .select(clustered.columns.map(col): _*)
+          .select(clustered.columns.toIndexedSeq.map(col): _*)
       }
 
     // distributed write through the task writers (shared with the CoW
@@ -1856,7 +1856,8 @@ object TableWriter {
           val id = field.id
           colSizes.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getTotalSize))
           valCounts.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getValueCount))
-          val stats = chunk.getStatistics
+          val stats: org.apache.parquet.column.statistics.Statistics[_] =
+            chunk.getStatistics
           if (stats != null && !stats.isEmpty) {
             if (stats.isNumNullsSet)
               nullCounts.updateWith(id)(v => Some(v.getOrElse(0L) + stats.getNumNulls))

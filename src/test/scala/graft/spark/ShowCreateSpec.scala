@@ -56,6 +56,23 @@ class ShowCreateSpec extends AnyFunSuite {
       ddlRt)
   }
 
+  test("SHOW CREATE TABLE renders nested types and round-trips them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbsc2")
+    spark.sql("CREATE TABLE graft.dbsc2.nested (id BIGINT, " +
+      "info STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE>>, " +
+      "tags ARRAY<STRING>, attrs MAP<STRING, BIGINT>)")
+    val ddl = showCreate("graft.dbsc2.nested")
+    assert(ddl.contains("STRUCT"), ddl)
+    assert(ddl.contains("ARRAY"), ddl)
+    assert(ddl.contains("MAP"), ddl)
+    val ddl2 = ddl.replace("graft.dbsc2.nested", "graft.dbsc2.nested_rt")
+    spark.sql(ddl2)
+    val orig = IcebergTables.load(s"$warehouse/dbsc2/nested")
+    val rt = IcebergTables.load(s"$warehouse/dbsc2/nested_rt")
+    assert(graft.spark.SchemaConv.toSparkSchema(rt.schema) ==
+      graft.spark.SchemaConv.toSparkSchema(orig.schema))
+  }
+
   test("DESCRIBE EXTENDED surfaces partitioning, properties, snapshot") {
     val rows = spark.sql("DESCRIBE EXTENDED graft.dbsc.orders").collect()
       .map(r => (r.getString(0), r.getString(1)))
