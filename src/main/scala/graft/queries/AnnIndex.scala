@@ -60,15 +60,31 @@ object AnnIndex {
     (cbTable, codesTable)
   }
 
+  /** Fail loudly when `p` disagrees with the geometry the codebook was
+    * BUILT with — encoding against a codebook with a different subspace
+    * count would silently write wrong-width codes that corrupt every
+    * downstream ADC sum. The codebook is metadata-sized, so the probe is
+    * one tiny aggregate. */
+  private def requireGeometry(codebook: DataFrame, p: Params): Unit = {
+    val r = codebook.agg(max(col("m")), countDistinct(col("j"))).collect()(0)
+    val nSub = r.getInt(0) + 1
+    val kSub = r.getLong(1).toInt
+    require(nSub == p.nSub && kSub <= p.kSub,
+      s"PQ params (nSub=${p.nSub}, kSub=${p.kSub}) do not match the stored " +
+        s"codebook (nSub=$nSub, kSub=$kSub) — rebuild the index or fix Params")
+  }
+
   /** Apply one changelog window (batch or micro-batch) to the codes table:
     * ONE equality-delete commit retracting every touched vector's codes +
     * ONE append commit encoding the net-inserted vectors against the FIXED
     * codebook ([[ChangefeedFold.applyChanges]] keyed on `vec_id`). Both
     * commits are O(changed vectors). */
   def applyChanges(codes: IcebergTable, codebook: DataFrame,
-                   changes: DataFrame, p: Params): IcebergTable =
+                   changes: DataFrame, p: Params): IcebergTable = {
+    requireGeometry(codebook, p)
     ChangefeedFold.applyChanges(codes, changes, "vec_id",
       ins => Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
+  }
 
   /** Batch catch-up: apply every commit after `afterSnapshotId` (None =
     * the full history) in one net-effect window. */

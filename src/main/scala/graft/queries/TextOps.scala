@@ -675,4 +675,65 @@ object TextOps {
                      (FLOOR(start_tok / 512) + 1) * 512
                    THEN 1 ELSE 0 END) AS BIGINT) AS straddles
        FROM offs GROUP BY source, pack_id ORDER BY source, pack_id"""
+
+  /** The fused CURATION CARD — what a release pipeline reports after its
+    * filter chain runs: per source, how many documents survive, how many
+    * fall to near-dup removal vs quality cuts, and the surviving token
+    * budget. One pass of decisions over the corpus:
+    *
+    *   - near-dup drop (keep-FIRST policy): a document is cut when it has
+    *     a SimHash near-dup with a smaller doc_id — the pairwise
+    *     keep-first recipe exact-dedup pipelines use, served by the same
+    *     banded/capped pair machinery as d02 (the cluster-canonical
+    *     variant is [[Dedup.d09KeepBest]]);
+    *   - quality drop: the t04 length floor, applied to dup survivors
+    *     (dup precedence keeps each document counted exactly once);
+    *   - the kept rows roll up to the per-source token budget.
+    *
+    * Scale shape: the pair sweep is d02's (capped buckets, fingerprints
+    * only in the shuffles); the decision join moves (doc_id) against a
+    * distinct dup-id set; the rollup is one map-side-combined aggregate. */
+  def t20CurationCard(s: SparkSession, d: String, maxHamming: Int = 6,
+                      minChars: Int = 150): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // id_a < id_b by construction: b duplicates an EARLIER doc → b is cut
+    val dupIds = Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    docs.join(dupIds, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        when(col("is_dup"), "dup")
+          .when(col("n_chars") < minChars, "quality")
+          .otherwise("kept").as("st"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("st") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("st") === "dup", 1L).otherwise(0L)).as("n_drop_dup"),
+        sum(when(col("st") === "quality", 1L).otherwise(0L)).as("n_drop_quality"),
+        sum(when(col("st") === "kept", col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[t20CurationCard]]: d02's pair CTE chain + the same
+    * keep-first / quality / rollup decisions. */
+  val t20Sql: String =
+    s"""WITH ${Dedup.simhashPairsCte},
+       dup AS (
+         SELECT DISTINCT id_b AS doc_id FROM pairs
+         WHERE bit_count(xor(fa, fb)) <= 6),
+       st AS (
+         SELECT d.source, LEN(string_split(d.text, ' ')) AS n_tokens,
+                CASE WHEN dup.doc_id IS NOT NULL THEN 'dup'
+                     WHEN d.n_chars < 150 THEN 'quality'
+                     ELSE 'kept' END AS st
+         FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id)
+       SELECT source,
+              CAST(SUM(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN st = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+              CAST(SUM(CASE WHEN st = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+              CAST(SUM(CASE WHEN st = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       FROM st GROUP BY source ORDER BY source"""
 }

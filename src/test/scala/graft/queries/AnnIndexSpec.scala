@@ -58,6 +58,22 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(codesOf(synced).count(_._1 == 5L) == P.nSub)
   }
 
+  test("geometry mismatch with the stored codebook fails loudly") {
+    val loc = Files.createTempDirectory("ann_geo").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val cbLoc = Files.createTempDirectory("ann_geo_cb").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_geo_cd").toFile.getPath
+    val (cbT, codes0) = AnnIndex.build(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), cbLoc, cdLoc, P)
+    val t2 = TableWriter.append(t1, embDF(20L until 25L))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.syncFromChangelog(spark, t2, codes0,
+        cbT.newScan().toDF(spark), Some(c1), AnnIndex.Params(nSub = 4))
+    }
+    assert(err.getMessage.contains("codebook"), err.getMessage)
+  }
+
   test("re-delivered window is content-idempotent") {
     val loc = Files.createTempDirectory("ann_corpus2").toFile.getPath
     val t1 = TableWriter.create(embDF(0L until 20L), loc)
