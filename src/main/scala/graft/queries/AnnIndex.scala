@@ -126,6 +126,63 @@ object AnnIndex {
     Similarity.pqTopK(corpus, codes.newScan().toDF(spark), codebook,
       queries, p.nSub, k, shortlist)
 
+  // ------------------------------------------------- persistent IVF-PQ
+
+  /** IVF-PQ geometry for the persistent composed index (ann08's shape). */
+  final case class IvfParams(nCells: Int = 16, nProbe: Int = 4,
+                             nSub: Int = 8, kSub: Int = 16)
+
+  /** Bootstrap the PERSISTENT IVF-PQ index from the corpus' current state:
+    * THREE Iceberg tables — coarse centroids `(cid, ce, cn)`, residual
+    * codebook `(j, m, cw)`, and cell-carrying codes `(vec_id, cid, m, j)`.
+    * Centroids AND codebook are frozen at bootstrap (neither re-trains on
+    * a sync — re-clustering would re-home every residual). */
+  def buildIvf(corpus: DataFrame, centroidsLoc: String, codebookLoc: String,
+               codesLoc: String, p: IvfParams = IvfParams())
+      : (IcebergTable, IcebergTable, IcebergTable) = {
+    val en = Similarity.ivfEn(Similarity.pqEmb(corpus))
+    val cents = Similarity.ivfCentroids(en, p.nCells)
+    val centsT = TableWriter.create(cents, centroidsLoc)
+    val assigned = Similarity.ivfAssignResiduals(en, cents)
+    val rcb = Similarity.ivfResidualCodebook(assigned, p.nSub, p.kSub)
+    val rcbT = TableWriter.create(rcb, codebookLoc)
+    val codesT = TableWriter.create(
+      Similarity.ivfPqEncode(assigned, rcb, p.nSub), codesLoc)
+    (centsT, rcbT, codesT)
+  }
+
+  /** Apply one changelog window to the IVF-PQ codes table: net-inserted
+    * vectors ASSIGN against the frozen centroids and ENCODE their
+    * residuals against the frozen codebook; deletes retract via equality
+    * tombstone; updates re-assign + re-encode only themselves
+    * ([[ChangefeedFold.applyChanges]] keyed on `vec_id`). */
+  def applyChangesIvf(codes: IcebergTable, centroids: DataFrame,
+                      codebook: DataFrame, changes: DataFrame,
+                      p: IvfParams = IvfParams()): IcebergTable =
+    ChangefeedFold.applyChanges(codes, changes, "vec_id", ins =>
+      Similarity.ivfPqEncode(
+        Similarity.ivfAssignResiduals(
+          Similarity.ivfEn(Similarity.pqEmb(ins)), centroids),
+        codebook, p.nSub))
+
+  /** Batch catch-up for the IVF-PQ index (None = full history). */
+  def syncIvfFromChangelog(spark: SparkSession, corpus: IcebergTable,
+                           codes: IcebergTable, centroids: DataFrame,
+                           codebook: DataFrame, afterSnapshotId: Option[Long],
+                           p: IvfParams = IvfParams()): IcebergTable =
+    applyChangesIvf(codes, centroids, codebook,
+      Changelog.changelogDF(spark, corpus, afterSnapshotId), p)
+
+  /** Approximate top-k served FROM the maintained IVF-PQ index: probe the
+    * frozen centroids, ADC over the codes table, exact re-rank against
+    * `corpus` — no corpus re-assign or re-encode. */
+  def topKIvf(spark: SparkSession, codes: IcebergTable, centroids: DataFrame,
+              codebook: DataFrame, corpus: DataFrame, queries: DataFrame,
+              p: IvfParams, k: Int, shortlist: Int): DataFrame =
+    Similarity.ivfPqTopK(Similarity.ivfEn(corpus), centroids, codebook,
+      codes.newScan().toDF(spark),
+      Similarity.ivfEn(queries), p.nProbe, p.nSub, k, shortlist)
+
   // ---------------------------------------------------------------- battery
 
   /** ann07 fixture: the embeddings corpus driven through every changefeed
@@ -179,6 +236,60 @@ object AnnIndex {
     * vec_id % 7 = 0 deleted. The codebook samples the BOOTSTRAP state
     * (even vec_ids, original embeddings). */
   val ann07Sql: String = Similarity.annPqSqlOver(
+    """SELECT vec_id,
+              CASE WHEN vec_id % 5 = 0
+                   THEN [CAST(-x AS DOUBLE) for x in embedding]
+                   ELSE [CAST(x AS DOUBLE) for x in embedding] END AS e
+       FROM embeddings WHERE vec_id % 7 <> 0""",
+    """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       FROM embeddings WHERE vec_id % 2 = 0""")
+
+  /** ann09 fixture: the ann07 commit sequence with the IVF-PQ index —
+    * centroids + residual codebook frozen at commit 1, codes synced over
+    * commits 2-4's changelog. */
+  private def ann09Fixture(s: SparkSession, d: String)
+      : (IcebergTable, IcebergTable, IcebergTable, IcebergTable) = {
+    val root =
+      s"${IcebergOps.cacheRoot}/${d.replaceAll("[^A-Za-z0-9]", "_")}/ann09"
+    val corpusLoc = s"$root/corpus"
+    val centsLoc = s"$root/centroids"
+    val cbLoc = s"$root/codebook"
+    val codesLoc = s"$root/codes"
+    IcebergOps.provisionOnce(new java.io.File(root)) {
+      val src = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val t1 = TableWriter.create(src.filter(col("vec_id") % 2 === 0), corpusLoc)
+      val c1 = t1.currentSnapshot.get.snapshotId
+      val (centsT, rcbT, codes0) =
+        buildIvf(t1.newScan().toDF(s), centsLoc, cbLoc, codesLoc)
+      val t2 = TableWriter.append(t1, src.filter(col("vec_id") % 2 === 1))
+      val t3 = TableWriter.updateWhere(t2, s, col("vec_id") % 5 === 0,
+        Map("embedding" -> transform(col("embedding"), x => negate(x))))
+      val t4 = TableWriter.deleteWhere(t3, s, col("vec_id") % 7 === 0)
+      syncIvfFromChangelog(s, t4, codes0, centsT.newScan().toDF(s),
+        rcbT.newScan().toDF(s), Some(c1))
+      ()
+    }
+    (IcebergTables.load(corpusLoc), IcebergTables.load(centsLoc),
+      IcebergTables.load(cbLoc), IcebergTables.load(codesLoc))
+  }
+
+  /** Battery entry ann09: ann08's composed IVF-PQ top-k, served from the
+    * INCREMENTALLY-maintained index over the [[ann09Fixture]] commit
+    * sequence. Oracle: the IVF-PQ SQL with centroids + residual codebook
+    * sampled from the bootstrap-time state — a hash match proves
+    * index-after-changefeed ≡ from-scratch assign+encode of the final
+    * corpus against the frozen coarse/fine quantizers. */
+  def ann09IncrementalIvfPq(s: SparkSession, d: String,
+                            nQueries: Int = 10, k: Int = 5,
+                            shortlist: Int = 50): DataFrame = {
+    val (corpusT, centsT, rcbT, codesT) = ann09Fixture(s, d)
+    val corpus = Similarity.pqEmb(corpusT.newScan().toDF(s))
+    topKIvf(s, codesT, centsT.newScan().toDF(s), rcbT.newScan().toDF(s),
+      corpus, corpus.filter(col("vec_id") < nQueries),
+      IvfParams(), k, shortlist)
+  }
+
+  val ann09Sql: String = Similarity.annIvfPqSqlOver(
     """SELECT vec_id,
               CASE WHEN vec_id % 5 = 0
                    THEN [CAST(-x AS DOUBLE) for x in embedding]

@@ -516,63 +516,96 @@ object Similarity {
   def annIvfPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
                nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
                kSub: Int = 16, shortlist: Int = 50): DataFrame = {
-    val subDim = 64 / nSub
-    val emb = pqEmb(Tables.embeddings(s, d))
-    val en = emb.select(col("vec_id"), col("e"),
-      sqrt(dot(col("e"), col("e"))).as("norm"))
-    val cents = en.select(col("vec_id").as("cid"), col("e").as("ce"),
+    val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
+    val cents = ivfCentroids(en, nCells)
+    // assign each vector to its nearest cell; carry the RESIDUAL out
+    val assigned = ivfPqAssignedSlot(ivfAssignResiduals(en, cents))
+    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    // encode residuals; codes CARRY the cell id so the ADC join composes
+    // cell filtering with codeword lookup in one equi-join
+    val codes = ivfPqCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
+    ivfPqTopK(en, cents, rcodebook, codes,
+      en.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
+  }
+
+  /** (vec_id, e, norm) projection the IVF stages share. */
+  private[queries] def ivfEn(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("e"), sqrt(dot(col("e"), col("e"))).as("norm"))
+
+  /** Deterministic coarse centroids: the md5-ordered sample (ann03
+    * discipline) with the norm carried — (cid, ce, cn). */
+  private[queries] def ivfCentroids(en: DataFrame, nCells: Int): DataFrame =
+    en.select(col("vec_id").as("cid"), col("e").as("ce"),
         col("norm").as("cn"), md5(col("vec_id").cast("string")).as("h"))
       .orderBy("h").limit(nCells).select("cid", "ce", "cn")
-    val cb = broadcast(cents)
 
-    def slices(df: DataFrame, vecCol: String, keep: Seq[String]): DataFrame =
-      df.select(keep.map(col) :+
-          explode(array((0 until nSub).map(m => struct(lit(m).as("m"),
-            slice(col(vecCol), m * subDim + 1, subDim).as("sv"))): _*)).as("s"): _*)
-        .select(keep.map(col) :+ col("s.m").as("m") :+ col("s.sv").as("sv"): _*)
-
-    // assign each vector to its nearest cell (ann03's exact discipline:
-    // full-precision cosine, min-cid tie); carry the RESIDUAL out
-    val assigned = ivfPqAssignedSlot(en.join(cb)
+  /** Assign each vector to its nearest cell (full-precision cosine,
+    * min-cid tie — ann03's exact discipline) and carry the residual out:
+    * (vec_id, cid, r). Centroids broadcast; map-side-combined argmin. */
+  private[queries] def ivfAssignResiduals(en: DataFrame, cents: DataFrame): DataFrame =
+    en.join(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cid"), col("ce"),
         (dot(col("e"), col("ce")) / (col("norm") * col("cn"))).as("sim"))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("e"), col("ce")),
         struct(negate(col("sim")), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"),
-        zip_with(col("best.e"), col("best.ce"), (x, y) => x - y).as("r")))
+        zip_with(col("best.e"), col("best.ce"), (x, y) => x - y).as("r"))
 
-    // residual codebook: kSub SALTED-sampled residuals, per-subspace slices
-    val rcodebook = slices(
+  /** Explode a vector column into per-subspace slices, keeping `keep`. */
+  private[queries] def ivfSlices(df: DataFrame, vecCol: String,
+                                 keep: Seq[String], nSub: Int): DataFrame = {
+    val subDim = 64 / nSub
+    df.select(keep.map(col) :+
+        explode(array((0 until nSub).map(m => struct(lit(m).as("m"),
+          slice(col(vecCol), m * subDim + 1, subDim).as("sv"))): _*)).as("s"): _*)
+      .select(keep.map(col) :+ col("s.m").as("m") :+ col("s.sv").as("sv"): _*)
+  }
+
+  /** Residual codebook: kSub SALTED-sampled residuals (`md5('r' || id)` —
+    * the plain md5 order would pick exactly the centroids, whose residuals
+    * are all zero), per-subspace slices → (j, m, cw). */
+  private[queries] def ivfResidualCodebook(assigned: DataFrame, nSub: Int,
+                                           kSub: Int): DataFrame =
+    ivfSlices(
       assigned.select(col("vec_id"), col("r"),
           md5(concat(lit("r"), col("vec_id").cast("string"))).as("h"))
         .orderBy("h").limit(kSub)
-        .select(col("vec_id").as("j"), col("r")), "r", Seq("j"))
+        .select(col("vec_id").as("j"), col("r")), "r", Seq("j"), nSub)
       .select(col("j"), col("m"), col("sv").as("cw"))
 
-    // encode residuals; codes CARRY the cell id so the ADC join composes
-    // cell filtering with codeword lookup in one equi-join
-    val codes = ivfPqCodesSlot(
-      slices(assigned, "r", Seq("vec_id", "cid")).join(broadcast(rcodebook), "m")
-        .select(col("vec_id"), col("cid"), col("m"), col("j"),
-          pqL2r("sv", "cw").as("dist_r"))
-        .groupBy("vec_id", "cid", "m")
-        .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j")))
+  /** Encode residuals against the frozen codebook → (vec_id, cid, m, j);
+    * map-side-combined argmin, no vector bytes in the shuffle. */
+  private[queries] def ivfPqEncode(assigned: DataFrame, rcodebook: DataFrame,
+                                   nSub: Int): DataFrame =
+    ivfSlices(assigned, "r", Seq("vec_id", "cid"), nSub)
+      .join(broadcast(rcodebook), "m")
+      .select(col("vec_id"), col("cid"), col("m"), col("j"),
+        pqL2r("sv", "cw").as("dist_r"))
+      .groupBy("vec_id", "cid", "m")
+      .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j"))
 
+  /** Probe + per-cell-residual ADC + shortlist + exact re-rank from an
+    * ALREADY-BUILT cell-carrying code set — shared by [[annIvfPq]]
+    * (session-built) and [[AnnIndex]]'s persistent IVF-PQ variant. */
+  private[queries] def ivfPqTopK(corpusEn: DataFrame, cents: DataFrame,
+                                 rcodebook: DataFrame, codes: DataFrame,
+                                 queriesEn: DataFrame, nProbe: Int, nSub: Int,
+                                 k: Int, shortlist: Int): DataFrame = {
     // queries probe their nProbe nearest cells; ADC tables are built from
     // the query's PER-CELL residual (qid × nProbe × nSub × kSub rows —
     // metadata-sized, broadcast)
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    val probes = en.filter(col("vec_id") < nQueries)
+    val probes = queriesEn
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
-      .join(cb)
+      .join(broadcast(cents))
       .select(col("qid"), col("qe"), col("cid"), col("ce"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cid"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("qr"))
-    val qd = slices(probes, "qr", Seq("qid", "cid"))
+    val qd = ivfSlices(probes, "qr", Seq("qid", "cid"), nSub)
       .join(broadcast(rcodebook), "m")
       .select(col("qid"), col("cid"), col("m"), col("j"),
         pqL2Micro("sv", "cw").as("dm"))
@@ -587,10 +620,10 @@ object Similarity {
       .select("qid", "nid")
 
     // exact cosine re-rank of the bounded shortlist
-    val q = en.filter(col("vec_id") < nQueries)
+    val q = queriesEn
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qnorm"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    en.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
+    corpusEn.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cos"))
@@ -603,16 +636,40 @@ object Similarity {
   /** DuckDB mirror of [[annIvfPq]]: same md5 centroid sample, salted
     * residual-codebook sample, rounded residual L2s for code assignment,
     * integer-micro-unit ADC sums, and tie-breaks — byte-exact. */
-  val annIvfPqSql: String =
-    """WITH e AS (
-         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+  val annIvfPqSql: String = annIvfPqSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
+    "SELECT * FROM e")
+
+  /** The IVF-PQ oracle over arbitrary relations: `eRel` is the (vec_id, e)
+    * corpus codes/queries/re-rank run against; `bootRel` the corpus state
+    * the coarse CENTROIDS and the residual CODEBOOK were frozen from
+    * (ann09 pins it to the bootstrap-time state — a maintained index never
+    * re-trains either on incremental syncs; `annIvfPqSql` passes the same
+    * relation for both). Codes for every current vector are its residual
+    * vs the frozen centroids, encoded against the frozen codebook. */
+  def annIvfPqSqlOver(eRel: String, bootRel: String): String =
+    s"""WITH e AS ($eRel),
        en AS (
          SELECT vec_id, e,
                 sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
          FROM e),
+       e0 AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM ($bootRel) b0),
        c AS (
-         SELECT vec_id AS cid, e AS ce, norm AS cn FROM en
+         SELECT vec_id AS cid, e AS ce, norm AS cn FROM e0
          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       assigned0 AS (
+         SELECT vec_id,
+                [e[i] - ce[i] for i in range(1, len(e)+1)] AS r
+         FROM (
+           SELECT e0.vec_id, e0.e, c.cid, c.ce,
+                  ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+                    (list_sum([e0.e[i] * c.ce[i] for i in range(1, len(e0.e)+1)])
+                       / (e0.norm * c.cn)) DESC, c.cid) AS rk
+           FROM e0, c) t
+         WHERE rk = 1),
        assigned AS (
          SELECT vec_id, cid,
                 [e[i] - ce[i] for i in range(1, len(e)+1)] AS r
@@ -624,7 +681,7 @@ object Similarity {
            FROM en, c) t
          WHERE rk = 1),
        rcb AS (
-         SELECT vec_id AS j, r AS cw FROM assigned
+         SELECT vec_id AS j, r AS cw FROM assigned0
          ORDER BY md5('r' || CAST(vec_id AS VARCHAR)) LIMIT 16),
        sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
        codes AS (

@@ -91,6 +91,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(codesOf(twice) == state1)
   }
 
+  test("IVF-PQ sync equals from-scratch assign+encode against frozen quantizers") {
+    val loc = Files.createTempDirectory("ann_ivf").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val centsLoc = Files.createTempDirectory("ann_ivf_c").toFile.getPath
+    val cbLoc = Files.createTempDirectory("ann_ivf_cb").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_ivf_cd").toFile.getPath
+    val P9 = AnnIndex.IvfParams()
+    val (centsT, rcbT, codes0) = AnnIndex.buildIvf(
+      t1.newScan().toDF(spark), centsLoc, cbLoc, cdLoc, P9)
+    val cents = centsT.newScan().toDF(spark)
+    val rcb = rcbT.newScan().toDF(spark)
+    val t2 = TableWriter.append(t1, embDF(20L until 30L))
+    val t3 = TableWriter.updateWhere(t2, spark, col("vec_id") === 5L,
+      Map("embedding" -> transform(col("embedding"), x => negate(x))))
+    val t4 = TableWriter.deleteWhere(t3, spark, col("vec_id") === 7L)
+    val synced = AnnIndex.syncIvfFromChangelog(spark, t4, codes0, cents, rcb,
+      Some(c1), P9)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val fresh = rows(Similarity.ivfPqEncode(
+      Similarity.ivfAssignResiduals(
+        Similarity.ivfEn(Similarity.pqEmb(t4.newScan().toDF(spark))), cents),
+      rcb, P9.nSub))
+    assert(rows(synced.newScan().toDF(spark)) == fresh)
+    assert(!rows(synced.newScan().toDF(spark)).exists(_._1 == 7L))
+  }
+
   test("streaming read-changes maintenance equals from-scratch encode") {
     val loc = Files.createTempDirectory("ann_corpus3").toFile.getPath
     val t1 = TableWriter.create(embDF(0L until 20L), loc)
