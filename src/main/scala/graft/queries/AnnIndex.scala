@@ -173,6 +173,30 @@ object AnnIndex {
     applyChangesIvf(codes, centroids, codebook,
       Changelog.changelogDF(spark, corpus, afterSnapshotId), p)
 
+  /** Continuous IVF-PQ maintenance: consume the corpus table's
+    * `read-changes` stream and fold each micro-batch into the codes table
+    * against the frozen centroids + codebook (loaded once at stream
+    * start — both are bootstrap-frozen artifacts). Content-idempotent on
+    * re-delivery like every [[ChangefeedFold]] consumer. */
+  def maintainIvf(spark: SparkSession, corpusLocation: String,
+                  centroidsLocation: String, codebookLocation: String,
+                  codesLocation: String, checkpoint: String,
+                  p: IvfParams = IvfParams())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = IcebergTables.load(centroidsLocation).newScan().toDF(spark)
+    val rcb = IcebergTables.load(codebookLocation).newScan().toDF(spark)
+    spark.readStream.format("icegopher")
+      .option("read-changes", "true")
+      .load(corpusLocation)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangesIvf(IcebergTables.load(codesLocation), cents, rcb, batch, p)
+        ()
+      }
+      .start()
+  }
+
   /** Approximate top-k served FROM the maintained IVF-PQ index: probe the
     * frozen centroids, ADC over the codes table, exact re-rank against
     * `corpus` — no corpus re-assign or re-encode. */

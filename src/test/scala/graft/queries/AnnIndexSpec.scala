@@ -119,6 +119,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!rows(synced.newScan().toDF(spark)).exists(_._1 == 7L))
   }
 
+  test("streaming IVF-PQ maintenance equals from-scratch assign+encode") {
+    val loc = Files.createTempDirectory("ann_ivfs").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val centsLoc = Files.createTempDirectory("ann_ivfs_c").toFile.getPath
+    val cbLoc = Files.createTempDirectory("ann_ivfs_cb").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_ivfs_cd").toFile.getPath
+    val P9 = AnnIndex.IvfParams()
+    // freeze quantizers from commit-1 state; codes start EMPTY and the
+    // stream (from earliest) replays commit 1 into them
+    val en0 = Similarity.ivfEn(Similarity.pqEmb(t1.newScan().toDF(spark)))
+    val cents = Similarity.ivfCentroids(en0, P9.nCells)
+    TableWriter.create(cents, centsLoc)
+    val rcb = Similarity.ivfResidualCodebook(
+      Similarity.ivfAssignResiduals(en0, cents), P9.nSub, P9.kSub)
+    TableWriter.create(rcb, cbLoc)
+    TableWriter.create(Similarity.ivfPqEncode(
+      Similarity.ivfAssignResiduals(
+        Similarity.ivfEn(Similarity.pqEmb(embDF(Nil))), cents), rcb, P9.nSub), cdLoc)
+    val ck = Files.createTempDirectory("ann_ivfs_ck").toFile.getPath
+    val q = AnnIndex.maintainIvf(spark, loc, centsLoc, cbLoc, cdLoc, ck, P9)
+    try {
+      q.processAllAvailable()
+      val t2 = TableWriter.append(t1, embDF(20L until 25L))
+      q.processAllAvailable()
+      val t3 = TableWriter.deleteWhere(t2, spark, col("vec_id") === 3L)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val fresh = rows(Similarity.ivfPqEncode(
+        Similarity.ivfAssignResiduals(
+          Similarity.ivfEn(Similarity.pqEmb(t3.newScan().toDF(spark))), cents),
+        rcb, P9.nSub))
+      assert(rows(IcebergTables.load(cdLoc).newScan().toDF(spark)) == fresh)
+    } finally q.stop()
+  }
+
   test("streaming read-changes maintenance equals from-scratch encode") {
     val loc = Files.createTempDirectory("ann_corpus3").toFile.getPath
     val t1 = TableWriter.create(embDF(0L until 20L), loc)

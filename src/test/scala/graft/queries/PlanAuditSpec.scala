@@ -141,6 +141,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann09 serves from the persisted codes table, not a corpus re-encode") {
+    val p = plan(AnnIndex.ann09IncrementalIvfPq(spark, sf))
+    // the ADC side must be a SCAN of the maintained index table — the
+    // whole point of persisting it is that queries never re-assign or
+    // re-encode the corpus
+    assert(p.contains("ann09/codes"),
+      s"expected a scan of the persisted ann09 codes table:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("top-k queries use TakeOrderedAndProject, not global sort") {
     val p = plan(Relational.q03TopOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"limit+order not fused:\n$p")
