@@ -65,13 +65,18 @@ object AnnIndex {
     * count would silently write wrong-width codes that corrupt every
     * downstream ADC sum. The codebook is metadata-sized, so the probe is
     * one tiny aggregate. */
-  private def requireGeometry(codebook: DataFrame, p: Params): Unit = {
+  private def requireGeometry(codebook: DataFrame, nSubWant: Int,
+                              kSubWant: Int, what: String): Unit = {
     val r = codebook.agg(max(col("m")), countDistinct(col("j"))).collect()(0)
+    require(!r.isNullAt(0),
+      s"$what codebook is EMPTY — wrong table location, or the index was " +
+        "never bootstrapped")
     val nSub = r.getInt(0) + 1
     val kSub = r.getLong(1).toInt
-    require(nSub == p.nSub && kSub <= p.kSub,
-      s"PQ params (nSub=${p.nSub}, kSub=${p.kSub}) do not match the stored " +
-        s"codebook (nSub=$nSub, kSub=$kSub) — rebuild the index or fix Params")
+    require(nSub == nSubWant && kSub <= kSubWant,
+      s"$what params (nSub=$nSubWant, kSub=$kSubWant) do not match the " +
+        s"stored codebook (nSub=$nSub, kSub=$kSub) — rebuild the index or " +
+        "fix Params")
   }
 
   /** Apply one changelog window (batch or micro-batch) to the codes table:
@@ -81,10 +86,18 @@ object AnnIndex {
     * commits are O(changed vectors). */
   def applyChanges(codes: IcebergTable, codebook: DataFrame,
                    changes: DataFrame, p: Params): IcebergTable = {
-    requireGeometry(codebook, p)
+    requireGeometry(codebook, p.nSub, p.kSub, "PQ")
+    applyChangesUnchecked(codes, codebook, changes, p)
+  }
+
+  /** [[applyChanges]] without the geometry probe — for the streaming
+    * drivers, which verify ONCE at stream start (the codebook is frozen,
+    * so re-checking per micro-batch would just add a driver-side job per
+    * batch). */
+  private def applyChangesUnchecked(codes: IcebergTable, codebook: DataFrame,
+                                    changes: DataFrame, p: Params): IcebergTable =
     ChangefeedFold.applyChanges(codes, changes, "vec_id",
       ins => Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
-  }
 
   /** Batch catch-up: apply every commit after `afterSnapshotId` (None =
     * the full history) in one net-effect window. */
@@ -105,13 +118,15 @@ object AnnIndex {
                checkpoint: String, p: Params = Params())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val codebook = IcebergTables.load(codebookLocation).newScan().toDF(spark)
+    // verify geometry ONCE at stream start — the codebook is frozen
+    requireGeometry(codebook, p.nSub, p.kSub, "PQ")
     spark.readStream.format("icegopher")
       .option("read-changes", "true")
       .load(corpusLocation)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChanges(IcebergTables.load(codesLocation), codebook, batch, p)
+        applyChangesUnchecked(IcebergTables.load(codesLocation), codebook, batch, p)
         ()
       }
       .start()
@@ -143,22 +158,35 @@ object AnnIndex {
     val en = Similarity.ivfEn(Similarity.pqEmb(corpus))
     val cents = Similarity.ivfCentroids(en, p.nCells)
     val centsT = TableWriter.create(cents, centroidsLoc)
-    val assigned = Similarity.ivfAssignResiduals(en, cents)
-    val rcb = Similarity.ivfResidualCodebook(assigned, p.nSub, p.kSub)
-    val rcbT = TableWriter.create(rcb, codebookLoc)
-    val codesT = TableWriter.create(
-      Similarity.ivfPqEncode(assigned, rcb, p.nSub), codesLoc)
-    (centsT, rcbT, codesT)
+    // the full-corpus assignment pass feeds BOTH the codebook sample and
+    // the encode — persist it so the bootstrap pays it once, not twice
+    val assigned = Similarity.ivfAssignResiduals(en, cents).persist()
+    try {
+      val rcb = Similarity.ivfResidualCodebook(assigned, p.nSub, p.kSub)
+      val rcbT = TableWriter.create(rcb, codebookLoc)
+      val codesT = TableWriter.create(
+        Similarity.ivfPqEncode(assigned, rcb, p.nSub), codesLoc)
+      (centsT, rcbT, codesT)
+    } finally { assigned.unpersist(); () }
   }
 
   /** Apply one changelog window to the IVF-PQ codes table: net-inserted
     * vectors ASSIGN against the frozen centroids and ENCODE their
     * residuals against the frozen codebook; deletes retract via equality
     * tombstone; updates re-assign + re-encode only themselves
-    * ([[ChangefeedFold.applyChanges]] keyed on `vec_id`). */
+    * ([[ChangefeedFold.applyChanges]] keyed on `vec_id`). Geometry is
+    * verified against the stored codebook first — with the defaulted
+    * `p`, a silent nSub mismatch would otherwise write wrong-width codes. */
   def applyChangesIvf(codes: IcebergTable, centroids: DataFrame,
                       codebook: DataFrame, changes: DataFrame,
-                      p: IvfParams = IvfParams()): IcebergTable =
+                      p: IvfParams = IvfParams()): IcebergTable = {
+    requireGeometry(codebook, p.nSub, p.kSub, "IVF-PQ")
+    applyChangesIvfUnchecked(codes, centroids, codebook, changes, p)
+  }
+
+  private def applyChangesIvfUnchecked(codes: IcebergTable, centroids: DataFrame,
+                                       codebook: DataFrame, changes: DataFrame,
+                                       p: IvfParams): IcebergTable =
     ChangefeedFold.applyChanges(codes, changes, "vec_id", ins =>
       Similarity.ivfPqEncode(
         Similarity.ivfAssignResiduals(
@@ -185,13 +213,16 @@ object AnnIndex {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cents = IcebergTables.load(centroidsLocation).newScan().toDF(spark)
     val rcb = IcebergTables.load(codebookLocation).newScan().toDF(spark)
+    // verify geometry ONCE at stream start — both quantizers are frozen
+    requireGeometry(rcb, p.nSub, p.kSub, "IVF-PQ")
     spark.readStream.format("icegopher")
       .option("read-changes", "true")
       .load(corpusLocation)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChangesIvf(IcebergTables.load(codesLocation), cents, rcb, batch, p)
+        applyChangesIvfUnchecked(IcebergTables.load(codesLocation), cents, rcb,
+          batch, p)
         ()
       }
       .start()
@@ -319,6 +350,6 @@ object AnnIndex {
                    THEN [CAST(-x AS DOUBLE) for x in embedding]
                    ELSE [CAST(x AS DOUBLE) for x in embedding] END AS e
        FROM embeddings WHERE vec_id % 7 <> 0""",
-    """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
-       FROM embeddings WHERE vec_id % 2 = 0""")
+    Some("""SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       FROM embeddings WHERE vec_id % 2 = 0"""))
 }

@@ -638,29 +638,35 @@ object Similarity {
     * integer-micro-unit ADC sums, and tie-breaks — byte-exact. */
   val annIvfPqSql: String = annIvfPqSqlOver(
     "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
-    "SELECT * FROM e")
+    None)
 
   /** The IVF-PQ oracle over arbitrary relations: `eRel` is the (vec_id, e)
-    * corpus codes/queries/re-rank run against; `bootRel` the corpus state
-    * the coarse CENTROIDS and the residual CODEBOOK were frozen from
-    * (ann09 pins it to the bootstrap-time state — a maintained index never
-    * re-trains either on incremental syncs; `annIvfPqSql` passes the same
-    * relation for both). Codes for every current vector are its residual
-    * vs the frozen centroids, encoded against the frozen codebook. */
-  def annIvfPqSqlOver(eRel: String, bootRel: String): String =
+    * corpus codes/queries/re-rank run against; `bootRel` (when set) the
+    * DIFFERENT corpus state the coarse CENTROIDS and residual CODEBOOK
+    * were frozen from (ann09 pins it to the bootstrap-time state — a
+    * maintained index never re-trains either on incremental syncs). With
+    * `bootRel = None` the quantizers derive from `eRel` itself and the
+    * bootstrap CTEs are not emitted at all — the ann08 bench oracle pays
+    * ONE assignment pass, not a duplicated pair. */
+  def annIvfPqSqlOver(eRel: String, bootRel: Option[String]): String = {
+    val (cSrc, rcbSrc) = if (bootRel.isEmpty) ("en", "assigned") else ("e0", "assigned0")
+    val cCte =
+      s"""c AS (
+         SELECT vec_id AS cid, e AS ce, norm AS cn FROM $cSrc
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)"""
     s"""WITH e AS ($eRel),
        en AS (
          SELECT vec_id, e,
                 sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
          FROM e),
-       e0 AS (
+       ${bootRel.fold("")(b =>
+        s"""e0 AS (
          SELECT vec_id, e,
                 sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
-         FROM ($bootRel) b0),
-       c AS (
-         SELECT vec_id AS cid, e AS ce, norm AS cn FROM e0
-         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
-       assigned0 AS (
+         FROM ($b) b0),
+       """)}$cCte,
+       ${bootRel.fold("")(_ =>
+        s"""assigned0 AS (
          SELECT vec_id,
                 [e[i] - ce[i] for i in range(1, len(e)+1)] AS r
          FROM (
@@ -670,7 +676,7 @@ object Similarity {
                        / (e0.norm * c.cn)) DESC, c.cid) AS rk
            FROM e0, c) t
          WHERE rk = 1),
-       assigned AS (
+       """)}assigned AS (
          SELECT vec_id, cid,
                 [e[i] - ce[i] for i in range(1, len(e)+1)] AS r
          FROM (
@@ -681,7 +687,7 @@ object Similarity {
            FROM en, c) t
          WHERE rk = 1),
        rcb AS (
-         SELECT vec_id AS j, r AS cw FROM assigned0
+         SELECT vec_id AS j, r AS cw FROM $rcbSrc
          ORDER BY md5('r' || CAST(vec_id AS VARCHAR)) LIMIT 16),
        sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
        codes AS (
@@ -726,6 +732,7 @@ object Similarity {
          JOIN en q ON q.vec_id = sh.qid
          JOIN en n ON n.vec_id = sh.nid) t
        WHERE rank <= 5 ORDER BY qid, rank"""
+  }
 
   /** K-means to CONVERGENCE as a library API — the generalization of the
     * deterministic 1-iteration battery entry [[ann04Kmeans]], same
