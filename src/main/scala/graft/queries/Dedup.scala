@@ -18,6 +18,7 @@ import graft.tables.Tables
 object Dedup {
 
   private val simhashSlot = new CacheSlot
+  private val simhashSizedSlot = new CacheSlot
   private val minhashKeyedSlot = new CacheSlot
   private val minhashCandidatesSlot = new CacheSlot
 
@@ -297,19 +298,22 @@ object Dedup {
                          tokenHash: Column => Column = c => xxhash64(c),
                          tokenizer: Column => Column = c => split(c, " "),
                          bucketCap: Int = 200,
-                         slot: CacheSlot = simhashSlot): DataFrame = {
+                         slot: CacheSlot = simhashSlot,
+                         sizedSlot: CacheSlot = simhashSizedSlot): DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
-    // changes) so the banded self-join reads them once instead of
-    // recomputing the token aggregation per side
+    // changes) so neither the sizing aggregation nor the anti-join probe
+    // side re-runs the token aggregation
     val sh = slot(simhash(docs, tokenHash, tokenizer))
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    // banded rows are (long, long, int, long) tuples off the persisted
-    // fingerprints, so sizing costs one cheap scan, never a sort
-    val sized = dropOversizedBuckets(banded, bucketCap)
+    // the POST-CAP rows persist too (4 narrow tuples per doc): the capped
+    // subtree — banding, sizing agg, anti-join — evaluates ONCE, not once
+    // per self-join side (the r9 mm03 regression: expensive gram
+    // fingerprints made that duplicated subtree visible in the bench)
+    val sized = sizedSlot(dropOversizedBuckets(banded, bucketCap))
     val a = sized.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),

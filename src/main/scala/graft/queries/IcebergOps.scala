@@ -484,4 +484,65 @@ object IcebergOps {
        FROM orders
        WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY CAST(o_orderdate AS DATE) ORDER BY day"""
+
+  /** Merge-on-read SQL DML end to end: the same keyed MERGE as ice12 but
+    * through SQL `MERGE INTO` with `write.merge.mode = merge-on-read`
+    * (positional tombstones + appended rows, ZERO data-file rewrites —
+    * MorDmlSpec asserts the commit shape; here the ORACLE proves the
+    * result), followed by a non-pushable SQL DELETE that rides the same
+    * delta path. The read runs through the MoR scan, so the hash match
+    * proves tombstone application over a multi-commit DML history is
+    * exactly SQL semantics. At 100 TB this is the write path for
+    * update-heavy tables: a point MERGE commits O(changed rows), not
+    * O(touched 512 MB files). */
+  def ice16MorDml(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_mor"
+    s.conf.set("spark.sql.catalog.graftm", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftm.warehouse", wh)
+    provisionOnce(new File(wh)) {
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableWriter.create(src.filter(col("o_orderkey") % 3 === 0),
+        s"$wh/mdb/orders_mor",
+        properties = Map(
+          "write.merge.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read",
+          "write.delete.mode" -> "merge-on-read"))
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .createOrReplaceTempView("ice16_changes")
+      s.sql(
+        """MERGE INTO graftm.mdb.orders_mor t
+           USING ice16_changes c ON t.o_orderkey = c.o_orderkey
+           WHEN MATCHED THEN UPDATE SET
+             t.o_orderstatus = c.o_orderstatus, t.o_totalprice = c.o_totalprice
+           WHEN NOT MATCHED THEN INSERT *""")
+      // non-pushable predicate → the delta DELETE path (tombstones only)
+      s.sql("DELETE FROM graftm.mdb.orders_mor WHERE o_orderkey % 10 = 6")
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM graftm.mdb.orders_mor
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val ice16Sql: String =
+    s"""WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0),
+       chg AS (
+         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0),
+       merged AS (
+         SELECT * FROM chg
+         UNION ALL
+         SELECT * FROM base WHERE o_orderkey % 2 <> 0),
+       kept AS (SELECT * FROM merged WHERE o_orderkey % 10 <> 6)
+       SELECT o_orderstatus, COUNT(*) AS n,
+              ${sqlDsum("o_totalprice")} AS sum_price
+       FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

@@ -21,6 +21,7 @@ object Multimodal {
     * pipelines' token simhash (d02/d06) must not evict the media index
     * between battery queries — same pattern as the ANN index slots. */
   private val phashSlot = new CacheSlot
+  private val phashSizedSlot = new CacheSlot
 
   /** An opaque media payload with typed metadata — the schema a 100 TB
     * multimodal lakehouse table would carry (payload inline for small blobs;
@@ -128,7 +129,7 @@ object Multimodal {
       "transform(sequence(1, greatest(1, length(text) - 3)), " +
         "i -> substring(text, i, 4))")
     Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams,
-        slot = phashSlot)
+        slot = phashSlot, sizedSlot = phashSizedSlot)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

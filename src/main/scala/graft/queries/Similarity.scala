@@ -390,6 +390,131 @@ object Similarity {
       .groupBy("vec_id", "m")
       .agg(min_by(col("j"), struct(col("dist_r"), col("j"))).as("j"))
 
+  /** Trained PQ: [[annPq]] with the codebook REFINED by Lloyd iterations
+    * before encoding — k-means per subspace, exactly what FAISS trains
+    * (the md5 sample is only the deterministic INIT, as FAISS inits from a
+    * sample). Fixed iteration count + exact-decimal means + 6-dp rounding
+    * keep both engines bit-identical (the ann04 discipline), so the
+    * trained index stays hash-oracle-checkable end to end. Trained
+    * codewords sit at their members' means instead of on arbitrary corpus
+    * rows — quantization error drops, so the same shortlist reaches
+    * HIGHER recall (TrainedQuantizerSpec pins trained ≥ sampled on the
+    * planted-neighbor fixture).
+    *
+    * Scale shape per iteration: one corpus pass against the broadcast
+    * codebook (map-side-combined argmin — no vector bytes shuffle), then
+    * one (m, j, pos)-keyed mean aggregation producing nSub·kSub·subDim
+    * rows. Training adds T corpus passes; encode/serve shapes unchanged. */
+  def annTrainedPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                   nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50,
+                   iters: Int = 1): DataFrame = {
+    val emb = pqEmb(Tables.embeddings(s, d))
+    var cb = pqCodebook(emb, nSub, kSub)
+    (0 until iters).foreach(_ => cb = pqTrainStep(emb, cb, nSub))
+    val codes = trainedPqCodesSlot(pqEncode(emb, cb, nSub))
+    pqTopK(emb, codes, cb, emb.filter(col("vec_id") < nQueries),
+      nSub, k, shortlist)
+  }
+
+  private val trainedPqCodesSlot = new CacheSlot
+
+  /** One Lloyd refinement of a PQ codebook: every corpus subvector joins
+    * its nearest codeword (rounded L2, min-j tie — the encode discipline),
+    * each codeword moves to the EXACT-decimal mean of its members (summed
+    * as DECIMAL(30,10), divided once, rounded to 6 dp — the ann04
+    * cross-engine determinism recipe); a codeword that loses every member
+    * keeps its previous position, so the codebook never shrinks. */
+  private[queries] def pqTrainStep(emb: DataFrame, cb: DataFrame,
+                                   nSub: Int): DataFrame = {
+    val assigned = pqSliced(emb, "vec_id", nSub).join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), col("sv"),
+        pqL2r("sv", "cw").as("dist_r"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("j"), col("sv")),
+        struct(col("dist_r"), col("j"))).as("best"))
+      .select(col("m"), col("best.j").as("j"), col("best.sv").as("sv"))
+    val means = assigned
+      .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "j", "pos")
+      .agg(round(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+        .cast("double") / count(lit(1)), 6).as("cv"))
+      .groupBy("m", "j")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("cw1"))
+    cb.join(means, Seq("m", "j"), "left")
+      .select(col("m"), col("j"), coalesce(col("cw1"), col("cw")).as("cw"))
+  }
+
+  /** DuckDB mirror of [[annTrainedPq]] (iters = 1): same sampled init,
+    * same rounded-L2 min-j assignment, same exact-decimal means, same ADC
+    * + re-rank as [[annPqSql]] — byte-exact. */
+  val annTrainedPqSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       c0 AS (
+         SELECT vec_id AS j, e AS ce FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       sub AS (SELECT m FROM UNNEST(range(0, 8)) t(m)),
+       cb0 AS (
+         SELECT s.m, c.j, [c.ce[s.m*8+i] for i in range(1, 9)] AS cw
+         FROM c0 c, sub s),
+       a0 AS (
+         SELECT vec_id, m, j, sv FROM (
+           SELECT e.vec_id, cb.m, cb.j,
+                  [e.e[cb.m*8+i] for i in range(1, 9)] AS sv,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+                    ROUND(list_sum([ (e.e[cb.m*8+i] - cb.cw[i]) * (e.e[cb.m*8+i] - cb.cw[i])
+                      for i in range(1, 9) ]), 6), cb.j) AS rk
+           FROM e, cb0 cb) t
+         WHERE rk = 1),
+       u AS (
+         SELECT m, j, i, CAST(sv[i] AS DECIMAL(30,10)) AS v
+         FROM a0, UNNEST(range(1, 9)) t(i)),
+       mn AS (
+         SELECT m, j, i, ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS cv
+         FROM u GROUP BY m, j, i),
+       cw1 AS (SELECT m, j, list(cv ORDER BY i) AS cw FROM mn GROUP BY m, j),
+       cb1 AS (
+         SELECT cb0.m, cb0.j, COALESCE(cw1.cw, cb0.cw) AS cw
+         FROM cb0 LEFT JOIN cw1 ON cb0.m = cw1.m AND cb0.j = cw1.j),
+       codes AS (
+         SELECT vec_id, m, j FROM (
+           SELECT e.vec_id, cb.m, cb.j,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+                    ROUND(list_sum([ (e.e[cb.m*8+i] - cb.cw[i]) * (e.e[cb.m*8+i] - cb.cw[i])
+                      for i in range(1, 9) ]), 6), cb.j) AS rk
+           FROM e, cb1 cb) t
+         WHERE rk = 1),
+       qd AS (
+         SELECT e.vec_id AS qid, cb.m, cb.j,
+                CAST(ROUND(list_sum([ (e.e[cb.m*8+i] - cb.cw[i]) * (e.e[cb.m*8+i] - cb.cw[i])
+                  for i in range(1, 9) ]) * 1000000) AS BIGINT) AS dm
+         FROM e, cb1 cb WHERE e.vec_id < 10),
+       adc AS (
+         SELECT q.qid, cd.vec_id AS nid, SUM(q.dm) AS approx
+         FROM codes cd JOIN qd q ON cd.m = q.m AND cd.j = q.j
+         WHERE q.qid <> cd.vec_id
+         GROUP BY q.qid, cd.vec_id),
+       short AS (
+         SELECT qid, nid FROM (
+           SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, nid) AS rk
+           FROM adc) t
+         WHERE rk <= 50),
+       en AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM e)
+       SELECT qid, nid, rank FROM (
+         SELECT sh.qid, sh.nid,
+                ROW_NUMBER() OVER (PARTITION BY sh.qid ORDER BY
+                  (list_sum([q.e[i] * n.e[i] for i in range(1, len(q.e)+1)])
+                     / (q.norm * n.norm)) DESC, sh.nid) AS rank
+         FROM short sh
+         JOIN en q ON q.vec_id = sh.qid
+         JOIN en n ON n.vec_id = sh.nid) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   /** ADC shortlist + exact re-rank from an ALREADY-BUILT code set — shared
     * by [[annPq]] (session-built codes) and [[AnnIndex]] (codes served from
     * the persistent, incrementally-maintained index table). `corpus` is the
@@ -528,6 +653,65 @@ object Similarity {
       en.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
   }
 
+  /** Trained IVF-PQ: [[annIvfPq]] with the coarse CELLS refined by one
+    * cosine-Lloyd step before anything else — k-means over the vectors,
+    * the FAISS coarse-quantizer training ([[annTrainedPq]] trains the
+    * other half, the codebook; here the refined cells also reshape the
+    * residual distribution the codebook samples from). Same determinism
+    * recipe: exact-decimal means rounded to 6 dp, cosine assignment with
+    * min-cid ties, fixed iteration count — hash-oracle-checkable.
+    *
+    * Scale: the training step is one extra corpus pass (broadcast
+    * centroids, map-side-combined argmax) + one (cell, dim) mean
+    * aggregation; everything downstream keeps annIvfPq's shapes. */
+  def annTrainedIvfPq(s: SparkSession, d: String, nQueries: Int = 10,
+                      k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+                      nSub: Int = 8, kSub: Int = 16,
+                      shortlist: Int = 50): DataFrame = {
+    val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
+    val cents = ivfTrainStep(en, ivfCentroids(en, nCells))
+    val assigned = trainedIvfAssignedSlot(ivfAssignResiduals(en, cents))
+    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    val codes = trainedIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
+    ivfPqTopK(en, cents, rcodebook, codes,
+      en.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
+  }
+
+  private val trainedIvfAssignedSlot = new CacheSlot
+  private val trainedIvfCodesSlot = new CacheSlot
+
+  /** One cosine-Lloyd refinement of the coarse cells: members assign by
+    * full-precision cosine (desc sim, min-cid tie — the serving-path
+    * discipline), each centroid moves to the exact-decimal mean of its
+    * members (rounded 6 dp), empty cells keep their previous position;
+    * norms recompute from the refined coordinates. */
+  private[queries] def ivfTrainStep(en: DataFrame, cents: DataFrame): DataFrame = {
+    val members = en.join(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"),
+        (dot(col("e"), col("ce")) / (col("norm") * col("cn"))).as("sim"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("e")),
+        struct(negate(col("sim")), col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("best.e").as("e"))
+    val means = members
+      .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(round(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+        .cast("double") / count(lit(1)), 6).as("cv"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("ce1"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("ce1"), col("ce")).as("ce"))
+      .select(col("cid"), col("ce"), sqrt(dot(col("ce"), col("ce"))).as("cn"))
+  }
+
+  /** DuckDB mirror of [[annTrainedIvfPq]]: [[annIvfPqSqlOver]] with the
+    * cell-training CTEs enabled. */
+  val annTrainedIvfPqSql: String = annIvfPqSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
+    None, trainCells = true)
+
   /** (vec_id, e, norm) projection the IVF stages share. */
   private[queries] def ivfEn(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("e"), sqrt(dot(col("e"), col("e"))).as("norm"))
@@ -648,12 +832,44 @@ object Similarity {
     * `bootRel = None` the quantizers derive from `eRel` itself and the
     * bootstrap CTEs are not emitted at all — the ann08 bench oracle pays
     * ONE assignment pass, not a duplicated pair. */
-  def annIvfPqSqlOver(eRel: String, bootRel: Option[String]): String = {
+  def annIvfPqSqlOver(eRel: String, bootRel: Option[String],
+                      trainCells: Boolean = false): String = {
+    require(!(trainCells && bootRel.nonEmpty),
+      "cell training is only mirrored for same-corpus quantizers")
     val (cSrc, rcbSrc) = if (bootRel.isEmpty) ("en", "assigned") else ("e0", "assigned0")
     val cCte =
-      s"""c AS (
-         SELECT vec_id AS cid, e AS ce, norm AS cn FROM $cSrc
-         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)"""
+      if (!trainCells)
+        s"""c AS (
+           SELECT vec_id AS cid, e AS ce, norm AS cn FROM $cSrc
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)"""
+      else
+        // one cosine-Lloyd step over the sampled init (annTrainedIvfPq):
+        // exact-decimal member means rounded 6 dp, empty cells keep their
+        // init position, norms recomputed from the refined coordinates
+        s"""c0 AS (
+           SELECT vec_id AS cid, e AS ce, norm AS cn FROM $cSrc
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         at AS (
+           SELECT cid, e FROM (
+             SELECT en.vec_id, en.e, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+                      (list_sum([en.e[i] * c.ce[i] for i in range(1, len(en.e)+1)])
+                         / (en.norm * c.cn)) DESC, c.cid) AS rk
+             FROM en, c0 c) t
+           WHERE rk = 1),
+         ut AS (
+           SELECT cid, i, CAST(e[i] AS DECIMAL(30,10)) AS v
+           FROM at, UNNEST(range(1, 65)) t(i)),
+         mt AS (
+           SELECT cid, i, ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS cv
+           FROM ut GROUP BY cid, i),
+         ct AS (SELECT cid, list(cv ORDER BY i) AS ce FROM mt GROUP BY cid),
+         c AS (
+           SELECT cid, ce,
+                  sqrt(list_sum([ce[i] * ce[i] for i in range(1, len(ce)+1)])) AS cn
+           FROM (
+             SELECT c0.cid, COALESCE(ct.ce, c0.ce) AS ce
+             FROM c0 LEFT JOIN ct ON c0.cid = ct.cid) t0)"""
     s"""WITH e AS ($eRel),
        en AS (
          SELECT vec_id, e,

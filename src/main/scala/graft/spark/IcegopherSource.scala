@@ -75,12 +75,30 @@ final class GraftSparkTable(table: IcebergTable,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** SQL UPDATE / MERGE / non-pushable DELETE → copy-on-write rewrite of
-    * only the affected files (see [[GraftRowLevelOperation]]). */
+  /** SQL UPDATE / MERGE / non-pushable DELETE: copy-on-write rewrite of
+    * only the affected files by default (see [[GraftRowLevelOperation]]);
+    * when the operation's Iceberg mode property (`write.update.mode` /
+    * `write.delete.mode` / `write.merge.mode`) is `merge-on-read`, the
+    * delta-based operation commits positional tombstones + appended rows
+    * instead — O(changed rows), no data-file rewrite (see
+    * [[GraftDeltaRowLevelOperation]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(table.location, info.command())
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      val modeProp = info.command() match {
+        case DELETE => "write.delete.mode"
+        case UPDATE => "write.update.mode"
+        case _ => "write.merge.mode"
+      }
+      // re-read properties at operation build: the mode may have been set
+      // by an ALTER TABLE after this Table handle was resolved
+      val mor = IcebergTables.load(table.location).properties
+        .get(modeProp).exists(_.equalsIgnoreCase("merge-on-read"))
+      if (mor) new GraftDeltaRowLevelOperation(table.location, info.command())
+      else new GraftRowLevelOperation(table.location, info.command())
+    }
 
   private def activeSchema: graft.core.Schema = pinnedSnapshotId
     .flatMap(table.metadata.snapshotById)
@@ -92,12 +110,19 @@ final class GraftSparkTable(table: IcebergTable,
     * `SELECT _file, * FROM t` and the group coordinate for copy-on-write
     * row-level operations. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftReaders.FileCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "path of the data file the row lives in"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftReaders.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "path of the data file the row lives in"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftReaders.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within its data file"
+      })
 
   /** DELETE FROM ... WHERE: key-equality predicates (`k = v`,
     * `k IN (...)`, multi-column `a = x AND b = y`) commit an EQUALITY
@@ -699,6 +724,7 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     // projection rides the row path
     val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
       !required.fieldNames.contains(GraftReaders.FileCol) &&
+      !required.fieldNames.contains(GraftReaders.PosCol) &&
       tasks.forall(_.file.format.equalsIgnoreCase("PARQUET"))
     // ROW-GROUP skipping inside each parquet file (chunk stats, dictionary,
     // bloom filters): the same pushed predicate that pruned whole files at
@@ -765,12 +791,14 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   private lazy val fullSpark = SchemaConv.toSparkSchema(table.schema)
 
   private def readerSchema(needRowIndex: Boolean, eq: Seq[EqDelete]): StructType = {
-    // `_file` is synthesized by the reader, never read from parquet
-    var s = StructType(required.fields.filterNot(_.name == GraftReaders.FileCol))
+    // `_file`/`_pos` are synthesized by the reader, never read from parquet
+    // (`_pos` from the same row-index channel positional deletes use)
+    var s = StructType(required.fields.filterNot(f =>
+      f.name == GraftReaders.FileCol || f.name == GraftReaders.PosCol))
     eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
       s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
     }
-    if (needRowIndex)
+    if (needRowIndex || required.fieldNames.contains(GraftReaders.PosCol))
       s = s.add(StructField(GraftReaders.RowIndexCol, LongType, nullable = true))
     s
   }
@@ -862,6 +890,11 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 private[graft] object GraftReaders {
   /** Metadata column name for per-row file provenance. */
   val FileCol: String = "_file"
+
+  /** Metadata column name for the row's position within its data file —
+    * with [[FileCol]] the row-id coordinate of merge-on-read row-level
+    * operations (a positional tombstone is exactly a (_file, _pos) pair). */
+  val PosCol: String = "_pos"
 
   /** CDC output columns (streaming `read-changes` mode): stamped per
     * input partition from its commit provenance. */
@@ -1034,6 +1067,9 @@ final class GraftRowReader(p: GraftInputPartition)
       f.name match {
         case GraftReaders.FileCol =>
           CLit(UTF8String.fromString(p.path), StringType): Expression
+        case GraftReaders.PosCol =>
+          BoundReference(readSchema.fieldIndex(GraftReaders.RowIndexCol),
+            org.apache.spark.sql.types.LongType, nullable = false): Expression
         case GraftReaders.ChangeTypeCol if p.cdc.isDefined =>
           CLit(UTF8String.fromString(p.cdc.get._1), StringType): Expression
         case GraftReaders.CommitSnapshotCol if p.cdc.isDefined =>

@@ -264,6 +264,107 @@ object TableWriter {
     append(afterDelete, rows)
   }
 
+  /** Merge-on-read row-level commit: ONE atomic snapshot carrying the
+    * positional-tombstone files AND the appended data files of a SQL
+    * UPDATE / MERGE / DELETE running under `write.*.mode = merge-on-read`.
+    *
+    * Metadata work is O(written files): every previous manifest carries
+    * over BY REFERENCE; the tombstones get one new delete manifest
+    * (content=1) and the appended rows one new data manifest — no data
+    * file is read or rewritten. Both land at the same sequence number: the
+    * tombstones apply to every earlier-or-equal-sequence data file whose
+    * path they name (all strictly earlier here — the new files' paths
+    * appear in no tombstone), so a reader sees exactly the post-DML state.
+    *
+    * `expectedVersion` pins the commit to the metadata version the
+    * row-level scan read: the buffered (file, pos) coordinates are only
+    * valid against that snapshot's files. */
+  def commitDelta(location: String, added: Seq[graft.spark.CowFileOut],
+                  posDeleteFiles: Seq[String],
+                  expectedVersion: Option[Int] = None): IcebergTable = {
+    val table = IcebergTables.load(location)
+    expectedVersion.foreach { v =>
+      if (table.loadedVersion != v)
+        throw new CommitConflictException(table.loadedVersion, location)
+    }
+    val md = table.metadata
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    })
+    val partType = table.spec.partitionType(table.schema)
+
+    val addedEntries = added.map { f =>
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
+        statsFromFooter(new File(f.path), table.schema,
+          f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
+    }
+    val addManifest =
+      if (addedEntries.isEmpty) None
+      else {
+        val mf = new File(metaDir, s"manifest-mor-$snapId.avro")
+        ManifestIO.writeManifest(mf, addedEntries, partType)
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 0,
+          sequenceNumber = seq, minSequenceNumber = seq,
+          addedSnapshotId = snapId,
+          addedFilesCount = addedEntries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = partitionSummaries(addedEntries, partType),
+          formatVersion = 2))
+      }
+
+    val delInfos = posDeleteFiles.map { p =>
+      statsFromFooter(new File(p), table.schema, Map.empty,
+        content = DataFileContent.PositionDeletes,
+        overrideSchema = Some(posDeleteSchema))
+    }
+    val delManifest =
+      if (delInfos.isEmpty) None
+      else {
+        val entries = delInfos.map(info => ManifestEntry(
+          ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+        val mf = new File(metaDir, s"manifest-mor-del-$snapId.avro")
+        ManifestIO.writeManifest(mf, entries, StructT(Nil))
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 1,
+          sequenceNumber = seq, minSequenceNumber = seq,
+          addedSnapshotId = snapId,
+          addedFilesCount = entries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = delInfos.map(_.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = Nil, formatVersion = 2))
+      }
+
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile,
+      prevManifests ++ addManifest ++ delManifest)
+    val now = System.currentTimeMillis()
+    val op = if (addedEntries.isEmpty) OpDelete else OpOverwrite
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath,
+      Some(SnapshotSummary(op, Map(
+        "added-data-files" -> addedEntries.size.toString,
+        "added-delete-files" -> delInfos.size.toString,
+        "added-position-deletes" -> delInfos.map(_.recordCount).sum.toString))),
+      Some(table.schema.schemaId))
+    writeMetadata(location, md.copy(
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+    IcebergTables.load(location)
+  }
+
   /** Copy-on-write commit for row-level operations: atomically swap
     * `removedPaths` for `added` files (each with its partition tuple, as
     * derived row-wise by the task writers) in one OVERWRITE snapshot.

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+import graft.tables.Tables
+
+/** Lloyd-trained quantizers (ann10/ann11) must beat the sampled ones they
+  * initialize from: training strictly reduces quantization error (Lloyd
+  * monotonicity — reassignment and mean update each only decrease
+  * within-cluster SSE), and at the same shortlist the trained index
+  * reaches at-least-sampled recall against brute force. */
+class TrainedQuantizerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Similarity.pqEmb(Tables.embeddings(spark, sf))
+
+  /** Mean squared subspace quantization error of a codebook over the corpus. */
+  private def pqQuantErr(cb: DataFrame): Double = {
+    val codes = Similarity.pqEncode(emb, cb, 8)
+    Similarity.pqSliced(emb, "vec_id", 8)
+      .join(codes, Seq("vec_id", "m")).join(cb, Seq("m", "j"))
+      .select(expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+        .as("d"))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
+  }
+
+  test("pq training monotonically reduces quantization error") {
+    val cb0 = Similarity.pqCodebook(emb, 8, 16)
+    val cb1 = Similarity.pqTrainStep(emb, cb0, 8)
+    val cb2 = Similarity.pqTrainStep(emb, cb1, 8)
+    val (e0, e1, e2) = (pqQuantErr(cb0), pqQuantErr(cb1), pqQuantErr(cb2))
+    assert(e1 < e0, s"one Lloyd step must reduce error: $e1 !< $e0")
+    assert(e2 <= e1 + 1e-9, s"second step must not increase error: $e2 !<= $e1")
+  }
+
+  test("trained pq recall >= sampled pq recall at the same shortlist") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double =
+      bf.count(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet) /
+        bf.size.toDouble
+    val sampled = recallOf(Similarity.annPq(spark, sf, nQueries = 10, k = 5))
+    val trained = recallOf(Similarity.annTrainedPq(spark, sf, nQueries = 10, k = 5))
+    assert(trained >= sampled,
+      s"trained PQ recall $trained must be >= sampled $sampled")
+    assert(trained >= 0.5, s"trained PQ recall $trained")
+  }
+
+  test("trained ivf-pq recall >= sampled ivf-pq recall at the same probes/shortlist") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double =
+      bf.count(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet) /
+        bf.size.toDouble
+    val sampled = recallOf(Similarity.annIvfPq(spark, sf, nQueries = 10, k = 5,
+      nProbe = 8))
+    val trained = recallOf(Similarity.annTrainedIvfPq(spark, sf, nQueries = 10,
+      k = 5, nProbe = 8))
+    assert(trained >= sampled,
+      s"trained IVF-PQ recall $trained must be >= sampled $sampled")
+    assert(trained >= 0.3, s"trained IVF-PQ recall $trained")
+  }
+
+  test("trained codebook keeps kSub codewords (empty clusters keep init position)") {
+    val cb0 = Similarity.pqCodebook(emb, 8, 16)
+    val cb1 = Similarity.pqTrainStep(emb, cb0, 8)
+    assert(cb1.count() == 8L * 16)
+    assert(cb1.select("m", "j").distinct().count() == 8L * 16)
+    // refined cells: same invariant on the coarse quantizer
+    val en = Similarity.ivfEn(emb)
+    val c1 = Similarity.ivfTrainStep(en, Similarity.ivfCentroids(en, 16))
+    assert(c1.count() == 16)
+    assert(c1.select("cid").distinct().count() == 16)
+  }
+}
