@@ -55,8 +55,14 @@ object AnnIndex {
             p: Params = Params()): (IcebergTable, IcebergTable) = {
     val cb = Similarity.pqCodebook(emb, p.nSub, p.kSub)
     val cbTable = TableWriter.create(cb, codebookLoc)
-    val codesTable =
+    var codesTable =
       TableWriter.create(Similarity.pqEncode(emb, cb, p.nSub), codesLoc)
+    // drift baseline: the quantization error of the freshly-built index
+    // ([[stats]] reports current error against it)
+    val err = quantErrorOf(
+      codesTable.newScan().toDF(emb.sparkSession), cb, emb, p.nSub)
+    codesTable = TableWriter.updateProperties(codesTable,
+      Map(BootstrapErrProp -> err.toString))
     (cbTable, codesTable)
   }
 
@@ -73,10 +79,15 @@ object AnnIndex {
         "never bootstrapped")
     val nSub = r.getInt(0) + 1
     val kSub = r.getLong(1).toInt
+    // kSub is deliberately one-sided: a bootstrap over a corpus with
+    // fewer than kSub rows legitimately stores a SMALLER codebook (the
+    // md5 sample can't invent rows), and serving against it is correct —
+    // only a LARGER stored codebook proves the Params are wrong
     require(nSub == nSubWant && kSub <= kSubWant,
-      s"$what params (nSub=$nSubWant, kSub=$kSubWant) do not match the " +
-        s"stored codebook (nSub=$nSub, kSub=$kSub) — rebuild the index or " +
-        "fix Params")
+      s"$what params incompatible with the stored codebook: want nSub=" +
+        s"$nSubWant (must equal stored $nSub), kSub=$kSubWant (stored " +
+        s"$kSub may be smaller — a small bootstrap corpus — but never " +
+        "larger) — rebuild the index or fix Params")
   }
 
   /** Apply one changelog window (batch or micro-batch) to the codes table:
@@ -141,6 +152,158 @@ object AnnIndex {
     Similarity.pqTopK(corpus, codes.newScan().toDF(spark), codebook,
       queries, p.nSub, k, shortlist)
 
+  // ------------------------------------------------- drift + rebuild
+
+  /** Codes-table property recording the mean squared subspace quantization
+    * error measured right after bootstrap/rebuild — the drift baseline
+    * [[stats]] compares against. */
+  val BootstrapErrProp = "ann.bootstrap-quant-error"
+
+  /** Mean squared subspace quantization error of the index's CURRENT
+    * state: every code row joins its frozen codeword and its vector's
+    * current subvector — ONE corpus-pass aggregation (codebook broadcast,
+    * map-side-combined mean). Under churn against a frozen codebook this
+    * is THE number that grows silently: new vectors quantize against
+    * codewords sampled/trained from a corpus they weren't part of. */
+  def quantError(spark: SparkSession, codes: IcebergTable, codebook: DataFrame,
+                 corpus: DataFrame, p: Params = Params()): Double =
+    quantErrorOf(codes.newScan().toDF(spark), codebook,
+      Similarity.pqEmb(corpus), p.nSub)
+
+  private def quantErrorOf(codes: DataFrame, codebook: DataFrame,
+                           emb: DataFrame, nSub: Int): Double =
+    Similarity.pqSliced(emb, "vec_id", nSub)
+      .join(codes.select("vec_id", "m", "j"), Seq("vec_id", "m"))
+      .join(broadcast(codebook), Seq("m", "j"))
+      .select(expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+        .as("d"))
+      .agg(avg(col("d"))).collect() match {
+        case Array(r) if !r.isNullAt(0) => r.getDouble(0)
+        case _ => 0.0
+      }
+
+  /** Residual quantization error of the IVF-PQ index: the residual is
+    * taken against the cell the CODES assign each vector to (the frozen
+    * assignment — exactly what serving ADC sums approximate). */
+  private def ivfQuantErrorOf(codes: DataFrame, cents: DataFrame,
+                              rcb: DataFrame, emb: DataFrame,
+                              nSub: Int): Double = {
+    val resid = emb
+      .join(codes.select("vec_id", "cid").distinct(), "vec_id")
+      .join(broadcast(cents.select("cid", "ce")), "cid")
+      .select(col("vec_id"), zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+    Similarity.ivfSlices(resid, "r", Seq("vec_id"), nSub)
+      .join(codes.select("vec_id", "m", "j"), Seq("vec_id", "m"))
+      .join(broadcast(rcb), Seq("m", "j"))
+      .select(expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+        .as("d"))
+      .agg(avg(col("d"))).collect() match {
+        case Array(r) if !r.isNullAt(0) => r.getDouble(0)
+        case _ => 0.0
+      }
+  }
+
+  /** Index drift report: (code_rows, current quantization error, the
+    * bootstrap baseline, their ratio). `driftRatio > 1` quantifies how
+    * much worse the frozen quantizers fit today's corpus than the one
+    * they were built from; operators alert on it and call [[rebuild]]. */
+  final case class IndexStats(codeRows: Long, quantErr: Double,
+                              bootstrapErr: Option[Double],
+                              driftRatio: Option[Double],
+                              maxCellShare: Option[Double] = None)
+
+  def stats(spark: SparkSession, codes: IcebergTable, codebook: DataFrame,
+            corpus: DataFrame, p: Params = Params()): IndexStats = {
+    requireGeometry(codebook, p.nSub, p.kSub, "PQ")
+    val err = quantError(spark, codes, codebook, corpus, p)
+    mkStats(spark, codes, err, None)
+  }
+
+  /** IVF-PQ drift report; adds cell-occupancy skew (`maxCellShare` = the
+    * largest cell's fraction of all vectors — uniform would be 1/nCells;
+    * a drifting corpus piles into few cells, which degrades the probe
+    * bound long before the residual error moves). Computed from the codes
+    * table alone — no corpus pass. */
+  def statsIvf(spark: SparkSession, codes: IcebergTable, centroids: DataFrame,
+               codebook: DataFrame, corpus: DataFrame,
+               p: IvfParams = IvfParams()): IndexStats = {
+    requireGeometry(codebook, p.nSub, p.kSub, "IVF-PQ")
+    val codesDf = codes.newScan().toDF(spark)
+    val err = ivfQuantErrorOf(codesDf, centroids, codebook,
+      Similarity.pqEmb(corpus), p.nSub)
+    val occupancy = codesDf.select("vec_id", "cid").distinct()
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double"), sum(col("n")).cast("double"))
+      .collect()(0)
+    val share =
+      if (occupancy.isNullAt(0) || occupancy.getDouble(1) == 0.0) None
+      else Some(occupancy.getDouble(0) / occupancy.getDouble(1))
+    mkStats(spark, codes, err, share)
+  }
+
+  private def mkStats(spark: SparkSession, codes: IcebergTable, err: Double,
+                      share: Option[Double]): IndexStats = {
+    val boot = codes.properties.get(BootstrapErrProp).flatMap(_.toDoubleOption)
+    IndexStats(codes.newScan().toDF(spark).count(), err, boot,
+      boot.filter(_ > 0).map(err / _), share)
+  }
+
+  /** Full re-index: re-sample + re-train nothing incremental — the
+    * codebook rebuilds from the corpus' CURRENT state and every vector
+    * re-encodes, exactly the bootstrap path (FAISS discipline: a frozen
+    * quantizer is rebuilt, never nudged). Each table swap is one atomic
+    * OVERWRITE commit; the codebook commits FIRST and the codes commit
+    * carries the refreshed [[BootstrapErrProp]] baseline. A reader
+    * between the two commits can observe new-codebook/old-codes — the
+    * same transient a FAISS index swap has; re-running serving after the
+    * codes commit is the contract (the battery's serving paths re-read
+    * both tables per query). */
+  def rebuild(spark: SparkSession, corpus: DataFrame, codebookLoc: String,
+              codesLoc: String, p: Params = Params()): IndexStats = {
+    val emb = Similarity.pqEmb(corpus)
+    val cb = Similarity.pqCodebook(emb, p.nSub, p.kSub)
+    TableWriter.overwrite(IcebergTables.load(codebookLoc), cb)
+    val codesDf = Similarity.pqEncode(emb, cb, p.nSub)
+    var codesT = TableWriter.overwrite(IcebergTables.load(codesLoc), codesDf)
+    val err = quantErrorOf(codesT.newScan().toDF(spark), cb, emb, p.nSub)
+    codesT = TableWriter.updateProperties(codesT,
+      Map(BootstrapErrProp -> err.toString))
+    mkStats(spark, codesT, err, None)
+  }
+
+  /** Full IVF-PQ re-index: centroids, residual codebook, and codes all
+    * rebuild from the corpus' current state (three OVERWRITE commits,
+    * codes last with the refreshed drift baseline). */
+  def rebuildIvf(spark: SparkSession, corpus: DataFrame, centroidsLoc: String,
+                 codebookLoc: String, codesLoc: String,
+                 p: IvfParams = IvfParams()): IndexStats = {
+    val en = Similarity.ivfEn(Similarity.pqEmb(corpus))
+    val cents = Similarity.ivfCentroids(en, p.nCells)
+    TableWriter.overwrite(IcebergTables.load(centroidsLoc), cents)
+    val assigned = Similarity.ivfAssignResiduals(en, cents).persist()
+    try {
+      val rcb = Similarity.ivfResidualCodebook(assigned, p.nSub, p.kSub)
+      TableWriter.overwrite(IcebergTables.load(codebookLoc), rcb)
+      var codesT = TableWriter.overwrite(IcebergTables.load(codesLoc),
+        Similarity.ivfPqEncode(assigned, rcb, p.nSub))
+      val err = ivfQuantErrorOf(codesT.newScan().toDF(spark), cents, rcb,
+        Similarity.pqEmb(corpus), p.nSub)
+      codesT = TableWriter.updateProperties(codesT,
+        Map(BootstrapErrProp -> err.toString))
+      val occupancy = codesT.newScan().toDF(spark)
+        .select("vec_id", "cid").distinct()
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).cast("double"), sum(col("n")).cast("double"))
+        .collect()(0)
+      val share =
+        if (occupancy.isNullAt(0) || occupancy.getDouble(1) == 0.0) None
+        else Some(occupancy.getDouble(0) / occupancy.getDouble(1))
+      mkStats(spark, codesT, err, share)
+    } finally { assigned.unpersist(); () }
+  }
+
   // ------------------------------------------------- persistent IVF-PQ
 
   /** IVF-PQ geometry for the persistent composed index (ann08's shape). */
@@ -164,8 +327,12 @@ object AnnIndex {
     try {
       val rcb = Similarity.ivfResidualCodebook(assigned, p.nSub, p.kSub)
       val rcbT = TableWriter.create(rcb, codebookLoc)
-      val codesT = TableWriter.create(
+      var codesT = TableWriter.create(
         Similarity.ivfPqEncode(assigned, rcb, p.nSub), codesLoc)
+      val err = ivfQuantErrorOf(codesT.newScan().toDF(corpus.sparkSession),
+        cents, rcb, Similarity.pqEmb(corpus), p.nSub)
+      codesT = TableWriter.updateProperties(codesT,
+        Map(BootstrapErrProp -> err.toString))
       (centsT, rcbT, codesT)
     } finally { assigned.unpersist(); () }
   }

@@ -24,7 +24,21 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "cherrypick_snapshot",
-    "sync_dedup_index", "sync_agg_view", "sync_ann_index")
+    "sync_dedup_index", "sync_agg_view", "sync_ann_index",
+    "ann_index_stats", "ann_ivf_index_stats",
+    "rebuild_ann_index", "rebuild_ann_ivf_index")
+
+  /** Shared result shape of the ANN stats/rebuild procedures. */
+  private val annStatsSchema = StructType(Seq(
+    StructField("code_rows", LongType, nullable = false),
+    StructField("quant_error", DoubleType, nullable = false),
+    StructField("bootstrap_error", DoubleType),
+    StructField("drift_ratio", DoubleType),
+    StructField("max_cell_share", DoubleType)))
+
+  private def annStatsRow(s: graft.queries.AnnIndex.IndexStats): Array[Any] =
+    Array[Any](s.codeRows, s.quantErr, s.bootstrapErr.orNull,
+      s.driftRatio.orNull, s.maxCellShare.orNull)
 
   def load(name: String, resolveLocation: String => String): UnboundProcedure =
     name match {
@@ -260,26 +274,94 @@ object GraftProcedures {
       }
       case "sync_ann_index" => proc(name,
         Seq("corpus" -> StringType, "codebook" -> StringType,
-          "codes" -> StringType, "after_snapshot_id" -> LongType),
+          "codes" -> StringType, "after_snapshot_id" -> LongType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType),
         StructType(Seq(
           StructField("codes_snapshot_id", LongType, nullable = false),
-          StructField("code_rows", LongType, nullable = false)))) { in =>
+          StructField("code_rows", LongType, nullable = false))),
+        // geometry args default to the battery's 8×16 so existing CALLs
+        // keep working; an index built with other Params passes its own
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         val cb = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
         val from = in.getLong(3) match { case 0L => None; case id => Some(id) }
         val out = graft.queries.AnnIndex.syncFromChangelog(spark, corpus,
-          codes, cb.newScan().toDF(spark), from)
+          codes, cb.newScan().toDF(spark), from,
+          graft.queries.AnnIndex.Params(in.getInt(4), in.getInt(5)))
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
+      }
+      case "ann_index_stats" => proc(name,
+        Seq("corpus" -> StringType, "codebook" -> StringType,
+          "codes" -> StringType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType),
+        annStatsSchema,
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        annStatsRow(graft.queries.AnnIndex.stats(spark, codes,
+          cb.newScan().toDF(spark), corpus.newScan().toDF(spark),
+          graft.queries.AnnIndex.Params(in.getInt(3), in.getInt(4))))
+      }
+      case "ann_ivf_index_stats" => proc(name,
+        Seq("corpus" -> StringType, "centroids" -> StringType,
+          "codebook" -> StringType, "codes" -> StringType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType),
+        annStatsSchema,
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cents = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(3).toString))
+        annStatsRow(graft.queries.AnnIndex.statsIvf(spark, codes,
+          cents.newScan().toDF(spark), cb.newScan().toDF(spark),
+          corpus.newScan().toDF(spark),
+          graft.queries.AnnIndex.IvfParams(
+            nSub = in.getInt(4), kSub = in.getInt(5))))
+      }
+      case "rebuild_ann_index" => proc(name,
+        Seq("corpus" -> StringType, "codebook" -> StringType,
+          "codes" -> StringType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType),
+        annStatsSchema,
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        annStatsRow(graft.queries.AnnIndex.rebuild(spark,
+          corpus.newScan().toDF(spark),
+          resolveLocation(in.getUTF8String(1).toString),
+          resolveLocation(in.getUTF8String(2).toString),
+          graft.queries.AnnIndex.Params(in.getInt(3), in.getInt(4))))
+      }
+      case "rebuild_ann_ivf_index" => proc(name,
+        Seq("corpus" -> StringType, "centroids" -> StringType,
+          "codebook" -> StringType, "codes" -> StringType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType),
+        annStatsSchema,
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        annStatsRow(graft.queries.AnnIndex.rebuildIvf(spark,
+          corpus.newScan().toDF(spark),
+          resolveLocation(in.getUTF8String(1).toString),
+          resolveLocation(in.getUTF8String(2).toString),
+          resolveLocation(in.getUTF8String(3).toString),
+          graft.queries.AnnIndex.IvfParams(
+            nSub = in.getInt(4), kSub = in.getInt(5))))
       }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")
     }
 
   private def proc(procName: String, params: Seq[(String, DataType)],
-                   out: StructType)(body: InternalRow => Array[Any]): UnboundProcedure =
+                   out: StructType,
+                   defaults: Map[String, String] = Map.empty)
+                  (body: InternalRow => Array[Any]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft $procName"
@@ -288,7 +370,11 @@ object GraftProcedures {
         override def description(): String = s"graft $procName"
         override def isDeterministic: Boolean = false
         override def parameters(): Array[ProcedureParameter] =
-          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+          params.map { case (n, t) =>
+            val b = ProcedureParameter.in(n, t)
+            defaults.get(n).foreach(b.defaultValue)
+            b.build()
+          }.toArray
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val values = body(input).map {
             case s: String => UTF8String.fromString(s)
