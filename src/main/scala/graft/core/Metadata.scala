@@ -61,7 +61,14 @@ object TableMetadata {
     val version = Option(root.get("format-version")).map(_.asInt()).getOrElse(
       throw new IllegalArgumentException("invalid or missing format-version in table metadata"))
     if (version != 1 && version != 2)
-      throw new IllegalArgumentException(s"unsupported format-version: $version")
+      throw new IllegalArgumentException(
+        if (version == 3)
+          "unsupported format-version: 3 — this engine implements the " +
+            "Iceberg V1/V2 spec; V3 features (deletion vectors in Puffin " +
+            "files, row lineage, default column values, new V3 types) are " +
+            "not supported yet. Rewrite the table at format-version 2 to " +
+            "read it here."
+        else s"unsupported format-version: $version")
 
     def optLong(k: String): Option[Long] = Option(root.get(k)).map(_.asLong())
     def optInt(k: String): Option[Int] = Option(root.get(k)).map(_.asInt())

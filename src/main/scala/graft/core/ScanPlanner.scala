@@ -363,10 +363,19 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     // PARQUET (vectorized), ORC or AVRO (row readers); delete files are
     // written by this engine and are always parquet.
     def requireFormat(f: DataFileInfo, role: String, allowed: Set[String]): Unit =
-      if (!allowed.contains(f.format.toUpperCase))
+      if (!allowed.contains(f.format.toUpperCase)) {
+        // name the V3 feature, not just the enum: deletion vectors ride
+        // Puffin-format delete entries in format-version 3 tables
+        if (f.format.toUpperCase == "PUFFIN")
+          throw new UnsupportedOperationException(
+            s"${f.path} is a PUFFIN file — deletion vectors are an " +
+              "Iceberg format-version 3 feature this engine does not " +
+              "support yet (V2 positional/equality delete files are " +
+              "supported; rewrite the table's deletes at format-version 2)")
         throw new UnsupportedOperationException(
           s"unsupported $role file format ${f.format} for ${f.path}: " +
             s"expected one of ${allowed.mkString(", ")}")
+      }
     allDeleteEntries.foreach(e =>
       requireFormat(e.dataFile, "delete", Set("PARQUET")))
 

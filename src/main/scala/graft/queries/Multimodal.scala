@@ -318,9 +318,20 @@ object Multimodal {
     * (one byte per recursion step, the same gear table inlined as
     * literals); correctness also rides MultimodalSpec's shift-robustness,
     * partitioning-independence, and gear-vs-digest agreement specs. */
-  def mm06GearChunkDedup(s: SparkSession, d: String): DataFrame =
-    sharedChunkStats(gearChunks(
-      mediaTable(s, d).toDF().select(col("media_id"), col("payload"))))
+  def mm06GearChunkDedup(s: SparkSession, d: String): DataFrame = {
+    // guard the oracle's documented assumption: [[mm06Sql]] addresses
+    // payload bytes via CHAR-indexed `ascii(substr(...))`, which equals
+    // the Spark byte-wise chunker only for pure-ASCII payloads — a
+    // multi-byte or >127 byte must fail loudly here, not silently
+    // diverge the engines (the filter keeps every row; assert_true
+    // throws on the first violation and can't be pruned away)
+    val asciiChecked = Tables.documents(s, d)
+      .filter(isnull(assert_true(col("text").rlike("^[\\x00-\\x7F]*$"),
+        lit("mm06 oracle assumes pure-ASCII payloads; non-ASCII text found"))))
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+    sharedChunkStats(gearChunks(asciiChecked))
+  }
 
   /** DuckDB mirror of [[mm06GearChunkDedup]]: the gear recurrence
     * `h = (h << 1) + gear(byte)` is a per-document sequential state

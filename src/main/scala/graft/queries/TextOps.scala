@@ -719,6 +719,114 @@ object TextOps {
 
   /** DuckDB mirror of [[t20CurationCard]]: d02's pair CTE chain + the same
     * keep-first / quality / rollup decisions. */
+  // --------------- t21: BPE token accounting under pretrained merges
+
+  /** Fixed seed corpus the t21 merge table learns from — LITERAL and
+    * data-independent (the synthetic fixture vocabulary), so the oracle
+    * can inline the IDENTICAL table as literals. A production pipeline
+    * loads a published merges.txt instead; the seam is the same file
+    * format ([[graft.spark.functions.Bpe.parseMerges]]). */
+  private val bpeSeedCorpus: Seq[String] = Seq(
+    "table value part row key hash fast merge batch spark scan sort window line slow agg the a",
+    "table value part row key hash fast merge scan sort the a",
+    "table value row key fast the a table value")
+
+  private[queries] val t21Merges: graft.spark.functions.Bpe.Merges =
+    graft.spark.functions.Bpe.learn(bpeSeedCorpus, 30)
+
+  /** Write the pretrained merges file once to a stable path (content is
+    * deterministic, write-then-rename keeps concurrent callers safe). */
+  private[queries] lazy val t21MergesPath: String = {
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bpe")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "t21_merges.txt")
+    if (!f.isFile) {
+      val tmp = java.io.File.createTempFile("t21_merges", ".tmp", dir)
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try {
+        w.println("#version: graft-t21")
+        t21Merges.ranks.toSeq.sortBy(_._2).foreach { case ((a, b), _) =>
+          w.println(s"$a $b")
+        }
+      } finally w.close()
+      tmp.renameTo(f)
+      ()
+    }
+    f.getPath
+  }
+
+  /** Battery entry t21: per-source token budget under PRETRAINED BPE
+    * merges, counted by the SQL-callable `graft_bpe_count` (the bound V2
+    * scalar function: merges parsed once driver-side at bind, shipped
+    * broadcast with the function, evaluated row-local in the scan task —
+    * zero extra shuffles over the whitespace twin t06). The oracle
+    * ([[t21Sql]]) applies the SAME merge table via a recursive CTE (the
+    * mm06 trick: a bounded per-element sequential state machine — here
+    * one merge application per recursion step per word), so the hash
+    * match proves real BPE semantics end to end, not just a count. */
+  def t21BpeTokens(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftfn", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftfn.warehouse", new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bpe_wh").getPath)
+    s.conf.set(graft.spark.functions.GraftFunctions.BpeMergesPathConf,
+      t21MergesPath)
+    Tables.documents(s, d).createOrReplaceTempView("t21_docs")
+    s.sql(
+      """SELECT source, COUNT(*) AS n_docs,
+         SUM(graftfn.system.graft_bpe_count(text)) AS bpe_tokens
+         FROM t21_docs GROUP BY source ORDER BY source""")
+  }
+
+  /** DuckDB mirror of [[t21BpeTokens]]: the merge table inlined as a MAP
+    * literal (rank per `left<SOH>right` key), words exploded with their
+    * ordinal, and merge application as a recursive CTE whose state is the
+    * current symbol list — each step merges the LOWEST-rank adjacent pair
+    * (first-index tie, exactly [[graft.spark.functions.Bpe.encodeWord]]'s
+    * loop) and stops when no learned pair remains. Terminal rows carry
+    * each word's final symbol count. */
+  val t21Sql: String = {
+    val pairs = t21Merges.ranks.toSeq.sortBy(_._2)
+    val keys = pairs.map { case ((a, b), _) => s"'$a' || chr(1) || '$b'" }
+      .mkString(", ")
+    val ranks = pairs.map(_._2).mkString(", ")
+    s"""WITH RECURSIVE
+       m AS (SELECT map([$keys], [$ranks]) AS mm),
+       w0 AS (
+         SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS wi
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d0,
+              UNNEST(range(1, len(ws)+1)) t(i)
+         WHERE ws[i] <> ''),
+       st(doc_id, wi, syms) AS (
+         SELECT doc_id, wi, [w[i] for i in range(1, len(w)+1)] FROM w0
+         UNION ALL
+         SELECT doc_id, wi,
+           list_concat(list_concat(syms[1:best_i-1],
+             [syms[best_i] || syms[best_i+1]]), syms[best_i+2:])
+         FROM (
+           SELECT doc_id, wi, syms,
+             CASE WHEN list_min(ranks) < 999999
+                  THEN list_position(ranks, list_min(ranks)) END AS best_i
+           FROM (
+             SELECT doc_id, wi, syms,
+               [COALESCE(map_extract(mm, syms[i] || chr(1) || syms[i+1])[1],
+                 999999) for i in range(1, len(syms))] AS ranks
+             FROM st, m WHERE len(syms) > 1) t1) t2
+         WHERE best_i IS NOT NULL),
+       fin AS (
+         SELECT doc_id, wi, len(syms) AS n
+         FROM st, m
+         WHERE len(syms) <= 1
+            OR list_min([COALESCE(map_extract(mm,
+                 syms[i] || chr(1) || syms[i+1])[1], 999999)
+                 for i in range(1, len(syms))]) = 999999),
+       per_doc AS (SELECT doc_id, SUM(n) AS n FROM fin GROUP BY doc_id)
+       SELECT d.source, COUNT(*) AS n_docs,
+              CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS bpe_tokens
+       FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       GROUP BY d.source ORDER BY d.source"""
+  }
+
   val t20Sql: String =
     s"""WITH ${Dedup.simhashPairsCte},
        dup AS (

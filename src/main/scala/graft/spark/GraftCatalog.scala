@@ -547,8 +547,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = new File(warehouse, namespace.mkString(File.separator))
+    // the props dotfile is the namespace's OWN metadata, not content — a
+    // namespace holding only its properties is empty for DROP purposes
+    def hasContent = Option(dir.listFiles()).exists(
+      _.exists(_.getName != nsPropsFile(namespace).getName))
     if (!dir.isDirectory) false
-    else if (!cascade && Option(dir.listFiles()).exists(_.nonEmpty)) false
+    else if (!cascade && hasContent)
+      // Spark treats a `false` return as "nothing to drop" and reports
+      // success — a non-empty namespace must throw to surface the
+      // required CASCADE
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
     else { deleteRec(dir); GraftViewExistsCache.invalidate(); true }
   }
 }

@@ -676,6 +676,11 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * concurrent commit between scan and rewrite conflicts loudly. */
   private[spark] def scannedVersion: Int = table.loadedVersion
 
+  /** Snapshot this scan read — the base of snapshot-isolation validation
+    * for merge-on-read row-level commits. */
+  private[spark] def scannedSnapshotId: Option[Long] =
+    snapshotId.orElse(table.currentSnapshot.map(_.snapshotId))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
     if (readChanges) throw new UnsupportedOperationException(

@@ -73,11 +73,21 @@ final class GraftDeltaRowLevelOperation(location: String,
       override def build(): DeltaWrite = {
         val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
           new IllegalStateException("delta write without a rowId schema"))
+        // Iceberg's per-op isolation knob: serializable (default)
+        // conflicts on any concurrent commit; snapshot tolerates pure
+        // appends (see TableWriter.commitDelta)
+        val isolationProp = cmd match {
+          case RowLevelOperation.Command.DELETE => "write.delete.isolation-level"
+          case RowLevelOperation.Command.UPDATE => "write.update.isolation-level"
+          case _ => "write.merge.isolation-level"
+        }
+        val isolation = IcebergTables.load(location).properties
+          .getOrElse(isolationProp, "serializable")
         new GraftDeltaWrite(location, info.schema(), rowIdSchema,
           () => {
             require(capturedScan != null, "row-level write before scan was planned")
-            capturedScan.scannedVersion
-          })
+            (capturedScan.scannedVersion, capturedScan.scannedSnapshotId)
+          }, isolation)
       }
     }
 }
@@ -88,7 +98,8 @@ final class GraftDeltaRowLevelOperation(location: String,
   * between scan and write would invalidate the captured row positions). */
 final class GraftDeltaWrite(location: String, dataSchema: StructType,
                             rowIdSchema: StructType,
-                            scannedVersion: () => Int)
+                            scannedBase: () => (Int, Option[Long]),
+                            isolation: String = "serializable")
     extends DeltaWrite with DeltaBatchWrite {
 
   private val writeDir =
@@ -117,8 +128,10 @@ final class GraftDeltaWrite(location: String, dataSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val data = messages.collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
     val dels = messages.collect { case m: GraftDeltaCommit => m.deleteFiles }.flatten
+    val (version, snapId) = scannedBase()
     TableWriter.commitDelta(location, data.toSeq, dels.toSeq,
-      expectedVersion = Some(scannedVersion()))
+      expectedVersion = Some(version), scannedSnapshotId = snapId,
+      isolation = isolation)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -192,7 +192,14 @@ object GraftCowWriterFactory {
     * metadata, so written files carry ids and renamed columns keep
     * resolving (readers match by id when the file has ids). Recurses into
     * nested structs, matching the nested ALTER TABLE surface — a renamed
-    * `a.b.c` resolves by id in any file written through this stamp. */
+    * `a.b.c` resolves by id in any file written through this stamp.
+    *
+    * Rename-safety deliberately stops at LIST/MAP boundaries: fields
+    * nested under a list element / map value are written WITHOUT ids and
+    * resolve by name only — consistent with schema evolution refusing
+    * list/map paths (`rewriteStructAt`: those levels have no stable
+    * user-facing field names to evolve through), so no rename can ever
+    * target them and the id stamp would be dead weight. */
   def withParquetIds(writeSchema: StructType, schema: graft.core.Schema): StructType = {
     def stamp(st: StructType, ice: graft.core.StructT): StructType =
       StructType(st.fields.map { f =>

@@ -278,14 +278,32 @@ object TableWriter {
     *
     * `expectedVersion` pins the commit to the metadata version the
     * row-level scan read: the buffered (file, pos) coordinates are only
-    * valid against that snapshot's files. */
+    * valid against that snapshot's files.
+    *
+    * Isolation (Iceberg's `write.<op>.isolation-level` semantics):
+    * `serializable` (the default) conflicts on ANY concurrent commit;
+    * `snapshot` tolerates concurrent PURE APPENDS — appended files
+    * cannot contain any row this operation tombstoned or read (new
+    * paths, and positional deletes only name pre-existing paths), so
+    * committing on the moved base is exactly snapshot isolation. The
+    * validation walks the snapshot parent chain from the current head
+    * back to `scannedSnapshotId`, requires every intermediate commit be
+    * an `append` under the SAME schema, and otherwise conflicts loudly
+    * (a concurrent delete/rewrite may have removed rows this operation
+    * re-appends — the lost-delete anomaly snapshot isolation forbids). */
   def commitDelta(location: String, added: Seq[graft.spark.CowFileOut],
                   posDeleteFiles: Seq[String],
-                  expectedVersion: Option[Int] = None): IcebergTable = {
+                  expectedVersion: Option[Int] = None,
+                  scannedSnapshotId: Option[Long] = None,
+                  isolation: String = "serializable"): IcebergTable = {
     val table = IcebergTables.load(location)
     expectedVersion.foreach { v =>
-      if (table.loadedVersion != v)
-        throw new CommitConflictException(table.loadedVersion, location)
+      if (table.loadedVersion != v) {
+        val appendOnly = isolation.equalsIgnoreCase("snapshot") &&
+          appendOnlySince(table, scannedSnapshotId)
+        if (!appendOnly)
+          throw new CommitConflictException(table.loadedVersion, location)
+      }
     }
     val md = table.metadata
     val seq = md.lastSequenceNumber + 1
@@ -363,6 +381,26 @@ object TableWriter {
       refs = md.refs + (TableMetadata.MainBranch ->
         SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
     IcebergTables.load(location)
+  }
+
+  /** Every commit between `sinceSnapshotId` and the current head is a
+    * pure append under an unchanged schema — the condition under which a
+    * positional-tombstone commit stays valid on the moved base. Walks
+    * the parent chain (O(intermediate commits), metadata only). */
+  private def appendOnlySince(table: IcebergTable,
+                              sinceSnapshotId: Option[Long]): Boolean = {
+    val byId = table.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = table.currentSnapshot
+    while (cur.isDefined && cur.map(_.snapshotId) != sinceSnapshotId) {
+      val s = cur.get
+      if (!s.summary.map(_.operation).contains(OpAppend)) return false
+      if (s.schemaId.exists(id => id != table.schema.schemaId)) return false
+      cur = s.parentSnapshotId.flatMap(byId.get)
+    }
+    // chain must actually REACH the scanned snapshot (a rollback or
+    // expired lineage means the base is unrecognizable — conflict)
+    cur.map(_.snapshotId) == sinceSnapshotId ||
+      (cur.isEmpty && sinceSnapshotId.isEmpty)
   }
 
   /** Copy-on-write commit for row-level operations: atomically swap

@@ -33,7 +33,12 @@ object GraftFunctions {
 
   /** Session conf holding the path of a GPT-2-style `merges.txt`; the
     * function binds the PARSED table (loaded once per path) so executors
-    * get it with the serialized function, no per-row I/O. */
+    * get it with the serialized function, no per-row I/O.
+    *
+    * Staleness caveat: the parse caches BY PATH for the JVM's lifetime —
+    * rewriting the file at the same path within one driver process keeps
+    * serving the old table (merges files are immutable published
+    * artifacts in practice; use a fresh path for a new vocabulary). */
   val BpeMergesPathConf = "spark.graft.bpe.merges-path"
 
   private val mergesCache =
@@ -69,8 +74,10 @@ object GraftFunctions {
         // just the table size) must be part of the identity
         override def canonicalName(): String =
           s"graft.graft_bpe_count(merges=${mergesPath.getOrElse("<none>")})"
+        // standard SQL scalar null semantics: NULL in → NULL out (the
+        // resultType is nullable by default)
         override def produceResult(input: InternalRow): java.lang.Long =
-          if (input.isNullAt(0)) 0L
+          if (input.isNullAt(0)) null
           else Bpe.countText(input.getUTF8String(0).toString, merges)
       }
     }

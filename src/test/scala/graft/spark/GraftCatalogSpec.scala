@@ -292,6 +292,10 @@ class GraftCatalogSpec extends AnyFunSuite {
         "SELECT id, graft.system.graft_bpe_count(txt) AS n FROM graft.db27.bpe ORDER BY id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(rows.toSeq == Seq((1L, 1L), (2L, 3L)))
+      // standard scalar null semantics: NULL in -> NULL out
+      assert(spark.sql(
+        "SELECT graft.system.graft_bpe_count(CAST(NULL AS STRING))")
+        .collect()(0).isNullAt(0))
     } finally spark.conf.unset(GraftFunctions.BpeMergesPathConf)
   }
 

@@ -185,6 +185,48 @@ class MorDmlSpec extends AnyFunSuite {
       .exists(_.deleteFiles.nonEmpty))
   }
 
+  test("snapshot isolation tolerates concurrent appends, conflicts on deletes") {
+    spark.sql(
+      """CREATE TABLE graft.mor.iso (id BIGINT, v DOUBLE)
+         TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.mor.iso VALUES (1, 1.0), (2, 2.0)")
+    val loc = s"$warehouse/mor/iso"
+
+    // pure append between scan and commit: tombstones name only
+    // pre-existing files → valid on the moved base under snapshot isolation
+    val scanned1 = IcebergTables.load(loc)
+    TableWriter.append(scanned1,
+      spark.sql("SELECT CAST(3 AS BIGINT) AS id, CAST(3.0 AS DOUBLE) AS v"))
+    TableWriter.commitDelta(loc, Nil, Nil,
+      expectedVersion = Some(scanned1.loadedVersion),
+      scannedSnapshotId = scanned1.currentSnapshot.map(_.snapshotId),
+      isolation = "snapshot")
+    assert(spark.sql("SELECT count(*) FROM graft.mor.iso")
+      .collect()(0).getLong(0) == 3, "concurrent append must survive")
+
+    // concurrent DELETE: re-appending its rows would be a lost delete —
+    // snapshot isolation must still conflict
+    val scanned2 = IcebergTables.load(loc)
+    TableWriter.deleteWhere(scanned2, spark,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    intercept[TableWriter.CommitConflictException] {
+      TableWriter.commitDelta(loc, Nil, Nil,
+        expectedVersion = Some(scanned2.loadedVersion),
+        scannedSnapshotId = scanned2.currentSnapshot.map(_.snapshotId),
+        isolation = "snapshot")
+    }
+
+    // serializable (the default) conflicts even on a pure append
+    val scanned3 = IcebergTables.load(loc)
+    TableWriter.append(scanned3,
+      spark.sql("SELECT CAST(4 AS BIGINT) AS id, CAST(4.0 AS DOUBLE) AS v"))
+    intercept[TableWriter.CommitConflictException] {
+      TableWriter.commitDelta(loc, Nil, Nil,
+        expectedVersion = Some(scanned3.loadedVersion),
+        scannedSnapshotId = scanned3.currentSnapshot.map(_.snapshotId))
+    }
+  }
+
   test("MoR commit is pinned: a concurrent commit between scan and write conflicts") {
     spark.sql(
       """CREATE TABLE graft.mor.race (id BIGINT, v DOUBLE)
