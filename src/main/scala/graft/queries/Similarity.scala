@@ -441,7 +441,10 @@ object Similarity {
       .groupBy("m", "j")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
         .as("cw1"))
-    cb.join(means, Seq("m", "j"), "left")
+    // both sides are nSub·kSub rows, but they derive from aggregations so
+    // the planner can't see that — hint the provably-bounded means side
+    // (a sort-merge of two 128-row relations is harmless yet pointless)
+    cb.join(broadcast(means), Seq("m", "j"), "left")
       .select(col("m"), col("j"), coalesce(col("cw1"), col("cw")).as("cw"))
   }
 
@@ -701,7 +704,9 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
         .as("ce1"))
-    cents.join(means, Seq("cid"), "left")
+    // nCells-row refinement join: hint the bounded means side (see
+    // pqTrainStep's identical note)
+    cents.join(broadcast(means), Seq("cid"), "left")
       .select(col("cid"), coalesce(col("ce1"), col("ce")).as("ce"))
       .select(col("cid"), col("ce"), sqrt(dot(col("ce"), col("ce"))).as("cn"))
   }

@@ -79,6 +79,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected >=4 broadcast hash joins (encode, ADC, shortlist, re-rank):\n$p")
   }
 
+  test("ann10/ann11: trained quantizers keep the sampled plans' shapes") {
+    // training must not change the serving topology: the trained codebook
+    // is the same kSub×nSub broadcast side, codes stay the probe side
+    for ((name, p) <- Seq(
+        "ann10" -> plan(Similarity.annTrainedPq(spark, sf)),
+        "ann11" -> plan(Similarity.annTrainedIvfPq(spark, sf)))) {
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: corpus-side sort-merge crept into the trained chain:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.split("BroadcastHashJoin", -1).length - 1 >= 3,
+        s"$name: expected >=3 broadcast hash joins:\n$p")
+    }
+  }
+
   test("ann06: codebook and ADC table broadcast; codes carry ints only") {
     val p = plan(Similarity.annPq(spark, sf))
     // the kSub×nSub codebook and the query ADC table are the broadcast
@@ -90,6 +104,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"),
       s"a corpus-side sort-merge join crept into the PQ chain:\n$p")
+  }
+
+  test("t21: BPE counting is row-local with map-side combine, one exchange") {
+    val p = plan(TextOps.t21BpeTokens(spark, sf))
+    // the bound function evaluates inside the scan task; the only data
+    // movement is the per-source aggregation exchange
+    assert(p.split("Exchange", -1).length - 1 <= 2, // agg + final sort
+      s"BPE counting must not add shuffles:\n$p")
+    val exIdx = p.indexOf("Exchange")
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("HashAggregate") > exIdx,
+      s"expected partial aggregation below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("d01: shingle arrays stay out of the LSH shuffles") {
