@@ -185,6 +185,45 @@ class MorDmlSpec extends AnyFunSuite {
       .exists(_.deleteFiles.nonEmpty))
   }
 
+  test("maintenance after MoR DML churn: rewrite tombstones, compact, same rows") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE graft.mor.life (id BIGINT, v DOUBLE)
+         TBLPROPERTIES ('write.merge.mode' = 'merge-on-read',
+                        'write.update.mode' = 'merge-on-read',
+                        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.mor.life SELECT id, CAST(id AS DOUBLE) FROM range(0, 50)")
+    // three rounds of churn → three tombstone files accumulate
+    for (r <- 1 to 3) {
+      Seq((r.toLong, r * 100.0), (50L + r, r * 1.0)).toDF("id", "v")
+        .createOrReplaceTempView(s"life_chg_$r")
+      spark.sql(
+        s"""MERGE INTO graft.mor.life t USING life_chg_$r c ON t.id = c.id
+           WHEN MATCHED THEN UPDATE SET t.v = c.v
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    spark.sql("DELETE FROM graft.mor.life WHERE id % 10 = 9")
+    val loc = s"$warehouse/mor/life"
+    val expected = spark.sql("SELECT id, v FROM graft.mor.life ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def deleteFileCount(): Int = IcebergTables.load(loc).newScan().planFiles()
+      .flatMap(_.deleteFiles).map(_.path).distinct.size
+    assert(deleteFileCount() >= 4, "churn must have accumulated tombstone files")
+
+    // delete-file compaction: fewer tombstone files, same rows
+    spark.sql("CALL graft.system.rewrite_position_deletes('mor.life')")
+    assert(deleteFileCount() <= 2, "rewrite must consolidate tombstones")
+    assert(spark.sql("SELECT id, v FROM graft.mor.life ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
+
+    // full compaction absorbs the tombstones entirely
+    spark.sql("CALL graft.system.compact('mor.life', 1)")
+    assert(IcebergTables.load(loc).newScan().planFiles()
+      .forall(_.deleteFiles.isEmpty))
+    assert(spark.sql("SELECT id, v FROM graft.mor.life ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
+  }
+
   test("snapshot isolation tolerates concurrent appends, conflicts on deletes") {
     spark.sql(
       """CREATE TABLE graft.mor.iso (id BIGINT, v DOUBLE)
