@@ -1643,47 +1643,74 @@ object TableWriter {
     * the transformed partition value, then the task writers (one open
     * file per partition tuple, inline NaN counts, attempt-unique names).
     * Returns one CowFileOut per written file — metadata-sized. */
+  /** Iceberg's write-layout knob. `none` writes in place (no exchange —
+    * the caller's layout is trusted; partition-grouping is still a LOCAL
+    * sort), `hash` clusters each partition value into few tasks, `range`
+    * range-clusters by partition (+ sort) keys for disjoint per-file
+    * bounds. Defaults preserve this engine's established behavior:
+    * `range` for sorted writes, `hash` for partitioned unsorted writes,
+    * `none` otherwise. */
+  val DistributionModeProp = "write.distribution-mode"
+
   private def writeDistributed(df: DataFrame, dataDir: File, schema: Schema,
                                spec: PartitionSpec,
                                properties: Map[String, String],
                                sortOrder: SortOrder,
                                preClustered: Boolean): Seq[CowFileOut] = {
-    // write-time clustering per the sort order: one range shuffle, then a
-    // local sort — files end up with disjoint bound ranges on the sort keys
-    val clustered =
-      if (sortOrder.isUnsorted || preClustered) df
-      else {
-        val sortCols = sortOrder.fields.map(sf =>
-          col(schema.findFieldById(sf.sourceId).get.name))
-        df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-      }
+    val sortCols =
+      if (sortOrder.isUnsorted) Nil
+      else sortOrder.fields.map(sf =>
+        col(schema.findFieldById(sf.sourceId).get.name))
+    val mode = properties.get(DistributionModeProp).map(_.toLowerCase)
+      .getOrElse(
+        if (!sortOrder.isUnsorted) "range"
+        else if (!spec.isUnpartitioned) "hash"
+        else "none")
+    require(Seq("none", "hash", "range").contains(mode),
+      s"invalid $DistributionModeProp '$mode': use none, hash, or range")
 
-    // distribution (Iceberg's write.distribution-mode=hash): hash by the
-    // TRANSFORMED partition value before writing, so each partition value
-    // lands in few tasks — without this, every task writes a file for every
-    // partition value it happens to hold (tasks × partitions small files at
-    // cluster scale). Skip when the data was range-clustered by an explicit
-    // sort order (already partition-aligned for the common time-sorted
-    // case). The derived columns exist only to key the exchange — the
-    // select drops them before rows reach the writers.
+    // distribution: without an exchange keyed on the TRANSFORMED partition
+    // value, every task writes a file for every partition value it happens
+    // to hold — tasks × partitions small files at cluster scale. `hash`
+    // sends each partition value to one task; `range` additionally gives
+    // files disjoint bound ranges on the keys (stats pruning); `none`
+    // trusts the caller's layout (the pre-clustered compaction/z-order
+    // paths, or a user who already arranged the frame). The derived
+    // columns exist only to key the exchange — the select drops them
+    // before rows reach the writers. In every mode rows reach the task
+    // writer LOCALLY SORTED by partition tuple, so it writes one file at
+    // a time instead of holding an open writer per tuple it will ever see
+    // — with thousands of (e.g. day × status) tuples per task, concurrent
+    // open parquet writers are the classic dynamic-partition OOM. (The
+    // sortWithinPartitions is local — no extra shuffle.)
     val distributed =
-      if (spec.isUnpartitioned || !sortOrder.isUnsorted) clustered
+      if (preClustered || (spec.isUnpartitioned && sortCols.isEmpty &&
+          !properties.contains(DistributionModeProp))) df
       else {
-        val withParts = spec.fields.foldLeft(clustered) { (d, pf) =>
+        val withParts = spec.fields.foldLeft(df) { (d, pf) =>
           val srcField = schema.findFieldById(pf.sourceId).get
           d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(srcField.name),
             srcField.fieldType))
         }
-        val keys = spec.fields.map(f => col(s"_p_${f.name}"))
-        // local sort by the partition tuple AFTER the exchange: rows reach
-        // the task writer grouped by tuple, so it writes one file at a
-        // time instead of holding an open writer per tuple it will ever
-        // see — with thousands of (e.g. day × status) tuples per task,
-        // concurrent open parquet writers are the classic dynamic-
-        // partition OOM. No extra shuffle: sortWithinPartitions is local.
-        withParts.repartition(keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .select(clustered.columns.toIndexedSeq.map(col): _*)
+        val partKeys = spec.fields.map(f => col(s"_p_${f.name}"))
+        val arranged = mode match {
+          case "hash" if partKeys.nonEmpty =>
+            withParts.repartition(partKeys: _*)
+              .sortWithinPartitions(partKeys ++ sortCols: _*)
+          case "range" =>
+            // the established sorted-write layout: range-cluster and
+            // locally sort by the sort keys alone (partition-aligned for
+            // the common time-sorted case — files get disjoint sort-key
+            // bounds); without a sort order, by the partition keys
+            val keys = if (sortCols.nonEmpty) sortCols else partKeys
+            if (keys.isEmpty) withParts
+            else withParts.repartitionByRange(keys: _*)
+              .sortWithinPartitions(keys: _*)
+          case _ => // none, or hash on an unpartitioned table
+            if (partKeys.isEmpty && sortCols.isEmpty) withParts
+            else withParts.sortWithinPartitions(partKeys ++ sortCols: _*)
+        }
+        arranged.select(df.columns.toIndexedSeq.map(col): _*)
       }
 
     // distributed write through the task writers (shared with the CoW
