@@ -430,11 +430,32 @@ object Dedup {
     * representative (the one a keep-one-per-cluster pass would retain).
     * Transitive: A~B and B~C put A,B,C in one cluster even if A,C were
     * never a candidate pair. */
+  /** Memoized cluster labels: d06 and d09 share one connected-components
+    * run per (session, edge set). The CC result is a chain of
+    * localCheckpoints whose plans never compare equal across builds, so a
+    * CacheSlot can't key on it — this memo keys on the EDGES plan instead
+    * and drops with the other battery caches via the releaseAll hook. */
+  private val ccMemoLock = new Object
+  private var ccMemo: Option[(DataFrame, DataFrame)] = None
+  CacheSlot.onReleaseAll(() => ccMemoLock.synchronized { ccMemo = None })
+
+  private def clusterLabelsFor(edges: DataFrame): DataFrame =
+    ccMemoLock.synchronized {
+      ccMemo match {
+        case Some((e, lbl)) if (e.sparkSession eq edges.sparkSession) &&
+            e.sameSemantics(edges) => lbl
+        case _ =>
+          val lbl = connectedComponents(edges)
+          ccMemo = Some((edges, lbl))
+          lbl
+      }
+    }
+
   def d06DedupClusters(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     val edges = simhashBandedPairs(Tables.documents(s, d), md5Hash64)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b")
-    val labels = connectedComponents(edges)
+    val labels = clusterLabelsFor(edges)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

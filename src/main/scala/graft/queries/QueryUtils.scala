@@ -45,7 +45,15 @@ object CacheSlot {
   def releaseAll(): Unit = {
     val it = slots.iterator()
     while (it.hasNext) it.next().release()
+    val hs = hooks.iterator()
+    while (hs.hasNext) hs.next().apply()
   }
+
+  /** Extra release work for caches that can't live in a CacheSlot (e.g.
+    * memoized localCheckpoint results, whose plans never compare equal
+    * across builds — they key on their INPUT's semantics instead). */
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  def onReleaseAll(f: () => Unit): Unit = hooks.add(f)
 }
 
 /** Shared helpers for the oracle-checked query battery.
