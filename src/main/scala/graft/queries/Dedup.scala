@@ -706,4 +706,75 @@ object Dedup {
        FROM sh LEFT JOIN bench ON sh.h = bench.h
        WHERE sh.doc_id % 50 <> 0
        GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+
+  /** SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding corpus with k-means, then search for
+    * near-duplicate pairs ONLY inside each cluster — a vector keeps if no
+    * LOWER-id vector in its cluster has cosine ≥ `tau` (keep-first, the
+    * same policy as [[d01MinhashLsh]]'s keep-lowest-id and t20's cut
+    * rule).
+    *
+    * Why this is the 100 TB shape: corpus-wide cosine search is O(N²);
+    * clustering first bounds every comparison to one cluster, O(Σ c_k²),
+    * and k is chosen ∝ N/target-cluster-size so c_k stays bounded (the
+    * SemDeDup paper runs 50k clusters over 5B embeddings). The cluster
+    * self-join shuffles only (cluster, id, vector) rows hash-partitioned
+    * by cluster — each cluster's pair work is one partition-local loop,
+    * and no text or payload ever enters the shuffle.
+    *
+    * Determinism: cluster assignment is the one-Lloyd-step
+    * [[Similarity.oneStepKmeansAssign]] (exact-decimal means, 6-dp
+    * distances, min-cid ties) and the pair cosine is the d04 discipline
+    * (fixed-order double fold, rounded to 6 dp before the threshold). */
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    import graft.queries.Similarity.dot
+    val assigned = Similarity.oneStepKmeansAssign(emb, k)
+      .select("vec_id", "cluster")
+    val v = emb.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("e"),
+        sqrt(dot(col("e"), col("e"))).as("n"))
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("e").as("e_a"), col("n").as("n_a"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("e").as("e_b"), col("n").as("n_b"))
+    val dupIds = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos_r"))
+      .filter(col("cos_r") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dupIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Battery entry d10: SemDeDup over the embedding corpus (k = 10
+    * clusters at this scale, τ = 0.3 — the corpus has no planted
+    * near-identical pairs, so the threshold sits where intra-cluster
+    * structure exists; SemDedupSpec plants true dups and checks recall). */
+  def d10SemanticDedup(s: SparkSession, d: String, k: Int = 10,
+                       tau: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    semanticDedup(emb, k, tau).orderBy("vec_id")
+  }
+
+  val d10Sql: String =
+    s"""WITH ${Similarity.kmeansAssignCtes(10)},
+       v AS (
+         SELECT a1.vec_id, a1.cluster, e.e,
+                sqrt(list_sum([e.e[i] * e.e[i]
+                  for i in range(1, len(e.e)+1)])) AS n
+         FROM a1 JOIN e USING (vec_id)),
+       dup AS (
+         SELECT DISTINCT b.vec_id FROM v a JOIN v b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE ROUND(list_sum([a.e[i] * b.e[i]
+                 for i in range(1, len(a.e)+1)]) / (a.n * b.n), 6) >= 0.3)
+       SELECT a1.vec_id, a1.cluster,
+              (dup.vec_id IS NOT NULL) AS is_dup
+       FROM a1 LEFT JOIN dup ON dup.vec_id = a1.vec_id
+       ORDER BY a1.vec_id"""
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Corpus retrieval over `documents`: BM25 lexical ranking and its fusion
+  * with vector search — the serving-side counterpart of the curation
+  * operators (a training-data engine that builds ANN indexes and dedup
+  * structures also answers "which documents match this query", both for
+  * corpus exploration and for retrieval-augmented eval sets).
+  *
+  * Scale shape (the 100 TB plan):
+  *   - the corpus-wide statistics BM25 needs (document frequency per
+  *     query term, corpus size, average document length) are TINY —
+  *     |terms| rows and one row respectively — and ride BROADCAST joins;
+  *     the corpus itself streams map-only through tokenize → tf, with
+  *     exactly two content shuffles (the (doc, term) and per-doc
+  *     aggregations), both map-side combined;
+  *   - only postings for QUERY terms survive past the broadcast semi
+  *     join, so the per-query scoring set is |matching docs|, not the
+  *     corpus — the classic inverted-index access path expressed as a
+  *     filtered scan;
+  *   - the final top-k is a per-query window over scored docs (bounded
+  *     by the posting intersection, not the corpus).
+  *
+  * Cross-engine determinism (driver hash-compares vs DuckDB): per-term
+  * BM25 contributions are computed with an identical operation order in
+  * both engines, ROUNDED to 6 decimals, then summed in EXACT decimal
+  * space (order-independent) — ranking compares decimals, and only ids +
+  * ranks leave the query. The one transcendental (`ln` in the idf) is
+  * correctly-rounded to ≤1 ulp in both engines, so the 6-dp rounding
+  * absorbs any last-bit disagreement.
+  */
+object Retrieval {
+
+  /** BM25 hyperparameters (the standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed literal term queries over the synthetic fixture vocabulary —
+    * the battery's stand-in for user search strings. Each qid also names
+    * the embedding-space query vector [[ann12HybridRrf]] fuses with. */
+  val QueryTerms: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("scan", "filter", "table"),
+    1 -> Seq("vector", "hash", "join"),
+    2 -> Seq("stream", "window", "merge"))
+
+  private def queriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueryTerms.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
+  }
+
+  /** BM25 top-k per query over an arbitrary (doc_id, text) corpus —
+    * returns (qid, doc_id, rank). See the object doc for the plan and
+    * determinism discipline. */
+  def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE row: corpus size + total token count (avgdl is derived inside
+    // the scoring expression as dl * n_docs / sum_dl, exact integers in,
+    // one double division — no pre-divided avgdl to disagree on)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfreq = tf
+      .join(broadcast(queries.select("term").distinct()), col("w") === col("term"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    // per-(qid, doc, term) contribution: idf × saturated-tf, rounded to
+    // 6 dp and cast to exact decimal so the per-doc sum is order-free
+    val contrib = tf
+      .join(broadcast(queries), col("w") === col("term"))
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) +
+              lit(B) * (col("dl").cast("double") * col("n_docs") / col("sum_dl")))),
+          6).cast(DecimalType(38, 6)).as("sc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("qid", "doc_id").agg(sum(col("sc")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank")
+  }
+
+  /** Battery entry t22: BM25 top-10 per literal term query. */
+  def t22Bm25(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    bm25RanksFrom(Tables.documents(s, d), queriesDf(s), k)
+      .orderBy("qid", "rank")
+
+  /** DuckDB CTE chain mirroring [[bm25RanksFrom]] over `documents` with
+    * [[QueryTerms]], ending in `bmr(qid, doc_id, rank)` — shared by
+    * [[t22Sql]] and [[ann12Sql]]. */
+  private[queries] val bm25Ctes: String = {
+    val qvals = QueryTerms
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""w0 AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       toks AS (SELECT doc_id, w FROM w0 WHERE length(w) > 0),
+       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       q(qid, term) AS (VALUES $qvals),
+       dfreq AS (
+         SELECT w, COUNT(*) AS df FROM tf
+         WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY w),
+       contrib AS (
+         -- fractional literals are ::DOUBLE: DuckDB types bare 2.2 as
+         -- DECIMAL and an exact-decimal product diverges from Spark's
+         -- double arithmetic in the last bits (division auto-promotes to
+         -- DOUBLE, multiplication does not)
+         SELECT q.qid, tf.doc_id,
+                CAST(ROUND(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                    (tf * ${K1 + 1.0}::DOUBLE) /
+                    (tf + $K1::DOUBLE * (${1.0 - B}::DOUBLE +
+                      $B::DOUBLE * (CAST(dl.dl AS DOUBLE) * n_docs / sum_dl))),
+                  6) AS DECIMAL(38,6)) AS sc
+         FROM tf
+           JOIN q ON tf.w = q.term
+           JOIN dfreq ON dfreq.w = tf.w
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN stats),
+       sc AS (SELECT qid, doc_id, SUM(sc) AS score FROM contrib
+              GROUP BY qid, doc_id),
+       bmr AS (
+         SELECT qid, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score DESC, doc_id) AS rank
+         FROM sc)"""
+  }
+
+  val t22Sql: String =
+    s"""WITH $bm25Ctes
+       SELECT qid, doc_id, rank FROM bmr WHERE rank <= 10
+       ORDER BY qid, rank"""
+
+  /** HYBRID SEARCH — battery entry ann12: reciprocal-rank fusion of the
+    * BM25 lexical ranking and the exact-cosine vector ranking for the
+    * same query ids (qid names both a term set from [[QueryTerms]] and
+    * the query embedding `vec_id = qid` — the fixture's stand-in for one
+    * user query embedded two ways). RRF (Cormack et al.) scores each doc
+    * `Σ 1/(60 + rank_system)` over the systems that retrieved it in
+    * their top-`shortlist`; missing-from-one-list contributes 0.
+    *
+    * Determinism: ranks are integers from two already-deterministic
+    * pipelines; each RRF score is the sum of ≤2 exact reciprocals folded
+    * in a fixed order, so both engines compare identical doubles, with
+    * the id tie-break breaking exact rank-multiset ties.
+    *
+    * Scale shape: both rank lists are top-`shortlist` per query — qids ×
+    * shortlist rows, metadata-sized — so the fusion join is a broadcast
+    * full-outer over tiny inputs; all corpus-sized work happened inside
+    * the two (independently bounded) retrieval pipelines. */
+  def ann12HybridRrf(s: SparkSession, d: String, k: Int = 10,
+                     shortlist: Int = 20, rrfK: Int = 60): DataFrame = {
+    val nq = QueryTerms.size
+    val v = Similarity.annBruteForce(s, d, nQueries = nq, k = shortlist)
+      .select(col("qid"), col("nid").as("id"), col("rank").as("rv"))
+    val b = bm25RanksFrom(Tables.documents(s, d), queriesDf(s), shortlist)
+      .select(col("qid").cast("long").as("qid"), col("doc_id").as("id"),
+        col("rank").as("rb"))
+    val fused = v.join(b, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val ann12Sql: String =
+    s"""WITH $bm25Ctes,
+       vr AS (
+         SELECT q.vec_id AS qid, e.vec_id AS nid,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                    DESC, e.vec_id) AS rank
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < ${QueryTerms.size} AND e.vec_id <> q.vec_id),
+       v20 AS (SELECT qid, nid AS id, rank AS rv FROM vr WHERE rank <= 20),
+       b20 AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id AS id, rank AS rb
+               FROM bmr WHERE rank <= 20),
+       fused AS (
+         SELECT qid, id,
+                COALESCE(1.0 / (60 + rv), 0.0) +
+                  COALESCE(1.0 / (60 + rb), 0.0) AS rrf
+         FROM v20 FULL OUTER JOIN b20 USING (qid, id))
+       SELECT qid, id, rank FROM (
+         SELECT qid, id,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rrf DESC, id) AS rank
+         FROM fused) t
+       WHERE rank <= 10 ORDER BY qid, rank"""
+}

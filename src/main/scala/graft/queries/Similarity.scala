@@ -1048,6 +1048,19 @@ object Similarity {
   def ann04Kmeans(s: SparkSession, d: String, k: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    oneStepKmeansAssign(emb, k)
+      .select("vec_id", "cluster", "dist_r")
+      .orderBy("vec_id")
+  }
+
+  /** The oracle-deterministic one-Lloyd-step assignment core behind
+    * [[ann04Kmeans]] and [[Dedup.d10SemanticDedup]]'s cluster scoping:
+    * first-k init → one exact-decimal-mean centroid refinement →
+    * re-assign. `emb` is (vec_id, e: array<double>); returns (vec_id,
+    * cluster, dist_r) with 6-dp-rounded squared distances and min-cid
+    * tie-breaks, bit-identical to the CTE chain [[kmeansAssignCtes]]
+    * emits for DuckDB. */
+  private[queries] def oneStepKmeansAssign(emb: DataFrame, k: Int): DataFrame = {
     val c0 = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("c"))
 
@@ -1073,14 +1086,15 @@ object Similarity {
       .select(col("cluster").as("cid"), col("c"))
 
     assign(c1)
-      .select("vec_id", "cluster", "dist_r")
-      .orderBy("vec_id")
   }
 
-  val ann04Sql: String =
-    """WITH e AS (
+  /** CTE chain mirroring [[oneStepKmeansAssign]] (k parametrized), ending
+    * in `a1(vec_id, cluster, dist_r)` — shared by [[ann04Sql]] and
+    * [[Dedup.d10Sql]] so the two oracles can never drift from each other. */
+  private[queries] def kmeansAssignCtes(k: Int): String =
+    s"""e AS (
          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-       c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4),
+       c0 AS (SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < $k),
        d0 AS (SELECT e.vec_id, c.cid,
                 ROUND(list_sum([ (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])
                   for i in range(1, len(e.e) + 1) ]), 6) AS dist_r
@@ -1098,9 +1112,13 @@ object Similarity {
        d1 AS (SELECT e.vec_id, c.cid,
                 ROUND(list_sum([ (e.e[i] - c.c[i]) * (e.e[i] - c.c[i])
                   for i in range(1, len(e.e) + 1) ]), 6) AS dist_r
-              FROM e CROSS JOIN c1 c)
-       SELECT vec_id, MIN(cid) AS cluster, MIN(dist_r) AS dist_r FROM (
-         SELECT vec_id, cid, dist_r,
-                MIN(dist_r) OVER (PARTITION BY vec_id) AS md FROM d1)
-       WHERE dist_r = md GROUP BY vec_id ORDER BY vec_id"""
+              FROM e CROSS JOIN c1 c),
+       a1 AS (SELECT vec_id, MIN(cid) AS cluster, MIN(dist_r) AS dist_r FROM (
+                SELECT vec_id, cid, dist_r,
+                       MIN(dist_r) OVER (PARTITION BY vec_id) AS md FROM d1)
+              WHERE dist_r = md GROUP BY vec_id)"""
+
+  val ann04Sql: String =
+    s"""WITH ${kmeansAssignCtes(4)}
+       SELECT vec_id, cluster, dist_r FROM a1 ORDER BY vec_id"""
 }

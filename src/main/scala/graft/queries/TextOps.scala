@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.tables.Tables
 import QueryUtils._
@@ -844,4 +845,86 @@ object TextOps {
               CAST(SUM(CASE WHEN st = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
               CAST(SUM(CASE WHEN st = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
        FROM st GROUP BY source ORDER BY source"""
+
+  // --------------- t23: DSIR importance weights (data selection)
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR recipe, Xie et
+    * al. 2023): score every raw document by how target-like its hashed
+    * n-gram profile is. Token features hash into `nBuckets` buckets (the
+    * portable md5 60-bit hash, mod B); the per-bucket importance
+    * log-ratio λ_b = ln(p̂_target(b) / p̂_raw(b)) (add-1 smoothed) is a
+    * ≤B-row table computed from two corpus-wide counts; a document's
+    * weight is Σ λ_{bucket(token)} over its tokens.
+    *
+    * Scale shape: two map-side-combined bucket counts (≤B rows out of
+    * each), one 1-row total, and the λ table rides a BROADCAST join back
+    * onto the token stream — the corpus is scanned map-only twice and
+    * shuffles only (doc_id, partial-sum) rows for the per-doc weight.
+    * At 100 TB the λ table is still ≤B rows: the importance model's
+    * entire state is O(buckets), which is exactly why DSIR scales where
+    * per-example classifiers need a trained model shipped to every task.
+    *
+    * Determinism: λ values round to 6 dp and the per-doc sum runs in
+    * exact decimal space, so document ranking is engine-stable; the
+    * weight itself leaves as a double cast of the exact decimal.
+    *
+    * `target` marks the distribution to up-weight (battery: lang='en' —
+    * in production, a curated high-quality corpus riding the same
+    * schema). */
+  def dsirWeights(docs: DataFrame, target: Column, nBuckets: Int,
+                  topK: Int): DataFrame = {
+    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val toks = docs
+      .select(col("doc_id"), target.as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("is_t"), pmod(wordHash, lit(nBuckets)).as("b"))
+    val ct = toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tot = toks.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tot_t"),
+      count(lit(1)).as("tot_r"))
+    val lam = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tot_t") + lit(nBuckets))) /
+            ((col("cr") + lit(1.0)) / (col("tot_r") + lit(nBuckets)))), 6)
+          .cast(DecimalType(38, 6)).as("lam"))
+    toks.join(broadcast(lam), "b")
+      .groupBy("doc_id").agg(sum(col("lam")).as("w"))
+      .orderBy(col("w").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("w").cast("double").as("w_r"))
+  }
+
+  /** Battery entry t23: top-50 most target-like (lang='en') documents by
+    * DSIR importance weight over 256 hashed unigram buckets. */
+  def t23DsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.documents(s, d), col("lang") === "en", 256, 50)
+      .orderBy(col("w_r").desc, col("doc_id"))
+
+  val t23Sql: String =
+    """WITH w0 AS (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       toks AS (
+         SELECT doc_id, lang,
+                ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b
+         FROM w0 WHERE length(w) > 0),
+       ct AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+       cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+       tot AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_t,
+                      COUNT(*) AS tot_r FROM toks),
+       lam AS (
+         SELECT cr.b,
+                CAST(ROUND(ln(
+                  ((COALESCE(ct.ct, 0) + 1.0) / (tot_t + 256)) /
+                    ((cr.cr + 1.0) / (tot_r + 256))), 6)
+                  AS DECIMAL(38,6)) AS lam
+         FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+       dw AS (SELECT doc_id, SUM(lam) AS w
+              FROM toks JOIN lam USING (b) GROUP BY doc_id)
+       SELECT doc_id, CAST(w AS DOUBLE) AS w_r FROM dw
+       ORDER BY w DESC, doc_id LIMIT 50"""
 }

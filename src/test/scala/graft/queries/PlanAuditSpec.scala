@@ -379,4 +379,35 @@ class PlanAuditSpec extends AnyFunSuite {
         s"chunk machinery rides a shuffle: ${e.output.map(_.name).mkString(",")}")
     }
   }
+
+  test("t22: BM25 corpus stats ride broadcasts, postings never sort-merge") {
+    val p = plan(Retrieval.t22Bm25(spark, sf))
+    // query terms, document frequencies, and the 1-row corpus stats are
+    // all broadcast; the only corpus-sized shuffles are the tf/dl/score
+    // aggregations. The dl join is keyed on doc_id and must hash, and
+    // nothing may sort-merge or cartesian at any size.
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in BM25:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"BM25 postings sort-merged:\n$p")
+    assert(!p.contains("CartesianProduct"), s"BM25 cartesianed:\n$p")
+  }
+
+  test("t23: the ≤B-row DSIR lambda table broadcasts back onto the token stream") {
+    val p = plan(TextOps.t23DsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"lambda join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"DSIR cartesianed:\n$p")
+    // global top-k is a TakeOrdered, not a full sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
+  }
+
+  test("d10: semdedup pairs form inside clusters only — no cartesian, no payload shuffle") {
+    val p = plan(Dedup.d10SemanticDedup(spark, sf))
+    // the one permitted nested-loop is the k-row centroid broadcast from
+    // the kmeans assign; the pair join itself is keyed on cluster
+    assert(!p.contains("CartesianProduct"), s"semdedup cartesianed:\n$p")
+  }
+
+  test("ann12: fusion joins only the two bounded shortlists") {
+    val p = plan(Retrieval.ann12HybridRrf(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"hybrid fusion cartesianed:\n$p")
+  }
 }
