@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Distributed TRAINING passes of the data pipeline: learning a BPE merge
+  * table from the corpus and fitting a quality classifier — the two
+  * model-fitting steps an LLM curation stack runs *on* the data it curates
+  * (t21 applies a pretrained merge table; t24 learns one; t04 applies a
+  * hand-tuned quality score; t25 fits one from labels).
+  *
+  * Both are iterative: each iteration is ONE map-side-combined aggregation
+  * over the corpus plus a metadata-sized broadcast back (the argmax pair /
+  * the weight vector) — the canonical distributed-training shape where the
+  * model state is tiny and the data never moves. Per-iteration
+  * `localCheckpoint` keeps lineage flat (the d06 / kmeans discipline).
+  *
+  * Both are ORACLE-CHECKED: iteration counts are fixed, every comparison
+  * is on integers/strings (BPE) or 6-dp-rounded exact-decimal sums
+  * (logistic gradients), so DuckDB unrolls the same iterations
+  * bit-identically.
+  */
+object Training {
+
+  // --------------- t24: BPE merge learning
+
+  /** Learn the top `nMerges` BPE merges from a (doc_id, text) corpus
+    * (Sennrich et al. 2016): start from character symbols, repeatedly
+    * take the globally most frequent adjacent symbol pair (ties broken
+    * lexicographically — deterministic) and fuse it corpus-wide.
+    *
+    * Scale shape: per round, pair counting is one explode +
+    * map-side-combined count (pairs are short strings, never documents);
+    * the winning pair is a 1-row broadcast and the fuse pass is map-only.
+    * Word-frequency weighting falls out of counting every occurrence.
+    * At 100 TB a production run would count over a word-frequency table
+    * (`groupBy(word)` once, weight by count) — same plan, one extra
+    * map-side-combined agg; the per-occurrence form keeps the oracle
+    * 1:1.
+    *
+    * The merge fuse is a left fold (non-overlapping, left-to-right):
+    * append each symbol; when the accumulator's last symbol is `l` and
+    * the incoming is `r`, replace the last with `l||r` — byte-for-byte
+    * the same fold DuckDB's `list_reduce` runs in [[t24Sql]], and the
+    * same semantics as [[graft.spark.functions.Bpe.learn]]'s in-memory
+    * loop (BpeTrainSpec pins them equal). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    var syms = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wi", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("wi"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merged = (0 until nMerges).map { i =>
+      val pairs = syms
+        .filter(size(col("syms")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"))
+          .as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+      val best = pairs
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // 1 row; reused by the fuse pass AND the output
+      syms = syms
+        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
+        .select(col("doc_id"), col("wi"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) >= 1 && element_at(acc, -1) === col("__l") && x === col("__r"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint()
+      best.select(lit(i).as("rank"), col("l"), col("r"),
+        col("c").as("pair_count"))
+    }
+    merged.reduce(_ union _).orderBy("rank")
+  }
+
+  /** Battery entry t24: the 6 top merges learned from `documents`. */
+  def t24BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(Tables.documents(s, d), 6)
+
+  /** DuckDB mirror of [[bpeTrain]]: 6 unrolled learn rounds; each round
+    * counts adjacent pairs (`UNNEST(range)` positions), takes the argmax
+    * with the same (count DESC, l, r) tie-break, and fuses it with the
+    * same left fold — `list_reduce` over singleton-wrapped symbols so the
+    * accumulator is a symbol LIST (DuckDB's reduce requires acc and
+    * element types to match). */
+  val t24Sql: String = {
+    val n = 6
+    val layers = (0 until n).map { i =>
+      s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, COUNT(*) AS c
+             FROM s$i, UNNEST(range(1, len(syms))) t(j)
+             GROUP BY l, r),
+         m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         s${i + 1} AS (
+           SELECT doc_id, wi,
+                  list_reduce([[x] for x in syms],
+                    (a, b) -> CASE WHEN len(a) >= 1 AND a[len(a)] = m.l
+                                        AND b[1] = m.r
+                              THEN list_concat(a[1:len(a) - 1],
+                                     [a[len(a)] || b[1]])
+                              ELSE list_concat(a, b) END) AS syms
+           FROM s$i, m$i m)"""
+    }.mkString(",\n       ")
+    val out = (0 until n)
+      .map(i => s"SELECT $i AS rank, l, r, c AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+         SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS wi
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d0,
+              UNNEST(range(1, len(ws) + 1)) t(i)
+         WHERE ws[i] <> ''),
+       s0 AS (SELECT doc_id, wi,
+                     [w[i] for i in range(1, len(w) + 1)] AS syms FROM w0),
+       $layers
+       SELECT * FROM ($out) u ORDER BY rank"""
+  }
+
+  // --------------- t25: quality classifier (distributed logistic regression)
+
+  /** Per-doc quality features, all exact integer ratios (deterministic in
+    * double on both engines): token count, punctuation density, raw
+    * length — plus the bias. The LABEL is what the caller says it is
+    * (battery: lang='en' as the fixture's stand-in for human quality
+    * labels riding the same schema). */
+  private def features(docs: DataFrame, label: Column): DataFrame =
+    docs.select(col("doc_id"),
+      when(label, 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long") / lit(100)).as("x1"),
+      (length(regexp_replace(col("text"), "[^.!?]", "")) / length(col("text"))).as("x2"),
+      (length(col("text")) / lit(1000)).as("x3"))
+
+  /** Fit logistic-regression weights by `iters` full-batch gradient
+    * steps: w += lr · (1/N) Σ (y − σ(w·x))·x.
+    *
+    * Scale shape: each step is ONE map-side-combined aggregation over
+    * the corpus (4 decimal sums + a count) and the weights are a 1-row
+    * broadcast back into the next pass — model state is O(features),
+    * data never moves: the same shape as the kmeans/DSIR passes. (A
+    * production run would mini-batch via t09's hash-sampling; full
+    * batch keeps the oracle exact.)
+    *
+    * Determinism: per-doc gradient contributions round to 6 dp and sum
+    * in EXACT decimal; the weight update rounds to 6 dp — so the
+    * weights are bit-identical across engines even though σ uses `exp`
+    * (≤1 ulp each, absorbed by the rounding). Returns the 1-row weight
+    * frame (w0..w3). */
+  def logisticFit(feats: DataFrame, iters: Int, lr: Double): DataFrame = {
+    val s = feats.sparkSession
+    import s.implicits._
+    var w = Seq((0.0, 0.0, 0.0, 0.0)).toDF("w0", "w1", "w2", "w3")
+    val margin =
+      col("w0") * col("x0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3")
+    val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-margin))
+    for (_ <- 0 until iters) {
+      val grads = feats.crossJoin(broadcast(w))
+        .select((0 to 3).map(k =>
+          round(resid * col(s"x$k"), 6).cast(DecimalType(38, 6)).as(s"g$k")): _*)
+        .agg(sum(col("g0")).as("g0"), sum(col("g1")).as("g1"),
+          sum(col("g2")).as("g2"), sum(col("g3")).as("g3"),
+          count(lit(1)).as("n"))
+      w = w.crossJoin(grads)
+        .select((0 to 3).map(k =>
+          round(col(s"w$k") + lit(lr) * (col(s"g$k").cast("double") / col("n")), 6)
+            .as(s"w$k")): _*)
+        .localCheckpoint() // 1 row per iteration; keeps the next pass's plan flat
+    }
+    w
+  }
+
+  /** Battery entry t25: fit 3 full-batch steps (lr 0.5) against the
+    * lang='en' label, then score the corpus with the learned weights —
+    * output the top-25 most-quality-like doc ids with the learned
+    * weights attached (weights identical on every row: the 1-row model,
+    * oracle-checked alongside the ranking). */
+  def t25QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val feats = features(Tables.documents(s, d), col("lang") === "en")
+    val w = logisticFit(feats, iters = 3, lr = 0.5)
+    val margin =
+      col("w0") * col("x0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3")
+    val win = Window.orderBy(col("score_r").desc, col("doc_id"))
+    feats.crossJoin(broadcast(w))
+      .select(col("doc_id"), round(margin, 6).as("score_r"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(25)
+      .withColumn("rank", row_number().over(win))
+      .select("doc_id", "rank", "w0", "w1", "w2", "w3")
+      .orderBy("rank")
+  }
+
+  val t25Sql: String = {
+    // the same 3 unrolled steps; fractional literals ::DOUBLE (DuckDB
+    // types bare decimals as DECIMAL; multiplication would stay exact
+    // decimal and diverge from Spark's double arithmetic)
+    def margin(w: String) =
+      s"$w.w0 * x0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3"
+    def step(i: Int): String = {
+      val g = (0 to 3).map(k =>
+        s"""SUM(CAST(ROUND((y - 1.0 / (1.0 + exp(-(${margin(s"w$i")})))) * x$k, 6)
+             AS DECIMAL(38,6))) AS g$k""").mkString(", ")
+      val upd = (0 to 3).map(k =>
+        s"ROUND(w$i.w$k + 0.5::DOUBLE * (CAST(g$k AS DOUBLE) / n), 6) AS w$k")
+        .mkString(", ")
+      s"""g${i + 1} AS (SELECT $g, COUNT(*) AS n FROM f CROSS JOIN w$i),
+         w${i + 1} AS (SELECT $upd FROM w$i CROSS JOIN g${i + 1})"""
+    }
+    s"""WITH f AS (
+         SELECT doc_id,
+                CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+                1.0::DOUBLE AS x0,
+                LEN(regexp_extract_all(text, '\\S+')) / 100 AS x1,
+                LENGTH(regexp_replace(text, '[^.!?]', '', 'g')) / LENGTH(text) AS x2,
+                LENGTH(text) / 1000 AS x3
+         FROM documents),
+       w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+                     0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+       ${step(0)},
+       ${step(1)},
+       ${step(2)}
+       SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+              w0, w1, w2, w3
+       FROM (
+         SELECT doc_id, ROUND(${margin("w3")}, 6) AS score_r,
+                w0, w1, w2, w3
+         FROM f CROSS JOIN w3
+         ORDER BY score_r DESC, doc_id LIMIT 25) t
+       ORDER BY rank"""
+  }
+}

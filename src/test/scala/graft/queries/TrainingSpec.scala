@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestSession
+
+/** The distributed training passes agree with their in-memory/planted
+  * references: BPE merge learning matches `Bpe.learn` merge-for-merge, and
+  * the logistic fit separates a separable planted corpus. */
+class TrainingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("distributed BPE learning matches the in-memory learner merge-for-merge") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "wide wider widest lower")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val learned = Training.bpeTrain(docs, 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val ref = graft.spark.functions.Bpe.learn(corpus, 8)
+      .ranks.toSeq.sortBy(_._2)
+      .zipWithIndex.map { case (((a, b), _), i) => (i, a, b) }
+    assert(learned.toSeq == ref,
+      s"distributed=${learned.mkString(",")} vs ref=${ref.mkString(",")}")
+  }
+
+  test("bpe learning is partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, s"pair pair pair word$i banana bandana"))
+      .toDF("doc_id", "text")
+    val a = Training.bpeTrain(docs, 5).collect().toSeq
+    val b = Training.bpeTrain(docs.repartition(7), 5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("t24 battery entry: merges fire on the fixture corpus with real counts") {
+    val rows = Training.t24BpeTrain(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 6))
+    // counts are non-increasing is NOT guaranteed (a merge can create a
+    // new frequent pair), but every learned pair must have fired > 1
+    assert(rows.forall(_.getLong(3) > 1))
+  }
+
+  test("logistic fit separates a separable planted corpus") {
+    val s = spark
+    import s.implicits._
+    // y=1 docs: long, punctuation-free; y=0 docs: short, punctuation-heavy
+    val good = (0L until 30L).map(i =>
+      (i, ("alpha beta gamma delta epsilon " * 8).trim, "en"))
+    val bad = (100L until 130L).map(i => (i, "x. y! z? q.", "xx"))
+    val docs = (good ++ bad).toDF("doc_id", "text", "lang")
+    val feats = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long") / lit(100)).as("x1"),
+      (length(regexp_replace(col("text"), "[^.!?]", "")) / length(col("text"))).as("x2"),
+      (length(col("text")) / lit(1000)).as("x3"))
+    val w = Training.logisticFit(feats, iters = 10, lr = 1.0).collect()(0)
+    val (w0, w1, w2, w3) =
+      (w.getDouble(0), w.getDouble(1), w.getDouble(2), w.getDouble(3))
+    def score(xs: (Double, Double, Double)): Double =
+      w0 + w1 * xs._1 + w2 * xs._2 + w3 * xs._3
+    // every good doc must outscore every bad doc after 10 steps
+    val gScore = score((40.0 / 100, 0.0, 239.0 / 1000))
+    val bScore = score((4.0 / 100, 3.0 / 11, 11.0 / 1000))
+    assert(gScore > bScore,
+      s"fit failed to separate: good=$gScore bad=$bScore w=($w0,$w1,$w2,$w3)")
+    // punctuation density got a negative weight, token volume a positive one
+    assert(w2 < 0 && w1 > 0, s"unexpected signs: w=($w0,$w1,$w2,$w3)")
+  }
+
+  test("t25 battery entry: weights deterministic across reruns, ranks 1..25") {
+    val a = Training.t25QualityClassifier(spark, sf).collect()
+    val b = Training.t25QualityClassifier(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.map(_.getInt(1)).toSeq == (1 to a.length))
+    // the model is one row: identical weights on every output row
+    assert(a.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5))).distinct.length == 1)
+  }
+}
