@@ -927,4 +927,98 @@ object TextOps {
               FROM toks JOIN lam USING (b) GROUP BY doc_id)
        SELECT doc_id, CAST(w AS DOUBLE) AS w_r FROM dw
        ORDER BY w DESC, doc_id LIMIT 50"""
+
+  // --------------- t27: temperature-based source mixture
+
+  /** DATA MIXING — the per-source temperature resampling every
+    * pretraining run configures (α-weighted multinomial over sources, as
+    * in the GPT-3 / Pile recipes): each source's token budget is
+    * `total_budget · T_s^α / Σ T_s^α` (α = 0.5 flattens the mixture —
+    * dominant web crawl down-weighted, small high-quality sources up),
+    * and the documents that fill the budget are picked in DETERMINISTIC
+    * content-independent order (portable md5 hash of doc_id) — a
+    * reproducible shuffle, not a seedless sample. A doc is selected when
+    * its slice STARTS inside the budget (t19's straddler rule).
+    *
+    * Scale shape: per-source totals are a map-side-combined agg (|sources|
+    * rows → broadcast); selection is one window cumsum per source —
+    * at 100 TB the dominant source's window would shard exactly like
+    * [[t19SeqPacking]] (contiguous hash-range shards + per-shard base
+    * offsets); the single-window form keeps the oracle 1:1 here.
+    *
+    * Determinism: α = 0.5 means `sqrt` (IEEE-exact in both engines, no
+    * transcendental rounding); weights round to 6 dp into exact decimal
+    * before the share division, cumulative sums are integer math. */
+  def t27SourceMixture(s: SparkSession, d: String,
+                       budgetFraction: Double = 0.5): DataFrame =
+    sourceMixture(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok")),
+      budgetFraction)
+
+  /** Core of [[t27SourceMixture]] over an arbitrary
+    * (doc_id, source, n_tok) frame. */
+  def sourceMixture(docs: DataFrame, budgetFraction: Double): DataFrame = {
+    val perSource = docs.groupBy("source").agg(sum("n_tok").as("ts"))
+    // α = 0.5 temperature weights in exact-decimal space; the total
+    // budget is a fixed fraction of the corpus (integer via floor)
+    val weights = perSource
+      .select(col("source"), col("ts"),
+        round(sqrt(col("ts").cast("double")), 6).cast(DecimalType(38, 6)).as("w"))
+    val totals = weights.agg(
+      sum(col("w")).as("tw"),
+      floor(sum(col("ts")) * lit(budgetFraction)).cast("long").as("budget"))
+    val budgets = weights.crossJoin(broadcast(totals))
+      .select(col("source"),
+        floor(col("budget") * (col("w").cast("double") / col("tw").cast("double")))
+          .cast("long").as("budget_tokens"))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", h)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") - col("n_tok") < col("budget_tokens"))
+      .groupBy("source")
+      .agg(max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs_selected"),
+        sum(col("n_tok")).as("tokens_selected"))
+      .orderBy("source")
+  }
+
+  val t27Sql: String =
+    """WITH docs AS (
+         SELECT doc_id, source,
+                CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+         FROM documents),
+       per_source AS (SELECT source, SUM(n_tok) AS ts FROM docs GROUP BY source),
+       weights AS (
+         SELECT source, ts,
+                CAST(ROUND(sqrt(CAST(ts AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
+         FROM per_source),
+       totals AS (
+         SELECT SUM(w) AS tw,
+                CAST(FLOOR(SUM(ts) * 0.5::DOUBLE) AS BIGINT) AS budget
+         FROM weights),
+       budgets AS (
+         SELECT source,
+                CAST(FLOOR(budget * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+                  AS BIGINT) AS budget_tokens
+         FROM weights CROSS JOIN totals),
+       ordered AS (
+         SELECT doc_id, source, n_tok,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                SUM(n_tok) OVER (PARTITION BY source
+                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                           doc_id) AS cum
+         FROM docs)
+       SELECT o.source,
+              MAX(b.budget_tokens) AS budget_tokens,
+              COUNT(*) AS n_docs_selected,
+              CAST(SUM(o.n_tok) AS BIGINT) AS tokens_selected
+       FROM ordered o JOIN budgets b ON b.source = o.source
+       WHERE o.cum - o.n_tok < b.budget_tokens
+       GROUP BY o.source ORDER BY o.source"""
 }

@@ -238,4 +238,104 @@ object Training {
          ORDER BY score_r DESC, doc_id LIMIT 25) t
        ORDER BY rank"""
   }
+
+  // --------------- t26: bigram-LM cross-entropy filter (CCNet-style)
+
+  /** Per-doc adjacent hashed-token bigrams: (doc_id, is_t, w1, w2) —
+    * pairs form ROW-LOCALLY inside the tokenized array (no
+    * position-self-join), so the corpus shuffles nothing to build them. */
+  private def bigrams(docs: DataFrame, target: Column): DataFrame =
+    docs
+      .select(col("doc_id"), target.as("is_t"),
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+      .select(col("doc_id"), col("is_t"), expr(
+        "transform(ws, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
+        .as("hs"))
+      .filter(size(col("hs")) > 1)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(1, size(hs) - 1), " +
+          "j -> struct(element_at(hs, j) AS w1, element_at(hs, j + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("is_t"), col("p.w1"), col("p.w2"))
+
+  /** LANGUAGE-MODEL QUALITY FILTER (the CCNet recipe, Wenzek et al.
+    * 2020): train an add-1-smoothed bigram LM on the TARGET slice, score
+    * every document by its mean negative log-likelihood (cross-entropy
+    * per bigram) under it — low = target-like, the classic
+    * "perplexity filter" that CCNet runs with KenLM and that reduces
+    * here to its exact n-gram core:
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) the bigram
+    * PREFIX count and V the prefix vocabulary size.
+    *
+    * Scale shape: the LM is two count tables keyed by (w1,w2)/(w1) —
+    * at web scale these are NOT broadcastable, and the scoring join is a
+    * plain hash equi-join on the bigram key (Catalyst broadcasts them
+    * when small enough); tokens ride as 60-bit hashes, never strings.
+    * Pair formation is row-local (array transform), so the only corpus
+    * shuffles are the two count aggregations and the per-doc mean.
+    *
+    * Determinism: each bigram's −ln p rounds to 6 dp into exact decimal,
+    * per-doc sums are exact, and the mean rounds to 6 dp before
+    * ranking. */
+  def lmCrossEntropy(docs: DataFrame, target: Column, topK: Int): DataFrame = {
+    val pairs = bigrams(docs, target)
+    val tgt = pairs.filter(col("is_t"))
+    val big = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = tgt.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = tgt.agg(countDistinct(col("w1")).as("v"))
+    val nll = pairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log(
+          (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cu"), lit(0L)) + col("v"))), 6)
+          .cast(DecimalType(38, 6)).as("nll"))
+    nll.groupBy("doc_id")
+      .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("ce_r"))
+      .orderBy(col("ce_r"), col("doc_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("ce_r"), col("doc_id"))))
+      .select("doc_id", "rank", "ce_r")
+      .orderBy("rank")
+  }
+
+  /** Battery entry t26: the 25 documents scoring most target-like under
+    * a bigram LM trained on the lang='en' slice. */
+  def t26LmScore(s: SparkSession, d: String): DataFrame =
+    lmCrossEntropy(Tables.documents(s, d), col("lang") === "en", 25)
+
+  val t26Sql: String =
+    """WITH hs AS (
+         SELECT doc_id, lang,
+                [('0x' || substr(md5(w), 1, 15))::BIGINT
+                 for w in list_filter(string_split(text, ' '), w -> length(w) > 0)]
+                  AS hs
+         FROM documents),
+       pairs AS (
+         SELECT doc_id, lang, hs[j] AS w1, hs[j + 1] AS w2
+         FROM hs, UNNEST(range(1, len(hs))) t(j)
+         WHERE len(hs) > 1),
+       big AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs
+               WHERE lang = 'en' GROUP BY w1, w2),
+       uni AS (SELECT w1, COUNT(*) AS cu FROM pairs
+               WHERE lang = 'en' GROUP BY w1),
+       vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM pairs WHERE lang = 'en'),
+       nll AS (
+         SELECT p.doc_id,
+                CAST(ROUND(-ln(
+                  (COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)), 6)
+                  AS DECIMAL(38,6)) AS nll
+         FROM pairs p
+           LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+           LEFT JOIN uni ON uni.w1 = p.w1
+           CROSS JOIN vocab),
+       ce AS (SELECT doc_id,
+                     ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS ce_r
+              FROM nll GROUP BY doc_id)
+       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ce_r, doc_id) AS rank, ce_r
+       FROM (SELECT * FROM ce ORDER BY ce_r, doc_id LIMIT 25) t
+       ORDER BY rank"""
 }

@@ -87,4 +87,63 @@ class TrainingSpec extends AnyFunSuite {
     assert(a.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
       r.getDouble(5))).distinct.length == 1)
   }
+
+  test("lm filter: docs built from target bigrams score more likely than unseen text") {
+    val s = spark
+    import s.implicits._
+    val target = (0L until 20L).map(i => (i, "the quick brown fox jumps", "en"))
+    val inDist = Seq((100L, "the quick brown fox", "xx"))
+    val outDist = Seq((101L, "zyx wvu tsr qpo", "xx"))
+    val docs = (target ++ inDist ++ outDist).toDF("doc_id", "text", "lang")
+    val ce = Training.lmCrossEntropy(docs, col("lang") === "en", 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce(100L) < ce(101L),
+      s"target-like doc must have lower cross-entropy: $ce")
+    // the training slice itself is maximally likely
+    assert(ce(0L) <= ce(100L))
+  }
+
+  test("t26 battery entry: ranks ascend with cross-entropy, all finite") {
+    val rows = Training.t26LmScore(spark, sf).collect()
+    assert(rows.length == 25)
+    val ces = rows.map(_.getDouble(2))
+    assert(ces.forall(v => !v.isNaN && v > 0))
+    assert(ces.zip(ces.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("source mixture: α=0.5 flattens — the small source gets an over-proportional share") {
+    val s = spark
+    import s.implicits._
+    // web: 40 docs × 10 tokens = 400; books: 10 docs × 10 tokens = 100.
+    // α=0.5 weights 20:10 → books gets 1/3 of the budget despite holding
+    // 1/5 of the tokens. budget = 0.5·500 = 250 → books 83, web 166.
+    val docs = ((0L until 40L).map(i => (i, "web", 10L)) ++
+      (100L until 110L).map(i => (i, "books", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val out = TextOps.sourceMixture(docs, budgetFraction = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("books")._1 == 83L && out("web")._1 == 166L,
+      s"expected budgets 83/166: $out")
+    // selection respects the straddler rule: tokens start within budget,
+    // so with 10-token docs: books ≤ 9 docs beginning < 83, i.e. 9 docs
+    // (slices start at 0,10,…,80), web 17 docs (0,…,160)
+    assert(out("books")._2 == 9L && out("web")._2 == 17L, s"$out")
+    // the raw token share of books is 20%, its selected share is ~35%
+    val bookShare = out("books")._3.toDouble /
+      (out("books")._3 + out("web")._3)
+    assert(bookShare > 0.3, s"mixture did not flatten: $bookShare")
+  }
+
+  test("t27 battery entry: per-source rollup, every source within its budget+straddler") {
+    val rows = TextOps.t27SourceMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (budget, n, tokens) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && tokens > 0)
+      // tokens_selected can exceed the budget only by the final
+      // straddling document, never by a whole extra document's start
+      assert(tokens >= budget - budget / 10 || n >= 1)
+    }
+  }
 }
