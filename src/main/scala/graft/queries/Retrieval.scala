@@ -54,15 +54,28 @@ object Retrieval {
     QueryTerms.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
   }
 
+  /** (doc_id, w, tf) term frequencies of a (doc_id, text) corpus — the
+    * posting rows [[graft.queries.Bm25Index]] also persists. */
+  def termFreqs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
   /** BM25 top-k per query over an arbitrary (doc_id, text) corpus —
     * returns (qid, doc_id, rank). See the object doc for the plan and
     * determinism discipline. */
-  def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+  def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25FromTf(termFreqs(docs), queries, k)
+
+  /** BM25 scoring from an ALREADY-BUILT term-frequency frame — the term
+    * column `w` can be any key type (raw strings in [[t22Bm25]], 60-bit
+    * term hashes when serving from [[Bm25Index]]'s persistent postings);
+    * `queries` is (qid, term) in the same key space. Document length is
+    * Σ tf per doc — derivable from the postings alone, which is what
+    * makes ONE maintained table sufficient for the whole model. */
+  def bm25FromTf(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // ONE row: corpus size + total token count (avgdl is derived inside
     // the scoring expression as dl * n_docs / sum_dl, exact integers in,
     // one double division — no pre-divided avgdl to disagree on)
@@ -97,19 +110,30 @@ object Retrieval {
     bm25RanksFrom(Tables.documents(s, d), queriesDf(s), k)
       .orderBy("qid", "rank")
 
-  /** DuckDB CTE chain mirroring [[bm25RanksFrom]] over `documents` with
+  /** DuckDB CTE chain mirroring [[bm25RanksFrom]] over `docsRel` with
     * [[QueryTerms]], ending in `bmr(qid, doc_id, rank)` — shared by
-    * [[t22Sql]] and [[ann12Sql]]. */
-  private[queries] val bm25Ctes: String = {
+    * [[t22Sql]], [[ann12Sql]], and (hashed, over the changefeed fixture's
+    * final state) [[Bm25Index.t28Sql]]. With `hashTerms` both postings
+    * and query terms ride the portable 60-bit md5 key, mirroring the
+    * persistent index's term space. */
+  private[queries] def bm25CtesOver(docsRel: String,
+                                    hashTerms: Boolean): String = {
     val qvals = QueryTerms
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val qCte =
+      if (hashTerms)
+        s"""q AS (SELECT qid, ('0x' || substr(md5(t), 1, 15))::BIGINT AS term
+              FROM (VALUES $qvals) v(qid, t))"""
+      else s"q(qid, term) AS (VALUES $qvals)"
+    val wKey =
+      if (hashTerms) "('0x' || substr(md5(w), 1, 15))::BIGINT" else "w"
     s"""w0 AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       toks AS (SELECT doc_id, w FROM w0 WHERE length(w) > 0),
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsRel),
+       toks AS (SELECT doc_id, $wKey AS w FROM w0 WHERE length(w) > 0),
        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
-       dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-       q(qid, term) AS (VALUES $qvals),
+       $qCte,
        dfreq AS (
          SELECT w, COUNT(*) AS df FROM tf
          WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY w),
@@ -140,7 +164,7 @@ object Retrieval {
   }
 
   val t22Sql: String =
-    s"""WITH $bm25Ctes
+    s"""WITH ${bm25CtesOver("documents", hashTerms = false)}
        SELECT qid, doc_id, rank FROM bmr WHERE rank <= 10
        ORDER BY qid, rank"""
 
@@ -182,7 +206,7 @@ object Retrieval {
   }
 
   val ann12Sql: String =
-    s"""WITH $bm25Ctes,
+    s"""WITH ${bm25CtesOver("documents", hashTerms = false)},
        vr AS (
          SELECT q.vec_id AS qid, e.vec_id AS nid,
                 ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -54,7 +54,9 @@ object Training {
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), col("wi"), split(col("w"), "").as("syms"))
       .localCheckpoint()
-    val merged = (0 until nMerges).map { i =>
+    val merged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    for (i <- 0 until nMerges if !exhausted) {
       val pairs = syms
         .filter(size(col("syms")) > 1)
         .select(explode(expr(
@@ -66,19 +68,27 @@ object Training {
       val best = pairs
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .localCheckpoint() // 1 row; reused by the fuse pass AND the output
-      syms = syms
-        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
-        .select(col("doc_id"), col("wi"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) >= 1 && element_at(acc, -1) === col("__l") && x === col("__r"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), x))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-        .localCheckpoint()
-      best.select(lit(i).as("rank"), col("l"), col("r"),
-        col("c").as("pair_count"))
+      // corpus ran out of adjacent pairs before nMerges: stop with what
+      // was learned (Bpe.learn's early-stop) — the eager checkpoint makes
+      // this a free check, and it guards the cross join from emptying the
+      // symbol stream
+      if (best.isEmpty) exhausted = true
+      else {
+        syms = syms
+          .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
+          .select(col("doc_id"), col("wi"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) >= 1 && element_at(acc, -1) === col("__l") && x === col("__r"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+        merged += best.select(lit(i).as("rank"), col("l"), col("r"),
+          col("c").as("pair_count"))
+      }
     }
+    require(merged.nonEmpty, "corpus has no adjacent symbol pairs to learn from")
     merged.reduce(_ union _).orderBy("rank")
   }
 

@@ -24,7 +24,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "cherrypick_snapshot",
-    "sync_dedup_index", "sync_agg_view", "sync_ann_index",
+    "sync_dedup_index", "sync_bm25_index", "sync_agg_view", "sync_ann_index",
     "ann_index_stats", "ann_ivf_index_stats",
     "rebuild_ann_index", "rebuild_ann_ivf_index")
 
@@ -254,6 +254,21 @@ object GraftProcedures {
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
         val out = graft.queries.DedupIndex.syncFromChangelog(spark, docs, idx,
           from, graft.queries.DedupIndex.Params())
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
+      }
+      case "sync_bm25_index" => proc(name,
+        Seq("docs" -> StringType, "index" -> StringType,
+          "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("index_snapshot_id", LongType, nullable = false),
+          StructField("posting_rows", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val idx = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val out = graft.queries.Bm25Index.syncFromChangelog(spark, docs, idx,
+          from, graft.queries.Bm25Index.Params())
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }

@@ -1080,6 +1080,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == want, "synced view != from-scratch aggregate")
   }
 
+  test("CALL sync_bm25_index folds the changefeed into the postings table") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db31")
+    val src = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val t1 = TableWriter.create(src.filter(col("doc_id") < 100),
+      s"$warehouse/db31/docs")
+    val c1 = t1.currentSnapshot.get.snapshotId
+    graft.queries.Bm25Index.build(t1.newScan().toDF(spark),
+      s"$warehouse/db31/bm25", graft.queries.Bm25Index.Params())
+    val t2 = TableWriter.append(t1,
+      src.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    TableWriter.updateWhere(t2, spark, col("doc_id") % 9 === 0,
+      Map("text" -> concat(col("text"), lit(" x"))))
+    val row = spark.sql(
+      s"CALL graft.system.sync_bm25_index('db31.docs', 'db31.bm25', ${c1}L)")
+      .collect()(0)
+    val docsNow = IcebergTables.load(s"$warehouse/db31/docs")
+    val want = graft.queries.Bm25Index.rows(
+      docsNow.newScan().toDF(spark), graft.queries.Bm25Index.Params()).count()
+    assert(row.getLong(1) == want,
+      s"posting rows ${row.getLong(1)} != from-scratch $want")
+  }
+
   test("CALL sync_ann_index folds the embedding changefeed into the codes table") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28")
