@@ -410,4 +410,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Retrieval.ann12HybridRrf(spark, sf))
     assert(!p.contains("CartesianProduct"), s"hybrid fusion cartesianed:\n$p")
   }
+
+  test("t25/t26: model state broadcasts; corpus-sized sides never cartesian") {
+    // t25: the weight vector is a 1-row broadcast into every GD pass
+    val p25 = plan(Training.t25QualityClassifier(spark, sf))
+    assert(!p25.contains("CartesianProduct"), s"GD pass cartesianed:\n$p25")
+    // t26: the vocab scalar broadcasts; the LM count joins are keyed
+    // (hash or broadcast — never a cartesian, never a sort-merge at
+    // this size)
+    val p26 = plan(Training.t26LmScore(spark, sf))
+    assert(!p26.contains("CartesianProduct"), s"LM scoring cartesianed:\n$p26")
+    assert(p26.contains("BroadcastHashJoin") ||
+      p26.contains("BroadcastNestedLoopJoin"), s"no broadcast in t26:\n$p26")
+  }
+
+  test("t27: budgets broadcast back; top-level plan has no cartesian") {
+    val p = plan(TextOps.t27SourceMixture(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"budget join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mixture cartesianed:\n$p")
+  }
+
+  test("t28: serving reads the persisted postings, not a corpus re-tokenize") {
+    val p = plan(Bm25Index.t28IncrementalBm25(spark, sf))
+    // the scan feeding the scoring chain is the index table's postings
+    // (columns doc_id/w/tf) — the docs table's `text` never appears
+    assert(!p.contains("text#"), s"served plan re-tokenizes the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
