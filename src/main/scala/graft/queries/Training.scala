@@ -33,14 +33,14 @@ object Training {
     * take the globally most frequent adjacent symbol pair (ties broken
     * lexicographically — deterministic) and fuse it corpus-wide.
     *
-    * Scale shape: per round, pair counting is one explode +
-    * map-side-combined count (pairs are short strings, never documents);
-    * the winning pair is a 1-row broadcast and the fuse pass is map-only.
-    * Word-frequency weighting falls out of counting every occurrence.
-    * At 100 TB a production run would count over a word-frequency table
-    * (`groupBy(word)` once, weight by count) — same plan, one extra
-    * map-side-combined agg; the per-occurrence form keeps the oracle
-    * 1:1.
+    * Scale shape: the corpus collapses to its WORD-FREQUENCY table
+    * first (one map-side-combined count — Zipf makes |vocab| ≪ corpus),
+    * and every learning round then runs over |vocab| rows: pair counts
+    * are `Σ word_count` aggregations, the winning pair is a 1-row
+    * broadcast, and the fuse pass rewrites |vocab| symbol lists — round
+    * cost is O(vocab), independent of corpus size, which is what lets a
+    * tokenizer train over 100 TB at all (this is also exactly how the
+    * in-memory `Bpe.learn` and the original subword-nmt loop work).
     *
     * The merge fuse is a left fold (non-overlapping, left-to-right):
     * append each symbol; when the accumulator's last symbol is `l` and
@@ -49,22 +49,24 @@ object Training {
     * same semantics as [[graft.spark.functions.Bpe.learn]]'s in-memory
     * loop (BpeTrainSpec pins them equal). */
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    // corpus → word-frequency table: all subsequent rounds are O(vocab)
     var syms = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wi", "w")))
+      .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("wi"), split(col("w"), "").as("syms"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
       .localCheckpoint()
     val merged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var exhausted = false
     for (i <- 0 until nMerges if !exhausted) {
       val pairs = syms
         .filter(size(col("syms")) > 1)
-        .select(explode(expr(
+        .select(col("wc"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"))
           .as("p"))
-        .select(col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("wc"))
+        .groupBy("l", "r").agg(sum(col("wc")).as("c"))
       val best = pairs
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .localCheckpoint() // 1 row; reused by the fuse pass AND the output
@@ -76,13 +78,12 @@ object Training {
       else {
         syms = syms
           .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
-          .select(col("doc_id"), col("wi"),
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) => when(
-                size(acc) >= 1 && element_at(acc, -1) === col("__l") && x === col("__r"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), x))))
-                .otherwise(concat(acc, array(x)))).as("syms"))
+          .select(aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) >= 1 && element_at(acc, -1) === col("__l") && x === col("__r"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("syms"), col("wc"))
           .localCheckpoint()
         merged += best.select(lit(i).as("rank"), col("l"), col("r"),
           col("c").as("pair_count"))
@@ -105,30 +106,28 @@ object Training {
   val t24Sql: String = {
     val n = 6
     val layers = (0 until n).map { i =>
-      s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, COUNT(*) AS c
+      s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, SUM(wc) AS c
              FROM s$i, UNNEST(range(1, len(syms))) t(j)
              GROUP BY l, r),
          m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          s${i + 1} AS (
-           SELECT doc_id, wi,
-                  list_reduce([[x] for x in syms],
+           SELECT list_reduce([[x] for x in syms],
                     (a, b) -> CASE WHEN len(a) >= 1 AND a[len(a)] = m.l
                                         AND b[1] = m.r
                               THEN list_concat(a[1:len(a) - 1],
                                      [a[len(a)] || b[1]])
-                              ELSE list_concat(a, b) END) AS syms
+                              ELSE list_concat(a, b) END) AS syms,
+                  wc
            FROM s$i, m$i m)"""
     }.mkString(",\n       ")
     val out = (0 until n)
-      .map(i => s"SELECT $i AS rank, l, r, c AS pair_count FROM m$i")
+      .map(i => s"SELECT $i AS rank, l, r, CAST(c AS BIGINT) AS pair_count FROM m$i")
       .mkString(" UNION ALL ")
     s"""WITH w0 AS (
-         SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS wi
-         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d0,
-              UNNEST(range(1, len(ws) + 1)) t(i)
-         WHERE ws[i] <> ''),
-       s0 AS (SELECT doc_id, wi,
-                     [w[i] for i in range(1, len(w) + 1)] AS syms FROM w0),
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, COUNT(*) AS wc FROM w0
+              WHERE length(w) > 0 GROUP BY w),
+       s0 AS (SELECT [w[i] for i in range(1, len(w) + 1)] AS syms, wc FROM wf),
        $layers
        SELECT * FROM ($out) u ORDER BY rank"""
   }
@@ -251,6 +250,11 @@ object Training {
 
   // --------------- t26: bigram-LM cross-entropy filter (CCNet-style)
 
+  // the bigram stream feeds FOUR consumers (bigram counts, prefix
+  // counts, vocab size, and the scoring join) — one slot-cached
+  // materialization instead of four tokenize+explode replays
+  private val bigramSlot = new CacheSlot
+
   /** Per-doc adjacent hashed-token bigrams: (doc_id, is_t, w1, w2) —
     * pairs form ROW-LOCALLY inside the tokenized array (no
     * position-self-join), so the corpus shuffles nothing to build them. */
@@ -288,7 +292,7 @@ object Training {
     * per-doc sums are exact, and the mean rounds to 6 dp before
     * ranking. */
   def lmCrossEntropy(docs: DataFrame, target: Column, topK: Int): DataFrame = {
-    val pairs = bigrams(docs, target)
+    val pairs = bigramSlot(bigrams(docs, target))
     val tgt = pairs.filter(col("is_t"))
     val big = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val uni = tgt.groupBy("w1").agg(count(lit(1)).as("cu"))
