@@ -1021,4 +1021,59 @@ object TextOps {
        FROM ordered o JOIN budgets b ON b.source = o.source
        WHERE o.cum - o.n_tok < b.budget_tokens
        GROUP BY o.source ORDER BY o.source"""
+
+  // --------------- t29: passage chunking (RAG / long-doc splitting)
+
+  /** PASSAGE CHUNKING — overlapping token windows (`size` tokens, step
+    * `stride` < size → `size − stride` tokens of overlap), the standard
+    * splitting every RAG indexer and long-document pretraining pipeline
+    * runs before embedding/packing. Each passage carries its offset, its
+    * (possibly short, for the tail) token count, and a 60-bit content
+    * fingerprint — the dedup hook: passage fingerprints feed the same
+    * exact-dedup/shared-passage machinery as document hashes (d05/t02).
+    *
+    * Scale shape: entirely ROW-LOCAL — tokenize, window starts, slices
+    * and fingerprints all happen inside one projection over the doc; no
+    * shuffle at all until whatever consumes the passages aggregates.
+    * Start indices are `0, stride, 2·stride, …` while they fall inside
+    * the document (the t19 straddler spirit: a tail shorter than `size`
+    * still becomes a passage — truncating it would silently drop the
+    * corpus's endings). */
+  def passageChunks(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+      .select(col("doc_id"), col("ws"), org.apache.spark.sql.functions.size(col("ws")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(s"sequence(0, CAST(floor((n - 1) / $stride.0) AS INT))"))
+          .as("pid"))
+      .select(col("doc_id"), col("pid"),
+        (col("pid") * stride).as("start_tok"),
+        least(lit(size), col("n") - col("pid") * stride).as("n_tok"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("ws"), col("pid") * stride + 1, lit(size)))), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+      .orderBy("doc_id", "pid")
+  }
+
+  /** Battery entry t29: 32-token passages at stride 24 (8-token overlap). */
+  def t29PassageChunks(s: SparkSession, d: String): DataFrame =
+    passageChunks(Tables.documents(s, d), size = 32, stride = 24)
+
+  val t29Sql: String =
+    """WITH ws AS (
+         SELECT doc_id,
+                list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+         FROM documents),
+       n AS (SELECT doc_id, ws, len(ws) AS n FROM ws WHERE len(ws) > 0),
+       p AS (SELECT doc_id, ws, n, CAST(i AS INT) AS pid
+             FROM n, UNNEST(range(0, CAST(FLOOR((n - 1) / 24.0) AS BIGINT) + 1)) t(i))
+       SELECT doc_id, pid,
+              CAST(pid * 24 AS INT) AS start_tok,
+              CAST(LEAST(32, n - pid * 24) AS INT) AS n_tok,
+              ('0x' || substr(md5(array_to_string(
+                ws[pid * 24 + 1 : pid * 24 + 32], ' ')), 1, 15))::BIGINT AS fp
+       FROM p ORDER BY doc_id, pid"""
 }

@@ -208,6 +208,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "ranks must be dense 1..k per query")
   }
 
+  test("sq8 ann: byte-quantized coordinates recall brute-force top-k near-exactly") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SQ8 keeps per-coordinate error < Δ/510 of the dimension range — far
+    // gentler than PQ's subspace collapse, so recall should be near-total
+    val sq = Similarity.annSq8(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(sq.contains).toDouble / bf.size
+    assert(recall >= 0.9, s"SQ8 recall vs brute force = $recall")
+    val perQuery = Similarity.annSq8(spark, sf, nQueries = 10, k = 5)
+      .collect().groupBy(_.getLong(0))
+    assert(perQuery.size == 10 &&
+      perQuery.values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
+  }
+
   test("pq ann: 32x-compressed codes still recall brute-force top-k") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

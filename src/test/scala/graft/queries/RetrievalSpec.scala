@@ -173,4 +173,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ws.forall(v => !v.isNaN && !v.isInfinite))
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---------- Passage chunking
+
+  test("passage chunks: hand-computed windows, straddling tail kept") {
+    val toks50 = (0 until 50).map(i => s"w$i").mkString(" ")
+    val out = TextOps.passageChunks(docsDF(1L -> toks50), size = 32, stride = 24)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    // 50 tokens, stride 24 → starts 0/24/48; tail keeps its 2 tokens
+    assert(out.toSeq == Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)), out.toSeq)
+  }
+
+  test("passage fingerprints: identical windows across docs collide (the dedup hook)") {
+    val shared = (0 until 32).map(i => s"s$i").mkString(" ")
+    val out = TextOps.passageChunks(
+      docsDF(1L -> shared, 2L -> shared, 3L -> "totally different text here"),
+      size = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(out((1L, 0)) == out((2L, 0)), "same window must fingerprint equal")
+    assert(out((1L, 0)) != out((3L, 0)), "different windows must differ")
+  }
 }
