@@ -1076,4 +1076,85 @@ object TextOps {
               ('0x' || substr(md5(array_to_string(
                 ws[pid * 24 + 1 : pid * 24 + 32], ' ')), 1, 15))::BIGINT AS fp
        FROM p ORDER BY doc_id, pid"""
+
+  // --------------- t30: count-min sketch (heavy-hitter estimation)
+
+  /** Candidate terms whose frequencies t30 estimates — the retrieval
+    * query vocabulary plus the corpus's two stopword-like fillers. */
+  private[queries] val cmCandidates: Seq[String] =
+    (Retrieval.QueryTerms.flatMap(_._2) ++ Seq("the", "a", "data")).distinct.sorted
+
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan) — frequency estimates
+    * from O(d·w) integers instead of a full frequency table: each token
+    * increments one counter per hash row; a term's estimate is the MIN of
+    * its d counters, an overestimate by construction (collisions only add).
+    *
+    * Why this matters at 100 TB: the sketch IS the aggregation state —
+    * d·w counters (here 4×512 longs, 16 KB) regardless of vocabulary
+    * size, built map-side-combined in one pass and mergeable by vector
+    * addition (what the groupBy does across partitions). KMV (t15) answers
+    * "how many distinct"; count-min answers "how often is X" for any X
+    * decided AFTER the pass, with no per-term state kept. The candidate
+    * probe is a broadcast of the (tiny) candidate list against the (tiny)
+    * cell table — no corpus rescan. True counts ride along here only to
+    * exhibit the ε-overestimate guarantee (the spec asserts est ≥ true).
+    */
+  def t30CountMin(s: SparkSession, d: String, depth: Int = 4,
+                  width: Int = 512): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    def bucket(r: Int, w: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", lit(r.toString), w)), 1, 15), 16, 10)
+        .cast("long"), lit(width))
+    val cells = toks
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("w")).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cands = {
+      import s.implicits._
+      cmCandidates.toDF("term")
+    }
+    val probes = cands.select(col("term"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("term")).as("b"))): _*)).as("c"))
+      .select(col("term"), col("c.r").as("r"), col("c.b").as("b"))
+    val est = probes.join(cells, Seq("r", "b"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    val truth = toks.join(broadcast(cands), col("w") === col("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, Seq("term"), "left")
+      .select(col("term"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+        col("cm_est"))
+      .orderBy("term")
+  }
+
+  val t30Sql: String = {
+    val cands = cmCandidates.map(t => s"('$t')").mkString(", ")
+    """WITH toks AS (
+         SELECT w FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE length(w) > 0),
+       cells AS (
+         SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 15))::BIGINT % 512 AS b,
+                COUNT(*) AS cnt
+         FROM toks, UNNEST(range(0, 4)) t(r) GROUP BY r, b),
+       cands(term) AS (VALUES """ + cands + """),
+       probes AS (
+         SELECT term, r,
+                ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS b
+         FROM cands, UNNEST(range(0, 4)) t(r)),
+       est AS (
+         SELECT term, MIN(COALESCE(cnt, 0)) AS cm_est
+         FROM probes LEFT JOIN cells USING (r, b) GROUP BY term),
+       truth AS (
+         SELECT term, COUNT(*) AS true_cnt
+         FROM toks JOIN cands ON toks.w = cands.term GROUP BY term)
+       SELECT est.term, CAST(COALESCE(true_cnt, 0) AS BIGINT) AS true_cnt,
+              CAST(cm_est AS BIGINT) AS cm_est
+       FROM est LEFT JOIN truth ON truth.term = est.term
+       ORDER BY est.term"""
+  }
 }

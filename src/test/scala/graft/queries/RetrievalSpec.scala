@@ -184,6 +184,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)), out.toSeq)
   }
 
+  // ---------- Count-min sketch
+
+  test("count-min: estimates are exact-or-over, never under; tiny width forces overestimates") {
+    // battery geometry (4×512): no collisions on this vocabulary — exact
+    val wide = TextOps.t30CountMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.nonEmpty)
+    wide.foreach { case (t, tru, est) =>
+      assert(est >= tru, s"count-min underestimated '$t': $est < $tru") }
+    // width 2: every bucket is shared → some estimate must exceed truth
+    val narrow = TextOps.t30CountMin(spark, sf, depth = 2, width = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    narrow.foreach { case (t, tru, est) =>
+      assert(est >= tru, s"narrow sketch underestimated '$t': $est < $tru") }
+    assert(narrow.exists { case (_, tru, est) => est > tru },
+      "a 2x2 sketch over this corpus must collide somewhere")
+  }
+
   test("passage fingerprints: identical windows across docs collide (the dedup hook)") {
     val shared = (0 until 32).map(i => s"s$i").mkString(" ")
     val out = TextOps.passageChunks(
