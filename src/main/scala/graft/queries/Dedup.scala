@@ -730,9 +730,14 @@ object Dedup {
     import graft.queries.Similarity.dot
     val assigned = Similarity.oneStepKmeansAssign(emb, k)
       .select("vec_id", "cluster")
+    // zero-norm vectors have no defined cosine: keep them out of the
+    // pair search entirely (they surface as is_dup = false), rather than
+    // letting NaN comparisons decide — NaN ordering differs between
+    // engines, so a NaN ≥ τ must never reach the threshold
     val v = emb.join(assigned, "vec_id")
       .select(col("vec_id"), col("cluster"), col("e"),
         sqrt(dot(col("e"), col("e"))).as("n"))
+      .filter(col("n") > 0)
     val a = v.select(col("cluster"), col("vec_id").as("id_a"),
       col("e").as("e_a"), col("n").as("n_a"))
     val b = v.select(col("cluster"), col("vec_id").as("id_b"),

@@ -25,7 +25,7 @@ object Similarity {
   private val lshBandedSlot = new CacheSlot
   private val ivfAssignedSlot = new CacheSlot
   private val pqCodesSlot = new CacheSlot
-  private val sq8CodesSlot = new CacheSlot
+  private val sq8DeqSlot = new CacheSlot
 
   /** Cosine similarity between two float-array columns, computed in double
     * via the native codegen'd dot product. */
@@ -573,10 +573,13 @@ object Similarity {
     *
     * Scale shape: training is ONE map-side-combined (dim, min, max)
     * aggregation; encode/dequantize are map-only passes; the model is
-    * O(dims) — the cheapest possible quantizer to maintain (frozen
-    * min/max at bootstrap; a new out-of-range vector clamps, the
-    * standard SQ failure mode, and re-train = rebuild as with PQ).
-    * Constant dimensions get Δ=1 so dequant returns mn exactly.
+    * O(dims) — the cheapest possible quantizer to maintain. This
+    * session-built entry always trains on the exact corpus it encodes,
+    * so every coordinate is in-range by construction; a MAINTAINED
+    * variant (frozen min/max at bootstrap, the ann07 pattern) must add
+    * the standard SQ clamp to [0, 255] before persisting codes for
+    * vectors outside the bootstrap range. Constant dimensions get Δ=1
+    * so dequant returns mn exactly.
     *
     * Determinism: codes are integers (rounded once); dequantized
     * coordinates and the approx cosine recompute identically in both
@@ -594,7 +597,10 @@ object Similarity {
         .as("mins"),
         expr("transform(array_sort(collect_list(struct(pos, dl))), s -> s.dl)")
         .as("deltas"))
-    val codes = sq8CodesSlot(emb.crossJoin(broadcast(params))
+    // encode → dequantize fused in one projection (the int codes are the
+    // PERSISTED form — here they exist only inside the expression; the
+    // slot caches the reconstructed vectors the shortlist scans)
+    val deq = sq8DeqSlot(emb.crossJoin(broadcast(params))
       .select(col("vec_id"), expr(
         "transform(sequence(1, size(e)), i -> CAST(round(" +
           "(element_at(e, i) - element_at(mins, i)) / element_at(deltas, i) * 255" +
@@ -610,7 +616,7 @@ object Similarity {
         sqrt(dot(col("e"), col("e"))).as("qnorm"))
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("nid"))
-    val short = codes
+    val short = deq
       .select(col("vec_id").as("nid"), col("ne"),
         sqrt(dot(col("ne"), col("ne"))).as("nn"))
       .join(broadcast(q), col("qid") =!= col("nid"))

@@ -17,6 +17,8 @@ import QueryUtils._
   */
 object TextOps {
 
+  private val dsirToksSlot = new CacheSlot
+
   /** Per-document structural stats: chars, tokens, punctuation ratio. */
   def t01TextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -873,12 +875,15 @@ object TextOps {
     * schema). */
   def dsirWeights(docs: DataFrame, target: Column, nBuckets: Int,
                   topK: Int): DataFrame = {
-    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
-    val toks = docs
+    // the bucketed token stream feeds FOUR consumers (target counts, raw
+    // counts, totals, and the λ scoring join) — one slot-cached
+    // materialization instead of four tokenize replays (the t26 shape)
+    val toks = dsirToksSlot(docs
       .select(col("doc_id"), target.as("is_t"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("is_t"), pmod(wordHash, lit(nBuckets)).as("b"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(Dedup.md5Hash60(col("w")), lit(nBuckets)).as("b")))
     val ct = toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
     val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
     val tot = toks.agg(
@@ -973,8 +978,7 @@ object TextOps {
       .select(col("source"),
         floor(col("budget") * (col("w").cast("double") / col("tw").cast("double")))
           .cast("long").as("budget_tokens"))
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = Dedup.md5Hash60(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     docs
       .withColumn("h", h)
@@ -1052,9 +1056,8 @@ object TextOps {
       .select(col("doc_id"), col("pid"),
         (col("pid") * stride).as("start_tok"),
         least(lit(size), col("n") - col("pid") * stride).as("n_tok"),
-        conv(substring(md5(concat_ws(" ",
-          slice(col("ws"), col("pid") * stride + 1, lit(size)))), 1, 15), 16, 10)
-          .cast("long").as("fp"))
+        Dedup.md5Hash60(concat_ws(" ",
+          slice(col("ws"), col("pid") * stride + 1, lit(size)))).as("fp"))
       .orderBy("doc_id", "pid")
   }
 
@@ -1105,8 +1108,7 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     def bucket(r: Int, w: Column): Column =
-      pmod(conv(substring(md5(concat_ws(":", lit(r.toString), w)), 1, 15), 16, 10)
-        .cast("long"), lit(width))
+      pmod(Dedup.md5Hash60(concat_ws(":", lit(r.toString), w)), lit(width))
     val cells = toks
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"), bucket(r, col("w")).as("b"))): _*)).as("c"))

@@ -262,9 +262,8 @@ object Training {
     docs
       .select(col("doc_id"), target.as("is_t"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
-      .select(col("doc_id"), col("is_t"), expr(
-        "transform(ws, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
-        .as("hs"))
+      .select(col("doc_id"), col("is_t"),
+        transform(col("ws"), w => Dedup.md5Hash60(w)).as("hs"))
       .filter(size(col("hs")) > 1)
       .select(col("doc_id"), col("is_t"), explode(expr(
         "transform(sequence(1, size(hs) - 1), " +
@@ -290,7 +289,10 @@ object Training {
     *
     * Determinism: each bigram's −ln p rounds to 6 dp into exact decimal,
     * per-doc sums are exact, and the mean rounds to 6 dp before
-    * ranking. */
+    * ranking. Documents with fewer than two tokens have no bigrams and
+    * no defined cross-entropy — they are absent from the output (a
+    * production filter would route them to a length gate like t04's
+    * instead). */
   def lmCrossEntropy(docs: DataFrame, target: Column, topK: Int): DataFrame = {
     val pairs = bigramSlot(bigrams(docs, target))
     val tgt = pairs.filter(col("is_t"))

@@ -259,16 +259,26 @@ object GraftProcedures {
       }
       case "sync_bm25_index" => proc(name,
         Seq("docs" -> StringType, "index" -> StringType,
-          "after_snapshot_id" -> LongType),
+          "after_snapshot_id" -> LongType, "term_hash" -> StringType),
         StructType(Seq(
           StructField("index_snapshot_id", LongType, nullable = false),
-          StructField("posting_rows", LongType, nullable = false)))) { in =>
+          StructField("posting_rows", LongType, nullable = false))),
+        // the hash family MUST match what the index was built with —
+        // appending xxhash64 postings into an md5-keyed table would be
+        // silent hash-space mixing, so the family is an explicit argument
+        defaults = Map("term_hash" -> "'xxhash64'")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         val idx = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val p = in.getUTF8String(3).toString match {
+          case "xxhash64" => graft.queries.Bm25Index.Params()
+          case "md5" => graft.queries.Bm25Index.OracleParams
+          case other => throw new IllegalArgumentException(
+            s"term_hash must be 'xxhash64' or 'md5', got '$other'")
+        }
         val out = graft.queries.Bm25Index.syncFromChangelog(spark, docs, idx,
-          from, graft.queries.Bm25Index.Params())
+          from, p)
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }

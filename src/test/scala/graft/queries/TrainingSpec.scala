@@ -135,15 +135,28 @@ class TrainingSpec extends AnyFunSuite {
     assert(bookShare > 0.3, s"mixture did not flatten: $bookShare")
   }
 
-  test("t27 battery entry: per-source rollup, every source within its budget+straddler") {
+  test("t27 battery entry: budget filled to the straddler bound, never beyond") {
     val rows = TextOps.t27SourceMixture(spark, sf).collect()
     assert(rows.nonEmpty)
+    // ground truth from the corpus: per-source token totals + max doc
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_tok").as("total"),
+        org.apache.spark.sql.functions.max("n_tok").as("max_doc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     rows.foreach { r =>
-      val (budget, n, tokens) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(n > 0 && tokens > 0)
-      // tokens_selected can exceed the budget only by the final
-      // straddling document, never by a whole extra document's start
-      assert(tokens >= budget - budget / 10 || n >= 1)
+      val (src, budget, tokens) =
+        (r.getString(0), r.getLong(1), r.getLong(3))
+      val (total, maxDoc) = docs(src)
+      // a doc is selected iff its slice STARTS inside the budget, so the
+      // selection fills at least min(budget, source total)…
+      assert(tokens >= math.min(budget, total),
+        s"$src under-filled: $tokens < min($budget, $total)")
+      // …and overshoots by less than one document (the final straddler)
+      assert(tokens < budget + maxDoc,
+        s"$src over-filled: $tokens >= $budget + $maxDoc")
     }
   }
 }
