@@ -258,18 +258,22 @@ object Training {
   /** Per-doc adjacent hashed-token bigrams: (doc_id, is_t, w1, w2) —
     * pairs form ROW-LOCALLY inside the tokenized array (no
     * position-self-join), so the corpus shuffles nothing to build them. */
-  private def bigrams(docs: DataFrame, target: Column): DataFrame =
+  private[queries] def bigrams(docs: DataFrame, target: Column,
+                               carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
     docs
-      .select(col("doc_id"), target.as("is_t"),
-        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
-      .select(col("doc_id"), col("is_t"),
-        transform(col("ws"), w => Dedup.md5Hash60(w)).as("hs"))
+      .select(Seq(col("doc_id"), target.as("is_t")) ++ cs :+
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"): _*)
+      .select(Seq(col("doc_id"), col("is_t")) ++ cs :+
+        transform(col("ws"), w => Dedup.md5Hash60(w)).as("hs"): _*)
       .filter(size(col("hs")) > 1)
-      .select(col("doc_id"), col("is_t"), explode(expr(
+      .select(Seq(col("doc_id"), col("is_t")) ++ cs :+ explode(expr(
         "transform(sequence(1, size(hs) - 1), " +
           "j -> struct(element_at(hs, j) AS w1, element_at(hs, j + 1) AS w2))"))
-        .as("p"))
-      .select(col("doc_id"), col("is_t"), col("p.w1"), col("p.w2"))
+        .as("p"): _*)
+      .select(Seq(col("doc_id"), col("is_t")) ++ cs ++
+        Seq(col("p.w1"), col("p.w2")): _*)
+  }
 
   /** LANGUAGE-MODEL QUALITY FILTER (the CCNet recipe, Wenzek et al.
     * 2020): train an add-1-smoothed bigram LM on the TARGET slice, score
@@ -295,10 +299,22 @@ object Training {
     * instead). */
   def lmCrossEntropy(docs: DataFrame, target: Column, topK: Int): DataFrame = {
     val pairs = bigramSlot(bigrams(docs, target))
-    val tgt = pairs.filter(col("is_t"))
-    val big = tgt.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val uni = tgt.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = tgt.agg(countDistinct(col("w1")).as("v"))
+    val counts = pairs.filter(col("is_t"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    lmScoreAgainst(counts, pairs, topK)
+  }
+
+  /** Score a corpus's bigram stream against an ALREADY-BUILT bigram
+    * count table (session-built in [[lmCrossEntropy]], the maintained
+    * Iceberg table in [[LmIndex]]): prefix counts are `Σ_w2 cnt` and the
+    * prefix vocabulary is `count distinct w1` — both DERIVED from the
+    * count table, which is what makes one maintained table the entire
+    * LM (the t28 single-table insight applied to the language model). */
+  private[queries] def lmScoreAgainst(counts: DataFrame, pairs: DataFrame,
+                                      topK: Int): DataFrame = {
+    val big = counts.select(col("w1"), col("w2"), col("cnt").as("cb"))
+    val uni = counts.groupBy("w1").agg(sum(col("cnt")).as("cu"))
+    val vocab = counts.agg(countDistinct(col("w1")).as("v"))
     val nll = pairs
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
@@ -323,13 +339,16 @@ object Training {
   def t26LmScore(s: SparkSession, d: String): DataFrame =
     lmCrossEntropy(Tables.documents(s, d), col("lang") === "en", 25)
 
-  val t26Sql: String =
-    """WITH hs AS (
+  /** The t26 oracle over an arbitrary docs relation — shared with
+    * [[LmIndex.t31Sql]], whose maintained counts must reproduce this
+    * from-scratch scoring over the fixture's final corpus state. */
+  def lmSqlOver(docsRel: String): String =
+    s"""WITH hs AS (
          SELECT doc_id, lang,
                 [('0x' || substr(md5(w), 1, 15))::BIGINT
                  for w in list_filter(string_split(text, ' '), w -> length(w) > 0)]
                   AS hs
-         FROM documents),
+         FROM $docsRel),
        pairs AS (
          SELECT doc_id, lang, hs[j] AS w1, hs[j + 1] AS w2
          FROM hs, UNNEST(range(1, len(hs))) t(j)
@@ -354,4 +373,6 @@ object Training {
        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ce_r, doc_id) AS rank, ce_r
        FROM (SELECT * FROM ce ORDER BY ce_r, doc_id LIMIT 25) t
        ORDER BY rank"""
+
+  val t26Sql: String = lmSqlOver("documents")
 }

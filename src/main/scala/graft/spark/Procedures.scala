@@ -24,7 +24,8 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "cherrypick_snapshot",
-    "sync_dedup_index", "sync_bm25_index", "sync_agg_view", "sync_ann_index",
+    "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
+    "sync_ann_index",
     "ann_index_stats", "ann_ivf_index_stats",
     "rebuild_ann_index", "rebuild_ann_ivf_index")
 
@@ -279,6 +280,25 @@ object GraftProcedures {
         }
         val out = graft.queries.Bm25Index.syncFromChangelog(spark, docs, idx,
           from, p)
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
+      }
+      case "sync_lm_counts" => proc(name,
+        Seq("docs" -> StringType, "counts" -> StringType,
+          "after_snapshot_id" -> LongType, "target_filter" -> StringType),
+        StructType(Seq(
+          StructField("counts_snapshot_id", LongType, nullable = false),
+          StructField("bigram_rows", LongType, nullable = false))),
+        // target_filter is the SQL predicate naming the LM's training
+        // slice — it must match what the table was BUILT over
+        defaults = Map("target_filter" -> "'true'")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val tbl = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
+        val tgt = org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString)
+        val out = graft.queries.LmIndex.syncFromChangelog(spark, docs, tbl,
+          tgt, from)
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }

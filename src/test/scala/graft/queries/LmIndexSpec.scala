@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.spark.{IcebergTables, SparkTestSession, TableWriter}
+
+/** Incremental bigram-count maintenance: after any commit sequence the
+  * maintained LM table equals a from-scratch count of the final target
+  * slice (exact integers — no tolerance), and vanished bigrams leave the
+  * table. Batch changelog sync and the streaming fold both covered. */
+class LmIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val target = col("lang") === "en"
+
+  private def docsDF(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  private def counts(t: graft.spark.IcebergTable): Map[(Long, Long), Long] =
+    t.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def freshCounts(docs: graft.spark.IcebergTable): Map[(Long, Long), Long] =
+    LmIndex.aggregate(docs.newScan().toDF(spark), target).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("batch sync equals from-scratch counts; zeroed bigrams vanish") {
+    val loc = Files.createTempDirectory("lm_docs").toFile.getPath
+    val t1 = TableWriter.create(docsDF(
+      (1L, "en", "aa bb aa bb"),   // (aa,bb)x2 via overlap? pairs: aa-bb, bb-aa, aa-bb
+      (2L, "en", "cc dd"),
+      (3L, "xx", "aa bb")),        // non-target: never counted
+      loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val lmLoc = Files.createTempDirectory("lm_idx").toFile.getPath
+    val lm0 = LmIndex.build(t1.newScan().toDF(spark), target, lmLoc)
+    // update doc 2 (changes its bigrams), delete doc 1 (retracts its
+    // counts entirely), append doc 4 (new counts)
+    val t2 = TableWriter.updateWhere(t1, spark, col("doc_id") === 2L,
+      Map("text" -> lit("cc ee")))
+    val t3 = TableWriter.deleteWhere(t2, spark, col("doc_id") === 1L)
+    val t4 = TableWriter.append(t3, docsDF((4L, "en", "aa bb")))
+    val lm = LmIndex.syncFromChangelog(spark, t4, lm0, target, Some(c1))
+    val got = counts(lm)
+    assert(got == freshCounts(t4), s"maintained=$got")
+    // (cc,dd) existed only in doc 2's old text → its count hit zero and
+    // the row is GONE, not zero
+    val h = (w: String) => spark.range(1)
+      .select(Dedup.md5Hash60(lit(w))).collect()(0).getLong(0)
+    assert(!got.contains((h("cc"), h("dd"))))
+    // doc 1's (bb,aa) bridge bigram vanished with it; (aa,bb) survives
+    // via doc 4 at count 1
+    assert(got((h("aa"), h("bb"))) == 1L)
+    assert(!got.contains((h("bb"), h("aa"))))
+  }
+
+  test("re-delivered window is a no-op (watermark exactly-once)") {
+    val loc = Files.createTempDirectory("lm_docs2").toFile.getPath
+    val t1 = TableWriter.create(docsDF((1L, "en", "aa bb cc")), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val lmLoc = Files.createTempDirectory("lm_idx2").toFile.getPath
+    val lm0 = LmIndex.build(t1.newScan().toDF(spark), target, lmLoc)
+    val t2 = TableWriter.append(t1, docsDF((2L, "en", "aa bb")))
+    val once = LmIndex.syncFromChangelog(spark, t2, lm0, target, Some(c1))
+    val twice = LmIndex.syncFromChangelog(spark, t2, once, target, Some(c1))
+    assert(counts(twice) == freshCounts(t2))
+    assert(twice.currentSnapshot.get.snapshotId ==
+      once.currentSnapshot.get.snapshotId, "re-delivery must not commit")
+  }
+
+  test("streaming read-changes maintenance equals from-scratch counts") {
+    val loc = Files.createTempDirectory("lm_docs3").toFile.getPath
+    val t1 = TableWriter.create(docsDF((1L, "en", "aa bb cc")), loc)
+    val lmLoc = Files.createTempDirectory("lm_idx3").toFile.getPath
+    LmIndex.build(docsDF().limit(0), target, lmLoc)
+    val ck = Files.createTempDirectory("lm_ck3").toFile.getPath
+    val q = LmIndex.maintain(spark, loc, lmLoc, ck, target)
+    try {
+      q.processAllAvailable()
+      val t2 = TableWriter.append(t1, docsDF((2L, "en", "cc dd"), (3L, "xx", "ee ff")))
+      q.processAllAvailable()
+      val t3 = TableWriter.deleteWhere(t2, spark, col("doc_id") === 1L)
+      q.processAllAvailable()
+      assert(counts(IcebergTables.load(lmLoc)) == freshCounts(t3))
+    } finally q.stop()
+  }
+}

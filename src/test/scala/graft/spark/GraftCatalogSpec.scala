@@ -1104,6 +1104,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"posting rows ${row.getLong(1)} != from-scratch $want")
   }
 
+  test("CALL sync_lm_counts folds the changefeed into the bigram table") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db32")
+    val src = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val t1 = TableWriter.create(src.filter(col("doc_id") < 100),
+      s"$warehouse/db32/docs")
+    val c1 = t1.currentSnapshot.get.snapshotId
+    graft.queries.LmIndex.build(t1.newScan().toDF(spark),
+      col("lang") === "en", s"$warehouse/db32/lm")
+    val t2 = TableWriter.append(t1,
+      src.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    TableWriter.updateWhere(t2, spark, col("doc_id") % 9 === 0,
+      Map("text" -> concat(col("text"), lit(" x"))))
+    val row = spark.sql(
+      s"""CALL graft.system.sync_lm_counts('db32.docs', 'db32.lm', ${c1}L,
+          target_filter => 'lang = ''en''')""").collect()(0)
+    val docsNow = IcebergTables.load(s"$warehouse/db32/docs")
+    val want = graft.queries.LmIndex.aggregate(
+      docsNow.newScan().toDF(spark), col("lang") === "en").count()
+    assert(row.getLong(1) == want,
+      s"bigram rows ${row.getLong(1)} != from-scratch $want")
+  }
+
   test("CALL sync_ann_index folds the embedding changefeed into the codes table") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db28")
