@@ -63,11 +63,14 @@ object LmIndex {
     val applied = table.properties.get(AppliedSeqProp).flatMap(_.toLongOption)
       .getOrElse(Long.MinValue)
     val fresh = changes.filter(col("_commit_sequence") > applied).persist()
+    // the delta aggregation (tokenize + hash + bigram explode over every
+    // changed doc) feeds THREE consumers (tombstone keys, the semi-join
+    // read-back, the merge) — persist it so each window pays it once
+    val dl = deltas(fresh, target).persist()
     try {
       val hi = fresh.agg(max(col("_commit_sequence"))).collect()(0)
       if (hi.isNullAt(0)) table
       else {
-        val dl = deltas(fresh, target)
         val touched = dl.select("w1", "w2")
         val current = table.newScan().toDF(s)
           .join(touched, Seq("w1", "w2"), "left_semi")
@@ -79,7 +82,7 @@ object LmIndex {
         TableWriter.replaceEquality(table, touched, Seq("w1", "w2"),
           merged, Map(AppliedSeqProp -> hi.getLong(0).toString))
       }
-    } finally { fresh.unpersist(); () }
+    } finally { dl.unpersist(); fresh.unpersist(); () }
   }
 
   /** Batch catch-up over every commit after `afterSnapshotId`. */
