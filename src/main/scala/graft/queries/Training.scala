@@ -317,6 +317,11 @@ object Training {
     // vocab) — slot-cache it so the model (session-built or an Iceberg
     // scan) is materialized once per serve
     val counts = lmCountsSlot(counts0)
+    // an LM trained on nothing is undefined (v = 0 would drive every
+    // -ln p to -Infinity and rank garbage); fail loudly instead — the
+    // check is one action on the already-cached model
+    require(!counts.isEmpty,
+      "LM count table is EMPTY — empty target slice, or wrong table location")
     val big = counts.select(col("w1"), col("w2"), col("cnt").as("cb"))
     val uni = counts.groupBy("w1").agg(sum(col("cnt")).as("cu"))
     val vocab = counts.agg(countDistinct(col("w1")).as("v"))

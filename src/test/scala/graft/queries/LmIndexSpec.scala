@@ -73,6 +73,18 @@ class LmIndexSpec extends AnyFunSuite {
       once.currentSnapshot.get.snapshotId, "re-delivery must not commit")
   }
 
+  test("scoring against an empty LM fails loudly, not with -Infinity ranks") {
+    val loc = Files.createTempDirectory("lm_docs4").toFile.getPath
+    val docs = TableWriter.create(docsDF((1L, "xx", "aa bb")), loc)
+    val lmLoc = Files.createTempDirectory("lm_idx4").toFile.getPath
+    // target slice is empty → zero count rows
+    val lm = LmIndex.build(docs.newScan().toDF(spark), target, lmLoc)
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.score(spark, lm, docs.newScan().toDF(spark), 10).collect()
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
   test("streaming read-changes maintenance equals from-scratch counts") {
     val loc = Files.createTempDirectory("lm_docs3").toFile.getPath
     val t1 = TableWriter.create(docsDF((1L, "en", "aa bb cc")), loc)
