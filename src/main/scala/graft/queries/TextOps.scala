@@ -964,7 +964,18 @@ object TextOps {
 
   /** Core of [[t27SourceMixture]] over an arbitrary
     * (doc_id, source, n_tok) frame. */
-  def sourceMixture(docs: DataFrame, budgetFraction: Double): DataFrame = {
+  def sourceMixture(docs: DataFrame, budgetFraction: Double): DataFrame =
+    mixtureSelection(docs, budgetFraction)
+      .groupBy("source")
+      .agg(max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs_selected"),
+        sum(col("n_tok")).as("tokens_selected"))
+      .orderBy("source")
+
+  /** The SELECTED documents of the temperature mixture — (doc_id,
+    * source, n_tok, budget_tokens) — shared by the t27 rollup and the
+    * t32 pipeline's final stage. */
+  def mixtureSelection(docs: DataFrame, budgetFraction: Double): DataFrame = {
     val perSource = docs.groupBy("source").agg(sum("n_tok").as("ts"))
     // α = 0.5 temperature weights in exact-decimal space; the total
     // budget is a fixed fraction of the corpus (integer via floor)
@@ -985,19 +996,14 @@ object TextOps {
       .withColumn("cum", sum(col("n_tok")).over(w))
       .join(broadcast(budgets), "source")
       .filter(col("cum") - col("n_tok") < col("budget_tokens"))
-      .groupBy("source")
-      .agg(max(col("budget_tokens")).as("budget_tokens"),
-        count(lit(1)).as("n_docs_selected"),
-        sum(col("n_tok")).as("tokens_selected"))
-      .orderBy("source")
+      .select("doc_id", "source", "n_tok", "budget_tokens")
   }
 
-  val t27Sql: String =
-    """WITH docs AS (
-         SELECT doc_id, source,
-                CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
-         FROM documents),
-       per_source AS (SELECT source, SUM(n_tok) AS ts FROM docs GROUP BY source),
+  /** CTE chain mirroring [[mixtureSelection]] over `rel` (doc_id,
+    * source, n_tok), ending in `selx(doc_id, source, n_tok,
+    * budget_tokens)` — shared by [[t27Sql]] and [[t32Sql]]. */
+  private[queries] def mixtureCtesOver(rel: String): String =
+    s"""per_source AS (SELECT source, SUM(n_tok) AS ts FROM $rel GROUP BY source),
        weights AS (
          SELECT source, ts,
                 CAST(ROUND(sqrt(CAST(ts AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
@@ -1013,18 +1019,26 @@ object TextOps {
          FROM weights CROSS JOIN totals),
        ordered AS (
          SELECT doc_id, source, n_tok,
-                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
                 SUM(n_tok) OVER (PARTITION BY source
                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
                            doc_id) AS cum
-         FROM docs)
-       SELECT o.source,
-              MAX(b.budget_tokens) AS budget_tokens,
+         FROM $rel),
+       selx AS (
+         SELECT o.doc_id, o.source, o.n_tok, b.budget_tokens
+         FROM ordered o JOIN budgets b ON b.source = o.source
+         WHERE o.cum - o.n_tok < b.budget_tokens)"""
+
+  val t27Sql: String =
+    s"""WITH docs AS (
+         SELECT doc_id, source,
+                CAST(LEN(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+         FROM documents),
+       ${mixtureCtesOver("docs")}
+       SELECT source,
+              MAX(budget_tokens) AS budget_tokens,
               COUNT(*) AS n_docs_selected,
-              CAST(SUM(o.n_tok) AS BIGINT) AS tokens_selected
-       FROM ordered o JOIN budgets b ON b.source = o.source
-       WHERE o.cum - o.n_tok < b.budget_tokens
-       GROUP BY o.source ORDER BY o.source"""
+              CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+       FROM selx GROUP BY source ORDER BY source"""
 
   // --------------- t29: passage chunking (RAG / long-doc splitting)
 
@@ -1159,4 +1173,111 @@ object TextOps {
        FROM est LEFT JOIN truth ON truth.term = est.term
        ORDER BY est.term"""
   }
+
+  // --------------- t32: the composed curation pipeline
+
+  /** THE CURATION PIPELINE — the whole release recipe as ONE declarative
+    * plan, each stage an operator this battery already proves in
+    * isolation: exact dedup (t02's keep-first sha-256 rule) → SimHash
+    * near-dedup (t20's keep-first rule over d02's capped banded pairs) →
+    * quality gate (t04's length floor) → temperature mixture selection
+    * over the survivors (t27, budgets computed on the CLEANED corpus —
+    * selecting before deduping would spend budget on copies). Output is
+    * the per-source release card: docs dropped per stage, candidates,
+    * budget, and what was actually selected.
+    *
+    * Drop precedence (each doc counted once): exact > near > quality —
+    * a doc that is both an exact and a banded near-dup reports as exact.
+    *
+    * Scale: nothing here is new plan shape — the stages compose as
+    * subtrees (one sha-256 shuffle, the capped SimHash chain, a map-only
+    * gate, the |sources|-broadcast mixture), and Catalyst pipelines them
+    * with no extra corpus passes beyond the stages' own. */
+  def t32CurationPipeline(s: SparkSession, d: String): DataFrame =
+    curationPipeline(Tables.documents(s, d))
+
+  /** Core of [[t32CurationPipeline]] over an arbitrary (doc_id, source,
+    * n_chars, text) frame. */
+  def curationPipeline(docs: DataFrame, minChars: Int = 150,
+                       maxHamming: Int = 6,
+                       budgetFraction: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"))
+    val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val exactDup = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("rk", row_number().over(wEx)).filter(col("rk") > 1)
+      .select(col("doc_id")).withColumn("ex", lit(true))
+    val nearDup = Dedup.simhashBandedPairs(docs, Dedup.md5Hash64)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val status = base
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .withColumn("st",
+        when(col("ex"), "exact_dup")
+          .when(col("nd"), "near_dup")
+          .when(col("n_chars") < minChars, "quality")
+          .otherwise("candidate"))
+    val sel = mixtureSelection(
+      status.filter(col("st") === "candidate")
+        .select("doc_id", "source", "n_tok"),
+      budgetFraction)
+    status.groupBy("source").agg(
+      sum(when(col("st") === "exact_dup", 1L).otherwise(0L)).as("n_drop_exact"),
+      sum(when(col("st") === "near_dup", 1L).otherwise(0L)).as("n_drop_near"),
+      sum(when(col("st") === "quality", 1L).otherwise(0L)).as("n_drop_quality"),
+      sum(when(col("st") === "candidate", 1L).otherwise(0L)).as("n_candidates"))
+      .join(sel.groupBy("source").agg(
+        max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_selected"),
+        sum(col("n_tok")).as("tokens_selected")), Seq("source"), "left")
+      .select(col("source"), col("n_drop_exact"), col("n_drop_near"),
+        col("n_drop_quality"), col("n_candidates"),
+        coalesce(col("budget_tokens"), lit(0L)).as("budget_tokens"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tokens_selected"), lit(0L)).as("tokens_selected"))
+      .orderBy("source")
+  }
+
+  val t32Sql: String =
+    s"""WITH ${Dedup.simhashPairsCte},
+       nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+              WHERE bit_count(xor(fa, fb)) <= 6),
+       ex AS (SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                  ORDER BY doc_id) AS rk
+                FROM documents) t
+              WHERE rk > 1),
+       base AS (
+         SELECT doc_id, source, n_chars,
+                CAST(LEN(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+         FROM documents),
+       status AS (
+         SELECT b.doc_id, b.source, b.n_tok,
+                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                     WHEN b.n_chars < 150 THEN 'quality'
+                     ELSE 'candidate' END AS st
+         FROM base b
+           LEFT JOIN ex ON ex.doc_id = b.doc_id
+           LEFT JOIN nd ON nd.doc_id = b.doc_id),
+       cand AS (SELECT doc_id, source, n_tok FROM status
+                WHERE st = 'candidate'),
+       ${TextOps.mixtureCtesOver("cand")},
+       selroll AS (
+         SELECT source, MAX(budget_tokens) AS budget_tokens,
+                COUNT(*) AS n_selected,
+                CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+         FROM selx GROUP BY source)
+       SELECT s0.source,
+              CAST(SUM(CASE WHEN s0.st = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
+              CAST(SUM(CASE WHEN s0.st = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_near,
+              CAST(SUM(CASE WHEN s0.st = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+              CAST(SUM(CASE WHEN s0.st = 'candidate' THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+              CAST(COALESCE(MAX(sr.budget_tokens), 0) AS BIGINT) AS budget_tokens,
+              CAST(COALESCE(MAX(sr.n_selected), 0) AS BIGINT) AS n_selected,
+              CAST(COALESCE(MAX(sr.tokens_selected), 0) AS BIGINT) AS tokens_selected
+       FROM status s0 LEFT JOIN selroll sr ON sr.source = s0.source
+       GROUP BY s0.source ORDER BY s0.source"""
 }

@@ -184,6 +184,57 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)), out.toSeq)
   }
 
+  // ---------- Curation pipeline
+
+  test("curation pipeline: planted docs land in the right drop bucket, once each") {
+    val s = spark
+    import s.implicits._
+    // guaranteed near-dup: SimHash is a bag-of-tokens fingerprint, so a
+    // PERMUTED doc has the IDENTICAL fingerprint (hamming 0 — always in
+    // banding reach) while its sha-256 differs (not an exact dup) — the
+    // classic reordered-boilerplate case
+    val rnd = new scala.util.Random(3)
+    val toks = Array.tabulate(60)(i => s"w${i}_${rnd.nextInt(400)}")
+    val long = toks.mkString(" ")                    // > 150 chars
+    val near = toks.reverse.mkString(" ")
+    val docs = Seq(
+      (1L, "web", long),            // candidate (keeper)
+      (2L, "web", long),            // exact dup of 1
+      (3L, "web", near),            // near dup of 1
+      (4L, "web", "tiny doc"),      // quality drop (< 150 chars)
+      // a DISSIMILAR candidate in another source (fresh random tokens —
+      // a near-copy of doc 1 would correctly drop as its near-dup)
+      (5L, "books", Array.fill(60)(s"v${rnd.nextInt(400)}").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = TextOps.curationPipeline(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert((web.getLong(1), web.getLong(2), web.getLong(3), web.getLong(4)) ==
+      ((1L, 1L, 1L, 1L)), s"web buckets: ${web}")
+    // every doc counted exactly once across the four buckets
+    out.values.foreach { r =>
+      val total = r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+      val inSource = Seq(1L, 2L, 3L, 4L, 5L).count(_ => true)
+      assert(total == (if (r.getString(0) == "web") 4L else 1L))
+    }
+    // selection only draws from candidates
+    out.values.foreach(r => assert(r.getLong(6) <= r.getLong(4)))
+  }
+
+  test("t32 battery entry: per-source buckets partition the corpus") {
+    val rows = TextOps.t32CurationPipeline(spark, sf).collect()
+    val perSource = graft.tables.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val total = r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+      assert(total == perSource(r.getString(0)),
+        s"${r.getString(0)}: buckets $total != docs ${perSource(r.getString(0))}")
+      assert(r.getLong(6) <= r.getLong(4), "selected beyond candidates")
+    }
+  }
+
   // ---------- Count-min sketch
 
   test("count-min: estimates are exact-or-over, never under; tiny width forces overestimates") {
