@@ -37,8 +37,6 @@ import graft.tables.Tables
   */
 object Retrieval {
 
-  private val bm25TfSlot = new CacheSlot
-
   /** BM25 hyperparameters (the standard Robertson defaults). */
   val K1 = 1.2
   val B = 0.75
@@ -76,11 +74,7 @@ object Retrieval {
     * `queries` is (qid, term) in the same key space. Document length is
     * Σ tf per doc — derivable from the postings alone, which is what
     * makes ONE maintained table sufficient for the whole model. */
-  def bm25FromTf(tf0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // the tf frame feeds FOUR derivations (doclens, corpus stats, term
-    // dfs, the scoring join) — slot-cache it so the postings (a corpus
-    // tokenize in t22, an index scan in t28) materialize once per serve
-    val tf = bm25TfSlot(tf0)
+  def bm25FromTf(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // ONE row: corpus size + total token count (avgdl is derived inside
     // the scoring expression as dl * n_docs / sum_dl, exact integers in,

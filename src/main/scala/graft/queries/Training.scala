@@ -254,7 +254,6 @@ object Training {
   // counts, vocab size, and the scoring join) — one slot-cached
   // materialization instead of four tokenize+explode replays
   private val bigramSlot = new CacheSlot
-  private val lmCountsSlot = new CacheSlot
 
   /** Per-doc adjacent hashed-token bigrams: (doc_id, is_t, w1, w2) —
     * pairs form ROW-LOCALLY inside the tokenized array (no
@@ -311,12 +310,8 @@ object Training {
     * prefix vocabulary is `count distinct w1` — both DERIVED from the
     * count table, which is what makes one maintained table the entire
     * LM (the t28 single-table insight applied to the language model). */
-  private[queries] def lmScoreAgainst(counts0: DataFrame, pairs: DataFrame,
+  private[queries] def lmScoreAgainst(counts: DataFrame, pairs: DataFrame,
                                       topK: Int): DataFrame = {
-    // the count table feeds THREE derivations (bigram join, prefix sums,
-    // vocab) — slot-cache it so the model (session-built or an Iceberg
-    // scan) is materialized once per serve
-    val counts = lmCountsSlot(counts0)
     // an LM trained on nothing is undefined (v = 0 would drive every
     // -ln p to -Infinity and rank garbage); fail loudly instead — the
     // check is one action on the already-cached model
