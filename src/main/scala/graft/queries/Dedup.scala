@@ -367,6 +367,24 @@ object Dedup {
   private[queries] val simhashPairsCte: String = simhashPairsCteWith(
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents")
 
+  /** The keep-first near-dup DROP SET: doc ids that duplicate an
+    * EARLIER doc within `maxHamming` of the capped banded pairs
+    * (id_a < id_b by construction → b is cut). ONE implementation shared
+    * by t20's curation card and t32's composed pipeline so the keep
+    * policy cannot drift. Guarantee note: the 4×16-bit banding emits
+    * every pair at hamming ≤ 3; pairs at 4..`maxHamming` are caught only
+    * when one band stays clean — best-effort, the d02 trade. */
+  def nearDupIds(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashBandedPairs(docs, md5Hash64)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+
+  /** SQL mirror of [[nearDupIds]] as a CTE body over the
+    * [[simhashPairsCte]] chain's `pairs`. */
+  private[queries] def nearDupCte(maxHamming: Int): String =
+    s"""SELECT DISTINCT id_b AS doc_id FROM pairs
+        WHERE bit_count(xor(fa, fb)) <= $maxHamming"""
+
   /** DuckDB mirror of [[d02SimhashPairs]]. */
   val d02Sql: String =
     s"""WITH $simhashPairsCte

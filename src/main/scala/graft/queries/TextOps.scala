@@ -701,10 +701,7 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // id_a < id_b by construction: b duplicates an EARLIER doc → b is cut
-    val dupIds = Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_b").as("doc_id")).distinct()
+    val dupIds = Dedup.nearDupIds(Tables.documents(s, d), maxHamming)
       .withColumn("is_dup", lit(true))
     docs.join(dupIds, Seq("doc_id"), "left")
       .select(col("source"), col("n_tokens"),
@@ -832,9 +829,7 @@ object TextOps {
 
   val t20Sql: String =
     s"""WITH ${Dedup.simhashPairsCte},
-       dup AS (
-         SELECT DISTINCT id_b AS doc_id FROM pairs
-         WHERE bit_count(xor(fa, fb)) <= 6),
+       dup AS (${Dedup.nearDupCte(6)}),
        st AS (
          SELECT d.source, LEN(string_split(d.text, ' ')) AS n_tokens,
                 CASE WHEN dup.doc_id IS NOT NULL THEN 'dup'
@@ -1002,7 +997,8 @@ object TextOps {
   /** CTE chain mirroring [[mixtureSelection]] over `rel` (doc_id,
     * source, n_tok), ending in `selx(doc_id, source, n_tok,
     * budget_tokens)` — shared by [[t27Sql]] and [[t32Sql]]. */
-  private[queries] def mixtureCtesOver(rel: String): String =
+  private[queries] def mixtureCtesOver(rel: String,
+                                       budgetFraction: Double = 0.5): String =
     s"""per_source AS (SELECT source, SUM(n_tok) AS ts FROM $rel GROUP BY source),
        weights AS (
          SELECT source, ts,
@@ -1010,7 +1006,7 @@ object TextOps {
          FROM per_source),
        totals AS (
          SELECT SUM(w) AS tw,
-                CAST(FLOOR(SUM(ts) * 0.5::DOUBLE) AS BIGINT) AS budget
+                CAST(FLOOR(SUM(ts) * $budgetFraction::DOUBLE) AS BIGINT) AS budget
          FROM weights),
        budgets AS (
          SELECT source,
@@ -1176,10 +1172,18 @@ object TextOps {
 
   // --------------- t32: the composed curation pipeline
 
+  /** Battery defaults of the pipeline knobs — interpolated into
+    * [[t32Sql]] so the Scala defaults and the oracle literally cannot
+    * diverge (a caller overriding them must supply a matching oracle). */
+  val CurationMinChars = 150
+  val CurationMaxHamming = 6
+  val CurationBudgetFraction = 0.5
+
   /** THE CURATION PIPELINE — the whole release recipe as ONE declarative
     * plan, each stage an operator this battery already proves in
     * isolation: exact dedup (t02's keep-first sha-256 rule) → SimHash
-    * near-dedup (t20's keep-first rule over d02's capped banded pairs) →
+    * near-dedup ([[Dedup.nearDupIds]] — guaranteed at hamming ≤ 3 by the
+    * 4×16 banding, best-effort at 4..`maxHamming`, the d02 trade) →
     * quality gate (t04's length floor) → temperature mixture selection
     * over the survivors (t27, budgets computed on the CLEANED corpus —
     * selecting before deduping would spend budget on copies). Output is
@@ -1198,18 +1202,16 @@ object TextOps {
 
   /** Core of [[t32CurationPipeline]] over an arbitrary (doc_id, source,
     * n_chars, text) frame. */
-  def curationPipeline(docs: DataFrame, minChars: Int = 150,
-                       maxHamming: Int = 6,
-                       budgetFraction: Double = 0.5): DataFrame = {
+  def curationPipeline(docs: DataFrame, minChars: Int = CurationMinChars,
+                       maxHamming: Int = CurationMaxHamming,
+                       budgetFraction: Double = CurationBudgetFraction): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
       size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tok"))
     val wEx = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val exactDup = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .withColumn("rk", row_number().over(wEx)).filter(col("rk") > 1)
       .select(col("doc_id")).withColumn("ex", lit(true))
-    val nearDup = Dedup.simhashBandedPairs(docs, Dedup.md5Hash64)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_b").as("doc_id")).distinct()
+    val nearDup = Dedup.nearDupIds(docs, maxHamming)
       .withColumn("nd", lit(true))
     val status = base
       .join(exactDup, Seq("doc_id"), "left")
@@ -1242,8 +1244,7 @@ object TextOps {
 
   val t32Sql: String =
     s"""WITH ${Dedup.simhashPairsCte},
-       nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs
-              WHERE bit_count(xor(fa, fb)) <= 6),
+       nd AS (${Dedup.nearDupCte(CurationMaxHamming)}),
        ex AS (SELECT doc_id FROM (
                 SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text)
                   ORDER BY doc_id) AS rk
@@ -1257,14 +1258,14 @@ object TextOps {
          SELECT b.doc_id, b.source, b.n_tok,
                 CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
                      WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-                     WHEN b.n_chars < 150 THEN 'quality'
+                     WHEN b.n_chars < $CurationMinChars THEN 'quality'
                      ELSE 'candidate' END AS st
          FROM base b
            LEFT JOIN ex ON ex.doc_id = b.doc_id
            LEFT JOIN nd ON nd.doc_id = b.doc_id),
        cand AS (SELECT doc_id, source, n_tok FROM status
                 WHERE st = 'candidate'),
-       ${TextOps.mixtureCtesOver("cand")},
+       ${TextOps.mixtureCtesOver("cand", CurationBudgetFraction)},
        selroll AS (
          SELECT source, MAX(budget_tokens) AS budget_tokens,
                 COUNT(*) AS n_selected,

@@ -313,8 +313,9 @@ object Training {
   private[queries] def lmScoreAgainst(counts: DataFrame, pairs: DataFrame,
                                       topK: Int): DataFrame = {
     // an LM trained on nothing is undefined (v = 0 would drive every
-    // -ln p to -Infinity and rank garbage); fail loudly instead — the
-    // check is one action on the already-cached model
+    // -ln p to -Infinity and rank garbage); fail loudly instead. This is
+    // a limit-1 probe of the counts plan (Dataset.isEmpty), i.e. one
+    // early-exiting extra job per serve — the price of the guard
     require(!counts.isEmpty,
       "LM count table is EMPTY — empty target slice, or wrong table location")
     val big = counts.select(col("w1"), col("w2"), col("cnt").as("cb"))

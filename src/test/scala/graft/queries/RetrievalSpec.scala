@@ -215,7 +215,6 @@ class RetrievalSpec extends AnyFunSuite {
     // every doc counted exactly once across the four buckets
     out.values.foreach { r =>
       val total = r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
-      val inSource = Seq(1L, 2L, 3L, 4L, 5L).count(_ => true)
       assert(total == (if (r.getString(0) == "web") 4L else 1L))
     }
     // selection only draws from candidates
