@@ -437,4 +437,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("text#"), s"served plan re-tokenizes the corpus:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t32: the composed pipeline stays cartesian-free end to end") {
+    // four stages in one plan — the composition must not introduce any
+    // join shape the stages don't have individually
+    val p = plan(TextOps.t32CurationPipeline(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"composed pipeline cartesianed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget/status joins should broadcast at this size:\n$p")
+  }
+
+  test("t31: LM serving joins the maintained counts, no cartesian") {
+    val p = plan(LmIndex.t31IncrementalLm(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"LM serve cartesianed:\n$p")
+  }
 }
