@@ -37,10 +37,28 @@ import graft.tables.Tables
 object Bm25Index {
 
   /** Term-key hash. Default: xxhash64 (the cheap scale path); the battery
-    * pins the md5-derived 60-bit key both engines compute identically. */
-  final case class Params(termHash: Column => Column = xxhash64(_))
+    * pins the md5-derived 60-bit key both engines compute identically.
+    * `name` is the stable identity persisted on the index table so later
+    * maintenance can refuse a mismatched family (see [[HashFamilyProp]]). */
+  final case class Params(termHash: Column => Column = xxhash64(_),
+                          name: String = "xxhash64")
 
-  val OracleParams: Params = Params(termHash = Dedup.md5Hash60)
+  val OracleParams: Params = Params(termHash = Dedup.md5Hash60, name = "md5-60")
+
+  /** Table property recording which term-hash family built the postings.
+    * Maintaining an index with a DIFFERENT family would silently append
+    * postings in a disjoint hash space (every lookup and df count would be
+    * wrong for the new rows), so [[applyChanges]] validates it loudly. */
+  val HashFamilyProp = "graft.bm25.term-hash"
+
+  private def requireFamily(index: IcebergTable, p: Params): Unit =
+    index.properties.get(HashFamilyProp).foreach { built =>
+      require(built == p.name,
+        s"BM25 index at ${index.location} was built with term-hash family " +
+          s"'$built' but maintenance was invoked with '${p.name}' — " +
+          "appending postings in a different hash space would corrupt the " +
+          "index. Pass the matching family (or rebuild the index).")
+    }
 
   /** Posting rows of a doc batch: (doc_id, w, tf) with hashed terms. */
   def rows(docs: DataFrame, p: Params): DataFrame =
@@ -50,15 +68,20 @@ object Bm25Index {
       .select(col("doc_id"), p.termHash(col("w0")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
 
-  /** Full build — the bootstrap (and the spec's ground truth). */
+  /** Full build — the bootstrap (and the spec's ground truth). Stamps the
+    * term-hash family on the table so maintenance can validate it. */
   def build(docs: DataFrame, location: String, p: Params): IcebergTable =
-    TableWriter.create(rows(docs, p), location)
+    TableWriter.create(rows(docs, p), location,
+      properties = Map(HashFamilyProp -> p.name))
 
   /** Apply one changelog window: retract every touched doc's postings,
-    * append fresh rows for the net inserts — O(changed docs). */
+    * append fresh rows for the net inserts — O(changed docs). Refuses a
+    * term-hash family different from the one [[build]] stamped. */
   def applyChanges(index: IcebergTable, changes: DataFrame,
-                   p: Params): IcebergTable =
+                   p: Params): IcebergTable = {
+    requireFamily(index, p)
     ChangefeedFold.applyChanges(index, changes, "doc_id", ins => rows(ins, p))
+  }
 
   /** Batch catch-up over every commit after `afterSnapshotId`. */
   def syncFromChangelog(spark: SparkSession, docs: IcebergTable,

@@ -786,11 +786,15 @@ object Dedup {
 
   val d10Sql: String =
     s"""WITH ${Similarity.kmeansAssignCtes(10)},
-       v AS (
+       v0 AS (
          SELECT a1.vec_id, a1.cluster, e.e,
                 sqrt(list_sum([e.e[i] * e.e[i]
                   for i in range(1, len(e.e)+1)])) AS n
          FROM a1 JOIN e USING (vec_id)),
+       -- mirror the Scala side's zero-norm guard: vectors with no defined
+       -- cosine never enter the pair search in EITHER engine (NaN ordering
+       -- would otherwise differ between engines / DuckDB versions)
+       v AS (SELECT * FROM v0 WHERE n > 0),
        dup AS (
          SELECT DISTINCT b.vec_id FROM v a JOIN v b
            ON a.cluster = b.cluster AND a.vec_id < b.vec_id

@@ -75,18 +75,22 @@ object Retrieval {
     * Σ tf per doc — derivable from the postings alone, which is what
     * makes ONE maintained table sufficient for the whole model. */
   def bm25FromTf(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // a repeated term within one query must contribute ONCE (standard
+    // BM25 treats the query as a term set) — dedup the (qid, term) pairs
+    // so caller-supplied lists with repeats don't double-count
+    val q = queries.select("qid", "term").distinct()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // ONE row: corpus size + total token count (avgdl is derived inside
     // the scoring expression as dl * n_docs / sum_dl, exact integers in,
     // one double division — no pre-divided avgdl to disagree on)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val dfreq = tf
-      .join(broadcast(queries.select("term").distinct()), col("w") === col("term"))
+      .join(broadcast(q.select("term").distinct()), col("w") === col("term"))
       .groupBy("w").agg(count(lit(1)).as("df"))
     // per-(qid, doc, term) contribution: idf × saturated-tf, rounded to
     // 6 dp and cast to exact decimal so the per-doc sum is order-free
     val contrib = tf
-      .join(broadcast(queries), col("w") === col("term"))
+      .join(broadcast(q), col("w") === col("term"))
       .join(broadcast(dfreq), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -120,11 +124,14 @@ object Retrieval {
                                     hashTerms: Boolean): String = {
     val qvals = QueryTerms
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    // DISTINCT mirrors bm25FromTf's (qid, term) dedup — a repeated term
+    // within one query contributes once in both engines by construction
     val qCte =
       if (hashTerms)
-        s"""q AS (SELECT qid, ('0x' || substr(md5(t), 1, 15))::BIGINT AS term
+        s"""q AS (SELECT DISTINCT qid,
+                ('0x' || substr(md5(t), 1, 15))::BIGINT AS term
               FROM (VALUES $qvals) v(qid, t))"""
-      else s"q(qid, term) AS (VALUES $qvals)"
+      else s"q AS (SELECT DISTINCT qid, term FROM (VALUES $qvals) v(qid, term))"
     val wKey =
       if (hashTerms) "('0x' || substr(md5(w), 1, 15))::BIGINT" else "w"
     s"""w0 AS (

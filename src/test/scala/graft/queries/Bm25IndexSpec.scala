@@ -97,4 +97,22 @@ class Bm25IndexSpec extends AnyFunSuite {
       assert(postings(IcebergTables.load(idxLoc)) == freshRebuild(t4))
     } finally q.stop()
   }
+
+  test("maintenance with a mismatched term-hash family is refused loudly") {
+    val loc = Files.createTempDirectory("bm25_docs4").toFile.getPath
+    val t1 = TableWriter.create(docsDF(1L -> "aa bb", 2L -> "cc"), loc)
+    val idxLoc = Files.createTempDirectory("bm25_idx4").toFile.getPath
+    val idx = Bm25Index.build(t1.newScan().toDF(spark), idxLoc, P)
+    assert(idx.properties(Bm25Index.HashFamilyProp) == P.name)
+    val t2 = TableWriter.append(t1, docsDF(3L -> "aa dd"))
+    val changes = graft.streaming.Changelog.changelogDF(spark, t2,
+      Some(t1.currentSnapshot.get.snapshotId))
+    val err = intercept[IllegalArgumentException] {
+      Bm25Index.applyChanges(idx, changes, Bm25Index.Params()) // xxhash64 vs md5-60
+    }
+    assert(err.getMessage.contains("term-hash family"))
+    // the matching family still applies cleanly
+    val ok = Bm25Index.applyChanges(idx, changes, P)
+    assert(postings(ok) == freshRebuild(t2))
+  }
 }
