@@ -62,9 +62,20 @@ final case class DataFileInfo(
     upperBounds: Map[Int, Array[Byte]],
     splitOffsets: Seq[Long],
     equalityIds: Seq[Int],
-    sortOrderId: Option[Int]) {
+    sortOrderId: Option[Int],
+    // V3 deletion-vector coordinates (spec fields 143/144/145): the data
+    // file this DV applies to, and the blob's byte range inside the Puffin
+    // container. Absent on data files and V2 delete files.
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None) {
   def stats: FileStats = FileStats(recordCount, valueCounts, nullValueCounts,
     nanValueCounts, lowerBounds, upperBounds)
+
+  /** True when this delete entry is a V3 deletion vector (Puffin blob). */
+  def isDeletionVector: Boolean =
+    format.equalsIgnoreCase("PUFFIN") && referencedDataFile.isDefined &&
+      contentOffset.isDefined && contentSizeInBytes.isDefined
 }
 
 object ManifestEntryStatus {
@@ -245,7 +256,10 @@ object ManifestIO {
         case arr: java.util.Collection[_] => arr.asScala.toSeq.map(v => asInt(v))
         case _ => Nil
       },
-      sortOrderId = Option(field(df, "sort_order_id")).map(v => asInt(v)))
+      sortOrderId = Option(field(df, "sort_order_id")).map(v => asInt(v)),
+      referencedDataFile = Option(field(df, "referenced_data_file")).map(_.toString),
+      contentOffset = optLong(field(df, "content_offset")),
+      contentSizeInBytes = optLong(field(df, "content_size_in_bytes")))
     ManifestEntry(
       status = asInt(field(r, "status")),
       snapshotId = optLong(field(r, "snapshot_id")),
@@ -314,6 +328,14 @@ object ManifestIO {
         AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT)))).withDefault(null)
       .name("sort_order_id").`type`(nullable(
         AvroSchema.create(AvroSchema.Type.INT))).withDefault(null)
+      // V3 deletion-vector coordinates (spec fields 143/144/145); null for
+      // data files and V2 delete files, so V2 manifests stay byte-compatible
+      .name("referenced_data_file").`type`(nullable(
+        AvroSchema.create(AvroSchema.Type.STRING))).withDefault(null)
+      .name("content_offset").`type`(nullable(
+        AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
+      .name("content_size_in_bytes").`type`(nullable(
+        AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .endRecord()
     SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
@@ -444,6 +466,9 @@ object ManifestIO {
       if (df.equalityIds.nonEmpty)
         dfr.put("equality_ids", df.equalityIds.map(java.lang.Integer.valueOf).asJava)
       df.sortOrderId.foreach(id => dfr.put("sort_order_id", id))
+      df.referencedDataFile.foreach(p => dfr.put("referenced_data_file", p))
+      df.contentOffset.foreach(o => dfr.put("content_offset", o))
+      df.contentSizeInBytes.foreach(s => dfr.put("content_size_in_bytes", s))
       val r = new GenericData.Record(schema)
       r.put("status", e.status)
       e.snapshotId.foreach(v => r.put("snapshot_id", v))

@@ -60,15 +60,13 @@ object TableMetadata {
   def parseNode(root: JsonNode): TableMetadata = {
     val version = Option(root.get("format-version")).map(_.asInt()).getOrElse(
       throw new IllegalArgumentException("invalid or missing format-version in table metadata"))
-    if (version != 1 && version != 2)
-      throw new IllegalArgumentException(
-        if (version == 3)
-          "unsupported format-version: 3 — this engine implements the " +
-            "Iceberg V1/V2 spec; V3 features (deletion vectors in Puffin " +
-            "files, row lineage, default column values, new V3 types) are " +
-            "not supported yet. Rewrite the table at format-version 2 to " +
-            "read it here."
-        else s"unsupported format-version: $version")
+    // V1/V2 fully; V3 for READS (deletion vectors in Puffin files decode
+    // through the scan planner; row-lineage fields are additive metadata a
+    // scan may ignore). V3-only WRITE features stay refused at their write
+    // sites; this engine's own commits emit V2 unless the table is already
+    // V3.
+    if (version < 1 || version > 3)
+      throw new IllegalArgumentException(s"unsupported format-version: $version")
 
     def optLong(k: String): Option[Long] = Option(root.get(k)).map(_.asLong())
     def optInt(k: String): Option[Int] = Option(root.get(k)).map(_.asInt())
@@ -258,13 +256,15 @@ final case class TableMetadata(
       throw new IllegalArgumentException("invalid metadata: missing last-column-id")
   }
 
-  /** Serialize to Iceberg metadata JSON (always written as V2). */
+  /** Serialize to Iceberg metadata JSON. V1 metadata upgrades to V2 on
+    * write; V3 stays V3 (downgrading a deletion-vector table to V2 would
+    * make its Puffin delete entries illegal). */
   def toJson: String = {
     val mapper = new ObjectMapper()
     val out = new java.io.StringWriter()
     val gen = mapper.createGenerator(out)
     gen.writeStartObject()
-    gen.writeNumberField("format-version", 2)
+    gen.writeNumberField("format-version", math.max(2, formatVersion))
     gen.writeStringField("table-uuid", tableUuid)
     gen.writeStringField("location", location)
     gen.writeNumberField("last-sequence-number", lastSequenceNumber)

@@ -351,8 +351,17 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     val allDeleteEntries = deleteManifests
       .filter(m => evals(m.partitionSpecId)._1.eval(m))
       .flatMap(m => ManifestIO.readManifestEntries(io.open(m.path), m))
-    val posDeleteEntries = allDeleteEntries
+    // V3 deletion vectors carry their target file in the manifest entry —
+    // matched by exact path, no metrics evaluation needed; at most one DV
+    // per data file in a well-formed table (readers tolerate several by
+    // unioning). Parquet positional deletes keep the V2 bounds-check path.
+    val (dvEntries, posParquetEntries) = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+      .partition(_.dataFile.isDeletionVector)
+    def normPath(p: String): String = p.replaceFirst("^file:(//)?", "")
+    val dvByTarget: Map[String, Seq[ManifestEntry]] =
+      dvEntries.groupBy(e => normPath(e.dataFile.referencedDataFile.get))
+    val posDeleteEntries = posParquetEntries
       .sortBy(_.sequenceNumber.getOrElse(0L)).toIndexedSeq
     val eqDeleteEntries = allDeleteEntries
       .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
@@ -364,29 +373,38 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     // written by this engine and are always parquet.
     def requireFormat(f: DataFileInfo, role: String, allowed: Set[String]): Unit =
       if (!allowed.contains(f.format.toUpperCase)) {
-        // name the V3 feature, not just the enum: deletion vectors ride
-        // Puffin-format delete entries in format-version 3 tables
+        // a PUFFIN delete entry is only readable as a V3 deletion vector,
+        // which needs the blob coordinates in the manifest entry
         if (f.format.toUpperCase == "PUFFIN")
           throw new UnsupportedOperationException(
-            s"${f.path} is a PUFFIN file — deletion vectors are an " +
-              "Iceberg format-version 3 feature this engine does not " +
-              "support yet (V2 positional/equality delete files are " +
-              "supported; rewrite the table's deletes at format-version 2)")
+            s"${f.path} is a PUFFIN delete entry without deletion-vector " +
+              "coordinates (referenced_data_file / content_offset / " +
+              "content_size_in_bytes) — V3 deletion vectors require all " +
+              "three in the manifest entry")
         throw new UnsupportedOperationException(
           s"unsupported $role file format ${f.format} for ${f.path}: " +
             s"expected one of ${allowed.mkString(", ")}")
       }
-    allDeleteEntries.foreach(e =>
+    posParquetEntries.foreach(e =>
+      requireFormat(e.dataFile, "delete", Set("PARQUET")))
+    eqDeleteEntries.foreach(e =>
       requireFormat(e.dataFile, "delete", Set("PARQUET")))
 
     dataEntries.map { case (manifestPath, e) =>
       requireFormat(e.dataFile, "data", Set("PARQUET", "ORC", "AVRO"))
-      val posDeletes =
-        if (posDeleteEntries.isEmpty) Nil
-        else matchDeletes(e, posDeleteEntries)
       val dataSeq = e.sequenceNumber.getOrElse(0L)
+      // same applicability rule as positional files: a DV applies to data
+      // committed at or before its sequence; when one exists for a file,
+      // the spec says readers MUST ignore positional delete FILES for it
+      // (the writer merged them into the DV when it was produced)
+      val dvs = dvByTarget.getOrElse(normPath(e.dataFile.path), Nil)
+        .filter(_.sequenceNumber.getOrElse(0L) >= dataSeq)
+        .map(_.dataFile)
+      val posDeletes =
+        if (dvs.nonEmpty || posDeleteEntries.isEmpty) Nil
+        else matchDeletes(e, posDeleteEntries)
       val eqDeletes = DeleteMatching.eqDeletes(dataSeq, eqDeleteEntries)
-      FileScanTask(e.dataFile, posDeletes ++ eqDeletes,
+      FileScanTask(e.dataFile, dvs ++ posDeletes ++ eqDeletes,
         manifestPath = manifestPath)
     }
   }

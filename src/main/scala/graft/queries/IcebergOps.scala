@@ -142,6 +142,29 @@ object IcebergOps {
        FROM events WHERE event_type <> 'error'
        GROUP BY event_type ORDER BY event_type"""
 
+  /** V3 deletion vectors: ice04's merge-on-read delete expressed as Puffin
+    * roaring-bitmap DVs (format-version 3) instead of positional-delete
+    * parquet — the oracle proves the bitmap path drops exactly the
+    * predicate's rows. The fixture's second commit moves the table to V3. */
+  def ice17DeletionVectors(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_dv", d) { loc =>
+      val t1 = TableWriter.create(Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value"), loc)
+      TableWriter.deleteWhereDv(t1, s,
+        col("event_type") === "error" || col("value") > 90)
+    }
+    table.newScan()
+      .toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val ice17Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       FROM events WHERE NOT (event_type = 'error' OR value > 90)
+       GROUP BY event_type ORDER BY event_type"""
+
   /** Day-transform partitioned events: temporal partition pruning. */
   def ice05DayPartition(s: SparkSession, d: String): DataFrame = {
     val table = cached("events_daily", d) { loc =>

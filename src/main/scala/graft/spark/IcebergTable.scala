@@ -162,9 +162,18 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       .map(_.path).sorted)
 
     val posDeletePaths = tasks.flatMap(_.deleteFiles
-      .filter(_.content == graft.core.DataFileContent.PositionDeletes)
+      .filter(d => d.content == graft.core.DataFileContent.PositionDeletes &&
+        !d.isDeletionVector)
       .map(_.path)).distinct
+    // V3 deletion vectors: (target data file, puffin path, offset, length)
+    // — metadata-sized (one row per touched data file); the bitmaps decode
+    // EXECUTOR-side in the anti-join's build relation, never on the driver
+    val dvRefs = tasks.flatMap(_.deleteFiles
+      .filter(_.isDeletionVector)
+      .map(d => (d.referencedDataFile.get, d.path,
+        d.contentOffset.get, d.contentSizeInBytes.get))).distinct
     val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
+    val normS = (p: String) => p.replaceFirst("^file:(//)?", "")
 
     // field-id matching for files that CARRY parquet field ids; name
     // matching (with historical-name substitution after renames) for files
@@ -231,8 +240,8 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     }
 
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      var gdf = readByFooter(groupTasks.map(_.file),
-        posDeletePaths.nonEmpty || keepProvenance)
+      val needProv = posDeletePaths.nonEmpty || dvRefs.nonEmpty || keepProvenance
+      var gdf = readByFooter(groupTasks.map(_.file), needProv)
       if (posDeletePaths.nonEmpty) {
         // merge-on-read: anti-join on (file, row position)
         val deletes = spark.read.parquet(posDeletePaths: _*)
@@ -240,8 +249,27 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
         gdf = gdf
           .join(deletes, col("__path") === col("__del_path") &&
             col("__pos") === col("__del_pos"), "left_anti")
-        if (!keepProvenance) gdf = gdf.drop("__path", "__pos")
       }
+      if (dvRefs.nonEmpty) {
+        // V3 deletion vectors: the ref list is one row per touched file;
+        // each task decodes its blob and emits (target, pos) tombstones —
+        // the same anti-join shape as positional files
+        import spark.implicits._
+        val refsDs = spark.createDataset(dvRefs.map {
+          case (target, path, off, len) => (normS(target), path, off, len)
+        })
+        val dvTombstones = refsDs.flatMap { case (target, path, off, len) =>
+          val bm = graft.core.Puffin.readDvBlob(
+            graft.core.Puffin.readBlob(normS(path), off, len))
+          val out = Vector.newBuilder[(String, Long)]
+          bm.forEach(p => out += ((target, p)))
+          out.result()
+        }.toDF("__dv_path", "__dv_pos")
+        gdf = gdf
+          .join(dvTombstones, col("__path") === col("__dv_path") &&
+            col("__pos") === col("__dv_pos"), "left_anti")
+      }
+      if (needProv && !keepProvenance) gdf = gdf.drop("__path", "__pos")
       // equality deletes for THIS group, one anti-join per column set; the
       // delete side is deduplicated key tuples, typically tiny → broadcast
       val eqFiles = groupTasks.headOption.toSeq.flatMap(_.deleteFiles

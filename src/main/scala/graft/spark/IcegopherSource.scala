@@ -745,7 +745,15 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     val rowGroupPredicateCols =
       ParquetRowGroupFilter.referencedTypes(rgExpr, table.schema)
     tasks.flatMap { t =>
-      val pos = t.deleteFiles.filter(_.content == graft.core.DataFileContent.PositionDeletes)
+      // V3 deletion vectors: the planner hands them through deleteFiles as
+      // PUFFIN entries carrying the blob coordinates; position-delete
+      // parquet files are the V2 path (never both for one file — the
+      // planner drops parquet matches when a DV exists, per the V3 spec)
+      val dvs = t.deleteFiles.filter(_.isDeletionVector)
+        .map(d => DvRef(d.path, d.contentOffset.get, d.contentSizeInBytes.get))
+      val pos = t.deleteFiles.filter(d =>
+          d.content == graft.core.DataFileContent.PositionDeletes &&
+            !d.isDeletionVector)
         .map(_.path)
       val eq = t.deleteFiles.filter(_.content == graft.core.DataFileContent.EqualityDeletes)
         .map(d => EqDelete(d.path,
@@ -759,7 +767,7 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       // historical names ride along so the per-file name fallback (id-less
       // files) resolves renamed columns executor-side
       val read = SchemaConv.withNameCandidates(
-        readerSchema(pos.nonEmpty, eq), table.metadata.schemas,
+        readerSchema(pos.nonEmpty || dvs.nonEmpty, eq), table.metadata.schemas,
         SchemaConv.nameMappingOf(table.metadata.properties))
       // partition tuple in spec-field order, catalyst-typed — the key for
       // storage-partitioned join grouping
@@ -784,7 +792,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
         case (start, len) =>
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
             limit, pos, eq, columnar, partValues, fmt,
-            rowGroupPredicate, rowGroupPredicateCols): InputPartition
+            rowGroupPredicate, rowGroupPredicateCols,
+            dvDeletes = dvs): InputPartition
       }
     }.toArray
   }
@@ -845,6 +854,12 @@ final case class EqDelete(path: String, cols: Seq[String],
     if (fileCols.nonEmpty) fileCols else cols.map(Seq(_))
 }
 
+/** One V3 deletion-vector blob: the Puffin container path plus the blob's
+  * byte range (from the manifest entry's content_offset/size). The DV is
+  * specific to ONE data file, so no per-row path matching is needed —
+  * membership of the file row index in the bitmap is the whole check. */
+final case class DvRef(path: String, offset: Long, length: Long)
+
 final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      requiredJson: String, readJson: String,
                                      limit: Option[Int],
@@ -865,7 +880,13 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      // above still filter rows already
                                      // dead before the commit)
                                      cdcMatchPos: Seq[String] = Nil,
-                                     cdcMatchEq: Seq[EqDelete] = Nil)
+                                     cdcMatchEq: Seq[EqDelete] = Nil,
+                                     // V3 deletion vectors for THIS data
+                                     // file (Puffin blob coordinates)
+                                     dvDeletes: Seq[DvRef] = Nil,
+                                     // CDC: emit ONLY the rows these NEW
+                                     // deletion vectors kill
+                                     cdcMatchDv: Seq[DvRef] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1043,11 +1064,17 @@ final class GraftRowReader(p: GraftInputPartition)
   }
 
   private val rowIdxOrd: Int =
-    if (p.posDeletes.nonEmpty || p.cdcMatchPos.nonEmpty)
+    if (p.posDeletes.nonEmpty || p.cdcMatchPos.nonEmpty ||
+        p.dvDeletes.nonEmpty || p.cdcMatchDv.nonEmpty)
       readSchema.fieldIndex(GraftReaders.RowIndexCol) else -1
   private val posSet: java.util.HashSet[java.lang.Long] =
     if (p.posDeletes.isEmpty) null
     else DeleteFileCache.positionsFor(p.posDeletes, p.path)
+  // V3 deletion vector: kept AS the roaring bitmap (no expansion to a hash
+  // set — a DV over a dense 10⁹-row file stays KBs in memory this way)
+  private val dvBitmap: org.roaringbitmap.longlong.Roaring64NavigableMap =
+    if (p.dvDeletes.isEmpty) null
+    else DeleteFileCache.deletionVector(p.dvDeletes)
   private def buildEqMatchers(eqs: Seq[EqDelete])
       : Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
     eqs.groupBy(_.cols).toSeq.collect { case (cols, files) if cols.nonEmpty =>
@@ -1063,6 +1090,9 @@ final class GraftRowReader(p: GraftInputPartition)
   private val matchPosSet: java.util.HashSet[java.lang.Long] =
     if (p.cdcMatchPos.isEmpty) null
     else DeleteFileCache.positionsFor(p.cdcMatchPos, p.path)
+  private val matchDvBitmap: org.roaringbitmap.longlong.Roaring64NavigableMap =
+    if (p.cdcMatchDv.isEmpty) null
+    else DeleteFileCache.deletionVector(p.cdcMatchDv)
   private val matchEqMatchers = buildEqMatchers(p.cdcMatchEq)
 
   private val project: UnsafeProjection = UnsafeProjection.create(
@@ -1103,14 +1133,17 @@ final class GraftRowReader(p: GraftInputPartition)
 
   private def deleted(row: InternalRow): Boolean = {
     if (posSet != null && posSet.contains(row.getLong(rowIdxOrd))) return true
+    if (dvBitmap != null && dvBitmap.contains(row.getLong(rowIdxOrd))) return true
     matchesEq(row, eqMatchers)
   }
 
   /** CDC delete partitions emit only rows the commit's NEW tombstones
     * kill; everything else passes everything through. */
   private def cdcSelected(row: InternalRow): Boolean = {
-    if (matchPosSet == null && matchEqMatchers.isEmpty) return true
+    if (matchPosSet == null && matchDvBitmap == null && matchEqMatchers.isEmpty)
+      return true
     (matchPosSet != null && matchPosSet.contains(row.getLong(rowIdxOrd))) ||
+      (matchDvBitmap != null && matchDvBitmap.contains(row.getLong(rowIdxOrd))) ||
       matchesEq(row, matchEqMatchers)
   }
 
@@ -1156,6 +1189,8 @@ private[spark] object DeleteFileCache {
     }
   private val posCache = lru[String, Map[String, java.util.HashSet[java.lang.Long]]]()
   private val eqCache = lru[(String, Seq[Seq[String]]), java.util.HashSet[Seq[Any]]]()
+  private val dvCache =
+    lru[(String, Long), org.roaringbitmap.longlong.Roaring64NavigableMap]()
 
   private def norm(path: String): String = path.stripPrefix("file:")
 
@@ -1173,6 +1208,36 @@ private[spark] object DeleteFileCache {
       byPath.get(target).foreach(out.addAll)
     }
     out
+  }
+
+  /** Decode (and cache per-JVM) the V3 deletion vector(s) for one data
+    * file. The blob is read once per (puffin file, offset) per executor;
+    * a well-formed table has one DV per data file — several union. Splits
+    * of the same data file share the cached bitmap, so a 512 MB file read
+    * by 16 tasks decodes its DV once. */
+  def deletionVector(refs: Seq[DvRef])
+      : org.roaringbitmap.longlong.Roaring64NavigableMap = {
+    val bms = refs.map { ref =>
+      dvCache.synchronized {
+        val key = (ref.path, ref.offset)
+        val cached = dvCache.get(key)
+        if (cached != null) cached
+        else {
+          fileReads.incrementAndGet()
+          val blob = graft.core.Puffin.readBlob(
+            norm(ref.path), ref.offset, ref.length)
+          val bm = graft.core.Puffin.readDvBlob(blob)
+          dvCache.put(key, bm)
+          bm
+        }
+      }
+    }
+    if (bms.size == 1) bms.head
+    else {
+      val out = new org.roaringbitmap.longlong.Roaring64NavigableMap(false)
+      bms.foreach(out.or)
+      out
+    }
   }
 
   /** Decoded key tuples of one equality-delete file for `cols`. */

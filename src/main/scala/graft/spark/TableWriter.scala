@@ -147,6 +147,135 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** V3 deletion-vector MoR delete: rows matching `predicate` become
+    * roaring-bitmap DELETION VECTORS in Puffin files — one blob per
+    * touched data file, one Puffin container per write task — and the
+    * table's format-version moves to 3 (DVs are a V3-only construct).
+    *
+    * Same plan shape as [[deleteWhere]]: ONE distributed scan computes the
+    * (file, pos) tombstones, then a shuffle on file_path co-locates each
+    * data file's positions in one task, which serializes them as a single
+    * bitmap (a DV is per-file by definition, so the grouping is exact and
+    * the blob write is single-pass). Per the V3 spec the new DVs MERGE any
+    * previously-committed positional tombstones for the files they cover
+    * (readers ignore positional delete files once a DV exists): the scan
+    * runs over the PRE-delete snapshot, so earlier tombstones are already
+    * applied — rows they killed are re-tombstoned into the new DV by
+    * unioning the prior positions below. */
+  def deleteWhereDv(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
+                    predicate: Column): IcebergTable = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = table.loadedVersion + 1
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
+
+    val scan = table.newScan()
+    val newDead = scan.toDF(spark, keepProvenance = true)
+      .filter(predicate)
+      .select(col("__path").as("file_path"), col("__pos").as("pos"))
+    // prior positional tombstones for files the new DV covers must fold in
+    // (the V3 merge rule) — they come from the plan, not another scan
+    val tasks = scan.planFiles()
+    val priorByFile: Map[String, Seq[DataFileInfo]] = tasks.map { t =>
+      t.file.path.replaceFirst("^file:(//)?", "") ->
+        t.deleteFiles.filter(d =>
+          d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
+    }.filter(_._2.nonEmpty).toMap
+    val dead =
+      if (priorByFile.isEmpty) newDead
+      else {
+        val priorPaths = priorByFile.values.flatten.map(_.path).toSeq.distinct
+        val prior = spark.read.parquet(priorPaths: _*)
+          .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+            .as("file_path"), col("pos"))
+          // only positions of files the new delete touches need re-homing
+          // into DVs; untouched files keep their parquet tombstones
+          .join(newDead.select(col("file_path")).distinct(), Seq("file_path"),
+            "left_semi")
+        newDead.unionAll(prior)
+      }
+
+    import spark.implicits._
+    val dvInfos: Seq[(String, String, Long, Long, Long, Long)] = dead
+      .repartition(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          // one Puffin container per task, one DV blob per data file
+          val byFile = scala.collection.mutable.LinkedHashMap[String,
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          it.foreach { case (f, p) =>
+            byFile.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer()) += p
+          }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val puffin = new File(delDir, f"dv-$pid%05d.puffin").getPath
+          val blobs = byFile.toSeq.map { case (target, positions) =>
+            val bytes = graft.core.Puffin.dvBlobBytes(positions.distinct.iterator)
+            (bytes, graft.core.Puffin.BlobMetadata(
+              graft.core.Puffin.DeletionVectorV1, fields = Nil,
+              snapshotId = snapId, sequenceNumber = seq, offset = 0, length = 0,
+              properties = Map("referenced-data-file" -> target,
+                "cardinality" -> positions.distinct.size.toString)))
+          }
+          val metas = graft.core.Puffin.write(puffin, blobs)
+          val size = new File(puffin).length()
+          metas.iterator.map { m =>
+            (puffin, m.properties("referenced-data-file"),
+              m.offset, m.length, m.properties("cardinality").toLong, size)
+          }
+        }
+      }.collect().toSeq // one row per touched data file: metadata-sized
+
+    val delInfos = dvInfos.map { case (puffin, target, off, len, card, size) =>
+      DataFileInfo(
+        content = DataFileContent.PositionDeletes, path = puffin,
+        format = "PUFFIN", partition = Map.empty, recordCount = card,
+        fileSizeInBytes = size, columnSizes = Map.empty,
+        valueCounts = Map.empty, nullValueCounts = Map.empty,
+        nanValueCounts = Map.empty, lowerBounds = Map.empty,
+        upperBounds = Map.empty, splitOffsets = Nil, equalityIds = Nil,
+        sortOrderId = None, referencedDataFile = Some(target),
+        contentOffset = Some(off), contentSizeInBytes = Some(len))
+    }
+    val deleteEntries = delInfos.map(info => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+
+    val manifestFile = new File(metaDir, s"manifest-dv-$snapId.avro")
+    ManifestIO.writeManifest(manifestFile, deleteEntries, StructT(Nil))
+    val delManifest = ManifestFile(
+      path = manifestFile.getPath, length = manifestFile.length(),
+      partitionSpecId = table.spec.specId, content = 1,
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+      addedFilesCount = deleteEntries.size, existingFilesCount = 0,
+      deletedFilesCount = 0,
+      addedRowsCount = delInfos.map(_.recordCount).sum,
+      existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = Nil, formatVersion = 2)
+
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    })
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
+    val now = System.currentTimeMillis()
+    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      now, listFile.getPath, Some(SnapshotSummary(OpDelete)),
+      Some(table.schema.schemaId))
+    writeMetadata(table.location, table.metadata.copy(
+      formatVersion = 3, // DVs are a V3 construct; metadata serializes V3
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = table.metadata.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = table.metadata.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = table.metadata.refs + (TableMetadata.MainBranch ->
+        SnapshotRef(snapId, BranchRef))), version)
+    IcebergTables.load(table.location)
+  }
+
   /** Equality MoR delete: any row whose `equalityCols` tuple appears in
     * `keys` is deleted — no data rewrite, no scan at commit time at all
     * (the delete applies table-wide to earlier-sequence files). */
@@ -1862,7 +1991,9 @@ object TableWriter {
       else Some(IcebergTables.load(location).metadata)
 
     val md = TableMetadata(
-      formatVersion = 2,
+      // a table that moved to V3 (deletion vectors) must STAY V3 — its
+      // Puffin delete entries are illegal under V2
+      formatVersion = math.max(2, prevMeta.map(_.formatVersion).getOrElse(2)),
       tableUuid = prevMeta.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString),
       location = location,
       lastSequenceNumber = sequenceNumber,

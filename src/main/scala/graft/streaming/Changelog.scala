@@ -34,7 +34,11 @@ object Changelog {
                              addedPaths: Set[String],
                              removedPaths: Set[String],
                              posDeletePaths: Seq[String],
-                             eqDeletes: Seq[(Seq[Int], String)])
+                             eqDeletes: Seq[(Seq[Int], String)],
+                             // V3 deletion vectors added by the commit:
+                             // (referenced data file, puffin path, offset,
+                             // length)
+                             dvDeletes: Seq[(String, String, Long, Long)] = Nil)
 
   /** File-level change resolution for snapshots with sequence in
     * `(fromSeq, toSeq]`. Fails loudly on expired window snapshots (same
@@ -69,16 +73,21 @@ object Changelog {
           es.filter(e => e.status == ManifestEntryStatus.Added &&
             e.sequenceNumber.contains(s.sequenceNumber))
         }.flatten
+        val (dvs, posFiles) = newDeleteFiles
+          .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+          .partition(_.dataFile.isDeletionVector)
         ChangeSet(s, added, removed,
-          posDeletePaths = newDeleteFiles
-            .filter(_.dataFile.content == DataFileContent.PositionDeletes)
-            .map(_.dataFile.path),
+          posDeletePaths = posFiles.map(_.dataFile.path),
           eqDeletes = newDeleteFiles
             .filter(_.dataFile.content == DataFileContent.EqualityDeletes)
-            .map(e => (e.dataFile.equalityIds, e.dataFile.path)))
+            .map(e => (e.dataFile.equalityIds, e.dataFile.path)),
+          dvDeletes = dvs.map(e => (e.dataFile.referencedDataFile.get,
+            e.dataFile.path, e.dataFile.contentOffset.get,
+            e.dataFile.contentSizeInBytes.get)))
       }
       .filter(c => c.addedPaths.nonEmpty || c.removedPaths.nonEmpty ||
-        c.posDeletePaths.nonEmpty || c.eqDeletes.nonEmpty)
+        c.posDeletePaths.nonEmpty || c.eqDeletes.nonEmpty ||
+        c.dvDeletes.nonEmpty)
   }
 
   /** The changelog DataFrame: table columns plus `_change_type`
@@ -143,6 +152,30 @@ object Changelog {
         del += project(parentRows.join(tombstones,
           col("__path") === col("__del_path") &&
             col("__pos") === col("__del_pos"), "left_semi"))
+      }
+      if (c.dvDeletes.nonEmpty && parent.isDefined) {
+        // deletion-vector commit: the newly-dead rows are the PARENT's
+        // live rows matched by the new bitmaps. Rows the DV merely merged
+        // in from older tombstones were already dead at the parent, so the
+        // parent scan excludes them — no over-reporting. Bitmaps decode
+        // executor-side (one task per blob), same as the batch read path.
+        import spark.implicits._
+        val refs = c.dvDeletes.map { case (target, path, off, len) =>
+          (target.replaceFirst("^file:(//)?", ""), path, off, len)
+        }
+        val tombstones = spark.createDataset(refs)
+          .flatMap { case (target, path, off, len) =>
+            val bm = graft.core.Puffin.readDvBlob(graft.core.Puffin.readBlob(
+              path.replaceFirst("^file:(//)?", ""), off, len))
+            val out = Vector.newBuilder[(String, Long)]
+            bm.forEach(p => out += ((target, p)))
+            out.result()
+          }.toDF("__dv_path", "__dv_pos")
+        val parentRows = table.newScan(snapshotId = parent)
+          .toDF(spark, keepProvenance = true)
+        del += project(parentRows.join(tombstones,
+          col("__path") === col("__dv_path") &&
+            col("__pos") === col("__dv_pos"), "left_semi"))
       }
       c.eqDeletes.groupBy(_._1).foreach { case (eqIds, files) =>
         if (parent.isDefined) {

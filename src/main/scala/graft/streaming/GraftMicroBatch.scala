@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.streaming.{
 import org.apache.spark.sql.types.StructType
 
 import graft.core.{FileScanTask, ManifestIO}
-import graft.spark.{EqDelete, GraftInputPartition, GraftReaderFactory,
+import graft.spark.{DvRef, EqDelete, GraftInputPartition, GraftReaderFactory,
   IcebergTable, IcebergTables, SchemaConv}
 
 /** Snapshot-sequence offset: a micro-batch covers the data files appended
@@ -253,7 +253,8 @@ final class GraftMicroBatchStream(location: String, required: StructType,
       if (c.removedPaths.nonEmpty && parent.isDefined)
         parts ++= cdcPartitions(t, parent.get, snap, "delete",
           Some(c.removedPaths), Set.empty)
-      val newDel = c.posDeletePaths.toSet ++ c.eqDeletes.map(_._2)
+      val newDel = c.posDeletePaths.toSet ++ c.eqDeletes.map(_._2) ++
+        c.dvDeletes.map(_._2)
       if (newDel.nonEmpty)
         parts ++= cdcPartitions(t, snap.snapshotId, snap, "delete",
           None, newDel)
@@ -275,6 +276,15 @@ final class GraftMicroBatchStream(location: String, required: StructType,
         f.name == graft.spark.GraftReaders.CommitSequenceCol))
     val read = SchemaConv.withNameCandidates(dataRequired, t.metadata.schemas,
       SchemaConv.nameMappingOf(t.metadata.properties))
+    // parent-snapshot tombstones, planned lazily ONCE per changed commit:
+    // needed when a NEW deletion vector merged prior tombstones (the V3
+    // rule) — the merged-in positions were dead BEFORE this commit and
+    // must be suppressed, not re-emitted as deletes
+    lazy val parentDeletes: Map[String, Seq[graft.core.DataFileInfo]] =
+      commit.parentSnapshotId.map { pid =>
+        t.newScan(snapshotId = Some(pid)).planFiles()
+          .map(pt => pt.file.path -> pt.deleteFiles).toMap
+      }.getOrElse(Map.empty)
     t.newScan(snapshotId = Some(snapshotId)).planFiles()
       .filter(task => pathFilter.forall(_.contains(task.file.path)))
       .filter(task => newDeletes.isEmpty ||
@@ -287,12 +297,28 @@ final class GraftMicroBatchStream(location: String, required: StructType,
               (t.schema.findColumnName(id).toSeq ++
                 t.metadata.schemas.reverse.flatMap(sc =>
                   sc.findFieldById(id).map(_.name))).distinct)))
-        val posAll = task.deleteFiles
+        def dvOf(files: Seq[graft.core.DataFileInfo]): Seq[DvRef] =
+          files.map(d => DvRef(d.path, d.contentOffset.get,
+            d.contentSizeInBytes.get))
+        val (dvAll, posAll) = task.deleteFiles
           .filter(_.content == graft.core.DataFileContent.PositionDeletes)
+          .partition(_.isDeletionVector)
         val eqAll = task.deleteFiles
           .filter(_.content == graft.core.DataFileContent.EqualityDeletes)
-        val pos = posAll.filterNot(d => newDeletes.contains(d.path)).map(_.path)
+        var pos = posAll.filterNot(d => newDeletes.contains(d.path)).map(_.path)
         val matchPos = posAll.filter(d => newDeletes.contains(d.path)).map(_.path)
+        var dvs = dvOf(dvAll.filterNot(d => newDeletes.contains(d.path)))
+        val matchDv = dvOf(dvAll.filter(d => newDeletes.contains(d.path)))
+        if (matchDv.nonEmpty) {
+          // new DV for this file: restore the PARENT's tombstones as the
+          // already-dead filter (the current plan hides positional files
+          // once a DV exists, and the DV itself merged them)
+          val prior = parentDeletes.getOrElse(task.file.path, Nil)
+          pos = (pos ++ prior.filter(d =>
+            d.content == graft.core.DataFileContent.PositionDeletes &&
+              !d.isDeletionVector).map(_.path)).distinct
+          dvs = (dvs ++ dvOf(prior.filter(_.isDeletionVector))).distinct
+        }
         val eq = eqOf(eqAll.filterNot(d => newDeletes.contains(d.path)))
         val matchEq = eqOf(eqAll.filter(d => newDeletes.contains(d.path)))
         var readSchema = read
@@ -301,7 +327,7 @@ final class GraftMicroBatchStream(location: String, required: StructType,
             val full = SchemaConv.toSparkSchema(t.schema)
             readSchema = readSchema.add(full(full.fieldIndex(c)).copy(nullable = true))
           }
-        if (pos.nonEmpty || matchPos.nonEmpty)
+        if (pos.nonEmpty || matchPos.nonEmpty || dvs.nonEmpty || matchDv.nonEmpty)
           readSchema = readSchema.add(org.apache.spark.sql.types.StructField(
             graft.spark.GraftReaders.RowIndexCol,
             org.apache.spark.sql.types.LongType, nullable = true))
@@ -310,7 +336,8 @@ final class GraftMicroBatchStream(location: String, required: StructType,
           columnar = false, partitionValues = Array.empty,
           format = task.file.format,
           cdc = Some((tpe, commit.snapshotId, commit.sequenceNumber)),
-          cdcMatchPos = matchPos, cdcMatchEq = matchEq): InputPartition
+          cdcMatchPos = matchPos, cdcMatchEq = matchEq,
+          dvDeletes = dvs, cdcMatchDv = matchDv): InputPartition
       }
   }
 
@@ -323,8 +350,12 @@ final class GraftMicroBatchStream(location: String, required: StructType,
     val read = SchemaConv.withNameCandidates(required, t.metadata.schemas,
       SchemaConv.nameMappingOf(t.metadata.properties))
     t.newScan(snapshotId = Some(snap.snapshotId)).planFiles().map { task =>
-      val pos = task.deleteFiles
-        .filter(_.content == graft.core.DataFileContent.PositionDeletes).map(_.path)
+      val (dvFiles, posFiles) = task.deleteFiles
+        .filter(_.content == graft.core.DataFileContent.PositionDeletes)
+        .partition(_.isDeletionVector)
+      val pos = posFiles.map(_.path)
+      val dvs = dvFiles.map(d =>
+        DvRef(d.path, d.contentOffset.get, d.contentSizeInBytes.get))
       val eq = task.deleteFiles
         .filter(_.content == graft.core.DataFileContent.EqualityDeletes)
         .map(d => EqDelete(d.path,
@@ -341,13 +372,14 @@ final class GraftMicroBatchStream(location: String, required: StructType,
           val full = SchemaConv.toSparkSchema(t.schema)
           readSchema = readSchema.add(full(full.fieldIndex(c)).copy(nullable = true))
         }
-      if (pos.nonEmpty)
+      if (pos.nonEmpty || dvs.nonEmpty)
         readSchema = readSchema.add(org.apache.spark.sql.types.StructField(
           org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
             .ROW_INDEX_TEMPORARY_COLUMN_NAME,
           org.apache.spark.sql.types.LongType, nullable = true))
       GraftInputPartition(task.file.path, 0L, task.file.fileSizeInBytes,
-        required.json, readSchema.json, limit = None, pos, eq): InputPartition
+        required.json, readSchema.json, limit = None, pos, eq,
+        dvDeletes = dvs): InputPartition
     }
   }
 
