@@ -552,6 +552,66 @@ object IcebergOps {
          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
+    * merges land as ONE equality-tombstone + append snapshot each, with
+    * ZERO scans of the target (positional MERGE must read the target to
+    * find (file, pos); the keyed shape tombstones by key instead —
+    * O(source) commits at any table size). The oracle composes the same
+    * two upserts relationally. */
+  def ice18EqMerge(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_eqm"
+    s.conf.set("spark.sql.catalog.grafte", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.grafte.warehouse", wh)
+    provisionOnce(new File(wh)) {
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableWriter.create(src.filter(col("o_orderkey") % 3 === 0),
+        s"$wh/edb/orders_eqm")
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .createOrReplaceTempView("ice18_chg1")
+      s.sql("CALL grafte.system.merge_keyed('edb.orders_eqm', 'ice18_chg1', 'o_orderkey')")
+      src.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("V").as("o_orderstatus"),
+          (col("o_totalprice") + 7.0).as("o_totalprice"))
+        .createOrReplaceTempView("ice18_chg2")
+      s.sql("CALL grafte.system.merge_keyed('edb.orders_eqm', 'ice18_chg2', 'o_orderkey')")
+      ()
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM grafte.edb.orders_eqm
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val ice18Sql: String =
+    s"""WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0),
+       chg1 AS (
+         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0),
+       m1 AS (
+         SELECT * FROM chg1
+         UNION ALL
+         SELECT * FROM base WHERE o_orderkey % 2 <> 0),
+       chg2 AS (
+         SELECT o_orderkey, o_custkey, 'V' AS o_orderstatus,
+                o_totalprice + 7.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 5 = 0),
+       m2 AS (
+         SELECT * FROM chg2
+         UNION ALL
+         SELECT * FROM m1 WHERE o_orderkey % 5 <> 0)
+       SELECT o_orderstatus, COUNT(*) AS n,
+              ${sqlDsum("o_totalprice")} AS sum_price
+       FROM m2 GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val ice16Sql: String =
     s"""WITH base AS (
          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -24,6 +24,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "cherrypick_snapshot",
+    "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index",
     "ann_index_stats", "ann_ivf_index_stats",
@@ -257,6 +258,29 @@ object GraftProcedures {
           from, graft.queries.DedupIndex.Params())
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
+      }
+      case "merge_keyed" => proc(name,
+        Seq("table" -> StringType, "source" -> StringType, "keys" -> StringType),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("merged_rows", LongType, nullable = false)))) { in =>
+        // keyed MERGE (matched → replace row, not matched → insert) as ONE
+        // equality-delete + append snapshot: O(source) work, the target is
+        // NEVER scanned — unlike positional MERGE, which must read the
+        // target to find (file, pos) coordinates. `keys` is a
+        // comma-separated merge-key column list; rows in `source` must be
+        // unique per key (the keyed-upsert contract).
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val source = spark.table(in.getUTF8String(1).toString)
+        val keyCols = in.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(keyCols.nonEmpty, "merge_keyed needs at least one key column")
+        val out = TableWriter.replaceEquality(table,
+          source.selectExpr(keyCols: _*), keyCols, source)
+        val appended = out.currentSnapshot.get.summary
+          .flatMap(_.properties.get("added-records")).map(_.toLong).getOrElse(0L)
+        Array[Any](out.currentSnapshot.get.snapshotId, appended)
       }
       case "sync_bm25_index" => proc(name,
         Seq("docs" -> StringType, "index" -> StringType,

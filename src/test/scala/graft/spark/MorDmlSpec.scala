@@ -266,6 +266,50 @@ class MorDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed MERGE via merge_keyed: zero target scans, result ≡ CoW MERGE") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("id", "name", "v")
+    val changes = Seq((2L, "B2", 20.0), (5L, "E", 5.0)).toDF("id", "name", "v")
+    changes.createOrReplaceTempView("eqm_changes")
+
+    // reference: positional MERGE on a CoW copy
+    spark.sql("CREATE TABLE graft.mor.eqm_cow (id BIGINT, name STRING, v DOUBLE)")
+    base.writeTo("graft.mor.eqm_cow").append()
+    spark.sql(
+      """MERGE INTO graft.mor.eqm_cow t USING eqm_changes s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET t.name = s.name, t.v = s.v
+         WHEN NOT MATCHED THEN INSERT *""")
+    val want = spark.sql("SELECT id, name, v FROM graft.mor.eqm_cow ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+    // the keyed shape: one equality-tombstone + append snapshot
+    spark.sql("CREATE TABLE graft.mor.eqm (id BIGINT, name STRING, v DOUBLE)")
+    base.writeTo("graft.mor.eqm").append()
+    val loc = s"$warehouse/mor/eqm"
+    val filesBefore = dataFilePaths(loc)
+    val plansBefore = TableScan.planFilesCalls.get()
+    val res = spark.sql(
+      "CALL graft.system.merge_keyed('mor.eqm', 'eqm_changes', 'id')").collect()(0)
+    assert(TableScan.planFilesCalls.get() == plansBefore,
+      "keyed MERGE must not plan (hence never read) the target's data files")
+    assert(res.getLong(1) == 2L) // merged_rows
+
+    val got = spark.sql("SELECT id, name, v FROM graft.mor.eqm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // commit shape: ONE snapshot, equality tombstones + appended rows only,
+    // no data file rewritten
+    assert(filesBefore.subsetOf(dataFilePaths(loc)))
+    val (del, data) = currentCommitFiles(loc)
+    assert(del.nonEmpty && del.forall(
+      _.content == graft.core.DataFileContent.EqualityDeletes))
+    assert(data.map(_.recordCount).sum == 2)
+    // the merge is ONE snapshot on top of the base append
+    val t = IcebergTables.load(loc)
+    assert(t.currentSnapshot.get.summary.get.operation == graft.core.OpOverwrite)
+  }
+
   test("MoR commit is pinned: a concurrent commit between scan and write conflicts") {
     spark.sql(
       """CREATE TABLE graft.mor.race (id BIGINT, v DOUBLE)
