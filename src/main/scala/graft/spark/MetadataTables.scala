@@ -295,8 +295,19 @@ object MetadataTables {
   }
 }
 
+object PartitionsMetadataTable {
+  /** Diagnostic: spilled-rollup serves in this JVM (spec hook proving the
+    * driver-collect path is gone). */
+  val spilledServes = new java.util.concurrent.atomic.AtomicLong()
+}
+
 /** SQL `db.t.partitions`: the rollup runs as a distributed job when the
-  * scan is planned; only partition-count rows are gathered. */
+  * scan is planned, SPILLS to temp parquet executor-side, and is served
+  * back as one input partition per spill file — the per-partition rows
+  * never pass through driver memory. A 10⁶-partition table costs the
+  * driver O(spill files) paths, not O(partitions) rows (the round-10
+  * review flagged the previous collect()-to-LocalRowsPartition shape as a
+  * driver-heap risk at exactly that scale). */
 final class PartitionsMetadataTable(table: IcebergTable)
   extends Table with SupportsRead {
   override def name(): String = s"${table.location}#partitions"
@@ -308,19 +319,45 @@ final class PartitionsMetadataTable(table: IcebergTable)
     () => new Scan with Batch {
       override def readSchema(): StructType = MetadataTables.PartitionsSchema
       override def toBatch: Batch = this
-      override def description(): String = s"${name()} [distributed rollup]"
-      private lazy val rows: Seq[Array[Any]] = {
+      override def description(): String = s"${name()} [spilled rollup]"
+      private lazy val spillFiles: Seq[(String, Long)] = {
         val spark = org.apache.spark.sql.SparkSession.active
-        MetadataTables.partitionsAgg(spark, table).collect().toSeq.map { r =>
-          Array[Any](UTF8String.fromString(r.getString(0)), r.getInt(1),
-            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-        }
+        val dir = java.nio.file.Files.createTempDirectory("graft_partitions")
+          .toFile
+        dir.deleteOnExit()
+        MetadataTables.partitionsAgg(spark, table)
+          .write.mode("overwrite").parquet(dir.getPath)
+        PartitionsMetadataTable.spilledServes.incrementAndGet()
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+          .map { f => f.deleteOnExit(); (f.getPath, f.length()) }
+          .sortBy(_._1)
       }
       override def planInputPartitions(): Array[InputPartition] =
-        Array(LocalRowsPartition(rows.toArray))
+        spillFiles.map { case (p, len) =>
+          PartitionsSpillPartition(p, len): InputPartition
+        }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new LocalRowsScan(name(), readSchema(), rows).createReaderFactory()
+        new PartitionsSpillReaderFactory()
     }
+}
+
+final case class PartitionsSpillPartition(path: String, length: Long)
+    extends InputPartition
+
+/** Streams one spill file of the partitions rollup back as rows. */
+final class PartitionsSpillReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PartitionsSpillPartition]
+    val reader = new ParquetRowFileReader(GraftReaders.createVectorized(
+      p.path, 0L, p.length, MetadataTables.PartitionsSchema))
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): InternalRow = reader.getCurrentValue
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 /** Distributed `files` metadata table: one input partition per data

@@ -520,12 +520,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     TableWriter.deleteWhere(IcebergTables.load(s"$warehouse/db14/pt"), spark,
       org.apache.spark.sql.functions.col("id") === 2L)
 
+    val spillsBefore = PartitionsMetadataTable.spilledServes.get()
     val got = spark.sql(
       """SELECT partition, spec_id, file_count, record_count,
                 total_size_bytes, delete_file_count
          FROM graft.db14.pt.partitions""").collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the rollup is served from executor-written spill files, never via a
+    // driver-side collect of per-partition rows
+    assert(PartitionsMetadataTable.spilledServes.get() > spillsBefore,
+      "partitions rollup must serve through the spilled path")
     val expected = spark.sql(
       """SELECT partition, spec_id, COUNT(*), CAST(SUM(record_count) AS BIGINT),
                 CAST(SUM(file_size_in_bytes) AS BIGINT),
