@@ -801,13 +801,60 @@ object Similarity {
                       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
                       nSub: Int = 8, kSub: Int = 16,
                       shortlist: Int = 50): DataFrame = {
+    val (en, cents, rcodebook, codes) = trainedIvfPqModel(s, d, nCells, nSub, kSub)
+    ivfPqTopK(en, cents, rcodebook, codes,
+      en.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
+  }
+
+  /** The trained-IVF-PQ model frames (corpus, refined cells, residual
+    * codebook, codes) — shared by [[annTrainedIvfPq]] (corpus-row queries)
+    * and [[ann14OutOfCorpus]] (unseen query vectors); the slots make the
+    * second caller reuse the first's cached encode. */
+  private[queries] def trainedIvfPqModel(s: SparkSession, d: String,
+                                         nCells: Int, nSub: Int, kSub: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
     val cents = ivfTrainStep(en, ivfCentroids(en, nCells))
     val assigned = trainedIvfAssignedSlot(ivfAssignResiduals(en, cents))
     val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
     val codes = trainedIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
-    ivfPqTopK(en, cents, rcodebook, codes,
-      en.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
+    (en, cents, rcodebook, codes)
+  }
+
+  /** Fixed OUT-OF-CORPUS query vectors — the serving shape that matters
+    * for retrieval (every other ann* entry probes with corpus rows, which
+    * can only overstate recall). Values are multiples of 1/1024 so the
+    * decimal literals embedded in the DuckDB oracle parse to bit-identical
+    * doubles; qids sit far above any corpus id range, so the
+    * self-exclusion filter in the serve path never triggers. */
+  val OutOfCorpusQueries: Seq[(Long, Seq[Double])] = {
+    val rnd = new java.util.Random(421L)
+    (0 until 5).map(i =>
+      (1000001L + i, Seq.fill(64)((rnd.nextInt(2049) - 1024) / 1024.0)))
+  }
+
+  private[queries] def oocQueriesEn(s: SparkSession): DataFrame = {
+    import s.implicits._
+    ivfEn(OutOfCorpusQueries.toDF("vec_id", "e"))
+  }
+
+  private[queries] def oocValuesRel: String = {
+    val rows = OutOfCorpusQueries.map { case (id, v) =>
+      s"($id, [${v.map(x => BigDecimal(x).bigDecimal.toPlainString).mkString(", ")}])"
+    }.mkString(", ")
+    s"SELECT vec_id, [CAST(x AS DOUBLE) for x in e] AS e FROM (VALUES $rows) v(vec_id, e)"
+  }
+
+  /** Battery entry ann14: the trained IVF-PQ index serving UNSEEN query
+    * vectors end-to-end (probe → per-cell residual ADC → bounded exact
+    * re-rank). Same plan shapes as ann11 — queries are a 5-row broadcast
+    * whichever side they come from. */
+  def ann14OutOfCorpus(s: SparkSession, d: String, k: Int = 5,
+                       nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+                       kSub: Int = 16, shortlist: Int = 50): DataFrame = {
+    val (en, cents, rcodebook, codes) = trainedIvfPqModel(s, d, nCells, nSub, kSub)
+    ivfPqTopK(en, cents, rcodebook, codes, oocQueriesEn(s),
+      nProbe, nSub, k, shortlist)
   }
 
   private val trainedIvfAssignedSlot = new CacheSlot
@@ -846,6 +893,13 @@ object Similarity {
   val annTrainedIvfPqSql: String = annIvfPqSqlOver(
     "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
     None, trainCells = true)
+
+  /** DuckDB mirror of [[ann14OutOfCorpus]]: the same trained index, probed
+    * by the fixed out-of-corpus literals (identical decimal text in both
+    * engines ⇒ identical doubles). */
+  val ann14Sql: String = annIvfPqSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
+    None, trainCells = true, queriesRel = Some(oocValuesRel))
 
   /** (vec_id, e, norm) projection the IVF stages share. */
   private[queries] def ivfEn(emb: DataFrame): DataFrame =
@@ -968,9 +1022,21 @@ object Similarity {
     * bootstrap CTEs are not emitted at all — the ann08 bench oracle pays
     * ONE assignment pass, not a duplicated pair. */
   def annIvfPqSqlOver(eRel: String, bootRel: Option[String],
-                      trainCells: Boolean = false): String = {
+                      trainCells: Boolean = false,
+                      queriesRel: Option[String] = None): String = {
     require(!(trainCells && bootRel.nonEmpty),
       "cell training is only mirrored for same-corpus quantizers")
+    // queries default to corpus rows (vec_id < 10); `queriesRel` swaps in
+    // an arbitrary (vec_id, e) relation — out-of-corpus serving (ann14)
+    val qnCte = queriesRel.fold("")(q =>
+      s"""qn AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM ($q) qq),
+       """)
+    val probeSrc = if (queriesRel.isEmpty) "en" else "qn en"
+    val probeFilter = if (queriesRel.isEmpty) "WHERE en.vec_id < 10" else ""
+    val rerankQ = if (queriesRel.isEmpty) "en" else "qn"
     val (cSrc, rcbSrc) = if (bootRel.isEmpty) ("en", "assigned") else ("e0", "assigned0")
     val cCte =
       if (!trainCells)
@@ -1015,7 +1081,7 @@ object Similarity {
          SELECT vec_id, e,
                 sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
          FROM ($b) b0),
-       """)}$cCte,
+       """)}$qnCte$cCte,
        ${bootRel.fold("")(_ =>
         s"""assigned0 AS (
          SELECT vec_id,
@@ -1056,7 +1122,7 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
                     (list_sum([en.e[i] * c.ce[i] for i in range(1, len(en.e)+1)])
                        / (en.norm * c.cn)) DESC, c.cid) AS rk
-           FROM en, c WHERE en.vec_id < 10) t
+           FROM $probeSrc, c $probeFilter) t
          WHERE rk <= 4),
        qd AS (
          SELECT p.qid, p.cid, s.m, rcb.j,
@@ -1080,7 +1146,7 @@ object Similarity {
                   (list_sum([q.e[i] * n.e[i] for i in range(1, len(q.e)+1)])
                      / (q.norm * n.norm)) DESC, sh.nid) AS rank
          FROM short sh
-         JOIN en q ON q.vec_id = sh.qid
+         JOIN $rerankQ q ON q.vec_id = sh.qid
          JOIN en n ON n.vec_id = sh.nid) t
        WHERE rank <= 5 ORDER BY qid, rank"""
   }

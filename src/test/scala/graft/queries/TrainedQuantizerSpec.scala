@@ -38,6 +38,29 @@ class TrainedQuantizerSpec extends AnyFunSuite {
     assert(e2 <= e1 + 1e-9, s"second step must not increase error: $e2 !<= $e1")
   }
 
+  test("out-of-corpus queries reach useful recall vs brute force (ann14)") {
+    import org.apache.spark.sql.expressions.Window
+    val en = Similarity.ivfEn(emb)
+    val q = Similarity.oocQueriesEn(spark)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val bf = en
+      .select(col("vec_id").as("nid"), col("e").as("ne"), col("norm").as("nn"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.ann14OutOfCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == served.size && bf.nonEmpty)
+    // UNSEEN queries: none of the qids exist in the corpus, so this is the
+    // RAG serving shape — recall is against exact cosine over the corpus
+    val recall = bf.count(served) / bf.size.toDouble
+    assert(recall >= 0.5, s"out-of-corpus trained IVF-PQ recall $recall")
+  }
+
   test("trained pq recall >= sampled pq recall at the same shortlist") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
