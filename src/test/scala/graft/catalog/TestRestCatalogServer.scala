@@ -1,0 +1,296 @@
+package graft.catalog
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** A minimal but STATEFUL Iceberg REST catalog for integration tests: real
+  * sockets, real OAuth2 client-credentials round-trip, real status codes,
+  * and server-side commit requirement checks — the protocol plane the
+  * mocked RestCatalogSpec cannot exercise. Table metadata is held and
+  * mutated as raw JSON (jackson nodes), deliberately NOT via the client's
+  * graft.core model, so the two sides only meet on the wire format. */
+final class TestRestCatalogServer(clientId: String, secret: String) {
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  @volatile private var issuedToken: String = _
+
+  // ns (joined with ) -> properties
+  private val namespaces = mutable.LinkedHashMap[String, ObjectNode]()
+  // (ns, table) -> metadata node
+  private val tables = mutable.LinkedHashMap[(String, String), ObjectNode]()
+
+  def port: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$port"
+
+  private var started = false
+  def start(): Unit = synchronized {
+    if (!started) { server.createContext("/", handle _); server.start(); started = true }
+  }
+  def stop(): Unit = synchronized { if (started) server.stop(0) }
+
+  private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, s"""{"error": {"message": ${mapper.writeValueAsString(msg)},
+       "type": "err", "code": $code}}""")
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def authorized(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .contains(s"Bearer $issuedToken")
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath
+    val segs = path.stripPrefix("/v1/").split("/").toSeq
+      .map(URLDecoder.decode(_, StandardCharsets.UTF_8))
+    val method = ex.getRequestMethod
+    (method, segs) match {
+      case ("POST", Seq("oauth", "tokens")) =>
+        val form = readBody(ex).split("&").map(_.split("=", 2))
+          .map(kv => URLDecoder.decode(kv(0), StandardCharsets.UTF_8) ->
+            URLDecoder.decode(kv.lift(1).getOrElse(""), StandardCharsets.UTF_8))
+          .toMap
+        if (form.get("grant_type").contains("client_credentials") &&
+            form.get("client_id").contains(clientId) &&
+            form.get("client_secret").contains(secret)) {
+          issuedToken = java.util.UUID.randomUUID().toString
+          respond(ex, 200,
+            s"""{"access_token": "$issuedToken", "token_type": "bearer"}""")
+        } else respond(ex, 401,
+          """{"error": "invalid_client", "error_description": "bad credentials"}""")
+      case ("GET", Seq("config")) =>
+        respond(ex, 200,
+          """{"defaults": {"srv-default": "d"}, "overrides": {"srv-override": "o"}}""")
+      case _ if !authorized(ex) =>
+        err(ex, 401, "missing or invalid bearer token")
+      case ("GET", Seq("namespaces")) =>
+        val root = mapper.createObjectNode()
+        val arr = root.putArray("namespaces")
+        namespaces.keys.foreach { ns =>
+          val a = arr.addArray(); ns.split("").foreach(a.add)
+        }
+        respond(ex, 200, mapper.writeValueAsString(root))
+      case ("POST", Seq("namespaces")) =>
+        val b = mapper.readTree(readBody(ex))
+        val parts = Vector.newBuilder[String]
+        b.get("namespace").forEach(n => parts += n.asText())
+        val key = parts.result().mkString("")
+        if (namespaces.contains(key)) err(ex, 409, s"namespace $key exists")
+        else {
+          val props = mapper.createObjectNode()
+          Option(b.get("properties")).foreach(p =>
+            p.properties().forEach(e => props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit))
+          namespaces(key) = props
+          respond(ex, 200, "{}")
+        }
+      case ("GET", Seq("namespaces", ns)) =>
+        namespaces.get(ns) match {
+          case None => err(ex, 404, s"namespace $ns not found")
+          case Some(props) =>
+            val root = mapper.createObjectNode()
+            val a = root.putArray("namespace"); ns.split("").foreach(a.add)
+            root.set("properties", props)
+            respond(ex, 200, mapper.writeValueAsString(root))
+        }
+      case ("DELETE", Seq("namespaces", ns)) =>
+        if (tables.keys.exists(_._1 == ns)) err(ex, 409, "namespace not empty")
+        else if (namespaces.remove(ns).isEmpty) err(ex, 404, "no such namespace")
+        else respond(ex, 204)
+      case ("POST", Seq("namespaces", ns, "properties")) =>
+        namespaces.get(ns) match {
+          case None => err(ex, 404, s"namespace $ns not found")
+          case Some(props) =>
+            val b = mapper.readTree(readBody(ex))
+            val removed = mapper.createArrayNode()
+            val missing = mapper.createArrayNode()
+            Option(b.get("removals")).foreach(_.forEach { r =>
+              if (props.has(r.asText())) { props.remove(r.asText()); removed.add(r.asText()) }
+              else missing.add(r.asText())
+            })
+            val updated = mapper.createArrayNode()
+            Option(b.get("updates")).foreach(_.properties().forEach { e =>
+              props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue); updated.add(e.getKey)
+            })
+            val root = mapper.createObjectNode()
+            root.set("removed", removed); root.set("updated", updated)
+            root.set("missing", missing)
+            respond(ex, 200, mapper.writeValueAsString(root))
+        }
+      case ("GET", Seq("namespaces", ns, "tables")) =>
+        if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
+        else {
+          val root = mapper.createObjectNode()
+          val arr = root.putArray("identifiers")
+          tables.keys.filter(_._1 == ns).foreach { case (n, t) =>
+            val id = arr.addObject()
+            val a = id.putArray("namespace"); n.split("").foreach(a.add)
+            id.put("name", t)
+          }
+          respond(ex, 200, mapper.writeValueAsString(root))
+        }
+      case ("POST", Seq("namespaces", ns, "tables")) =>
+        if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
+        else {
+          val b = mapper.readTree(readBody(ex))
+          val tname = b.get("name").asText()
+          if (tables.contains((ns, tname))) err(ex, 409, s"table $tname exists")
+          else {
+            val md = newMetadata(b, ns, tname)
+            tables((ns, tname)) = md
+            respond(ex, 200, tableResponse(ns, tname, md))
+          }
+        }
+      case ("GET", Seq("namespaces", ns, "tables", t)) =>
+        tables.get((ns, t)) match {
+          case None => err(ex, 404, s"table $ns.$t not found")
+          case Some(md) => respond(ex, 200, tableResponse(ns, t, md))
+        }
+      case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+        if (tables.remove((ns, t)).isEmpty) err(ex, 404, s"table $ns.$t not found")
+        else respond(ex, 204)
+      case ("POST", Seq("namespaces", ns, "tables", t)) =>
+        tables.get((ns, t)) match {
+          case None => err(ex, 404, s"table $ns.$t not found")
+          case Some(md) => commit(ex, ns, t, md)
+        }
+      case ("POST", Seq("tables", "rename")) =>
+        val b = mapper.readTree(readBody(ex))
+        def keyOf(k: String): (String, String) = {
+          val node = b.get(k)
+          val parts = Vector.newBuilder[String]
+          node.get("namespace").forEach(n => parts += n.asText())
+          (parts.result().mkString(""), node.get("name").asText())
+        }
+        val (from, to) = (keyOf("source"), keyOf("destination"))
+        tables.remove(from) match {
+          case None => err(ex, 404, s"table $from not found")
+          case Some(md) =>
+            if (tables.contains(to)) { tables(from) = md; err(ex, 409, "exists") }
+            else { tables(to) = md; respond(ex, 204) }
+        }
+      case _ => err(ex, 400, s"unhandled route $method $path")
+    }
+  } catch {
+    case e: Exception => err(ex, 500, s"server error: ${e.getMessage}")
+  }
+
+  /** Build fresh V2 metadata JSON from a createTable request body. */
+  private def newMetadata(b: com.fasterxml.jackson.databind.JsonNode,
+                          ns: String, tname: String): ObjectNode = {
+    val md = mapper.createObjectNode()
+    md.put("format-version", 2)
+    md.put("table-uuid", java.util.UUID.randomUUID().toString)
+    md.put("location", Option(b.get("location")).map(_.asText())
+      .getOrElse(s"mem://warehouse/${ns.replace("", "/")}/$tname"))
+    md.put("last-sequence-number", 0L)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val schema = b.get("schema").deepCopy[ObjectNode]()
+    var maxId = 0
+    schema.get("fields").forEach(f => maxId = math.max(maxId, f.get("id").asInt()))
+    md.put("last-column-id", maxId)
+    md.put("current-schema-id", schema.get("schema-id").asInt())
+    md.putArray("schemas").add(schema)
+    md.put("default-spec-id", 0)
+    val spec = md.putArray("partition-specs").addObject()
+    spec.put("spec-id", 0); spec.putArray("fields")
+    md.put("default-sort-order-id", 0)
+    val so = md.putArray("sort-orders").addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    val props = md.putObject("properties")
+    Option(b.get("properties")).foreach(
+      _.properties().forEach(e => props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit))
+    md.putArray("snapshots")
+    md.putObject("refs")
+    md
+  }
+
+  /** Apply a commitTable body: requirements first (all-or-nothing), then
+    * updates — the server-side transaction semantics of the REST spec. */
+  private def commit(ex: HttpExchange, ns: String, t: String,
+                     md: ObjectNode): Unit = {
+    val b = mapper.readTree(readBody(ex))
+    var failure: Option[String] = None
+    Option(b.get("requirements")).foreach(_.forEach { r =>
+      r.get("type").asText() match {
+        case "assert-table-uuid" =>
+          if (r.get("uuid").asText() != md.get("table-uuid").asText())
+            failure = failure.orElse(Some("table uuid mismatch"))
+        case "assert-ref-snapshot-id" =>
+          val refName = r.get("ref").asText()
+          val current = Option(md.get("refs"))
+            .flatMap(rs => Option(rs.get(refName)))
+            .map(_.get("snapshot-id").asLong())
+          val expected = Option(r.get("snapshot-id")).filter(!_.isNull)
+            .map(_.asLong())
+          if (current != expected)
+            failure = failure.orElse(
+              Some(s"ref $refName at $current, requirement expected $expected"))
+        case other => failure = failure.orElse(Some(s"unknown requirement $other"))
+      }
+    })
+    failure match {
+      case Some(msg) => err(ex, 409, msg)
+      case None =>
+        Option(b.get("updates")).foreach(_.forEach { u =>
+          u.get("action").asText() match {
+            case "set-properties" =>
+              val props = md.`with`("properties")
+              u.get("updates").properties().forEach(e =>
+                props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit)
+            case "remove-properties" =>
+              val props = md.`with`("properties")
+              u.get("removals").forEach(r => props.remove(r.asText()): Unit)
+            case "add-snapshot" =>
+              val sn = u.get("snapshot")
+              md.withArray[ArrayNode]("snapshots").add(sn)
+              md.put("last-sequence-number",
+                math.max(md.get("last-sequence-number").asLong(),
+                  sn.get("sequence-number").asLong()))
+              md.put("last-updated-ms", System.currentTimeMillis())
+            case "set-snapshot-ref" =>
+              val refName = u.get("ref-name").asText()
+              val snapId = u.get("snapshot-id").asLong()
+              val ref = md.`with`("refs").putObject(refName)
+              ref.put("snapshot-id", snapId)
+              ref.put("type", u.get("type").asText())
+              if (refName == "main") {
+                md.put("current-snapshot-id", snapId)
+                val log = Option(md.get("snapshot-log"))
+                  .collect { case a: ArrayNode => a }
+                  .getOrElse(md.putArray("snapshot-log"))
+                val e = log.addObject()
+                e.put("snapshot-id", snapId)
+                e.put("timestamp-ms", System.currentTimeMillis())
+              }
+            case other => throw new IllegalArgumentException(s"unknown update $other")
+          }
+        })
+        respond(ex, 200, tableResponse(ns, t, md))
+    }
+  }
+
+  private def tableResponse(ns: String, t: String, md: ObjectNode): String = {
+    val root = mapper.createObjectNode()
+    root.put("metadata-location",
+      s"mem://warehouse/${ns.replace("", "/")}/$t/metadata/current.json")
+    root.set("metadata", md)
+    val cfg = root.putObject("config")
+    cfg.put("srv-table-config", "yes")
+    mapper.writeValueAsString(root)
+  }
+}
