@@ -56,6 +56,12 @@ object Puffin {
       require(p >= 0, s"row position must be non-negative: $p")
       bm.addLong(p)
     }
+    dvBlobBytesOf(bm)
+  }
+
+  /** Serialize an already-built bitmap (e.g. new positions unioned with a
+    * prior deletion vector being superseded) as a deletion-vector-v1 blob. */
+  def dvBlobBytesOf(bm: Roaring64NavigableMap): Array[Byte] = {
     bm.runOptimize()
     val vec = new ByteArrayOutputStream()
     bm.serializePortable(new DataOutputStream(vec))

@@ -256,6 +256,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         t = TableWriter.updateColumnTypeAt(t, u.fieldNames().toIndexedSeq,
           primitiveIceType(u.newDataType()))
+      // `format-version` is not a free-form property: it drives the
+      // metadata's format-version field, and an upgrade to 3 re-homes
+      // live positional tombstones into deletion vectors (Iceberg's own
+      // Spark integration upgrades through this property too)
+      case s: TableChange.SetProperty if s.property() == "format-version" =>
+        val target = s.value().toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"format-version must be an integer, got '${s.value()}'"))
+        t = TableWriter.upgradeFormatVersion(t,
+          org.apache.spark.sql.SparkSession.active, target)
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case r: TableChange.RemoveProperty => unsetProps += r.property()
       case other => throw new UnsupportedOperationException(

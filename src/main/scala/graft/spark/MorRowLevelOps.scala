@@ -129,9 +129,17 @@ final class GraftDeltaWrite(location: String, dataSchema: StructType,
     val data = messages.collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
     val dels = messages.collect { case m: GraftDeltaCommit => m.deleteFiles }.flatten
     val (version, snapId) = scannedBase()
-    TableWriter.commitDelta(location, data.toSeq, dels.toSeq,
-      expectedVersion = Some(version), scannedSnapshotId = snapId,
-      isolation = isolation)
+    // format-version 3 forbids positional delete FILES (readers ignore
+    // them for DV-bearing files — the delete would silently drop): the
+    // task tombstones re-home into deletion vectors at commit
+    if (IcebergTables.load(location).metadata.formatVersion >= 3)
+      TableWriter.commitDeltaDv(location, data.toSeq, dels.toSeq,
+        expectedVersion = Some(version), scannedSnapshotId = snapId,
+        isolation = isolation)
+    else
+      TableWriter.commitDelta(location, data.toSeq, dels.toSeq,
+        expectedVersion = Some(version), scannedSnapshotId = snapId,
+        isolation = isolation)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -90,6 +90,10 @@ object TableWriter {
     * (file_path, pos) tombstones in a delete manifest — no data rewrite. */
   def deleteWhere(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
                   predicate: Column): IcebergTable = {
+    // V3 forbids positional delete FILES (and readers ignore them for
+    // DV-bearing files — writing one would silently drop the delete)
+    if (table.metadata.formatVersion >= 3)
+      return deleteWhereDv(table, spark, predicate)
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val version = table.loadedVersion + 1
@@ -147,6 +151,9 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Path as tombstone coordinates store it: no `file:`/`file://` scheme. */
+  private def normFsPath(p: String): String = p.replaceFirst("^file:(//)?", "")
+
   /** V3 deletion-vector MoR delete: rows matching `predicate` become
     * roaring-bitmap DELETION VECTORS in Puffin files — one blob per
     * touched data file, one Puffin container per write task — and the
@@ -156,12 +163,10 @@ object TableWriter {
     * (file, pos) tombstones, then a shuffle on file_path co-locates each
     * data file's positions in one task, which serializes them as a single
     * bitmap (a DV is per-file by definition, so the grouping is exact and
-    * the blob write is single-pass). Per the V3 spec the new DVs MERGE any
-    * previously-committed positional tombstones for the files they cover
-    * (readers ignore positional delete files once a DV exists): the scan
-    * runs over the PRE-delete snapshot, so earlier tombstones are already
-    * applied — rows they killed are re-tombstoned into the new DV by
-    * unioning the prior positions below. */
+    * the blob write is single-pass). Per the V3 spec the new DV for a file
+    * MERGES that file's prior deletes — its previous DV (which is then
+    * retired from the live set: at most one live DV per file) or, for a
+    * DV-less file, its positional-parquet tombstones. */
   def deleteWhereDv(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
                     predicate: Column): IcebergTable = {
     import org.apache.spark.sql.functions.regexp_replace
@@ -174,29 +179,76 @@ object TableWriter {
     val scan = table.newScan()
     val newDead = scan.toDF(spark, keepProvenance = true)
       .filter(predicate)
-      .select(col("__path").as("file_path"), col("__pos").as("pos"))
-    // prior positional tombstones for files the new DV covers must fold in
-    // (the V3 merge rule) — they come from the plan, not another scan
-    val tasks = scan.planFiles()
-    val priorByFile: Map[String, Seq[DataFileInfo]] = tasks.map { t =>
-      t.file.path.replaceFirst("^file:(//)?", "") ->
-        t.deleteFiles.filter(d =>
-          d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
+      .select(regexp_replace(col("__path"), "^file:(//)?", "").as("file_path"),
+        col("__pos").as("pos"))
+    val (dead, priorDvs) = foldPriorDeletes(spark, newDead, scan.planFiles())
+    val dvFiles = writeDvFiles(spark, dead, priorDvs, delDir, snapId, seq)
+    commitDvSnapshot(table, Nil, dvFiles, _ => false, OpDelete, Map.empty,
+      snapId, seq, version, metaDir)
+  }
+
+  /** Prior deletes of the files a new DV write touches, resolved exactly as
+    * the READER would: a file that already has a deletion vector
+    * contributes that DV (readers ignore its positional parquet tombstones
+    * — those positions were merged when the DV was created, so folding them
+    * again could only resurrect ignored coordinates); a DV-less file
+    * contributes its live positional-parquet tombstones. Returns the
+    * dead-coordinate frame with prior parquet positions folded in (narrow
+    * (path, pos) pairs only) plus the per-file prior-DV coordinates for
+    * [[writeDvFiles]] to union executor-side. */
+  private def foldPriorDeletes(spark: org.apache.spark.sql.SparkSession,
+                               newDead: DataFrame, tasks: Seq[FileScanTask])
+      : (DataFrame, Map[String, Seq[(String, Long, Long)]]) = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val priorDvs: Map[String, Seq[(String, Long, Long)]] = tasks.map { t =>
+      normFsPath(t.file.path) -> t.deleteFiles.filter(_.isDeletionVector)
+        .map(d => (normFsPath(d.path), d.contentOffset.get,
+          d.contentSizeInBytes.get))
     }.filter(_._2.nonEmpty).toMap
+    val priorPaths = tasks.flatMap { t =>
+      if (priorDvs.contains(normFsPath(t.file.path))) Nil
+      else t.deleteFiles.filter(d =>
+        d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
+        .map(_.path)
+    }.distinct
     val dead =
-      if (priorByFile.isEmpty) newDead
+      if (priorPaths.isEmpty) newDead
       else {
-        val priorPaths = priorByFile.values.flatten.map(_.path).toSeq.distinct
+        import spark.implicits._
+        // only positions of files the new delete touches need re-homing
+        // into DVs; untouched files keep their parquet tombstones (readers
+        // keep honoring them — only DV'd files ignore parquet)
         val prior = spark.read.parquet(priorPaths: _*)
           .select(regexp_replace(col("file_path"), "^file:(//)?", "")
             .as("file_path"), col("pos"))
-          // only positions of files the new delete touches need re-homing
-          // into DVs; untouched files keep their parquet tombstones
           .join(newDead.select(col("file_path")).distinct(), Seq("file_path"),
             "left_semi")
-        newDead.unionAll(prior)
+        // a shared tombstone parquet can also carry positions of DV-bearing
+        // files; those are reader-ignored dead weight — never fold them
+        val pruned =
+          if (priorDvs.isEmpty) prior
+          else prior.join(
+            org.apache.spark.sql.functions.broadcast(
+              priorDvs.keys.toSeq.toDF("file_path")),
+            Seq("file_path"), "left_anti")
+        newDead.unionAll(pruned)
       }
+    (dead, priorDvs)
+  }
 
+  /** Distributed deletion-vector production shared by [[deleteWhereDv]],
+    * [[commitDeltaDv]] and [[upgradeFormatVersion]]: shuffle the dead
+    * (file_path, pos) coordinates once on file_path so each data file's
+    * positions land in ONE task, union in the prior deletion vector(s) of
+    * any file being superseded (the V3 merge rule), and write one Puffin
+    * container per task with one deletion-vector-v1 blob per data file.
+    * Only narrow (path, pos) pairs ride the shuffle; the returned manifest
+    * rows are one per touched file — metadata-sized. */
+  private def writeDvFiles(spark: org.apache.spark.sql.SparkSession,
+                           dead: DataFrame,
+                           priorDvs: Map[String, Seq[(String, Long, Long)]],
+                           delDir: File, snapId: Long, seq: Long)
+      : Seq[DataFileInfo] = {
     import spark.implicits._
     val dvInfos: Seq[(String, String, Long, Long, Long, Long)] = dead
       .repartition(col("file_path"))
@@ -207,19 +259,25 @@ object TableWriter {
         else {
           // one Puffin container per task, one DV blob per data file
           val byFile = scala.collection.mutable.LinkedHashMap[String,
-            scala.collection.mutable.ArrayBuffer[Long]]()
+            org.roaringbitmap.longlong.Roaring64NavigableMap]()
           it.foreach { case (f, p) =>
-            byFile.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer()) += p
+            byFile.getOrElseUpdate(f,
+              new org.roaringbitmap.longlong.Roaring64NavigableMap(false))
+              .addLong(p)
           }
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val puffin = new File(delDir, f"dv-$pid%05d.puffin").getPath
-          val blobs = byFile.toSeq.map { case (target, positions) =>
-            val bytes = graft.core.Puffin.dvBlobBytes(positions.distinct.iterator)
+          val blobs = byFile.toSeq.map { case (target, bm) =>
+            priorDvs.getOrElse(target, Nil).foreach { case (path, off, len) =>
+              bm.or(graft.core.Puffin.readDvBlob(
+                graft.core.Puffin.readBlob(path, off, len)))
+            }
+            val bytes = graft.core.Puffin.dvBlobBytesOf(bm)
             (bytes, graft.core.Puffin.BlobMetadata(
               graft.core.Puffin.DeletionVectorV1, fields = Nil,
               snapshotId = snapId, sequenceNumber = seq, offset = 0, length = 0,
               properties = Map("referenced-data-file" -> target,
-                "cardinality" -> positions.distinct.size.toString)))
+                "cardinality" -> bm.getLongCardinality.toString)))
           }
           val metas = graft.core.Puffin.write(puffin, blobs)
           val size = new File(puffin).length()
@@ -230,7 +288,7 @@ object TableWriter {
         }
       }.collect().toSeq // one row per touched data file: metadata-sized
 
-    val delInfos = dvInfos.map { case (puffin, target, off, len, card, size) =>
+    dvInfos.map { case (puffin, target, off, len, card, size) =>
       DataFileInfo(
         content = DataFileContent.PositionDeletes, path = puffin,
         format = "PUFFIN", partition = Map.empty, recordCount = card,
@@ -241,39 +299,243 @@ object TableWriter {
         sortOrderId = None, referencedDataFile = Some(target),
         contentOffset = Some(off), contentSizeInBytes = Some(len))
     }
-    val deleteEntries = delInfos.map(info => ManifestEntry(
-      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+  }
 
-    val manifestFile = new File(metaDir, s"manifest-dv-$snapId.avro")
-    ManifestIO.writeManifest(manifestFile, deleteEntries, StructT(Nil))
-    val delManifest = ManifestFile(
-      path = manifestFile.getPath, length = manifestFile.length(),
-      partitionSpecId = table.spec.specId, content = 1,
-      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
-      addedFilesCount = deleteEntries.size, existingFilesCount = 0,
-      deletedFilesCount = 0,
-      addedRowsCount = delInfos.map(_.recordCount).sum,
-      existingRowsCount = 0, deletedRowsCount = 0,
-      partitions = Nil, formatVersion = 2)
+  /** Rewrite delete manifests so superseded entries leave the live set: V3
+    * allows at most ONE live deletion vector per data file, so a commit
+    * that writes a new DV for a file must retire the file's previous DV
+    * (whose positions it merged); format upgrade likewise retires every
+    * positional-parquet tombstone it re-homed. Kept entries carry as
+    * EXISTING, superseded ones stay in the rewritten manifest as
+    * DELETED-status entries recording this snapshot (the
+    * [[stageReplaceSnapshot]] forensics convention); a manifest with
+    * nothing superseded carries by reference, and one with nothing live
+    * left is dropped by [[liveManifests] ] at the NEXT commit. */
+  private def supersedeDeleteEntries(table: IcebergTable,
+                                     deleteManifests: Seq[ManifestFile],
+                                     superseded: DataFileInfo => Boolean,
+                                     snapId: Long, seq: Long,
+                                     metaDir: File): Seq[ManifestFile] = {
+    val md = table.metadata
+    deleteManifests.zipWithIndex.map { case (m, i) =>
+      val es = ManifestIO.readManifestEntries(table.io.open(m.path), m)
+      val (gone, kept0) = es.partition(e => superseded(e.dataFile))
+      if (gone.isEmpty) m
+      else {
+        val kept = kept0.map(_.copy(status = ManifestEntryStatus.Existing))
+        val removed = gone.map(_.copy(status = ManifestEntryStatus.Deleted,
+          snapshotId = Some(snapId)))
+        val partType = md.partitionSpecs.find(_.specId == m.partitionSpecId)
+          .map(_.partitionType(table.schema)).getOrElse(StructT(Nil))
+        val mf = new File(metaDir, s"manifest-del-ss-$snapId-$i.avro")
+        ManifestIO.writeManifest(mf, kept ++ removed, partType)
+        ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = m.partitionSpecId, content = 1,
+          sequenceNumber = seq,
+          minSequenceNumber =
+            (kept ++ removed).flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+          addedSnapshotId = snapId,
+          addedFilesCount = 0, existingFilesCount = kept.size,
+          deletedFilesCount = removed.size,
+          addedRowsCount = 0,
+          existingRowsCount = kept.map(_.dataFile.recordCount).sum,
+          deletedRowsCount = removed.map(_.dataFile.recordCount).sum,
+          partitions = partitionSummaries(kept, partType), formatVersion = 2)
+      }
+    }
+  }
+
+  /** Assemble + commit ONE snapshot carrying appended data files, new
+    * deletion vectors, and the retirement of whatever those DVs supersede
+    * (prior DVs of the touched files always; `alsoSuperseded` lets format
+    * upgrade retire parquet tombstones too). Moves format-version to 3 —
+    * every caller is producing a V3 construct. */
+  private def commitDvSnapshot(table: IcebergTable,
+                               added: Seq[graft.spark.CowFileOut],
+                               dvFiles: Seq[DataFileInfo],
+                               alsoSuperseded: DataFileInfo => Boolean,
+                               op: SnapshotOp, extraSummary: Map[String, String],
+                               snapId: Long, seq: Long, version: Int,
+                               metaDir: File): IcebergTable = {
+    val md = table.metadata
+    val partType = table.spec.partitionType(table.schema)
+    val addedEntries = added.map { f =>
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
+        statsFromFooter(new File(f.path), table.schema,
+          f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
+    }
+    val addManifest =
+      if (addedEntries.isEmpty) None
+      else {
+        val mf = new File(metaDir, s"manifest-dv-add-$snapId.avro")
+        ManifestIO.writeManifest(mf, addedEntries, partType)
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 0,
+          sequenceNumber = seq, minSequenceNumber = seq,
+          addedSnapshotId = snapId,
+          addedFilesCount = addedEntries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = partitionSummaries(addedEntries, partType),
+          formatVersion = 2))
+      }
+
+    val dvEntries = dvFiles.map(info => ManifestEntry(
+      ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq), info))
+    val dvManifest =
+      if (dvEntries.isEmpty) None
+      else {
+        val mf = new File(metaDir, s"manifest-dv-$snapId.avro")
+        ManifestIO.writeManifest(mf, dvEntries, StructT(Nil))
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 1,
+          sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+          addedFilesCount = dvEntries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = dvFiles.map(_.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = Nil, formatVersion = 2))
+      }
 
     val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     })
+    val (prevData, prevDelete) = prevManifests.partition(_.content == 0)
+    val touched = dvFiles.flatMap(_.referencedDataFile).map(normFsPath).toSet
+    val isSuperseded: DataFileInfo => Boolean = d =>
+      (d.isDeletionVector &&
+        touched(normFsPath(d.referencedDataFile.get))) || alsoSuperseded(d)
+    val newDelete =
+      supersedeDeleteEntries(table, prevDelete, isSuperseded, snapId, seq, metaDir)
+
     val listFile = new File(metaDir, s"snap-$snapId.avro")
-    ManifestIO.writeManifestList(listFile, prevManifests :+ delManifest)
+    ManifestIO.writeManifestList(listFile,
+      prevData ++ addManifest ++ newDelete ++ dvManifest)
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
-      now, listFile.getPath, Some(SnapshotSummary(OpDelete)),
+      now, listFile.getPath,
+      Some(SnapshotSummary(op, Map(
+        "added-data-files" -> addedEntries.size.toString,
+        "added-delete-files" -> dvEntries.size.toString,
+        "added-position-deletes" -> dvFiles.map(_.recordCount).sum.toString,
+        "deletion-vectors-added" -> dvEntries.size.toString) ++ extraSummary)),
       Some(table.schema.schemaId))
-    writeMetadata(table.location, table.metadata.copy(
+    writeMetadata(table.location, md.copy(
       formatVersion = 3, // DVs are a V3 construct; metadata serializes V3
       lastSequenceNumber = seq, lastUpdatedMs = now,
-      snapshots = table.metadata.snapshots :+ snapshot,
+      snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
-      snapshotLog = table.metadata.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = table.metadata.refs + (TableMetadata.MainBranch ->
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = md.refs + (TableMetadata.MainBranch ->
         SnapshotRef(snapId, BranchRef))), version)
     IcebergTables.load(table.location)
+  }
+
+  /** V3 variant of [[commitDelta]] — SQL MoR DML on a format-version-3
+    * table: the task-written positional tombstones are re-homed into
+    * deletion vectors at commit time. V3 forbids positional delete FILES —
+    * and concretely, a reader ignores them for any file that already has a
+    * DV, so committing them on a v3 table would SILENTLY DROP the delete.
+    * Costs one extra distributed pass over O(changed rows): read the task
+    * tombstones back, fold in each touched file's prior deletes
+    * ([[foldPriorDeletes]]), write one DV per file, and commit DVs +
+    * appends in ONE snapshot under the same conflict pin as
+    * [[commitDelta]]. */
+  def commitDeltaDv(location: String, added: Seq[graft.spark.CowFileOut],
+                    posDeleteFiles: Seq[String],
+                    expectedVersion: Option[Int] = None,
+                    scannedSnapshotId: Option[Long] = None,
+                    isolation: String = "serializable"): IcebergTable = {
+    if (posDeleteFiles.isEmpty)
+      return commitDelta(location, added, Nil, expectedVersion,
+        scannedSnapshotId, isolation)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = IcebergTables.load(location)
+    expectedVersion.foreach { v =>
+      if (table.loadedVersion != v) {
+        val appendOnly = isolation.equalsIgnoreCase("snapshot") &&
+          appendOnlySince(table, scannedSnapshotId)
+        if (!appendOnly)
+          throw new CommitConflictException(table.loadedVersion, location)
+      }
+    }
+    import org.apache.spark.sql.functions.regexp_replace
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = table.loadedVersion + 1
+    val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(location, s"data/dv-$snapId"); delDir.mkdirs()
+
+    val newDead = spark.read.parquet(posDeleteFiles: _*)
+      .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+        .as("file_path"), col("pos"))
+    val (dead, priorDvs) =
+      foldPriorDeletes(spark, newDead, table.newScan().planFiles())
+    val dvFiles = writeDvFiles(spark, dead, priorDvs, delDir, snapId, seq)
+    val committed = commitDvSnapshot(table, added, dvFiles, _ => false,
+      if (added.isEmpty) OpDelete else OpOverwrite, Map.empty,
+      snapId, seq, version, metaDir)
+    // the task tombstone parquet files were commit intermediates only
+    posDeleteFiles.foreach(p => new File(p).delete())
+    committed
+  }
+
+  /** Upgrade a table's format-version in place. 1→2 is a metadata-only
+    * bump. →3 additionally re-homes every LIVE positional-parquet tombstone
+    * into deletion vectors (V3 tables must not carry position delete
+    * files): one distributed pass groups live tombstone coordinates by data
+    * file — dangling tombstones of vanished files drop; a file that already
+    * has a DV keeps it untouched, and its parquet tombstone entries (dead
+    * weight readers already ignore) retire WITHOUT folding, so reader
+    * semantics are preserved bit-for-bit — then ONE snapshot retires all
+    * parquet tombstone entries and adds the DVs. Downgrades refuse. */
+  def upgradeFormatVersion(table: IcebergTable,
+                           spark: org.apache.spark.sql.SparkSession,
+                           target: Int): IcebergTable = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val md = table.metadata
+    require(target >= 2 && target <= 3,
+      s"unsupported format-version $target (this engine writes 2 and 3)")
+    require(target >= md.formatVersion,
+      s"cannot downgrade format-version ${md.formatVersion} -> $target")
+    if (target == md.formatVersion) return table
+    val tasks =
+      if (table.currentSnapshot.isEmpty) Nil else table.newScan().planFiles()
+    val posPaths = tasks.flatMap(_.deleteFiles.filter(d =>
+      d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
+      .map(_.path)).distinct
+    if (target == 2 || posPaths.isEmpty) {
+      // nothing to re-home: a pure metadata bump, no new snapshot
+      writeMetadata(table.location, md.copy(formatVersion = target,
+        lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+      return IcebergTables.load(table.location)
+    }
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = table.loadedVersion + 1
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
+    val dvByFile = tasks.filter(_.deleteFiles.exists(_.isDeletionVector))
+      .map(t => normFsPath(t.file.path)).toSet
+    val liveNoDv = tasks.map(t => normFsPath(t.file.path))
+      .filterNot(dvByFile).distinct
+    val dead = filterLiveTombstones(
+      spark.read.parquet(posPaths: _*)
+        .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+          .as("file_path"), col("pos")),
+      liveNoDv, spark)
+    val dvFiles = writeDvFiles(spark, dead, Map.empty, delDir, snapId, seq)
+    commitDvSnapshot(table, Nil, dvFiles,
+      alsoSuperseded = d =>
+        d.content == DataFileContent.PositionDeletes && !d.isDeletionVector,
+      op = OpReplace,
+      extraSummary = Map("format-version" -> "3",
+        "position-delete-files-removed" -> posPaths.size.toString),
+      snapId, seq, version, metaDir)
   }
 
   /** Equality MoR delete: any row whose `equalityCols` tuple appears in
@@ -602,12 +864,14 @@ object TableWriter {
           snapshot.snapshotId)))
   }
 
-  /** Data manifests whose entries are all DELETED carry no live files —
-    * they exist to record removals in the snapshot that made them, and are
+  /** Manifests whose entries are all DELETED carry no live files — they
+    * exist to record removals in the snapshot that made them, and are
     * dropped when the NEXT snapshot's manifest list is assembled (matching
-    * Iceberg: delete-recording manifests live exactly one snapshot). */
+    * Iceberg: delete-recording manifests live exactly one snapshot). Both
+    * contents: data manifests emptied by a REPLACE, delete manifests
+    * emptied by DV supersede ([[supersedeDeleteEntries]]). */
   private def liveManifests(ms: Seq[ManifestFile]): Seq[ManifestFile] =
-    ms.filter(m => m.content != 0 || m.addedFilesCount + m.existingFilesCount > 0)
+    ms.filter(m => m.addedFilesCount + m.existingFilesCount > 0)
 
   /** Stage an OVERWRITE (CoW) snapshot: manifests containing replaced
     * paths rewritten under their own spec, untouched manifests carried by
