@@ -44,15 +44,17 @@ final case class DecimalT(precision: Int, scale: Int) extends IcebergType {
 
 /** A named, identified struct member (`types.go:137-146`). Field IDs are the
   * stable identity — every stat map and partition spec references columns by
-  * ID, never by name. */
+  * ID, never by name. `initialDefault` is the V3 column-default contract:
+  * data files written BEFORE the field existed read this value (not null);
+  * `writeDefault` fills the field when a writer omits it. */
 final case class NestedField(
     id: Int,
     name: String,
     fieldType: IcebergType,
     required: Boolean = false,
     doc: Option[String] = None,
-    initialDefault: Option[Any] = None,
-    writeDefault: Option[Any] = None)
+    initialDefault: Option[Literal] = None,
+    writeDefault: Option[Literal] = None)
 
 final case class StructT(fields: Seq[NestedField]) extends NestedIcebergType {
   def repr: String =
@@ -122,12 +124,21 @@ object IcebergTypeJson {
         val fs = reqText(o, "fields").asInstanceOf[ArrayNode]
         val buf = Vector.newBuilder[NestedField]
         fs.forEach { f =>
+          val ft = parse(reqText(f, "type"))
           buf += NestedField(
             id = reqText(f, "id").asInt(),
             name = reqText(f, "name").asText(),
-            fieldType = parse(reqText(f, "type")),
+            fieldType = ft,
             required = reqText(f, "required").asBoolean(),
-            doc = Option(f.get("doc")).map(_.asText()))
+            doc = Option(f.get("doc")).map(_.asText()),
+            // V3 column defaults — single-value JSON, typed by the field.
+            // Parsing (vs skipping) is load-bearing: an unread
+            // initial-default means every pre-existing data file reads
+            // NULL where the spec requires the default value.
+            initialDefault = Option(f.get("initial-default"))
+              .filterNot(_.isNull).map(SingleValueJson.parse(ft, _)),
+            writeDefault = Option(f.get("write-default"))
+              .filterNot(_.isNull).map(SingleValueJson.parse(ft, _)))
         }
         StructT(buf.result())
       case "list" =>
@@ -158,6 +169,14 @@ object IcebergTypeJson {
         gen.writeBooleanField("required", f.required)
         gen.writeFieldName("type"); write(f.fieldType, gen)
         f.doc.foreach(d => gen.writeStringField("doc", d))
+        f.initialDefault.foreach { l =>
+          gen.writeFieldName("initial-default")
+          SingleValueJson.writeTo(l, f.fieldType, gen)
+        }
+        f.writeDefault.foreach { l =>
+          gen.writeFieldName("write-default")
+          SingleValueJson.writeTo(l, f.fieldType, gen)
+        }
         gen.writeEndObject()
       }
       gen.writeEndArray()

@@ -165,6 +165,46 @@ object IcebergOps {
        FROM events WHERE NOT (event_type = 'error' OR value > 90)
        GROUP BY event_type ORDER BY event_type"""
 
+  /** V3 column defaults end-to-end: a column added with `initial-default`
+    * + `write-default` after files exist. Commit 1's files predate the
+    * column entirely (they read the initial default), commit 2 omits the
+    * column at write time (the write default fills it), commit 3 writes
+    * explicit values (defaults must not clobber data). The oracle
+    * reconstructs all three populations from the raw parquet. */
+  def ice19ColumnDefaults(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    val table = cached("events_defaults", d) { loc =>
+      var t = TableWriter.create(Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value"), loc)
+      t = TableWriter.upgradeFormatVersion(t, s, 3)
+      t = TableWriter.addColumn(t, "channel", StringT,
+        initialDefault = Some(StrLit("organic")),
+        writeDefault = Some(StrLit("direct")))
+      t = TableWriter.append(t, Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type", "value"))
+      TableWriter.append(t, Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          concat(lit("src_"), (col("user_id") % 3).cast("string")).as("channel")))
+    }
+    table.newScan().toDF(s)
+      .groupBy("channel", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("channel", "event_type")
+  }
+
+  val ice19Sql: String =
+    s"""SELECT channel, event_type, COUNT(*) AS n,
+       ${sqlDsum("value")} AS sum_value FROM (
+         SELECT 'organic' AS channel, event_type, value FROM events
+         UNION ALL
+         SELECT 'direct', event_type, value FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT 'src_' || CAST(user_id % 3 AS VARCHAR), event_type, value
+         FROM events WHERE event_type = 'view'
+       ) GROUP BY channel, event_type ORDER BY channel, event_type"""
+
   /** Day-transform partitioned events: temporal partition pruning. */
   def ice05DayPartition(s: SparkSession, d: String): DataFrame = {
     val table = cached("events_daily", d) { loc =>

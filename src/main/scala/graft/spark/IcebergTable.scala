@@ -195,8 +195,37 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       * provenance (needed for positional-delete matching) only resolves
       * directly on a file-source relation, so it's projected to plain
       * columns per sub-read BEFORE any union. */
+    // V3 column defaults: fields whose `initial-default` must materialize
+    // for data files that predate the column. Files are grouped by WHICH
+    // defaulted columns they lack (footer probes, cached per path) and each
+    // group gets constant fills — files carrying the column, including
+    // genuine NULLs, are never rewritten. Zero cost when no field carries a
+    // default (every pre-V3 table short-circuits).
+    val defaultedFields: Seq[org.apache.spark.sql.types.StructField] =
+      candidateSchema.fields.toSeq
+        .filter(_.metadata.contains(SchemaConv.InitialDefaultKey))
+
     def readByFooter(groupFiles: Seq[graft.core.DataFileInfo],
                      withProvenance: Boolean): DataFrame = {
+      if (defaultedFields.isEmpty) return readPlain(groupFiles, withProvenance)
+      groupFiles.groupBy { f =>
+        defaultedFields.map(fld =>
+          DefaultValues.absentFromFile(fld, f.format, f.path))
+      }.toSeq.sortBy(_._1.mkString(","))
+        .map { case (absent, fs) =>
+          var df = readPlain(fs, withProvenance)
+          defaultedFields.zip(absent).foreach { case (fld, isAbsent) =>
+            if (isAbsent) {
+              val (typ, lit) = SchemaConv.initialDefaultOf(fld).get
+              df = df.withColumn(fld.name, SchemaConv.literalColumn(typ, lit))
+            }
+          }
+          df
+        }.reduce(_.unionAll(_))
+    }
+
+    def readPlain(groupFiles: Seq[graft.core.DataFileInfo],
+                  withProvenance: Boolean): DataFrame = {
       def prov(df: DataFrame): DataFrame =
         if (!withProvenance) df
         else df.withColumn("__path", norm(col("_metadata.file_path")))

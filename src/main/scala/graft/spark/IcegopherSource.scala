@@ -326,7 +326,12 @@ final class GraftSparkTable(table: IcebergTable,
     if (dataNames.subsetOf(target.fieldNames.toSet))
       data.select(target.fields.toIndexedSeq.map { f =>
         if (dataNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        else SchemaConv.writeDefaultOf(f) match {
+          // V3 write-default: a writer that omits the column writes the
+          // declared default, not null
+          case Some((typ, l)) => SchemaConv.literalColumn(typ, l).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     else if (data.schema.length == target.length)
       data.select(target.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
@@ -949,12 +954,38 @@ private[graft] object GraftReaders {
     * JVM — amortized across splits and queries, and the decode path reads
     * the footer anyway. */
   final case class FooterInfo(hasIds: Boolean, names: Set[String],
-                              primitiveTypes: Map[String, String])
+                              primitiveTypes: Map[String, String],
+                              ids: Set[Int] = Set.empty)
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, FooterInfo]()
   // cache is an optimization only: bound its memory on huge tables by
   // dropping everything once it crosses ~1M paths (refills on demand)
   private val FooterCacheMax = 1 << 20
+
+  /** A constant column vector holding one catalyst value — the columnar
+    * form of an absent column's `initial-default`. */
+  def constantVector(dt: DataType, value: Any)
+      : org.apache.spark.sql.execution.vectorized.ConstantColumnVector = {
+    val v = new org.apache.spark.sql.execution.vectorized
+      .ConstantColumnVector(4096, dt)
+    (dt, value) match {
+      case (_, null) => v.setNull()
+      case (BooleanType, b: java.lang.Boolean) => v.setBoolean(b)
+      case (IntegerType | DateType, i: java.lang.Integer) => v.setInt(i)
+      case (LongType | TimestampType | TimestampNTZType, l: java.lang.Long) =>
+        v.setLong(l)
+      case (FloatType, f: java.lang.Float) => v.setFloat(f)
+      case (DoubleType, d: java.lang.Double) => v.setDouble(d)
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+        v.setUtf8String(s)
+      case (BinaryType, b: Array[Byte]) => v.setBinary(b)
+      case (d: DecimalType, dec: org.apache.spark.sql.types.Decimal) =>
+        v.setDecimal(dec, d.precision)
+      case (t, other) => throw new IllegalArgumentException(
+        s"unsupported constant vector: $t <- ${other.getClass.getName}")
+    }
+    v
+  }
 
   def footerInfo(path: String): FooterInfo = {
     if (footerCache.size() > FooterCacheMax) footerCache.clear()
@@ -971,7 +1002,9 @@ private[graft] object GraftReaders {
           primitiveTypes = msg.getFields.asScala.collect {
             case f if f.isPrimitive =>
               f.getName -> f.asPrimitiveType().getPrimitiveTypeName.name()
-          }.toMap)
+          }.toMap,
+          ids = msg.getFields.asScala.flatMap(f =>
+            Option(f.getId).map(_.intValue())).toSet)
       } finally r.close()
     })
   }
@@ -1032,7 +1065,10 @@ private[graft] object GraftReaders {
   }
 }
 
-/** Columnar read: vectorized batches straight into whole-stage codegen. */
+/** Columnar read: vectorized batches straight into whole-stage codegen.
+  * V3 column defaults stay columnar: a defaulted column ABSENT from this
+  * file is served as a constant vector (set once, zero per-row work)
+  * spliced over the reader's null vector. */
 final class GraftBatchReader(p: GraftInputPartition)
     extends PartitionReader[ColumnarBatch] {
   private val readSchema = DataType.fromJson(p.readJson).asInstanceOf[StructType]
@@ -1041,10 +1077,33 @@ final class GraftBatchReader(p: GraftInputPartition)
       p.rowGroupFilter, p.rowGroupFilterCols)
   reader.enableReturningBatches()
 
+  private val fileDefaults: Map[Int, Any] =
+    DefaultValues.absentDefaults(readSchema, p.format, p.path)
+  private val constVectors: Map[Int, org.apache.spark.sql.vectorized.ColumnVector] =
+    fileDefaults.map { case (ord, v) =>
+      ord -> (GraftReaders.constantVector(readSchema(ord).dataType, v)
+        : org.apache.spark.sql.vectorized.ColumnVector)
+    }
+  // the vectorized reader reuses its column vectors across batches, so the
+  // spliced wrapper is built once and only its row count changes
+  private var wrapped: ColumnarBatch = _
+
   override def next(): Boolean = reader.nextBatch()
-  override def get(): ColumnarBatch =
-    reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-  override def close(): Unit = reader.close()
+  override def get(): ColumnarBatch = {
+    val inner = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    if (constVectors.isEmpty) return inner
+    if (wrapped == null) {
+      val cols = Array.tabulate(inner.numCols())(i =>
+        constVectors.getOrElse(i, inner.column(i)))
+      wrapped = new ColumnarBatch(cols)
+    }
+    wrapped.setNumRows(inner.numRows())
+    wrapped
+  }
+  override def close(): Unit = {
+    reader.close()
+    constVectors.values.foreach(_.close())
+  }
 }
 
 /** Row read over the same vectorized decode, applying MoR deletes:
@@ -1062,6 +1121,12 @@ final class GraftRowReader(p: GraftInputPartition)
       GraftReaders.createVectorized(p.path, p.start, p.length, readSchema,
         p.rowGroupFilter, p.rowGroupFilterCols))
   }
+
+  // V3 column defaults: ordinal → constant for columns ABSENT from this
+  // file (the projection and eq-delete matching substitute them; files
+  // that carry the column — incl. genuine NULLs — have no entry here)
+  private val fileDefaults: Map[Int, Any] =
+    DefaultValues.absentDefaults(readSchema, p.format, p.path)
 
   private val rowIdxOrd: Int =
     if (p.posDeletes.nonEmpty || p.cdcMatchPos.nonEmpty ||
@@ -1112,8 +1177,10 @@ final class GraftRowReader(p: GraftInputPartition)
         case GraftReaders.CommitSequenceCol if p.cdc.isDefined =>
           CLit(p.cdc.get._3, org.apache.spark.sql.types.LongType): Expression
         case _ =>
-          BoundReference(readSchema.fieldIndex(f.name), f.dataType, f.nullable)
-            : Expression
+          val ord = readSchema.fieldIndex(f.name)
+          if (fileDefaults.contains(ord))
+            CLit(fileDefaults(ord), f.dataType): Expression
+          else BoundReference(ord, f.dataType, f.nullable): Expression
       }
     }.toIndexedSeq)
 
@@ -1125,7 +1192,9 @@ final class GraftRowReader(p: GraftInputPartition)
                           java.util.HashSet[Seq[Any]])]): Boolean =
     ms.exists { case (ords, dts, set) =>
       val key: Seq[Any] = ords.indices.map { i =>
-        if (row.isNullAt(ords(i))) null
+        if (fileDefaults.contains(ords(i)))
+          DeleteFileCache.canonical(fileDefaults(ords(i)))
+        else if (row.isNullAt(ords(i))) null
         else DeleteFileCache.canonical(row.get(ords(i), dts(i)))
       }
       set.contains(key)

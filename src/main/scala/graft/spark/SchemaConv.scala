@@ -15,6 +15,11 @@ import graft.core._
 object SchemaConv {
   val FieldIdKey = "iceberg.field-id"
   val TypeTagKey = "iceberg.type"
+  /** V3 column defaults, carried as (iceberg type repr, single-value JSON)
+    * so executors re-materialize the literal with no driver round-trip. */
+  val InitialDefaultKey = "graft.initial-default"
+  val WriteDefaultKey = "graft.write-default"
+  val DefaultTypeKey = "graft.default-type"
 
   def toSparkType(t: IcebergType): DataType = t match {
     case BooleanT => BooleanType
@@ -45,9 +50,118 @@ object SchemaConv {
         case _ =>
       }
       f.doc.foreach(d => mb.putString("comment", d))
+      if (f.initialDefault.isDefined || f.writeDefault.isDefined)
+        mb.putString(DefaultTypeKey, f.fieldType.repr)
+      f.initialDefault.foreach(l =>
+        mb.putString(InitialDefaultKey, SingleValueJson.toJsonString(l, f.fieldType)))
+      f.writeDefault.foreach { l =>
+        mb.putString(WriteDefaultKey, SingleValueJson.toJsonString(l, f.fieldType))
+        // Spark's OWN column-default key: the analyzer's output resolver
+        // fills omitted columns with this expression on INSERT/append —
+        // so write-defaults engage on every Spark write surface (SQL
+        // INSERT, DataFrame append) with zero custom resolution code
+        mb.putString("CURRENT_DEFAULT", sqlLiteral(f.fieldType, l))
+      }
       StructField(f.name, toSparkType(f.fieldType), nullable = !f.required,
         metadata = mb.build())
     })
+
+  /** Decode a default carried on a StructField back to (type, literal). */
+  private def fieldDefault(f: StructField, key: String)
+      : Option[(IcebergType, Literal)] =
+    if (!f.metadata.contains(key)) None
+    else {
+      val typ = IcebergTypeJson.parsePrimitive(f.metadata.getString(DefaultTypeKey))
+      Some((typ, SingleValueJson.parseString(typ, f.metadata.getString(key))))
+    }
+
+  def initialDefaultOf(f: StructField): Option[(IcebergType, Literal)] =
+    fieldDefault(f, InitialDefaultKey)
+  def writeDefaultOf(f: StructField): Option[(IcebergType, Literal)] =
+    fieldDefault(f, WriteDefaultKey)
+
+  /** A default literal as Spark SQL expression text (the form Spark's
+    * CURRENT_DEFAULT column metadata expects). */
+  def sqlLiteral(typ: IcebergType, lit: Literal): String = lit match {
+    case BoolLit(v) => v.toString
+    case IntLit(v) => v.toString
+    case LongLit(v) => s"CAST($v AS BIGINT)"
+    case FloatLit(v) => s"CAST('$v' AS FLOAT)"
+    case DoubleLit(v) => s"CAST('$v' AS DOUBLE)"
+    case d: DecLit =>
+      val DecimalT(p, s) = typ: @unchecked
+      s"CAST('${d.bigDecimal.toPlainString}' AS DECIMAL($p, $s))"
+    case StrLit(v) => "'" + v.replace("'", "''") + "'"
+    case DateLit(days) =>
+      s"DATE '${java.time.LocalDate.ofEpochDay(days.toLong)}'"
+    case TimeLit(us) => s"CAST($us AS BIGINT)"
+    case TsLit(us) =>
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val ldt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      typ match {
+        case TimestampTzT => s"TIMESTAMP '${ldt.toString.replace('T', ' ')} UTC'"
+        case _ => s"TIMESTAMP_NTZ '${ldt.toString.replace('T', ' ')}'"
+      }
+    case UuidLit(v) => s"'$v'"
+    case BytesLit(v) => s"X'${v.map(b => f"${b & 0xff}%02X").mkString}'"
+    case FixedLit(v) => s"X'${v.map(b => f"${b & 0xff}%02X").mkString}'"
+    case s: RangeSentinel =>
+      throw new IllegalArgumentException(s"not a storable default: $s")
+  }
+
+  /** A default literal as a Spark Column (driver-side fill paths). */
+  def literalColumn(typ: IcebergType, lit: Literal)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit => slit}
+    val base: org.apache.spark.sql.Column = lit match {
+      case BoolLit(v) => slit(v)
+      case IntLit(v) => slit(v)
+      case LongLit(v) => slit(v)
+      case FloatLit(v) => slit(v)
+      case DoubleLit(v) => slit(v)
+      case StrLit(v) => slit(v)
+      case d: DecLit => slit(d.bigDecimal)
+      case DateLit(days) => slit(java.time.LocalDate.ofEpochDay(days.toLong))
+      case TimeLit(us) => slit(us)
+      case TsLit(us) =>
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        typ match {
+          case TimestampTzT => slit(inst)
+          case _ => slit(java.time.LocalDateTime.ofInstant(inst,
+            java.time.ZoneOffset.UTC))
+        }
+      case UuidLit(v) => slit(v.toString)
+      case BytesLit(v) => slit(v)
+      case FixedLit(v) => slit(v)
+      case s: RangeSentinel =>
+        throw new IllegalArgumentException(s"not a storable default: $s")
+    }
+    base.cast(toSparkType(typ))
+  }
+
+  /** A default literal as a catalyst internal value (executor-side reader
+    * projections: UTF8String for strings, Decimal for decimals, micros for
+    * timestamps — the representations `InternalRow` carries). */
+  def catalystDefault(typ: IcebergType, lit: Literal): Any = lit match {
+    case BoolLit(v) => v
+    case IntLit(v) => v
+    case LongLit(v) => v
+    case FloatLit(v) => v
+    case DoubleLit(v) => v
+    case StrLit(v) => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case d: DecLit =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(d.bigDecimal))
+    case DateLit(days) => days
+    case TimeLit(us) => us
+    case TsLit(us) => us
+    case UuidLit(v) => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+    case BytesLit(v) => v
+    case FixedLit(v) => v
+    case s: RangeSentinel =>
+      throw new IllegalArgumentException(s"not a storable default: $s")
+  }
 
   def toSparkSchema(schema: Schema): StructType = toSparkStruct(schema.struct)
 

@@ -75,15 +75,36 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
-  /** Append a snapshot: new files join the previous snapshot's manifests. */
+  /** Append a snapshot: new files join the previous snapshot's manifests.
+    * A frame missing schema columns is aligned first — each absent column
+    * fills with its V3 `write-default` when declared, null otherwise. */
   def append(table: IcebergTable, df: DataFrame): IcebergTable = {
     val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
     })
     val version = table.loadedVersion + 1
-    commit(df, table.location, table.schema, table.spec, table.properties,
+    commit(alignForWrite(df, table.schema), table.location, table.schema,
+      table.spec, table.properties,
       version, table.currentSnapshot, Nil, prevManifests,
       table.metadata.lastSequenceNumber + 1)
+  }
+
+  /** Align a write frame whose columns are a SUBSET of the schema: absent
+    * columns fill with their `write-default` (V3) or null. Frames already
+    * covering every column pass through untouched. */
+  private def alignForWrite(df: DataFrame, schema: Schema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = SchemaConv.toSparkSchema(schema)
+    val dataNames = df.schema.fieldNames.toSet
+    if (target.fieldNames.forall(dataNames.contains)) return df
+    if (!dataNames.subsetOf(target.fieldNames.toSet)) return df
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (dataNames.contains(f.name)) col(f.name)
+      else SchemaConv.writeDefaultOf(f) match {
+        case Some((typ, l)) => SchemaConv.literalColumn(typ, l).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   /** Positional MoR delete: rows of `table` matching `predicate` become
@@ -1094,14 +1115,43 @@ object TableWriter {
                 colType: graft.core.IcebergType): IcebergTable =
     addColumn(table, name, colType, None)
 
+  /** ADD COLUMN with V3 defaults: `initialDefault` is what pre-existing
+    * data files read for the column; `writeDefault` fills writes that omit
+    * it. Requires a format-version 3 table. */
+  def addColumn(table: IcebergTable, name: String,
+                colType: graft.core.IcebergType,
+                initialDefault: Option[graft.core.Literal],
+                writeDefault: Option[graft.core.Literal]): IcebergTable = {
+    val (parent, leaf) = splitColPath(name)
+    addColumnAt(table, parent :+ leaf, colType, None, initialDefault,
+      writeDefault)
+  }
+
   def addColumnAt(table: IcebergTable, path: Seq[String],
                   colType: graft.core.IcebergType,
-                  doc: Option[String] = None): IcebergTable = {
+                  doc: Option[String] = None,
+                  initialDefault: Option[graft.core.Literal] = None,
+                  writeDefault: Option[graft.core.Literal] = None,
+                  required: Boolean = false): IcebergTable = {
     val md = table.metadata
     val (parent, leaf) = (path.init, path.last)
     val name = path.mkString(".")
     require(resolveField(md.currentSchema.struct, path, "ADD COLUMN").isEmpty,
       s"column '$name' exists")
+    // column defaults are a V3 feature: stamping them into V1/V2 metadata
+    // would be silently ignored by spec-conforming readers
+    if (initialDefault.isDefined || writeDefault.isDefined)
+      require(md.formatVersion >= 3,
+        s"column defaults require format-version 3 (table is V${md.formatVersion}" +
+          " — upgradeFormatVersion first)")
+    // a required column added after files exist has no value in those files
+    // unless initial-default supplies one (V3 spec invariant)
+    if (required)
+      require(initialDefault.isDefined || md.currentSnapshotId.isEmpty,
+        s"cannot add required column '$name' to a non-empty table without " +
+          "an initial-default")
+    require(initialDefault.isEmpty || colType.isPrimitive,
+      s"default values for nested types are not supported: ${colType.repr}")
     // ids for the new subtree must come from last-column-id, which tracks
     // the max ever assigned (an id from a DROPPED column must never be
     // reused — old data files still carry it)
@@ -1123,7 +1173,8 @@ object TableWriter {
     val assigned = reassign(colType)
     val newStruct = rewriteStructAt(md.currentSchema.struct, parent, "ADD COLUMN") { s =>
       require(!s.fields.exists(_.name == leaf), s"column '$name' exists")
-      StructT(s.fields :+ NestedField(newId, leaf, assigned, required = false, doc))
+      StructT(s.fields :+ NestedField(newId, leaf, assigned, required = required,
+        doc, initialDefault = initialDefault, writeDefault = writeDefault))
     }
     val newSchema = Schema(md.currentSchemaId + 1, newStruct,
       md.currentSchema.identifierFieldIds)
