@@ -36,7 +36,10 @@ final case class ManifestFile(
     existingRowsCount: Long,
     deletedRowsCount: Long,
     partitions: Seq[FieldSummary],
-    formatVersion: Int) {
+    formatVersion: Int,
+    // V3 row lineage: the first _row_id available to this manifest's added
+    // data files (manifest_file field 520); absent below V3
+    firstRowId: Option[Long] = None) {
   def hasAddedFiles: Boolean = addedFilesCount > 0
   def hasExistingFiles: Boolean = existingFilesCount > 0
 }
@@ -68,7 +71,11 @@ final case class DataFileInfo(
     // container. Absent on data files and V2 delete files.
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None) {
+    contentSizeInBytes: Option[Long] = None,
+    // V3 row lineage: first _row_id of this data file (data_file field
+    // 142); rows get firstRowId + position. Null in a manifest inherits
+    // from the manifest's firstRowId at read time.
+    firstRowId: Option[Long] = None) {
   def stats: FileStats = FileStats(recordCount, valueCounts, nullValueCounts,
     nanValueCounts, lowerBounds, upperBounds)
 
@@ -133,8 +140,21 @@ object ManifestIO {
       new GenericDatumReader[GenericRecord]())
     try {
       val out = Vector.newBuilder[ManifestEntry]
+      // V3 row-lineage inheritance: a data file with null first_row_id is
+      // assigned the manifest's first_row_id plus the record counts of
+      // preceding null-first_row_id data files (spec inheritance rule) —
+      // accumulated over EVERY entry read, before any deleted-entry
+      // filtering, so skipped entries still consume their id range
+      var inheritAcc = 0L
       while (reader.hasNext) {
-        val e = parseEntry(reader.next())
+        var e = parseEntry(reader.next())
+        if (manifest.firstRowId.isDefined &&
+            e.dataFile.content == DataFileContent.Data &&
+            e.dataFile.firstRowId.isEmpty) {
+          e = e.copy(dataFile = e.dataFile.copy(
+            firstRowId = Some(manifest.firstRowId.get + inheritAcc)))
+          inheritAcc += e.dataFile.recordCount
+        }
         if (!discardDeleted || e.status != ManifestEntryStatus.Deleted)
           out += e.inheritSeqNum(manifest)
       }
@@ -199,7 +219,8 @@ object ManifestIO {
       existingRowsCount = asLong(field(r, "existing_rows_count")),
       deletedRowsCount = asLong(field(r, "deleted_rows_count")),
       partitions = partitions,
-      formatVersion = version)
+      formatVersion = version,
+      firstRowId = optLong(field(r, "first_row_id")))
   }
 
   private def longMap(v: Any): Map[Int, Long] = v match {
@@ -259,7 +280,8 @@ object ManifestIO {
       sortOrderId = Option(field(df, "sort_order_id")).map(v => asInt(v)),
       referencedDataFile = Option(field(df, "referenced_data_file")).map(_.toString),
       contentOffset = optLong(field(df, "content_offset")),
-      contentSizeInBytes = optLong(field(df, "content_size_in_bytes")))
+      contentSizeInBytes = optLong(field(df, "content_size_in_bytes")),
+      firstRowId = optLong(field(df, "first_row_id")))
     ManifestEntry(
       status = asInt(field(r, "status")),
       snapshotId = optLong(field(r, "snapshot_id")),
@@ -336,6 +358,9 @@ object ManifestIO {
         AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .name("content_size_in_bytes").`type`(nullable(
         AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
+      // V3 row lineage (spec field 142)
+      .name("first_row_id").`type`(nullable(
+        AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .endRecord()
     SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
@@ -369,6 +394,9 @@ object ManifestIO {
       .requiredLong("existing_rows_count")
       .requiredLong("deleted_rows_count")
       .name("partitions").`type`(nullable(AvroSchema.createArray(summary))).withDefault(null)
+      // V3 row lineage (spec field 520)
+      .name("first_row_id").`type`(nullable(
+        AvroSchema.create(AvroSchema.Type.LONG))).withDefault(null)
       .endRecord()
   }
 
@@ -406,6 +434,7 @@ object ManifestIO {
         }
         r.put("partitions", arr)
       }
+      m.firstRowId.foreach(v => r.put("first_row_id", v))
       writer.append(r)
     } finally writer.close()
   }
@@ -469,6 +498,7 @@ object ManifestIO {
       df.referencedDataFile.foreach(p => dfr.put("referenced_data_file", p))
       df.contentOffset.foreach(o => dfr.put("content_offset", o))
       df.contentSizeInBytes.foreach(s => dfr.put("content_size_in_bytes", s))
+      df.firstRowId.foreach(v => dfr.put("first_row_id", v))
       val r = new GenericData.Record(schema)
       r.put("status", e.status)
       e.snapshotId.foreach(v => r.put("snapshot_id", v))

@@ -35,7 +35,10 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Option[SnapshotSummary],
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    // V3 row lineage: first _row_id assigned by this snapshot's commit
+    // (spec: required on v3 snapshots; absent below V3)
+    firstRowId: Option[Long] = None)
 
 sealed trait RefType { def repr: String }
 case object BranchRef extends RefType { val repr = "branch" }
@@ -113,7 +116,8 @@ object TableMetadata {
           timestampMs = n.get("timestamp-ms").asLong(),
           manifestList = Option(n.get("manifest-list")).map(_.asText()).getOrElse(""),
           summary = Option(n.get("summary")).map(parseSummary),
-          schemaId = Option(n.get("schema-id")).map(_.asInt()))
+          schemaId = Option(n.get("schema-id")).map(_.asInt()),
+          firstRowId = Option(n.get("first-row-id")).map(_.asLong()))
       }
       b.result()
     }.getOrElse(Vector.empty)
@@ -165,7 +169,8 @@ object TableMetadata {
       metadataLog = metadataLog,
       sortOrders = sortOrders,
       defaultSortOrderId = defaultSortOrderId,
-      refs = refs)
+      refs = refs,
+      nextRowId = optLong("next-row-id"))
     md.validate()
     md
   }
@@ -216,7 +221,10 @@ final case class TableMetadata(
     metadataLog: Seq[MetadataLogEntry],
     sortOrders: Seq[SortOrder],
     defaultSortOrderId: Int,
-    refs: Map[String, SnapshotRef]) {
+    refs: Map[String, SnapshotRef],
+    // V3 row lineage: the next _row_id to assign (spec: required in v3
+    // metadata; this engine emits it for every V3 table it writes)
+    nextRowId: Option[Long] = None) {
 
   def currentSchema: Schema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(
@@ -318,6 +326,10 @@ final case class TableMetadata(
     gen.writeObjectFieldStart("properties")
     properties.foreach { case (k, v) => gen.writeStringField(k, v) }
     gen.writeEndObject()
+    // V3 requires next-row-id; a V3 table that never assigned ids starts
+    // at 0 (upgraded tables: pre-upgrade rows have no lineage, per spec)
+    if (formatVersion >= 3)
+      gen.writeNumberField("next-row-id", nextRowId.getOrElse(0L))
     currentSnapshotId.foreach(id => gen.writeNumberField("current-snapshot-id", id))
     gen.writeArrayFieldStart("snapshots")
     snapshots.foreach { s =>
@@ -334,6 +346,7 @@ final case class TableMetadata(
         gen.writeEndObject()
       }
       s.schemaId.foreach(id => gen.writeNumberField("schema-id", id))
+      s.firstRowId.foreach(v => gen.writeNumberField("first-row-id", v))
       gen.writeEndObject()
     }
     gen.writeEndArray()

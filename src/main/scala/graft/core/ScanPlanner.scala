@@ -25,7 +25,10 @@ final case class FileScanTask(
     deleteFiles: Seq[DataFileInfo] = Nil,
     start: Long = 0L,
     length: Long = -1L,
-    manifestPath: String = "") {
+    manifestPath: String = "",
+    // data sequence number of the entry (V3 row lineage:
+    // _last_updated_sequence_number; 0 below V2 inheritance)
+    dataSequenceNumber: Long = 0L) {
   def sizeBytes: Long =
     (if (length > 0) length else file.fileSizeInBytes) +
       deleteFiles.map(_.fileSizeInBytes).sum
@@ -278,6 +281,40 @@ object DeleteMatching extends Serializable {
   * Avro reads, never O(rows). At 100 TB the output task list feeds Spark's
   * parquet reader, which splits and schedules per executor.
   */
+object ScanPlanner {
+  /** Pluggable bulk decoder for the expensive planning phase (per-manifest
+    * entry decode + partition/metrics filtering): given the pruned live
+    * data manifests, return the surviving (manifestPath, entry) pairs, or
+    * None to use the driver's parallel-collection decode. The Spark layer
+    * installs a decoder that runs the phase as a distributed job above a
+    * manifest-count threshold — a 100-TB table after years of streaming
+    * commits can carry 10⁴–10⁵ manifests, past what driver threads should
+    * chew alone. */
+  type BulkEntryDecoder =
+    (TableMetadata, Schema, BooleanExpression, Boolean, Seq[ManifestFile])
+      => Option[Seq[(String, ManifestEntry)]]
+
+  val NoBulkDecoder: BulkEntryDecoder = (_, _, _, _, _) => None
+
+  /** Decode + filter ONE data manifest — the unit of work of distributed
+    * planning. Rebuilds its evaluators locally from serializable inputs,
+    * so the closure shipped to executors carries only case classes. */
+  def decodeDataManifest(io: FileIO, metadata: TableMetadata, schema: Schema,
+                         rowFilter: BooleanExpression, caseSensitive: Boolean,
+                         m: ManifestFile): Seq[(String, ManifestEntry)] = {
+    val bound = Expr.bind(schema, Expr.rewriteNot(rowFilter), caseSensitive)
+    val metrics = new InclusiveMetricsEvaluator(schema, rowFilter, caseSensitive)
+    val spec = metadata.partitionSpecs.find(_.specId == m.partitionSpecId)
+      .getOrElse(PartitionSpec.unpartitioned)
+    val partEval = new PartitionEvaluator(spec, schema,
+      InclusiveProjection.project(spec, schema, bound))
+    ManifestIO.readManifestEntries(io.open(m.path), m)
+      .filter(e => partEval.eval(e.dataFile.partition))
+      .filter(e => metrics.eval(e.dataFile.stats))
+      .map(e => (m.path, e))
+  }
+}
+
 final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
 
   /** Positional-delete file schema — see [[DeleteMatching.PositionalDeleteSchema]]. */
@@ -288,7 +325,9 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       snapshotId: Option[Long] = None,
       ref: Option[String] = None,
       asOfTimestampMs: Option[Long] = None,
-      caseSensitive: Boolean = true): Seq[FileScanTask] = {
+      caseSensitive: Boolean = true,
+      bulkDecoder: ScanPlanner.BulkEntryDecoder = ScanPlanner.NoBulkDecoder)
+      : Seq[FileScanTask] = {
 
     val snapshot = (snapshotId, ref, asOfTimestampMs) match {
       case (Some(id), _, _) => metadata.snapshotById(id).getOrElse(
@@ -333,16 +372,20 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     // two-level pruning: drop whole manifests on partition summaries
     val liveDataManifests = dataManifests.filter(m => evals(m.partitionSpecId)._1.eval(m))
 
-    // manifests decode in parallel on the driver: I/O-bound small Avro
-    // files — at O(1000) manifests this keeps planning in driver seconds
-    import scala.collection.parallel.CollectionConverters._
-    val dataEntries = liveDataManifests.par.flatMap { m =>
-      val (_, partEval) = evals(m.partitionSpecId)
-      ManifestIO.readManifestEntries(io.open(m.path), m)
-        .filter(e => partEval.eval(e.dataFile.partition))
-        .filter(e => metrics.eval(e.dataFile.stats))
-        .map(e => (m.path, e))
-    }.seq
+    // entry decode: the pluggable bulk decoder (a distributed job above a
+    // manifest-count threshold) or, by default, parallel driver threads —
+    // I/O-bound small Avro files, fine up to O(1000) manifests
+    val dataEntries = bulkDecoder(metadata, schema, rowFilter, caseSensitive,
+        liveDataManifests).getOrElse {
+      import scala.collection.parallel.CollectionConverters._
+      liveDataManifests.par.flatMap { m =>
+        val (_, partEval) = evals(m.partitionSpecId)
+        ManifestIO.readManifestEntries(io.open(m.path), m)
+          .filter(e => partEval.eval(e.dataFile.partition))
+          .filter(e => metrics.eval(e.dataFile.stats))
+          .map(e => (m.path, e))
+      }.seq
+    }
 
     // delete files: positional entries sorted by sequence number for the
     // binary-search assignment (scanner.go:144-193); equality deletes
@@ -405,7 +448,7 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
         else matchDeletes(e, posDeleteEntries)
       val eqDeletes = DeleteMatching.eqDeletes(dataSeq, eqDeleteEntries)
       FileScanTask(e.dataFile, dvs ++ posDeletes ++ eqDeletes,
-        manifestPath = manifestPath)
+        manifestPath = manifestPath, dataSequenceNumber = dataSeq)
     }
   }
 

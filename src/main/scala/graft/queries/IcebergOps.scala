@@ -205,6 +205,72 @@ object IcebergOps {
          FROM events WHERE event_type = 'view'
        ) GROUP BY channel, event_type ORDER BY channel, event_type"""
 
+  /** V3 row lineage end-to-end: two single-file sorted appends on a V3
+    * table, read back through the `_row_id` / `_last_updated_sequence_number`
+    * metadata columns. The oracle reconstructs the spec's assignment rule
+    * (ids dense from 0 in commit order, file order = sort order) with
+    * window functions over the raw parquet — a hash match proves commit
+    * assignment, manifest stamping, and the reader's base+position
+    * derivation all agree. */
+  def ice20RowLineage(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_lineage", d) { loc =>
+      val src = Tables.events(s, d).select("event_id", "event_type", "value")
+      var t = TableWriter.create(src.limit(0), loc)
+      t = TableWriter.upgradeFormatVersion(t, s, 3)
+      t = TableWriter.append(t, src.filter(col("event_type") === "click")
+        .coalesce(1).sortWithinPartitions("event_id"))
+      TableWriter.append(t, src.filter(col("event_type") === "view")
+        .coalesce(1).sortWithinPartitions("event_id"))
+    }
+    s.read.format("icegopher").load(table.location)
+      .select(col("event_id"), col("_row_id").as("row_id"),
+        col("_last_updated_sequence_number").as("last_seq"))
+      .orderBy("event_id")
+  }
+
+  val ice20Sql: String =
+    """SELECT event_id, row_id, last_seq FROM (
+         SELECT event_id,
+                ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS row_id,
+                CAST(2 AS BIGINT) AS last_seq
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id,
+                (SELECT COUNT(*) FROM events WHERE event_type = 'click')
+                  + ROW_NUMBER() OVER (ORDER BY event_id) - 1,
+                CAST(3 AS BIGINT)
+         FROM events WHERE event_type = 'view'
+       ) ORDER BY event_id"""
+
+  /** Distributed scan planning: the table property forces the per-manifest
+    * entry decode to run as a Spark job (the 10⁴-manifest scale path);
+    * the oracle proves the distributed decode prunes and returns exactly
+    * the driver path's rows. Fixture = 7 single-linenumber appends, so the
+    * plan spans 7 manifests with real pruning work in each. */
+  def ice21DistributedPlan(s: SparkSession, d: String): DataFrame = {
+    val table = cached("lineitem_distplan", d) { loc =>
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      var t = TableWriter.create(src.filter(col("l_linenumber") === 1), loc)
+      (2 to 7).foreach { i =>
+        t = TableWriter.append(t, src.filter(col("l_linenumber") === i))
+      }
+      TableWriter.updateProperties(t,
+        Map(graft.spark.DistributedPlanner.ThresholdProp -> "1"))
+    }
+    table.newScan(Expr.greaterThan("l_quantity", DoubleLit(30)))
+      .toDF(s)
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_linenumber")
+  }
+
+  val ice21Sql: String =
+    s"""SELECT l_linenumber, COUNT(*) AS n,
+       ${sqlDsum("l_extendedprice")} AS sum_price
+       FROM lineitem WHERE l_quantity > 30
+       GROUP BY l_linenumber ORDER BY l_linenumber"""
+
   /** Day-transform partitioned events: temporal partition pruning. */
   def ice05DayPartition(s: SparkSession, d: String): DataFrame = {
     val table = cached("events_daily", d) { loc =>

@@ -118,7 +118,8 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
   def planFiles(): Seq[FileScanTask] = {
     TableScan.planFilesCalls.incrementAndGet()
     new ScanPlanner(table.io, table.metadata)
-      .planFiles(filter, snapshotId, ref, asOfTimestampMs, caseSensitive)
+      .planFiles(filter, snapshotId, ref, asOfTimestampMs, caseSensitive,
+        DistributedPlanner.decoder(table))
   }
 
   /** Execute: pruned file set → Spark parquet scan (+ MoR anti-join when

@@ -122,6 +122,22 @@ final class GraftSparkTable(table: IcebergTable,
         override def dataType(): org.apache.spark.sql.types.DataType = LongType
         override def isNullable: Boolean = false
         override def comment(): String = "row position within its data file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftReaders.RowIdCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "V3 row lineage: table-unique row id (file first_row_id + position); " +
+            "null for files written before the table tracked lineage"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftReaders.LastUpdatedSeqCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "V3 row lineage: data sequence number of the commit that last " +
+            "wrote this row's file"
       })
 
   /** DELETE FROM ... WHERE: key-equality predicates (`k = v`,
@@ -735,6 +751,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
       !required.fieldNames.contains(GraftReaders.FileCol) &&
       !required.fieldNames.contains(GraftReaders.PosCol) &&
+      !required.fieldNames.contains(GraftReaders.RowIdCol) &&
+      !required.fieldNames.contains(GraftReaders.LastUpdatedSeqCol) &&
       tasks.forall(_.file.format.equalsIgnoreCase("PARQUET"))
     // ROW-GROUP skipping inside each parquet file (chunk stats, dictionary,
     // bloom filters): the same pushed predicate that pruned whole files at
@@ -798,7 +816,9 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
             limit, pos, eq, columnar, partValues, fmt,
             rowGroupPredicate, rowGroupPredicateCols,
-            dvDeletes = dvs): InputPartition
+            dvDeletes = dvs,
+            firstRowId = t.file.firstRowId,
+            dataSeq = t.dataSequenceNumber): InputPartition
       }
     }.toArray
   }
@@ -813,11 +833,14 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     // `_file`/`_pos` are synthesized by the reader, never read from parquet
     // (`_pos` from the same row-index channel positional deletes use)
     var s = StructType(required.fields.filterNot(f =>
-      f.name == GraftReaders.FileCol || f.name == GraftReaders.PosCol))
+      f.name == GraftReaders.FileCol || f.name == GraftReaders.PosCol ||
+        f.name == GraftReaders.RowIdCol ||
+        f.name == GraftReaders.LastUpdatedSeqCol))
     eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
       s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
     }
-    if (needRowIndex || required.fieldNames.contains(GraftReaders.PosCol))
+    if (needRowIndex || required.fieldNames.contains(GraftReaders.PosCol) ||
+        required.fieldNames.contains(GraftReaders.RowIdCol))
       s = s.add(StructField(GraftReaders.RowIndexCol, LongType, nullable = true))
     s
   }
@@ -891,7 +914,12 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      dvDeletes: Seq[DvRef] = Nil,
                                      // CDC: emit ONLY the rows these NEW
                                      // deletion vectors kill
-                                     cdcMatchDv: Seq[DvRef] = Nil)
+                                     cdcMatchDv: Seq[DvRef] = Nil,
+                                     // V3 row lineage of THIS data file:
+                                     // first _row_id, and the data
+                                     // sequence number of its commit
+                                     firstRowId: Option[Long] = None,
+                                     dataSeq: Long = 0L)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -926,6 +954,14 @@ private[graft] object GraftReaders {
     * with [[FileCol]] the row-id coordinate of merge-on-read row-level
     * operations (a positional tombstone is exactly a (_file, _pos) pair). */
   val PosCol: String = "_pos"
+
+  /** V3 row-lineage metadata columns: `_row_id` = the data file's
+    * `first_row_id` + the row's position (null when the file predates
+    * lineage tracking); `_last_updated_sequence_number` = the file's data
+    * sequence number. The cheap-incremental-consumer surface the V3 spec
+    * adds — exposed read-only, derived per input partition. */
+  val RowIdCol: String = "_row_id"
+  val LastUpdatedSeqCol: String = "_last_updated_sequence_number"
 
   /** CDC output columns (streaming `read-changes` mode): stamped per
     * input partition from its commit provenance. */
@@ -1170,6 +1206,21 @@ final class GraftRowReader(p: GraftInputPartition)
         case GraftReaders.PosCol =>
           BoundReference(readSchema.fieldIndex(GraftReaders.RowIndexCol),
             org.apache.spark.sql.types.LongType, nullable = false): Expression
+        case GraftReaders.RowIdCol =>
+          // V3 row lineage: first_row_id + file-absolute row position;
+          // null when the file predates lineage tracking (pre-upgrade)
+          p.firstRowId match {
+            case Some(base) =>
+              org.apache.spark.sql.catalyst.expressions.Add(
+                CLit(base, org.apache.spark.sql.types.LongType),
+                BoundReference(readSchema.fieldIndex(GraftReaders.RowIndexCol),
+                  org.apache.spark.sql.types.LongType, nullable = false))
+                : Expression
+            case None =>
+              CLit(null, org.apache.spark.sql.types.LongType): Expression
+          }
+        case GraftReaders.LastUpdatedSeqCol =>
+          CLit(p.dataSeq, org.apache.spark.sql.types.LongType): Expression
         case GraftReaders.ChangeTypeCol if p.cdc.isDefined =>
           CLit(UTF8String.fromString(p.cdc.get._1), StringType): Expression
         case GraftReaders.CommitSnapshotCol if p.cdc.isDefined =>
@@ -1258,8 +1309,9 @@ private[spark] object DeleteFileCache {
     }
   private val posCache = lru[String, Map[String, java.util.HashSet[java.lang.Long]]]()
   private val eqCache = lru[(String, Seq[Seq[String]]), java.util.HashSet[Seq[Any]]]()
-  private val dvCache =
-    lru[(String, Long), org.roaringbitmap.longlong.Roaring64NavigableMap]()
+  // (puffin path, blob offset) → raw blob bytes (decoded per caller —
+  // the bitmap class is not thread-safe, so no decoded instance is shared)
+  private val dvCache = lru[(String, Long), Array[Byte]]()
 
   private def norm(path: String): String = path.stripPrefix("file:")
 
@@ -1279,14 +1331,18 @@ private[spark] object DeleteFileCache {
     out
   }
 
-  /** Decode (and cache per-JVM) the V3 deletion vector(s) for one data
-    * file. The blob is read once per (puffin file, offset) per executor;
-    * a well-formed table has one DV per data file — several union. Splits
-    * of the same data file share the cached bitmap, so a 512 MB file read
-    * by 16 tasks decodes its DV once. */
+  /** The V3 deletion vector(s) for one data file. The Puffin BLOB BYTES
+    * are read and cached once per (puffin file, offset) per executor —
+    * splits of a 512 MB file read by 16 tasks hit disk once — but each
+    * caller gets its OWN decoded bitmap: Roaring64NavigableMap is
+    * documented not-thread-safe (even reads can lazily cache), so handing
+    * concurrent reader tasks one shared mutable instance would be a latent
+    * race. Decoding KB–MB of validated roaring bytes per task is memory
+    * copy speed; the expensive parts (I/O, CRC/magic validation) are
+    * amortized by the byte cache. */
   def deletionVector(refs: Seq[DvRef])
       : org.roaringbitmap.longlong.Roaring64NavigableMap = {
-    val bms = refs.map { ref =>
+    val blobs = refs.map { ref =>
       dvCache.synchronized {
         val key = (ref.path, ref.offset)
         val cached = dvCache.get(key)
@@ -1295,12 +1351,12 @@ private[spark] object DeleteFileCache {
           fileReads.incrementAndGet()
           val blob = graft.core.Puffin.readBlob(
             norm(ref.path), ref.offset, ref.length)
-          val bm = graft.core.Puffin.readDvBlob(blob)
-          dvCache.put(key, bm)
-          bm
+          dvCache.put(key, blob)
+          blob
         }
       }
     }
+    val bms = blobs.map(graft.core.Puffin.readDvBlob)
     if (bms.size == 1) bms.head
     else {
       val out = new org.roaringbitmap.longlong.Roaring64NavigableMap(false)

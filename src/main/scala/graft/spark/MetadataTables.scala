@@ -299,6 +299,35 @@ object PartitionsMetadataTable {
   /** Diagnostic: spilled-rollup serves in this JVM (spec hook proving the
     * driver-collect path is gone). */
   val spilledServes = new java.util.concurrent.atomic.AtomicLong()
+
+  // ONE live spill dir per table location, keyed by the snapshot it
+  // reflects: repeat queries at the same snapshot reuse it, and the table
+  // advancing deletes the stale dir — a long-lived session querying
+  // db.t.partitions no longer accumulates unbounded temp parquet
+  // (deleteOnExit alone never fires on non-empty dirs)
+  private val spillDirs = new java.util.concurrent
+    .ConcurrentHashMap[String, (Option[Long], java.io.File)]()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  private[spark] def spillFor(table: IcebergTable)
+                             (build: java.io.File => Unit): java.io.File =
+    synchronized {
+      val snap = table.currentSnapshot.map(_.snapshotId)
+      val cur = spillDirs.get(table.location)
+      if (cur != null && cur._1 == snap && cur._2.isDirectory) cur._2
+      else {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_partitions").toFile
+        build(dir)
+        if (cur != null) deleteRec(cur._2)
+        spillDirs.put(table.location, (snap, dir))
+        dir
+      }
+    }
 }
 
 /** SQL `db.t.partitions`: the rollup runs as a distributed job when the
@@ -322,15 +351,14 @@ final class PartitionsMetadataTable(table: IcebergTable)
       override def description(): String = s"${name()} [spilled rollup]"
       private lazy val spillFiles: Seq[(String, Long)] = {
         val spark = org.apache.spark.sql.SparkSession.active
-        val dir = java.nio.file.Files.createTempDirectory("graft_partitions")
-          .toFile
-        dir.deleteOnExit()
-        MetadataTables.partitionsAgg(spark, table)
-          .write.mode("overwrite").parquet(dir.getPath)
+        val dir = PartitionsMetadataTable.spillFor(table) { d =>
+          MetadataTables.partitionsAgg(spark, table)
+            .write.mode("overwrite").parquet(d.getPath)
+        }
         PartitionsMetadataTable.spilledServes.incrementAndGet()
         Option(dir.listFiles()).getOrElse(Array.empty).toSeq
           .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-          .map { f => f.deleteOnExit(); (f.getPath, f.length()) }
+          .map(f => (f.getPath, f.length()))
           .sortBy(_._1)
       }
       override def planInputPartitions(): Array[InputPartition] =

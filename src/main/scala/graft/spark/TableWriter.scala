@@ -381,11 +381,15 @@ object TableWriter {
                                metaDir: File): IcebergTable = {
     val md = table.metadata
     val partType = table.spec.partitionType(table.schema)
-    val addedEntries = added.map { f =>
+    val addedEntries0 = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
+    // the committed metadata is V3 (DVs force it) even when the loaded
+    // table was not yet — lineage must be assigned under the TARGET version
+    val lineage = assignLineage(md.copy(formatVersion = 3), addedEntries0)
+    val addedEntries = lineage.entries
     val addManifest =
       if (addedEntries.isEmpty) None
       else {
@@ -401,7 +405,8 @@ object TableWriter {
           addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
           existingRowsCount = 0, deletedRowsCount = 0,
           partitions = partitionSummaries(addedEntries, partType),
-          formatVersion = 2))
+          formatVersion = 2,
+          firstRowId = lineage.manifestFirstRowId))
       }
 
     val dvEntries = dvFiles.map(info => ManifestEntry(
@@ -444,7 +449,8 @@ object TableWriter {
         "added-delete-files" -> dvEntries.size.toString,
         "added-position-deletes" -> dvFiles.map(_.recordCount).sum.toString,
         "deletion-vectors-added" -> dvEntries.size.toString) ++ extraSummary)),
-      Some(table.schema.schemaId))
+      Some(table.schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
     writeMetadata(table.location, md.copy(
       formatVersion = 3, // DVs are a V3 construct; metadata serializes V3
       lastSequenceNumber = seq, lastUpdatedMs = now,
@@ -452,7 +458,8 @@ object TableWriter {
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
       refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), version)
+        SnapshotRef(snapId, BranchRef)),
+      nextRowId = lineage.nextRowId), version)
     IcebergTables.load(table.location)
   }
 
@@ -726,11 +733,13 @@ object TableWriter {
     })
     val partType = table.spec.partitionType(table.schema)
 
-    val addedEntries = added.map { f =>
+    val addedEntries0 = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
+    val lineage = assignLineage(md, addedEntries0)
+    val addedEntries = lineage.entries
     val addManifest =
       if (addedEntries.isEmpty) None
       else {
@@ -746,7 +755,8 @@ object TableWriter {
           addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
           existingRowsCount = 0, deletedRowsCount = 0,
           partitions = partitionSummaries(addedEntries, partType),
-          formatVersion = 2))
+          formatVersion = 2,
+          firstRowId = lineage.manifestFirstRowId))
       }
 
     val delInfos = posDeleteFiles.map { p =>
@@ -784,9 +794,11 @@ object TableWriter {
         "added-data-files" -> addedEntries.size.toString,
         "added-delete-files" -> delInfos.size.toString,
         "added-position-deletes" -> delInfos.map(_.recordCount).sum.toString))),
-      Some(table.schema.schemaId))
+      Some(table.schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
     writeMetadata(location, md.copy(
       lastSequenceNumber = seq, lastUpdatedMs = now,
+      nextRowId = lineage.nextRowId,
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
@@ -853,7 +865,8 @@ object TableWriter {
       snapshotLog = md.snapshotLog :+
         SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
       refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapshot.snapshotId, BranchRef))),
+        SnapshotRef(snapshot.snapshotId, BranchRef)),
+      nextRowId = nextRowIdAfter(md, snapshot)),
       table.loadedVersion + 1)
     IcebergTables.load(location)
   }
@@ -883,6 +896,36 @@ object TableWriter {
       Seq(graft.catalog.AddSnapshot(snapshot),
         graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
           snapshot.snapshotId)))
+  }
+
+  /** Per-commit V3 row-lineage assignment (spec v3 "Row Lineage"): ADDED
+    * data-file entries take `first_row_id` sequentially from the table's
+    * `next-row-id`; the snapshot records the base; `next-row-id` advances
+    * past every added row. Identity below V3. Rewrites (compaction/CoW)
+    * also take FRESH ids — the spec's id-preserving rewrite (materializing
+    * a `_row_id` column into the new files) is not implemented, which is
+    * the conservative direction for incremental consumers: rewritten rows
+    * reappear as new instead of silently carrying wrong lineage. */
+  private[spark] final case class Lineage(entries: Seq[ManifestEntry],
+                                          manifestFirstRowId: Option[Long],
+                                          snapshotFirstRowId: Option[Long],
+                                          nextRowId: Option[Long])
+
+  private[spark] def assignLineage(md: TableMetadata,
+                                   entries: Seq[ManifestEntry]): Lineage = {
+    if (md.formatVersion < 3) return Lineage(entries, None, None, md.nextRowId)
+    val base = md.nextRowId.getOrElse(0L)
+    var cursor = base
+    val stamped = entries.map { e =>
+      if (e.dataFile.content == DataFileContent.Data &&
+          e.status == ManifestEntryStatus.Added && e.dataFile.firstRowId.isEmpty) {
+        val r = e.copy(dataFile = e.dataFile.copy(firstRowId = Some(cursor)))
+        cursor += e.dataFile.recordCount
+        r
+      } else e
+    }
+    Lineage(stamped, if (cursor > base) Some(base) else None,
+      Some(base), Some(cursor))
   }
 
   /** Manifests whose entries are all DELETED carry no live files — they
@@ -966,11 +1009,13 @@ object TableWriter {
         formatVersion = 2)
     }
 
-    val addedEntries = added.map { f =>
+    val addedEntries0 = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
+    val lineage = assignLineage(md, addedEntries0)
+    val addedEntries = lineage.entries
     val addManifest =
       if (addedEntries.isEmpty) None
       else {
@@ -986,7 +1031,8 @@ object TableWriter {
           addedRowsCount = addedEntries.map(_.dataFile.recordCount).sum,
           existingRowsCount = 0, deletedRowsCount = 0,
           partitions = partitionSummaries(addedEntries, partType),
-          formatVersion = 2))
+          formatVersion = 2,
+          firstRowId = lineage.manifestFirstRowId))
       }
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
@@ -996,8 +1042,11 @@ object TableWriter {
       System.currentTimeMillis(), listFile.getPath,
       Some(SnapshotSummary(OpOverwrite,
         Map("replaced-data-files" -> removedPaths.size.toString,
-          "added-data-files" -> addedEntries.size.toString))),
-      Some(table.schema.schemaId))
+          "added-data-files" -> addedEntries.size.toString,
+          "added-records" ->
+            addedEntries.map(_.dataFile.recordCount).sum.toString))),
+      Some(table.schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
   }
 
   /** Compaction: rewrite the current snapshot's live rows (MoR deletes
@@ -1741,11 +1790,13 @@ object TableWriter {
     val snapId = System.nanoTime()
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val partType = table.spec.partitionType(table.schema)
-    val entries = added.sortBy(_.path).map { f =>
+    val entries0 = added.sortBy(_.path).map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
+    val lineage = assignLineage(table.metadata, entries0)
+    val entries = lineage.entries
     val mf = new File(metaDir, s"manifest-$snapId.avro")
     ManifestIO.writeManifest(mf, entries, partType)
     val newManifest = ManifestFile(
@@ -1755,7 +1806,8 @@ object TableWriter {
       addedFilesCount = entries.size, existingFilesCount = 0, deletedFilesCount = 0,
       addedRowsCount = entries.map(_.dataFile.recordCount).sum,
       existingRowsCount = 0, deletedRowsCount = 0,
-      partitions = partitionSummaries(entries, partType), formatVersion = 2)
+      partitions = partitionSummaries(entries, partType), formatVersion = 2,
+      firstRowId = lineage.manifestFirstRowId)
     val parent = parentOverride.orElse(table.currentSnapshot)
     val prevManifests = liveManifests(parent.toSeq.flatMap { s =>
       ManifestIO.readManifestList(table.io.open(s.manifestList))
@@ -1770,8 +1822,19 @@ object TableWriter {
           // without touching manifests
           "added-files-size" -> entries.map(_.dataFile.fileSizeInBytes).sum.toString)
           ++ extraSummary)),
-      Some(table.schema.schemaId))
+      Some(table.schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
   }
+
+  /** The table's next-row-id after `snapshot` commits: its first-row-id
+    * advanced by the rows it added (from the staged summary). Unchanged
+    * below V3. */
+  private def nextRowIdAfter(md: TableMetadata, snapshot: Snapshot): Option[Long] =
+    snapshot.firstRowId match {
+      case Some(base) => Some(base + snapshot.summary
+        .flatMap(_.properties.get("added-records")).map(_.toLong).getOrElse(0L))
+      case None => md.nextRowId
+    }
 
   /** Append an APPEND snapshot from already-written data files (the
     * streaming sink's per-epoch commit) to a local-FS CAS table. */
@@ -1788,7 +1851,8 @@ object TableWriter {
       snapshotLog = md.snapshotLog :+
         SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
       refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapshot.snapshotId, BranchRef))),
+        SnapshotRef(snapshot.snapshotId, BranchRef)),
+      nextRowId = nextRowIdAfter(md, snapshot)),
       table.loadedVersion + 1)
     IcebergTables.load(location)
   }
@@ -1820,7 +1884,8 @@ object TableWriter {
       lastUpdatedMs = snapshot.timestampMs,
       snapshots = md.snapshots :+ snapshot,
       // current snapshot, snapshot log, and main are all UNPUBLISHED state
-      refs = md.refs + (branch -> SnapshotRef(snapshot.snapshotId, BranchRef))),
+      refs = md.refs + (branch -> SnapshotRef(snapshot.snapshotId, BranchRef)),
+      nextRowId = nextRowIdAfter(md, snapshot)),
       table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
@@ -2235,8 +2300,18 @@ object TableWriter {
         Some(sequenceNumber), info)
     }
 
+    val prevMeta: Option[TableMetadata] =
+      if (version == 1) None
+      else Some(IcebergTables.load(location).metadata)
+    // V3 row lineage: stamp first_row_id onto the added files before the
+    // manifest is written; below V3 this is the identity
+    val lineage = prevMeta match {
+      case Some(m) => assignLineage(m, entries)
+      case None => Lineage(entries, None, None, None)
+    }
+
     val manifestFile = new File(metaDir, s"manifest-$snapId.avro")
-    ManifestIO.writeManifest(manifestFile, entries, partType)
+    ManifestIO.writeManifest(manifestFile, lineage.entries, partType)
     val newManifest = ManifestFile(
       path = manifestFile.getPath, length = manifestFile.length(),
       partitionSpecId = spec.specId, content = 0,
@@ -2246,7 +2321,8 @@ object TableWriter {
       addedRowsCount = entries.map(_.dataFile.recordCount).sum,
       existingRowsCount = 0, deletedRowsCount = 0,
       partitions = partitionSummaries(entries, partType),
-      formatVersion = 2)
+      formatVersion = 2,
+      firstRowId = lineage.manifestFirstRowId)
 
     // REPLACE/OVERWRITE (no carried manifests but a parent exists): record
     // the parent's live files as DELETED-status entries, per the Iceberg
@@ -2299,11 +2375,8 @@ object TableWriter {
       now, listFile.getPath, Some(SnapshotSummary(op,
         Map("added-data-files" -> entries.size.toString,
           "added-records" -> entries.map(_.dataFile.recordCount).sum.toString))),
-      Some(schema.schemaId))
-
-    val prevMeta: Option[TableMetadata] =
-      if (version == 1) None
-      else Some(IcebergTables.load(location).metadata)
+      Some(schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
 
     val md = TableMetadata(
       // a table that moved to V3 (deletion vectors) must STAY V3 — its
@@ -2339,7 +2412,8 @@ object TableWriter {
       defaultSortOrderId = sortOrder.orderId,
       // carry existing branches/tags forward; only main advances
       refs = prevMeta.map(_.refs).getOrElse(Map.empty) +
-        (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)))
+        (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)),
+      nextRowId = lineage.nextRowId)
     writeMetadata(location, md, version)
     IcebergTables.load(location)
   }
