@@ -170,7 +170,10 @@ object TableMetadata {
       sortOrders = sortOrders,
       defaultSortOrderId = defaultSortOrderId,
       refs = refs,
-      nextRowId = optLong("next-row-id"))
+      nextRowId = optLong("next-row-id"),
+      statisticsJson = Option(root.get("statistics")).map(_.toString),
+      partitionStatisticsJson =
+        Option(root.get("partition-statistics")).map(_.toString))
     md.validate()
     md
   }
@@ -224,7 +227,14 @@ final case class TableMetadata(
     refs: Map[String, SnapshotRef],
     // V3 row lineage: the next _row_id to assign (spec: required in v3
     // metadata; this engine emits it for every V3 table it writes)
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    // `statistics` / `partition-statistics` (Puffin stats files written by
+    // other engines): carried VERBATIM as raw JSON so a commit by this
+    // engine never silently drops another engine's table statistics. The
+    // sketch blobs themselves (e.g. apache-datasketches-theta-v1) are not
+    // read — preserved, not interpreted.
+    statisticsJson: Option[String] = None,
+    partitionStatisticsJson: Option[String] = None) {
 
   def currentSchema: Schema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(
@@ -366,6 +376,12 @@ final case class TableMetadata(
       gen.writeEndObject()
     }
     gen.writeEndArray()
+    statisticsJson.foreach { raw =>
+      gen.writeFieldName("statistics"); gen.writeRawValue(raw)
+    }
+    partitionStatisticsJson.foreach { raw =>
+      gen.writeFieldName("partition-statistics"); gen.writeRawValue(raw)
+    }
     gen.writeObjectFieldStart("refs")
     refs.foreach { case (name, r) =>
       gen.writeObjectFieldStart(name)

@@ -85,7 +85,10 @@ object Puffin {
     val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
     val combined = buf.getInt
     require(combined == blob.length - 8,
-      s"deletion-vector length prefix $combined does not match blob size ${blob.length}")
+      s"deletion-vector length prefix $combined does not match blob size " +
+        s"${blob.length} — not a deletion-vector-v1 blob (other Puffin blob " +
+        "types, e.g. apache-datasketches-theta-v1 sketches, are preserved " +
+        "in table metadata but are not readable as deletion vectors)")
     val magic = new Array[Byte](4); buf.get(magic)
     require(java.util.Arrays.equals(magic, DvMagic),
       s"bad deletion-vector magic: ${magic.map(b => f"$b%02x").mkString(" ")}")

@@ -247,8 +247,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // joined-then-resplit string would mis-nest a literal dotted name)
     changes.foreach {
       case a: TableChange.AddColumn =>
+        val icType = primitiveIceType(a.dataType())
+        // `ADD COLUMN ... DEFAULT <literal>` (V3): the literal becomes
+        // BOTH defaults — pre-existing files read it (initial-default)
+        // and writers that omit the column fill it (write-default),
+        // matching the DDL's user-visible meaning
+        val dflt = Option(a.defaultValue()).map { dv =>
+          SchemaConv.literalFromCatalyst(icType, dv.getValue.value())
+        }
         t = TableWriter.addColumnAt(t, a.fieldNames().toIndexedSeq,
-          primitiveIceType(a.dataType()), Option(a.comment()))
+          icType, Option(a.comment()),
+          initialDefault = dflt, writeDefault = dflt)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT → new write-default; DROP DEFAULT → none. The
+        // initial-default is immutable per the V3 spec. Only literal
+        // defaults store (Iceberg defaults are values, not expressions).
+        val path = u.fieldNames().toIndexedSeq
+        val icType = TableWriter.resolveFieldType(t, path)
+        val next = Option(u.newCurrentDefault()).flatMap { dv =>
+          dv.getExpression match {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              Some(SchemaConv.literalFromCatalyst(icType, l.value()))
+            case other => throw new UnsupportedOperationException(
+              s"only literal column defaults are supported, got: $other " +
+                s"(sql: ${dv.getSql})")
+          }
+        }
+        t = TableWriter.updateColumnDefaultAt(t, path, next)
       case r: TableChange.RenameColumn =>
         t = TableWriter.renameColumnAt(t, r.fieldNames().toIndexedSeq, r.newName())
       case d: TableChange.DeleteColumn =>

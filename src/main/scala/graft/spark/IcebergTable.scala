@@ -138,7 +138,18 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     * added/removed paths from manifests, then read just those files with
     * full MoR semantics at this scan's snapshot). */
   private[graft] def toDF(spark: SparkSession, keepProvenance: Boolean,
-                          pathFilter: Option[Set[String]]): DataFrame = {
+                          pathFilter: Option[Set[String]]): DataFrame =
+    toDF(spark, keepProvenance, pathFilter, keepLineage = false)
+
+  /** `keepLineage = true` adds the V3 row-lineage columns `_row_id`
+    * (file first_row_id + position; null for pre-lineage files) and
+    * `_last_updated_sequence_number` — the library-path twin of the DSv2
+    * metadata columns, derived by one broadcast join against the O(files)
+    * lineage map the planner already holds. */
+  private[graft] def toDF(spark: SparkSession, keepProvenance: Boolean,
+                          pathFilter: Option[Set[String]],
+                          keepLineage: Boolean): DataFrame = {
+    val needProvOut = keepProvenance || keepLineage
     val tasks = planFiles()
       .filter(t => pathFilter.forall(_.contains(t.file.path)))
     val sparkSchema = SchemaConv.toSparkSchema(snapshotSchema)
@@ -149,6 +160,13 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
           org.apache.spark.sql.types.StructField("__path",
             org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType))
+      if (keepLineage) empty = org.apache.spark.sql.types.StructType(
+        empty.fields :+
+          org.apache.spark.sql.types.StructField("_row_id",
+            org.apache.spark.sql.types.LongType) :+
+          org.apache.spark.sql.types.StructField(
+            "_last_updated_sequence_number",
             org.apache.spark.sql.types.LongType))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
@@ -270,7 +288,7 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     }
 
     def readGroup(groupTasks: Seq[FileScanTask], eqPaths: Seq[String]) = {
-      val needProv = posDeletePaths.nonEmpty || dvRefs.nonEmpty || keepProvenance
+      val needProv = posDeletePaths.nonEmpty || dvRefs.nonEmpty || needProvOut
       var gdf = readByFooter(groupTasks.map(_.file), needProv)
       if (posDeletePaths.nonEmpty) {
         // merge-on-read: anti-join on (file, row position)
@@ -299,7 +317,7 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
           .join(dvTombstones, col("__path") === col("__dv_path") &&
             col("__pos") === col("__dv_pos"), "left_anti")
       }
-      if (needProv && !keepProvenance) gdf = gdf.drop("__path", "__pos")
+      if (needProv && !needProvOut) gdf = gdf.drop("__path", "__pos")
       // equality deletes for THIS group, one anti-join per column set; the
       // delete side is deduplicated key tuples, typically tiny → broadcast
       val eqFiles = groupTasks.headOption.toSeq.flatMap(_.deleteFiles
@@ -332,6 +350,20 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       .map { case (eqPaths, ts) => readGroup(ts, eqPaths) }
       .reduce(_.unionAll(_))
 
+    if (keepLineage) {
+      // V3 row lineage on the library path: one broadcast join against the
+      // O(files) (path -> first_row_id, data seq) map the planner holds
+      import spark.implicits._
+      val lookup = tasks.map(t => (normS(t.file.path),
+          t.file.firstRowId, t.dataSequenceNumber))
+        .toDF("__l_path", "__l_first", "__l_seq")
+      df = df.join(org.apache.spark.sql.functions.broadcast(lookup),
+          col("__path") === col("__l_path"), "left")
+        .withColumn("_row_id", col("__l_first") + col("__pos"))
+        .withColumn("_last_updated_sequence_number", col("__l_seq"))
+        .drop("__l_path", "__l_first", "__l_seq")
+      if (!keepProvenance) df = df.drop("__path", "__pos")
+    }
     if (filter != AlwaysTrue) df = df.filter(FilterConv.toColumn(filter))
     if (selected.nonEmpty && !selected.contains("*"))
       df = df.select(selected.map(col): _*)

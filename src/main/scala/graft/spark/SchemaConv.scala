@@ -80,6 +80,35 @@ object SchemaConv {
   def writeDefaultOf(f: StructField): Option[(IcebergType, Literal)] =
     fieldDefault(f, WriteDefaultKey)
 
+  /** Catalyst internal value → Iceberg literal, typed by the target field
+    * (the DDL path: `ADD COLUMN ... DEFAULT <literal>`). */
+  def literalFromCatalyst(icType: IcebergType, value: Any): Literal =
+    (icType, value) match {
+      case (_, null) => throw new IllegalArgumentException(
+        "NULL is not a storable column default (omit DEFAULT instead)")
+      case (BooleanT, b: java.lang.Boolean) => BoolLit(b)
+      case (IntT, i: java.lang.Integer) => IntLit(i)
+      case (LongT, l: java.lang.Long) => LongLit(l)
+      case (LongT, i: java.lang.Integer) => LongLit(i.longValue())
+      case (FloatT, f: java.lang.Float) => FloatLit(f)
+      case (DoubleT, d: java.lang.Double) => DoubleLit(d)
+      case (StringT, s: org.apache.spark.unsafe.types.UTF8String) =>
+        StrLit(s.toString)
+      case (StringT, s: String) => StrLit(s)
+      case (DateT, days: java.lang.Integer) => DateLit(days)
+      case (TimeT, us: java.lang.Long) => TimeLit(us)
+      case (TimestampT | TimestampTzT, us: java.lang.Long) => TsLit(us)
+      case (DecimalT(_, sc), d: org.apache.spark.sql.types.Decimal) =>
+        val bd = d.toJavaBigDecimal.setScale(sc)
+        DecLit(BigInt(bd.unscaledValue()), sc)
+      case (BinaryT, b: Array[Byte]) => BytesLit(b)
+      case (FixedT(_), b: Array[Byte]) => FixedLit(b)
+      case (UuidT, s: org.apache.spark.unsafe.types.UTF8String) =>
+        UuidLit(java.util.UUID.fromString(s.toString))
+      case (t, v) => throw new IllegalArgumentException(
+        s"cannot use ${v.getClass.getName} as a ${t.repr} column default")
+    }
+
   /** A default literal as Spark SQL expression text (the form Spark's
     * CURRENT_DEFAULT column metadata expects). */
   def sqlLiteral(typ: IcebergType, lit: Literal): String = lit match {

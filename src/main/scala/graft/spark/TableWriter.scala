@@ -1396,6 +1396,43 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Resolve a column path to its Iceberg type (DDL plumbing). */
+  def resolveFieldType(table: IcebergTable,
+                       path: Seq[String]): graft.core.IcebergType =
+    resolveField(table.metadata.currentSchema.struct, path, "ALTER COLUMN")
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '${path.mkString(".")}' not found")).fieldType
+
+  /** ALTER COLUMN SET/DROP DEFAULT: changes only the `write-default` —
+    * per the V3 spec, `initial-default` is immutable once set (it defines
+    * what pre-existing files read and must never drift). V3-only. */
+  def updateColumnDefaultAt(table: IcebergTable, path: Seq[String],
+                            writeDefault: Option[graft.core.Literal])
+      : IcebergTable = {
+    val md = table.metadata
+    require(md.formatVersion >= 3 || writeDefault.isEmpty,
+      s"column defaults require format-version 3 (table is V${md.formatVersion})")
+    val name = path.mkString(".")
+    val f = resolveField(md.currentSchema.struct, path, "ALTER COLUMN DEFAULT")
+      .getOrElse(throw new IllegalArgumentException(s"column '$name' not found"))
+    require(writeDefault.isEmpty || f.fieldType.isPrimitive,
+      s"default values for nested types are not supported: ${f.fieldType.repr}")
+    val (parent, leaf) = (path.init, path.last)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
+        "ALTER COLUMN DEFAULT") { s =>
+      s.copy(fields = s.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) x.copy(writeDefault = writeDefault)
+        else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
   def updateProperties(table: IcebergTable, set: Map[String, String],
                        unset: Seq[String] = Nil): IcebergTable = {
@@ -2413,7 +2450,10 @@ object TableWriter {
       // carry existing branches/tags forward; only main advances
       refs = prevMeta.map(_.refs).getOrElse(Map.empty) +
         (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)),
-      nextRowId = lineage.nextRowId)
+      nextRowId = lineage.nextRowId,
+      // foreign-engine statistics files ride through untouched
+      statisticsJson = prevMeta.flatMap(_.statisticsJson),
+      partitionStatisticsJson = prevMeta.flatMap(_.partitionStatisticsJson))
     writeMetadata(location, md, version)
     IcebergTables.load(location)
   }

@@ -109,7 +109,8 @@ object Changelog {
   def changelogDF(spark: SparkSession, table: IcebergTable,
                   fromSnapshotId: Option[Long],
                   toSnapshotId: Option[Long] = None,
-                  removeCarryovers: Boolean = true): DataFrame = {
+                  removeCarryovers: Boolean = true,
+                  includeRowLineage: Boolean = false): DataFrame = {
     val md = table.metadata
     def seqOf(id: Long): Long = md.snapshotById(id).getOrElse(
       throw new IllegalArgumentException(
@@ -119,7 +120,14 @@ object Changelog {
       .orElse(md.currentSnapshot.map(_.sequenceNumber)).getOrElse(0L)
 
     val norm = (c: Column) => regexp_replace(c, "^file:(//)?", "")
-    val outCols = graft.spark.SchemaConv.toSparkSchema(table.schema).fieldNames
+    // With row lineage on, `_row_id` identifies rows across commits (V3
+    // tables only; null for pre-lineage files). Carryover cancel then
+    // matches on the FULL row incl. _row_id: MoR commits preserve ids so
+    // pairs cancel exactly; CoW rewrites reassign ids (this engine's
+    // documented fresh-id model), so rewritten rows surface as
+    // delete(old id) + insert(new id) — truthful under that model.
+    val outCols = graft.spark.SchemaConv.toSparkSchema(table.schema).fieldNames ++
+      (if (includeRowLineage) Seq("_row_id") else Nil)
 
     def stamp(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
       df.withColumn("_change_type", lit(tpe))
@@ -134,18 +142,21 @@ object Changelog {
       val del = Seq.newBuilder[DataFrame]
       if (c.addedPaths.nonEmpty)
         ins += project(table.newScan(snapshotId = Some(s.snapshotId))
-          .toDF(spark, keepProvenance = false, pathFilter = Some(c.addedPaths)))
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.addedPaths),
+            keepLineage = includeRowLineage))
       val parent = s.parentSnapshotId
       if (c.removedPaths.nonEmpty) {
         // removed files read at the PARENT snapshot so tombstones that
         // already applied there don't resurface as deletes here
         require(parent.isDefined, "removed files in a parentless snapshot")
         del += project(table.newScan(snapshotId = parent)
-          .toDF(spark, keepProvenance = false, pathFilter = Some(c.removedPaths)))
+          .toDF(spark, keepProvenance = false, pathFilter = Some(c.removedPaths),
+            keepLineage = includeRowLineage))
       }
       if (c.posDeletePaths.nonEmpty && parent.isDefined) {
         val parentRows = table.newScan(snapshotId = parent)
-          .toDF(spark, keepProvenance = true)
+          .toDF(spark, keepProvenance = true, pathFilter = None,
+            keepLineage = includeRowLineage)
         val tombstones = spark.read.parquet(c.posDeletePaths: _*)
           .select(norm(col("file_path")).as("__del_path"),
             col("pos").as("__del_pos"))
@@ -172,7 +183,8 @@ object Changelog {
             out.result()
           }.toDF("__dv_path", "__dv_pos")
         val parentRows = table.newScan(snapshotId = parent)
-          .toDF(spark, keepProvenance = true)
+          .toDF(spark, keepProvenance = true, pathFilter = None,
+            keepLineage = includeRowLineage)
         del += project(parentRows.join(tombstones,
           col("__path") === col("__dv_path") &&
             col("__pos") === col("__dv_pos"), "left_semi"))
@@ -184,7 +196,9 @@ object Changelog {
             s"equality ids $eqIds not resolvable in current schema")
           val keys = spark.read.parquet(files.map(_._2).distinct: _*)
             .select(keyCols.map(col).toIndexedSeq: _*).distinct()
-          val parentRows = table.newScan(snapshotId = parent).toDF(spark)
+          val parentRows = table.newScan(snapshotId = parent)
+            .toDF(spark, keepProvenance = false, pathFilter = None,
+              keepLineage = includeRowLineage)
           del += project(parentRows.join(broadcast(keys), keyCols, "left_semi"))
         }
       }
@@ -203,7 +217,11 @@ object Changelog {
 
     if (pieces.isEmpty) {
       val empty = org.apache.spark.sql.types.StructType(
-        graft.spark.SchemaConv.toSparkSchema(table.schema).fields ++ Seq(
+        graft.spark.SchemaConv.toSparkSchema(table.schema).fields ++
+        (if (includeRowLineage)
+           Seq(org.apache.spark.sql.types.StructField("_row_id",
+             org.apache.spark.sql.types.LongType))
+         else Nil) ++ Seq(
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_snapshot_id",

@@ -168,6 +168,57 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     assert(r.getString(0) == "direct" && r.getInt(1) == 0, r.toString)
   }
 
+  test("SQL DDL: ADD COLUMN DEFAULT and ALTER COLUMN SET/DROP DEFAULT") {
+    val wh = Files.createTempDirectory("defaults_ddl").toFile.getPath
+    spark.conf.set("spark.sql.catalog.gddl", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gddl.warehouse", wh)
+    spark.sql("CREATE TABLE gddl.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gddl.db.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gddl.db.t SET TBLPROPERTIES ('format-version' = '3')")
+    spark.sql("ALTER TABLE gddl.db.t ADD COLUMN tier STRING DEFAULT 'free'")
+    // the pre-existing row reads the initial-default
+    assert(spark.sql("SELECT tier FROM gddl.db.t WHERE id = 1")
+      .collect()(0).getString(0) == "free")
+    // an INSERT omitting the column gets the write-default
+    spark.sql("INSERT INTO gddl.db.t (id, v) VALUES (2, 'b')")
+    assert(spark.sql("SELECT tier FROM gddl.db.t WHERE id = 2")
+      .collect()(0).getString(0) == "free")
+    // SET DEFAULT changes only what NEW writes fill
+    spark.sql("ALTER TABLE gddl.db.t ALTER COLUMN tier SET DEFAULT 'paid'")
+    spark.sql("INSERT INTO gddl.db.t (id, v) VALUES (3, 'c')")
+    val tiers = spark.sql("SELECT id, tier FROM gddl.db.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tiers == Set((1L, "free"), (2L, "free"), (3L, "paid")), tiers)
+    // DROP DEFAULT → later omitted writes are null
+    spark.sql("ALTER TABLE gddl.db.t ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO gddl.db.t (id, v) VALUES (4, 'd')")
+    assert(spark.sql("SELECT tier FROM gddl.db.t WHERE id = 4")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("foreign statistics files survive this engine's commits") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("stats_rt").toFile.getPath
+    val t = TableWriter.create(Seq((1L, "a")).toDF("id", "v"), loc)
+    // splice a `statistics` entry (as another engine would have written)
+    val mdFile = new java.io.File(s"$loc/metadata")
+      .listFiles().filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val json = new String(java.nio.file.Files.readAllBytes(mdFile.toPath))
+    val stats = """"statistics":[{"snapshot-id":1,"statistics-path":"s.puffin",""" +
+      """"file-size-in-bytes":10,"file-footer-size-in-bytes":5,""" +
+      """"blob-metadata":[{"type":"apache-datasketches-theta-v1",""" +
+      """"snapshot-id":1,"sequence-number":1,"fields":[1]}]}],"""
+    java.nio.file.Files.writeString(mdFile.toPath,
+      json.replaceFirst("\\{", "{" + stats))
+    // a commit by THIS engine must carry the foreign stats through
+    val t2 = TableWriter.append(IcebergTables.load(loc), Seq((2L, "b")).toDF("id", "v"))
+    assert(t2.metadata.statisticsJson.exists(
+      _.contains("apache-datasketches-theta-v1")), t2.metadata.statisticsJson)
+    val reparsed = graft.core.TableMetadata.parse(t2.metadata.toJson)
+    assert(reparsed.statisticsJson.exists(_.contains("s.puffin")))
+  }
+
   test("defaults require V3; required-without-default refused on data") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,31 @@ class RowLineageSpec extends AnyFunSuite {
     assert(rows == Set((1L, -1L), (2L, 0L)), rows)
   }
 
+  test("changelog carries _row_id for inserts and deletes") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("lineage_cdc").toFile.getPath
+    var t = v3Table(loc)
+    t = TableWriter.append(t, Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1).sortWithinPartitions("id"))
+    t = TableWriter.deleteWhereDv(t, s, col("id") === 2L)
+    val log = graft.streaming.Changelog.changelogDF(s, t,
+      fromSnapshotId = None, includeRowLineage = true)
+    val rows = log.select("id", "_row_id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // inserts at commit 1 carry assigned ids; the DV delete names the SAME
+    // id the row was born with — the stable identity incremental
+    // consumers key on
+    assert(rows == Set((1L, 0L, "insert"), (2L, 1L, "insert"),
+      (3L, 2L, "insert"), (2L, 1L, "delete")), rows)
+    // library read path serves the same columns
+    val live = t.newScan().toDF(s, keepProvenance = false, pathFilter = None,
+        keepLineage = true)
+      .select("id", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == Set((1L, 0L), (3L, 2L)), live)
+  }
+
   test("manifest-level first_row_id inherits into null data-file entries") {
     val dir = Files.createTempDirectory("lineage_inherit").toFile
     val mk = (path: String, rows: Long) => ManifestEntry(
