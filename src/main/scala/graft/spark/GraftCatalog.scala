@@ -281,6 +281,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         t = TableWriter.updateColumnTypeAt(t, u.fieldNames().toIndexedSeq,
           primitiveIceType(u.newDataType()))
+      case c: TableChange.UpdateColumnComment =>
+        t = TableWriter.updateColumnCommentAt(t, c.fieldNames().toIndexedSeq,
+          Option(c.newComment()).filter(_.nonEmpty))
+      case n: TableChange.UpdateColumnNullability =>
+        t = TableWriter.updateColumnNullabilityAt(t,
+          n.fieldNames().toIndexedSeq, n.nullable())
       // `format-version` is not a free-form property: it drives the
       // metadata's format-version field, and an upgrade to 3 re-homes
       // live positional tombstones into deletion vectors (Iceberg's own

@@ -1403,6 +1403,60 @@ object TableWriter {
       .getOrElse(throw new IllegalArgumentException(
         s"column '${path.mkString(".")}' not found")).fieldType
 
+  /** ALTER COLUMN COMMENT: metadata-only doc update (new schema version,
+    * same field ids). */
+  def updateColumnCommentAt(table: IcebergTable, path: Seq[String],
+                            comment: Option[String]): IcebergTable = {
+    val md = table.metadata
+    val f = resolveField(md.currentSchema.struct, path, "ALTER COLUMN COMMENT")
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '${path.mkString(".")}' not found"))
+    val (parent, leaf) = (path.init, path.last)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
+        "ALTER COLUMN COMMENT") { s =>
+      s.copy(fields = s.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) x.copy(doc = comment) else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** ALTER COLUMN DROP NOT NULL (required → optional — always legal per
+    * the Iceberg spec). The WIDENING direction (optional → required) is
+    * refused: proving no nulls exist takes a data scan, and a wrong
+    * promise turns every subsequent read into undefined behavior. */
+  def updateColumnNullabilityAt(table: IcebergTable, path: Seq[String],
+                                nullable: Boolean): IcebergTable = {
+    val md = table.metadata
+    val f = resolveField(md.currentSchema.struct, path, "ALTER COLUMN NULL")
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '${path.mkString(".")}' not found"))
+    if (!nullable && !f.required)
+      throw new UnsupportedOperationException(
+        s"cannot make optional column '${path.mkString(".")}' required: " +
+          "existing data may hold nulls (Iceberg only allows " +
+          "required -> optional)")
+    if (f.required == !nullable) return table
+    val (parent, leaf) = (path.init, path.last)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
+        "ALTER COLUMN NULL") { s =>
+      s.copy(fields = s.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) x.copy(required = !nullable) else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** ALTER COLUMN SET/DROP DEFAULT: changes only the `write-default` —
     * per the V3 spec, `initial-default` is immutable once set (it defines
     * what pre-existing files read and must never drift). V3-only. */

@@ -331,6 +331,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq(None, None, Some("new3")))
   }
 
+  test("ALTER COLUMN COMMENT and DROP NOT NULL; optional→required refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
+    spark.sql("CREATE TABLE graft.db21.c (id BIGINT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE graft.db21.c ALTER COLUMN v COMMENT 'the value'")
+    val t1 = IcebergTables.load(s"$warehouse/db21/c")
+    assert(t1.schema.findFieldByName("v").get.doc.contains("the value"))
+    // required -> optional is legal
+    spark.sql("ALTER TABLE graft.db21.c ALTER COLUMN id DROP NOT NULL")
+    val t2 = IcebergTables.load(s"$warehouse/db21/c")
+    assert(!t2.schema.findFieldByName("id").get.required)
+    // widening back is refused — Spark's analyzer catches it before the
+    // catalog; the catalog-level guard covers library callers
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db21.c ALTER COLUMN id SET NOT NULL"))
+    assert(e.getMessage.contains("non-nullable"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      TableWriter.updateColumnNullabilityAt(
+        IcebergTables.load(s"$warehouse/db21/c"), Seq("id"), nullable = false))
+    assert(e2.getMessage.contains("required"), e2.getMessage)
+  }
+
   test("ALTER COLUMN TYPE: int→long / float→double over existing files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db15")
     spark.sql("CREATE TABLE graft.db15.w (id INT, score FLOAT)")
