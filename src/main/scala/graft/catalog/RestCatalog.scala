@@ -347,6 +347,7 @@ final class RestCatalog(val name: String, uri: String,
           sum.properties.foreach { case (k, v) => so.put(k, v) }
         }
         s.schemaId.foreach(id => sn.put("schema-id", id))
+        s.firstRowId.foreach(v => sn.put("first-row-id", v))
       case SetSnapshotRef(refName, snapId, refType) =>
         val u = ups.addObject()
         u.put("action", "set-snapshot-ref")

@@ -33,9 +33,13 @@ object DistributedPlanner {
     val props = table.properties
     (metadata, schema, rowFilter, caseSensitive, manifests) => {
       val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
-      val threshold = props.get(ThresholdProp).map(_.toInt)
+      def intOf(src: String, v: String): Int = v.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$src must be an integer, got '$v'"))
+      val threshold = props.get(ThresholdProp)
+        .map(intOf(ThresholdProp, _))
         .orElse(sparkOpt.flatMap(s =>
-          Option(s.conf.get(ThresholdConf, null)).map(_.toInt)))
+          Option(s.conf.get(ThresholdConf, null)).map(intOf(ThresholdConf, _))))
         .getOrElse(DefaultThreshold)
       if (sparkOpt.isEmpty || manifests.size < math.max(1, threshold)) None
       else {

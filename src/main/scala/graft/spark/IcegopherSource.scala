@@ -340,15 +340,10 @@ final class GraftSparkTable(table: IcebergTable,
       return data
     val dataNames = data.schema.fieldNames.toSet
     if (dataNames.subsetOf(target.fieldNames.toSet))
-      data.select(target.fields.toIndexedSeq.map { f =>
-        if (dataNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else SchemaConv.writeDefaultOf(f) match {
-          // V3 write-default: a writer that omits the column writes the
-          // declared default, not null
-          case Some((typ, l)) => SchemaConv.literalColumn(typ, l).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }: _*)
+      // shared fill: absent columns take their V3 write-default (or null),
+      // present ones reorder + cast — one implementation for every write
+      // surface (TableWriter.alignForWrite)
+      TableWriter.alignForWrite(data, current.schema)
     else if (data.schema.length == target.length)
       data.select(target.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
         col(data.schema.fieldNames(i)).cast(f.dataType).as(f.name)

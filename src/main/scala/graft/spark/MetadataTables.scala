@@ -300,13 +300,18 @@ object PartitionsMetadataTable {
     * driver-collect path is gone). */
   val spilledServes = new java.util.concurrent.atomic.AtomicLong()
 
-  // ONE live spill dir per table location, keyed by the snapshot it
-  // reflects: repeat queries at the same snapshot reuse it, and the table
-  // advancing deletes the stale dir — a long-lived session querying
-  // db.t.partitions no longer accumulates unbounded temp parquet
-  // (deleteOnExit alone never fires on non-empty dirs)
+  // Spill dirs per table location, keyed by the snapshot they reflect:
+  // repeat queries at the same snapshot reuse one dir, and advancing the
+  // table retires older dirs — bounding a long-lived session at TWO dirs
+  // per table (current + previous) instead of one per query. The previous
+  // generation is kept alive because a scan planned just before the
+  // advance may still be reading it; only the generation BEHIND that is
+  // deleted (its readers are two table-advances old). Locking is
+  // per-table (interned location string) and the rollup job runs inside
+  // only that table's lock, so concurrent queries of DIFFERENT tables
+  // never serialize behind each other's builds.
   private val spillDirs = new java.util.concurrent
-    .ConcurrentHashMap[String, (Option[Long], java.io.File)]()
+    .ConcurrentHashMap[String, List[(Option[Long], java.io.File)]]()
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -314,20 +319,24 @@ object PartitionsMetadataTable {
   }
 
   private[spark] def spillFor(table: IcebergTable)
-                             (build: java.io.File => Unit): java.io.File =
-    synchronized {
+                             (build: java.io.File => Unit): java.io.File = {
+    val key = table.location.intern()
+    key.synchronized {
       val snap = table.currentSnapshot.map(_.snapshotId)
-      val cur = spillDirs.get(table.location)
-      if (cur != null && cur._1 == snap && cur._2.isDirectory) cur._2
-      else {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_partitions").toFile
-        build(dir)
-        if (cur != null) deleteRec(cur._2)
-        spillDirs.put(table.location, (snap, dir))
-        dir
+      val gens = spillDirs.getOrDefault(key, Nil)
+      gens.find(g => g._1 == snap && g._2.isDirectory) match {
+        case Some((_, dir)) => dir
+        case None =>
+          val dir =
+            java.nio.file.Files.createTempDirectory("graft_partitions").toFile
+          build(dir)
+          val (keep, retire) = ((snap, dir) :: gens).splitAt(2)
+          retire.foreach(g => deleteRec(g._2))
+          spillDirs.put(key, keep)
+          dir
       }
     }
+  }
 }
 
 /** SQL `db.t.partitions`: the rollup runs as a distributed job when the

@@ -120,7 +120,19 @@ object SchemaConv {
     case d: DecLit =>
       val DecimalT(p, s) = typ: @unchecked
       s"CAST('${d.bigDecimal.toPlainString}' AS DECIMAL($p, $s))"
-    case StrLit(v) => "'" + v.replace("'", "''") + "'"
+    case StrLit(v) =>
+      // Spark's default SQL parser treats backslash as an escape inside
+      // string literals (and the escapedStringLiterals conf flips that),
+      // so only SIMPLE strings render as readable quoted literals; any
+      // string with a backslash, quote, or control char goes through the
+      // dialect-proof unhex form — both are foldable, which is all
+      // CURRENT_DEFAULT requires
+      if (v.forall(c => c >= ' ' && c != '\\' && c != '\'')) s"'$v'"
+      else {
+        val hex = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString
+        s"decode(unhex('$hex'), 'UTF-8')"
+      }
     case DateLit(days) =>
       s"DATE '${java.time.LocalDate.ofEpochDay(days.toLong)}'"
     case TimeLit(us) => s"CAST($us AS BIGINT)"

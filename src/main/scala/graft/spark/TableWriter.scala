@@ -90,16 +90,21 @@ object TableWriter {
   }
 
   /** Align a write frame whose columns are a SUBSET of the schema: absent
-    * columns fill with their `write-default` (V3) or null. Frames already
-    * covering every column pass through untouched. */
-  private def alignForWrite(df: DataFrame, schema: Schema): DataFrame = {
+    * columns fill with their `write-default` (V3) or null, present columns
+    * reorder and cast to the table's types. The SINGLE fill
+    * implementation — the DSv2 write path delegates here, so SQL INSERT
+    * and DataFrame append can never fill different values for the same
+    * omitted column. Frames with exactly the schema's column order pass
+    * through untouched; non-subset frames return unchanged for the caller
+    * to reject or align positionally. */
+  private[spark] def alignForWrite(df: DataFrame, schema: Schema): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val target = SchemaConv.toSparkSchema(schema)
+    if (df.schema.fieldNames.sameElements(target.fieldNames)) return df
     val dataNames = df.schema.fieldNames.toSet
-    if (target.fieldNames.forall(dataNames.contains)) return df
     if (!dataNames.subsetOf(target.fieldNames.toSet)) return df
     df.select(target.fields.toIndexedSeq.map { f =>
-      if (dataNames.contains(f.name)) col(f.name)
+      if (dataNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else SchemaConv.writeDefaultOf(f) match {
         case Some((typ, l)) => SchemaConv.literalColumn(typ, l).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
@@ -887,7 +892,8 @@ object TableWriter {
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(md.properties ++ loaded.config))
-    val snapshot = stageReplaceSnapshot(table, removedPaths, added, touchedManifests)
+    val snapshot = stageReplaceSnapshot(table, removedPaths, added,
+      touchedManifests, withLineage = false)
     catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
@@ -943,7 +949,8 @@ object TableWriter {
     * the local CAS and REST commit paths. */
   private def stageReplaceSnapshot(table: IcebergTable, removedPaths: Set[String],
                                    added: Seq[graft.spark.CowFileOut],
-                                   touchedManifests: Option[Set[String]]): Snapshot = {
+                                   touchedManifests: Option[Set[String]],
+                                   withLineage: Boolean = true): Snapshot = {
     val md = table.metadata
     val location = table.location
     val seq = md.lastSequenceNumber + 1
@@ -1014,7 +1021,10 @@ object TableWriter {
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
-    val lineage = assignLineage(md, addedEntries0)
+    // see stageAppendSnapshot: REST commits leave lineage to the catalog
+    val lineage =
+      if (withLineage) assignLineage(md, addedEntries0)
+      else Lineage(addedEntries0, None, None, md.nextRowId)
     val addedEntries = lineage.entries
     val addManifest =
       if (addedEntries.isEmpty) None
@@ -1396,6 +1406,31 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Shared ALTER COLUMN plumbing: resolve `path`, apply `change` to the
+    * field, bump to a fresh schema id (max + 1 — immune to current-id
+    * regressions), and commit the metadata-only schema evolution. */
+  private def rewriteFieldMetadata(table: IcebergTable, path: Seq[String],
+                                   op: String)
+                                  (change: NestedField => NestedField)
+      : IcebergTable = {
+    val md = table.metadata
+    val f = resolveField(md.currentSchema.struct, path, op).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '${path.mkString(".")}' not found"))
+    val (parent, leaf) = (path.init, path.last)
+    val newStruct = rewriteStructAt(md.currentSchema.struct, parent, op) { st =>
+      st.copy(fields = st.fields.map(x =>
+        if (x.id == f.id && x.name == leaf) change(x) else x))
+    }
+    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
+      md.currentSchema.identifierFieldIds)
+    writeMetadata(table.location, md.copy(
+      schemas = md.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Resolve a column path to its Iceberg type (DDL plumbing). */
   def resolveFieldType(table: IcebergTable,
                        path: Seq[String]): graft.core.IcebergType =
@@ -1406,25 +1441,9 @@ object TableWriter {
   /** ALTER COLUMN COMMENT: metadata-only doc update (new schema version,
     * same field ids). */
   def updateColumnCommentAt(table: IcebergTable, path: Seq[String],
-                            comment: Option[String]): IcebergTable = {
-    val md = table.metadata
-    val f = resolveField(md.currentSchema.struct, path, "ALTER COLUMN COMMENT")
-      .getOrElse(throw new IllegalArgumentException(
-        s"column '${path.mkString(".")}' not found"))
-    val (parent, leaf) = (path.init, path.last)
-    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
-        "ALTER COLUMN COMMENT") { s =>
-      s.copy(fields = s.fields.map(x =>
-        if (x.id == f.id && x.name == leaf) x.copy(doc = comment) else x))
-    }
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
-      md.currentSchema.identifierFieldIds)
-    writeMetadata(table.location, md.copy(
-      schemas = md.schemas :+ newSchema,
-      currentSchemaId = newSchema.schemaId,
-      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
-  }
+                            comment: Option[String]): IcebergTable =
+    rewriteFieldMetadata(table, path, "ALTER COLUMN COMMENT")(
+      _.copy(doc = comment))
 
   /** ALTER COLUMN DROP NOT NULL (required → optional — always legal per
     * the Iceberg spec). The WIDENING direction (optional → required) is
@@ -1442,19 +1461,8 @@ object TableWriter {
           "existing data may hold nulls (Iceberg only allows " +
           "required -> optional)")
     if (f.required == !nullable) return table
-    val (parent, leaf) = (path.init, path.last)
-    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
-        "ALTER COLUMN NULL") { s =>
-      s.copy(fields = s.fields.map(x =>
-        if (x.id == f.id && x.name == leaf) x.copy(required = !nullable) else x))
-    }
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
-      md.currentSchema.identifierFieldIds)
-    writeMetadata(table.location, md.copy(
-      schemas = md.schemas :+ newSchema,
-      currentSchemaId = newSchema.schemaId,
-      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    rewriteFieldMetadata(table, path, "ALTER COLUMN NULL")(
+      _.copy(required = !nullable))
   }
 
   /** ALTER COLUMN SET/DROP DEFAULT: changes only the `write-default` —
@@ -1471,20 +1479,8 @@ object TableWriter {
       .getOrElse(throw new IllegalArgumentException(s"column '$name' not found"))
     require(writeDefault.isEmpty || f.fieldType.isPrimitive,
       s"default values for nested types are not supported: ${f.fieldType.repr}")
-    val (parent, leaf) = (path.init, path.last)
-    val newStruct = rewriteStructAt(md.currentSchema.struct, parent,
-        "ALTER COLUMN DEFAULT") { s =>
-      s.copy(fields = s.fields.map(x =>
-        if (x.id == f.id && x.name == leaf) x.copy(writeDefault = writeDefault)
-        else x))
-    }
-    val newSchema = Schema(md.schemas.map(_.schemaId).max + 1, newStruct,
-      md.currentSchema.identifierFieldIds)
-    writeMetadata(table.location, md.copy(
-      schemas = md.schemas :+ newSchema,
-      currentSchemaId = newSchema.schemaId,
-      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    rewriteFieldMetadata(table, path, "ALTER COLUMN DEFAULT")(
+      _.copy(writeDefault = writeDefault))
   }
 
   /** Metadata-only property update (SET/UNSET TBLPROPERTIES). */
@@ -1875,7 +1871,8 @@ object TableWriter {
   private def stageAppendSnapshot(table: IcebergTable,
                                   added: Seq[graft.spark.CowFileOut],
                                   extraSummary: Map[String, String],
-                                  parentOverride: Option[Snapshot] = None)
+                                  parentOverride: Option[Snapshot] = None,
+                                  withLineage: Boolean = true)
       : Snapshot = {
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
@@ -1886,7 +1883,12 @@ object TableWriter {
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
-    val lineage = assignLineage(table.metadata, entries0)
+    // REST commits must NOT assign row ids client-side: the catalog owns
+    // next-row-id and this client's AddSnapshot cannot advance it, so a
+    // stamped base would repeat on the next commit (duplicate _row_id)
+    val lineage =
+      if (withLineage) assignLineage(table.metadata, entries0)
+      else Lineage(entries0, None, None, table.metadata.nextRowId)
     val entries = lineage.entries
     val mf = new File(metaDir, s"manifest-$snapId.avro")
     ManifestIO.writeManifest(mf, entries, partType)
@@ -2171,7 +2173,8 @@ object TableWriter {
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(md.properties ++ loaded.config))
-    val snapshot = stageAppendSnapshot(table, added, extraSummary)
+    val snapshot = stageAppendSnapshot(table, added, extraSummary,
+      withLineage = false)
     catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,

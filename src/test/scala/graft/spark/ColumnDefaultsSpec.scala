@@ -194,6 +194,14 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gddl.db.t (id, v) VALUES (4, 'd')")
     assert(spark.sql("SELECT tier FROM gddl.db.t WHERE id = 4")
       .collect()(0).isNullAt(0))
+    // defaults with escape-sensitive characters survive the SQL fill path
+    // verbatim (backslash would read as an escape in a naive quoted
+    // CURRENT_DEFAULT; quotes and newlines likewise)
+    spark.sql("""ALTER TABLE gddl.db.t ADD COLUMN dir STRING
+                 DEFAULT 'C:\\temp\'s\ndir'""")
+    spark.sql("INSERT INTO gddl.db.t (id, v) VALUES (5, 'e')")
+    assert(spark.sql("SELECT dir FROM gddl.db.t WHERE id = 5")
+      .collect()(0).getString(0) == "C:\\temp's\ndir")
   }
 
   test("foreign statistics files survive this engine's commits") {
