@@ -79,6 +79,9 @@ object SingleValueJson {
       require(bytes.length == len,
         s"fixed[$len] single-value has ${bytes.length} bytes")
       FixedLit(bytes)
+    case UnknownT =>
+      throw new IllegalArgumentException(
+        "the unknown type has no storable values (it reads as null)")
     case nested: NestedIcebergType =>
       throw new IllegalArgumentException(
         s"default values for nested types are not supported: ${nested.repr}")

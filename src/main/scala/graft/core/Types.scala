@@ -36,6 +36,10 @@ case object TimestampTzT extends IcebergType { val repr = "timestamptz" }
 case object StringT extends IcebergType { val repr = "string" }
 case object UuidT extends IcebergType { val repr = "uuid" }
 case object BinaryT extends IcebergType { val repr = "binary" }
+/** V3 `unknown`: the always-null placeholder type (a column whose type
+  * could not be determined at add time). Read-only here: every value is
+  * null; writes refuse it at schema-conversion sites. */
+case object UnknownT extends IcebergType { val repr = "unknown" }
 final case class FixedT(len: Int) extends IcebergType { def repr = s"fixed[$len]" }
 final case class DecimalT(precision: Int, scale: Int) extends IcebergType {
   require(precision >= 1 && precision <= 38, s"decimal precision out of range: $precision")
@@ -107,6 +111,7 @@ object IcebergTypeJson {
     case "string" => StringT
     case "uuid" => UuidT
     case "binary" => BinaryT
+    case "unknown" => UnknownT
     case FixedRe(n) => FixedT(n.toInt)
     case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
     case other => throw new IllegalArgumentException(s"unknown primitive type: $other")

@@ -34,6 +34,8 @@ object SchemaConv {
     case StringT => StringType
     case UuidT => StringType
     case BinaryT => BinaryType
+    // V3 `unknown`: always-null placeholder — surfaces as a null column
+    case UnknownT => NullType
     case FixedT(_) => BinaryType
     case DecimalT(p, s) => DecimalType(p, s)
     case s: StructT => toSparkStruct(s)

@@ -86,14 +86,15 @@ class ForeignV3TableSpec extends AnyFunSuite {
       "location": "$loc",
       "last-sequence-number": 1,
       "last-updated-ms": 1700000000000,
-      "last-column-id": 3,
+      "last-column-id": 4,
       "current-schema-id": 0,
       "schemas": [{
         "type": "struct", "schema-id": 0, "fields": [
           {"id": 1, "name": "id", "required": false, "type": "long"},
           {"id": 2, "name": "v", "required": false, "type": "string"},
           {"id": 3, "name": "tier", "required": false, "type": "string",
-           "initial-default": "basic", "write-default": "standard"}
+           "initial-default": "basic", "write-default": "standard"},
+          {"id": 4, "name": "mystery", "required": false, "type": "unknown"}
         ]}],
       "default-spec-id": 0,
       "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -124,6 +125,11 @@ class ForeignV3TableSpec extends AnyFunSuite {
     assert(t.metadata.formatVersion == 3)
     assert(t.metadata.nextRowId.contains(200L))
     assert(t.currentSnapshot.get.firstRowId.contains(100L))
+
+    // the V3 `unknown` column surfaces as an always-null column
+    val mystery = spark.read.format("icegopher").load(loc)
+      .select("id", "mystery").collect()
+    assert(mystery.length == 2 && mystery.forall(_.isNullAt(1)))
 
     // DSv2: the DV kills id=2; tier reads its initial-default; _row_id
     // inherits from the MANIFEST base (100) + position
