@@ -23,7 +23,8 @@ object GraftProcedures {
     "add_partition_field", "drop_partition_field",
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
-    "rewrite_position_deletes", "cherrypick_snapshot",
+    "rewrite_position_deletes", "rewrite_deletion_vectors",
+    "cherrypick_snapshot",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index",
@@ -197,6 +198,17 @@ object GraftProcedures {
         val (_, before, after) = TableWriter.rewritePositionDeletes(table,
           org.apache.spark.sql.SparkSession.active)
         Array[Any](before, after)
+      }
+      case "rewrite_deletion_vectors" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(
+          StructField("dvs_rewritten", IntegerType, nullable = false),
+          StructField("puffin_files_before", IntegerType, nullable = false),
+          StructField("puffin_files_after", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (_, rewritten, before, after) = TableWriter.rewriteDeletionVectors(
+          table, org.apache.spark.sql.SparkSession.active)
+        Array[Any](rewritten, before, after)
       }
       case "add_files" => proc(name,
         Seq("table" -> StringType, "source_dir" -> StringType),

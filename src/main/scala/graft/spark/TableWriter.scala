@@ -314,6 +314,14 @@ object TableWriter {
         }
       }.collect().toSeq // one row per touched data file: metadata-sized
 
+    dvDataFiles(dvInfos)
+  }
+
+  /** Manifest rows for freshly-written DV blobs: (puffin path, referenced
+    * data file, blob offset, blob length, cardinality, container size). */
+  private def dvDataFiles(
+      dvInfos: Seq[(String, String, Long, Long, Long, Long)])
+      : Seq[DataFileInfo] =
     dvInfos.map { case (puffin, target, off, len, card, size) =>
       DataFileInfo(
         content = DataFileContent.PositionDeletes, path = puffin,
@@ -325,6 +333,102 @@ object TableWriter {
         sortOrderId = None, referencedDataFile = Some(target),
         contentOffset = Some(off), contentSizeInBytes = Some(len))
     }
+
+  /** DV maintenance (`CALL graft.system.rewrite_deletion_vectors('db.t')`):
+    * every MoR delete commit on a V3 table writes NEW Puffin containers for
+    * the files it touches (merging each file's prior DV, which retires),
+    * so a stream of small deletes fragments the live deletion vectors
+    * across many tiny containers — and the superseded blobs keep occupying
+    * bytes inside containers that still hold one live blob. This CALL
+    * consolidates: the live DV set (resolved exactly as a reader resolves
+    * it, so DVs of dead data files drop out) is re-encoded into
+    * size-targeted containers, committed as ONE replace snapshot that
+    * retires every prior DV entry. Reads are identical before and after;
+    * the old Puffin files become unreferenced once pre-rewrite snapshots
+    * expire (`expire_snapshots` / `remove_orphan_files` sweep them — they
+    * are ordinary delete-manifest entries).
+    *
+    * Scale shape: only metadata-sized (target, src, offset, length) rows
+    * ride the Spark job; blob BYTES are read, validated (decode +
+    * re-encode canonicalizes the roaring encoding) and written
+    * executor-side, many blobs per output container.
+    *
+    * Returns (live DV blobs rewritten, containers before, containers
+    * after). No-op when the live set already lives in a single container
+    * with no dead weight. */
+  def rewriteDeletionVectors(table: IcebergTable,
+                             spark: org.apache.spark.sql.SparkSession)
+      : (IcebergTable, Int, Int, Int) = {
+    val snap = table.currentSnapshot.getOrElse(return (table, 0, 0, 0))
+    // the live DV per data file, exactly as the reader resolves it
+    val live: Seq[(String, String, Long, Long)] =
+      table.newScan().planFiles().flatMap { t =>
+        t.deleteFiles.filter(_.isDeletionVector).map(d =>
+          (normFsPath(t.file.path), d.path, d.contentOffset.get,
+            d.contentSizeInBytes.get))
+      }.distinct
+    // every DV entry still live in the manifests — includes DANGLING DVs
+    // whose referenced data file left the live set (their entries survive
+    // the data file's removal; readers just never consult them)
+    val manifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
+    val allDvEntries = manifests.filter(_.content == 1).flatMap(m =>
+      ManifestIO.readManifestEntries(table.io.open(m.path), m,
+        discardDeleted = true)).filter(_.dataFile.isDeletionVector)
+    val containersBefore = allDvEntries.map(_.dataFile.path).distinct.size
+    if (allDvEntries.isEmpty) return (table, 0, 0, 0)
+    // optimal already: one container, every blob in it live
+    if (containersBefore <= 1 && allDvEntries.size == live.size)
+      return (table, 0, containersBefore, containersBefore)
+
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val version = table.loadedVersion + 1
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/dv-rw-$snapId"); delDir.mkdirs()
+
+    val dvInfos: Seq[(String, String, Long, Long, Long, Long)] =
+      if (live.isEmpty) Nil
+      else {
+        import spark.implicits._
+        // one output container per ~4k blobs keeps containers near the
+        // manifest-target sweet spot without a byte-level size estimate
+        val parts = math.max(1, math.ceil(live.size / 4096.0).toInt)
+        live.toDF("target", "src", "off", "len")
+          .repartitionByRange(parts, col("target"))
+          .sortWithinPartitions("target")
+          .as[(String, String, Long, Long)]
+          .mapPartitions { it =>
+            val rows = it.toArray
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val puffin = new File(delDir, f"dv-rw-$pid%05d.puffin").getPath
+              val blobs = rows.toSeq.map { case (target, src, off, len) =>
+                val bm = graft.core.Puffin.readDvBlob(
+                  graft.core.Puffin.readBlob(src, off, len))
+                (graft.core.Puffin.dvBlobBytesOf(bm),
+                  graft.core.Puffin.BlobMetadata(
+                    graft.core.Puffin.DeletionVectorV1, fields = Nil,
+                    snapshotId = snapId, sequenceNumber = seq,
+                    offset = 0, length = 0,
+                    properties = Map("referenced-data-file" -> target,
+                      "cardinality" -> bm.getLongCardinality.toString)))
+              }
+              val metas = graft.core.Puffin.write(puffin, blobs)
+              val size = new File(puffin).length()
+              metas.iterator.map { m =>
+                (puffin, m.properties("referenced-data-file"),
+                  m.offset, m.length, m.properties("cardinality").toLong, size)
+              }
+            }
+          }.collect().toSeq // one row per live DV: metadata-sized
+      }
+
+    val out = commitDvSnapshot(table, Nil, dvDataFiles(dvInfos),
+      alsoSuperseded = _.isDeletionVector, OpReplace,
+      Map("deletion-vectors-rewritten" -> allDvEntries.size.toString),
+      snapId, seq, version, metaDir)
+    (out, live.size, containersBefore, dvInfos.map(_._1).distinct.size)
   }
 
   /** Rewrite delete manifests so superseded entries leave the live set: V3
@@ -1556,26 +1660,42 @@ object TableWriter {
     val deleteManifests = manifests.filter(_.content == 1)
     val manifestEntries = deleteManifests.map(m =>
       m -> ManifestIO.readManifestEntries(table.io.open(m.path), m))
+    // V3 deletion vectors are PositionDeletes by content but NOT parquet —
+    // they consolidate via rewriteDeletionVectors, never through this
+    // parquet merge (reading a Puffin container as parquet would throw)
     val posFiles = manifestEntries.flatMap(_._2)
-      .filter(_.dataFile.content == DataFileContent.PositionDeletes)
+      .filter(e => e.dataFile.content == DataFileContent.PositionDeletes &&
+        !e.dataFile.isDeletionVector)
     if (posFiles.isEmpty) return (table, 0, 0)
-    // Eq-only manifests ride along untouched (tuples + spec preserved);
-    // only manifests that contain at least one pos-delete entry rewrite.
+    // Manifests with no parquet pos-delete entry (eq-only, DV-only, mixed
+    // eq+DV) ride along untouched (tuples + spec preserved); only manifests
+    // containing at least one parquet pos-delete entry rewrite.
     val (eqOnlyManifests, mixedManifests) = manifestEntries.partition {
       case (_, es) => es.nonEmpty &&
-        es.forall(_.dataFile.content == DataFileContent.EqualityDeletes)
+        es.forall(e => e.dataFile.content == DataFileContent.EqualityDeletes ||
+          e.dataFile.isDeletionVector)
     }
     val eqEntries = mixedManifests.flatMap { case (m, es) =>
       es.filter(_.dataFile.content == DataFileContent.EqualityDeletes)
         .map(m.partitionSpecId -> _)
     }
+    // DV entries rescued from mixed manifests: their own manifest (DVs
+    // carry no partition tuple — summaries stay Nil, planner keeps it)
+    val dvRescued = mixedManifests.flatMap(_._2)
+      .filter(_.dataFile.isDeletionVector)
+      .map(_.copy(status = ManifestEntryStatus.Existing))
 
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val metaDir = new File(table.location, "metadata")
     val delDir = new File(table.location, s"data/deletes-rw-$snapId")
 
-    val livePaths = table.newScan().planFiles().map(_.file.path).toSet
+    // a DV-covered file's parquet tombstones are reader-ignored (their
+    // positions were merged into the DV when it was created) — dropping
+    // them here is exact, like danglers
+    val liveTasks = table.newScan().planFiles()
+    val livePaths = liveTasks.filter(!_.deleteFiles.exists(_.isDeletionVector))
+      .map(_.file.path).toSet
     import org.apache.spark.sql.functions.col
     val targetBytes = md.properties.get(GraftCowWriterFactory.TargetFileSizeProp)
       .flatMap(_.toLongOption)
@@ -1636,11 +1756,30 @@ object TableWriter {
           deletedRowsCount = 0,
           partitions = partitionSummaries(es, partType), formatVersion = 2)
     }
+    val dvManifests =
+      if (dvRescued.isEmpty) Nil
+      else {
+        val dmf = new File(metaDir, s"manifest-del-rw-dv-$snapId.avro")
+        ManifestIO.writeManifest(dmf, dvRescued, StructT(Nil))
+        Seq(ManifestFile(
+          path = dmf.getPath, length = dmf.length(),
+          partitionSpecId = table.spec.specId, content = 1,
+          sequenceNumber = seq,
+          minSequenceNumber =
+            dvRescued.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+          addedSnapshotId = snapId,
+          addedFilesCount = 0, existingFilesCount = dvRescued.size,
+          deletedFilesCount = 0,
+          addedRowsCount = 0,
+          existingRowsCount = dvRescued.map(_.dataFile.recordCount).sum,
+          deletedRowsCount = 0,
+          partitions = Nil, formatVersion = 2))
+      }
 
     val listFile = new File(metaDir, s"snap-$snapId.avro")
     ManifestIO.writeManifestList(listFile,
       manifests.filter(_.content == 0) ++ eqOnlyManifests.map(_._1) ++
-        (posManifest +: eqManifests))
+        (posManifest +: eqManifests) ++ dvManifests)
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapId, Some(snap.snapshotId), seq, now,
       listFile.getPath,
