@@ -30,7 +30,13 @@ object DistributedPlanner {
 
   /** Bulk decoder for `table`, handed to [[ScanPlanner.planFiles]]. */
   def decoder(table: IcebergTable): ScanPlanner.BulkEntryDecoder = {
+    // threshold lookup reads TABLE properties; the executor-side FileIO
+    // rebuild must use the EFFECTIVE IO map (table properties merged with
+    // catalog-supplied config — REST catalogs hand object-store
+    // credentials/endpoints through `config`, and exactly the large
+    // catalog-managed tables this path exists for need them)
     val props = table.properties
+    val ioProps = table.effectiveIoProps
     (metadata, schema, rowFilter, caseSensitive, manifests) => {
       val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
       def intOf(src: String, v: String): Int = v.trim.toIntOption.getOrElse(
@@ -47,7 +53,8 @@ object DistributedPlanner {
         val sc = sparkOpt.get.sparkContext
         // one broadcast of the shared planning context; every task rebuilds
         // its evaluators from it (all case classes — cheaply serializable)
-        val bc = sc.broadcast((metadata, schema, rowFilter, caseSensitive, props))
+        val bc = sc.broadcast((metadata, schema, rowFilter, caseSensitive,
+          ioProps))
         val parts = math.max(1, math.min(manifests.size, sc.defaultParallelism * 2))
         val out = sc.parallelize(manifests, parts).mapPartitions { ms =>
           val (md, sch, filt, cs, p) = bc.value

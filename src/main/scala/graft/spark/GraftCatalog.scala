@@ -253,7 +253,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // and writers that omit the column fill it (write-default),
         // matching the DDL's user-visible meaning
         val dflt = Option(a.defaultValue()).map { dv =>
-          SchemaConv.literalFromCatalyst(icType, dv.getValue.value())
+          // expression-only defaults have no constant-foldable value
+          // (getValue == null) — refuse like UpdateColumnDefaultValue does
+          // rather than NPE (Iceberg defaults are values, not expressions)
+          Option(dv.getValue) match {
+            case Some(v) => SchemaConv.literalFromCatalyst(icType, v.value())
+            case None => throw new UnsupportedOperationException(
+              "only literal column defaults are supported" +
+                Option(dv.getSql).map(s => s" (sql: $s)").getOrElse(""))
+          }
         }
         t = TableWriter.addColumnAt(t, a.fieldNames().toIndexedSeq,
           icType, Option(a.comment()),

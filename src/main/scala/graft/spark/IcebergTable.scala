@@ -3,7 +3,7 @@ package graft.spark
 import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
 
 import graft.core._
 
@@ -14,7 +14,20 @@ import graft.core._
   * Spark's vectorized Parquet reader. Planning is driver-side O(metadata);
   * row decode is distributed, splittable, and codegen'd. */
 final class IcebergTable(val location: String, val metadataPath: String,
-                         val metadata: TableMetadata, val io: FileIO) {
+                         val metadata: TableMetadata, val io: FileIO,
+                         /** The property map `io` was built from — table
+                           * properties MERGED with catalog-supplied config
+                           * (REST `config` can carry object-store
+                           * credentials/endpoints the metadata doesn't).
+                           * Executor-side FileIO rebuilds (distributed
+                           * planning) must use THIS map, not
+                           * `metadata.properties` alone. */
+                         val ioProps: Map[String, String] = Map.empty) {
+
+  /** Effective IO properties: the explicit merged map when provided,
+    * else the table's own properties. */
+  def effectiveIoProps: Map[String, String] =
+    if (ioProps.nonEmpty) ioProps else metadata.properties
 
   /** Metadata version this table was loaded at — commits pin their CAS to
     * `loadedVersion + 1`, so a writer holding stale state conflicts instead
@@ -152,9 +165,29 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
     val needProvOut = keepProvenance || keepLineage
     val tasks = planFiles()
       .filter(t => pathFilter.forall(_.contains(t.file.path)))
-    val sparkSchema = SchemaConv.toSparkSchema(snapshotSchema)
+    val dataSchema = SchemaConv.toSparkSchema(snapshotSchema)
+    // V3 materialized lineage: lineage scans ALSO request the physical
+    // `_row_id`/`_last_updated_sequence_number` columns lineage-preserving
+    // compaction writes into rewritten files (reserved field ids). Files
+    // without them — the common case — read null and the derivation below
+    // falls back to first_row_id + position / the file's data sequence
+    // number: the spec's materialized-over-derived precedence.
+    val lineagePhys: Seq[org.apache.spark.sql.types.StructField] =
+      if (!keepLineage) Nil
+      else Seq(
+        (GraftReaders.RowIdCol, GraftReaders.RowIdFieldId),
+        (GraftReaders.LastUpdatedSeqCol, GraftReaders.LastUpdatedSeqFieldId))
+        .filterNot { case (n, _) => dataSchema.fieldNames.contains(n) }
+        .map { case (n, id) =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = true,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(SchemaConv.FieldIdKey, id.toLong).build())
+        }
+    val sparkSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields ++ lineagePhys)
     if (tasks.isEmpty) {
-      var empty = projectedSparkSchema(sparkSchema)
+      var empty = projectedSparkSchema(dataSchema)
       if (keepProvenance) empty = org.apache.spark.sql.types.StructType(
         empty.fields :+
           org.apache.spark.sql.types.StructField("__path",
@@ -352,15 +385,26 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
 
     if (keepLineage) {
       // V3 row lineage on the library path: one broadcast join against the
-      // O(files) (path -> first_row_id, data seq) map the planner holds
+      // O(files) (path -> first_row_id, data seq) map the planner holds.
+      // Materialized values (physical columns in compacted files) win;
+      // nulls fall back to the derived first_row_id + position / data-seq.
       import spark.implicits._
       val lookup = tasks.map(t => (normS(t.file.path),
           t.file.firstRowId, t.dataSequenceNumber))
         .toDF("__l_path", "__l_first", "__l_seq")
       df = df.join(org.apache.spark.sql.functions.broadcast(lookup),
           col("__path") === col("__l_path"), "left")
-        .withColumn("_row_id", col("__l_first") + col("__pos"))
-        .withColumn("_last_updated_sequence_number", col("__l_seq"))
+      val derivedRowId = col("__l_first") + col("__pos")
+      df =
+        if (lineagePhys.exists(_.name == GraftReaders.RowIdCol))
+          df.withColumn(GraftReaders.RowIdCol,
+            coalesce(col(GraftReaders.RowIdCol), derivedRowId))
+        else df.withColumn(GraftReaders.RowIdCol, derivedRowId)
+      df =
+        (if (lineagePhys.exists(_.name == GraftReaders.LastUpdatedSeqCol))
+          df.withColumn(GraftReaders.LastUpdatedSeqCol,
+            coalesce(col(GraftReaders.LastUpdatedSeqCol), col("__l_seq")))
+        else df.withColumn(GraftReaders.LastUpdatedSeqCol, col("__l_seq")))
         .drop("__l_path", "__l_first", "__l_seq")
       if (!keepProvenance) df = df.drop("__path", "__pos")
     }

@@ -834,6 +834,23 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
       s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
     }
+    // V3 materialized lineage: files rewritten by lineage-preserving
+    // compaction carry physical `_row_id`/`_last_updated_sequence_number`
+    // columns (reserved field ids); request them whenever the lineage
+    // metadata columns are projected. Files WITHOUT them — the common case
+    // — read null (id/name miss → null column) and the projection falls
+    // back to the derived first_row_id + position / data-sequence values.
+    def lineagePhys(name: String, id: Int): StructField =
+      StructField(name, LongType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(SchemaConv.FieldIdKey, id.toLong).build())
+    if (required.fieldNames.contains(GraftReaders.RowIdCol) &&
+        !s.fieldNames.contains(GraftReaders.RowIdCol))
+      s = s.add(lineagePhys(GraftReaders.RowIdCol, GraftReaders.RowIdFieldId))
+    if (required.fieldNames.contains(GraftReaders.LastUpdatedSeqCol) &&
+        !s.fieldNames.contains(GraftReaders.LastUpdatedSeqCol))
+      s = s.add(lineagePhys(GraftReaders.LastUpdatedSeqCol,
+        GraftReaders.LastUpdatedSeqFieldId))
     if (needRowIndex || required.fieldNames.contains(GraftReaders.PosCol) ||
         required.fieldNames.contains(GraftReaders.RowIdCol))
       s = s.add(StructField(GraftReaders.RowIndexCol, LongType, nullable = true))
@@ -957,6 +974,16 @@ private[graft] object GraftReaders {
     * adds — exposed read-only, derived per input partition. */
   val RowIdCol: String = "_row_id"
   val LastUpdatedSeqCol: String = "_last_updated_sequence_number"
+
+  /** Reserved Iceberg field ids for MATERIALIZED row-lineage columns
+    * (Iceberg spec "Reserved Field IDs", V3 row lineage): files rewritten
+    * by lineage-preserving compaction carry `_row_id` /
+    * `_last_updated_sequence_number` as physical columns under these ids;
+    * readers prefer the materialized value and fall back to
+    * `first_row_id + position` / the file's data sequence number where it
+    * is null — exactly the spec's precedence. */
+  val RowIdFieldId: Int = 2147483540
+  val LastUpdatedSeqFieldId: Int = 2147483539
 
   /** CDC output columns (streaming `read-changes` mode): stamped per
     * input partition from its commit provenance. */
@@ -1202,20 +1229,30 @@ final class GraftRowReader(p: GraftInputPartition)
           BoundReference(readSchema.fieldIndex(GraftReaders.RowIndexCol),
             org.apache.spark.sql.types.LongType, nullable = false): Expression
         case GraftReaders.RowIdCol =>
-          // V3 row lineage: first_row_id + file-absolute row position;
-          // null when the file predates lineage tracking (pre-upgrade)
-          p.firstRowId match {
+          // V3 row lineage, spec precedence: a MATERIALIZED `_row_id`
+          // (written by lineage-preserving compaction) wins; null falls
+          // back to first_row_id + file-absolute row position; null when
+          // the file predates lineage tracking (pre-upgrade)
+          val phys = BoundReference(
+            readSchema.fieldIndex(GraftReaders.RowIdCol),
+            org.apache.spark.sql.types.LongType, nullable = true)
+          val derived: Expression = p.firstRowId match {
             case Some(base) =>
               org.apache.spark.sql.catalyst.expressions.Add(
                 CLit(base, org.apache.spark.sql.types.LongType),
                 BoundReference(readSchema.fieldIndex(GraftReaders.RowIndexCol),
                   org.apache.spark.sql.types.LongType, nullable = false))
-                : Expression
             case None =>
-              CLit(null, org.apache.spark.sql.types.LongType): Expression
+              CLit(null, org.apache.spark.sql.types.LongType)
           }
+          org.apache.spark.sql.catalyst.expressions.Coalesce(
+            Seq(phys, derived)): Expression
         case GraftReaders.LastUpdatedSeqCol =>
-          CLit(p.dataSeq, org.apache.spark.sql.types.LongType): Expression
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            BoundReference(
+              readSchema.fieldIndex(GraftReaders.LastUpdatedSeqCol),
+              org.apache.spark.sql.types.LongType, nullable = true),
+            CLit(p.dataSeq, org.apache.spark.sql.types.LongType))): Expression
         case GraftReaders.ChangeTypeCol if p.cdc.isDefined =>
           CLit(UTF8String.fromString(p.cdc.get._1), StringType): Expression
         case GraftReaders.CommitSnapshotCol if p.cdc.isDefined =>

@@ -313,6 +313,14 @@ object PartitionsMetadataTable {
   private val spillDirs = new java.util.concurrent
     .ConcurrentHashMap[String, List[(Option[Long], java.io.File)]]()
 
+  // final generations (the two kept per table) would otherwise outlive the
+  // JVM and accumulate in the system temp dir across sessions — one
+  // shutdown hook reaps whatever generation-retirement hasn't
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spillDirs.values().forEach(_.foreach(g => deleteRec(g._2)))))
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete()

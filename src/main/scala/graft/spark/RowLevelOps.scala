@@ -201,21 +201,41 @@ object GraftCowWriterFactory {
     * user-facing field names to evolve through), so no rename can ever
     * target them and the id stamp would be dead weight. */
   def withParquetIds(writeSchema: StructType, schema: graft.core.Schema): StructType = {
-    def stamp(st: StructType, ice: graft.core.StructT): StructType =
+    def stamp(st: StructType, ice: graft.core.StructT,
+              topLevel: Boolean): StructType =
       StructType(st.fields.map { f =>
         ice.fields.find(_.name == f.name) match {
           case Some(nf) =>
             val dt = (f.dataType, nf.fieldType) match {
-              case (s: StructType, is: graft.core.StructT) => stamp(s, is)
+              case (s: StructType, is: graft.core.StructT) => stamp(s, is, false)
               case (other, _) => other
             }
             f.copy(dataType = dt,
               metadata = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata).putLong(ParquetFieldIdKey, nf.id.toLong).build())
-          case None => f
+          case None =>
+            // V3 materialized row lineage: top-level `_row_id` /
+            // `_last_updated_sequence_number` columns (written by
+            // lineage-preserving compaction) are not table-schema fields;
+            // they carry the spec's RESERVED ids so readers resolve them
+            // by id like any other column
+            val reserved =
+              if (!topLevel) None
+              else if (f.name == GraftReaders.RowIdCol)
+                Some(GraftReaders.RowIdFieldId)
+              else if (f.name == GraftReaders.LastUpdatedSeqCol)
+                Some(GraftReaders.LastUpdatedSeqFieldId)
+              else None
+            reserved match {
+              case Some(id) => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(ParquetFieldIdKey, id.toLong).build())
+              case None => f
+            }
         }
       })
-    stamp(writeSchema, schema.struct)
+    stamp(writeSchema, schema.struct, topLevel = true)
   }
 
   /** Driver-side capture of the session's parquet writer settings

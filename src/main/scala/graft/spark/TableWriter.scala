@@ -995,9 +995,15 @@ object TableWriter {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
-      IOConfig.fileIO(md.properties ++ loaded.config))
+      IOConfig.fileIO(md.properties ++ loaded.config),
+      ioProps = md.properties ++ loaded.config)
+    // V3 lineage through REST: assign first-row-id CLIENT-side from the
+    // loaded metadata's next-row-id (upstream practice — the AddSnapshot
+    // carries first-row-id and the server advances next-row-id). A CAS
+    // conflict (409) sends the caller back through loadTable, so a retry
+    // re-stages against the fresh base and re-assigns.
     val snapshot = stageReplaceSnapshot(table, removedPaths, added,
-      touchedManifests, withLineage = false)
+      touchedManifests)
     catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
@@ -1011,11 +1017,15 @@ object TableWriter {
   /** Per-commit V3 row-lineage assignment (spec v3 "Row Lineage"): ADDED
     * data-file entries take `first_row_id` sequentially from the table's
     * `next-row-id`; the snapshot records the base; `next-row-id` advances
-    * past every added row. Identity below V3. Rewrites (compaction/CoW)
-    * also take FRESH ids — the spec's id-preserving rewrite (materializing
-    * a `_row_id` column into the new files) is not implemented, which is
-    * the conservative direction for incremental consumers: rewritten rows
-    * reappear as new instead of silently carrying wrong lineage. */
+    * past every added row. Identity below V3.
+    *
+    * Rewrites ([[compact]] and friends) MATERIALIZE each surviving row's
+    * `_row_id`/`_last_updated_sequence_number` into the new files under
+    * the spec's reserved field ids, and readers prefer the materialized
+    * value — so the fresh `first_row_id` stamped here only reaches rows
+    * whose materialized id is null (pre-lineage files), exactly the
+    * spec's assignment rule. The id-space gap this leaves (the rewrite's
+    * range is mostly unused) is allowed: row ids need not be contiguous. */
   private[spark] final case class Lineage(entries: Seq[ManifestEntry],
                                           manifestFirstRowId: Option[Long],
                                           snapshotFirstRowId: Option[Long],
@@ -1053,8 +1063,7 @@ object TableWriter {
     * the local CAS and REST commit paths. */
   private def stageReplaceSnapshot(table: IcebergTable, removedPaths: Set[String],
                                    added: Seq[graft.spark.CowFileOut],
-                                   touchedManifests: Option[Set[String]],
-                                   withLineage: Boolean = true): Snapshot = {
+                                   touchedManifests: Option[Set[String]]): Snapshot = {
     val md = table.metadata
     val location = table.location
     val seq = md.lastSequenceNumber + 1
@@ -1125,10 +1134,7 @@ object TableWriter {
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
-    // see stageAppendSnapshot: REST commits leave lineage to the catalog
-    val lineage =
-      if (withLineage) assignLineage(md, addedEntries0)
-      else Lineage(addedEntries0, None, None, md.nextRowId)
+    val lineage = assignLineage(md, addedEntries0)
     val addedEntries = lineage.entries
     val addManifest =
       if (addedEntries.isEmpty) None
@@ -1172,7 +1178,22 @@ object TableWriter {
               zOrderBy: Seq[String] = Nil): IcebergTable = {
     require(sortBy.isEmpty || zOrderBy.isEmpty,
       "compact takes sortBy or zOrderBy, not both")
-    var df = table.newScan().toDF(spark)
+    // V3 row lineage survives the rewrite (spec: writers must preserve row
+    // ids of rows copied from existing files): the scan derives each row's
+    // `_row_id`/`_last_updated_sequence_number` (materialized-over-derived
+    // precedence, so compacting twice keeps the ORIGINAL ids) and the
+    // rewrite MATERIALIZES them as physical columns under the spec's
+    // reserved field ids. Readers prefer the materialized value; rows that
+    // were null (pre-lineage files) fall back to the new file's fresh
+    // first_row_id + position — the spec's assignment for unassigned rows.
+    val materializeLineage = table.metadata.formatVersion >= 3 &&
+      !table.schema.fields.exists(f =>
+        f.name == GraftReaders.RowIdCol || f.name == GraftReaders.LastUpdatedSeqCol)
+    var df =
+      if (materializeLineage)
+        table.newScan().toDF(spark, keepProvenance = false,
+          pathFilter = None, keepLineage = true)
+      else table.newScan().toDF(spark)
     val order = sortOrderFor(table.schema, sortBy)
     if (zOrderBy.nonEmpty) {
       // z-ordered rewrite: range-cluster on the interleaved-bits curve
@@ -2010,8 +2031,7 @@ object TableWriter {
   private def stageAppendSnapshot(table: IcebergTable,
                                   added: Seq[graft.spark.CowFileOut],
                                   extraSummary: Map[String, String],
-                                  parentOverride: Option[Snapshot] = None,
-                                  withLineage: Boolean = true)
+                                  parentOverride: Option[Snapshot] = None)
       : Snapshot = {
     val seq = table.metadata.lastSequenceNumber + 1
     val snapId = System.nanoTime()
@@ -2022,12 +2042,7 @@ object TableWriter {
         statsFromFooter(new File(f.path), table.schema,
           f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
     }
-    // REST commits must NOT assign row ids client-side: the catalog owns
-    // next-row-id and this client's AddSnapshot cannot advance it, so a
-    // stamped base would repeat on the next commit (duplicate _row_id)
-    val lineage =
-      if (withLineage) assignLineage(table.metadata, entries0)
-      else Lineage(entries0, None, None, table.metadata.nextRowId)
+    val lineage = assignLineage(table.metadata, entries0)
     val entries = lineage.entries
     val mf = new File(metaDir, s"manifest-$snapId.avro")
     ManifestIO.writeManifest(mf, entries, partType)
@@ -2311,9 +2326,13 @@ object TableWriter {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
-      IOConfig.fileIO(md.properties ++ loaded.config))
-    val snapshot = stageAppendSnapshot(table, added, extraSummary,
-      withLineage = false)
+      IOConfig.fileIO(md.properties ++ loaded.config),
+      ioProps = md.properties ++ loaded.config)
+    // V3 lineage through REST: client-assigned from the loaded metadata's
+    // next-row-id; the AddSnapshot update carries first-row-id and the
+    // server advances next-row-id past the added rows. Commit conflicts
+    // surface as 409 → the caller reloads and re-stages (re-assignment).
+    val snapshot = stageAppendSnapshot(table, added, extraSummary)
     catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,

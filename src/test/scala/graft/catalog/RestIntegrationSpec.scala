@@ -121,6 +121,33 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after2.metadata.lastSequenceNumber == 2L)
   }
 
+  test("commit: V3 add-snapshot with first-row-id advances next-row-id") {
+    catalog.createNamespace(Seq("it_l"))
+    val t = catalog.createTable(Seq("it_l", "t"), schema)
+    val snap = Snapshot(201L, None, 1L, System.currentTimeMillis(),
+      "mem://warehouse/it_l/t/metadata/snap-201.avro",
+      Some(SnapshotSummary(OpAppend, Map("added-records" -> "7"))), Some(0),
+      firstRowId = Some(0L))
+    catalog.commitTable(Seq("it_l", "t"),
+      Seq(AssertRefSnapshotId("main", None)),
+      Seq(AddSnapshot(snap), SetSnapshotRef("main", 201L, "branch")))
+    val after = catalog.loadTable(Seq("it_l", "t"))
+    // the server owns the advance: next-row-id = first-row-id + added rows,
+    // so the NEXT client's load assigns from 7
+    assert(after.metadata.nextRowId.contains(7L), after.metadata.nextRowId)
+
+    val snap2 = snap.copy(snapshotId = 202L, sequenceNumber = 2L,
+      parentSnapshotId = Some(201L),
+      manifestList = "mem://warehouse/it_l/t/metadata/snap-202.avro",
+      firstRowId = Some(7L),
+      summary = Some(SnapshotSummary(OpAppend, Map("added-records" -> "3"))))
+    catalog.commitTable(Seq("it_l", "t"),
+      Seq(AssertRefSnapshotId("main", Some(201L))),
+      Seq(AddSnapshot(snap2), SetSnapshotRef("main", 202L, "branch")))
+    assert(catalog.loadTable(Seq("it_l", "t")).metadata.nextRowId
+      .contains(10L))
+  }
+
   test("config merge applied: server defaults lose to props, overrides win") {
     // the catalog came up against a server returning defaults+overrides;
     // reaching any authorized endpoint proves the OAuth token was minted

@@ -262,6 +262,17 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
                 math.max(md.get("last-sequence-number").asLong(),
                   sn.get("sequence-number").asLong()))
               md.put("last-updated-ms", System.currentTimeMillis())
+              // V3 row lineage (REST spec): a snapshot carrying
+              // first-row-id advances the table's next-row-id past the
+              // rows it added (summary added-records)
+              Option(sn.get("first-row-id")).filter(!_.isNull).foreach { fr =>
+                val addedRows = Option(sn.get("summary"))
+                  .flatMap(s0 => Option(s0.get("added-records")))
+                  .map(_.asLong()).getOrElse(0L)
+                val cur = Option(md.get("next-row-id")).map(_.asLong()).getOrElse(0L)
+                md.put("next-row-id", math.max(cur, fr.asLong() + addedRows))
+                ()
+              }
             case "set-snapshot-ref" =>
               val refName = u.get("ref-name").asText()
               val snapId = u.get("snapshot-id").asLong()

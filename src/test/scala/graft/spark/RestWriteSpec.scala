@@ -177,6 +177,38 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!paths.contains(victim), "replaced file must be gone from the new list")
   }
 
+  test("V3 REST append assigns first-row-id client-side from next-row-id") {
+    // V3 twin of the `t` route: the served metadata carries next-row-id=40,
+    // so the staged snapshot must claim ids [40, 42) — upstream practice:
+    // the CLIENT assigns from the base metadata and the AddSnapshot carries
+    // first-row-id for the server to advance next-row-id from
+    val v3Json = tableJson
+      .replace("\"format-version\": 2", "\"format-version\": 3")
+      .replace("\"properties\": {}", "\"properties\": {}, \"next-row-id\": 40")
+    server.createContext("/v1/namespaces/db/tables/v3t", (ex: HttpExchange) =>
+      ex.getRequestMethod match {
+        case "GET" => send(ex, 200, v3Json)
+        case _ =>
+          lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          send(ex, 200, v3Json)
+      })
+    val cat = new RestCatalog("r", s"http://localhost:$port", Map.empty)
+    TableWriter.appendFilesRest(cat, Seq("db", "v3t"), Seq(dataFile("f3")))
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastCommitBody)
+    val sn = body.get("updates").get(0).get("snapshot")
+    assert(sn.get("first-row-id").asLong() == 40L, sn)
+    assert(sn.get("summary").get("added-records").asText() == "2")
+    // the staged manifest list + manifest carry the stamped lineage
+    val manifests = graft.core.ManifestIO.readManifestList(
+      new java.io.FileInputStream(sn.get("manifest-list").asText()))
+    assert(manifests.head.firstRowId.contains(40L), manifests.head.firstRowId)
+    val entries = graft.core.ManifestIO.readManifestEntries(
+      new java.io.FileInputStream(manifests.head.path), manifests.head)
+    assert(entries.head.dataFile.firstRowId.contains(40L))
+  }
+
   test("409 on the data commit surfaces as CommitConflictError") {
     val cat = new RestCatalog("r", s"http://localhost:$port", Map.empty)
     val e = intercept[CommitConflictError] {
