@@ -100,6 +100,18 @@ object Expr {
                    else schema.findFieldByNameCaseInsensitive(p.term))
         .getOrElse(throw new IllegalArgumentException(
           s"could not bind reference '${p.term}', caseSensitive=$caseSensitive"))
+      // V3 geo columns: bounds are POINTS (x/y mins and maxes), not
+      // byte-comparable ranges, and no geo predicate algebra exists here —
+      // refuse VALUE predicates loudly instead of pruning wrongly on WKB
+      // byte comparisons (IsNull/NotNull stay: they only read null counts)
+      (field.fieldType, p.op) match {
+        case (_: GeometryT | _: GeographyT, OpIsNull | OpNotNull) =>
+        case (_: GeometryT | _: GeographyT, _) =>
+          throw new UnsupportedOperationException(
+            s"predicates on ${field.fieldType.repr} column '${field.name}' " +
+              "are not supported")
+        case _ =>
+      }
       p.op match {
         case OpIsNull if field.required => AlwaysFalse
         case OpNotNull if field.required => AlwaysTrue

@@ -74,6 +74,9 @@ object LiteralCodec {
       case DateT => need(4); DateLit(wrapLe(data).getInt)
       case TimeT => need(8); TimeLit(wrapLe(data).getLong)
       case TimestampT | TimestampTzT => need(8); TsLit(wrapLe(data).getLong)
+      // V3 ns timestamps: 8-byte LE long of nanos; surfaced as LongLit —
+      // the same ns-epoch-long representation the read path uses
+      case TimestampNsT | TimestampTzNsT => need(8); LongLit(wrapLe(data).getLong)
       case StringT => StrLit(new String(data, StandardCharsets.UTF_8))
       case BinaryT => BytesLit(data)
       case _: FixedT => FixedLit(data)
@@ -127,6 +130,8 @@ final case class LongLit(v: Long) extends Literal {
     case DateT => DateLit(v.toInt)
     case TimeT => TimeLit(v)
     case TimestampT | TimestampTzT => TsLit(v)
+    // ns timestamps compare as ns-epoch longs (identity representation)
+    case TimestampNsT | TimestampTzNsT => this
     case FloatT => FloatLit(v.toFloat)
     case DoubleT => DoubleLit(v.toDouble)
     case d: DecimalT => DecLit(BigInt(v) * BigInt(10).pow(d.scale), d.scale)

@@ -82,6 +82,19 @@ object SingleValueJson {
     case UnknownT =>
       throw new IllegalArgumentException(
         "the unknown type has no storable values (it reads as null)")
+    case TimestampNsT | TimestampTzNsT =>
+      require(node.isTextual,
+        s"${typ.repr} single-value must be a JSON string: $node")
+      // nanosecond precision — parsed at full resolution into a ns-epoch
+      // long (the same representation the read path surfaces)
+      val inst =
+        if (typ == TimestampTzNsT) java.time.OffsetDateTime.parse(node.asText()).toInstant
+        else LocalDateTime.parse(node.asText()).toInstant(ZoneOffset.UTC)
+      LongLit(Math.addExact(
+        Math.multiplyExact(inst.getEpochSecond, 1000000000L), inst.getNano))
+    case VariantT | _: GeometryT | _: GeographyT =>
+      throw new IllegalArgumentException(
+        s"default values for ${typ.repr} are not supported")
     case nested: NestedIcebergType =>
       throw new IllegalArgumentException(
         s"default values for nested types are not supported: ${nested.repr}")

@@ -40,6 +40,36 @@ case object BinaryT extends IcebergType { val repr = "binary" }
   * could not be determined at add time). Read-only here: every value is
   * null; writes refuse it at schema-conversion sites. */
 case object UnknownT extends IcebergType { val repr = "unknown" }
+/** V3 nanosecond timestamps. Spark has no nanosecond timestamp type, so
+  * these surface as LongType nanosecond-epoch values with a schema
+  * metadata marker (loud-and-documented, lossless) rather than a silent
+  * µs truncation. */
+case object TimestampNsT extends IcebergType { val repr = "timestamp_ns" }
+case object TimestampTzNsT extends IcebergType { val repr = "timestamptz_ns" }
+/** V3 `variant`: semi-structured value (binary metadata + value encoding).
+  * Surfaces through Spark's VariantType. */
+case object VariantT extends IcebergType { val repr = "variant" }
+/** V3 geospatial types. Values are WKB; Spark has no geo type, so they
+  * surface as BinaryType WKB bytes with a metadata marker, and PREDICATES
+  * on geo columns are refused at bind time (geo bounds are points, not
+  * byte-comparable ranges — pruning on them would be wrong). */
+final case class GeometryT(crs: String = GeoDefaults.Crs) extends IcebergType {
+  def repr: String =
+    if (crs == GeoDefaults.Crs) "geometry" else s"geometry($crs)"
+}
+final case class GeographyT(crs: String = GeoDefaults.Crs,
+                            algorithm: String = GeoDefaults.Algorithm)
+    extends IcebergType {
+  def repr: String =
+    if (crs == GeoDefaults.Crs && algorithm == GeoDefaults.Algorithm) "geography"
+    else if (algorithm == GeoDefaults.Algorithm) s"geography($crs)"
+    else s"geography($crs, $algorithm)"
+}
+object GeoDefaults {
+  /** Spec defaults: CRS `OGC:CRS84`, edge algorithm `spherical`. */
+  val Crs = "OGC:CRS84"
+  val Algorithm = "spherical"
+}
 final case class FixedT(len: Int) extends IcebergType { def repr = s"fixed[$len]" }
 final case class DecimalT(precision: Int, scale: Int) extends IcebergType {
   require(precision >= 1 && precision <= 38, s"decimal precision out of range: $precision")
@@ -92,6 +122,9 @@ final case class MapT(keyId: Int, key: IcebergType, valueId: Int,
 object IcebergTypeJson {
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val GeometryRe = """geometry\(\s*([^)]*?)\s*\)""".r
+  private val GeographyRe1 = """geography\(\s*([^,)]*?)\s*\)""".r
+  private val GeographyRe2 = """geography\(\s*([^,)]*?)\s*,\s*([^)]*?)\s*\)""".r
 
   def parse(node: JsonNode): IcebergType =
     if (node.isTextual) parsePrimitive(node.asText())
@@ -112,8 +145,16 @@ object IcebergTypeJson {
     case "uuid" => UuidT
     case "binary" => BinaryT
     case "unknown" => UnknownT
+    case "timestamp_ns" => TimestampNsT
+    case "timestamptz_ns" => TimestampTzNsT
+    case "variant" => VariantT
+    case "geometry" => GeometryT()
+    case "geography" => GeographyT()
     case FixedRe(n) => FixedT(n.toInt)
     case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
+    case GeometryRe(crs) => GeometryT(crs)
+    case GeographyRe2(crs, alg) => GeographyT(crs, alg)
+    case GeographyRe1(crs) => GeographyT(crs)
     case other => throw new IllegalArgumentException(s"unknown primitive type: $other")
   }
 

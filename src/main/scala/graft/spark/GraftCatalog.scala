@@ -333,6 +333,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case TimestampType => TimestampTzT
       case StringType => StringT
       case BinaryType => BinaryT
+      case VariantType => VariantT
       case d: DecimalType => DecimalT(d.precision, d.scale)
       case s: StructType => StructT(s.fields.toSeq.map(f =>
         NestedField(0, f.name, primitiveIceType(f.dataType),

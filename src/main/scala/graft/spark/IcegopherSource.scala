@@ -1091,7 +1091,10 @@ private[graft] object GraftReaders {
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    // V3 timestamp_ns columns are requested as LongType (ns-epoch); the
+    // reader accepts INT64/TIMESTAMP(NANOS) → LongType only under this
+    // flag. Micro-precision columns are unaffected by it.
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
     conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", footer.hasIds)
     // with id matching on, a requested id absent from the file means a
     // column ADDED after the file was written → nulls (correct evolution)

@@ -36,6 +36,15 @@ object SchemaConv {
     case BinaryT => BinaryType
     // V3 `unknown`: always-null placeholder — surfaces as a null column
     case UnknownT => NullType
+    // V3 nanosecond timestamps: Spark has no ns timestamp — surface as
+    // nanosecond-epoch longs (lossless, tagged in metadata) rather than a
+    // silent µs truncation
+    case TimestampNsT | TimestampTzNsT => LongType
+    // V3 variant: Spark 4 has a native VariantType
+    case VariantT => VariantType
+    // V3 geo: values are WKB — surface the bytes (tagged); predicates on
+    // geo columns are refused at bind time (Expressions)
+    case _: GeometryT | _: GeographyT => BinaryType
     case FixedT(_) => BinaryType
     case DecimalT(p, s) => DecimalType(p, s)
     case s: StructT => toSparkStruct(s)
@@ -48,7 +57,9 @@ object SchemaConv {
     StructType(s.fields.map { f =>
       val mb = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong)
       f.fieldType match {
-        case TimeT | UuidT | FixedT(_) => mb.putString(TypeTagKey, f.fieldType.repr)
+        case TimeT | UuidT | FixedT(_) | TimestampNsT | TimestampTzNsT |
+             _: GeometryT | _: GeographyT =>
+          mb.putString(TypeTagKey, f.fieldType.repr)
         case _ =>
       }
       f.doc.foreach(d => mb.putString("comment", d))
@@ -322,6 +333,7 @@ object SchemaConv {
     case TimestampType => Some(TimestampTzT)
     case StringType => Some(StringT)
     case BinaryType => Some(BinaryT)
+    case VariantType => Some(VariantT)
     case d: DecimalType => Some(DecimalT(d.precision, d.scale))
     case _ => None
   }
@@ -342,6 +354,7 @@ object SchemaConv {
       case TimestampType => TimestampTzT
       case StringType => StringT
       case BinaryType => BinaryT
+      case VariantType => VariantT
       case d: DecimalType => DecimalT(d.precision, d.scale)
       case a: ArrayType =>
         val id = alloc()

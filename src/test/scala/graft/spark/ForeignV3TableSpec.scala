@@ -119,6 +119,120 @@ class ForeignV3TableSpec extends AnyFunSuite {
     loc
   }
 
+  test("V3 type completeness: timestamp_ns / variant / geometry / geography") {
+    // metadata round-trip through RAW JSON (foreign serialization)
+    val json = """{"type": "struct", "schema-id": 0, "fields": [
+      {"id": 1, "name": "t1", "required": false, "type": "timestamp_ns"},
+      {"id": 2, "name": "t2", "required": false, "type": "timestamptz_ns"},
+      {"id": 3, "name": "doc", "required": false, "type": "variant"},
+      {"id": 4, "name": "shape", "required": false, "type": "geometry(EPSG:4326)"},
+      {"id": 5, "name": "region", "required": false,
+       "type": "geography(EPSG:4979, karney)"},
+      {"id": 6, "name": "simple", "required": false, "type": "geometry"}]}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = IcebergTypeJson.parse(mapper.readTree(json)).asInstanceOf[StructT]
+    assert(parsed.fields.map(_.fieldType.repr) == Seq("timestamp_ns",
+      "timestamptz_ns", "variant", "geometry(EPSG:4326)",
+      "geography(EPSG:4979, karney)", "geometry"))
+    assert(parsed.fieldById(4).get.fieldType == GeometryT("EPSG:4326"))
+    assert(parsed.fieldById(5).get.fieldType == GeographyT("EPSG:4979", "karney"))
+    assert(parsed.fieldById(6).get.fieldType == GeometryT())
+    // serialize back with OUR writer and reparse — stable
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    IcebergTypeJson.write(parsed, gen); gen.close()
+    assert(IcebergTypeJson.parse(mapper.readTree(sw.toString)) == parsed)
+  }
+
+  test("reads a foreign V3 table with timestamp_ns and geo columns") {
+    val loc = Files.createTempDirectory("foreign_v3_ns").toFile.getPath
+    val dataDir = new File(loc, "data"); dataDir.mkdirs()
+    val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+
+    // a parquet file with a REAL INT64/TIMESTAMP(NANOS) column, written the
+    // way a foreign ns-precision engine would (parquet example API — Spark
+    // itself cannot write nanos)
+    val dataFile: File = new File(dataDir, "ns-00000.parquet")
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType, Types => PTypes}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.example.data.simple.SimpleGroup
+      import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+      val msg: MessageType = PTypes.buildMessage()
+        .addField(PTypes.optional(PrimitiveTypeName.INT64).named("id"))
+        .addField(PTypes.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"): PType)
+        .named("row")
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(dataFile.getPath))
+        .withType(msg).build()
+      Seq((1L, 1700000000123456789L), (2L, 1700000001000000001L)).foreach {
+        case (id, ns) =>
+          val g = new SimpleGroup(msg)
+          g.add("id", id); g.add("ts", ns)
+          w.write(g)
+      }
+      w.close()
+    }
+
+    val entry = ManifestEntry(ManifestEntryStatus.Added, Some(9L),
+      Some(1L), Some(1L),
+      DataFileInfo(DataFileContent.Data, dataFile.getPath, "PARQUET",
+        Map.empty, 2L, dataFile.length(), Map.empty, Map.empty, Map.empty,
+        Map.empty, Map.empty, Map.empty, Nil, Nil, None))
+    val manifest = new File(metaDir, "ns-m0.avro")
+    ManifestIO.writeManifest(manifest, Seq(entry), StructT(Nil))
+    val listFile = new File(metaDir, "ns-snap.avro")
+    ManifestIO.writeManifestList(listFile, Seq(
+      ManifestFile(manifest.getPath, manifest.length(), 0, 0,
+        1L, 1L, 9L, 1, 0, 0, 2L, 0L, 0L, Nil, 2)))
+    java.nio.file.Files.writeString(
+      new File(metaDir, "v1.metadata.json").toPath, s"""{
+      "format-version": 3,
+      "table-uuid": "21111111-2222-3333-4444-555555555555",
+      "location": "$loc",
+      "last-sequence-number": 1, "last-updated-ms": 1700000000000,
+      "last-column-id": 4, "current-schema-id": 0,
+      "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": false, "type": "long"},
+        {"id": 2, "name": "ts", "required": false, "type": "timestamp_ns"},
+        {"id": 3, "name": "shape", "required": false, "type": "geometry"},
+        {"id": 4, "name": "region", "required": false, "type": "geography"}
+      ]}],
+      "default-spec-id": 0,
+      "partition-specs": [{"spec-id": 0, "fields": []}],
+      "default-sort-order-id": 0, "sort-orders": [{"order-id": 0, "fields": []}],
+      "properties": {}, "next-row-id": 0,
+      "current-snapshot-id": 9,
+      "snapshots": [{"snapshot-id": 9, "sequence-number": 1,
+        "timestamp-ms": 1700000000000, "manifest-list": "${listFile.getPath}",
+        "summary": {"operation": "append"}, "schema-id": 0}],
+      "snapshot-log": [], "metadata-log": [],
+      "refs": {"main": {"snapshot-id": 9, "type": "branch"}}
+    }""")
+
+    // ns values surface LOSSLESSLY as nanosecond-epoch longs; the geo
+    // columns (absent from the file) read null WKB bytes
+    val rows = spark.read.format("icegopher").load(loc)
+      .select("id", "ts", "shape").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(rows == Set((1L, 1700000000123456789L, true),
+      (2L, 1700000001000000001L, true)), rows)
+
+    // a VALUE predicate on a geo column is refused loudly (WKB byte
+    // comparison against point-encoded bounds would prune wrongly)...
+    val e = intercept[Exception] {
+      IcebergTables.load(loc).newScan(
+        UnboundPredicate(OpEq, "shape", Seq(BytesLit(Array[Byte](1))))).planFiles()
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+    // ...while ns-timestamp predicates work as plain long comparisons
+    val filtered = spark.read.format("icegopher").load(loc)
+      .filter(col("ts") > 1700000000500000000L).count()
+    assert(filtered == 1L)
+  }
+
   test("defaults + inherited lineage + DV compose on a foreign V3 table") {
     val loc = buildForeignTable()
     val t = IcebergTables.load(loc)
