@@ -54,6 +54,15 @@ final case class SnapshotRef(
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 final case class MetadataLogEntry(metadataFile: String, timestampMs: Long)
 
+/** One `statistics` entry (a Puffin file of sketch blobs, usually written
+  * by a foreign engine) and the blob index the table metadata carries for
+  * it. `fields` are Iceberg field ids; `properties` may carry the blob's
+  * pre-derived summary (e.g. `ndv` for theta sketches). */
+final case class StatsBlobMetadata(blobType: String, fields: Seq[Int],
+                                   properties: Map[String, String])
+final case class StatisticsFile(snapshotId: Long, path: String,
+                                blobs: Seq[StatsBlobMetadata])
+
 object TableMetadata {
   val MainBranch = "main"
   private val mapper = new ObjectMapper()
@@ -235,6 +244,35 @@ final case class TableMetadata(
     // read — preserved, not interpreted.
     statisticsJson: Option[String] = None,
     partitionStatisticsJson: Option[String] = None) {
+
+  /** Parsed view of the preserved `statistics` entries (the raw JSON still
+    * rides commits verbatim; this view is what the scan's NDV reporting
+    * reads). Malformed entries are skipped — statistics are advisory. */
+  lazy val statisticsFiles: Seq[StatisticsFile] =
+    statisticsJson.toSeq.flatMap { raw =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+        if (!root.isArray) Nil
+        else root.asScala.flatMap { n =>
+          for {
+            snap <- Option(n.get("snapshot-id")).filter(_.isIntegralNumber)
+            path <- Option(n.get("statistics-path")).filter(_.isTextual)
+          } yield StatisticsFile(snap.asLong(), path.asText(),
+            Option(n.get("blob-metadata")).filter(_.isArray).toSeq
+              .flatMap(_.asScala.flatMap { b =>
+                for (t <- Option(b.get("type")).filter(_.isTextual))
+                  yield StatsBlobMetadata(t.asText(),
+                    Option(b.get("fields")).filter(_.isArray).toSeq
+                      .flatMap(_.asScala.map(_.asInt())),
+                    Option(b.get("properties")).filter(_.isObject).map(p =>
+                      p.properties().asScala
+                        .map(e => e.getKey -> e.getValue.asText()).toMap)
+                      .getOrElse(Map.empty))
+              }))
+        }.toSeq
+      } catch { case _: Exception => Nil }
+    }
 
   def currentSchema: Schema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(

@@ -712,12 +712,62 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 
   /** Planned-file stats (SupportsReportStatistics): lets Spark's CBO size
-    * this relation from metadata — broadcast decisions without scanning. */
+    * this relation from metadata — broadcast decisions without scanning.
+    * Column NDVs come from preserved theta-sketch `statistics` (foreign
+    * engines' sketches included), feeding join-cardinality estimation
+    * under `spark.sql.cbo.enabled`. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(tasks.map(_.file.fileSizeInBytes).sum)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(tasks.map(_.file.recordCount).sum)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      TableStatistics.ndv(table, snapshotId).foreach { case (fieldId, n) =>
+        table.schema.findColumnName(fieldId).foreach { name =>
+          // null count from the planned files' manifest stats — Spark's
+          // join estimation engages only when BOTH distinctCount and
+          // nullCount are known (JoinEstimation.columnStatsWithCountsExist)
+          val nulls = tasks.map(_.file.nullValueCounts
+            .getOrElse(fieldId, 0L)).sum
+          // min/max from the manifests' per-file bounds: numeric join
+          // keys with no interval estimate to ZERO rows in Spark's
+          // ValueInterval logic, so the bounds are load-bearing
+          val ft = table.schema.findFieldById(fieldId).map(_.fieldType)
+          def bound(m: graft.core.DataFileInfo => Map[Int, Array[Byte]],
+                    takeFirst: Boolean): Option[Any] =
+            ft.flatMap { t =>
+              val lits: Seq[graft.core.Literal] = tasks.flatMap(task =>
+                m(task.file).get(fieldId).flatMap(b =>
+                  graft.core.LiteralCodec.fromBytes(t, b)))
+              lits.reduceOption { (a: graft.core.Literal, b: graft.core.Literal) =>
+                val c = graft.core.LiteralOrdering.compare(a, b)
+                  .getOrElse(return None)
+                if ((c <= 0) == takeFirst) a else b
+              }.map(l => SchemaConv.catalystDefault(t, l))
+            }
+          val minV = bound(_.lowerBounds, takeFirst = true)
+          val maxV = bound(_.upperBounds, takeFirst = false)
+          out.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                minV.map(_.asInstanceOf[Object]).map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                maxV.map(_.asInstanceOf[Object]).map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+      }
+      out
+    }
   }
 
   /** One InputPartition per row-group range: each file is split on its

@@ -24,7 +24,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "rewrite_deletion_vectors",
-    "cherrypick_snapshot",
+    "cherrypick_snapshot", "compute_table_stats",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index",
@@ -94,6 +94,21 @@ object GraftProcedures {
         val out = TableWriter.compact(table,
           org.apache.spark.sql.SparkSession.active, in.getInt(1), sortBy = cols)
         Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
+      }
+      case "compute_table_stats" => proc(name,
+        Seq("table" -> StringType, "columns" -> StringType),
+        StructType(Seq(
+          StructField("statistics_path", StringType, nullable = false),
+          StructField("columns_analyzed", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val (out, n) = TableWriter.computeTableStats(table,
+          org.apache.spark.sql.SparkSession.active, cols)
+        Array[Any](UTF8String.fromString(
+          out.metadata.statisticsFiles.find(
+            _.snapshotId == out.currentSnapshot.get.snapshotId)
+            .map(_.path).getOrElse("")), n)
       }
       case "remove_orphan_files" => proc(name,
         Seq("table" -> StringType, "older_than_ms" -> LongType),

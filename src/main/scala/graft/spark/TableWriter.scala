@@ -2698,6 +2698,145 @@ object TableWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compute per-column NDV statistics for the CURRENT snapshot and
+    * register them as a Puffin statistics file (theta sketch per column +
+    * the `ndv` blob property readers consult first). The scan's
+    * `SupportsReportStatistics` then feeds these to Spark's CBO — and any
+    * foreign engine reading the table gets them through the standard
+    * `statistics` metadata.
+    *
+    * Scale shape: TWO distributed passes, both bounded. Pass 1 is one
+    * aggregate row (approx NDV per column); pass 2 re-scans keeping only
+    * hashes under a per-column threshold chosen so ~2k survive per column
+    * (the KMV bottom-k construction: retain the k smallest hashes, theta =
+    * the (k+1)-th) — so driver memory is O(columns × k), never O(NDV).
+    *
+    * The sketch payload hashes with Spark's xxhash64 (not DataSketches'
+    * murmur3 family), so estimates decode correctly everywhere but
+    * cross-engine sketch MERGES are not supported; the `ndv` property is
+    * the authoritative summary. */
+  def computeTableStats(table: IcebergTable,
+                        spark: org.apache.spark.sql.SparkSession,
+                        columns: Seq[String] = Nil): (IcebergTable, Int) = {
+    val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+      "compute_table_stats: table has no snapshot"))
+    val eligible: IcebergType => Boolean = {
+      case _: NestedIcebergType | UnknownT | VariantT |
+           _: GeometryT | _: GeographyT => false
+      case _ => true
+    }
+    val targets: Seq[NestedField] =
+      if (columns.nonEmpty) columns.map(c =>
+        table.schema.findFieldByName(c).getOrElse(throw new IllegalArgumentException(
+          s"compute_table_stats: unknown column '$c'")))
+      else table.schema.fields.filter(f => eligible(f.fieldType))
+    require(targets.nonEmpty, "compute_table_stats: no eligible columns")
+    targets.foreach(f => require(eligible(f.fieldType),
+      s"compute_table_stats: ${f.fieldType.repr} column '${f.name}' not supported"))
+
+    val K = 2048
+    val df = table.newScan().toDF(spark).select(targets.map(f => col(f.name)): _*)
+    // pass 1: approximate NDV per column, one aggregate row
+    val approx = df.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(targets.head.name),
+      targets.tail.map(f =>
+        org.apache.spark.sql.functions.approx_count_distinct(f.name)): _*)
+      .collect()(0)
+    val approxNdv = targets.indices.map(i => math.max(1L, approx.getLong(i)))
+    // pass 2: per column keep hashes below a threshold sized for ~2K
+    // survivors (all of them when NDV is small) — bounded driver collect
+    val thresholds = approxNdv.map { nd =>
+      if (nd <= 2L * K) Long.MaxValue
+      else {
+        val t = (BigInt(Long.MaxValue) * (2L * K) / nd).toLong
+        math.max(1L, t)
+      }
+    }
+    val pairCols = targets.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(i).as("ci"),
+        org.apache.spark.sql.functions.when(col(f.name).isNotNull,
+          org.apache.spark.sql.functions.shiftrightunsigned(
+            org.apache.spark.sql.functions.xxhash64(col(f.name)), 1))
+          .as("h"))
+    }
+    val collected = df
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(pairCols: _*)).as("e"))
+      .filter(col("e.h").isNotNull)
+      .select(col("e.ci"), col("e.h"))
+      .filter(targets.indices.map(i =>
+        col("ci") === i && col("h") < thresholds(i)).reduce(_ || _))
+      .distinct()
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+
+    // per column: exact sketch when everything survived under MaxValue;
+    // else KMV — k smallest retained, theta = the (k+1)-th (or the pass-2
+    // threshold when fewer than k+1 survived)
+    val blobs = targets.zipWithIndex.map { case (f, i) =>
+      val hs = collected.getOrElse(i, Array.empty[Long]).toSeq
+      val (retained, theta) =
+        if (thresholds(i) == Long.MaxValue && hs.size <= K) (hs, None)
+        else if (hs.size > K) (hs.take(K), Some(hs(K)))
+        else (hs, Some(thresholds(i)))
+      val bytes = ThetaSketch.compactSketchBytes(retained, theta)
+      val ndv = math.round(ThetaSketch.estimate(bytes))
+      (bytes, f.id, ndv)
+    }
+
+    val puffin = new File(new File(table.location, "metadata"),
+      s"stats-${snap.snapshotId}-${System.nanoTime()}.puffin")
+    val metas = Puffin.write(puffin.getPath, blobs.map { case (bytes, id, ndv) =>
+      (bytes, Puffin.BlobMetadata(graft.spark.TableStatistics.ThetaBlobType,
+        Seq(id), snap.snapshotId, snap.sequenceNumber, 0L, 0L,
+        Map("ndv" -> ndv.toString)))
+    })
+    val footerSize = puffin.length() - (metas.last.offset + metas.last.length)
+
+    // register: replace any existing entry for THIS snapshot, keep others
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    table.metadata.statisticsFiles.filterNot(_.snapshotId == snap.snapshotId)
+      .foreach { sf =>
+        // carry foreign entries through verbatim-equivalent JSON
+        val n = arr.addObject()
+        n.put("snapshot-id", sf.snapshotId)
+        n.put("statistics-path", sf.path)
+        n.put("file-size-in-bytes", 0L)
+        n.put("file-footer-size-in-bytes", 0L)
+        val bs = n.putArray("blob-metadata")
+        sf.blobs.foreach { b =>
+          val bn = bs.addObject()
+          bn.put("type", b.blobType)
+          bn.put("snapshot-id", sf.snapshotId)
+          bn.put("sequence-number", 1L)
+          val fs = bn.putArray("fields"); b.fields.foreach(fs.add)
+          val ps = bn.putObject("properties")
+          b.properties.foreach { case (k, v) => ps.put(k, v); () }
+        }
+      }
+    val entry = arr.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", puffin.getPath)
+    entry.put("file-size-in-bytes", puffin.length())
+    entry.put("file-footer-size-in-bytes", footerSize)
+    val bmArr = entry.putArray("blob-metadata")
+    blobs.zip(metas).foreach { case ((_, id, ndv), m) =>
+      val bn = bmArr.addObject()
+      bn.put("type", graft.spark.TableStatistics.ThetaBlobType)
+      bn.put("snapshot-id", snap.snapshotId)
+      bn.put("sequence-number", snap.sequenceNumber)
+      bn.putArray("fields").add(id)
+      bn.putObject("properties").put("ndv", ndv.toString)
+      ()
+    }
+    writeMetadata(table.location, table.metadata.copy(
+      statisticsJson = Some(mapper.writeValueAsString(arr))),
+      table.loadedVersion + 1)
+    (IcebergTables.load(table.location), targets.size)
+  }
+
   private def writeMetadata(location: String, md: TableMetadata, version: Int): Unit = {
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
     val tmp = new File(metaDir, s".v$version.metadata.json.tmp-${System.nanoTime()}")
