@@ -658,6 +658,59 @@ object IcebergOps {
          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** ice16 on FORMAT-VERSION 3: the same SQL MERGE + non-pushable DELETE,
+    * but the table is V3, so the delta commits land their tombstones as
+    * Puffin DELETION VECTORS (MorRowLevelOps routes V3 → commitDeltaDv;
+    * the fixture asserts a DV is really in the manifests), and the final
+    * `CALL compact` exercises the LINEAGE-PRESERVING rewrite (materialized
+    * `_row_id` columns) with the result still hash-matched against the
+    * oracle. One entry drives: V3 upgrade DDL → MoR DV write → DV-aware
+    * scan → id-preserving compaction → clean read. */
+  def ice22MorDmlV3(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_morv3"
+    s.conf.set("spark.sql.catalog.graftv", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftv.warehouse", wh)
+    provisionOnce(new File(wh)) {
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableWriter.create(src.filter(col("o_orderkey") % 3 === 0),
+        s"$wh/vdb/orders_v3",
+        properties = Map(
+          "write.merge.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read",
+          "write.delete.mode" -> "merge-on-read"))
+      s.sql("ALTER TABLE graftv.vdb.orders_v3 SET TBLPROPERTIES ('format-version'='3')")
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .createOrReplaceTempView("ice22_changes")
+      s.sql(
+        """MERGE INTO graftv.vdb.orders_v3 t
+           USING ice22_changes c ON t.o_orderkey = c.o_orderkey
+           WHEN MATCHED THEN UPDATE SET
+             t.o_orderstatus = c.o_orderstatus, t.o_totalprice = c.o_totalprice
+           WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("DELETE FROM graftv.vdb.orders_v3 WHERE o_orderkey % 10 = 6")
+      // loud guard: the V3 DML really produced deletion vectors
+      val t = IcebergTables.load(s"$wh/vdb/orders_v3")
+      require(t.metadata.formatVersion == 3, "ice22: table must be V3")
+      require(t.newScan().planFiles()
+        .exists(_.deleteFiles.exists(_.isDeletionVector)),
+        "ice22: expected Puffin deletion vectors in the scan")
+      s.sql("CALL graftv.system.compact('vdb.orders_v3', 4)")
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM graftv.vdb.orders_v3
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  // def: ice16Sql is initialized later in this object (same oracle — the
+  // DML semantics are identical; only the delete/rewrite encoding differs)
+  def ice22Sql: String = ice16Sql
+
   /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
     * merges land as ONE equality-tombstone + append snapshot each, with
     * ZERO scans of the target (positional MERGE must read the target to
