@@ -18,9 +18,10 @@ class ManifestScaleSpec extends AnyFunSuite {
 
   private val ManifestCount = 1200
 
-  /** Build the fixture: 1200 single-entry data manifests over one shared
+  /** Build the fixture: `count` single-entry data manifests over one shared
     * parquet file, stats stamped so half the manifests are prunable. */
-  private def build(): String = {
+  private def build(count: Int = ManifestCount,
+                    entriesPer: Int = 1): String = {
     val s = spark
     import s.implicits._
     val loc = Files.createTempDirectory("manifest_scale").toFile.getPath
@@ -32,7 +33,7 @@ class ManifestScaleSpec extends AnyFunSuite {
       .flatMap(m => ManifestIO.readManifestEntries(seed.io.open(m.path), m))
       .head
     val metaDir = new File(loc, "metadata")
-    val manifests = (0 until ManifestCount).map { i =>
+    val manifests = (0 until count).map { i =>
       // half the manifests claim id bounds [1000+i, 1000+i] → a filter on
       // id = 1 prunes them by file stats; the other half keep the real
       // file's bounds
@@ -44,8 +45,10 @@ class ManifestScaleSpec extends AnyFunSuite {
         2 -> dataEntry.dataFile.upperBounds.getOrElse(2, Array[Byte](0)))
       val e = dataEntry.copy(dataFile = dataEntry.dataFile.copy(
         lowerBounds = bounds, upperBounds = upper))
+      val es = (0 until entriesPer).map(j => e.copy(dataFile =
+        e.dataFile.copy(path = e.dataFile.path + f"#$j")))
       val mf = new File(metaDir, f"stress-manifest-$i%05d.avro")
-      ManifestIO.writeManifest(mf, Seq(e), StructT(Nil))
+      ManifestIO.writeManifest(mf, es, StructT(Nil))
       ManifestFile(mf.getPath, mf.length(), 0, 0,
         sequenceNumber = snap.sequenceNumber,
         minSequenceNumber = snap.sequenceNumber,
@@ -84,5 +87,37 @@ class ManifestScaleSpec extends AnyFunSuite {
     val driverTasks = t2.newScan(Expr.equalTo("id", LongLit(1L))).planFiles()
     assert(driverTasks.size == tasks.size)
     assert(tasks.map(_.manifestPath).sorted == driverTasks.map(_.manifestPath).sorted)
+  }
+
+  /** Plan-latency measurement at 10⁴ manifests (the scale the distributed
+    * path exists for). Env-gated — run explicitly with
+    * `SPARK_GRAFT_SCALE_MEASURE=1 sbt "testOnly *ManifestScaleSpec*"`;
+    * results are recorded in SCALE.md. Parity is asserted either way. */
+  test("MEASURE: 10k-manifest plan latency, distributed vs driver") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE_MEASURE"))
+    val n = 10000
+    val entriesPer = sys.env.get("SPARK_GRAFT_SCALE_ENTRIES")
+      .flatMap(_.toIntOption).getOrElse(1)
+    val loc = build(n, entriesPer)
+    val t = IcebergTables.load(loc)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths once (JIT + footer caches), then measure two runs
+    val filter = Expr.equalTo("id", LongLit(1L))
+    val tDrv = TableWriter.updateProperties(t,
+      Map(DistributedPlanner.ThresholdProp -> Int.MaxValue.toString))
+    t.newScan(filter).planFiles(); tDrv.newScan(filter).planFiles()
+    val (distTasks, distSec) = timed(t.newScan(filter).planFiles())
+    val (drvTasks, drvSec) = timed(tDrv.newScan(filter).planFiles())
+    val (distSec2) = timed(t.newScan(filter).planFiles())._2
+    val (drvSec2) = timed(tDrv.newScan(filter).planFiles())._2
+    assert(distTasks.size == n / 2 * entriesPer &&
+      drvTasks.size == n / 2 * entriesPer)
+    info(f"distributed: $distSec%.2f s / $distSec2%.2f s; " +
+      f"driver: $drvSec%.2f s / $drvSec2%.2f s ($n manifests)")
+    println(f"MEASURE 10k plan: distributed $distSec%.2f/$distSec2%.2f s, " +
+      f"driver $drvSec%.2f/$drvSec2%.2f s")
   }
 }
