@@ -41,9 +41,27 @@ final class GraftRowLevelOperation(location: String,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"icegopher $cmd $location [copy-on-write]"
 
-  override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
+  /** `_file` groups the rewrite; on V3 tables the row-lineage metadata
+    * columns ride along too, so the replacement files MATERIALIZE each
+    * carried row's `_row_id`/`_last_updated_sequence_number` (the spec's
+    * id-preserving rewrite) instead of re-identifying every row. */
+  private lazy val v3Lineage: Boolean = {
+    val md = IcebergTables.load(location).metadata
+    md.formatVersion >= 3 &&
+      !md.currentSchema.fields.exists(f =>
+        f.name == GraftReaders.RowIdCol || f.name == GraftReaders.LastUpdatedSeqCol)
+  }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = {
+    val base = Array(org.apache.spark.sql.connector.expressions.Expressions
       .column(GraftReaders.FileCol))
+    if (!v3Lineage) base
+    else base ++ Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftReaders.RowIdCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftReaders.LastUpdatedSeqCol))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val table = IcebergTables.load(location)
@@ -71,7 +89,17 @@ final class GraftRowLevelOperation(location: String,
             require(capturedScan != null, "row-level write before scan was planned")
             (capturedScan.scannedFilePaths, capturedScan.scannedVersion,
               capturedScan.scannedManifestPaths)
-          })
+          },
+          withLineage = v3Lineage,
+          // Spark's If-shaped rewrite delivers the SCAN's metadata for
+          // modified rows too, so a materialized _last_updated_sequence_
+          // number would keep the OLD value on rows this commit changed —
+          // a seq-keyed incremental consumer would MISS the update. For
+          // UPDATE/MERGE only _row_id materializes; _last falls back to
+          // the rewritten file's data sequence number (file-granular
+          // updated-seq, the safe over-approximation). DELETE rewrites
+          // carry provably-unmodified rows, so both fields materialize.
+          withLastUpdated = cmd == RowLevelOperation.Command.DELETE)
     }
 }
 
@@ -81,7 +109,9 @@ final class GraftRowLevelOperation(location: String,
   * scan read (CommitConflictException on concurrent commits — a MoR
   * delete landing mid-rewrite would otherwise be silently undone). */
 final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
-                                  replacedFiles: () => (Seq[String], Int, Set[String]))
+                                  replacedFiles: () => (Seq[String], Int, Set[String]),
+                                  withLineage: Boolean = false,
+                                  withLastUpdated: Boolean = true)
     extends Write with BatchWrite {
 
   private val writeDir =
@@ -97,13 +127,27 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
       PartFieldSpec(src.name, pf.transform.repr, pf.name)
     }
+    // V3 lineage: physical trailing columns under the spec's reserved ids;
+    // metadata arrives as (_file, _row_id, _last_updated_sequence_number)
+    // — the declaration order of requiredMetadataAttributes
+    val fullSchema =
+      if (!withLineage) writeSchema
+      else StructType(writeSchema.fields ++ (
+        StructField(GraftReaders.RowIdCol, LongType, nullable = true) +:
+        (if (withLastUpdated)
+          Seq(StructField(GraftReaders.LastUpdatedSeqCol, LongType,
+            nullable = true))
+        else Nil)))
     GraftCowWriterFactory(writeDir.getPath,
-      GraftCowWriterFactory.withParquetIds(writeSchema, table.schema).json, partFields,
-      GraftCowWriterFactory.floatFieldsOf(table.schema, writeSchema),
+      GraftCowWriterFactory.withParquetIds(fullSchema, table.schema).json, partFields,
+      GraftCowWriterFactory.floatFieldsOf(table.schema, fullSchema),
       GraftCowWriterFactory.parquetPropsOf(
         org.apache.spark.sql.SparkSession.active, table.properties),
       GraftCowWriterFactory.targetFileBytes(table.properties),
-      maxOpenFiles = GraftCowWriterFactory.maxOpenFilesOf(table.properties))
+      maxOpenFiles = GraftCowWriterFactory.maxOpenFilesOf(table.properties),
+      lineageMetaOrds =
+        if (!withLineage) Nil
+        else if (withLastUpdated) Seq(1, 2) else Seq(1))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -144,12 +188,19 @@ final case class GraftCowWriterFactory(dir: String, schemaJson: String,
                                        targetFileBytes: Long = Long.MaxValue,
                                        format: String = "PARQUET",
                                        maxOpenFiles: Int =
-                                         GraftCowWriterFactory.DefaultMaxOpenFiles)
+                                         GraftCowWriterFactory.DefaultMaxOpenFiles,
+                                       // V3 CoW lineage: ordinals of
+                                       // (_row_id, _last_updated_sequence_
+                                       // number) in the METADATA row Spark
+                                       // hands write(meta, row); when set,
+                                       // `schemaJson` already carries the
+                                       // two trailing long columns
+                                       lineageMetaOrds: Seq[Int] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCowDataWriter(dir, partitionId, taskId,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partFields, floatFields,
-      parquetProps, targetFileBytes, format, maxOpenFiles)
+      parquetProps, targetFileBytes, format, maxOpenFiles, lineageMetaOrds)
 }
 
 object GraftCowWriterFactory {
@@ -278,7 +329,8 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
                                targetFileBytes: Long = Long.MaxValue,
                                format: String = "PARQUET",
                                maxOpenFiles: Int =
-                                 GraftCowWriterFactory.DefaultMaxOpenFiles)
+                                 GraftCowWriterFactory.DefaultMaxOpenFiles,
+                               lineageMetaOrds: Seq[Int] = Nil)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -423,6 +475,31 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
   }
 
   private[spark] def openSinks: Int = sinks.size
+
+  /** V3 CoW lineage: Spark's group-based rewrite delivers the scan's
+    * metadata row alongside each data row (DataAndMetadataWritingSparkTask
+    * → write(meta, row)); the requested `_row_id` /
+    * `_last_updated_sequence_number` values are MATERIALIZED as the
+    * trailing columns of the write schema — null metadata (rows the
+    * rewrite MODIFIED, or pre-lineage files) stays null and readers fall
+    * back to the new file's fresh first_row_id + position, exactly the
+    * spec's assignment for updated/unassigned rows. */
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    if (lineageMetaOrds.isEmpty) write(row)
+    else {
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(lineageMetaOrds.length)
+      var i = 0
+      while (i < lineageMetaOrds.length) {
+        val mo = lineageMetaOrds(i)
+        if (mo < meta.numFields && !meta.isNullAt(mo))
+          extra.setLong(i, meta.getLong(mo))
+        else extra.setNullAt(i)
+        i += 1
+      }
+      write(new org.apache.spark.sql.catalyst.expressions
+        .JoinedRow(row, extra): InternalRow)
+    }
 
   override def write(row: InternalRow): Unit = {
     val partition = partitionOf(row)
