@@ -63,6 +63,11 @@ final case class StatsBlobMetadata(blobType: String, fields: Seq[Int],
 final case class StatisticsFile(snapshotId: Long, path: String,
                                 blobs: Seq[StatsBlobMetadata])
 
+/** One `partition-statistics` entry: a spec-schema parquet file of
+  * per-partition rollups for a snapshot. */
+final case class PartitionStatisticsFile(snapshotId: Long, path: String,
+                                         fileSizeInBytes: Long)
+
 object TableMetadata {
   val MainBranch = "main"
   private val mapper = new ObjectMapper()
@@ -270,6 +275,24 @@ final case class TableMetadata(
                         .map(e => e.getKey -> e.getValue.asText()).toMap)
                       .getOrElse(Map.empty))
               }))
+        }.toSeq
+      } catch { case _: Exception => Nil }
+    }
+
+  /** Parsed view of `partition-statistics` entries (spec: snapshot-id,
+    * statistics-path, file-size-in-bytes). Malformed entries skipped. */
+  lazy val partitionStatisticsFiles: Seq[PartitionStatisticsFile] =
+    partitionStatisticsJson.toSeq.flatMap { raw =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+        if (!root.isArray) Nil
+        else root.asScala.flatMap { n =>
+          for {
+            snap <- Option(n.get("snapshot-id")).filter(_.isIntegralNumber)
+            path <- Option(n.get("statistics-path")).filter(_.isTextual)
+          } yield PartitionStatisticsFile(snap.asLong(), path.asText(),
+            Option(n.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L))
         }.toSeq
       } catch { case _: Exception => Nil }
     }

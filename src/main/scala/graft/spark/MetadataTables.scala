@@ -29,7 +29,8 @@ object MetadataTables {
   val Names: Set[String] =
     Set("snapshots", "history", "refs", "files", "manifests", "partitions",
       "entries", "all_files", "all_manifests", "all_entries",
-      "metadata_log_entries", "position_deletes", "delete_files")
+      "metadata_log_entries", "position_deletes", "delete_files",
+      "partition_statistics")
 
   def build(table: IcebergTable, kind: String): Table = {
     if (kind == "files") return buildFiles(table)
@@ -43,6 +44,14 @@ object MetadataTables {
     if (kind == "all_manifests") return new AllManifestsTable(table)
     def s(v: String): Any = UTF8String.fromString(v)
     val (schema, rows): (StructType, Seq[Array[Any]]) = kind match {
+      // registered partition-statistics files (spec parquet; read the
+      // per-partition content with spark.read.parquet(statistics_path))
+      case "partition_statistics" => (StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("statistics_path", StringType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false))),
+        table.metadata.partitionStatisticsFiles.map(f =>
+          Array[Any](f.snapshotId, s(f.path), f.fileSizeInBytes)))
       case "snapshots" => (StructType(Seq(
           StructField("snapshot_id", LongType, nullable = false),
           StructField("parent_id", LongType),

@@ -24,7 +24,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "rewrite_deletion_vectors",
-    "cherrypick_snapshot", "compute_table_stats",
+    "cherrypick_snapshot", "compute_table_stats", "compute_partition_stats",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index",
@@ -107,6 +107,19 @@ object GraftProcedures {
           org.apache.spark.sql.SparkSession.active, cols)
         Array[Any](UTF8String.fromString(
           out.metadata.statisticsFiles.find(
+            _.snapshotId == out.currentSnapshot.get.snapshotId)
+            .map(_.path).getOrElse("")), n)
+      }
+      case "compute_partition_stats" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(
+          StructField("statistics_path", StringType, nullable = false),
+          StructField("partitions", IntegerType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (out, n) = TableWriter.computePartitionStats(table,
+          org.apache.spark.sql.SparkSession.active)
+        Array[Any](UTF8String.fromString(
+          out.metadata.partitionStatisticsFiles.find(
             _.snapshotId == out.currentSnapshot.get.snapshotId)
             .map(_.path).getOrElse("")), n)
       }

@@ -2698,6 +2698,167 @@ object TableWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compute the spec's PARTITION STATISTICS file for the current
+    * snapshot and register it under `partition-statistics`: one row per
+    * partition tuple with the data/delete file and record rollups, in the
+    * spec's parquet schema (field ids 1-12; `partition` = the UNIFIED
+    * tuple struct across all partition specs). Foreign engines read the
+    * registered file directly; `SELECT * FROM db.t.partition_statistics`
+    * serves it back here.
+    *
+    * Scale shape: manifests decode with the planner's parallel readers
+    * and STREAM into an O(partitions) aggregation map — entry rows are
+    * never retained. The output is O(partitions) by definition (it IS the
+    * stats file), written once as a single parquet. */
+  def computePartitionStats(table: IcebergTable,
+                            spark: org.apache.spark.sql.SparkSession)
+      : (IcebergTable, Int) = {
+    val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+      "compute_partition_stats: table has no snapshot"))
+    val md = table.metadata
+    // unified partition tuple: every field of every spec, by field id
+    val unified: Seq[(PartitionField, graft.core.IcebergType)] =
+      md.partitionSpecs.flatMap(sp => sp.partitionType(md.currentSchema).fields
+          .zip(sp.fields).map { case (nf, pf) => (pf, nf.fieldType) })
+        .groupBy(_._1.fieldId).toSeq.sortBy(_._1).map(_._2.head)
+
+    final case class Agg(var dataRecords: Long = 0L, var dataFiles: Int = 0,
+                         var dataBytes: Long = 0L,
+                         var posDelRecords: Long = 0L, var posDelFiles: Int = 0,
+                         var eqDelRecords: Long = 0L, var eqDelFiles: Int = 0,
+                         var lastSnap: Long = 0L, var lastMs: Long = 0L,
+                         var specId: Int = 0)
+    val byPartition = scala.collection.mutable.LinkedHashMap[Seq[Any], Agg]()
+    val snapTs: Map[Long, Long] =
+      md.snapshots.map(s0 => s0.snapshotId -> s0.timestampMs).toMap
+    val manifests = ManifestIO.readManifestList(table.io.open(snap.manifestList))
+    val decoded = {
+      import scala.collection.parallel.CollectionConverters._
+      manifests.par.map(m =>
+        m -> ManifestIO.readManifestEntries(table.io.open(m.path), m)).seq
+    }
+    // pass 1 (data entries) builds path → tuple so DELETE entries that
+    // reference a data file (V3 DVs) attribute to ITS partition; delete
+    // files without a reference or tuple land on the null tuple (honest:
+    // they may span partitions)
+    val partOfPath = scala.collection.mutable.HashMap[String, Seq[Any]]()
+    decoded.foreach { case (_, entries) =>
+      entries.foreach { e =>
+        if (e.dataFile.content == DataFileContent.Data)
+          partOfPath(e.dataFile.path) = unified.map { case (pf, _) =>
+            e.dataFile.partition.get(pf.name).orNull }
+      }
+    }
+    decoded.foreach { case (m, entries) =>
+      entries.filter(_.status != ManifestEntryStatus.Deleted).foreach { e =>
+        val key: Seq[Any] =
+          if (e.dataFile.content == DataFileContent.Data)
+            unified.map { case (pf, _) =>
+              e.dataFile.partition.get(pf.name).orNull }
+          else e.dataFile.referencedDataFile.flatMap(partOfPath.get)
+            .orElse(Some(unified.map { case (pf, _) =>
+              e.dataFile.partition.get(pf.name).orNull })
+              .filter(_.exists(_ != null)))
+            .getOrElse(unified.map(_ => null))
+        val a = byPartition.getOrElseUpdate(key, Agg())
+        a.specId = math.max(a.specId, m.partitionSpecId)
+        e.dataFile.content match {
+          case DataFileContent.Data =>
+            a.dataRecords += e.dataFile.recordCount
+            a.dataFiles += 1
+            a.dataBytes += e.dataFile.fileSizeInBytes
+          case DataFileContent.PositionDeletes =>
+            a.posDelRecords += e.dataFile.recordCount
+            a.posDelFiles += 1
+          case DataFileContent.EqualityDeletes =>
+            a.eqDelRecords += e.dataFile.recordCount
+            a.eqDelFiles += 1
+          case _ =>
+        }
+        e.snapshotId.foreach { sid =>
+          val ts = snapTs.getOrElse(sid, 0L)
+          if (ts >= a.lastMs) { a.lastMs = ts; a.lastSnap = sid }
+        }
+      }
+    }
+
+    // the spec's schema, parquet field ids stamped (partition children
+    // keep their partition-field ids)
+    import org.apache.spark.sql.types._
+    def idMeta(id: Int) = new MetadataBuilder()
+      .putLong(GraftCowWriterFactory.ParquetFieldIdKey, id.toLong).build()
+    val partStruct = StructType(unified.map { case (pf, t) =>
+      StructField(pf.name, SchemaConv.toSparkType(t), nullable = true,
+        metadata = idMeta(pf.fieldId))
+    })
+    val schema = StructType(Seq(
+      StructField("partition", partStruct, nullable = false, idMeta(1)),
+      StructField("spec_id", IntegerType, nullable = false, idMeta(2)),
+      StructField("data_record_count", LongType, nullable = false, idMeta(3)),
+      StructField("data_file_count", IntegerType, nullable = false, idMeta(4)),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false,
+        idMeta(5)),
+      StructField("position_delete_record_count", LongType, nullable = true,
+        idMeta(6)),
+      StructField("position_delete_file_count", IntegerType, nullable = true,
+        idMeta(7)),
+      StructField("equality_delete_record_count", LongType, nullable = true,
+        idMeta(8)),
+      StructField("equality_delete_file_count", IntegerType, nullable = true,
+        idMeta(9)),
+      StructField("total_record_count", LongType, nullable = true, idMeta(10)),
+      StructField("last_updated_at", LongType, nullable = true, idMeta(11)),
+      StructField("last_updated_snapshot_id", LongType, nullable = true,
+        idMeta(12))))
+    val rows = byPartition.toSeq.map { case (key, a) =>
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(key.map {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other
+        }: _*),
+        a.specId,
+        a.dataRecords, a.dataFiles, a.dataBytes,
+        a.posDelRecords, a.posDelFiles, a.eqDelRecords, a.eqDelFiles,
+        // total_record_count is "records after applying deletes" — exact
+        // only when the partition carries no delete files; else unknown
+        (if (a.posDelFiles == 0 && a.eqDelFiles == 0) a.dataRecords else null)
+          : Any,
+        if (a.lastMs == 0) null else a.lastMs,
+        if (a.lastSnap == 0) null else a.lastSnap)
+    }
+    val stage = Files.createTempDirectory("pstats").toFile
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage.getPath)
+    val src = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new File(new File(table.location, "metadata"),
+      s"partition-stats-${snap.snapshotId}-${System.nanoTime()}.parquet")
+    Files.move(src.toPath, dest.toPath)
+    stage.listFiles().foreach(_.delete()); stage.delete()
+
+    // register: replace any entry for THIS snapshot, keep others
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    md.partitionStatisticsJson.foreach { raw =>
+      val prev = mapper.readTree(raw)
+      if (prev.isArray) prev.forEach { n =>
+        val sid = Option(n.get("snapshot-id")).map(_.asLong())
+        if (!sid.contains(snap.snapshotId))
+          arr.add(n): Unit
+      }
+    }
+    val entry = arr.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", dest.getPath)
+    entry.put("file-size-in-bytes", dest.length())
+    writeMetadata(table.location, md.copy(
+      partitionStatisticsJson = Some(mapper.writeValueAsString(arr))),
+      table.loadedVersion + 1)
+    (IcebergTables.load(table.location), rows.size)
+  }
+
   /** Compute per-column NDV statistics for the CURRENT snapshot and
     * register them as a Puffin statistics file (theta sketch per column +
     * the `ndv` blob property readers consult first). The scan's
