@@ -711,6 +711,34 @@ object IcebergOps {
   // DML semantics are identical; only the delete/rewrite encoding differs)
   def ice22Sql: String = ice16Sql
 
+  /** Partition statistics through the ORACLE: `compute_partition_stats`
+    * writes the spec's per-partition rollup parquet and registers it; the
+    * entry reads the REGISTERED FILE back and the oracle recomputes the
+    * same rollup relationally from the raw source — a hash match proves
+    * the manifest-walk aggregation, the spec-schema file, and the
+    * registration agree with ground truth. */
+  def ice23PartitionStats(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_pstats", d) { loc =>
+      val t = TableWriter.create(
+        Tables.events(s, d).select("event_id", "event_type", "value"), loc,
+        partitionBy = Seq("event_type" -> graft.core.IdentityTransform))
+      TableWriter.computePartitionStats(t, s)._1
+    }
+    val reg = table.metadata.partitionStatisticsFiles
+      .find(_.snapshotId == table.currentSnapshot.get.snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        "ice23: partition statistics not registered"))
+    s.read.parquet(reg.path)
+      .selectExpr("partition.event_type AS event_type",
+        "data_record_count", "total_record_count")
+      .orderBy("event_type")
+  }
+
+  val ice23Sql: String =
+    """SELECT event_type, COUNT(*) AS data_record_count,
+              COUNT(*) AS total_record_count
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
     * merges land as ONE equality-tombstone + append snapshot each, with
     * ZERO scans of the target (positional MERGE must read the target to
