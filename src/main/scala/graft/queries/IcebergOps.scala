@@ -739,6 +739,97 @@ object IcebergOps {
               COUNT(*) AS total_record_count
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** V3 `variant` through the ORACLE: documents are re-encoded as variant
+    * payloads (Spark's binary metadata+value pair), written through the SQL
+    * catalog into a V3 table, and read back through the DSv2 scan with
+    * `variant_get` path extraction — the oracle recomputes the same rollup
+    * from the RAW source columns, so a hash match proves the variant
+    * encode → parquet write → scan → path-extract round trip is lossless.
+    * At 100 TB variant is the schema-flexible ingest column: one typed
+    * binary column instead of a sparse thousand-column struct, with path
+    * extraction still codegen'd per row (no JSON string re-parse). */
+  def ice24Variant(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_var"
+    s.conf.set("spark.sql.catalog.graftj", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftj.warehouse", wh)
+    provisionOnce(new File(wh)) {
+      s.sql("CREATE TABLE graftj.jdb.docs_var (doc_id BIGINT, payload VARIANT)")
+      Tables.documents(s, d).createOrReplaceTempView("ice24_src")
+      s.sql(
+        """INSERT INTO graftj.jdb.docs_var
+           SELECT doc_id, parse_json(to_json(named_struct(
+             'lang', lang, 'src', source, 'n', n_chars)))
+           FROM ice24_src""")
+      // loud guard: the table's Iceberg metadata really records `variant`
+      val t = IcebergTables.load(s"$wh/jdb/docs_var")
+      require(t.schema.struct.fields.exists(_.fieldType == VariantT),
+        "ice24: expected a variant column in the Iceberg schema")
+    }
+    s.sql(
+      """SELECT variant_get(payload, '$.lang', 'string') AS lang,
+                variant_get(payload, '$.src', 'string') AS source,
+                COUNT(*) AS n,
+                SUM(variant_get(payload, '$.n', 'bigint')) AS sum_chars
+         FROM graftj.jdb.docs_var
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  val ice24Sql: String =
+    """SELECT lang, source, COUNT(*) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  /** Write-audit-publish through the ORACLE: base data is committed to
+    * main, new rows STAGE on a branch under `spark.wap.branch` (SQL
+    * INSERT → [[TableWriter.appendToBranch]]; main is bit-identical until
+    * publish — guarded by reading `VERSION AS OF 'main'` mid-stage), the
+    * audit read sees the staged union, and `CALL fast_forward` publishes.
+    * The oracle composes base ∪ staged relationally, so the hash match
+    * proves staging/publish moved exactly the audited rows and nothing
+    * else. At 100 TB this is the ingest safety gate: bad batches are
+    * audited on a branch and dropped without ever being visible to
+    * production readers. */
+  def ice25Wap(s: SparkSession, d: String): DataFrame = {
+    val wh = s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/warehouse_wap"
+    s.conf.set("spark.sql.catalog.graftw", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+    provisionOnce(new File(wh)) {
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableWriter.create(src.filter(col("o_orderkey") % 3 === 0),
+        s"$wh/wdb/orders_wap")
+      val before = s.sql("SELECT COUNT(*) AS n FROM graftw.wdb.orders_wap")
+        .head().getLong(0)
+      src.filter(col("o_orderkey") % 3 === 1)
+        .createOrReplaceTempView("ice25_staged")
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql("INSERT INTO graftw.wdb.orders_wap SELECT * FROM ice25_staged")
+        // audit: staged read grew; published state did not
+        val audit = s.sql("SELECT COUNT(*) AS n FROM graftw.wdb.orders_wap")
+          .head().getLong(0)
+        val main = s.sql(
+          "SELECT COUNT(*) AS n FROM graftw.wdb.orders_wap VERSION AS OF 'main'")
+          .head().getLong(0)
+        require(audit > before && main == before,
+          s"ice25: WAP isolation broken (before=$before audit=$audit main=$main)")
+      } finally s.conf.unset("spark.wap.branch")
+      s.sql("CALL graftw.system.fast_forward('wdb.orders_wap', 'audit')")
+      ()
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM graftw.wdb.orders_wap
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val ice25Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
     * merges land as ONE equality-tombstone + append snapshot each, with
     * ZERO scans of the target (positional MERGE must read the target to

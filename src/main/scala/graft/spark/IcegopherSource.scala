@@ -63,6 +63,22 @@ class IcegopherSource extends TableProvider
       readChanges = "true".equalsIgnoreCase(properties.get("read-changes")))
 }
 
+object GraftSparkTable {
+  /** Iceberg's write-audit-publish session conf: while `spark.wap.branch`
+    * is set, SQL INSERTs STAGE on that branch (main and its readers are
+    * untouched) and un-pinned reads resolve to the branch head, so audit
+    * queries see the staged state. Publish with
+    * `CALL <cat>.system.fast_forward(t, branch)` (or `cherrypick_snapshot`
+    * when main has moved). `"main"`/empty = conf unset. Resolved at plan
+    * time on the driver; absent/driverless contexts read it as unset. */
+  private[spark] def wapBranch: Option[String] =
+    try Option(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.wap.branch", null))
+      .map(_.trim).filter(_.nonEmpty)
+      .filter(_ != graft.core.TableMetadata.MainBranch)
+    catch { case _: Exception => None }
+}
+
 /** `pinnedSnapshotId` is set by the catalog's time-travel hooks
   * (`VERSION AS OF` / `TIMESTAMP AS OF`): the scan is pinned to that
   * snapshot and the table reports the SNAPSHOT's schema, so old reads
@@ -87,6 +103,15 @@ final class GraftSparkTable(table: IcebergTable,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      // row-level DML commits (CoW swap / MoR delta) target main; running
+      // one while a WAP stage is active would bypass the audit gate the
+      // user just asked for — refuse loudly instead of committing to main
+      GraftSparkTable.wapBranch.foreach { b =>
+        throw new UnsupportedOperationException(
+          s"spark.wap.branch='$b' is set: UPDATE/DELETE/MERGE are not " +
+            "stageable on a branch — publish (fast_forward) or unset " +
+            "spark.wap.branch first")
+      }
       val modeProp = info.command() match {
         case DELETE => "write.delete.mode"
         case UPDATE => "write.update.mode"
@@ -151,6 +176,11 @@ final class GraftSparkTable(table: IcebergTable,
     filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    GraftSparkTable.wapBranch.foreach { b =>
+      throw new UnsupportedOperationException(
+        s"spark.wap.branch='$b' is set: DELETE is not stageable on a " +
+          "branch — publish (fast_forward) or unset spark.wap.branch first")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val current = IcebergTables.load(table.location)
     equalityDeleteKeys(filters) match {
@@ -314,8 +344,21 @@ final class GraftSparkTable(table: IcebergTable,
                   }
               }
               val df = alignToTable(data, current)
-              if (overwrite) TableWriter.overwrite(current, df)
-              else TableWriter.append(current, df)
+              GraftSparkTable.wapBranch match {
+                case Some(b) =>
+                  // WAP: only plain appends can stage — an overwrite's
+                  // REPLACE semantics on a branch would publish silently
+                  // on fast-forward without ever being auditable as a
+                  // diff, so refuse loudly rather than guess
+                  if (overwrite) throw new UnsupportedOperationException(
+                    s"spark.wap.branch='$b' is set: INSERT OVERWRITE/" +
+                      "truncate cannot be staged on a branch (unset " +
+                      "spark.wap.branch, or publish and rewrite on main)")
+                  TableWriter.appendToBranch(current, df, b)
+                case None =>
+                  if (overwrite) TableWriter.overwrite(current, df)
+                  else TableWriter.append(current, df)
+              }
               ()
             }
           override def toStreaming
@@ -413,10 +456,24 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     aggResult.isDefined
   }
 
-  private def snapshotPins: (Option[Long], Option[String], Option[Long]) =
-    (Option(options.get("snapshot-id")).map(_.toLong).orElse(pinnedSnapshotId),
-      Option(options.get("branch")),
-      Option(options.get("as-of-timestamp-ms")).map(_.toLong))
+  private def snapshotPins: (Option[Long], Option[String], Option[Long]) = {
+    val explicit =
+      (Option(options.get("snapshot-id")).map(_.toLong).orElse(pinnedSnapshotId),
+        Option(options.get("branch")),
+        Option(options.get("as-of-timestamp-ms")).map(_.toLong))
+    explicit match {
+      // WAP audit reads: an un-pinned scan under `spark.wap.branch`
+      // resolves to the staging branch IF the table has one (no staged
+      // commit yet → main, matching Iceberg); any explicit pin
+      // (VERSION/TIMESTAMP AS OF, .option) wins, so `VERSION AS OF 'main'`
+      // still reads the published state during an audit
+      case (None, None, None) =>
+        (None,
+          GraftSparkTable.wapBranch.filter(table.metadata.refs.contains),
+          None)
+      case e => e
+    }
+  }
 
   private def metadataAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)

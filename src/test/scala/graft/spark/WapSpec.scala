@@ -1,0 +1,92 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish through the SQL surface: with `spark.wap.branch`
+  * set, INSERT stages on the branch (main untouched), un-pinned reads
+  * audit the staged state, `VERSION AS OF 'main'` still reads published
+  * state, and `CALL fast_forward` publishes. Overwrites and row-level DML
+  * refuse loudly while a stage is active (they would bypass the audit
+  * gate by committing straight to main). */
+class WapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withWap[A](branch: String)(body: => A): A = {
+    spark.conf.set("spark.wap.branch", branch)
+    try body finally spark.conf.unset("spark.wap.branch")
+  }
+
+  test("stage on branch, audit, publish via fast_forward") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wap").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwap", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwap.warehouse", wh)
+    s.sql("CREATE TABLE gwap.db.t (id BIGINT, v STRING)")
+    s.sql("INSERT INTO gwap.db.t VALUES (1, 'a'), (2, 'b')")
+
+    withWap("audit") {
+      // no branch yet: un-pinned reads fall back to main
+      assert(s.sql("SELECT count(*) FROM gwap.db.t").head().getLong(0) == 2)
+      s.sql("INSERT INTO gwap.db.t VALUES (3, 'c'), (4, 'd')")
+      // audit read sees the staged rows...
+      assert(s.sql("SELECT count(*) FROM gwap.db.t").head().getLong(0) == 4)
+      // ...main is untouched, and still explicitly reachable
+      assert(s.sql("SELECT count(*) FROM gwap.db.t VERSION AS OF 'main'")
+        .head().getLong(0) == 2)
+      val t = IcebergTables.load(s"$wh/db/t")
+      assert(t.metadata.refs.contains("audit"))
+      assert(t.newScan().planFiles().map(_.file.recordCount).sum == 2,
+        "main scan must not see staged files")
+    }
+    // conf unset: back to published state
+    assert(s.sql("SELECT count(*) FROM gwap.db.t").head().getLong(0) == 2)
+
+    s.sql("CALL gwap.system.fast_forward('db.t', 'audit')")
+    assert(s.sql("SELECT count(*) FROM gwap.db.t").head().getLong(0) == 4)
+  }
+
+  test("overwrite and row-level DML refuse while a stage is active") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wap2").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwap2", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwap2.warehouse", wh)
+    s.sql("CREATE TABLE gwap2.db.t (id BIGINT, v STRING)")
+    s.sql("INSERT INTO gwap2.db.t VALUES (1, 'a')")
+
+    withWap("audit") {
+      val e1 = intercept[Exception] {
+        s.sql("INSERT OVERWRITE gwap2.db.t VALUES (9, 'z')")
+      }
+      assert(e1.getMessage.contains("spark.wap.branch") ||
+        Option(e1.getCause).exists(_.getMessage.contains("spark.wap.branch")))
+      val e2 = intercept[Exception] {
+        s.sql("UPDATE gwap2.db.t SET v = 'q' WHERE id % 7 = 1")
+      }
+      assert(e2.getMessage.contains("spark.wap.branch") ||
+        Option(e2.getCause).exists(_.getMessage.contains("spark.wap.branch")))
+      val e3 = intercept[Exception] {
+        s.sql("DELETE FROM gwap2.db.t WHERE id = 1")
+      }
+      assert(e3.getMessage.contains("spark.wap.branch") ||
+        Option(e3.getCause).exists(_.getMessage.contains("spark.wap.branch")))
+    }
+    // nothing leaked to main
+    assert(s.sql("SELECT count(*) FROM gwap2.db.t").head().getLong(0) == 1)
+  }
+
+  test("'main' or empty wap branch behaves as unset") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wap3").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwap3", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwap3.warehouse", wh)
+    s.sql("CREATE TABLE gwap3.db.t (id BIGINT)")
+    withWap("main") {
+      s.sql("INSERT INTO gwap3.db.t VALUES (1)")
+    }
+    // the insert published directly to main
+    assert(s.sql("SELECT count(*) FROM gwap3.db.t").head().getLong(0) == 1)
+    assert(!IcebergTables.load(s"$wh/db/t").metadata.refs.contains(""))
+  }
+}
