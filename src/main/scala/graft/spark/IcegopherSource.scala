@@ -77,6 +77,22 @@ object GraftSparkTable {
       .map(_.trim).filter(_.nonEmpty)
       .filter(_ != graft.core.TableMetadata.MainBranch)
     catch { case _: Exception => None }
+
+  /** The other WAP flavor: `spark.wap.id` stage-commits (snapshot outside
+    * every ref's lineage, audited by snapshot id, published via
+    * `CALL cherrypick_snapshot`). Iceberg-matching: the id only takes
+    * effect on tables with `write.wap.enabled=true` — a fleet-wide conf
+    * must not silently change commit semantics for tables that never
+    * opted into stage-commit auditing. */
+  private[spark] def wapId: Option[String] =
+    try Option(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.wap.id", null))
+      .map(_.trim).filter(_.nonEmpty)
+    catch { case _: Exception => None }
+
+  private[spark] def wapStageId(table: IcebergTable): Option[String] =
+    wapId.filter(_ =>
+      table.properties.get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
 }
 
 /** `pinnedSnapshotId` is set by the catalog's time-travel hooks
@@ -119,7 +135,15 @@ final class GraftSparkTable(table: IcebergTable,
       }
       // re-read properties at operation build: the mode may have been set
       // by an ALTER TABLE after this Table handle was resolved
-      val mor = IcebergTables.load(table.location).properties
+      val fresh = IcebergTables.load(table.location)
+      GraftSparkTable.wapStageId(fresh).foreach { id =>
+        throw new UnsupportedOperationException(
+          s"spark.wap.id='$id' is set and this table has " +
+            "write.wap.enabled: UPDATE/DELETE/MERGE cannot be " +
+            "stage-committed — publish (cherrypick_snapshot) or unset " +
+            "spark.wap.id first")
+      }
+      val mor = fresh.properties
         .get(modeProp).exists(_.equalsIgnoreCase("merge-on-read"))
       if (mor) new GraftDeltaRowLevelOperation(table.location, info.command())
       else new GraftRowLevelOperation(table.location, info.command())
@@ -183,6 +207,12 @@ final class GraftSparkTable(table: IcebergTable,
     }
     val spark = org.apache.spark.sql.SparkSession.active
     val current = IcebergTables.load(table.location)
+    GraftSparkTable.wapStageId(current).foreach { id =>
+      throw new UnsupportedOperationException(
+        s"spark.wap.id='$id' is set and this table has write.wap.enabled: " +
+          "DELETE cannot be stage-committed — publish (cherrypick_snapshot) " +
+          "or unset spark.wap.id first")
+    }
     equalityDeleteKeys(filters) match {
       case Some((cols, rows)) =>
         val full = SchemaConv.toSparkSchema(current.schema)
@@ -344,18 +374,31 @@ final class GraftSparkTable(table: IcebergTable,
                   }
               }
               val df = alignToTable(data, current)
-              GraftSparkTable.wapBranch match {
-                case Some(b) =>
-                  // WAP: only plain appends can stage — an overwrite's
-                  // REPLACE semantics on a branch would publish silently
-                  // on fast-forward without ever being auditable as a
-                  // diff, so refuse loudly rather than guess
+              (GraftSparkTable.wapStageId(current), GraftSparkTable.wapBranch) match {
+                case (Some(id), Some(b)) =>
+                  throw new UnsupportedOperationException(
+                    s"both spark.wap.id='$id' and spark.wap.branch='$b' " +
+                      "are set — choose one WAP flavor (stage-commit or " +
+                      "branch staging)")
+                case (Some(id), None) =>
+                  // WAP stage-commit: only plain appends can stage — an
+                  // overwrite's REPLACE semantics can't be re-applied at
+                  // publish (cherrypick refuses non-append snapshots)
+                  if (overwrite) throw new UnsupportedOperationException(
+                    s"spark.wap.id='$id' is set and this table has " +
+                      "write.wap.enabled: INSERT OVERWRITE/truncate cannot " +
+                      "be staged (unset spark.wap.id, or rewrite on main)")
+                  TableWriter.stageWapAppend(current, df, id)
+                case (None, Some(b)) =>
+                  // WAP branch staging: same append-only rule — an
+                  // overwrite on a branch would publish silently on
+                  // fast-forward without ever being auditable as a diff
                   if (overwrite) throw new UnsupportedOperationException(
                     s"spark.wap.branch='$b' is set: INSERT OVERWRITE/" +
                       "truncate cannot be staged on a branch (unset " +
                       "spark.wap.branch, or publish and rewrite on main)")
                   TableWriter.appendToBranch(current, df, b)
-                case None =>
+                case (None, None) =>
                   if (overwrite) TableWriter.overwrite(current, df)
                   else TableWriter.append(current, df)
               }

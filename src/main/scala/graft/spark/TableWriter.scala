@@ -2137,6 +2137,43 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** Stage-commit WAP (Iceberg's `spark.wap.id` flavor): append `df` as a
+    * snapshot OUTSIDE every ref's lineage — it forks from the current main
+    * head and its summary carries `wap.id`, but NO ref moves, so every
+    * reader (main, branches, tags) is untouched. Audit via
+    * `VERSION AS OF <snapshot_id>` or the snapshots metadata table
+    * filtered on `wap.id`; publish with [[cherrypickSnapshot]], which
+    * re-commits the staged files at the then-current head (so publish
+    * works whether or not main moved — unlike a branch fast-forward).
+    * A wap id that was already staged or published is refused (Iceberg's
+    * duplicate-WAP guard). Staged-and-never-published snapshots age out
+    * through [[expireSnapshots]] like any unreferenced snapshot. */
+  def stageWapAppend(table: IcebergTable, df: DataFrame,
+                     wapId: String): IcebergTable = {
+    require(wapId.trim.nonEmpty, "wap id must be non-empty")
+    val md = table.metadata
+    val dup = md.snapshots.find(_.summary.exists(s =>
+      s.properties.get("wap.id").contains(wapId) ||
+        s.properties.get("published-wap-id").contains(wapId)))
+    require(dup.isEmpty,
+      s"wap.id '$wapId' was already staged or published " +
+        s"(snapshot ${dup.map(_.snapshotId).getOrElse(-1L)})")
+    val snapId0 = System.nanoTime()
+    val dataDir = new File(table.location, s"data/snap-$snapId0")
+    val outs = writeDistributed(df, dataDir, table.schema, table.spec,
+      table.properties, SortOrder.unsorted, preClustered = false)
+    val snapshot = stageAppendSnapshot(table, outs, Map("wap.id" -> wapId))
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = snapshot.sequenceNumber,
+      lastUpdatedMs = snapshot.timestampMs,
+      snapshots = md.snapshots :+ snapshot,
+      // deliberately NO ref / current-snapshot / snapshot-log change: the
+      // stage is invisible until cherrypickSnapshot publishes it
+      nextRowId = nextRowIdAfter(md, snapshot)),
+      table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
   /** Publish a branch: fast-forward `toRef` onto main. Requires main's
     * head to be an ancestor of the branch head (pure fast-forward — no
     * merge semantics), which also makes the move safe for readers: every
@@ -2249,7 +2286,11 @@ object TableWriter {
       Some(SnapshotSummary(OpAppend, Map(
         "source-snapshot-id" -> snapshotId.toString,
         "added-data-files" -> newManifests.map(_.addedFilesCount).sum.toString,
-        "added-records" -> newManifests.map(_.addedRowsCount).sum.toString))),
+        "added-records" -> newManifests.map(_.addedRowsCount).sum.toString)
+        // publishing a WAP stage stamps its id, so the duplicate-WAP
+        // guard holds even after the staged snapshot itself is expired
+        ++ snap.summary.flatMap(_.properties.get("wap.id"))
+          .map("published-wap-id" -> _))),
       Some(table.schema.schemaId))
     writeMetadata(table.location, md.copy(
       lastSequenceNumber = seq, lastUpdatedMs = now,

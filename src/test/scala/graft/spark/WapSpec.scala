@@ -76,6 +76,91 @@ class WapSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM gwap2.db.t").head().getLong(0) == 1)
   }
 
+  private def withWapId[A](id: String)(body: => A): A = {
+    spark.conf.set("spark.wap.id", id)
+    try body finally spark.conf.unset("spark.wap.id")
+  }
+
+  test("wap.id stage-commit: snapshot outside lineage, publish via cherrypick") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wapid").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwid", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwid.warehouse", wh)
+    s.sql("CREATE TABLE gwid.db.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    s.sql("INSERT INTO gwid.db.t VALUES (1, 'a')")
+
+    withWapId("batch-7") {
+      s.sql("INSERT INTO gwid.db.t VALUES (2, 'b'), (3, 'c')")
+    }
+    // main untouched — the stage is invisible without a pin
+    assert(s.sql("SELECT count(*) FROM gwid.db.t").head().getLong(0) == 1)
+    val t = IcebergTables.load(s"$wh/db/t")
+    val staged = t.metadata.snapshots.find(
+      _.summary.exists(_.properties.get("wap.id").contains("batch-7")))
+    assert(staged.isDefined, "expected a staged snapshot carrying wap.id")
+    assert(!t.metadata.currentSnapshotId.contains(staged.get.snapshotId))
+    // audit by snapshot id
+    assert(s.sql(
+      s"SELECT count(*) FROM gwid.db.t VERSION AS OF ${staged.get.snapshotId}")
+      .head().getLong(0) == 3)
+
+    // duplicate stage with the same id is refused
+    withWapId("batch-7") {
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO gwid.db.t VALUES (9, 'z')")
+      }
+      assert(e.getMessage.contains("batch-7") ||
+        Option(e.getCause).exists(_.getMessage.contains("batch-7")))
+    }
+
+    // publish; the new main snapshot stamps published-wap-id
+    s.sql(s"CALL gwid.system.cherrypick_snapshot('db.t', ${staged.get.snapshotId})")
+    assert(s.sql("SELECT count(*) FROM gwid.db.t").head().getLong(0) == 3)
+    val t2 = IcebergTables.load(s"$wh/db/t")
+    assert(t2.currentSnapshot.exists(_.summary.exists(
+      _.properties.get("published-wap-id").contains("batch-7"))))
+
+    // ...and a re-stage of a PUBLISHED id is also refused
+    withWapId("batch-7") {
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO gwid.db.t VALUES (9, 'z')")
+      }
+      assert(e.getMessage.contains("batch-7") ||
+        Option(e.getCause).exists(_.getMessage.contains("batch-7")))
+    }
+  }
+
+  test("wap.id without write.wap.enabled commits normally (Iceberg-matching)") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wapid2").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwid2", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwid2.warehouse", wh)
+    s.sql("CREATE TABLE gwid2.db.t (id BIGINT)")
+    withWapId("whatever") {
+      s.sql("INSERT INTO gwid2.db.t VALUES (1)")
+    }
+    assert(s.sql("SELECT count(*) FROM gwid2.db.t").head().getLong(0) == 1)
+  }
+
+  test("wap.id and wap.branch together are refused on a wap-enabled table") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_wapid3").toFile.getPath
+    s.conf.set("spark.sql.catalog.gwid3", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gwid3.warehouse", wh)
+    s.sql("CREATE TABLE gwid3.db.t (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    withWapId("x") {
+      withWap("audit") {
+        val e = intercept[Exception] {
+          s.sql("INSERT INTO gwid3.db.t VALUES (1)")
+        }
+        assert(e.getMessage.contains("WAP flavor") ||
+          Option(e.getCause).exists(_.getMessage.contains("WAP flavor")))
+      }
+    }
+  }
+
   test("'main' or empty wap branch behaves as unset") {
     val s = spark
     val wh = Files.createTempDirectory("graft_wap3").toFile.getPath
