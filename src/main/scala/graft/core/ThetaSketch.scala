@@ -29,6 +29,38 @@ object ThetaSketch {
   private val FlagOrdered = 1 << 4
   private val FlagReadOnly = 1 << 1
 
+  /** DataSketches' default update seed — readers validate the preamble's
+    * seedHash (bytes 6-7) against the hash of THEIR seed and reject a
+    * mismatch, so written sketches must stamp it (zero never matches:
+    * computeSeedHash itself rejects seeds hashing to 0). */
+  private val DefaultUpdateSeed = 9001L
+
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
+  /** DataSketches `computeSeedHash`: low 16 bits of MurmurHash3 x64-128
+    * (Appleby's public algorithm) over the seed as a single long, hash
+    * seed 0. */
+  private[graft] def seedHash(seed: Long): Short = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = 0L; var h2 = 0L
+    var k1 = seed
+    k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2
+    h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L // total length in bytes
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    val sh = (h1 & 0xffffL).toShort
+    require(sh != 0, s"seed $seed hashes to 0 (DataSketches would reject it)")
+    sh
+  }
+
   /** Distinct-value estimate of a serialized compact theta sketch. */
   def estimate(bytes: Array[Byte]): Double = {
     require(bytes.length >= 8, s"theta sketch too short: ${bytes.length} bytes")
@@ -66,6 +98,7 @@ object ThetaSketch {
       val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       bb.put(0, 1.toByte); bb.put(1, 3.toByte); bb.put(2, 3.toByte)
       bb.put(5, (FlagEmpty | FlagCompact | FlagOrdered | FlagReadOnly).toByte)
+      bb.putShort(6, seedHash(DefaultUpdateSeed))
       return bb.array()
     }
     val preLongs = if (theta.isEmpty) 2 else 3
@@ -73,6 +106,7 @@ object ThetaSketch {
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(0, preLongs.toByte); bb.put(1, 3.toByte); bb.put(2, 3.toByte)
     bb.put(5, (FlagCompact | FlagOrdered | FlagReadOnly).toByte)
+    bb.putShort(6, seedHash(DefaultUpdateSeed))
     bb.putInt(8, sorted.size)
     if (preLongs == 3) bb.putLong(16, theta.get)
     sorted.zipWithIndex.foreach { case (h, i) =>

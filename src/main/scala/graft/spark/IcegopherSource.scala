@@ -71,7 +71,7 @@ object GraftSparkTable {
     * `CALL <cat>.system.fast_forward(t, branch)` (or `cherrypick_snapshot`
     * when main has moved). `"main"`/empty = conf unset. Resolved at plan
     * time on the driver; absent/driverless contexts read it as unset. */
-  private[spark] def wapBranch: Option[String] =
+  private[graft] def wapBranch: Option[String] =
     try Option(org.apache.spark.sql.SparkSession.active.conf
         .get("spark.wap.branch", null))
       .map(_.trim).filter(_.nonEmpty)
@@ -84,13 +84,13 @@ object GraftSparkTable {
     * effect on tables with `write.wap.enabled=true` — a fleet-wide conf
     * must not silently change commit semantics for tables that never
     * opted into stage-commit auditing. */
-  private[spark] def wapId: Option[String] =
+  private[graft] def wapId: Option[String] =
     try Option(org.apache.spark.sql.SparkSession.active.conf
         .get("spark.wap.id", null))
       .map(_.trim).filter(_.nonEmpty)
     catch { case _: Exception => None }
 
-  private[spark] def wapStageId(table: IcebergTable): Option[String] =
+  private[graft] def wapStageId(table: IcebergTable): Option[String] =
     wapId.filter(_ =>
       table.properties.get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
 }
@@ -823,6 +823,12 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       java.util.OptionalLong.of(tasks.map(_.file.recordCount).sum)
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      // decoding per-file bounds over 10^5 files × many columns is real
+      // driver work — compute once per planned file set (re-planned tasks
+      // after runtime filtering get a fresh map; `eq` catches that)
+      val t = tasks
+      val cached = colStatsCache
+      if (cached != null && (cached._1 eq t)) return cached._2
       val out = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       TableStatistics.ndv(table, snapshotId).foreach { case (fieldId, n) =>
@@ -866,9 +872,14 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
             })
         }
       }
+      colStatsCache = (t, out)
       out
     }
   }
+
+  @volatile private var colStatsCache: (Seq[FileScanTask],
+    java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]) = _
 
   /** One InputPartition per row-group range: each file is split on its
     * stored `splitOffsets`, adjacent row groups coalesced up to

@@ -2086,21 +2086,43 @@ object TableWriter {
   /** Append an APPEND snapshot from already-written data files (the
     * streaming sink's per-epoch commit) to a local-FS CAS table. */
   def appendFiles(location: String, added: Seq[graft.spark.CowFileOut],
-                  extraSummary: Map[String, String] = Map.empty): IcebergTable = {
+                  extraSummary: Map[String, String] = Map.empty,
+                  branch: Option[String] = None): IcebergTable = {
     val table = IcebergTables.load(location)
     val md = table.metadata
-    val snapshot = stageAppendSnapshot(table, added, extraSummary)
-    writeMetadata(location, md.copy(
-      lastSequenceNumber = snapshot.sequenceNumber,
-      lastUpdatedMs = snapshot.timestampMs,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapshot.snapshotId),
-      snapshotLog = md.snapshotLog :+
-        SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapshot.snapshotId, BranchRef)),
-      nextRowId = nextRowIdAfter(md, snapshot)),
-      table.loadedVersion + 1)
+    branch.filter(_ != TableMetadata.MainBranch) match {
+      case Some(b) =>
+        // staged append (WAP): parent at the branch head, only the branch
+        // ref moves — main / snapshot log / current are published state
+        val parent = md.refs.get(b) match {
+          case Some(r) =>
+            require(r.refType == BranchRef, s"ref '$b' is a tag, not a branch")
+            md.snapshotById(r.snapshotId)
+          case None => table.currentSnapshot
+        }
+        val snapshot = stageAppendSnapshot(table,
+          added, extraSummary + ("branch" -> b), parentOverride = parent)
+        writeMetadata(location, md.copy(
+          lastSequenceNumber = snapshot.sequenceNumber,
+          lastUpdatedMs = snapshot.timestampMs,
+          snapshots = md.snapshots :+ snapshot,
+          refs = md.refs + (b -> SnapshotRef(snapshot.snapshotId, BranchRef)),
+          nextRowId = nextRowIdAfter(md, snapshot)),
+          table.loadedVersion + 1)
+      case None =>
+        val snapshot = stageAppendSnapshot(table, added, extraSummary)
+        writeMetadata(location, md.copy(
+          lastSequenceNumber = snapshot.sequenceNumber,
+          lastUpdatedMs = snapshot.timestampMs,
+          snapshots = md.snapshots :+ snapshot,
+          currentSnapshotId = Some(snapshot.snapshotId),
+          snapshotLog = md.snapshotLog :+
+            SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
+          refs = md.refs + (TableMetadata.MainBranch ->
+            SnapshotRef(snapshot.snapshotId, BranchRef)),
+          nextRowId = nextRowIdAfter(md, snapshot)),
+          table.loadedVersion + 1)
+    }
     IcebergTables.load(location)
   }
 
@@ -2374,7 +2396,7 @@ object TableWriter {
     // server advances next-row-id past the added rows. Commit conflicts
     // surface as 409 → the caller reloads and re-stages (re-assignment).
     val snapshot = stageAppendSnapshot(table, added, extraSummary)
-    catalog.commitTable(identifier,
+    val committed = catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
@@ -2382,6 +2404,21 @@ object TableWriter {
       Seq(graft.catalog.AddSnapshot(snapshot),
         graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
           snapshot.snapshotId)))
+    // a server whose update applier ignores AddSnapshot's first-row-id
+    // would hand the SAME base to the next commit — duplicate _row_id is
+    // silent corruption for every incremental consumer, so fail loudly
+    // here instead
+    snapshot.firstRowId.foreach { base =>
+      val stampedPast = base + added.map(_.rows).sum
+      val serverNext = committed.metadata.nextRowId.getOrElse(0L)
+      require(serverNext >= stampedPast,
+        s"REST catalog did not advance next-row-id past this commit's rows " +
+          s"(stamped first-row-id $base + ${stampedPast - base} rows, server " +
+          s"next-row-id $serverNext): the server does not apply " +
+          "AddSnapshot row lineage — refusing to continue with duplicate " +
+          "_row_id assignment")
+    }
+    committed
   }
 
   /** Create a branch or tag pointing at a snapshot. */
@@ -2763,12 +2800,61 @@ object TableWriter {
           .zip(sp.fields).map { case (nf, pf) => (pf, nf.fieldType) })
         .groupBy(_._1.fieldId).toSeq.sortBy(_._1).map(_._2.head)
 
+    // manifest partition values are raw Avro decodes (Integer days for
+    // dates, Long micros for timestamps, unscaled big-endian bytes for
+    // decimals) — convert to the EXTERNAL value the row schema declares.
+    // Byte-typed values wrap in ByteBuffer so the aggregation key groups
+    // by CONTENT (arrays have identity equality); unwrapped at row build.
+    def extVal(v: Any, t: graft.core.IcebergType): Any = v match {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => extVal(u.toString, t)
+      case f: org.apache.avro.generic.GenericData.Fixed => extVal(f.bytes(), t)
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        extVal(a, t)
+      case other => t match {
+        case DateT => other match {
+          case i: java.lang.Integer =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue))
+          case x => x
+        }
+        case TimestampTzT => other match {
+          case l: java.lang.Long =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(l)
+          case x => x
+        }
+        case TimestampT => other match {
+          case l: java.lang.Long =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .microsToLocalDateTime(l)
+          case x => x
+        }
+        case DecimalT(_, s) => other match {
+          case a: Array[Byte] =>
+            new java.math.BigDecimal(new java.math.BigInteger(a), s)
+          case x => x
+        }
+        case UuidT => other match {
+          case a: Array[Byte] if a.length == 16 =>
+            val b = java.nio.ByteBuffer.wrap(a)
+            new java.util.UUID(b.getLong, b.getLong).toString
+          case x => x
+        }
+        case _ => other match {
+          case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+          case x => x
+        }
+      }
+    }
+    def tupleOf(p: Map[String, Any]): Seq[Any] =
+      unified.map { case (pf, t) => extVal(p.get(pf.name).orNull, t) }
+
     final case class Agg(var dataRecords: Long = 0L, var dataFiles: Int = 0,
                          var dataBytes: Long = 0L,
                          var posDelRecords: Long = 0L, var posDelFiles: Int = 0,
                          var eqDelRecords: Long = 0L, var eqDelFiles: Int = 0,
                          var lastSnap: Long = 0L, var lastMs: Long = 0L,
-                         var specId: Int = 0)
+                         var specId: Int = 0, var specSeq: Long = -1L)
     val byPartition = scala.collection.mutable.LinkedHashMap[Seq[Any], Agg]()
     val snapTs: Map[Long, Long] =
       md.snapshots.map(s0 => s0.snapshotId -> s0.timestampMs).toMap
@@ -2786,23 +2872,28 @@ object TableWriter {
     decoded.foreach { case (_, entries) =>
       entries.foreach { e =>
         if (e.dataFile.content == DataFileContent.Data)
-          partOfPath(e.dataFile.path) = unified.map { case (pf, _) =>
-            e.dataFile.partition.get(pf.name).orNull }
+          partOfPath(e.dataFile.path) = tupleOf(e.dataFile.partition)
       }
     }
     decoded.foreach { case (m, entries) =>
       entries.filter(_.status != ManifestEntryStatus.Deleted).foreach { e =>
         val key: Seq[Any] =
           if (e.dataFile.content == DataFileContent.Data)
-            unified.map { case (pf, _) =>
-              e.dataFile.partition.get(pf.name).orNull }
+            tupleOf(e.dataFile.partition)
           else e.dataFile.referencedDataFile.flatMap(partOfPath.get)
-            .orElse(Some(unified.map { case (pf, _) =>
-              e.dataFile.partition.get(pf.name).orNull })
+            .orElse(Some(tupleOf(e.dataFile.partition))
               .filter(_.exists(_ != null)))
             .getOrElse(unified.map(_ => null))
         val a = byPartition.getOrElseUpdate(key, Agg())
-        a.specId = math.max(a.specId, m.partitionSpecId)
+        // spec_id = the spec this tuple's DATA belongs to (delete entries
+        // attribute to a referenced file's partition, so their manifest's
+        // spec must not override it); newest data wins when specs evolved
+        // onto the same unified tuple
+        if (e.dataFile.content == DataFileContent.Data) {
+          val seq = e.sequenceNumber.getOrElse(0L)
+          if (seq >= a.specSeq) { a.specSeq = seq; a.specId = m.partitionSpecId }
+        } else if (a.specSeq < 0L)
+          a.specId = m.partitionSpecId
         e.dataFile.content match {
           case DataFileContent.Data =>
             a.dataRecords += e.dataFile.recordCount
@@ -2816,9 +2907,12 @@ object TableWriter {
             a.eqDelFiles += 1
           case _ =>
         }
+        // entries committed by an EXPIRED snapshot have no timestamp —
+        // skip them rather than emit a snapshot id with a null timestamp
         e.snapshotId.foreach { sid =>
-          val ts = snapTs.getOrElse(sid, 0L)
-          if (ts >= a.lastMs) { a.lastMs = ts; a.lastSnap = sid }
+          snapTs.get(sid).foreach { ts =>
+            if (ts >= a.lastMs) { a.lastMs = ts; a.lastSnap = sid }
+          }
         }
       }
     }
@@ -2854,7 +2948,10 @@ object TableWriter {
     val rows = byPartition.toSeq.map { case (key, a) =>
       org.apache.spark.sql.Row(
         org.apache.spark.sql.Row(key.map {
-          case u: org.apache.avro.util.Utf8 => u.toString
+          // unwrap the key's value-equality ByteBuffer back to the bytes
+          // BinaryType expects
+          case bb: java.nio.ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
           case other => other
         }: _*),
         a.specId,
@@ -2999,25 +3096,17 @@ object TableWriter {
     // register: replace any existing entry for THIS snapshot, keep others
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.createArrayNode()
-    table.metadata.statisticsFiles.filterNot(_.snapshotId == snap.snapshotId)
-      .foreach { sf =>
-        // carry foreign entries through verbatim-equivalent JSON
-        val n = arr.addObject()
-        n.put("snapshot-id", sf.snapshotId)
-        n.put("statistics-path", sf.path)
-        n.put("file-size-in-bytes", 0L)
-        n.put("file-footer-size-in-bytes", 0L)
-        val bs = n.putArray("blob-metadata")
-        sf.blobs.foreach { b =>
-          val bn = bs.addObject()
-          bn.put("type", b.blobType)
-          bn.put("snapshot-id", sf.snapshotId)
-          bn.put("sequence-number", 1L)
-          val fs = bn.putArray("fields"); b.fields.foreach(fs.add)
-          val ps = bn.putObject("properties")
-          b.properties.foreach { case (k, v) => ps.put(k, v); () }
-        }
+    // carry foreign/older entries through as the ORIGINAL raw nodes —
+    // reconstructing from the parsed model would zero file sizes and blob
+    // sequence numbers, corrupting entries a foreign Puffin reader trusts
+    table.metadata.statisticsJson.foreach { raw =>
+      val prev = mapper.readTree(raw)
+      if (prev.isArray) prev.forEach { n =>
+        val sid = Option(n.get("snapshot-id")).map(_.asLong())
+        if (!sid.contains(snap.snapshotId))
+          arr.add(n): Unit
       }
+    }
     val entry = arr.addObject()
     entry.put("snapshot-id", snap.snapshotId)
     entry.put("statistics-path", puffin.getPath)

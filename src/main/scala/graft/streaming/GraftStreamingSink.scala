@@ -72,9 +72,21 @@ final class GraftStreamingWrite(location: String, schema: StructType,
       return
     }
     if (added.isEmpty) return // empty micro-batch: no empty snapshots
+    // the WAP gates batch writes honor: stage-commits can't absorb a
+    // stream (each epoch would re-stage the same wap.id — refuse loudly);
+    // branch staging CAN (epoch appends land on the branch, main stays
+    // published state until fast_forward/cherrypick)
+    graft.spark.GraftSparkTable.wapStageId(current).foreach { id =>
+      throw new UnsupportedOperationException(
+        s"spark.wap.id='$id' is set and this table has write.wap.enabled: " +
+          "a streaming sink cannot stage-commit (every epoch would reuse " +
+          "the id) — unset spark.wap.id or stage on a branch via " +
+          "spark.wap.branch")
+    }
     TableWriter.appendFiles(location, added,
       Map(GraftStreamingWrite.EpochKey -> epochId.toString,
-        GraftStreamingWrite.QueryKey -> queryId))
+        GraftStreamingWrite.QueryKey -> queryId),
+      branch = graft.spark.GraftSparkTable.wapBranch)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

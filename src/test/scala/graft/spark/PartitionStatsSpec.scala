@@ -70,6 +70,34 @@ class PartitionStatsSpec extends AnyFunSuite {
     assert(k1.getLong(2) == 26L) // the appended row landed in k1
   }
 
+  test("typed partition tuples: days(ts) + identity decimal") {
+    val s = spark
+    val loc = Files.createTempDirectory("pstats_typed").toFile.getPath
+    // date partitions decode from manifests as Integer epoch-days and
+    // decimals as unscaled big-endian bytes — the stats rows must carry
+    // the EXTERNAL types the spec schema declares (Date, BigDecimal), and
+    // byte-typed values must group by content, not array identity
+    val df = s.range(1, 41).selectExpr(
+      "id",
+      "timestamp_seconds(86400 * (id % 3) + 1700000000) as ts",
+      "cast(cast(id % 2 as decimal(10,2)) + 0.25 as decimal(10,2)) as d")
+    val t = TableWriter.create(df, loc, partitionBy =
+      Seq("ts" -> graft.core.DayTransform, "d" -> graft.core.IdentityTransform))
+    val (t2, parts) = TableWriter.computePartitionStats(t, s)
+    assert(parts == 6, s"expected 3 days x 2 decimals, got $parts")
+    val stats = s.read.parquet(t2.metadata.partitionStatisticsFiles.head.path)
+    val pt = stats.schema("partition").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(pt.fields(0).dataType == org.apache.spark.sql.types.DateType, pt)
+    assert(pt.fields(1).dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2), pt)
+    assert(stats.selectExpr("sum(data_record_count)")
+      .collect()(0).getLong(0) == 40L)
+    val tuples = stats.select("partition.*").collect()
+    assert(tuples.forall(r => r.get(0).isInstanceOf[java.sql.Date]), tuples.toSeq)
+    assert(tuples.map(_.getDecimal(1)).distinct.length == 2, tuples.toSeq)
+  }
+
   test("SQL surface: CALL compute_partition_stats + registry table") {
     val s = spark
     import s.implicits._

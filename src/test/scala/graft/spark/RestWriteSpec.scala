@@ -191,7 +191,11 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ =>
           lastCommitBody = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          send(ex, 200, v3Json)
+          // a conforming server advances next-row-id past the added rows —
+          // the client VERIFIES this post-commit (a server that ignores
+          // AddSnapshot.first-row-id would silently duplicate _row_id)
+          send(ex, 200, v3Json.replace("\"next-row-id\": 40",
+            "\"next-row-id\": 42"))
       })
     val cat = new RestCatalog("r", s"http://localhost:$port", Map.empty)
     TableWriter.appendFilesRest(cat, Seq("db", "v3t"), Seq(dataFile("f3")))
@@ -207,6 +211,19 @@ class RestWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val entries = graft.core.ManifestIO.readManifestEntries(
       new java.io.FileInputStream(manifests.head.path), manifests.head)
     assert(entries.head.dataFile.firstRowId.contains(40L))
+
+    // a server that does NOT apply AddSnapshot row lineage (next-row-id
+    // unchanged) would hand the same base to the next commit — duplicate
+    // _row_id assignment must fail loudly, not corrupt silently
+    server.createContext("/v1/namespaces/db/tables/v3bad", (ex: HttpExchange) =>
+      ex.getRequestMethod match {
+        case "GET" => send(ex, 200, v3Json)
+        case _ => send(ex, 200, v3Json) // next-row-id still 40
+      })
+    val e = intercept[IllegalArgumentException] {
+      TableWriter.appendFilesRest(cat, Seq("db", "v3bad"), Seq(dataFile("f4")))
+    }
+    assert(e.getMessage.contains("next-row-id"), e.getMessage)
   }
 
   test("409 on the data commit surfaces as CommitConflictError") {

@@ -28,6 +28,24 @@ class ThetaStatsSpec extends AnyFunSuite {
     assert(math.abs(est - 1000.0) < 1.0, est)
   }
 
+  test("serialized sketches stamp the default-seed seedHash (bytes 6-7)") {
+    // DataSketches readers validate the preamble seedHash against their
+    // update seed (default 9001) and REJECT a zero/mismatched hash — a
+    // blob without it is unreadable by Trino/Iceberg-Java
+    val expect = ThetaSketch.seedHash(9001L)
+    assert(expect != 0)
+    for (bytes <- Seq(
+        ThetaSketch.compactSketchBytes(Nil),
+        ThetaSketch.compactSketchBytes(Seq(42L)),
+        ThetaSketch.compactSketchBytes((1L to 50L).map(_ * 7919)),
+        ThetaSketch.compactSketchBytes((1L to 50L).map(_ * 7919),
+          theta = Some(Long.MaxValue / 2)))) {
+      val got = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(6)
+      assert(got == expect, s"seedHash $got != $expect")
+    }
+  }
+
   /** Create a table, write a real Puffin statistics file (one sketch for
     * field 2), and splice a `statistics` entry naming both columns: field
     * 1 with a pre-derived `ndv` property, field 2 sketch-only. */
@@ -99,6 +117,19 @@ class ThetaStatsSpec extends AnyFunSuite {
     val entries = t4.metadata.statisticsFiles
     assert(entries.exists(_.snapshotId == t4.currentSnapshot.get.snapshotId))
     assert(TableStatistics.ndv(t4)(2) == 17L)
+
+    // the CARRIED entry (t2's snapshot) survives verbatim: its
+    // file-size-in-bytes still matches the Puffin file on disk — a foreign
+    // reader seeks the footer from that length, so zeroing it would
+    // corrupt a previously valid entry
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val carried = {
+      val arr = mapper.readTree(t4.metadata.statisticsJson.get)
+      (0 until arr.size).map(arr.get)
+        .find(_.get("snapshot-id").asLong() == sf.snapshotId).get
+    }
+    assert(carried.get("file-size-in-bytes").asLong() ==
+      new File(sf.path).length(), carried.toString)
   }
 
   test("scan reports distinctCount; CBO join estimate flips broadcast") {

@@ -161,6 +161,55 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sink honors WAP: epochs stage on the branch; wap.id refuses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val loc = Files.createTempDirectory("wap_sink").toFile.getPath
+    TableWriter.create(Seq((0L, "seed")).toDF("id", "v"), loc)
+
+    val input = MemoryStream[(Long, String)]
+    withWap("audit") {
+      val q = input.toDF().toDF("id", "v").writeStream.format("icegopher")
+        .option("checkpointLocation",
+          Files.createTempDirectory("wap_sink_ck").toFile.getPath)
+        .start(loc)
+      try {
+        input.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // main untouched — the epoch staged on the branch
+    assert(s.read.format("icegopher").load(loc).count() == 1)
+    val t = IcebergTables.load(loc)
+    assert(t.metadata.refs.contains("audit"), t.metadata.refs)
+    // publish → the staged epoch becomes visible
+    TableWriter.fastForward(t, "audit")
+    assert(s.read.format("icegopher").load(loc).count() == 3)
+
+    // wap.id stage-commits cannot absorb a stream (every epoch would
+    // reuse the id): the sink must refuse, not silently commit to main
+    val loc2 = Files.createTempDirectory("wap_sink_id").toFile.getPath
+    val t2 = TableWriter.create(Seq((0L, "seed")).toDF("id", "v"), loc2)
+    TableWriter.updateProperties(t2, Map("write.wap.enabled" -> "true"), Nil)
+    val input2 = MemoryStream[(Long, String)]
+    withWapId("epoch-stage") {
+      val q2 = input2.toDF().toDF("id", "v").writeStream.format("icegopher")
+        .option("checkpointLocation",
+          Files.createTempDirectory("wap_sink_ck2").toFile.getPath)
+        .start(loc2)
+      try {
+        input2.addData((1L, "a"))
+        val e = intercept[Exception] { q2.processAllAvailable() }
+        def msgs(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+        assert(msgs(e).exists(_.contains("stage-commit")), msgs(e))
+      } finally q2.stop()
+    }
+    assert(s.read.format("icegopher").load(loc2).count() == 1)
+  }
+
   test("'main' or empty wap branch behaves as unset") {
     val s = spark
     val wh = Files.createTempDirectory("graft_wap3").toFile.getPath
