@@ -205,16 +205,40 @@ final class RestCatalog(val name: String, uri: String,
 
   // ------------------------------------------------------------ operations
 
+  /** Follow the spec's opaque `next-page-token` until the server stops
+    * returning one — a large catalog pages its listings, and a client
+    * that reads only the first page silently truncates. An empty or
+    * repeating token also terminates (defensive against bad servers). */
+  private def paged(base: String, hasQuery: Boolean)
+                   (collect: com.fasterxml.jackson.databind.JsonNode => Unit): Unit = {
+    val sep = if (hasQuery) "&" else "?"
+    var url = base
+    var seen = Set.empty[String]
+    var continue = true
+    while (continue) {
+      val n = mapper.readTree(get(url))
+      collect(n)
+      Option(n.get("next-page-token")).map(_.asText()).filter(_.nonEmpty) match {
+        case Some(tok) if !seen.contains(tok) =>
+          seen += tok
+          url = base + sep + "pageToken=" +
+            URLEncoder.encode(tok, StandardCharsets.UTF_8)
+        case _ => continue = false
+      }
+    }
+  }
+
   def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]] = {
     val q = if (parent.nonEmpty)
       "?parent=" + URLEncoder.encode(parent.mkString(""), StandardCharsets.UTF_8)
     else ""
-    val n = mapper.readTree(get(prefixedPath("namespaces") + q))
     val out = Vector.newBuilder[Seq[String]]
-    Option(n.get("namespaces")).foreach(_.forEach { ns =>
-      val segs = Vector.newBuilder[String]; ns.forEach(s => segs += s.asText())
-      out += segs.result()
-    })
+    paged(prefixedPath("namespaces") + q, hasQuery = q.nonEmpty) { n =>
+      Option(n.get("namespaces")).foreach(_.forEach { ns =>
+        val segs = Vector.newBuilder[String]; ns.forEach(s => segs += s.asText())
+        out += segs.result()
+      })
+    }
     out.result()
   }
 
@@ -368,14 +392,16 @@ final class RestCatalog(val name: String, uri: String,
   }
 
   def listTables(ns: Seq[String]): Seq[Seq[String]] = {
-    val n = mapper.readTree(get(prefixedPath("namespaces", ns.mkString(""), "tables")))
     val out = Vector.newBuilder[Seq[String]]
-    Option(n.get("identifiers")).foreach(_.forEach { id =>
-      val segs = Vector.newBuilder[String]
-      Option(id.get("namespace")).foreach(_.forEach(s => segs += s.asText()))
-      segs += id.get("name").asText()
-      out += segs.result()
-    })
+    paged(prefixedPath("namespaces", ns.mkString(""), "tables"),
+        hasQuery = false) { n =>
+      Option(n.get("identifiers")).foreach(_.forEach { id =>
+        val segs = Vector.newBuilder[String]
+        Option(id.get("namespace")).foreach(_.forEach(s => segs += s.asText()))
+        segs += id.get("name").asText()
+        out += segs.result()
+      })
+    }
     out.result()
   }
 

@@ -269,6 +269,23 @@ object GraftProcedures {
         val out = TableWriter.cherrypickSnapshot(table, in.getLong(1))
         Array[Any](in.getLong(1), out.currentSnapshot.get.snapshotId)
       }
+      // Iceberg's WAP publish verb: resolve the staged snapshot by its
+      // wap.id and cherrypick it — the id is what the audit pipeline
+      // carries around, not a snapshot id
+      case "publish_changes" => proc(name,
+        Seq("table" -> StringType, "wap_id" -> StringType),
+        StructType(Seq(
+          StructField("source_snapshot_id", LongType, nullable = false),
+          StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val wapId = in.getUTF8String(1).toString
+        val staged = table.metadata.snapshots.find(_.summary.exists(
+            _.properties.get("wap.id").contains(wapId)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no staged snapshot carries wap.id '$wapId'"))
+        val out = TableWriter.cherrypickSnapshot(table, staged.snapshotId)
+        Array[Any](staged.snapshotId, out.currentSnapshot.get.snapshotId)
+      }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),
         StructType(Seq(

@@ -76,6 +76,16 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           send(ex, 200,
             """{"identifiers": [{"namespace": ["db1"], "name": "t1"},
                                 {"namespace": ["db1"], "name": "t2"}]}""")
+        case ("GET", "/v1/ns-prefix/namespaces/paged/tables") =>
+          // spec pagination: page 1 carries next-page-token, page 2 ends it
+          Option(ex.getRequestURI.getQuery).filter(_.contains("pageToken=p2")) match {
+            case Some(_) => send(ex, 200,
+              """{"identifiers": [{"namespace": ["paged"], "name": "t3"}]}""")
+            case None => send(ex, 200,
+              """{"identifiers": [{"namespace": ["paged"], "name": "t1"},
+                                  {"namespace": ["paged"], "name": "t2"}],
+                  "next-page-token": "p2"}""")
+          }
         case ("GET", "/v1/ns-prefix/namespaces/db1/tables/t1") =>
           send(ex, 200, tableJson)
         case ("POST", "/v1/ns-prefix/namespaces/db1/tables") =>
@@ -135,6 +145,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("list tables") {
     assert(catalog().listTables(Seq("db1")) == Seq(Seq("db1", "t1"), Seq("db1", "t2")))
+  }
+
+  test("list tables follows next-page-token across pages") {
+    assert(catalog().listTables(Seq("paged")) ==
+      Seq(Seq("paged", "t1"), Seq("paged", "t2"), Seq("paged", "t3")))
   }
 
   test("load table parses metadata payload") {

@@ -114,8 +114,10 @@ class WapSpec extends AnyFunSuite {
         Option(e.getCause).exists(_.getMessage.contains("batch-7")))
     }
 
-    // publish; the new main snapshot stamps published-wap-id
-    s.sql(s"CALL gwid.system.cherrypick_snapshot('db.t', ${staged.get.snapshotId})")
+    // publish BY WAP ID (Iceberg's publish_changes verb — the audit
+    // pipeline carries the id, not a snapshot id); stamps published-wap-id
+    val pub = s.sql("CALL gwid.system.publish_changes('db.t', 'batch-7')").head()
+    assert(pub.getLong(0) == staged.get.snapshotId)
     assert(s.sql("SELECT count(*) FROM gwid.db.t").head().getLong(0) == 3)
     val t2 = IcebergTables.load(s"$wh/db/t")
     assert(t2.currentSnapshot.exists(_.summary.exists(
