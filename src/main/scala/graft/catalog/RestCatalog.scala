@@ -230,7 +230,7 @@ final class RestCatalog(val name: String, uri: String,
 
   def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]] = {
     val q = if (parent.nonEmpty)
-      "?parent=" + URLEncoder.encode(parent.mkString(""), StandardCharsets.UTF_8)
+      "?parent=" + URLEncoder.encode(parent.mkString(NamespaceSeparator), StandardCharsets.UTF_8)
     else ""
     val out = Vector.newBuilder[Seq[String]]
     paged(prefixedPath("namespaces") + q, hasQuery = q.nonEmpty) { n =>
@@ -251,10 +251,10 @@ final class RestCatalog(val name: String, uri: String,
   }
 
   def dropNamespace(ns: Seq[String]): Unit =
-    request("DELETE", prefixedPath("namespaces", ns.mkString("")))
+    request("DELETE", prefixedPath("namespaces", ns.mkString(NamespaceSeparator)))
 
   def namespaceProperties(ns: Seq[String]): Map[String, String] = {
-    val n = mapper.readTree(get(prefixedPath("namespaces", ns.mkString(""))))
+    val n = mapper.readTree(get(prefixedPath("namespaces", ns.mkString(NamespaceSeparator))))
     Option(n.get("properties")).map { o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
@@ -266,7 +266,7 @@ final class RestCatalog(val name: String, uri: String,
     val rm = body.putArray("removals"); removals.foreach(rm.add)
     val up = body.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
     val rsp = mapper.readTree(request("POST",
-      prefixedPath("namespaces", ns.mkString(""), "properties"),
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "properties"),
       Some(mapper.writeValueAsString(body))))
     def arr(k: String): Seq[String] = {
       val b = Vector.newBuilder[String]
@@ -380,7 +380,7 @@ final class RestCatalog(val name: String, uri: String,
         u.put("snapshot-id", snapId)
     }
     val rsp =
-      try request("POST", prefixedPath("namespaces", ns.mkString(""),
+      try request("POST", prefixedPath("namespaces", ns.mkString(NamespaceSeparator),
         "tables", identifier.last), Some(mapper.writeValueAsString(body)))
       catch {
         case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
@@ -393,7 +393,7 @@ final class RestCatalog(val name: String, uri: String,
 
   def listTables(ns: Seq[String]): Seq[Seq[String]] = {
     val out = Vector.newBuilder[Seq[String]]
-    paged(prefixedPath("namespaces", ns.mkString(""), "tables"),
+    paged(prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables"),
         hasQuery = false) { n =>
       Option(n.get("identifiers")).foreach(_.forEach { id =>
         val segs = Vector.newBuilder[String]
@@ -411,7 +411,7 @@ final class RestCatalog(val name: String, uri: String,
     val ns = identifier.dropRight(1)
     val tbl = identifier.last
     val n = mapper.readTree(get(
-      prefixedPath("namespaces", ns.mkString(""), "tables", tbl)))
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables", tbl)))
     val md = TableMetadata.parseNode(n.get("metadata"))
     val cfg = Option(n.get("config")).map { o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -422,8 +422,32 @@ final class RestCatalog(val name: String, uri: String,
 
   def dropTable(identifier: Seq[String]): Unit = {
     val ns = identifier.dropRight(1)
-    request("DELETE", prefixedPath("namespaces", ns.mkString(""),
+    request("DELETE", prefixedPath("namespaces", ns.mkString(NamespaceSeparator),
       "tables", identifier.last))
+  }
+
+  /** Register an EXISTING table's current metadata.json under a catalog
+    * identifier — the spec's `POST /namespaces/{ns}/register` verb. The
+    * metadata file is adopted as-is (the server reads it; nothing is
+    * rewritten), which is how a table migrates between catalogs without
+    * touching a single data or metadata file. */
+  def registerTable(identifier: Seq[String],
+                    metadataLocation: String): LoadedTable = {
+    require(identifier.size >= 2, s"invalid table identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val body = mapper.createObjectNode()
+    body.put("name", identifier.last)
+    body.put("metadata-location", metadataLocation)
+    val n = mapper.readTree(request("POST",
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "register"),
+      Some(mapper.writeValueAsString(body))))
+    val cfg = Option(n.get("config")).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    LoadedTable(identifier,
+      Option(n.get("metadata-location")).map(_.asText())
+        .getOrElse(metadataLocation),
+      TableMetadata.parseNode(n.get("metadata")), cfg)
   }
 
   def renameTable(from: Seq[String], to: Seq[String]): Unit = {

@@ -28,7 +28,11 @@ final case class FileScanTask(
     manifestPath: String = "",
     // data sequence number of the entry (V3 row lineage:
     // _last_updated_sequence_number; 0 below V2 inheritance)
-    dataSequenceNumber: Long = 0L) {
+    dataSequenceNumber: Long = 0L,
+    // partition spec the file was written under (from its manifest) —
+    // lets consumers interpret `file.partition` tuples per-file when
+    // specs have evolved (e.g. grouped metadata-aggregate pushdown)
+    specId: Int = 0) {
   def sizeBytes: Long =
     (if (length > 0) length else file.fileSizeInBytes) +
       deleteFiles.map(_.fileSizeInBytes).sum
@@ -433,6 +437,8 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     eqDeleteEntries.foreach(e =>
       requireFormat(e.dataFile, "delete", Set("PARQUET")))
 
+    val specOfManifest: Map[String, Int] =
+      manifests.map(m => m.path -> m.partitionSpecId).toMap
     dataEntries.map { case (manifestPath, e) =>
       requireFormat(e.dataFile, "data", Set("PARQUET", "ORC", "AVRO"))
       val dataSeq = e.sequenceNumber.getOrElse(0L)
@@ -448,7 +454,8 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
         else matchDeletes(e, posDeleteEntries)
       val eqDeletes = DeleteMatching.eqDeletes(dataSeq, eqDeleteEntries)
       FileScanTask(e.dataFile, dvs ++ posDeletes ++ eqDeletes,
-        manifestPath = manifestPath, dataSequenceNumber = dataSeq)
+        manifestPath = manifestPath, dataSequenceNumber = dataSeq,
+        specId = specOfManifest.getOrElse(manifestPath, 0))
     }
   }
 

@@ -519,4 +519,105 @@ object AnnIndex {
        FROM embeddings WHERE vec_id % 7 <> 0""",
     Some("""SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
        FROM embeddings WHERE vec_id % 2 = 0"""))
+
+  // ------------------------------------------------------------ SQ8 index
+
+  /** Persistent, incrementally-maintained SQ8 index — the same two-table
+    * discipline as the PQ index with the cheapest possible model: ONE row
+    * of per-dimension mins/deltas ([[Similarity.sq8Params]]), frozen at
+    * bootstrap. Maintained encodes CLAMP to [0, 255]
+    * ([[Similarity.sq8Encode]]): vectors that arrive after bootstrap may
+    * fall outside the trained range — the documented bound on the
+    * session-built ann13, closed here. Each sync is one equality-delete +
+    * one append commit, O(changed vectors). */
+  def buildSq(emb: DataFrame, paramsLoc: String, codesLoc: String)
+      : (IcebergTable, IcebergTable) = {
+    val params = Similarity.sq8Params(emb)
+    val pTable = TableWriter.create(params, paramsLoc)
+    val codesTable = TableWriter.create(
+      Similarity.sq8Encode(emb, params), codesLoc)
+    (pTable, codesTable)
+  }
+
+  /** The SQ model is exactly one row; anything else means a wrong table
+    * location or a never-bootstrapped index — fail before writing codes
+    * that would corrupt every downstream dequantize. */
+  private def requireSqParams(params: DataFrame): Unit = {
+    val n = params.limit(2).count()
+    require(n == 1,
+      s"SQ params table holds $n rows, expected exactly 1 (mins + deltas) " +
+        "— wrong table location, or the index was never bootstrapped")
+  }
+
+  /** Apply one changelog window to the SQ codes table (net-effect
+    * retract + clamped re-encode against the FROZEN params). */
+  def applySqChanges(codes: IcebergTable, params: DataFrame,
+                     changes: DataFrame): IcebergTable = {
+    requireSqParams(params)
+    ChangefeedFold.applyChanges(codes, changes, "vec_id",
+      ins => Similarity.sq8Encode(Similarity.pqEmb(ins), params))
+  }
+
+  /** Batch catch-up for the SQ index: apply every corpus commit after
+    * `afterSnapshotId` in one net-effect window. */
+  def syncSqFromChangelog(spark: SparkSession, corpus: IcebergTable,
+                          codes: IcebergTable, params: DataFrame,
+                          afterSnapshotId: Option[Long]): IcebergTable =
+    applySqChanges(codes, params,
+      Changelog.changelogDF(spark, corpus, afterSnapshotId))
+
+  /** ann15 fixture: the ann07 commit sequence (create even / append odd /
+    * negate vec_id % 5 / delete vec_id % 7) with the SQ8 index — params
+    * frozen at commit 1, codes synced over commits 2-4's changelog. The
+    * negated updates land coordinates BELOW the bootstrap mins, so the
+    * [0, 255] clamp is exercised for real, not vacuously. */
+  private def ann15Fixture(s: SparkSession, d: String)
+      : (IcebergTable, IcebergTable, IcebergTable) = {
+    val root =
+      s"${IcebergOps.cacheRoot}/${d.replaceAll("[^A-Za-z0-9]", "_")}/ann15"
+    val corpusLoc = s"$root/corpus"
+    val paramsLoc = s"$root/params"
+    val codesLoc = s"$root/codes"
+    IcebergOps.provisionOnce(new java.io.File(root)) {
+      val src = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val t1 = TableWriter.create(src.filter(col("vec_id") % 2 === 0), corpusLoc)
+      val c1 = t1.currentSnapshot.get.snapshotId
+      val (pT, codes0) =
+        buildSq(Similarity.pqEmb(t1.newScan().toDF(s)), paramsLoc, codesLoc)
+      val t2 = TableWriter.append(t1, src.filter(col("vec_id") % 2 === 1))
+      val t3 = TableWriter.updateWhere(t2, s, col("vec_id") % 5 === 0,
+        Map("embedding" -> transform(col("embedding"), x => negate(x))))
+      val t4 = TableWriter.deleteWhere(t3, s, col("vec_id") % 7 === 0)
+      syncSqFromChangelog(s, t4, codes0, pT.newScan().toDF(s), Some(c1))
+      ()
+    }
+    (IcebergTables.load(corpusLoc), IcebergTables.load(paramsLoc),
+      IcebergTables.load(codesLoc))
+  }
+
+  /** Battery entry ann15: ann13's SQ8 top-k, served from the
+    * INCREMENTALLY-maintained codes table over the [[ann15Fixture]]
+    * commit sequence. The oracle encodes the final corpus state against
+    * params trained on the bootstrap state, with the same clamp — a hash
+    * match proves index-after-changefeed ≡ from-scratch clamped encode
+    * against the frozen model. */
+  def ann15IncrementalSq8(s: SparkSession, d: String,
+                          nQueries: Int = 10, k: Int = 5,
+                          shortlist: Int = 40): DataFrame = {
+    val (corpusT, pT, codesT) = ann15Fixture(s, d)
+    val corpus = Similarity.pqEmb(corpusT.newScan().toDF(s))
+    val params = pT.newScan().toDF(s)
+    val deq = Similarity.sq8Dequant(codesT.newScan().toDF(s), params)
+    Similarity.sq8TopK(deq, corpus,
+      corpus.filter(col("vec_id") < nQueries), k, shortlist)
+  }
+
+  val ann15Sql: String = Similarity.annSq8SqlOver(
+    """SELECT vec_id,
+              CASE WHEN vec_id % 5 = 0
+                   THEN [CAST(-x AS DOUBLE) for x in embedding]
+                   ELSE [CAST(x AS DOUBLE) for x in embedding] END AS e
+       FROM embeddings WHERE vec_id % 7 <> 0""",
+    """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+       FROM embeddings WHERE vec_id % 2 = 0""")
 }

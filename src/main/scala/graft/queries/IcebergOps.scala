@@ -830,6 +830,38 @@ object IcebergOps {
        FROM orders WHERE o_orderkey % 3 IN (0, 1)
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** GROUPED metadata-aggregate pushdown: GROUP BY an identity partition
+    * column answers COUNT/MIN/MAX PER GROUP from manifest stats — every
+    * file belongs to exactly one group, so per-group aggregation of
+    * whole-file stats is exact, still zero data I/O (asserted: the
+    * executed plan is the metadata-only scan). DuckDB computes the same
+    * from raw rows. At 100 TB this turns `SELECT day, count(*) FROM t
+    * GROUP BY day` — the canonical ingest-monitoring query — into an
+    * O(manifests) driver read instead of a full-table scan + shuffle. */
+  def ice26GroupedAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_bystatus", d) { loc =>
+      TableWriter.create(Tables.orders(s, d), loc,
+        partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    }
+    val df = s.read.format("icegopher").load(table.location)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("o_orderkey").as("min_key"),
+        org.apache.spark.sql.functions.max("o_orderkey").as("max_key"),
+        count(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+    require(df.queryExecution.executedPlan.toString
+        .contains("metadata-only aggregate"),
+      "ice26: grouped aggregate was not metadata-answered")
+    df
+  }
+
+  val ice26Sql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_cust
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
     * merges land as ONE equality-tombstone + append snapshot each, with
     * ZERO scans of the target (positional MERGE must read the target to

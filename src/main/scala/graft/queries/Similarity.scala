@@ -691,6 +691,137 @@ object Similarity {
            JOIN q ON q.qid = s.qid) t
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  // ------------------------------------------------ SQ8 as a maintained model
+  // [[annSq8]] builds and serves in one session; these helpers split the
+  // same math into the persistable pieces a MAINTAINED index needs
+  // ([[AnnIndex.buildSq]]): a one-row params model frozen at bootstrap,
+  // and a clamped encode for vectors that arrive after it.
+
+  /** SQ8 model over `emb` — ONE row (per-dimension mins + deltas), the
+    * frozen artifact a maintained SQ index persists at bootstrap. */
+  def sq8Params(emb: DataFrame): DataFrame = {
+    val dims = emb.select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("mn"),
+        when(max(col("v")) === min(col("v")), lit(1.0))
+          .otherwise(max(col("v")) - min(col("v"))).as("dl"))
+    dims.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+        .as("mins"),
+        expr("transform(array_sort(collect_list(struct(pos, dl))), s -> s.dl)")
+        .as("deltas"))
+  }
+
+  /** Encode against FROZEN params with the standard SQ clamp to [0, 255]:
+    * a maintained index meets coordinates outside the bootstrap range
+    * (the session-built [[annSq8]] never does — it trains on what it
+    * encodes), and an unclamped code would dequantize outside the model's
+    * representable range. Map-only; the params row broadcasts. */
+  def sq8Encode(emb: DataFrame, params: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(params))
+      .select(col("vec_id"), expr(
+        "transform(sequence(1, size(e)), i -> " +
+          "LEAST(255, GREATEST(0, CAST(round(" +
+          "(element_at(e, i) - element_at(mins, i)) / element_at(deltas, i) * 255" +
+          ", 0) AS INT))))").as("c"))
+
+  /** Map-only dequantize of persisted SQ8 codes. */
+  def sq8Dequant(codes: DataFrame, params: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(params))
+      .select(col("vec_id"), expr(
+        "transform(sequence(1, size(c)), i -> element_at(mins, i) + " +
+          "CAST(element_at(c, i) AS DOUBLE) * element_at(deltas, i) / 255)")
+        .as("ne"))
+
+  /** Serve top-k from dequantized SQ8 vectors: approx-cosine shortlist
+    * (6-dp round before ordering, [[annSq8]]'s discipline) + exact
+    * re-rank of the bounded shortlist against the true corpus. */
+  def sq8TopK(deq: DataFrame, corpus: DataFrame, queries: DataFrame,
+              k: Int, shortlist: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"),
+      sqrt(dot(col("e"), col("e"))).as("qnorm"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("nid"))
+    val short = deq
+      .select(col("vec_id").as("nid"), col("ne"),
+        sqrt(dot(col("ne"), col("ne"))).as("nn"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qe"), col("ne")) / (col("qnorm") * col("nn")), 6).as("approx"))
+      .withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= shortlist)
+      .select("qid", "nid")
+    val en = corpus.select(col("vec_id"), col("e"),
+      sqrt(dot(col("e"), col("e"))).as("norm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    en.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** The SQ8 oracle over arbitrary relations: `eRel` is the (vec_id, e)
+    * corpus codes/queries/re-rank run against; `paramsSourceRel` the
+    * relation the one-row params model trains on (a maintained index pins
+    * it to the BOOTSTRAP-time corpus state). Encode clamps to [0, 255]
+    * exactly like [[sq8Encode]] — out-of-bootstrap-range coordinates
+    * saturate identically in both engines. */
+  def annSq8SqlOver(eRel: String, paramsSourceRel: String): String =
+    s"""WITH ecur AS ($eRel),
+       eboot AS ($paramsSourceRel),
+       u AS (SELECT vec_id, i, e[i] AS v FROM eboot, UNNEST(range(1, 65)) t(i)),
+       dims AS (
+         SELECT i, MIN(v) AS mn,
+                CASE WHEN MAX(v) = MIN(v) THEN 1 ELSE MAX(v) - MIN(v) END AS dl
+         FROM u GROUP BY i),
+       params AS (SELECT list(mn ORDER BY i) AS mins,
+                         list(dl ORDER BY i) AS deltas FROM dims),
+       codes AS (
+         SELECT vec_id,
+                [LEAST(255, GREATEST(0,
+                   CAST(ROUND((e[i] - mins[i]) / deltas[i] * 255) AS INT)))
+                 for i in range(1, len(e) + 1)] AS c
+         FROM ecur, params),
+       deq AS (
+         SELECT vec_id,
+                [mins[i] + CAST(c[i] AS DOUBLE) * deltas[i] / 255
+                 for i in range(1, len(c) + 1)] AS ne
+         FROM codes, params),
+       dn AS (
+         SELECT vec_id, ne,
+                sqrt(list_sum([ne[i] * ne[i] for i in range(1, len(ne)+1)])) AS nn
+         FROM deq),
+       q AS (
+         SELECT vec_id AS qid, e AS qe,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS qnorm
+         FROM ecur WHERE vec_id < 10),
+       short AS (
+         SELECT qid, nid FROM (
+           SELECT q.qid, dn.vec_id AS nid,
+                  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                    ROUND(list_sum([q.qe[i] * dn.ne[i]
+                      for i in range(1, len(dn.ne)+1)]) / (q.qnorm * dn.nn), 6)
+                      DESC, dn.vec_id) AS rk
+           FROM dn, q WHERE q.qid <> dn.vec_id) t
+         WHERE rk <= 40),
+       en AS (
+         SELECT vec_id, e,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM ecur)
+       SELECT qid, nid, rank FROM (
+         SELECT s.qid, s.nid,
+                ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+                  (list_sum([q.qe[i] * en.e[i] for i in range(1, len(en.e)+1)])
+                    / (q.qnorm * en.norm)) DESC, s.nid) AS rank
+         FROM short s
+           JOIN en ON en.vec_id = s.nid
+           JOIN q ON q.qid = s.qid) t
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   /** DuckDB mirror of [[annPq]]: same md5-sampled codebook, same rounded
     * subspace L2s, same integer-micro-unit ADC sums (order-independent in
     * both engines by construction), same tie-breaks — byte-exact. */

@@ -451,7 +451,7 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept the convertible subset for file skipping; everything remains a
@@ -467,21 +467,26 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   // ------------------------------------------------- aggregate pushdown
-  // Ungrouped, unfiltered COUNT/COUNT(col)/MIN/MAX are answered ENTIRELY
-  // from manifest stats: record counts, null counts, per-column bounds.
-  // At 100 TB this turns `SELECT count(*) FROM t` into an O(manifests)
-  // driver read — zero data-file I/O, zero tasks of real work. Refused
-  // (→ Spark aggregates normally) whenever correctness would need data:
-  // any filter, group-by, delete files, missing stats, truncatable
-  // string/binary bounds, or NaN-ambiguous float/double bounds.
+  // Unfiltered COUNT/COUNT(col)/MIN/MAX are answered ENTIRELY from
+  // manifest stats: record counts, null counts, per-column bounds.
+  // GROUP BY is supported when every grouping column is IDENTITY-
+  // partitioned in every scanned file's spec — then each file belongs to
+  // exactly one group and the same stats aggregate per group. At 100 TB
+  // this turns `SELECT count(*) FROM t` or `SELECT day, count(*) FROM t
+  // GROUP BY day` into an O(manifests) driver read — zero data-file I/O,
+  // zero tasks of real work. Refused (→ Spark aggregates normally)
+  // whenever correctness would need data: any filter, a non-identity or
+  // partially-partitioned group column, delete files, missing stats,
+  // truncatable string/binary bounds, or NaN-ambiguous float/double
+  // bounds.
 
   // Spark probes supportCompletePushDown, then calls pushAggregation with
   // the same Aggregation — memoize so the file set is planned ONCE per
   // agg-pushdown query, not twice
-  private var aggMemo: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Array[Array[Any]])])] = None
   private def metadataAggregateMemo(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = aggMemo match {
+      : Option[(StructType, Array[Array[Any]])] = aggMemo match {
     case Some((key, v)) if key eq agg => v
     case _ =>
       val v = metadataAggregate(agg)
@@ -520,10 +525,9 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
 
   private def metadataAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (pushed.nonEmpty || limit.nonEmpty) return None
-    if (agg.groupByExpressions().nonEmpty) return None
     // incremental reads answer from the appended-file window, not the
     // snapshot's full stats
     if (options.get("start-snapshot-id") != null) return None
@@ -543,23 +547,23 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
         case _ => None
       }
 
-    /** Decoded bound for every file, or None if any file lacks it. */
-    def bounds(f: graft.core.NestedField,
+    /** Decoded bound for every file in `fs`, or None if any file lacks it. */
+    def bounds(fs: Seq[graft.core.DataFileInfo], f: graft.core.NestedField,
                side: graft.core.DataFileInfo => Map[Int, Array[Byte]]): Option[Seq[graft.core.Literal]] = {
-      val all = files.map(df => side(df).get(f.id)
+      val all = fs.map(df => side(df).get(f.id)
         .flatMap(b => graft.core.LiteralCodec.fromBytes(f.fieldType, b)))
       if (all.forall(_.isDefined)) Some(all.flatten) else None
     }
 
     /** Bounds are trustworthy only for fixed-width types: string/binary
       * bounds may be writer-truncated, float/double bounds exclude NaN. */
-    def boundSafe(f: graft.core.NestedField): Boolean = f.fieldType match {
+    def boundSafe(fs: Seq[graft.core.DataFileInfo], f: graft.core.NestedField): Boolean = f.fieldType match {
       case graft.core.IntT | graft.core.LongT | graft.core.DateT |
            graft.core.TimeT | graft.core.TimestampT | graft.core.TimestampTzT |
            graft.core.BooleanT | graft.core.DecimalT(_, _) => true
       case graft.core.FloatT | graft.core.DoubleT =>
         // only if every file PROVES it holds no NaN
-        files.forall(df => df.nanValueCounts.get(f.id).contains(0L))
+        fs.forall(df => df.nanValueCounts.get(f.id).contains(0L))
       case _ => false
     }
 
@@ -577,43 +581,135 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       case other => throw new IllegalStateException(s"unexpected bound literal $other")
     }
 
-    val fields = Vector.newBuilder[StructField]
-    val values = Vector.newBuilder[Any]
-    agg.aggregateExpressions().foreach {
-      case _: CountStar =>
-        fields += StructField("count_star", LongType, nullable = false)
-        values += files.map(_.recordCount).sum
-      case c: Count if !c.isDistinct =>
-        val f = colId(c.column()).getOrElse(return None)
-        val counts = files.map(df =>
-          for {
-            v <- df.valueCounts.get(f.id)
-            n <- df.nullValueCounts.get(f.id)
-          } yield v - n)
-        if (!counts.forall(_.isDefined)) return None
-        fields += StructField(s"count_${f.name}", LongType, nullable = false)
-        values += counts.flatten.sum
-      case m: Min =>
-        val f = colId(m.column()).getOrElse(return None)
-        if (!boundSafe(f)) return None
-        val bs = bounds(f, _.lowerBounds).getOrElse(return None)
-        if (bs.isEmpty) return None
-        val lit = bs.reduce((a, b) =>
-          if (graft.core.LiteralOrdering.compare(a, b).exists(_ <= 0)) a else b)
-        fields += StructField(s"min_${f.name}", SchemaConv.toSparkType(f.fieldType))
-        values += toCatalyst(lit)
-      case m: Max =>
-        val f = colId(m.column()).getOrElse(return None)
-        if (!boundSafe(f)) return None
-        val bs = bounds(f, _.upperBounds).getOrElse(return None)
-        if (bs.isEmpty) return None
-        val lit = bs.reduce((a, b) =>
-          if (graft.core.LiteralOrdering.compare(a, b).exists(_ >= 0)) a else b)
-        fields += StructField(s"max_${f.name}", SchemaConv.toSparkType(f.fieldType))
-        values += toCatalyst(lit)
-      case _ => return None
+    // ---- grouping: identity-partition columns only (see header comment).
+    // The grouping expression must BE a bare column reference — a pushed
+    // scalar expression OVER a partition column (e.g. `GROUP BY f(col)`)
+    // also references one field, but its group values are not the
+    // partition values
+    val groupCols: Seq[graft.core.NestedField] =
+      agg.groupByExpressions().toSeq.map {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          colId(r).getOrElse(return None)
+        case _ => return None
+      }
+    /** Group-key types whose manifest partition values map 1:1 onto
+      * catalyst internal values with well-defined equality (floats are
+      * excluded: Spark normalizes -0.0/NaN in grouping keys, Iceberg
+      * partition tuples don't; binary excluded: array identity-equality). */
+    def groupSafe(t: graft.core.IcebergType): Boolean = t match {
+      case graft.core.BooleanT | graft.core.IntT | graft.core.LongT |
+           graft.core.DateT | graft.core.TimeT | graft.core.TimestampT |
+           graft.core.TimestampTzT | graft.core.StringT | graft.core.UuidT |
+           graft.core.DecimalT(_, _) => true
+      case _ => false
     }
-    Some((StructType(fields.result()), values.result().toArray))
+    if (!groupCols.forall(f => groupSafe(f.fieldType))) return None
+    val specsById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
+    /** Partition-field name carrying `f`'s IDENTITY value under `specId`,
+      * or None (→ refuse) if that spec doesn't identity-partition on it. */
+    def identityName(specId: Int, f: graft.core.NestedField): Option[String] =
+      specsById.get(specId).flatMap(_.fields.find(p =>
+        p.sourceId == f.id && p.transform == graft.core.IdentityTransform)
+        .map(_.name))
+    /** Raw Avro manifest partition value → catalyst internal value. */
+    def internalVal(raw: Any, t: graft.core.IcebergType): Any = raw match {
+      case null => null
+      case fx: org.apache.avro.generic.GenericData.Fixed => internalVal(fx.bytes(), t)
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        internalVal(a, t)
+      case other => t match {
+        case graft.core.StringT =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(other.toString)
+        case graft.core.UuidT => other match {
+          case a: Array[Byte] if a.length == 16 =>
+            val b = java.nio.ByteBuffer.wrap(a)
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              new java.util.UUID(b.getLong, b.getLong).toString)
+          case s => org.apache.spark.unsafe.types.UTF8String.fromString(s.toString)
+        }
+        case graft.core.DecimalT(_, s) => other match {
+          case a: Array[Byte] => org.apache.spark.sql.types.Decimal(
+            BigDecimal(new java.math.BigInteger(a), s))
+          case x => x
+        }
+        // int/long-backed types (int, long, date, time, timestamps) arrive
+        // from the Avro decode already in catalyst-internal form
+        case _ => other
+      }
+    }
+    /** Group key of one task, or None if its spec can't answer it. */
+    def keyOf(t: graft.core.FileScanTask): Option[Seq[Any]] = {
+      val vs = groupCols.map { f =>
+        identityName(t.specId, f) match {
+          case Some(name) =>
+            internalVal(t.file.partition.get(name).orNull, f.fieldType)
+          case None => return None
+        }
+      }
+      Some(vs)
+    }
+
+    // ---- aggregate columns: schema + per-file-set evaluator, shared by
+    // the ungrouped (one group = all files) and grouped paths
+    val aggCols: Seq[(StructField, Seq[graft.core.DataFileInfo] => Option[Any])] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          (StructField("count_star", LongType, nullable = false),
+            (fs: Seq[graft.core.DataFileInfo]) =>
+              Some(fs.map(_.recordCount).sum): Option[Any])
+        case c: Count if !c.isDistinct =>
+          val f = colId(c.column()).getOrElse(return None)
+          (StructField(s"count_${f.name}", LongType, nullable = false),
+            (fs: Seq[graft.core.DataFileInfo]) => {
+              val counts = fs.map(df =>
+                for {
+                  v <- df.valueCounts.get(f.id)
+                  n <- df.nullValueCounts.get(f.id)
+                } yield v - n)
+              if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+            })
+        case m: Min =>
+          val f = colId(m.column()).getOrElse(return None)
+          (StructField(s"min_${f.name}", SchemaConv.toSparkType(f.fieldType)),
+            (fs: Seq[graft.core.DataFileInfo]) =>
+              if (!boundSafe(fs, f)) None
+              else bounds(fs, f, _.lowerBounds).filter(_.nonEmpty).map(bs =>
+                toCatalyst(bs.reduce((a, b) =>
+                  if (graft.core.LiteralOrdering.compare(a, b).exists(_ <= 0)) a
+                  else b))))
+        case m: Max =>
+          val f = colId(m.column()).getOrElse(return None)
+          (StructField(s"max_${f.name}", SchemaConv.toSparkType(f.fieldType)),
+            (fs: Seq[graft.core.DataFileInfo]) =>
+              if (!boundSafe(fs, f)) None
+              else bounds(fs, f, _.upperBounds).filter(_.nonEmpty).map(bs =>
+                toCatalyst(bs.reduce((a, b) =>
+                  if (graft.core.LiteralOrdering.compare(a, b).exists(_ >= 0)) a
+                  else b))))
+        case _ => return None
+      }
+
+    def rowFor(key: Seq[Any], fs: Seq[graft.core.DataFileInfo]): Option[Array[Any]] = {
+      val vs = aggCols.map(_._2(fs))
+      if (vs.forall(_.isDefined)) Some((key ++ vs.map(_.get)).toArray) else None
+    }
+
+    val rows: Array[Array[Any]] =
+      if (groupCols.isEmpty) Array(rowFor(Nil, files).getOrElse(return None))
+      else {
+        // every file maps to exactly one group (identity partition) — an
+        // empty table yields zero groups, matching SQL GROUP BY semantics
+        val keyed = tasks.map(t => keyOf(t).getOrElse(return None) -> t.file)
+        keyed.groupBy(_._1).toSeq.map { case (k, kfs) =>
+          rowFor(k, kfs.map(_._2)).getOrElse(return None)
+        }.toArray
+      }
+    val schema = StructType(
+      groupCols.map(f =>
+        StructField(f.name, SchemaConv.toSparkType(f.fieldType))) ++
+        aggCols.map(_._1))
+    Some((schema, rows))
   }
 
   override def build(): Scan = aggResult match {
@@ -632,35 +728,39 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
   }
 }
 
-/** Complete aggregate pushdown result: one precomputed row, zero data I/O. */
+/** Complete aggregate pushdown result: precomputed rows (one per group;
+  * exactly one when ungrouped), zero data I/O. */
 final class GraftAggScan(table: IcebergTable, aggSchema: StructType,
-                         values: Array[Any])
+                         rows: Array[Array[Any]])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"icegopher ${table.location} [metadata-only aggregate]"
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(64L)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(64L * math.max(rows.length, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows.length)
   }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(values))
+    Array(GraftAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          private val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(p.asInstanceOf[GraftAggPartition].values.clone())
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = row
+          private val all = p.asInstanceOf[GraftAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < all.length }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(all(i).clone())
           override def close(): Unit = ()
         }
     }
 }
 
-final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+final case class GraftAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       required: StructType, snapshotId: Option[Long],

@@ -74,6 +74,32 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.listTables(Seq("it_t")).isEmpty)
   }
 
+  test("register adopts an existing metadata file verbatim; duplicate → 409") {
+    catalog.createNamespace(Seq("it_reg"))
+    // compose a real metadata file the way a foreign catalog would have
+    // left it: create a table, dump its metadata JSON to disk, drop it
+    val donor = catalog.createTable(Seq("it_reg", "donor"), schema,
+      Map("origin" -> "elsewhere"))
+    val mdFile = java.nio.file.Files.createTempFile("register", ".metadata.json")
+    java.nio.file.Files.writeString(mdFile, donor.metadata.toJson)
+    catalog.dropTable(Seq("it_reg", "donor"))
+
+    val adopted = catalog.registerTable(Seq("it_reg", "adopted"),
+      s"file://$mdFile")
+    // verbatim adoption: same uuid, same schema, same properties
+    assert(adopted.metadata.tableUuid == donor.metadata.tableUuid)
+    assert(adopted.metadata.currentSchema.fields.map(_.name) ==
+      Seq("id", "data"))
+    assert(adopted.metadata.properties("origin") == "elsewhere")
+    val loaded = catalog.loadTable(Seq("it_reg", "adopted"))
+    assert(loaded.metadata.tableUuid == donor.metadata.tableUuid)
+    assert(catalog.listTables(Seq("it_reg")) == Seq(Seq("it_reg", "adopted")))
+    // registering over an existing identifier must refuse
+    intercept[AlreadyExistsError] {
+      catalog.registerTable(Seq("it_reg", "adopted"), s"file://$mdFile")
+    }
+  }
+
   test("commit: property txn with uuid guard; stale guard → conflict") {
     catalog.createNamespace(Seq("it_c"))
     val t = catalog.createTable(Seq("it_c", "t"), schema)

@@ -155,6 +155,25 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
             respond(ex, 200, tableResponse(ns, tname, md))
           }
         }
+      case ("POST", Seq("namespaces", ns, "register")) =>
+        if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
+        else {
+          val b = mapper.readTree(readBody(ex))
+          val tname = b.get("name").asText()
+          val loc = b.get("metadata-location").asText()
+          if (tables.contains((ns, tname))) err(ex, 409, s"table $tname exists")
+          else {
+            // the spec's register verb: the server READS the existing
+            // metadata file and adopts it verbatim — nothing is rewritten
+            val raw = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(
+                loc.stripPrefix("file://").stripPrefix("file:"))),
+              StandardCharsets.UTF_8)
+            val md = mapper.readTree(raw).asInstanceOf[ObjectNode]
+            tables((ns, tname)) = md
+            respond(ex, 200, tableResponse(ns, tname, md))
+          }
+        }
       case ("GET", Seq("namespaces", ns, "tables", t)) =>
         tables.get((ns, t)) match {
           case None => err(ex, 404, s"table $ns.$t not found")

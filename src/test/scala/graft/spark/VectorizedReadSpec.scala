@@ -137,6 +137,77 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(row.getLong(3) == exp.getLong(3))
   }
 
+  test("GROUP BY identity partition column is answered from metadata") {
+    val loc = tmpDir("tbl_aggpushgrp")
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    TableWriter.create(src, loc,
+      partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+
+    val fns = org.apache.spark.sql.functions
+    val df = spark.read.format("icegopher").load(loc)
+      .groupBy("o_orderstatus")
+      .agg(fns.count("*").as("n"),
+        fns.min("o_orderkey").as("min_k"),
+        fns.max("o_totalprice").as("max_p"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("metadata-only aggregate"), s"grouped agg not pushed:\n$p")
+
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val exp = src.groupBy("o_orderstatus")
+      .agg(fns.count("*"), fns.min("o_orderkey"), fns.max("o_totalprice"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+
+    // GROUP BY a NON-partition column must NOT be metadata-answered
+    val notPushed = spark.read.format("icegopher").load(loc)
+      .groupBy("o_orderpriority").agg(fns.count("*").as("n"))
+    assert(!notPushed.queryExecution.executedPlan.toString
+      .contains("metadata-only"))
+    assert(notPushed.count() ==
+      src.select("o_orderpriority").distinct().count())
+
+    // GROUP BY an EXPRESSION over the partition column references the same
+    // field but its group values are not the partition values — must NOT
+    // be metadata-answered, and must stay correct
+    val exprGrouped = spark.read.format("icegopher").load(loc)
+      .groupBy(fns.concat(col("o_orderstatus"), fns.lit("!")).as("g"))
+      .agg(fns.count("*").as("n"))
+    assert(!exprGrouped.queryExecution.executedPlan.toString
+      .contains("metadata-only"))
+    val gotE = exprGrouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val expE = src.groupBy(fns.concat(col("o_orderstatus"), fns.lit("!")))
+      .agg(fns.count("*")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(gotE.toSeq == expE.toSeq)
+  }
+
+  test("grouped pushdown refused once a spec evolution drops the identity field") {
+    val loc = tmpDir("tbl_aggpushevo")
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val fns = org.apache.spark.sql.functions
+    val t0 = TableWriter.create(src.filter(col("o_orderkey") % 2 === 0), loc,
+      partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    // evolve: drop the identity field, append more rows under the new spec
+    val t1 = TableWriter.dropPartitionField(t0, "o_orderstatus")
+    TableWriter.append(t1, spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 2 =!= 0))
+
+    val df = spark.read.format("icegopher").load(loc)
+      .groupBy("o_orderstatus").agg(fns.count("*").as("n"))
+    // files written under the evolved spec carry no identity value for the
+    // group column — pushdown must refuse, Spark aggregates from data
+    assert(!df.queryExecution.executedPlan.toString.contains("metadata-only"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val exp = src.groupBy("o_orderstatus").agg(fns.count("*"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("aggregate pushdown refuses filters, deletes, and unsafe bounds") {
     val loc = tmpDir("tbl_aggref")
     val src = spark.read.parquet(s"$sf/customer.parquet")
