@@ -839,7 +839,8 @@ object IcebergOps {
     * GROUP BY day` — the canonical ingest-monitoring query — into an
     * O(manifests) driver read instead of a full-table scan + shuffle. */
   def ice26GroupedAggPushdown(s: SparkSession, d: String): DataFrame = {
-    val table = cached("orders_bystatus", d) { loc =>
+    // same fixture as ice02 — one cached identity-partitioned orders table
+    val table = cached("orders_by_status", d) { loc =>
       TableWriter.create(Tables.orders(s, d), loc,
         partitionBy = Seq("o_orderstatus" -> IdentityTransform))
     }

@@ -587,109 +587,24 @@ object Similarity {
   def annSq8(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
              shortlist: Int = 40): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
-    val dims = emb.select(posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy("pos")
-      .agg(min(col("v")).as("mn"),
-        when(max(col("v")) === min(col("v")), lit(1.0))
-          .otherwise(max(col("v")) - min(col("v"))).as("dl"))
-    val params = dims.groupBy()
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
-        .as("mins"),
-        expr("transform(array_sort(collect_list(struct(pos, dl))), s -> s.dl)")
-        .as("deltas"))
-    // encode → dequantize fused in one projection (the int codes are the
-    // PERSISTED form — here they exist only inside the expression; the
-    // slot caches the reconstructed vectors the shortlist scans)
-    val deq = sq8DeqSlot(emb.crossJoin(broadcast(params))
-      .select(col("vec_id"), expr(
-        "transform(sequence(1, size(e)), i -> CAST(round(" +
-          "(element_at(e, i) - element_at(mins, i)) / element_at(deltas, i) * 255" +
-          ", 0) AS INT))").as("c"))
-      .crossJoin(broadcast(params))
-      .select(col("vec_id"), expr(
-        "transform(sequence(1, size(c)), i -> element_at(mins, i) + " +
-          "CAST(element_at(c, i) AS DOUBLE) * element_at(deltas, i) / 255)")
-        .as("ne")))
-
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
-        sqrt(dot(col("e"), col("e"))).as("qnorm"))
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("approx").desc, col("nid"))
-    val short = deq
-      .select(col("vec_id").as("nid"), col("ne"),
-        sqrt(dot(col("ne"), col("ne"))).as("nn"))
-      .join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        round(dot(col("qe"), col("ne")) / (col("qnorm") * col("nn")), 6).as("approx"))
-      .withColumn("rk", row_number().over(wShort))
-      .filter(col("rk") <= shortlist)
-      .select("qid", "nid")
-
-    // exact cosine re-rank of the bounded shortlist
-    val en = emb.select(col("vec_id"), col("e"),
-      sqrt(dot(col("e"), col("e"))).as("norm"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    en.withColumnRenamed("vec_id", "nid").join(broadcast(short), "nid")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("e")) / (col("qnorm") * col("norm"))).as("cos"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank")
-      .orderBy("qid", "rank")
+    val params = sq8Params(emb)
+    // encode -> dequantize against the just-trained params (the int codes
+    // are the PERSISTED form in the maintained variant, ann15; here they
+    // exist only inside the expression -- the slot caches the
+    // reconstructed vectors the shortlist scans). sq8Encode's [0, 255]
+    // clamp is a no-op here: params are trained on the exact corpus being
+    // encoded, so every coordinate is in-range by construction.
+    val deq = sq8DeqSlot(sq8Dequant(sq8Encode(emb, params), params))
+    sq8TopK(deq, emb, emb.filter(col("vec_id") < nQueries), k, shortlist)
   }
 
-  val annSq8Sql: String =
-    """WITH e AS (
-         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-       u AS (SELECT vec_id, i, e[i] AS v FROM e, UNNEST(range(1, 65)) t(i)),
-       dims AS (
-         SELECT i, MIN(v) AS mn,
-                CASE WHEN MAX(v) = MIN(v) THEN 1 ELSE MAX(v) - MIN(v) END AS dl
-         FROM u GROUP BY i),
-       params AS (SELECT list(mn ORDER BY i) AS mins,
-                         list(dl ORDER BY i) AS deltas FROM dims),
-       codes AS (
-         SELECT vec_id,
-                [CAST(ROUND((e[i] - mins[i]) / deltas[i] * 255) AS INT)
-                 for i in range(1, len(e) + 1)] AS c
-         FROM e, params),
-       deq AS (
-         SELECT vec_id,
-                [mins[i] + CAST(c[i] AS DOUBLE) * deltas[i] / 255
-                 for i in range(1, len(c) + 1)] AS ne
-         FROM codes, params),
-       dn AS (
-         SELECT vec_id, ne,
-                sqrt(list_sum([ne[i] * ne[i] for i in range(1, len(ne)+1)])) AS nn
-         FROM deq),
-       q AS (
-         SELECT vec_id AS qid, e AS qe,
-                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS qnorm
-         FROM e WHERE vec_id < 10),
-       short AS (
-         SELECT qid, nid FROM (
-           SELECT q.qid, dn.vec_id AS nid,
-                  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                    ROUND(list_sum([q.qe[i] * dn.ne[i]
-                      for i in range(1, len(dn.ne)+1)]) / (q.qnorm * dn.nn), 6)
-                      DESC, dn.vec_id) AS rk
-           FROM dn, q WHERE q.qid <> dn.vec_id) t
-         WHERE rk <= 40),
-       en AS (
-         SELECT vec_id, e,
-                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
-         FROM e)
-       SELECT qid, nid, rank FROM (
-         SELECT s.qid, s.nid,
-                ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
-                  (list_sum([q.qe[i] * en.e[i] for i in range(1, len(en.e)+1)])
-                    / (q.qnorm * en.norm)) DESC, s.nid) AS rank
-         FROM short s
-           JOIN en ON en.vec_id = s.nid
-           JOIN q ON q.qid = s.qid) t
-       WHERE rank <= 5 ORDER BY qid, rank"""
+  /** DuckDB mirror of [[annSq8]]: [[annSq8SqlOver]] with params trained on
+    * the same corpus it encodes (the clamp is a no-op in that case). */
+  val annSq8Sql: String = {
+    val e =
+      "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings"
+    annSq8SqlOver(e, e)
+  }
 
   // ------------------------------------------------ SQ8 as a maintained model
   // [[annSq8]] builds and serves in one session; these helpers split the

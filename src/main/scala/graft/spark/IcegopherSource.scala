@@ -532,14 +532,6 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     // snapshot's full stats
     if (options.get("start-snapshot-id") != null) return None
 
-    val (snap, ref, asOf) = snapshotPins
-    val tasks =
-      try table.newScan(snapshotId = snap, ref = ref, asOfTimestampMs = asOf).planFiles()
-      catch { case _: Exception => return None }
-    // deleted rows are invisible to manifest stats — bail out
-    if (tasks.exists(_.deleteFiles.nonEmpty)) return None
-    val files = tasks.map(_.file)
-
     def colId(e: org.apache.spark.sql.connector.expressions.Expression): Option[graft.core.NestedField] =
       e.references() match {
         case Array(r) if r.fieldNames().length == 1 =>
@@ -605,6 +597,11 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     }
     if (!groupCols.forall(f => groupSafe(f.fieldType))) return None
     val specsById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
+    // statically refusable: if NO spec identity-partitions a group column,
+    // no scanned file can answer it — refuse before planning any files
+    if (!groupCols.forall(f => specsById.values.exists(_.fields.exists(p =>
+        p.sourceId == f.id && p.transform == graft.core.IdentityTransform))))
+      return None
     /** Partition-field name carrying `f`'s IDENTITY value under `specId`,
       * or None (→ refuse) if that spec doesn't identity-partition on it. */
     def identityName(specId: Int, f: graft.core.NestedField): Option[String] =
@@ -690,6 +687,15 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
         case _ => return None
       }
 
+    // every static check passed — only now pay the file planning
+    val (snap, ref, asOf) = snapshotPins
+    val tasks =
+      try table.newScan(snapshotId = snap, ref = ref, asOfTimestampMs = asOf).planFiles()
+      catch { case _: Exception => return None }
+    // deleted rows are invisible to manifest stats — bail out
+    if (tasks.exists(_.deleteFiles.nonEmpty)) return None
+    val files = tasks.map(_.file)
+
     def rowFor(key: Seq[Any], fs: Seq[graft.core.DataFileInfo]): Option[Array[Any]] = {
       val vs = aggCols.map(_._2(fs))
       if (vs.forall(_.isDefined)) Some((key ++ vs.map(_.get)).toArray) else None
@@ -699,11 +705,16 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       if (groupCols.isEmpty) Array(rowFor(Nil, files).getOrElse(return None))
       else {
         // every file maps to exactly one group (identity partition) — an
-        // empty table yields zero groups, matching SQL GROUP BY semantics
+        // empty table yields zero groups, matching SQL GROUP BY semantics.
+        // Groups whose files hold ZERO rows are dropped the same way: SQL
+        // emits no group for a partition with no rows, so a committed
+        // empty data file must not invent one
         val keyed = tasks.map(t => keyOf(t).getOrElse(return None) -> t.file)
-        keyed.groupBy(_._1).toSeq.map { case (k, kfs) =>
-          rowFor(k, kfs.map(_._2)).getOrElse(return None)
-        }.toArray
+        keyed.groupBy(_._1).toSeq
+          .filter { case (_, kfs) => kfs.exists(_._2.recordCount > 0) }
+          .map { case (k, kfs) =>
+            rowFor(k, kfs.map(_._2)).getOrElse(return None)
+          }.toArray
       }
     val schema = StructType(
       groupCols.map(f =>

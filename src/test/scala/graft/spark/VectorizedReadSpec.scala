@@ -186,6 +186,39 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(gotE.toSeq == expE.toSeq)
   }
 
+  test("a committed zero-record data file invents no group") {
+    val loc = tmpDir("tbl_aggpushzero")
+    val fns = org.apache.spark.sql.functions
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val t0 = TableWriter.create(src, loc,
+      partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    // commit an EMPTY parquet file under a partition value no row has —
+    // SQL GROUP BY emits no group for a partition with no rows, so the
+    // metadata answer must not invent one
+    val ext = tmpDir("aggpushzero_src")
+    val pdir = new java.io.File(s"$ext/o_orderstatus=Z"); pdir.mkdirs()
+    src.filter(fns.lit(false)).coalesce(1)
+      .write.mode("overwrite").parquet(pdir.getPath)
+    val t1 = TableWriter.addFiles(t0, ext)
+    // the scan planner's metrics evaluator short-circuits recordCount == 0
+    // to RowsCannotMatch, so the zero-record file never reaches the
+    // aggregate path at all (and metadataAggregate's own group filter is
+    // a second line of defense) — pin BOTH the commit and the drop
+    assert(t1.currentSnapshot.get.summary.exists(
+        _.properties.get("added-by").contains("add_files")),
+      "fixture must have committed through add_files")
+    assert(!t1.newScan().planFiles().exists(_.file.recordCount == 0L),
+      "planner must drop the committed zero-record data file")
+
+    val df = spark.read.format("icegopher").load(loc)
+      .groupBy("o_orderstatus").agg(fns.count("*").as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("metadata-only"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val exp = src.groupBy("o_orderstatus").agg(fns.count("*"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq, "zero-record partition must not appear")
+  }
+
   test("grouped pushdown refused once a spec evolution drops the identity field") {
     val loc = tmpDir("tbl_aggpushevo")
     val src = spark.read.parquet(s"$sf/orders.parquet")
