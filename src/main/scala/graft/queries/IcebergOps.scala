@@ -863,6 +863,32 @@ object IcebergOps {
        CAST(COUNT(o_custkey) AS BIGINT) AS n_cust
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** COUNT(DISTINCT identity-partition-col) from manifests: the column is
+    * constant per file, so the distinct set is exactly the set of live
+    * partition values — `SELECT COUNT(DISTINCT day) FROM t` at 100 TB is
+    * an O(manifests) driver read (plan-asserted metadata-only; shares
+    * ice02's cached fixture). */
+  def ice27CountDistinctPushdown(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_by_status", d) { loc =>
+      TableWriter.create(Tables.orders(s, d), loc,
+        partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    }
+    val df = s.read.format("icegopher").load(table.location)
+      .agg(org.apache.spark.sql.functions.count_distinct(
+          col("o_orderstatus")).as("nd"),
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("o_orderkey").as("max_key"))
+    require(df.queryExecution.executedPlan.toString
+        .contains("metadata-only aggregate"),
+      "ice27: count-distinct aggregate was not metadata-answered")
+    df
+  }
+
+  val ice27Sql: String =
+    """SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd,
+       CAST(COUNT(*) AS BIGINT) AS n, MAX(o_orderkey) AS max_key
+       FROM orders"""
+
   /** Keyed MERGE as equality deletes (`CALL …merge_keyed`): two stacked
     * merges land as ONE equality-tombstone + append snapshot each, with
     * ZERO scans of the target (positional MERGE must read the target to

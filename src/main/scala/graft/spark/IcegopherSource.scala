@@ -647,40 +647,64 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       Some(vs)
     }
 
-    // ---- aggregate columns: schema + per-file-set evaluator, shared by
-    // the ungrouped (one group = all files) and grouped paths
-    val aggCols: Seq[(StructField, Seq[graft.core.DataFileInfo] => Option[Any])] =
+    // ---- aggregate columns: schema + per-task-set evaluator, shared by
+    // the ungrouped (one group = all files) and grouped paths. Extractors
+    // see FileScanTasks (not bare files) so COUNT(DISTINCT identity-col)
+    // can read per-file partition values under each file's own spec.
+    val aggCols: Seq[(StructField, Seq[graft.core.FileScanTask] => Option[Any])] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           (StructField("count_star", LongType, nullable = false),
-            (fs: Seq[graft.core.DataFileInfo]) =>
-              Some(fs.map(_.recordCount).sum): Option[Any])
+            (ts: Seq[graft.core.FileScanTask]) =>
+              Some(ts.map(_.file.recordCount).sum): Option[Any])
         case c: Count if !c.isDistinct =>
           val f = colId(c.column()).getOrElse(return None)
           (StructField(s"count_${f.name}", LongType, nullable = false),
-            (fs: Seq[graft.core.DataFileInfo]) => {
-              val counts = fs.map(df =>
+            (ts: Seq[graft.core.FileScanTask]) => {
+              val counts = ts.map(_.file).map(df =>
                 for {
                   v <- df.valueCounts.get(f.id)
                   n <- df.nullValueCounts.get(f.id)
                 } yield v - n)
               if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
             })
+        case c: Count if c.isDistinct =>
+          // COUNT(DISTINCT col) is exact from manifests when col is an
+          // IDENTITY partition column in every scanned file's spec: the
+          // value is constant per file, so the distinct set is the set of
+          // live partition values (nulls excluded per SQL; zero-record
+          // files contribute no value — the planner already drops them)
+          val f = colId(c.column()).getOrElse(return None)
+          if (!groupSafe(f.fieldType)) return None
+          if (!specsById.values.exists(_.fields.exists(p =>
+              p.sourceId == f.id &&
+                p.transform == graft.core.IdentityTransform))) return None
+          (StructField(s"count_distinct_${f.name}", LongType, nullable = false),
+            (ts: Seq[graft.core.FileScanTask]) => {
+              val live = ts.filter(_.file.recordCount > 0)
+              val names = live.map(t => identityName(t.specId, f))
+              if (names.exists(_.isEmpty)) None // a spec without the field
+              else Some(live.zip(names)
+                .map { case (t, n) =>
+                  internalVal(t.file.partition.get(n.get).orNull, f.fieldType)
+                }
+                .filter(_ != null).distinct.size.toLong)
+            })
         case m: Min =>
           val f = colId(m.column()).getOrElse(return None)
           (StructField(s"min_${f.name}", SchemaConv.toSparkType(f.fieldType)),
-            (fs: Seq[graft.core.DataFileInfo]) =>
-              if (!boundSafe(fs, f)) None
-              else bounds(fs, f, _.lowerBounds).filter(_.nonEmpty).map(bs =>
+            (ts: Seq[graft.core.FileScanTask]) =>
+              if (!boundSafe(ts.map(_.file), f)) None
+              else bounds(ts.map(_.file), f, _.lowerBounds).filter(_.nonEmpty).map(bs =>
                 toCatalyst(bs.reduce((a, b) =>
                   if (graft.core.LiteralOrdering.compare(a, b).exists(_ <= 0)) a
                   else b))))
         case m: Max =>
           val f = colId(m.column()).getOrElse(return None)
           (StructField(s"max_${f.name}", SchemaConv.toSparkType(f.fieldType)),
-            (fs: Seq[graft.core.DataFileInfo]) =>
-              if (!boundSafe(fs, f)) None
-              else bounds(fs, f, _.upperBounds).filter(_.nonEmpty).map(bs =>
+            (ts: Seq[graft.core.FileScanTask]) =>
+              if (!boundSafe(ts.map(_.file), f)) None
+              else bounds(ts.map(_.file), f, _.upperBounds).filter(_.nonEmpty).map(bs =>
                 toCatalyst(bs.reduce((a, b) =>
                   if (graft.core.LiteralOrdering.compare(a, b).exists(_ >= 0)) a
                   else b))))
@@ -694,26 +718,25 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       catch { case _: Exception => return None }
     // deleted rows are invisible to manifest stats — bail out
     if (tasks.exists(_.deleteFiles.nonEmpty)) return None
-    val files = tasks.map(_.file)
 
-    def rowFor(key: Seq[Any], fs: Seq[graft.core.DataFileInfo]): Option[Array[Any]] = {
-      val vs = aggCols.map(_._2(fs))
+    def rowFor(key: Seq[Any], ts: Seq[graft.core.FileScanTask]): Option[Array[Any]] = {
+      val vs = aggCols.map(_._2(ts))
       if (vs.forall(_.isDefined)) Some((key ++ vs.map(_.get)).toArray) else None
     }
 
     val rows: Array[Array[Any]] =
-      if (groupCols.isEmpty) Array(rowFor(Nil, files).getOrElse(return None))
+      if (groupCols.isEmpty) Array(rowFor(Nil, tasks).getOrElse(return None))
       else {
         // every file maps to exactly one group (identity partition) — an
         // empty table yields zero groups, matching SQL GROUP BY semantics.
         // Groups whose files hold ZERO rows are dropped the same way: SQL
         // emits no group for a partition with no rows, so a committed
         // empty data file must not invent one
-        val keyed = tasks.map(t => keyOf(t).getOrElse(return None) -> t.file)
+        val keyed = tasks.map(t => keyOf(t).getOrElse(return None) -> t)
         keyed.groupBy(_._1).toSeq
-          .filter { case (_, kfs) => kfs.exists(_._2.recordCount > 0) }
-          .map { case (k, kfs) =>
-            rowFor(k, kfs.map(_._2)).getOrElse(return None)
+          .filter { case (_, kts) => kts.exists(_._2.file.recordCount > 0) }
+          .map { case (k, kts) =>
+            rowFor(k, kts.map(_._2)).getOrElse(return None)
           }.toArray
       }
     val schema = StructType(

@@ -186,6 +186,33 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(gotE.toSeq == expE.toSeq)
   }
 
+  test("COUNT(DISTINCT identity partition column) is answered from metadata") {
+    val loc = tmpDir("tbl_aggpushcd")
+    val fns = org.apache.spark.sql.functions
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    TableWriter.create(src, loc,
+      partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+
+    val df = spark.read.format("icegopher").load(loc)
+      .agg(fns.count_distinct(col("o_orderstatus")).as("nd"),
+        fns.count("*").as("total"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("metadata-only aggregate"),
+      s"count-distinct not pushed:\n$p")
+    val row = df.collect()(0)
+    assert(row.getLong(0) ==
+      src.select("o_orderstatus").distinct().count())
+    assert(row.getLong(1) == src.count())
+
+    // distinct over a NON-partition column cannot come from metadata
+    val refused = spark.read.format("icegopher").load(loc)
+      .agg(fns.count_distinct(col("o_orderpriority")).as("nd"))
+    assert(!refused.queryExecution.executedPlan.toString
+      .contains("metadata-only"))
+    assert(refused.collect()(0).getLong(0) ==
+      src.select("o_orderpriority").distinct().count())
+  }
+
   test("a committed zero-record data file invents no group") {
     val loc = tmpDir("tbl_aggpushzero")
     val fns = org.apache.spark.sql.functions
