@@ -59,7 +59,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"procedures live in the 'system' namespace, got $ident")
     GraftProcedures.load(ident.name(), tableRef => {
       val parts = tableRef.split('.')
-      tableDir(Identifier.of(parts.init, parts.last)).getPath
+      // registered tables resolve through their location.ref pointer so
+      // procedures operate on the real table, not the pointer dir
+      resolvedTableLocation(tableDir(Identifier.of(parts.init, parts.last)))
     })
   }
 
@@ -81,7 +83,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new File(new File(warehouse, ident.namespace().mkString(File.separator)),
       ident.name())
 
-  private def isTable(dir: File): Boolean = new File(dir, "metadata").isDirectory
+  /** A REGISTERED table (`CALL register_table`) lives outside the
+    * warehouse; its catalog entry is a directory holding only a
+    * `location.ref` pointer to the real table directory. */
+  private def registeredRef(dir: File): Option[String] = {
+    val f = new File(dir, "location.ref")
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def isTable(dir: File): Boolean =
+    new File(dir, "metadata").isDirectory ||
+      new File(dir, "location.ref").isFile
+
+  /** The directory table data/metadata actually lives in — the table dir
+    * itself, or the `location.ref` target for registered tables. */
+  private def resolvedTableLocation(dir: File): String =
+    registeredRef(dir).getOrElse(dir.getPath)
 
   // ---------------------------------------------------------------- tables
 
@@ -98,7 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
-    IcebergTables.load(dir.getPath)
+    IcebergTables.load(resolvedTableLocation(dir))
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -24,7 +24,8 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref", "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "rewrite_deletion_vectors",
-    "cherrypick_snapshot", "compute_table_stats", "compute_partition_stats",
+    "cherrypick_snapshot", "publish_changes", "register_table",
+    "compute_table_stats", "compute_partition_stats",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index",
@@ -285,6 +286,42 @@ object GraftProcedures {
             s"no staged snapshot carries wap.id '$wapId'"))
         val out = TableWriter.cherrypickSnapshot(table, staged.snapshotId)
         Array[Any](staged.snapshotId, out.currentSnapshot.get.snapshotId)
+      }
+      // Iceberg's register_table: adopt an EXISTING table under a catalog
+      // identifier without touching a single data or metadata file. In
+      // this path-convention catalog the entry is a `location.ref` pointer
+      // at the real table directory — reads, writes, DDL, and procedures
+      // all resolve through it.
+      case "register_table" => proc(name,
+        Seq("table" -> StringType, "metadata_location" -> StringType),
+        StructType(Seq(
+          StructField("table_location", StringType, nullable = false),
+          StructField("current_snapshot_id", LongType)))) { in =>
+        val entryDir = new java.io.File(
+          resolveLocation(in.getUTF8String(0).toString))
+        val metaLoc = in.getUTF8String(1).toString.stripPrefix("file://")
+        require(!new java.io.File(entryDir, "metadata").isDirectory &&
+            !new java.io.File(entryDir, "location.ref").isFile,
+          s"register_table: table already exists at $entryDir")
+        // validates by parsing (accepts a table dir or a metadata.json)
+        val table = IcebergTables.load(metaLoc)
+        val target = table.location
+        // writes land in the TABLE DIRECTORY — it must load on its own
+        try IcebergTables.load(target)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"register_table: '$metaLoc' parses but its table directory " +
+              s"'$target' is not loadable (${e.getMessage}) — this " +
+              "path-based catalog adopts tables using the " +
+              "v<N>.metadata.json convention; use the REST catalog's " +
+              "registerTable for arbitrary foreign metadata naming")
+        }
+        entryDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(entryDir, "location.ref").toPath, target)
+        Array[Any](target,
+          table.currentSnapshot.map(s => java.lang.Long.valueOf(s.snapshotId))
+            .orNull)
       }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),

@@ -37,6 +37,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(top.toSeq == expect.toSeq)
   }
 
+  test("register_table adopts an external table: reads, writes, procedures, drop") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    // a real table living OUTSIDE the warehouse
+    val external = Files.createTempDirectory("graft_reg_ext").toFile.getPath
+    val t0 = TableWriter.create(src, s"$external/regions")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.regdb")
+
+    val row = spark.sql(
+      s"""CALL graft.system.register_table('regdb.regions',
+         '${t0.metadataPath}')""").collect()(0)
+    assert(row.getString(0) == s"$external/regions")
+    assert(row.getLong(1) == t0.currentSnapshot.get.snapshotId)
+
+    // reads resolve through the pointer
+    assert(spark.sql("SELECT count(*) FROM graft.regdb.regions")
+      .collect()(0).getLong(0) == src.count())
+    assert(spark.sql("SHOW TABLES IN graft.regdb").collect()
+      .map(_.getString(1)).contains("regions"))
+    // writes land in the EXTERNAL table directory
+    spark.sql(
+      "INSERT INTO graft.regdb.regions VALUES (99, 'NOWHERE')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.regdb.regions WHERE r_regionkey = 99")
+      .collect()(0).getLong(0) == 1L)
+    assert(IcebergTables.load(s"$external/regions").newScan().toDF(spark)
+      .count() == src.count() + 1)
+    // procedures resolve through the pointer too
+    val snaps = spark.sql("SELECT * FROM graft.regdb.regions.snapshots").count()
+    assert(snaps >= 2)
+    // duplicate registration refuses
+    val dup = intercept[Exception](spark.sql(
+      s"""CALL graft.system.register_table('regdb.regions',
+         '${t0.metadataPath}')"""))
+    assert(dup.getMessage.contains("already exists"))
+    // DROP removes the catalog ENTRY, never the external table
+    spark.sql("DROP TABLE graft.regdb.regions")
+    assert(!spark.sql("SHOW TABLES IN graft.regdb").collect()
+      .map(_.getString(1)).contains("regions"))
+    assert(IcebergTables.load(s"$external/regions").newScan().toDF(spark)
+      .count() == src.count() + 1)
+  }
+
   test("create empty table via SQL DDL, then append with the writer") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
     spark.sql("CREATE TABLE graft.db2.t (id BIGINT, name STRING)")
