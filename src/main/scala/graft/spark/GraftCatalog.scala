@@ -59,9 +59,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"procedures live in the 'system' namespace, got $ident")
     GraftProcedures.load(ident.name(), tableRef => {
       val parts = tableRef.split('.')
-      // registered tables resolve through their location.ref pointer so
-      // procedures operate on the real table, not the pointer dir
-      resolvedTableLocation(tableDir(Identifier.of(parts.init, parts.last)))
+      require(parts.length >= 2,
+        s"table argument must be namespace-qualified (db.t), got '$tableRef'")
+      val dir = tableDir(Identifier.of(parts.init, parts.last))
+      // register_table needs the raw catalog ENTRY directory (it CREATES
+      // the pointer, and must never follow a stale one); every other
+      // procedure operates on the real table behind an existing pointer
+      if (ident.name() == "register_table") dir.getPath
+      else resolvedTableLocation(dir)
     })
   }
 

@@ -597,17 +597,24 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     }
     if (!groupCols.forall(f => groupSafe(f.fieldType))) return None
     val specsById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
+    /** The partition field carrying `f`'s IDENTITY value in `spec`, if
+      * the spec has one — the single definition every identity check in
+      * this pushdown goes through. */
+    def identityField(spec: graft.core.PartitionSpec,
+                      f: graft.core.NestedField): Option[graft.core.PartitionField] =
+      spec.fields.find(p =>
+        p.sourceId == f.id && p.transform == graft.core.IdentityTransform)
+    /** Statically decidable: SOME spec identity-partitions on `f` (the
+      * exact per-file check happens after planning). */
+    def anySpecIdentity(f: graft.core.NestedField): Boolean =
+      specsById.values.exists(s => identityField(s, f).isDefined)
     // statically refusable: if NO spec identity-partitions a group column,
     // no scanned file can answer it — refuse before planning any files
-    if (!groupCols.forall(f => specsById.values.exists(_.fields.exists(p =>
-        p.sourceId == f.id && p.transform == graft.core.IdentityTransform))))
-      return None
+    if (!groupCols.forall(anySpecIdentity)) return None
     /** Partition-field name carrying `f`'s IDENTITY value under `specId`,
       * or None (→ refuse) if that spec doesn't identity-partition on it. */
     def identityName(specId: Int, f: graft.core.NestedField): Option[String] =
-      specsById.get(specId).flatMap(_.fields.find(p =>
-        p.sourceId == f.id && p.transform == graft.core.IdentityTransform)
-        .map(_.name))
+      specsById.get(specId).flatMap(identityField(_, f)).map(_.name)
     /** Raw Avro manifest partition value → catalyst internal value. */
     def internalVal(raw: Any, t: graft.core.IcebergType): Any = raw match {
       case null => null
@@ -676,9 +683,7 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
           // files contribute no value — the planner already drops them)
           val f = colId(c.column()).getOrElse(return None)
           if (!groupSafe(f.fieldType)) return None
-          if (!specsById.values.exists(_.fields.exists(p =>
-              p.sourceId == f.id &&
-                p.transform == graft.core.IdentityTransform))) return None
+          if (!anySpecIdentity(f)) return None
           (StructField(s"count_distinct_${f.name}", LongType, nullable = false),
             (ts: Seq[graft.core.FileScanTask]) => {
               val live = ts.filter(_.file.recordCount > 0)

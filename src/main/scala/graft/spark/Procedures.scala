@@ -297,25 +297,43 @@ object GraftProcedures {
         StructType(Seq(
           StructField("table_location", StringType, nullable = false),
           StructField("current_snapshot_id", LongType)))) { in =>
-        val entryDir = new java.io.File(
-          resolveLocation(in.getUTF8String(0).toString))
+        val tableRef = in.getUTF8String(0).toString
+        val entryDir = new java.io.File(resolveLocation(tableRef))
         val metaLoc = in.getUTF8String(1).toString.stripPrefix("file://")
-        require(!new java.io.File(entryDir, "metadata").isDirectory &&
-            !new java.io.File(entryDir, "location.ref").isFile,
-          s"register_table: table already exists at $entryDir")
+        // the entry directory must not exist AT ALL: a table dir, a view
+        // dir, or a (nested) NAMESPACE dir here would make the identifier
+        // ambiguous — and a later DROP TABLE would recursively delete
+        // whatever lived inside
+        require(!entryDir.exists(),
+          s"register_table: '$tableRef' already exists (as a table, view, " +
+            "or namespace)")
+        require(entryDir.getParentFile != null &&
+            entryDir.getParentFile.isDirectory,
+          s"register_table: namespace of '$tableRef' not found — " +
+            "CREATE NAMESPACE first")
         // validates by parsing (accepts a table dir or a metadata.json)
         val table = IcebergTables.load(metaLoc)
         val target = table.location
         // writes land in the TABLE DIRECTORY — it must load on its own
-        try IcebergTables.load(target)
-        catch { case e: Exception =>
-          throw new IllegalArgumentException(
-            s"register_table: '$metaLoc' parses but its table directory " +
-              s"'$target' is not loadable (${e.getMessage}) — this " +
-              "path-based catalog adopts tables using the " +
-              "v<N>.metadata.json convention; use the REST catalog's " +
-              "registerTable for arbitrary foreign metadata naming")
-        }
+        val latest =
+          try IcebergTables.load(target)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"register_table: '$metaLoc' parses but its table directory " +
+                s"'$target' is not loadable (${e.getMessage}) — this " +
+                "path-based catalog adopts tables using the " +
+                "v<N>.metadata.json convention; use the REST catalog's " +
+                "registerTable for arbitrary foreign metadata naming")
+          }
+        // the pointer tracks the DIRECTORY (reads always resolve the
+        // latest version), so registering a stale metadata file would
+        // silently serve a different state than the argument names —
+        // refuse instead of diverging from the register_table contract
+        require(new java.io.File(latest.metadataPath).getCanonicalPath ==
+            new java.io.File(table.metadataPath).getCanonicalPath,
+          s"register_table: '$metaLoc' is not the table's CURRENT " +
+            s"metadata (latest is '${latest.metadataPath}') — pass the " +
+            "current metadata file or the table directory")
         entryDir.mkdirs()
         java.nio.file.Files.writeString(
           new java.io.File(entryDir, "location.ref").toPath, target)

@@ -77,6 +77,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("regions"))
     assert(IcebergTables.load(s"$external/regions").newScan().toDF(spark)
       .count() == src.count() + 1)
+
+    // a STALE metadata file refuses: the pointer tracks the directory
+    // (always latest), so registering v1 of a table now at v2 would
+    // silently serve a different state than the argument names
+    val stale = intercept[Exception](spark.sql(
+      s"""CALL graft.system.register_table('regdb.regions2',
+         '${t0.metadataPath}')"""))
+    assert(stale.getMessage.contains("CURRENT metadata"))
+    // an unqualified table argument refuses (a bare namespace here would
+    // let DROP TABLE later recursively delete every table under it)
+    val bare = intercept[Exception](spark.sql(
+      s"CALL graft.system.register_table('regdb', '$external/regions')"))
+    assert(bare.getMessage.contains("namespace-qualified"))
+    // registering over an existing namespace directory refuses
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.regdb.sub")
+    val nsClash = intercept[Exception](spark.sql(
+      s"CALL graft.system.register_table('regdb.sub', '$external/regions')"))
+    assert(nsClash.getMessage.contains("already exists"))
   }
 
   test("create empty table via SQL DDL, then append with the writer") {
