@@ -68,6 +68,9 @@ trait Catalog {
   def loadTable(identifier: Seq[String]): LoadedTable
   def dropTable(identifier: Seq[String]): Unit
   def renameTable(from: Seq[String], to: Seq[String]): Unit
+  /** Adopt an EXISTING table's metadata file under a new identifier —
+    * nothing is rewritten (the REST spec's register verb). */
+  def registerTable(identifier: Seq[String], metadataLocation: String): LoadedTable
 }
 
 object Catalog {

@@ -27,6 +27,7 @@ import graft.spark.IcebergTables
   *   graft properties remove namespace NS KEY     remove a namespace property
   *   graft drop TABLE                      drop a table
   *   graft rename OLD NEW                  rename a table
+  *   graft register TABLE METADATA_LOC     adopt an existing metadata file
   *   graft rollback TABLE SNAPSHOT_ID      move main to an earlier snapshot
   *   graft expire TABLE OLDER_MS [RETAIN]  expire snapshots + orphan files
   *
@@ -86,6 +87,9 @@ object Main {
         removeProperty(cfg, id, key)
       case "drop" :: id :: Nil => drop(cfg, id)
       case "rename" :: from :: to :: Nil => rename(cfg, from, to)
+      case "register" :: id :: metaLoc :: Nil =>
+        val t = catalog(cfg).registerTable(id.split('.').toSeq, metaLoc)
+        println(s"registered $id -> ${t.metadataLocation}")
       case "rollback" :: id :: snap :: Nil =>
         requireLocal(id)
         val snapId = snap.toLongOption.getOrElse(die(s"invalid snapshot id: $snap"))
@@ -148,7 +152,8 @@ object Main {
   private val usage =
     "usage: graft [--uri=URI] [--credential=ID:SECRET] [--json] " +
       "<list|location|uuid|schema|spec|describe|files|partitions|snapshots|" +
-      "refs|properties|drop|rename|rollback|expire|rewrite-manifests|changes> ..."
+      "refs|properties|drop|rename|register|rollback|expire|" +
+      "rewrite-manifests|changes> ..."
 
   private def requireLocal(id: String): Unit =
     if (!(id.contains("/") || id.startsWith("file:")))

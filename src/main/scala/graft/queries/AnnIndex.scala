@@ -554,9 +554,15 @@ object AnnIndex {
   def applySqChanges(codes: IcebergTable, params: DataFrame,
                      changes: DataFrame): IcebergTable = {
     requireSqParams(params)
+    applySqChangesUnchecked(codes, params, changes)
+  }
+
+  /** [[applySqChanges]] without the params probe — for the streaming
+    * driver, which verifies ONCE at stream start (the model is frozen). */
+  private def applySqChangesUnchecked(codes: IcebergTable, params: DataFrame,
+                                      changes: DataFrame): IcebergTable =
     ChangefeedFold.applyChanges(codes, changes, "vec_id",
       ins => Similarity.sq8Encode(Similarity.pqEmb(ins), params))
-  }
 
   /** Batch catch-up for the SQ index: apply every corpus commit after
     * `afterSnapshotId` in one net-effect window. */
@@ -565,6 +571,29 @@ object AnnIndex {
                           afterSnapshotId: Option[Long]): IcebergTable =
     applySqChanges(codes, params,
       Changelog.changelogDF(spark, corpus, afterSnapshotId))
+
+  /** Continuous SQ-index maintenance: consume the corpus table's
+    * `read-changes` stream and fold each micro-batch into the codes table
+    * ([[maintain]]'s discipline with the one-row frozen params model;
+    * content-idempotent on micro-batch re-delivery). */
+  def maintainSq(spark: SparkSession, corpusLocation: String,
+                 paramsLocation: String, codesLocation: String,
+                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val params = IcebergTables.load(paramsLocation).newScan().toDF(spark)
+    // verify the model ONCE at stream start — it is frozen
+    requireSqParams(params)
+    spark.readStream.format("icegopher")
+      .option("read-changes", "true")
+      .load(corpusLocation)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applySqChangesUnchecked(IcebergTables.load(codesLocation), params, batch)
+        ()
+      }
+      .start()
+  }
 
   /** ann15 fixture: the ann07 commit sequence (create even / append odd /
     * negate vec_id % 5 / delete vec_id % 7) with the SQ8 index — params

@@ -28,7 +28,7 @@ object GraftProcedures {
     "compute_table_stats", "compute_partition_stats",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
-    "sync_ann_index",
+    "sync_ann_index", "sync_sq_index",
     "ann_index_stats", "ann_ivf_index_stats",
     "rebuild_ann_index", "rebuild_ann_ivf_index")
 
@@ -471,6 +471,22 @@ object GraftProcedures {
         val out = graft.queries.AnnIndex.syncFromChangelog(spark, corpus,
           codes, cb.newScan().toDF(spark), from,
           graft.queries.AnnIndex.Params(in.getInt(4), in.getInt(5)))
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
+      }
+      case "sync_sq_index" => proc(name,
+        Seq("corpus" -> StringType, "params" -> StringType,
+          "codes" -> StringType, "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("codes_snapshot_id", LongType, nullable = false),
+          StructField("code_rows", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val prm = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        val from = in.getLong(3) match { case 0L => None; case id => Some(id) }
+        val out = graft.queries.AnnIndex.syncSqFromChangelog(spark, corpus,
+          codes, prm.newScan().toDF(spark), from)
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }

@@ -155,6 +155,67 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def sqCodesOf(t: graft.spark.IcebergTable): Set[(Long, Seq[Int])] =
+    t.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+
+  test("SQ index: batch sync equals from-scratch clamped encode; clamp exercised") {
+    val loc = Files.createTempDirectory("sq_corpus").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val pLoc = Files.createTempDirectory("sq_params").toFile.getPath
+    val cdLoc = Files.createTempDirectory("sq_codes").toFile.getPath
+    val (pT, codes0) = AnnIndex.buildSq(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), pLoc, cdLoc)
+    val params = pT.newScan().toDF(spark)
+    // scale-3 appends land far outside the bootstrap min/max range —
+    // the [0, 255] clamp must engage, identically in the from-scratch
+    // reference (which shares sq8Encode)
+    val t2 = TableWriter.append(t1, embDF(20L until 30L, scale = 3f))
+    val t3 = TableWriter.updateWhere(t2, spark, col("vec_id") === 5L,
+      Map("embedding" -> transform(col("embedding"), x => negate(x))))
+    val t4 = TableWriter.deleteWhere(t3, spark, col("vec_id") === 7L)
+    val synced = AnnIndex.syncSqFromChangelog(spark, t4, codes0, params, Some(c1))
+    val fresh = Similarity.sq8Encode(
+        Similarity.pqEmb(t4.newScan().toDF(spark)), params)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(sqCodesOf(synced) == fresh)
+    assert(!sqCodesOf(synced).exists(_._1 == 7L))
+    // clamp proof: some out-of-range coordinate saturated at 0 or 255
+    val saturated = sqCodesOf(synced).filter(_._1 >= 20L)
+      .flatMap(_._2).count(c => c == 0 || c == 255)
+    assert(saturated > 0, "scale-3 appends should saturate the SQ clamp")
+    // every code is in-range — nothing escaped the clamp
+    assert(sqCodesOf(synced).flatMap(_._2).forall(c => c >= 0 && c <= 255))
+  }
+
+  test("SQ index: streaming read-changes maintenance equals from-scratch encode") {
+    val loc = Files.createTempDirectory("sq_corpus2").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val pLoc = Files.createTempDirectory("sq_params2").toFile.getPath
+    val cdLoc = Files.createTempDirectory("sq_codes2").toFile.getPath
+    // params from commit-1 state; codes start EMPTY, the stream replays
+    val params0 = Similarity.sq8Params(
+      Similarity.pqEmb(t1.newScan().toDF(spark)))
+    TableWriter.create(params0, pLoc)
+    TableWriter.create(
+      Similarity.sq8Encode(Similarity.pqEmb(embDF(Nil)), params0), cdLoc)
+    val ck = Files.createTempDirectory("sq_ck").toFile.getPath
+    val q = AnnIndex.maintainSq(spark, loc, pLoc, cdLoc, ck)
+    try {
+      q.processAllAvailable()
+      val t2 = TableWriter.append(t1, embDF(20L until 25L, scale = 3f))
+      q.processAllAvailable()
+      val t3 = TableWriter.deleteWhere(t2, spark, col("vec_id") === 3L)
+      q.processAllAvailable()
+      val params = IcebergTables.load(pLoc).newScan().toDF(spark)
+      val fresh = Similarity.sq8Encode(
+          Similarity.pqEmb(t3.newScan().toDF(spark)), params)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      assert(sqCodesOf(IcebergTables.load(cdLoc)) == fresh)
+    } finally q.stop()
+  }
+
   test("streaming read-changes maintenance equals from-scratch encode") {
     val loc = Files.createTempDirectory("ann_corpus3").toFile.getPath
     val t1 = TableWriter.create(embDF(0L until 20L), loc)
