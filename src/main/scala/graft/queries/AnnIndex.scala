@@ -534,8 +534,13 @@ object AnnIndex {
       : (IcebergTable, IcebergTable) = {
     val params = Similarity.sq8Params(emb)
     val pTable = TableWriter.create(params, paramsLoc)
-    val codesTable = TableWriter.create(
+    var codesTable = TableWriter.create(
       Similarity.sq8Encode(emb, params), codesLoc)
+    // drift baseline: the fresh index's reconstruction error
+    val err = sqReconErrorOf(codesTable.newScan().toDF(emb.sparkSession),
+      params, emb)
+    codesTable = TableWriter.updateProperties(codesTable,
+      Map(SqBootstrapErrProp -> err.toString))
     (pTable, codesTable)
   }
 
@@ -571,6 +576,76 @@ object AnnIndex {
                           afterSnapshotId: Option[Long]): IcebergTable =
     applySqChanges(codes, params,
       Changelog.changelogDF(spark, corpus, afterSnapshotId))
+
+  // ------------------------------------------------- SQ drift + rebuild
+
+  /** SQ drift report. `saturationRate` — the fraction of code coordinates
+    * AT the boundary codes 0/255 — is the cheap drift signal for a frozen
+    * min/max model: a fresh index sits at its natural boundary-hit rate
+    * (each dimension's extremes map to 0/255 exactly), and the rate
+    * CLIMBING means vectors are being clamped (unrecoverable information
+    * loss). Computed from the codes table alone (no corpus pass).
+    * `reconError` is the mean squared reconstruction error against the
+    * corpus' CURRENT state (one corpus-pass aggregation, the one-row
+    * params broadcast), compared to the bootstrap baseline as
+    * `driftRatio` — the [[stats]] discipline, and the exact signal the
+    * saturation proxy approximates. */
+  final case class SqIndexStats(codeRows: Long, saturationRate: Double,
+                                reconError: Double,
+                                bootstrapErr: Option[Double],
+                                driftRatio: Option[Double])
+
+  /** Codes-table property: reconstruction error right after bootstrap /
+    * rebuild — the drift baseline [[statsSq]] compares against. */
+  val SqBootstrapErrProp = "ann.sq-bootstrap-recon-error"
+
+  def statsSq(spark: SparkSession, codes: IcebergTable, params: DataFrame,
+              corpus: DataFrame): SqIndexStats = {
+    requireSqParams(params)
+    val codesDf = codes.newScan().toDF(spark)
+    val sat = codesDf.select(expr(
+        "aggregate(transform(c, x -> CASE WHEN x = 0 OR x = 255 THEN 1 " +
+          "ELSE 0 END), 0, (a, v) -> a + v)").as("s"),
+        expr("size(c)").as("n"))
+      .agg(sum(col("s")).cast("double"), sum(col("n")).cast("double"))
+      .collect()(0)
+    val rate =
+      if (sat.isNullAt(1) || sat.getDouble(1) == 0.0) 0.0
+      else sat.getDouble(0) / sat.getDouble(1)
+    val err = sqReconErrorOf(codesDf, params, Similarity.pqEmb(corpus))
+    val boot = codes.properties.get(SqBootstrapErrProp).flatMap(_.toDoubleOption)
+    SqIndexStats(codesDf.count(), rate, err, boot,
+      boot.filter(_ > 0).map(err / _))
+  }
+
+  private def sqReconErrorOf(codes: DataFrame, params: DataFrame,
+                             emb: DataFrame): Double =
+    Similarity.sq8Dequant(codes, params)
+      .join(emb, "vec_id")
+      .select(expr(
+        "aggregate(zip_with(ne, e, (x, y) -> (x - y) * (x - y)), 0D, " +
+          "(a, v) -> a + v)").as("d"))
+      .agg(avg(col("d"))).collect() match {
+        case Array(r) if !r.isNullAt(0) => r.getDouble(0)
+        case _ => 0.0
+      }
+
+  /** Full SQ re-index: params re-train and every vector re-encodes from
+    * the corpus' current state (two OVERWRITE commits, codes last with
+    * the refreshed drift baseline) — saturation returns to zero by
+    * construction. */
+  def rebuildSq(spark: SparkSession, corpus: DataFrame, paramsLoc: String,
+                codesLoc: String): SqIndexStats = {
+    val emb = Similarity.pqEmb(corpus)
+    val params = Similarity.sq8Params(emb)
+    TableWriter.overwrite(IcebergTables.load(paramsLoc), params)
+    var codesT = TableWriter.overwrite(IcebergTables.load(codesLoc),
+      Similarity.sq8Encode(emb, params))
+    val err = sqReconErrorOf(codesT.newScan().toDF(spark), params, emb)
+    codesT = TableWriter.updateProperties(codesT,
+      Map(SqBootstrapErrProp -> err.toString))
+    statsSq(spark, codesT, params, corpus)
+  }
 
   /** Continuous SQ-index maintenance: consume the corpus table's
     * `read-changes` stream and fold each micro-batch into the codes table

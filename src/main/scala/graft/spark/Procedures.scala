@@ -29,8 +29,8 @@ object GraftProcedures {
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index", "sync_sq_index",
-    "ann_index_stats", "ann_ivf_index_stats",
-    "rebuild_ann_index", "rebuild_ann_ivf_index")
+    "ann_index_stats", "ann_ivf_index_stats", "sq_index_stats",
+    "rebuild_ann_index", "rebuild_ann_ivf_index", "rebuild_sq_index")
 
   /** Shared result shape of the ANN stats/rebuild procedures. */
   private val annStatsSchema = StructType(Seq(
@@ -489,6 +489,29 @@ object GraftProcedures {
           codes, prm.newScan().toDF(spark), from)
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
+      }
+      case "sq_index_stats" | "rebuild_sq_index" => proc(name,
+        Seq("corpus" -> StringType, "params" -> StringType,
+          "codes" -> StringType),
+        StructType(Seq(
+          StructField("code_rows", LongType, nullable = false),
+          StructField("saturation_rate", DoubleType, nullable = false),
+          StructField("recon_error", DoubleType, nullable = false),
+          StructField("bootstrap_error", DoubleType),
+          StructField("drift_ratio", DoubleType)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+          .newScan().toDF(spark)
+        val paramsLoc = resolveLocation(in.getUTF8String(1).toString)
+        val codesLoc = resolveLocation(in.getUTF8String(2).toString)
+        val s =
+          if (name == "rebuild_sq_index")
+            graft.queries.AnnIndex.rebuildSq(spark, corpus, paramsLoc, codesLoc)
+          else graft.queries.AnnIndex.statsSq(spark,
+            IcebergTables.load(codesLoc),
+            IcebergTables.load(paramsLoc).newScan().toDF(spark), corpus)
+        Array[Any](s.codeRows, s.saturationRate, s.reconError,
+          s.bootstrapErr.orNull, s.driftRatio.orNull)
       }
       case "ann_index_stats" => proc(name,
         Seq("corpus" -> StringType, "codebook" -> StringType,

@@ -189,6 +189,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(sqCodesOf(synced).flatMap(_._2).forall(c => c >= 0 && c <= 255))
   }
 
+  test("SQ index: saturation-rate drift telemetry; rebuild resets it") {
+    val loc = Files.createTempDirectory("sq_corpus4").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val pLoc = Files.createTempDirectory("sq_params4").toFile.getPath
+    val cdLoc = Files.createTempDirectory("sq_codes4").toFile.getPath
+    val (pT, codes0) = AnnIndex.buildSq(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), pLoc, cdLoc)
+    val params = pT.newScan().toDF(spark)
+
+    // fresh index: natural boundary-hit rate (each dimension's extremes
+    // map to 0/255 exactly), drift ratio ~1
+    val fresh = AnnIndex.statsSq(spark, codes0, params,
+      t1.newScan().toDF(spark))
+    assert(fresh.bootstrapErr.isDefined)
+    assert(fresh.driftRatio.exists(r => r > 0.99 && r < 1.01))
+
+    // churn far outside the bootstrap range: saturation CLIMBS past the
+    // natural rate and reconstruction error blows past the baseline
+    val t2 = TableWriter.append(t1, embDF(20L until 40L, scale = 4f))
+    val synced = AnnIndex.syncSqFromChangelog(spark, t2, codes0, params, Some(c1))
+    val drifted = AnnIndex.statsSq(spark, synced, params,
+      t2.newScan().toDF(spark))
+    assert(drifted.saturationRate > fresh.saturationRate + 0.1,
+      s"scale-4 churn should saturate codes (fresh=${fresh.saturationRate} " +
+        s"drifted=${drifted.saturationRate})")
+    assert(drifted.driftRatio.exists(_ > 2.0),
+      s"reconstruction error should blow past the baseline (${drifted.driftRatio})")
+
+    // full re-index: params re-train on the current corpus — saturation
+    // falls back to a natural rate and the drift baseline resets to ~1
+    val rebuilt = AnnIndex.rebuildSq(spark, t2.newScan().toDF(spark),
+      pLoc, cdLoc)
+    assert(rebuilt.saturationRate < drifted.saturationRate)
+    assert(rebuilt.driftRatio.exists(r => r > 0.99 && r < 1.01))
+    assert(rebuilt.codeRows == 40L)
+  }
+
   test("SQ index: streaming read-changes maintenance equals from-scratch encode") {
     val loc = Files.createTempDirectory("sq_corpus2").toFile.getPath
     val t1 = TableWriter.create(embDF(0L until 20L), loc)
