@@ -603,19 +603,25 @@ object AnnIndex {
               corpus: DataFrame): SqIndexStats = {
     requireSqParams(params)
     val codesDf = codes.newScan().toDF(spark)
-    val sat = codesDf.select(expr(
+    val (rate, rows) = sqSaturation(codesDf)
+    val err = sqReconErrorOf(codesDf, params, Similarity.pqEmb(corpus))
+    val boot = codes.properties.get(SqBootstrapErrProp).flatMap(_.toDoubleOption)
+    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _))
+  }
+
+  /** Boundary-code fraction AND row count in one codes-table pass. */
+  private def sqSaturation(codesDf: DataFrame): (Double, Long) = {
+    val r = codesDf.select(expr(
         "aggregate(transform(c, x -> CASE WHEN x = 0 OR x = 255 THEN 1 " +
           "ELSE 0 END), 0, (a, v) -> a + v)").as("s"),
         expr("size(c)").as("n"))
-      .agg(sum(col("s")).cast("double"), sum(col("n")).cast("double"))
+      .agg(sum(col("s")).cast("double"), sum(col("n")).cast("double"),
+        count(lit(1)))
       .collect()(0)
     val rate =
-      if (sat.isNullAt(1) || sat.getDouble(1) == 0.0) 0.0
-      else sat.getDouble(0) / sat.getDouble(1)
-    val err = sqReconErrorOf(codesDf, params, Similarity.pqEmb(corpus))
-    val boot = codes.properties.get(SqBootstrapErrProp).flatMap(_.toDoubleOption)
-    SqIndexStats(codesDf.count(), rate, err, boot,
-      boot.filter(_ > 0).map(err / _))
+      if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+      else r.getDouble(0) / r.getDouble(1)
+    (rate, r.getLong(2))
   }
 
   private def sqReconErrorOf(codes: DataFrame, params: DataFrame,
@@ -632,8 +638,10 @@ object AnnIndex {
 
   /** Full SQ re-index: params re-train and every vector re-encodes from
     * the corpus' current state (two OVERWRITE commits, codes last with
-    * the refreshed drift baseline) — saturation returns to zero by
-    * construction. */
+    * the refreshed drift baseline) — saturation falls back to the fresh
+    * index's natural boundary-hit rate and the drift ratio resets to 1.
+    * The stats reuse the already-computed error: no redundant corpus
+    * passes on the path built for big corpora. */
   def rebuildSq(spark: SparkSession, corpus: DataFrame, paramsLoc: String,
                 codesLoc: String): SqIndexStats = {
     val emb = Similarity.pqEmb(corpus)
@@ -641,10 +649,13 @@ object AnnIndex {
     TableWriter.overwrite(IcebergTables.load(paramsLoc), params)
     var codesT = TableWriter.overwrite(IcebergTables.load(codesLoc),
       Similarity.sq8Encode(emb, params))
-    val err = sqReconErrorOf(codesT.newScan().toDF(spark), params, emb)
+    val codesDf = codesT.newScan().toDF(spark)
+    val err = sqReconErrorOf(codesDf, params, emb)
     codesT = TableWriter.updateProperties(codesT,
       Map(SqBootstrapErrProp -> err.toString))
-    statsSq(spark, codesT, params, corpus)
+    val (rate, rows) = sqSaturation(codesDf)
+    val boot = Some(err)
+    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _))
   }
 
   /** Continuous SQ-index maintenance: consume the corpus table's
