@@ -735,4 +735,53 @@ object AnnIndex {
        FROM embeddings WHERE vec_id % 7 <> 0""",
     """SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
        FROM embeddings WHERE vec_id % 2 = 0""")
+
+  /** Battery entry ann16: the maintained SQ codes TABLE pinned directly —
+    * integer saturation counts over the PERSISTED codes (boundary-code
+    * coordinates, total coordinates, vectors). ann15 proves the codes
+    * through the SERVE path (dequant → shortlist → re-rank → top-k);
+    * this entry hash-matches the stored integers themselves: DuckDB
+    * recomputes the clamped encode of the final corpus against the
+    * bootstrap params and must land on the exact same counts — including
+    * the coordinates the clamp saturated. */
+  def ann16SqSaturation(s: SparkSession, d: String): DataFrame = {
+    val (_, _, codesT) = ann15Fixture(s, d)
+    codesT.newScan().toDF(s)
+      .select(expr(
+          "aggregate(transform(c, x -> CASE WHEN x = 0 OR x = 255 THEN 1 " +
+            "ELSE 0 END), 0, (a, v) -> a + v)").as("sat"),
+        expr("size(c)").as("n"))
+      .agg(sum(col("sat")).cast("long").as("saturated"),
+        sum(col("n")).cast("long").as("total_coords"),
+        count(lit(1)).as("vectors"))
+  }
+
+  val ann16Sql: String =
+    """WITH ecur AS (
+         SELECT vec_id,
+                CASE WHEN vec_id % 5 = 0
+                     THEN [CAST(-x AS DOUBLE) for x in embedding]
+                     ELSE [CAST(x AS DOUBLE) for x in embedding] END AS e
+         FROM embeddings WHERE vec_id % 7 <> 0),
+       eboot AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+         FROM embeddings WHERE vec_id % 2 = 0),
+       u AS (SELECT vec_id, i, e[i] AS v FROM eboot, UNNEST(range(1, 65)) t(i)),
+       dims AS (
+         SELECT i, MIN(v) AS mn,
+                CASE WHEN MAX(v) = MIN(v) THEN 1 ELSE MAX(v) - MIN(v) END AS dl
+         FROM u GROUP BY i),
+       params AS (SELECT list(mn ORDER BY i) AS mins,
+                         list(dl ORDER BY i) AS deltas FROM dims),
+       codes AS (
+         SELECT vec_id,
+                [LEAST(255, GREATEST(0,
+                   CAST(ROUND((e[i] - mins[i]) / deltas[i] * 255) AS INT)))
+                 for i in range(1, len(e) + 1)] AS c
+         FROM ecur, params)
+       SELECT CAST(SUM(list_sum([CASE WHEN x = 0 OR x = 255 THEN 1 ELSE 0 END
+                for x in c])) AS BIGINT) AS saturated,
+              CAST(SUM(len(c)) AS BIGINT) AS total_coords,
+              CAST(COUNT(*) AS BIGINT) AS vectors
+       FROM codes"""
 }
