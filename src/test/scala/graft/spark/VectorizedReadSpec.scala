@@ -186,6 +186,31 @@ class VectorizedReadSpec extends AnyFunSuite {
     assert(gotE.toSeq == expE.toSeq)
   }
 
+  test("grouped pushdown over a pinned snapshot answers the OLD state") {
+    val loc = tmpDir("tbl_aggpushtt")
+    val fns = org.apache.spark.sql.functions
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    val half = src.filter(col("o_orderkey") % 2 === 0)
+    val t1 = TableWriter.create(half, loc,
+      partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+    val pin = t1.currentSnapshot.get.snapshotId
+    TableWriter.append(t1, src.filter(col("o_orderkey") % 2 =!= 0))
+
+    val df = spark.read.format("icegopher")
+      .option("snapshot-id", pin.toString).load(loc)
+      .groupBy("o_orderstatus").agg(fns.count("*").as("n"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("metadata-only aggregate"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val exp = half.groupBy("o_orderstatus").agg(fns.count("*"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq, "pinned scan must answer the OLD state")
+    // and the un-pinned scan answers the full table
+    val cur = spark.read.format("icegopher").load(loc)
+      .groupBy("o_orderstatus").agg(fns.count("*").as("n"))
+    assert(cur.collect().map(_.getLong(1)).sum == src.count())
+  }
+
   test("COUNT(DISTINCT identity partition column) is answered from metadata") {
     val loc = tmpDir("tbl_aggpushcd")
     val fns = org.apache.spark.sql.functions
