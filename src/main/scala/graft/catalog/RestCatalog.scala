@@ -51,7 +51,17 @@ final case class SetProperties(updates: Map[String, String]) extends TableUpdate
 final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
 final case class AddSnapshot(snapshot: graft.core.Snapshot) extends TableUpdate
 final case class SetSnapshotRef(refName: String, snapshotId: Long,
-                                refType: String = "branch") extends TableUpdate
+                                refType: String = "branch",
+                                minSnapshotsToKeep: Option[Int] = None,
+                                maxSnapshotAgeMs: Option[Long] = None,
+                                maxRefAgeMs: Option[Long] = None)
+  extends TableUpdate
+
+/** One table's change set inside a multi-table transaction
+  * ([[RestCatalog.commitTransaction]]). */
+final case class TableChange(identifier: Seq[String],
+                             requirements: Seq[TableRequirement],
+                             updates: Seq[TableUpdate])
 
 final case class PropertiesUpdateSummary(removed: Seq[String], updated: Seq[String],
                                          missing: Seq[String])
@@ -332,6 +342,51 @@ final class RestCatalog(val name: String, uri: String,
                   updates: Seq[TableUpdate]): LoadedTable = {
     require(identifier.size >= 2, s"invalid table identifier: $identifier")
     val ns = identifier.dropRight(1)
+    val body = commitBody(identifier, requirements, updates)
+    val rsp =
+      try request("POST", prefixedPath("namespaces", ns.mkString(NamespaceSeparator),
+        "tables", identifier.last), Some(mapper.writeValueAsString(body)))
+      catch {
+        case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
+      }
+    val n = mapper.readTree(rsp)
+    LoadedTable(identifier,
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""),
+      TableMetadata.parseNode(n.get("metadata")), Map.empty)
+  }
+
+  /** Atomic multi-table commit — the REST spec's
+    * `POST /v1/{prefix}/transactions/commit` (CommitTransactionRequest):
+    * every table's requirements are validated and every table's updates
+    * applied in ONE server-side transaction; any failed requirement rolls
+    * back ALL tables (409 → [[CommitConflictError]]). The consistency
+    * surface a maintained-model pipeline needs to move a source table and
+    * its derived index in lockstep. (The reference panics on every
+    * commit, rest.go:418-424.) */
+  def commitTransaction(changes: Seq[TableChange]): Unit = {
+    require(changes.nonEmpty, "empty transaction")
+    changes.foreach(c => require(c.identifier.size >= 2,
+      s"invalid table identifier: ${c.identifier}"))
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("table-changes")
+    changes.foreach { c =>
+      arr.add(commitBody(c.identifier, c.requirements, c.updates))
+    }
+    try request("POST", prefixedPath("transactions", "commit"),
+      Some(mapper.writeValueAsString(body)))
+    catch {
+      case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
+    }
+    ()
+  }
+
+  /** The spec's CommitTableRequest node — shared by the single-table
+    * `updateTable` route and each entry of `transactions/commit`. */
+  private def commitBody(identifier: Seq[String],
+                         requirements: Seq[TableRequirement],
+                         updates: Seq[TableUpdate])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val ns = identifier.dropRight(1)
     val body = mapper.createObjectNode()
     val ident = body.putObject("identifier")
     val nsArr = ident.putArray("namespace"); ns.foreach(nsArr.add)
@@ -375,23 +430,20 @@ final class RestCatalog(val name: String, uri: String,
         }
         s.schemaId.foreach(id => sn.put("schema-id", id))
         s.firstRowId.foreach(v => sn.put("first-row-id", v))
-      case SetSnapshotRef(refName, snapId, refType) =>
+      case SetSnapshotRef(refName, snapId, refType, minKeep, maxSnapAge,
+          maxRefAge) =>
         val u = ups.addObject()
         u.put("action", "set-snapshot-ref")
         u.put("ref-name", refName)
         u.put("type", refType)
         u.put("snapshot-id", snapId)
+        // the spec's set-snapshot-ref REPLACES the ref, so the retention
+        // policy rides the update or is lost server-side
+        minKeep.foreach(v => u.put("min-snapshots-to-keep", v))
+        maxSnapAge.foreach(v => u.put("max-snapshot-age-ms", v))
+        maxRefAge.foreach(v => u.put("max-ref-age-ms", v))
     }
-    val rsp =
-      try request("POST", prefixedPath("namespaces", ns.mkString(NamespaceSeparator),
-        "tables", identifier.last), Some(mapper.writeValueAsString(body)))
-      catch {
-        case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
-      }
-    val n = mapper.readTree(rsp)
-    LoadedTable(identifier,
-      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""),
-      TableMetadata.parseNode(n.get("metadata")), Map.empty)
+    body
   }
 
   def listTables(ns: Seq[String]): Seq[Seq[String]] = {

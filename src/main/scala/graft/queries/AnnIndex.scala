@@ -593,7 +593,9 @@ object AnnIndex {
   final case class SqIndexStats(codeRows: Long, saturationRate: Double,
                                 reconError: Double,
                                 bootstrapErr: Option[Double],
-                                driftRatio: Option[Double])
+                                driftRatio: Option[Double],
+                                corpusRowsWithoutCodes: Long = 0L,
+                                codesRowsWithoutCorpus: Long = 0L)
 
   /** Codes-table property: reconstruction error right after bootstrap /
     * rebuild — the drift baseline [[statsSq]] compares against. */
@@ -604,9 +606,11 @@ object AnnIndex {
     requireSqParams(params)
     val codesDf = codes.newScan().toDF(spark)
     val (rate, rows) = sqSaturation(codesDf)
-    val err = sqReconErrorOf(codesDf, params, Similarity.pqEmb(corpus))
+    val (err, corpusOnly, codesOnly) =
+      sqReconAudit(codesDf, params, Similarity.pqEmb(corpus))
     val boot = codes.properties.get(SqBootstrapErrProp).flatMap(_.toDoubleOption)
-    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _))
+    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _),
+      corpusOnly, codesOnly)
   }
 
   /** Boundary-code fraction AND row count in one codes-table pass. */
@@ -624,17 +628,31 @@ object AnnIndex {
     (rate, r.getLong(2))
   }
 
+  /** Mean squared reconstruction error over the vec_ids present in BOTH
+    * tables, plus the out-of-sync counts an inner join would silently
+    * hide: corpus vectors with no code (missed inserts — exactly the rows
+    * whose drift the error can't see) and codes with no corpus vector
+    * (missed deletes). One full-outer-join pass. */
+  private def sqReconAudit(codes: DataFrame, params: DataFrame,
+                           emb: DataFrame): (Double, Long, Long) = {
+    val r = Similarity.sq8Dequant(codes, params)
+      .join(emb, Seq("vec_id"), "full_outer")
+      .select(expr(
+        "CASE WHEN ne IS NOT NULL AND e IS NOT NULL THEN " +
+          "aggregate(zip_with(ne, e, (x, y) -> (x - y) * (x - y)), 0D, " +
+          "(a, v) -> a + v) END").as("d"),
+        when(col("ne").isNull, 1L).otherwise(0L).as("corpus_only"),
+        when(col("e").isNull, 1L).otherwise(0L).as("codes_only"))
+      .agg(avg(col("d")), sum(col("corpus_only")), sum(col("codes_only")))
+      .collect()(0)
+    (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   private def sqReconErrorOf(codes: DataFrame, params: DataFrame,
                              emb: DataFrame): Double =
-    Similarity.sq8Dequant(codes, params)
-      .join(emb, "vec_id")
-      .select(expr(
-        "aggregate(zip_with(ne, e, (x, y) -> (x - y) * (x - y)), 0D, " +
-          "(a, v) -> a + v)").as("d"))
-      .agg(avg(col("d"))).collect() match {
-        case Array(r) if !r.isNullAt(0) => r.getDouble(0)
-        case _ => 0.0
-      }
+    sqReconAudit(codes, params, emb)._1
 
   /** Full SQ re-index: params re-train and every vector re-encodes from
     * the corpus' current state (two OVERWRITE commits, codes last with
@@ -655,7 +673,8 @@ object AnnIndex {
       Map(SqBootstrapErrProp -> err.toString))
     val (rate, rows) = sqSaturation(codesDf)
     val boot = Some(err)
-    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _))
+    SqIndexStats(rows, rate, err, boot, boot.filter(_ > 0).map(err / _),
+      corpusRowsWithoutCodes = 0L, codesRowsWithoutCorpus = 0L)
   }
 
   /** Continuous SQ-index maintenance: consume the corpus table's
@@ -775,8 +794,8 @@ object AnnIndex {
                          list(dl ORDER BY i) AS deltas FROM dims),
        codes AS (
          SELECT vec_id,
-                [LEAST(255, GREATEST(0,
-                   CAST(ROUND((e[i] - mins[i]) / deltas[i] * 255) AS INT)))
+                [CAST(LEAST(255.0, GREATEST(0.0,
+                   ROUND((e[i] - mins[i]) / deltas[i] * 255))) AS INT)
                  for i in range(1, len(e) + 1)] AS c
          FROM ecur, params)
        SELECT CAST(SUM(list_sum([CASE WHEN x = 0 OR x = 255 THEN 1 ELSE 0 END

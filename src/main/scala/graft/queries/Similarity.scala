@@ -411,13 +411,31 @@ object Similarity {
                    iters: Int = 1): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
     var cb = pqCodebook(emb, nSub, kSub)
-    (0 until iters).foreach(_ => cb = pqTrainStep(emb, cb, nSub))
+    // refine on the bounded sample (the md5-kSub init is a subset of the
+    // md5-TrainSampleSize sample, so init ⊂ training set as FAISS does);
+    // the ENCODE below still covers the full corpus
+    val train = trainSample(emb)
+    (0 until iters).foreach(_ => cb = pqTrainStep(train, cb, nSub))
     val codes = trainedPqCodesSlot(pqEncode(emb, cb, nSub))
     pqTopK(emb, codes, cb, emb.filter(col("vec_id") < nQueries),
       nSub, k, shortlist)
   }
 
   private val trainedPqCodesSlot = new CacheSlot
+
+  /** FAISS-style bounded training set: quantizer quality saturates on a
+    * sample (FAISS trains on ~max(k·39, 100k) vectors, not the corpus),
+    * so Lloyd refinement never pays full-corpus passes — the one place
+    * this battery previously deviated from its own 100-TB discipline.
+    * Smallest-md5 rank is the repo's deterministic-sampling recipe,
+    * mirrored verbatim in the DuckDB oracles; the top-N itself is one
+    * map-side-partial TakeOrdered pass, distributed and bounded. Works on
+    * any (vec_id, ...) frame — extra columns (e.g. IVF's norm) ride
+    * along. */
+  val TrainSampleSize = 512
+  private[queries] def trainSample(df: DataFrame): DataFrame =
+    df.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(TrainSampleSize).drop("h")
 
   /** One Lloyd refinement of a PQ codebook: every corpus subvector joins
     * its nearest codeword (rounded L2, min-j tie — the encode discipline),
@@ -455,6 +473,9 @@ object Similarity {
   val annTrainedPqSql: String =
     s"""WITH e AS (
          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       et AS (
+         SELECT vec_id, e FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $TrainSampleSize),
        c0 AS (
          SELECT vec_id AS j, e AS ce FROM e
          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
@@ -469,7 +490,7 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
                     ROUND(list_sum([ (e.e[cb.m*8+i] - cb.cw[i]) * (e.e[cb.m*8+i] - cb.cw[i])
                       for i in range(1, 9) ]), 6), cb.j) AS rk
-           FROM e, cb0 cb) t
+           FROM et e, cb0 cb) t
          WHERE rk = 1),
        u AS (
          SELECT m, j, i, CAST(sv[i] AS DECIMAL(30,10)) AS v
@@ -631,14 +652,17 @@ object Similarity {
     * a maintained index meets coordinates outside the bootstrap range
     * (the session-built [[annSq8]] never does — it trains on what it
     * encodes), and an unclamped code would dequantize outside the model's
-    * representable range. Map-only; the params row broadcasts. */
+    * representable range. The clamp runs in DOUBLE space BEFORE the int
+    * cast: a coordinate drifted beyond Int range must saturate to 0/255,
+    * not throw CAST_OVERFLOW under ANSI mode. Map-only; the params row
+    * broadcasts. */
   def sq8Encode(emb: DataFrame, params: DataFrame): DataFrame =
     emb.crossJoin(broadcast(params))
       .select(col("vec_id"), expr(
         "transform(sequence(1, size(e)), i -> " +
-          "LEAST(255, GREATEST(0, CAST(round(" +
+          "CAST(LEAST(255D, GREATEST(0D, round(" +
           "(element_at(e, i) - element_at(mins, i)) / element_at(deltas, i) * 255" +
-          ", 0) AS INT))))").as("c"))
+          ", 0))) AS INT))").as("c"))
 
   /** Map-only dequantize of persisted SQ8 codes. */
   def sq8Dequant(codes: DataFrame, params: DataFrame): DataFrame =
@@ -697,8 +721,8 @@ object Similarity {
                          list(dl ORDER BY i) AS deltas FROM dims),
        codes AS (
          SELECT vec_id,
-                [LEAST(255, GREATEST(0,
-                   CAST(ROUND((e[i] - mins[i]) / deltas[i] * 255) AS INT)))
+                [CAST(LEAST(255.0, GREATEST(0.0,
+                   ROUND((e[i] - mins[i]) / deltas[i] * 255))) AS INT)
                  for i in range(1, len(e) + 1)] AS c
          FROM ecur, params),
        deq AS (
@@ -860,7 +884,9 @@ object Similarity {
                                          nCells: Int, nSub: Int, kSub: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
-    val cents = ivfTrainStep(en, ivfCentroids(en, nCells))
+    // cells refine on the bounded sample ([[trainSample]]); assignment
+    // and encode below still cover the full corpus
+    val cents = ivfTrainStep(trainSample(en), ivfCentroids(en, nCells))
     val assigned = trainedIvfAssignedSlot(ivfAssignResiduals(en, cents))
     val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
     val codes = trainedIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
@@ -1096,13 +1122,16 @@ object Similarity {
         s"""c0 AS (
            SELECT vec_id AS cid, e AS ce, norm AS cn FROM $cSrc
            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         ent AS (
+           SELECT vec_id, e, norm FROM en
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $TrainSampleSize),
          at AS (
            SELECT cid, e FROM (
              SELECT en.vec_id, en.e, c.cid,
                     ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
                       (list_sum([en.e[i] * c.ce[i] for i in range(1, len(en.e)+1)])
                          / (en.norm * c.cn)) DESC, c.cid) AS rk
-             FROM en, c0 c) t
+             FROM ent en, c0 c) t
            WHERE rk = 1),
          ut AS (
            SELECT cid, i, CAST(e[i] AS DECIMAL(30,10)) AS v

@@ -59,14 +59,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"procedures live in the 'system' namespace, got $ident")
     GraftProcedures.load(ident.name(), tableRef => {
       val parts = tableRef.split('.')
-      require(parts.length >= 2,
-        s"table argument must be namespace-qualified (db.t), got '$tableRef'")
-      val dir = tableDir(Identifier.of(parts.init, parts.last))
       // register_table needs the raw catalog ENTRY directory (it CREATES
-      // the pointer, and must never follow a stale one); every other
-      // procedure operates on the real table behind an existing pointer
-      if (ident.name() == "register_table") dir.getPath
-      else resolvedTableLocation(dir)
+      // the pointer, and must never follow a stale one), so its ref must
+      // be namespace-qualified to rule out an entry-dir collision with a
+      // warehouse-root table; every other procedure operates on the real
+      // table behind an existing pointer, where a bare root-level name is
+      // unambiguous and allowed.
+      if (ident.name() == "register_table") {
+        require(parts.length >= 2,
+          s"register_table requires a namespace-qualified ref (db.t), " +
+            s"got '$tableRef'")
+        tableDir(Identifier.of(parts.init, parts.last)).getPath
+      } else
+        resolvedTableLocation(tableDir(Identifier.of(parts.init, parts.last)))
     })
   }
 

@@ -498,7 +498,10 @@ object GraftProcedures {
           StructField("saturation_rate", DoubleType, nullable = false),
           StructField("recon_error", DoubleType, nullable = false),
           StructField("bootstrap_error", DoubleType),
-          StructField("drift_ratio", DoubleType)))) { in =>
+          StructField("drift_ratio", DoubleType),
+          StructField("corpus_rows_without_codes", LongType, nullable = false),
+          StructField("codes_rows_without_corpus", LongType,
+            nullable = false)))) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
           .newScan().toDF(spark)
@@ -511,7 +514,8 @@ object GraftProcedures {
             IcebergTables.load(codesLoc),
             IcebergTables.load(paramsLoc).newScan().toDF(spark), corpus)
         Array[Any](s.codeRows, s.saturationRate, s.reconError,
-          s.bootstrapErr.orNull, s.driftRatio.orNull)
+          s.bootstrapErr.orNull, s.driftRatio.orNull,
+          s.corpusRowsWithoutCodes, s.codesRowsWithoutCorpus)
       }
       case "ann_index_stats" => proc(name,
         Seq("corpus" -> StringType, "codebook" -> StringType,

@@ -172,8 +172,7 @@ object TableWriter {
       currentSnapshotId = Some(snapId),
       snapshotLog = table.metadata.snapshotLog :+
         SnapshotLogEntry(snapId, System.currentTimeMillis()),
-      refs = table.metadata.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), version)
+      refs = advRef(table.metadata.refs, TableMetadata.MainBranch, snapId)), version)
     IcebergTables.load(table.location)
   }
 
@@ -566,8 +565,7 @@ object TableWriter {
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef)),
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId),
       nextRowId = lineage.nextRowId), version)
     IcebergTables.load(table.location)
   }
@@ -699,8 +697,7 @@ object TableWriter {
       snapshots = table.metadata.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = table.metadata.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = table.metadata.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), version)
+      refs = advRef(table.metadata.refs, TableMetadata.MainBranch, snapId)), version)
     IcebergTables.load(table.location)
   }
 
@@ -911,8 +908,7 @@ object TableWriter {
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
     IcebergTables.load(location)
   }
 
@@ -973,8 +969,7 @@ object TableWriter {
       currentSnapshotId = Some(snapshot.snapshotId),
       snapshotLog = md.snapshotLog :+
         SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapshot.snapshotId, BranchRef)),
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapshot.snapshotId),
       nextRowId = nextRowIdAfter(md, snapshot)),
       table.loadedVersion + 1)
     IcebergTables.load(location)
@@ -1010,8 +1005,7 @@ object TableWriter {
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
             .orElse(md.currentSnapshotId))),
       Seq(graft.catalog.AddSnapshot(snapshot),
-        graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
-          snapshot.snapshotId)))
+        setMainRefUpdate(md, snapshot.snapshotId)))
   }
 
   /** Per-commit V3 row-lineage assignment (spec v3 "Row Lineage"): ADDED
@@ -1814,8 +1808,7 @@ object TableWriter {
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
     (IcebergTables.load(table.location), posFiles.size, mergedEntries.size)
   }
 
@@ -1887,8 +1880,7 @@ object TableWriter {
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -1900,8 +1892,7 @@ object TableWriter {
       currentSnapshotId = Some(snapshotId),
       lastUpdatedMs = now,
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapshotId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapshotId, BranchRef))), table.loadedVersion + 1)
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapshotId)), table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -1923,39 +1914,58 @@ object TableWriter {
           md0.snapshotById(r.snapshotId).exists(now - _.timestampMs > maxAge))
     }.keySet
     val md = md0.copy(refs = md0.refs -- agedOut)
-    // a branch ref protects its whole UNPUBLISHED lineage, not just its
-    // HEAD: fast_forward walks the parent chain to find the main ancestor,
-    // so expiring an intermediate branch snapshot would leave the branch
-    // permanently unpublishable. The walk stops at the first snapshot
-    // reachable from main (protected or expirable on main's own terms).
-    val mainAncestry: Set[Long] = {
-      val b = Set.newBuilder[Long]
-      var cur = md.currentSnapshotId.flatMap(md.snapshotById)
+    // Per-branch retention (Iceberg `expire_snapshots` semantics): each
+    // branch retains its newest `min-snapshots-to-keep` ancestors plus all
+    // ancestors newer than `now - max-snapshot-age-ms`; an unset field
+    // falls back to the caller's global args (retainLast / olderThanMs).
+    // A branch declaring NEITHER field keeps its whole UNPUBLISHED
+    // lineage: fast_forward walks the parent chain to the main ancestor,
+    // so expiring an intermediate snapshot would leave such a branch
+    // permanently unpublishable — declaring a retention policy is the
+    // branch owner's opt-in to trimming that lineage. A snapshot is
+    // expirable only when NO branch's policy retains it; snapshots in no
+    // branch's ancestry (orphaned heads) are governed by the global
+    // `olderThanMs` alone.
+    def ancestry(headId: Long): List[Snapshot] = {
+      val b = List.newBuilder[Snapshot]
+      var cur = md.snapshotById(headId)
       while (cur.isDefined) {
-        b += cur.get.snapshotId
+        b += cur.get
         cur = cur.get.parentSnapshotId.flatMap(md.snapshotById)
       }
       b.result()
     }
-    val branchLineage: Set[Long] = md.refs.collect {
-      case (name, r) if name != TableMetadata.MainBranch &&
-          r.refType == BranchRef =>
-        val b = Set.newBuilder[Long]
-        var cur = md.snapshotById(r.snapshotId)
-        while (cur.isDefined && !mainAncestry.contains(cur.get.snapshotId)) {
-          b += cur.get.snapshotId
-          cur = cur.get.parentSnapshotId.flatMap(md.snapshotById)
+    val mainAncestry: Set[Long] = md.currentSnapshotId
+      .map(ancestry(_).map(_.snapshotId).toSet).getOrElse(Set.empty)
+    val branchRefs = md.refs.filter(_._2.refType == BranchRef)
+    val retainedByBranch: Set[Long] = branchRefs.flatMap { case (name, r) =>
+      val anc = ancestry(r.snapshotId)
+      val hasPolicy =
+        r.minSnapshotsToKeep.isDefined || r.maxSnapshotAgeMs.isDefined
+      if (name == TableMetadata.MainBranch || hasPolicy) {
+        val minKeep = math.max(1, r.minSnapshotsToKeep.getOrElse(
+          if (name == TableMetadata.MainBranch) retainLast else 1))
+        val cutoff = r.maxSnapshotAgeMs.map(now - _).getOrElse(olderThanMs)
+        anc.zipWithIndex.collect {
+          case (s, i) if i < minKeep || s.timestampMs >= cutoff => s.snapshotId
         }
-        b.result()
-    }.flatten.toSet
+      } else {
+        anc.iterator.map(_.snapshotId)
+          .takeWhile(id => !mainAncestry.contains(id)).toSeq
+      }
+    }.toSet
+    val referenced: Set[Long] =
+      branchRefs.values.flatMap(r => ancestry(r.snapshotId))
+        .map(_.snapshotId).toSet
     val keepIds: Set[Long] =
       md.currentSnapshotId.toSet ++
         md.refs.values.map(_.snapshotId) ++
-        branchLineage ++
+        retainedByBranch ++
         md.snapshots.sortBy(-_.timestampMs).take(math.max(1, retainLast))
           .map(_.snapshotId)
     val (kept, expired) = md.snapshots.partition(s =>
-      keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+      keepIds.contains(s.snapshotId) ||
+        (!referenced.contains(s.snapshotId) && s.timestampMs >= olderThanMs))
     if (expired.isEmpty && agedOut.isEmpty) return table
     if (expired.isEmpty) {
       writeMetadata(table.location, md.copy(
@@ -2106,7 +2116,7 @@ object TableWriter {
           lastSequenceNumber = snapshot.sequenceNumber,
           lastUpdatedMs = snapshot.timestampMs,
           snapshots = md.snapshots :+ snapshot,
-          refs = md.refs + (b -> SnapshotRef(snapshot.snapshotId, BranchRef)),
+          refs = advRef(md.refs, b, snapshot.snapshotId),
           nextRowId = nextRowIdAfter(md, snapshot)),
           table.loadedVersion + 1)
       case None =>
@@ -2118,8 +2128,7 @@ object TableWriter {
           currentSnapshotId = Some(snapshot.snapshotId),
           snapshotLog = md.snapshotLog :+
             SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
-          refs = md.refs + (TableMetadata.MainBranch ->
-            SnapshotRef(snapshot.snapshotId, BranchRef)),
+          refs = advRef(md.refs, TableMetadata.MainBranch, snapshot.snapshotId),
           nextRowId = nextRowIdAfter(md, snapshot)),
           table.loadedVersion + 1)
     }
@@ -2153,7 +2162,7 @@ object TableWriter {
       lastUpdatedMs = snapshot.timestampMs,
       snapshots = md.snapshots :+ snapshot,
       // current snapshot, snapshot log, and main are all UNPUBLISHED state
-      refs = md.refs + (branch -> SnapshotRef(snapshot.snapshotId, BranchRef)),
+      refs = advRef(md.refs, branch, snapshot.snapshotId),
       nextRowId = nextRowIdAfter(md, snapshot)),
       table.loadedVersion + 1)
     IcebergTables.load(table.location)
@@ -2221,8 +2230,7 @@ object TableWriter {
       currentSnapshotId = Some(head.snapshotId),
       lastUpdatedMs = now,
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(head.snapshotId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(head.snapshotId, BranchRef))),
+      refs = advRef(md.refs, TableMetadata.MainBranch, head.snapshotId)),
       table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
@@ -2319,8 +2327,7 @@ object TableWriter {
       snapshots = md.snapshots :+ snapshot,
       currentSnapshotId = Some(snapId),
       snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = md.refs + (TableMetadata.MainBranch ->
-        SnapshotRef(snapId, BranchRef))), table.loadedVersion + 1)
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -2386,51 +2393,139 @@ object TableWriter {
                       added: Seq[graft.spark.CowFileOut],
                       extraSummary: Map[String, String] = Map.empty)
       : graft.catalog.LoadedTable = {
+    val (change, stampedPast) =
+      stageRestAppendChange(catalog, identifier, added, extraSummary)
+    val committed = catalog.commitTable(identifier, change.requirements,
+      change.updates)
+    stampedPast.foreach(p =>
+      verifyLineageAdvanced(identifier, p,
+        committed.metadata.nextRowId.getOrElse(0L)))
+    committed
+  }
+
+  /** Stage an append against a REST table WITHOUT committing — the
+    * manifest + manifest list land under the table location, the commit
+    * (requirements + updates) is returned for [[RestTransaction]].
+    * V3 lineage is client-assigned from the loaded `next-row-id`, exactly
+    * as [[appendFilesRest]]. Returns the change and, for V3, the row-id
+    * watermark the server must advance past. */
+  private def stageRestAppendChange(catalog: graft.catalog.RestCatalog,
+                                    identifier: Seq[String],
+                                    added: Seq[graft.spark.CowFileOut],
+                                    extraSummary: Map[String, String])
+      : (graft.catalog.TableChange, Option[Long]) = {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(md.properties ++ loaded.config),
       ioProps = md.properties ++ loaded.config)
-    // V3 lineage through REST: client-assigned from the loaded metadata's
-    // next-row-id; the AddSnapshot update carries first-row-id and the
-    // server advances next-row-id past the added rows. Commit conflicts
-    // surface as 409 → the caller reloads and re-stages (re-assignment).
     val snapshot = stageAppendSnapshot(table, added, extraSummary)
-    val committed = catalog.commitTable(identifier,
+    val change = graft.catalog.TableChange(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
             .orElse(md.currentSnapshotId))),
       Seq(graft.catalog.AddSnapshot(snapshot),
-        graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
-          snapshot.snapshotId)))
-    // a server whose update applier ignores AddSnapshot's first-row-id
-    // would hand the SAME base to the next commit — duplicate _row_id is
-    // silent corruption for every incremental consumer, so fail loudly
-    // here instead
-    snapshot.firstRowId.foreach { base =>
-      val stampedPast = base + added.map(_.rows).sum
-      val serverNext = committed.metadata.nextRowId.getOrElse(0L)
-      require(serverNext >= stampedPast,
-        s"REST catalog did not advance next-row-id past this commit's rows " +
-          s"(stamped first-row-id $base + ${stampedPast - base} rows, server " +
-          s"next-row-id $serverNext): the server does not apply " +
-          "AddSnapshot row lineage — refusing to continue with duplicate " +
-          "_row_id assignment")
-    }
-    committed
+        setMainRefUpdate(md, snapshot.snapshotId)))
+    (change, snapshot.firstRowId.map(_ + added.map(_.rows).sum))
   }
 
-  /** Create a branch or tag pointing at a snapshot. */
+  /** A server whose update applier ignores AddSnapshot's first-row-id
+    * would hand the SAME base to the next commit — duplicate _row_id is
+    * silent corruption for every incremental consumer, so fail loudly. */
+  private def verifyLineageAdvanced(identifier: Seq[String],
+                                    stampedPast: Long,
+                                    serverNext: Long): Unit =
+    require(serverNext >= stampedPast,
+      s"REST catalog did not advance next-row-id past " +
+        s"${identifier.mkString(".")}'s committed rows (stamped through " +
+        s"$stampedPast, server next-row-id $serverNext): the server does " +
+        "not apply AddSnapshot row lineage — refusing to continue with " +
+        "duplicate _row_id assignment")
+
+  /** Atomic multi-table REST transaction: stage appends across tables,
+    * then [[commit]] lands ALL of them or NONE via the spec's
+    * `POST /v1/transactions/commit`. Each staged table is guarded by
+    * assert-table-uuid + assert-ref-snapshot-id(main), so any concurrent
+    * commit to any member rolls the whole transaction back
+    * ([[graft.catalog.CommitConflictError]]) — the consistency a pipeline
+    * needs to move a source table and its maintained derived tables
+    * (index/mat-view) in lockstep. */
+  final class RestTransaction private[TableWriter] (
+      catalog: graft.catalog.RestCatalog) {
+    private val changes = Vector.newBuilder[graft.catalog.TableChange]
+    private val lineageWatermarks =
+      Vector.newBuilder[(Seq[String], Long)]
+    private var staged = Set.empty[Seq[String]]
+
+    def stageAppend(identifier: Seq[String],
+                    added: Seq[graft.spark.CowFileOut],
+                    extraSummary: Map[String, String] = Map.empty)
+        : this.type = {
+      require(!staged.contains(identifier),
+        s"table ${identifier.mkString(".")} already staged in this " +
+          "transaction: two snapshots for one table would chain on the " +
+          "same parent and overlap row-id ranges")
+      staged += identifier
+      val (change, watermark) =
+        stageRestAppendChange(catalog, identifier, added, extraSummary)
+      changes += change
+      watermark.foreach(w => lineageWatermarks += ((identifier, w)))
+      this
+    }
+
+    /** All-or-nothing commit; on success, verifies per-table V3 lineage
+      * advancement by reloading (the transaction route returns no body). */
+    def commit(): Unit = {
+      catalog.commitTransaction(changes.result())
+      lineageWatermarks.result().foreach { case (ident, stampedPast) =>
+        verifyLineageAdvanced(ident, stampedPast,
+          catalog.loadTable(ident).metadata.nextRowId.getOrElse(0L))
+      }
+    }
+  }
+
+  /** Open a multi-table transaction against a REST catalog. */
+  def transaction(catalog: graft.catalog.RestCatalog): RestTransaction =
+    new RestTransaction(catalog)
+
+  /** Create a branch or tag pointing at a snapshot. Branch-only
+    * `minSnapshotsToKeep` / `maxSnapshotAgeMs` set the branch's own
+    * snapshot-retention policy, enforced by [[expireSnapshots]]. */
   def createRef(table: IcebergTable, name: String, refType: RefType,
                 snapshotId: Option[Long] = None,
-                maxRefAgeMs: Option[Long] = None): IcebergTable = {
+                maxRefAgeMs: Option[Long] = None,
+                minSnapshotsToKeep: Option[Int] = None,
+                maxSnapshotAgeMs: Option[Long] = None): IcebergTable = {
     val id = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)).getOrElse(
       throw new IllegalArgumentException("table has no snapshot to reference"))
+    require(refType == BranchRef ||
+      (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+      "snapshot retention (min-snapshots-to-keep / max-snapshot-age-ms) " +
+        "applies to branches only; tags pin exactly their target")
     val version = table.loadedVersion + 1
     writeMetadata(table.location, table.metadata.copy(
       refs = table.metadata.refs +
-        (name -> SnapshotRef(id, refType, maxRefAgeMs = maxRefAgeMs))), version)
+        (name -> SnapshotRef(id, refType, minSnapshotsToKeep, maxSnapshotAgeMs,
+          maxRefAgeMs))), version)
+    IcebergTables.load(table.location)
+  }
+
+  /** Set (or clear, with None) a branch's snapshot-retention policy —
+    * Iceberg's `ALTER BRANCH ... WITH SNAPSHOT RETENTION`. Works on main
+    * too: a policy on main overrides [[expireSnapshots]]'s global args
+    * for main's own lineage. */
+  def setRefRetention(table: IcebergTable, name: String,
+                      minSnapshotsToKeep: Option[Int],
+                      maxSnapshotAgeMs: Option[Long]): IcebergTable = {
+    val r = table.metadata.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"ref '$name' not found"))
+    require(r.refType == BranchRef,
+      s"snapshot retention applies to branches only; '$name' is a tag")
+    writeMetadata(table.location, table.metadata.copy(
+      refs = table.metadata.refs + (name -> r.copy(
+        minSnapshotsToKeep = minSnapshotsToKeep,
+        maxSnapshotAgeMs = maxSnapshotAgeMs))), table.loadedVersion + 1)
     IcebergTables.load(table.location)
   }
 
@@ -2448,6 +2543,27 @@ object TableWriter {
     NestedField(2147483545, "pos", LongT, required = true))))
 
   // ------------------------------------------------------------------ guts
+
+
+  /** The REST `set-snapshot-ref` update advancing main — carrying the
+    * loaded ref's retention policy, since the spec's update REPLACES the
+    * ref server-side. */
+  private def setMainRefUpdate(md: TableMetadata, snapId: Long)
+      : graft.catalog.SetSnapshotRef = {
+    val prev = md.refs.get(TableMetadata.MainBranch)
+    graft.catalog.SetSnapshotRef(TableMetadata.MainBranch, snapId,
+      minSnapshotsToKeep = prev.flatMap(_.minSnapshotsToKeep),
+      maxSnapshotAgeMs = prev.flatMap(_.maxSnapshotAgeMs),
+      maxRefAgeMs = prev.flatMap(_.maxRefAgeMs))
+  }
+
+  /** Advance branch `name` to a new HEAD, preserving the existing ref's
+    * retention policy ([[SnapshotRef.advanced]]) — every branch-moving
+    * commit path routes through here so `min-snapshots-to-keep` /
+    * `max-snapshot-age-ms` / `max-ref-age-ms` survive commits. */
+  private def advRef(refs: Map[String, SnapshotRef], name: String,
+                     snapId: Long): Map[String, SnapshotRef] =
+    refs + (name -> SnapshotRef.advanced(refs, name, snapId))
 
   private def partName(src: String, t: Transform): String = t match {
     case IdentityTransform => src
@@ -2741,8 +2857,8 @@ object TableWriter {
         sortOrder).distinctBy(_.orderId),
       defaultSortOrderId = sortOrder.orderId,
       // carry existing branches/tags forward; only main advances
-      refs = prevMeta.map(_.refs).getOrElse(Map.empty) +
-        (TableMetadata.MainBranch -> SnapshotRef(snapId, BranchRef)),
+      refs = advRef(prevMeta.map(_.refs).getOrElse(Map.empty),
+        TableMetadata.MainBranch, snapId),
       nextRowId = lineage.nextRowId,
       // foreign-engine statistics files ride through untouched
       statisticsJson = prevMeta.flatMap(_.statisticsJson),

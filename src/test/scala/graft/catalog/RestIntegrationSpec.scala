@@ -174,6 +174,112 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(10L))
   }
 
+  test("transactions/commit: two-table commit is atomic — both or neither") {
+    catalog.createNamespace(Seq("it_tx"))
+    val a = catalog.createTable(Seq("it_tx", "a"), schema)
+    val b = catalog.createTable(Seq("it_tx", "b"), schema)
+    def snap(id: Long, tbl: String) = Snapshot(id, None, 1L,
+      System.currentTimeMillis(),
+      s"mem://warehouse/it_tx/$tbl/metadata/snap-$id.avro",
+      Some(SnapshotSummary(OpAppend)), Some(0))
+
+    // atomic success: one POST moves both tables
+    catalog.commitTransaction(Seq(
+      TableChange(Seq("it_tx", "a"),
+        Seq(AssertTableUuid(a.metadata.tableUuid),
+          AssertRefSnapshotId("main", None)),
+        Seq(AddSnapshot(snap(301L, "a")), SetSnapshotRef("main", 301L))),
+      TableChange(Seq("it_tx", "b"),
+        Seq(AssertTableUuid(b.metadata.tableUuid),
+          AssertRefSnapshotId("main", None)),
+        Seq(AddSnapshot(snap(302L, "b")), SetSnapshotRef("main", 302L)))))
+    assert(catalog.loadTable(Seq("it_tx", "a"))
+      .metadata.currentSnapshotId.contains(301L))
+    assert(catalog.loadTable(Seq("it_tx", "b"))
+      .metadata.currentSnapshotId.contains(302L))
+
+    // a STALE requirement on table b must roll back table a's otherwise
+    // valid change — a is listed FIRST, so this pins that the server
+    // validates every table before applying any update
+    intercept[CommitConflictError] {
+      catalog.commitTransaction(Seq(
+        TableChange(Seq("it_tx", "a"),
+          Seq(AssertRefSnapshotId("main", Some(301L))),
+          Seq(AddSnapshot(snap(303L, "a")), SetSnapshotRef("main", 303L))),
+        TableChange(Seq("it_tx", "b"),
+          Seq(AssertRefSnapshotId("main", None)), // stale: b moved to 302
+          Seq(AddSnapshot(snap(304L, "b")), SetSnapshotRef("main", 304L)))))
+    }
+    assert(catalog.loadTable(Seq("it_tx", "a"))
+      .metadata.currentSnapshotId.contains(301L),
+      "table a's valid change must have rolled back with the transaction")
+    assert(catalog.loadTable(Seq("it_tx", "b"))
+      .metadata.currentSnapshotId.contains(302L))
+
+    // an unknown member table fails the whole transaction up front
+    intercept[CommitConflictError] {
+      catalog.commitTransaction(Seq(
+        TableChange(Seq("it_tx", "a"),
+          Seq(AssertRefSnapshotId("main", Some(301L))),
+          Seq(AddSnapshot(snap(305L, "a")), SetSnapshotRef("main", 305L))),
+        TableChange(Seq("it_tx", "ghost"), Nil, Nil)))
+    }
+    assert(catalog.loadTable(Seq("it_tx", "a"))
+      .metadata.currentSnapshotId.contains(301L))
+  }
+
+  test("TableWriter.transaction: staged file appends land atomically") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    catalog.createNamespace(Seq("it_txf"))
+    val locS = java.nio.file.Files.createTempDirectory("txf_src").toFile.getPath
+    val locI = java.nio.file.Files.createTempDirectory("txf_idx").toFile.getPath
+    catalog.createTable(Seq("it_txf", "src"), schema, location = Some(locS))
+    catalog.createTable(Seq("it_txf", "idx"), schema, location = Some(locI))
+
+    def fileFor(loc: String, tag: String): graft.spark.CowFileOut = {
+      val raw = java.nio.file.Files.createTempDirectory(s"txf_raw_$tag").toFile
+      Seq((1L, tag), (2L, tag)).toDF("id", "data")
+        .coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      graft.spark.CowFileOut(dest.getPath, 2, Map.empty)
+    }
+
+    // source table + its derived index move in ONE transaction
+    graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "s1")))
+      .stageAppend(Seq("it_txf", "idx"), Seq(fileFor(locI, "i1")),
+        Map("derived-from" -> "src"))
+      .commit()
+    val srcSnap = catalog.loadTable(Seq("it_txf", "src"))
+      .metadata.currentSnapshotId
+    val idxSnap = catalog.loadTable(Seq("it_txf", "idx"))
+      .metadata.currentSnapshotId
+    assert(srcSnap.isDefined && idxSnap.isDefined)
+
+    // double-staging one table in a transaction is refused at stage time
+    intercept[IllegalArgumentException] {
+      graft.spark.TableWriter.transaction(catalog)
+        .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "dup1")))
+        .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "dup2")))
+    }
+
+    // a concurrent commit to ONE member between stage and commit rolls
+    // back the WHOLE transaction — the other member must not move either
+    val tx = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "s2")))
+      .stageAppend(Seq("it_txf", "idx"), Seq(fileFor(locI, "i2")))
+    graft.spark.TableWriter.appendFilesRest(catalog, Seq("it_txf", "idx"),
+      Seq(fileFor(locI, "sneak")))
+    intercept[CommitConflictError](tx.commit())
+    assert(catalog.loadTable(Seq("it_txf", "src"))
+      .metadata.currentSnapshotId == srcSnap,
+      "src must not advance when the transaction rolled back")
+  }
+
   test("config merge applied: server defaults lose to props, overrides win") {
     // the catalog came up against a server returning defaults+overrides;
     // reaching any authorized endpoint proves the OAuth token was minted

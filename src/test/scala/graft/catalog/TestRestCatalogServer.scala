@@ -187,6 +187,38 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
           case None => err(ex, 404, s"table $ns.$t not found")
           case Some(md) => commit(ex, ns, t, md)
         }
+      case ("POST", Seq("transactions", "commit")) =>
+        // CommitTransactionRequest: N CommitTableRequests, atomic — ALL
+        // requirements validated against pre-transaction state before ANY
+        // update applies; one failure rolls back the whole transaction
+        // (nothing was mutated yet).
+        val b = mapper.readTree(readBody(ex))
+        val changes = Vector.newBuilder[(ObjectNode,
+          com.fasterxml.jackson.databind.JsonNode)]
+        var failure: Option[String] = None
+        Option(b.get("table-changes")).foreach(_.forEach { c =>
+          val identNode = c.get("identifier")
+          val parts = Vector.newBuilder[String]
+          identNode.get("namespace").forEach(n => parts += n.asText())
+          val key = (parts.result().mkString(""),
+            identNode.get("name").asText())
+          tables.get(key) match {
+            case None => failure = failure.orElse(
+              Some(s"table ${key._1}.${key._2} not found"))
+            case Some(md) =>
+              failure = failure.orElse(checkRequirements(c, md))
+              changes += ((md, c))
+          }
+        })
+        failure match {
+          case Some(msg) => err(ex, 409, msg)
+          case None =>
+            if (changes.result().isEmpty) err(ex, 400, "empty transaction")
+            else {
+              changes.result().foreach { case (md, c) => applyUpdates(c, md) }
+              respond(ex, 204)
+            }
+        }
       case ("POST", Seq("tables", "rename")) =>
         val b = mapper.readTree(readBody(ex))
         def keyOf(k: String): (String, String) = {
@@ -243,6 +275,18 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   private def commit(ex: HttpExchange, ns: String, t: String,
                      md: ObjectNode): Unit = {
     val b = mapper.readTree(readBody(ex))
+    checkRequirements(b, md) match {
+      case Some(msg) => err(ex, 409, msg)
+      case None =>
+        applyUpdates(b, md)
+        respond(ex, 200, tableResponse(ns, t, md))
+    }
+  }
+
+  /** Validate one CommitTableRequest's requirements against `md` WITHOUT
+    * mutating anything; first failure message, or None. */
+  private def checkRequirements(b: com.fasterxml.jackson.databind.JsonNode,
+                                md: ObjectNode): Option[String] = {
     var failure: Option[String] = None
     Option(b.get("requirements")).foreach(_.forEach { r =>
       r.get("type").asText() match {
@@ -262,9 +306,12 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         case other => failure = failure.orElse(Some(s"unknown requirement $other"))
       }
     })
-    failure match {
-      case Some(msg) => err(ex, 409, msg)
-      case None =>
+    failure
+  }
+
+  /** Apply one CommitTableRequest's updates to `md` in place. */
+  private def applyUpdates(b: com.fasterxml.jackson.databind.JsonNode,
+                           md: ObjectNode): Unit = {
         Option(b.get("updates")).foreach(_.forEach { u =>
           u.get("action").asText() match {
             case "set-properties" =>
@@ -298,6 +345,13 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               val ref = md.`with`("refs").putObject(refName)
               ref.put("snapshot-id", snapId)
               ref.put("type", u.get("type").asText())
+              // retention policy rides the update (the spec's
+              // set-snapshot-ref REPLACES the ref node)
+              Seq("min-snapshots-to-keep", "max-snapshot-age-ms",
+                "max-ref-age-ms").foreach { f =>
+                Option(u.get(f)).filter(!_.isNull)
+                  .foreach(v => ref.put(f, v.asLong()))
+              }
               if (refName == "main") {
                 md.put("current-snapshot-id", snapId)
                 val log = Option(md.get("snapshot-log"))
@@ -310,8 +364,6 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
             case other => throw new IllegalArgumentException(s"unknown update $other")
           }
         })
-        respond(ex, 200, tableResponse(ns, t, md))
-    }
   }
 
   private def tableResponse(ns: String, t: String, md: ObjectNode): String = {

@@ -217,6 +217,19 @@ class AnnIndexSpec extends AnyFunSuite {
         s"drifted=${drifted.saturationRate})")
     assert(drifted.driftRatio.exists(_ > 2.0),
       s"reconstruction error should blow past the baseline (${drifted.driftRatio})")
+    // in-sync index: zero unmatched rows on either side
+    assert(drifted.corpusRowsWithoutCodes == 0L)
+    assert(drifted.codesRowsWithoutCorpus == 0L)
+
+    // an OUT-OF-SYNC index (corpus grew past the last sync) must report
+    // the unmatched rows an inner join would silently drop — recon error
+    // understates drift exactly when inserts were missed
+    val t2b = TableWriter.append(t2, embDF(40L until 45L))
+    val stale = AnnIndex.statsSq(spark, synced, params,
+      t2b.newScan().toDF(spark))
+    assert(stale.corpusRowsWithoutCodes == 5L,
+      s"5 unsynced corpus vectors must surface (${stale.corpusRowsWithoutCodes})")
+    assert(stale.codesRowsWithoutCorpus == 0L)
 
     // full re-index: params re-train on the current corpus — saturation
     // falls back to a natural rate and the drift baseline resets to ~1

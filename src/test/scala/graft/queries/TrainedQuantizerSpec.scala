@@ -89,6 +89,32 @@ class TrainedQuantizerSpec extends AnyFunSuite {
     assert(trained >= 0.3, s"trained IVF-PQ recall $trained")
   }
 
+  test("Lloyd training reads the bounded deterministic sample, not the corpus") {
+    import spark.implicits._
+    // corpus 3x the sample bound: the trained paths' Lloyd passes must
+    // see exactly TrainSampleSize rows (FAISS-style sampled training)
+    val big = (0L until (3L * Similarity.TrainSampleSize))
+      .map(i => (i, Seq.tabulate(64)(j => ((i * 31 + j) % 97).toDouble)))
+      .toDF("vec_id", "e")
+    val s1 = Similarity.trainSample(big)
+    assert(s1.count() == Similarity.TrainSampleSize.toLong)
+    assert(s1.columns.toSeq == Seq("vec_id", "e"),
+      "the sampling hash must not leak into the training frame")
+    // deterministic: the same ids every time (md5 rank, no RNG)
+    val ids1 = s1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Similarity.trainSample(big)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a corpus under the bound passes through whole (sf0.01 correctness
+    // runs are sample == corpus, so results there are unchanged)
+    assert(Similarity.trainSample(big.limit(100)).count() == 100)
+    // extra columns (IVF's norm) ride along
+    val en = Similarity.trainSample(Similarity.ivfEn(
+      big.withColumnRenamed("e", "embedding")
+        .select(col("vec_id"), col("embedding").as("e"))))
+    assert(en.columns.toSeq == Seq("vec_id", "e", "norm"))
+  }
+
   test("trained codebook keeps kSub codewords (empty clusters keep init position)") {
     val cb0 = Similarity.pqCodebook(emb, 8, 16)
     val cb1 = Similarity.pqTrainStep(emb, cb0, 8)
