@@ -32,8 +32,35 @@ final class RestError(code: Int, m: String) extends CatalogError(s"HTTP $code: $
 final class OAuthError(val error: String, val description: String)
   extends CatalogError(s"$error: $description")
 
+/** A storage credential vended by the catalog (LoadTableResult
+  * `storage-credentials`): `config` applies to paths under `prefix` —
+  * scoped, typically expiring, per-table access the modern REST catalogs
+  * (Polaris/Unity-style) hand out instead of ambient credentials. */
+final case class StorageCredential(prefix: String, config: Map[String, String])
+
 final case class LoadedTable(identifier: Seq[String], metadataLocation: String,
-                             metadata: TableMetadata, config: Map[String, String])
+                             metadata: TableMetadata, config: Map[String, String],
+                             storageCredentials: Seq[StorageCredential] = Nil) {
+  /** The IO property map for THIS table: metadata properties, overridden
+    * by the catalog's per-table `config`, overridden by the vended
+    * credential whose prefix longest-matches the table location. Every
+    * REST read/write path must build FileIO from this, not from metadata
+    * properties alone. */
+  def ioProps: Map[String, String] = {
+    val cred = storageCredentials
+      .filter(c => metadata.location.startsWith(c.prefix))
+      .sortBy(-_.prefix.length).headOption
+    metadata.properties ++ config ++ cred.map(_.config).getOrElse(Map.empty)
+  }
+
+  /** True when any vended/config credential carries an `...expires-at-ms`
+    * stamp at-or-before `nowMs` — the caller must re-load the table to get
+    * fresh credentials before touching storage. */
+  def credentialsExpired(nowMs: Long): Boolean =
+    ioProps.exists { case (k, v) =>
+      k.endsWith("expires-at-ms") && v.toLongOption.exists(_ <= nowMs)
+    }
+}
 
 /** Commit requirements per the Iceberg REST spec's `updateTable` route —
   * the optimistic-concurrency guards the server re-checks atomically. */
@@ -177,10 +204,12 @@ final class RestCatalog(val name: String, uri: String,
 
   // --------------------------------------------------------- http plumbing
 
-  private def request(method: String, url: String, body: Option[String] = None): String = {
+  private def request(method: String, url: String, body: Option[String] = None,
+                      extraHeaders: Map[String, String] = Map.empty): String = {
     var b = HttpRequest.newBuilder(URI.create(url))
       .header("X-Client-Version", "0.14.1")
       .header("User-Agent", "graft/0.1.0")
+    extraHeaders.foreach { case (k, v) => b = b.header(k, v) }
     token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
     b = method match {
       case "GET" => b.GET()
@@ -465,15 +494,34 @@ final class RestCatalog(val name: String, uri: String,
     require(identifier.size >= 2, s"invalid table identifier: $identifier")
     val ns = identifier.dropRight(1)
     val tbl = identifier.last
-    val n = mapper.readTree(get(
-      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables", tbl)))
+    // ask the server to vend scoped per-table storage credentials instead
+    // of relying on ambient ones (the spec's access-delegation handshake;
+    // a server without the capability simply omits storage-credentials)
+    val n = mapper.readTree(request("GET",
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables", tbl),
+      extraHeaders = Map("X-Iceberg-Access-Delegation" -> "vended-credentials")))
     val md = TableMetadata.parseNode(n.get("metadata"))
-    val cfg = Option(n.get("config")).map { o =>
+    def toMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty)
+    val cfg = Option(n.get("config")).map(toMap).getOrElse(Map.empty)
+    val creds = Option(n.get("storage-credentials")).map { arr =>
+      val b = Vector.newBuilder[StorageCredential]
+      arr.forEach(c => b += StorageCredential(
+        Option(c.get("prefix")).map(_.asText()).getOrElse(""),
+        Option(c.get("config")).map(toMap).getOrElse(Map.empty)))
+      b.result()
+    }.getOrElse(Vector.empty)
     LoadedTable(identifier,
-      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""), md, cfg)
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""), md, cfg,
+      creds)
   }
+
+  /** `cached` if its vended credentials are still live, otherwise a fresh
+    * load — the refresh-on-expiry hook for long-lived table handles. */
+  def loadTableFresh(identifier: Seq[String], cached: Option[LoadedTable],
+                     nowMs: Long = System.currentTimeMillis()): LoadedTable =
+    cached.filter(c => c.identifier == identifier &&
+      !c.credentialsExpired(nowMs)).getOrElse(loadTable(identifier))
 
   def dropTable(identifier: Seq[String]): Unit = {
     val ns = identifier.dropRight(1)

@@ -44,6 +44,18 @@ case object OpIn extends PredOp { def invert: PredOp = OpNotIn }
 case object OpNotIn extends PredOp { def invert: PredOp = OpIn }
 case object OpStartsWith extends PredOp { def invert: PredOp = OpNotStartsWith }
 case object OpNotStartsWith extends PredOp { def invert: PredOp = OpStartsWith }
+/** Geo bbox intersection (V3 geo columns only): literals are the query
+  * bbox corners (xmin, ymin, xmax, ymax) as four DoubleLit. Row semantics:
+  * the geometry's ENVELOPE intersects the query bbox. This is the one
+  * spec-sanctioned geo prune — file lower/upper bounds are bbox corner
+  * points, so bounds-vs-bbox is exact at file granularity (geography
+  * bounds may wrap the antimeridian; the evaluator handles that). */
+case object OpStIntersectsBBox extends PredOp {
+  def invert: PredOp = OpNotStIntersectsBBox
+}
+case object OpNotStIntersectsBBox extends PredOp {
+  def invert: PredOp = OpStIntersectsBBox
+}
 
 /** Unbound predicate referencing a column by name. */
 final case class UnboundPredicate(op: PredOp, term: String,
@@ -72,6 +84,14 @@ object Expr {
   def notIn(t: String, ls: Seq[Literal]): BooleanExpression = UnboundPredicate(OpNotIn, t, ls)
   def startsWith(t: String, prefix: String): BooleanExpression =
     UnboundPredicate(OpStartsWith, t, Seq(StrLit(prefix)))
+  /** Geometry/geography envelope-vs-bbox intersection (the geo prune). */
+  def stIntersectsBBox(t: String, xmin: Double, ymin: Double,
+                       xmax: Double, ymax: Double): BooleanExpression = {
+    require(xmin <= xmax && ymin <= ymax,
+      s"invalid query bbox: ($xmin, $ymin, $xmax, $ymax)")
+    UnboundPredicate(OpStIntersectsBBox, t,
+      Seq(DoubleLit(xmin), DoubleLit(ymin), DoubleLit(xmax), DoubleLit(ymax)))
+  }
 
   def and(es: Seq[BooleanExpression]): BooleanExpression =
     es.reduceOption(And(_, _)).getOrElse(AlwaysTrue)
@@ -105,11 +125,16 @@ object Expr {
       // refuse VALUE predicates loudly instead of pruning wrongly on WKB
       // byte comparisons (IsNull/NotNull stay: they only read null counts)
       (field.fieldType, p.op) match {
-        case (_: GeometryT | _: GeographyT, OpIsNull | OpNotNull) =>
+        case (_: GeometryT | _: GeographyT,
+            OpIsNull | OpNotNull | OpStIntersectsBBox | OpNotStIntersectsBBox) =>
         case (_: GeometryT | _: GeographyT, _) =>
           throw new UnsupportedOperationException(
             s"predicates on ${field.fieldType.repr} column '${field.name}' " +
               "are not supported")
+        case (t, OpStIntersectsBBox | OpNotStIntersectsBBox) =>
+          throw new IllegalArgumentException(
+            s"st_intersects_bbox requires a geometry/geography column; " +
+              s"'${field.name}' is ${t.repr}")
         case _ =>
       }
       p.op match {
@@ -122,6 +147,11 @@ object Expr {
             case t => throw new IllegalArgumentException(
               s"cannot bind ${p.op} to non-floating column '${field.name}' of type $t")
           }
+        case OpStIntersectsBBox | OpNotStIntersectsBBox =>
+          val ds = p.literals.map(_.to(DoubleT))
+          require(ds.length == 4,
+            s"st_intersects_bbox needs 4 bbox literals, got ${ds.length}")
+          BoundPredicate(p.op, field, ds)
         case _ => BoundPredicate(p.op, field, p.literals.map(_.to(field.fieldType)))
       }
     case b: BoundPredicate =>

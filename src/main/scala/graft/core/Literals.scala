@@ -89,6 +89,10 @@ object LiteralCodec {
         // implements exactly that encoding
         val unscaled = if (data.isEmpty) BigInteger.ZERO else new BigInteger(data)
         DecLit(BigInt(unscaled), d.scale)
+      // V3 geo bounds are bbox corner POINTS carried as raw WKB bytes —
+      // surfaced as binary (the evaluator parses them via Wkb, and
+      // metadata tables show the raw bytes)
+      case _: GeometryT | _: GeographyT => BytesLit(data)
       case other => throw new LiteralCastError(s"cannot decode bytes as $other")
     })
   }

@@ -63,6 +63,20 @@ final class InclusiveMetricsEvaluator(schema: Schema, expr: BooleanExpression,
   private def upper(f: FileStats, field: NestedField): Option[Literal] =
     f.upperBounds.get(field.id).flatMap(b => LiteralCodec.fromBytes(field.fieldType, b))
 
+  /** A geo column's file bbox from its point-encoded lower/upper bounds. */
+  private def geoFileBBox(f: FileStats, id: Int)
+      : Option[(Double, Double, Double, Double)] =
+    for {
+      lb <- f.lowerBounds.get(id).flatMap(Wkb.parsePoint)
+      ub <- f.upperBounds.get(id).flatMap(Wkb.parsePoint)
+    } yield (lb._1, lb._2, ub._1, ub._2)
+
+  private def doubleOf(l: Literal): Double = l match {
+    case DoubleLit(v) => v
+    case FloatLit(v) => v.toDouble
+    case other => sys.error(s"bbox literal must be double, got $other")
+  }
+
   private def isNaNLit(l: Literal): Boolean = l match {
     case FloatLit(v) => v.isNaN
     case DoubleLit(v) => v.isNaN
@@ -141,6 +155,38 @@ final class InclusiveMetricsEvaluator(schema: Schema, expr: BooleanExpression,
         else if (lits.exists(l => withinBounds(f, field, l))) RowsMightMatch
         else RowsCannotMatch
       case OpNotIn => RowsMightMatch
+      case OpStIntersectsBBox =>
+        // file bounds are bbox corner POINTS per the V3 geo spec; a file
+        // of only nulls cannot intersect anything
+        if (containsOnlyNulls(f, id)) return RowsCannotMatch
+        geoFileBBox(f, id) match {
+          // lower.x > upper.x is the antimeridian wrap — legal ONLY for
+          // geography; on a planar geometry column it means corrupt
+          // bounds, so keep the file rather than trust them
+          case Some((lx, _, ux, _))
+              if lx > ux && !field.fieldType.isInstanceOf[GeographyT] =>
+            RowsMightMatch
+          case Some((lx, ly, ux, uy)) =>
+            val Seq(qxmin, qymin, qxmax, qymax) = lits.map(doubleOf)
+            if (Wkb.bboxIntersects(lx, ly, ux, uy, qxmin, qymin, qxmax, qymax,
+              wrapX = field.fieldType.isInstanceOf[GeographyT])) RowsMightMatch
+            else RowsCannotMatch
+          case None => RowsMightMatch // no/unparseable bounds — keep
+        }
+      case OpNotStIntersectsBBox =>
+        // prune only when EVERY geometry must intersect: the file bbox is
+        // entirely inside the query bbox (then every envelope is too) and
+        // no row is null (null → not-intersects is NOT satisfied... a null
+        // geometry row yields unknown, which a filter drops — so nulls
+        // cannot satisfy the NOT either; only non-null rows matter)
+        geoFileBBox(f, id) match {
+          case Some((lx, ly, ux, uy)) if !(lx > ux) => // wrapped x never proves containment
+            val Seq(qxmin, qymin, qxmax, qymax) = lits.map(doubleOf)
+            val contained =
+              qxmin <= lx && ux <= qxmax && qymin <= ly && uy <= qymax
+            if (contained) RowsCannotMatch else RowsMightMatch
+          case _ => RowsMightMatch
+        }
       case OpStartsWith =>
         val prefix = lits.head.asInstanceOf[StrLit].v
         lower(f, field) match {

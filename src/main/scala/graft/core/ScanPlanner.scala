@@ -230,6 +230,9 @@ final class PartitionEvaluator(spec: PartitionSpec, schema: Schema,
           case (Some(StrLit(s)), StrLit(p)) => !s.startsWith(p)
           case _ => true
         }
+        // geo columns are never partition sources (transforms refuse
+        // them), so a bbox predicate can't reach a partition tuple — keep
+        case OpStIntersectsBBox | OpNotStIntersectsBBox => true
       }
   }
 }

@@ -1,0 +1,119 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal WKB (Well-Known Binary, OGC 06-103r4) support for the V3 geo
+  * types: point encode/decode for the spec's geo BOUNDS (lower/upper bounds
+  * of a geometry column are bbox corner POINTS), and envelope extraction
+  * over the standard geometry kinds for write-side stats.
+  *
+  * The reference has no geo support at all (types parse only); Iceberg V3
+  * defines geometry bounds as x/y min/max points, with geography's x range
+  * allowed to wrap the antimeridian (lower.x > upper.x). Only 2D (xy)
+  * coordinates are handled; Z/M-flagged or SRID-flagged (EWKB) geometries
+  * return None — callers treat that as "no stats" (prune-safe). */
+object Wkb {
+  private val PointType = 1
+  private val LineStringType = 2
+  private val PolygonType = 3
+  private val MultiPointType = 4
+  private val MultiLineStringType = 5
+  private val MultiPolygonType = 6
+  private val GeometryCollectionType = 7
+
+  /** A 2D POINT as little-endian WKB (21 bytes) — the encoding the V3 spec
+    * uses for geo lower/upper bounds. */
+  def pointWkb(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte) // little-endian marker
+    bb.putInt(PointType)
+    bb.putDouble(x)
+    bb.putDouble(y)
+    bb.array()
+  }
+
+  /** Decode a WKB POINT → (x, y). None for anything else. */
+  def parsePoint(wkb: Array[Byte]): Option[(Double, Double)] =
+    envelope(wkb).collect { case (xmin, ymin, xmax, ymax)
+      if xmin == xmax && ymin == ymax => (xmin, ymin) }
+
+  /** The (xmin, ymin, xmax, ymax) envelope of a 2D WKB geometry; None when
+    * the bytes are not parseable 2D WKB (unknown type, Z/M/SRID flags,
+    * truncation) or the geometry is empty. */
+  def envelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    if (wkb == null || wkb.length < 5) return None
+    try {
+      val acc = new Envelope
+      if (read(ByteBuffer.wrap(wkb), acc)) acc.result else None
+    } catch { case _: Exception => None }
+  }
+
+  private final class Envelope {
+    var xmin: Double = Double.PositiveInfinity
+    var ymin: Double = Double.PositiveInfinity
+    var xmax: Double = Double.NegativeInfinity
+    var ymax: Double = Double.NegativeInfinity
+    def add(x: Double, y: Double): Unit = {
+      if (x < xmin) xmin = x
+      if (x > xmax) xmax = x
+      if (y < ymin) ymin = y
+      if (y > ymax) ymax = y
+    }
+    def result: Option[(Double, Double, Double, Double)] =
+      if (xmin.isInfinite) None else Some((xmin, ymin, xmax, ymax))
+  }
+
+  /** Consume one geometry from `bb` into `acc`; false = unsupported. */
+  private def read(bb: ByteBuffer, acc: Envelope): Boolean = {
+    if (bb.remaining() < 5) return false
+    val order = bb.get()
+    bb.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val rawType = bb.getInt()
+    // ISO adds 1000/2000/3000 for Z/M/ZM; EWKB sets high flag bits — both
+    // carry coordinates this 2D reader would misparse, so refuse
+    if (rawType < 1 || rawType > 7) return false
+    def point(): Boolean = {
+      if (bb.remaining() < 16) return false
+      acc.add(bb.getDouble(), bb.getDouble()); true
+    }
+    def ring(): Boolean = {
+      if (bb.remaining() < 4) return false
+      val n = bb.getInt()
+      if (n < 0 || bb.remaining() < 16L * n) return false
+      var i = 0
+      while (i < n) { acc.add(bb.getDouble(), bb.getDouble()); i += 1 }
+      true
+    }
+    rawType match {
+      case PointType => point()
+      case LineStringType => ring()
+      case PolygonType =>
+        if (bb.remaining() < 4) return false
+        val rings = bb.getInt()
+        (0 until rings).forall(_ => ring())
+      case MultiPointType | MultiLineStringType | MultiPolygonType |
+          GeometryCollectionType =>
+        if (bb.remaining() < 4) return false
+        val n = bb.getInt()
+        // each member repeats a full WKB header (byte order may differ)
+        (0 until n).forall(_ => read(bb, acc))
+      case _ => false
+    }
+  }
+
+  /** bbox intersection test with the V3 geography antimeridian rule: a
+    * file whose lower.x > upper.x covers [lower.x, 180] ∪ [-180, upper.x].
+    * The QUERY bbox is always a plain (non-wrapping) range. */
+  def bboxIntersects(fileXMin: Double, fileYMin: Double,
+                     fileXMax: Double, fileYMax: Double,
+                     qXMin: Double, qYMin: Double,
+                     qXMax: Double, qYMax: Double,
+                     wrapX: Boolean): Boolean = {
+    val yHit = !(qYMax < fileYMin || qYMin > fileYMax)
+    if (!yHit) return false
+    if (wrapX && fileXMin > fileXMax)
+      // wrapped file range: [fileXMin, 180] ∪ [-180, fileXMax]
+      qXMax >= fileXMin || qXMin <= fileXMax
+    else !(qXMax < fileXMin || qXMin > fileXMax)
+  }
+}

@@ -965,4 +965,51 @@ object IcebergOps {
        SELECT o_orderstatus, COUNT(*) AS n,
               ${sqlDsum("o_totalprice")} AS sum_price
        FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** V3 geo end-to-end (ice28): a geometry table AUTHORED by this engine —
+    * WKB points with envelope bounds written as bbox corner POINTS per the
+    * V3 geo spec — scanned with the spec-sanctioned `st_intersects_bbox`
+    * prune; the residual applies the same envelope test row-level, so
+    * file pruning and row semantics agree exactly. The oracle recomputes
+    * the bbox filter from the source coordinates (DuckDB has no geo here;
+    * for points, envelope-intersects ≡ coordinate range test). GeoSpec
+    * additionally pins the planFiles prune count and the WKB byte
+    * round-trip. Coordinates derive from p_partkey by integer modulo then
+    * double arithmetic — bit-identical in both engines. */
+  def ice28GeoBbox(s: SparkSession, d: String): DataFrame = {
+    val table = cached("part_geo", d) { loc =>
+      val src = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        ((col("p_partkey") % 73) / lit(18)).cast("int").as("band"),
+        ((col("p_partkey") % 73).cast("double") * 4.9 - 178.0).as("x"),
+        ((col("p_partkey") % 37).cast("double") * 4.5 - 81.0).as("y"))
+      val geomCol = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.spark.functions.StPointExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("x")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("y"))))
+      val df = src.withColumn("geom", geomCol)
+      val schema = Schema(0, StructT(Seq(
+        NestedField(1, "id", LongT),
+        NestedField(2, "band", IntT),
+        NestedField(3, "x", DoubleT),
+        NestedField(4, "y", DoubleT),
+        NestedField(5, "geom", GeometryT()))))
+      TableWriter.createWithSchema(df, loc, schema,
+        partitionBy = Seq("band" -> IdentityTransform))
+    }
+    table.newScan(Expr.stIntersectsBBox("geom", -50.0, -20.0, 40.0, 60.0))
+      .toDF(s)
+      .select("id", "x", "y")
+      .orderBy("id")
+  }
+
+  val ice28Sql: String =
+    """WITH g AS (
+         SELECT p_partkey AS id,
+                CAST(p_partkey % 73 AS DOUBLE) * 4.9 - 178.0 AS x,
+                CAST(p_partkey % 37 AS DOUBLE) * 4.5 - 81.0 AS y
+         FROM part)
+       SELECT id, x, y FROM g
+       WHERE x >= -50.0 AND x <= 40.0 AND y >= -20.0 AND y <= 60.0
+       ORDER BY id"""
 }

@@ -106,10 +106,21 @@ object FilterConv {
     case graft.core.Or(l, r) => toColumn(l) || toColumn(r)
     case graft.core.Not(c) => not(toColumn(c))
     case UnboundPredicate(op, term, lits) => predToColumn(op, col(term), lits)
-    case BoundPredicate(op, field, lits) => predToColumn(op, col(field.name), lits)
+    case BoundPredicate(op, field, lits) =>
+      predToColumn(op, col(field.name), lits,
+        geography = field.fieldType.isInstanceOf[graft.core.GeographyT])
   }
 
-  private def predToColumn(op: PredOp, c: Column, lits: Seq[Literal]): Column = op match {
+  private def predToColumn(op: PredOp, c: Column, lits: Seq[Literal],
+                           geography: Boolean = false): Column = op match {
+    case OpStIntersectsBBox | OpNotStIntersectsBBox =>
+      val Seq(graft.core.DoubleLit(xmin), graft.core.DoubleLit(ymin),
+        graft.core.DoubleLit(xmax), graft.core.DoubleLit(ymax)) = lits: @unchecked
+      val hit = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.spark.functions.StIntersectsBBoxExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(c),
+          xmin, ymin, xmax, ymax, geography))
+      if (op == OpStIntersectsBBox) hit else !hit
     case OpIsNull => c.isNull
     case OpNotNull => c.isNotNull
     case OpIsNan => org.apache.spark.sql.functions.isnan(c)

@@ -956,10 +956,41 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * engines' sketches included), feeding join-cardinality estimation
     * under `spark.sql.cbo.enabled`. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(tasks.map(_.file.fileSizeInBytes).sum)
+    /** Manifest recordCount ignores MoR deletes; when a partition-stats
+      * registry exists FOR THE PINNED SNAPSHOT (ice23's
+      * `compute_partition_stats`), subtract the planned partitions'
+      * delete records — a mostly-deleted partition then reports its LIVE
+      * size and a broadcast-able join side actually broadcasts. Equality
+      * deletes are counted at face value (they may overlap), so this is
+      * an estimate that can under-report, which CBO tolerates. */
+    private def liveRows: Long = {
+      val base = tasks.map(_.file.recordCount).sum
+      val deletes = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId))
+        .map { sid =>
+          val counts = TableStatistics.partitionDeleteCounts(table, sid)
+          if (counts.isEmpty) 0L
+          else {
+            val planned = tasks
+              .flatMap(t => TableStatistics.normalizePartition(t.file.partition))
+              .toSet
+            counts.collect {
+              case (k, n) if planned.contains(k) => n
+            }.sum
+          }
+        }.getOrElse(0L)
+      math.max(0L, base - deletes)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val bytes = tasks.map(_.file.fileSizeInBytes).sum
+      val base = tasks.map(_.file.recordCount).sum
+      val live = liveRows
+      // scale bytes by the live fraction so join sizing sees both signals
+      java.util.OptionalLong.of(
+        if (base <= 0 || live == base) bytes
+        else math.max(1L, (bytes.toDouble * live / base).toLong))
+    }
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(tasks.map(_.file.recordCount).sum)
+      java.util.OptionalLong.of(liveRows)
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       // decoding per-file bounds over 10^5 files × many columns is real
@@ -970,7 +1001,11 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       if (cached != null && (cached._1 eq t)) return cached._2
       val out = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      TableStatistics.ndv(table, snapshotId).foreach { case (fieldId, n) =>
+      // a pruned scan can't have more distinct values than rows: cap the
+      // whole-table sketch NDV at the planned row count
+      val rowCap = tasks.map(_.file.recordCount).sum
+      TableStatistics.ndv(table, snapshotId).foreach { case (fieldId, n0) =>
+        val n = math.min(n0, math.max(1L, rowCap))
         table.schema.findColumnName(fieldId).foreach { name =>
           // null count from the planned files' manifest stats — Spark's
           // join estimation engages only when BOTH distinctCount and

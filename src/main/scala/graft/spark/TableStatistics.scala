@@ -65,4 +65,73 @@ object TableStatistics {
       // no-NDV, never to a failed scan
       case _: Exception => None
     }
+
+  // ------------------------------------------------ partition statistics
+
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[Map[String, String], Long]]()
+
+  /** Per-partition MoR DELETE record counts (positional + equality) from
+    * the REGISTERED partition-statistics file, when one exists for exactly
+    * `snapshotId` (stale registries are ignored — they lie about the
+    * pinned state). Keys are the partition tuple normalized to
+    * name→string; empty when no usable registry. Driver-side parquet read
+    * of O(partitions) rows, cached per file path (the file is immutable
+    * once registered). Feeds [[GraftScan.estimateStatistics]]: manifests'
+    * recordCount ignores MoR deletes, so without this a mostly-deleted
+    * partition looks full to the CBO and a broadcast-able join side
+    * doesn't broadcast. */
+  def partitionDeleteCounts(table: IcebergTable, snapshotId: Long)
+      : Map[Map[String, String], Long] = {
+    val reg = table.metadata.partitionStatisticsFiles
+      .find(_.snapshotId == snapshotId)
+      .getOrElse(return Map.empty)
+    if (partCache.size() > (1 << 12)) partCache.clear()
+    partCache.computeIfAbsent(reg.path, { _ =>
+      try readDeleteCounts(reg.path.stripPrefix("file://"))
+      catch { case _: Exception => Map.empty }
+    })
+  }
+
+  /** Normalize a planned task's raw manifest partition tuple to the same
+    * name→string form [[readDeleteCounts]] produces. None for value kinds
+    * whose string forms can diverge (binary/decimal) — callers skip the
+    * adjustment rather than mismatch. */
+  def normalizePartition(p: Map[String, Any]): Option[Map[String, String]] = {
+    val b = Map.newBuilder[String, String]
+    p.foreach {
+      case (_, null) =>
+      case (k, v: org.apache.avro.util.Utf8) => b += k -> v.toString
+      case (k, v @ (_: java.lang.Integer | _: java.lang.Long |
+                    _: java.lang.Boolean | _: String)) => b += k -> v.toString
+      case _ => return None
+    }
+    Some(b.result())
+  }
+
+  private def readDeleteCounts(path: String)
+      : Map[Map[String, String], Long] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = Map.newBuilder[Map[String, String], Long]
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val pg = g.getGroup("partition", 0)
+        val key = (0 until pg.getType.getFieldCount).flatMap { i =>
+          if (pg.getFieldRepetitionCount(i) == 0) None
+          else Some(pg.getType.getFieldName(i) -> pg.getValueToString(i, 0))
+        }.toMap
+        def longOf(name: String): Long =
+          if (g.getFieldRepetitionCount(name) == 0) 0L
+          else g.getLong(name, 0)
+        out += key -> (longOf("position_delete_record_count") +
+          longOf("equality_delete_record_count"))
+        g = r.read()
+      }
+    } finally r.close()
+    out.result()
+  }
 }

@@ -52,6 +52,38 @@ object TableWriter {
       sortOrder = sortOrder)
   }
 
+  /** [[create]] with an EXPLICIT Iceberg schema — the authoring path for
+    * types a Spark DataFrame schema cannot express (V3 geometry/geography:
+    * the frame carries WKB binary, the table schema carries the geo type).
+    * The frame's column names and physical Spark types must match the
+    * schema's projection. Types the V3 spec introduced force
+    * format-version 3. */
+  def createWithSchema(df: DataFrame, location: String, schema: Schema,
+                       partitionBy: Seq[(String, Transform)] = Nil,
+                       properties: Map[String, String] = Map.empty,
+                       sortBy: Seq[String] = Nil): IcebergTable = {
+    val target = SchemaConv.toSparkSchema(schema)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      target.fields.map(f => (f.name, f.dataType))),
+      s"frame schema ${df.schema.simpleString} does not match the table " +
+        s"schema's Spark projection ${target.simpleString}")
+    val spec = PartitionSpec(0, partitionBy.zipWithIndex.map { case ((src, t), i) =>
+      val f = schema.findFieldByName(src).getOrElse(
+        throw new IllegalArgumentException(s"partition source column '$src' not found"))
+      PartitionField(f.id, PartitionSpec.PartitionDataIdStart + i,
+        partName(src, t), t)
+    })
+    val t = commit(df, location, schema, spec, properties, version = 1,
+      parentSnapshot = None, existingEntries = Nil, existingManifests = Nil,
+      sequenceNumber = 1, sortOrder = sortOrderFor(schema, sortBy))
+    val needsV3 = schema.struct.fields.exists(f => f.fieldType match {
+      case _: GeometryT | _: GeographyT | VariantT | UnknownT |
+           TimestampNsT | TimestampTzNsT => true
+      case _ => false
+    })
+    if (needsV3) upgradeFormatVersion(t, df.sparkSession, 3) else t
+  }
+
   private def sortOrderFor(schema: Schema, sortBy: Seq[String]): SortOrder =
     if (sortBy.isEmpty) SortOrder.unsorted
     else SortOrder(1, sortBy.map { c =>
@@ -990,8 +1022,7 @@ object TableWriter {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
-      IOConfig.fileIO(md.properties ++ loaded.config),
-      ioProps = md.properties ++ loaded.config)
+      IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
     // V3 lineage through REST: assign first-row-id CLIENT-side from the
     // loaded metadata's next-row-id (upstream practice — the AddSnapshot
     // carries first-row-id and the server advances next-row-id). A CAS
@@ -2417,8 +2448,7 @@ object TableWriter {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
-      IOConfig.fileIO(md.properties ++ loaded.config),
-      ioProps = md.properties ++ loaded.config)
+      IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
     val snapshot = stageAppendSnapshot(table, added, extraSummary)
     val change = graft.catalog.TableChange(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
@@ -3363,6 +3393,15 @@ object TableWriter {
           }
         }
       }
+      // V3 geo columns: parquet's binary min/max over WKB bytes is
+      // meaningless for pruning (byte order ≠ spatial order) — the spec's
+      // geo bounds are ENVELOPE corner POINTS. One extra read of the file
+      // projected to only its geo columns (file-local, no shuffle; geo
+      // writes pay one column re-read per file). Plain x/y min/max — a
+      // correct, conservative envelope; the antimeridian-wrapped tightening
+      // the spec ALLOWS for geography is a writer optimization we skip
+      // (the evaluator still honors wrapped bounds from foreign writers).
+      val geoBounds = geoEnvelopeBounds(file, effSchema)
       DataFileInfo(
         content = content, path = file.getPath, format = "PARQUET",
         partition = partition, recordCount = rowCount,
@@ -3371,10 +3410,67 @@ object TableWriter {
         // zero entries are kept on purpose: nanCount==0 is positive evidence
         // that lets an isNaN predicate prune the file
         nullValueCounts = nullCounts.toMap, nanValueCounts = nanCounts,
-        lowerBounds = lowerB.map { case (k, v) => k -> v.toBytes }.toMap,
-        upperBounds = upperB.map { case (k, v) => k -> v.toBytes }.toMap,
+        lowerBounds = lowerB.map { case (k, v) => k -> v.toBytes }.toMap ++
+          geoBounds.map { case (k, (lo, _)) => k -> lo },
+        upperBounds = upperB.map { case (k, v) => k -> v.toBytes }.toMap ++
+          geoBounds.map { case (k, (_, hi)) => k -> hi },
         splitOffsets = splitOffsets, equalityIds = Nil, sortOrderId = Some(0))
     } finally reader.close()
+  }
+
+  /** Per-geo-column (lower, upper) bound bytes — envelope corners as POINT
+    * WKB — computed by re-reading the written file projected to its geo
+    * columns. Empty when the schema has no geo columns. A column whose
+    * every value is null/unparseable gets no bounds (prune-safe). */
+  private def geoEnvelopeBounds(file: File, schema: Schema)
+      : Map[Int, (Array[Byte], Array[Byte])] = {
+    val geoFields = schema.fields.filter(f => f.fieldType match {
+      case _: GeometryT | _: GeographyT => true
+      case _ => false
+    })
+    if (geoFields.isEmpty) return Map.empty
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.api.ReadSupport
+    // project ONLY the geo columns, copying each field's type from the
+    // file's own footer (repetition must match or parquet refuses)
+    val fileSchema = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file.getPath), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val present = geoFields.filter(f => fileSchema.containsField(f.name))
+    if (present.isEmpty) return Map.empty
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      new org.apache.parquet.schema.MessageType("geo",
+        present.map(f =>
+          fileSchema.getType(Seq(f.name): _*)): _*).toString)
+    val env = scala.collection.mutable.Map[Int, (Double, Double, Double, Double)]()
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new Path(file.getPath)).withConf(conf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        present.foreach { f =>
+          if (g.getFieldRepetitionCount(f.name) > 0) {
+            graft.core.Wkb.envelope(g.getBinary(f.name, 0).getBytes).foreach {
+              case (xmin, ymin, xmax, ymax) =>
+                env.updateWith(f.id) {
+                  case Some((lx, ly, ux, uy)) => Some((math.min(lx, xmin),
+                    math.min(ly, ymin), math.max(ux, xmax), math.max(uy, ymax)))
+                  case None => Some((xmin, ymin, xmax, ymax))
+                }
+            }
+          }
+        }
+        g = r.read()
+      }
+    } finally r.close()
+    env.map { case (id, (lx, ly, ux, uy)) =>
+      id -> (graft.core.Wkb.pointWkb(lx, ly), graft.core.Wkb.pointWkb(ux, uy))
+    }.toMap
   }
 
   /** ORC footer → per-file Iceberg stats: orc-core's per-file column

@@ -1,0 +1,98 @@
+package graft.spark.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+
+import graft.core.Wkb
+
+/** Row-level `st_intersects_bbox`: true iff the WKB geometry's ENVELOPE
+  * intersects the query bbox — the same semantics the scan's metrics
+  * evaluator prunes on (file bounds are envelope corners), so file-level
+  * pruning and row-level filtering agree exactly. Unparseable WKB → null
+  * (filter drops it — conservative, and the write path never produces
+  * such bytes with stats). The bbox is constant, so the comparison folds
+  * into generated code via the static Wkb call. */
+final case class StIntersectsBBoxExpr(child: Expression,
+                                      xmin: Double, ymin: Double,
+                                      xmax: Double, ymax: Double,
+                                      geography: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_intersects_bbox"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"st_intersects_bbox needs WKB binary, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val env = Wkb.envelope(input.asInstanceOf[Array[Byte]])
+    if (env.isEmpty) null
+    else {
+      val (lx, ly, ux, uy) = env.get
+      // a single geometry's envelope never wraps; `geography` only matters
+      // for FILE bounds, but keep the flag for parity with the evaluator
+      Wkb.bboxIntersects(lx, ly, ux, uy, xmin, ymin, xmax, ymax,
+        wrapX = geography)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val env = ctx.freshName("env")
+      val t = ctx.freshName("t")
+      s"""
+         scala.Option<scala.Tuple4<Object, Object, Object, Object>> $env =
+           graft.core.Wkb.envelope($bytes);
+         if ($env.isEmpty()) {
+           ${ev.isNull} = true;
+         } else {
+           scala.Tuple4<Object, Object, Object, Object> $t = $env.get();
+           ${ev.value} = graft.core.Wkb.bboxIntersects(
+             ((Double) $t._1()).doubleValue(), ((Double) $t._2()).doubleValue(),
+             ((Double) $t._3()).doubleValue(), ((Double) $t._4()).doubleValue(),
+             $xmin, $ymin, $xmax, $ymax, $geography);
+         }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** WKB POINT constructor — `st_point(x, y)` → 21-byte little-endian WKB.
+  * The authoring twin of [[StIntersectsBBoxExpr]]: builds the binary a geo
+  * column stores from plain double coordinates, codegen'd via the static
+  * [[Wkb]] call. */
+final case class StPointExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "st_point"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"st_point needs two doubles, got $other")
+    }
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Wkb.pointWkb(x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.core.Wkb.pointWkb($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

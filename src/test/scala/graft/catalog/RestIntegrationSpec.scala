@@ -280,6 +280,43 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "src must not advance when the transaction rolled back")
   }
 
+  test("vended credentials: delegation handshake, per-table creds, expiry refresh") {
+    catalog.createNamespace(Seq("it_vc"))
+    catalog.createTable(Seq("it_vc", "t1"), schema)
+    catalog.createTable(Seq("it_vc", "t2"), schema)
+
+    val l1 = catalog.loadTable(Seq("it_vc", "t1"))
+    // the client opted into access delegation on the load
+    assert(server.lastAccessDelegation.contains("vended-credentials"))
+    // longest-prefix match: THIS table's credential wins over the decoy
+    // prefix the server also vends
+    assert(l1.ioProps("s3.access-key-id") == "vended-key-it_vc-t1")
+    assert(l1.ioProps("s3.secret-access-key") == "vended-secret-it_vc-t1")
+    // ...and each table gets ITS OWN credential
+    val l2 = catalog.loadTable(Seq("it_vc", "t2"))
+    assert(l2.ioProps("s3.access-key-id") == "vended-key-it_vc-t2")
+
+    // the vended credential reaches the Hadoop conf scans/writes build
+    // from (the IOConfig property map, same path as s3a executor reads)
+    val hc = graft.spark.IOConfig.hadoopConf(l1.ioProps)
+    assert(hc("fs.s3a.access.key") == "vended-key-it_vc-t1")
+    assert(hc("fs.s3a.secret.key") == "vended-secret-it_vc-t1")
+
+    // live credentials: the fresh-load hook reuses the cached handle
+    val before = server.loadCounts(("it_vc", "t1"))
+    val reused = catalog.loadTableFresh(Seq("it_vc", "t1"), Some(l1))
+    assert(reused == l1 && server.loadCounts(("it_vc", "t1")) == before)
+
+    // expired credentials: the hook must RE-LOAD for fresh ones
+    server.vendedExpiryMs = Some(System.currentTimeMillis() - 1000)
+    val expired = catalog.loadTable(Seq("it_vc", "t1"))
+    assert(expired.credentialsExpired(System.currentTimeMillis()))
+    server.vendedExpiryMs = None // server rotates to fresh creds
+    val refreshed = catalog.loadTableFresh(Seq("it_vc", "t1"), Some(expired))
+    assert(!refreshed.credentialsExpired(System.currentTimeMillis()))
+    assert(server.loadCounts(("it_vc", "t1")) == before + 2)
+  }
+
   test("config merge applied: server defaults lose to props, overrides win") {
     // the catalog came up against a server returning defaults+overrides;
     // reaching any authorized endpoint proves the OAuth token was minted

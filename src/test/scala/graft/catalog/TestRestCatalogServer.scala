@@ -25,6 +25,12 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   private val namespaces = mutable.LinkedHashMap[String, ObjectNode]()
   // (ns, table) -> metadata node
   private val tables = mutable.LinkedHashMap[(String, String), ObjectNode]()
+  // observability for specs: the last access-delegation header the client
+  // sent on a table load, per-table load counts, and an overridable expiry
+  // for the vended credential (None = one hour out)
+  @volatile var lastAccessDelegation: Option[String] = None
+  val loadCounts = mutable.LinkedHashMap[(String, String), Int]()
+  @volatile var vendedExpiryMs: Option[Long] = None
 
   def port: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$port"
@@ -177,7 +183,13 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
       case ("GET", Seq("namespaces", ns, "tables", t)) =>
         tables.get((ns, t)) match {
           case None => err(ex, 404, s"table $ns.$t not found")
-          case Some(md) => respond(ex, 200, tableResponse(ns, t, md))
+          case Some(md) =>
+            val delegation =
+              Option(ex.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
+            lastAccessDelegation = delegation
+            loadCounts((ns, t)) = loadCounts.getOrElse((ns, t), 0) + 1
+            respond(ex, 200, tableResponse(ns, t, md,
+              vend = delegation.contains("vended-credentials")))
         }
       case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
         if (tables.remove((ns, t)).isEmpty) err(ex, 404, s"table $ns.$t not found")
@@ -366,13 +378,31 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         })
   }
 
-  private def tableResponse(ns: String, t: String, md: ObjectNode): String = {
+  private def tableResponse(ns: String, t: String, md: ObjectNode,
+                            vend: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("metadata-location",
       s"mem://warehouse/${ns.replace("", "/")}/$t/metadata/current.json")
     root.set("metadata", md)
     val cfg = root.putObject("config")
     cfg.put("srv-table-config", "yes")
+    // scoped per-table credentials, vended ONLY when the client asked for
+    // access delegation (the spec's opt-in handshake). One credential for
+    // the table's own location, one decoy for an unrelated prefix -- the
+    // client must pick by longest prefix match.
+    if (vend) {
+      val arr = root.putArray("storage-credentials")
+      val own = arr.addObject()
+      own.put("prefix", md.get("location").asText())
+      val oc = own.putObject("config")
+      oc.put("s3.access-key-id", s"vended-key-$ns-$t")
+      oc.put("s3.secret-access-key", s"vended-secret-$ns-$t")
+      oc.put("s3.session-token-expires-at-ms",
+        vendedExpiryMs.getOrElse(System.currentTimeMillis() + 3600000L))
+      val decoy = arr.addObject()
+      decoy.put("prefix", "s3://some-other-bucket/elsewhere")
+      decoy.putObject("config").put("s3.access-key-id", "WRONG-TABLE-KEY")
+    }
     mapper.writeValueAsString(root)
   }
 }

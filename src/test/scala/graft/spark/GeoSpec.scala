@@ -1,0 +1,165 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** V3 geometry/geography: WKB authoring (envelope bounds written as bbox
+  * corner POINTS per the spec), st_intersects_bbox file pruning including
+  * the geography antimeridian rule, row-level envelope filtering, and the
+  * refusal ladder (value predicates, non-geo columns, nonsense bboxes). */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(name).toFile.getPath
+
+  private def pointCol(x: org.apache.spark.sql.Column,
+                       y: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.spark.functions.StPointExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(x),
+        org.apache.spark.sql.graft.ColumnShim.expression(y)))
+
+  /** 40 points in 4 identity-partitioned x-bands of 10: band b covers
+    * x ∈ [10b, 10b+9], y = x/2. */
+  private def geoTable(loc: String): IcebergTable = {
+    val src = (0L until 40L).map(i => (i, (i / 10L).toInt, i.toDouble,
+      i.toDouble / 2)).toDF("id", "band", "x", "y")
+      .withColumn("geom", pointCol(col("x"), col("y")))
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT),
+      NestedField(2, "band", IntT),
+      NestedField(3, "x", DoubleT),
+      NestedField(4, "y", DoubleT),
+      NestedField(5, "geom", GeometryT()))))
+    TableWriter.createWithSchema(src, loc, schema,
+      partitionBy = Seq("band" -> IdentityTransform))
+  }
+
+  test("WKB codec: point round-trip, envelopes, refusals") {
+    val p = Wkb.pointWkb(12.5, -3.25)
+    assert(p.length == 21)
+    assert(Wkb.parsePoint(p).contains((12.5, -3.25)))
+    // big-endian points from foreign writers parse too
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte); be.putInt(1); be.putDouble(1.5); be.putDouble(2.5)
+    assert(Wkb.parsePoint(be.array()).contains((1.5, 2.5)))
+    // linestring envelope
+    val ls = java.nio.ByteBuffer.allocate(9 + 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ls.put(1.toByte); ls.putInt(2); ls.putInt(2)
+    ls.putDouble(-1.0); ls.putDouble(4.0); ls.putDouble(3.0); ls.putDouble(-2.0)
+    assert(Wkb.envelope(ls.array()).contains((-1.0, -2.0, 3.0, 4.0)))
+    // a linestring is not a point
+    assert(Wkb.parsePoint(ls.array()).isEmpty)
+    // Z-flagged (ISO type 1001) refuses rather than misparses
+    val z = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte); z.putInt(1001)
+    z.putDouble(1.0); z.putDouble(2.0); z.putDouble(3.0)
+    assert(Wkb.envelope(z.array()).isEmpty)
+    // garbage refuses
+    assert(Wkb.envelope(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Wkb.envelope(null).isEmpty)
+  }
+
+  test("geo table: WKB round-trips and envelope bounds land in manifests") {
+    val loc = tmpDir("geo_tbl")
+    val t = geoTable(loc)
+    assert(t.metadata.formatVersion == 3, "geo types force V3")
+    // every row's WKB parses back to its x/y
+    val rows = t.newScan().toDF(spark).select("x", "y", "geom").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(Wkb.parsePoint(r.getAs[Array[Byte]]("geom"))
+        .contains((r.getDouble(0), r.getDouble(1))))
+    }
+    // per-file bounds are envelope corner points: band 0 covers x [0, 9]
+    val tasks = t.newScan().planFiles()
+    val band0 = tasks.filter(_.file.partition.get("band").contains(0))
+    assert(band0.nonEmpty)
+    band0.foreach { task =>
+      val lo = task.file.lowerBounds.get(5).flatMap(Wkb.parsePoint)
+      val hi = task.file.upperBounds.get(5).flatMap(Wkb.parsePoint)
+      assert(lo.exists(p => p._1 >= 0.0 && p._2 >= 0.0), lo)
+      assert(hi.exists(p => p._1 <= 9.0 && p._2 <= 4.5), hi)
+    }
+  }
+
+  test("st_intersects_bbox prunes files and filters rows consistently") {
+    val loc = tmpDir("geo_prune")
+    val t = geoTable(loc)
+    val all = t.newScan().planFiles().size
+    assert(all >= 4, s"expected >=4 files (one per band), got $all")
+    // bbox covering only x in [12, 27] → bands 1 and 2 survive
+    val bbox = Expr.stIntersectsBBox("geom", 12.0, 0.0, 27.0, 100.0)
+    val pruned = t.newScan(bbox).planFiles().size
+    assert(pruned < all, s"bbox must prune files: $pruned !< $all")
+    // row-level: exactly ids 12..27 (points at x = id)
+    val ids = t.newScan(bbox).toDF(spark).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (12L to 27L).toSet, ids.toSeq.sorted)
+    // a bbox beyond the data prunes everything
+    assert(t.newScan(Expr.stIntersectsBBox("geom", 1000.0, 1000.0, 2000.0,
+      2000.0)).planFiles().isEmpty)
+    // NOT intersects: files entirely inside the query bbox prune away
+    val notHit = t.newScan(Not(bbox)).toDF(spark).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(notHit == ((0L to 11L) ++ (28L to 39L)).toSet)
+  }
+
+  test("geography antimeridian: wrapped file bounds still prune correctly") {
+    val field = NestedField(7, "region", GeographyT())
+    val schema = Schema(0, StructT(Seq(field)))
+    // file covering x ∈ [170, 180] ∪ [-180, -165] (wrapped), y ∈ [-10, 10]
+    val stats = FileStats(recordCount = 10,
+      valueCounts = Map(7 -> 10L), nullCounts = Map(7 -> 0L),
+      lowerBounds = Map(7 -> Wkb.pointWkb(170.0, -10.0)),
+      upperBounds = Map(7 -> Wkb.pointWkb(-165.0, 10.0)))
+    def eval(xmin: Double, ymin: Double, xmax: Double, ymax: Double) =
+      new InclusiveMetricsEvaluator(schema,
+        Expr.stIntersectsBBox("region", xmin, ymin, xmax, ymax)).eval(stats)
+    assert(eval(175.0, -5.0, 179.0, 5.0), "east side of the wrap must hit")
+    assert(eval(-179.0, -5.0, -170.0, 5.0), "west side of the wrap must hit")
+    assert(!eval(-100.0, -5.0, 0.0, 5.0), "the unwrapped middle must prune")
+    assert(!eval(175.0, 50.0, 179.0, 60.0), "y disjoint must prune")
+    // the same bounds on a GEOMETRY column do NOT wrap (lower.x > upper.x
+    // never happens for planar writers; treat as unprunable → keep)
+    val gSchema = Schema(0, StructT(Seq(NestedField(7, "region", GeometryT()))))
+    assert(new InclusiveMetricsEvaluator(gSchema,
+      Expr.stIntersectsBBox("region", -100.0, -5.0, 0.0, 5.0)).eval(stats))
+  }
+
+  test("refusal ladder: value predicates, non-geo columns, nonsense bbox") {
+    val loc = tmpDir("geo_refuse")
+    val t = geoTable(loc)
+    // value predicates on geo still refuse
+    intercept[UnsupportedOperationException] {
+      t.newScan(Expr.equalTo("geom", BytesLit(Array[Byte](1)))).planFiles()
+    }
+    // bbox predicate on a non-geo column refuses at bind
+    val e = intercept[IllegalArgumentException] {
+      t.newScan(Expr.stIntersectsBBox("x", 0.0, 0.0, 1.0, 1.0)).planFiles()
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+    // nonsense bbox (min > max) refuses at construction
+    intercept[IllegalArgumentException] {
+      Expr.stIntersectsBBox("geom", 10.0, 0.0, -10.0, 1.0)
+    }
+    // IsNull/NotNull still fine
+    assert(t.newScan(Expr.notNull("geom")).toDF(spark).count() == 40)
+  }
+
+  test("createWithSchema refuses a mismatched frame") {
+    val src = Seq((1L, "x")).toDF("id", "name")
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT), NestedField(2, "geom", GeometryT()))))
+    intercept[IllegalArgumentException] {
+      TableWriter.createWithSchema(src, tmpDir("geo_bad"), schema)
+    }
+  }
+}

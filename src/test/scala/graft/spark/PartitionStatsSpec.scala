@@ -70,6 +70,54 @@ class PartitionStatsSpec extends AnyFunSuite {
     assert(k1.getLong(2) == 26L) // the appended row landed in k1
   }
 
+  test("registry feeds planning: pruned MoR scan reports LIVE row count") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("pstats_cbo").toFile.getPath
+    var t = TableWriter.create(
+      (1L to 100L).map(i => (i, s"k${i % 4}", s"v$i")).toDF("id", "k", "v"),
+      loc, partitionBy = Seq("k" -> graft.core.IdentityTransform))
+    t = TableWriter.upgradeFormatVersion(t, s, 3)
+    // gut partition k1: delete 20 of its 25 rows (MoR — recordCount in the
+    // manifests still says 25)
+    t = TableWriter.deleteWhere(t, s,
+      col("k") === "k1" && col("id") <= 80L)
+
+    def scanStats(withFilter: Boolean)
+        : org.apache.spark.sql.connector.read.Statistics = {
+      var df = s.read.format("icegopher").load(loc)
+      if (withFilter) df = df.filter(col("k") === "k1")
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.get
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    }
+
+    // without a registry: the CBO sees the dead rows (manifests only)
+    assert(scanStats(withFilter = true).numRows().getAsLong == 25L)
+
+    val (t2, _) = TableWriter.computePartitionStats(t, s)
+    assert(t2.metadata.partitionStatisticsFiles
+      .exists(_.snapshotId == t2.currentSnapshot.get.snapshotId))
+
+    // with the registry: the pruned scan reports its LIVE size and bytes
+    // scale with it — the broadcast decision flips on real data volume
+    val pruned = scanStats(withFilter = true)
+    assert(pruned.numRows().getAsLong == 5L, pruned.numRows())
+    val full = scanStats(withFilter = false)
+    assert(full.numRows().getAsLong == 80L, full.numRows())
+    assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong / 3)
+
+    // a LATER commit makes the registry stale for the new snapshot —
+    // planning must fall back to manifest counts, never trust stale stats
+    val t3 = TableWriter.append(t2, Seq((101L, "k1", "x")).toDF("id", "k", "v"))
+    assert(t3.currentSnapshot.get.snapshotId !=
+      t2.currentSnapshot.get.snapshotId)
+    assert(scanStats(withFilter = true).numRows().getAsLong == 26L)
+  }
+
   test("typed partition tuples: days(ts) + identity decimal") {
     val s = spark
     val loc = Files.createTempDirectory("pstats_typed").toFile.getPath
