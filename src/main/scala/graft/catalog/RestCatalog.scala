@@ -205,7 +205,8 @@ final class RestCatalog(val name: String, uri: String,
   // --------------------------------------------------------- http plumbing
 
   private def request(method: String, url: String, body: Option[String] = None,
-                      extraHeaders: Map[String, String] = Map.empty): String = {
+                      extraHeaders: Map[String, String] = Map.empty,
+                      retriedAuth: Boolean = false): String = {
     var b = HttpRequest.newBuilder(URI.create(url))
       .header("X-Client-Version", "0.14.1")
       .header("User-Agent", "graft/0.1.0")
@@ -219,6 +220,15 @@ final class RestCatalog(val name: String, uri: String,
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
     }
     val rsp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    // a long-lived session outlives its bearer token: on 401/419, mint a
+    // fresh one from the stored client credentials and retry ONCE — only
+    // for this idempotent-to-retry case (the request never reached its
+    // handler), never in a loop
+    if ((rsp.statusCode() == 401 || rsp.statusCode() == 419) &&
+        !retriedAuth && props.contains(KeyCredential)) {
+      token = Some(fetchAccessToken(props(KeyCredential)))
+      return request(method, url, body, extraHeaders, retriedAuth = true)
+    }
     if (rsp.statusCode() / 100 != 2) throw statusError(rsp.statusCode(), rsp.body())
     rsp.body()
   }

@@ -1012,4 +1012,45 @@ object IcebergOps {
        SELECT id, x, y FROM g
        WHERE x >= -50.0 AND x <= 40.0 AND y >= -20.0 AND y <= 60.0
        ORDER BY id"""
+
+  /** Per-branch snapshot retention through the oracle (ice29): a branch
+    * declares `min-snapshots-to-keep = 3`, five staged appends land on it,
+    * then an AGGRESSIVE global expiry runs (expire-everything-older-than-
+    * now, retain 1). The branch policy is the ONLY thing keeping its three
+    * newest ancestors alive — the two older staged ancestors expire. The
+    * query time-travels to the 3rd-newest surviving ancestor and
+    * aggregates it: if retention enforcement regressed (ancestor
+    * expired), the pinned scan fails and the driver records err; the hash
+    * match proves the retained history reads back exactly. */
+  def ice29BranchRetention(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_retention", d) { loc =>
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      var t = TableWriter.create(src.filter(col("o_orderkey") % 6 === 0), loc)
+      t = TableWriter.createRef(t, "audit", BranchRef,
+        minSnapshotsToKeep = Some(3))
+      (1 to 5).foreach { i =>
+        t = TableWriter.appendToBranch(t,
+          src.filter(col("o_orderkey") % 6 === i), "audit")
+      }
+      TableWriter.expireSnapshots(t,
+        olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    }
+    val md = table.metadata
+    val ancestry = Iterator.iterate(md.snapshotById(md.refs("audit").snapshotId))(
+      _.flatMap(_.parentSnapshotId).flatMap(md.snapshotById))
+      .takeWhile(_.isDefined).flatten.toSeq
+    // policy keeps exactly the 3 newest; the 3rd-newest holds slices 0-3
+    val third = ancestry(2).snapshotId
+    table.newScan(snapshotId = Some(third)).toDF(s)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ice29Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders WHERE o_orderkey % 6 <= 3
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

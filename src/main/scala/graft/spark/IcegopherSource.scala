@@ -754,16 +754,34 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new GraftAggScan(table, schema, values)
     case None =>
-      val expr = pushed.flatMap(FilterConv.fromSparkFilter)
+      // geo bbox prune, option-carried (Spark's filter pushdown cannot
+      // express st_intersects_bbox): .option("bbox", "xmin,ymin,xmax,ymax")
+      // + .option("bbox-column", "geom") — prunes files on the V3 geo
+      // bounds and filters rows by envelope, same as the library API
+      val bboxExpr = Option(options.get("bbox")).map { spec =>
+        val colName = Option(options.get("bbox-column")).getOrElse(
+          throw new IllegalArgumentException(
+            "option 'bbox' requires 'bbox-column' naming the geo column"))
+        val p = spec.split(",").map(_.trim.toDouble)
+        require(p.length == 4,
+          s"option 'bbox' must be 'xmin,ymin,xmax,ymax', got '$spec'")
+        graft.core.Expr.stIntersectsBBox(colName, p(0), p(1), p(2), p(3))
+      }
+      val expr = (pushed.flatMap(FilterConv.fromSparkFilter) ++ bboxExpr)
         .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
       val (snap, ref, asOf) = snapshotPins
       val incremental = Option(options.get("start-snapshot-id")).map(s =>
         (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong)))
+      val bboxRow = Option(options.get("bbox")).map { spec =>
+        val p = spec.split(",").map(_.trim.toDouble)
+        (options.get("bbox-column"), p(0), p(1), p(2), p(3))
+      }
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
         Option(options.get("stream-start")).getOrElse("earliest"), incremental,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-        options.getBoolean("read-changes", false))
+        options.getBoolean("read-changes", false),
+        bbox = bboxRow)
   }
 }
 
@@ -808,7 +826,13 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       incremental: Option[(Long, Option[Long])] = None,
                       maxFilesPerTrigger: Option[Int] = None,
                       maxBytesPerTrigger: Option[Long] = None,
-                      readChanges: Boolean = false)
+                      readChanges: Boolean = false,
+                      // option-carried geo bbox: (column, xmin, ymin,
+                      // xmax, ymax) — prunes files via `filter` AND
+                      // filters rows in the reader (Spark can't re-apply
+                      // a non-Filter residual, so the reader owns it)
+                      bbox: Option[(String, Double, Double, Double,
+                        Double)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -1078,7 +1102,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     // columnar-ness must be uniform across the scan (Spark refuses mixed
     // partitions), so it's decided here for the whole file set; `_file`
     // projection rides the row path
-    val columnar = limit.isEmpty && tasks.forall(_.deleteFiles.isEmpty) &&
+    val columnar = limit.isEmpty && bbox.isEmpty &&
+      tasks.forall(_.deleteFiles.isEmpty) &&
       !required.fieldNames.contains(GraftReaders.FileCol) &&
       !required.fieldNames.contains(GraftReaders.PosCol) &&
       !required.fieldNames.contains(GraftReaders.RowIdCol) &&
@@ -1148,7 +1173,11 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
             rowGroupPredicate, rowGroupPredicateCols,
             dvDeletes = dvs,
             firstRowId = t.file.firstRowId,
-            dataSeq = t.dataSequenceNumber): InputPartition
+            dataSeq = t.dataSequenceNumber,
+            bbox = bbox.map { case (c, xmin, ymin, xmax, ymax) =>
+              (c, xmin, ymin, xmax, ymax, table.schema.findFieldByName(c)
+                .exists(_.fieldType.isInstanceOf[graft.core.GeographyT]))
+            }): InputPartition
       }
     }.toArray
   }
@@ -1166,9 +1195,10 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       f.name == GraftReaders.FileCol || f.name == GraftReaders.PosCol ||
         f.name == GraftReaders.RowIdCol ||
         f.name == GraftReaders.LastUpdatedSeqCol))
-    eq.flatMap(_.cols).distinct.filterNot(c => s.fieldNames.contains(c)).foreach { c =>
-      s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
-    }
+    (eq.flatMap(_.cols) ++ bbox.map(_._1)).distinct
+      .filterNot(c => s.fieldNames.contains(c)).foreach { c =>
+        s = s.add(fullSpark(fullSpark.fieldIndex(c)).copy(nullable = true))
+      }
     // V3 materialized lineage: files rewritten by lineage-preserving
     // compaction carry physical `_row_id`/`_last_updated_sequence_number`
     // columns (reserved field ids); request them whenever the lineage
@@ -1266,7 +1296,11 @@ final case class GraftInputPartition(path: String, start: Long, length: Long,
                                      // first _row_id, and the data
                                      // sequence number of its commit
                                      firstRowId: Option[Long] = None,
-                                     dataSeq: Long = 0L)
+                                     dataSeq: Long = 0L,
+                                     // geo bbox row filter: (column, xmin,
+                                     // ymin, xmax, ymax, isGeography)
+                                     bbox: Option[(String, Double, Double,
+                                       Double, Double, Boolean)] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1621,6 +1655,21 @@ final class GraftRowReader(p: GraftInputPartition)
       set.contains(key)
     }
 
+  private val bboxOrd: Int =
+    p.bbox.map(b => readSchema.fieldIndex(b._1)).getOrElse(-1)
+  /** Row-level envelope-vs-bbox test (same semantics as the library
+    * path's residual Column): null/unparseable WKB never matches. */
+  private def bboxHit(row: InternalRow): Boolean = p.bbox match {
+    case None => true
+    case Some((_, xmin, ymin, xmax, ymax, geo)) =>
+      !row.isNullAt(bboxOrd) &&
+        graft.core.Wkb.envelope(row.getBinary(bboxOrd)).exists {
+          case (lx, ly, ux, uy) =>
+            graft.core.Wkb.bboxIntersects(lx, ly, ux, uy,
+              xmin, ymin, xmax, ymax, geo)
+        }
+  }
+
   private def deleted(row: InternalRow): Boolean = {
     if (posSet != null && posSet.contains(row.getLong(rowIdxOrd))) return true
     if (dvBitmap != null && dvBitmap.contains(row.getLong(rowIdxOrd))) return true
@@ -1641,7 +1690,7 @@ final class GraftRowReader(p: GraftInputPartition)
     if (p.limit.exists(emitted >= _)) return false
     while (reader.nextKeyValue()) {
       val row = reader.getCurrentValue
-      if (!deleted(row) && cdcSelected(row)) {
+      if (!deleted(row) && cdcSelected(row) && bboxHit(row)) {
         current = row
         emitted += 1
         return true

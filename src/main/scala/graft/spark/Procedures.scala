@@ -21,7 +21,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
     "compact", "rewrite_sorted", "remove_orphan_files",
     "add_partition_field", "drop_partition_field",
-    "create_branch", "create_tag", "drop_ref", "create_changelog_view",
+    "create_branch", "create_tag", "drop_ref", "set_branch_retention",
+    "create_changelog_view",
     "rewrite_manifests", "rewrite_zorder", "fast_forward", "add_files",
     "rewrite_position_deletes", "rewrite_deletion_vectors",
     "cherrypick_snapshot", "publish_changes", "register_table",
@@ -157,19 +158,49 @@ object GraftProcedures {
       }
       case "create_branch" | "create_tag" => proc(name,
         Seq("table" -> StringType, "name" -> StringType,
-          "snapshot_id" -> LongType),
+          "snapshot_id" -> LongType,
+          // branch-only snapshot retention (Iceberg's WITH SNAPSHOT
+          // RETENTION); 0 = unset, enforced by expire_snapshots
+          "min_snapshots_to_keep" -> IntegerType,
+          "max_snapshot_age_ms" -> LongType,
+          "max_ref_age_ms" -> LongType),
         StructType(Seq(
           StructField("name", StringType, nullable = false),
-          StructField("snapshot_id", LongType, nullable = false)))) { in =>
+          StructField("snapshot_id", LongType, nullable = false))),
+        defaults = Map("snapshot_id" -> "0", "min_snapshots_to_keep" -> "0",
+          "max_snapshot_age_ms" -> "0", "max_ref_age_ms" -> "0")) { in =>
         val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         val refType =
           if (name == "create_branch") graft.core.BranchRef else graft.core.TagRef
         // snapshot_id 0 → current snapshot
         val snap = in.getLong(2) match { case 0L => None; case id => Some(id) }
         val out = TableWriter.createRef(table, in.getUTF8String(1).toString,
-          refType, snap)
+          refType, snap,
+          maxRefAgeMs = Some(in.getLong(5)).filter(_ > 0),
+          minSnapshotsToKeep = Some(in.getInt(3)).filter(_ > 0),
+          maxSnapshotAgeMs = Some(in.getLong(4)).filter(_ > 0))
         Array[Any](in.getUTF8String(1),
           out.metadata.refs(in.getUTF8String(1).toString).snapshotId)
+      }
+      case "set_branch_retention" => proc(name,
+        Seq("table" -> StringType, "branch" -> StringType,
+          "min_snapshots_to_keep" -> IntegerType,
+          "max_snapshot_age_ms" -> LongType),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("min_snapshots_to_keep", IntegerType),
+          StructField("max_snapshot_age_ms", LongType))),
+        defaults = Map("min_snapshots_to_keep" -> "0",
+          "max_snapshot_age_ms" -> "0")) { in =>
+        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val out = TableWriter.setRefRetention(table,
+          in.getUTF8String(1).toString,
+          Some(in.getInt(2)).filter(_ > 0),
+          Some(in.getLong(3)).filter(_ > 0))
+        val r = out.metadata.refs(in.getUTF8String(1).toString)
+        Array[Any](in.getUTF8String(1),
+          r.minSnapshotsToKeep.map(Int.box).orNull,
+          r.maxSnapshotAgeMs.map(Long.box).orNull)
       }
       case "drop_ref" => proc(name,
         Seq("table" -> StringType, "name" -> StringType),

@@ -70,6 +70,13 @@ object TableWriter {
     val spec = PartitionSpec(0, partitionBy.zipWithIndex.map { case ((src, t), i) =>
       val f = schema.findFieldByName(src).getOrElse(
         throw new IllegalArgumentException(s"partition source column '$src' not found"))
+      f.fieldType match {
+        case _: GeometryT | _: GeographyT | VariantT | UnknownT =>
+          throw new IllegalArgumentException(
+            s"cannot partition by ${f.fieldType.repr} column '$src': the V3 " +
+              "spec defines no partition transforms for it")
+        case _ =>
+      }
       PartitionField(f.id, PartitionSpec.PartitionDataIdStart + i,
         partName(src, t), t)
     })

@@ -317,6 +317,16 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(server.loadCounts(("it_vc", "t1")) == before + 2)
   }
 
+  test("invalidated bearer token self-heals by re-minting from credentials") {
+    catalog.createNamespace(Seq("it_auth"))
+    // a SECOND client authenticating invalidates our token server-side
+    // (the test server issues exactly one live token)
+    Catalog.load("other", server.uri,
+      Map(RestCatalog.KeyCredential -> "graft-ci:s3cr3t"))
+    // our next request would 401 — the client re-mints once and succeeds
+    assert(catalog.listNamespaces().contains(Seq("it_auth")))
+  }
+
   test("config merge applied: server defaults lose to props, overrides win") {
     // the catalog came up against a server returning defaults+overrides;
     // reaching any authorized endpoint proves the OAuth token was minted

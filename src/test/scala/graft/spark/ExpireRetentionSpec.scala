@@ -121,6 +121,35 @@ class ExpireRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: create_branch WITH retention + set_branch_retention") {
+    val wh = Files.createTempDirectory("exp_sqlwh").toFile.getPath
+    spark.conf.set("spark.sql.catalog.gret", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gret.warehouse", wh)
+    TableWriter.create(one(0L), s"$wh/db/t")
+    spark.sql("CALL gret.system.create_branch('db.t', 'audit', 0L, " +
+      "min_snapshots_to_keep => 3)")
+    val t1 = IcebergTables.load(s"$wh/db/t")
+    assert(t1.metadata.refs("audit").minSnapshotsToKeep.contains(3))
+    assert(t1.metadata.refs("audit").maxSnapshotAgeMs.isEmpty)
+
+    val row = spark.sql("CALL gret.system.set_branch_retention('db.t', " +
+      "'audit', 5, 86400000L)").collect()(0)
+    assert(row.getInt(1) == 5 && row.getLong(2) == 86400000L)
+    val t2 = IcebergTables.load(s"$wh/db/t")
+    assert(t2.metadata.refs("audit").minSnapshotsToKeep.contains(5))
+    assert(t2.metadata.refs("audit").maxSnapshotAgeMs.contains(86400000L))
+    // clearing: zeros unset the policy
+    spark.sql("CALL gret.system.set_branch_retention('db.t', 'audit', 0, 0L)")
+    val t3 = IcebergTables.load(s"$wh/db/t")
+    assert(t3.metadata.refs("audit").minSnapshotsToKeep.isEmpty)
+    // retention on a tag refuses
+    spark.sql("CALL gret.system.create_tag('db.t', 'pin', 0L)")
+    val e = intercept[Exception] {
+      spark.sql("CALL gret.system.set_branch_retention('db.t', 'pin', 2, 0L)")
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+  }
+
   test("retention fields round-trip through metadata JSON") {
     val t = branchFixture(tmpDir("exp_roundtrip"), appends = 1,
       minKeep = Some(2), maxAgeMs = Some(86400000L))

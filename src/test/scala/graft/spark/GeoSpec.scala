@@ -154,6 +154,39 @@ class GeoSpec extends AnyFunSuite {
     assert(t.newScan(Expr.notNull("geom")).toDF(spark).count() == 40)
   }
 
+  test("bbox read option: geo pruning through the plain DSv2 path") {
+    val loc = tmpDir("geo_opt")
+    geoTable(loc)
+    val ids = spark.read.format("icegopher")
+      .option("bbox", "12, 0, 27, 100")
+      .option("bbox-column", "geom")
+      .load(loc).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (12L to 27L).toSet, ids.toSeq.sorted)
+    // bbox without the column name refuses
+    intercept[Exception] {
+      spark.read.format("icegopher").option("bbox", "0,0,1,1")
+        .load(loc).collect()
+    }
+    // malformed bbox refuses
+    intercept[Exception] {
+      spark.read.format("icegopher").option("bbox", "0,0,1")
+        .option("bbox-column", "geom").load(loc).collect()
+    }
+  }
+
+  test("partitioning by a geo column refuses") {
+    val src = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+      .withColumn("geom", pointCol(col("x"), col("y")))
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT), NestedField(2, "x", DoubleT),
+      NestedField(3, "y", DoubleT), NestedField(4, "geom", GeometryT()))))
+    val e = intercept[IllegalArgumentException] {
+      TableWriter.createWithSchema(src, tmpDir("geo_part"), schema,
+        partitionBy = Seq("geom" -> IdentityTransform))
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
   test("createWithSchema refuses a mismatched frame") {
     val src = Seq((1L, "x")).toDF("id", "name")
     val schema = Schema(0, StructT(Seq(
