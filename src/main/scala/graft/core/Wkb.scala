@@ -37,6 +37,14 @@ object Wkb {
     envelope(wkb).collect { case (xmin, ymin, xmax, ymax)
       if xmin == xmax && ymin == ymax => (xmin, ymin) }
 
+  /** [[envelope]] with a Janino-friendly surface for generated code:
+    * `[xmin, ymin, xmax, ymax]`, or null when unparseable — codegen can't
+    * type scala.Option/Tuple4 (raw-type assignment errors). */
+  def envelopeArray(wkb: Array[Byte]): Array[Double] = envelope(wkb) match {
+    case Some((a, b, c, d)) => Array(a, b, c, d)
+    case None => null
+  }
+
   /** The (xmin, ymin, xmax, ymax) envelope of a 2D WKB geometry; None when
     * the bytes are not parseable 2D WKB (unknown type, Z/M/SRID flags,
     * truncation) or the geometry is empty. */

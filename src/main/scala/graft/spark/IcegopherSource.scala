@@ -531,6 +531,9 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
     // incremental reads answer from the appended-file window, not the
     // snapshot's full stats
     if (options.get("start-snapshot-id") != null) return None
+    // a bbox option is a row filter the manifest stats can't see — a
+    // pushed COUNT would answer over ALL rows of surviving files
+    if (options.get("bbox") != null) return None
 
     def colId(e: org.apache.spark.sql.connector.expressions.Expression): Option[graft.core.NestedField] =
       e.references() match {
@@ -757,25 +760,27 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       // geo bbox prune, option-carried (Spark's filter pushdown cannot
       // express st_intersects_bbox): .option("bbox", "xmin,ymin,xmax,ymax")
       // + .option("bbox-column", "geom") — prunes files on the V3 geo
-      // bounds and filters rows by envelope, same as the library API
-      val bboxExpr = Option(options.get("bbox")).map { spec =>
-        val colName = Option(options.get("bbox-column")).getOrElse(
-          throw new IllegalArgumentException(
-            "option 'bbox' requires 'bbox-column' naming the geo column"))
-        val p = spec.split(",").map(_.trim.toDouble)
-        require(p.length == 4,
-          s"option 'bbox' must be 'xmin,ymin,xmax,ymax', got '$spec'")
-        graft.core.Expr.stIntersectsBBox(colName, p(0), p(1), p(2), p(3))
+      // bounds and filters rows by envelope, same as the library API.
+      // Parsed ONCE; both the prune expression and the reader's row
+      // filter derive from this tuple
+      val bboxRow: Option[(String, Double, Double, Double, Double)] =
+        Option(options.get("bbox")).map { spec =>
+          val colName = Option(options.get("bbox-column")).getOrElse(
+            throw new IllegalArgumentException(
+              "option 'bbox' requires 'bbox-column' naming the geo column"))
+          val p = spec.split(",").map(_.trim.toDouble)
+          require(p.length == 4,
+            s"option 'bbox' must be 'xmin,ymin,xmax,ymax', got '$spec'")
+          (colName, p(0), p(1), p(2), p(3))
+        }
+      val bboxExpr = bboxRow.map { case (c, xmin, ymin, xmax, ymax) =>
+        graft.core.Expr.stIntersectsBBox(c, xmin, ymin, xmax, ymax)
       }
       val expr = (pushed.flatMap(FilterConv.fromSparkFilter) ++ bboxExpr)
         .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
       val (snap, ref, asOf) = snapshotPins
       val incremental = Option(options.get("start-snapshot-id")).map(s =>
         (s.toLong, Option(options.get("end-snapshot-id")).map(_.toLong)))
-      val bboxRow = Option(options.get("bbox")).map { spec =>
-        val p = spec.split(",").map(_.trim.toDouble)
-        (options.get("bbox-column"), p(0), p(1), p(2), p(3))
-      }
       new GraftScan(table, expr, required, snap, ref, asOf, limit,
         Option(options.get("stream-start")).getOrElse("earliest"), incremental,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -984,24 +989,36 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       * registry exists FOR THE PINNED SNAPSHOT (ice23's
       * `compute_partition_stats`), subtract the planned partitions'
       * delete records — a mostly-deleted partition then reports its LIVE
-      * size and a broadcast-able join side actually broadcasts. Equality
-      * deletes are counted at face value (they may overlap), so this is
-      * an estimate that can under-report, which CBO tolerates. */
+      * size and a broadcast-able join side actually broadcasts. A
+      * partition's deletes are subtracted ONLY when the plan holds the
+      * WHOLE partition (planned record sum == the registry's data record
+      * count): under file-level pruning the deletes could target the
+      * pruned files, and whole-partition subtraction would collapse a
+      * many-row scan to zero. Equality deletes are counted at face value
+      * (they may overlap), so this is an estimate that can under-report,
+      * which CBO tolerates. */
     private def liveRows: Long = {
       val base = tasks.map(_.file.recordCount).sum
-      val deletes = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId))
-        .map { sid =>
-          val counts = TableStatistics.partitionDeleteCounts(table, sid)
-          if (counts.isEmpty) 0L
-          else {
-            val planned = tasks
-              .flatMap(t => TableStatistics.normalizePartition(t.file.partition))
-              .toSet
-            counts.collect {
-              case (k, n) if planned.contains(k) => n
-            }.sum
-          }
-        }.getOrElse(0L)
+      // the ref-pinned head when scanning a branch — looking up main's
+      // registry for a branch scan would subtract the wrong history
+      val pinned = snapshotId
+        .orElse(branch.flatMap(b => table.metadata.refs.get(b))
+          .map(_.snapshotId))
+        .orElse(table.currentSnapshot.map(_.snapshotId))
+      val deletes = pinned.map { sid =>
+        val counts = TableStatistics.partitionDeleteCounts(table, sid)
+        if (counts.isEmpty) 0L
+        else {
+          val plannedRecords = tasks
+            .flatMap(t => TableStatistics.normalizePartition(t.file.partition)
+              .map(_ -> t.file.recordCount))
+            .groupMapReduce(_._1)(_._2)(_ + _)
+          counts.collect {
+            case (k, (dataRecords, del))
+                if plannedRecords.get(k).contains(dataRecords) => del
+          }.sum
+        }
+      }.getOrElse(0L)
       math.max(0L, base - deletes)
     }
     override def sizeInBytes(): java.util.OptionalLong = {

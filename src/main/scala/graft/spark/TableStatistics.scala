@@ -69,20 +69,22 @@ object TableStatistics {
   // ------------------------------------------------ partition statistics
 
   private val partCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[Map[String, String], Long]]()
+    String, Map[Map[String, String], (Long, Long)]]()
 
-  /** Per-partition MoR DELETE record counts (positional + equality) from
-    * the REGISTERED partition-statistics file, when one exists for exactly
-    * `snapshotId` (stale registries are ignored — they lie about the
-    * pinned state). Keys are the partition tuple normalized to
-    * name→string; empty when no usable registry. Driver-side parquet read
-    * of O(partitions) rows, cached per file path (the file is immutable
-    * once registered). Feeds [[GraftScan.estimateStatistics]]: manifests'
-    * recordCount ignores MoR deletes, so without this a mostly-deleted
-    * partition looks full to the CBO and a broadcast-able join side
-    * doesn't broadcast. */
+  /** Per-partition (data records, MoR delete records) from the REGISTERED
+    * partition-statistics file, when one exists for exactly `snapshotId`
+    * (stale registries are ignored — they lie about the pinned state).
+    * Keys are the partition tuple normalized to name→string; empty when
+    * no usable registry. Driver-side parquet read of O(partitions) rows,
+    * cached per file path (the file is immutable once registered). Feeds
+    * [[GraftScan.estimateStatistics]]: manifests' recordCount ignores MoR
+    * deletes, so without this a mostly-deleted partition looks full to
+    * the CBO and a broadcast-able join side doesn't broadcast. The data
+    * count rides along so the caller can tell a WHOLE-partition plan
+    * (delete subtraction valid) from a file-pruned one (subtracting the
+    * partition's full delete count would under-report). */
   def partitionDeleteCounts(table: IcebergTable, snapshotId: Long)
-      : Map[Map[String, String], Long] = {
+      : Map[Map[String, String], (Long, Long)] = {
     val reg = table.metadata.partitionStatisticsFiles
       .find(_.snapshotId == snapshotId)
       .getOrElse(return Map.empty)
@@ -110,10 +112,10 @@ object TableStatistics {
   }
 
   private def readDeleteCounts(path: String)
-      : Map[Map[String, String], Long] = {
+      : Map[Map[String, String], (Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    val out = Map.newBuilder[Map[String, String], Long]
+    val out = Map.newBuilder[Map[String, String], (Long, Long)]
     val r = ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(path)).build()
     try {
@@ -127,8 +129,9 @@ object TableStatistics {
         def longOf(name: String): Long =
           if (g.getFieldRepetitionCount(name) == 0) 0L
           else g.getLong(name, 0)
-        out += key -> (longOf("position_delete_record_count") +
-          longOf("equality_delete_record_count"))
+        out += key -> ((longOf("data_record_count"),
+          longOf("position_delete_record_count") +
+            longOf("equality_delete_record_count")))
         g = r.read()
       }
     } finally r.close()

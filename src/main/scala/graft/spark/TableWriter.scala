@@ -80,15 +80,15 @@ object TableWriter {
       PartitionField(f.id, PartitionSpec.PartitionDataIdStart + i,
         partName(src, t), t)
     })
-    val t = commit(df, location, schema, spec, properties, version = 1,
-      parentSnapshot = None, existingEntries = Nil, existingManifests = Nil,
-      sequenceNumber = 1, sortOrder = sortOrderFor(schema, sortBy))
     val needsV3 = schema.struct.fields.exists(f => f.fieldType match {
       case _: GeometryT | _: GeographyT | VariantT | UnknownT |
            TimestampNsT | TimestampTzNsT => true
       case _ => false
     })
-    if (needsV3) upgradeFormatVersion(t, df.sparkSession, 3) else t
+    commit(df, location, schema, spec, properties, version = 1,
+      parentSnapshot = None, existingEntries = Nil, existingManifests = Nil,
+      sequenceNumber = 1, sortOrder = sortOrderFor(schema, sortBy),
+      minFormatVersion = if (needsV3) 3 else 2)
   }
 
   private def sortOrderFor(schema: Schema, sortBy: Seq[String]): SortOrder =
@@ -1064,9 +1064,14 @@ object TableWriter {
                                           nextRowId: Option[Long])
 
   private[spark] def assignLineage(md: TableMetadata,
+                                   entries: Seq[ManifestEntry]): Lineage =
+    assignLineage(md.formatVersion, md.nextRowId, entries)
+
+  private[spark] def assignLineage(formatVersion: Int,
+                                   nextRowId: Option[Long],
                                    entries: Seq[ManifestEntry]): Lineage = {
-    if (md.formatVersion < 3) return Lineage(entries, None, None, md.nextRowId)
-    val base = md.nextRowId.getOrElse(0L)
+    if (formatVersion < 3) return Lineage(entries, None, None, nextRowId)
+    val base = nextRowId.getOrElse(0L)
     var cursor = base
     val stamped = entries.map { e =>
       if (e.dataFile.content == DataFileContent.Data &&
@@ -1976,8 +1981,12 @@ object TableWriter {
     val mainAncestry: Set[Long] = md.currentSnapshotId
       .map(ancestry(_).map(_.snapshotId).toSet).getOrElse(Set.empty)
     val branchRefs = md.refs.filter(_._2.refType == BranchRef)
+    // one ancestry walk per branch, shared by the retention computation
+    // and the referenced set
+    val branchAncestry: Map[String, List[Snapshot]] =
+      branchRefs.map { case (name, r) => name -> ancestry(r.snapshotId) }
     val retainedByBranch: Set[Long] = branchRefs.flatMap { case (name, r) =>
-      val anc = ancestry(r.snapshotId)
+      val anc = branchAncestry(name)
       val hasPolicy =
         r.minSnapshotsToKeep.isDefined || r.maxSnapshotAgeMs.isDefined
       if (name == TableMetadata.MainBranch || hasPolicy) {
@@ -1993,8 +2002,7 @@ object TableWriter {
       }
     }.toSet
     val referenced: Set[Long] =
-      branchRefs.values.flatMap(r => ancestry(r.snapshotId))
-        .map(_.snapshotId).toSet
+      branchAncestry.values.flatten.map(_.snapshotId).toSet
     val keepIds: Set[Long] =
       md.currentSnapshotId.toSet ++
         md.refs.values.map(_.snapshotId) ++
@@ -2757,7 +2765,12 @@ object TableWriter {
                      // only known in here) — lets one commit carry e.g. an
                      // equality-delete manifest next to the appended data
                      extraManifestsFor: Long => Seq[ManifestFile] = _ => Nil,
-                     op: graft.core.SnapshotOp = OpAppend): IcebergTable = {
+                     op: graft.core.SnapshotOp = OpAppend,
+                     // floor on the written format-version: createWithSchema
+                     // passes 3 when the schema carries V3-only types, so
+                     // the FIRST metadata write is already spec-valid (a
+                     // V2 JSON declaring geometry columns is not)
+                     minFormatVersion: Int = 2): IcebergTable = {
     val snapId = System.nanoTime()
     val dataDir = new File(location, s"data/snap-$snapId")
     val metaDir = new File(location, "metadata")
@@ -2790,7 +2803,9 @@ object TableWriter {
     // manifest is written; below V3 this is the identity
     val lineage = prevMeta match {
       case Some(m) => assignLineage(m, entries)
-      case None => Lineage(entries, None, None, None)
+      // a table BORN V3 (createWithSchema with V3-only types) assigns row
+      // lineage from 0 on its very first commit, per spec
+      case None => assignLineage(minFormatVersion, None, entries)
     }
 
     val manifestFile = new File(metaDir, s"manifest-$snapId.avro")
@@ -2864,7 +2879,8 @@ object TableWriter {
     val md = TableMetadata(
       // a table that moved to V3 (deletion vectors) must STAY V3 — its
       // Puffin delete entries are illegal under V2
-      formatVersion = math.max(2, prevMeta.map(_.formatVersion).getOrElse(2)),
+      formatVersion = math.max(minFormatVersion,
+        prevMeta.map(_.formatVersion).getOrElse(2)),
       tableUuid = prevMeta.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString),
       location = location,
       lastSequenceNumber = sequenceNumber,

@@ -42,21 +42,27 @@ final case class StIntersectsBBoxExpr(child: Expression,
     }
   }
 
+  /** A double as a JAVA literal — `s"$v"` renders Infinity/NaN as tokens
+    * Janino cannot compile, and a half-open bbox is a legal input. */
+  private def jlit(v: Double): String =
+    if (v.isNaN) "Double.NaN"
+    else if (v == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+    else if (v == Double.NegativeInfinity) "Double.NEGATIVE_INFINITY"
+    else s"${v}D"
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, bytes => {
       val env = ctx.freshName("env")
-      val t = ctx.freshName("t")
+      // primitives only: Janino rejects scala.Option/Tuple4 generics
       s"""
-         scala.Option<scala.Tuple4<Object, Object, Object, Object>> $env =
-           graft.core.Wkb.envelope($bytes);
-         if ($env.isEmpty()) {
+         double[] $env = graft.core.Wkb.envelopeArray($bytes);
+         if ($env == null) {
            ${ev.isNull} = true;
          } else {
-           scala.Tuple4<Object, Object, Object, Object> $t = $env.get();
            ${ev.value} = graft.core.Wkb.bboxIntersects(
-             ((Double) $t._1()).doubleValue(), ((Double) $t._2()).doubleValue(),
-             ((Double) $t._3()).doubleValue(), ((Double) $t._4()).doubleValue(),
-             $xmin, $ymin, $xmax, $ymax, $geography);
+             $env[0], $env[1], $env[2], $env[3],
+             ${jlit(xmin)}, ${jlit(ymin)}, ${jlit(xmax)}, ${jlit(ymax)},
+             $geography);
          }
        """
     })

@@ -71,6 +71,15 @@ class GeoSpec extends AnyFunSuite {
     val loc = tmpDir("geo_tbl")
     val t = geoTable(loc)
     assert(t.metadata.formatVersion == 3, "geo types force V3")
+    // born V3: the FIRST metadata write is already format-version 3 (a V2
+    // JSON declaring geometry columns is spec-invalid even transiently)
+    // and row lineage is assigned from 0 on the create commit
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(loc, "metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json")).minBy(_.getName).toPath))
+    assert(v1.contains("\"format-version\": 3") ||
+      v1.contains("\"format-version\":3"), "first metadata must be V3")
+    assert(t.metadata.nextRowId.contains(40L), t.metadata.nextRowId)
     // every row's WKB parses back to its x/y
     val rows = t.newScan().toDF(spark).select("x", "y", "geom").collect()
     assert(rows.length == 40)
@@ -162,6 +171,18 @@ class GeoSpec extends AnyFunSuite {
       .option("bbox-column", "geom")
       .load(loc).select("id").collect().map(_.getLong(0)).toSet
     assert(ids == (12L to 27L).toSet, ids.toSeq.sorted)
+    // a pushed COUNT must NOT be answered from manifest metadata under a
+    // bbox — the row filter is invisible to file stats
+    val n = spark.read.format("icegopher")
+      .option("bbox", "12, 0, 27, 100").option("bbox-column", "geom")
+      .load(loc).count()
+    assert(n == 16L, s"bbox count must see the row filter, got $n")
+    // infinite bbox corners survive codegen (half-open ranges are legal)
+    val nInf = spark.read.format("icegopher")
+      .option("bbox", "-Infinity, 0, Infinity, 100")
+      .option("bbox-column", "geom")
+      .load(loc).count()
+    assert(nInf == 40L, nInf)
     // bbox without the column name refuses
     intercept[Exception] {
       spark.read.format("icegopher").option("bbox", "0,0,1,1")

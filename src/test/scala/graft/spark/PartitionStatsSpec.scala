@@ -110,12 +110,37 @@ class PartitionStatsSpec extends AnyFunSuite {
     assert(full.numRows().getAsLong == 80L, full.numRows())
     assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong / 3)
 
+    // FILE-pruned plans must NOT subtract whole-partition deletes: prune
+    // to a subset of k1's files (id filter on a second appended file) —
+    // subtracting k1's 20 deletes from one file's rows would collapse a
+    // real scan to zero rows and flip broadcasts wrongly
+    val t2b = TableWriter.append(t2,
+      (200L to 250L).map(i => (i, "k1", s"v$i")).toDF("id", "k", "v"))
+    val (t2c, _) = TableWriter.computePartitionStats(t2b, s)
+    assert(t2c.metadata.partitionStatisticsFiles
+      .exists(_.snapshotId == t2c.currentSnapshot.get.snapshotId))
+    val filePruned = {
+      val df = s.read.format("icegopher").load(loc)
+        .filter(col("k") === "k1" && col("id") >= 200L)
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.get
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    }
+    // only the 51-row appended file survives pruning; k1's partition-wide
+    // 20 deletes must not apply to it
+    assert(filePruned.numRows().getAsLong == 51L, filePruned.numRows())
+    // the whole-partition plan still subtracts: 25 + 51 - 20 = 56
+    assert(scanStats(withFilter = true).numRows().getAsLong == 56L)
+
     // a LATER commit makes the registry stale for the new snapshot —
     // planning must fall back to manifest counts, never trust stale stats
-    val t3 = TableWriter.append(t2, Seq((101L, "k1", "x")).toDF("id", "k", "v"))
+    val t3 = TableWriter.append(t2c, Seq((101L, "k1", "x")).toDF("id", "k", "v"))
     assert(t3.currentSnapshot.get.snapshotId !=
-      t2.currentSnapshot.get.snapshotId)
-    assert(scanStats(withFilter = true).numRows().getAsLong == 26L)
+      t2c.currentSnapshot.get.snapshotId)
+    assert(scanStats(withFilter = true).numRows().getAsLong == 77L)
   }
 
   test("typed partition tuples: days(ts) + identity decimal") {
