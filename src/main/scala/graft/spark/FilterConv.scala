@@ -77,6 +77,145 @@ object FilterConv {
     case _ => None // StringContains/EndsWith etc: residual only
   }
 
+  /** DSv2 Predicate → core expression — the V2-pushdown twin of
+    * [[fromSparkFilter]]. None = not convertible (stays a residual Spark
+    * evaluates row-wise). Beyond the V1 set, this understands the V2
+    * function catalog's `st_intersects_bbox` (arriving as a
+    * BOOLEAN_EXPRESSION-wrapped UserDefinedScalarFunc), so a plain SQL
+    * `WHERE graft.system.st_intersects_bbox(geom, ...)` prunes files. */
+  def fromV2Predicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[BooleanExpression] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expression => V2Expr, NamedReference, UserDefinedScalarFunc,
+      Literal => V2Literal}
+    import org.apache.spark.sql.connector.expressions.filter.{
+      And => V2And, Or => V2Or, Not => V2Not,
+      AlwaysTrue => V2True, AlwaysFalse => V2False}
+    def colOf(e: V2Expr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Literal] = e match {
+      case l: V2Literal[_] => v2Lit(l)
+      case _ => None
+    }
+    p match {
+      case a: V2And =>
+        for (l <- fromV2Predicate(a.left()); r <- fromV2Predicate(a.right()))
+          yield graft.core.And(l, r)
+      case o: V2Or =>
+        for (l <- fromV2Predicate(o.left()); r <- fromV2Predicate(o.right()))
+          yield graft.core.Or(l, r)
+      case n: V2Not => fromV2Predicate(n.child()).map(graft.core.Not(_))
+      case _: V2True => Some(graft.core.AlwaysTrue)
+      case _: V2False => Some(graft.core.AlwaysFalse)
+      case _ =>
+        val ch = p.children()
+        /** column-vs-literal in either operand order; `flip` = the op with
+          * sides swapped (lit < col ≡ col > lit). */
+        def cmp(op: PredOp, flip: PredOp): Option[BooleanExpression] =
+          if (ch.length != 2) None
+          else (colOf(ch(0)), litOf(ch(1)), colOf(ch(1)), litOf(ch(0))) match {
+            case (Some(c), Some(l), _, _) => Some(UnboundPredicate(op, c, Seq(l)))
+            case (_, _, Some(c), Some(l)) => Some(UnboundPredicate(flip, c, Seq(l)))
+            case _ => None
+          }
+        p.name() match {
+          case "IS_NULL" if ch.length == 1 => colOf(ch(0)).map(Expr.isNull)
+          case "IS_NOT_NULL" if ch.length == 1 => colOf(ch(0)).map(Expr.notNull)
+          case "=" => cmp(OpEq, OpEq)
+          // null-safe equal against a non-null literal ≡ equal for file
+          // skipping (a null literal fails litOf → residual-only)
+          case "<=>" => cmp(OpEq, OpEq)
+          case "<>" | "!=" => cmp(OpNotEq, OpNotEq)
+          case "<" => cmp(OpLt, OpGt)
+          case "<=" => cmp(OpLtEq, OpGtEq)
+          case ">" => cmp(OpGt, OpLt)
+          case ">=" => cmp(OpGtEq, OpLtEq)
+          case "IN" if ch.length >= 2 =>
+            for {
+              c <- colOf(ch(0))
+              lits <- {
+                val ls = ch.drop(1).toSeq.map(litOf)
+                if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+              }
+            } yield Expr.in(c, lits)
+          case "STARTS_WITH" if ch.length == 2 =>
+            (colOf(ch(0)), litOf(ch(1))) match {
+              case (Some(c), Some(StrLit(prefix))) =>
+                Some(Expr.startsWith(c, prefix))
+              case _ => None
+            }
+          // a boolean V2-catalog function used directly as a predicate
+          case "BOOLEAN_EXPRESSION" if ch.length == 1 => ch(0) match {
+            case u: UserDefinedScalarFunc => fromV2Udf(u)
+            case _ => None
+          }
+          case _ => None
+        }
+    }
+  }
+
+  private def fromV2Udf(
+      u: org.apache.spark.sql.connector.expressions.UserDefinedScalarFunc)
+      : Option[BooleanExpression] = {
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, Literal => V2Literal}
+    u.canonicalName() match {
+      case "graft.st_intersects_bbox" if u.children().length == 5 =>
+        val ch = u.children()
+        val col = ch(0) match {
+          case f: NamedReference if f.fieldNames().length == 1 =>
+            Some(f.fieldNames()(0))
+          case _ => None
+        }
+        val corners = ch.drop(1).toSeq.map {
+          case l: V2Literal[_] => v2Lit(l).flatMap {
+            case DoubleLit(v) => Some(v)
+            case FloatLit(v) => Some(v.toDouble)
+            case _ => None
+          }
+          case _ => None
+        }
+        if (col.isDefined && corners.forall(_.isDefined) &&
+            corners.flatten.size == 4) {
+          val Seq(xmin, ymin, xmax, ymax) = corners.flatten
+          // an inverted bbox can't prune (stIntersectsBBox refuses it);
+          // leave it residual — the function still evaluates row-wise
+          if (xmin <= xmax && ymin <= ymax)
+            Some(Expr.stIntersectsBBox(col.get, xmin, ymin, xmax, ymax))
+          else None
+        } else None
+      case _ => None
+    }
+  }
+
+  /** V2 Literal (catalyst-internal representation) → core literal. */
+  private def v2Lit(
+      l: org.apache.spark.sql.connector.expressions.Literal[_])
+      : Option[Literal] = {
+    import org.apache.spark.sql.types._
+    (l.dataType, l.value) match {
+      case (_, null) => None
+      case (BooleanType, v: java.lang.Boolean) => Some(BoolLit(v))
+      case (ByteType | ShortType | IntegerType, v: java.lang.Number) =>
+        Some(IntLit(v.intValue()))
+      case (LongType, v: java.lang.Long) => Some(LongLit(v))
+      case (FloatType, v: java.lang.Float) => Some(FloatLit(v))
+      case (DoubleType, v: java.lang.Double) => Some(DoubleLit(v))
+      case (StringType, v) => Some(StrLit(v.toString))
+      case (DateType, v: java.lang.Integer) => Some(DateLit(v))
+      case (TimestampType | TimestampNTZType, v: java.lang.Long) =>
+        Some(TsLit(v))
+      case (d: DecimalType, v: org.apache.spark.sql.types.Decimal) =>
+        Some(DecLit(BigInt(v.toJavaBigDecimal.unscaledValue()), d.scale))
+      case (BinaryType, v: Array[Byte]) => Some(BytesLit(v))
+      case _ => None
+    }
+  }
+
   private def litToSpark(l: Literal): Column = l match {
     case BoolLit(v) => lit(v)
     case IntLit(v) => lit(v)

@@ -444,22 +444,31 @@ final class GraftSparkTable(table: IcebergTable,
 final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
                              options: CaseInsensitiveStringMap,
                              pinnedSnapshotId: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownFilters
+    extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var aggResult: Option[(StructType, Array[Array[Any]])] = None
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  // V2 predicate pushdown (not the V1 Filter API): the V2 form carries
+  // catalog-function predicates too, so a plain SQL
+  // `WHERE graft.system.st_intersects_bbox(geom, ...)` reaches the scan
+  // and prunes files on the V3 geo bounds — V1 Filters cannot express it
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
     // accept the convertible subset for file skipping; everything remains a
     // residual for Spark (inclusive pruning never drops matching rows)
-    pushed = filters.filter(f => FilterConv.fromSparkFilter(f).isDefined)
-    filters
+    pushed = predicates.filter(p => FilterConv.fromV2Predicate(p).isDefined)
+    predicates
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -776,7 +785,7 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       val bboxExpr = bboxRow.map { case (c, xmin, ymin, xmax, ymax) =>
         graft.core.Expr.stIntersectsBBox(c, xmin, ymin, xmax, ymax)
       }
-      val expr = (pushed.flatMap(FilterConv.fromSparkFilter) ++ bboxExpr)
+      val expr = (pushed.flatMap(FilterConv.fromV2Predicate) ++ bboxExpr)
         .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
       val (snap, ref, asOf) = snapshotPins
       val incremental = Option(options.get("start-snapshot-id")).map(s =>

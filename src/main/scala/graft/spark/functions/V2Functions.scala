@@ -22,13 +22,71 @@ import graft.core.Murmur3
 object GraftFunctions {
 
   val Names: Seq[String] =
-    Seq("bucket", "years", "months", "days", "hours", "graft_bpe_count")
+    Seq("bucket", "years", "months", "days", "hours", "graft_bpe_count",
+      "st_point", "st_intersects_bbox")
 
   def load(name: String): UnboundFunction = name match {
     case "bucket" => BucketFunction
     case "years" | "months" | "days" | "hours" => new TimeFunction(name)
     case "graft_bpe_count" => BpeCountFunction
+    case "st_point" => StPointFunction
+    case "st_intersects_bbox" => StIntersectsBBoxFunction
     case other => throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  /** `st_point(x, y)`: WKB POINT bytes — the SQL-callable authoring twin
+    * of the write path's [[StPointExpr]] (byte-identical; same codec the
+    * V3 geo bounds use). */
+  object StPointFunction extends UnboundFunction {
+    override def name(): String = "st_point"
+    override def description(): String =
+      "st_point(x, y): little-endian WKB POINT bytes"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 2 &&
+        inputType.fields.forall(_.dataType == DoubleType),
+        "st_point takes (x DOUBLE, y DOUBLE)")
+      new ScalarFunction[Array[Byte]] {
+        override def inputTypes(): Array[DataType] =
+          Array(DoubleType, DoubleType)
+        override def resultType(): DataType = BinaryType
+        override def name(): String = "st_point"
+        override def canonicalName(): String = "graft.st_point"
+        override def produceResult(input: InternalRow): Array[Byte] =
+          if (input.isNullAt(0) || input.isNullAt(1)) null
+          else graft.core.Wkb.pointWkb(input.getDouble(0), input.getDouble(1))
+      }
+    }
+  }
+
+  /** `st_intersects_bbox(geom, xmin, ymin, xmax, ymax)`: true iff the WKB
+    * geometry's envelope intersects the bbox — the row-level semantics
+    * the scan's geo prune agrees with ([[StIntersectsBBoxExpr]]). Null /
+    * unparseable WKB → NULL (a WHERE drops it). SQL-plane only: pruning
+    * rides the `bbox` read option or the library predicate. */
+  object StIntersectsBBoxFunction extends UnboundFunction {
+    override def name(): String = "st_intersects_bbox"
+    override def description(): String =
+      "st_intersects_bbox(geom, xmin, ymin, xmax, ymax): WKB envelope vs bbox"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 5 && inputType(0).dataType == BinaryType &&
+        inputType.fields.drop(1).forall(_.dataType == DoubleType),
+        "st_intersects_bbox takes (geom BINARY, xmin, ymin, xmax, ymax DOUBLEs)")
+      new ScalarFunction[java.lang.Boolean] {
+        override def inputTypes(): Array[DataType] =
+          Array(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+        override def resultType(): DataType = BooleanType
+        override def name(): String = "st_intersects_bbox"
+        override def canonicalName(): String = "graft.st_intersects_bbox"
+        override def produceResult(input: InternalRow): java.lang.Boolean = {
+          if ((0 until 5).exists(input.isNullAt)) return null
+          val env = graft.core.Wkb.envelopeArray(input.getBinary(0))
+          if (env == null) null
+          else graft.core.Wkb.bboxIntersects(env(0), env(1), env(2), env(3),
+            input.getDouble(1), input.getDouble(2), input.getDouble(3),
+            input.getDouble(4), wrapX = false)
+        }
+      }
+    }
   }
 
   /** Session conf holding the path of a GPT-2-style `merges.txt`; the

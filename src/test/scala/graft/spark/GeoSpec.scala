@@ -143,6 +143,36 @@ class GeoSpec extends AnyFunSuite {
       Expr.stIntersectsBBox("region", -100.0, -5.0, 0.0, 5.0)).eval(stats))
   }
 
+  test("geography table: authored + pruned end-to-end near the antimeridian") {
+    val loc = tmpDir("geog_tbl")
+    // two hemisphere bands around the antimeridian: west (-179..-170)
+    // and east (170..179); y = index within band
+    val src = (0L until 20L).map { i =>
+      val east = i >= 10L
+      val x = if (east) 170.0 + (i - 10L) else -179.0 + i
+      (i, if (east) 1 else 0, x, (i % 10L).toDouble)
+    }.toDF("id", "band", "x", "y")
+      .withColumn("geom", pointCol(col("x"), col("y")))
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT),
+      NestedField(2, "band", IntT),
+      NestedField(3, "x", DoubleT),
+      NestedField(4, "y", DoubleT),
+      NestedField(5, "geom", GeographyT()))))
+    val t = TableWriter.createWithSchema(src, loc, schema,
+      partitionBy = Seq("band" -> IdentityTransform))
+    assert(t.metadata.formatVersion == 3)
+    assert(t.schema.findFieldByName("geom").get.fieldType == GeographyT())
+
+    // an east-side query bbox prunes the west band's files entirely
+    val all = t.newScan().planFiles().size
+    val east = Expr.stIntersectsBBox("geom", 171.0, 0.0, 179.0, 9.0)
+    assert(t.newScan(east).planFiles().size < all)
+    val ids = t.newScan(east).toDF(spark).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (11L to 19L).toSet, ids.toSeq.sorted)
+  }
+
   test("refusal ladder: value predicates, non-geo columns, nonsense bbox") {
     val loc = tmpDir("geo_refuse")
     val t = geoTable(loc)
@@ -206,6 +236,60 @@ class GeoSpec extends AnyFunSuite {
         partitionBy = Seq("geom" -> IdentityTransform))
     }
     assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
+  test("SQL-native geo: graft.system.st_point / st_intersects_bbox") {
+    val wh = tmpDir("geo_fnwh")
+    spark.conf.set("spark.sql.catalog.ggeo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ggeo.warehouse", wh)
+    val r = spark.sql(
+      "SELECT ggeo.system.st_intersects_bbox(" +
+        "ggeo.system.st_point(5D, 5D), 0D, 0D, 10D, 10D) AS hit, " +
+        "ggeo.system.st_intersects_bbox(" +
+        "ggeo.system.st_point(50D, 5D), 0D, 0D, 10D, 10D) AS miss, " +
+        "ggeo.system.st_point(1.5D, -2.5D) AS wkb").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(Wkb.parsePoint(r.getAs[Array[Byte]]("wkb")).contains((1.5, -2.5)))
+
+    // the same function filters a real geo table in plain SQL — identical
+    // row semantics to the scan's bbox prune/filter
+    val loc = tmpDir("geo_fn_tbl")
+    geoTable(loc)
+    spark.read.format("icegopher").load(loc).createOrReplaceTempView("gtbl")
+    val ids = spark.sql(
+      "SELECT id FROM gtbl WHERE ggeo.system.st_intersects_bbox(" +
+        "geom, 12D, 0D, 27D, 100D)").collect().map(_.getLong(0)).toSet
+    assert(ids == (12L to 27L).toSet, ids.toSeq.sorted)
+    // NULL semantics: null geometry → NULL → filtered out, no crash
+    assert(spark.sql("SELECT ggeo.system.st_intersects_bbox(" +
+      "CAST(NULL AS BINARY), 0D, 0D, 1D, 1D)").collect()(0).isNullAt(0))
+  }
+
+  test("SQL st_intersects_bbox pushes down as a V2 predicate and prunes") {
+    val loc = tmpDir("geo_push")
+    geoTable(loc)
+    spark.conf.set("spark.sql.catalog.ggeo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ggeo.warehouse", tmpDir("geo_pushwh"))
+    spark.read.format("icegopher").load(loc).createOrReplaceTempView("gp")
+
+    def filesOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.get
+      "\\[(\\d+) files".r.findFirstMatchIn(scan.description()).get.group(1).toInt
+    }
+
+    val all = filesOf(spark.sql("SELECT id FROM gp"))
+    val filtered = spark.sql("SELECT id FROM gp WHERE " +
+      "ggeo.system.st_intersects_bbox(geom, 12D, 0D, 27D, 100D)")
+    assert(filesOf(filtered) < all,
+      s"SQL geo predicate must prune files (${filesOf(filtered)} !< $all)")
+    assert(filtered.collect().map(_.getLong(0)).toSet == (12L to 27L).toSet)
+    // ordinary comparison predicates still prune through the V2 path
+    val idFiltered = spark.sql("SELECT id FROM gp WHERE band = 1")
+    assert(filesOf(idFiltered) < all)
+    assert(idFiltered.count() == 10L)
   }
 
   test("createWithSchema refuses a mismatched frame") {
