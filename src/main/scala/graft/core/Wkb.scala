@@ -71,28 +71,53 @@ object Wkb {
       if (xmin.isInfinite) None else Some((xmin, ymin, xmax, ymax))
   }
 
-  /** Consume one geometry from `bb` into `acc`; false = unsupported. */
+  /** Consume one geometry from `bb` into `acc`; false = unsupported.
+    * Handles plain OGC WKB, ISO Z/M/ZM variants (type + 1000/2000/3000 —
+    * the extra per-point doubles are skipped, the x/y envelope is still
+    * exact), and PostGIS EWKB (Z/M/SRID flag bits; the SRID word is
+    * skipped) — foreign geo data is routinely one of these three. */
   private def read(bb: ByteBuffer, acc: Envelope): Boolean = {
     if (bb.remaining() < 5) return false
     val order = bb.get()
     bb.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val rawType = bb.getInt()
-    // ISO adds 1000/2000/3000 for Z/M/ZM; EWKB sets high flag bits — both
-    // carry coordinates this 2D reader would misparse, so refuse
-    if (rawType < 1 || rawType > 7) return false
+    // EWKB flag bits (PostGIS): Z, M, SRID
+    val ewkbZ = (rawType & 0x80000000) != 0
+    val ewkbM = (rawType & 0x40000000) != 0
+    val hasSrid = (rawType & 0x20000000) != 0
+    val unflagged = rawType & 0x0FFFFFFF
+    // ISO encodes dimensionality in the thousands digit: 1xxx=Z, 2xxx=M,
+    // 3xxx=ZM (only meaningful for the base kinds 1-7)
+    val isoDims = unflagged / 1000
+    val kind = unflagged % 1000
+    if (kind < 1 || kind > 7 || isoDims > 3) return false
+    val extraDims =
+      (if (ewkbZ) 1 else 0) + (if (ewkbM) 1 else 0) +
+        (isoDims match { case 3 => 2; case 1 | 2 => 1; case _ => 0 })
+    if (hasSrid) {
+      if (bb.remaining() < 4) return false
+      bb.getInt() // SRID: envelope extraction doesn't interpret it
+    }
+    val pointBytes = 16L + 8L * extraDims
     def point(): Boolean = {
-      if (bb.remaining() < 16) return false
-      acc.add(bb.getDouble(), bb.getDouble()); true
+      if (bb.remaining() < pointBytes) return false
+      acc.add(bb.getDouble(), bb.getDouble())
+      bb.position(bb.position() + 8 * extraDims)
+      true
     }
     def ring(): Boolean = {
       if (bb.remaining() < 4) return false
       val n = bb.getInt()
-      if (n < 0 || bb.remaining() < 16L * n) return false
+      if (n < 0 || bb.remaining() < pointBytes * n) return false
       var i = 0
-      while (i < n) { acc.add(bb.getDouble(), bb.getDouble()); i += 1 }
+      while (i < n) {
+        acc.add(bb.getDouble(), bb.getDouble())
+        bb.position(bb.position() + 8 * extraDims)
+        i += 1
+      }
       true
     }
-    rawType match {
+    kind match {
       case PointType => point()
       case LineStringType => ring()
       case PolygonType =>

@@ -57,12 +57,28 @@ class GeoSpec extends AnyFunSuite {
     assert(Wkb.envelope(ls.array()).contains((-1.0, -2.0, 3.0, 4.0)))
     // a linestring is not a point
     assert(Wkb.parsePoint(ls.array()).isEmpty)
-    // Z-flagged (ISO type 1001) refuses rather than misparses
+    // ISO Z point (type 1001): x/y envelope exact, Z skipped
     val z = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     z.put(1.toByte); z.putInt(1001)
     z.putDouble(1.0); z.putDouble(2.0); z.putDouble(3.0)
-    assert(Wkb.envelope(z.array()).isEmpty)
-    // garbage refuses
+    assert(Wkb.envelope(z.array()).contains((1.0, 2.0, 1.0, 2.0)))
+    // PostGIS EWKB: SRID-flagged point (0x20000001) with SRID word
+    val e = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    e.put(1.toByte); e.putInt(0x20000001); e.putInt(4326)
+    e.putDouble(7.5); e.putDouble(-3.0)
+    assert(Wkb.envelope(e.array()).contains((7.5, -3.0, 7.5, -3.0)))
+    // EWKB Z|SRID linestring (0xA0000002): stride-3 coords, x/y envelope
+    val ez = java.nio.ByteBuffer.allocate(9 + 4 + 4 + 48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ez.put(1.toByte); ez.putInt(0x80000000 | 0x20000000 | 2); ez.putInt(4326)
+    ez.putInt(2)
+    ez.putDouble(-1.0); ez.putDouble(4.0); ez.putDouble(99.0)
+    ez.putDouble(3.0); ez.putDouble(-2.0); ez.putDouble(98.0)
+    assert(Wkb.envelope(ez.array()).contains((-1.0, -2.0, 3.0, 4.0)))
+    // unknown kind (99) and truncated/garbage bytes refuse
+    val bad = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte); bad.putInt(99); bad.putDouble(1.0); bad.putDouble(2.0)
+    assert(Wkb.envelope(bad.array()).isEmpty)
     assert(Wkb.envelope(Array[Byte](1, 2, 3)).isEmpty)
     assert(Wkb.envelope(null).isEmpty)
   }
