@@ -20,6 +20,13 @@ object ColumnShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `LiteralValue` is `private[sql]`: construct a typed DSv2 literal
+    * (catalyst-internal value representation) — used by specs exercising
+    * the V2 predicate conversion matrix. */
+  def v2Literal(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(v, dt)
+
   /** `internalCreateDataFrame` is `private[sql]`: a DataFrame straight
     * over an RDD[InternalRow] (the non-parquet file readers produce
     * catalyst rows executor-side). */
