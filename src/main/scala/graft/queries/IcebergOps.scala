@@ -977,7 +977,15 @@ object IcebergOps {
     * round-trip. Coordinates derive from p_partkey by integer modulo then
     * double arithmetic — bit-identical in both engines. */
   def ice28GeoBbox(s: SparkSession, d: String): DataFrame = {
-    val table = cached("part_geo", d) { loc =>
+    val table = partGeoTable(s, d)
+    table.newScan(Expr.stIntersectsBBox("geom", -50.0, -20.0, 40.0, 60.0))
+      .toDF(s)
+      .select("id", "x", "y")
+      .orderBy("id")
+  }
+
+  private def partGeoTable(s: SparkSession, d: String): IcebergTable =
+    cached("part_geo", d) { loc =>
       val src = Tables.part(s, d).select(
         col("p_partkey").as("id"),
         ((col("p_partkey") % 73) / lit(18)).cast("int").as("band"),
@@ -997,11 +1005,37 @@ object IcebergOps {
       TableWriter.createWithSchema(df, loc, schema,
         partitionBy = Seq("band" -> IdentityTransform))
     }
-    table.newScan(Expr.stIntersectsBBox("geom", -50.0, -20.0, 40.0, 60.0))
-      .toDF(s)
-      .select("id", "x", "y")
-      .orderBy("id")
+
+  /** The SQL twin of ice28 (ice30): the SAME geo table queried through
+    * plain SQL — `WHERE graft.system.st_intersects_bbox(geom, ...)` —
+    * exercising the V2 FUNCTION-PREDICATE pushdown end to end: Spark
+    * resolves the V2-catalog function, wraps it as a
+    * BOOLEAN_EXPRESSION predicate, the scan converts it to the core geo
+    * predicate (files prune on V3 geo bounds), and the residual function
+    * evaluation applies the envelope test row-wise. A different bbox from
+    * ice28 so the two entries cannot mask each other. */
+  def ice30GeoSqlPushdown(s: SparkSession, d: String): DataFrame = {
+    val table = partGeoTable(s, d)
+    s.conf.set("spark.sql.catalog.graft_geo", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_geo.warehouse",
+      s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/geo_wh")
+    s.read.format("icegopher").load(table.location)
+      .createOrReplaceTempView("part_geo_v")
+    s.sql("""SELECT id, x, y FROM part_geo_v
+             WHERE graft_geo.system.st_intersects_bbox(
+               geom, -170D, -75D, -60D, -10D)
+             ORDER BY id""")
   }
+
+  val ice30Sql: String =
+    """WITH g AS (
+         SELECT p_partkey AS id,
+                CAST(p_partkey % 73 AS DOUBLE) * 4.9 - 178.0 AS x,
+                CAST(p_partkey % 37 AS DOUBLE) * 4.5 - 81.0 AS y
+         FROM part)
+       SELECT id, x, y FROM g
+       WHERE x >= -170.0 AND x <= -60.0 AND y >= -75.0 AND y <= -10.0
+       ORDER BY id"""
 
   val ice28Sql: String =
     """WITH g AS (
