@@ -1026,24 +1026,35 @@ object TableWriter {
                        added: Seq[graft.spark.CowFileOut],
                        touchedManifests: Option[Set[String]] = None)
       : graft.catalog.LoadedTable = {
+    val (change, _) = stageRestReplaceChange(catalog, identifier,
+      removedPaths, added, touchedManifests)
+    catalog.commitTable(identifier, change.requirements, change.updates)
+  }
+
+  /** Stage a CoW replace against a REST table WITHOUT committing — the
+    * [[RestTransaction]] counterpart of [[stageRestAppendChange]].
+    * V3 lineage is client-assigned from the loaded `next-row-id`, and a
+    * CAS conflict sends the caller back through loadTable to re-stage. */
+  private def stageRestReplaceChange(catalog: graft.catalog.RestCatalog,
+                                     identifier: Seq[String],
+                                     removedPaths: Set[String],
+                                     added: Seq[graft.spark.CowFileOut],
+                                     touchedManifests: Option[Set[String]])
+      : (graft.catalog.TableChange, Option[Long]) = {
     val loaded = catalog.loadTable(identifier)
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
-    // V3 lineage through REST: assign first-row-id CLIENT-side from the
-    // loaded metadata's next-row-id (upstream practice — the AddSnapshot
-    // carries first-row-id and the server advances next-row-id). A CAS
-    // conflict (409) sends the caller back through loadTable, so a retry
-    // re-stages against the fresh base and re-assigns.
     val snapshot = stageReplaceSnapshot(table, removedPaths, added,
       touchedManifests)
-    catalog.commitTable(identifier,
+    val change = graft.catalog.TableChange(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
             .orElse(md.currentSnapshotId))),
       Seq(graft.catalog.AddSnapshot(snapshot),
         setMainRefUpdate(md, snapshot.snapshotId)))
+    (change, snapshot.firstRowId.map(_ + added.map(_.rows).sum))
   }
 
   /** Per-commit V3 row-lineage assignment (spec v3 "Row Lineage"): ADDED
@@ -2503,17 +2514,36 @@ object TableWriter {
       Vector.newBuilder[(Seq[String], Long)]
     private var staged = Set.empty[Seq[String]]
 
-    def stageAppend(identifier: Seq[String],
-                    added: Seq[graft.spark.CowFileOut],
-                    extraSummary: Map[String, String] = Map.empty)
-        : this.type = {
+    private def guard(identifier: Seq[String]): Unit = {
       require(!staged.contains(identifier),
         s"table ${identifier.mkString(".")} already staged in this " +
           "transaction: two snapshots for one table would chain on the " +
           "same parent and overlap row-id ranges")
       staged += identifier
+    }
+
+    def stageAppend(identifier: Seq[String],
+                    added: Seq[graft.spark.CowFileOut],
+                    extraSummary: Map[String, String] = Map.empty)
+        : this.type = {
+      guard(identifier)
       val (change, watermark) =
         stageRestAppendChange(catalog, identifier, added, extraSummary)
+      changes += change
+      watermark.foreach(w => lineageWatermarks += ((identifier, w)))
+      this
+    }
+
+    /** Stage a CoW replace (rewrite `removedPaths` into `added`) for this
+      * transaction — e.g. a compaction of one member table landing
+      * atomically with appends to its siblings. */
+    def stageReplace(identifier: Seq[String], removedPaths: Set[String],
+                     added: Seq[graft.spark.CowFileOut],
+                     touchedManifests: Option[Set[String]] = None)
+        : this.type = {
+      guard(identifier)
+      val (change, watermark) = stageRestReplaceChange(catalog, identifier,
+        removedPaths, added, touchedManifests)
       changes += change
       watermark.foreach(w => lineageWatermarks += ((identifier, w)))
       this

@@ -249,8 +249,9 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     // source table + its derived index move in ONE transaction
+    val s1 = fileFor(locS, "s1")
     graft.spark.TableWriter.transaction(catalog)
-      .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "s1")))
+      .stageAppend(Seq("it_txf", "src"), Seq(s1))
       .stageAppend(Seq("it_txf", "idx"), Seq(fileFor(locI, "i1")),
         Map("derived-from" -> "src"))
       .commit()
@@ -267,6 +268,24 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .stageAppend(Seq("it_txf", "src"), Seq(fileFor(locS, "dup2")))
     }
 
+    // a COW REPLACE and an append land atomically in one transaction —
+    // e.g. compacting one member while appending to its sibling
+    val rewrite = fileFor(locS, "s1-rewrite")
+    graft.spark.TableWriter.transaction(catalog)
+      .stageReplace(Seq("it_txf", "src"), Set(s1.path), Seq(rewrite))
+      .stageAppend(Seq("it_txf", "idx"), Seq(fileFor(locI, "i1b")))
+      .commit()
+    val srcLoaded = catalog.loadTable(Seq("it_txf", "src"))
+    val srcTable = new graft.spark.IcebergTable(srcLoaded.metadata.location,
+      srcLoaded.metadataLocation, srcLoaded.metadata,
+      graft.spark.IOConfig.fileIO(srcLoaded.ioProps),
+      ioProps = srcLoaded.ioProps)
+    val paths = srcTable.newScan().planFiles().map(_.file.path)
+    assert(paths.exists(_.endsWith("s1-rewrite.parquet")), paths)
+    assert(!paths.contains(s1.path), "replaced file must leave the live set")
+    val srcSnap2 = catalog.loadTable(Seq("it_txf", "src"))
+      .metadata.currentSnapshotId
+
     // a concurrent commit to ONE member between stage and commit rolls
     // back the WHOLE transaction — the other member must not move either
     val tx = graft.spark.TableWriter.transaction(catalog)
@@ -276,7 +295,7 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(fileFor(locI, "sneak")))
     intercept[CommitConflictError](tx.commit())
     assert(catalog.loadTable(Seq("it_txf", "src"))
-      .metadata.currentSnapshotId == srcSnap,
+      .metadata.currentSnapshotId == srcSnap2,
       "src must not advance when the transaction rolled back")
   }
 
