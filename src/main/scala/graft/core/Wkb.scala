@@ -71,12 +71,20 @@ object Wkb {
       if (xmin.isInfinite) None else Some((xmin, ymin, xmax, ymax))
   }
 
+  /** Real data nests collections a handful of levels at most; adversarial
+    * WKB made of nothing but nested collection headers (9 bytes each) must
+    * hit this bound, not a StackOverflowError — which, being an Error,
+    * would escape envelope()'s Exception catch and kill the scan task
+    * instead of degrading to the prune-safe None. */
+  private val MaxNestingDepth = 32
+
   /** Consume one geometry from `bb` into `acc`; false = unsupported.
     * Handles plain OGC WKB, ISO Z/M/ZM variants (type + 1000/2000/3000 —
     * the extra per-point doubles are skipped, the x/y envelope is still
     * exact), and PostGIS EWKB (Z/M/SRID flag bits; the SRID word is
     * skipped) — foreign geo data is routinely one of these three. */
-  private def read(bb: ByteBuffer, acc: Envelope): Boolean = {
+  private def read(bb: ByteBuffer, acc: Envelope, depth: Int = 0): Boolean = {
+    if (depth > MaxNestingDepth) return false
     if (bb.remaining() < 5) return false
     val order = bb.get()
     bb.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -129,7 +137,7 @@ object Wkb {
         if (bb.remaining() < 4) return false
         val n = bb.getInt()
         // each member repeats a full WKB header (byte order may differ)
-        (0 until n).forall(_ => read(bb, acc))
+        (0 until n).forall(_ => read(bb, acc, depth + 1))
       case _ => false
     }
   }

@@ -462,8 +462,17 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
     // accept the convertible subset for file skipping; everything remains a
-    // residual for Spark (inclusive pruning never drops matching rows)
-    pushed = predicates.filter(p => FilterConv.fromV2Predicate(p).isDefined)
+    // residual for Spark (inclusive pruning never drops matching rows).
+    // Convertibility alone is not enough: the conversion is untyped (e.g.
+    // st_intersects_bbox over a plain BINARY column, or binary equality on
+    // a geo column converts fine but Expr.bind rejects it at scan planning,
+    // failing a query that evaluates correctly as a residual) — so a
+    // predicate only prunes if it also BINDS against the table schema
+    pushed = predicates.filter(p => FilterConv.fromV2Predicate(p).exists(e =>
+      try {
+        graft.core.Expr.bind(table.schema, graft.core.Expr.rewriteNot(e))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }))
     predicates
   }
   override def pushedPredicates()

@@ -83,6 +83,61 @@ class GeoSpec extends AnyFunSuite {
     assert(Wkb.envelope(null).isEmpty)
   }
 
+  test("WKB nesting depth: legitimate nesting parses, adversarial depth refuses") {
+    // collection header: byte order + type(7) + member count(1)
+    def nest(inner: Array[Byte], levels: Int): Array[Byte] =
+      (0 until levels).foldLeft(inner) { (in, _) =>
+        val bb = java.nio.ByteBuffer.allocate(9 + in.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(7); bb.putInt(1); bb.put(in)
+        bb.array()
+      }
+    val p = Wkb.pointWkb(3.0, -4.0)
+    // realistic nesting (collection of collections) still yields the envelope
+    assert(Wkb.envelope(nest(p, 3)).contains((3.0, -4.0, 3.0, -4.0)))
+    // adversarial WKB: headers nested past any real geometry must return
+    // None (prune-safe), not blow the task stack — StackOverflowError is
+    // an Error and would escape the scan's Exception handling entirely
+    assert(Wkb.envelope(nest(p, 40)).isEmpty)
+    assert(Wkb.envelope(nest(p, 10000)).isEmpty)
+  }
+
+  test("geo predicates over non-geo columns stay residual-only (no scan failure)") {
+    // a DDL-shaped table whose WKB lives in a PLAIN BINARY column: the
+    // bbox function evaluates fine row-wise, but the column has no geo
+    // bounds — the pushed predicate must be dropped from the prune
+    // expression (bind fails), NOT fail the whole scan
+    val loc = tmpDir("geo_residual")
+    val src = (0L until 20L).map(i => (i, i.toDouble, i.toDouble / 2))
+      .toDF("id", "x", "y")
+      .withColumn("blob", pointCol(col("x"), col("y")))
+    val schema = Schema(0, StructT(Seq(
+      NestedField(1, "id", LongT),
+      NestedField(2, "x", DoubleT),
+      NestedField(3, "y", DoubleT),
+      NestedField(4, "blob", BinaryT))))
+    TableWriter.createWithSchema(src, loc, schema)
+    spark.conf.set("spark.sql.catalog.ggeo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ggeo.warehouse", tmpDir("geo_residwh"))
+    spark.read.format("icegopher").load(loc).createOrReplaceTempView("gres")
+    val ids = spark.sql(
+      "SELECT id FROM gres WHERE ggeo.system.st_intersects_bbox(" +
+        "blob, 5D, 0D, 12D, 100D)").collect().map(_.getLong(0)).toSet
+    assert(ids == (5L to 12L).toSet, ids.toSeq.sorted)
+
+    // binary equality on a GEO column converts but cannot bind (value
+    // predicates on geometry refuse) — it too must stay residual-only
+    val gloc = tmpDir("geo_eq_resid")
+    geoTable(gloc)
+    spark.read.format("icegopher").load(gloc).createOrReplaceTempView("geq")
+    val probe = Wkb.pointWkb(5.0, 2.5)
+    val hex = probe.map("%02X".format(_)).mkString
+    val eqIds = spark.sql(
+      s"SELECT id FROM geq WHERE geom = X'$hex'")
+      .collect().map(_.getLong(0)).toSet
+    assert(eqIds == Set(5L), eqIds)
+  }
+
   test("geo table: WKB round-trips and envelope bounds land in manifests") {
     val loc = tmpDir("geo_tbl")
     val t = geoTable(loc)
