@@ -83,6 +83,13 @@ final case class SetSnapshotRef(refName: String, snapshotId: Long,
                                 maxSnapshotAgeMs: Option[Long] = None,
                                 maxRefAgeMs: Option[Long] = None)
   extends TableUpdate
+/** The spec's `remove-snapshots` action — snapshot expiry lands through
+  * the catalog (the server owns the metadata), never by rewriting
+  * metadata files behind its back. */
+final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
+/** The spec's `remove-snapshot-ref` action — ref aging (`max-ref-age-ms`)
+  * drops a branch/tag server-side in the same expiry commit. */
+final case class RemoveSnapshotRef(refName: String) extends TableUpdate
 
 /** One table's change set inside a multi-table transaction
   * ([[RestCatalog.commitTransaction]]). */
@@ -481,6 +488,14 @@ final class RestCatalog(val name: String, uri: String,
         minKeep.foreach(v => u.put("min-snapshots-to-keep", v))
         maxSnapAge.foreach(v => u.put("max-snapshot-age-ms", v))
         maxRefAge.foreach(v => u.put("max-ref-age-ms", v))
+      case RemoveSnapshots(ids) =>
+        val u = ups.addObject()
+        u.put("action", "remove-snapshots")
+        val arr = u.putArray("snapshot-ids"); ids.foreach(arr.add)
+      case RemoveSnapshotRef(refName) =>
+        val u = ups.addObject()
+        u.put("action", "remove-snapshot-ref")
+        u.put("ref-name", refName)
     }
     body
   }
@@ -573,6 +588,132 @@ final class RestCatalog(val name: String, uri: String,
     ident(body.putObject("source"), from)
     ident(body.putObject("destination"), to)
     request("POST", prefixedPath("tables", "rename"),
+      Some(mapper.writeValueAsString(body)))
+  }
+
+  // ------------------------------------------------------------------ views
+  // The Iceberg REST view plane (`/v1/{prefix}/namespaces/{ns}/views`):
+  // list / create / load / update (UpdateViewRequest: requirements +
+  // add-view-version / set-current-view-version / properties actions) /
+  // drop / rename. View metadata crosses this client as raw JSON — the
+  // Spark layer owns the typed model (graft.spark.ViewMetadata); the
+  // catalog owns only the wire. The reference's catalog trait stops at
+  // tables (table/catalog/catalog.go:99-125) — views are where a SHARED
+  // catalog deployment actually lives, so this build goes past it.
+
+  def listViews(ns: Seq[String]): Seq[Seq[String]] = {
+    val out = Vector.newBuilder[Seq[String]]
+    paged(prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "views"),
+        hasQuery = false) { n =>
+      Option(n.get("identifiers")).foreach(_.forEach { id =>
+        val segs = Vector.newBuilder[String]
+        Option(id.get("namespace")).foreach(_.forEach(s => segs += s.asText()))
+        segs += id.get("name").asText()
+        out += segs.result()
+      })
+    }
+    out.result()
+  }
+
+  /** Load a view's metadata JSON; [[NoSuchViewError]] when absent. */
+  def loadView(identifier: Seq[String]): String = {
+    require(identifier.size >= 2, s"invalid view identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val n = mapper.readTree(request("GET",
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "views",
+        identifier.last)))
+    mapper.writeValueAsString(n.get("metadata"))
+  }
+
+  def viewExists(identifier: Seq[String]): Boolean =
+    try { loadView(identifier); true }
+    catch { case _: NoSuchTableError => false } // 404 taxonomy is shared
+
+  /** CreateViewRequest: name + location + the initial view-version node +
+    * properties; the server assigns the uuid and version history. Returns
+    * the created metadata JSON. */
+  def createView(identifier: Seq[String], viewVersionJson: String,
+                 location: String,
+                 properties: Map[String, String] = Map.empty): String = {
+    require(identifier.size >= 2, s"invalid view identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val body = mapper.createObjectNode()
+    body.put("name", identifier.last)
+    body.put("location", location)
+    body.set[com.fasterxml.jackson.databind.JsonNode]("view-version",
+      mapper.readTree(viewVersionJson))
+    val props = body.putObject("properties")
+    properties.foreach { case (k, v) => props.put(k, v) }
+    val n = mapper.readTree(request("POST",
+      prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "views"),
+      Some(mapper.writeValueAsString(body))))
+    mapper.writeValueAsString(n.get("metadata"))
+  }
+
+  /** UpdateViewRequest: optional assert-view-uuid requirement, then
+    * add-view-version (+ set-current-view-version -1 = "the one just
+    * added") and/or property updates — CREATE OR REPLACE VIEW appends a
+    * version and moves the pointer in ONE server-side commit, mirroring
+    * table snapshot history. Returns the updated metadata JSON. */
+  def commitView(identifier: Seq[String], viewUuid: Option[String],
+                 addVersionJson: Option[String],
+                 setProperties: Map[String, String] = Map.empty,
+                 removeProperties: Seq[String] = Nil): String = {
+    require(identifier.size >= 2, s"invalid view identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    val body = mapper.createObjectNode()
+    val reqs = body.putArray("requirements")
+    viewUuid.foreach { u =>
+      val r = reqs.addObject()
+      r.put("type", "assert-view-uuid"); r.put("uuid", u)
+    }
+    val ups = body.putArray("updates")
+    addVersionJson.foreach { vj =>
+      val add = ups.addObject()
+      add.put("action", "add-view-version")
+      add.set[com.fasterxml.jackson.databind.JsonNode]("view-version",
+        mapper.readTree(vj))
+      val cur = ups.addObject()
+      cur.put("action", "set-current-view-version")
+      cur.put("view-version-id", -1)
+    }
+    if (setProperties.nonEmpty) {
+      val u = ups.addObject()
+      u.put("action", "set-properties")
+      val m = u.putObject("updates")
+      setProperties.foreach { case (k, v) => m.put(k, v) }
+    }
+    if (removeProperties.nonEmpty) {
+      val u = ups.addObject()
+      u.put("action", "remove-properties")
+      val arr = u.putArray("removals"); removeProperties.foreach(arr.add)
+    }
+    val rsp =
+      try request("POST", prefixedPath("namespaces",
+        ns.mkString(NamespaceSeparator), "views", identifier.last),
+        Some(mapper.writeValueAsString(body)))
+      catch {
+        case e: AlreadyExistsError => throw new CommitConflictError(e.getMessage)
+      }
+    mapper.writeValueAsString(mapper.readTree(rsp).get("metadata"))
+  }
+
+  def dropView(identifier: Seq[String]): Unit = {
+    val ns = identifier.dropRight(1)
+    request("DELETE", prefixedPath("namespaces",
+      ns.mkString(NamespaceSeparator), "views", identifier.last))
+  }
+
+  def renameView(from: Seq[String], to: Seq[String]): Unit = {
+    val body = mapper.createObjectNode()
+    def ident(node: com.fasterxml.jackson.databind.node.ObjectNode,
+              id: Seq[String]): Unit = {
+      val arr = node.putArray("namespace"); id.dropRight(1).foreach(arr.add)
+      node.put("name", id.last)
+    }
+    ident(body.putObject("source"), from)
+    ident(body.putObject("destination"), to)
+    request("POST", prefixedPath("views", "rename"),
       Some(mapper.writeValueAsString(body)))
   }
 }

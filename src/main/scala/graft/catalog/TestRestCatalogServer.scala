@@ -10,12 +10,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-/** A minimal but STATEFUL Iceberg REST catalog for integration tests: real
-  * sockets, real OAuth2 client-credentials round-trip, real status codes,
-  * and server-side commit requirement checks — the protocol plane the
-  * mocked RestCatalogSpec cannot exercise. Table metadata is held and
-  * mutated as raw JSON (jackson nodes), deliberately NOT via the client's
-  * graft.core model, so the two sides only meet on the wire format. */
+/** A minimal but STATEFUL Iceberg REST catalog for integration tests AND
+  * the battery's transactional-sync fixture (t33 provisions against a live
+  * server, which is why this lives on the main classpath): real sockets,
+  * real OAuth2 client-credentials round-trip, real status codes, and
+  * server-side commit requirement checks — the protocol plane the mocked
+  * RestCatalogSpec cannot exercise. Table metadata is held and mutated as
+  * raw JSON (jackson nodes), deliberately NOT via the client's graft.core
+  * model, so the two sides only meet on the wire format. JDK-only
+  * (com.sun.net.httpserver + jackson) — no extra dependencies. */
 final class TestRestCatalogServer(clientId: String, secret: String) {
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -25,6 +28,8 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   private val namespaces = mutable.LinkedHashMap[String, ObjectNode]()
   // (ns, table) -> metadata node
   private val tables = mutable.LinkedHashMap[(String, String), ObjectNode]()
+  // (ns, view) -> view metadata node (REST view spec plane)
+  private val views = mutable.LinkedHashMap[(String, String), ObjectNode]()
   // observability for specs: the last access-delegation header the client
   // sent on a table load, per-table load counts, and an overridable expiry
   // for the vended credential (None = one hour out)
@@ -231,6 +236,117 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               respond(ex, 204)
             }
         }
+      case ("GET", Seq("namespaces", ns, "views")) =>
+        if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
+        else {
+          val root = mapper.createObjectNode()
+          val arr = root.putArray("identifiers")
+          views.keys.filter(_._1 == ns).foreach { case (n, v) =>
+            val id = arr.addObject()
+            val a = id.putArray("namespace"); n.split('').foreach(a.add)
+            id.put("name", v)
+          }
+          respond(ex, 200, mapper.writeValueAsString(root))
+        }
+      case ("POST", Seq("namespaces", ns, "views")) =>
+        if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
+        else {
+          val b = mapper.readTree(readBody(ex))
+          val vname = b.get("name").asText()
+          if (views.contains((ns, vname))) err(ex, 409, s"view $vname exists")
+          else {
+            val md = mapper.createObjectNode()
+            md.put("format-version", 1)
+            md.put("view-uuid", java.util.UUID.randomUUID().toString)
+            md.put("location", Option(b.get("location")).map(_.asText())
+              .getOrElse(s"mem://warehouse/${ns.replace("", "/")}/$vname"))
+            val v0 = b.get("view-version").deepCopy[ObjectNode]()
+            md.put("current-version-id", v0.get("version-id").asInt())
+            md.putArray("versions").add(v0)
+            val props = md.putObject("properties")
+            Option(b.get("properties")).foreach(_.properties().forEach(e =>
+              props.set[com.fasterxml.jackson.databind.JsonNode](
+                e.getKey, e.getValue): Unit))
+            views((ns, vname)) = md
+            respond(ex, 200, viewResponse(ns, vname, md))
+          }
+        }
+      case ("GET", Seq("namespaces", ns, "views", v)) =>
+        views.get((ns, v)) match {
+          case None => err(ex, 404, s"view $ns.$v not found")
+          case Some(md) => respond(ex, 200, viewResponse(ns, v, md))
+        }
+      case ("DELETE", Seq("namespaces", ns, "views", v)) =>
+        if (views.remove((ns, v)).isEmpty) err(ex, 404, s"view $ns.$v not found")
+        else respond(ex, 204)
+      case ("POST", Seq("namespaces", ns, "views", v)) =>
+        views.get((ns, v)) match {
+          case None => err(ex, 404, s"view $ns.$v not found")
+          case Some(md) =>
+            val b = mapper.readTree(readBody(ex))
+            // requirements first, all-or-nothing
+            var failure: Option[String] = None
+            Option(b.get("requirements")).foreach(_.forEach { r =>
+              r.get("type").asText() match {
+                case "assert-view-uuid" =>
+                  if (r.get("uuid").asText() != md.get("view-uuid").asText())
+                    failure = failure.orElse(Some("view uuid mismatch"))
+                case other =>
+                  failure = failure.orElse(Some(s"unknown requirement $other"))
+              }
+            })
+            failure match {
+              case Some(msg) => err(ex, 409, msg)
+              case None =>
+                var lastAdded = -1
+                Option(b.get("updates")).foreach(_.forEach { u =>
+                  u.get("action").asText() match {
+                    case "add-view-version" =>
+                      val vs = md.withArray[ArrayNode]("versions")
+                      var maxId = 0
+                      vs.forEach(x => maxId =
+                        math.max(maxId, x.get("version-id").asInt()))
+                      val nv = u.get("view-version").deepCopy[ObjectNode]()
+                      // the server owns version-id assignment on conflict
+                      if (nv.get("version-id").asInt() <= maxId)
+                        nv.put("version-id", maxId + 1)
+                      vs.add(nv)
+                      lastAdded = nv.get("version-id").asInt()
+                    case "set-current-view-version" =>
+                      val id = u.get("view-version-id").asInt()
+                      md.put("current-version-id",
+                        if (id == -1) lastAdded else id)
+                      ()
+                    case "set-properties" =>
+                      val props = md.`with`("properties")
+                      u.get("updates").properties().forEach(e =>
+                        props.set[com.fasterxml.jackson.databind.JsonNode](
+                          e.getKey, e.getValue): Unit)
+                    case "remove-properties" =>
+                      val props = md.`with`("properties")
+                      u.get("removals").forEach(r => props.remove(r.asText()): Unit)
+                    case other =>
+                      throw new IllegalArgumentException(s"unknown view update $other")
+                  }
+                })
+                respond(ex, 200, viewResponse(ns, v, md))
+            }
+        }
+      case ("POST", Seq("views", "rename")) =>
+        val b = mapper.readTree(readBody(ex))
+        def keyOf(k: String): (String, String) = {
+          val node = b.get(k)
+          val parts = Vector.newBuilder[String]
+          node.get("namespace").forEach(n => parts += n.asText())
+          (parts.result().mkString(""), node.get("name").asText())
+        }
+        val (from, to) = (keyOf("source"), keyOf("destination"))
+        views.remove(from) match {
+          case None => err(ex, 404, s"view $from not found")
+          case Some(md) =>
+            if (views.contains(to)) { views(from) = md; err(ex, 409, "exists") }
+            else { views(to) = md; respond(ex, 204) }
+        }
       case ("POST", Seq("tables", "rename")) =>
         val b = mapper.readTree(readBody(ex))
         def keyOf(k: String): (String, String) = {
@@ -373,9 +489,39 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
                 e.put("snapshot-id", snapId)
                 e.put("timestamp-ms", System.currentTimeMillis())
               }
+            case "remove-snapshots" =>
+              val drop = mutable.Set[Long]()
+              u.get("snapshot-ids").forEach(id => drop += id.asLong())
+              val kept = mapper.createArrayNode()
+              md.withArray[ArrayNode]("snapshots").forEach { sn =>
+                if (!drop.contains(sn.get("snapshot-id").asLong())) kept.add(sn): Unit
+              }
+              md.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", kept)
+              Option(md.get("snapshot-log")).collect { case a: ArrayNode => a }
+                .foreach { log =>
+                  val keptLog = mapper.createArrayNode()
+                  log.forEach { e =>
+                    if (!drop.contains(e.get("snapshot-id").asLong())) keptLog.add(e): Unit
+                  }
+                  md.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", keptLog)
+                  ()
+                }
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "remove-snapshot-ref" =>
+              md.`with`("refs").remove(u.get("ref-name").asText())
+              ()
             case other => throw new IllegalArgumentException(s"unknown update $other")
           }
         })
+  }
+
+  private def viewResponse(ns: String, v: String, md: ObjectNode): String = {
+    val root = mapper.createObjectNode()
+    root.put("metadata-location",
+      md.get("location").asText() + "/metadata/current.view.json")
+    root.set[com.fasterxml.jackson.databind.JsonNode]("metadata", md)
+    mapper.writeValueAsString(root)
   }
 
   private def tableResponse(ns: String, t: String, md: ObjectNode,

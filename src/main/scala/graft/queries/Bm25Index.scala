@@ -90,6 +90,20 @@ object Bm25Index {
     applyChanges(index,
       Changelog.changelogDF(spark, docs, afterSnapshotId), p)
 
+  /** REST-transactional sync: stage one changelog window's fold onto `tx`
+    * (one retract-and-replace snapshot on the index) so it commits
+    * atomically WITH whatever else the transaction stages — e.g. the
+    * source-table append that produced the window. Family-validated like
+    * [[applyChanges]]. Returns false when the window nets to nothing. */
+  def stageChanges(tx: TableWriter.RestTransaction,
+                   catalog: graft.catalog.RestCatalog,
+                   indexIdent: Seq[String], changes: DataFrame,
+                   p: Params): Boolean = {
+    requireFamily(TableWriter.restTableOf(catalog.loadTable(indexIdent)), p)
+    ChangefeedFold.stageChanges(tx, indexIdent, changes, "doc_id",
+      ins => rows(ins, p))
+  }
+
   /** Continuous maintenance off the `read-changes` stream; restart-safe
     * because [[applyChanges]] is content-idempotent per window. */
   def maintain(spark: SparkSession, docsLocation: String,
@@ -165,6 +179,81 @@ object Bm25Index {
                 CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
          FROM documents WHERE doc_id % 7 <> 0)""",
       hashTerms = true)}
+       SELECT qid, doc_id, rank FROM bmr WHERE rank <= 10
+       ORDER BY qid, rank"""
+
+  /** t33 fixture: the corpus lands in THREE ingest windows (doc_id % 3),
+    * each committed as ONE REST transaction that stages BOTH the docs
+    * append and the index fold ([[stageChanges]]) — the lockstep
+    * discipline a production pipeline needs so corpus and index never
+    * drift (a reader at any commit sees postings exactly matching the
+    * docs). Runs against a live in-process REST server; the final
+    * metadata is materialized to disk so later battery runs read the
+    * provisioned tables offline. */
+  private def t33Fixture(s: SparkSession, d: String): IcebergTable = {
+    val root =
+      s"${IcebergOps.cacheRoot}/${d.replaceAll("[^A-Za-z0-9]", "_")}/t33"
+    val docsLoc = s"$root/docs"
+    val idxLoc = s"$root/index"
+    IcebergOps.provisionOnce(new java.io.File(root)) {
+      val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+      server.start()
+      try {
+        val cat = graft.catalog.Catalog.load("t33", server.uri,
+          Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+          .asInstanceOf[graft.catalog.RestCatalog]
+        import graft.core._
+        cat.createNamespace(Seq("p"))
+        cat.createTable(Seq("p", "docs"), Schema(0, StructT(Seq(
+          NestedField(1, "doc_id", LongT, required = true),
+          NestedField(2, "text", StringT)))), location = Some(docsLoc))
+        cat.createTable(Seq("p", "idx"), Schema(0, StructT(Seq(
+          NestedField(1, "doc_id", LongT, required = true),
+          NestedField(2, "w", LongT, required = true),
+          NestedField(3, "tf", LongT, required = true)))),
+          Map(HashFamilyProp -> OracleParams.name), location = Some(idxLoc))
+        val src = Tables.documents(s, d).select("doc_id", "text")
+        (0 until 3).foreach { w =>
+          val batch = src.filter(col("doc_id") % 3 === w)
+          val dataDir = new java.io.File(docsLoc, s"data/w$w")
+          batch.write.mode("overwrite").parquet(dataDir.getPath)
+          val outs = dataDir.listFiles()
+            .filter(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("."))
+            .sortBy(_.getName)
+            .map(f => graft.spark.CowFileOut(f.getPath, 0L, Map.empty)).toSeq
+          val tx = TableWriter.transaction(cat).stageAppend(Seq("p", "docs"), outs)
+          stageChanges(tx, cat, Seq("p", "idx"),
+            batch.withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_sequence", lit(w.toLong)), OracleParams)
+          tx.commit()
+        }
+        // materialize the committed metadata so IcebergTables.load serves
+        // the provisioned tables without the (ephemeral) server
+        Seq((Seq("p", "docs"), docsLoc), (Seq("p", "idx"), idxLoc)).foreach {
+          case (id, loc) =>
+            val metaDir = new java.io.File(loc, "metadata"); metaDir.mkdirs()
+            java.nio.file.Files.writeString(
+              new java.io.File(metaDir, "v1.metadata.json").toPath,
+              cat.loadTable(id).metadata.toJson)
+        }
+      } finally server.stop()
+    }
+    IcebergTables.load(idxLoc)
+  }
+
+  /** Battery entry t33: t22's BM25 queries served from postings that were
+    * maintained EXCLUSIVELY through atomic REST transactions (source
+    * append + index fold per window). The oracle is the from-scratch
+    * hashed BM25 over the full corpus, so a hash match proves the
+    * transactionally-synced index ≡ from-scratch postings. */
+  def t33TxSyncedBm25(s: SparkSession, d: String): DataFrame = {
+    val idx = t33Fixture(s, d)
+    topK(s, idx, Retrieval.QueryTerms, OracleParams, k = 10)
+  }
+
+  val t33Sql: String =
+    s"""WITH ${Retrieval.bm25CtesOver("documents", hashTerms = true)}
        SELECT qid, doc_id, rank FROM bmr WHERE rank <= 10
        ORDER BY qid, rank"""
 }

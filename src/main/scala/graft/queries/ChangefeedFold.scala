@@ -33,6 +33,29 @@ private[queries] object ChangefeedFold {
       .select("_n.*")
   }
 
+  /** Stage one changelog window onto a REST transaction instead of
+    * committing it: the same retract-touched + append-derived math as
+    * [[applyChanges]], landed as ONE staged retract-and-replace snapshot
+    * (the equality delete applies only to strictly smaller sequence
+    * numbers, so the staged rows are exempt — one snapshot where the local
+    * path takes two). Returns false when the window is empty (nothing
+    * staged). Composed with a staged source-table change in the same
+    * transaction, corpus and index move in lockstep or not at all. */
+  def stageChanges(tx: TableWriter.RestTransaction, indexIdent: Seq[String],
+                   changes: DataFrame, keyCol: String,
+                   derive: DataFrame => DataFrame): Boolean = {
+    val net = netEffect(changes, keyCol).persist()
+    try {
+      if (net.isEmpty) false
+      else {
+        val ins = net.filter(col("_change_type") === "insert")
+        tx.stageReplaceEquality(indexIdent, net.select(keyCol), Seq(keyCol),
+          derive(ins))
+        true
+      }
+    } finally { net.unpersist(); () }
+  }
+
   /** Apply one changelog window (batch or micro-batch) to `target`:
     * retract-all-touched (fresh inserts retract vacuously — that is what
     * keeps the commit pair idempotent), then append `derive(netInserts)`. */

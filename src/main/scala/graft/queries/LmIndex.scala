@@ -85,6 +85,39 @@ object LmIndex {
     } finally { dl.unpersist(); fresh.unpersist(); () }
   }
 
+  /** REST-transactional sync: the same additive-delta merge as
+    * [[applyChanges]], staged onto `tx` as ONE retract-and-replace
+    * snapshot carrying the exactly-once watermark — committed atomically
+    * with whatever else the transaction stages (e.g. the source append
+    * that produced the window). Returns false when nothing is fresh. */
+  def stageChanges(tx: graft.spark.TableWriter.RestTransaction,
+                   catalog: graft.catalog.RestCatalog,
+                   indexIdent: Seq[String], changes: DataFrame,
+                   target: Column, s: SparkSession): Boolean = {
+    val table = TableWriter.restTableOf(catalog.loadTable(indexIdent))
+    val applied = table.properties.get(AppliedSeqProp).flatMap(_.toLongOption)
+      .getOrElse(Long.MinValue)
+    val fresh = changes.filter(col("_commit_sequence") > applied).persist()
+    val dl = deltas(fresh, target).persist()
+    try {
+      val hi = fresh.agg(max(col("_commit_sequence"))).collect()(0)
+      if (hi.isNullAt(0)) false
+      else {
+        val touched = dl.select("w1", "w2")
+        val current = table.newScan().toDF(s)
+          .join(touched, Seq("w1", "w2"), "left_semi")
+        val merged = current.join(dl, Seq("w1", "w2"), "full_outer")
+          .select(col("w1"), col("w2"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+              .as("cnt"))
+          .filter(col("cnt") > 0)
+        tx.stageReplaceEquality(indexIdent, touched, Seq("w1", "w2"), merged,
+          Map(AppliedSeqProp -> hi.getLong(0).toString))
+        true
+      }
+    } finally { dl.unpersist(); fresh.unpersist(); () }
+  }
+
   /** Batch catch-up over every commit after `afterSnapshotId`. */
   def syncFromChangelog(spark: SparkSession, docs: IcebergTable,
                         table: IcebergTable, target: Column,

@@ -109,6 +109,39 @@ object MatView {
     } finally { fresh.unpersist(); () }
   }
 
+  /** REST-transactional sync: [[applyChanges]]'s merge staged onto `tx`
+    * as ONE retract-and-replace snapshot carrying the watermark, committed
+    * atomically with the transaction's other staged tables. Returns false
+    * when nothing is fresh. */
+  def stageChanges(tx: graft.spark.TableWriter.RestTransaction,
+                   catalog: graft.catalog.RestCatalog,
+                   viewIdent: Seq[String], changes: DataFrame,
+                   s: SparkSession): Boolean = {
+    val view = TableWriter.restTableOf(catalog.loadTable(viewIdent))
+    val applied = view.properties.get(AppliedSeqProp).flatMap(_.toLongOption)
+      .getOrElse(Long.MinValue)
+    val fresh = changes.filter(col("_commit_sequence") > applied).persist()
+    try {
+      val hi = fresh.agg(max(col("_commit_sequence"))).collect()(0)
+      if (hi.isNullAt(0)) false
+      else {
+        val dl = deltas(fresh)
+        val touched = dl.select("source", "lang")
+        val current = view.newScan().toDF(s)
+          .join(touched, Seq("source", "lang"), "left_semi")
+        val merged = current.join(dl, Seq("source", "lang"), "full_outer")
+          .select(col("source"), col("lang"),
+            (coalesce(col("docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("docs"),
+            (coalesce(col("tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L))).as("tokens"),
+            (coalesce(col("chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("chars"))
+          .filter(col("docs") > 0)
+        tx.stageReplaceEquality(viewIdent, touched, Seq("source", "lang"),
+          merged, Map(AppliedSeqProp -> hi.getLong(0).toString))
+        true
+      }
+    } finally { fresh.unpersist(); () }
+  }
+
   /** Batch catch-up: fold every commit after `afterSnapshotId` (None =
     * full history) in one delta window. */
   def syncFromChangelog(spark: SparkSession, docs: IcebergTable,

@@ -72,11 +72,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         tableDir(Identifier.of(parts.init, parts.last)).getPath
       } else
         resolvedTableLocation(tableDir(Identifier.of(parts.init, parts.last)))
+    }, resolveRest = tableRef => {
+      // REST-plane routing: only for refs that are NOT local path tables —
+      // a maintenance CALL on a REST-cataloged table must commit through
+      // the server's update actions, never rewrite metadata files behind it
+      val parts = tableRef.split('.')
+      if (isTable(tableDir(Identifier.of(parts.init, parts.last)))) None
+      else rest.filter { rc =>
+        try { rc.loadTable(parts.toSeq); true }
+        catch { case _: graft.catalog.CatalogError => false }
+      }.map(rc => (rc, parts.toSeq))
     })
   }
 
   private var catalogName: String = _
   private var warehouse: File = _
+  private var restUri: Option[String] = None
+  private var restProps: Map[String, String] = Map.empty
+
+  /** The optional REST plane behind this catalog
+    * (`spark.sql.catalog.<name>.uri=http://...` + `credential` /
+    * `rest-warehouse` / `prefix`): tables and views not found in the local
+    * warehouse resolve through it, views CREATE into it (shared-deployment
+    * persistence), and maintenance procedures route their commits through
+    * its update actions. Lazy — a purely local catalog never dials out. */
+  private lazy val rest: Option[graft.catalog.RestCatalog] =
+    restUri.map(u => graft.catalog.Catalog.load(catalogName, u, restProps)
+      .asInstanceOf[graft.catalog.RestCatalog])
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -85,7 +107,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
     warehouse = new File(wh.stripPrefix("file://"))
     warehouse.mkdirs()
+    restUri = Option(options.get("uri"))
+    restProps = Seq(
+      graft.catalog.RestCatalog.KeyCredential -> Option(options.get("credential")),
+      graft.catalog.RestCatalog.KeyToken -> Option(options.get("token")),
+      graft.catalog.RestCatalog.KeyWarehouse -> Option(options.get("rest-warehouse")),
+      graft.catalog.RestCatalog.KeyPrefix -> Option(options.get("prefix")))
+      .collect { case (k, Some(v)) => k -> v }.toMap
   }
+
+  private def restIdent(ident: Identifier): Seq[String] =
+    ident.namespace().toSeq :+ ident.name()
+
+  /** REST-plane table resolution (read path): a SELECT over a
+    * REST-cataloged table rides the full scan stack; SQL WRITES refuse
+    * loudly (see [[GraftSparkTable]]'s restManaged guard) because a
+    * metadata-file write behind the server's back would corrupt the
+    * catalog of record — writes go through [[TableWriter.appendFilesRest]]
+    * / [[TableWriter.transaction]] / the maintenance procedures, which
+    * commit REST update actions. */
+  private def restLoadTable(ident: Identifier): Option[Table] =
+    rest.flatMap { rc =>
+      try Some(new GraftSparkTable(
+        TableWriter.restTableOf(rc.loadTable(restIdent(ident))),
+        restManaged = true))
+      catch {
+        case _: graft.catalog.NoSuchTableError |
+             _: graft.catalog.NoSuchNamespaceError => None
+      }
+    }
 
   override def name(): String = catalogName
 
@@ -117,11 +167,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = new File(warehouse, namespace.mkString(File.separator))
-    if (!nsDir.isDirectory) throw new IllegalArgumentException(
-      s"namespace ${namespace.mkString(".")} not found")
-    Option(nsDir.listFiles()).getOrElse(Array.empty)
-      .filter(isTable)
-      .map(f => Identifier.of(namespace, f.getName))
+    val local: Array[Identifier] =
+      if (!nsDir.isDirectory) Array.empty
+      else Option(nsDir.listFiles()).getOrElse(Array.empty)
+        .filter(isTable)
+        .map(f => Identifier.of(namespace, f.getName))
+    val remote: Array[Identifier] = rest.map { rc =>
+      try rc.listTables(namespace.toSeq)
+        .map(id => Identifier.of(id.dropRight(1).toArray, id.last)).toArray
+      catch { case _: graft.catalog.NoSuchNamespaceError |
+                   _: graft.catalog.NoSuchTableError => Array.empty[Identifier] }
+    }.getOrElse(Array.empty)
+    if (!nsDir.isDirectory && rest.isEmpty)
+      throw new IllegalArgumentException(
+        s"namespace ${namespace.mkString(".")} not found")
+    (local ++ remote).distinct
   }
 
   private def loadIce(ident: Identifier): IcebergTable = {
@@ -152,6 +212,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (vf.isFile)
         return MetadataTables.buildViewVersions(tableDir(parent).getPath,
           ViewMetadata.parse(java.nio.file.Files.readString(vf.toPath)))
+    }
+    if (!isTable(tableDir(ident))) restLoadTable(ident) match {
+      case Some(t) => return t
+      case None =>
     }
     new GraftSparkTable(loadIce(ident))
   }
@@ -418,26 +482,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isView(dir: File): Boolean =
     new File(dir, "view.metadata.json").isFile
 
-  override def viewExists(ident: Identifier): Boolean = viewFile(ident).isFile
+  private def restViewExists(ident: Identifier): Boolean =
+    rest.exists { rc =>
+      try rc.viewExists(restIdent(ident))
+      catch { case _: graft.catalog.CatalogError => false }
+    }
 
+  override def viewExists(ident: Identifier): Boolean =
+    viewFile(ident).isFile || restViewExists(ident)
+
+  /** SHOW VIEWS lists BOTH planes: local warehouse view files and the
+    * REST catalog's server-side views. */
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     val nsDir = new File(warehouse, ns.mkString(File.separator))
-    if (!nsDir.isDirectory)
+    val local: Array[Identifier] =
+      if (!nsDir.isDirectory) Array.empty
+      else Option(nsDir.listFiles()).getOrElse(Array.empty)
+        .filter(isView)
+        .map(f => Identifier.of(ns, f.getName))
+    val remote: Array[Identifier] = rest.map { rc =>
+      try rc.listViews(ns.toSeq)
+        .map(id => Identifier.of(id.dropRight(1).toArray, id.last)).toArray
+      catch { case _: graft.catalog.CatalogError => Array.empty[Identifier] }
+    }.getOrElse(Array.empty)
+    if (!nsDir.isDirectory && rest.isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(ns)
-    Option(nsDir.listFiles()).getOrElse(Array.empty)
-      .filter(isView)
-      .map(f => Identifier.of(ns, f.getName))
+    (local ++ remote).distinct
   }
 
   override def loadView(ident: Identifier): View = {
     val f = viewFile(ident)
-    if (!f.isFile)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchViewException(ident)
-    new GraftView(ident,
-      ViewMetadata.parse(java.nio.file.Files.readString(f.toPath)))
+    if (f.isFile)
+      return new GraftView(ident,
+        ViewMetadata.parse(java.nio.file.Files.readString(f.toPath)))
+    rest.foreach { rc =>
+      try return new GraftView(ident,
+        ViewMetadata.parse(rc.loadView(restIdent(ident))))
+      catch { case _: graft.catalog.NoSuchTableError => }
+    }
+    throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchViewException(ident)
   }
 
   private def versionFromInfo(info: ViewInfo, versionId: Int): ViewVersion =
@@ -471,28 +557,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val nsDir = new File(warehouse, ident.namespace().mkString(File.separator))
-    if (ident.namespace().nonEmpty && !nsDir.isDirectory)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchNamespaceException(ident.namespace())
-    val md = ViewMetadata(
-      viewUuid = java.util.UUID.randomUUID().toString,
-      location = tableDir(ident).getPath,
-      currentVersionId = 1,
-      versions = Seq(versionFromInfo(info, 1)),
-      properties = Option(info.properties()).map(_.asScala.toMap)
-        .getOrElse(Map.empty))
-    writeView(ident, md)
-    GraftViewExistsCache.invalidate()
-    new GraftView(ident, md)
+    // REST configured → the SERVER is the view store: CREATE VIEW on a
+    // shared catalog must be visible to every other client of that
+    // catalog, not land in this engine's local warehouse
+    rest match {
+      case Some(rc) =>
+        val created = rc.createView(restIdent(ident),
+          ViewMetadata.versionJson(versionFromInfo(info, 1)),
+          location = tableDir(ident).getPath,
+          properties = Option(info.properties()).map(_.asScala.toMap)
+            .getOrElse(Map.empty))
+        GraftViewExistsCache.invalidate()
+        new GraftView(ident, ViewMetadata.parse(created))
+      case None =>
+        val nsDir = new File(warehouse, ident.namespace().mkString(File.separator))
+        if (ident.namespace().nonEmpty && !nsDir.isDirectory)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(ident.namespace())
+        val md = ViewMetadata(
+          viewUuid = java.util.UUID.randomUUID().toString,
+          location = tableDir(ident).getPath,
+          currentVersionId = 1,
+          versions = Seq(versionFromInfo(info, 1)),
+          properties = Option(info.properties()).map(_.asScala.toMap)
+            .getOrElse(Map.empty))
+        writeView(ident, md)
+        GraftViewExistsCache.invalidate()
+        new GraftView(ident, md)
+    }
   }
 
   /** CREATE OR REPLACE VIEW: appends a new version and moves
-    * `current-version-id` — history is retained like table snapshots. */
+    * `current-version-id` — history is retained like table snapshots.
+    * Plane-preserving: a view replaces where it lives (local file or REST
+    * server); orCreate routes through [[createView]]'s plane choice. */
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val ident = info.ident()
     val f = viewFile(ident)
     if (!f.isFile) {
+      if (restViewExists(ident)) {
+        val rc = rest.get
+        val prev = ViewMetadata.parse(rc.loadView(restIdent(ident)))
+        val nextId = prev.versions.map(_.versionId).max + 1
+        val updated = rc.commitView(restIdent(ident), Some(prev.viewUuid),
+          Some(ViewMetadata.versionJson(versionFromInfo(info, nextId))),
+          setProperties = Option(info.properties()).map(_.asScala.toMap)
+            .getOrElse(Map.empty))
+        return new GraftView(ident, ViewMetadata.parse(updated))
+      }
       if (!orCreate)
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchViewException(ident)
@@ -511,6 +623,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val f = viewFile(ident)
+    if (!f.isFile && restViewExists(ident)) {
+      val rc = rest.get
+      val prev = ViewMetadata.parse(rc.loadView(restIdent(ident)))
+      val sets = changes.collect {
+        case s: ViewChange.SetProperty => s.property() -> s.value() }.toMap
+      val removes = changes.collect {
+        case r: ViewChange.RemoveProperty => r.property() }
+      changes.foreach {
+        case _: ViewChange.SetProperty | _: ViewChange.RemoveProperty =>
+        case other => throw new UnsupportedOperationException(
+          s"view change ${other.getClass.getSimpleName} is not supported")
+      }
+      val updated = rc.commitView(restIdent(ident), Some(prev.viewUuid),
+        None, setProperties = sets, removeProperties = removes)
+      return new GraftView(ident, ViewMetadata.parse(updated))
+    }
     if (!f.isFile)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
@@ -529,12 +657,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropView(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!isView(dir)) false
-    else { deleteRec(dir); GraftViewExistsCache.invalidate(); true }
+    if (isView(dir)) {
+      deleteRec(dir); GraftViewExistsCache.invalidate(); true
+    } else if (restViewExists(ident)) {
+      rest.get.dropView(restIdent(ident))
+      GraftViewExistsCache.invalidate()
+      true
+    } else false
   }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
+    if (!isView(from) && restViewExists(oldIdent)) {
+      val targetNs = newIdent.namespace() match {
+        case ns if ns.headOption.contains(catalogName) => ns.drop(1)
+        case ns => ns
+      }
+      rest.get.renameView(restIdent(oldIdent),
+        restIdent(Identifier.of(targetNs, newIdent.name())))
+      GraftViewExistsCache.invalidate()
+      return
+    }
     if (!isView(from))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(oldIdent)

@@ -98,28 +98,56 @@ final case class ViewMetadata(
 object ViewMetadata {
   private val mapper = new ObjectMapper()
 
-  def parse(json: String): ViewMetadata = {
-    val root = mapper.readTree(json)
+  /** Parse ONE `versions` entry (shared with the REST plane, whose
+    * CreateViewRequest/UpdateViewRequest carry single view-version nodes
+    * of exactly this shape). */
+  def parseVersion(v: JsonNode): ViewVersion = {
     def strs(n: JsonNode): Seq[String] =
       n.elements().asScala.map(_.asText()).toSeq
-    val versions = root.get("versions").elements().asScala.map { v =>
-      val rep = v.get("representations").elements().asScala
-        .find(r => r.get("type").asText() == "sql")
-        .getOrElse(throw new IllegalArgumentException(
-          "view version has no sql representation"))
-      ViewVersion(
-        versionId = v.get("version-id").asInt(),
-        timestampMs = v.get("timestamp-ms").asLong(),
-        sql = rep.get("sql").asText(),
-        dialect = rep.get("dialect").asText(),
-        defaultCatalog = v.get("default-catalog").asText(),
-        defaultNamespace = strs(v.get("default-namespace")),
-        sparkSchemaJson = v.get("spark-schema").asText(),
-        queryColumnNames = strs(v.get("query-column-names")),
-        columnAliases = strs(v.get("column-aliases")),
-        columnComments = v.get("column-comments").elements().asScala
-          .map(n => if (n.isNull) None else Some(n.asText())).toSeq)
-    }.toSeq
+    val rep = v.get("representations").elements().asScala
+      .find(r => r.get("type").asText() == "sql")
+      .getOrElse(throw new IllegalArgumentException(
+        "view version has no sql representation"))
+    ViewVersion(
+      versionId = v.get("version-id").asInt(),
+      timestampMs = v.get("timestamp-ms").asLong(),
+      sql = rep.get("sql").asText(),
+      dialect = rep.get("dialect").asText(),
+      defaultCatalog = v.get("default-catalog").asText(),
+      defaultNamespace = strs(v.get("default-namespace")),
+      sparkSchemaJson = v.get("spark-schema").asText(),
+      queryColumnNames = strs(v.get("query-column-names")),
+      columnAliases = strs(v.get("column-aliases")),
+      columnComments = v.get("column-comments").elements().asScala
+        .map(n => if (n.isNull) None else Some(n.asText())).toSeq)
+  }
+
+  /** Serialize ONE view version to its `versions`-entry JSON node — the
+    * payload of the REST plane's add-view-version update action. */
+  def versionJson(v: ViewVersion): String = {
+    val n = mapper.createObjectNode()
+    n.put("version-id", v.versionId)
+    n.put("timestamp-ms", v.timestampMs)
+    val reps = n.putArray("representations")
+    val rep = reps.addObject()
+    rep.put("type", "sql"); rep.put("sql", v.sql); rep.put("dialect", v.dialect)
+    n.put("default-catalog", v.defaultCatalog)
+    val dns = n.putArray("default-namespace"); v.defaultNamespace.foreach(dns.add)
+    n.put("spark-schema", v.sparkSchemaJson)
+    val qcn = n.putArray("query-column-names"); v.queryColumnNames.foreach(qcn.add)
+    val ca = n.putArray("column-aliases"); v.columnAliases.foreach(ca.add)
+    val cc = n.putArray("column-comments")
+    v.columnComments.foreach {
+      case Some(c) => cc.add(c)
+      case None => cc.addNull()
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  def parse(json: String): ViewMetadata = {
+    val root = mapper.readTree(json)
+    val versions = root.get("versions").elements().asScala
+      .map(parseVersion).toSeq
     ViewMetadata(
       viewUuid = root.get("view-uuid").asText(),
       location = root.get("location").asText(),

@@ -101,11 +101,25 @@ object GraftSparkTable {
   * resolve the schema they were written under. */
 final class GraftSparkTable(table: IcebergTable,
                             pinnedSnapshotId: Option[Long] = None,
-                            readChanges: Boolean = false) extends Table
+                            readChanges: Boolean = false,
+                            // the table's catalog of record is a REST
+                            // server: SQL reads ride the full scan stack,
+                            // but SQL writes refuse — a metadata-file
+                            // write behind the server would corrupt the
+                            // catalog. Writes go through the TableWriter
+                            // REST commit APIs / maintenance procedures.
+                            restManaged: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  private def refuseIfRestManaged(op: String): Unit =
+    if (restManaged) throw new UnsupportedOperationException(
+      s"$op on a REST-cataloged table is not routed through SQL: commit " +
+        "through the catalog instead (TableWriter.appendFilesRest / " +
+        "replaceFilesRest / transaction(), or CALL graft.system.* " +
+        "maintenance procedures)")
 
   /** SQL UPDATE / MERGE / non-pushable DELETE: copy-on-write rewrite of
     * only the affected files by default (see [[GraftRowLevelOperation]]);
@@ -119,6 +133,7 @@ final class GraftSparkTable(table: IcebergTable,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      refuseIfRestManaged("UPDATE/DELETE/MERGE")
       // row-level DML commits (CoW swap / MoR delta) target main; running
       // one while a WAP stage is active would bypass the audit gate the
       // user just asked for — refuse loudly instead of committing to main
@@ -197,9 +212,10 @@ final class GraftSparkTable(table: IcebergTable,
     * data rewrite). Only fully-convertible predicates are accepted;
     * otherwise Spark falls back to an error (no silent rewrite). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
+    !restManaged && filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseIfRestManaged("DELETE")
     GraftSparkTable.wapBranch.foreach { b =>
       throw new UnsupportedOperationException(
         s"spark.wap.branch='$b' is set: DELETE is not stageable on a " +
@@ -345,7 +361,8 @@ final class GraftSparkTable(table: IcebergTable,
     * `overwrite` (INSERT OVERWRITE / truncate) starts the manifest list from
     * scratch — a REPLACE commit. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseIfRestManaged("INSERT/write")
     new org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwrite = false
@@ -410,6 +427,7 @@ final class GraftSparkTable(table: IcebergTable,
               info.queryId())
         }
     }
+  }
 
   /** Align an incoming frame to the table schema. A no-op for ordinary
     * writes (Spark already validated and reordered); with ACCEPT_ANY_SCHEMA

@@ -45,7 +45,10 @@ object GraftProcedures {
     Array[Any](s.codeRows, s.quantErr, s.bootstrapErr.orNull,
       s.driftRatio.orNull, s.maxCellShare.orNull)
 
-  def load(name: String, resolveLocation: String => String): UnboundProcedure =
+  def load(name: String, resolveLocation: String => String,
+           resolveRest: String =>
+             Option[(graft.catalog.RestCatalog, Seq[String])] = _ => None)
+      : UnboundProcedure =
     name match {
       case "rollback_to_snapshot" => proc(name,
         Seq("table" -> StringType, "snapshot_id" -> LongType),
@@ -63,12 +66,25 @@ object GraftProcedures {
         StructType(Seq(
           StructField("expired_snapshots", IntegerType, nullable = false),
           StructField("remaining_snapshots", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val before = table.metadata.snapshots.size
-        val out = TableWriter.expireSnapshots(table, in.getLong(1),
-          retainLast = in.getInt(2), deleteFiles = true)
-        val after = out.metadata.snapshots.size
-        Array[Any](before - after, after)
+        val ref = in.getUTF8String(0).toString
+        resolveRest(ref) match {
+          // REST-cataloged table: expiry commits remove-snapshots /
+          // remove-snapshot-ref actions through the server (same
+          // per-branch retention math — TableWriter.computeExpiry)
+          case Some((rc, ident)) =>
+            val before = rc.loadTable(ident).metadata.snapshots.size
+            val out = TableWriter.expireSnapshotsRest(rc, ident,
+              in.getLong(1), retainLast = in.getInt(2), deleteFiles = true)
+            val after = out.metadata.snapshots.size
+            Array[Any](before - after, after)
+          case None =>
+            val table = IcebergTables.load(resolveLocation(ref))
+            val before = table.metadata.snapshots.size
+            val out = TableWriter.expireSnapshots(table, in.getLong(1),
+              retainLast = in.getInt(2), deleteFiles = true)
+            val after = out.metadata.snapshots.size
+            Array[Any](before - after, after)
+        }
       }
       case "compact" => proc(name,
         Seq("table" -> StringType, "target_files" -> IntegerType),

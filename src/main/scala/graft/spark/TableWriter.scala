@@ -870,6 +870,28 @@ object TableWriter {
       }
     }
     val md = table.metadata
+    val snapshot = stageDeltaSnapshot(table, added, posDeleteFiles)
+    writeMetadata(location, md.copy(
+      lastSequenceNumber = snapshot.sequenceNumber,
+      lastUpdatedMs = snapshot.timestampMs,
+      nextRowId = nextRowIdAfter(md, snapshot),
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapshot.snapshotId),
+      snapshotLog = md.snapshotLog :+
+        SnapshotLogEntry(snapshot.snapshotId, snapshot.timestampMs),
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapshot.snapshotId)),
+      table.loadedVersion + 1)
+    IcebergTables.load(location)
+  }
+
+  /** Stage the MoR delta snapshot (manifests + manifest list on disk, no
+    * metadata commit) — the body of [[commitDelta]], shared with the REST
+    * plane ([[stageRestDeltaChange]]/[[RestTransaction.stageDelta]]). */
+  private def stageDeltaSnapshot(table: IcebergTable,
+                                 added: Seq[graft.spark.CowFileOut],
+                                 posDeleteFiles: Seq[String]): Snapshot = {
+    val md = table.metadata
+    val location = table.location
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
@@ -933,22 +955,17 @@ object TableWriter {
       prevManifests ++ addManifest ++ delManifest)
     val now = System.currentTimeMillis()
     val op = if (addedEntries.isEmpty) OpDelete else OpOverwrite
-    val snapshot = Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+    Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
       now, listFile.getPath,
       Some(SnapshotSummary(op, Map(
         "added-data-files" -> addedEntries.size.toString,
+        // added-records makes nextRowIdAfter (and a REST server's V3
+        // lineage advance) exact for the delta commit's appended rows
+        "added-records" -> addedEntries.map(_.dataFile.recordCount).sum.toString,
         "added-delete-files" -> delInfos.size.toString,
         "added-position-deletes" -> delInfos.map(_.recordCount).sum.toString))),
       Some(table.schema.schemaId),
       firstRowId = lineage.snapshotFirstRowId)
-    writeMetadata(location, md.copy(
-      lastSequenceNumber = seq, lastUpdatedMs = now,
-      nextRowId = lineage.nextRowId,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
-    IcebergTables.load(location)
   }
 
   /** Every commit between `sinceSnapshotId` and the current head is a
@@ -1950,6 +1967,16 @@ object TableWriter {
     IcebergTables.load(table.location)
   }
 
+  /** The effect of one expiry pass over `md0` at time `now`: the refs that
+    * aged out, and the snapshot partition into kept/expired — shared
+    * verbatim by the local-FS route ([[expireSnapshots]], which rewrites
+    * metadata) and the REST route ([[expireSnapshotsRest]], which commits
+    * `remove-snapshot-ref` + `remove-snapshots` update actions), so the two
+    * catalog planes retain IDENTICAL history under identical policies. */
+  private[spark] final case class ExpiryPlan(agedOutRefs: Set[String],
+                                             kept: Seq[Snapshot],
+                                             expired: Seq[Snapshot])
+
   /** Expire snapshots older than `olderThanMs`, always retaining the
     * current snapshot, the newest `retainLast`, and every ref target.
     * Metadata-only by default; with `deleteFiles` the data/manifest files
@@ -1958,10 +1985,85 @@ object TableWriter {
                       retainLast: Int = 1,
                       deleteFiles: Boolean = false): IcebergTable = {
     val md0 = table.metadata
+    val now = System.currentTimeMillis()
+    val plan = computeExpiry(md0, olderThanMs, retainLast, now)
+    val agedOut = plan.agedOutRefs
+    val md = md0.copy(refs = md0.refs -- agedOut)
+    val (kept, expired) = (plan.kept, plan.expired)
+    if (expired.isEmpty && agedOut.isEmpty) return table
+    if (expired.isEmpty) {
+      writeMetadata(table.location, md.copy(
+        lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+      return IcebergTables.load(table.location)
+    }
+
+    if (deleteFiles) deleteExpiredFiles(table, kept, expired)
+
+    writeMetadata(table.location, md.copy(
+      snapshots = kept,
+      snapshotLog = md.snapshotLog.filter(e =>
+        kept.exists(_.snapshotId == e.snapshotId)),
+      lastUpdatedMs = System.currentTimeMillis()),
+      table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** Remove from disk every file reachable ONLY from `expired` snapshots.
+    * liveOnly on the kept side: a DELETED-status entry in a retained
+    * snapshot records a file some RETAINED-or-expired parent held; if no
+    * retained snapshot holds it LIVE, the file is unreachable and must go.
+    * The expired side keeps deleted entries so tombstone-recorded files
+    * are swept. */
+  private def deleteExpiredFiles(table: IcebergTable, kept: Seq[Snapshot],
+                                 expired: Seq[Snapshot]): Unit = {
+    val live = reachablePaths(table, kept, liveOnly = true)
+    (reachablePaths(table, expired) -- live).foreach(p => new File(p).delete())
+  }
+
+  /** Expire snapshots of a REST-cataloged table THROUGH the catalog: the
+    * same per-branch retention computation as [[expireSnapshots]], landed
+    * as `remove-snapshot-ref` + `remove-snapshots` update actions guarded
+    * by assert-table-uuid + assert-ref-snapshot-id(main) — a concurrent
+    * commit moves main and the server answers 409 instead of this pass
+    * silently expiring history computed against a stale snapshot set.
+    * (The reference panics on every commit, rest.go:418-424; its expiry
+    * story is absent entirely.) */
+  def expireSnapshotsRest(catalog: graft.catalog.RestCatalog,
+                          identifier: Seq[String], olderThanMs: Long,
+                          retainLast: Int = 1,
+                          deleteFiles: Boolean = false)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val plan = computeExpiry(md, olderThanMs, retainLast,
+      System.currentTimeMillis())
+    if (plan.agedOutRefs.isEmpty && plan.expired.isEmpty) return loaded
+    val updates: Seq[graft.catalog.TableUpdate] =
+      plan.agedOutRefs.toSeq.sorted.map(graft.catalog.RemoveSnapshotRef(_)) ++
+        (if (plan.expired.isEmpty) Nil
+         else Seq(graft.catalog.RemoveSnapshots(plan.expired.map(_.snapshotId))))
+    val committed = catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+            .orElse(md.currentSnapshotId))),
+      updates)
+    // file sweep only AFTER the server accepted the commit — a 409 above
+    // must leave every data/manifest file of the still-live history intact
+    if (deleteFiles && plan.expired.nonEmpty) {
+      val table = new IcebergTable(md.location, loaded.metadataLocation, md,
+        IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
+      deleteExpiredFiles(table, plan.kept, plan.expired)
+    }
+    committed
+  }
+
+  /** The shared expiry computation (see [[ExpiryPlan]]). */
+  private[spark] def computeExpiry(md0: TableMetadata, olderThanMs: Long,
+                                   retainLast: Int, now: Long): ExpiryPlan = {
     // ref aging first (Iceberg `max-ref-age-ms`): a branch/tag whose HEAD
     // snapshot is older than its retention window is dropped, so the
     // snapshots it pinned become expirable below. Main never ages out.
-    val now = System.currentTimeMillis()
     val agedOut = md0.refs.filter { case (name, r) =>
       name != TableMetadata.MainBranch &&
         r.maxRefAgeMs.exists(maxAge =>
@@ -2023,29 +2125,7 @@ object TableWriter {
     val (kept, expired) = md.snapshots.partition(s =>
       keepIds.contains(s.snapshotId) ||
         (!referenced.contains(s.snapshotId) && s.timestampMs >= olderThanMs))
-    if (expired.isEmpty && agedOut.isEmpty) return table
-    if (expired.isEmpty) {
-      writeMetadata(table.location, md.copy(
-        lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
-      return IcebergTables.load(table.location)
-    }
-
-    if (deleteFiles) {
-      // liveOnly: a DELETED-status entry in a retained snapshot records a
-      // file some RETAINED-or-expired parent held; if no retained snapshot
-      // holds it LIVE, the file is unreachable and must go. The expired
-      // side keeps deleted entries so tombstone-recorded files are swept.
-      val live = reachablePaths(table, kept, liveOnly = true)
-      (reachablePaths(table, expired) -- live).foreach(p => new File(p).delete())
-    }
-
-    writeMetadata(table.location, md.copy(
-      snapshots = kept,
-      snapshotLog = md.snapshotLog.filter(e =>
-        kept.exists(_.snapshotId == e.snapshotId)),
-      lastUpdatedMs = System.currentTimeMillis()),
-      table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    ExpiryPlan(agedOut, kept, expired)
   }
 
   /** Every path the given snapshots reference: manifest lists, manifests,
@@ -2499,6 +2579,89 @@ object TableWriter {
         "not apply AddSnapshot row lineage — refusing to continue with " +
         "duplicate _row_id assignment")
 
+  /** Stage the atomic retract-and-replace snapshot ([[replaceEquality]]'s
+    * commit shape: ONE snapshot carrying an equality-delete manifest on
+    * `keyCols` plus the appended `rows`) WITHOUT committing — manifests and
+    * the manifest list land on disk under the table location; the commit
+    * rides a REST UpdateTableRequest. The same-sequence exemption holds
+    * identically: the delete applies only to strictly-smaller sequence
+    * numbers, so the staged rows are exempt by construction. */
+  private def stageEqualitySnapshot(table: IcebergTable, keys: DataFrame,
+                                    keyCols: Seq[String],
+                                    rows: DataFrame): Snapshot = {
+    val md = table.metadata
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delManifest = writeEqDeleteManifest(table, keys, keyCols, snapId, seq)
+    val dataDir = new File(table.location, s"data/snap-$snapId")
+    val outs = writeDistributed(rows, dataDir, table.schema, table.spec,
+      table.properties, SortOrder.unsorted, preClustered = false)
+    val partType = table.spec.partitionType(table.schema)
+    val entries0 = outs.sortBy(_.path).map { o =>
+      ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
+        statsFromFooter(new File(o.path), table.schema,
+          o.partition.filter(_._2 != null), DataFileContent.Data, None,
+          o.nanCounts))
+    }
+    val lineage = assignLineage(md, entries0)
+    val entries = lineage.entries
+    val newManifest: Option[ManifestFile] =
+      if (entries.isEmpty) None // pure retraction window
+      else {
+        val mf = new File(metaDir, s"manifest-eq-$snapId.avro")
+        ManifestIO.writeManifest(mf, entries, partType)
+        Some(ManifestFile(
+          path = mf.getPath, length = mf.length(),
+          partitionSpecId = table.spec.specId, content = 0,
+          sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId,
+          addedFilesCount = entries.size, existingFilesCount = 0,
+          deletedFilesCount = 0,
+          addedRowsCount = entries.map(_.dataFile.recordCount).sum,
+          existingRowsCount = 0, deletedRowsCount = 0,
+          partitions = partitionSummaries(entries, partType), formatVersion = 2,
+          firstRowId = lineage.manifestFirstRowId))
+      }
+    val prevManifests = liveManifests(table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.readManifestList(table.io.open(s.manifestList))
+    })
+    val listFile = new File(metaDir, s"snap-$snapId.avro")
+    ManifestIO.writeManifestList(listFile,
+      prevManifests ++ Seq(delManifest) ++ newManifest)
+    Snapshot(snapId, table.currentSnapshot.map(_.snapshotId), seq,
+      System.currentTimeMillis(), listFile.getPath,
+      Some(SnapshotSummary(OpOverwrite, Map(
+        "added-data-files" -> entries.size.toString,
+        "added-records" -> entries.map(_.dataFile.recordCount).sum.toString,
+        "added-delete-files" -> "1"))),
+      Some(table.schema.schemaId),
+      firstRowId = lineage.snapshotFirstRowId)
+  }
+
+  /** Load-table-and-stage helper shared by the REST delta/equality change
+    * builders — mirrors [[stageRestAppendChange]]'s guard shape. */
+  private def restChangeFor(md: TableMetadata, identifier: Seq[String],
+                            snapshot: Snapshot,
+                            extraProperties: Map[String, String] = Map.empty)
+      : graft.catalog.TableChange =
+    graft.catalog.TableChange(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+            .orElse(md.currentSnapshotId))),
+      Seq(graft.catalog.AddSnapshot(snapshot),
+        setMainRefUpdate(md, snapshot.snapshotId)) ++
+        (if (extraProperties.isEmpty) Nil
+         else Seq(graft.catalog.SetProperties(extraProperties))))
+
+  /** A read-capable [[IcebergTable]] over a REST-loaded table — the handle
+    * the maintained-model sync layer scans through. */
+  def restTableOf(loaded: graft.catalog.LoadedTable): IcebergTable = {
+    val md = loaded.metadata
+    new IcebergTable(md.location, loaded.metadataLocation, md,
+      IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
+  }
+
   /** Atomic multi-table REST transaction: stage appends across tables,
     * then [[commit]] lands ALL of them or NONE via the spec's
     * `POST /v1/transactions/commit`. Each staged table is guarded by
@@ -2546,6 +2709,49 @@ object TableWriter {
         removedPaths, added, touchedManifests)
       changes += change
       watermark.foreach(w => lineageWatermarks += ((identifier, w)))
+      this
+    }
+
+    /** Stage a MoR delta ([[commitDelta]]'s shape: positional tombstones +
+      * appended files in ONE snapshot) for this transaction — SQL
+      * UPDATE/MERGE/DELETE under merge-on-read joining a multi-table
+      * commit. */
+    def stageDelta(identifier: Seq[String],
+                   added: Seq[graft.spark.CowFileOut],
+                   posDeleteFiles: Seq[String]): this.type = {
+      guard(identifier)
+      val loaded = catalog.loadTable(identifier)
+      val table = restTableOf(loaded)
+      val snapshot = stageDeltaSnapshot(table, added, posDeleteFiles)
+      changes += restChangeFor(loaded.metadata, identifier, snapshot)
+      snapshot.firstRowId.foreach(base => lineageWatermarks +=
+        ((identifier, base + added.map(_.rows).sum)))
+      this
+    }
+
+    /** Stage an atomic retract-and-replace ([[replaceEquality]]'s shape:
+      * equality tombstones on `keyCols` + the replacement `rows` in ONE
+      * snapshot) — the commit the maintained-model family (BM25 postings,
+      * LM counts, ANN codes, aggregate views) makes per changefeed window.
+      * `extraProperties` (e.g. the exactly-once sync watermark) ride the
+      * SAME UpdateTableRequest, so index state and bookkeeping move
+      * together or not at all — and with [[stageAppend]] on the source
+      * table in the same transaction, source and derived index move in
+      * lockstep. */
+    def stageReplaceEquality(identifier: Seq[String], keys: DataFrame,
+                             keyCols: Seq[String], rows: DataFrame,
+                             extraProperties: Map[String, String] = Map.empty)
+        : this.type = {
+      guard(identifier)
+      val loaded = catalog.loadTable(identifier)
+      val table = restTableOf(loaded)
+      val snapshot = stageEqualitySnapshot(table, keys, keyCols, rows)
+      changes += restChangeFor(loaded.metadata, identifier, snapshot,
+        extraProperties)
+      snapshot.firstRowId.foreach(base => lineageWatermarks +=
+        ((identifier, base + snapshot.summary
+          .flatMap(_.properties.get("added-records")).map(_.toLong)
+          .getOrElse(0L))))
       this
     }
 

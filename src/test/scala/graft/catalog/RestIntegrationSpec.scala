@@ -299,6 +299,212 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "src must not advance when the transaction rolled back")
   }
 
+  test("expireSnapshotsRest: remove-snapshots through the catalog honors branch policies") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    catalog.createNamespace(Seq("it_exp"))
+    val loc = java.nio.file.Files.createTempDirectory("exp_rest").toFile.getPath
+    val ident = Seq("it_exp", "t")
+    catalog.createTable(ident, schema, location = Some(loc))
+
+    def appendOne(tag: String): Long = {
+      val raw = java.nio.file.Files.createTempDirectory(s"exp_raw_$tag").toFile
+      Seq((1L, tag)).toDF("id", "data")
+        .coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      graft.spark.TableWriter.appendFilesRest(catalog, ident,
+        Seq(graft.spark.CowFileOut(dest.getPath, 1, Map.empty)))
+        .metadata.currentSnapshotId.get
+    }
+    val s1 = appendOne("a1"); val s2 = appendOne("a2"); val s3 = appendOne("a3")
+
+    // branch "audit" pinned at s1 WITH a retention policy (min-keep 1)
+    catalog.commitTable(ident, Nil,
+      Seq(SetSnapshotRef("audit", s1, "branch", minSnapshotsToKeep = Some(1))))
+    val s2List = catalog.loadTable(ident).metadata
+      .snapshotById(s2).get.manifestList
+
+    // a stale main guard must 409 WITHOUT expiring anything
+    intercept[CommitConflictError] {
+      catalog.commitTable(ident,
+        Seq(AssertRefSnapshotId("main", Some(s1))), // main is at s3
+        Seq(RemoveSnapshots(Seq(s2))))
+    }
+    assert(catalog.loadTable(ident).metadata.snapshotById(s2).isDefined)
+
+    // aggressive expiry: keep main's newest (s3) + the branch target under
+    // its policy (s1); s2 — referenced but retained by NO policy — expires
+    val after = graft.spark.TableWriter.expireSnapshotsRest(catalog, ident,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1,
+      deleteFiles = true)
+    val ids = after.metadata.snapshots.map(_.snapshotId).toSet
+    assert(ids == Set(s1, s3), ids)
+    assert(after.metadata.refs("audit").snapshotId == s1)
+    assert(after.metadata.currentSnapshotId.contains(s3))
+    // the reloaded table agrees (server state, not just the response)
+    assert(catalog.loadTable(ident).metadata.snapshots
+      .map(_.snapshotId).toSet == Set(s1, s3))
+    // deleteFiles swept the expired snapshot's manifest list; kept
+    // history still reads
+    assert(!new java.io.File(s2List).exists(), s2List)
+    val kept = catalog.loadTable(ident)
+    val keptTable = new graft.spark.IcebergTable(kept.metadata.location,
+      kept.metadataLocation, kept.metadata,
+      graft.spark.IOConfig.fileIO(kept.ioProps), ioProps = kept.ioProps)
+    assert(keptTable.newScan().toDF(spark).count() == 3L)
+
+    // ref aging: a branch whose HEAD is older than max-ref-age-ms drops
+    // server-side via remove-snapshot-ref (its pinned history then expires
+    // on the NEXT pass, exactly like the local-FS plane)
+    catalog.commitTable(ident, Nil,
+      Seq(SetSnapshotRef("stale", s1, "branch", maxRefAgeMs = Some(0L))))
+    Thread.sleep(5)
+    val after2 = graft.spark.TableWriter.expireSnapshotsRest(catalog, ident,
+      olderThanMs = 0L, retainLast = 10)
+    assert(!after2.metadata.refs.contains("stale"), after2.metadata.refs.keySet)
+    assert(after2.metadata.refs.contains("audit"))
+
+    // idempotent: nothing left to expire → no commit, same state back
+    val again = graft.spark.TableWriter.expireSnapshotsRest(catalog, ident,
+      olderThanMs = 0L, retainLast = 10)
+    assert(again.metadata.snapshots.map(_.snapshotId).toSet == Set(s1, s3))
+  }
+
+  test("transactional maintained-model sync: source + index move in lockstep") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    catalog.createNamespace(Seq("it_sync"))
+    val locD = java.nio.file.Files.createTempDirectory("sync_docs").toFile.getPath
+    val locI = java.nio.file.Files.createTempDirectory("sync_idx").toFile.getPath
+    val docsId = Seq("it_sync", "docs"); val idxId = Seq("it_sync", "idx")
+    val docsSchema = Schema(0, StructT(Seq(
+      NestedField(1, "doc_id", LongT, required = true),
+      NestedField(2, "text", StringT))))
+    val idxSchema = Schema(0, StructT(Seq(
+      NestedField(1, "doc_id", LongT, required = true),
+      NestedField(2, "w", LongT, required = true),
+      NestedField(3, "tf", LongT, required = true))))
+    catalog.createTable(docsId, docsSchema, location = Some(locD))
+    catalog.createTable(idxId, idxSchema,
+      Map(graft.queries.Bm25Index.HashFamilyProp -> "md5-60"),
+      location = Some(locI))
+    val p = graft.queries.Bm25Index.OracleParams
+
+    def stagedFile(df: org.apache.spark.sql.DataFrame, tag: String)
+        : graft.spark.CowFileOut = {
+      val raw = java.nio.file.Files.createTempDirectory(s"sync_$tag").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(locD, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      graft.spark.CowFileOut(dest.getPath, df.count(), Map.empty)
+    }
+    def docsTable = graft.spark.TableWriter.restTableOf(catalog.loadTable(docsId))
+    def idxTable = graft.spark.TableWriter.restTableOf(catalog.loadTable(idxId))
+    def asWindow(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      df.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_sequence", lit(seq))
+
+    // batch 1: source append + index fold land in ONE transaction
+    val b1 = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val tx1 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(docsId, Seq(stagedFile(b1, "b1")))
+    assert(graft.queries.Bm25Index.stageChanges(tx1, catalog, idxId,
+      asWindow(b1, 1L), p))
+    tx1.commit()
+    assert(docsTable.newScan().toDF(spark).count() == 2L)
+    val expect1 = graft.queries.Bm25Index.rows(b1, p)
+      .collect().map(_.toSeq).toSet
+    assert(idxTable.newScan().toDF(spark).collect().map(_.toSeq).toSet
+      == expect1)
+
+    // batch 2 through the same lockstep pair
+    val b2 = Seq((3L, "gamma delta")).toDF("doc_id", "text")
+    val tx2 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(docsId, Seq(stagedFile(b2, "b2")))
+    assert(graft.queries.Bm25Index.stageChanges(tx2, catalog, idxId,
+      asWindow(b2, 2L), p))
+    tx2.commit()
+    val allDocs = b1.union(b2)
+    assert(idxTable.newScan().toDF(spark).collect().map(_.toSeq).toSet
+      == graft.queries.Bm25Index.rows(allDocs, p).collect().map(_.toSeq).toSet)
+
+    // injected failure BETWEEN stage and commit: a concurrent commit to the
+    // source rolls back the WHOLE pair — neither docs nor index move
+    val docsSnapBefore = catalog.loadTable(docsId).metadata.currentSnapshotId
+    val idxSnapBefore = catalog.loadTable(idxId).metadata.currentSnapshotId
+    val b3 = Seq((4L, "epsilon zeta")).toDF("doc_id", "text")
+    val tx3 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(docsId, Seq(stagedFile(b3, "b3")))
+    assert(graft.queries.Bm25Index.stageChanges(tx3, catalog, idxId,
+      asWindow(b3, 3L), p))
+    graft.spark.TableWriter.appendFilesRest(catalog, docsId,
+      Seq(stagedFile(Seq((99L, "sneak")).toDF("doc_id", "text"), "sneak")))
+    intercept[CommitConflictError](tx3.commit())
+    assert(catalog.loadTable(idxId).metadata.currentSnapshotId == idxSnapBefore,
+      "index must not move when the source-side guard failed")
+    assert(catalog.loadTable(docsId).metadata.currentSnapshotId
+      != docsSnapBefore, "only the sneak commit moved docs")
+    // the index still serves the pre-failure state
+    assert(idxTable.newScan().toDF(spark).collect().map(_.toSeq).toSet
+      == graft.queries.Bm25Index.rows(allDocs, p).collect().map(_.toSeq).toSet)
+
+    // mismatched hash family refuses at stage time
+    intercept[IllegalArgumentException] {
+      graft.queries.Bm25Index.stageChanges(
+        graft.spark.TableWriter.transaction(catalog), catalog, idxId,
+        asWindow(b3, 4L), graft.queries.Bm25Index.Params())
+    }
+  }
+
+  test("stageDelta: a MoR tombstone+append joins a multi-table transaction") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    catalog.createNamespace(Seq("it_mor"))
+    val locA = java.nio.file.Files.createTempDirectory("mor_a").toFile.getPath
+    val locB = java.nio.file.Files.createTempDirectory("mor_b").toFile.getPath
+    val aId = Seq("it_mor", "a"); val bId = Seq("it_mor", "b")
+    catalog.createTable(aId, schema, location = Some(locA))
+    catalog.createTable(bId, schema, location = Some(locB))
+
+    def fileAt(loc: String, df: org.apache.spark.sql.DataFrame, tag: String)
+        : graft.spark.CowFileOut = {
+      val raw = java.nio.file.Files.createTempDirectory(s"mor_$tag").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      graft.spark.CowFileOut(dest.getPath, df.count(), Map.empty)
+    }
+    val seed = fileAt(locA, Seq((1L, "x"), (2L, "y")).toDF("id", "data"), "seed")
+    graft.spark.TableWriter.appendFilesRest(catalog, aId, Seq(seed))
+
+    // positional tombstone for row 0 of the seed file (drops id=1)
+    val delDir = java.nio.file.Files.createTempDirectory("mor_del").toFile
+    Seq((seed.path, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delDir.getPath)
+    val delFile = delDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+
+    graft.spark.TableWriter.transaction(catalog)
+      .stageDelta(aId, Seq(fileAt(locA, Seq((3L, "z")).toDF("id", "data"), "add")),
+        Seq(delFile.getPath))
+      .stageAppend(bId, Seq(fileAt(locB, Seq((7L, "sib")).toDF("id", "data"), "sib")))
+      .commit()
+
+    def tableOf(id: Seq[String]) =
+      graft.spark.TableWriter.restTableOf(catalog.loadTable(id))
+    val aRows = tableOf(aId).newScan().toDF(spark)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(aRows == Set(2L, 3L), s"tombstone must hide id=1: $aRows")
+    assert(tableOf(bId).newScan().toDF(spark).count() == 1L)
+  }
+
   test("vended credentials: delegation handshake, per-table creds, expiry refresh") {
     catalog.createNamespace(Seq("it_vc"))
     catalog.createTable(Seq("it_vc", "t1"), schema)

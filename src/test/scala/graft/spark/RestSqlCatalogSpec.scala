@@ -1,0 +1,203 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{Catalog, RestCatalog, TestRestCatalogServer}
+import graft.core._
+
+/** The REST plane behind the Spark SQL catalog: a [[GraftCatalog]]
+  * configured with `uri` resolves tables and views through a live REST
+  * server next to its local warehouse — SELECT over a REST-cataloged
+  * table, CALL expire_snapshots committing remove-snapshots server-side,
+  * CREATE VIEW persisting server-side, SHOW VIEWS listing BOTH planes,
+  * and the SQL-write refusal that protects the server's metadata
+  * authority. */
+class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+
+  private val server = new TestRestCatalogServer("graft-ci", "s3cr3t")
+  private lazy val rc: RestCatalog = {
+    server.start()
+    Catalog.load("it", server.uri,
+      Map(RestCatalog.KeyCredential -> "graft-ci:s3cr3t")).asInstanceOf[RestCatalog]
+  }
+  private lazy val wh = Files.createTempDirectory("rest_sql_wh").toFile.getPath
+
+  override def afterAll(): Unit = server.stop()
+
+  private def conf(): Unit = {
+    server.start()
+    spark.conf.set("spark.sql.catalog.grest", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grest.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.grest.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.grest.credential", "graft-ci:s3cr3t")
+  }
+
+  private val schema = Schema(0, StructT(Seq(
+    NestedField(1, "id", LongT, required = true),
+    NestedField(2, "data", StringT))))
+
+  private def appendRest(ident: Seq[String], loc: String,
+                         rows: Seq[(Long, String)], tag: String): Unit = {
+    import spark.implicits._
+    val raw = Files.createTempDirectory(s"rsql_$tag").toFile
+    rows.toDF("id", "data").coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+    val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.copy(src.toPath, dest.toPath)
+    TableWriter.appendFilesRest(rc, ident,
+      Seq(CowFileOut(dest.getPath, rows.size, Map.empty)))
+    ()
+  }
+
+  test("SELECT over a REST-cataloged table; SQL writes refuse") {
+    conf()
+    rc.createNamespace(Seq("db"))
+    val loc = Files.createTempDirectory("rsql_t").toFile.getPath
+    rc.createTable(Seq("db", "events"), schema, location = Some(loc))
+    appendRest(Seq("db", "events"), loc, Seq((1L, "a"), (2L, "b")), "e1")
+
+    val got = spark.sql("SELECT id, data FROM grest.db.events ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // SHOW TABLES sees the REST plane
+    val listed = spark.sql("SHOW TABLES IN grest.db")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("events"), listed)
+
+    // SQL writes refuse loudly — committing metadata behind the server
+    // would corrupt the catalog of record
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO grest.db.events VALUES (3, 'c')")
+    }
+    assert(e.getMessage.contains("REST-cataloged"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM grest.db.events WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("REST-cataloged"), e2.getMessage)
+  }
+
+  test("CALL expire_snapshots on a REST-cataloged table commits remove-snapshots") {
+    conf()
+    rc.createNamespace(Seq("exp"))
+    val loc = Files.createTempDirectory("rsql_exp").toFile.getPath
+    rc.createTable(Seq("exp", "t"), schema, location = Some(loc))
+    appendRest(Seq("exp", "t"), loc, Seq((1L, "a")), "x1")
+    appendRest(Seq("exp", "t"), loc, Seq((2L, "b")), "x2")
+    appendRest(Seq("exp", "t"), loc, Seq((3L, "c")), "x3")
+    assert(rc.loadTable(Seq("exp", "t")).metadata.snapshots.size == 3)
+
+    val row = spark.sql("CALL grest.system.expire_snapshots('exp.t', " +
+      s"${System.currentTimeMillis() + 1000}L, 1)").collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 1, row)
+    val md = rc.loadTable(Seq("exp", "t")).metadata
+    assert(md.snapshots.size == 1)
+    assert(md.snapshots.head.snapshotId == md.currentSnapshotId.get)
+    // the surviving state still reads through SQL
+    assert(spark.sql("SELECT count(*) FROM grest.exp.t").collect()(0).getLong(0) == 3L)
+  }
+
+  /** SQL view DDL needs [[GraftSparkExtensions]] (vanilla Spark has no
+    * surface for DSv2 ViewCatalog) — builder dance as in ViewCatalogSpec. */
+  private def newExtSession(): org.apache.spark.sql.SparkSession = {
+    val base = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftSparkExtensions())
+      .config("spark.sql.catalog.grest", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.grest.warehouse", wh)
+      .config("spark.sql.catalog.grest.uri", server.uri)
+      .config("spark.sql.catalog.grest.credential", "graft-ci:s3cr3t")
+      .config("spark.sql.catalog.glocal", "graft.spark.GraftCatalog")
+      .config("spark.sql.catalog.glocal.warehouse", wh)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    org.apache.spark.sql.SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("views persist server-side; SHOW VIEWS lists both planes; versions append") {
+    server.start()
+    rc.createNamespace(Seq("vdb"))
+    val spark = newExtSession()
+    // a LOCAL base table in the same catalog namespace
+    import spark.implicits._
+    TableWriter.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      s"$wh/vdb/base")
+
+    spark.sql("CREATE VIEW grest.vdb.doubled AS " +
+      "SELECT id, v * 2 AS v2 FROM grest.vdb.base")
+    // persisted SERVER-side, not as a local warehouse file
+    assert(rc.viewExists(Seq("vdb", "doubled")))
+    assert(!new java.io.File(s"$wh/vdb/doubled/view.metadata.json").isFile,
+      "REST-configured catalog must not write the view locally")
+    // SELECT through the REST-persisted view
+    val got = spark.sql("SELECT v2 FROM grest.vdb.doubled ORDER BY v2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(20L, 40L, 60L))
+
+    // a local-plane view (catalog WITHOUT uri, same warehouse)
+    spark.sql("CREATE VIEW glocal.vdb.tripled AS " +
+      "SELECT id, v * 3 AS v3 FROM glocal.vdb.base")
+    // SHOW VIEWS through the REST-configured catalog lists BOTH planes
+    val views = spark.sql("SHOW VIEWS IN grest.vdb")
+      .collect().map(_.getString(1)).toSet
+    assert(views == Set("doubled", "tripled"), views)
+
+    // CREATE OR REPLACE appends a server-side version and moves current
+    spark.sql("CREATE OR REPLACE VIEW grest.vdb.doubled AS " +
+      "SELECT id, v * 2 + 1 AS v2 FROM grest.vdb.base")
+    val md = ViewMetadata.parse(rc.loadView(Seq("vdb", "doubled")))
+    assert(md.versions.map(_.versionId) == Seq(1, 2), md.versions.map(_.versionId))
+    assert(md.currentVersionId == 2)
+    val got2 = spark.sql("SELECT v2 FROM grest.vdb.doubled ORDER BY v2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(21L, 41L, 61L))
+
+    // ALTER VIEW properties land server-side
+    spark.sql("ALTER VIEW grest.vdb.doubled SET TBLPROPERTIES ('team' = 'ml')")
+    assert(ViewMetadata.parse(rc.loadView(Seq("vdb", "doubled")))
+      .properties.get("team").contains("ml"))
+
+    // DROP removes it from the server; the local-plane view is untouched
+    spark.sql("DROP VIEW grest.vdb.doubled")
+    assert(!rc.viewExists(Seq("vdb", "doubled")))
+    assert(spark.sql("SHOW VIEWS IN grest.vdb")
+      .collect().map(_.getString(1)).toSet == Set("tripled"))
+  }
+
+  test("REST view round-trip: uuid guard conflicts on stale replace") {
+    conf()
+    rc.createNamespace(Seq("vg"))
+    val v1 = ViewVersion(1, System.currentTimeMillis(), "SELECT 1 AS x",
+      "spark", "grest", Seq("vg"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))).json,
+      Seq("x"), Nil, Nil)
+    rc.createView(Seq("vg", "v"), ViewMetadata.versionJson(v1), "mem://vg/v")
+    // wrong uuid → 409 → CommitConflictError; state unchanged
+    intercept[graft.catalog.CommitConflictError] {
+      rc.commitView(Seq("vg", "v"), Some("00000000-0000-0000-0000-000000000000"),
+        Some(ViewMetadata.versionJson(v1.copy(versionId = 2))))
+    }
+    assert(ViewMetadata.parse(rc.loadView(Seq("vg", "v"))).versions.size == 1)
+    // correct uuid succeeds
+    val uuid = ViewMetadata.parse(rc.loadView(Seq("vg", "v"))).viewUuid
+    rc.commitView(Seq("vg", "v"), Some(uuid),
+      Some(ViewMetadata.versionJson(v1.copy(versionId = 2))))
+    assert(ViewMetadata.parse(rc.loadView(Seq("vg", "v"))).currentVersionId == 2)
+    // rename + drop round out the endpoint set
+    rc.renameView(Seq("vg", "v"), Seq("vg", "v2"))
+    assert(rc.viewExists(Seq("vg", "v2")) && !rc.viewExists(Seq("vg", "v")))
+    rc.dropView(Seq("vg", "v2"))
+    assert(!rc.viewExists(Seq("vg", "v2")))
+  }
+}
