@@ -43,4 +43,56 @@ class VariantSpec extends AnyFunSuite {
     assert(reloaded.currentSchema.struct.fieldById(2).get.fieldType ==
       graft.core.VariantT)
   }
+
+  test("foreign SHREDDED variant files read equal to their unshredded twin") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_vshred").toFile.getPath
+    s.conf.set("spark.sql.catalog.gshr", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gshr.warehouse", wh)
+
+    val values = "VALUES (1L, '{\"a\": 1, \"b\": \"x\"}'), " +
+      "(2L, '{\"a\": 2, \"b\": \"y\"}'), (3L, '7'), (4L, NULL) AS t(id, j)"
+    val src = s.sql(s"SELECT id, parse_json(j) AS payload FROM $values")
+
+    // a foreign engine writes the SAME rows spec-shredded (typed_value
+    // subcolumns next to metadata/value)
+    val shredDir = Files.createTempDirectory("vshred_files").toFile
+    s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    s.conf.set("spark.sql.variant.forceShreddingSchemaForTest", "a int, b string")
+    try src.repartition(1).write.mode("overwrite").parquet(shredDir.getPath)
+    finally {
+      s.conf.set("spark.sql.variant.writeShredding.enabled", "false")
+      s.conf.set("spark.sql.variant.forceShreddingSchemaForTest", "")
+    }
+    val shredFile = shredDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head
+    // prove the fixture is REALLY shredded — otherwise this test is vacuous
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(shredFile.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+    val footerSchema =
+      try footer.getFooter.getFileMetaData.getSchema.toString
+      finally footer.close()
+    assert(footerSchema.contains("typed_value"),
+      s"shredded fixture must carry typed_value subcolumns:\n$footerSchema")
+
+    // adopt the shredded file into a V3 variant table without rewriting it
+    s.sql("CREATE TABLE gshr.db.shredded (id BIGINT, payload VARIANT)")
+    val table = IcebergTables.load(s"$wh/db/shredded")
+    TableWriter.addFiles(table, shredDir.getPath)
+
+    // the unshredded twin through the engine's own write path
+    s.sql("CREATE TABLE gshr.db.plain (id BIGINT, payload VARIANT)")
+    s.sql(s"INSERT INTO gshr.db.plain SELECT id, parse_json(j) FROM $values")
+
+    def dump(t: String): Seq[(Long, String)] =
+      s.sql(s"SELECT id, to_json(payload) AS j FROM gshr.db.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dump("shredded") == dump("plain"), dump("shredded"))
+    // path extraction over the reassembled value
+    assert(s.sql("SELECT count(*) FROM gshr.db.shredded " +
+      "WHERE variant_get(payload, '$.a', 'int') = 2").collect()(0).getLong(0) == 1L)
+  }
 }
