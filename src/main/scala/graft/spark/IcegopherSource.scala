@@ -875,7 +875,43 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       bbox: Option[(String, Double, Double, Double,
                         Double)] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** Report the table's sort order as per-partition output ordering when
+    * the scan provably delivers it: every scanned data file was written
+    * under the CURRENT sort order (file.sort_order_id matches), so each
+    * input partition — a contiguous row-group range of one sorted file —
+    * is sorted; deletes and residual filters only REMOVE rows, which
+    * preserves order. Spark then drops its Sort for merge-join/ordered-
+    * window inputs over sorted tables (SPJ already removed the exchange —
+    * this removes the remaining O(n log n) per task at 100 TB). Only the
+    * LEADING identity-transform prefix is reported: truncate/bucket sort
+    * fields don't imply column order. Changefeed/incremental reads append
+    * synthetic rows in commit order — never reported. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expressions, SortDirection => V2Dir, NullOrdering => V2Null}
+    if (readChanges || incremental.isDefined) return Array.empty
+    val so = table.sortOrder
+    if (so.isUnsorted || tasks.isEmpty) return Array.empty
+    if (!tasks.forall(_.file.sortOrderId.contains(so.orderId)))
+      return Array.empty
+    // stop at the first non-identity or unresolvable field: a (a, b)-sorted
+    // stream is sorted by its PREFIX (a), but never by a later field alone
+    val lead = so.fields.iterator
+      .map(sf =>
+        if (sf.transform != graft.core.IdentityTransform) None
+        else table.schema.findFieldById(sf.sourceId).map(f =>
+          Expressions.sort(Expressions.column(f.name),
+            if (sf.direction == graft.core.SortAsc) V2Dir.ASCENDING
+            else V2Dir.DESCENDING,
+            if (sf.nullOrder == graft.core.NullsFirst) V2Null.NULLS_FIRST
+            else V2Null.NULLS_LAST)))
+      .takeWhile(_.isDefined).flatten.toArray
+    lead
+  }
 
   /** Storage-partitioned joins: report the table's partition transforms as
     * KeyGroupedPartitioning and stamp each input partition with its tuple —
