@@ -32,6 +32,19 @@ object Wkb {
     bb.array()
   }
 
+  /** A 2-point 2D LINESTRING as little-endian WKB (41 bytes) — the
+    * minimal geometry whose ENVELOPE is an arbitrary box; `st_box`
+    * authors these for bbox-join fixtures and box-valued columns. */
+  def lineWkb(x0: Double, y0: Double, x1: Double, y1: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(9 + 32).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte)
+    bb.putInt(LineStringType)
+    bb.putInt(2)
+    bb.putDouble(x0); bb.putDouble(y0)
+    bb.putDouble(x1); bb.putDouble(y1)
+    bb.array()
+  }
+
   /** Decode a WKB POINT → (x, y). None for anything else. */
   def parsePoint(wkb: Array[Byte]): Option[(Double, Double)] =
     envelope(wkb).collect { case (xmin, ymin, xmax, ymax)

@@ -1047,6 +1047,67 @@ object IcebergOps {
        WHERE x >= -50.0 AND x <= 40.0 AND y >= -20.0 AND y <= 60.0
        ORDER BY id"""
 
+  /** A geo table of BOXES (2-point-linestring WKB whose envelope is the
+    * box), derived arithmetically from supplier keys so the oracle can
+    * recompute the rectangles without parsing WKB. Box extents (+3.71,
+    * +4.23) are chosen so no point of [[partGeoTable]]'s lattice falls
+    * EXACTLY on a box edge — the two engines' float rounding can then
+    * never disagree about a boundary pair. */
+  private def supplierBoxTable(s: SparkSession, d: String): IcebergTable =
+    cached("supplier_geo", d) { loc =>
+      val src = Tables.supplier(s, d).filter(col("s_suppkey") % 2 === 0)
+        .select(
+          col("s_suppkey").as("sid"),
+          ((col("s_suppkey") % 67).cast("double") * 5.3 - 177.0).as("x0"),
+          ((col("s_suppkey") % 31).cast("double") * 5.1 - 79.0).as("y0"))
+        .withColumn("x1", col("x0") + 3.71)
+        .withColumn("y1", col("y0") + 4.23)
+      val geomCol = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.spark.functions.StBoxExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("x0")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("y0")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("x1")),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("y1"))))
+      val df = src.withColumn("geom", geomCol)
+      val schema = Schema(0, StructT(Seq(
+        NestedField(1, "sid", LongT),
+        NestedField(2, "x0", DoubleT),
+        NestedField(3, "y0", DoubleT),
+        NestedField(4, "x1", DoubleT),
+        NestedField(5, "y1", DoubleT),
+        NestedField(6, "geom", GeometryT()))))
+      TableWriter.createWithSchema(df, loc, schema)
+    }
+
+  /** ice31: the grid-bucketed spatial join ([[GeoJoin.stBboxJoin]]) —
+    * points (ice28's geo table) against boxes, bucketed into 8° cells,
+    * exact-envelope verified, one emission per pair via the canonical
+    * cell. The oracle recomputes containment arithmetically, so a hash
+    * match proves the bucketed join ≡ the full quadratic semantics. */
+  def ice31BboxJoin(s: SparkSession, d: String): DataFrame = {
+    val pts = partGeoTable(s, d).newScan().toDF(s)
+      .select(col("id"), col("geom").as("pg"))
+    val boxes = supplierBoxTable(s, d).newScan().toDF(s)
+      .select(col("sid"), col("geom").as("bg"))
+    GeoJoin.stBboxJoin(pts, "pg", boxes, "bg", cellSize = 8.0)
+      .select("id", "sid").orderBy("id", "sid")
+  }
+
+  val ice31Sql: String =
+    """WITH g AS (
+         SELECT p_partkey AS id,
+                CAST(p_partkey % 73 AS DOUBLE) * 4.9 - 178.0 AS x,
+                CAST(p_partkey % 37 AS DOUBLE) * 4.5 - 81.0 AS y
+         FROM part),
+       b AS (
+         SELECT s_suppkey AS sid,
+                CAST(s_suppkey % 67 AS DOUBLE) * 5.3 - 177.0 AS x0,
+                CAST(s_suppkey % 31 AS DOUBLE) * 5.1 - 79.0 AS y0
+         FROM supplier WHERE s_suppkey % 2 = 0)
+       SELECT id, sid FROM g, b
+       WHERE x >= x0 AND x <= x0 + 3.71 AND y >= y0 AND y <= y0 + 4.23
+       ORDER BY id, sid"""
+
   /** Per-branch snapshot retention through the oracle (ice29): a branch
     * declares `min-snapshots-to-keep = 3`, five staged appends land on it,
     * then an AGGRESSIVE global expiry runs (expire-everything-older-than-

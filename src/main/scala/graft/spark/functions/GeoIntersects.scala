@@ -71,6 +71,86 @@ final case class StIntersectsBBoxExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Row-level envelope extraction: WKB geometry → `[xmin, ymin, xmax,
+  * ymax]` (null when unparseable — the same prune-safe fallback as the
+  * write-side stats pass). The grid-bucketed spatial join derives its
+  * cell keys and its exact verify from this one expression, so bucketing
+  * and verification can never disagree on an envelope. */
+final case class StEnvelopeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_envelope"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"st_envelope needs WKB binary, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val env = Wkb.envelopeArray(input.asInstanceOf[Array[Byte]])
+    if (env == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(env)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val env = ctx.freshName("env")
+      s"""
+         double[] $env = graft.core.Wkb.envelopeArray($bytes);
+         if ($env == null) {
+           ${ev.isNull} = true;
+         } else {
+           ${ev.value} =
+             new org.apache.spark.sql.catalyst.util.GenericArrayData($env);
+         }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** WKB box constructor — `st_box(xmin, ymin, xmax, ymax)` → a 2-point
+  * LINESTRING whose envelope is exactly the box (the minimal WKB with an
+  * arbitrary rectangular envelope); write-side stats and
+  * [[StEnvelopeExpr]] both see the intended bounds. */
+final case class StBoxExpr(c1: Expression, c2: Expression,
+                           c3: Expression, c4: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = c1
+  override def second: Expression = c2
+  override def third: Expression = c3
+  override def fourth: Expression = c4
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_box"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == org.apache.spark.sql.types.DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_box needs four doubles, got ${children.map(_.dataType)}")
+
+  override protected def nullSafeEval(x0: Any, y0: Any, x1: Any, y1: Any): Any =
+    Wkb.lineWkb(x0.asInstanceOf[Double], y0.asInstanceOf[Double],
+      x1.asInstanceOf[Double], y1.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x0, y0, x1, y1) =>
+      s"${ev.value} = graft.core.Wkb.lineWkb($x0, $y0, $x1, $y1);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(c1 = newFirst, c2 = newSecond, c3 = newThird, c4 = newFourth)
+}
+
 /** WKB POINT constructor — `st_point(x, y)` → 21-byte little-endian WKB.
   * The authoring twin of [[StIntersectsBBoxExpr]]: builds the binary a geo
   * column stores from plain double coordinates, codegen'd via the static

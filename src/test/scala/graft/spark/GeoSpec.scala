@@ -363,6 +363,71 @@ class GeoSpec extends AnyFunSuite {
     assert(idFiltered.count() == 10L)
   }
 
+  test("st_bbox_join: grid-bucketed pairs match quadratic truth; no cartesian") {
+    import graft.queries.GeoJoin
+    def boxCol(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+               x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.spark.functions.StBoxExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(x0),
+          org.apache.spark.sql.graft.ColumnShim.expression(y0),
+          org.apache.spark.sql.graft.ColumnShim.expression(x1),
+          org.apache.spark.sql.graft.ColumnShim.expression(y1)))
+    // 200 points on a grid; 40 boxes of varying extent, some spanning
+    // multiple cells, some empty of points
+    val pts = (0L until 200L).map(i =>
+      (i, (i % 20).toDouble * 3.0, (i / 20).toDouble * 5.0))
+      .toDF("id", "px", "py")
+      .withColumn("pg", pointCol(col("px"), col("py")))
+    val boxes = (0L until 40L).map(j =>
+      (j, (j % 8).toDouble * 6.0 - 2.0, (j % 5).toDouble * 9.0 - 3.0,
+        (j % 8).toDouble * 6.0 - 2.0 + (3.0 + (j % 4) * 4.0),
+        (j % 5).toDouble * 9.0 - 3.0 + (2.0 + (j % 3) * 6.0)))
+      .toDF("sid", "bx0", "by0", "bx1", "by1")
+      .withColumn("bg", boxCol(col("bx0"), col("by0"), col("bx1"), col("by1")))
+
+    val joined = GeoJoin.stBboxJoin(
+      pts.select("id", "px", "py", "pg"), "pg",
+      boxes.select("sid", "bx0", "by0", "bx1", "by1", "bg"), "bg",
+      cellSize = 7.0)
+    val got = joined.select("id", "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // quadratic ground truth, driver-side over the tiny fixture
+    val p = pts.select("id", "px", "py").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val b = boxes.select("sid", "bx0", "by0", "bx1", "by1").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val expect = (for {
+      (id, x, y) <- p
+      (sid, x0, y0, x1, y1) <- b
+      if x >= x0 && x <= x1 && y >= y0 && y <= y1
+    } yield (id, sid)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // exactly once per pair (no multi-cell duplicates)
+    val n = joined.count()
+    assert(n == expect.size.toLong, s"$n vs ${expect.size}")
+
+    // plan audit: an equi-join on cell keys, never a cartesian
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+
+    // an envelope spanning more cells than the cap fails LOUDLY
+    val giant = Seq((99L, -1000.0, -1000.0, 1000.0, 1000.0))
+      .toDF("sid", "bx0", "by0", "bx1", "by1")
+      .withColumn("bg", boxCol(col("bx0"), col("by0"), col("bx1"), col("by1")))
+    val e = intercept[Exception] {
+      GeoJoin.stBboxJoin(pts.select("id", "pg"), "pg",
+        giant.select("sid", "bg"), "bg",
+        cellSize = 1.0, maxCellsPerRow = 64).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("st_bbox_join"),
+      e.getMessage)
+  }
+
   test("createWithSchema refuses a mismatched frame") {
     val src = Seq((1L, "x")).toDF("id", "name")
     val schema = Schema(0, StructT(Seq(
