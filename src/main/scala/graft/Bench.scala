@@ -262,6 +262,13 @@ object Bench {
       if (stableFailed > 0 || calib <= 0) -1.0 else stable / calib
     val filterJson = filter.fold("")(f =>
       s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
+    // Round stamping: the BUILDER runs with SPARK_GRAFT_ROUND=<n> so its
+    // committed artifact of record is bench_out_r<n>.json — the driver's
+    // own (unstamped) run then writes bench_out.json without shadowing the
+    // clean committed pair (r14's driver run overwrote the working tree's
+    // bench_out.json and its noisy numbers read as phantom regressions).
+    val round = sys.env.get("SPARK_GRAFT_ROUND").filter(_.nonEmpty)
+    val roundJson = round.fold("")(r => s""","round":$r""")
     // suspect: the artifact self-flags when the numbers should not be
     // trusted round-over-round — either the box was already busy when
     // timing began, or ≥3 queries showed a >SpreadRatio pass spread that
@@ -269,20 +276,25 @@ object Bench {
     // loadavg_end alone can't be the test, Spark itself drives it to ~cpus
     // on a clean run).
     val suspect = loadStart > BusyThreshold || spreadUnstable >= 3
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib$filterJson,"queries":$qsJson,"sf":"$sfDir"}"""
-    // bench_out.json is the artifact of record (see scaladoc): write it
-    // BEFORE the stdout line so the println below is the last stdout write.
-    // A FILTERED profiling run must never overwrite the full-battery
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib$filterJson$roundJson,"queries":$qsJson,"sf":"$sfDir"}"""
+    // bench_out.json is the artifact the driver reads (write it BEFORE the
+    // stdout line so the println below is the last stdout write). A
+    // FILTERED profiling run must never overwrite the full-battery
     // artifact — it goes to bench_out_filtered.json (and carries the
-    // "filter" field either way).
+    // "filter" field either way). A ROUND-stamped run ADDITIONALLY writes
+    // bench_out_r<n>.json — the committed artifact of record.
     val outFile =
       if (filter.isDefined) "bench_out_filtered.json" else "bench_out.json"
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    val outFiles = Seq(outFile) ++
+      (if (filter.isEmpty) round.map(r => s"bench_out_r$r.json") else None)
+    outFiles.foreach { f =>
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     graft.queries.CacheSlot.releaseAll() // battery done: drop pipeline caches
     println(json)

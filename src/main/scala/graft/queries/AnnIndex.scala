@@ -152,6 +152,57 @@ object AnnIndex {
     Similarity.pqTopK(corpus, codes.newScan().toDF(spark), codebook,
       queries, p.nSub, k, shortlist)
 
+  /** Serve-time QUALITY telemetry: recall@k of the PQ index against a
+    * sampled exact top-k. Drift stats say the codebook aged; recall says
+    * what that DID to answers — the number an operator actually pages on. */
+  final case class RecallStats(queries: Long, k: Int, shortlist: Int,
+                               exactPairs: Long, hitPairs: Long,
+                               recall: Double)
+
+  /** Measure recall@k: a deterministic hash-ordered sample of `nQueries`
+    * corpus vectors is served through the index ([[topK]], ADC shortlist +
+    * exact re-rank) and compared against the brute-force exact top-k for
+    * the SAME queries (self excluded on both sides). Cost is bounded: the
+    * exact side is one corpus pass against `nQueries` broadcast vectors;
+    * the ANN side is the normal serve path — no all-pairs anywhere, so the
+    * probe runs at any corpus size. */
+  def recallProbe(spark: SparkSession, codes: IcebergTable,
+                  codebook: DataFrame, corpusRaw: DataFrame,
+                  p: Params = Params(), k: Int = 10, shortlist: Int = 50,
+                  nQueries: Int = 16): RecallStats = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Similarity.pqEmb(corpusRaw)
+    val queries = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nQueries)
+      .persist()
+    try {
+      val nq = queries.count()
+      val ann = topK(spark, codes, codebook, corpus, queries, p, k, shortlist)
+        .select("qid", "nid")
+      val en = corpus.select(col("vec_id").as("nid"), col("e"),
+        sqrt(Similarity.dot(col("e"), col("e"))).as("norm"))
+      val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"),
+        sqrt(Similarity.dot(col("e"), col("e"))).as("qnorm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val exact = en.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (Similarity.dot(col("qe"), col("e")) /
+            (col("qnorm") * col("norm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "nid")
+        .persist()
+      try {
+        val exactPairs = exact.count()
+        val hits = ann.join(exact, Seq("qid", "nid"), "left_semi").count()
+        RecallStats(nq, k, shortlist, exactPairs, hits,
+          if (exactPairs == 0) 1.0 else hits.toDouble / exactPairs)
+      } finally { exact.unpersist(); () }
+    } finally { queries.unpersist(); () }
+  }
+
   // ------------------------------------------------- drift + rebuild
 
   /** Codes-table property recording the mean squared subspace quantization

@@ -31,7 +31,8 @@ object GraftProcedures {
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index", "sync_sq_index",
     "ann_index_stats", "ann_ivf_index_stats", "sq_index_stats",
-    "rebuild_ann_index", "rebuild_ann_ivf_index", "rebuild_sq_index")
+    "rebuild_ann_index", "rebuild_ann_ivf_index", "rebuild_sq_index",
+    "ann_recall_probe")
 
   /** Shared result shape of the ANN stats/rebuild procedures. */
   private val annStatsSchema = StructType(Seq(
@@ -55,10 +56,19 @@ object GraftProcedures {
         StructType(Seq(
           StructField("previous_snapshot_id", LongType),
           StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val prev = table.currentSnapshot.map(_.snapshotId)
-        val out = TableWriter.rollbackTo(table, in.getLong(1))
-        Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+        val ref = in.getUTF8String(0).toString
+        resolveRest(ref) match {
+          case Some((rc, ident)) =>
+            val prev = rc.loadTable(ident).metadata.currentSnapshotId
+            val out = TableWriter.rollbackToRest(rc, ident, in.getLong(1))
+            Array[Any](prev.map(Long.box).orNull,
+              out.metadata.currentSnapshotId.get)
+          case None =>
+            val table = IcebergTables.load(resolveLocation(ref))
+            val prev = table.currentSnapshot.map(_.snapshotId)
+            val out = TableWriter.rollbackTo(table, in.getLong(1))
+            Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+        }
       }
       case "expire_snapshots" => proc(name,
         Seq("table" -> StringType, "older_than_ms" -> LongType,
@@ -185,18 +195,29 @@ object GraftProcedures {
           StructField("snapshot_id", LongType, nullable = false))),
         defaults = Map("snapshot_id" -> "0", "min_snapshots_to_keep" -> "0",
           "max_snapshot_age_ms" -> "0", "max_ref_age_ms" -> "0")) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         val refType =
           if (name == "create_branch") graft.core.BranchRef else graft.core.TagRef
         // snapshot_id 0 → current snapshot
         val snap = in.getLong(2) match { case 0L => None; case id => Some(id) }
-        val out = TableWriter.createRef(table, in.getUTF8String(1).toString,
-          refType, snap,
-          maxRefAgeMs = Some(in.getLong(5)).filter(_ > 0),
-          minSnapshotsToKeep = Some(in.getInt(3)).filter(_ > 0),
-          maxSnapshotAgeMs = Some(in.getLong(4)).filter(_ > 0))
-        Array[Any](in.getUTF8String(1),
-          out.metadata.refs(in.getUTF8String(1).toString).snapshotId)
+        val refName = in.getUTF8String(1).toString
+        val tableRef = in.getUTF8String(0).toString
+        val refs = resolveRest(tableRef) match {
+          case Some((rc, ident)) =>
+            TableWriter.createRefRest(rc, ident, refName, refType, snap,
+              maxRefAgeMs = Some(in.getLong(5)).filter(_ > 0),
+              minSnapshotsToKeep = Some(in.getInt(3)).filter(_ > 0),
+              maxSnapshotAgeMs = Some(in.getLong(4)).filter(_ > 0))
+              .metadata.refs
+          case None =>
+            TableWriter.createRef(
+              IcebergTables.load(resolveLocation(tableRef)), refName,
+              refType, snap,
+              maxRefAgeMs = Some(in.getLong(5)).filter(_ > 0),
+              minSnapshotsToKeep = Some(in.getInt(3)).filter(_ > 0),
+              maxSnapshotAgeMs = Some(in.getLong(4)).filter(_ > 0))
+              .metadata.refs
+        }
+        Array[Any](in.getUTF8String(1), refs(refName).snapshotId)
       }
       case "set_branch_retention" => proc(name,
         Seq("table" -> StringType, "branch" -> StringType,
@@ -208,12 +229,19 @@ object GraftProcedures {
           StructField("max_snapshot_age_ms", LongType))),
         defaults = Map("min_snapshots_to_keep" -> "0",
           "max_snapshot_age_ms" -> "0")) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val out = TableWriter.setRefRetention(table,
-          in.getUTF8String(1).toString,
-          Some(in.getInt(2)).filter(_ > 0),
-          Some(in.getLong(3)).filter(_ > 0))
-        val r = out.metadata.refs(in.getUTF8String(1).toString)
+        val refName = in.getUTF8String(1).toString
+        val minKeep = Some(in.getInt(2)).filter(_ > 0)
+        val maxAge = Some(in.getLong(3)).filter(_ > 0)
+        val refs = resolveRest(in.getUTF8String(0).toString) match {
+          case Some((rc, ident)) =>
+            TableWriter.setRefRetentionRest(rc, ident, refName, minKeep,
+              maxAge).metadata.refs
+          case None =>
+            TableWriter.setRefRetention(
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              refName, minKeep, maxAge).metadata.refs
+        }
+        val r = refs(refName)
         Array[Any](in.getUTF8String(1),
           r.minSnapshotsToKeep.map(Int.box).orNull,
           r.maxSnapshotAgeMs.map(Long.box).orNull)
@@ -223,9 +251,16 @@ object GraftProcedures {
         StructType(Seq(
           StructField("dropped", StringType, nullable = false),
           StructField("remaining_refs", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val out = TableWriter.dropRef(table, in.getUTF8String(1).toString)
-        Array[Any](in.getUTF8String(1), out.metadata.refs.size)
+        val refs = resolveRest(in.getUTF8String(0).toString) match {
+          case Some((rc, ident)) =>
+            TableWriter.dropRefRest(rc, ident,
+              in.getUTF8String(1).toString).metadata.refs
+          case None =>
+            TableWriter.dropRef(
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              in.getUTF8String(1).toString).metadata.refs
+        }
+        Array[Any](in.getUTF8String(1), refs.size)
       }
       case "create_changelog_view" => proc(name,
         Seq("table" -> StringType, "view_name" -> StringType,
@@ -577,6 +612,33 @@ object GraftProcedures {
         annStatsRow(graft.queries.AnnIndex.stats(spark, codes,
           cb.newScan().toDF(spark), corpus.newScan().toDF(spark),
           graft.queries.AnnIndex.Params(in.getInt(3), in.getInt(4))))
+      }
+      case "ann_recall_probe" => proc(name,
+        Seq("corpus" -> StringType, "codebook" -> StringType,
+          "codes" -> StringType,
+          "n_sub" -> IntegerType, "k_sub" -> IntegerType,
+          "k" -> IntegerType, "shortlist" -> IntegerType,
+          "n_queries" -> IntegerType),
+        StructType(Seq(
+          StructField("queries", LongType, nullable = false),
+          StructField("k", IntegerType, nullable = false),
+          StructField("shortlist", IntegerType, nullable = false),
+          StructField("exact_pairs", LongType, nullable = false),
+          StructField("hit_pairs", LongType, nullable = false),
+          StructField("recall", DoubleType, nullable = false))),
+        defaults = Map("n_sub" -> "8", "k_sub" -> "16", "k" -> "10",
+          "shortlist" -> "50", "n_queries" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        val r = graft.queries.AnnIndex.recallProbe(spark, codes,
+          cb.newScan().toDF(spark), corpus.newScan().toDF(spark),
+          graft.queries.AnnIndex.Params(in.getInt(3), in.getInt(4)),
+          k = in.getInt(5), shortlist = in.getInt(6),
+          nQueries = in.getInt(7))
+        Array[Any](r.queries, r.k, r.shortlist, r.exactPairs, r.hitPairs,
+          r.recall)
       }
       case "ann_ivf_index_stats" => proc(name,
         Seq("corpus" -> StringType, "centroids" -> StringType,

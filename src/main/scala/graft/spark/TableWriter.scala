@@ -2058,6 +2058,85 @@ object TableWriter {
     committed
   }
 
+  /** Ref maintenance on a REST-cataloged table — create/advance a branch
+    * or tag. One UpdateTableRequest (`set-snapshot-ref`), uuid-guarded;
+    * same semantics and refusals as [[createRef]]. */
+  def createRefRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                    name: String, refType: RefType,
+                    snapshotId: Option[Long] = None,
+                    maxRefAgeMs: Option[Long] = None,
+                    minSnapshotsToKeep: Option[Int] = None,
+                    maxSnapshotAgeMs: Option[Long] = None)
+      : graft.catalog.LoadedTable = {
+    require(refType == BranchRef ||
+      (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+      "snapshot retention (min-snapshots-to-keep / max-snapshot-age-ms) " +
+        "applies to branches only; tags pin exactly their target")
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val id = snapshotId.orElse(md.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("table has no snapshot to reference"))
+    require(md.snapshotById(id).isDefined, s"snapshot $id not found")
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+      Seq(graft.catalog.SetSnapshotRef(name, id,
+        if (refType == BranchRef) "branch" else "tag",
+        minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)))
+  }
+
+  /** [[setRefRetention]] on the REST plane: re-SET the ref at its current
+    * target with the new policy (the spec's set-snapshot-ref REPLACES the
+    * ref node), CAS-guarded at the ref's current position. */
+  def setRefRetentionRest(catalog: graft.catalog.RestCatalog,
+                          identifier: Seq[String], name: String,
+                          minSnapshotsToKeep: Option[Int],
+                          maxSnapshotAgeMs: Option[Long])
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val r = md.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"ref '$name' not found"))
+    require(r.refType == BranchRef,
+      s"snapshot retention applies to branches only; '$name' is a tag")
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(name, Some(r.snapshotId))),
+      Seq(graft.catalog.SetSnapshotRef(name, r.snapshotId, "branch",
+        minSnapshotsToKeep, maxSnapshotAgeMs, r.maxRefAgeMs)))
+  }
+
+  /** [[dropRef]] on the REST plane (`remove-snapshot-ref`; main protected). */
+  def dropRefRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                  name: String): graft.catalog.LoadedTable = {
+    require(name != TableMetadata.MainBranch, "cannot drop the main branch")
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    require(md.refs.contains(name), s"ref '$name' not found")
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+      Seq(graft.catalog.RemoveSnapshotRef(name)))
+  }
+
+  /** [[rollbackTo]] on the REST plane: move main back to an existing
+    * snapshot with a CAS on its current position — a concurrent commit
+    * between load and rollback 409s instead of being silently undone. */
+  def rollbackToRest(catalog: graft.catalog.RestCatalog,
+                     identifier: Seq[String], snapshotId: Long)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    require(md.snapshotById(snapshotId).isDefined,
+      s"snapshot $snapshotId not found")
+    val main = md.refs.get(TableMetadata.MainBranch)
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          main.map(_.snapshotId).orElse(md.currentSnapshotId))),
+      Seq(graft.catalog.SetSnapshotRef(TableMetadata.MainBranch, snapshotId,
+        "branch", main.flatMap(_.minSnapshotsToKeep),
+        main.flatMap(_.maxSnapshotAgeMs), main.flatMap(_.maxRefAgeMs))))
+  }
+
   /** The shared expiry computation (see [[ExpiryPlan]]). */
   private[spark] def computeExpiry(md0: TableMetadata, olderThanMs: Long,
                                    retainLast: Int, now: Long): ExpiryPlan = {

@@ -112,6 +112,42 @@ class AnnDriftSpec extends AnyFunSuite {
     assert(s2.driftRatio.exists(r => math.abs(r - 1.0) < 1e-9), s2.toString)
   }
 
+  test("recall probe: sampled recall@k vs exact, through library and CALL") {
+    val warehouse = Files.createTempDirectory("recall_wh").toFile.getPath
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.catalog.grec", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.grec.warehouse", warehouse)
+    val corpusLoc = s"$warehouse/db/corpus"
+    TableWriter.create(embDF(0L until 60L), corpusLoc)
+    AnnIndex.buildFromCorpus(IcebergTables.load(corpusLoc).newScan().toDF(s),
+      s"$warehouse/db/cb", s"$warehouse/db/codes", P)
+
+    val r = AnnIndex.recallProbe(s, IcebergTables.load(s"$warehouse/db/codes"),
+      IcebergTables.load(s"$warehouse/db/cb").newScan().toDF(s),
+      IcebergTables.load(corpusLoc).newScan().toDF(s), P,
+      k = 5, shortlist = 59, nQueries = 8)
+    assert(r.queries == 8 && r.k == 5 && r.shortlist == 59)
+    assert(r.exactPairs == 8L * 5)
+    // shortlist covering the whole corpus → the exact re-rank IS exact
+    assert(r.recall == 1.0, r.toString)
+
+    // a tight shortlist can only do worse or equal — and stays a rate
+    val tight = AnnIndex.recallProbe(s,
+      IcebergTables.load(s"$warehouse/db/codes"),
+      IcebergTables.load(s"$warehouse/db/cb").newScan().toDF(s),
+      IcebergTables.load(corpusLoc).newScan().toDF(s), P,
+      k = 5, shortlist = 6, nQueries = 8)
+    assert(tight.recall <= 1.0 && tight.recall >= 0.0)
+    assert(tight.hitPairs <= r.hitPairs)
+
+    // the SQL surface reports the same shape
+    val row = s.sql("CALL grec.system.ann_recall_probe('db.corpus', " +
+      "'db.cb', 'db.codes', k => 5, shortlist => 59, n_queries => 8)")
+      .collect()(0)
+    assert(row.getLong(0) == 8L && row.getInt(1) == 5)
+    assert(row.getDouble(5) == 1.0, row.toString)
+  }
+
   test("stats + rebuild are reachable as SQL CALL procedures") {
     val warehouse = Files.createTempDirectory("drift_wh").toFile.getPath
     val s = SparkTestSession.spark.newSession()

@@ -123,6 +123,49 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
+  test("ref maintenance CALLs on a REST-cataloged table commit through the server") {
+    conf()
+    rc.createNamespace(Seq("refs"))
+    val loc = Files.createTempDirectory("rsql_refs").toFile.getPath
+    rc.createTable(Seq("refs", "t"), schema, location = Some(loc))
+    appendRest(Seq("refs", "t"), loc, Seq((1L, "a")), "r1")
+    val s1 = rc.loadTable(Seq("refs", "t")).metadata.currentSnapshotId.get
+    appendRest(Seq("refs", "t"), loc, Seq((2L, "b")), "r2")
+    val s2 = rc.loadTable(Seq("refs", "t")).metadata.currentSnapshotId.get
+
+    // branch WITH retention lands server-side
+    val row = spark.sql("CALL grest.system.create_branch('refs.t', 'audit', " +
+      s"${s1}L, min_snapshots_to_keep => 3)").collect()(0)
+    assert(row.getLong(1) == s1)
+    val md1 = rc.loadTable(Seq("refs", "t")).metadata
+    assert(md1.refs("audit").snapshotId == s1)
+    assert(md1.refs("audit").minSnapshotsToKeep.contains(3))
+
+    spark.sql("CALL grest.system.create_tag('refs.t', 'pin', 0L)")
+    assert(rc.loadTable(Seq("refs", "t")).metadata.refs("pin").snapshotId == s2)
+    // retention on a tag refuses before any commit
+    val e = intercept[Exception] {
+      spark.sql("CALL grest.system.set_branch_retention('refs.t', 'pin', 2, 0L)")
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+
+    spark.sql("CALL grest.system.set_branch_retention('refs.t', 'audit', 5, 0L)")
+    assert(rc.loadTable(Seq("refs", "t")).metadata
+      .refs("audit").minSnapshotsToKeep.contains(5))
+
+    // rollback main to s1 via CAS'd set-snapshot-ref
+    val rb = spark.sql(
+      s"CALL grest.system.rollback_to_snapshot('refs.t', ${s1}L)").collect()(0)
+    assert(rb.getLong(0) == s2 && rb.getLong(1) == s1)
+    assert(rc.loadTable(Seq("refs", "t")).metadata.currentSnapshotId
+      .contains(s1))
+    assert(spark.sql("SELECT count(*) FROM grest.refs.t")
+      .collect()(0).getLong(0) == 1L)
+
+    spark.sql("CALL grest.system.drop_ref('refs.t', 'pin')")
+    assert(!rc.loadTable(Seq("refs", "t")).metadata.refs.contains("pin"))
+  }
+
   test("views persist server-side; SHOW VIEWS lists both planes; versions append") {
     server.start()
     rc.createNamespace(Seq("vdb"))
