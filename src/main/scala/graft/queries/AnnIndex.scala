@@ -119,6 +119,17 @@ object AnnIndex {
     applyChanges(codes, codebook,
       Changelog.changelogDF(spark, corpus, afterSnapshotId), p)
 
+  /** REST-transactional sync: [[applyChanges]]'s fold staged onto `tx` as
+    * ONE retract-and-replace snapshot — geometry-checked like the batch
+    * path. Returns false when the window nets to nothing. */
+  def stageChanges(tx: TableWriter.RestTransaction, codesIdent: Seq[String],
+                   codebook: DataFrame, changes: DataFrame,
+                   p: Params): Boolean = {
+    requireGeometry(codebook, p.nSub, p.kSub, "PQ")
+    ChangefeedFold.stageChanges(tx, codesIdent, changes, "vec_id",
+      ins => Similarity.pqEncode(Similarity.pqEmb(ins), codebook, p.nSub))
+  }
+
   /** Continuous maintenance: consume the corpus table's `read-changes`
     * stream and fold each micro-batch into the codes table. Offsets
     * checkpoint per snapshot sequence window and [[applyChanges]] is

@@ -84,6 +84,16 @@ object DedupIndex {
     applyChanges(index,
       Changelog.changelogDF(spark, docs, afterSnapshotId), p)
 
+  /** REST-transactional sync: [[applyChanges]]'s fold staged onto `tx` as
+    * ONE retract-and-replace snapshot, committed atomically with the
+    * transaction's other staged tables. Returns false when the window
+    * nets to nothing. */
+  def stageChanges(tx: graft.spark.TableWriter.RestTransaction,
+                   indexIdent: Seq[String], changes: DataFrame,
+                   p: Params): Boolean =
+    ChangefeedFold.stageChanges(tx, indexIdent, changes, "doc_id",
+      ins => rows(ins, p))
+
   /** Continuous maintenance: consume the table's `read-changes` stream and
     * fold each micro-batch into the index. Offsets checkpoint per snapshot
     * sequence window and [[applyChanges]] is content-idempotent, so a

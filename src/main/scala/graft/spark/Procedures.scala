@@ -46,6 +46,24 @@ object GraftProcedures {
     Array[Any](s.codeRows, s.quantErr, s.bootstrapErr.orNull,
       s.driftRatio.orNull, s.maxCellShare.orNull)
 
+  /** Resolve a (source, derived) table pair onto ONE catalog plane for the
+    * sync_* procedures: both REST → the transactional path, both local →
+    * the local fold; a MIXED pair refuses loudly — a cross-plane sync has
+    * no atomic commit to ride and would silently reintroduce the drift the
+    * transactional path exists to prevent. */
+  private def pairedRest(
+      resolveRest: String => Option[(graft.catalog.RestCatalog, Seq[String])],
+      src: String, dst: String)
+      : Option[(graft.catalog.RestCatalog, Seq[String], Seq[String])] =
+    (resolveRest(src), resolveRest(dst)) match {
+      case (Some((rc, a)), Some((_, b))) => Some((rc, a, b))
+      case (None, None) => None
+      case (s, _) => throw new IllegalArgumentException(
+        s"sync: '$src' and '$dst' must live in the same catalog plane " +
+          s"(${if (s.isDefined) s"'$src' is REST-cataloged, '$dst' is not"
+              else s"'$dst' is REST-cataloged, '$src' is not"})")
+    }
+
   def load(name: String, resolveLocation: String => String,
            resolveRest: String =>
              Option[(graft.catalog.RestCatalog, Seq[String])] = _ => None)
@@ -445,11 +463,22 @@ object GraftProcedures {
           StructField("index_snapshot_id", LongType, nullable = false),
           StructField("index_rows", LongType, nullable = false)))) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val idx = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
-        val out = graft.queries.DedupIndex.syncFromChangelog(spark, docs, idx,
-          from, graft.queries.DedupIndex.Params())
+        val out = pairedRest(resolveRest, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString) match {
+          case Some((rc, docsId, idxId)) =>
+            val changes = graft.streaming.Changelog.changelogDF(spark,
+              TableWriter.restTableOf(rc.loadTable(docsId)), from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.DedupIndex.stageChanges(tx, idxId, changes,
+                graft.queries.DedupIndex.Params())) tx.commit()
+            TableWriter.restTableOf(rc.loadTable(idxId))
+          case None =>
+            graft.queries.DedupIndex.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(1).toString)),
+              from, graft.queries.DedupIndex.Params())
+        }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }
@@ -487,8 +516,6 @@ object GraftProcedures {
         // silent hash-space mixing, so the family is an explicit argument
         defaults = Map("term_hash" -> "'xxhash64'")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val idx = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
         val p = in.getUTF8String(3).toString match {
           case "xxhash64" => graft.queries.Bm25Index.Params()
@@ -496,8 +523,23 @@ object GraftProcedures {
           case other => throw new IllegalArgumentException(
             s"term_hash must be 'xxhash64' or 'md5', got '$other'")
         }
-        val out = graft.queries.Bm25Index.syncFromChangelog(spark, docs, idx,
-          from, p)
+        val out = pairedRest(resolveRest, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString) match {
+          // both tables REST-cataloged → the fold commits as ONE
+          // transaction through the server (the t33 discipline)
+          case Some((rc, docsId, idxId)) =>
+            val changes = graft.streaming.Changelog.changelogDF(spark,
+              TableWriter.restTableOf(rc.loadTable(docsId)), from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.Bm25Index.stageChanges(tx, rc, idxId, changes, p))
+              tx.commit()
+            TableWriter.restTableOf(rc.loadTable(idxId))
+          case None =>
+            graft.queries.Bm25Index.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(1).toString)),
+              from, p)
+        }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }
@@ -511,12 +553,23 @@ object GraftProcedures {
         // slice — it must match what the table was BUILT over
         defaults = Map("target_filter" -> "'true'")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val tbl = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
         val tgt = org.apache.spark.sql.functions.expr(in.getUTF8String(3).toString)
-        val out = graft.queries.LmIndex.syncFromChangelog(spark, docs, tbl,
-          tgt, from)
+        val out = pairedRest(resolveRest, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString) match {
+          case Some((rc, docsId, lmId)) =>
+            val changes = graft.streaming.Changelog.changelogDF(spark,
+              TableWriter.restTableOf(rc.loadTable(docsId)), from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.LmIndex.stageChanges(tx, rc, lmId, changes,
+                tgt, spark)) tx.commit()
+            TableWriter.restTableOf(rc.loadTable(lmId))
+          case None =>
+            graft.queries.LmIndex.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(1).toString)),
+              tgt, from)
+        }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }
@@ -527,10 +580,22 @@ object GraftProcedures {
           StructField("view_snapshot_id", LongType, nullable = false),
           StructField("applied_sequence", LongType)))) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val docs = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val view = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
         val from = in.getLong(2) match { case 0L => None; case id => Some(id) }
-        val out = graft.queries.MatView.syncFromChangelog(spark, docs, view, from)
+        val out = pairedRest(resolveRest, in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString) match {
+          case Some((rc, docsId, viewId)) =>
+            val changes = graft.streaming.Changelog.changelogDF(spark,
+              TableWriter.restTableOf(rc.loadTable(docsId)), from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.MatView.stageChanges(tx, rc, viewId, changes,
+                spark)) tx.commit()
+            TableWriter.restTableOf(rc.loadTable(viewId))
+          case None =>
+            graft.queries.MatView.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(1).toString)),
+              from)
+        }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.properties.get(graft.queries.MatView.AppliedSeqProp)
             .flatMap(_.toLongOption).orNull)
@@ -546,13 +611,30 @@ object GraftProcedures {
         // keep working; an index built with other Params passes its own
         defaults = Map("n_sub" -> "8", "k_sub" -> "16")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
-        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
         val from = in.getLong(3) match { case 0L => None; case id => Some(id) }
-        val out = graft.queries.AnnIndex.syncFromChangelog(spark, corpus,
-          codes, cb.newScan().toDF(spark), from,
-          graft.queries.AnnIndex.Params(in.getInt(4), in.getInt(5)))
+        val p = graft.queries.AnnIndex.Params(in.getInt(4), in.getInt(5))
+        val out = pairedRest(resolveRest, in.getUTF8String(0).toString,
+          in.getUTF8String(2).toString) match {
+          case Some((rc, corpusId, codesId)) =>
+            // the frozen codebook is read from EITHER plane (stats side)
+            val cb = resolveRest(in.getUTF8String(1).toString) match {
+              case Some((rc2, cbId)) => TableWriter.restTableOf(rc2.loadTable(cbId))
+              case None => IcebergTables.load(
+                resolveLocation(in.getUTF8String(1).toString))
+            }
+            val changes = graft.streaming.Changelog.changelogDF(spark,
+              TableWriter.restTableOf(rc.loadTable(corpusId)), from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.AnnIndex.stageChanges(tx, codesId,
+                cb.newScan().toDF(spark), changes, p)) tx.commit()
+            TableWriter.restTableOf(rc.loadTable(codesId))
+          case None =>
+            graft.queries.AnnIndex.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(in.getUTF8String(0).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(2).toString)),
+              IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+                .newScan().toDF(spark), from, p)
+        }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
       }

@@ -216,6 +216,64 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(1)).toSet == Set("tripled"))
   }
 
+  test("sync_bm25_index on a REST-cataloged pair commits the fold transactionally") {
+    conf()
+    import spark.implicits._
+    rc.createNamespace(Seq("sy"))
+    val locD = Files.createTempDirectory("sy_docs").toFile.getPath
+    val locI = Files.createTempDirectory("sy_idx").toFile.getPath
+    val docsSchema = Schema(0, StructT(Seq(
+      NestedField(1, "doc_id", LongT, required = true),
+      NestedField(2, "text", StringT))))
+    val idxSchema = Schema(0, StructT(Seq(
+      NestedField(1, "doc_id", LongT, required = true),
+      NestedField(2, "w", LongT, required = true),
+      NestedField(3, "tf", LongT, required = true))))
+    rc.createTable(Seq("sy", "docs"), docsSchema, location = Some(locD))
+    rc.createTable(Seq("sy", "idx"), idxSchema,
+      Map(graft.queries.Bm25Index.HashFamilyProp -> "md5-60"),
+      location = Some(locI))
+
+    def appendDocs(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val raw = Files.createTempDirectory(s"sy_$tag").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(locD, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      TableWriter.appendFilesRest(rc, Seq("sy", "docs"),
+        Seq(CowFileOut(dest.getPath, df.count(), Map.empty)))
+      ()
+    }
+    val b1 = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    appendDocs(b1, "b1")
+
+    val row = spark.sql("CALL grest.system.sync_bm25_index(" +
+      "'sy.docs', 'sy.idx', 0L, 'md5')").collect()(0)
+    assert(row.getLong(1) > 0, row)
+    val idxT = TableWriter.restTableOf(rc.loadTable(Seq("sy", "idx")))
+    val p = graft.queries.Bm25Index.OracleParams
+    assert(idxT.newScan().toDF(spark).collect().map(_.toSeq).toSet ==
+      graft.queries.Bm25Index.rows(b1, p).collect().map(_.toSeq).toSet)
+
+    // catch-up after another append; content-idempotent full-history replay
+    val b2 = Seq((3L, "gamma delta")).toDF("doc_id", "text")
+    appendDocs(b2, "b2")
+    spark.sql("CALL grest.system.sync_bm25_index('sy.docs', 'sy.idx', 0L, 'md5')")
+    val idxT2 = TableWriter.restTableOf(rc.loadTable(Seq("sy", "idx")))
+    assert(idxT2.newScan().toDF(spark).collect().map(_.toSeq).toSet ==
+      graft.queries.Bm25Index.rows(b1.union(b2), p).collect().map(_.toSeq).toSet)
+
+    // a MIXED pair (REST source, local index) refuses loudly
+    TableWriter.create(Seq((0L, 0L, 0L)).toDF("doc_id", "w", "tf"),
+      s"$wh/sy_local/idx")
+    val e = intercept[Exception] {
+      spark.sql("CALL grest.system.sync_bm25_index(" +
+        "'sy.docs', 'sy_local.idx', 0L, 'md5')").collect()
+    }
+    assert(e.getMessage.contains("same catalog plane"), e.getMessage)
+  }
+
   test("REST view round-trip: uuid guard conflicts on stale replace") {
     conf()
     rc.createNamespace(Seq("vg"))
