@@ -91,18 +91,22 @@ object Main {
         val t = catalog(cfg).registerTable(id.split('.').toSeq, metaLoc)
         println(s"registered $id -> ${t.metadataLocation}")
       case "rollback" :: id :: snap :: Nil =>
-        requireLocal(id)
         val snapId = snap.toLongOption.getOrElse(die(s"invalid snapshot id: $snap"))
-        graft.spark.TableWriter.rollbackTo(IcebergTables.load(id), snapId)
+        if (isLocal(id))
+          graft.spark.TableWriter.rollbackTo(IcebergTables.load(id), snapId)
+        else graft.spark.TableWriter.rollbackToRest(restCatalog(cfg),
+          id.split('.').toSeq, snapId)
         println(s"rolled back $id to $snap")
       case "expire" :: id :: olderThan :: rest =>
-        requireLocal(id)
         val olderMs = olderThan.toLongOption.getOrElse(
           die(s"invalid timestamp (ms): $olderThan"))
         val retain = rest.headOption.map(r =>
           r.toIntOption.getOrElse(die(s"invalid retain count: $r"))).getOrElse(1)
-        graft.spark.TableWriter.expireSnapshots(IcebergTables.load(id),
-          olderMs, retain, deleteFiles = true)
+        if (isLocal(id))
+          graft.spark.TableWriter.expireSnapshots(IcebergTables.load(id),
+            olderMs, retain, deleteFiles = true)
+        else graft.spark.TableWriter.expireSnapshotsRest(restCatalog(cfg),
+          id.split('.').toSeq, olderMs, retain, deleteFiles = true)
         println(s"expired snapshots of $id older than $olderThan (retain $retain)")
       case "rewrite-manifests" :: id :: Nil =>
         requireLocal(id)
@@ -306,6 +310,11 @@ object Main {
 
   private def isLocal(id: String): Boolean =
     id.contains("/") || id.startsWith("file:")
+
+  private def restCatalog(cfg: Config): RestCatalog = catalog(cfg) match {
+    case r: RestCatalog => r
+    case _ => die("this verb requires a REST catalog for ns.table identifiers")
+  }
 
   /** Catalog-table commits go through the REST `updateTable` route, pinned
     * to the loaded table's uuid (409 → commit conflict). */

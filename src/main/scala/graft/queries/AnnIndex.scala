@@ -180,7 +180,32 @@ object AnnIndex {
   def recallProbe(spark: SparkSession, codes: IcebergTable,
                   codebook: DataFrame, corpusRaw: DataFrame,
                   p: Params = Params(), k: Int = 10, shortlist: Int = 50,
-                  nQueries: Int = 16): RecallStats = {
+                  nQueries: Int = 16): RecallStats =
+    recallStatsOf(corpusRaw, k, shortlist, nQueries,
+      (corpus, queries) =>
+        topK(spark, codes, codebook, corpus, queries, p, k, shortlist))
+
+  /** [[recallProbe]] for the IVF-PQ index — same exact ground truth, the
+    * serve path probes the frozen centroids first (so a too-small nProbe
+    * shows up as recall loss HERE, before users see it). */
+  def recallProbeIvf(spark: SparkSession, codes: IcebergTable,
+                     centroids: DataFrame, codebook: DataFrame,
+                     corpusRaw: DataFrame, p: IvfParams = IvfParams(),
+                     k: Int = 10, shortlist: Int = 50,
+                     nQueries: Int = 16): RecallStats =
+    recallStatsOf(corpusRaw, k, shortlist, nQueries,
+      (corpus, queries) =>
+        topKIvf(spark, codes, centroids, codebook, corpus, queries, p, k,
+          shortlist))
+
+  /** The shared probe: deterministic hash-ordered query sample, exact
+    * brute-force top-k (one corpus pass against broadcast queries, self
+    * excluded — matching the serve paths), recall = |ANN ∩ exact| /
+    * |exact|. `serve` returns (qid, nid, rank) for the sampled queries. */
+  private def recallStatsOf(corpusRaw: DataFrame, k: Int, shortlist: Int,
+                            nQueries: Int,
+                            serve: (DataFrame, DataFrame) => DataFrame)
+      : RecallStats = {
     import org.apache.spark.sql.expressions.Window
     val corpus = Similarity.pqEmb(corpusRaw)
     val queries = corpus
@@ -188,8 +213,7 @@ object AnnIndex {
       .persist()
     try {
       val nq = queries.count()
-      val ann = topK(spark, codes, codebook, corpus, queries, p, k, shortlist)
-        .select("qid", "nid")
+      val ann = serve(corpus, queries).select("qid", "nid")
       val en = corpus.select(col("vec_id").as("nid"), col("e"),
         sqrt(Similarity.dot(col("e"), col("e"))).as("norm"))
       val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"),

@@ -32,7 +32,7 @@ object GraftProcedures {
     "sync_ann_index", "sync_sq_index",
     "ann_index_stats", "ann_ivf_index_stats", "sq_index_stats",
     "rebuild_ann_index", "rebuild_ann_ivf_index", "rebuild_sq_index",
-    "ann_recall_probe")
+    "ann_recall_probe", "ann_ivf_recall_probe")
 
   /** Shared result shape of the ANN stats/rebuild procedures. */
   private val annStatsSchema = StructType(Seq(
@@ -719,6 +719,36 @@ object GraftProcedures {
           graft.queries.AnnIndex.Params(in.getInt(3), in.getInt(4)),
           k = in.getInt(5), shortlist = in.getInt(6),
           nQueries = in.getInt(7))
+        Array[Any](r.queries, r.k, r.shortlist, r.exactPairs, r.hitPairs,
+          r.recall)
+      }
+      case "ann_ivf_recall_probe" => proc(name,
+        Seq("corpus" -> StringType, "centroids" -> StringType,
+          "codebook" -> StringType, "codes" -> StringType,
+          "n_probe" -> IntegerType, "n_sub" -> IntegerType,
+          "k_sub" -> IntegerType, "k" -> IntegerType,
+          "shortlist" -> IntegerType, "n_queries" -> IntegerType),
+        StructType(Seq(
+          StructField("queries", LongType, nullable = false),
+          StructField("k", IntegerType, nullable = false),
+          StructField("shortlist", IntegerType, nullable = false),
+          StructField("exact_pairs", LongType, nullable = false),
+          StructField("hit_pairs", LongType, nullable = false),
+          StructField("recall", DoubleType, nullable = false))),
+        defaults = Map("n_probe" -> "4", "n_sub" -> "8", "k_sub" -> "16",
+          "k" -> "10", "shortlist" -> "50", "n_queries" -> "16")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val cents = IcebergTables.load(resolveLocation(in.getUTF8String(1).toString))
+        val cb = IcebergTables.load(resolveLocation(in.getUTF8String(2).toString))
+        val codes = IcebergTables.load(resolveLocation(in.getUTF8String(3).toString))
+        val r = graft.queries.AnnIndex.recallProbeIvf(spark, codes,
+          cents.newScan().toDF(spark), cb.newScan().toDF(spark),
+          corpus.newScan().toDF(spark),
+          graft.queries.AnnIndex.IvfParams(nProbe = in.getInt(4),
+            nSub = in.getInt(5), kSub = in.getInt(6)),
+          k = in.getInt(7), shortlist = in.getInt(8),
+          nQueries = in.getInt(9))
         Array[Any](r.queries, r.k, r.shortlist, r.exactPairs, r.hitPairs,
           r.recall)
       }

@@ -142,8 +142,53 @@ class CliSpec extends AnyFunSuite {
     val survivor = afterExpire.currentSnapshot.get.snapshotId
     run("rollback", loc, survivor.toString)
     assert(graft.spark.IcebergTables.load(loc).currentSnapshot.get.snapshotId == survivor)
+    // a catalog identifier without --uri has no catalog to commit through
     assert(intercept[Main.CliError](run("rollback", "ns.tbl", "1"))
-      .msg.contains("local table path"))
+      .msg.contains("--uri"))
+  }
+
+  test("rollback and expire on a REST-cataloged table commit through the server") {
+    val server = new graft.catalog.TestRestCatalogServer("cli", "pw")
+    server.start()
+    try {
+      // a fresh client per command (the CLI mints its own token; the test
+      // server keeps ONE live token, and RestCatalog self-heals by
+      // re-minting — so interleaving clients is fine)
+      val cat = graft.catalog.Catalog.load("cliT", server.uri,
+        Map(graft.catalog.RestCatalog.KeyCredential -> "cli:pw"))
+        .asInstanceOf[graft.catalog.RestCatalog]
+      cat.createNamespace(Seq("m"))
+      val loc = java.nio.file.Files.createTempDirectory("cli_rest").toFile.getPath
+      cat.createTable(Seq("m", "t"), graft.core.Schema(0, graft.core.StructT(Seq(
+        graft.core.NestedField(1, "id", graft.core.LongT, required = true)))),
+        location = Some(loc))
+      def appendOne(tag: String): Long = {
+        val raw = java.nio.file.Files.createTempDirectory(s"cli_$tag").toFile
+        import spark.implicits._
+        Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+        val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(src.toPath, dest.toPath)
+        TableWriter.appendFilesRest(cat, Seq("m", "t"),
+          Seq(graft.spark.CowFileOut(dest.getPath, 1, Map.empty)))
+          .metadata.currentSnapshotId.get
+      }
+      val s1 = appendOne("a"); val s2 = appendOne("b"); appendOne("c")
+      run(s"--uri=${server.uri}", "--credential=cli:pw", "rollback", "m.t",
+        s2.toString)
+      assert(cat.loadTable(Seq("m", "t")).metadata.currentSnapshotId
+        .contains(s2))
+      run(s"--uri=${server.uri}", "--credential=cli:pw", "expire", "m.t",
+        (System.currentTimeMillis() + 1000).toString, "1")
+      val md = cat.loadTable(Seq("m", "t")).metadata
+      // main rolled to s2 and expiry keeps its ancestry head only (s1 is
+      // referenced ancestry below the policy → expired; s3 is an orphaned
+      // head, old → expired)
+      assert(md.currentSnapshotId.contains(s2))
+      assert(!md.snapshots.exists(_.snapshotId == s1),
+        md.snapshots.map(_.snapshotId))
+    } finally server.stop()
   }
 
   test("rewrite-manifests and changes verbs") {

@@ -146,6 +146,19 @@ class AnnDriftSpec extends AnyFunSuite {
       .collect()(0)
     assert(row.getLong(0) == 8L && row.getInt(1) == 5)
     assert(row.getDouble(5) == 1.0, row.toString)
+
+    // IVF flavor: probing EVERY cell with a full shortlist is exhaustive
+    // → recall 1.0; nProbe=1 can only lose recall, never exceed it
+    AnnIndex.buildIvf(IcebergTables.load(corpusLoc).newScan().toDF(s),
+      s"$warehouse/db/ce", s"$warehouse/db/icb", s"$warehouse/db/icodes")
+    val ivfFull = s.sql("CALL grec.system.ann_ivf_recall_probe(" +
+      "'db.corpus', 'db.ce', 'db.icb', 'db.icodes', " +
+      "n_probe => 16, k => 5, shortlist => 59, n_queries => 8)").collect()(0)
+    assert(ivfFull.getDouble(5) == 1.0, ivfFull.toString)
+    val ivfTight = s.sql("CALL grec.system.ann_ivf_recall_probe(" +
+      "'db.corpus', 'db.ce', 'db.icb', 'db.icodes', " +
+      "n_probe => 1, k => 5, shortlist => 59, n_queries => 8)").collect()(0)
+    assert(ivfTight.getDouble(5) <= ivfFull.getDouble(5), ivfTight.toString)
   }
 
   test("stats + rebuild are reachable as SQL CALL procedures") {
