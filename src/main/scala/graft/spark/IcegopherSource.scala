@@ -464,13 +464,57 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
                              pinnedSnapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
   private var aggResult: Option[(StructType, Array[Array[Any]])] = None
+
+  /** PARTIAL top-N pushdown over SORTED tables: when the requested order
+    * is a prefix of the table's identity sort order, each partition — a
+    * contiguous range of one sorted file — emits only its FIRST n rows,
+    * which ARE its local top-n; Spark's retained global TopN merges them.
+    * `ORDER BY k LIMIT 10` over a sorted 100-TB table then reads ~10 rows
+    * per file instead of every row. This is only the cheap metadata
+    * acceptance — the per-FILE gate (every scanned file written under the
+    * current sort order) re-checks at plan time, and on a mismatch the
+    * reader cap simply doesn't apply (full rows, still correct). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, SortDirection => V2Dir, NullOrdering => V2Null}
+    if (n <= 0 || orders.isEmpty) return false
+    val parsed = orders.toSeq.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          Some((f.fieldNames()(0),
+            o.direction() == V2Dir.ASCENDING,
+            o.nullOrdering() == V2Null.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) return false
+    val so = table.sortOrder
+    if (so.isUnsorted) return false
+    val lead = so.fields
+      .takeWhile(_.transform == graft.core.IdentityTransform)
+      .flatMap(sf => table.schema.findFieldById(sf.sourceId).map(f =>
+        (f.name, sf.direction == graft.core.SortAsc,
+          sf.nullOrder == graft.core.NullsFirst)))
+    val req = parsed.flatten
+    if (req.length > lead.length || lead.take(req.length) != req) return false
+    topN = Some((req, n))
+    true
+  }
+
+  /** The source returns each partition's local top-n, never the global
+    * answer — Spark must keep its TopN operator. */
+  override def isPartiallyPushed(): Boolean = true
 
   // V2 predicate pushdown (not the V1 Filter API): the V2 form carries
   // catalog-function predicates too, so a plain SQL
@@ -563,7 +607,7 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (pushed.nonEmpty || limit.nonEmpty) return None
+    if (pushed.nonEmpty || limit.nonEmpty || topN.nonEmpty) return None
     // incremental reads answer from the appended-file window, not the
     // snapshot's full stats
     if (options.get("start-snapshot-id") != null) return None
@@ -822,7 +866,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
         options.getBoolean("read-changes", false),
-        bbox = bboxRow)
+        bbox = bboxRow,
+        requestedTopN = topN)
   }
 }
 
@@ -873,7 +918,13 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       // filters rows in the reader (Spark can't re-apply
                       // a non-Filter residual, so the reader owns it)
                       bbox: Option[(String, Double, Double, Double,
-                        Double)] = None)
+                        Double)] = None,
+                      // partial top-N: the requested (column, asc,
+                      // nullsFirst) prefix + n; applies a per-partition
+                      // reader cap ONLY when the scan actually reports a
+                      // covering ordering (see planInputPartitions)
+                      requestedTopN: Option[(Seq[(String, Boolean, Boolean)],
+                        Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1188,10 +1239,26 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       val totalBytes = tasks.map(t => t.file.fileSizeInBytes + openCost).sum
       math.min(confMax, math.max(openCost, totalBytes / math.max(1, parallelism)))
     }
+    // partial top-N: the per-partition reader cap applies ONLY when the
+    // scan provably delivers the requested ordering (same gate as
+    // outputOrdering — every file under the current sort order); on a
+    // mismatch the cap is skipped and Spark's retained TopN stays exact
+    val topNLimit: Option[Int] = requestedTopN.flatMap { case (req, n) =>
+      import org.apache.spark.sql.connector.expressions.{
+        NamedReference, SortDirection => V2Dir, NullOrdering => V2Null}
+      val reported = outputOrdering().toSeq.map(o =>
+        (o.expression().asInstanceOf[NamedReference].fieldNames()(0),
+          o.direction() == V2Dir.ASCENDING,
+          o.nullOrdering() == V2Null.NULLS_FIRST))
+      if (req.length <= reported.length && reported.take(req.length) == req)
+        Some(n)
+      else None
+    }
+    val effLimit = limit.orElse(topNLimit)
     // columnar-ness must be uniform across the scan (Spark refuses mixed
     // partitions), so it's decided here for the whole file set; `_file`
     // projection rides the row path
-    val columnar = limit.isEmpty && bbox.isEmpty &&
+    val columnar = effLimit.isEmpty && bbox.isEmpty &&
       tasks.forall(_.deleteFiles.isEmpty) &&
       !required.fieldNames.contains(GraftReaders.FileCol) &&
       !required.fieldNames.contains(GraftReaders.PosCol) &&
@@ -1258,7 +1325,7 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
       ranges.map {
         case (start, len) =>
           GraftInputPartition(t.file.path, start, len, required.json, read.json,
-            limit, pos, eq, columnar, partValues, fmt,
+            effLimit, pos, eq, columnar, partValues, fmt,
             rowGroupPredicate, rowGroupPredicateCols,
             dvDeletes = dvs,
             firstRowId = t.file.firstRowId,

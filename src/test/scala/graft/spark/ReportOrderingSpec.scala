@@ -3,6 +3,7 @@ package graft.spark
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SupportsReportOrdering: a scan over a table whose files were all
@@ -56,6 +57,46 @@ class ReportOrderingSpec extends AnyFunSuite {
     val plain = spark.read.format("icegopher").load(loc2)
       .sortWithinPartitions("id")
     assert(sortsIn(plain) == 1, plain.queryExecution.executedPlan.toString)
+  }
+
+  test("partial top-N pushdown: sorted table reads ~n rows per partition") {
+    val loc = tmpDir("topn_sorted")
+    val src = (0L until 20000L).map(i => (i, s"r$i")).toDF("id", "data")
+    TableWriter.create(src.repartition(8), loc, sortBy = Seq("id"))
+
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }.sum
+    }
+    val sorted = spark.read.format("icegopher").load(loc)
+    val q = sorted.orderBy("id").limit(5)
+    assert(q.collect().map(_.getLong(0)).toSeq == (0L until 5L).toSeq)
+    val emitted = scanRows(sorted.orderBy("id").limit(5))
+    assert(emitted <= 5L * 64,
+      s"top-N over a sorted table must cap per-partition reads, got $emitted")
+
+    // a DESC request against an ASC sort order is NOT pushed — full scan,
+    // result still exact (Spark's retained TopN does the work)
+    val desc = sorted.orderBy(col("id").desc).limit(3)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(19999L, 19998L, 19997L))
+    assert(scanRows(sorted.orderBy(col("id").desc).limit(3)) == 20000L)
+
+    // unsorted table: no claim, no cap, exact result
+    val loc2 = tmpDir("topn_plain")
+    TableWriter.create(src.repartition(8), loc2)
+    val plain = spark.read.format("icegopher").load(loc2)
+    assert(plain.orderBy("id").limit(5).collect().map(_.getLong(0)).toSeq ==
+      (0L until 5L).toSeq)
+    assert(scanRows(plain.orderBy("id").limit(5)) == 20000L)
+
+    // a residual filter blocks the push (first-n pre-filter != top-n
+    // post-filter) — Spark keeps the full TopN and the result stays exact
+    val filtered = sorted.filter(col("data") =!= "r3").orderBy("id").limit(3)
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
   test("an out-of-order append withdraws the ordering claim") {
