@@ -174,7 +174,15 @@ object GraftProcedures {
         StructType(Seq(
           StructField("removed_files", IntegerType, nullable = false),
           StructField("reclaimed_bytes", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        // file-plane only (no metadata commit), so the REST route just
+        // reads the SERVER's current metadata to compute reachability —
+        // sweeping against a stale local metadata.json would delete files
+        // a newer server-side commit references
+        val table = resolveRest(in.getUTF8String(0).toString) match {
+          case Some((rc, ident)) => TableWriter.restTableOf(rc.loadTable(ident))
+          case None =>
+            IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        }
         val (n, bytes) = TableWriter.removeOrphanFiles(table, in.getLong(1))
         Array[Any](n, bytes)
       }

@@ -166,6 +166,26 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rc.loadTable(Seq("refs", "t")).metadata.refs.contains("pin"))
   }
 
+  test("remove_orphan_files on a REST table sweeps against SERVER metadata") {
+    conf()
+    rc.createNamespace(Seq("orph"))
+    val loc = Files.createTempDirectory("rsql_orph").toFile.getPath
+    rc.createTable(Seq("orph", "t"), schema, location = Some(loc))
+    appendRest(Seq("orph", "t"), loc, Seq((1L, "a")), "live")
+    // a crashed writer left an unreferenced file, older than the cutoff
+    val orphan = new java.io.File(new java.io.File(loc, "data"), "orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 86400000L)
+
+    val row = spark.sql("CALL grest.system.remove_orphan_files('orph.t', " +
+      s"${System.currentTimeMillis() - 3600000L}L)").collect()(0)
+    assert(row.getInt(0) == 1, row)
+    assert(!orphan.exists(), "orphan must be swept")
+    // the referenced data survives and still reads
+    assert(spark.sql("SELECT count(*) FROM grest.orph.t")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("views persist server-side; SHOW VIEWS lists both planes; versions append") {
     server.start()
     rc.createNamespace(Seq("vdb"))
