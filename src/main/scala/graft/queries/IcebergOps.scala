@@ -1108,6 +1108,49 @@ object IcebergOps {
        WHERE x >= x0 AND x <= x0 + 3.71 AND y >= y0 AND y <= y0 + 4.23
        ORDER BY id, sid"""
 
+  /** Partition-scoped compaction through the oracle (ice32): orders
+    * identity-partitioned by status accumulates MoR tombstones across every
+    * partition, then `compact(where => status = 'F')` rewrites ONLY the F
+    * partition via the O(affected-files) CoW replace. The fixture pins the
+    * scale claims loudly — untouched partitions keep their exact files, the
+    * scoped partition's delete debt folds to zero, debt OUTSIDE the scope
+    * survives — and the final aggregate hash-matches DuckDB on the raw
+    * parquet, proving the scoped rewrite changed bytes but not rows. */
+  def ice32ScopedCompact(s: SparkSession, d: String): DataFrame = {
+    val table = cached("orders_scoped_compact", d) { loc =>
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      var t = TableWriter.create(src, loc,
+        partitionBy = Seq("o_orderstatus" -> IdentityTransform))
+      t = TableWriter.deleteWhere(t, s, col("o_orderkey") % 10 === 7)
+      val isF = (f: graft.core.DataFileInfo) =>
+        f.partition.get("o_orderstatus").contains("F")
+      val untouched = t.newScan().planFiles()
+        .filterNot(t0 => isF(t0.file)).map(_.file.path).toSet
+      t = TableWriter.compact(t, s, targetFiles = 1,
+        where = Some(Expr.equalTo("o_orderstatus", StrLit("F"))))
+      val after = t.newScan().planFiles()
+      require(after.filterNot(t0 => isF(t0.file)).map(_.file.path).toSet ==
+        untouched, "ice32: files outside the compaction scope changed")
+      require(after.filter(t0 => isF(t0.file))
+        .forall(_.deleteFiles.isEmpty),
+        "ice32: scoped partition kept its delete debt")
+      require(after.exists(_.deleteFiles.nonEmpty),
+        "ice32: expected surviving MoR debt outside the scope")
+      t
+    }
+    table.newScan().toDF(s)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val ice32Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       ${sqlDsum("o_totalprice")} AS sum_price
+       FROM orders WHERE o_orderkey % 10 <> 7
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Per-branch snapshot retention through the oracle (ice29): a branch
     * declares `min-snapshots-to-keep = 3`, five staged appends land on it,
     * then an AGGRESSIVE global expiry runs (expire-everything-older-than-

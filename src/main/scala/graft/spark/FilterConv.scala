@@ -192,12 +192,84 @@ object FilterConv {
     }
   }
 
-  /** V2 Literal (catalyst-internal representation) → core literal. */
-  private def v2Lit(
-      l: org.apache.spark.sql.connector.expressions.Literal[_])
-      : Option[Literal] = {
+  /** Parse a SQL predicate string into a core expression — the surface
+    * `CALL graft.system.compact(..., where => '...')` exposes. REFUSES
+    * (throws) anything it can't express as file-pruning metadata predicates:
+    * a scoped maintenance action silently widening to the whole table is
+    * exactly the failure mode this path exists to prevent. */
+  def parsePredicate(spark: org.apache.spark.sql.SparkSession,
+                     sql: String): BooleanExpression = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    fromCatalyst(parsed).getOrElse(throw new IllegalArgumentException(
+      s"predicate '$sql' is not expressible as metadata file-pruning " +
+        "filters (supported: comparisons/IN/IS NULL/STARTS WITH on a " +
+        "column vs literals, combined with AND/OR/NOT)"))
+  }
+
+  /** Unresolved Catalyst expression → core expression; None = not
+    * convertible. Column legs stay UNBOUND (the scan planner binds them
+    * case-insensitively against the table schema). */
+  def fromCatalyst(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[BooleanExpression] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colOf(x: ce.Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litOf(x: ce.Expression): Option[Literal] = x match {
+      case l: ce.Literal => internalLit(l.dataType, l.value)
+      case _ => None
+    }
+    def cmp(l: ce.Expression, r: ce.Expression, op: PredOp, flip: PredOp)
+        : Option[BooleanExpression] =
+      (colOf(l), litOf(r), colOf(r), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => Some(UnboundPredicate(op, c, Seq(v)))
+        case (_, _, Some(c), Some(v)) => Some(UnboundPredicate(flip, c, Seq(v)))
+        case _ => None
+      }
+    e match {
+      case ce.And(l, r) =>
+        for (le <- fromCatalyst(l); re <- fromCatalyst(r))
+          yield graft.core.And(le, re)
+      case ce.Or(l, r) =>
+        for (le <- fromCatalyst(l); re <- fromCatalyst(r))
+          yield graft.core.Or(le, re)
+      case ce.Not(c) => fromCatalyst(c).map(graft.core.Not(_))
+      case ce.EqualTo(l, r) => cmp(l, r, OpEq, OpEq)
+      case ce.EqualNullSafe(l, r) if litOf(r).isDefined => cmp(l, r, OpEq, OpEq)
+      case ce.GreaterThan(l, r) => cmp(l, r, OpGt, OpLt)
+      case ce.GreaterThanOrEqual(l, r) => cmp(l, r, OpGtEq, OpLtEq)
+      case ce.LessThan(l, r) => cmp(l, r, OpLt, OpGt)
+      case ce.LessThanOrEqual(l, r) => cmp(l, r, OpLtEq, OpGtEq)
+      case ce.In(v, list) =>
+        val lits = list.map(litOf)
+        if (lits.forall(_.isDefined))
+          colOf(v).map(c => Expr.in(c, lits.flatten))
+        else None
+      case ce.IsNull(c) => colOf(c).map(Expr.isNull)
+      case ce.IsNotNull(c) => colOf(c).map(Expr.notNull)
+      case ce.StartsWith(l, r) => (colOf(l), litOf(r)) match {
+        case (Some(c), Some(StrLit(p))) => Some(Expr.startsWith(c, p))
+        case _ => None
+      }
+      case ce.Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        Some(graft.core.AlwaysTrue)
+      case ce.Literal(false, org.apache.spark.sql.types.BooleanType) =>
+        Some(graft.core.AlwaysFalse)
+      case _ => None
+    }
+  }
+
+  /** Catalyst-internal (dataType, value) → core literal — the shared leg of
+    * [[fromCatalyst]] and [[fromV2Predicate]] (both representations carry
+    * UTF8String strings, epoch-day ints, micros longs). */
+  private def internalLit(dt: org.apache.spark.sql.types.DataType,
+                          value: Any): Option[Literal] = {
     import org.apache.spark.sql.types._
-    (l.dataType, l.value) match {
+    (dt, value) match {
       case (_, null) => None
       case (BooleanType, v: java.lang.Boolean) => Some(BoolLit(v))
       case (ByteType | ShortType | IntegerType, v: java.lang.Number) =>
@@ -215,6 +287,11 @@ object FilterConv {
       case _ => None
     }
   }
+
+  /** V2 Literal (catalyst-internal representation) → core literal. */
+  private def v2Lit(
+      l: org.apache.spark.sql.connector.expressions.Literal[_])
+      : Option[Literal] = internalLit(l.dataType, l.value)
 
   private def litToSpark(l: Literal): Column = l match {
     case BoolLit(v) => lit(v)

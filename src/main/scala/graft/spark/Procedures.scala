@@ -115,15 +115,27 @@ object GraftProcedures {
         }
       }
       case "compact" => proc(name,
-        Seq("table" -> StringType, "target_files" -> IntegerType),
+        Seq("table" -> StringType, "target_files" -> IntegerType,
+          "where" -> StringType),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
-          StructField("files_after", IntegerType, nullable = false)))) { in =>
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("rewritten_files", IntegerType, nullable = false))),
+        defaults = Map("where" -> "CAST(NULL AS STRING)")) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
         val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        // a predicate scopes the rewrite to the files the planner can't
+        // prove disjoint from it — an inexpressible predicate REFUSES
+        // (parsePredicate throws) rather than widening to the whole table
+        val where = Option(in.getUTF8String(2)).map(s =>
+          graft.spark.FilterConv.parsePredicate(spark, s.toString))
+        val rewritten = where match {
+          case Some(w) => table.newScan(w).planFiles().size
+          case None => table.newScan().planFiles().size
+        }
         val before = table.newScan().planFiles().size
-        val out = TableWriter.compact(table,
-          org.apache.spark.sql.SparkSession.active, in.getInt(1))
-        Array[Any](before, out.newScan().planFiles().size)
+        val out = TableWriter.compact(table, spark, in.getInt(1), where = where)
+        Array[Any](before, out.newScan().planFiles().size, rewritten)
       }
       case "rewrite_sorted" => proc(name,
         Seq("table" -> StringType, "target_files" -> IntegerType,

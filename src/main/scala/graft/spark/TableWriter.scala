@@ -1237,10 +1237,20 @@ object TableWriter {
   /** Compaction: rewrite the current snapshot's live rows (MoR deletes
     * applied) into `targetFiles` fresh files and commit a REPLACE snapshot.
     * The rewrite is one distributed pass; small-file pressure and delete
-    * debt reset to zero. */
+    * debt reset to zero.
+    *
+    * With `where` set, the rewrite is PARTITION-SCOPED (Iceberg's
+    * `rewrite_data_files(where => ...)`): only files the scan planner
+    * cannot prove disjoint from the predicate are rewritten — whole files,
+    * never row-filtered, so the table's row set is unchanged — and the
+    * commit rides the O(affected-files) [[replaceFiles]] CoW path instead
+    * of a full-table REPLACE. At 100 TB this is the difference between
+    * compacting a hot day-partition (touching its handful of manifests)
+    * and rewriting the entire table. */
   def compact(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
               targetFiles: Int = 0, sortBy: Seq[String] = Nil,
-              zOrderBy: Seq[String] = Nil): IcebergTable = {
+              zOrderBy: Seq[String] = Nil,
+              where: Option[BooleanExpression] = None): IcebergTable = {
     require(sortBy.isEmpty || zOrderBy.isEmpty,
       "compact takes sortBy or zOrderBy, not both")
     // V3 row lineage survives the rewrite (spec: writers must preserve row
@@ -1254,10 +1264,21 @@ object TableWriter {
     val materializeLineage = table.metadata.formatVersion >= 3 &&
       !table.schema.fields.exists(f =>
         f.name == GraftReaders.RowIdCol || f.name == GraftReaders.LastUpdatedSeqCol)
+    // Partition scope: plan with the predicate (partition-tuple +
+    // column-metrics pruning pick the file set), then read the SELECTED
+    // FILES WHOLE through an unfiltered scan — a file whose metrics merely
+    // overlap the predicate still holds non-matching rows that must
+    // survive the rewrite, so the predicate never filters rows here.
+    val scoped: Option[(Set[String], Set[String])] = where.map { w =>
+      val tasks = table.newScan(w).planFiles()
+      (tasks.map(_.file.path).toSet,
+        tasks.map(_.manifestPath).filter(_.nonEmpty).toSet)
+    }
+    scoped.foreach { case (paths, _) => if (paths.isEmpty) return table }
     var df =
-      if (materializeLineage)
+      if (materializeLineage || scoped.isDefined)
         table.newScan().toDF(spark, keepProvenance = false,
-          pathFilter = None, keepLineage = true)
+          pathFilter = scoped.map(_._1), keepLineage = materializeLineage)
       else table.newScan().toDF(spark)
     val order = sortOrderFor(table.schema, sortBy)
     if (zOrderBy.nonEmpty) {
@@ -1279,18 +1300,33 @@ object TableWriter {
             else df.repartitionByRange(cols: _*))
         .sortWithinPartitions(cols: _*)
     } else if (targetFiles > 0) df = df.repartition(targetFiles)
-    val version = table.loadedVersion + 1
-    val committed = commit(df, table.location, table.schema, table.spec,
-      table.properties, version, table.currentSnapshot,
-      Nil, Nil, // replace: the new manifest list carries ONLY the new files
-      table.metadata.lastSequenceNumber + 1,
-      sortOrder = order, preClustered = true)
-    // rewrite the snapshot op to REPLACE for an honest history
-    val md = committed.metadata
-    val fixed = md.copy(snapshots = md.snapshots.init :+
-      md.snapshots.last.copy(summary = Some(SnapshotSummary(OpReplace))))
-    writeMetadata(table.location, fixed, currentVersion(table.location) + 1)
-    IcebergTables.load(table.location)
+    scoped match {
+      case Some((selected, manifests)) =>
+        // scoped rewrite: write the replacement files with the shared task
+        // writers, then swap exactly the selected files in one OVERWRITE
+        // snapshot — manifests without a selected file are carried by
+        // reference, untouched partitions' files stay byte-identical
+        val dataDir = new File(table.location,
+          s"data/compact-${java.util.UUID.randomUUID()}")
+        val outs = writeDistributed(df, dataDir, table.schema, table.spec,
+          table.properties, order, preClustered = true)
+        replaceFiles(table.location, selected, outs,
+          expectedVersion = Some(table.loadedVersion),
+          touchedManifests = if (manifests.nonEmpty) Some(manifests) else None)
+      case None =>
+        val version = table.loadedVersion + 1
+        val committed = commit(df, table.location, table.schema, table.spec,
+          table.properties, version, table.currentSnapshot,
+          Nil, Nil, // replace: the new manifest list carries ONLY the new files
+          table.metadata.lastSequenceNumber + 1,
+          sortOrder = order, preClustered = true)
+        // rewrite the snapshot op to REPLACE for an honest history
+        val md = committed.metadata
+        val fixed = md.copy(snapshots = md.snapshots.init :+
+          md.snapshots.last.copy(summary = Some(SnapshotSummary(OpReplace))))
+        writeMetadata(table.location, fixed, currentVersion(table.location) + 1)
+        IcebergTables.load(table.location)
+    }
   }
 
   /** Split a dotted column path into (parent struct path, leaf name).
