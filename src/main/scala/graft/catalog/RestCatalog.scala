@@ -519,12 +519,14 @@ final class RestCatalog(val name: String, uri: String,
     require(identifier.size >= 2, s"invalid table identifier: $identifier")
     val ns = identifier.dropRight(1)
     val tbl = identifier.last
-    // ask the server to vend scoped per-table storage credentials instead
-    // of relying on ambient ones (the spec's access-delegation handshake;
-    // a server without the capability simply omits storage-credentials)
+    // ask the server for access delegation, BOTH spec flavors in
+    // preference order: scoped per-table storage credentials, else
+    // catalog-side request signing (a server without either capability
+    // simply omits storage-credentials / signing config)
     val n = mapper.readTree(request("GET",
       prefixedPath("namespaces", ns.mkString(NamespaceSeparator), "tables", tbl),
-      extraHeaders = Map("X-Iceberg-Access-Delegation" -> "vended-credentials")))
+      extraHeaders = Map("X-Iceberg-Access-Delegation" ->
+        "vended-credentials,remote-signing")))
     val md = TableMetadata.parseNode(n.get("metadata"))
     def toMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -536,8 +538,25 @@ final class RestCatalog(val name: String, uri: String,
         Option(c.get("config")).map(toMap).getOrElse(Map.empty)))
       b.result()
     }.getOrElse(Vector.empty)
+    // remote signing chosen (signing config, no vended keys): inject the
+    // session's auth so data IO — including EXECUTOR-side IO rebuilt from
+    // these string props — can call the signer, and re-mint on expiry.
+    // `s3.signer.uri` defaults to this catalog when the server enables
+    // signing without naming a separate signer service.
+    val cfg2 =
+      if (!cfg.get(SignedHttpIO.RemoteSigningEnabled)
+            .exists(_.equalsIgnoreCase("true")) || creds.nonEmpty) cfg
+      else {
+        val withUri =
+          if (cfg.contains(SignedHttpIO.SignerUri)) cfg
+          else cfg + (SignedHttpIO.SignerUri ->
+            baseUri.toString.stripSuffix("/v1"))
+        withUri ++
+          token.map(SignedHttpIO.SignerToken -> _) ++
+          props.get(KeyCredential).map(SignedHttpIO.SignerCredential -> _)
+      }
     LoadedTable(identifier,
-      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""), md, cfg,
+      Option(n.get("metadata-location")).map(_.asText()).getOrElse(""), md, cfg2,
       creds)
   }
 

@@ -36,6 +36,28 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   @volatile var lastAccessDelegation: Option[String] = None
   val loadCounts = mutable.LinkedHashMap[(String, String), Int]()
   @volatile var vendedExpiryMs: Option[Long] = None
+  // remote-signing mode: the server vends NO storage credentials and
+  // instead answers the spec's signer route; the storage route then only
+  // serves requests carrying the signature this server minted
+  @volatile var remoteSigningOnly: Boolean = false
+  @volatile var signRequests: Int = 0
+  private val signingSecret = java.util.UUID.randomUUID().toString
+
+  /** HMAC the signer mints and the storage route verifies — a stand-in
+    * with SigV4's shape (method+uri bound, secret held server-side). */
+  private def signature(method: String, uri: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      signingSecret.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    val hex = mac.doFinal(s"$method\n$uri".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"GRAFT-HMAC-SHA256 $hex"
+  }
+
+  /** The signed-storage URL a test table should record for a local file. */
+  def storageUrl(localPath: String): String =
+    s"$uri/v1/storage?p=" + java.net.URLEncoder.encode(
+      localPath, StandardCharsets.UTF_8)
 
   def port: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$port"
@@ -87,8 +109,44 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
       case ("GET", Seq("config")) =>
         respond(ex, 200,
           """{"defaults": {"srv-default": "d"}, "overrides": {"srv-override": "o"}}""")
+      // storage data plane: auth is the SIGNATURE, not the bearer token
+      // (that's the point of remote signing — the client never holds a
+      // storage credential)
+      case ("GET", Seq("storage")) =>
+        val fullUri = s"http://127.0.0.1:$port${ex.getRequestURI}"
+        val expected = signature("GET", fullUri)
+        if (!Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains(expected))
+          err(ex, 403, "missing or invalid request signature")
+        else {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val p = q.split("&").map(_.split("=", 2))
+            .collectFirst { case Array("p", v) =>
+              URLDecoder.decode(v, StandardCharsets.UTF_8) }
+          p.map(java.nio.file.Paths.get(_)) match {
+            case Some(path) if java.nio.file.Files.isRegularFile(path) =>
+              val bytes = java.nio.file.Files.readAllBytes(path)
+              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes)
+              ex.close()
+            case _ => err(ex, 404, s"no such object: $p")
+          }
+        }
       case _ if !authorized(ex) =>
         err(ex, 401, "missing or invalid bearer token")
+      // the spec's S3 signer route (s3-signer-open-api): bearer-authed;
+      // returns the header set the client must attach to its storage call
+      case ("POST", Seq("aws", "s3", "sign")) =>
+        val b = mapper.readTree(readBody(ex))
+        val method = b.get("method").asText()
+        val uri0 = b.get("uri").asText()
+        signRequests += 1
+        val root = mapper.createObjectNode()
+        root.put("uri", uri0)
+        val hs = root.putObject("headers")
+        hs.putArray("Authorization").add(signature(method, uri0))
+        respond(ex, 200, mapper.writeValueAsString(root))
       case ("GET", Seq("namespaces")) =>
         val root = mapper.createObjectNode()
         val arr = root.putArray("namespaces")
@@ -193,8 +251,13 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               Option(ex.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
             lastAccessDelegation = delegation
             loadCounts((ns, t)) = loadCounts.getOrElse((ns, t), 0) + 1
+            // the header is a comma-separated preference list; the server
+            // picks the flavor it supports
+            val asked = delegation.toSeq
+              .flatMap(_.split(",")).map(_.trim).toSet
             respond(ex, 200, tableResponse(ns, t, md,
-              vend = delegation.contains("vended-credentials")))
+              vend = asked.contains("vended-credentials") && !remoteSigningOnly,
+              remoteSign = asked.contains("remote-signing") && remoteSigningOnly))
         }
       case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
         if (tables.remove((ns, t)).isEmpty) err(ex, 404, s"table $ns.$t not found")
@@ -525,13 +588,20 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   }
 
   private def tableResponse(ns: String, t: String, md: ObjectNode,
-                            vend: Boolean = false): String = {
+                            vend: Boolean = false,
+                            remoteSign: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("metadata-location",
       s"mem://warehouse/${ns.replace("", "/")}/$t/metadata/current.json")
     root.set("metadata", md)
     val cfg = root.putObject("config")
     cfg.put("srv-table-config", "yes")
+    // remote-signing delegation: NO keys cross the wire — the client gets
+    // the signer location and must route storage IO through it
+    if (remoteSign) {
+      cfg.put("s3.remote-signing-enabled", "true")
+      cfg.put("s3.signer.uri", uri)
+    }
     // scoped per-table credentials, vended ONLY when the client asked for
     // access delegation (the spec's opt-in handshake). One credential for
     // the table's own location, one decoy for an unrelated prefix -- the

@@ -40,17 +40,26 @@ object IOConfig {
     }
 
   /** Scheme-dispatched FileIO (io/io.go:275-297): local paths stay on the
-    * fast path; any other scheme goes through the Hadoop FileSystem API so
-    * s3a/gs/abfs work wherever the connectors are on the classpath. */
+    * fast path; tables vended REMOTE SIGNING (no storage keys — the
+    * catalog signs each request instead) route s3/http(s) paths through
+    * [[graft.catalog.SignedHttpIO]]; any other scheme goes through the
+    * Hadoop FileSystem API so s3a/gs/abfs work wherever the connectors are
+    * on the classpath. The decision is derived purely from the property
+    * STRINGS, so executor-side planners rebuilding FileIO from broadcast
+    * ioProps sign their own reads. */
   def fileIO(tableProps: Map[String, String]): FileIO = new FileIO {
     private lazy val conf: Configuration = {
       val c = new Configuration()
       hadoopConf(tableProps).foreach { case (k, v) => c.set(k, v) }
       c
     }
+    private val signing = graft.catalog.SignedHttpIO.shouldSign(tableProps)
     def open(path: String): InputStream = {
       val scheme = java.net.URI.create(path).getScheme
       if (scheme == null || scheme == "file") LocalFileIO.open(path)
+      else if (signing &&
+          (scheme == "http" || scheme == "https" || scheme == "s3"))
+        graft.catalog.SignedHttpIO.open(path, tableProps)
       else {
         val p = new Path(path)
         FileSystem.get(p.toUri, conf).open(p)

@@ -511,8 +511,10 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     catalog.createTable(Seq("it_vc", "t2"), schema)
 
     val l1 = catalog.loadTable(Seq("it_vc", "t1"))
-    // the client opted into access delegation on the load
-    assert(server.lastAccessDelegation.contains("vended-credentials"))
+    // the client opted into access delegation on the load, offering BOTH
+    // spec flavors in preference order
+    assert(server.lastAccessDelegation
+      .contains("vended-credentials,remote-signing"))
     // longest-prefix match: THIS table's credential wins over the decoy
     // prefix the server also vends
     assert(l1.ioProps("s3.access-key-id") == "vended-key-it_vc-t1")
@@ -540,6 +542,87 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val refreshed = catalog.loadTableFresh(Seq("it_vc", "t1"), Some(expired))
     assert(!refreshed.credentialsExpired(System.currentTimeMillis()))
     assert(server.loadCounts(("it_vc", "t1")) == before + 2)
+  }
+
+  test("remote-signing delegation: signed metadata reads, writes, signer re-auth") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    server.remoteSigningOnly = true
+    try {
+      catalog.createNamespace(Seq("it_rs"))
+      val loc = java.nio.file.Files.createTempDirectory("rs_t").toFile.getPath
+      val ident = Seq("it_rs", "t")
+      catalog.createTable(ident, schema, location = Some(loc))
+
+      def fileAt(df: org.apache.spark.sql.DataFrame, tag: String)
+          : graft.spark.CowFileOut = {
+        val raw = java.nio.file.Files.createTempDirectory(s"rs_$tag").toFile
+        df.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+        val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(new java.io.File(loc, "data"), s"$tag.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(src.toPath, dest.toPath)
+        graft.spark.CowFileOut(dest.getPath, df.count(), Map.empty)
+      }
+      // WRITE path on a remote-signing table: the append stages manifests
+      // and commits through the catalog with no storage keys anywhere
+      graft.spark.TableWriter.appendFilesRest(catalog, ident,
+        Seq(fileAt(Seq((1L, "a"), (2L, "b")).toDF("id", "data"), "w1")))
+
+      val loaded = catalog.loadTable(ident)
+      // the server vended NO keys — signing config + injected auth only
+      assert(!loaded.ioProps.contains("s3.access-key-id"))
+      assert(loaded.ioProps.get("s3.remote-signing-enabled").contains("true"))
+      assert(loaded.ioProps.get("s3.signer.uri").contains(server.uri))
+      assert(loaded.ioProps.contains("s3.signer.token"))
+
+      // re-home the metadata plane onto the SIGNED storage route: every
+      // manifest-list/manifest byte now crosses the signer handshake
+      val snap = loaded.metadata.currentSnapshot.get
+      val manifests = graft.core.ManifestIO.readManifestList(
+        graft.core.LocalFileIO.open(snap.manifestList))
+        .map(m => m.copy(path = server.storageUrl(m.path)))
+      val httpList = new java.io.File(loc, "metadata/snap-http.avro")
+      graft.core.ManifestIO.writeManifestList(httpList, manifests)
+      val snap2 = snap.copy(snapshotId = snap.snapshotId + 1,
+        parentSnapshotId = Some(snap.snapshotId),
+        sequenceNumber = snap.sequenceNumber + 1,
+        manifestList = server.storageUrl(httpList.getPath))
+      catalog.commitTable(ident,
+        Seq(AssertRefSnapshotId("main", Some(snap.snapshotId))),
+        Seq(AddSnapshot(snap2), SetSnapshotRef("main", snap2.snapshotId)))
+
+      // READ path: the scan's FileIO routes http paths through the signer
+      val signsBefore = server.signRequests
+      val table = graft.spark.TableWriter.restTableOf(catalog.loadTable(ident))
+      val rows = table.newScan().toDF(spark)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(rows == Set(1L, 2L), rows)
+      assert(server.signRequests > signsBefore,
+        "scan must have gone through the signer")
+
+      // an UNSIGNED fetch of the same object is refused — the signature
+      // really is the auth
+      val bare = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.storageUrl(httpList.getPath))).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bare.statusCode() == 403, bare.statusCode())
+
+      // EXPIRED signer auth self-heals: a second client invalidates our
+      // bearer token server-side; the next signed read re-mints from the
+      // stored credential and succeeds
+      Catalog.load("intruder", server.uri,
+        Map(RestCatalog.KeyCredential -> "graft-ci:s3cr3t"))
+      val again = graft.spark.TableWriter.restTableOf(
+        // NOTE: loadTable itself re-mints the CATALOG token; the stale
+        // SIGNER token still rides ioProps from the earlier load
+        LoadedTable(loaded.identifier, loaded.metadataLocation,
+          catalog.loadTable(ident).metadata, loaded.config,
+          loaded.storageCredentials))
+      assert(again.newScan().toDF(spark)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally server.remoteSigningOnly = false
   }
 
   test("invalidated bearer token self-heals by re-minting from credentials") {
