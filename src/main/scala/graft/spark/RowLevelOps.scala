@@ -308,11 +308,33 @@ object GraftCowWriterFactory {
       case (k, v) if k.startsWith(BloomPropPrefix) =>
         (s"parquet.bloom.filter.enabled#" + k.stripPrefix(BloomPropPrefix)) -> v
     }
-    fromHadoop ++ bloom + ("parquet.compression" ->
+    // V3 variant shredding (write.variant.shredding.*): per-column shred
+    // DDL rides the writer props as strings so task writers — which only
+    // see serialized props — can build the shredded parquet schema
+    val shred =
+      if (!tableProps.get(ShredEnabledProp).exists(_.equalsIgnoreCase("true")))
+        Map.empty[String, String]
+      else tableProps.collect {
+        case (k, v) if k.startsWith(ShredSchemaPropPrefix) =>
+          (VariantShredKeyPrefix + k.stripPrefix(ShredSchemaPropPrefix)) -> v
+      }
+    fromHadoop ++ bloom ++ shred + ("parquet.compression" ->
       spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
   }
 
-  val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column." 
+  val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
+
+  /** Table properties enabling V3 variant SHREDDING on write: when
+    * enabled, each variant column with a configured shredding DDL
+    * (`write.variant.shredding.schema.<column> = "a int, b string"`) is
+    * written as the spec's {metadata, value, typed_value} group — typed
+    * subcolumns readers prune and push into, values that don't fit the
+    * type falling back to the binary residual. Columns without a
+    * configured DDL stay unshredded (inference would need a data
+    * pre-pass). */
+  val ShredEnabledProp = "write.variant.shredding.enabled"
+  val ShredSchemaPropPrefix = "write.variant.shredding.schema."
+  private[spark] val VariantShredKeyPrefix = "graft.variant.shred#"
 }
 
 /** Data-file writing through Spark's ParquetWriteSupport (same encoding
@@ -348,6 +370,30 @@ final class GraftCowDataWriter(dir: String, partitionId: Int, taskId: Long,
     c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
     c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    // V3 variant shredding: replace each configured variant column with
+    // the spec's {metadata, value, typed_value} struct (Spark's write
+    // support does the per-row cast, residual fallback included) — the
+    // LOGICAL schema stays VariantType, so field ids and manifests are
+    // unchanged; only the parquet layout gains typed subcolumns
+    val shredDdls = parquetProps.collect {
+      case (k, v) if k.startsWith(GraftCowWriterFactory.VariantShredKeyPrefix) =>
+        k.stripPrefix(GraftCowWriterFactory.VariantShredKeyPrefix) -> v
+    }
+    if (shredDdls.nonEmpty) {
+      import org.apache.spark.sql.execution.datasources.parquet.SparkShreddingUtils
+      import org.apache.spark.sql.types.{DataType, VariantType}
+      var any = false
+      val replaced = StructType(schema.fields.map { f =>
+        (f.dataType, shredDdls.get(f.name)) match {
+          case (VariantType, Some(ddl)) =>
+            any = true
+            f.copy(dataType = SparkShreddingUtils.addWriteShreddingMetadata(
+              SparkShreddingUtils.variantShreddingSchema(DataType.fromDDL(ddl))))
+          case _ => f
+        }
+      })
+      if (any) ParquetWriteSupport.setShreddingSchema(replaced, c)
+    }
     c
   }
 

@@ -44,6 +44,77 @@ class VariantSpec extends AnyFunSuite {
       graft.core.VariantT)
   }
 
+  test("engine-SHREDDED writes: typed_value subcolumns, both read paths reassemble") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_vshw").toFile.getPath
+    s.conf.set("spark.sql.catalog.gshw", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gshw.warehouse", wh)
+
+    val values = "VALUES (1L, '{\"a\": 1, \"b\": \"x\"}'), " +
+      "(2L, '{\"a\": 2, \"b\": \"y\"}'), (3L, '7'), (4L, NULL), " +
+      "(5L, '{\"a\": \"not-an-int\", \"c\": true}') AS t(id, j)"
+
+    // shredding opt-in via TABLE properties (not a session flag): the
+    // writer shreds payload into (a int, b string) typed subcolumns
+    s.sql("""CREATE TABLE gshw.db.t (id BIGINT, payload VARIANT)
+      TBLPROPERTIES (
+        'write.variant.shredding.enabled' = 'true',
+        'write.variant.shredding.schema.payload' = 'a int, b string')""")
+    s.sql(s"INSERT INTO gshw.db.t SELECT id, parse_json(j) FROM $values")
+    // the unshredded twin, same rows, no shredding properties
+    s.sql("CREATE TABLE gshw.db.plain (id BIGINT, payload VARIANT)")
+    s.sql(s"INSERT INTO gshw.db.plain SELECT id, parse_json(j) FROM $values")
+
+    // the written parquet REALLY carries typed_value subcolumns (and the
+    // plain twin really doesn't) — otherwise everything below is vacuous
+    def footerOf(t: String): String = {
+      val table = IcebergTables.load(s"$wh/db/$t")
+      val f = table.newScan().planFiles().head.file.path
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration()))
+      try footer.getFooter.getFileMetaData.getSchema.toString
+      finally footer.close()
+    }
+    assert(footerOf("t").contains("typed_value"), footerOf("t"))
+    assert(!footerOf("plain").contains("typed_value"))
+
+    // DSv2 read path: shredded reads equal the unshredded twin — including
+    // row 5, whose 'a' doesn't fit int (residual fallback) and whose 'c'
+    // is outside the shredding schema entirely
+    def dump(t: String): Seq[(Long, String)] =
+      s.sql(s"SELECT id, to_json(payload) AS j FROM gshw.db.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(dump("t") == dump("plain"), dump("t"))
+    assert(s.sql("SELECT count(*) FROM gshw.db.t " +
+      "WHERE try_variant_get(payload, '$.a', 'int') = 2")
+      .collect()(0).getLong(0) == 1L)
+
+    // library read path agrees
+    val table = IcebergTables.load(s"$wh/db/t")
+    val lib = table.newScan().toDF(s)
+      .selectExpr("id", "to_json(payload) AS j").orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(lib == dump("plain"), lib)
+
+    // a FOREIGN-style read (plain Spark parquet, variant requested by
+    // schema) of our shredded files matches the unshredded twin
+    val files = table.newScan().planFiles().map(_.file.path)
+    val foreign = s.read.schema("id BIGINT, payload VARIANT").parquet(files: _*)
+      .selectExpr("id", "to_json(payload) AS j").orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(foreign == dump("plain"), foreign)
+
+    // shredded typed subcolumns still answer MoR DML correctly: delete one
+    // row and re-read through both paths
+    s.sql("DELETE FROM gshw.db.t WHERE id = 2")
+    assert(dump("t").map(_._1) == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("foreign SHREDDED variant files read equal to their unshredded twin") {
     val s = spark
     val wh = Files.createTempDirectory("graft_vshred").toFile.getPath
