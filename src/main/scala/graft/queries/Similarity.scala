@@ -467,6 +467,141 @@ object Similarity {
       .select(col("m"), col("j"), coalesce(col("cw1"), col("cw")).as("cw"))
   }
 
+  /** OPQ — Optimized Product Quantization (Ge et al., CVPR 2013,
+    * non-parametric variant; FAISS's `OPQMatrix` pre-rotation): learn an
+    * ORTHONORMAL rotation R that minimizes PQ reconstruction error, then
+    * run the whole trained-PQ pipeline in the rotated space. Subspace
+    * quantizers assume the coordinates they own carry comparable,
+    * independent structure; correlated/skewed dimensions break that, and a
+    * learned rotation redistributes variance so every subspace earns its
+    * codewords — the standard FAISS step after sampled Lloyd training
+    * that ann10 deferred.
+    *
+    * Scale shape: training alternates (a) one Lloyd step on the ROTATED
+    * bounded sample with (b) the orthogonal-Procrustes solve R = V·Uᵀ from
+    * SVD(X·Yᵀ) — both on the driver over the ≤[[TrainSampleSize]]×64
+    * sample (a 64×64 SVD; the same driver-side-model discipline as the
+    * other trainers). Corpus-side, R applies as ONE broadcast-literal
+    * matrix multiply per row (map-only, codegen'd HOFs) before the usual
+    * encode; serve shapes are unchanged from [[annTrainedPq]]. Cosine is
+    * rotation-invariant, so the exact re-rank in rotated space returns the
+    * same neighbors it would on the raw vectors.
+    *
+    * No DuckDB oracle: the SVD solve has no SQL mirror —
+    * TrainedQuantizerSpec pins the claims instead (rotated quantization
+    * error ≤ unrotated; recall ≥ [[annTrainedPq]] at the same shortlist). */
+  def annOpqPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+               nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50,
+               iters: Int = 2): DataFrame = {
+    val emb = pqEmb(Tables.embeddings(s, d))
+    val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    val rot = opqRotate(emb, r)
+    var cb = pqCodebook(rot, nSub, kSub)
+    cb = pqTrainStep(trainSample(rot), cb, nSub)
+    val codes = opqCodesSlot(pqEncode(rot, cb, nSub))
+    pqTopK(rot, codes, cb, rot.filter(col("vec_id") < nQueries),
+      nSub, k, shortlist)
+  }
+
+  private val opqCodesSlot = new CacheSlot
+
+  /** Apply a rotation matrix to the `e` column as a broadcast LITERAL:
+    * `e' = R·e` via codegen'd transform/zip_with — map-only, no UDF, no
+    * shuffle; the 64×64 matrix is part of the plan like LSH's hyperplanes. */
+  private[queries] def opqRotate(df: DataFrame,
+                                 r: Array[Array[Double]]): DataFrame =
+    df.withColumn("__r", typedLit(r.map(_.toSeq).toSeq))
+      .withColumn("e", expr(
+        "transform(__r, row -> aggregate(zip_with(row, e, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+      .drop("__r")
+
+  /** Learn the OPQ rotation on the bounded sample (driver-side; the
+    * sample is ≤[[TrainSampleSize]] rows by construction). Alternates a
+    * deterministic Lloyd step (md5-rank init, min-index ties — the
+    * distributed trainer's discipline) with the Procrustes update.
+    * Deterministic for a fixed sample and iteration count. */
+  private[queries] def opqRotation(sample: DataFrame, nSub: Int, kSub: Int,
+                                   iters: Int): Array[Array[Double]] = {
+    import breeze.linalg.{svd, DenseMatrix}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = sample.select(col("vec_id"), col("e")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+      .sortBy { case (id, _) => md5hex(id.toString) }
+    val xs = rows.map(_._2)
+    require(xs.nonEmpty && xs.length >= kSub, "opq: sample smaller than kSub")
+    val dim = xs.head.length
+    val subDim = dim / nSub
+    // columns of X are the sample vectors (breeze stores column-major)
+    val x = new DenseMatrix(dim, xs.length, xs.flatten)
+    var rot = DenseMatrix.eye[Double](dim)
+    // codebook [m][k][subDim], initialized from the first kSub md5-ranked
+    // ROTATED sample vectors on the first pass, refined once per iteration
+    var cb: Array[Array[Array[Double]]] = null
+    def nearest(cws: Array[Array[Double]], sv: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cws.length) {
+        var dd = 0.0; var t = 0
+        while (t < subDim) { val v = sv(t) - cws(j)(t); dd += v * v; t += 1 }
+        // the distributed trainer's 6-dp rounding + min-j tie
+        dd = math.rint(dd * 1e6) / 1e6
+        if (dd < bestD) { bestD = dd; best = j }
+        j += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val xr = rot * x
+      val cols = Array.tabulate(xs.length)(i =>
+        Array.tabulate(dim)(j => xr(j, i)))
+      if (cb == null)
+        cb = Array.tabulate(nSub)(m => Array.tabulate(kSub)(kk =>
+          cols(kk).slice(m * subDim, (m + 1) * subDim)))
+      // one Lloyd step in the current rotated space: assign, then move
+      // each codeword to its members' mean (empty keeps position)
+      val sums = Array.fill(nSub, kSub)(new Array[Double](subDim))
+      val counts = Array.fill(nSub, kSub)(0L)
+      cols.foreach { v =>
+        var m = 0
+        while (m < nSub) {
+          val sv = v.slice(m * subDim, (m + 1) * subDim)
+          val j = nearest(cb(m), sv)
+          var t = 0
+          while (t < subDim) { sums(m)(j)(t) += sv(t); t += 1 }
+          counts(m)(j) += 1
+          m += 1
+        }
+      }
+      cb = Array.tabulate(nSub)(m => Array.tabulate(kSub)(j =>
+        if (counts(m)(j) == 0) cb(m)(j)
+        else cb(m)(j).indices.toArray.map(t =>
+          sums(m)(j)(t) / counts(m)(j))))
+      // reconstruction Y of the rotated sample from the fresh codebook
+      val y = DenseMatrix.zeros[Double](dim, xs.length)
+      var i = 0
+      while (i < cols.length) {
+        var m = 0
+        while (m < nSub) {
+          val sv = cols(i).slice(m * subDim, (m + 1) * subDim)
+          val cw = cb(m)(nearest(cb(m), sv))
+          var t = 0
+          while (t < subDim) { y(m * subDim + t, i) = cw(t); t += 1 }
+          m += 1
+        }
+        i += 1
+      }
+      // orthogonal Procrustes: argmin_R ||R·X − Y||_F = V·Uᵀ for
+      // SVD(X·Yᵀ) = U·S·Vᵀ
+      val s = svd(x * y.t)
+      rot = s.Vt.t * s.U.t
+      it += 1
+    }
+    Array.tabulate(dim)(i => Array.tabulate(dim)(j => rot(i, j)))
+  }
+
   /** DuckDB mirror of [[annTrainedPq]] (iters = 1): same sampled init,
     * same rounded-L2 min-j assignment, same exact-decimal means, same ADC
     * + re-rank as [[annPqSql]] — byte-exact. */

@@ -74,6 +74,50 @@ class TrainedQuantizerSpec extends AnyFunSuite {
     assert(trained >= 0.5, s"trained PQ recall $trained")
   }
 
+  test("OPQ rotation: orthonormal, lowers quantization error, recall >= trained PQ") {
+    val sample = Similarity.trainSample(emb)
+    val r = Similarity.opqRotation(sample, 8, 16, iters = 2)
+    // R really is orthonormal (R·Rᵀ = I): rotating preserves geometry, so
+    // the rotated index answers the SAME similarity question
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val v = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(v - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R Rᵀ[$i][$j] = $v")
+    }
+
+    // the rotation's purpose: PQ reconstruction error in the rotated
+    // space <= the unrotated trained codebook's error (same corpus, same
+    // kSub budget)
+    def trainedErr(frame: DataFrame): Double = {
+      val cb = Similarity.pqTrainStep(Similarity.trainSample(frame),
+        Similarity.pqCodebook(frame, 8, 16), 8)
+      val codes = Similarity.pqEncode(frame, cb, 8)
+      Similarity.pqSliced(frame, "vec_id", 8)
+        .join(codes, Seq("vec_id", "m")).join(cb, Seq("m", "j"))
+        .select(expr(
+          "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+          .as("d"))
+        .agg(avg(col("d"))).collect()(0).getDouble(0)
+    }
+    val plainErr = trainedErr(emb)
+    val rotErr = trainedErr(Similarity.opqRotate(emb, r))
+    assert(rotErr <= plainErr + 1e-9,
+      s"OPQ must not increase quantization error: $rotErr !<= $plainErr")
+
+    // recall at the same shortlist: OPQ >= trained PQ (the FAISS claim)
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double =
+      bf.count(df.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet) /
+        bf.size.toDouble
+    val trained = recallOf(Similarity.annTrainedPq(spark, sf, nQueries = 10, k = 5))
+    val opq = recallOf(Similarity.annOpqPq(spark, sf, nQueries = 10, k = 5))
+    assert(opq >= trained,
+      s"OPQ recall $opq must be >= trained PQ recall $trained")
+    assert(opq >= 0.5, s"OPQ recall $opq")
+  }
+
   test("trained ivf-pq recall >= sampled ivf-pq recall at the same probes/shortlist") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
