@@ -58,6 +58,32 @@ object Wkb {
     case None => null
   }
 
+  /** GEOGRAPHY envelope with a Janino-friendly surface:
+    * `[xmin, ymin, xmax, ymax]` where `xmin > xmax` is the V3 spec's
+    * antimeridian WRAP ([xmin, 180] ∪ [-180, xmax]), or null when
+    * unparseable. Longitudes are walked SHORT-ARC (each vertex unwrapped
+    * relative to the previous — a 179°→-179° edge spans 2°, not 358°,
+    * matching geodesic edge semantics), so a geometry straddling ±180°
+    * gets the tight wrapped envelope instead of the planar near-global
+    * box. A true ≥360° longitude span degrades to the full range. */
+  def geoEnvelopeArray(wkb: Array[Byte]): Array[Double] =
+    geoEnvelope(wkb) match {
+      case Some((a, b, c, d)) => Array(a, b, c, d)
+      case None => null
+    }
+
+  def geoEnvelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    if (wkb == null || wkb.length < 5) return None
+    try {
+      val acc = new GeoEnvelope
+      if (read(ByteBuffer.wrap(wkb), acc)) acc.result else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Longitude normalized to [-180, 180) — +180 maps to -180, the seam's
+    * single canonical representation. */
+  def wrapLon(x: Double): Double = x - 360.0 * math.floor((x + 180.0) / 360.0)
+
   /** The (xmin, ymin, xmax, ymax) envelope of a 2D WKB geometry; None when
     * the bytes are not parseable 2D WKB (unknown type, Z/M/SRID flags,
     * truncation) or the geometry is empty. */
@@ -69,7 +95,7 @@ object Wkb {
     } catch { case _: Exception => None }
   }
 
-  private final class Envelope {
+  private class Envelope {
     var xmin: Double = Double.PositiveInfinity
     var ymin: Double = Double.PositiveInfinity
     var xmax: Double = Double.NegativeInfinity
@@ -82,6 +108,31 @@ object Wkb {
     }
     def result: Option[(Double, Double, Double, Double)] =
       if (xmin.isInfinite) None else Some((xmin, ymin, xmax, ymax))
+  }
+
+  /** Geography accumulator: longitudes accumulate in UNWRAPPED space (each
+    * vertex shifted by ±360 until within 180° of its predecessor — the
+    * short-arc walk), then the result normalizes back, possibly as the
+    * spec's wrapped xmin > xmax representation. */
+  private final class GeoEnvelope extends Envelope {
+    private var prev: Double = Double.NaN
+    override def add(x0: Double, y: Double): Unit = {
+      var x = wrapLon(x0)
+      if (!prev.isNaN) {
+        while (x - prev > 180.0) x -= 360.0
+        while (prev - x > 180.0) x += 360.0
+      }
+      prev = x
+      super.add(x, y)
+    }
+    override def result: Option[(Double, Double, Double, Double)] =
+      super.result.map { case (x0, y0, x1, y1) =>
+        if (x1 - x0 >= 360.0) (-180.0, y0, 180.0, y1)
+        else if (x0 >= -180.0 && x1 <= 180.0) (x0, y0, x1, y1)
+        // the unwrapped interval crosses exactly one seam (span < 360):
+        // normalized start > normalized end = the spec's wrap encoding
+        else (wrapLon(x0), y0, wrapLon(x1), y1)
+      }
   }
 
   /** Real data nests collections a handful of levels at most; adversarial

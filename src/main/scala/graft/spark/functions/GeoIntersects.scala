@@ -75,8 +75,15 @@ final case class StIntersectsBBoxExpr(child: Expression,
   * ymax]` (null when unparseable — the same prune-safe fallback as the
   * write-side stats pass). The grid-bucketed spatial join derives its
   * cell keys and its exact verify from this one expression, so bucketing
-  * and verification can never disagree on an envelope. */
-final case class StEnvelopeExpr(child: Expression) extends UnaryExpression {
+  * and verification can never disagree on an envelope.
+  *
+  * `geography = true` computes the SHORT-ARC envelope ([[Wkb.geoEnvelope]])
+  * — longitudes walk the shorter way around, and a geometry straddling
+  * ±180° returns the spec's wrapped `xmin > xmax` encoding instead of a
+  * near-global planar box. */
+final case class StEnvelopeExpr(child: Expression,
+                                geography: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -90,8 +97,11 @@ final case class StEnvelopeExpr(child: Expression) extends UnaryExpression {
       s"st_envelope needs WKB binary, got $other")
   }
 
+  private def envOf(bytes: Array[Byte]): Array[Double] =
+    if (geography) Wkb.geoEnvelopeArray(bytes) else Wkb.envelopeArray(bytes)
+
   override protected def nullSafeEval(input: Any): Any = {
-    val env = Wkb.envelopeArray(input.asInstanceOf[Array[Byte]])
+    val env = envOf(input.asInstanceOf[Array[Byte]])
     if (env == null) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(env)
   }
@@ -99,8 +109,9 @@ final case class StEnvelopeExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, bytes => {
       val env = ctx.freshName("env")
+      val fn = if (geography) "geoEnvelopeArray" else "envelopeArray"
       s"""
-         double[] $env = graft.core.Wkb.envelopeArray($bytes);
+         double[] $env = graft.core.Wkb.$fn($bytes);
          if ($env == null) {
            ${ev.isNull} = true;
          } else {

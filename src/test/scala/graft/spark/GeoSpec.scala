@@ -428,6 +428,89 @@ class GeoSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("st_bbox_join geography: pairs straddling ±180° join; quadratic wrapped oracle") {
+    import graft.queries.GeoJoin
+    import graft.core.Wkb
+    def boxCol(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+               x1: org.apache.spark.sql.Column, y1: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.spark.functions.StBoxExpr(
+          org.apache.spark.sql.graft.ColumnShim.expression(x0),
+          org.apache.spark.sql.graft.ColumnShim.expression(y0),
+          org.apache.spark.sql.graft.ColumnShim.expression(x1),
+          org.apache.spark.sql.graft.ColumnShim.expression(y1)))
+    // points clustered on BOTH sides of the antimeridian plus controls
+    val lons = Seq(178.5, 179.5, -179.5, -178.5, -170.0, 170.0, 0.0, 10.0)
+    val pts = (for {
+      (lon, i) <- lons.zipWithIndex
+      (lat, j) <- Seq(-4.0, 0.0, 4.0, 40.0).zipWithIndex
+    } yield ((i * 10 + j).toLong, lon, lat))
+      .toDF("id", "px", "py")
+      .withColumn("pg", pointCol(col("px"), col("py")))
+    // boxes as 2-point lines; the first two CROSS the seam (short-arc:
+    // 179 → -179 spans 2°, not 358°), the rest are planar controls
+    val boxes = Seq(
+      (0L, 179.0, -5.0, -179.0, 5.0),   // wraps: [179, 180] ∪ [-180, -179]
+      (1L, 175.0, -5.0, -175.0, 45.0),  // wraps, taller + wider
+      (2L, 165.0, -5.0, 175.0, 5.0),    // planar, east side only
+      (3L, -5.0, -5.0, 15.0, 5.0))      // planar, greenwich control
+      .toDF("sid", "bx0", "by0", "bx1", "by1")
+      .withColumn("bg", boxCol(col("bx0"), col("by0"), col("bx1"), col("by1")))
+
+    val joined = GeoJoin.stBboxJoin(
+      pts.select("id", "px", "pg"), "pg",
+      boxes.select("sid", "bg"), "bg",
+      cellSize = 8.0, geography = true)
+    val got = joined.select("id", "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // quadratic WRAPPED oracle, driver-side, from the same short-arc
+    // envelope definition (Wkb.geoEnvelope) + the spec's wrap-intersect
+    def envOf(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, (Double, Double, Double, Double))] =
+      rows.map(r => r.getLong(0) ->
+        Wkb.geoEnvelope(r.getAs[Array[Byte]](1)).get).toSeq
+    val pe = envOf(pts.select("id", "pg").collect())
+    val be = envOf(boxes.select("sid", "bg").collect())
+    def xSegs(e: (Double, Double, Double, Double)): Seq[(Double, Double)] =
+      if (e._1 <= e._3) Seq((e._1, e._3)) else Seq((e._1, 180.0), (-180.0, e._3))
+    val expect = (for {
+      (id, p) <- pe
+      (sid, b) <- be
+      if p._2 <= b._4 && b._2 <= p._4 // y overlap
+      if xSegs(p).exists { case (ps, pe0) =>
+        xSegs(b).exists { case (bs, be0) =>
+          math.max(ps, bs) <= math.min(pe0, be0) } }
+    } yield (id, sid)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // exactly once per pair, even when both sides wrap
+    assert(joined.count() == expect.size.toLong)
+
+    // the straddling pairs REALLY are there: the 179.5 and -179.5 points
+    // both join the wrapped box 0 (a planar join would have missed the
+    // cross-seam side)
+    val wrappedHits = got.filter(_._2 == 0L).map(_._1)
+    val lonOf = pts.select("id", "px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wrappedHits.exists(id => lonOf(id) > 179.0))
+    assert(wrappedHits.exists(id => lonOf(id) < -179.0))
+    assert(expect.nonEmpty && wrappedHits.nonEmpty)
+
+    // plan audit: still an equi-join on cell keys, no cartesian
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+
+    // planar mode on the same data misses the cross-seam pairs (the gap
+    // this flag closes) — and never returns pairs geography mode lacks
+    val planar = GeoJoin.stBboxJoin(
+      pts.select("id", "pg"), "pg", boxes.select("sid", "bg"), "bg",
+      cellSize = 8.0, maxCellsPerRow = 512)
+      .select("id", "sid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!planar.exists { case (id, sid) =>
+      sid == 0L && lonOf(id) < -179.0 })
+  }
+
   test("createWithSchema refuses a mismatched frame") {
     val src = Seq((1L, "x")).toDF("id", "name")
     val schema = Schema(0, StructT(Seq(
