@@ -233,6 +233,236 @@ class ForeignV3TableSpec extends AnyFunSuite {
     assert(filtered == 1L)
   }
 
+  /** The deepest interop layer this sandbox can pin without network
+    * access: manifests encoded by a RAW Apache-Avro writer from schemas
+    * that follow apache/iceberg-java's published conventions — NULL-FIRST
+    * unions, `field-id`/`element-id` props, the spec's record names
+    * (`manifest_file`, `manifest_entry`, `r2` data_file, `r102` partition,
+    * map-as-array with `logicalType: map`), V1-leftover fields our model
+    * doesn't carry (`block_size_in_bytes`, `key_metadata`), deflate-coded
+    * blocks, and the spec's OCF metadata keys (`schema`,
+    * `partition-spec`, `partition-spec-id`, `format-version`, `content`).
+    * None of these bytes pass through ManifestIO's writer, so a reader
+    * habit that only works on our own output fails here. */
+  test("foreign-avro-convention manifests: read both paths, prune on bounds, commit continues") {
+    import org.apache.avro.{Schema => AS}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val loc = Files.createTempDirectory("foreign_avro").toFile.getPath
+    val dataDir = new File(loc, "data"); dataDir.mkdirs()
+    val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+
+    // data file via Spark's own parquet sink (field ids annotated)
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val annotated = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val df = spark.createDataFrame(
+      Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "v")
+        .sort("id").coalesce(1).rdd, annotated)
+    val stage = new File(dataDir, "stage"); df.write.parquet(stage.getPath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dataFile = new File(dataDir, "fav-00000.parquet")
+    java.nio.file.Files.move(part.toPath, dataFile.toPath)
+
+    def leLong(v: Long): java.nio.ByteBuffer = {
+      val bb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(v); bb.flip(); bb
+    }
+
+    // ---- manifest (entries) file, iceberg-java conventions
+    val entrySchema = new AS.Parser().parse("""{
+      "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+        {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+          {"name": "content", "type": "int", "field-id": 134},
+          {"name": "file_path", "type": "string", "doc": "Location URI with FS scheme", "field-id": 100},
+          {"name": "file_format", "type": "string", "field-id": 101},
+          {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
+          {"name": "record_count", "type": "long", "field-id": 103},
+          {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+          {"name": "block_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 105},
+          {"name": "lower_bounds", "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": "k126_v127", "fields": [
+              {"name": "key", "type": "int", "field-id": 126},
+              {"name": "value", "type": "bytes", "field-id": 127}]},
+            "logicalType": "map"}], "default": null, "field-id": 125},
+          {"name": "upper_bounds", "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": "k129_v130", "fields": [
+              {"name": "key", "type": "int", "field-id": 129},
+              {"name": "value", "type": "bytes", "field-id": 130}]},
+            "logicalType": "map"}], "default": null, "field-id": 128},
+          {"name": "split_offsets", "type": ["null", {"type": "array",
+            "items": "long", "element-id": 133}], "default": null, "field-id": 132},
+          {"name": "sort_order_id", "type": ["null", "int"], "default": null, "field-id": 140}
+        ]}, "field-id": 2}
+      ]}""")
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestFile = new File(metaDir, "fav-m0.avro")
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+      w.setCodec(CodecFactory.deflateCodec(3))
+      w.setMeta("schema",
+        """{"type":"struct","schema-id":0,"fields":[
+           {"id":1,"name":"id","required":false,"type":"long"},
+           {"id":2,"name":"v","required":false,"type":"string"}]}""")
+      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(entrySchema, manifestFile)
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", dataFile.getPath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfSchema.getField("partition").schema()))
+      dfr.put("record_count", 3L)
+      dfr.put("file_size_in_bytes", dataFile.length())
+      dfr.put("block_size_in_bytes", 67108864L) // the V1 leftover
+      def kvList(sch: AS, vs: Seq[(Int, java.nio.ByteBuffer)]) = {
+        val items = sch.getTypes.get(1).getElementType
+        val l = new java.util.ArrayList[GenericRecord]()
+        vs.foreach { case (k, v) =>
+          val r = new GenericData.Record(items)
+          r.put("key", k); r.put("value", v); l.add(r)
+        }
+        l
+      }
+      dfr.put("lower_bounds", kvList(
+        dfSchema.getField("lower_bounds").schema(), Seq(1 -> leLong(10L))))
+      dfr.put("upper_bounds", kvList(
+        dfSchema.getField("upper_bounds").schema(), Seq(1 -> leLong(30L))))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null) // inherit from the manifest
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+      e.put("data_file", dfr)
+      w.append(e); w.close()
+    }
+
+    // ---- manifest list, iceberg-java conventions
+    val listSchema = new AS.Parser().parse("""{
+      "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "type": ["null", {"type": "array", "items": {
+          "type": "record", "name": "r508", "fields": [
+            {"name": "contains_null", "type": "boolean", "field-id": 509},
+            {"name": "contains_nan", "type": ["null", "boolean"], "default": null, "field-id": 518},
+            {"name": "lower_bound", "type": ["null", "bytes"], "default": null, "field-id": 510},
+            {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
+          ]}, "element-id": 508}], "default": null, "field-id": 507},
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": null, "field-id": 519}
+      ]}""")
+    val listFile = new File(metaDir, "fav-snap.avro")
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+      w.setCodec(CodecFactory.deflateCodec(3))
+      w.setMeta("format-version", "2")
+      w.setMeta("snapshot-id", "77")
+      w.setMeta("sequence-number", "1")
+      w.create(listSchema, listFile)
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", manifestFile.getPath)
+      r.put("manifest_length", manifestFile.length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 77L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 3L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r.put("partitions", null)
+      r.put("key_metadata", null)
+      w.append(r); w.close()
+    }
+
+    // ---- hand-written metadata JSON
+    java.nio.file.Files.writeString(
+      new File(metaDir, "v1.metadata.json").toPath, s"""{
+      "format-version": 2,
+      "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+      "location": "$loc",
+      "last-sequence-number": 1,
+      "last-updated-ms": 1700000000000,
+      "last-column-id": 2,
+      "current-schema-id": 0,
+      "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": false, "type": "long"},
+        {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+      "default-spec-id": 0,
+      "partition-specs": [{"spec-id": 0, "fields": []}],
+      "default-sort-order-id": 0,
+      "sort-orders": [{"order-id": 0, "fields": []}],
+      "properties": {},
+      "current-snapshot-id": 77,
+      "snapshots": [{"snapshot-id": 77, "sequence-number": 1,
+        "timestamp-ms": 1700000000000,
+        "manifest-list": "${listFile.getPath}",
+        "summary": {"operation": "append"}, "schema-id": 0}],
+      "snapshot-log": [{"snapshot-id": 77, "timestamp-ms": 1700000000000}],
+      "metadata-log": [],
+      "refs": {"main": {"snapshot-id": 77, "type": "branch"}}
+    }""")
+
+    // both read paths see the foreign bytes
+    val t = IcebergTables.load(loc)
+    val lib = t.newScan().toDF(spark)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(lib == Set((10L, "x"), (20L, "y"), (30L, "z")), lib)
+    val dsv2 = spark.read.format("icegopher").load(loc)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dsv2 == lib)
+    // seq-number inheritance filled the null entry fields from the list
+    val entries = t.newScan().planFiles()
+    assert(entries.size == 1)
+    assert(entries.head.dataSequenceNumber == 1L,
+      entries.head.dataSequenceNumber)
+
+    // the foreign-encoded bounds drive metrics pruning
+    assert(t.newScan(Expr.greaterThan("id", LongLit(100L))).planFiles().isEmpty)
+    assert(t.newScan(Expr.lessThanOrEq("id", LongLit(10L))).planFiles().size == 1)
+
+    // this engine commits ON the foreign table, CONTINUING its sequence
+    val t2 = TableWriter.append(t, Seq((40L, "w")).toDF("id", "v"))
+    assert(t2.metadata.lastSequenceNumber == 2L)
+    val snap = t2.currentSnapshot.get
+    assert(snap.sequenceNumber == 2L && snap.parentSnapshotId.contains(77L))
+    assert(spark.read.format("icegopher").load(loc).count() == 4L)
+    // and the foreign manifest is still carried (not rewritten) by the
+    // new snapshot's manifest list
+    val carried = ManifestIO.readManifestList(t2.io.open(snap.manifestList))
+      .map(_.path)
+    assert(carried.contains(manifestFile.getPath), carried)
+  }
+
   test("defaults + inherited lineage + DV compose on a foreign V3 table") {
     val loc = buildForeignTable()
     val t = IcebergTables.load(loc)
