@@ -62,68 +62,100 @@ object GeoJoin {
 
     def cellsOf(df: DataFrame, geom: String, side: String): DataFrame = {
       val env = s"__env_$side"
-      val segs = s"__segs_$side"
-      val e = df.withColumn(env, envelope(col(geom), geography))
+      val e0 = df.withColumn(env, envelope(col(geom), geography))
         .filter(col(env).isNotNull)
-        .withColumn(segs, segsOf(env))
       val iy0 = floor(col(env)(1) / cellSize).cast("long")
       val iy1 = floor(col(env)(3) / cellSize).cast("long")
-      // ARITHMETIC pre-count (an upper bound: segments sharing a boundary
-      // x-cell count it twice) so the cap check never materializes the
-      // array it is guarding against — a giant envelope must fail from the
-      // numbers alone, not after building millions of structs
-      val nCells = aggregate(
-        transform(col(segs), seg =>
-          floor(seg("e") / cellSize).cast("long") -
-            floor(seg("s") / cellSize).cast("long") + lit(1L)),
-        lit(0L), (acc, n) => acc + n) * (iy1 - iy0 + 1)
-      // array_distinct: an almost-full wrapped envelope's two segments can
-      // meet in the SAME x-cell — a duplicated cell would double-join the
-      // pair and defeat the canonical-cell exactly-once rule. The cap is
-      // enforced INSIDE the cell computation so column pruning can never
-      // drop the guard: an oversized envelope fails the job with a clear
-      // message instead of exploding the shuffle.
-      val cells = when(nCells <= maxCellsPerRow,
-        array_distinct(flatten(transform(col(segs), seg =>
-          flatten(transform(
-            sequence(floor(seg("s") / cellSize).cast("long"),
-              floor(seg("e") / cellSize).cast("long")), ix =>
+      if (!geography) {
+        // planar fast path: single segment, pure-arithmetic pre-count
+        val ix0 = floor(col(env)(0) / cellSize).cast("long")
+        val ix1 = floor(col(env)(2) / cellSize).cast("long")
+        val nCells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        // the cap is enforced INSIDE the cell computation so column
+        // pruning can never drop the guard: an oversized envelope fails
+        // the job with a clear message instead of exploding the shuffle
+        val cells = when(nCells <= maxCellsPerRow,
+          flatten(transform(sequence(ix0, ix1), ix =>
             transform(sequence(iy0, iy1), iy =>
-              struct(ix.as("ix"), iy.as("iy")))))))))
-        .otherwise(raise_error(concat(
-          lit(s"st_bbox_join: an envelope spans more than $maxCellsPerRow " +
-            s"grid cells at cellSize=$cellSize ("), nCells,
-          lit(") - choose a coarser cellSize or raise maxCellsPerRow"))))
-      e.withColumn(s"__cell_$side", explode(cells))
+              struct(ix.as("ix"), iy.as("iy"))))))
+          .otherwise(raise_error(concat(
+            lit(s"st_bbox_join: an envelope spans more than $maxCellsPerRow " +
+              s"grid cells at cellSize=$cellSize ("), nCells,
+            lit(") - choose a coarser cellSize or raise maxCellsPerRow"))))
+        e0.withColumn(s"__cell_$side", explode(cells))
+      } else {
+        val segs = s"__segs_$side"
+        val e = e0.withColumn(segs, segsOf(env))
+        // ARITHMETIC pre-count (an upper bound: segments sharing a
+        // boundary x-cell count it twice) so the cap check never
+        // materializes the array it is guarding against — a giant
+        // envelope must fail from the numbers alone
+        val nCells = aggregate(
+          transform(col(segs), seg =>
+            floor(seg("e") / cellSize).cast("long") -
+              floor(seg("s") / cellSize).cast("long") + lit(1L)),
+          lit(0L), (acc, n) => acc + n) * (iy1 - iy0 + 1)
+        // array_distinct: an almost-full wrapped envelope's two segments
+        // can meet in the SAME x-cell — a duplicated cell would
+        // double-join the pair and defeat the exactly-once rule
+        val cells = when(nCells <= maxCellsPerRow,
+          array_distinct(flatten(transform(col(segs), seg =>
+            flatten(transform(
+              sequence(floor(seg("s") / cellSize).cast("long"),
+                floor(seg("e") / cellSize).cast("long")), ix =>
+              transform(sequence(iy0, iy1), iy =>
+                struct(ix.as("ix"), iy.as("iy")))))))))
+          .otherwise(raise_error(concat(
+            lit(s"st_bbox_join: an envelope spans more than $maxCellsPerRow " +
+              s"grid cells at cellSize=$cellSize ("), nCells,
+            lit(") - choose a coarser cellSize or raise maxCellsPerRow"))))
+        e.withColumn(s"__cell_$side", explode(cells))
+      }
     }
 
     val l = cellsOf(left, leftGeom, "l")
     val r = cellsOf(right, rightGeom, "r")
     val le = col("__env_l"); val re = col("__env_r")
-    // longitude overlap = pairwise SEGMENT intersections (≤4, usually 1);
-    // the canonical x anchors on the westernmost overlap's start, which by
-    // construction lies inside one x-segment of EACH side — so exactly one
-    // joint cell passes the canonical filter, wrapped or not
-    val overlaps = expr(
-      """filter(
-           flatten(transform(__segs_l, ls ->
-             transform(__segs_r, rs ->
-               struct(greatest(ls.s, rs.s) AS s, least(ls.e, rs.e) AS e)))),
-           seg -> seg.s <= seg.e)""")
-    l.join(r, col("__cell_l") === col("__cell_r"))
-      .withColumn("__ov", overlaps)
-      // exact envelope intersection on the co-bucketed candidates
-      .filter(size(col("__ov")) > 0 && le(1) <= re(3) && re(1) <= le(3))
-      // canonical cell: emit each intersecting pair exactly once — from
-      // the cell holding the canonical intersection corner (westernmost
-      // overlap segment's start, lower y edge)
-      .filter(
-        col("__cell_l.ix") ===
-          floor(array_min(expr("transform(__ov, o -> o.s)")) / cellSize)
-            .cast("long") &&
-        col("__cell_l.iy") ===
-          floor(greatest(le(1), re(1)) / cellSize).cast("long"))
-      .drop("__env_l", "__env_r", "__segs_l", "__segs_r",
-        "__cell_l", "__cell_r", "__ov")
+    val joined = l.join(r, col("__cell_l") === col("__cell_r"))
+    val out =
+      if (!geography)
+        // planar fast path: plain codegen'd comparisons (the segment HOFs
+        // below evaluate interpreted — measurably slower in the join's
+        // inner loop, and single-segment planar envelopes don't need them)
+        joined
+          // exact envelope intersection on the co-bucketed candidates
+          .filter(le(0) <= re(2) && re(0) <= le(2) &&
+            le(1) <= re(3) && re(1) <= le(3))
+          // canonical cell: emit each intersecting pair exactly once —
+          // from the cell holding the intersection's lower-left corner
+          .filter(
+            col("__cell_l.ix") ===
+              floor(greatest(le(0), re(0)) / cellSize).cast("long") &&
+            col("__cell_l.iy") ===
+              floor(greatest(le(1), re(1)) / cellSize).cast("long"))
+      else {
+        // longitude overlap = pairwise SEGMENT intersections (≤4, usually
+        // 1); the canonical x anchors on the westernmost overlap's start,
+        // which by construction lies inside one x-segment of EACH side —
+        // so exactly one joint cell passes the canonical filter
+        val overlaps = expr(
+          """filter(
+               flatten(transform(__segs_l, ls ->
+                 transform(__segs_r, rs ->
+                   struct(greatest(ls.s, rs.s) AS s, least(ls.e, rs.e) AS e)))),
+               seg -> seg.s <= seg.e)""")
+        joined
+          .withColumn("__ov", overlaps)
+          .filter(size(col("__ov")) > 0 && le(1) <= re(3) && re(1) <= le(3))
+          .filter(
+            col("__cell_l.ix") ===
+              floor(array_min(expr("transform(__ov, o -> o.s)")) / cellSize)
+                .cast("long") &&
+            col("__cell_l.iy") ===
+              floor(greatest(le(1), re(1)) / cellSize).cast("long"))
+          .drop("__ov")
+      }
+    out.drop("__env_l", "__env_r", "__segs_l", "__segs_r",
+      "__cell_l", "__cell_r")
   }
 }

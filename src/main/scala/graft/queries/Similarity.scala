@@ -505,15 +505,14 @@ object Similarity {
 
   private val opqCodesSlot = new CacheSlot
 
-  /** Apply a rotation matrix to the `e` column as a broadcast LITERAL:
-    * `e' = R·e` via codegen'd transform/zip_with — map-only, no UDF, no
-    * shuffle; the 64×64 matrix is part of the plan like LSH's hyperplanes. */
+  /** Apply a rotation matrix to the `e` column as a plan constant:
+    * `e' = R·e` through the codegen'd [[graft.spark.functions.MatVecExpr]]
+    * — map-only, no UDF, no shuffle, no interpreted HOF lambdas in the
+    * encode hot loop; the 64×64 matrix is part of the plan like LSH's
+    * hyperplanes. */
   private[queries] def opqRotate(df: DataFrame,
                                  r: Array[Array[Double]]): DataFrame =
-    df.withColumn("__r", typedLit(r.map(_.toSeq).toSeq))
-      .withColumn("e", expr(
-        "transform(__r, row -> aggregate(zip_with(row, e, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
-      .drop("__r")
+    df.withColumn("e", graft.spark.functions.MatVec.matVec(r, col("e")))
 
   /** Learn the OPQ rotation on the bounded sample (driver-side; the
     * sample is ≤[[TrainSampleSize]] rows by construction). Alternates a
