@@ -148,6 +148,12 @@ final class RestCatalog(val name: String, uri: String,
   private var baseUri: URI = normalize(uri)
   private var props: Map[String, String] = initialProps
 
+  /** The spec's advertised-endpoints capability list (empty when the
+    * server's `/config` omits it). Declared BEFORE the construction-time
+    * `locally` block below: `fetchConfig()` assigns it, and a later-in-
+    * source initializer would re-run and clobber the fetched value. */
+  @volatile var endpoints: Set[String] = Set.empty
+
   // session establishment: token then config (rest.go:179-199)
   private var token: Option[String] = props.get(KeyToken)
   locally {
@@ -207,7 +213,19 @@ final class RestCatalog(val name: String, uri: String,
       }.getOrElse(Map.empty)
     props = toMap("defaults") ++ props ++ toMap("overrides")
     props.get("uri").foreach(u => baseUri = normalize(u))
+    // capability discovery: servers advertise their supported routes; a
+    // client must not call an endpoint the server never declared
+    endpoints = Option(cfg.get("endpoints")).map { a =>
+      val b = Set.newBuilder[String]
+      a.forEach(e => b += e.asText())
+      b.result()
+    }.getOrElse(Set.empty)
   }
+
+  /** True when the server advertises the scan-planning plane. */
+  def supportsScanPlanning: Boolean =
+    endpoints.contains(
+      "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan")
 
   // --------------------------------------------------------- http plumbing
 
@@ -566,6 +584,112 @@ final class RestCatalog(val name: String, uri: String,
                      nowMs: Long = System.currentTimeMillis()): LoadedTable =
     cached.filter(c => c.identifier == identifier &&
       !c.credentialsExpired(nowMs)).getOrElse(loadTable(identifier))
+
+  // ------------------------------------------------------- scan planning
+
+  /** Server-side scan planning (the REST spec's `plan`/`tasks` routes):
+    * submit the scan, follow the async handshake if the server chose it,
+    * drain every opaque `plan-task`, and parse the spec `FileScanTask`
+    * JSON back into the core model. Returns None — caller plans locally —
+    * when the capability is absent, the filter has no REST serialization,
+    * or the server/parse fails (the client always holds the full metadata
+    * tree, so local planning is the universally-correct fallback).
+    *
+    * `metadata` must be the SAME metadata the scan was opened against: it
+    * resolves partition types by spec-id and bound types by field id when
+    * decoding the response. `snapshotId` pins the scan server-side — the
+    * caller resolves refs / as-of timestamps to an id first so client and
+    * server cannot disagree on ref resolution. */
+  def planTableScan(identifier: Seq[String], metadata: TableMetadata,
+                    snapshotId: Option[Long], useSnapshotSchema: Boolean,
+                    filter: graft.core.BooleanExpression,
+                    select: Seq[String] = Nil,
+                    caseSensitive: Boolean = true)
+      : Option[Seq[graft.core.FileScanTask]] = {
+    if (!supportsScanPlanning) return None
+    val filterNode = RestScanPlanning.expressionToJson(filter, mapper) match {
+      case Some(n) => n
+      case None => RestScanPlanning.localFallbacks.incrementAndGet(); return None
+    }
+    val ns = identifier.dropRight(1).mkString(NamespaceSeparator)
+    val tbl = identifier.last
+    val schema =
+      (if (useSnapshotSchema)
+        snapshotId.flatMap(metadata.snapshotById).flatMap(_.schemaId)
+          .flatMap(metadata.schemaById)
+      else None).getOrElse(metadata.currentSchema)
+    try {
+      val body = mapper.createObjectNode()
+      snapshotId.foreach(id => body.put("snapshot-id", id))
+      body.put("use-snapshot-schema", useSnapshotSchema)
+      body.put("case-sensitive", caseSensitive)
+      body.set[com.fasterxml.jackson.databind.JsonNode]("filter", filterNode)
+      if (select.nonEmpty) {
+        val arr = body.putArray("select")
+        select.foreach(s => arr.add(s))
+      }
+      var result = mapper.readTree(request("POST",
+        prefixedPath("namespaces", ns, "tables", tbl, "plan"),
+        Some(mapper.writeValueAsString(body))))
+      // async handshake: "submitted" + plan-id → poll GET plan/{id}
+      // (bounded; a stuck plan falls back to local planning, and the
+      // abandoned plan is cancelled so the server can reclaim it)
+      var planId = Option(result.get("plan-id")).filter(!_.isNull).map(_.asText())
+      var polls = 0
+      while (result.get("plan-status").asText() == "submitted" && polls < 50) {
+        Thread.sleep(50L * math.min(polls + 1, 4))
+        polls += 1
+        result = mapper.readTree(get(
+          prefixedPath("namespaces", ns, "tables", tbl, "plan", planId.get)))
+      }
+      result.get("plan-status").asText() match {
+        case "completed" =>
+        case "submitted" =>
+          planId.foreach(id => try request("DELETE",
+            prefixedPath("namespaces", ns, "tables", tbl, "plan", id))
+          catch { case _: Exception => })
+          RestScanPlanning.localFallbacks.incrementAndGet()
+          return None
+        case _ => // failed / cancelled
+          RestScanPlanning.localFallbacks.incrementAndGet()
+          return None
+      }
+      val out = Vector.newBuilder[graft.core.FileScanTask]
+      def collect(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+        // delete-file-references index into THIS response's delete-files
+        val dels = Option(node.get("delete-files")).filter(_.isArray).map { a =>
+          (0 until a.size()).map(i =>
+            RestScanPlanning.contentFileFromJson(a.get(i), metadata, schema))
+            .toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+        Option(node.get("file-scan-tasks")).filter(_.isArray).foreach { a =>
+          (0 until a.size()).foreach(i => out +=
+            RestScanPlanning.fileScanTaskFromJson(a.get(i), dels, metadata, schema))
+        }
+        Option(node.get("plan-tasks")).filter(_.isArray).map { a =>
+          (0 until a.size()).map(i => a.get(i).asText()).toSeq
+        }.getOrElse(Nil)
+      }
+      // drain the opaque plan-task queue (a task fetch may return more)
+      var queue = collect(result)
+      var fetches = 0
+      while (queue.nonEmpty) {
+        fetches += 1
+        require(fetches <= 10000, "plan-task fetch runaway")
+        val taskBody = mapper.createObjectNode()
+        taskBody.put("plan-task", queue.head)
+        queue = queue.tail ++ collect(mapper.readTree(request("POST",
+          prefixedPath("namespaces", ns, "tables", tbl, "tasks"),
+          Some(mapper.writeValueAsString(taskBody)))))
+      }
+      RestScanPlanning.remotePlans.incrementAndGet()
+      Some(out.result())
+    } catch {
+      case _: Exception =>
+        RestScanPlanning.localFallbacks.incrementAndGet()
+        None
+    }
+  }
 
   def dropTable(identifier: Seq[String]): Unit = {
     val ns = identifier.dropRight(1)

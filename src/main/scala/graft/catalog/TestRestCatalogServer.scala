@@ -43,6 +43,25 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   @volatile var signRequests: Int = 0
   private val signingSecret = java.util.UUID.randomUUID().toString
 
+  // ---- scan-planning plane state (spec plan/tasks routes) ----
+  /** Advertise + serve the scan-planning endpoints (off → clients must
+    * fall back to local planning — the capability-gated path). */
+  @volatile var scanPlanningEnabled: Boolean = true
+  /** How plan requests answer: "inline" (completed with file-scan-tasks),
+    * "async" (submitted + plan-id; completes after [[asyncPollsBeforeReady]]
+    * status polls), "chunked" (completed with opaque plan-tasks the client
+    * fetches via POST tasks). */
+  @volatile var planMode: String = "inline"
+  @volatile var asyncPollsBeforeReady: Int = 2
+  @volatile var planTaskChunkSize: Int = 2
+  @volatile var planRequests: Int = 0
+  @volatile var planPolls: Int = 0
+  @volatile var taskFetches: Int = 0
+  /** plan-id → (status, remaining polls until ready, response chunks) —
+    * each chunk is a self-contained {delete-files, file-scan-tasks} node
+    * (delete-file-references are chunk-scoped per the spec). */
+  private val plans = mutable.LinkedHashMap[String, (String, Int, IndexedSeq[ObjectNode])]()
+
   /** HMAC the signer mints and the storage route verifies — a stand-in
     * with SigV4's shape (method+uri bound, secret held server-side). */
   private def signature(method: String, uri: String): String = {
@@ -107,8 +126,18 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         } else respond(ex, 401,
           """{"error": "invalid_client", "error_description": "bad credentials"}""")
       case ("GET", Seq("config")) =>
+        // capability discovery: the scan-planning plane is advertised via
+        // the spec's `endpoints` list; clients must not call unlisted routes
+        val planEndpoints =
+          if (!scanPlanningEnabled) ""
+          else
+            """, "endpoints": [
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+              "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+              "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks"]"""
         respond(ex, 200,
-          """{"defaults": {"srv-default": "d"}, "overrides": {"srv-override": "o"}}""")
+          s"""{"defaults": {"srv-default": "d"}, "overrides": {"srv-override": "o"}$planEndpoints}""")
       // storage data plane: auth is the SIGNATURE, not the bearer token
       // (that's the point of remote signing — the client never holds a
       // storage credential)
@@ -298,6 +327,77 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               changes.result().foreach { case (md, c) => applyUpdates(c, md) }
               respond(ex, 204)
             }
+        }
+      // ---- scan-planning plane (spec plan/tasks routes) ----
+      case ("POST", Seq("namespaces", ns, "tables", t, "plan")) =>
+        if (!scanPlanningEnabled) err(ex, 404, "scan planning not supported")
+        else tables.get((ns, t)) match {
+          case None => err(ex, 404, s"table $ns.$t not found")
+          case Some(md) =>
+            planRequests += 1
+            planScan(md, mapper.readTree(readBody(ex))) match {
+              case Left(msg) =>
+                val root = mapper.createObjectNode()
+                root.put("plan-status", "failed")
+                val e = root.putObject("error")
+                e.put("message", msg); e.put("type", "err"); e.put("code", 400)
+                respond(ex, 200, mapper.writeValueAsString(root))
+              case Right(chunks) =>
+                val id = java.util.UUID.randomUUID().toString
+                planMode match {
+                  case "async" =>
+                    plans(id) = ("submitted", asyncPollsBeforeReady, chunks)
+                    val root = mapper.createObjectNode()
+                    root.put("plan-status", "submitted")
+                    root.put("plan-id", id)
+                    respond(ex, 200, mapper.writeValueAsString(root))
+                  case "chunked" =>
+                    plans(id) = ("completed", 0, chunks)
+                    val root = mapper.createObjectNode()
+                    root.put("plan-status", "completed")
+                    val pts = root.putArray("plan-tasks")
+                    chunks.indices.foreach(i => pts.add(s"$id#$i"))
+                    respond(ex, 200, mapper.writeValueAsString(root))
+                  case _ => // inline: one completed response, tasks in-line
+                    respond(ex, 200,
+                      mapper.writeValueAsString(completedNode(chunks)))
+                }
+            }
+        }
+      case ("GET", Seq("namespaces", ns, "tables", t, "plan", id)) =>
+        plans.get(id) match {
+          case None => err(ex, 404, s"no such plan: $id")
+          case Some(("cancelled", _, _)) =>
+            respond(ex, 200, """{"plan-status": "cancelled"}""")
+          case Some(("submitted", left, chunks)) =>
+            planPolls += 1
+            if (left > 1) {
+              plans(id) = ("submitted", left - 1, chunks)
+              respond(ex, 200,
+                s"""{"plan-status": "submitted", "plan-id": "$id"}""")
+            } else {
+              plans(id) = ("completed", 0, chunks)
+              respond(ex, 200, mapper.writeValueAsString(completedNode(chunks)))
+            }
+          case Some((_, _, chunks)) =>
+            planPolls += 1
+            respond(ex, 200, mapper.writeValueAsString(completedNode(chunks)))
+        }
+      case ("DELETE", Seq("namespaces", ns, "tables", t, "plan", id)) =>
+        if (!plans.contains(id)) err(ex, 404, s"no such plan: $id")
+        else {
+          plans(id) = ("cancelled", 0, IndexedSeq.empty)
+          respond(ex, 204)
+        }
+      case ("POST", Seq("namespaces", ns, "tables", t, "tasks")) =>
+        val pt = mapper.readTree(readBody(ex)).get("plan-task").asText()
+        pt.split("#", 2) match {
+          case Array(id, idx) if plans.get(id).exists(_._3.indices
+              .contains(idx.toIntOption.getOrElse(-1))) =>
+            taskFetches += 1
+            respond(ex, 200,
+              mapper.writeValueAsString(plans(id)._3(idx.toInt)))
+          case _ => err(ex, 404, s"no such plan-task: $pt")
         }
       case ("GET", Seq("namespaces", ns, "views")) =>
         if (!namespaces.contains(ns)) err(ex, 404, s"namespace $ns not found")
@@ -620,5 +720,290 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
       decoy.putObject("config").put("s3.access-key-id", "WRONG-TABLE-KEY")
     }
     mapper.writeValueAsString(root)
+  }
+
+  // ------------------------- scan-planning helpers (server side) ----------
+  // The wire shapes below are hand-built with jackson, independently of the
+  // client's parsing codecs — the two sides meet only on the spec's JSON,
+  // so a shared-codec bug cannot cancel out. Planning itself reuses the
+  // core ScanPlanner (a catalog service would run whatever planner it has;
+  // the protocol is what's under test).
+
+  /** Run the plan request against a table's metadata; Right = response
+    * chunks (each a self-contained {delete-files, file-scan-tasks} node),
+    * Left = the failure message for a `plan-status: failed` answer. */
+  private def planScan(mdNode: ObjectNode,
+                       body: com.fasterxml.jackson.databind.JsonNode)
+      : Either[String, IndexedSeq[ObjectNode]] =
+    try {
+      import graft.core._
+      val metadata = TableMetadata.parse(mdNode.toString)
+      val snapshotId = Option(body.get("snapshot-id")).filter(!_.isNull)
+        .map(_.asLong())
+      val useSnap = Option(body.get("use-snapshot-schema")).filter(!_.isNull)
+        .map(_.asBoolean())
+      val cs = Option(body.get("case-sensitive")).filter(!_.isNull)
+        .forall(_.asBoolean())
+      val schema =
+        (if (useSnap.getOrElse(snapshotId.isDefined))
+          snapshotId.flatMap(metadata.snapshotById).flatMap(_.schemaId)
+            .flatMap(metadata.schemaById)
+        else None).getOrElse(metadata.currentSchema)
+      val expr = Option(body.get("filter")).filter(!_.isNull)
+        .map(parsePlanExpr(_, schema, cs)).getOrElse(AlwaysTrue)
+      val tasks = new ScanPlanner(LocalFileIO, metadata)
+        .planFiles(expr, snapshotId, caseSensitive = cs,
+          useSnapshotSchema = useSnap)
+      val size =
+        if (planMode == "chunked") math.max(1, planTaskChunkSize)
+        else math.max(1, tasks.size)
+      val chunks =
+        if (tasks.isEmpty) IndexedSeq(chunkNode(Nil, metadata, schema))
+        else tasks.grouped(size)
+          .map(g => chunkNode(g, metadata, schema)).toIndexedSeq
+      Right(chunks)
+    } catch {
+      case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** Spec `Expression` JSON → core expression; literal values are typed by
+    * the referenced column (single-value JSON parse). Unknown columns and
+    * unsupported types throw — surfaced as a failed plan. */
+  private def parsePlanExpr(n: com.fasterxml.jackson.databind.JsonNode,
+                            schema: graft.core.Schema,
+                            caseSensitive: Boolean)
+      : graft.core.BooleanExpression = {
+    import graft.core._
+    def sub(x: com.fasterxml.jackson.databind.JsonNode) =
+      parsePlanExpr(x, schema, caseSensitive)
+    n.get("type").asText() match {
+      case "true" => AlwaysTrue
+      case "false" => AlwaysFalse
+      case "and" => And(sub(n.get("left")), sub(n.get("right")))
+      case "or" => Or(sub(n.get("left")), sub(n.get("right")))
+      case "not" => Not(sub(n.get("child")))
+      case opName =>
+        val termNode = n.get("term")
+        // Term = Reference (plain string) | TransformTerm (object) — the
+        // transform form is refused (plans bind plain column references)
+        require(termNode != null && termNode.isTextual,
+          s"unsupported term: $termNode")
+        val term = termNode.asText()
+        val field = (if (caseSensitive) schema.findFieldByName(term)
+                     else schema.findFieldByNameCaseInsensitive(term))
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot bind reference '$term'"))
+        def lit(v: com.fasterxml.jackson.databind.JsonNode): Literal =
+          SingleValueJson.parse(field.fieldType, v)
+        def values: Seq[Literal] = {
+          val a = n.get("values")
+          (0 until a.size()).map(i => lit(a.get(i)))
+        }
+        opName match {
+          case "is-null" => UnboundPredicate(OpIsNull, term)
+          case "not-null" => UnboundPredicate(OpNotNull, term)
+          case "is-nan" => UnboundPredicate(OpIsNan, term)
+          case "not-nan" => UnboundPredicate(OpNotNan, term)
+          case "eq" => UnboundPredicate(OpEq, term, Seq(lit(n.get("value"))))
+          case "not-eq" => UnboundPredicate(OpNotEq, term, Seq(lit(n.get("value"))))
+          case "lt" => UnboundPredicate(OpLt, term, Seq(lit(n.get("value"))))
+          case "lt-eq" => UnboundPredicate(OpLtEq, term, Seq(lit(n.get("value"))))
+          case "gt" => UnboundPredicate(OpGt, term, Seq(lit(n.get("value"))))
+          case "gt-eq" => UnboundPredicate(OpGtEq, term, Seq(lit(n.get("value"))))
+          case "in" => UnboundPredicate(OpIn, term, values)
+          case "not-in" => UnboundPredicate(OpNotIn, term, values)
+          case "starts-with" =>
+            UnboundPredicate(OpStartsWith, term, Seq(lit(n.get("value"))))
+          case "not-starts-with" =>
+            UnboundPredicate(OpNotStartsWith, term, Seq(lit(n.get("value"))))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported expression: $other")
+        }
+    }
+  }
+
+  /** One response chunk: `delete-files` (deduped by path, chunk-scoped)
+    * + `file-scan-tasks` whose `delete-file-references` index into it. */
+  private def chunkNode(tasks: Seq[graft.core.FileScanTask],
+                        metadata: graft.core.TableMetadata,
+                        schema: graft.core.Schema): ObjectNode = {
+    val root = mapper.createObjectNode()
+    // dedupe key is NOT the path alone: V3 deletion vectors share one
+    // Puffin container — distinct blobs differ only by offset/target
+    def delKey(d: graft.core.DataFileInfo) =
+      (d.path, d.contentOffset, d.contentSizeInBytes, d.referencedDataFile)
+    val delIndex =
+      scala.collection.mutable.LinkedHashMap[(String, Option[Long],
+        Option[Long], Option[String]), Int]()
+    val delNodes = Vector.newBuilder[ObjectNode]
+    tasks.foreach(_.deleteFiles.foreach { d =>
+      if (!delIndex.contains(delKey(d))) {
+        delIndex(delKey(d)) = delIndex.size
+        delNodes += contentFileNode(d,
+          specForPartition(d.partition, metadata), metadata, schema)
+      }
+    })
+    val dels = root.putArray("delete-files")
+    delNodes.result().foreach(d => dels.add(d): Unit)
+    val arr = root.putArray("file-scan-tasks")
+    tasks.foreach { t =>
+      val tn = arr.addObject()
+      tn.set[com.fasterxml.jackson.databind.JsonNode]("data-file",
+        contentFileNode(t.file, t.specId, metadata, schema))
+      if (t.deleteFiles.nonEmpty) {
+        val refs = tn.putArray("delete-file-references")
+        t.deleteFiles.foreach(d => refs.add(delIndex(delKey(d))))
+      }
+    }
+    root
+  }
+
+  /** Merge chunks into ONE completed response (inline/async answers):
+    * delete-files concatenate and each task's chunk-scoped references are
+    * re-based — on DEEP COPIES, because an async plan can be polled twice
+    * and in-place mutation would double-offset the second answer. */
+  private def completedNode(chunks: Seq[ObjectNode]): ObjectNode = {
+    val root = mapper.createObjectNode()
+    root.put("plan-status", "completed")
+    val dels = root.putArray("delete-files")
+    val tasksArr = root.putArray("file-scan-tasks")
+    chunks.foreach { c =>
+      val offset = dels.size()
+      Option(c.get("delete-files")).foreach(_.forEach(d => dels.add(d.deepCopy[ObjectNode]()): Unit))
+      Option(c.get("file-scan-tasks")).foreach(_.forEach { t =>
+        val copy = t.deepCopy[ObjectNode]()
+        Option(copy.get("delete-file-references")).foreach { refs =>
+          val rebased = mapper.createArrayNode()
+          refs.forEach(r => rebased.add(r.asInt() + offset): Unit)
+          copy.set[com.fasterxml.jackson.databind.JsonNode](
+            "delete-file-references", rebased)
+          ()
+        }
+        tasksArr.add(copy)
+        ()
+      })
+    }
+    root
+  }
+
+  /** Delete files don't carry their spec id through the core model — pick
+    * the spec whose field names match the file's partition tuple exactly
+    * (current spec first). Best-effort: readers act on delete files by
+    * path/reference, never by partition tuple. */
+  private def specForPartition(partition: Map[String, Any],
+                               metadata: graft.core.TableMetadata): Int =
+    (metadata.partitionSpec +: metadata.partitionSpecs)
+      .find(_.fields.map(_.name).toSet == partition.keySet)
+      .map(_.specId).getOrElse(metadata.partitionSpec.specId)
+
+  /** Spec `ContentFile` JSON for one file of the manifest model. */
+  private def contentFileNode(f: graft.core.DataFileInfo, specId: Int,
+                              metadata: graft.core.TableMetadata,
+                              schema: graft.core.Schema): ObjectNode = {
+    import graft.core._
+    val n = mapper.createObjectNode()
+    n.put("spec-id", specId)
+    n.put("content", f.content match {
+      case 0 => "data"
+      case 1 => "position-deletes"
+      case 2 => "equality-deletes"
+      case other => throw new IllegalArgumentException(s"content $other")
+    })
+    n.put("file-path", f.path)
+    n.put("file-format", f.format.toLowerCase)
+    val spec = metadata.partitionSpecs.find(_.specId == specId)
+      .getOrElse(metadata.partitionSpec)
+    val partType = spec.partitionType(schema)
+    val partArr = n.putArray("partition")
+    partType.fields.foreach { pf =>
+      f.partition.get(pf.name).filter(_ != null) match {
+        case None => partArr.addNull(); ()
+        case Some(v) =>
+          anyToLit(v, pf.fieldType) match {
+            case Some(l) => partArr.add(
+              mapper.readTree(SingleValueJson.toJsonString(l, pf.fieldType))); ()
+            case None => partArr.addNull(); ()
+          }
+      }
+    }
+    n.put("file-size-in-bytes", f.fileSizeInBytes)
+    n.put("record-count", f.recordCount)
+    def counts(key: String, m: Map[Int, Long]): Unit = if (m.nonEmpty) {
+      val o = n.putObject(key)
+      val ks = o.putArray("keys"); val vs = o.putArray("values")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => ks.add(k); vs.add(v); () }
+    }
+    counts("column-sizes", f.columnSizes)
+    counts("value-counts", f.valueCounts)
+    counts("null-value-counts", f.nullValueCounts)
+    counts("nan-value-counts", f.nanValueCounts)
+    def bounds(key: String, m: Map[Int, Array[Byte]]): Unit = if (m.nonEmpty) {
+      val entries = m.toSeq.sortBy(_._1).flatMap { case (id, bytes) =>
+        schema.findFieldById(id).flatMap { fld =>
+          val lit = fld.fieldType match {
+            // geo bounds are raw WKB points — carried as binary hex
+            case _: GeometryT | _: GeographyT => Some(BytesLit(bytes))
+            case t => LiteralCodec.fromBytes(t, bytes)
+          }
+          lit.map { l =>
+            val t = fld.fieldType match {
+              case _: GeometryT | _: GeographyT => BinaryT
+              case t0 => t0
+            }
+            (id, mapper.readTree(SingleValueJson.toJsonString(l, t)))
+          }
+        }
+      }
+      if (entries.nonEmpty) {
+        val o = n.putObject(key)
+        val ks = o.putArray("keys"); val vs = o.putArray("values")
+        entries.foreach { case (k, v) => ks.add(k); vs.add(v); () }
+      }
+    }
+    bounds("lower-bounds", f.lowerBounds)
+    bounds("upper-bounds", f.upperBounds)
+    if (f.splitOffsets.nonEmpty) {
+      val a = n.putArray("split-offsets")
+      f.splitOffsets.foreach(v => a.add(v): Unit)
+    }
+    if (f.equalityIds.nonEmpty) {
+      val a = n.putArray("equality-ids")
+      f.equalityIds.foreach(v => a.add(v): Unit)
+    }
+    f.sortOrderId.foreach(v => n.put("sort-order-id", v))
+    f.referencedDataFile.foreach(v => n.put("referenced-data-file", v))
+    f.contentOffset.foreach(v => n.put("content-offset", v))
+    f.contentSizeInBytes.foreach(v => n.put("content-size-in-bytes", v))
+    f.firstRowId.foreach(v => n.put("first-row-id", v))
+    n
+  }
+
+  /** A partition tuple value (as the Avro manifest reader materializes it)
+    * → a typed literal, mirroring the planner's tuple-evaluation
+    * conventions. */
+  private def anyToLit(v: Any, t: graft.core.IcebergType)
+      : Option[graft.core.Literal] = {
+    import graft.core._
+    v match {
+      case null => None
+      case i: java.lang.Integer => Some(t match {
+        case DateT => DateLit(i)
+        case LongT => LongLit(i.toLong)
+        case _ => IntLit(i)
+      })
+      case l: java.lang.Long => Some(t match {
+        case TimeT => TimeLit(l)
+        case TimestampT | TimestampTzT => TsLit(l)
+        case IntT | DateT => IntLit(l.toInt)
+        case _ => LongLit(l)
+      })
+      case s: String => Some(StrLit(s))
+      case u: org.apache.avro.util.Utf8 => Some(StrLit(u.toString))
+      case b: java.lang.Boolean => Some(BoolLit(b))
+      case f: java.lang.Float => Some(FloatLit(f))
+      case d: java.lang.Double => Some(DoubleLit(d))
+      case b: Array[Byte] => LiteralCodec.fromBytes(t, b).orElse(Some(BytesLit(b)))
+      case _ => None
+    }
   }
 }

@@ -333,7 +333,13 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
       ref: Option[String] = None,
       asOfTimestampMs: Option[Long] = None,
       caseSensitive: Boolean = true,
-      bulkDecoder: ScanPlanner.BulkEntryDecoder = ScanPlanner.NoBulkDecoder)
+      bulkDecoder: ScanPlanner.BulkEntryDecoder = ScanPlanner.NoBulkDecoder,
+      // explicit schema choice (the REST plan request's
+      // `use-snapshot-schema`): Some(false) plans a PINNED snapshot under
+      // the CURRENT schema — a server handling a client whose scan pins its
+      // loaded snapshot id but is not time-traveling. None keeps the local
+      // heuristic (pinned scan → that snapshot's schema).
+      useSnapshotSchema: Option[Boolean] = None)
       : Seq[FileScanTask] = {
 
     val snapshot = (snapshotId, ref, asOfTimestampMs) match {
@@ -349,7 +355,8 @@ final class ScanPlanner(io: FileIO, metadata: TableMetadata) {
     // time-travel scans resolve the SNAPSHOT's schema version; current-table
     // scans use the CURRENT schema (the current snapshot may predate a
     // metadata-only schema evolution like RENAME/DROP COLUMN)
-    val timeTravel = snapshotId.isDefined || ref.isDefined || asOfTimestampMs.isDefined
+    val timeTravel = useSnapshotSchema.getOrElse(
+      snapshotId.isDefined || ref.isDefined || asOfTimestampMs.isDefined)
     val schema =
       if (!timeTravel) metadata.currentSchema
       else snapshot.schemaId.flatMap(metadata.schemaById)

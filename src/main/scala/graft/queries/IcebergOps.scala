@@ -1191,4 +1191,57 @@ object IcebergOps {
        ${sqlDsum("o_totalprice")} AS sum_price
        FROM orders WHERE o_orderkey % 6 <= 3
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** REST server-side scan planning through the oracle (ice33): the
+    * day-partitioned events table is registered with a LIVE REST catalog
+    * and the temporal-pruning scan delegates file enumeration to the
+    * server's `plan` endpoint (spec plan/tasks routes) — the filter, the
+    * pruned `FileScanTask` set with its partition tuples and stats, and
+    * the timestamp literals all cross the wire as spec JSON. At 100 TB
+    * this is the plan-latency path: a catalog holding hot manifest caches
+    * enumerates the files once, server-side, and the engine driver never
+    * reads a manifest byte. The fixture REQUIRES the plan to have gone
+    * through the server and to match the driver-side planner's file set —
+    * a silent local fallback fails the entry instead of passing
+    * accidentally. The hash match against DuckDB proves the wire-planned
+    * scan reads exactly the right rows. */
+  def ice33RestPlan(s: SparkSession, d: String): DataFrame = {
+    val table = cached("events_daily", d) { loc =>
+      TableWriter.create(Tables.events(s, d).select("event_id", "ts", "value"), loc,
+        partitionBy = Seq("ts" -> DayTransform))
+    }
+    val filter = And(
+      Expr.greaterThanOrEq("ts", StrLit("2024-01-05T00:00:00").to(TimestampT)),
+      Expr.lessThan("ts", StrLit("2024-01-12T00:00:00").to(TimestampT)))
+    val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+    server.start()
+    try {
+      val cat = graft.catalog.Catalog.load("ice33", server.uri,
+        Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+        .asInstanceOf[graft.catalog.RestCatalog]
+      cat.createNamespace(Seq("p"))
+      cat.registerTable(Seq("p", "events"), table.metadataPath)
+      val remote = graft.spark.TableWriter.restTableOf(
+        cat.loadTable(Seq("p", "events")), cat)
+      // planning is EAGER in toDF, so it happens while the server is live;
+      // execution later reads the (local) parquet directly
+      val df = remote.newScan(filter).toDF(s)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .orderBy("day")
+      require(server.planRequests > 0,
+        "ice33: the scan silently fell back to local planning")
+      require(remote.newScan(filter).planFiles().map(_.file.path).sorted ==
+        table.newScan(filter).planFiles().map(_.file.path).sorted,
+        "ice33: server-planned file set diverges from the local planner")
+      df
+    } finally server.stop()
+  }
+
+  val ice33Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       ${sqlDsum("value")} AS sum_v
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+       GROUP BY CAST(ts AS DATE) ORDER BY day"""
 }

@@ -129,7 +129,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def restLoadTable(ident: Identifier): Option[Table] =
     rest.flatMap { rc =>
       try Some(new GraftSparkTable(
-        TableWriter.restTableOf(rc.loadTable(restIdent(ident))),
+        TableWriter.restTableOf(rc.loadTable(restIdent(ident)), rc),
         restManaged = true))
       catch {
         case _: graft.catalog.NoSuchTableError |

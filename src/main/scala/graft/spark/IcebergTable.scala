@@ -22,7 +22,13 @@ final class IcebergTable(val location: String, val metadataPath: String,
                            * Executor-side FileIO rebuilds (distributed
                            * planning) must use THIS map, not
                            * `metadata.properties` alone. */
-                         val ioProps: Map[String, String] = Map.empty) {
+                         val ioProps: Map[String, String] = Map.empty,
+                         /** Catalog-side scan planning (the REST spec's
+                           * plan/tasks routes), wired by
+                           * [[TableWriter.restTableOf]] when the serving
+                           * catalog advertises the capability. None — the
+                           * universal default — plans driver-side. */
+                         val remotePlanner: Option[graft.catalog.RemoteScanPlanner] = None) {
 
   /** Effective IO properties: the explicit merged map when provided,
     * else the table's own properties. */
@@ -50,8 +56,13 @@ final class IcebergTable(val location: String, val metadataPath: String,
               snapshotId: Option[Long] = None,
               ref: Option[String] = None,
               asOfTimestampMs: Option[Long] = None,
-              caseSensitive: Boolean = true): TableScan =
-    TableScan(this, filter, selected, snapshotId, ref, asOfTimestampMs, caseSensitive)
+              caseSensitive: Boolean = true,
+              // false pins the scan to driver-side planning; commit-path
+              // scans need per-task manifest provenance / data sequence
+              // numbers, which the REST plan wire format does not carry
+              remotePlanningOk: Boolean = true): TableScan =
+    TableScan(this, filter, selected, snapshotId, ref, asOfTimestampMs,
+      caseSensitive, remotePlanningOk)
 
   // ------------------------------------------------------- metadata tables
   /** `table.snapshots`-style metadata relations, themselves Spark queries. */
@@ -111,7 +122,8 @@ object TableScan {
 final case class TableScan(table: IcebergTable, filter: BooleanExpression,
                            selected: Seq[String], snapshotId: Option[Long],
                            ref: Option[String], asOfTimestampMs: Option[Long],
-                           caseSensitive: Boolean) {
+                           caseSensitive: Boolean,
+                           remotePlanningOk: Boolean = true) {
 
   /** Current-state scans use the table's current schema; explicit time
     * travel resolves the pinned snapshot's schema (scanner.go:54-61). */
@@ -130,10 +142,25 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
 
   def planFiles(): Seq[FileScanTask] = {
     TableScan.planFilesCalls.incrementAndGet()
+    // catalog-side planning first when the table rides a plan-capable REST
+    // catalog; any refusal (inexpressible filter, capability off, server
+    // failure) falls back to the driver-side planner below — the client
+    // holds the full metadata tree, so local is always correct
+    val remote =
+      if (remotePlanningOk) table.remotePlanner.flatMap(
+        _.plan(filter, snapshotId, ref, asOfTimestampMs, caseSensitive))
+      else None
+    remote.getOrElse(planFilesLocal())
+  }
+
+  /** Driver-side planning, unconditionally — the path for consumers that
+    * need what the REST plan wire format does not carry (per-task manifest
+    * provenance for CoW manifest carry-over, data sequence numbers for V3
+    * row-lineage derivation). */
+  def planFilesLocal(): Seq[FileScanTask] =
     new ScanPlanner(table.io, table.metadata)
       .planFiles(filter, snapshotId, ref, asOfTimestampMs, caseSensitive,
         DistributedPlanner.decoder(table))
-  }
 
   /** Execute: pruned file set → Spark parquet scan (+ MoR anti-join when
     * positional deletes exist) → residual filter → projection.
@@ -163,7 +190,9 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
                           pathFilter: Option[Set[String]],
                           keepLineage: Boolean): DataFrame = {
     val needProvOut = keepProvenance || keepLineage
-    val tasks = planFiles()
+    // lineage derivation consumes per-task data sequence numbers, which
+    // server-planned tasks don't carry — lineage scans plan locally
+    val tasks = (if (keepLineage) planFilesLocal() else planFiles())
       .filter(t => pathFilter.forall(_.contains(t.file.path)))
     val dataSchema = SchemaConv.toSparkSchema(snapshotSchema)
     // V3 materialized lineage: lineage scans ALSO request the physical

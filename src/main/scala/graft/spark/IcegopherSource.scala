@@ -942,6 +942,24 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
     * synthetic rows in commit order — never reported. */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    // memoized per planned file set (Spark calls this several times per
+    // plan, and planInputPartitions consults it again for the top-N gate —
+    // the every-file-sorted forall is O(tasks) and need only run once;
+    // `eq` invalidates after a runtime-filter re-plan, same discipline as
+    // colStatsCache)
+    val t0 = tasks
+    val cached = orderingCache
+    if (cached != null && (cached._1 eq t0)) return cached._2
+    val computed = computeOutputOrdering(t0)
+    orderingCache = (t0, computed)
+    computed
+  }
+
+  @volatile private var orderingCache: (Seq[FileScanTask],
+    Array[org.apache.spark.sql.connector.expressions.SortOrder]) = _
+
+  private def computeOutputOrdering(tasks: Seq[FileScanTask])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{
       Expressions, SortDirection => V2Dir, NullOrdering => V2Null}
     if (readChanges || incremental.isDefined) return Array.empty
@@ -1053,13 +1071,22 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
         case Some((from, to)) =>
           graft.streaming.EventStreams.appendedFilesBetween(table, from, to)
         case None =>
+          // catalog-side planning is gated OFF for scans whose consumers
+          // need what the REST plan wire format doesn't carry: row-level
+          // operations (`_file` projection → CoW manifest provenance) and
+          // V3 lineage reads (data sequence numbers)
+          val remoteOk =
+            !required.fieldNames.contains(GraftReaders.FileCol) &&
+            !required.fieldNames.contains(GraftReaders.RowIdCol) &&
+            !required.fieldNames.contains(GraftReaders.LastUpdatedSeqCol)
           table.newScan(CoreAnd(filter, runtimeFilter) match {
             case CoreAnd(AlwaysTrue, AlwaysTrue) => AlwaysTrue
             case CoreAnd(l, AlwaysTrue) => l
             case CoreAnd(AlwaysTrue, r) => r
             case e => e
           }, snapshotId = snapshotId, ref = branch,
-            asOfTimestampMs = asOf).planFiles()
+            asOfTimestampMs = asOf,
+            remotePlanningOk = remoteOk).planFiles()
       }
       plannedTasks = filePathFilter match {
         case Some(paths) => planned.filter(t => paths.contains(t.file.path))
@@ -1075,9 +1102,15 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
 
   /** Manifests those files came from: a CoW commit only needs to read and
     * rewrite these — every other manifest provably references no scanned
-    * (hence no replaced) file. */
-  private[spark] def scannedManifestPaths: Set[String] =
-    tasks.map(_.manifestPath).filter(_.nonEmpty).toSet
+    * (hence no replaced) file. All-or-nothing: if ANY task lacks manifest
+    * provenance (e.g. a server-planned task — the REST wire format carries
+    * no manifest paths), a partial set would falsely claim the missing
+    * tasks' manifests reference nothing, so the whole claim is withdrawn
+    * (empty → consumers fall back to reading every manifest). */
+  private[spark] def scannedManifestPaths: Set[String] = {
+    val mfs = tasks.map(_.manifestPath)
+    if (mfs.nonEmpty && mfs.forall(_.nonEmpty)) mfs.toSet else Set.empty
+  }
 
   /** Metadata version this scan read — CoW commits pin their CAS to it so a
     * concurrent commit between scan and rewrite conflicts loudly. */

@@ -1270,9 +1270,15 @@ object TableWriter {
     // overlap the predicate still holds non-matching rows that must
     // survive the rewrite, so the predicate never filters rows here.
     val scoped: Option[(Set[String], Set[String])] = where.map { w =>
-      val tasks = table.newScan(w).planFiles()
+      // commit-path scan: manifest provenance drives the carry-over, so
+      // planning stays driver-side even on a plan-capable REST catalog
+      val tasks = table.newScan(w, remotePlanningOk = false).planFiles()
+      // manifest provenance is all-or-nothing: a partial set would falsely
+      // claim the unattributed tasks' manifests reference no selected file
+      val mfs = tasks.map(_.manifestPath)
       (tasks.map(_.file.path).toSet,
-        tasks.map(_.manifestPath).filter(_.nonEmpty).toSet)
+        if (mfs.nonEmpty && mfs.forall(_.nonEmpty)) mfs.toSet
+        else Set.empty[String])
     }
     scoped.foreach { case (paths, _) => if (paths.isEmpty) return table }
     var df =
@@ -2771,10 +2777,38 @@ object TableWriter {
 
   /** A read-capable [[IcebergTable]] over a REST-loaded table — the handle
     * the maintained-model sync layer scans through. */
-  def restTableOf(loaded: graft.catalog.LoadedTable): IcebergTable = {
+  def restTableOf(loaded: graft.catalog.LoadedTable,
+                  catalog: graft.catalog.RestCatalog = null): IcebergTable = {
     val md = loaded.metadata
+    // catalog-side scan planning, when the serving catalog advertises the
+    // spec's plan endpoints: scans resolve their pin LOCALLY (so client and
+    // server cannot disagree on ref/as-of resolution — and a commit that
+    // landed after this load cannot leak into a current-snapshot scan),
+    // then delegate file enumeration to the server. Any refusal falls back
+    // to driver-side planning inside TableScan.
+    val planner: Option[graft.catalog.RemoteScanPlanner] =
+      Option(catalog).filter(_.supportsScanPlanning).map { rc =>
+        new graft.catalog.RemoteScanPlanner {
+          def plan(filter: BooleanExpression, snapshotId: Option[Long],
+                   ref: Option[String], asOfTimestampMs: Option[Long],
+                   caseSensitive: Boolean)
+              : Option[Seq[graft.core.FileScanTask]] = {
+            val pinned = snapshotId.isDefined || ref.isDefined ||
+              asOfTimestampMs.isDefined
+            val resolved: Option[Long] = snapshotId
+              .orElse(ref.flatMap(md.snapshotByName).map(_.snapshotId))
+              .orElse(asOfTimestampMs.flatMap(md.snapshotAsOfTime)
+                .map(_.snapshotId))
+              .orElse(md.currentSnapshot.map(_.snapshotId))
+            if (resolved.isEmpty) None // empty table: local returns Nil fast
+            else rc.planTableScan(loaded.identifier, md, resolved,
+              useSnapshotSchema = pinned, filter, caseSensitive = caseSensitive)
+          }
+        }
+      }
     new IcebergTable(md.location, loaded.metadataLocation, md,
-      IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
+      IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps,
+      remotePlanner = planner)
   }
 
   /** Atomic multi-table REST transaction: stage appends across tables,
