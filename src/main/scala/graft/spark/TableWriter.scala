@@ -3682,8 +3682,22 @@ object TableWriter {
     (IcebergTables.load(table.location), targets.size)
   }
 
-  private def writeMetadata(location: String, md: TableMetadata, version: Int): Unit = {
+  /** How many PREVIOUS metadata files a table retains (spec property;
+    * Iceberg's default). The current file never counts against it. */
+  private def previousVersionsMax(md: TableMetadata): Int =
+    md.properties.get("write.metadata.previous-versions-max")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100)
+
+  private def writeMetadata(location: String, md0: TableMetadata, version: Int): Unit = {
     val metaDir = new File(location, "metadata"); metaDir.mkdirs()
+    // metadata-log retention (spec `write.metadata.previous-versions-max`):
+    // the log tracks previous metadata files and is truncated oldest-first
+    // beyond the cap on EVERY commit — a 100-TB table commits millions of
+    // times, and an unbounded log makes the metadata file itself grow
+    // without bound
+    val keep = previousVersionsMax(md0)
+    val md = if (md0.metadataLog.size > keep)
+      md0.copy(metadataLog = md0.metadataLog.takeRight(keep)) else md0
     val tmp = new File(metaDir, s".v$version.metadata.json.tmp-${System.nanoTime()}")
     Files.write(tmp.toPath, md.toJson.getBytes(StandardCharsets.UTF_8))
     val dst = new File(metaDir, s"v$version.metadata.json")
@@ -3701,6 +3715,21 @@ object TableWriter {
     Files.deleteIfExists(tmp.toPath)
     Files.write(new File(metaDir, "version-hint.text").toPath,
       version.toString.getBytes(StandardCharsets.UTF_8))
+    // `write.metadata.delete-after-commit.enabled`: after a SUCCESSFUL
+    // commit, physically delete metadata files older than the retained
+    // window (current + the newest `keep` previous). Opt-in — the failure
+    // mode of deleting under a concurrent slow reader is the operator's
+    // call, exactly as in Iceberg. Only version files are touched; the
+    // deletion happens after the CAS, so a failed commit never deletes.
+    if (md.properties.get("write.metadata.delete-after-commit.enabled")
+        .exists(_.equalsIgnoreCase("true"))) {
+      val cutoff = version - keep // keep (cutoff..version-1) + current
+      Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+        .filter(f => f.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt < cutoff)
+        .foreach(f => Files.deleteIfExists(f.toPath))
+    }
   }
 
   private def currentVersion(location: String): Int = {
