@@ -784,6 +784,105 @@ object Dedup {
     semanticDedup(emb, k, tau).orderBy("vec_id")
   }
 
+  /** Exact-substring span dedup (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr discipline, expressed
+    * relationally): every n-token window is hashed; the GLOBAL first
+    * occurrence of each window value — minimal (doc_id, position) — is the
+    * owner; every other occurrence is a duplicated window, and the tokens
+    * it covers are REMOVED from their document. Output per document: token
+    * counts before/after and an md5 fingerprint of the cleaned text, so
+    * the oracle pins the reconstructed post-removal corpus byte-for-byte.
+    *
+    * Scale shape (the suffix-array of the paper is a single-machine
+    * construction; this is the shuffle-architected equivalent):
+    *  - windows are hashed to 60-bit keys AT THE SOURCE — raw text never
+    *    rides a shuffle; the ownership pass groups (hash) → min(key),
+    *    map-side combined;
+    *  - ownership is decided by one integer min per hash — no pairwise
+    *    comparisons, no candidate blowup on corpus-common boilerplate
+    *    (a window duplicated 10^6 times still aggregates to ONE owner);
+    *  - coverage explodes only DUPLICATE windows (n rows each, n=8), a
+    *    small fraction of the corpus, then one anti-join removes covered
+    *    token positions;
+    *  - reconstruction groups by doc_id — bounded by document length,
+    *    never by corpus size. */
+  def d11ExactSubstr(s: SparkSession, d: String, n: Int = 8): DataFrame =
+    exactSubstrSpans(Tables.documents(s, d), n)
+
+  /** The library form over any (doc_id, text) frame — see [[d11ExactSubstr]]. */
+  def exactSubstrSpans(documents: DataFrame, n: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // n-token windows hashed to 60-bit keys; i is the 1-based start
+    val win = toks.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> struct(i AS i, conv(substring(md5(array_join(" +
+          s"slice(w, i, $n), ' ')), 1, 15), 16, 10) AS hs))")).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"),
+        col("x.hs").cast("long").as("h"))
+    // global first occurrence per window value: one integer min per hash
+    // (documents hold < 10^7 tokens; doc_id * 10^7 + i is collision-free
+    // and identical in the oracle)
+    val keyed = win.withColumn("k",
+      col("doc_id") * lit(10000000L) + col("i"))
+    val owner = keyed.groupBy("h").agg(min(col("k")).as("okey"))
+    val dup = keyed.join(owner, "h").filter(col("k") =!= col("okey"))
+      .select("doc_id", "i")
+    // positions covered by duplicated windows, as ONE small set per doc —
+    // reconstruction then never explodes the corpus's tokens: the only
+    // corpus-sized shuffle in the whole operator is the (doc, window-hash)
+    // ownership pass above. Documents with no duplicated window skip the
+    // join entirely (left join against the tiny covered side).
+    val covered = dup
+      .select(col("doc_id"), explode(expr(
+        s"sequence(i, i + ${n - 1})")).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr("CASE WHEN cov IS NULL THEN w ELSE " +
+          "transform(filter(transform(w, (t, i) -> struct(i + 1 AS p, t AS tok)), " +
+          "x -> NOT array_contains(cov, x.p)), x -> x.tok) END").as("kept"))
+      .filter(size(col("kept")) > 0) // fully-duplicated docs drop, as in the oracle
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       tokpos AS (
+         SELECT doc_id, CAST(r.p AS BIGINT) AS p, w[r.p] AS tok
+         FROM toks, UNNEST(range(1, len(w) + 1)) AS r(p)),
+       win AS (
+         SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+           ('0x' || substr(md5(array_to_string(w[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS h
+         FROM toks, UNNEST(range(1, len(w) - 6)) AS u(i)
+         WHERE len(w) >= 8),
+       own AS (
+         SELECT h, MIN(doc_id * 10000000 + i) AS okey FROM win GROUP BY h),
+       dup AS (
+         SELECT w.doc_id, w.i FROM win w JOIN own o USING (h)
+         WHERE w.doc_id * 10000000 + w.i <> o.okey),
+       cov AS (
+         SELECT DISTINCT doc_id, i + c.k AS p
+         FROM dup, UNNEST(range(0, 8)) AS c(k)),
+       kept AS (
+         SELECT t.doc_id, t.p, t.tok FROM tokpos t
+         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.p = t.p
+         WHERE cov.p IS NULL)
+       SELECT k.doc_id,
+         CAST(len(toks.w) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_kept,
+         CAST(len(toks.w) AS BIGINT) - COUNT(*) AS n_removed,
+         md5(string_agg(k.tok, ' ' ORDER BY k.p)) AS clean_hash
+       FROM kept k JOIN toks ON toks.doc_id = k.doc_id
+       GROUP BY k.doc_id, toks.w ORDER BY k.doc_id"""
+
   val d10Sql: String =
     s"""WITH ${Similarity.kmeansAssignCtes(10)},
        v0 AS (
