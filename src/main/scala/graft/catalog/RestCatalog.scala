@@ -227,6 +227,17 @@ final class RestCatalog(val name: String, uri: String,
     endpoints.contains(
       "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan")
 
+  /** True when the server advertises the dedicated credentials route —
+    * vended-credential refresh without a full table load. */
+  def supportsCredentialsEndpoint: Boolean =
+    endpoints.contains(
+      "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials")
+
+  /** True when the server accepts engine metrics reports. */
+  def supportsMetricsEndpoint: Boolean =
+    endpoints.contains(
+      "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics")
+
   // --------------------------------------------------------- http plumbing
 
   private def request(method: String, url: String, body: Option[String] = None,
@@ -582,8 +593,82 @@ final class RestCatalog(val name: String, uri: String,
     * load — the refresh-on-expiry hook for long-lived table handles. */
   def loadTableFresh(identifier: Seq[String], cached: Option[LoadedTable],
                      nowMs: Long = System.currentTimeMillis()): LoadedTable =
-    cached.filter(c => c.identifier == identifier &&
-      !c.credentialsExpired(nowMs)).getOrElse(loadTable(identifier))
+    cached.filter(_.identifier == identifier) match {
+      case Some(c) if !c.credentialsExpired(nowMs) => c
+      case Some(c) if supportsCredentialsEndpoint =>
+        // expired vended credentials, unchanged metadata: the spec's
+        // dedicated credentials route re-mints WITHOUT re-reading the whole
+        // metadata tree — at 10⁵ snapshots a full reload for a token
+        // refresh is real latency. Falls back to a full load if the fresh
+        // credentials are somehow still expired (defensive).
+        val refreshed = c.copy(storageCredentials = loadCredentials(identifier))
+        if (!refreshed.credentialsExpired(nowMs)) refreshed
+        else loadTable(identifier)
+      case _ => loadTable(identifier)
+    }
+
+  /** The spec's `GET .../tables/{table}/credentials` route: fresh storage
+    * credentials for a table whose metadata the client already holds. */
+  def loadCredentials(identifier: Seq[String]): Seq[StorageCredential] = {
+    val ns = identifier.dropRight(1)
+    val n = mapper.readTree(get(prefixedPath("namespaces",
+      ns.mkString(NamespaceSeparator), "tables", identifier.last,
+      "credentials")))
+    def toMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    Option(n.get("storage-credentials")).map { arr =>
+      val b = Vector.newBuilder[StorageCredential]
+      arr.forEach(c => b += StorageCredential(
+        Option(c.get("prefix")).map(_.asText()).getOrElse(""),
+        Option(c.get("config")).map(toMap).getOrElse(Map.empty)))
+      b.result()
+    }.getOrElse(Vector.empty)
+  }
+
+  /** The spec's `POST .../tables/{table}/metrics` route (ReportMetricsRequest,
+    * report-type scan-report): engines report what each scan planned —
+    * catalogs aggregate this into table-access telemetry and use it to
+    * drive compaction/caching decisions. Fire-and-forget: a telemetry
+    * failure must never fail a scan. */
+  def reportScanMetrics(identifier: Seq[String],
+                        snapshotId: Option[Long],
+                        filter: graft.core.BooleanExpression,
+                        schemaId: Int,
+                        projectedFieldNames: Seq[String],
+                        resultDataFiles: Long, resultDeleteFiles: Long,
+                        planningDurationNs: Long): Unit =
+    try {
+      val ns = identifier.dropRight(1)
+      val body = mapper.createObjectNode()
+      body.put("report-type", "scan-report")
+      body.put("table-name", identifier.mkString("."))
+      snapshotId.foreach(id => body.put("snapshot-id", id))
+      body.set[com.fasterxml.jackson.databind.JsonNode]("filter",
+        RestScanPlanning.expressionToJson(filter, mapper).getOrElse {
+          val t = mapper.createObjectNode(); t.put("type", "true"); t
+        })
+      body.put("schema-id", schemaId)
+      if (projectedFieldNames.nonEmpty) {
+        val arr = body.putArray("projected-field-names")
+        projectedFieldNames.foreach(f => arr.add(f))
+      }
+      val metrics = body.putObject("metrics")
+      def counter(name: String, v: Long): Unit = {
+        val c = metrics.putObject(name)
+        c.put("unit", "count"); c.put("value", v)
+        ()
+      }
+      counter("result-data-files", resultDataFiles)
+      counter("result-delete-files", resultDeleteFiles)
+      val timer = metrics.putObject("total-planning-duration")
+      timer.put("count", 1L)
+      timer.put("time-unit", "nanoseconds")
+      timer.put("total-duration", planningDurationNs)
+      request("POST", prefixedPath("namespaces",
+        ns.mkString(NamespaceSeparator), "tables", identifier.last, "metrics"),
+        Some(mapper.writeValueAsString(body)))
+      ()
+    } catch { case _: Exception => }
 
   // ------------------------------------------------------- scan planning
 

@@ -239,3 +239,14 @@ trait RemoteScanPlanner {
            ref: Option[String], asOfTimestampMs: Option[Long],
            caseSensitive: Boolean): Option[Seq[FileScanTask]]
 }
+
+/** Scan-telemetry hook (the REST spec's `metrics` route): called after a
+  * scan plans its file set, whether the plan ran server-side or fell back
+  * to the driver. Implementations MUST be fire-and-forget — a telemetry
+  * failure never fails a scan. */
+trait ScanMetricsReporter {
+  def report(snapshotId: Option[Long], filter: BooleanExpression,
+             projectedFieldNames: Seq[String],
+             resultDataFiles: Long, resultDeleteFiles: Long,
+             planningDurationNs: Long): Unit
+}

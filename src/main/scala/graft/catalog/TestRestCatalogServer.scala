@@ -62,6 +62,13 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
     * (delete-file-references are chunk-scoped per the spec). */
   private val plans = mutable.LinkedHashMap[String, (String, Int, IndexedSeq[ObjectNode])]()
 
+  // ---- credentials + metrics routes (spec table endpoints) ----
+  @volatile var credentialsEndpointEnabled: Boolean = true
+  @volatile var metricsEndpointEnabled: Boolean = true
+  @volatile var credentialRequests: Int = 0
+  @volatile var metricsReports: Int = 0
+  @volatile var lastMetricsReport: Option[String] = None
+
   /** HMAC the signer mints and the storage route verifies — a stand-in
     * with SigV4's shape (method+uri bound, secret held server-side). */
   private def signature(method: String, uri: String): String = {
@@ -128,14 +135,23 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
       case ("GET", Seq("config")) =>
         // capability discovery: the scan-planning plane is advertised via
         // the spec's `endpoints` list; clients must not call unlisted routes
+        val advertised =
+          (if (scanPlanningEnabled) Seq(
+            "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
+            "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+            "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+            "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks")
+          else Nil) ++
+          (if (credentialsEndpointEnabled) Seq(
+            "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/credentials")
+          else Nil) ++
+          (if (metricsEndpointEnabled) Seq(
+            "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics")
+          else Nil)
         val planEndpoints =
-          if (!scanPlanningEnabled) ""
-          else
-            """, "endpoints": [
-              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan",
-              "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
-              "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
-              "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/tasks"]"""
+          if (advertised.isEmpty) ""
+          else advertised.map(e => s""""$e"""")
+            .mkString(""", "endpoints": [""", ", ", "]")
         respond(ex, 200,
           s"""{"defaults": {"srv-default": "d"}, "overrides": {"srv-override": "o"}$planEndpoints}""")
       // storage data plane: auth is the SIGNATURE, not the bearer token
@@ -327,6 +343,37 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               changes.result().foreach { case (md, c) => applyUpdates(c, md) }
               respond(ex, 204)
             }
+        }
+      // dedicated credentials route: fresh vended credentials WITHOUT a
+      // metadata reload (the refresh path for long-lived table handles)
+      case ("GET", Seq("namespaces", ns, "tables", t, "credentials")) =>
+        if (!credentialsEndpointEnabled)
+          err(ex, 404, "credentials endpoint not supported")
+        else tables.get((ns, t)) match {
+          case None => err(ex, 404, s"table $ns.$t not found")
+          case Some(md) =>
+            credentialRequests += 1
+            val root = mapper.createObjectNode()
+            val arr = root.putArray("storage-credentials")
+            val own = arr.addObject()
+            own.put("prefix", md.get("location").asText())
+            val oc = own.putObject("config")
+            oc.put("s3.access-key-id", s"vended-key-$ns-$t")
+            oc.put("s3.secret-access-key", s"vended-secret-$ns-$t")
+            oc.put("s3.session-token-expires-at-ms",
+              vendedExpiryMs.getOrElse(System.currentTimeMillis() + 3600000L))
+            respond(ex, 200, mapper.writeValueAsString(root))
+        }
+      // engine metrics reports (scan telemetry): accepted and recorded
+      case ("POST", Seq("namespaces", ns, "tables", t, "metrics")) =>
+        if (!metricsEndpointEnabled)
+          err(ex, 404, "metrics endpoint not supported")
+        else tables.get((ns, t)) match {
+          case None => err(ex, 404, s"table $ns.$t not found")
+          case Some(_) =>
+            metricsReports += 1
+            lastMetricsReport = Some(readBody(ex))
+            respond(ex, 204)
         }
       // ---- scan-planning plane (spec plan/tasks routes) ----
       case ("POST", Seq("namespaces", ns, "tables", t, "plan")) =>

@@ -1281,4 +1281,61 @@ object TextOps {
               CAST(COALESCE(MAX(sr.tokens_selected), 0) AS BIGINT) AS tokens_selected
        FROM status s0 LEFT JOIN selroll sr ON sr.source = s0.source
        GROUP BY s0.source ORDER BY s0.source"""
+
+  /** Deterministic training-shard export (t34): the LAST step of a data
+    * pipeline — the curated corpus is globally shuffled by a SEEDED hash
+    * and split into S shards, each internally ordered by that hash, so
+    * re-running the export reproduces every shard byte-for-byte (training
+    * jobs resume/compare across runs) while documents land in
+    * pseudo-random order (no source/time clumping within a shard, which
+    * biases training). Output is the per-shard MANIFEST a training job
+    * consumes: document/token counts, the shard's hash range, and an
+    * ORDER-SENSITIVE fingerprint (rank-weighted rolling sum) that pins
+    * the within-shard sequence — two exports that merely contain the same
+    * docs in different order fingerprint differently.
+    *
+    * Scale shape: ONE hash-partition shuffle (the window's partitioning)
+    * over (doc_id, hash, token-count) — text never moves; the per-shard
+    * sort is the export's own output order, not extra work. S scales with
+    * the corpus (here 8 for the oracle); skew is impossible by hash
+    * uniformity. */
+  def t34ShardExport(s: SparkSession, d: String, shards: Int = 8,
+                     seed: String = "42"): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("h", expr(
+        s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+          s"'$seed')), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"),
+        // order-sensitive: each doc contributes (h mod p1)·(rank mod p1)
+        // mod p2 — swap any two docs and the sum changes
+        sum(expr("((h % 1000003) * (rank % 1000003)) % 1000000007"))
+          .as("order_fp"))
+      .orderBy("shard")
+  }
+
+  val t34Sql: String =
+    """WITH docs AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 15))::BIGINT AS h
+         FROM documents),
+       ranked AS (
+         SELECT doc_id, toks, h, h % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS rank
+         FROM docs)
+       SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         MIN(h) AS min_h, MAX(h) AS max_h,
+         CAST(SUM(((h % 1000003) * (rank % 1000003)) % 1000000007) AS BIGINT)
+           AS order_fp
+       FROM ranked GROUP BY shard ORDER BY shard"""
 }

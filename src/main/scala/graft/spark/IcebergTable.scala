@@ -28,7 +28,11 @@ final class IcebergTable(val location: String, val metadataPath: String,
                            * [[TableWriter.restTableOf]] when the serving
                            * catalog advertises the capability. None — the
                            * universal default — plans driver-side. */
-                         val remotePlanner: Option[graft.catalog.RemoteScanPlanner] = None) {
+                         val remotePlanner: Option[graft.catalog.RemoteScanPlanner] = None,
+                         /** Scan telemetry (the REST spec's `metrics`
+                           * route), wired like [[remotePlanner]]; reports
+                           * are fire-and-forget. */
+                         val scanMetricsReporter: Option[graft.catalog.ScanMetricsReporter] = None) {
 
   /** Effective IO properties: the explicit merged map when provided,
     * else the table's own properties. */
@@ -142,6 +146,7 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
 
   def planFiles(): Seq[FileScanTask] = {
     TableScan.planFilesCalls.incrementAndGet()
+    val t0 = System.nanoTime()
     // catalog-side planning first when the table rides a plan-capable REST
     // catalog; any refusal (inexpressible filter, capability off, server
     // failure) falls back to the driver-side planner below — the client
@@ -150,7 +155,15 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       if (remotePlanningOk) table.remotePlanner.flatMap(
         _.plan(filter, snapshotId, ref, asOfTimestampMs, caseSensitive))
       else None
-    remote.getOrElse(planFilesLocal())
+    val tasks = remote.getOrElse(planFilesLocal())
+    // scan telemetry (REST `metrics` route): what this scan planned,
+    // whether server-side or local — fire-and-forget by contract
+    table.scanMetricsReporter.foreach(_.report(
+      snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)), filter,
+      selected, tasks.size.toLong,
+      tasks.iterator.map(_.deleteFiles.size.toLong).sum,
+      System.nanoTime() - t0))
+    tasks
   }
 
   /** Driver-side planning, unconditionally — the path for consumers that

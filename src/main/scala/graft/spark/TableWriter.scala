@@ -2806,9 +2806,22 @@ object TableWriter {
           }
         }
       }
+    // scan telemetry (the spec's `metrics` route), when advertised
+    val reporter: Option[graft.catalog.ScanMetricsReporter] =
+      Option(catalog).filter(_.supportsMetricsEndpoint).map { rc =>
+        new graft.catalog.ScanMetricsReporter {
+          def report(snapshotId: Option[Long], filter: BooleanExpression,
+                     projectedFieldNames: Seq[String],
+                     resultDataFiles: Long, resultDeleteFiles: Long,
+                     planningDurationNs: Long): Unit =
+            rc.reportScanMetrics(loaded.identifier, snapshotId, filter,
+              md.currentSchema.schemaId, projectedFieldNames,
+              resultDataFiles, resultDeleteFiles, planningDurationNs)
+        }
+      }
     new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps,
-      remotePlanner = planner)
+      remotePlanner = planner, scanMetricsReporter = reporter)
   }
 
   /** Atomic multi-table REST transaction: stage appends across tables,

@@ -534,14 +534,20 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reused = catalog.loadTableFresh(Seq("it_vc", "t1"), Some(l1))
     assert(reused == l1 && server.loadCounts(("it_vc", "t1")) == before)
 
-    // expired credentials: the hook must RE-LOAD for fresh ones
+    // expired credentials: the hook must get FRESH ones — via the spec's
+    // dedicated credentials route (this server advertises it), WITHOUT
+    // re-reading the metadata tree (RestTelemetrySpec pins the
+    // full-reload fallback for servers that don't advertise it)
     server.vendedExpiryMs = Some(System.currentTimeMillis() - 1000)
     val expired = catalog.loadTable(Seq("it_vc", "t1"))
     assert(expired.credentialsExpired(System.currentTimeMillis()))
     server.vendedExpiryMs = None // server rotates to fresh creds
+    val credsBefore = server.credentialRequests
     val refreshed = catalog.loadTableFresh(Seq("it_vc", "t1"), Some(expired))
     assert(!refreshed.credentialsExpired(System.currentTimeMillis()))
-    assert(server.loadCounts(("it_vc", "t1")) == before + 2)
+    assert(server.credentialRequests == credsBefore + 1)
+    assert(server.loadCounts(("it_vc", "t1")) == before + 1,
+      "credential refresh must not reload the table")
   }
 
   test("remote-signing delegation: signed metadata reads, writes, signer re-auth") {
