@@ -464,6 +464,37 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
 
 object IcebergTables {
 
+  /** Parsed-metadata cache. SAFE because committed metadata files are
+    * immutable by construction (the CAS hard-link refuses to overwrite a
+    * version that exists), so a (path, size, mtime)-keyed entry can never
+    * serve stale content — FRESHNESS still comes from re-resolving the
+    * latest version on every load. What this saves is re-parsing the same
+    * multi-MB metadata JSON on every query of a hot table: at 10⁵
+    * snapshots the parse dominates local plan latency. Bounded LRU;
+    * TableMetadata is an immutable case-class tree, safe to share. */
+  private val ParseCacheMax = 64
+  private val parseCache =
+    new java.util.LinkedHashMap[(String, Long, Long), TableMetadata](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), TableMetadata]): Boolean =
+        size() > ParseCacheMax
+    }
+
+  private def parseCached(metadataFile: File): TableMetadata = {
+    val key = (metadataFile.getPath, metadataFile.length(),
+      metadataFile.lastModified())
+    parseCache.synchronized {
+      val hit = parseCache.get(key)
+      if (hit != null) return hit
+    }
+    val json = new String(java.nio.file.Files.readAllBytes(metadataFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val md = TableMetadata.parse(json)
+    parseCache.synchronized { parseCache.put(key, md) }
+    md
+  }
+
   /** Load a table from a metadata JSON path or a table directory (resolves
     * the latest `metadata/v*.metadata.json`, preferring `version-hint.text`). */
   def load(path: String): IcebergTable = {
@@ -471,9 +502,7 @@ object IcebergTables {
     val metadataFile =
       if (p.endsWith(".json")) new File(p)
       else resolveLatest(new File(p))
-    val json = new String(java.nio.file.Files.readAllBytes(metadataFile.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val md = TableMetadata.parse(json)
+    val md = parseCached(metadataFile)
     val loc = if (p.endsWith(".json")) metadataFile.getParentFile.getParentFile.getPath
       else p
     new IcebergTable(loc, metadataFile.getPath, md, LocalFileIO)

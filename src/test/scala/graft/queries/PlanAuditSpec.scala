@@ -451,4 +451,38 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(LmIndex.t31IncrementalLm(spark, sf))
     assert(!p.contains("CartesianProduct"), s"LM serve cartesianed:\n$p")
   }
+
+  test("d11: document text never rides a shuffle; ownership is an " +
+      "aggregation, never a pairwise join") {
+    val p = plan(Dedup.d11ExactSubstr(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"exact-substr cartesianed:\n$p")
+    // every Exchange carries only ids/hashes/positions/counts — the raw
+    // token arrays (w#) and text (text#) stay below their local stage
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach {
+      ex =>
+        assert(!ex.contains("text#") && !ex.contains(" w#"),
+          s"corpus text rides a shuffle: $ex")
+    }
+    // the owner pass is partial-aggregated before its exchange (map-side
+    // min per window hash — the boilerplate-duplication bound)
+    val exIdx = p.indexOf("Exchange")
+    assert(p.take(math.max(exIdx, 0)).contains("HashAggregate") ||
+      p.contains("partial_min"),
+      s"ownership min must combine map-side:\n$p")
+  }
+
+  test("t34: shard export is ONE hash exchange; text never moves") {
+    val p = plan(TextOps.t34ShardExport(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("text#") ||
+      !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"document text rides the export shuffle:\n$p")
+    // one shard exchange feeds both the window rank and the final
+    // aggregate (the agg's grouping is a subset of the window partitioning,
+    // so no second corpus-sized shuffle; the 8-row result exchange is fine)
+    val corpusExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("shard#")).size
+    assert(corpusExchanges <= 2, s"expected <=2 shard exchanges:\n$p")
+  }
 }
