@@ -689,7 +689,11 @@ final class RestCatalog(val name: String, uri: String,
                     snapshotId: Option[Long], useSnapshotSchema: Boolean,
                     filter: graft.core.BooleanExpression,
                     select: Seq[String] = Nil,
-                    caseSensitive: Boolean = true)
+                    caseSensitive: Boolean = true,
+                    // incremental form: files appended in (start, end] —
+                    // mutually exclusive with snapshotId per the spec
+                    startSnapshotId: Option[Long] = None,
+                    endSnapshotId: Option[Long] = None)
       : Option[Seq[graft.core.FileScanTask]] = {
     if (!supportsScanPlanning) return None
     val filterNode = RestScanPlanning.expressionToJson(filter, mapper) match {
@@ -705,7 +709,10 @@ final class RestCatalog(val name: String, uri: String,
       else None).getOrElse(metadata.currentSchema)
     try {
       val body = mapper.createObjectNode()
-      snapshotId.foreach(id => body.put("snapshot-id", id))
+      if (startSnapshotId.isEmpty)
+        snapshotId.foreach(id => body.put("snapshot-id", id))
+      startSnapshotId.foreach(id => body.put("start-snapshot-id", id))
+      endSnapshotId.foreach(id => body.put("end-snapshot-id", id))
       body.put("use-snapshot-schema", useSnapshotSchema)
       body.put("case-sensitive", caseSensitive)
       body.set[com.fasterxml.jackson.databind.JsonNode]("filter", filterNode)

@@ -238,6 +238,12 @@ trait RemoteScanPlanner {
   def plan(filter: BooleanExpression, snapshotId: Option[Long],
            ref: Option[String], asOfTimestampMs: Option[Long],
            caseSensitive: Boolean): Option[Seq[FileScanTask]]
+
+  /** Incremental form (the plan request's `start-snapshot-id` /
+    * `end-snapshot-id`): files APPENDED in (start, end]. Same None-means-
+    * plan-locally contract as [[plan]]. */
+  def planIncremental(fromSnapshotId: Long,
+                      toSnapshotId: Option[Long]): Option[Seq[FileScanTask]]
 }
 
 /** Scan-telemetry hook (the REST spec's `metrics` route): called after a

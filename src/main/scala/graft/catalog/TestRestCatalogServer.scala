@@ -798,9 +798,22 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         else None).getOrElse(metadata.currentSchema)
       val expr = Option(body.get("filter")).filter(!_.isNull)
         .map(parsePlanExpr(_, schema, cs)).getOrElse(AlwaysTrue)
-      val tasks = new ScanPlanner(LocalFileIO, metadata)
-        .planFiles(expr, snapshotId, caseSensitive = cs,
-          useSnapshotSchema = useSnap)
+      val startId = Option(body.get("start-snapshot-id")).filter(!_.isNull)
+        .map(_.asLong())
+      val endId = Option(body.get("end-snapshot-id")).filter(!_.isNull)
+        .map(_.asLong())
+      val tasks = startId match {
+        case Some(from) =>
+          // incremental form: files APPENDED in (start, end] — the same
+          // metadata-only changefeed walk the engine's local path defines
+          graft.streaming.EventStreams.appendedFilesBetween(
+            new graft.spark.IcebergTable(metadata.location, "", metadata,
+              LocalFileIO), from, endId)
+        case None =>
+          new ScanPlanner(LocalFileIO, metadata)
+            .planFiles(expr, snapshotId, caseSensitive = cs,
+              useSnapshotSchema = useSnap)
+      }
       val size =
         if (planMode == "chunked") math.max(1, planTaskChunkSize)
         else math.max(1, tasks.size)

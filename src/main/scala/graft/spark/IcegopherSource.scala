@@ -1069,7 +1069,12 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
         // snapshots carry rows a reader at `start` already saw); no file
         // skipping here, Spark's residual filters keep row correctness
         case Some((from, to)) =>
-          graft.streaming.EventStreams.appendedFilesBetween(table, from, to)
+          // incremental batch reads may also plan through a plan-capable
+          // REST catalog (the request's start/end-snapshot-id form); the
+          // local changefeed walk is the universal fallback
+          table.remotePlanner.flatMap(_.planIncremental(from, to))
+            .getOrElse(
+              graft.streaming.EventStreams.appendedFilesBetween(table, from, to))
         case None =>
           // catalog-side planning is gated OFF for scans whose consumers
           // need what the REST plan wire format doesn't carry: row-level

@@ -2804,6 +2804,18 @@ object TableWriter {
             else rc.planTableScan(loaded.identifier, md, resolved,
               useSnapshotSchema = pinned, filter, caseSensitive = caseSensitive)
           }
+
+          def planIncremental(fromSnapshotId: Long, toSnapshotId: Option[Long])
+              : Option[Seq[graft.core.FileScanTask]] = {
+            // pin the end CLIENT-side (loaded metadata) so a commit that
+            // landed after this load cannot widen the window server-side
+            val end = toSnapshotId
+              .orElse(md.currentSnapshot.map(_.snapshotId))
+            if (end.isEmpty) None
+            else rc.planTableScan(loaded.identifier, md, snapshotId = None,
+              useSnapshotSchema = false, graft.core.AlwaysTrue,
+              startSnapshotId = Some(fromSnapshotId), endSnapshotId = end)
+          }
         }
       }
     // scan telemetry (the spec's `metrics` route), when advertised

@@ -194,6 +194,37 @@ class RestScanPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (0L until 10L))
   }
 
+  test("incremental plan (start/end-snapshot-id) matches the local " +
+      "changefeed walk") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("rest_plan_incr").toFile.getPath
+    var t = TableWriter.create(
+      (0L until 10L).map(i => (i, "w0")).toDF("id", "w"), loc)
+    t = TableWriter.append(t, (10L until 20L).map(i => (i, "w1")).toDF("id", "w"))
+    t = TableWriter.append(t, (20L until 30L).map(i => (i, "w2")).toDF("id", "w"))
+    ensureNs("pp")
+    catalog.registerTable(Seq("pp", "incr"), t.metadataPath)
+    val remote = loadPlanned(Seq("pp", "incr"))
+    val snaps = t.metadata.snapshots.map(_.snapshotId)
+    val before = server.planRequests
+    // open window: (first, current]
+    val open = remote.remotePlanner.get.planIncremental(snaps.head, None).get
+    assert(server.planRequests == before + 1)
+    val localOpen = graft.streaming.EventStreams
+      .appendedFilesBetween(t, snaps.head, None)
+    assert(open.map(_.file.path).sorted == localOpen.map(_.file.path).sorted)
+    assert(open.nonEmpty && open.size < t.newScan().planFiles().size)
+    // bounded window: (first, second]
+    val bounded = remote.remotePlanner.get
+      .planIncremental(snaps.head, Some(snaps(1))).get
+    val localBounded = graft.streaming.EventStreams
+      .appendedFilesBetween(t, snaps.head, Some(snaps(1)))
+    assert(bounded.map(_.file.path).sorted ==
+      localBounded.map(_.file.path).sorted)
+    assert(bounded.size < open.size)
+  }
+
   test("commit-path scans refuse remote planning (manifest provenance)") {
     val (ident, _) = mkRest("commitpath")
     val remote = loadPlanned(ident)
