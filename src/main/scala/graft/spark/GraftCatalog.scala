@@ -81,7 +81,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else rest.filter { rc =>
         try { rc.loadTable(parts.toSeq); true }
         catch { case _: graft.catalog.CatalogError => false }
-      }.map(rc => (rc, parts.toSeq))
+      }.map { rc =>
+        // the procedure may commit through the server: drop any cached
+        // metadata for this ident so subsequent reads see the commit
+        invalidateRest(parts.toSeq)
+        (rc, parts.toSeq)
+      }
     })
   }
 
@@ -89,6 +94,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var warehouse: File = _
   private var restUri: Option[String] = None
   private var restProps: Map[String, String] = Map.empty
+
+  /** REST metadata caching (`cache-expiration-interval-ms` catalog
+    * option, 0 = off, the default): SQL reads of a REST table stop
+    * re-reading the whole metadata tree on EVERY query — the dominant
+    * catalog RTT at query rate. Semantics match Iceberg's CachingCatalog:
+    * a commit through THIS catalog's procedures invalidates immediately;
+    * an external writer's commit is visible after at most the interval.
+    * Within the interval, expired vended credentials still refresh (the
+    * dedicated credentials route when advertised — no metadata re-read). */
+  private var cacheExpirationMs: Long = 0L
+  private val restCache = new java.util.concurrent.ConcurrentHashMap[
+    Seq[String], (graft.catalog.LoadedTable, Long)]()
+
+  private def restLoad(rc: graft.catalog.RestCatalog,
+                       ident: Seq[String]): graft.catalog.LoadedTable = {
+    if (cacheExpirationMs <= 0L) return rc.loadTable(ident)
+    val now = System.currentTimeMillis()
+    val entry = restCache.get(ident)
+    if (entry != null && entry._2 + cacheExpirationMs > now) {
+      // served from cache; only expired credentials trigger traffic
+      val fresh = rc.loadTableFresh(ident, Some(entry._1), now)
+      if (!(fresh eq entry._1)) // keep the ORIGINAL load time for expiry
+        restCache.put(ident, (fresh, entry._2))
+      fresh
+    } else {
+      val loaded = rc.loadTable(ident)
+      restCache.put(ident, (loaded, now))
+      loaded
+    }
+  }
+
+  private def invalidateRest(ident: Seq[String]): Unit = {
+    restCache.remove(ident); ()
+  }
 
   /** The optional REST plane behind this catalog
     * (`spark.sql.catalog.<name>.uri=http://...` + `credential` /
@@ -108,6 +147,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = new File(wh.stripPrefix("file://"))
     warehouse.mkdirs()
     restUri = Option(options.get("uri"))
+    cacheExpirationMs = Option(options.get("cache-expiration-interval-ms"))
+      .flatMap(_.toLongOption).getOrElse(0L)
     restProps = Seq(
       graft.catalog.RestCatalog.KeyCredential -> Option(options.get("credential")),
       graft.catalog.RestCatalog.KeyToken -> Option(options.get("token")),
@@ -129,7 +170,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def restLoadTable(ident: Identifier): Option[Table] =
     rest.flatMap { rc =>
       try Some(new GraftSparkTable(
-        TableWriter.restTableOf(rc.loadTable(restIdent(ident)), rc),
+        TableWriter.restTableOf(restLoad(rc, restIdent(ident)), rc),
         restManaged = true))
       catch {
         case _: graft.catalog.NoSuchTableError |

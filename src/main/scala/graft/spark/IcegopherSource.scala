@@ -1071,8 +1071,16 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
         case Some((from, to)) =>
           // incremental batch reads may also plan through a plan-capable
           // REST catalog (the request's start/end-snapshot-id form); the
-          // local changefeed walk is the universal fallback
-          table.remotePlanner.flatMap(_.planIncremental(from, to))
+          // local changefeed walk is the universal fallback. Same gates as
+          // the snapshot path: consumers of per-task provenance/sequence
+          // numbers (lineage columns, row-level `_file`) stay local.
+          val remoteIncrOk =
+            !required.fieldNames.contains(GraftReaders.FileCol) &&
+            !required.fieldNames.contains(GraftReaders.RowIdCol) &&
+            !required.fieldNames.contains(GraftReaders.LastUpdatedSeqCol)
+          (if (remoteIncrOk)
+            table.remotePlanner.flatMap(_.planIncremental(from, to))
+          else None)
             .getOrElse(
               graft.streaming.EventStreams.appendedFilesBetween(table, from, to))
         case None =>
