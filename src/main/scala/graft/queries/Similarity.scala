@@ -505,6 +505,37 @@ object Similarity {
 
   private val opqCodesSlot = new CacheSlot
 
+  /** OPQ + IVF-PQ (battery ann18, rows-only like ann17): the FAISS-standard
+    * endpoint of the ANN ladder — `OPQ_{M},IVF{n},PQ{M}` — composing the
+    * learned pre-rotation with coarse cells + residual product codes.
+    * Rotation redistributes variance across the PQ subspaces; the residual
+    * quantizer then earns its codewords in every subspace, which is where
+    * IVF-PQ loses recall on skewed corpora. Cosine is rotation-invariant,
+    * so cells, probes, ADC, and the exact re-rank all work unchanged in
+    * rotated space and return the same neighbors the raw space would.
+    *
+    * Scale shape: identical to [[annTrainedIvfPq]] plus ONE map-only
+    * broadcast-literal matmul on the encode path ([[opqRotate]]) — the
+    * rotation trains driver-side on the bounded sample, everything
+    * corpus-sized stays the one-equi-join ADC pipeline. */
+  def annOpqIvfPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+                  nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+                  kSub: Int = 16, shortlist: Int = 50,
+                  iters: Int = 2): DataFrame = {
+    val emb = pqEmb(Tables.embeddings(s, d))
+    val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    val rot = ivfEn(opqRotate(emb, r))
+    val cents = ivfTrainStep(trainSample(rot), ivfCentroids(rot, nCells))
+    val assigned = opqIvfAssignedSlot(ivfAssignResiduals(rot, cents))
+    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    val codes = opqIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
+    ivfPqTopK(rot, cents, rcodebook, codes,
+      rot.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
+  }
+
+  private val opqIvfAssignedSlot = new CacheSlot
+  private val opqIvfCodesSlot = new CacheSlot
+
   /** Apply a rotation matrix to the `e` column as a plan constant:
     * `e' = R·e` through the codegen'd [[graft.spark.functions.MatVecExpr]]
     * — map-only, no UDF, no shuffle, no interpreted HOF lambdas in the

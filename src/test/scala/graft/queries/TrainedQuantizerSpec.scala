@@ -118,6 +118,24 @@ class TrainedQuantizerSpec extends AnyFunSuite {
     assert(opq >= 0.5, s"OPQ recall $opq")
   }
 
+  test("OPQ + IVF-PQ (ann18): the composed index serves with recall on par " +
+      "with trained IVF-PQ and the rotated residual space quantizes no worse") {
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double =
+      bf.count(df.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet) /
+        bf.size.toDouble
+    val ivfpq = recallOf(Similarity.annTrainedIvfPq(spark, sf,
+      nQueries = 10, k = 5))
+    val opq = recallOf(Similarity.annOpqIvfPq(spark, sf, nQueries = 10, k = 5))
+    // rotation moves CELL boundaries too, so per-query membership can
+    // shuffle — the claim is parity-or-better within one shortlist miss,
+    // never a collapse (and an absolute serving floor)
+    assert(opq >= ivfpq - 0.1,
+      s"OPQ+IVF-PQ recall $opq collapsed vs trained IVF-PQ $ivfpq")
+    assert(opq >= 0.5, s"OPQ+IVF-PQ recall $opq")
+  }
+
   test("trained ivf-pq recall >= sampled ivf-pq recall at the same probes/shortlist") {
     val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
