@@ -1244,4 +1244,96 @@ object IcebergOps {
        FROM events
        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
        GROUP BY CAST(ts AS DATE) ORDER BY day"""
+
+  /** SQL DML on a REST-cataloged table (ice34): INSERT INTO, key-equality
+    * DELETE, copy-on-write UPDATE, and MERGE each run as plain Spark SQL
+    * against a GraftCatalog bound to a LIVE REST server — every commit
+    * rides the server's update actions (TableWriter.appendRest /
+    * deleteEqualityRest / replaceFilesRest with the scanned head pinned),
+    * never metadata files behind it. The reference PANICS on any REST
+    * commit (rest.go:418-424); here the full SQL DML surface is the
+    * client. Provisioned once per sf dir; the server's final metadata is
+    * then materialized locally so bench iterations and the oracle compare
+    * replay a pure local read.
+    *
+    * 100-TB shape: each statement is the same distributed plan the local
+    * plane runs (one write pass, an O(keys) equality delete, an
+    * O(affected-files) CoW rewrite) plus ONE catalog RTT per commit. */
+  def ice34RestSqlDml(s: SparkSession, d: String): DataFrame = {
+    val root = new File(
+      s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/rest_sql_dml")
+    provisionOnce(root) {
+      val loc = new File(root, "ev"); loc.mkdirs()
+      val wh = new File(root, "wh"); wh.mkdirs()
+      val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+      server.start()
+      try {
+        val cat = graft.catalog.Catalog.load("ice34", server.uri,
+          Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+          .asInstanceOf[graft.catalog.RestCatalog]
+        cat.createNamespace(Seq("p"))
+        cat.createTable(Seq("p", "ev"), Schema(0, StructT(Seq(
+          NestedField(1, "event_id", LongT, required = true),
+          NestedField(2, "event_type", StringT),
+          NestedField(3, "value", DoubleT)))), location = Some(loc.getPath))
+        s.conf.set("spark.sql.catalog.ice34cat", "graft.spark.GraftCatalog")
+        s.conf.set("spark.sql.catalog.ice34cat.warehouse", wh.getPath)
+        s.conf.set("spark.sql.catalog.ice34cat.uri", server.uri)
+        s.conf.set("spark.sql.catalog.ice34cat.credential", "graft:graft")
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .createOrReplaceTempView("ice34_src")
+        s.sql("INSERT INTO ice34cat.p.ev " +
+          "SELECT event_id, event_type, value FROM ice34_src")
+        s.sql("DELETE FROM ice34cat.p.ev WHERE event_type = 'click'")
+        s.sql("UPDATE ice34cat.p.ev SET value = value * 2 " +
+          "WHERE event_id % 10 = 0")
+        s.sql("""MERGE INTO ice34cat.p.ev t
+                 USING (SELECT event_id, 'merged' AS event_type, value
+                        FROM ice34_src WHERE event_id % 97 = 0) m
+                 ON t.event_id = m.event_id
+                 WHEN MATCHED THEN UPDATE SET event_type = m.event_type
+                 WHEN NOT MATCHED THEN INSERT *""")
+        // materialize the server's final metadata so post-provision runs
+        // read without the ephemeral server (the t33 discipline)
+        val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new File(metaDir, "v1.metadata.json").toPath,
+          cat.loadTable(Seq("p", "ev")).metadata.toJson)
+      } finally server.stop()
+    }
+    IcebergTables.load(new File(root, "ev").getPath).newScan().toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("event_id"))
+          .cast("double").as("sum_id"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of the ice34 DML sequence, replayed relationally over
+    * the source parquet: delete = filter, update = CASE projection, merge
+    * = left-join update ∪ anti-join insert. */
+  val ice34Sql: String =
+    s"""WITH seed AS (SELECT event_id, event_type, value FROM events),
+       afterdel AS (SELECT * FROM seed WHERE event_type <> 'click'),
+       afterupd AS (
+         SELECT event_id, event_type,
+                CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+         FROM afterdel),
+       m AS (SELECT event_id, 'merged' AS event_type, value
+             FROM seed WHERE event_id % 97 = 0),
+       merged AS (
+         SELECT a.event_id,
+                CASE WHEN m.event_id IS NOT NULL THEN 'merged'
+                     ELSE a.event_type END AS event_type,
+                a.value
+         FROM afterupd a LEFT JOIN m ON a.event_id = m.event_id
+         UNION ALL
+         SELECT m.event_id, m.event_type, m.value FROM m
+         WHERE NOT EXISTS (SELECT 1 FROM afterupd a
+                           WHERE a.event_id = m.event_id))
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS DOUBLE) AS sum_id,
+              ${sqlDsum("value")} AS sum_value
+       FROM merged GROUP BY event_type ORDER BY event_type"""
 }

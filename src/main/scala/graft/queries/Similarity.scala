@@ -487,14 +487,19 @@ object Similarity {
     * rotation-invariant, so the exact re-rank in rotated space returns the
     * same neighbors it would on the raw vectors.
     *
-    * No DuckDB oracle: the SVD solve has no SQL mirror —
-    * TrainedQuantizerSpec pins the claims instead (rotated quantization
-    * error ≤ unrotated; recall ≥ [[annTrainedPq]] at the same shortlist). */
+    * Oracle: the SVD SOLVE has no SQL mirror, but it doesn't need one —
+    * the learned R is deterministic (md5-ranked sample, fixed iterations),
+    * so the oracle embeds it as literals ([[rotatedERel]]) and recomputes
+    * everything downstream of the rotation exactly
+    * ([[annTrainedPqSqlOver]]); TrainedQuantizerSpec additionally pins
+    * rotated quantization error ≤ unrotated and recall ≥
+    * [[annTrainedPq]] at the same shortlist. */
   def annOpqPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
                nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50,
                iters: Int = 2): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
     val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    lastOpqRotation = Some(r)
     val rot = opqRotate(emb, r)
     var cb = pqCodebook(rot, nSub, kSub)
     cb = pqTrainStep(trainSample(rot), cb, nSub)
@@ -505,7 +510,8 @@ object Similarity {
 
   private val opqCodesSlot = new CacheSlot
 
-  /** OPQ + IVF-PQ (battery ann18, rows-only like ann17): the FAISS-standard
+  /** OPQ + IVF-PQ (battery ann18; oracle-checked like ann17 via the
+    * embedded-rotation technique): the FAISS-standard
     * endpoint of the ANN ladder — `OPQ_{M},IVF{n},PQ{M}` — composing the
     * learned pre-rotation with coarse cells + residual product codes.
     * Rotation redistributes variance across the PQ subspaces; the residual
@@ -524,6 +530,7 @@ object Similarity {
                   iters: Int = 2): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
     val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    lastOpqRotation = Some(r)
     val rot = ivfEn(opqRotate(emb, r))
     val cents = ivfTrainStep(trainSample(rot), ivfCentroids(rot, nCells))
     val assigned = opqIvfAssignedSlot(ivfAssignResiduals(rot, cents))
@@ -540,10 +547,49 @@ object Similarity {
     * `e' = R·e` through the codegen'd [[graft.spark.functions.MatVecExpr]]
     * — map-only, no UDF, no shuffle, no interpreted HOF lambdas in the
     * encode hot loop; the 64×64 matrix is part of the plan like LSH's
-    * hyperplanes. */
+    * hyperplanes. Rotated coordinates round to 6 dp (the ann04
+    * determinism discipline) so the DuckDB oracle — which recomputes the
+    * rotation from the SAME matrix embedded as literals — lands on
+    * bit-identical coordinates regardless of each engine's FP summation
+    * order, and everything downstream of the rotation stays hash-exact. */
   private[queries] def opqRotate(df: DataFrame,
                                  r: Array[Array[Double]]): DataFrame =
-    df.withColumn("e", graft.spark.functions.MatVec.matVec(r, col("e")))
+    df.withColumn("e",
+      graft.spark.functions.MatVec.matVec(r, col("e"), roundDp = 6))
+
+  /** The rotation learned by the LAST [[annOpqPq]]/[[annOpqIvfPq]] run in
+    * this JVM. Verify runs every query BEFORE dumping `oracleSql`, so the
+    * oracle can embed the learned matrix as SQL literals — the ann02
+    * hyperplane technique, with a deterministic TRAINED constant
+    * (md5-ranked sample, fixed iterations) instead of a seeded one. Both
+    * entries train on the same sample with the same parameters, so they
+    * learn the same matrix. */
+  @volatile private var lastOpqRotation: Option[Array[Array[Double]]] = None
+
+  /** DuckDB relation computing the OPQ-rotated corpus: `e' = ROUND(R·e, 6)`
+    * per coordinate with R embedded as a literal — the oracle twin of
+    * [[opqRotate]]. */
+  private def rotatedERel(r: Array[Array[Double]]): String = {
+    val dim = r.length
+    val lit = r.map(_.map(v => java.lang.Double.toString(v))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""SELECT r0.vec_id,
+        [ROUND(list_sum([rm.rmat[i][jj] * r0.e[jj] for jj in range(1, ${dim + 1})]), 6)
+           for i in range(1, ${dim + 1})] AS e
+        FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings) r0, (SELECT $lit AS rmat) rm"""
+  }
+
+  /** Oracle SQL for ann17/ann18 — available once the OPQ entries have run
+    * in this JVM (the Verify flow); empty otherwise, which degrades those
+    * entries to the pre-r17 rows-only check instead of mis-oracling. */
+  def opqOracleEntries: Map[String, String] =
+    lastOpqRotation.map { r =>
+      Map(
+        "ann17_opq_pq" -> annTrainedPqSqlOver(rotatedERel(r)),
+        "ann18_opq_ivfpq" -> annIvfPqSqlOver(rotatedERel(r), None,
+          trainCells = true))
+    }.getOrElse(Map.empty)
 
   /** Learn the OPQ rotation on the bounded sample (driver-side; the
     * sample is ≤[[TrainSampleSize]] rows by construction). Alternates a
@@ -635,9 +681,13 @@ object Similarity {
   /** DuckDB mirror of [[annTrainedPq]] (iters = 1): same sampled init,
     * same rounded-L2 min-j assignment, same exact-decimal means, same ADC
     * + re-rank as [[annPqSql]] — byte-exact. */
-  val annTrainedPqSql: String =
-    s"""WITH e AS (
-         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+  val annTrainedPqSql: String = annTrainedPqSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings")
+
+  /** The trained-PQ oracle over an arbitrary (vec_id, e) corpus relation —
+    * ann17 passes the OPQ-rotated corpus ([[rotatedERel]]). */
+  def annTrainedPqSqlOver(eRel: String): String =
+    s"""WITH e AS ($eRel),
        et AS (
          SELECT vec_id, e FROM e
          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $TrainSampleSize),

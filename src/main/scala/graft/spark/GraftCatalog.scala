@@ -57,7 +57,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!ident.namespace().sameElements(Array("system")))
       throw new IllegalArgumentException(
         s"procedures live in the 'system' namespace, got $ident")
-    GraftProcedures.load(ident.name(), tableRef => {
+    // REST idents this CALL touches — re-invalidated AFTER the procedure
+    // commits, because a concurrent SQL read between resolve-time
+    // invalidation and the commit can re-populate the cache with
+    // pre-commit metadata (the CachingCatalog contract is that a commit
+    // through THIS catalog is visible immediately).
+    val touchedRest = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val inner = GraftProcedures.load(ident.name(), tableRef => {
       val parts = tableRef.split('.')
       // register_table needs the raw catalog ENTRY directory (it CREATES
       // the pointer, and must never follow a stale one), so its ref must
@@ -85,9 +91,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the procedure may commit through the server: drop any cached
         // metadata for this ident so subsequent reads see the commit
         invalidateRest(parts.toSeq)
+        touchedRest.add(parts.toSeq)
         (rc, parts.toSeq)
       }
     })
+    // wrap so call() invalidates the touched idents again POST-commit
+    new org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+      override def name(): String = inner.name()
+      override def description(): String = inner.description()
+      override def bind(inputType: StructType)
+          : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure = {
+        val bound = inner.bind(inputType)
+        new org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+          override def name(): String = bound.name()
+          override def description(): String = bound.description()
+          override def isDeterministic: Boolean = bound.isDeterministic
+          override def parameters() = bound.parameters()
+          override def call(input: org.apache.spark.sql.catalyst.InternalRow) =
+            try bound.call(input)
+            finally {
+              var id = touchedRest.poll()
+              while (id != null) { invalidateRest(id); id = touchedRest.poll() }
+            }
+        }
+      }
+    }
   }
 
   private var catalogName: String = _
@@ -160,18 +188,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def restIdent(ident: Identifier): Seq[String] =
     ident.namespace().toSeq :+ ident.name()
 
-  /** REST-plane table resolution (read path): a SELECT over a
-    * REST-cataloged table rides the full scan stack; SQL WRITES refuse
-    * loudly (see [[GraftSparkTable]]'s restManaged guard) because a
-    * metadata-file write behind the server's back would corrupt the
-    * catalog of record — writes go through [[TableWriter.appendFilesRest]]
-    * / [[TableWriter.transaction]] / the maintenance procedures, which
-    * commit REST update actions. */
+  /** REST-plane table resolution: a SELECT over a REST-cataloged table
+    * rides the full scan stack, and SQL DML (INSERT / INSERT OVERWRITE /
+    * DELETE / UPDATE / MERGE / TRUNCATE) commits THROUGH the server's
+    * update actions via the [[RestDmlBinding]] — never metadata files
+    * behind its back. The binding's afterCommit drops this catalog's
+    * metadata-cache entry, so a SQL write through THIS catalog is visible
+    * immediately (the CachingCatalog contract the procedures honor). */
   private def restLoadTable(ident: Identifier): Option[Table] =
     rest.flatMap { rc =>
+      val id = restIdent(ident)
       try Some(new GraftSparkTable(
-        TableWriter.restTableOf(restLoad(rc, restIdent(ident)), rc),
-        restManaged = true))
+        TableWriter.restTableOf(restLoad(rc, id), rc),
+        restDml = Some(RestDmlBinding(rc, id,
+          afterCommit = () => invalidateRest(id)))))
       catch {
         case _: graft.catalog.NoSuchTableError |
              _: graft.catalog.NoSuchNamespaceError => None

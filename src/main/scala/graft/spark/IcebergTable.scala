@@ -157,12 +157,21 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
       else None
     val tasks = remote.getOrElse(planFilesLocal())
     // scan telemetry (REST `metrics` route): what this scan planned,
-    // whether server-side or local — fire-and-forget by contract
-    table.scanMetricsReporter.foreach(_.report(
-      snapshotId.orElse(table.currentSnapshot.map(_.snapshotId)), filter,
-      selected, tasks.size.toLong,
-      tasks.iterator.map(_.deleteFiles.size.toLong).sum,
-      System.nanoTime() - t0))
+    // whether server-side or local — fire-and-forget by contract.
+    // result-delete-files means DISTINCT delete files (a delete file
+    // referenced by N data-file tasks counts once), and the reported
+    // snapshot is the scan's RESOLVED pin, not the table's current.
+    table.scanMetricsReporter.foreach { r =>
+      val reportSnapshot = snapshotId
+        .orElse(ref.flatMap(table.metadata.snapshotByName).map(_.snapshotId))
+        .orElse(asOfTimestampMs.flatMap(table.metadata.snapshotAsOfTime)
+          .map(_.snapshotId))
+        .orElse(table.currentSnapshot.map(_.snapshotId))
+      r.report(reportSnapshot, filter, selected, tasks.size.toLong,
+        tasks.iterator.flatMap(_.deleteFiles.iterator.map(_.path))
+          .toSet.size.toLong,
+        System.nanoTime() - t0)
+    }
     tasks
   }
 
@@ -464,33 +473,39 @@ final case class TableScan(table: IcebergTable, filter: BooleanExpression,
 
 object IcebergTables {
 
-  /** Parsed-metadata cache. SAFE because committed metadata files are
-    * immutable by construction (the CAS hard-link refuses to overwrite a
-    * version that exists), so a (path, size, mtime)-keyed entry can never
-    * serve stale content — FRESHNESS still comes from re-resolving the
-    * latest version on every load. What this saves is re-parsing the same
-    * multi-MB metadata JSON on every query of a hot table: at 10⁵
-    * snapshots the parse dominates local plan latency. Bounded LRU;
-    * TableMetadata is an immutable case-class tree, safe to share. */
+  /** Parsed-metadata cache, keyed by CONTENT hash (path + byte length +
+    * MD5 of the bytes). What this saves is re-PARSING the same multi-MB
+    * metadata JSON on every query of a hot table: at 10⁵ snapshots the
+    * parse dominates local plan latency, while the read+hash it costs is
+    * an order of magnitude cheaper than the parse. A (path, size, mtime)
+    * key would be cheaper still but unsound at the edge: drop + recreate
+    * a table at the same location and v1.metadata.json reappears at the
+    * same path — with coarse filesystem mtime granularity and an equal
+    * byte length, a stale entry would serve the OLD table's metadata.
+    * Hashing the bytes makes staleness impossible by construction.
+    * Bounded LRU; TableMetadata is an immutable case-class tree, safe to
+    * share. FRESHNESS still comes from re-resolving the latest version on
+    * every load. */
   private val ParseCacheMax = 64
   private val parseCache =
-    new java.util.LinkedHashMap[(String, Long, Long), TableMetadata](
+    new java.util.LinkedHashMap[(String, Long, String), TableMetadata](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), TableMetadata]): Boolean =
+          e: java.util.Map.Entry[(String, Long, String), TableMetadata]): Boolean =
         size() > ParseCacheMax
     }
 
   private def parseCached(metadataFile: File): TableMetadata = {
-    val key = (metadataFile.getPath, metadataFile.length(),
-      metadataFile.lastModified())
+    val bytes = java.nio.file.Files.readAllBytes(metadataFile.toPath)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val key = (metadataFile.getPath, bytes.length.toLong,
+      java.util.Base64.getEncoder.encodeToString(digest))
     parseCache.synchronized {
       val hit = parseCache.get(key)
       if (hit != null) return hit
     }
-    val json = new String(java.nio.file.Files.readAllBytes(metadataFile.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val md = TableMetadata.parse(json)
+    val md = TableMetadata.parse(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     parseCache.synchronized { parseCache.put(key, md) }
     md
   }

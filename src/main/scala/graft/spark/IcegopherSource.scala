@@ -95,6 +95,17 @@ object GraftSparkTable {
       table.properties.get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
 }
 
+/** A table whose catalog of record is a REST server: `catalog` commits
+  * SQL DML (INSERT/DELETE/UPDATE/MERGE) through the server's update
+  * actions — never metadata files behind its back — and `afterCommit`
+  * runs once the commit lands (the owning catalog drops its metadata
+  * cache entry there, preserving the CachingCatalog contract). */
+final case class RestDmlBinding(catalog: graft.catalog.RestCatalog,
+                                identifier: Seq[String],
+                                afterCommit: () => Unit = () => ()) {
+  def load(): graft.catalog.LoadedTable = catalog.loadTable(identifier)
+}
+
 /** `pinnedSnapshotId` is set by the catalog's time-travel hooks
   * (`VERSION AS OF` / `TIMESTAMP AS OF`): the scan is pinned to that
   * snapshot and the table reports the SNAPSHOT's schema, so old reads
@@ -102,24 +113,26 @@ object GraftSparkTable {
 final class GraftSparkTable(table: IcebergTable,
                             pinnedSnapshotId: Option[Long] = None,
                             readChanges: Boolean = false,
-                            // the table's catalog of record is a REST
-                            // server: SQL reads ride the full scan stack,
-                            // but SQL writes refuse — a metadata-file
-                            // write behind the server would corrupt the
-                            // catalog. Writes go through the TableWriter
-                            // REST commit APIs / maintenance procedures.
-                            restManaged: Boolean = false) extends Table
+                            // set when the table's catalog of record is a
+                            // REST server: SQL reads ride the full scan
+                            // stack, and SQL DML commits THROUGH the
+                            // server (TableWriter.appendRest and friends)
+                            // — the surfaces the REST protocol can't
+                            // express (WAP staging, mergeSchema
+                            // evolution) refuse loudly instead.
+                            restDml: Option[RestDmlBinding] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  private def refuseIfRestManaged(op: String): Unit =
-    if (restManaged) throw new UnsupportedOperationException(
-      s"$op on a REST-cataloged table is not routed through SQL: commit " +
-        "through the catalog instead (TableWriter.appendFilesRest / " +
-        "replaceFilesRest / transaction(), or CALL graft.system.* " +
-        "maintenance procedures)")
+  private def restManaged: Boolean = restDml.isDefined
+
+  private def refuseRestUnsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what on a REST-cataloged table is not supported: the REST commit " +
+        "protocol has no wire form for it — use a local table, or the " +
+        "TableWriter / CALL graft.system.* surfaces")
 
   /** SQL UPDATE / MERGE / non-pushable DELETE: copy-on-write rewrite of
     * only the affected files by default (see [[GraftRowLevelOperation]]);
@@ -133,7 +146,6 @@ final class GraftSparkTable(table: IcebergTable,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
-      refuseIfRestManaged("UPDATE/DELETE/MERGE")
       // row-level DML commits (CoW swap / MoR delta) target main; running
       // one while a WAP stage is active would bypass the audit gate the
       // user just asked for — refuse loudly instead of committing to main
@@ -149,8 +161,12 @@ final class GraftSparkTable(table: IcebergTable,
         case _ => "write.merge.mode"
       }
       // re-read properties at operation build: the mode may have been set
-      // by an ALTER TABLE after this Table handle was resolved
-      val fresh = IcebergTables.load(table.location)
+      // by an ALTER TABLE after this Table handle was resolved; for REST
+      // tables the fresh state comes from the server, never location files
+      val fresh = restDml match {
+        case Some(b) => TableWriter.restTableOf(b.load())
+        case None => IcebergTables.load(table.location)
+      }
       GraftSparkTable.wapStageId(fresh).foreach { id =>
         throw new UnsupportedOperationException(
           s"spark.wap.id='$id' is set and this table has " +
@@ -160,8 +176,14 @@ final class GraftSparkTable(table: IcebergTable,
       }
       val mor = fresh.properties
         .get(modeProp).exists(_.equalsIgnoreCase("merge-on-read"))
-      if (mor) new GraftDeltaRowLevelOperation(table.location, info.command())
-      else new GraftRowLevelOperation(table.location, info.command())
+      if (mor) {
+        // V3 MoR deltas re-home tombstones into deletion vectors at
+        // commit; that commit shape is not routed over REST yet
+        if (restManaged && fresh.metadata.formatVersion >= 3)
+          refuseRestUnsupported("merge-on-read UPDATE/DELETE/MERGE on a " +
+            "V3 table (deletion-vector commit)")
+        new GraftDeltaRowLevelOperation(fresh.location, info.command(), restDml)
+      } else new GraftRowLevelOperation(fresh.location, info.command(), restDml)
     }
 
   private def activeSchema: graft.core.Schema = pinnedSnapshotId
@@ -211,18 +233,28 @@ final class GraftSparkTable(table: IcebergTable,
     * commits positional merge-on-read tombstones (one distributed scan, no
     * data rewrite). Only fully-convertible predicates are accepted;
     * otherwise Spark falls back to an error (no silent rewrite). */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !restManaged && filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val convertible = filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
+    if (!restManaged) convertible
+    else
+      // REST: equality deletes always route; positional tombstone files
+      // are V2-only (V3 would need a deletion-vector commit over REST) —
+      // non-expressible shapes fall to the row-level (CoW) path instead
+      convertible && (equalityDeleteKeys(filters).isDefined ||
+        table.metadata.formatVersion < 3)
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    refuseIfRestManaged("DELETE")
     GraftSparkTable.wapBranch.foreach { b =>
       throw new UnsupportedOperationException(
         s"spark.wap.branch='$b' is set: DELETE is not stageable on a " +
           "branch — publish (fast_forward) or unset spark.wap.branch first")
     }
     val spark = org.apache.spark.sql.SparkSession.active
-    val current = IcebergTables.load(table.location)
+    val current = restDml match {
+      case Some(b) => TableWriter.restTableOf(b.load())
+      case None => IcebergTables.load(table.location)
+    }
     GraftSparkTable.wapStageId(current).foreach { id =>
       throw new UnsupportedOperationException(
         s"spark.wap.id='$id' is set and this table has write.wap.enabled: " +
@@ -237,11 +269,23 @@ final class GraftSparkTable(table: IcebergTable,
         val keys = spark.createDataFrame(
           java.util.Arrays.asList(
             rows.map(r => org.apache.spark.sql.Row(r: _*)): _*), keySchema)
-        TableWriter.deleteEquality(current, keys, cols)
+        restDml match {
+          case Some(b) =>
+            TableWriter.deleteEqualityRest(b.catalog, b.identifier, keys, cols)
+            b.afterCommit()
+          case None => TableWriter.deleteEquality(current, keys, cols)
+        }
       case None =>
         val expr = filters.flatMap(FilterConv.fromSparkFilter)
           .reduceOption(CoreAnd(_, _)).getOrElse(AlwaysTrue)
-        TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
+        restDml match {
+          case Some(b) =>
+            TableWriter.deleteWhereRest(b.catalog, b.identifier, spark,
+              FilterConv.toColumn(expr))
+            b.afterCommit()
+          case None =>
+            TableWriter.deleteWhere(current, spark, FilterConv.toColumn(expr))
+        }
     }
   }
 
@@ -275,11 +319,21 @@ final class GraftSparkTable(table: IcebergTable,
     * row). Previous data stays reachable through time travel. */
   override def truncateTable(): Boolean = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val current = IcebergTables.load(table.location)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      SchemaConv.toSparkSchema(current.schema))
-    TableWriter.overwrite(current, empty)
+    restDml match {
+      case Some(b) =>
+        val schema = b.load().metadata.currentSchema
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          SchemaConv.toSparkSchema(schema))
+        TableWriter.overwriteRest(b.catalog, b.identifier, empty)
+        b.afterCommit()
+      case None =>
+        val current = IcebergTables.load(table.location)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          SchemaConv.toSparkSchema(current.schema))
+        TableWriter.overwrite(current, empty)
+    }
     true
   }
   override def name(): String = table.location
@@ -362,7 +416,6 @@ final class GraftSparkTable(table: IcebergTable,
     * scratch — a REPLACE commit. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    refuseIfRestManaged("INSERT/write")
     new org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwrite = false
@@ -372,7 +425,28 @@ final class GraftSparkTable(table: IcebergTable,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => restDml match {
+              case Some(b) =>
+                // SQL INSERT INTO / INSERT OVERWRITE on a REST-cataloged
+                // table: align against the server's fresh schema, write
+                // distributed, commit through the server's update actions
+                if (info.options().getBoolean("mergeSchema", false))
+                  refuseRestUnsupported("mergeSchema write-time evolution")
+                val fresh = TableWriter.restTableOf(b.load())
+                (GraftSparkTable.wapStageId(fresh),
+                    GraftSparkTable.wapBranch) match {
+                  case (None, None) => ()
+                  case _ => refuseRestUnsupported(
+                    "WAP staging (spark.wap.id / spark.wap.branch)")
+                }
+                val df = alignToTable(data, fresh)
+                if (overwrite) TableWriter.overwriteRest(b.catalog, b.identifier, df)
+                else TableWriter.appendRest(b.catalog, b.identifier, df)
+                b.afterCommit()
+              case None => localInsert(data)
+            }
+
+          private def localInsert(data: org.apache.spark.sql.DataFrame): Unit = {
               var current = IcebergTables.load(table.location) // fresh metadata
               val mergeSchema = info.options().getBoolean("mergeSchema", false)
               if (mergeSchema) {

@@ -34,10 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit); both modes and the mode property itself follow the public
   * Iceberg spec + Spark DSv2 row-level API. */
 final class GraftDeltaRowLevelOperation(location: String,
-                                        cmd: RowLevelOperation.Command)
+                                        cmd: RowLevelOperation.Command,
+                                        restDml: Option[RestDmlBinding] = None)
     extends RowLevelOperation with SupportsDelta {
 
   @volatile private var capturedScan: GraftScan = _
+  // REST: the load the scan's row positions came from — the delta commit
+  // pins the server's main ref to its head (serializable semantics)
+  @volatile private var capturedLoaded: graft.catalog.LoadedTable = _
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"icegopher $cmd $location [merge-on-read]"
@@ -52,7 +56,13 @@ final class GraftDeltaRowLevelOperation(location: String,
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val table = IcebergTables.load(location)
+    val table = restDml match {
+      case Some(b) =>
+        val loaded = b.load()
+        capturedLoaded = loaded
+        TableWriter.restTableOf(loaded)
+      case None => IcebergTables.load(location)
+    }
     val inner = new GraftScanBuilder(table,
       SchemaConv.toSparkSchema(table.schema), options)
     // capture the built scan: its metadata version pins the commit's CAS
@@ -81,13 +91,19 @@ final class GraftDeltaRowLevelOperation(location: String,
           case RowLevelOperation.Command.UPDATE => "write.update.isolation-level"
           case _ => "write.merge.isolation-level"
         }
-        val isolation = IcebergTables.load(location).properties
+        val isolation = restDml.map(b => b.load().metadata.properties)
+          .getOrElse(IcebergTables.load(location).properties)
           .getOrElse(isolationProp, "serializable")
         new GraftDeltaWrite(location, info.schema(), rowIdSchema,
           () => {
             require(capturedScan != null, "row-level write before scan was planned")
             (capturedScan.scannedVersion, capturedScan.scannedSnapshotId)
-          }, isolation)
+          }, isolation,
+          restCommit = restDml.map(b => (b, () => {
+            require(capturedLoaded != null,
+              "row-level REST write before scan was planned")
+            capturedLoaded
+          })))
       }
     }
 }
@@ -99,7 +115,9 @@ final class GraftDeltaRowLevelOperation(location: String,
 final class GraftDeltaWrite(location: String, dataSchema: StructType,
                             rowIdSchema: StructType,
                             scannedBase: () => (Int, Option[Long]),
-                            isolation: String = "serializable")
+                            isolation: String = "serializable",
+                            restCommit: Option[(RestDmlBinding,
+                              () => graft.catalog.LoadedTable)] = None)
     extends DeltaWrite with DeltaBatchWrite {
 
   private val writeDir =
@@ -109,7 +127,10 @@ final class GraftDeltaWrite(location: String, dataSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     writeDir.mkdirs()
-    val table = IcebergTables.load(location)
+    val table = restCommit match {
+      case Some((_, loadedAtScan)) => TableWriter.restTableOf(loadedAtScan())
+      case None => IcebergTables.load(location)
+    }
     val partFields = table.spec.fields.map { pf =>
       val src = table.schema.findFieldById(pf.sourceId).getOrElse(
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
@@ -128,18 +149,27 @@ final class GraftDeltaWrite(location: String, dataSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val data = messages.collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
     val dels = messages.collect { case m: GraftDeltaCommit => m.deleteFiles }.flatten
-    val (version, snapId) = scannedBase()
-    // format-version 3 forbids positional delete FILES (readers ignore
-    // them for DV-bearing files — the delete would silently drop): the
-    // task tombstones re-home into deletion vectors at commit
-    if (IcebergTables.load(location).metadata.formatVersion >= 3)
-      TableWriter.commitDeltaDv(location, data.toSeq, dels.toSeq,
-        expectedVersion = Some(version), scannedSnapshotId = snapId,
-        isolation = isolation)
-    else
-      TableWriter.commitDelta(location, data.toSeq, dels.toSeq,
-        expectedVersion = Some(version), scannedSnapshotId = snapId,
-        isolation = isolation)
+    restCommit match {
+      case Some((b, loadedAtScan)) =>
+        // V2 only — the operation builder refuses MoR DML on V3 REST
+        // tables (the DV commit shape is not routed over REST)
+        TableWriter.commitDeltaRest(b.catalog, b.identifier, loadedAtScan(),
+          data.toSeq, dels.toSeq)
+        b.afterCommit()
+      case None =>
+        val (version, snapId) = scannedBase()
+        // format-version 3 forbids positional delete FILES (readers ignore
+        // them for DV-bearing files — the delete would silently drop): the
+        // task tombstones re-home into deletion vectors at commit
+        if (IcebergTables.load(location).metadata.formatVersion >= 3)
+          TableWriter.commitDeltaDv(location, data.toSeq, dels.toSeq,
+            expectedVersion = Some(version), scannedSnapshotId = snapId,
+            isolation = isolation)
+        else
+          TableWriter.commitDelta(location, data.toSeq, dels.toSeq,
+            expectedVersion = Some(version), scannedSnapshotId = snapId,
+            isolation = isolation)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -33,20 +33,37 @@ import graft.core.{Literal => IceLiteral, _}
   * (Pushable DELETEs never get here — `SupportsDelete` commits merge-on-
   * read tombstones without touching data.) */
 final class GraftRowLevelOperation(location: String,
-                                   cmd: RowLevelOperation.Command)
+                                   cmd: RowLevelOperation.Command,
+                                   restDml: Option[RestDmlBinding] = None)
     extends RowLevelOperation {
 
   @volatile private var capturedScan: GraftScan = _
+  // REST: the load the scan planned against — the commit derives its
+  // snapshot from THIS metadata and pins the server's main ref to its
+  // head, so a commit that lands mid-rewrite conflicts (409) instead of
+  // being silently based away (the expectedVersion pin's REST twin)
+  @volatile private var capturedLoaded: graft.catalog.LoadedTable = _
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"icegopher $cmd $location [copy-on-write]"
+
+  private def freshTable(): IcebergTable = restDml match {
+    case Some(b) =>
+      val loaded = b.load()
+      capturedLoaded = loaded
+      // local planning on purpose: the CoW commit needs per-task manifest
+      // provenance, which the REST plan wire format does not carry
+      TableWriter.restTableOf(loaded)
+    case None => IcebergTables.load(location)
+  }
 
   /** `_file` groups the rewrite; on V3 tables the row-lineage metadata
     * columns ride along too, so the replacement files MATERIALIZE each
     * carried row's `_row_id`/`_last_updated_sequence_number` (the spec's
     * id-preserving rewrite) instead of re-identifying every row. */
   private lazy val v3Lineage: Boolean = {
-    val md = IcebergTables.load(location).metadata
+    val md = restDml.map(_.load().metadata)
+      .getOrElse(IcebergTables.load(location).metadata)
     md.formatVersion >= 3 &&
       !md.currentSchema.fields.exists(f =>
         f.name == GraftReaders.RowIdCol || f.name == GraftReaders.LastUpdatedSeqCol)
@@ -64,7 +81,7 @@ final class GraftRowLevelOperation(location: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val table = IcebergTables.load(location)
+    val table = freshTable()
     val inner = new GraftScanBuilder(table,
       SchemaConv.toSparkSchema(table.schema), options)
     // capture the built scan: its (runtime-filtered) file set is the group
@@ -90,6 +107,11 @@ final class GraftRowLevelOperation(location: String,
             (capturedScan.scannedFilePaths, capturedScan.scannedVersion,
               capturedScan.scannedManifestPaths)
           },
+          restCommit = restDml.map(b => (b, () => {
+            require(capturedLoaded != null,
+              "row-level REST write before scan was planned")
+            capturedLoaded
+          })),
           withLineage = v3Lineage,
           // Spark's If-shaped rewrite delivers the SCAN's metadata for
           // modified rows too, so a materialized _last_updated_sequence_
@@ -110,6 +132,8 @@ final class GraftRowLevelOperation(location: String,
   * delete landing mid-rewrite would otherwise be silently undone). */
 final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
                                   replacedFiles: () => (Seq[String], Int, Set[String]),
+                                  restCommit: Option[(RestDmlBinding,
+                                    () => graft.catalog.LoadedTable)] = None,
                                   withLineage: Boolean = false,
                                   withLastUpdated: Boolean = true)
     extends Write with BatchWrite {
@@ -121,7 +145,10 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     writeDir.mkdirs()
-    val table = IcebergTables.load(location)
+    val table = restCommit match {
+      case Some((_, loadedAtScan)) => TableWriter.restTableOf(loadedAtScan())
+      case None => IcebergTables.load(location)
+    }
     val partFields = table.spec.fields.map { pf =>
       val src = table.schema.findFieldById(pf.sourceId).getOrElse(
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
@@ -153,9 +180,20 @@ final class GraftReplaceDataWrite(location: String, writeSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case m: GraftCowCommit => m.files }.flatten
     val (paths, scannedVersion, manifests) = replacedFiles()
-    TableWriter.replaceFiles(location, paths.toSet, added.toSeq,
-      expectedVersion = Some(scannedVersion),
-      touchedManifests = if (manifests.nonEmpty) Some(manifests) else None)
+    restCommit match {
+      case Some((b, loadedAtScan)) =>
+        // the REST pin: the snapshot derives from the SCAN's load and the
+        // assert-ref guard holds its main head — a commit in between 409s
+        TableWriter.replaceFilesRest(b.catalog, b.identifier, paths.toSet,
+          added.toSeq,
+          touchedManifests = if (manifests.nonEmpty) Some(manifests) else None,
+          basedOn = Some(loadedAtScan()))
+        b.afterCommit()
+      case None =>
+        TableWriter.replaceFiles(location, paths.toSet, added.toSeq,
+          expectedVersion = Some(scannedVersion),
+          touchedManifests = if (manifests.nonEmpty) Some(manifests) else None)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

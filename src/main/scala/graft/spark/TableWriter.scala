@@ -1041,24 +1041,34 @@ object TableWriter {
   def replaceFilesRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
                        removedPaths: Set[String],
                        added: Seq[graft.spark.CowFileOut],
-                       touchedManifests: Option[Set[String]] = None)
+                       touchedManifests: Option[Set[String]] = None,
+                       basedOn: Option[graft.catalog.LoadedTable] = None)
       : graft.catalog.LoadedTable = {
     val (change, _) = stageRestReplaceChange(catalog, identifier,
-      removedPaths, added, touchedManifests)
+      removedPaths, added, touchedManifests, basedOn)
     catalog.commitTable(identifier, change.requirements, change.updates)
   }
 
   /** Stage a CoW replace against a REST table WITHOUT committing — the
     * [[RestTransaction]] counterpart of [[stageRestAppendChange]].
     * V3 lineage is client-assigned from the loaded `next-row-id`, and a
-    * CAS conflict sends the caller back through loadTable to re-stage. */
+    * CAS conflict sends the caller back through loadTable to re-stage.
+    *
+    * `basedOn` pins the commit to a load the caller ALREADY computed its
+    * removed/added sets from (a row-level scan, an overwrite's file
+    * enumeration): the staged snapshot derives from that metadata and the
+    * assert-ref guard holds ITS main head, so a commit that landed between
+    * the caller's scan and this stage conflicts (409) at the server
+    * instead of silently basing a rewrite on files the scan never saw —
+    * the REST-plane twin of [[replaceFiles]]' expectedVersion pin. */
   private def stageRestReplaceChange(catalog: graft.catalog.RestCatalog,
                                      identifier: Seq[String],
                                      removedPaths: Set[String],
                                      added: Seq[graft.spark.CowFileOut],
-                                     touchedManifests: Option[Set[String]])
+                                     touchedManifests: Option[Set[String]],
+                                     basedOn: Option[graft.catalog.LoadedTable] = None)
       : (graft.catalog.TableChange, Option[Long]) = {
-    val loaded = catalog.loadTable(identifier)
+    val loaded = basedOn.getOrElse(catalog.loadTable(identifier))
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
@@ -2700,6 +2710,115 @@ object TableWriter {
         "not apply AddSnapshot row lineage — refusing to continue with " +
         "duplicate _row_id assignment")
 
+  // ------------------------------------------------- SQL DML on REST tables
+  // DataFrame-level twins of append/overwrite/deleteWhere/deleteEquality
+  // that commit through the server's update actions instead of writing
+  // metadata files behind it — the bridge that lets SQL INSERT/DELETE/
+  // UPDATE/MERGE run on REST-cataloged tables (the reference PANICS on any
+  // REST commit, rest.go:418-424).
+
+  /** SQL INSERT INTO (append) on a REST-cataloged table: one distributed
+    * parquet write under the table location, then the [[appendFilesRest]]
+    * commit. No pin needed — appends commute, and the commit's
+    * assert-ref guard still surfaces genuinely conflicting table changes
+    * (schema swap, uuid change) as [[graft.catalog.CommitConflictError]]. */
+  def appendRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                 df: DataFrame): graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val table = restTableOf(loaded)
+    val dataDir = new File(table.location, s"data/snap-${System.nanoTime()}")
+    val outs = writeDistributed(alignForWrite(df, table.schema), dataDir,
+      table.schema, table.spec, table.properties, table.sortOrder,
+      preClustered = false)
+    appendFilesRest(catalog, identifier, outs)
+  }
+
+  /** SQL INSERT OVERWRITE / TRUNCATE on a REST-cataloged table: every live
+    * data file at THIS load retracts and the new rows land in one
+    * OVERWRITE snapshot. The commit pins main to this load's head
+    * (`basedOn`), so a commit that lands between the file enumeration and
+    * this commit conflicts at the server instead of being silently
+    * clobbered. */
+  def overwriteRest(catalog: graft.catalog.RestCatalog, identifier: Seq[String],
+                    df: DataFrame): graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val table = restTableOf(loaded)
+    val removed = table.newScan().planFilesLocal().map(_.file.path).toSet
+    val dataDir = new File(table.location, s"data/snap-${System.nanoTime()}")
+    val outs = writeDistributed(alignForWrite(df, table.schema), dataDir,
+      table.schema, table.spec, table.properties, table.sortOrder,
+      preClustered = false)
+    replaceFilesRest(catalog, identifier, removed, outs, basedOn = Some(loaded))
+  }
+
+  /** SQL DELETE with key-equality predicates on a REST-cataloged table:
+    * the [[deleteEquality]] shape — an equality-delete manifest, zero data
+    * scan, O(keys) — committed through the server, pinned to the load's
+    * main head. */
+  def deleteEqualityRest(catalog: graft.catalog.RestCatalog,
+                         identifier: Seq[String], keys: DataFrame,
+                         keyCols: Seq[String]): graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val table = restTableOf(loaded)
+    val spark = keys.sparkSession
+    val emptyRows = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SchemaConv.toSparkSchema(table.schema))
+    val snapshot = stageEqualitySnapshot(table, keys, keyCols, emptyRows)
+    val change = restChangeFor(loaded.metadata, identifier, snapshot)
+    catalog.commitTable(identifier, change.requirements, change.updates)
+  }
+
+  /** SQL DELETE with an arbitrary pushable predicate on a REST-cataloged
+    * table (format V2): ONE distributed scan computes (file, pos)
+    * tombstones — [[deleteWhere]]'s plan shape — and the delta snapshot
+    * commits through the server, pinned to the scanned load's main head.
+    * V3 REST tables refuse here (positional delete FILES are forbidden on
+    * V3 and the deletion-vector commit is not yet routed over REST); the
+    * copy-on-write row-level path covers them. */
+  def deleteWhereRest(catalog: graft.catalog.RestCatalog,
+                      identifier: Seq[String],
+                      spark: org.apache.spark.sql.SparkSession,
+                      predicate: Column): graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    require(loaded.metadata.formatVersion < 3,
+      "positional SQL DELETE on a V3 REST table: deletion vectors are not " +
+        "yet routed over REST — use copy-on-write delete mode")
+    val table = restTableOf(loaded)
+    val snapId = System.nanoTime()
+    val delDir = new File(table.location, s"data/deletes-$snapId")
+    table.newScan().toDF(spark, keepProvenance = true)
+      .filter(predicate)
+      .select(col("__path").as("file_path"), col("__pos").as("pos"))
+      .orderBy("file_path", "pos")
+      .write.parquet(delDir.getPath)
+    val delFiles = listParquet(delDir).map(_.getPath)
+    commitDeltaRest(catalog, identifier, loaded, Nil, delFiles)
+  }
+
+  /** MoR delta commit (positional tombstones + appended files in ONE
+    * snapshot — [[commitDelta]]'s shape) against a REST table, pinned to
+    * `basedOn`'s main head: the scan that produced the tombstone
+    * coordinates read that load, so any commit in between invalidates the
+    * positions and must conflict (serializable semantics; the local
+    * path's opt-in snapshot isolation is not expressible in an assert-ref
+    * guard, so REST deltas stay at the stricter default). */
+  def commitDeltaRest(catalog: graft.catalog.RestCatalog,
+                      identifier: Seq[String],
+                      basedOn: graft.catalog.LoadedTable,
+                      added: Seq[graft.spark.CowFileOut],
+                      posDeleteFiles: Seq[String]): graft.catalog.LoadedTable = {
+    val table = restTableOf(basedOn)
+    val snapshot = stageDeltaSnapshot(table, added, posDeleteFiles)
+    val change = restChangeFor(basedOn.metadata, identifier, snapshot)
+    val committed = catalog.commitTable(identifier, change.requirements,
+      change.updates)
+    snapshot.firstRowId.foreach(base => verifyLineageAdvanced(identifier,
+      base + added.map(_.rows).sum,
+      committed.metadata.nextRowId.getOrElse(0L)))
+    committed
+  }
+
   /** Stage the atomic retract-and-replace snapshot ([[replaceEquality]]'s
     * commit shape: ONE snapshot carrying an equality-delete manifest on
     * `keyCols` plus the appended `rows`) WITHOUT committing — manifests and
@@ -2795,14 +2914,26 @@ object TableWriter {
               : Option[Seq[graft.core.FileScanTask]] = {
             val pinned = snapshotId.isDefined || ref.isDefined ||
               asOfTimestampMs.isDefined
-            val resolved: Option[Long] = snapshotId
+            val resolvedPin: Option[Long] = snapshotId
               .orElse(ref.flatMap(md.snapshotByName).map(_.snapshotId))
               .orElse(asOfTimestampMs.flatMap(md.snapshotAsOfTime)
                 .map(_.snapshotId))
-              .orElse(md.currentSnapshot.map(_.snapshotId))
-            if (resolved.isEmpty) None // empty table: local returns Nil fast
-            else rc.planTableScan(loaded.identifier, md, resolved,
-              useSnapshotSchema = pinned, filter, caseSensitive = caseSensitive)
+            // a REQUESTED pin that the loaded metadata cannot resolve
+            // (unknown/expired ref, as-of before the first snapshot) must
+            // NOT fall through to the current snapshot — that would
+            // silently serve current-table rows for a time-travel query.
+            // Decline instead: the local planner raises the same
+            // 'ref not found' / 'no snapshot as of' error the driver-side
+            // path does.
+            if (pinned && resolvedPin.isEmpty) None
+            else {
+              val resolved =
+                resolvedPin.orElse(md.currentSnapshot.map(_.snapshotId))
+              if (resolved.isEmpty) None // empty table: local returns Nil fast
+              else rc.planTableScan(loaded.identifier, md, resolved,
+                useSnapshotSchema = pinned, filter,
+                caseSensitive = caseSensitive)
+            }
           }
 
           def planIncremental(fromSnapshotId: Long, toSnapshotId: Option[Long])

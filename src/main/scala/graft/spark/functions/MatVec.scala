@@ -14,9 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * The matrix rides FLATTENED (row-major) with its row count, because a
   * nested-Array case-class field breaks expression equality (array
-  * equals is reference identity) and with it plan canonicalization. */
+  * equals is reference identity) and with it plan canonicalization.
+  *
+  * `roundDp >= 0` rounds each output coordinate to that many decimals
+  * with Spark's `round` semantics (BigDecimal HALF_UP — the exact twin
+  * of DuckDB's `ROUND`): the OPQ apply uses 6 so the rotated coordinates
+  * are bit-identical across engines and the oracle can mirror the
+  * rotation as literals without FP-summation-order drift downstream. */
 final case class MatVecExpr(child: Expression,
-                            flat: IndexedSeq[Double], rows: Int)
+                            flat: IndexedSeq[Double], rows: Int,
+                            roundDp: Int = -1)
     extends UnaryExpression {
 
   require(rows > 0 && flat.length % rows == 0,
@@ -44,7 +51,11 @@ final case class MatVecExpr(child: Expression,
     while (i < n) {
       var acc = 0.0; var j = 0; val base = i * cols
       while (j < m) { acc += mat(base + j) * in(j); j += 1 }
-      out(i) = acc; i += 1
+      out(i) =
+        if (roundDp < 0) acc
+        else java.math.BigDecimal.valueOf(acc)
+          .setScale(roundDp, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
@@ -60,6 +71,11 @@ final case class MatVecExpr(child: Expression,
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       val m = ctx.freshName("m")
+      val store =
+        if (roundDp < 0) s"$out[$i] = $acc;"
+        else s"""$out[$i] = java.math.BigDecimal.valueOf($acc)
+              .setScale($roundDp, java.math.RoundingMode.HALF_UP)
+              .doubleValue();"""
       s"""
          double[] $in = $vec.toDoubleArray();
          int $m = $cols < $in.length ? $cols : $in.length;
@@ -68,7 +84,7 @@ final case class MatVecExpr(child: Expression,
            double $acc = 0.0;
            for (int $j = 0; $j < $m; $j++)
              $acc += $matRef[$i * $cols + $j] * $in[$j];
-           $out[$i] = $acc;
+           $store
          }
          ${ev.value} =
            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -80,13 +96,16 @@ final case class MatVecExpr(child: Expression,
 }
 
 object MatVec {
-  /** `M · e` as a Column for a plan-constant matrix (rows of equal width). */
+  /** `M · e` as a Column for a plan-constant matrix (rows of equal width);
+    * `roundDp >= 0` rounds each output coordinate (Spark `round`
+    * semantics — see [[MatVecExpr]]). */
   def matVec(matrix: Array[Array[Double]],
-             e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+             e: org.apache.spark.sql.Column,
+             roundDp: Int = -1): org.apache.spark.sql.Column = {
     require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
       "matvec: ragged matrix")
     org.apache.spark.sql.graft.ColumnShim.column(
       MatVecExpr(org.apache.spark.sql.graft.ColumnShim.expression(e),
-        matrix.flatten.toIndexedSeq, matrix.length))
+        matrix.flatten.toIndexedSeq, matrix.length, roundDp))
   }
 }

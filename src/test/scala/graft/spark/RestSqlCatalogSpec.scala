@@ -11,10 +11,11 @@ import graft.core._
 /** The REST plane behind the Spark SQL catalog: a [[GraftCatalog]]
   * configured with `uri` resolves tables and views through a live REST
   * server next to its local warehouse — SELECT over a REST-cataloged
-  * table, CALL expire_snapshots committing remove-snapshots server-side,
-  * CREATE VIEW persisting server-side, SHOW VIEWS listing BOTH planes,
-  * and the SQL-write refusal that protects the server's metadata
-  * authority. */
+  * table, SQL DML (INSERT / DELETE / UPDATE / MERGE / INSERT OVERWRITE /
+  * TRUNCATE) committing through the server's update actions with the
+  * scanned head pinned (CAS conflict on concurrent commits), CALL
+  * expire_snapshots committing remove-snapshots server-side, CREATE VIEW
+  * persisting server-side, and SHOW VIEWS listing BOTH planes. */
 class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkTestSession.spark
 
@@ -54,31 +55,122 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     ()
   }
 
-  test("SELECT over a REST-cataloged table; SQL writes refuse") {
+  private def rowsOf(table: String): Seq[(Long, String)] =
+    spark.sql(s"SELECT id, data FROM $table ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("SQL DML on a REST-cataloged table commits through the server") {
     conf()
     rc.createNamespace(Seq("db"))
     val loc = Files.createTempDirectory("rsql_t").toFile.getPath
     rc.createTable(Seq("db", "events"), schema, location = Some(loc))
     appendRest(Seq("db", "events"), loc, Seq((1L, "a"), (2L, "b")), "e1")
 
-    val got = spark.sql("SELECT id, data FROM grest.db.events ORDER BY id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(got == Seq((1L, "a"), (2L, "b")))
+    assert(rowsOf("grest.db.events") == Seq((1L, "a"), (2L, "b")))
     // SHOW TABLES sees the REST plane
     val listed = spark.sql("SHOW TABLES IN grest.db")
       .collect().map(_.getString(1)).toSet
     assert(listed.contains("events"), listed)
 
-    // SQL writes refuse loudly — committing metadata behind the server
-    // would corrupt the catalog of record
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO grest.db.events VALUES (3, 'c')")
+    def md() = rc.loadTable(Seq("db", "events")).metadata
+
+    // INSERT INTO appends through the server's update actions
+    spark.sql("INSERT INTO grest.db.events VALUES (3, 'c')")
+    assert(md().snapshots.size == 2)
+    assert(rowsOf("grest.db.events") == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // key-equality DELETE commits an equality-delete manifest — zero data
+    // scan, zero data-file rewrite
+    spark.sql("DELETE FROM grest.db.events WHERE id = 1")
+    assert(rowsOf("grest.db.events") == Seq((2L, "b"), (3L, "c")))
+    val delSnap = md().currentSnapshot.get
+    assert(delSnap.summary.get.properties.get("added-delete-files").contains("1"),
+      delSnap.summary)
+    assert(delSnap.summary.get.properties.get("added-data-files").contains("0"))
+
+    // non-equality pushable DELETE commits positional tombstones (V2 MoR)
+    spark.sql("INSERT INTO grest.db.events VALUES (10, 'x'), (11, 'y')")
+    spark.sql("DELETE FROM grest.db.events WHERE id > 10")
+    assert(rowsOf("grest.db.events") == Seq((2L, "b"), (3L, "c"), (10L, "x")))
+
+    // UPDATE rides the copy-on-write row-level path, committed server-side
+    spark.sql("UPDATE grest.db.events SET data = 'B' WHERE id = 2")
+    assert(rowsOf("grest.db.events") == Seq((2L, "B"), (3L, "c"), (10L, "x")))
+
+    // MERGE: matched update + unmatched insert in one commit
+    spark.sql(
+      """MERGE INTO grest.db.events t
+         USING (SELECT 3L AS id, 'C' AS data
+                UNION ALL SELECT 4L, 'd') s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(rowsOf("grest.db.events") ==
+      Seq((2L, "B"), (3L, "C"), (4L, "d"), (10L, "x")))
+
+    // INSERT OVERWRITE replaces every live file in one pinned commit;
+    // prior state stays reachable through the server's snapshot history
+    val headBefore = md().currentSnapshotId.get
+    spark.sql("INSERT OVERWRITE grest.db.events VALUES (9, 'z')")
+    assert(rowsOf("grest.db.events") == Seq((9L, "z")))
+    assert(md().snapshots.exists(_.snapshotId == headBefore))
+
+    // TRUNCATE TABLE: metadata-only empty overwrite through the server
+    spark.sql("TRUNCATE TABLE grest.db.events")
+    assert(spark.sql("SELECT count(*) FROM grest.db.events")
+      .collect()(0).getLong(0) == 0L)
+
+    // surfaces the REST protocol has no wire form for still refuse
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO grest.db.events VALUES (5, 'w')")
+      }
+      assert(e.getMessage.contains("REST"), e.getMessage)
+    } finally spark.conf.unset("spark.wap.branch")
+  }
+
+  test("MoR-mode SQL UPDATE on a REST table commits a positional delta") {
+    conf()
+    rc.createNamespace(Seq("mor"))
+    val loc = Files.createTempDirectory("rsql_mor").toFile.getPath
+    rc.createTable(Seq("mor", "t"), schema,
+      Map("write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"), location = Some(loc))
+    appendRest(Seq("mor", "t"), loc, Seq((1L, "a"), (2L, "b"), (3L, "c")), "m1")
+
+    spark.sql("UPDATE grest.mor.t SET data = 'A' WHERE id = 1")
+    assert(rowsOf("grest.mor.t") == Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    // the commit is a DELTA: positional tombstones + appended rows, no
+    // data-file rewrite (the seed file is still live)
+    val md = rc.loadTable(Seq("mor", "t")).metadata
+    val head = md.currentSnapshot.get
+    assert(head.summary.get.properties.get("added-delete-files").contains("1"),
+      head.summary)
+    assert(head.summary.get.properties.get("added-data-files").contains("1"))
+  }
+
+  test("REST CoW/overwrite commits pin the scanned head: concurrent commit conflicts") {
+    conf()
+    rc.createNamespace(Seq("cas"))
+    val loc = Files.createTempDirectory("rsql_cas").toFile.getPath
+    rc.createTable(Seq("cas", "t"), schema, location = Some(loc))
+    appendRest(Seq("cas", "t"), loc, Seq((1L, "a")), "c1")
+
+    // the pin the SQL row-level path passes: basedOn = the scanned load
+    val scanned = rc.loadTable(Seq("cas", "t"))
+    val paths = TableWriter.restTableOf(scanned).newScan()
+      .planFilesLocal().map(_.file.path).toSet
+    // a concurrent writer lands between scan and commit
+    appendRest(Seq("cas", "t"), loc, Seq((2L, "b")), "c2")
+    intercept[graft.catalog.CommitConflictError] {
+      TableWriter.replaceFilesRest(rc, Seq("cas", "t"), paths, Nil,
+        basedOn = Some(scanned))
     }
-    assert(e.getMessage.contains("REST-cataloged"), e.getMessage)
-    val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM grest.db.events WHERE id = 1")
-    }
-    assert(e2.getMessage.contains("REST-cataloged"), e2.getMessage)
+    // nothing lost: both rows still present, and a RE-SCANNED rewrite lands
+    assert(rowsOf("grest.cas.t") == Seq((1L, "a"), (2L, "b")))
+    spark.sql("UPDATE grest.cas.t SET data = 'A' WHERE id = 1")
+    assert(rowsOf("grest.cas.t") == Seq((1L, "A"), (2L, "b")))
   }
 
   test("CALL expire_snapshots on a REST-cataloged table commits remove-snapshots") {
