@@ -807,20 +807,33 @@ object Dedup {
     *  - reconstruction groups by doc_id — bounded by document length,
     *    never by corpus size. */
   def d11ExactSubstr(s: SparkSession, d: String, n: Int = 8): DataFrame =
-    exactSubstrSpans(Tables.documents(s, d), n)
+    exactSubstrSpans(Tables.documents(s, d), n, windowHash = md5Hash60)
 
-  /** The library form over any (doc_id, text) frame — see [[d11ExactSubstr]]. */
-  def exactSubstrSpans(documents: DataFrame, n: Int): DataFrame = {
+  /** The library form over any (doc_id, text) frame — see [[d11ExactSubstr]].
+    *
+    * `windowHash` follows the d01/d02 hash-economy split: the library
+    * default is xxhash64 (non-cryptographic, several times cheaper per
+    * window at 100 TB — and the window pass hashes EVERY n-token window of
+    * the corpus, so it is this operator's dominant constant); the battery
+    * entry passes [[md5Hash60]] so DuckDB can mirror the hashes exactly.
+    * The covered-positions probe is a binary search over the per-doc
+    * sorted covered set ([[graft.spark.functions.SortedContains]]), so a
+    * pathological fully-duplicated long document costs
+    * O(n_tokens · log n_tokens), not O(n_tokens²). */
+  def exactSubstrSpans(documents: DataFrame, n: Int,
+                       windowHash: Column => Column = c => xxhash64(c))
+      : DataFrame = {
     val toks = documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // n-token windows hashed to 60-bit keys; i is the 1-based start
+    // n-token windows hashed at source; i is the 1-based start
     val win = toks.filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> struct(i AS i, conv(substring(md5(array_join(" +
-          s"slice(w, i, $n), ' ')), 1, 15), 16, 10) AS hs))")).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"),
-        col("x.hs").cast("long").as("h"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => struct(i.as("i"),
+          windowHash(array_join(slice(col("w"), i, lit(n)), " ")).as("h"))))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").cast("long").as("i"),
+        col("x.h").cast("long").as("h"))
     // global first occurrence per window value: one integer min per hash
     // (documents hold < 10^7 tokens; doc_id * 10^7 + i is collision-free
     // and identical in the oracle)
@@ -829,21 +842,27 @@ object Dedup {
     val owner = keyed.groupBy("h").agg(min(col("k")).as("okey"))
     val dup = keyed.join(owner, "h").filter(col("k") =!= col("okey"))
       .select("doc_id", "i")
-    // positions covered by duplicated windows, as ONE small set per doc —
-    // reconstruction then never explodes the corpus's tokens: the only
-    // corpus-sized shuffle in the whole operator is the (doc, window-hash)
-    // ownership pass above. Documents with no duplicated window skip the
-    // join entirely (left join against the tiny covered side).
+    // positions covered by duplicated windows, as ONE small SORTED set per
+    // doc — reconstruction then never explodes the corpus's tokens: the
+    // only corpus-sized shuffle in the whole operator is the (doc,
+    // window-hash) ownership pass above. Documents with no duplicated
+    // window skip the join entirely (left join against the tiny covered
+    // side).
     val covered = dup
-      .select(col("doc_id"), explode(expr(
-        s"sequence(i, i + ${n - 1})")).as("p"))
+      .select(col("doc_id"), explode(sequence(col("i"),
+        col("i") + (n - 1))).as("p"))
       .groupBy("doc_id")
-      .agg(collect_set(col("p")).as("cov"))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    val wIdx = transform(col("w"),
+      (t, i) => struct((i + 1).cast("long").as("p"), t.as("tok")))
+    val keptArr = when(col("cov").isNull, col("w")).otherwise(
+      transform(
+        filter(wIdx, x => !graft.spark.functions.SortedContains
+          .sortedContains(col("cov"), x.getField("p"))),
+        x => x.getField("tok")))
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        expr("CASE WHEN cov IS NULL THEN w ELSE " +
-          "transform(filter(transform(w, (t, i) -> struct(i + 1 AS p, t AS tok)), " +
-          "x -> NOT array_contains(cov, x.p)), x -> x.tok) END").as("kept"))
+        keptArr.as("kept"))
       .filter(size(col("kept")) > 0) // fully-duplicated docs drop, as in the oracle
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),

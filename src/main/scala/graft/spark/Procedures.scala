@@ -116,12 +116,15 @@ object GraftProcedures {
       }
       case "compact" => proc(name,
         Seq("table" -> StringType, "target_files" -> IntegerType,
-          "where" -> StringType),
+          "where" -> StringType, "min_file_size_bytes" -> LongType,
+          "delete_file_threshold" -> IntegerType),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
           StructField("rewritten_files", IntegerType, nullable = false))),
-        defaults = Map("where" -> "CAST(NULL AS STRING)")) { in =>
+        defaults = Map("where" -> "CAST(NULL AS STRING)",
+          "min_file_size_bytes" -> "CAST(NULL AS BIGINT)",
+          "delete_file_threshold" -> "CAST(NULL AS INT)")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
         val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
         // a predicate scopes the rewrite to the files the planner can't
@@ -129,12 +132,15 @@ object GraftProcedures {
         // (parsePredicate throws) rather than widening to the whole table
         val where = Option(in.getUTF8String(2)).map(s =>
           graft.spark.FilterConv.parsePredicate(spark, s.toString))
-        val rewritten = where match {
-          case Some(w) => table.newScan(w).planFiles().size
-          case None => table.newScan().planFiles().size
-        }
+        // binpack selection (Iceberg rewrite_data_files): rewrite only
+        // too-small / delete-laden files; healthy files stay byte-identical
+        val minSize = if (in.isNullAt(3)) None else Some(in.getLong(3))
+        val delThreshold = if (in.isNullAt(4)) None else Some(in.getInt(4))
+        val rewritten = TableWriter.compactSelection(table, where,
+          minSize, delThreshold).size
         val before = table.newScan().planFiles().size
-        val out = TableWriter.compact(table, spark, in.getInt(1), where = where)
+        val out = TableWriter.compact(table, spark, in.getInt(1), where = where,
+          minFileSizeBytes = minSize, deleteFileThreshold = delThreshold)
         Array[Any](before, out.newScan().planFiles().size, rewritten)
       }
       case "rewrite_sorted" => proc(name,

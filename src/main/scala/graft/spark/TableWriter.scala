@@ -1256,11 +1256,43 @@ object TableWriter {
     * commit rides the O(affected-files) [[replaceFiles]] CoW path instead
     * of a full-table REPLACE. At 100 TB this is the difference between
     * compacting a hot day-partition (touching its handful of manifests)
-    * and rewriting the entire table. */
+    * and rewriting the entire table.
+    *
+    * `minFileSizeBytes` / `deleteFileThreshold` add Iceberg's
+    * `rewrite_data_files` binpack SELECTION on top of the scope: only
+    * files smaller than the floor, or carrying at least that many delete
+    * files, rewrite — already-healthy 512 MB files are left byte-identical
+    * instead of being re-copied for nothing. With either knob set the
+    * commit always rides the CoW path (selection implies surviving
+    * files). Unset (the default) keeps rewrite-everything-in-scope
+    * semantics. */
+  /** The file set a compaction with these knobs rewrites — shared by
+    * [[compact]] and the `CALL compact` procedure's reporting so they can
+    * never disagree. Scope first (predicate pruning picks candidates),
+    * then binpack selection: a file qualifies when it is smaller than
+    * `minFileSizeBytes` OR referenced by at least `deleteFileThreshold`
+    * delete files; with neither knob, everything in scope qualifies.
+    * Metadata-only (one driver-side plan), commit-path scan (manifest
+    * provenance, no remote planning). */
+  def compactSelection(table: IcebergTable,
+                       where: Option[BooleanExpression],
+                       minFileSizeBytes: Option[Long] = None,
+                       deleteFileThreshold: Option[Int] = None)
+      : Seq[FileScanTask] = {
+    val tasks = table.newScan(where.getOrElse(AlwaysTrue),
+      remotePlanningOk = false).planFiles()
+    if (minFileSizeBytes.isEmpty && deleteFileThreshold.isEmpty) tasks
+    else tasks.filter(t =>
+      minFileSizeBytes.exists(m => t.file.fileSizeInBytes < m) ||
+        deleteFileThreshold.exists(th => t.deleteFiles.size >= th))
+  }
+
   def compact(table: IcebergTable, spark: org.apache.spark.sql.SparkSession,
               targetFiles: Int = 0, sortBy: Seq[String] = Nil,
               zOrderBy: Seq[String] = Nil,
-              where: Option[BooleanExpression] = None): IcebergTable = {
+              where: Option[BooleanExpression] = None,
+              minFileSizeBytes: Option[Long] = None,
+              deleteFileThreshold: Option[Int] = None): IcebergTable = {
     require(sortBy.isEmpty || zOrderBy.isEmpty,
       "compact takes sortBy or zOrderBy, not both")
     // V3 row lineage survives the rewrite (spec: writers must preserve row
@@ -1279,17 +1311,19 @@ object TableWriter {
     // FILES WHOLE through an unfiltered scan — a file whose metrics merely
     // overlap the predicate still holds non-matching rows that must
     // survive the rewrite, so the predicate never filters rows here.
-    val scoped: Option[(Set[String], Set[String])] = where.map { w =>
-      // commit-path scan: manifest provenance drives the carry-over, so
-      // planning stays driver-side even on a plan-capable REST catalog
-      val tasks = table.newScan(w, remotePlanningOk = false).planFiles()
-      // manifest provenance is all-or-nothing: a partial set would falsely
-      // claim the unattributed tasks' manifests reference no selected file
-      val mfs = tasks.map(_.manifestPath)
-      (tasks.map(_.file.path).toSet,
-        if (mfs.nonEmpty && mfs.forall(_.nonEmpty)) mfs.toSet
-        else Set.empty[String])
-    }
+    val selectionOn = minFileSizeBytes.isDefined || deleteFileThreshold.isDefined
+    val scoped: Option[(Set[String], Set[String])] =
+      if (where.isEmpty && !selectionOn) None
+      else {
+        val tasks =
+          compactSelection(table, where, minFileSizeBytes, deleteFileThreshold)
+        // manifest provenance is all-or-nothing: a partial set would falsely
+        // claim the unattributed tasks' manifests reference no selected file
+        val mfs = tasks.map(_.manifestPath)
+        Some((tasks.map(_.file.path).toSet,
+          if (mfs.nonEmpty && mfs.forall(_.nonEmpty)) mfs.toSet
+          else Set.empty[String]))
+      }
     scoped.foreach { case (paths, _) => if (paths.isEmpty) return table }
     var df =
       if (materializeLineage || scoped.isDefined)

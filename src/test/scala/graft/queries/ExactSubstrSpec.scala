@@ -64,6 +64,39 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(2L)._3 == 0L && out(2L)._1 == 30L)
   }
 
+  test("library xxhash64 path and battery md5 path clean identically") {
+    import spark.implicits._
+    val passage = uniq("dup", 15)
+    val docs = Seq(
+      (1L, (uniq("a", 5) ++ passage ++ uniq("b", 3)).mkString(" ")),
+      (2L, (passage ++ uniq("c", 9)).mkString(" ")),
+      (3L, uniq("solo", 20).mkString(" ")),
+      (4L, (passage ++ uniq("mid", 2) ++ passage).mkString(" ")))
+      .toDF("doc_id", "text")
+    // window hashes differ (cheap vs mirrorable family) but ownership,
+    // spans, and the cleaned corpus must be IDENTICAL
+    val cheap = Dedup.exactSubstrSpans(docs, n).collect().map(_.toSeq).toSeq
+    val battery = Dedup.exactSubstrSpans(docs, n,
+      windowHash = Dedup.md5Hash60).collect().map(_.toSeq).toSeq
+    assert(cheap == battery)
+  }
+
+  test("sorted covered-set probe: a fully-duplicated long document cleans " +
+      "exactly (the O(log) probe path)") {
+    import spark.implicits._
+    // 400-token owner; copier = the same 400 tokens → covered set of 400
+    // positions probed by 400 tokens; correctness of the binary search is
+    // what keeps this exact
+    val big = uniq("t", 400)
+    val docs = Seq((1L, big.mkString(" ")),
+      (2L, big.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((400L, 400L, 0L)))
+    assert(!out.contains(2L), "fully-duplicated copier drops entirely")
+  }
+
   test("ownership is global-minimal (doc_id, position): the lowest doc " +
       "keeps the passage even when it appears later in the text") {
     val passage = uniq("p", n)

@@ -121,6 +121,105 @@ class ScopedCompactionSpec extends AnyFunSuite {
       .filter(col("cat") === "c1").count() == 78)
   }
 
+  test("binpack min-file-size: the healthy file is left byte-identical") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("binpack_size").toFile.getPath
+    // one target-size file, then two SMALL appends
+    var t = TableWriter.create((0L until 5000L).map(i => (i, i * 2.0))
+      .toDF("id", "v").coalesce(1), loc)
+    t = TableWriter.append(t, (5000L until 5010L).map(i => (i, i * 2.0))
+      .toDF("id", "v").coalesce(1))
+    t = TableWriter.append(t, (5010L until 5020L).map(i => (i, i * 2.0))
+      .toDF("id", "v").coalesce(1))
+    val before = t.newScan().planFiles().map(_.file)
+    assert(before.size == 3)
+    val big = before.maxBy(_.fileSizeInBytes)
+    val smalls = before.filterNot(_.path == big.path)
+    assert(smalls.forall(_.fileSizeInBytes < big.fileSizeInBytes))
+    val bigHash = sha(big.path)
+
+    // floor below the big file's size: only the two smalls qualify, and
+    // they binpack together into ONE fresh file
+    t = TableWriter.compact(t, spark, targetFiles = 1,
+      minFileSizeBytes = Some(big.fileSizeInBytes))
+    val after = t.newScan().planFiles().map(_.file)
+    assert(after.size == 2, after.map(_.path))
+    assert(after.exists(_.path == big.path))
+    assert(sha(big.path) == bigHash, "healthy file must not be rewritten")
+    assert(!after.forall(f => before.exists(_.path == f.path)))
+    assert(t.newScan().toDF(spark).count() == 5020)
+    val snap = t.currentSnapshot.get
+    assert(snap.summary.flatMap(_.properties.get("replaced-data-files"))
+      .contains("2"), snap.summary)
+
+    // nothing below the floor → no-op, no commit
+    val v = t.loadedVersion
+    val out = TableWriter.compact(t, spark, targetFiles = 1,
+      minFileSizeBytes = Some(1L))
+    assert(out.loadedVersion == v)
+  }
+
+  test("binpack delete-file-threshold: only delete-laden files rewrite") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("binpack_del").toFile.getPath
+    var t = TableWriter.create((0L until 100L).map(i => (i, i * 2.0))
+      .toDF("id", "v").coalesce(1).sortWithinPartitions("id"), loc)
+    t = TableWriter.append(t, (100L until 200L).map(i => (i, i * 2.0))
+      .toDF("id", "v").coalesce(1).sortWithinPartitions("id"))
+    // tombstones land on the LOW file only (metrics-pruned delete scan)
+    t = TableWriter.deleteWhere(t, spark, col("id") < 5)
+    val before = t.newScan().planFiles()
+    val (laden, clean) = before.partition(_.deleteFiles.nonEmpty)
+    assert(laden.size == 1 && clean.size == 1, before.map(_.file.path))
+    val cleanHash = sha(clean.head.file.path)
+
+    t = TableWriter.compact(t, spark, targetFiles = 1,
+      deleteFileThreshold = Some(1))
+    val after = t.newScan().planFiles()
+    assert(after.size == 2)
+    // the delete-laden file rewrote (debt folded in); the clean one didn't
+    assert(after.forall(_.deleteFiles.isEmpty))
+    assert(after.exists(_.file.path == clean.head.file.path))
+    assert(sha(clean.head.file.path) == cleanHash)
+    assert(!after.exists(_.file.path == laden.head.file.path))
+    assert(t.newScan().toDF(spark).count() == 195)
+    assert(t.newScan().toDF(spark).agg(sum("id")).collect()(0).getLong(0) ==
+      (5L until 200L).sum)
+  }
+
+  test("CALL compact with binpack knobs reports the selection") {
+    val s = spark
+    val wh = Files.createTempDirectory("binpack_call").toFile.getPath
+    val prev = s.conf.getOption("spark.sql.catalog.graftbp")
+    s.conf.set("spark.sql.catalog.graftbp", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftbp.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE graftbp.db")
+      s.sql("CREATE TABLE graftbp.db.t (id BIGINT, v DOUBLE)")
+      s.sql("INSERT INTO graftbp.db.t " +
+        "SELECT /*+ COALESCE(1) */ id, id * 2.0 FROM range(5000)")
+      s.sql("INSERT INTO graftbp.db.t " +
+        "SELECT /*+ COALESCE(1) */ id, id * 2.0 FROM range(5000, 5010)")
+      val sizes = IcebergTables.load(s"$wh/db/t").newScan().planFiles()
+        .map(_.file.fileSizeInBytes)
+      assert(sizes.size == 2)
+      val r = s.sql("CALL graftbp.system.compact('db.t', 1, " +
+        s"min_file_size_bytes => ${sizes.max}L)").collect()(0)
+      // only the small second file qualifies; it rewrites alone
+      assert(r.getInt(2) == 1, r)
+      assert(s.sql("SELECT count(*) FROM graftbp.db.t")
+        .collect()(0).getLong(0) == 5010)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graftbp.db.t")
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.catalog.graftbp", v)
+        case None => s.conf.unset("spark.sql.catalog.graftbp")
+      }
+    }
+  }
+
   test("no matching files is a no-op commit-wise") {
     val loc = Files.createTempDirectory("scoped_noop").toFile.getPath
     val t = mkTable(loc)
