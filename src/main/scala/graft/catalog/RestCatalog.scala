@@ -69,6 +69,10 @@ final case class AssertTableUuid(uuid: String) extends TableRequirement
 /** `snapshotId = None` asserts the ref does NOT exist yet. */
 final case class AssertRefSnapshotId(ref: String, snapshotId: Option[Long])
   extends TableRequirement
+/** The spec's `assert-current-schema-id` — schema evolution's
+  * optimistic-concurrency guard: two racing ALTERs both based on schema N
+  * cannot both land. */
+final case class AssertCurrentSchemaId(schemaId: Int) extends TableRequirement
 
 /** Commit updates per the REST spec. `AddSnapshot` + `SetSnapshotRef` are
   * the data-commit pair: append/CoW writers stage manifests, then move the
@@ -90,6 +94,16 @@ final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
 /** The spec's `remove-snapshot-ref` action — ref aging (`max-ref-age-ms`)
   * drops a branch/tag server-side in the same expiry commit. */
 final case class RemoveSnapshotRef(refName: String) extends TableUpdate
+/** The spec's `add-schema` action — SQL ALTER TABLE on a REST-cataloged
+  * table commits the EVOLVED schema (computed client-side by the same
+  * evolution functions the local plane runs) instead of writing metadata
+  * behind the server. `lastColumnId` rides along so the server's id
+  * high-water mark advances past every id the new schema allocated. */
+final case class AddSchema(schema: graft.core.Schema,
+                           lastColumnId: Option[Int] = None) extends TableUpdate
+/** The spec's `set-current-schema` action; `schemaId = -1` means "the
+  * schema added in this same update set" per the spec. */
+final case class SetCurrentSchema(schemaId: Int) extends TableUpdate
 
 /** One table's change set inside a multi-table transaction
   * ([[RestCatalog.commitTransaction]]). */
@@ -478,6 +492,10 @@ final class RestCatalog(val name: String, uri: String,
           case Some(id) => r.put("snapshot-id", id)
           case None => r.putNull("snapshot-id")
         }
+      case AssertCurrentSchemaId(schemaId) =>
+        val r = reqs.addObject()
+        r.put("type", "assert-current-schema-id")
+        r.put("current-schema-id", schemaId)
     }
     val ups = body.putArray("updates")
     updates.foreach {
@@ -525,6 +543,16 @@ final class RestCatalog(val name: String, uri: String,
         val u = ups.addObject()
         u.put("action", "remove-snapshot-ref")
         u.put("ref-name", refName)
+      case AddSchema(schema, lastColumnId) =>
+        val u = ups.addObject()
+        u.put("action", "add-schema")
+        u.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+          mapper.readTree(graft.core.TableMetadata.schemaJson(schema)))
+        lastColumnId.foreach(v => u.put("last-column-id", v))
+      case SetCurrentSchema(schemaId) =>
+        val u = ups.addObject()
+        u.put("action", "set-current-schema")
+        u.put("schema-id", schemaId)
     }
     body
   }

@@ -641,6 +641,12 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
           if (current != expected)
             failure = failure.orElse(
               Some(s"ref $refName at $current, requirement expected $expected"))
+        case "assert-current-schema-id" =>
+          val expected = r.get("current-schema-id").asInt()
+          val current = md.get("current-schema-id").asInt()
+          if (current != expected)
+            failure = failure.orElse(Some(
+              s"current schema id $current, requirement expected $expected"))
         case other => failure = failure.orElse(Some(s"unknown requirement $other"))
       }
     })
@@ -650,6 +656,9 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   /** Apply one CommitTableRequest's updates to `md` in place. */
   private def applyUpdates(b: com.fasterxml.jackson.databind.JsonNode,
                            md: ObjectNode): Unit = {
+        // `set-current-schema` with schema-id = -1 refers to the schema
+        // added in this same update set (the spec's pairing rule)
+        var lastAddedSchemaId = -1
         Option(b.get("updates")).foreach(_.forEach { u =>
           u.get("action").asText() match {
             case "set-properties" =>
@@ -720,6 +729,38 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               ()
             case "remove-snapshot-ref" =>
               md.`with`("refs").remove(u.get("ref-name").asText())
+              ()
+            case "add-schema" =>
+              val sn = u.get("schema").deepCopy[ObjectNode]()
+              val schemas = md.withArray[ArrayNode]("schemas")
+              // the server owns schema-id assignment on conflict (the
+              // same rule the view route applies to version ids)
+              var maxId = -1
+              schemas.forEach(x => maxId =
+                math.max(maxId, x.get("schema-id").asInt()))
+              if (sn.get("schema-id").asInt() <= maxId)
+                sn.put("schema-id", maxId + 1)
+              schemas.add(sn)
+              lastAddedSchemaId = sn.get("schema-id").asInt()
+              // advance the column-id high-water mark past every id the
+              // new schema allocated (ids of DROPPED columns must never
+              // be reused — old data files still carry them)
+              Option(u.get("last-column-id")).filter(!_.isNull).foreach { v =>
+                md.put("last-column-id",
+                  math.max(md.get("last-column-id").asLong(), v.asLong()))
+                ()
+              }
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "set-current-schema" =>
+              val id = u.get("schema-id").asInt()
+              val target = if (id == -1) lastAddedSchemaId else id
+              var known = false
+              md.withArray[ArrayNode]("schemas").forEach(x =>
+                known ||= x.get("schema-id").asInt() == target)
+              if (!known) throw new IllegalArgumentException(
+                s"set-current-schema: schema-id $target not in metadata")
+              md.put("current-schema-id", target)
               ()
             case other => throw new IllegalArgumentException(s"unknown update $other")
           }

@@ -230,6 +230,24 @@ object TableMetadata {
       maxSnapshotAgeMs = Option(n.get("max-snapshot-age-ms")).map(_.asLong()),
       maxRefAgeMs = Option(n.get("max-ref-age-ms")).map(_.asLong()))
   }
+
+  /** One schema as spec JSON (struct + schema-id + identifier-field-ids) —
+    * the payload of a REST `add-schema` update action, and the shape
+    * `toJson` writes into the metadata's `schemas` array. */
+  def schemaJson(s: Schema): String =
+    schemaToNode(s, new ObjectMapper()).toString
+
+  private[core] def schemaToNode(s: Schema, mapper: ObjectMapper): ObjectNode = {
+    val sw = new java.io.StringWriter()
+    val g = mapper.createGenerator(sw)
+    IcebergTypeJson.write(s.struct, g)
+    g.close()
+    val node = mapper.readTree(sw.toString).asInstanceOf[ObjectNode]
+    node.put("schema-id", s.schemaId)
+    val arr = node.putArray("identifier-field-ids")
+    s.identifierFieldIds.foreach(arr.add)
+    node
+  }
 }
 
 final case class TableMetadata(
@@ -472,15 +490,6 @@ final case class TableMetadata(
     out.toString
   }
 
-  private def schemaToNode(s: Schema, mapper: ObjectMapper): ObjectNode = {
-    val sw = new java.io.StringWriter()
-    val g = mapper.createGenerator(sw)
-    IcebergTypeJson.write(s.struct, g)
-    g.close()
-    val node = mapper.readTree(sw.toString).asInstanceOf[ObjectNode]
-    node.put("schema-id", s.schemaId)
-    val arr = node.putArray("identifier-field-ids")
-    s.identifierFieldIds.foreach(arr.add)
-    node
-  }
+  private def schemaToNode(s: Schema, mapper: ObjectMapper): ObjectNode =
+    TableMetadata.schemaToNode(s, mapper)
 }

@@ -405,7 +405,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * snapshots projecting their own schema; nested fields carry ids the
     * same as top-level ones, so the same machinery covers both. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    var t = loadIce(ident)
+    // REST-cataloged table (no local metadata): evolve through the server
+    if (!isTable(tableDir(ident)) && rest.isDefined)
+      return restAlterTable(ident, changes)
+    val (t, setProps, unsetProps) = applyAlterChanges(loadIce(ident), changes)
+    val t2 =
+      if (setProps.nonEmpty || unsetProps.nonEmpty)
+        TableWriter.updateProperties(t, setProps, unsetProps)
+      else t
+    new GraftSparkTable(t2)
+  }
+
+  /** SQL ALTER TABLE on a REST-cataloged table: schema evolution runs the
+    * SAME evolution functions the local plane uses — against a local
+    * SCRATCH copy of the loaded metadata (metadata-only; nothing under the
+    * real table location is touched) — and only the RESULT commits, as the
+    * spec's `add-schema` + `set-current-schema(-1)` update actions guarded
+    * by `assert-current-schema-id` (two racing ALTERs based on the same
+    * schema cannot both land). Property changes ride the same commit as
+    * `set-properties`/`remove-properties`. The format-version upgrade
+    * refuses: on V3 it re-homes live tombstones into deletion vectors — a
+    * DATA commit the ALTER wire has no form for. */
+  private def restAlterTable(ident: Identifier,
+                             changes: Seq[TableChange]): Table = {
+    val rc = rest.get
+    val id = restIdent(ident)
+    changes.foreach {
+      case s: TableChange.SetProperty if s.property() == "format-version" =>
+        throw new UnsupportedOperationException(
+          "format-version upgrade on a REST-cataloged table is not routed " +
+            "through SQL ALTER (the V3 upgrade re-homes tombstones into " +
+            "deletion vectors — a data commit)")
+      case _ => ()
+    }
+    val loaded = rc.loadTable(id)
+    val md = loaded.metadata
+    val scratch = java.nio.file.Files.createTempDirectory("graft_rest_alter").toFile
+    val metaDir = new File(scratch, "metadata"); metaDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(metaDir, "v1.metadata.json").toPath, md.toJson)
+    val (t, setProps, unsetProps) =
+      applyAlterChanges(IcebergTables.load(scratch.getPath), changes)
+    val updates = Vector.newBuilder[graft.catalog.TableUpdate]
+    val schemaChanged = t.metadata.currentSchemaId != md.currentSchemaId ||
+      t.metadata.currentSchema != md.currentSchema
+    if (schemaChanged) {
+      updates += graft.catalog.AddSchema(t.metadata.currentSchema,
+        Some(t.metadata.lastColumnId))
+      updates += graft.catalog.SetCurrentSchema(-1)
+    }
+    if (setProps.nonEmpty) updates += graft.catalog.SetProperties(setProps)
+    if (unsetProps.nonEmpty) updates += graft.catalog.RemoveProperties(unsetProps)
+    val ups = updates.result()
+    if (ups.nonEmpty) {
+      val reqs = Seq(graft.catalog.AssertTableUuid(md.tableUuid)) ++
+        (if (schemaChanged)
+           Seq(graft.catalog.AssertCurrentSchemaId(md.currentSchemaId))
+         else Nil)
+      rc.commitTable(id, reqs, ups)
+      invalidateRest(id)
+    }
+    restLoadTable(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+  }
+
+  /** Apply Spark TableChanges to `t` through the TableWriter evolution
+    * functions; property set/unset are RETURNED, not applied (the local
+    * path folds them into one updateProperties commit, the REST path into
+    * the server-side update set). */
+  private def applyAlterChanges(t0: IcebergTable, changes: Seq[TableChange])
+      : (IcebergTable, Map[String, String], Seq[String]) = {
+    var t = t0
     val setProps = scala.collection.mutable.LinkedHashMap[String, String]()
     val unsetProps = scala.collection.mutable.ArrayBuffer[String]()
     // Spark hands over PARSED path segments — pass them through as-is (a
@@ -475,9 +545,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"table change ${other.getClass.getSimpleName} is not supported")
     }
-    if (setProps.nonEmpty || unsetProps.nonEmpty)
-      t = TableWriter.updateProperties(t, setProps.toMap, unsetProps.toSeq)
-    new GraftSparkTable(t)
+    (t, setProps.toMap, unsetProps.toSeq)
   }
 
   /** ADD COLUMN type conversion — nested types included (struct/array/

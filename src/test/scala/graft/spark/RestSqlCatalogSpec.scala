@@ -130,6 +130,71 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.wap.branch")
   }
 
+  test("ALTER TABLE on a REST table commits add-schema/set-properties through the server") {
+    conf()
+    rc.createNamespace(Seq("alt"))
+    val loc = Files.createTempDirectory("rsql_alt").toFile.getPath
+    rc.createTable(Seq("alt", "t"), schema, location = Some(loc))
+    appendRest(Seq("alt", "t"), loc, Seq((1L, "a"), (2L, "b")), "a1")
+
+    // ADD COLUMN evolves the schema SERVER-side; old rows read null
+    spark.sql("ALTER TABLE grest.alt.t ADD COLUMN score DOUBLE")
+    val md1 = rc.loadTable(Seq("alt", "t")).metadata
+    assert(md1.currentSchema.fields.map(_.name) == Seq("id", "data", "score"))
+    assert(md1.schemas.size == 2, "schema history must append, not rewrite")
+    // nothing was written behind the server: no local metadata json
+    assert(!new java.io.File(loc, "metadata/v1.metadata.json").isFile &&
+      !new java.io.File(loc, "metadata/v2.metadata.json").isFile,
+      "ALTER must not write metadata files under the table location")
+    val rows = spark.sql("SELECT id, data, score FROM grest.alt.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(rows == Seq((1L, "a", true), (2L, "b", true)))
+
+    // INSERT fills the new column; RENAME resolves old files by field id
+    spark.sql("INSERT INTO grest.alt.t VALUES (3, 'c', 0.5)")
+    spark.sql("ALTER TABLE grest.alt.t RENAME COLUMN data TO label")
+    val got = spark.sql("SELECT id, label, score FROM grest.alt.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // DROP COLUMN + SET/UNSET TBLPROPERTIES ride the same wire
+    spark.sql("ALTER TABLE grest.alt.t DROP COLUMN score")
+    assert(rc.loadTable(Seq("alt", "t")).metadata.currentSchema.fields
+      .map(_.name) == Seq("id", "label"))
+    spark.sql("ALTER TABLE grest.alt.t SET TBLPROPERTIES ('team' = 'ml')")
+    assert(rc.loadTable(Seq("alt", "t")).metadata.properties
+      .get("team").contains("ml"))
+    spark.sql("ALTER TABLE grest.alt.t UNSET TBLPROPERTIES ('team')")
+    assert(!rc.loadTable(Seq("alt", "t")).metadata.properties.contains("team"))
+
+    // a racing evolution conflicts: assert-current-schema-id guards it
+    val before = rc.loadTable(Seq("alt", "t")).metadata
+    rc.commitTable(Seq("alt", "t"),
+      Seq(graft.catalog.AssertTableUuid(before.tableUuid)),
+      Seq(graft.catalog.AddSchema(before.currentSchema.copy(
+        schemaId = before.currentSchemaId + 1)),
+        graft.catalog.SetCurrentSchema(-1)))
+    intercept[graft.catalog.CommitConflictError] {
+      rc.commitTable(Seq("alt", "t"),
+        Seq(graft.catalog.AssertTableUuid(before.tableUuid),
+          graft.catalog.AssertCurrentSchemaId(before.currentSchemaId)),
+        Seq(graft.catalog.AddSchema(before.currentSchema.copy(
+          schemaId = before.currentSchemaId + 1)),
+          graft.catalog.SetCurrentSchema(-1)))
+    }
+
+    // format-version upgrade refuses (a data commit, not an ALTER wire form)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE grest.alt.t SET TBLPROPERTIES ('format-version' = '3')")
+    }
+    assert(e.getMessage.contains("format-version"), e.getMessage)
+
+    // and the evolved table still takes SQL DML end-to-end
+    spark.sql("UPDATE grest.alt.t SET label = 'A' WHERE id = 1")
+    assert(spark.sql("SELECT label FROM grest.alt.t WHERE id = 1")
+      .collect()(0).getString(0) == "A")
+  }
+
   test("MoR-mode SQL UPDATE on a REST table commits a positional delta") {
     conf()
     rc.createNamespace(Seq("mor"))
