@@ -578,11 +578,18 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
     case e: Exception => err(ex, 500, s"server error: ${e.getMessage}")
   }
 
-  /** Build fresh V2 metadata JSON from a createTable request body. */
+  /** Build fresh metadata JSON from a createTable request body — V2 by
+    * default; a `format-version` entry in the request properties selects
+    * the version (Iceberg's own create-time property), so clients can
+    * create V3 tables (DV deletes, row lineage) through this server. */
   private def newMetadata(b: com.fasterxml.jackson.databind.JsonNode,
                           ns: String, tname: String): ObjectNode = {
     val md = mapper.createObjectNode()
-    md.put("format-version", 2)
+    val fv = Option(b.get("properties"))
+      .flatMap(p => Option(p.get("format-version")))
+      .map(_.asText().toInt).getOrElse(2)
+    md.put("format-version", fv)
+    if (fv >= 3) md.put("next-row-id", 0L)
     md.put("table-uuid", java.util.UUID.randomUUID().toString)
     md.put("location", Option(b.get("location")).map(_.asText())
       .getOrElse(s"mem://warehouse/${ns.replace("", "/")}/$tname"))
@@ -602,7 +609,12 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
     so.put("order-id", 0); so.putArray("fields")
     val props = md.putObject("properties")
     Option(b.get("properties")).foreach(
-      _.properties().forEach(e => props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit))
+      _.properties().forEach { e =>
+        // format-version is reserved: it selected the metadata version
+        // above and is not a free-form table property
+        if (e.getKey != "format-version")
+          props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit
+      })
     md.putArray("snapshots")
     md.putObject("refs")
     md

@@ -115,11 +115,10 @@ final class GraftSparkTable(table: IcebergTable,
                             readChanges: Boolean = false,
                             // set when the table's catalog of record is a
                             // REST server: SQL reads ride the full scan
-                            // stack, and SQL DML commits THROUGH the
-                            // server (TableWriter.appendRest and friends)
-                            // — the surfaces the REST protocol can't
-                            // express (WAP staging, mergeSchema
-                            // evolution) refuse loudly instead.
+                            // stack, and SQL DML — including WAP staging,
+                            // mergeSchema evolution, and V3 DV deltas —
+                            // commits THROUGH the server
+                            // (TableWriter.appendRest and friends).
                             restDml: Option[RestDmlBinding] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -127,12 +126,6 @@ final class GraftSparkTable(table: IcebergTable,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def restManaged: Boolean = restDml.isDefined
-
-  private def refuseRestUnsupported(what: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$what on a REST-cataloged table is not supported: the REST commit " +
-        "protocol has no wire form for it — use a local table, or the " +
-        "TableWriter / CALL graft.system.* surfaces")
 
   /** SQL UPDATE / MERGE / non-pushable DELETE: copy-on-write rewrite of
     * only the affected files by default (see [[GraftRowLevelOperation]]);
@@ -176,14 +169,9 @@ final class GraftSparkTable(table: IcebergTable,
       }
       val mor = fresh.properties
         .get(modeProp).exists(_.equalsIgnoreCase("merge-on-read"))
-      if (mor) {
-        // V3 MoR deltas re-home tombstones into deletion vectors at
-        // commit; that commit shape is not routed over REST yet
-        if (restManaged && fresh.metadata.formatVersion >= 3)
-          refuseRestUnsupported("merge-on-read UPDATE/DELETE/MERGE on a " +
-            "V3 table (deletion-vector commit)")
+      if (mor)
         new GraftDeltaRowLevelOperation(fresh.location, info.command(), restDml)
-      } else new GraftRowLevelOperation(fresh.location, info.command(), restDml)
+      else new GraftRowLevelOperation(fresh.location, info.command(), restDml)
     }
 
   private def activeSchema: graft.core.Schema = pinnedSnapshotId
@@ -233,16 +221,8 @@ final class GraftSparkTable(table: IcebergTable,
     * commits positional merge-on-read tombstones (one distributed scan, no
     * data rewrite). Only fully-convertible predicates are accepted;
     * otherwise Spark falls back to an error (no silent rewrite). */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
-    val convertible = filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
-    if (!restManaged) convertible
-    else
-      // REST: equality deletes always route; positional tombstone files
-      // are V2-only (V3 would need a deletion-vector commit over REST) —
-      // non-expressible shapes fall to the row-level (CoW) path instead
-      convertible && (equalityDeleteKeys(filters).isDefined ||
-        table.metadata.formatVersion < 3)
-  }
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterConv.fromSparkFilter(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     GraftSparkTable.wapBranch.foreach { b =>
@@ -430,18 +410,52 @@ final class GraftSparkTable(table: IcebergTable,
                 // SQL INSERT INTO / INSERT OVERWRITE on a REST-cataloged
                 // table: align against the server's fresh schema, write
                 // distributed, commit through the server's update actions
-                if (info.options().getBoolean("mergeSchema", false))
-                  refuseRestUnsupported("mergeSchema write-time evolution")
+                if (info.options().getBoolean("mergeSchema", false)) {
+                  // write-time evolution: new primitive columns commit as
+                  // add-schema actions BEFORE the append (same evolution
+                  // functions as the local path, via the scratch bridge)
+                  TableWriter.evolveSchemaRest(b.catalog, b.identifier, t0 => {
+                    var cur = t0
+                    val existing = cur.schema.fields.map(_.name).toSet
+                    data.schema.fields
+                      .filterNot(f => existing.contains(f.name)).foreach { f =>
+                        val t = SchemaConv.primitiveFromSpark(f.dataType)
+                          .getOrElse(throw new UnsupportedOperationException(
+                            s"mergeSchema supports primitive new columns; " +
+                              s"'${f.name}' is ${f.dataType.simpleString}"))
+                        cur = TableWriter.addColumnAt(cur, Seq(f.name), t)
+                      }
+                    cur
+                  })
+                  ()
+                }
                 val fresh = TableWriter.restTableOf(b.load())
+                val df = alignToTable(data, fresh)
                 (GraftSparkTable.wapStageId(fresh),
                     GraftSparkTable.wapBranch) match {
-                  case (None, None) => ()
-                  case _ => refuseRestUnsupported(
-                    "WAP staging (spark.wap.id / spark.wap.branch)")
+                  case (Some(id), Some(br)) =>
+                    throw new UnsupportedOperationException(
+                      s"both spark.wap.id='$id' and spark.wap.branch='$br' " +
+                        "are set — choose one WAP flavor (stage-commit or " +
+                        "branch staging)")
+                  case (Some(id), None) =>
+                    // same append-only rule as the local path
+                    if (overwrite) throw new UnsupportedOperationException(
+                      s"spark.wap.id='$id' is set and this table has " +
+                        "write.wap.enabled: INSERT OVERWRITE/truncate cannot " +
+                        "be staged (unset spark.wap.id, or rewrite on main)")
+                    TableWriter.stageWapAppendRest(b.catalog, b.identifier, df, id)
+                  case (None, Some(br)) =>
+                    if (overwrite) throw new UnsupportedOperationException(
+                      s"spark.wap.branch='$br' is set: INSERT OVERWRITE/" +
+                        "truncate cannot be staged on a branch (unset " +
+                        "spark.wap.branch, or publish and rewrite on main)")
+                    TableWriter.appendToBranchRest(b.catalog, b.identifier, df, br)
+                  case (None, None) =>
+                    if (overwrite)
+                      TableWriter.overwriteRest(b.catalog, b.identifier, df)
+                    else TableWriter.appendRest(b.catalog, b.identifier, df)
                 }
-                val df = alignToTable(data, fresh)
-                if (overwrite) TableWriter.overwriteRest(b.catalog, b.identifier, df)
-                else TableWriter.appendRest(b.catalog, b.identifier, df)
                 b.afterCommit()
               case None => localInsert(data)
             }

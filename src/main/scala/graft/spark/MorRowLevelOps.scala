@@ -151,10 +151,14 @@ final class GraftDeltaWrite(location: String, dataSchema: StructType,
     val dels = messages.collect { case m: GraftDeltaCommit => m.deleteFiles }.flatten
     restCommit match {
       case Some((b, loadedAtScan)) =>
-        // V2 only — the operation builder refuses MoR DML on V3 REST
-        // tables (the DV commit shape is not routed over REST)
-        TableWriter.commitDeltaRest(b.catalog, b.identifier, loadedAtScan(),
-          data.toSeq, dels.toSeq)
+        val loaded = loadedAtScan()
+        // same fork as the local path: V3 re-homes tombstones into DVs
+        if (loaded.metadata.formatVersion >= 3)
+          TableWriter.commitDeltaDvRest(b.catalog, b.identifier, loaded,
+            data.toSeq, dels.toSeq)
+        else
+          TableWriter.commitDeltaRest(b.catalog, b.identifier, loaded,
+            data.toSeq, dels.toSeq)
         b.afterCommit()
       case None =>
         val (version, snapId) = scannedBase()

@@ -382,19 +382,36 @@ object GraftProcedures {
         StructType(Seq(
           StructField("previous_snapshot_id", LongType),
           StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val prev = table.currentSnapshot.map(_.snapshotId)
-        val out = TableWriter.fastForward(table, in.getUTF8String(1).toString)
-        Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+        val ref = in.getUTF8String(0).toString
+        val branch = in.getUTF8String(1).toString
+        resolveRest(ref) match {
+          case Some((rc, ident)) =>
+            val prev = rc.loadTable(ident).metadata.currentSnapshotId
+            val out = TableWriter.fastForwardRest(rc, ident, branch)
+            Array[Any](prev.map(Long.box).orNull,
+              out.metadata.currentSnapshotId.get)
+          case None =>
+            val table = IcebergTables.load(resolveLocation(ref))
+            val prev = table.currentSnapshot.map(_.snapshotId)
+            val out = TableWriter.fastForward(table, branch)
+            Array[Any](prev.orNull, out.currentSnapshot.get.snapshotId)
+        }
       }
       case "cherrypick_snapshot" => proc(name,
         Seq("table" -> StringType, "snapshot_id" -> LongType),
         StructType(Seq(
           StructField("source_snapshot_id", LongType, nullable = false),
           StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
-        val out = TableWriter.cherrypickSnapshot(table, in.getLong(1))
-        Array[Any](in.getLong(1), out.currentSnapshot.get.snapshotId)
+        val ref = in.getUTF8String(0).toString
+        resolveRest(ref) match {
+          case Some((rc, ident)) =>
+            val out = TableWriter.cherrypickSnapshotRest(rc, ident, in.getLong(1))
+            Array[Any](in.getLong(1), out.metadata.currentSnapshotId.get)
+          case None =>
+            val table = IcebergTables.load(resolveLocation(ref))
+            val out = TableWriter.cherrypickSnapshot(table, in.getLong(1))
+            Array[Any](in.getLong(1), out.currentSnapshot.get.snapshotId)
+        }
       }
       // Iceberg's WAP publish verb: resolve the staged snapshot by its
       // wap.id and cherrypick it — the id is what the audit pipeline
@@ -404,14 +421,24 @@ object GraftProcedures {
         StructType(Seq(
           StructField("source_snapshot_id", LongType, nullable = false),
           StructField("current_snapshot_id", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val ref = in.getUTF8String(0).toString
         val wapId = in.getUTF8String(1).toString
-        val staged = table.metadata.snapshots.find(_.summary.exists(
-            _.properties.get("wap.id").contains(wapId)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"no staged snapshot carries wap.id '$wapId'"))
-        val out = TableWriter.cherrypickSnapshot(table, staged.snapshotId)
-        Array[Any](staged.snapshotId, out.currentSnapshot.get.snapshotId)
+        def stagedIn(md: graft.core.TableMetadata): Long =
+          md.snapshots.find(_.summary.exists(
+              _.properties.get("wap.id").contains(wapId)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no staged snapshot carries wap.id '$wapId'")).snapshotId
+        resolveRest(ref) match {
+          case Some((rc, ident)) =>
+            val staged = stagedIn(rc.loadTable(ident).metadata)
+            val out = TableWriter.cherrypickSnapshotRest(rc, ident, staged)
+            Array[Any](staged, out.metadata.currentSnapshotId.get)
+          case None =>
+            val table = IcebergTables.load(resolveLocation(ref))
+            val staged = stagedIn(table.metadata)
+            val out = TableWriter.cherrypickSnapshot(table, staged)
+            Array[Any](staged, out.currentSnapshot.get.snapshotId)
+        }
       }
       // Iceberg's register_table: adopt an EXISTING table under a catalog
       // identifier without touching a single data or metadata file. In

@@ -527,6 +527,32 @@ object TableWriter {
                                snapId: Long, seq: Long, version: Int,
                                metaDir: File): IcebergTable = {
     val md = table.metadata
+    val (snapshot, nextRowId) = stageDvSnapshot(table, added, dvFiles,
+      alsoSuperseded, op, extraSummary, snapId, seq, metaDir)
+    val now = snapshot.timestampMs
+    writeMetadata(table.location, md.copy(
+      formatVersion = 3, // DVs are a V3 construct; metadata serializes V3
+      lastSequenceNumber = seq, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapId),
+      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapId),
+      nextRowId = nextRowId), version)
+    IcebergTables.load(table.location)
+  }
+
+  /** The staging body of [[commitDvSnapshot]] (manifests + manifest list
+    * on disk, no metadata commit) — shared with the REST plane
+    * ([[commitDeltaDvRest]]). Returns the snapshot and the V3
+    * `next-row-id` the commit must advance to. */
+  private def stageDvSnapshot(table: IcebergTable,
+                              added: Seq[graft.spark.CowFileOut],
+                              dvFiles: Seq[DataFileInfo],
+                              alsoSuperseded: DataFileInfo => Boolean,
+                              op: SnapshotOp, extraSummary: Map[String, String],
+                              snapId: Long, seq: Long,
+                              metaDir: File): (Snapshot, Option[Long]) = {
+    val md = table.metadata
     val partType = table.spec.partitionType(table.schema)
     val addedEntries0 = added.map { f =>
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
@@ -593,20 +619,15 @@ object TableWriter {
       now, listFile.getPath,
       Some(SnapshotSummary(op, Map(
         "added-data-files" -> addedEntries.size.toString,
+        // added-records makes V3 lineage advance exact for the appends
+        "added-records" ->
+          addedEntries.map(_.dataFile.recordCount).sum.toString,
         "added-delete-files" -> dvEntries.size.toString,
         "added-position-deletes" -> dvFiles.map(_.recordCount).sum.toString,
         "deletion-vectors-added" -> dvEntries.size.toString) ++ extraSummary)),
       Some(table.schema.schemaId),
       firstRowId = lineage.snapshotFirstRowId)
-    writeMetadata(table.location, md.copy(
-      formatVersion = 3, // DVs are a V3 construct; metadata serializes V3
-      lastSequenceNumber = seq, lastUpdatedMs = now,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = advRef(md.refs, TableMetadata.MainBranch, snapId),
-      nextRowId = lineage.nextRowId), version)
-    IcebergTables.load(table.location)
+    (snapshot, lineage.nextRowId)
   }
 
   /** V3 variant of [[commitDelta]] — SQL MoR DML on a format-version-3
@@ -2552,6 +2573,25 @@ object TableWriter {
     * sequence number; the data files are referenced in place. */
   def cherrypickSnapshot(table: IcebergTable, snapshotId: Long): IcebergTable = {
     val md = table.metadata
+    val snapshot = stageCherrypick(table, snapshotId)
+    val now = snapshot.timestampMs
+    writeMetadata(table.location, md.copy(
+      lastSequenceNumber = snapshot.sequenceNumber, lastUpdatedMs = now,
+      snapshots = md.snapshots :+ snapshot,
+      currentSnapshotId = Some(snapshot.snapshotId),
+      snapshotLog = md.snapshotLog :+
+        SnapshotLogEntry(snapshot.snapshotId, now),
+      refs = advRef(md.refs, TableMetadata.MainBranch, snapshot.snapshotId)),
+      table.loadedVersion + 1)
+    IcebergTables.load(table.location)
+  }
+
+  /** The staging body of [[cherrypickSnapshot]] (re-written manifests +
+    * manifest list on disk, no metadata commit) — shared with the REST
+    * plane ([[cherrypickSnapshotRest]]). */
+  private def stageCherrypick(table: IcebergTable,
+                              snapshotId: Long): Snapshot = {
+    val md = table.metadata
     val snap = md.snapshotById(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
     require(snap.summary.exists(_.operation == OpAppend),
@@ -2624,13 +2664,118 @@ object TableWriter {
         ++ snap.summary.flatMap(_.properties.get("wap.id"))
           .map("published-wap-id" -> _))),
       Some(table.schema.schemaId))
-    writeMetadata(table.location, md.copy(
-      lastSequenceNumber = seq, lastUpdatedMs = now,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    snapshot
+  }
+
+  /** [[cherrypickSnapshot]] against a REST-catalog table: the same
+    * metadata-only re-commit, landing as add-snapshot + set-snapshot-ref
+    * through the server, pinned to the loaded main head (a concurrent
+    * publish conflicts instead of double-applying). */
+  def cherrypickSnapshotRest(catalog: graft.catalog.RestCatalog,
+                             identifier: Seq[String], snapshotId: Long)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val snapshot = stageCherrypick(restTableOf(loaded), snapshotId)
+    val change = restChangeFor(loaded.metadata, identifier, snapshot)
+    catalog.commitTable(identifier, change.requirements, change.updates)
+  }
+
+  /** [[fastForward]] against a REST-catalog table: the ancestry guard
+    * runs on the loaded metadata; the publish itself is ONE
+    * set-snapshot-ref(main) update pinned to both the branch head and
+    * main's current head. */
+  def fastForwardRest(catalog: graft.catalog.RestCatalog,
+                      identifier: Seq[String], branch: String)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val ref = md.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"ref '$branch' not found"))
+    val head = md.snapshotById(ref.snapshotId).getOrElse(
+      throw new IllegalStateException(s"branch '$branch' head missing"))
+    val mainHead = md.currentSnapshotId
+    @annotation.tailrec
+    def isAncestor(of: Option[Long]): Boolean = of match {
+      case None => mainHead.isEmpty
+      case Some(id) if mainHead.contains(id) => true
+      case Some(id) => isAncestor(md.snapshotById(id).flatMap(_.parentSnapshotId))
+    }
+    require(isAncestor(Some(head.snapshotId)),
+      s"main is not an ancestor of '$branch' — cannot fast-forward")
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+          md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+            .orElse(mainHead)),
+        graft.catalog.AssertRefSnapshotId(branch, Some(head.snapshotId))),
+      Seq(graft.catalog.SetSnapshotRef(TableMetadata.MainBranch,
+        head.snapshotId)))
+  }
+
+  /** [[stageWapAppend]] against a REST-catalog table: the staged snapshot
+    * commits as add-snapshot with NO ref move — invisible to every reader
+    * until published ([[cherrypickSnapshotRest]]). */
+  def stageWapAppendRest(catalog: graft.catalog.RestCatalog,
+                         identifier: Seq[String], df: DataFrame,
+                         wapId: String): graft.catalog.LoadedTable = {
+    require(wapId.trim.nonEmpty, "wap id must be non-empty")
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val dup = md.snapshots.find(_.summary.exists(s =>
+      s.properties.get("wap.id").contains(wapId) ||
+        s.properties.get("published-wap-id").contains(wapId)))
+    require(dup.isEmpty,
+      s"wap.id '$wapId' was already staged or published " +
+        s"(snapshot ${dup.map(_.snapshotId).getOrElse(-1L)})")
+    val table = restTableOf(loaded)
+    val dataDir = new File(table.location, s"data/snap-${System.nanoTime()}")
+    val outs = writeDistributed(alignForWrite(df, table.schema), dataDir,
+      table.schema, table.spec, table.properties, SortOrder.unsorted,
+      preClustered = false)
+    val snapshot = stageAppendSnapshot(table, outs, Map("wap.id" -> wapId))
+    val committed = catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+      Seq(graft.catalog.AddSnapshot(snapshot)))
+    snapshot.firstRowId.foreach(base => verifyLineageAdvanced(identifier,
+      base + outs.map(_.rows).sum,
+      committed.metadata.nextRowId.getOrElse(0L)))
+    committed
+  }
+
+  /** [[appendToBranch]] against a REST-catalog table: the snapshot forks
+    * from the branch head (or main, for a new branch) and ONLY the branch
+    * ref moves — add-snapshot + set-snapshot-ref(branch), pinned to the
+    * branch's loaded head so concurrent branch commits conflict. */
+  def appendToBranchRest(catalog: graft.catalog.RestCatalog,
+                         identifier: Seq[String], df: DataFrame,
+                         branch: String): graft.catalog.LoadedTable = {
+    require(branch != TableMetadata.MainBranch,
+      "use appendRest() for the main branch")
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val parent = md.refs.get(branch) match {
+      case Some(r) =>
+        require(r.refType == BranchRef, s"ref '$branch' is a tag, not a branch")
+        md.snapshotById(r.snapshotId)
+      case None => md.currentSnapshot
+    }
+    val table = restTableOf(loaded)
+    val dataDir = new File(table.location, s"data/snap-${System.nanoTime()}")
+    val outs = writeDistributed(alignForWrite(df, table.schema), dataDir,
+      table.schema, table.spec, table.properties, SortOrder.unsorted,
+      preClustered = false)
+    val snapshot = stageAppendSnapshot(table, outs,
+      Map("branch" -> branch), parentOverride = parent)
+    val committed = catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertRefSnapshotId(branch,
+          md.refs.get(branch).map(_.snapshotId))),
+      Seq(graft.catalog.AddSnapshot(snapshot),
+        graft.catalog.SetSnapshotRef(branch, snapshot.snapshotId)))
+    snapshot.firstRowId.foreach(base => verifyLineageAdvanced(identifier,
+      base + outs.map(_.rows).sum,
+      committed.metadata.nextRowId.getOrElse(0L)))
+    committed
   }
 
   /** Import EXISTING parquet files into the table without rewriting them
@@ -2751,6 +2896,35 @@ object TableWriter {
   // UPDATE/MERGE run on REST-cataloged tables (the reference PANICS on any
   // REST commit, rest.go:418-424).
 
+  /** Schema evolution on a REST-cataloged table: run `evolve` (any chain
+    * of the TableWriter evolution functions) against a local SCRATCH copy
+    * of the loaded metadata — metadata-only, nothing under the real table
+    * location is touched — then commit only the RESULT as the spec's
+    * `add-schema` + `set-current-schema(-1)` actions, guarded by
+    * `assert-current-schema-id` so racing evolutions conflict instead of
+    * clobbering. The write-time `mergeSchema` path and SQL ALTER both ride
+    * this, so the two planes can never diverge on evolution semantics. */
+  def evolveSchemaRest(catalog: graft.catalog.RestCatalog,
+                       identifier: Seq[String],
+                       evolve: IcebergTable => IcebergTable)
+      : graft.catalog.LoadedTable = {
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_rest_evolve").toFile
+    val metaDir = new File(scratch, "metadata"); metaDir.mkdirs()
+    Files.writeString(new File(metaDir, "v1.metadata.json").toPath, md.toJson)
+    val t = evolve(IcebergTables.load(scratch.getPath))
+    if (t.metadata.currentSchemaId == md.currentSchemaId &&
+        t.metadata.currentSchema == md.currentSchema) return loaded
+    catalog.commitTable(identifier,
+      Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+        graft.catalog.AssertCurrentSchemaId(md.currentSchemaId)),
+      Seq(graft.catalog.AddSchema(t.metadata.currentSchema,
+        Some(t.metadata.lastColumnId)),
+        graft.catalog.SetCurrentSchema(-1)))
+  }
+
   /** SQL INSERT INTO (append) on a REST-cataloged table: one distributed
     * parquet write under the table location, then the [[appendFilesRest]]
     * commit. No pin needed — appends commute, and the commit's
@@ -2804,20 +2978,17 @@ object TableWriter {
   }
 
   /** SQL DELETE with an arbitrary pushable predicate on a REST-cataloged
-    * table (format V2): ONE distributed scan computes (file, pos)
-    * tombstones — [[deleteWhere]]'s plan shape — and the delta snapshot
-    * commits through the server, pinned to the scanned load's main head.
-    * V3 REST tables refuse here (positional delete FILES are forbidden on
-    * V3 and the deletion-vector commit is not yet routed over REST); the
-    * copy-on-write row-level path covers them. */
+    * table: ONE distributed scan computes (file, pos) tombstones —
+    * [[deleteWhere]]'s plan shape — and the delta snapshot commits
+    * through the server, pinned to the scanned load's main head. V2
+    * commits the tombstone files directly; V3 re-homes them into
+    * deletion vectors ([[commitDeltaDvRest]]), the same fork the local
+    * path takes. */
   def deleteWhereRest(catalog: graft.catalog.RestCatalog,
                       identifier: Seq[String],
                       spark: org.apache.spark.sql.SparkSession,
                       predicate: Column): graft.catalog.LoadedTable = {
     val loaded = catalog.loadTable(identifier)
-    require(loaded.metadata.formatVersion < 3,
-      "positional SQL DELETE on a V3 REST table: deletion vectors are not " +
-        "yet routed over REST — use copy-on-write delete mode")
     val table = restTableOf(loaded)
     val snapId = System.nanoTime()
     val delDir = new File(table.location, s"data/deletes-$snapId")
@@ -2827,7 +2998,9 @@ object TableWriter {
       .orderBy("file_path", "pos")
       .write.parquet(delDir.getPath)
     val delFiles = listParquet(delDir).map(_.getPath)
-    commitDeltaRest(catalog, identifier, loaded, Nil, delFiles)
+    if (loaded.metadata.formatVersion >= 3)
+      commitDeltaDvRest(catalog, identifier, loaded, Nil, delFiles)
+    else commitDeltaRest(catalog, identifier, loaded, Nil, delFiles)
   }
 
   /** MoR delta commit (positional tombstones + appended files in ONE
@@ -2847,6 +3020,49 @@ object TableWriter {
     val change = restChangeFor(basedOn.metadata, identifier, snapshot)
     val committed = catalog.commitTable(identifier, change.requirements,
       change.updates)
+    snapshot.firstRowId.foreach(base => verifyLineageAdvanced(identifier,
+      base + added.map(_.rows).sum,
+      committed.metadata.nextRowId.getOrElse(0L)))
+    committed
+  }
+
+  /** V3 twin of [[commitDeltaRest]] — MoR SQL DML on a V3 REST table: the
+    * task tombstones re-home into deletion vectors exactly as
+    * [[commitDeltaDv]] does locally (fold prior deletes, one DV per
+    * touched file), and the DV snapshot commits through the server pinned
+    * to `basedOn`'s main head. The table must already BE V3: a V2 table
+    * would need the format-version flip this wire form doesn't carry. */
+  def commitDeltaDvRest(catalog: graft.catalog.RestCatalog,
+                        identifier: Seq[String],
+                        basedOn: graft.catalog.LoadedTable,
+                        added: Seq[graft.spark.CowFileOut],
+                        posDeleteFiles: Seq[String])
+      : graft.catalog.LoadedTable = {
+    if (posDeleteFiles.isEmpty)
+      return commitDeltaRest(catalog, identifier, basedOn, added, Nil)
+    require(basedOn.metadata.formatVersion >= 3,
+      "DV delta over REST requires a V3 table (the V2→V3 flip has no " +
+        "wire form in an add-snapshot commit)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = restTableOf(basedOn)
+    import org.apache.spark.sql.functions.regexp_replace
+    val seq = table.metadata.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
+    val newDead = spark.read.parquet(posDeleteFiles: _*)
+      .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+        .as("file_path"), col("pos"))
+    val (dead, priorDvs) =
+      foldPriorDeletes(spark, newDead, table.newScan().planFiles())
+    val dvFiles = writeDvFiles(spark, dead, priorDvs, delDir, snapId, seq)
+    val (snapshot, _) = stageDvSnapshot(table, added, dvFiles, _ => false,
+      if (added.isEmpty) OpDelete else OpOverwrite, Map.empty,
+      snapId, seq, metaDir)
+    val change = restChangeFor(basedOn.metadata, identifier, snapshot)
+    val committed = catalog.commitTable(identifier, change.requirements,
+      change.updates)
+    posDeleteFiles.foreach(p => new File(p).delete())
     snapshot.firstRowId.foreach(base => verifyLineageAdvanced(identifier,
       base + added.map(_.rows).sum,
       committed.metadata.nextRowId.getOrElse(0L)))

@@ -120,14 +120,6 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM grest.db.events")
       .collect()(0).getLong(0) == 0L)
 
-    // surfaces the REST protocol has no wire form for still refuse
-    spark.conf.set("spark.wap.branch", "audit")
-    try {
-      val e = intercept[Exception] {
-        spark.sql("INSERT INTO grest.db.events VALUES (5, 'w')")
-      }
-      assert(e.getMessage.contains("REST"), e.getMessage)
-    } finally spark.conf.unset("spark.wap.branch")
   }
 
   test("ALTER TABLE on a REST table commits add-schema/set-properties through the server") {
@@ -213,6 +205,100 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(head.summary.get.properties.get("added-delete-files").contains("1"),
       head.summary)
     assert(head.summary.get.properties.get("added-data-files").contains("1"))
+  }
+
+  test("V3 REST table: MoR UPDATE and positional DELETE commit deletion vectors") {
+    conf()
+    rc.createNamespace(Seq("v3"))
+    val loc = Files.createTempDirectory("rsql_v3").toFile.getPath
+    rc.createTable(Seq("v3", "t"), schema,
+      Map("format-version" -> "3",
+        "write.update.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"), location = Some(loc))
+    assert(rc.loadTable(Seq("v3", "t")).metadata.formatVersion == 3)
+    appendRest(Seq("v3", "t"), loc, Seq((1L, "a"), (2L, "b"), (3L, "c")), "v1")
+
+    // MoR UPDATE on V3: tombstones re-home into a deletion vector,
+    // committed through the server
+    spark.sql("UPDATE grest.v3.t SET data = 'A' WHERE id = 1")
+    assert(rowsOf("grest.v3.t") == Seq((1L, "A"), (2L, "b"), (3L, "c")))
+    val md1 = rc.loadTable(Seq("v3", "t")).metadata
+    assert(md1.currentSnapshot.get.summary.get.properties
+      .get("deletion-vectors-added").contains("1"), md1.currentSnapshot.get.summary)
+
+    // positional DELETE (non-equality pushable) also rides the DV path;
+    // the new DV MERGES the file's prior deletes
+    spark.sql("DELETE FROM grest.v3.t WHERE id > 2")
+    assert(rowsOf("grest.v3.t") == Seq((1L, "A"), (2L, "b")))
+    val md2 = rc.loadTable(Seq("v3", "t")).metadata
+    assert(md2.currentSnapshot.get.summary.get.properties
+      .get("deletion-vectors-added").contains("1"), md2.currentSnapshot.get.summary)
+    // V3 row lineage advanced server-side across the appends
+    assert(md2.nextRowId.exists(_ >= 3L), md2.nextRowId)
+  }
+
+  test("WAP over REST: branch staging + fast_forward, wap.id stage + publish_changes") {
+    conf()
+    rc.createNamespace(Seq("wap"))
+    val loc = Files.createTempDirectory("rsql_wap").toFile.getPath
+    rc.createTable(Seq("wap", "t"), schema,
+      Map("write.wap.enabled" -> "true"), location = Some(loc))
+    appendRest(Seq("wap", "t"), loc, Seq((1L, "a")), "w1")
+
+    // branch staging: the INSERT forks from main, only the branch moves
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO grest.wap.t VALUES (2, 'staged')")
+    finally spark.conf.unset("spark.wap.branch")
+    val mdB = rc.loadTable(Seq("wap", "t")).metadata
+    assert(mdB.refs.contains("audit"))
+    assert(rowsOf("grest.wap.t") == Seq((1L, "a")), "main must be untouched")
+    // publish via fast_forward — one set-snapshot-ref(main) server-side
+    val ff = spark.sql("CALL grest.system.fast_forward('wap.t', 'audit')")
+      .collect()(0)
+    assert(ff.getLong(1) == mdB.refs("audit").snapshotId)
+    assert(rowsOf("grest.wap.t") == Seq((1L, "a"), (2L, "staged")))
+
+    // wap.id stage-commit: add-snapshot with NO ref move
+    spark.conf.set("spark.wap.id", "audit-42")
+    try spark.sql("INSERT INTO grest.wap.t VALUES (3, 'pending')")
+    finally spark.conf.unset("spark.wap.id")
+    val mdS = rc.loadTable(Seq("wap", "t")).metadata
+    val staged = mdS.snapshots.find(_.summary.exists(
+      _.properties.get("wap.id").contains("audit-42")))
+    assert(staged.isDefined, "stage must land as an unreferenced snapshot")
+    assert(!mdS.currentSnapshotId.contains(staged.get.snapshotId))
+    assert(rowsOf("grest.wap.t") == Seq((1L, "a"), (2L, "staged")))
+    // publish by wap id — cherrypick through the server
+    val pub = spark.sql("CALL grest.system.publish_changes('wap.t', 'audit-42')")
+      .collect()(0)
+    assert(pub.getLong(0) == staged.get.snapshotId)
+    assert(rowsOf("grest.wap.t") ==
+      Seq((1L, "a"), (2L, "staged"), (3L, "pending")))
+    // duplicate publish refuses (provenance stamp)
+    val e = intercept[Exception] {
+      spark.sql("CALL grest.system.cherrypick_snapshot('wap.t', " +
+        s"${staged.get.snapshotId}L)").collect()
+    }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+  }
+
+  test("mergeSchema INSERT on a REST table commits add-schema before the append") {
+    conf()
+    import spark.implicits._
+    rc.createNamespace(Seq("ms"))
+    val loc = Files.createTempDirectory("rsql_ms").toFile.getPath
+    rc.createTable(Seq("ms", "t"), schema,
+      Map("write.accept-any-schema" -> "true"), location = Some(loc))
+    appendRest(Seq("ms", "t"), loc, Seq((1L, "a")), "m1")
+
+    Seq((2L, "b", 0.9)).toDF("id", "data", "score")
+      .writeTo("grest.ms.t").option("mergeSchema", "true").append()
+    val md = rc.loadTable(Seq("ms", "t")).metadata
+    assert(md.currentSchema.fields.map(_.name) == Seq("id", "data", "score"))
+    val got = spark.sql("SELECT id, data, score FROM grest.ms.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(0.9))))
   }
 
   test("REST CoW/overwrite commits pin the scanned head: concurrent commit conflicts") {
