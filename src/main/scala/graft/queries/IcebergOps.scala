@@ -1310,6 +1310,92 @@ object IcebergOps {
       .orderBy("event_type")
   }
 
+  /** Schema evolution + WAP on a REST-cataloged table (ice35): ALTER
+    * TABLE ADD COLUMN commits the spec's `add-schema` action through a
+    * LIVE server (old rows read null for the new column by field-id
+    * resolution), a post-evolution INSERT fills it, and a
+    * `spark.wap.branch` INSERT stages on a branch — invisible to main —
+    * until `CALL fast_forward` publishes it as one
+    * set-snapshot-ref(main). The oracle replays the sequence
+    * relationally: evolution = null-extension, WAP = the staged rows
+    * appearing only in the published union. Same provisioning discipline
+    * as ice34 (once per sf dir, metadata materialized for post-cache
+    * runs). */
+  def ice35RestEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = new File(
+      s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/rest_evolution")
+    provisionOnce(root) {
+      val loc = new File(root, "ev"); loc.mkdirs()
+      val wh = new File(root, "wh"); wh.mkdirs()
+      val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+      server.start()
+      try {
+        val cat = graft.catalog.Catalog.load("ice35", server.uri,
+          Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+          .asInstanceOf[graft.catalog.RestCatalog]
+        cat.createNamespace(Seq("p"))
+        cat.createTable(Seq("p", "ev"), Schema(0, StructT(Seq(
+          NestedField(1, "event_id", LongT, required = true),
+          NestedField(2, "event_type", StringT),
+          NestedField(3, "value", DoubleT)))), location = Some(loc.getPath))
+        s.conf.set("spark.sql.catalog.ice35cat", "graft.spark.GraftCatalog")
+        s.conf.set("spark.sql.catalog.ice35cat.warehouse", wh.getPath)
+        s.conf.set("spark.sql.catalog.ice35cat.uri", server.uri)
+        s.conf.set("spark.sql.catalog.ice35cat.credential", "graft:graft")
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .createOrReplaceTempView("ice35_src")
+        s.sql("INSERT INTO ice35cat.p.ev SELECT event_id, event_type, value " +
+          "FROM ice35_src WHERE event_id % 2 = 0")
+        // server-side schema evolution; the seed rows read null for score
+        s.sql("ALTER TABLE ice35cat.p.ev ADD COLUMN score DOUBLE")
+        s.sql("INSERT INTO ice35cat.p.ev SELECT event_id, event_type, value, " +
+          "value AS score FROM ice35_src WHERE event_id % 2 = 1")
+        // WAP: stage on a branch (main untouched), publish via fast_forward
+        s.conf.set("spark.wap.branch", "audit")
+        try s.sql("INSERT INTO ice35cat.p.ev SELECT event_id, 'wap', value, " +
+          "CAST(1.0 AS DOUBLE) FROM ice35_src WHERE event_id % 101 = 0")
+        finally s.conf.unset("spark.wap.branch")
+        s.sql("CALL ice35cat.system.fast_forward('p.ev', 'audit')")
+        val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new File(metaDir, "v1.metadata.json").toPath,
+          cat.loadTable(Seq("p", "ev")).metadata.toJson)
+      } finally server.stop()
+    }
+    IcebergTables.load(new File(root, "ev").getPath).newScan().toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("event_id"))
+          .cast("double").as("sum_id"),
+        dsum(col("value")).as("sum_value"),
+        count(col("score")).as("n_scored"),
+        dsum(col("score")).as("sum_score"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of the ice35 sequence: evolution = null-extension of
+    * the pre-ALTER rows, WAP = the staged branch rows present only
+    * because fast_forward published them. */
+  val ice35Sql: String =
+    s"""WITH seed AS (
+         SELECT event_id, event_type, value, CAST(NULL AS DOUBLE) AS score
+         FROM events WHERE event_id % 2 = 0),
+       ins AS (
+         SELECT event_id, event_type, value, value AS score
+         FROM events WHERE event_id % 2 = 1),
+       wap AS (
+         SELECT event_id, 'wap' AS event_type, value, 1.0 AS score
+         FROM events WHERE event_id % 101 = 0),
+       allr AS (
+         SELECT * FROM seed UNION ALL SELECT * FROM ins
+         UNION ALL SELECT * FROM wap)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS DOUBLE) AS sum_id,
+              ${sqlDsum("value")} AS sum_value,
+              COUNT(score) AS n_scored,
+              ${sqlDsum("score")} AS sum_score
+       FROM allr GROUP BY event_type ORDER BY event_type"""
+
   /** DuckDB mirror of the ice34 DML sequence, replayed relationally over
     * the source parquet: delete = filter, update = CASE projection, merge
     * = left-join update ∪ anti-join insert. */
