@@ -104,6 +104,29 @@ final case class AddSchema(schema: graft.core.Schema,
 /** The spec's `set-current-schema` action; `schemaId = -1` means "the
   * schema added in this same update set" per the spec. */
 final case class SetCurrentSchema(schemaId: Int) extends TableUpdate
+/** The spec's `upgrade-format-version` action — the format flip of a
+  * V2→V3 upgrade commits through the server. When the table carries live
+  * positional parquet tombstones, the DV re-home snapshot rides the SAME
+  * commit (`TableWriter.upgradeFormatVersionRest`), so a reader observes
+  * either the V2 table with tombstones or the V3 table with DVs — never a
+  * V3 table whose tombstone files readers silently ignore. */
+final case class UpgradeFormatVersion(formatVersion: Int) extends TableUpdate
+/** The spec's `set-statistics` action — `entryJson` is ONE StatisticsFile
+  * node (snapshot-id, statistics-path, sizes, blob-metadata); the server
+  * owns the array merge (replace same-snapshot entry, keep others). */
+final case class SetStatistics(entryJson: String) extends TableUpdate
+/** The spec's `set-partition-statistics` action (one
+  * PartitionStatisticsFile node, same server-side merge rule). */
+final case class SetPartitionStatistics(entryJson: String) extends TableUpdate
+/** The spec's `add-spec` action — partition-spec evolution commits the
+  * EVOLVED spec (computed client-side by the same evolution functions the
+  * local plane runs); the server owns spec-id assignment on conflict and
+  * advances `last-partition-id` past every field id the spec allocated. */
+final case class AddPartitionSpec(spec: graft.core.PartitionSpec)
+  extends TableUpdate
+/** The spec's `set-default-spec` action; `specId = -1` means "the spec
+  * added in this same update set" per the spec. */
+final case class SetDefaultSpec(specId: Int) extends TableUpdate
 
 /** One table's change set inside a multi-table transaction
   * ([[RestCatalog.commitTransaction]]). */
@@ -553,8 +576,55 @@ final class RestCatalog(val name: String, uri: String,
         val u = ups.addObject()
         u.put("action", "set-current-schema")
         u.put("schema-id", schemaId)
+      case UpgradeFormatVersion(v) =>
+        val u = ups.addObject()
+        u.put("action", "upgrade-format-version")
+        u.put("format-version", v)
+      case SetStatistics(entryJson) =>
+        val u = ups.addObject()
+        u.put("action", "set-statistics")
+        u.set[com.fasterxml.jackson.databind.JsonNode]("statistics",
+          mapper.readTree(entryJson))
+      case SetPartitionStatistics(entryJson) =>
+        val u = ups.addObject()
+        u.put("action", "set-partition-statistics")
+        u.set[com.fasterxml.jackson.databind.JsonNode]("partition-statistics",
+          mapper.readTree(entryJson))
+      case AddPartitionSpec(spec) =>
+        val u = ups.addObject()
+        u.put("action", "add-spec")
+        val sn = u.putObject("spec")
+        sn.put("spec-id", spec.specId)
+        val fs = sn.putArray("fields")
+        spec.fields.foreach { f =>
+          val fn = fs.addObject()
+          fn.put("source-id", f.sourceId)
+          fn.put("field-id", f.fieldId)
+          fn.put("name", f.name)
+          fn.put("transform", f.transform.repr)
+        }
+      case SetDefaultSpec(specId) =>
+        val u = ups.addObject()
+        u.put("action", "set-default-spec")
+        u.put("spec-id", specId)
     }
     body
+  }
+
+  /** Existence probe (the spec's `HEAD .../tables/{table}`) — one
+    * status-only round trip, no metadata transfer: the check engines run
+    * before deciding to CREATE (e.g. Spark's `writeStream.toTable` /
+    * `saveAsTable` create-if-absent paths). */
+  def tableExists(identifier: Seq[String]): Boolean = {
+    require(identifier.size >= 2, s"invalid table identifier: $identifier")
+    val ns = identifier.dropRight(1)
+    try {
+      request("HEAD", prefixedPath("namespaces",
+        ns.mkString(NamespaceSeparator), "tables", identifier.last))
+      true
+    } catch {
+      case _: NoSuchTableError | _: NoSuchNamespaceError => false
+    }
   }
 
   def listTables(ns: Seq[String]): Seq[Seq[String]] = {

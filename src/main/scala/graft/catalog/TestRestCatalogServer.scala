@@ -288,6 +288,11 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
             respond(ex, 200, tableResponse(ns, tname, md))
           }
         }
+      // the spec's existence probe: HEAD /namespaces/{ns}/tables/{t} —
+      // status only, no body
+      case ("HEAD", Seq("namespaces", ns, "tables", t)) =>
+        ex.sendResponseHeaders(if (tables.contains((ns, t))) 204 else 404, -1)
+        ex.close()
       case ("GET", Seq("namespaces", ns, "tables", t)) =>
         tables.get((ns, t)) match {
           case None => err(ex, 404, s"table $ns.$t not found")
@@ -669,8 +674,10 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
   private def applyUpdates(b: com.fasterxml.jackson.databind.JsonNode,
                            md: ObjectNode): Unit = {
         // `set-current-schema` with schema-id = -1 refers to the schema
-        // added in this same update set (the spec's pairing rule)
+        // added in this same update set (the spec's pairing rule);
+        // `set-default-spec` has the same -1 rule for `add-spec`
         var lastAddedSchemaId = -1
+        var lastAddedSpecId = -1
         Option(b.get("updates")).foreach(_.forEach { u =>
           u.get("action").asText() match {
             case "set-properties" =>
@@ -773,6 +780,61 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               if (!known) throw new IllegalArgumentException(
                 s"set-current-schema: schema-id $target not in metadata")
               md.put("current-schema-id", target)
+              ()
+            case "upgrade-format-version" =>
+              val target = u.get("format-version").asInt()
+              val cur = md.get("format-version").asInt()
+              if (target < cur) throw new IllegalArgumentException(
+                s"cannot downgrade format-version $cur -> $target")
+              md.put("format-version", target)
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "add-spec" =>
+              val sn = u.get("spec").deepCopy[ObjectNode]()
+              val specs = md.withArray[ArrayNode]("partition-specs")
+              // the server owns spec-id assignment on conflict (the
+              // add-schema rule)
+              var maxId = -1
+              specs.forEach(x => maxId = math.max(maxId, x.get("spec-id").asInt()))
+              if (sn.get("spec-id").asInt() <= maxId)
+                sn.put("spec-id", maxId + 1)
+              specs.add(sn)
+              lastAddedSpecId = sn.get("spec-id").asInt()
+              // advance the partition-field-id high-water mark (dropped
+              // fields' ids must never be reused — old manifests carry them)
+              var maxField =
+                Option(md.get("last-partition-id")).map(_.asInt()).getOrElse(999)
+              sn.get("fields").forEach(f =>
+                maxField = math.max(maxField, f.get("field-id").asInt()))
+              md.put("last-partition-id", maxField)
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "set-default-spec" =>
+              val id0 = u.get("spec-id").asInt()
+              val target = if (id0 == -1) lastAddedSpecId else id0
+              var known = false
+              md.withArray[ArrayNode]("partition-specs").forEach(x =>
+                known ||= x.get("spec-id").asInt() == target)
+              if (!known) throw new IllegalArgumentException(
+                s"set-default-spec: spec-id $target not in metadata")
+              md.put("default-spec-id", target)
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            // statistics registration: replace any entry for the same
+            // snapshot, keep others (the spec's merge rule)
+            case "set-statistics" | "set-partition-statistics" =>
+              val field = if (u.get("action").asText() == "set-statistics")
+                "statistics" else "partition-statistics"
+              val entry = u.get(field)
+              val sid = entry.get("snapshot-id").asLong()
+              val kept = mapper.createArrayNode()
+              Option(md.get(field)).collect { case a: ArrayNode => a }
+                .foreach(_.forEach { n =>
+                  if (n.get("snapshot-id").asLong() != sid) kept.add(n): Unit
+                })
+              kept.add(entry)
+              md.set[com.fasterxml.jackson.databind.JsonNode](field, kept)
+              md.put("last-updated-ms", System.currentTimeMillis())
               ()
             case other => throw new IllegalArgumentException(s"unknown update $other")
           }

@@ -1373,6 +1373,97 @@ object IcebergOps {
       .orderBy("event_type")
   }
 
+  /** V2→V3 format upgrade on a REST-cataloged table (ice36): a MoR
+    * DELETE leaves V2 positional parquet tombstones; `ALTER TABLE SET
+    * TBLPROPERTIES ('format-version'='3')` commits the spec's
+    * `upgrade-format-version` action WITH the DV re-home snapshot in the
+    * SAME commit (tombstones retire into deletion vectors; data files are
+    * untouched — the pass is O(live tombstone rows), not O(table));
+    * post-upgrade MoR UPDATE rides the V3 DV path, folding the re-homed
+    * DV. The oracle replays delete+update relationally: the upgrade must
+    * be row-invariant, which is exactly what the hash check pins.
+    * Internal requires pin what SQL can't see: the V3 flip, the summary's
+    * tombstone retirement, and that no parquet tombstone stays live. */
+  def ice36RestUpgrade(s: SparkSession, d: String): DataFrame = {
+    val root = new File(
+      s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/rest_upgrade")
+    provisionOnce(root) {
+      val loc = new File(root, "ev"); loc.mkdirs()
+      val wh = new File(root, "wh"); wh.mkdirs()
+      val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+      server.start()
+      try {
+        val cat = graft.catalog.Catalog.load("ice36", server.uri,
+          Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+          .asInstanceOf[graft.catalog.RestCatalog]
+        cat.createNamespace(Seq("p"))
+        cat.createTable(Seq("p", "ev"), Schema(0, StructT(Seq(
+          NestedField(1, "event_id", LongT, required = true),
+          NestedField(2, "event_type", StringT),
+          NestedField(3, "value", DoubleT)))),
+          Map("write.delete.mode" -> "merge-on-read",
+            "write.update.mode" -> "merge-on-read"),
+          location = Some(loc.getPath))
+        s.conf.set("spark.sql.catalog.ice36cat", "graft.spark.GraftCatalog")
+        s.conf.set("spark.sql.catalog.ice36cat.warehouse", wh.getPath)
+        s.conf.set("spark.sql.catalog.ice36cat.uri", server.uri)
+        s.conf.set("spark.sql.catalog.ice36cat.credential", "graft:graft")
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .createOrReplaceTempView("ice36_src")
+        s.sql("INSERT INTO ice36cat.p.ev SELECT event_id, event_type, value " +
+          "FROM ice36_src")
+        // V2 MoR DELETE: positional parquet tombstones, no data rewrite —
+        // the % predicate is not source-pushable (no equality-delete
+        // shortcut, no metadata-only whole-file drop), so every affected
+        // file gets real tombstones for the upgrade to re-home
+        s.sql("DELETE FROM ice36cat.p.ev WHERE event_id % 5 = 4")
+        require(cat.loadTable(Seq("p", "ev")).metadata.formatVersion == 2,
+          "seed table must start V2")
+        s.sql("ALTER TABLE ice36cat.p.ev SET TBLPROPERTIES " +
+          "('format-version'='3')")
+        val md3 = cat.loadTable(Seq("p", "ev")).metadata
+        require(md3.formatVersion == 3,
+          s"expected V3 after upgrade, got ${md3.formatVersion}")
+        val head = md3.currentSnapshot.get.summary.get.properties
+        require(head.get("position-delete-files-removed")
+          .exists(_.toInt >= 1), s"upgrade summary missing retirement: $head")
+        val dels = graft.spark.TableWriter
+          .restTableOf(cat.loadTable(Seq("p", "ev")))
+          .newScan().planFiles().flatMap(_.deleteFiles)
+        require(dels.nonEmpty && dels.forall(_.isDeletionVector),
+          "parquet tombstones survived the upgrade")
+        // post-upgrade MoR UPDATE rides the V3 DV path (folds the re-homed DV)
+        s.sql("UPDATE ice36cat.p.ev SET value = value * 2 " +
+          "WHERE event_id % 7 = 0")
+        val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new File(metaDir, "v1.metadata.json").toPath,
+          cat.loadTable(Seq("p", "ev")).metadata.toJson)
+      } finally server.stop()
+    }
+    IcebergTables.load(new File(root, "ev").getPath).newScan().toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("event_id"))
+          .cast("double").as("sum_id"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of the ice36 sequence: delete = filter, update = CASE
+    * projection; the V2→V3 upgrade itself must not move a single row. */
+  val ice36Sql: String =
+    s"""WITH seed AS (SELECT event_id, event_type, value FROM events),
+       afterdel AS (SELECT * FROM seed WHERE event_id % 5 <> 4),
+       afterupd AS (
+         SELECT event_id, event_type,
+                CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+         FROM afterdel)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS DOUBLE) AS sum_id,
+              ${sqlDsum("value")} AS sum_value
+       FROM afterupd GROUP BY event_type ORDER BY event_type"""
+
   /** DuckDB mirror of the ice35 sequence: evolution = null-extension of
     * the pre-ALTER rows, WAP = the staged branch rows present only
     * because fast_forward published them. */

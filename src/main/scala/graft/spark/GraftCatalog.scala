@@ -313,7 +313,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(t, Some(snap.snapshotId))
   }
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+  /** BOTH planes: a REST-cataloged table exists even without a local
+    * directory — otherwise Spark's create-if-absent surfaces
+    * (`writeStream.toTable`, `saveAsTable`) would CREATE a shadowing
+    * local table over a live REST one. One status-only HEAD round trip;
+    * no metadata transfer. */
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident)) ||
+      rest.exists(rc =>
+        try rc.tableExists(restIdent(ident))
+        catch { case _: graft.catalog.CatalogError => false })
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -423,21 +432,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * spec's `add-schema` + `set-current-schema(-1)` update actions guarded
     * by `assert-current-schema-id` (two racing ALTERs based on the same
     * schema cannot both land). Property changes ride the same commit as
-    * `set-properties`/`remove-properties`. The format-version upgrade
-    * refuses: on V3 it re-homes live tombstones into deletion vectors — a
-    * DATA commit the ALTER wire has no form for. */
+    * `set-properties`/`remove-properties`. `format-version` is not a
+    * free-form property (same rule as the local plane): it routes through
+    * [[TableWriter.upgradeFormatVersionRest]] — the spec's
+    * `upgrade-format-version` action, plus the V3 DV re-home snapshot in
+    * the SAME commit when live parquet tombstones exist. */
   private def restAlterTable(ident: Identifier,
                              changes: Seq[TableChange]): Table = {
     val rc = rest.get
     val id = restIdent(ident)
-    changes.foreach {
-      case s: TableChange.SetProperty if s.property() == "format-version" =>
-        throw new UnsupportedOperationException(
-          "format-version upgrade on a REST-cataloged table is not routed " +
-            "through SQL ALTER (the V3 upgrade re-homes tombstones into " +
-            "deletion vectors — a data commit)")
-      case _ => ()
+    val fv = changes.collect {
+      case s: TableChange.SetProperty if s.property() == "format-version" => s }
+    fv.foreach { s =>
+      val target = s.value().toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"format-version must be an integer, got '${s.value()}'"))
+      TableWriter.upgradeFormatVersionRest(rc, id, rc.loadTable(id),
+        org.apache.spark.sql.SparkSession.active, target)
+      invalidateRest(id)
     }
+    val remaining = changes.filterNot(c => fv.exists(_ eq c))
+    if (remaining.isEmpty)
+      return restLoadTable(ident).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val loaded = rc.loadTable(id)
     val md = loaded.metadata
     val scratch = java.nio.file.Files.createTempDirectory("graft_rest_alter").toFile
@@ -445,7 +462,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.nio.file.Files.writeString(
       new File(metaDir, "v1.metadata.json").toPath, md.toJson)
     val (t, setProps, unsetProps) =
-      applyAlterChanges(IcebergTables.load(scratch.getPath), changes)
+      applyAlterChanges(IcebergTables.load(scratch.getPath), remaining)
     val updates = Vector.newBuilder[graft.catalog.TableUpdate]
     val schemaChanged = t.metadata.currentSchemaId != md.currentSchemaId ||
       t.metadata.currentSchema != md.currentSchema

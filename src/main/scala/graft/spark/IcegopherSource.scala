@@ -387,7 +387,11 @@ final class GraftSparkTable(table: IcebergTable,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, schema(), options, pinnedSnapshotId)
+    new GraftScanBuilder(table, schema(), options, pinnedSnapshotId,
+      // streaming reads on a REST-cataloged table poll the SERVER for
+      // fresh metadata (the local listing may lag or not exist at all)
+      streamReload = restDml.map(b =>
+        () => TableWriter.restTableOf(b.load(), b.catalog)))
 
   /** Write path: the V1Write bridge hands us the source DataFrame intact, so
     * INSERT INTO / df.writeTo(...).append() reuse the same distributed
@@ -512,7 +516,7 @@ final class GraftSparkTable(table: IcebergTable,
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new graft.streaming.GraftStreamingWrite(table.location, info.schema(),
-              info.queryId())
+              info.queryId(), restDml = restDml)
         }
     }
   }
@@ -549,7 +553,8 @@ final class GraftSparkTable(table: IcebergTable,
 
 final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
                              options: CaseInsensitiveStringMap,
-                             pinnedSnapshotId: Option[Long] = None)
+                             pinnedSnapshotId: Option[Long] = None,
+                             streamReload: Option[() => IcebergTable] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates
@@ -955,7 +960,8 @@ final class GraftScanBuilder(table: IcebergTable, fullSchema: StructType,
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
         options.getBoolean("read-changes", false),
         bbox = bboxRow,
-        requestedTopN = topN)
+        requestedTopN = topN,
+        streamReload = streamReload)
   }
 }
 
@@ -1012,7 +1018,11 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
                       // reader cap ONLY when the scan actually reports a
                       // covering ordering (see planInputPartitions)
                       requestedTopN: Option[(Seq[(String, Boolean, Boolean)],
-                        Int)] = None)
+                        Int)] = None,
+                      // fresh-metadata loader for streaming reads when the
+                      // table's catalog of record is not the filesystem
+                      // (REST): each micro-batch poll follows the server
+                      streamReload: Option[() => IcebergTable] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1232,7 +1242,8 @@ final class GraftScan(table: IcebergTable, filter: BooleanExpression,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.streaming.GraftMicroBatchStream(table.location, required,
-      streamStart, maxFilesPerTrigger, maxBytesPerTrigger, readChanges)
+      streamStart, maxFilesPerTrigger, maxBytesPerTrigger, readChanges,
+      reload = streamReload)
   override def description(): String =
     s"icegopher ${table.location} [${tasks.size} files after pruning]"
 

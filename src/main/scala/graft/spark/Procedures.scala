@@ -67,7 +67,22 @@ object GraftProcedures {
   def load(name: String, resolveLocation: String => String,
            resolveRest: String =>
              Option[(graft.catalog.RestCatalog, Seq[String])] = _ => None)
-      : UnboundProcedure =
+      : UnboundProcedure = {
+    // Resolve a ref for a DATA-REWRITING procedure (compact and friends):
+    // a REST table gets a read handle over a fresh server load PLUS the
+    // commit context (catalog, ident, basedOn) the rewrite pins its
+    // replace commit to — maintenance must commit through the server,
+    // never rewrite metadata files behind it.
+    def rewriteCtx(ref: String): (IcebergTable,
+        Option[(graft.catalog.RestCatalog, Seq[String],
+          graft.catalog.LoadedTable)]) =
+      resolveRest(ref) match {
+        case Some((rc, id)) =>
+          val loaded = rc.loadTable(id)
+          (TableWriter.restTableOf(loaded, rc), Some((rc, id, loaded)))
+        case None =>
+          (IcebergTables.load(resolveLocation(ref)), None)
+      }
     name match {
       case "rollback_to_snapshot" => proc(name,
         Seq("table" -> StringType, "snapshot_id" -> LongType),
@@ -126,7 +141,7 @@ object GraftProcedures {
           "min_file_size_bytes" -> "CAST(NULL AS BIGINT)",
           "delete_file_threshold" -> "CAST(NULL AS INT)")) { in =>
         val spark = org.apache.spark.sql.SparkSession.active
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         // a predicate scopes the rewrite to the files the planner can't
         // prove disjoint from it — an inexpressible predicate REFUSES
         // (parsePredicate throws) rather than widening to the whole table
@@ -140,7 +155,8 @@ object GraftProcedures {
           minSize, delThreshold).size
         val before = table.newScan().planFiles().size
         val out = TableWriter.compact(table, spark, in.getInt(1), where = where,
-          minFileSizeBytes = minSize, deleteFileThreshold = delThreshold)
+          minFileSizeBytes = minSize, deleteFileThreshold = delThreshold,
+          restCommit = restCtx)
         Array[Any](before, out.newScan().planFiles().size, rewritten)
       }
       case "rewrite_sorted" => proc(name,
@@ -150,13 +166,14 @@ object GraftProcedures {
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
           StructField("sorted_by", StringType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "rewrite_sorted needs at least one sort column")
         val before = table.newScan().planFiles().size
         val out = TableWriter.compact(table,
-          org.apache.spark.sql.SparkSession.active, in.getInt(1), sortBy = cols)
+          org.apache.spark.sql.SparkSession.active, in.getInt(1), sortBy = cols,
+          restCommit = restCtx)
         Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
       }
       case "compute_table_stats" => proc(name,
@@ -164,11 +181,11 @@ object GraftProcedures {
         StructType(Seq(
           StructField("statistics_path", StringType, nullable = false),
           StructField("columns_analyzed", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val (out, n) = TableWriter.computeTableStats(table,
-          org.apache.spark.sql.SparkSession.active, cols)
+          org.apache.spark.sql.SparkSession.active, cols, restCommit = restCtx)
         Array[Any](UTF8String.fromString(
           out.metadata.statisticsFiles.find(
             _.snapshotId == out.currentSnapshot.get.snapshotId)
@@ -179,9 +196,9 @@ object GraftProcedures {
         StructType(Seq(
           StructField("statistics_path", StringType, nullable = false),
           StructField("partitions", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val (out, n) = TableWriter.computePartitionStats(table,
-          org.apache.spark.sql.SparkSession.active)
+          org.apache.spark.sql.SparkSession.active, restCommit = restCtx)
         Array[Any](UTF8String.fromString(
           out.metadata.partitionStatisticsFiles.find(
             _.snapshotId == out.currentSnapshot.get.snapshotId)
@@ -210,10 +227,10 @@ object GraftProcedures {
         StructType(Seq(
           StructField("spec_id", IntegerType, nullable = false),
           StructField("field_name", StringType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val t = graft.core.Transform.parse(in.getUTF8String(2).toString)
         val out = TableWriter.addPartitionField(table,
-          in.getUTF8String(1).toString, t)
+          in.getUTF8String(1).toString, t, restCommit = restCtx)
         Array[Any](out.spec.specId, out.spec.fields.last.name)
       }
       case "drop_partition_field" => proc(name,
@@ -221,9 +238,9 @@ object GraftProcedures {
         StructType(Seq(
           StructField("spec_id", IntegerType, nullable = false),
           StructField("remaining_fields", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val out = TableWriter.dropPartitionField(table,
-          in.getUTF8String(1).toString)
+          in.getUTF8String(1).toString, restCommit = restCtx)
         Array[Any](out.spec.specId, out.spec.fields.size)
       }
       case "create_branch" | "create_tag" => proc(name,
@@ -334,14 +351,15 @@ object GraftProcedures {
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
           StructField("zordered_by", StringType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val cols = in.getUTF8String(2).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
         require(cols.size >= 2,
           "rewrite_zorder needs at least two columns (use rewrite_sorted for one)")
         val before = table.newScan().planFiles().size
         val out = TableWriter.compact(table,
-          org.apache.spark.sql.SparkSession.active, in.getInt(1), zOrderBy = cols)
+          org.apache.spark.sql.SparkSession.active, in.getInt(1), zOrderBy = cols,
+          restCommit = restCtx)
         Array[Any](before, out.newScan().planFiles().size, cols.mkString(","))
       }
       case "rewrite_position_deletes" => proc(name,
@@ -349,9 +367,9 @@ object GraftProcedures {
         StructType(Seq(
           StructField("delete_files_before", IntegerType, nullable = false),
           StructField("delete_files_after", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val (_, before, after) = TableWriter.rewritePositionDeletes(table,
-          org.apache.spark.sql.SparkSession.active)
+          org.apache.spark.sql.SparkSession.active, restCommit = restCtx)
         Array[Any](before, after)
       }
       case "rewrite_deletion_vectors" => proc(name,
@@ -360,9 +378,9 @@ object GraftProcedures {
           StructField("dvs_rewritten", IntegerType, nullable = false),
           StructField("puffin_files_before", IntegerType, nullable = false),
           StructField("puffin_files_after", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val (_, rewritten, before, after) = TableWriter.rewriteDeletionVectors(
-          table, org.apache.spark.sql.SparkSession.active)
+          table, org.apache.spark.sql.SparkSession.active, restCommit = restCtx)
         Array[Any](rewritten, before, after)
       }
       case "add_files" => proc(name,
@@ -370,9 +388,10 @@ object GraftProcedures {
         StructType(Seq(
           StructField("added_files", IntegerType, nullable = false),
           StructField("added_records", LongType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val before = table.newScan().planFiles()
-        val out = TableWriter.addFiles(table, in.getUTF8String(1).toString)
+        val out = TableWriter.addFiles(table, in.getUTF8String(1).toString,
+          restCommit = restCtx)
         val after = out.newScan().planFiles()
         val newFiles = after.filterNot(t => before.exists(_.file.path == t.file.path))
         Array[Any](newFiles.size, newFiles.map(_.file.recordCount).sum)
@@ -499,11 +518,11 @@ object GraftProcedures {
         StructType(Seq(
           StructField("manifests_before", IntegerType, nullable = false),
           StructField("manifests_after", IntegerType, nullable = false)))) { in =>
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         def count(t: IcebergTable): Int = t.currentSnapshot.toSeq.flatMap(s =>
           graft.core.ManifestIO.readManifestList(t.io.open(s.manifestList))).size
         val before = count(table)
-        val out = TableWriter.rewriteManifests(table)
+        val out = TableWriter.rewriteManifests(table, restCommit = restCtx)
         Array[Any](before, count(out))
       }
       // incremental-maintenance procedures: fold the docs table's
@@ -547,13 +566,24 @@ object GraftProcedures {
         // comma-separated merge-key column list; rows in `source` must be
         // unique per key (the keyed-upsert contract).
         val spark = org.apache.spark.sql.SparkSession.active
-        val table = IcebergTables.load(resolveLocation(in.getUTF8String(0).toString))
+        val (table, restCtx) = rewriteCtx(in.getUTF8String(0).toString)
         val source = spark.table(in.getUTF8String(1).toString)
         val keyCols = in.getUTF8String(2).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq
         require(keyCols.nonEmpty, "merge_keyed needs at least one key column")
-        val out = TableWriter.replaceEquality(table,
-          source.selectExpr(keyCols: _*), keyCols, source)
+        val out = restCtx match {
+          case Some((rc, id, _)) =>
+            // REST plane: the same atomic retract-and-replace snapshot,
+            // committed through the server (single-change transaction)
+            TableWriter.transaction(rc)
+              .stageReplaceEquality(id, source.selectExpr(keyCols: _*),
+                keyCols, source)
+              .commit()
+            TableWriter.restTableOf(rc.loadTable(id), rc)
+          case None =>
+            TableWriter.replaceEquality(table,
+              source.selectExpr(keyCols: _*), keyCols, source)
+        }
         val appended = out.currentSnapshot.get.summary
           .flatMap(_.properties.get("added-records")).map(_.toLong).getOrElse(0L)
         Array[Any](out.currentSnapshot.get.snapshotId, appended)
@@ -855,6 +885,7 @@ object GraftProcedures {
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")
     }
+  }
 
   private def proc(procName: String, params: Seq[(String, DataType)],
                    out: StructType,

@@ -395,7 +395,9 @@ object TableWriter {
     * after). No-op when the live set already lives in a single container
     * with no dead weight. */
   def rewriteDeletionVectors(table: IcebergTable,
-                             spark: org.apache.spark.sql.SparkSession)
+                             spark: org.apache.spark.sql.SparkSession,
+                             restCommit: Option[(graft.catalog.RestCatalog,
+                               Seq[String], graft.catalog.LoadedTable)] = None)
       : (IcebergTable, Int, Int, Int) = {
     val snap = table.currentSnapshot.getOrElse(return (table, 0, 0, 0))
     // the live DV per data file, exactly as the reader resolves it
@@ -462,11 +464,23 @@ object TableWriter {
           }.collect().toSeq // one row per live DV: metadata-sized
       }
 
-    val out = commitDvSnapshot(table, Nil, dvDataFiles(dvInfos),
-      alsoSuperseded = _.isDeletionVector, OpReplace,
-      Map("deletion-vectors-rewritten" -> allDvEntries.size.toString),
-      snapId, seq, version, metaDir)
-    (out, live.size, containersBefore, dvInfos.map(_._1).distinct.size)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        val (snapshot, _) = stageDvSnapshot(table, Nil, dvDataFiles(dvInfos),
+          alsoSuperseded = _.isDeletionVector, OpReplace,
+          Map("deletion-vectors-rewritten" -> allDvEntries.size.toString),
+          snapId, seq, metaDir)
+        val change = restChangeFor(basedOn.metadata, id, snapshot)
+        val out = restTableOf(
+          rc.commitTable(id, change.requirements, change.updates), rc)
+        (out, live.size, containersBefore, dvInfos.map(_._1).distinct.size)
+      case None =>
+        val out = commitDvSnapshot(table, Nil, dvDataFiles(dvInfos),
+          alsoSuperseded = _.isDeletionVector, OpReplace,
+          Map("deletion-vectors-rewritten" -> allDvEntries.size.toString),
+          snapId, seq, version, metaDir)
+        (out, live.size, containersBefore, dvInfos.map(_._1).distinct.size)
+    }
   }
 
   /** Rewrite delete manifests so superseded entries leave the live set: V3
@@ -1313,7 +1327,13 @@ object TableWriter {
               zOrderBy: Seq[String] = Nil,
               where: Option[BooleanExpression] = None,
               minFileSizeBytes: Option[Long] = None,
-              deleteFileThreshold: Option[Int] = None): IcebergTable = {
+              deleteFileThreshold: Option[Int] = None,
+              // set when the table's catalog of record is a REST server:
+              // the rewrite commits through replaceFilesRest pinned to
+              // `basedOn` (the load `table` was built from), never by
+              // writing metadata behind the server
+              restCommit: Option[(graft.catalog.RestCatalog, Seq[String],
+                graft.catalog.LoadedTable)] = None): IcebergTable = {
     require(sortBy.isEmpty || zOrderBy.isEmpty,
       "compact takes sortBy or zOrderBy, not both")
     // V3 row lineage survives the rewrite (spec: writers must preserve row
@@ -1381,22 +1401,48 @@ object TableWriter {
           s"data/compact-${java.util.UUID.randomUUID()}")
         val outs = writeDistributed(df, dataDir, table.schema, table.spec,
           table.properties, order, preClustered = true)
-        replaceFiles(table.location, selected, outs,
-          expectedVersion = Some(table.loadedVersion),
-          touchedManifests = if (manifests.nonEmpty) Some(manifests) else None)
+        restCommit match {
+          case Some((rc, id, basedOn)) =>
+            val committed = replaceFilesRest(rc, id, selected, outs,
+              touchedManifests = if (manifests.nonEmpty) Some(manifests)
+                                 else None,
+              basedOn = Some(basedOn))
+            restTableOf(committed, rc)
+          case None =>
+            replaceFiles(table.location, selected, outs,
+              expectedVersion = Some(table.loadedVersion),
+              touchedManifests = if (manifests.nonEmpty) Some(manifests)
+                                 else None)
+        }
       case None =>
-        val version = table.loadedVersion + 1
-        val committed = commit(df, table.location, table.schema, table.spec,
-          table.properties, version, table.currentSnapshot,
-          Nil, Nil, // replace: the new manifest list carries ONLY the new files
-          table.metadata.lastSequenceNumber + 1,
-          sortOrder = order, preClustered = true)
-        // rewrite the snapshot op to REPLACE for an honest history
-        val md = committed.metadata
-        val fixed = md.copy(snapshots = md.snapshots.init :+
-          md.snapshots.last.copy(summary = Some(SnapshotSummary(OpReplace))))
-        writeMetadata(table.location, fixed, currentVersion(table.location) + 1)
-        IcebergTables.load(table.location)
+        restCommit match {
+          case Some((rc, id, basedOn)) =>
+            // whole-table rewrite over REST = a replace of every live
+            // data file, committed head-pinned (the same OVERWRITE
+            // supersession shape as the scoped path with full scope)
+            val removed = table.newScan().planFiles()
+              .map(_.file.path).toSet
+            val dataDir = new File(table.location,
+              s"data/compact-${java.util.UUID.randomUUID()}")
+            val outs = writeDistributed(df, dataDir, table.schema, table.spec,
+              table.properties, order, preClustered = true)
+            val committed = replaceFilesRest(rc, id, removed, outs,
+              basedOn = Some(basedOn))
+            restTableOf(committed, rc)
+          case None =>
+            val version = table.loadedVersion + 1
+            val committed = commit(df, table.location, table.schema, table.spec,
+              table.properties, version, table.currentSnapshot,
+              Nil, Nil, // replace: the new manifest list carries ONLY the new files
+              table.metadata.lastSequenceNumber + 1,
+              sortOrder = order, preClustered = true)
+            // rewrite the snapshot op to REPLACE for an honest history
+            val md = committed.metadata
+            val fixed = md.copy(snapshots = md.snapshots.init :+
+              md.snapshots.last.copy(summary = Some(SnapshotSummary(OpReplace))))
+            writeMetadata(table.location, fixed, currentVersion(table.location) + 1)
+            IcebergTables.load(table.location)
+        }
     }
   }
 
@@ -1550,7 +1596,10 @@ object TableWriter {
     * `ADD PARTITION FIELD`. */
   def addPartitionField(table: IcebergTable, srcCol: String,
                         transform: Transform,
-                        name: Option[String] = None): IcebergTable = {
+                        name: Option[String] = None,
+                        restCommit: Option[(graft.catalog.RestCatalog,
+                          Seq[String], graft.catalog.LoadedTable)] = None)
+      : IcebergTable = {
     val md = table.metadata
     val src = md.currentSchema.findFieldByName(srcCol).getOrElse(
       throw new IllegalArgumentException(s"column '$srcCol' not found"))
@@ -1566,18 +1615,31 @@ object TableWriter {
     val newSpec = PartitionSpec(
       md.partitionSpecs.map(_.specId).maxOption.getOrElse(-1) + 1,
       spec.fields :+ PartitionField(src.id, nextFieldId, fieldName, transform))
-    writeMetadata(table.location, md.copy(
-      partitionSpecs = md.partitionSpecs :+ newSpec,
-      defaultSpecId = newSpec.specId,
-      lastPartitionId = Some(nextFieldId),
-      lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        // spec evolution commits the spec's add-spec + set-default-spec(-1)
+        // actions; the server owns id assignment on conflict
+        restTableOf(rc.commitTable(id,
+          Seq(graft.catalog.AssertTableUuid(basedOn.metadata.tableUuid)),
+          Seq(graft.catalog.AddPartitionSpec(newSpec),
+            graft.catalog.SetDefaultSpec(-1))), rc)
+      case None =>
+        writeMetadata(table.location, md.copy(
+          partitionSpecs = md.partitionSpecs :+ newSpec,
+          defaultSpecId = newSpec.specId,
+          lastPartitionId = Some(nextFieldId),
+          lastUpdatedMs = System.currentTimeMillis()), table.loadedVersion + 1)
+        IcebergTables.load(table.location)
+    }
   }
 
   /** Partition spec evolution: drop a partition field from the default spec
     * (metadata-only). Files written under older specs stay pruned by their
     * own spec; new writes stop partitioning on the dropped field. */
-  def dropPartitionField(table: IcebergTable, fieldName: String): IcebergTable = {
+  def dropPartitionField(table: IcebergTable, fieldName: String,
+                         restCommit: Option[(graft.catalog.RestCatalog,
+                           Seq[String], graft.catalog.LoadedTable)] = None)
+      : IcebergTable = {
     val md = table.metadata
     val spec = table.spec
     require(spec.fields.exists(_.name == fieldName),
@@ -1585,6 +1647,14 @@ object TableWriter {
     val newSpec = PartitionSpec(
       md.partitionSpecs.map(_.specId).maxOption.getOrElse(-1) + 1,
       spec.fields.filterNot(_.name == fieldName))
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        return restTableOf(rc.commitTable(id,
+          Seq(graft.catalog.AssertTableUuid(basedOn.metadata.tableUuid)),
+          Seq(graft.catalog.AddPartitionSpec(newSpec),
+            graft.catalog.SetDefaultSpec(-1))), rc)
+      case None => ()
+    }
     writeMetadata(table.location, md.copy(
       partitionSpecs = md.partitionSpecs :+ newSpec,
       defaultSpecId = newSpec.specId,
@@ -1845,7 +1915,9 @@ object TableWriter {
   }
 
   def rewritePositionDeletes(table: IcebergTable,
-                             spark: org.apache.spark.sql.SparkSession)
+                             spark: org.apache.spark.sql.SparkSession,
+                             restCommit: Option[(graft.catalog.RestCatalog,
+                               Seq[String], graft.catalog.LoadedTable)] = None)
       : (IcebergTable, Int, Int) = {
     val md = table.metadata
     val snap = table.currentSnapshot.getOrElse(return (table, 0, 0))
@@ -1980,17 +2052,30 @@ object TableWriter {
         Map("delete-files-rewritten" -> posFiles.size.toString,
           "delete-files-created" -> mergedEntries.size.toString))),
       Some(table.schema.schemaId))
-    writeMetadata(table.location, md.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
-    (IcebergTables.load(table.location), posFiles.size, mergedEntries.size)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        // maintenance on a REST table commits through the server, pinned
+        // to the enumerating load's main head (racing commits 409)
+        val change = restChangeFor(basedOn.metadata, id, snapshot)
+        val committed = rc.commitTable(id, change.requirements, change.updates)
+        (restTableOf(committed, rc), posFiles.size, mergedEntries.size)
+      case None =>
+        writeMetadata(table.location, md.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMs = now,
+          snapshots = md.snapshots :+ snapshot,
+          currentSnapshotId = Some(snapId),
+          snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+          refs = advRef(md.refs, TableMetadata.MainBranch, snapId)),
+          table.loadedVersion + 1)
+        (IcebergTables.load(table.location), posFiles.size, mergedEntries.size)
+    }
   }
 
-  def rewriteManifests(table: IcebergTable): IcebergTable = {
+  def rewriteManifests(table: IcebergTable,
+                       restCommit: Option[(graft.catalog.RestCatalog,
+                         Seq[String], graft.catalog.LoadedTable)] = None)
+      : IcebergTable = {
     val md = table.metadata
     val snap = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(s"${table.location} has no snapshot"))
@@ -2052,14 +2137,21 @@ object TableWriter {
         Map("manifests-rewritten" -> dataManifests.size.toString,
           "manifests-created" -> rewritten.size.toString))),
       Some(table.schema.schemaId))
-    writeMetadata(table.location, md.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      snapshots = md.snapshots :+ snapshot,
-      currentSnapshotId = Some(snapId),
-      snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
-      refs = advRef(md.refs, TableMetadata.MainBranch, snapId)), table.loadedVersion + 1)
-    IcebergTables.load(table.location)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        val change = restChangeFor(basedOn.metadata, id, snapshot)
+        restTableOf(rc.commitTable(id, change.requirements, change.updates), rc)
+      case None =>
+        writeMetadata(table.location, md.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMs = now,
+          snapshots = md.snapshots :+ snapshot,
+          currentSnapshotId = Some(snapId),
+          snapshotLog = md.snapshotLog :+ SnapshotLogEntry(snapId, now),
+          refs = advRef(md.refs, TableMetadata.MainBranch, snapId)),
+          table.loadedVersion + 1)
+        IcebergTables.load(table.location)
+    }
   }
 
   def rollbackTo(table: IcebergTable, snapshotId: Long): IcebergTable = {
@@ -2764,8 +2856,45 @@ object TableWriter {
     val outs = writeDistributed(alignForWrite(df, table.schema), dataDir,
       table.schema, table.spec, table.properties, SortOrder.unsorted,
       preClustered = false)
+    commitFilesToBranchRest(catalog, identifier, loaded, parent, outs, branch,
+      Map.empty)
+  }
+
+  /** Files-based twin of [[appendToBranchRest]] — already-written data
+    * files commit as one APPEND on `branch` through the server (the
+    * streaming sink's WAP-branch epoch path). */
+  def appendFilesToBranchRest(catalog: graft.catalog.RestCatalog,
+                              identifier: Seq[String],
+                              added: Seq[graft.spark.CowFileOut],
+                              branch: String,
+                              extraSummary: Map[String, String] = Map.empty)
+      : graft.catalog.LoadedTable = {
+    require(branch != TableMetadata.MainBranch,
+      "use appendFilesRest() for the main branch")
+    val loaded = catalog.loadTable(identifier)
+    val md = loaded.metadata
+    val parent = md.refs.get(branch) match {
+      case Some(r) =>
+        require(r.refType == BranchRef, s"ref '$branch' is a tag, not a branch")
+        md.snapshotById(r.snapshotId)
+      case None => md.currentSnapshot
+    }
+    commitFilesToBranchRest(catalog, identifier, loaded, parent, added,
+      branch, extraSummary)
+  }
+
+  private def commitFilesToBranchRest(catalog: graft.catalog.RestCatalog,
+                                      identifier: Seq[String],
+                                      loaded: graft.catalog.LoadedTable,
+                                      parent: Option[Snapshot],
+                                      outs: Seq[graft.spark.CowFileOut],
+                                      branch: String,
+                                      extraSummary: Map[String, String])
+      : graft.catalog.LoadedTable = {
+    val md = loaded.metadata
+    val table = restTableOf(loaded)
     val snapshot = stageAppendSnapshot(table, outs,
-      Map("branch" -> branch), parentOverride = parent)
+      Map("branch" -> branch) ++ extraSummary, parentOverride = parent)
     val committed = catalog.commitTable(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(branch,
@@ -2784,7 +2913,9 @@ object TableWriter {
     * path segments map to identity partition values. The files are
     * referenced in place — id-less footers are fine, the read path
     * resolves them by name. */
-  def addFiles(table: IcebergTable, sourceDir: String): IcebergTable = {
+  def addFiles(table: IcebergTable, sourceDir: String,
+               restCommit: Option[(graft.catalog.RestCatalog, Seq[String],
+                 graft.catalog.LoadedTable)] = None): IcebergTable = {
     def walk(f: File): Seq[File] = {
       val fs = Option(f.listFiles()).getOrElse(Array.empty)
       fs.filter(x => x.isFile && x.getName.endsWith(".parquet") &&
@@ -2826,7 +2957,15 @@ object TableWriter {
           "partition values cannot be inferred from paths")
     val outs = files.map(f =>
       graft.spark.CowFileOut(f.getPath, 0L, partitionOf(f), Map.empty))
-    appendFiles(table.location, outs, Map("added-by" -> "add_files"))
+    restCommit match {
+      case Some((rc, id, _)) =>
+        // appends commute: no head pin needed, same as appendFilesRest's
+        // own INSERT path (stageRestAppendChange re-loads fresh)
+        restTableOf(
+          appendFilesRest(rc, id, outs, Map("added-by" -> "add_files")), rc)
+      case None =>
+        appendFiles(table.location, outs, Map("added-by" -> "add_files"))
+    }
   }
 
   /** Append already-written data files to a REST-catalog table: stage the
@@ -3030,8 +3169,9 @@ object TableWriter {
     * task tombstones re-home into deletion vectors exactly as
     * [[commitDeltaDv]] does locally (fold prior deletes, one DV per
     * touched file), and the DV snapshot commits through the server pinned
-    * to `basedOn`'s main head. The table must already BE V3: a V2 table
-    * would need the format-version flip this wire form doesn't carry. */
+    * to `basedOn`'s main head. The table must already BE V3: DML never
+    * silently upgrades the format ([[upgradeFormatVersionRest]] is the
+    * explicit flip, via ALTER TABLE SET TBLPROPERTIES). */
   def commitDeltaDvRest(catalog: graft.catalog.RestCatalog,
                         identifier: Seq[String],
                         basedOn: graft.catalog.LoadedTable,
@@ -3041,8 +3181,9 @@ object TableWriter {
     if (posDeleteFiles.isEmpty)
       return commitDeltaRest(catalog, identifier, basedOn, added, Nil)
     require(basedOn.metadata.formatVersion >= 3,
-      "DV delta over REST requires a V3 table (the V2→V3 flip has no " +
-        "wire form in an add-snapshot commit)")
+      "DV delta over REST requires a V3 table (DML must not silently " +
+        "upgrade the format — run ALTER TABLE ... SET TBLPROPERTIES " +
+        "('format-version'='3') first)")
     val spark = org.apache.spark.sql.SparkSession.active
     val table = restTableOf(basedOn)
     import org.apache.spark.sql.functions.regexp_replace
@@ -3067,6 +3208,71 @@ object TableWriter {
       base + added.map(_.rows).sum,
       committed.metadata.nextRowId.getOrElse(0L)))
     committed
+  }
+
+  /** REST twin of [[upgradeFormatVersion]] — `ALTER TABLE ... SET
+    * TBLPROPERTIES ('format-version'='N')` on a REST-cataloged table.
+    * 1→2, and →3 with no live positional tombstones, is ONE
+    * `upgrade-format-version` update action (pure metadata flip, no
+    * snapshot). →3 with live parquet tombstones stages the SAME DV
+    * re-home snapshot the local plane commits (dangling tombstones of
+    * vanished files drop; files that already have DVs keep them and their
+    * dead-weight tombstone entries retire without folding) and rides it
+    * in the SAME commit as the format flip, pinned to the enumerating
+    * load's main head — so a racing commit 409s rather than having its
+    * tombstones silently ignored under V3, and a reader observes either
+    * the V2 table with tombstones or the V3 table with DVs, never the
+    * broken intermediate. At 100 TB the re-home is O(live tombstone
+    * rows), not O(table): data files are untouched; only delete
+    * coordinates shuffle (grouped per touched data file). */
+  def upgradeFormatVersionRest(catalog: graft.catalog.RestCatalog,
+                               identifier: Seq[String],
+                               basedOn: graft.catalog.LoadedTable,
+                               spark: org.apache.spark.sql.SparkSession,
+                               target: Int): graft.catalog.LoadedTable = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val md = basedOn.metadata
+    require(target >= 2 && target <= 3,
+      s"unsupported format-version $target (this engine writes 2 and 3)")
+    require(target >= md.formatVersion,
+      s"cannot downgrade format-version ${md.formatVersion} -> $target")
+    if (target == md.formatVersion) return basedOn
+    val table = restTableOf(basedOn)
+    val tasks =
+      if (table.currentSnapshot.isEmpty) Nil else table.newScan().planFiles()
+    val posPaths = tasks.flatMap(_.deleteFiles.filter(d =>
+      d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
+      .map(_.path)).distinct
+    if (target == 2 || posPaths.isEmpty)
+      return catalog.commitTable(identifier,
+        Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+        Seq(graft.catalog.UpgradeFormatVersion(target)))
+    val seq = md.lastSequenceNumber + 1
+    val snapId = System.nanoTime()
+    val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
+    val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
+    val dvByFile = tasks.filter(_.deleteFiles.exists(_.isDeletionVector))
+      .map(t => normFsPath(t.file.path)).toSet
+    val liveNoDv = tasks.map(t => normFsPath(t.file.path))
+      .filterNot(dvByFile).distinct
+    val dead = filterLiveTombstones(
+      spark.read.parquet(posPaths: _*)
+        .select(regexp_replace(col("file_path"), "^file:(//)?", "")
+          .as("file_path"), col("pos")),
+      liveNoDv, spark)
+    val dvFiles = writeDvFiles(spark, dead, Map.empty, delDir, snapId, seq)
+    val (snapshot, _) = stageDvSnapshot(table, Nil, dvFiles,
+      alsoSuperseded = d =>
+        d.content == DataFileContent.PositionDeletes && !d.isDeletionVector,
+      op = OpReplace,
+      extraSummary = Map("format-version" -> "3",
+        "position-delete-files-removed" -> posPaths.size.toString),
+      snapId, seq, metaDir)
+    val change = restChangeFor(md, identifier, snapshot)
+    // format flip FIRST in the update list: the server's metadata is
+    // already V3 when the DV snapshot lands in the same commit
+    catalog.commitTable(identifier, change.requirements,
+      graft.catalog.UpgradeFormatVersion(3) +: change.updates)
   }
 
   /** Stage the atomic retract-and-replace snapshot ([[replaceEquality]]'s
@@ -3749,7 +3955,9 @@ object TableWriter {
     * never retained. The output is O(partitions) by definition (it IS the
     * stats file), written once as a single parquet. */
   def computePartitionStats(table: IcebergTable,
-                            spark: org.apache.spark.sql.SparkSession)
+                            spark: org.apache.spark.sql.SparkSession,
+                            restCommit: Option[(graft.catalog.RestCatalog,
+                              Seq[String], graft.catalog.LoadedTable)] = None)
       : (IcebergTable, Int) = {
     val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
       "compute_partition_stats: table has no snapshot"))
@@ -3947,14 +4155,24 @@ object TableWriter {
           arr.add(n): Unit
       }
     }
-    val entry = arr.addObject()
+    val entry = mapper.createObjectNode()
     entry.put("snapshot-id", snap.snapshotId)
     entry.put("statistics-path", dest.getPath)
     entry.put("file-size-in-bytes", dest.length())
-    writeMetadata(table.location, md.copy(
-      partitionStatisticsJson = Some(mapper.writeValueAsString(arr))),
-      table.loadedVersion + 1)
-    (IcebergTables.load(table.location), rows.size)
+    arr.add(entry)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        val committed = rc.commitTable(id,
+          Seq(graft.catalog.AssertTableUuid(basedOn.metadata.tableUuid)),
+          Seq(graft.catalog.SetPartitionStatistics(
+            mapper.writeValueAsString(entry))))
+        (restTableOf(committed, rc), rows.size)
+      case None =>
+        writeMetadata(table.location, md.copy(
+          partitionStatisticsJson = Some(mapper.writeValueAsString(arr))),
+          table.loadedVersion + 1)
+        (IcebergTables.load(table.location), rows.size)
+    }
   }
 
   /** Compute per-column NDV statistics for the CURRENT snapshot and
@@ -3976,7 +4194,10 @@ object TableWriter {
     * the authoritative summary. */
   def computeTableStats(table: IcebergTable,
                         spark: org.apache.spark.sql.SparkSession,
-                        columns: Seq[String] = Nil): (IcebergTable, Int) = {
+                        columns: Seq[String] = Nil,
+                        restCommit: Option[(graft.catalog.RestCatalog,
+                          Seq[String], graft.catalog.LoadedTable)] = None)
+      : (IcebergTable, Int) = {
     val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
       "compute_table_stats: table has no snapshot"))
     val eligible: IcebergType => Boolean = {
@@ -4067,7 +4288,7 @@ object TableWriter {
           arr.add(n): Unit
       }
     }
-    val entry = arr.addObject()
+    val entry = mapper.createObjectNode()
     entry.put("snapshot-id", snap.snapshotId)
     entry.put("statistics-path", puffin.getPath)
     entry.put("file-size-in-bytes", puffin.length())
@@ -4082,10 +4303,21 @@ object TableWriter {
       bn.putObject("properties").put("ndv", ndv.toString)
       ()
     }
-    writeMetadata(table.location, table.metadata.copy(
-      statisticsJson = Some(mapper.writeValueAsString(arr))),
-      table.loadedVersion + 1)
-    (IcebergTables.load(table.location), targets.size)
+    arr.add(entry)
+    restCommit match {
+      case Some((rc, id, basedOn)) =>
+        // the spec's set-statistics action ships ONE entry node; the
+        // server owns the array merge (same-snapshot replace)
+        val committed = rc.commitTable(id,
+          Seq(graft.catalog.AssertTableUuid(basedOn.metadata.tableUuid)),
+          Seq(graft.catalog.SetStatistics(mapper.writeValueAsString(entry))))
+        (restTableOf(committed, rc), targets.size)
+      case None =>
+        writeMetadata(table.location, table.metadata.copy(
+          statisticsJson = Some(mapper.writeValueAsString(arr))),
+          table.loadedVersion + 1)
+        (IcebergTables.load(table.location), targets.size)
+    }
   }
 
   /** How many PREVIOUS metadata files a table retains (spec property;

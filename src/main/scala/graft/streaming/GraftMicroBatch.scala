@@ -61,11 +61,18 @@ final class GraftMicroBatchStream(location: String, required: StructType,
                                   streamStart: String,
                                   maxFilesPerTrigger: Option[Int] = None,
                                   maxBytesPerTrigger: Option[Long] = None,
-                                  readChanges: Boolean = false)
+                                  readChanges: Boolean = false,
+                                  // the table's catalog of record, when it
+                                  // is not the filesystem: each poll loads
+                                  // FRESH metadata through it (a
+                                  // REST-cataloged stream follows the
+                                  // server, never a stale local listing)
+                                  reload: Option[() => IcebergTable] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def freshTable(): IcebergTable = IcebergTables.load(location)
+  private def freshTable(): IcebergTable =
+    reload.map(_()).getOrElse(IcebergTables.load(location))
 
   /** Trigger.AvailableNow: pin the drain target to the table's state at
     * query start. Batches still honor maxFiles/maxBytes admission, but

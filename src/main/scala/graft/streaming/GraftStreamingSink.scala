@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, Writ
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 
-import graft.spark.{GraftCowCommit, GraftCowWriterFactory, IcebergTables, PartFieldSpec, TableWriter}
+import graft.spark.{GraftCowCommit, GraftCowWriterFactory, IcebergTables, PartFieldSpec, RestDmlBinding, TableWriter}
 
 /** Structured Streaming SINK over an Iceberg table:
   * `df.writeStream.format("icegopher").start(dir)` — each epoch commits one
@@ -25,16 +25,26 @@ import graft.spark.{GraftCowCommit, GraftCowWriterFactory, IcebergTables, PartFi
   * Readers (including the streaming SOURCE) see each epoch atomically —
   * a table can sit mid-pipeline as both sink and source. */
 final class GraftStreamingWrite(location: String, schema: StructType,
-                                queryId: String)
+                                queryId: String,
+                                // the table's catalog of record when it is
+                                // a REST server: every epoch loads fresh
+                                // metadata through it and commits via the
+                                // server's update actions — the sink twin
+                                // of the source's `reload`
+                                restDml: Option[RestDmlBinding] = None)
     extends StreamingWrite {
 
   private val writeDir =
     new File(location, s"data/stream-${java.util.UUID.randomUUID()}")
 
+  private def currentTable(): graft.spark.IcebergTable =
+    restDml.map(b => TableWriter.restTableOf(b.load(), b.catalog))
+      .getOrElse(IcebergTables.load(location))
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     writeDir.mkdirs()
-    val table = IcebergTables.load(location)
+    val table = currentTable()
     val partFields = table.spec.fields.map { pf =>
       val src = table.schema.findFieldById(pf.sourceId).getOrElse(
         throw new IllegalStateException(s"partition source ${pf.sourceId} missing"))
@@ -58,7 +68,7 @@ final class GraftStreamingWrite(location: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect { case m: GraftCowCommit => m.files }.flatten.toSeq
-    val current = IcebergTables.load(location)
+    val current = currentTable()
     // this query's most recent committed epoch, anywhere in history —
     // epoch ids within a query are monotonic, so `>=` means replay
     val lastCommitted: Option[Long] = current.metadata.snapshots.reverseIterator
@@ -83,10 +93,27 @@ final class GraftStreamingWrite(location: String, schema: StructType,
           "the id) — unset spark.wap.id or stage on a branch via " +
           "spark.wap.branch")
     }
-    TableWriter.appendFiles(location, added,
-      Map(GraftStreamingWrite.EpochKey -> epochId.toString,
-        GraftStreamingWrite.QueryKey -> queryId),
-      branch = graft.spark.GraftSparkTable.wapBranch)
+    val stamps = Map(GraftStreamingWrite.EpochKey -> epochId.toString,
+      GraftStreamingWrite.QueryKey -> queryId)
+    restDml match {
+      case Some(b) =>
+        // REST plane: the epoch snapshot commits through the server,
+        // pinned to the loaded head — a racing commit 409s and Spark's
+        // epoch retry re-runs against fresh metadata (the dedup scan
+        // above then recognizes an already-landed epoch)
+        graft.spark.GraftSparkTable.wapBranch match {
+          case Some(br) =>
+            TableWriter.appendFilesToBranchRest(b.catalog, b.identifier,
+              added, br, stamps)
+          case None =>
+            TableWriter.appendFilesRest(b.catalog, b.identifier, added, stamps)
+        }
+        b.afterCommit()
+      case None =>
+        TableWriter.appendFiles(location, added, stamps,
+          branch = graft.spark.GraftSparkTable.wapBranch)
+    }
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

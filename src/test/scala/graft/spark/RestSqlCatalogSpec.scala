@@ -175,11 +175,10 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           graft.catalog.SetCurrentSchema(-1)))
     }
 
-    // format-version upgrade refuses (a data commit, not an ALTER wire form)
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE grest.alt.t SET TBLPROPERTIES ('format-version' = '3')")
-    }
-    assert(e.getMessage.contains("format-version"), e.getMessage)
+    // format-version upgrade routes through upgrade-format-version (the
+    // dedicated test below covers the DV re-home); here: pure flip works
+    spark.sql("ALTER TABLE grest.alt.t SET TBLPROPERTIES ('format-version' = '3')")
+    assert(rc.loadTable(Seq("alt", "t")).metadata.formatVersion == 3)
 
     // and the evolved table still takes SQL DML end-to-end
     spark.sql("UPDATE grest.alt.t SET label = 'A' WHERE id = 1")
@@ -235,6 +234,176 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("deletion-vectors-added").contains("1"), md2.currentSnapshot.get.summary)
     // V3 row lineage advanced server-side across the appends
     assert(md2.nextRowId.exists(_ >= 3L), md2.nextRowId)
+  }
+
+  test("format-version upgrade over REST: pure flip, and DV re-home in the same commit") {
+    conf()
+    rc.createNamespace(Seq("up"))
+    // (a) no live tombstones: ONE upgrade-format-version action — a pure
+    // metadata flip, no new snapshot
+    val loc1 = Files.createTempDirectory("rsql_up1").toFile.getPath
+    rc.createTable(Seq("up", "clean"), schema, location = Some(loc1))
+    appendRest(Seq("up", "clean"), loc1, Seq((1L, "a")), "u1")
+    val snapsBefore = rc.loadTable(Seq("up", "clean")).metadata.snapshots.size
+    spark.sql("ALTER TABLE grest.up.clean SET TBLPROPERTIES ('format-version'='3')")
+    val mdClean = rc.loadTable(Seq("up", "clean")).metadata
+    assert(mdClean.formatVersion == 3)
+    assert(mdClean.snapshots.size == snapsBefore)
+    assert(rowsOf("grest.up.clean") == Seq((1L, "a")))
+
+    // (b) live parquet tombstones: the upgrade re-homes them into DVs in
+    // the SAME commit as the flip (reader sees V2+tombstones or V3+DVs,
+    // never a V3 table whose tombstone files it must silently ignore)
+    val loc2 = Files.createTempDirectory("rsql_up2").toFile.getPath
+    rc.createTable(Seq("up", "mor"), schema,
+      Map("write.delete.mode" -> "merge-on-read"), location = Some(loc2))
+    appendRest(Seq("up", "mor"), loc2, Seq((1L, "a"), (2L, "b"), (3L, "c")), "u2")
+    // a RANGE delete (id = 2 would take the equality-delete shortcut,
+    // which V3 permits — only positional parquet tombstones need re-homing)
+    spark.sql("DELETE FROM grest.up.mor WHERE id > 2")
+    assert(rc.loadTable(Seq("up", "mor")).metadata.formatVersion == 2)
+    spark.sql("ALTER TABLE grest.up.mor SET TBLPROPERTIES ('format-version'='3')")
+    val mdV3 = rc.loadTable(Seq("up", "mor")).metadata
+    assert(mdV3.formatVersion == 3)
+    val head = mdV3.currentSnapshot.get
+    assert(head.summary.get.properties.get("deletion-vectors-added").contains("1"),
+      head.summary)
+    assert(head.summary.get.properties
+      .get("position-delete-files-removed").contains("1"), head.summary)
+    assert(rowsOf("grest.up.mor") == Seq((1L, "a"), (2L, "b")))
+    // no live parquet tombstone remains — every delete reference is a DV
+    val dels = TableWriter.restTableOf(rc.loadTable(Seq("up", "mor")))
+      .newScan().planFiles().flatMap(_.deleteFiles)
+    assert(dels.nonEmpty && dels.forall(_.isDeletionVector),
+      dels.map(d => (d.path, d.isDeletionVector)))
+    // subsequent DML rides the V3 DV path (folds the re-homed DV)
+    spark.sql("DELETE FROM grest.up.mor WHERE id > 1")
+    assert(rowsOf("grest.up.mor") == Seq((1L, "a")))
+
+    // (c) downgrade refuses
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE grest.up.mor SET TBLPROPERTIES ('format-version'='2')")
+    }
+    assert(e.getMessage.contains("downgrade"), e.getMessage)
+  }
+
+  test("Structured Streaming over REST: sink epochs commit through the server; source follows the catalog") {
+    conf()
+    import spark.implicits._
+    rc.createNamespace(Seq("st"))
+    val loc = Files.createTempDirectory("rsql_stream").toFile.getPath
+    rc.createTable(Seq("st", "t"), schema, location = Some(loc))
+
+    // SINK: writeStream.toTable on the REST-cataloged table — each
+    // non-empty epoch commits ONE append snapshot through the server
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("rsql_stream_ck").toFile.getPath
+    val wq = in.toDF.toDF("id", "data").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("grest.st.t")
+    try {
+      in.addData((1L, "a"), (2L, "b")); wq.processAllAvailable()
+      in.addData((3L, "c")); wq.processAllAvailable()
+    } finally wq.stop()
+    val md = rc.loadTable(Seq("st", "t")).metadata
+    assert(md.snapshots.size == 2, md.snapshots.map(_.summary))
+    assert(md.snapshots.forall(_.summary.exists(
+      _.properties.contains("streaming-query-id"))), md.snapshots.map(_.summary))
+    assert(rowsOf("grest.st.t") == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // SOURCE: readStream.table follows the CATALOG — fresh server
+    // metadata every poll; a later SQL INSERT (also through the server)
+    // reaches the running stream as its own micro-batch
+    val ck2 = Files.createTempDirectory("rsql_stream_ck2").toFile.getPath
+    val rq = spark.readStream.table("grest.st.t")
+      .writeStream.format("memory").queryName("rest_stream_read")
+      .option("checkpointLocation", ck2).start()
+    try {
+      rq.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM rest_stream_read")
+        .head.getLong(0) == 3)
+      spark.sql("INSERT INTO grest.st.t VALUES (4, 'd')")
+      rq.processAllAvailable()
+      assert(spark.sql("SELECT id, data FROM rest_stream_read ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally rq.stop()
+  }
+
+  test("data-rewriting maintenance CALLs on a REST table commit through the server") {
+    conf()
+    rc.createNamespace(Seq("mx"))
+    val loc = Files.createTempDirectory("rsql_mx").toFile.getPath
+    rc.createTable(Seq("mx", "t"), schema,
+      Map("write.delete.mode" -> "merge-on-read"), location = Some(loc))
+    // small-file debt + a positional tombstone
+    appendRest(Seq("mx", "t"), loc, Seq((1L, "a")), "x1")
+    appendRest(Seq("mx", "t"), loc, Seq((2L, "b")), "x2")
+    appendRest(Seq("mx", "t"), loc, Seq((3L, "c")), "x3")
+    spark.sql("DELETE FROM grest.mx.t WHERE id > 2")
+    def md() = rc.loadTable(Seq("mx", "t")).metadata
+    val snaps0 = md().snapshots.size
+
+    // rewrite_position_deletes: merged tombstones commit server-side
+    spark.sql("CALL grest.system.rewrite_position_deletes('mx.t')").collect()
+    assert(md().snapshots.size == snaps0 + 1)
+
+    // rewrite_manifests: consolidation commits server-side
+    spark.sql("CALL grest.system.rewrite_manifests('mx.t')").collect()
+    assert(md().snapshots.size == snaps0 + 2)
+
+    // compact: whole-table rewrite commits as a head-pinned replace
+    spark.sql("CALL grest.system.compact('mx.t', 1)").collect()
+    assert(md().snapshots.size == snaps0 + 3)
+    assert(rowsOf("grest.mx.t") == Seq((1L, "a"), (2L, "b")))
+    // the server owns history: NO metadata json was written behind it
+    val metaDir = new java.io.File(loc, "metadata")
+    assert(!Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".metadata.json")), "local metadata written")
+
+    // compute_table_stats / compute_partition_stats: set-statistics /
+    // set-partition-statistics update actions register server-side
+    spark.sql("CALL grest.system.compute_table_stats('mx.t', 'id,data')").collect()
+    val md1 = md()
+    assert(md1.statisticsFiles.exists(
+      _.snapshotId == md1.currentSnapshot.get.snapshotId), md1.statisticsFiles)
+
+    // partition-spec evolution commits add-spec + set-default-spec(-1)
+    spark.sql("CALL grest.system.add_partition_field('mx.t', 'data', 'identity')")
+      .collect()
+    val mdSpec = md()
+    assert(mdSpec.partitionSpecs.size == 2 &&
+      mdSpec.partitionSpec.fields.map(_.name) == Seq("data"),
+      mdSpec.partitionSpecs)
+    spark.sql("INSERT INTO grest.mx.t VALUES (5, 'e')")
+    assert(rowsOf("grest.mx.t") == Seq((1L, "a"), (2L, "b"), (5L, "e")))
+    spark.sql("CALL grest.system.compute_partition_stats('mx.t')").collect()
+    val md2 = md()
+    assert(md2.partitionStatisticsFiles.exists(
+      _.snapshotId == md2.currentSnapshot.get.snapshotId))
+    spark.sql("CALL grest.system.drop_partition_field('mx.t', 'data')").collect()
+    assert(md().partitionSpec.fields.isEmpty)
+
+    // merge_keyed: ONE atomic retract-and-replace snapshot, server-side
+    {
+      import spark.implicits._
+      Seq((2L, "B2"), (7L, "g")).toDF("id", "data")
+        .createOrReplaceTempView("mx_src")
+    }
+    spark.sql("CALL grest.system.merge_keyed('mx.t', 'mx_src', 'id')").collect()
+    assert(rowsOf("grest.mx.t") ==
+      Seq((1L, "a"), (2L, "B2"), (5L, "e"), (7L, "g")))
+
+    // binpack selection holds over REST: every file already clears a
+    // 1-byte min-size floor, so selection rewrites nothing
+    val snapsBeforeNoop = md().snapshots.size
+    val r2 = spark.sql(
+      "CALL grest.system.compact('mx.t', 1, CAST(NULL AS STRING), 1, " +
+        "CAST(NULL AS INT))").collect()(0)
+    assert(r2.getInt(2) == 0, s"expected 0 rewritten, got $r2")
+    assert(md().snapshots.size == snapsBeforeNoop) // no-op → no commit
   }
 
   test("WAP over REST: branch staging + fast_forward, wap.id stage + publish_changes") {
