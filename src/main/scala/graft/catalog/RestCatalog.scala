@@ -406,7 +406,9 @@ final class RestCatalog(val name: String, uri: String,
     * read-only). Returns the server's view of the created table. */
   def createTable(identifier: Seq[String], schema: graft.core.Schema,
                   props: Map[String, String] = Map.empty,
-                  location: Option[String] = None): LoadedTable = {
+                  location: Option[String] = None,
+                  spec: Option[graft.core.PartitionSpec] = None)
+      : LoadedTable = {
     require(identifier.size >= 2, s"invalid table identifier: $identifier")
     val ns = identifier.dropRight(1)
     val body = mapper.createObjectNode()
@@ -423,6 +425,19 @@ final class RestCatalog(val name: String, uri: String,
     val idArr = schemaNode.putArray("identifier-field-ids")
     schema.identifierFieldIds.foreach(idArr.add)
     body.set("schema", schemaNode)
+    // CreateTableRequest partition-spec (PARTITIONED BY in SQL DDL)
+    spec.foreach { sp =>
+      val sn = body.putObject("partition-spec")
+      sn.put("spec-id", sp.specId)
+      val fs = sn.putArray("fields")
+      sp.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("source-id", f.sourceId)
+        fn.put("field-id", f.fieldId)
+        fn.put("name", f.name)
+        fn.put("transform", f.transform.repr)
+      }
+    }
     val p = body.putObject("properties")
     props.foreach { case (k, v) => p.put(k, v) }
     val rsp = request("POST",

@@ -606,9 +606,24 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
     md.put("last-column-id", maxId)
     md.put("current-schema-id", schema.get("schema-id").asInt())
     md.putArray("schemas").add(schema)
-    md.put("default-spec-id", 0)
-    val spec = md.putArray("partition-specs").addObject()
-    spec.put("spec-id", 0); spec.putArray("fields")
+    Option(b.get("partition-spec")).filter(!_.isNull) match {
+      case Some(sn0) =>
+        // CreateTableRequest carried a spec (SQL PARTITIONED BY)
+        val sn = sn0.deepCopy[ObjectNode]()
+        if (!sn.has("spec-id")) sn.put("spec-id", 0)
+        md.put("default-spec-id", sn.get("spec-id").asInt())
+        md.putArray("partition-specs").add(sn)
+        var maxF = 999
+        sn.get("fields").forEach(f =>
+          maxF = math.max(maxF, f.get("field-id").asInt()))
+        md.put("last-partition-id", maxF)
+        ()
+      case None =>
+        md.put("default-spec-id", 0)
+        val spec = md.putArray("partition-specs").addObject()
+        spec.put("spec-id", 0); spec.putArray("fields")
+        ()
+    }
     md.put("default-sort-order-id", 0)
     val so = md.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")

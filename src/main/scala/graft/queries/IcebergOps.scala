@@ -1450,6 +1450,82 @@ object IcebergOps {
       .orderBy("event_type")
   }
 
+  /** SQL DDL lifecycle on the REST plane (ice37): CREATE NAMESPACE lands
+    * on a live server, CREATE TABLE ... PARTITIONED BY ships the spec on
+    * the CreateTableRequest, INSERT writes through the server under the
+    * identity partitioning, ALTER TABLE RENAME routes the spec's rename
+    * verb, and DROP TABLE (on a scratch sibling) deletes server-side.
+    * The oracle replays the INSERT's projection relationally — DDL must
+    * be row-invariant end to end. Internal requires pin what SQL can't
+    * see: the server-side spec, the rename, and the drop. */
+  def ice37RestDdl(s: SparkSession, d: String): DataFrame = {
+    val root = new File(
+      s"$cacheRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/rest_ddl")
+    provisionOnce(root) {
+      val wh = new File(root, "wh"); wh.mkdirs()
+      val server = new graft.catalog.TestRestCatalogServer("graft", "graft")
+      server.start()
+      try {
+        val cat = graft.catalog.Catalog.load("ice37", server.uri,
+          Map(graft.catalog.RestCatalog.KeyCredential -> "graft:graft"))
+          .asInstanceOf[graft.catalog.RestCatalog]
+        s.conf.set("spark.sql.catalog.ice37cat", "graft.spark.GraftCatalog")
+        s.conf.set("spark.sql.catalog.ice37cat.warehouse", wh.getPath)
+        s.conf.set("spark.sql.catalog.ice37cat.uri", server.uri)
+        s.conf.set("spark.sql.catalog.ice37cat.credential", "graft:graft")
+        s.sql("CREATE NAMESPACE ice37cat.p")
+        require(cat.listNamespaces().contains(Seq("p")),
+          "CREATE NAMESPACE did not land on the server")
+        s.sql("CREATE TABLE ice37cat.p.ev (event_id BIGINT, " +
+          "event_type STRING, value DOUBLE) PARTITIONED BY (event_type)")
+        val created = cat.loadTable(Seq("p", "ev")).metadata
+        require(created.partitionSpec.fields.size == 1,
+          s"CreateTableRequest dropped the spec: ${created.partitionSpec}")
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .createOrReplaceTempView("ice37_src")
+        s.sql("INSERT INTO ice37cat.p.ev SELECT event_id, event_type, value " +
+          "FROM ice37_src WHERE event_id % 3 = 0")
+        // rename routes the spec's verb; rows survive under the new name
+        s.sql("ALTER TABLE ice37cat.p.ev RENAME TO ice37cat.p.events2")
+        require(cat.tableExists(Seq("p", "events2")) &&
+          !cat.tableExists(Seq("p", "ev")), "rename did not land")
+        // drop on a scratch sibling deletes server-side
+        s.sql("CREATE TABLE ice37cat.p.scratch (id BIGINT)")
+        s.sql("DROP TABLE ice37cat.p.scratch")
+        require(!cat.tableExists(Seq("p", "scratch")), "drop did not land")
+        val loc = new File(
+          cat.loadTable(Seq("p", "events2")).metadata.location
+            .stripPrefix("file://").stripPrefix("file:"))
+        val metaDir = new File(loc, "metadata"); metaDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new File(metaDir, "v1.metadata.json").toPath,
+          cat.loadTable(Seq("p", "events2")).metadata.toJson)
+        // steady-state reads resolve the materialized metadata from the
+        // table location recorded at provision time
+        java.nio.file.Files.writeString(
+          new File(root, "location.txt").toPath, loc.getPath)
+      } finally server.stop()
+    }
+    val loc = java.nio.file.Files.readString(
+      new File(root, "location.txt").toPath).trim
+    IcebergTables.load(loc).newScan().toDF(s)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("event_id"))
+          .cast("double").as("sum_id"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of the ice37 INSERT projection: the DDL around it
+    * (create/partition/rename/drop) must not move a single row. */
+  val ice37Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(event_id) AS DOUBLE) AS sum_id,
+              ${sqlDsum("value")} AS sum_value
+       FROM events WHERE event_id % 3 = 0
+       GROUP BY event_type ORDER BY event_type"""
+
   /** DuckDB mirror of the ice36 sequence: delete = filter, update = CASE
     * projection; the V2→V3 upgrade itself must not move a single row. */
   val ice36Sql: String =

@@ -225,9 +225,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else None
   }
 
-  private def isTable(dir: File): Boolean =
-    new File(dir, "metadata").isDirectory ||
-      new File(dir, "location.ref").isFile
+  /** A LOCAL-plane table is a dir holding table METADATA (a metadata json
+    * or the version hint), or a registered pointer. A bare `metadata/`
+    * folder does not qualify: a REST-cataloged table provisioned under
+    * this warehouse keeps its manifests there while the SERVER owns the
+    * metadata jsons — it must not shadow itself into the local plane. */
+  private def isTable(dir: File): Boolean = {
+    if (new File(dir, "location.ref").isFile) return true
+    val meta = new File(dir, "metadata")
+    meta.isDirectory && {
+      new File(meta, "version-hint.text").isFile ||
+        Option(meta.list()).exists(_.exists(_.endsWith(".metadata.json")))
+    }
+  }
 
   /** The directory table data/metadata actually lives in — the table dir
     * itself, or the `location.ref` target for registered tables. */
@@ -337,6 +347,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
+    // plane selection: when the target namespace lives ONLY on the REST
+    // side, CREATE TABLE (and CTAS) creates THROUGH the server — the
+    // local plane keeps owning namespaces that exist as warehouse dirs
+    val nsDir = new File(warehouse, ident.namespace().mkString(File.separator))
+    rest.filter(_ => !nsDir.isDirectory).foreach { rc =>
+      val nsOnRest =
+        try { rc.namespaceProperties(ident.namespace().toSeq); true }
+        catch { case _: graft.catalog.CatalogError => false }
+      if (nsOnRest) {
+        val dir = tableDir(ident); dir.mkdirs()
+        val iceSchema = SchemaConv.fromSparkSchema(schema)
+        val spec = specFromTransforms(iceSchema, partitions)
+        rc.createTable(restIdent(ident), iceSchema,
+          properties.asScala.toMap, Some(dir.getPath),
+          spec = Some(spec).filter(_.fields.nonEmpty))
+        return restLoadTable(ident).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident))
+      }
+    }
     val dir = tableDir(ident)
     dir.mkdirs()
     val iceSchema = SchemaConv.fromSparkSchema(schema)
@@ -601,12 +631,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) false
-    else { deleteRec(dir); true }
+    if (isTable(dir)) { deleteRec(dir); true }
+    else rest.exists { rc =>
+      // REST plane: the server owns the drop; a table whose location this
+      // catalog provisioned under its own warehouse gets its directory
+      // removed too (matching the local plane's purge-on-drop semantics)
+      val id = restIdent(ident)
+      try {
+        val loc =
+          try Some(rc.loadTable(id).metadata.location)
+          catch { case _: graft.catalog.CatalogError => None }
+        rc.dropTable(id); invalidateRest(id)
+        loc.map(l => new File(l.stripPrefix("file://").stripPrefix("file:")))
+          .filter(f => f.getPath.startsWith(warehouse.getPath) && f.isDirectory)
+          .foreach(deleteRec)
+        true
+      } catch {
+        case _: graft.catalog.NoSuchTableError |
+             _: graft.catalog.NoSuchNamespaceError => false
+      }
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
+    if (!isTable(from) && rest.exists(_.tableExists(restIdent(oldIdent)))) {
+      val rc = rest.get
+      val targetNs0 = newIdent.namespace() match {
+        case ns if ns.headOption.contains(catalogName) => ns.drop(1)
+        case ns => ns
+      }
+      val to = Identifier.of(targetNs0, newIdent.name())
+      rc.renameTable(restIdent(oldIdent), restIdent(to))
+      invalidateRest(restIdent(oldIdent)); invalidateRest(restIdent(to))
+      return
+    }
     if (!isTable(from)) throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(oldIdent)
     // ALTER TABLE ... RENAME TO passes the target unresolved — it may still
@@ -854,18 +913,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------------ namespaces
 
-  override def listNamespaces(): Array[Array[String]] =
-    Option(warehouse.listFiles()).getOrElse(Array.empty)
+  /** BOTH planes, like listTables: SHOW NAMESPACES unions the warehouse
+    * dirs with the REST server's listing. */
+  override def listNamespaces(): Array[Array[String]] = {
+    val local = Option(warehouse.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !isTable(f))
-      .map(f => Array(f.getName))
+      .map(f => Seq(f.getName))
+    val remote = rest.toSeq.flatMap { rc =>
+      try rc.listNamespaces() catch { case _: graft.catalog.CatalogError => Nil }
+    }
+    (local.toSeq ++ remote).distinct.map(_.toArray).toArray
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
     else {
       val dir = new File(warehouse, namespace.mkString(File.separator))
-      Option(dir.listFiles()).getOrElse(Array.empty)
+      val local = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !isTable(f))
-        .map(f => namespace :+ f.getName)
+        .map(f => (namespace :+ f.getName).toSeq)
+      val remote = rest.toSeq.flatMap { rc =>
+        try rc.listNamespaces(namespace.toSeq)
+        catch { case _: graft.catalog.CatalogError => Nil }
+      }
+      (local.toSeq ++ remote).distinct.map(_.toArray).toArray
     }
 
   /** Namespace properties live in a `.namespace.properties` file inside the
@@ -897,16 +968,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val dir = new File(warehouse, namespace.mkString(File.separator))
-    if (!dir.isDirectory) throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchNamespaceException(namespace)
+    if (!dir.isDirectory) {
+      // REST fallback: a server-resident namespace exists for USE/SHOW
+      // even without a warehouse dir
+      rest.foreach { rc =>
+        try return rc.namespaceProperties(namespace.toSeq).asJava
+        catch { case _: graft.catalog.CatalogError => () }
+      }
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    }
     (readNsProps(namespace) + ("location" -> dir.getPath)).asJava
   }
 
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
-    new File(warehouse, namespace.mkString(File.separator)).mkdirs()
-    val props = metadata.asScala.toMap - "location" - "owner" - "comment"
-    if (props.nonEmpty) writeNsProps(namespace, props)
+    // a uri-configured catalog's namespace DDL belongs to the catalog of
+    // record: CREATE NAMESPACE lands on the SERVER (local namespaces in
+    // such a catalog come from warehouse dirs, never SQL DDL)
+    rest match {
+      case Some(rc) =>
+        rc.createNamespace(namespace.toSeq,
+          metadata.asScala.toMap - "location" - "owner" - "comment")
+      case None =>
+        new File(warehouse, namespace.mkString(File.separator)).mkdirs()
+        val props = metadata.asScala.toMap - "location" - "owner" - "comment"
+        if (props.nonEmpty) writeNsProps(namespace, props)
+    }
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -930,7 +1018,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // namespace holding only its properties is empty for DROP purposes
     def hasContent = Option(dir.listFiles()).exists(
       _.exists(_.getName != nsPropsFile(namespace).getName))
-    if (!dir.isDirectory) false
+    val restHasNs = rest.exists { rc =>
+      try { rc.namespaceProperties(namespace.toSeq); true }
+      catch { case _: graft.catalog.CatalogError => false }
+    }
+    if (restHasNs) {
+      // REST-resident namespace: the server owns the drop (refusing a
+      // non-empty one per the spec). A LOCAL table under the same name
+      // blocks the drop without CASCADE; data remnants of already-dropped
+      // REST tables under the warehouse dir are swept with it.
+      val localTables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(isTable)
+      if (localTables.nonEmpty && !cascade)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
+      rest.get.dropNamespace(namespace.toSeq)
+      if (dir.isDirectory) deleteRec(dir)
+      GraftViewExistsCache.invalidate()
+      true
+    }
+    else if (!dir.isDirectory) false
     else if (!cascade && hasContent)
       // Spark treats a `false` return as "nothing to drop" and reports
       // success — a non-empty namespace must throw to surface the

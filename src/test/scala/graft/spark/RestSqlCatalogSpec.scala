@@ -406,6 +406,39 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(md().snapshots.size == snapsBeforeNoop) // no-op → no commit
   }
 
+  test("SQL DDL routes to the REST plane: namespaces, CREATE/DROP/RENAME TABLE") {
+    conf()
+    // CREATE NAMESPACE on a uri-configured catalog lands on the SERVER
+    spark.sql("CREATE NAMESPACE grest.ddl")
+    assert(rc.listNamespaces().contains(Seq("ddl")))
+    assert(spark.sql("SHOW NAMESPACES IN grest").collect()
+      .map(_.getString(0)).contains("ddl"))
+
+    // CREATE TABLE into the REST-resident namespace creates through the
+    // server, carrying the PARTITIONED BY spec on the CreateTableRequest
+    spark.sql("CREATE TABLE grest.ddl.t (id BIGINT, data STRING) " +
+      "PARTITIONED BY (data)")
+    val created = rc.loadTable(Seq("ddl", "t")).metadata
+    assert(created.partitionSpec.fields.size == 1 &&
+      created.partitionSpec.fields.head.transform == graft.core.IdentityTransform,
+      created.partitionSpec)
+    // and it takes SQL DML end-to-end immediately
+    spark.sql("INSERT INTO grest.ddl.t VALUES (1, 'a'), (2, 'b')")
+    assert(rowsOf("grest.ddl.t") == Seq((1L, "a"), (2L, "b")))
+
+    // RENAME routes through the server
+    spark.sql("ALTER TABLE grest.ddl.t RENAME TO grest.ddl.t2")
+    assert(rc.tableExists(Seq("ddl", "t2")) && !rc.tableExists(Seq("ddl", "t")))
+    assert(rowsOf("grest.ddl.t2") == Seq((1L, "a"), (2L, "b")))
+
+    // DROP TABLE drops on the server (and sweeps the warehouse-provisioned
+    // location dir); DROP NAMESPACE then drops the empty namespace
+    spark.sql("DROP TABLE grest.ddl.t2")
+    assert(!rc.tableExists(Seq("ddl", "t2")))
+    spark.sql("DROP NAMESPACE grest.ddl")
+    assert(!rc.listNamespaces().contains(Seq("ddl")))
+  }
+
   test("WAP over REST: branch staging + fast_forward, wap.id stage + publish_changes") {
     conf()
     rc.createNamespace(Seq("wap"))
