@@ -283,6 +283,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace().last)
       if (isTable(tableDir(parent)))
         return MetadataTables.build(loadIce(parent), ident.name())
+      // REST parent: the same metadata views over the server-loaded tree
+      rest.foreach { rc =>
+        try return MetadataTables.build(
+          TableWriter.restTableOf(restLoad(rc, restIdent(parent)), rc),
+          ident.name())
+        catch { case _: graft.catalog.CatalogError => () }
+      }
     }
     // `db.v.versions` over a VIEW: its retained version history
     if (!isTable(tableDir(ident)) && ident.namespace().nonEmpty &&

@@ -439,6 +439,22 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rc.listNamespaces().contains(Seq("ddl")))
   }
 
+  test("metadata tables resolve over REST parents") {
+    conf()
+    rc.createNamespace(Seq("mt"))
+    val loc = Files.createTempDirectory("rsql_mt").toFile.getPath
+    rc.createTable(Seq("mt", "t"), schema, location = Some(loc))
+    appendRest(Seq("mt", "t"), loc, Seq((1L, "a")), "q1")
+    appendRest(Seq("mt", "t"), loc, Seq((2L, "b")), "q2")
+    // `grest.mt.t.snapshots` / `.files` serve the SERVER-loaded tree
+    assert(spark.sql("SELECT snapshot_id FROM grest.mt.t.snapshots")
+      .collect().length == 2)
+    assert(spark.sql("SELECT file_path FROM grest.mt.t.files")
+      .collect().length == 2)
+    assert(spark.sql("SELECT name FROM grest.mt.t.refs")
+      .collect().map(_.getString(0)).toSet == Set("main"))
+  }
+
   test("WAP over REST: branch staging + fast_forward, wap.id stage + publish_changes") {
     conf()
     rc.createNamespace(Seq("wap"))
