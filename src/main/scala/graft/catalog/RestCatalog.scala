@@ -127,6 +127,13 @@ final case class AddPartitionSpec(spec: graft.core.PartitionSpec)
 /** The spec's `set-default-spec` action; `specId = -1` means "the spec
   * added in this same update set" per the spec. */
 final case class SetDefaultSpec(specId: Int) extends TableUpdate
+/** The spec's `add-sort-order` action — a sorted rewrite registers the
+  * order it wrote under, so readers can claim per-file ordering
+  * (SupportsReportOrdering) over REST-cataloged tables too. */
+final case class AddSortOrder(order: graft.core.SortOrder) extends TableUpdate
+/** The spec's `set-default-sort-order` action; `orderId = -1` means "the
+  * order added in this same update set". */
+final case class SetDefaultSortOrder(orderId: Int) extends TableUpdate
 
 /** One table's change set inside a multi-table transaction
   * ([[RestCatalog.commitTransaction]]). */
@@ -622,6 +629,23 @@ final class RestCatalog(val name: String, uri: String,
         val u = ups.addObject()
         u.put("action", "set-default-spec")
         u.put("spec-id", specId)
+      case AddSortOrder(order) =>
+        val u = ups.addObject()
+        u.put("action", "add-sort-order")
+        val on = u.putObject("sort-order")
+        on.put("order-id", order.orderId)
+        val fs = on.putArray("fields")
+        order.fields.foreach { f =>
+          val fn = fs.addObject()
+          fn.put("transform", f.transform.repr)
+          fn.put("source-id", f.sourceId)
+          fn.put("direction", f.direction.repr)
+          fn.put("null-order", f.nullOrder.repr)
+        }
+      case SetDefaultSortOrder(orderId) =>
+        val u = ups.addObject()
+        u.put("action", "set-default-sort-order")
+        u.put("sort-order-id", orderId)
     }
     body
   }

@@ -693,6 +693,7 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         // `set-default-spec` has the same -1 rule for `add-spec`
         var lastAddedSchemaId = -1
         var lastAddedSpecId = -1
+        var lastAddedSortOrderId = -1
         Option(b.get("updates")).foreach(_.forEach { u =>
           u.get("action").asText() match {
             case "set-properties" =>
@@ -833,6 +834,29 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
               if (!known) throw new IllegalArgumentException(
                 s"set-default-spec: spec-id $target not in metadata")
               md.put("default-spec-id", target)
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "add-sort-order" =>
+              val on = u.get("sort-order").deepCopy[ObjectNode]()
+              val orders = md.withArray[ArrayNode]("sort-orders")
+              var maxId = -1
+              orders.forEach(x => maxId =
+                math.max(maxId, x.get("order-id").asInt()))
+              if (on.get("order-id").asInt() <= maxId)
+                on.put("order-id", maxId + 1)
+              orders.add(on)
+              lastAddedSortOrderId = on.get("order-id").asInt()
+              md.put("last-updated-ms", System.currentTimeMillis())
+              ()
+            case "set-default-sort-order" =>
+              val id0 = u.get("sort-order-id").asInt()
+              val target = if (id0 == -1) lastAddedSortOrderId else id0
+              var known = false
+              md.withArray[ArrayNode]("sort-orders").forEach(x =>
+                known ||= x.get("order-id").asInt() == target)
+              if (!known) throw new IllegalArgumentException(
+                s"set-default-sort-order: order-id $target not in metadata")
+              md.put("default-sort-order-id", target)
               md.put("last-updated-ms", System.currentTimeMillis())
               ()
             // statistics registration: replace any entry for the same

@@ -86,7 +86,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (isTable(tableDir(Identifier.of(parts.init, parts.last)))) None
       else rest.filter { rc =>
         try { rc.loadTable(parts.toSeq); true }
-        catch { case _: graft.catalog.CatalogError => false }
+        catch {
+          // register_table's target must NOT exist — it routes REST when
+          // the namespace is server-resident and the ident is free
+          case _: graft.catalog.NoSuchTableError
+              if ident.name() == "register_table" =>
+            try { rc.namespaceProperties(parts.init.toSeq); true }
+            catch { case _: graft.catalog.CatalogError => false }
+          case _: graft.catalog.CatalogError => false
+        }
       }.map { rc =>
         // the procedure may commit through the server: drop any cached
         // metadata for this ident so subsequent reads see the commit

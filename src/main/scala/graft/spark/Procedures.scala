@@ -470,6 +470,16 @@ object GraftProcedures {
           StructField("table_location", StringType, nullable = false),
           StructField("current_snapshot_id", LongType)))) { in =>
         val tableRef = in.getUTF8String(0).toString
+        resolveRest(tableRef) match {
+          case Some((rc, id)) =>
+            // REST plane: the server adopts the existing metadata file
+            // verbatim (the spec's register route) — nothing is rewritten
+            val committed = rc.registerTable(id,
+              in.getUTF8String(1).toString)
+            Array[Any](committed.metadata.location,
+              committed.metadata.currentSnapshotId
+                .map(java.lang.Long.valueOf(_)).orNull)
+          case None =>
         val entryDir = new java.io.File(resolveLocation(tableRef))
         val metaLoc = in.getUTF8String(1).toString.stripPrefix("file://")
         // the entry directory must not exist AT ALL: a table dir, a view
@@ -512,6 +522,7 @@ object GraftProcedures {
         Array[Any](target,
           table.currentSnapshot.map(s => java.lang.Long.valueOf(s.snapshotId))
             .orNull)
+        }
       }
       case "rewrite_manifests" => proc(name,
         Seq("table" -> StringType),

@@ -1077,12 +1077,32 @@ object TableWriter {
                        removedPaths: Set[String],
                        added: Seq[graft.spark.CowFileOut],
                        touchedManifests: Option[Set[String]] = None,
-                       basedOn: Option[graft.catalog.LoadedTable] = None)
+                       basedOn: Option[graft.catalog.LoadedTable] = None,
+                       sortOrder: Option[SortOrder] = None)
       : graft.catalog.LoadedTable = {
     val (change, _) = stageRestReplaceChange(catalog, identifier,
-      removedPaths, added, touchedManifests, basedOn)
+      removedPaths, added, touchedManifests, basedOn, sortOrder)
     catalog.commitTable(identifier, change.requirements, change.updates)
   }
+
+  /** How a sorted REST rewrite registers its order: reuse an IDENTICAL
+    * already-registered order's id (files stamp it; one
+    * set-default-sort-order if it is not already the default), else mint
+    * a fresh id above the registered maximum and commit `add-sort-order`
+    * + `set-default-sort-order(-1)` alongside the rewrite snapshot. */
+  private def sortOrderCommit(md: TableMetadata, order: SortOrder)
+      : (SortOrder, Seq[graft.catalog.TableUpdate]) =
+    md.sortOrders.find(_.fields == order.fields) match {
+      case Some(existing) =>
+        (existing,
+          if (md.defaultSortOrderId == existing.orderId) Nil
+          else Seq(graft.catalog.SetDefaultSortOrder(existing.orderId)))
+      case None =>
+        val fresh = order.copy(orderId =
+          (md.sortOrders.map(_.orderId) :+ 0).max + 1)
+        (fresh, Seq(graft.catalog.AddSortOrder(fresh),
+          graft.catalog.SetDefaultSortOrder(-1)))
+    }
 
   /** Stage a CoW replace against a REST table WITHOUT committing — the
     * [[RestTransaction]] counterpart of [[stageRestAppendChange]].
@@ -1101,20 +1121,27 @@ object TableWriter {
                                      removedPaths: Set[String],
                                      added: Seq[graft.spark.CowFileOut],
                                      touchedManifests: Option[Set[String]],
-                                     basedOn: Option[graft.catalog.LoadedTable] = None)
+                                     basedOn: Option[graft.catalog.LoadedTable] = None,
+                                     sortOrder: Option[SortOrder] = None)
       : (graft.catalog.TableChange, Option[Long]) = {
     val loaded = basedOn.getOrElse(catalog.loadTable(identifier))
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
+    val (effOrder, orderUpdates) = sortOrder.filterNot(_.isUnsorted) match {
+      case Some(o) =>
+        val (eff, ups) = sortOrderCommit(md, o)
+        (Some(eff), ups)
+      case None => (None, Nil)
+    }
     val snapshot = stageReplaceSnapshot(table, removedPaths, added,
-      touchedManifests)
+      touchedManifests, effOrder)
     val change = graft.catalog.TableChange(identifier,
       Seq(graft.catalog.AssertTableUuid(md.tableUuid),
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
             .orElse(md.currentSnapshotId))),
-      Seq(graft.catalog.AddSnapshot(snapshot),
+      orderUpdates ++ Seq(graft.catalog.AddSnapshot(snapshot),
         setMainRefUpdate(md, snapshot.snapshotId)))
     (change, snapshot.firstRowId.map(_ + added.map(_.rows).sum))
   }
@@ -1173,7 +1200,8 @@ object TableWriter {
     * the local CAS and REST commit paths. */
   private def stageReplaceSnapshot(table: IcebergTable, removedPaths: Set[String],
                                    added: Seq[graft.spark.CowFileOut],
-                                   touchedManifests: Option[Set[String]]): Snapshot = {
+                                   touchedManifests: Option[Set[String]],
+                                   sortOrder: Option[SortOrder] = None): Snapshot = {
     val md = table.metadata
     val location = table.location
     val seq = md.lastSequenceNumber + 1
@@ -1240,9 +1268,14 @@ object TableWriter {
     }
 
     val addedEntries0 = added.map { f =>
+      val info0 = statsFromFooter(new File(f.path), table.schema,
+        f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts)
+      // a sorted rewrite stamps its order so readers can claim per-file
+      // ordering (SupportsReportOrdering gates on this exact id)
+      val info = sortOrder.fold(info0)(o =>
+        info0.copy(sortOrderId = Some(o.orderId)))
       ManifestEntry(ManifestEntryStatus.Added, Some(snapId), Some(seq), Some(seq),
-        statsFromFooter(new File(f.path), table.schema,
-          f.partition.filter(_._2 != null), DataFileContent.Data, None, f.nanCounts))
+        info)
     }
     val lineage = assignLineage(md, addedEntries0)
     val addedEntries = lineage.entries
@@ -1406,7 +1439,8 @@ object TableWriter {
             val committed = replaceFilesRest(rc, id, selected, outs,
               touchedManifests = if (manifests.nonEmpty) Some(manifests)
                                  else None,
-              basedOn = Some(basedOn))
+              basedOn = Some(basedOn),
+              sortOrder = Some(order).filterNot(_.isUnsorted))
             restTableOf(committed, rc)
           case None =>
             replaceFiles(table.location, selected, outs,
@@ -1427,7 +1461,8 @@ object TableWriter {
             val outs = writeDistributed(df, dataDir, table.schema, table.spec,
               table.properties, order, preClustered = true)
             val committed = replaceFilesRest(rc, id, removed, outs,
-              basedOn = Some(basedOn))
+              basedOn = Some(basedOn),
+              sortOrder = Some(order).filterNot(_.isUnsorted))
             restTableOf(committed, rc)
           case None =>
             val version = table.loadedVersion + 1

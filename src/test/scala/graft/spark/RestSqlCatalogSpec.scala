@@ -363,6 +363,18 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.endsWith(".metadata.json")), "local metadata written")
 
+    // rewrite_sorted registers its order server-side (add-sort-order +
+    // set-default-sort-order) and stamps the files, so the
+    // SupportsReportOrdering gate holds over REST too
+    spark.sql("CALL grest.system.rewrite_sorted('mx.t', 1, 'id')").collect()
+    val mdS = md()
+    assert(mdS.sortOrder.fields.map(_.sourceId) == Seq(1), mdS.sortOrders)
+    val stamped = TableWriter.restTableOf(rc.loadTable(Seq("mx", "t")))
+      .newScan().planFiles()
+    assert(stamped.nonEmpty &&
+      stamped.forall(_.file.sortOrderId.contains(mdS.sortOrder.orderId)),
+      stamped.map(t => (t.file.path, t.file.sortOrderId)))
+
     // compute_table_stats / compute_partition_stats: set-statistics /
     // set-partition-statistics update actions register server-side
     spark.sql("CALL grest.system.compute_table_stats('mx.t', 'id,data')").collect()
@@ -437,6 +449,20 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rc.tableExists(Seq("ddl", "t2")))
     spark.sql("DROP NAMESPACE grest.ddl")
     assert(!rc.listNamespaces().contains(Seq("ddl")))
+  }
+
+  test("CALL register_table adopts an existing table into the REST catalog") {
+    conf()
+    import spark.implicits._
+    rc.createNamespace(Seq("reg"))
+    val loc = Files.createTempDirectory("rsql_reg").toFile.getPath
+    val t = TableWriter.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "data"), loc)
+    val res = spark.sql("CALL grest.system.register_table('reg.adopted', " +
+      s"'${t.metadataPath}')").collect()(0)
+    assert(rc.tableExists(Seq("reg", "adopted")))
+    assert(rowsOf("grest.reg.adopted") == Seq((1L, "a"), (2L, "b")))
+    assert(res.getString(0).nonEmpty)
   }
 
   test("metadata tables resolve over REST parents") {
