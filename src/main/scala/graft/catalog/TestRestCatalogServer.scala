@@ -193,10 +193,23 @@ final class TestRestCatalogServer(clientId: String, secret: String) {
         hs.putArray("Authorization").add(signature(method, uri0))
         respond(ex, 200, mapper.writeValueAsString(root))
       case ("GET", Seq("namespaces")) =>
+        // `?parent=` scopes the listing to DIRECT children (the spec's
+        // nested-namespace rule); without it, roots only
+        val parent = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").map(_.split("=", 2))
+          .collectFirst { case Array("parent", v) =>
+            URLDecoder.decode(v, StandardCharsets.UTF_8) }
         val root = mapper.createObjectNode()
         val arr = root.putArray("namespaces")
         namespaces.keys.foreach { ns =>
-          val a = arr.addArray(); ns.split("").foreach(a.add)
+          val segs = ns.split("").toSeq
+          val emit = parent match {
+            case Some(p) =>
+              val ps = p.split("").toSeq
+              segs.size == ps.size + 1 && segs.startsWith(ps)
+            case None => segs.size == 1
+          }
+          if (emit) { val a = arr.addArray(); segs.foreach(a.add) }
         }
         respond(ex, 200, mapper.writeValueAsString(root))
       case ("POST", Seq("namespaces")) =>

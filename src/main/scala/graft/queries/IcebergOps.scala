@@ -1489,8 +1489,12 @@ object IcebergOps {
         s.sql("ALTER TABLE ice37cat.p.ev RENAME TO ice37cat.p.events2")
         require(cat.tableExists(Seq("p", "events2")) &&
           !cat.tableExists(Seq("p", "ev")), "rename did not land")
-        // drop on a scratch sibling deletes server-side
+        // a SECOND create in the same namespace must also land on the
+        // server (plane selection cannot depend on warehouse dirs, which
+        // the first create's provisioning made); drop deletes server-side
         s.sql("CREATE TABLE ice37cat.p.scratch (id BIGINT)")
+        require(cat.tableExists(Seq("p", "scratch")),
+          "second CREATE in the namespace did not land on the server")
         s.sql("DROP TABLE ice37cat.p.scratch")
         require(!cat.tableExists(Seq("p", "scratch")), "drop did not land")
         val loc = new File(

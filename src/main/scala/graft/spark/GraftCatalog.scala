@@ -362,16 +362,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
-    // plane selection: when the target namespace lives ONLY on the REST
-    // side, CREATE TABLE (and CTAS) creates THROUGH the server — the
-    // local plane keeps owning namespaces that exist as warehouse dirs
-    val nsDir = new File(warehouse, ident.namespace().mkString(File.separator))
-    rest.filter(_ => !nsDir.isDirectory).foreach { rc =>
+    // plane selection: a SERVER-RESIDENT namespace owns its CREATE TABLE
+    // (and CTAS) — the decision must not depend on warehouse dirs, which
+    // REST provisioning itself creates (a dir-existence rule would flip
+    // the SECOND create in a namespace to the local plane). The
+    // provisioned location gets a per-create unique suffix so a rename
+    // followed by a same-name create can never share a directory with a
+    // live table (drop sweeps only the dropped table's own location).
+    rest.foreach { rc =>
       val nsOnRest =
         try { rc.namespaceProperties(ident.namespace().toSeq); true }
         catch { case _: graft.catalog.CatalogError => false }
       if (nsOnRest) {
-        val dir = tableDir(ident); dir.mkdirs()
+        val dir = new File(tableDir(ident).getPath + "_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        dir.mkdirs()
         val iceSchema = SchemaConv.fromSparkSchema(schema)
         val spec = specFromTransforms(iceSchema, partitions)
         rc.createTable(restIdent(ident), iceSchema,
@@ -658,7 +663,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           catch { case _: graft.catalog.CatalogError => None }
         rc.dropTable(id); invalidateRest(id)
         loc.map(l => new File(l.stripPrefix("file://").stripPrefix("file:")))
-          .filter(f => f.getPath.startsWith(warehouse.getPath) && f.isDirectory)
+          .filter(f => f.getCanonicalPath.startsWith(
+            warehouse.getCanonicalPath + File.separator) && f.isDirectory)
           .foreach(deleteRec)
         true
       } catch {
@@ -1015,8 +1021,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit = {
     val dir = new File(warehouse, namespace.mkString(File.separator))
-    if (!dir.isDirectory) throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchNamespaceException(namespace)
+    // a SERVER-RESIDENT namespace owns its properties (same residency
+    // rule as CREATE TABLE — a warehouse dir here is only a provisioning
+    // side-effect, never SQL-created in a uri-configured catalog)
+    rest.foreach { rc =>
+      val onRest =
+        try { rc.namespaceProperties(namespace.toSeq); true }
+        catch { case _: graft.catalog.CatalogError => false }
+      if (onRest) {
+        val sets = scala.collection.mutable.Map[String, String]()
+        val removes = Vector.newBuilder[String]
+        changes.foreach {
+          case s: NamespaceChange.SetProperty => sets += s.property() -> s.value()
+          case r: NamespaceChange.RemoveProperty => removes += r.property()
+          case other => throw new UnsupportedOperationException(
+            s"namespace change ${other.getClass.getSimpleName} is not supported")
+        }
+        rc.updateNamespaceProperties(namespace.toSeq, removes.result(),
+          sets.toMap)
+        return
+      }
+    }
+    if (!dir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
     var props = readNsProps(namespace)
     changes.foreach {
       case s: NamespaceChange.SetProperty => props += s.property() -> s.value()
@@ -1039,15 +1067,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (restHasNs) {
       // REST-resident namespace: the server owns the drop (refusing a
-      // non-empty one per the spec). A LOCAL table under the same name
-      // blocks the drop without CASCADE; data remnants of already-dropped
-      // REST tables under the warehouse dir are swept with it.
-      val localTables = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(isTable)
-      if (localTables.nonEmpty && !cascade)
+      // non-empty one per the spec). ANY local content under the same
+      // warehouse dir — tables, views, sub-namespaces, or the data dirs
+      // of live REST tables provisioned there — blocks a plain drop just
+      // like the local plane's rule; CASCADE drops the server's tables
+      // and views first, then sweeps the local dir.
+      if (!cascade && hasContent)
         throw new org.apache.spark.sql.catalyst.analysis
           .NonEmptyNamespaceException(namespace)
-      rest.get.dropNamespace(namespace.toSeq)
+      val rc = rest.get
+      if (cascade) {
+        rc.listViews(namespace.toSeq).foreach(v =>
+          try rc.dropView(v)
+          catch { case _: graft.catalog.CatalogError => () })
+        rc.listTables(namespace.toSeq).foreach { id =>
+          try { rc.dropTable(id); invalidateRest(id) }
+          catch { case _: graft.catalog.CatalogError => () }
+        }
+      }
+      rc.dropNamespace(namespace.toSeq)
       if (dir.isDirectory) deleteRec(dir)
       GraftViewExistsCache.invalidate()
       true

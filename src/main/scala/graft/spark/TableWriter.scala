@@ -728,6 +728,30 @@ object TableWriter {
     val version = table.loadedVersion + 1
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
+    val dvFiles = rehomeDvFiles(table, spark, tasks, posPaths, delDir,
+      snapId, seq)
+    commitDvSnapshot(table, Nil, dvFiles,
+      alsoSuperseded = d =>
+        d.content == DataFileContent.PositionDeletes && !d.isDeletionVector,
+      op = OpReplace,
+      extraSummary = Map("format-version" -> "3",
+        "position-delete-files-removed" -> posPaths.size.toString),
+      snapId, seq, version, metaDir)
+  }
+
+  /** Shared staging of the V2→V3 tombstone re-home ([[upgradeFormatVersion]]
+    * / [[upgradeFormatVersionRest]]): group live tombstone coordinates by
+    * data file — dangling tombstones of vanished files drop; a file that
+    * already has a DV keeps it untouched and its parquet tombstone entries
+    * (dead weight readers already ignore) retire WITHOUT folding — then
+    * write one DV per touched file. */
+  private def rehomeDvFiles(table: IcebergTable,
+                            spark: org.apache.spark.sql.SparkSession,
+                            tasks: Seq[graft.core.FileScanTask],
+                            posPaths: Seq[String],
+                            delDir: File, snapId: Long, seq: Long)
+      : Seq[DataFileInfo] = {
+    import org.apache.spark.sql.functions.regexp_replace
     val dvByFile = tasks.filter(_.deleteFiles.exists(_.isDeletionVector))
       .map(t => normFsPath(t.file.path)).toSet
     val liveNoDv = tasks.map(t => normFsPath(t.file.path))
@@ -737,14 +761,7 @@ object TableWriter {
         .select(regexp_replace(col("file_path"), "^file:(//)?", "")
           .as("file_path"), col("pos")),
       liveNoDv, spark)
-    val dvFiles = writeDvFiles(spark, dead, Map.empty, delDir, snapId, seq)
-    commitDvSnapshot(table, Nil, dvFiles,
-      alsoSuperseded = d =>
-        d.content == DataFileContent.PositionDeletes && !d.isDeletionVector,
-      op = OpReplace,
-      extraSummary = Map("format-version" -> "3",
-        "position-delete-files-removed" -> posPaths.size.toString),
-      snapId, seq, version, metaDir)
+    writeDvFiles(spark, dead, Map.empty, delDir, snapId, seq)
   }
 
   /** Equality MoR delete: any row whose `equalityCols` tuple appears in
@@ -1086,22 +1103,33 @@ object TableWriter {
   }
 
   /** How a sorted REST rewrite registers its order: reuse an IDENTICAL
-    * already-registered order's id (files stamp it; one
-    * set-default-sort-order if it is not already the default), else mint
-    * a fresh id above the registered maximum and commit `add-sort-order`
-    * + `set-default-sort-order(-1)` alongside the rewrite snapshot. */
-  private def sortOrderCommit(md: TableMetadata, order: SortOrder)
-      : (SortOrder, Seq[graft.catalog.TableUpdate]) =
+    * already-registered order's id, else commit `add-sort-order` +
+    * `set-default-sort-order(-1)` FIRST, in its own commit, and stamp
+    * files with the id the SERVER assigned — ids can be reassigned on
+    * conflict, and stamping a guessed id that a racing engine's different
+    * order ends up owning would let SupportsReportOrdering claim the
+    * WRONG ordering for these files. Once registered, an order's id is
+    * immutable, so the stamp is safe. */
+  private def registerSortOrderRest(catalog: graft.catalog.RestCatalog,
+                                    identifier: Seq[String],
+                                    md: TableMetadata,
+                                    order: SortOrder): SortOrder =
     md.sortOrders.find(_.fields == order.fields) match {
       case Some(existing) =>
-        (existing,
-          if (md.defaultSortOrderId == existing.orderId) Nil
-          else Seq(graft.catalog.SetDefaultSortOrder(existing.orderId)))
+        if (md.defaultSortOrderId != existing.orderId)
+          catalog.commitTable(identifier,
+            Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+            Seq(graft.catalog.SetDefaultSortOrder(existing.orderId)))
+        existing
       case None =>
-        val fresh = order.copy(orderId =
+        val guess = order.copy(orderId =
           (md.sortOrders.map(_.orderId) :+ 0).max + 1)
-        (fresh, Seq(graft.catalog.AddSortOrder(fresh),
-          graft.catalog.SetDefaultSortOrder(-1)))
+        val committed = catalog.commitTable(identifier,
+          Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+          Seq(graft.catalog.AddSortOrder(guess),
+            graft.catalog.SetDefaultSortOrder(-1)))
+        committed.metadata.sortOrders.find(_.fields == order.fields)
+          .getOrElse(guess)
     }
 
   /** Stage a CoW replace against a REST table WITHOUT committing — the
@@ -1128,12 +1156,10 @@ object TableWriter {
     val md = loaded.metadata
     val table = new IcebergTable(md.location, loaded.metadataLocation, md,
       IOConfig.fileIO(loaded.ioProps), ioProps = loaded.ioProps)
-    val (effOrder, orderUpdates) = sortOrder.filterNot(_.isUnsorted) match {
-      case Some(o) =>
-        val (eff, ups) = sortOrderCommit(md, o)
-        (Some(eff), ups)
-      case None => (None, Nil)
-    }
+    // register the sort order first (own commit; moves no ref, so the
+    // rewrite's head pin below stays valid) and stamp the SERVER's id
+    val effOrder = sortOrder.filterNot(_.isUnsorted)
+      .map(o => registerSortOrderRest(catalog, identifier, md, o))
     val snapshot = stageReplaceSnapshot(table, removedPaths, added,
       touchedManifests, effOrder)
     val change = graft.catalog.TableChange(identifier,
@@ -1141,7 +1167,7 @@ object TableWriter {
         graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
           md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
             .orElse(md.currentSnapshotId))),
-      orderUpdates ++ Seq(graft.catalog.AddSnapshot(snapshot),
+      Seq(graft.catalog.AddSnapshot(snapshot),
         setMainRefUpdate(md, snapshot.snapshotId)))
     (change, snapshot.firstRowId.map(_ + added.map(_.rows).sum))
   }
@@ -3279,23 +3305,22 @@ object TableWriter {
       d.content == DataFileContent.PositionDeletes && !d.isDeletionVector)
       .map(_.path)).distinct
     if (target == 2 || posPaths.isEmpty)
+      // head-pinned even for the "pure" flip: the no-tombstones decision
+      // came from THIS load's scan — a MoR DELETE landing in between
+      // would otherwise leave a V3 table with live parquet tombstones
+      // readers silently ignore (the 409-and-retry re-scans instead)
       return catalog.commitTable(identifier,
-        Seq(graft.catalog.AssertTableUuid(md.tableUuid)),
+        Seq(graft.catalog.AssertTableUuid(md.tableUuid),
+          graft.catalog.AssertRefSnapshotId(TableMetadata.MainBranch,
+            md.refs.get(TableMetadata.MainBranch).map(_.snapshotId)
+              .orElse(md.currentSnapshotId))),
         Seq(graft.catalog.UpgradeFormatVersion(target)))
     val seq = md.lastSequenceNumber + 1
     val snapId = System.nanoTime()
     val metaDir = new File(table.location, "metadata"); metaDir.mkdirs()
     val delDir = new File(table.location, s"data/dv-$snapId"); delDir.mkdirs()
-    val dvByFile = tasks.filter(_.deleteFiles.exists(_.isDeletionVector))
-      .map(t => normFsPath(t.file.path)).toSet
-    val liveNoDv = tasks.map(t => normFsPath(t.file.path))
-      .filterNot(dvByFile).distinct
-    val dead = filterLiveTombstones(
-      spark.read.parquet(posPaths: _*)
-        .select(regexp_replace(col("file_path"), "^file:(//)?", "")
-          .as("file_path"), col("pos")),
-      liveNoDv, spark)
-    val dvFiles = writeDvFiles(spark, dead, Map.empty, delDir, snapId, seq)
+    val dvFiles = rehomeDvFiles(table, spark, tasks, posPaths, delDir,
+      snapId, seq)
     val (snapshot, _) = stageDvSnapshot(table, Nil, dvFiles,
       alsoSuperseded = d =>
         d.content == DataFileContent.PositionDeletes && !d.isDeletionVector,

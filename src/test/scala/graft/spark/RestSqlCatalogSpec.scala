@@ -438,9 +438,27 @@ class RestSqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO grest.ddl.t VALUES (1, 'a'), (2, 'b')")
     assert(rowsOf("grest.ddl.t") == Seq((1L, "a"), (2L, "b")))
 
-    // RENAME routes through the server
+    // a SECOND create in the same (now warehouse-dir-backed) namespace
+    // still lands on the server — plane selection is by namespace
+    // residency, not by the dirs provisioning created
+    spark.sql("CREATE TABLE grest.ddl.s (id BIGINT)")
+    assert(rc.tableExists(Seq("ddl", "s")))
+    spark.sql("DROP TABLE grest.ddl.s")
+
+    // ALTER NAMESPACE on the server-resident namespace routes its
+    // properties update through the spec's route
+    spark.sql("ALTER NAMESPACE grest.ddl SET PROPERTIES ('team'='graft')")
+    assert(rc.namespaceProperties(Seq("ddl")).get("team").contains("graft"))
+
+    // RENAME routes through the server; a re-create under the OLD name
+    // provisions a FRESH location (never the renamed table's directory)
     spark.sql("ALTER TABLE grest.ddl.t RENAME TO grest.ddl.t2")
     assert(rc.tableExists(Seq("ddl", "t2")) && !rc.tableExists(Seq("ddl", "t")))
+    assert(rowsOf("grest.ddl.t2") == Seq((1L, "a"), (2L, "b")))
+    spark.sql("CREATE TABLE grest.ddl.t (id BIGINT, data STRING)")
+    val reloc = rc.loadTable(Seq("ddl", "t")).metadata.location
+    assert(reloc != rc.loadTable(Seq("ddl", "t2")).metadata.location)
+    spark.sql("DROP TABLE grest.ddl.t") // sweeps ONLY its own fresh dir
     assert(rowsOf("grest.ddl.t2") == Seq((1L, "a"), (2L, "b")))
 
     // DROP TABLE drops on the server (and sweeps the warehouse-provisioned
