@@ -41,6 +41,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Profiling aid: `SPARK_GRAFT_BENCH_FILTER=q08_setop,q10_anti_join` runs
   * only the named queries.
+  *
+  * Two yardsticks since r18: `calib_sec` (single-thread md5 burn) measures
+  * host serial speed; `calib_mt` (the same burn fanned across
+  * SPARK_GRAFT_CPUS threads, wall-timed) measures host PARALLEL capacity —
+  * the resource the 32-way battery actually competes for. A round where
+  * `stable_norm` inflates while `calib_sec` is flat but `calib_mt` is
+  * inflated is host squeeze, with evidence; flat `calib_mt` too means the
+  * regression is code or battery context — check the floor artifact.
+  *
+  * Floor mode (`SPARK_GRAFT_BENCH_FLOOR=1`): frozen set only, fresh JVM,
+  * written to `bench_floor.json` / `BENCH_FLOOR_r<n>.json` — the per-round
+  * committed isolated floor that separates battery-context drift from
+  * per-query code drift.
   */
 object Bench {
   /** The round-2 battery, frozen: `total_stable` sums exactly these
@@ -90,16 +103,43 @@ object Bench {
     * scaladoc). Returns elapsed seconds; the digest feeds a volatile sink
     * so the JIT cannot elide the work. */
   @volatile private var calibSink: Int = 0
-  private def calibrate(): Double = {
+  private def calibBurn(): Byte = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = new Array[Byte](64)
-    val t0 = System.nanoTime()
+    var acc: Byte = 0
     var i = 0
     while (i < 1000000) {
       buf(i % 64) = (i & 0xff).toByte
-      calibSink ^= md.digest(buf)(0)
+      acc = (acc ^ md.digest(buf)(0)).toByte
       i += 1
     }
+    acc
+  }
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    calibSink ^= calibBurn()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 32-thread twin of [[calibrate]]: the SAME md5 burn fanned across
+    * `threads` threads, timed start-to-all-join. On an idle box every
+    * thread runs at single-thread speed, so `calib_mt ≈ calib_sec`; a
+    * co-tenant stealing cores inflates `calib_mt` while `calib_sec` stays
+    * flat — which is exactly the signature the battery's 32-way-parallel
+    * queries suffer and the single-thread yardstick cannot see (r17's
+    * +29% stable_norm at identical calib_sec was adjudicated as host
+    * parallel-capacity squeeze by narrative; this measures it). Compare
+    * rounds of parallel-heavy queries via `stable_norm_mt =
+    * total_stable / calib_mt`. */
+  private def calibrateMt(threads: Int): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => sinks.getAndAdd(calibBurn().toInt))
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    calibSink ^= sinks.get()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -183,10 +223,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Floor mode (SPARK_GRAFT_BENCH_FLOOR=1): run ONLY the frozen set in
+    // this fresh JVM and write bench_floor.json (+ BENCH_FLOOR_r<n>.json
+    // when round-stamped) instead of bench_out.json. The committed floor
+    // artifact is the per-round isolated frozen-set measurement that makes
+    // battery-context drift adjudicable: floor flat + battery up ⇒
+    // battery context or host; floor up at equal calib_mt ⇒ code.
+    val floorMode = sys.env.get("SPARK_GRAFT_BENCH_FLOOR").exists(_.nonEmpty)
     // Profiling aid: SPARK_GRAFT_BENCH_FILTER=q08_setop,q10_anti_join runs
     // only the named queries (isolates a query's time from battery effects).
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val filter0 = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).toSet)
+    val filter =
+      if (floorMode) Some(filter0.fold(StableSet)(_ intersect StableSet))
+      else filter0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -221,6 +271,9 @@ object Bench {
         "rounds via stable_norm, not raw seconds")
     calibrate() // untimed JIT warmup of the yardstick itself
     val calib = calibrate()
+    // 32-thread yardstick right after its single-thread twin (the md5 code
+    // is already JIT-hot); cpus matches the battery's parallelism.
+    val calibMt = calibrateMt(cpus.toInt)
 
     val (stableQs, freshQs) =
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -260,8 +313,17 @@ object Bench {
     // headline — THE round-over-round comparable (r7 clean: 70.1).
     val stableNorm =
       if (stableFailed > 0 || calib <= 0) -1.0 else stable / calib
-    val filterJson = filter.fold("")(f =>
-      s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
+    // stable_norm_mt = total_stable / calib_mt: normalized by the host's
+    // PARALLEL capacity that day — the yardstick that moves with co-tenant
+    // squeeze the way the 32-way battery does (calib_sec does not).
+    val stableNormMt =
+      if (stableFailed > 0 || calibMt <= 0) -1.0 else stable / calibMt
+    // In floor mode the filter is the whole frozen set — stamp the mode,
+    // not a 42-name filter string.
+    val filterJson =
+      if (floorMode) ""","mode":"floor""""
+      else filter.fold("")(f =>
+        s""","filter":"${f.toSeq.sorted.mkString(",")}"""")
     // Round stamping: the BUILDER runs with SPARK_GRAFT_ROUND=<n> so its
     // committed artifact of record is bench_out_r<n>.json — the driver's
     // own (unstamped) run then writes bench_out.json without shadowing the
@@ -276,7 +338,7 @@ object Bench {
     // loadavg_end alone can't be the test, Spark itself drives it to ~cpus
     // on a clean run).
     val suspect = loadStart > BusyThreshold || spreadUnstable >= 3
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib$filterJson$roundJson,"queries":$qsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"stable_norm_mt":$stableNormMt,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib,"calib_mt":$calibMt$filterJson$roundJson,"queries":$qsJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact the driver reads (write it BEFORE the
     // stdout line so the println below is the last stdout write). A
     // FILTERED profiling run must never overwrite the full-battery
@@ -284,9 +346,13 @@ object Bench {
     // "filter" field either way). A ROUND-stamped run ADDITIONALLY writes
     // bench_out_r<n>.json — the committed artifact of record.
     val outFile =
-      if (filter.isDefined) "bench_out_filtered.json" else "bench_out.json"
+      if (floorMode) "bench_floor.json"
+      else if (filter.isDefined) "bench_out_filtered.json"
+      else "bench_out.json"
     val outFiles = Seq(outFile) ++
-      (if (filter.isEmpty) round.map(r => s"bench_out_r$r.json") else None)
+      (if (floorMode) round.map(r => s"BENCH_FLOOR_r$r.json")
+       else if (filter.isEmpty) round.map(r => s"bench_out_r$r.json")
+       else None)
     outFiles.foreach { f =>
       try {
         java.nio.file.Files.write(

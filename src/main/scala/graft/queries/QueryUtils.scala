@@ -19,8 +19,12 @@ final class CacheSlot {
       // same-session only: a Dataset is bound to the session that built it,
       // so handing a cached one to a sibling session would silently switch
       // the caller's session (and its conf) mid-plan
-      case Some(c) if (c.sparkSession eq df.sparkSession) && c.sameSemantics(df) => c
+      case Some(c) if (c.sparkSession eq df.sparkSession) && c.sameSemantics(df) =>
+        if (CacheSlot.debug) System.err.println(s"[slot ${hashCode()}] hit")
+        c
       case prev =>
+        if (CacheSlot.debug)
+          System.err.println(s"[slot ${hashCode()}] MISS (had=${prev.isDefined})")
         prev.foreach(_.unpersist())
         val p = df.persist()
         cur = Some(p)
@@ -34,6 +38,10 @@ final class CacheSlot {
 }
 
 object CacheSlot {
+  /** Diagnostic: `SPARK_GRAFT_CACHE_DEBUG=1` logs each slot hit/miss to
+    * stderr (a slot that misses on every battery pass re-materializes its
+    * persist each time — worse than no cache at all). */
+  private[queries] val debug = sys.env.contains("SPARK_GRAFT_CACHE_DEBUG")
   private val slots = new java.util.concurrent.ConcurrentLinkedQueue[CacheSlot]()
   private def register(s: CacheSlot): Unit = slots.add(s)
 

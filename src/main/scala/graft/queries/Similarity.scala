@@ -500,7 +500,12 @@ object Similarity {
     val emb = pqEmb(Tables.embeddings(s, d))
     val r = opqRotation(trainSample(emb), nSub, kSub, iters)
     lastOpqRotation = Some(r)
-    val rot = opqRotate(emb, r)
+    // Slot-cache the rotated corpus: the 6-dp rounding matmul (exactness
+    // for the embedded-rotation oracle) otherwise re-executes on the
+    // encode pass, the exact-re-rank pass, AND the query side — three
+    // O(N·d²) passes where one suffices. The rotation matrix is a plan
+    // constant, so the slot hits across passes of the same learned R.
+    val rot = opqRotSlot(opqRotate(emb, r))
     var cb = pqCodebook(rot, nSub, kSub)
     cb = pqTrainStep(trainSample(rot), cb, nSub)
     val codes = opqCodesSlot(pqEncode(rot, cb, nSub))
@@ -508,6 +513,7 @@ object Similarity {
       nSub, k, shortlist)
   }
 
+  private val opqRotSlot = new CacheSlot
   private val opqCodesSlot = new CacheSlot
 
   /** OPQ + IVF-PQ (battery ann18; oracle-checked like ann17 via the
@@ -531,7 +537,9 @@ object Similarity {
     val emb = pqEmb(Tables.embeddings(s, d))
     val r = opqRotation(trainSample(emb), nSub, kSub, iters)
     lastOpqRotation = Some(r)
-    val rot = ivfEn(opqRotate(emb, r))
+    // Same rotated-corpus slot discipline as [[annOpqPq]] — one rounding
+    // matmul per corpus, shared by assign/encode/re-rank/query sides.
+    val rot = opqIvfRotSlot(ivfEn(opqRotate(emb, r)))
     val cents = ivfTrainStep(trainSample(rot), ivfCentroids(rot, nCells))
     val assigned = opqIvfAssignedSlot(ivfAssignResiduals(rot, cents))
     val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
@@ -540,6 +548,7 @@ object Similarity {
       rot.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
   }
 
+  private val opqIvfRotSlot = new CacheSlot
   private val opqIvfAssignedSlot = new CacheSlot
   private val opqIvfCodesSlot = new CacheSlot
 

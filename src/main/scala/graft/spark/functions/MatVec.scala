@@ -51,10 +51,7 @@ final case class MatVecExpr(child: Expression,
     while (i < n) {
       var acc = 0.0; var j = 0; val base = i * cols
       while (j < m) { acc += mat(base + j) * in(j); j += 1 }
-      out(i) =
-        if (roundDp < 0) acc
-        else java.math.BigDecimal.valueOf(acc)
-          .setScale(roundDp, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = if (roundDp < 0) acc else MatVec.roundHalfUp(acc, roundDp)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -73,9 +70,7 @@ final case class MatVecExpr(child: Expression,
       val m = ctx.freshName("m")
       val store =
         if (roundDp < 0) s"$out[$i] = $acc;"
-        else s"""$out[$i] = java.math.BigDecimal.valueOf($acc)
-              .setScale($roundDp, java.math.RoundingMode.HALF_UP)
-              .doubleValue();"""
+        else s"$out[$i] = graft.spark.functions.MatVec.roundHalfUp($acc, $roundDp);"
       s"""
          double[] $in = $vec.toDoubleArray();
          int $m = $cols < $in.length ? $cols : $in.length;
@@ -96,6 +91,38 @@ final case class MatVecExpr(child: Expression,
 }
 
 object MatVec {
+  /** `BigDecimal.valueOf(v).setScale(dp, HALF_UP).doubleValue()` with an
+    * allocation-free fast path. The rounding decision is `floor(a + 0.5)`
+    * on the scaled magnitude `a = |v|·10^dp`; it is unstable only when the
+    * fractional part of `a` sits near 0.5, and the FP scaling plus the
+    * shortest-decimal-repr discrepancy together perturb `a` by at most
+    * ~3·10⁻¹⁶ relative. A guard band of `10⁻¹³·a + 10⁻⁹` (300× headroom)
+    * therefore makes the fast path EXACTLY the BigDecimal result wherever
+    * it fires; anything inside the band — or non-finite, or too large for
+    * exact integer doubles — takes the original BigDecimal path. The
+    * `n / 10^dp` replay is correctly rounded in both paths (power of ten
+    * exact in double for dp ≤ 15, IEEE division), so the doubles agree
+    * bit-for-bit. Hot in the OPQ corpus rotation (one call per output
+    * coordinate), where the BigDecimal pair dominated the matmul. */
+  def roundHalfUp(v: Double, dp: Int): Double = {
+    val pow = java.lang.Math.pow(10d, dp.toDouble)
+    if (java.lang.Double.isFinite(v)) {
+      val a = java.lang.Math.abs(v) * pow
+      if (a < 4.5e15) {
+        val fl = java.lang.Math.floor(a)
+        val fr = a - fl
+        if (java.lang.Math.abs(fr - 0.5) > 1e-13 * a + 1e-9) {
+          val n = if (fr >= 0.5) fl + 1d else fl
+          // BigDecimal cannot represent -0.0, so a negative value rounding
+          // to zero must come back as +0.0 or the bitwise compare diverges
+          return if (n == 0d) 0.0 else java.lang.Math.copySign(n / pow, v)
+        }
+      }
+    }
+    java.math.BigDecimal.valueOf(v)
+      .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** `M · e` as a Column for a plan-constant matrix (rows of equal width);
     * `roundDp >= 0` rounds each output coordinate (Spark `round`
     * semantics — see [[MatVecExpr]]). */

@@ -42,6 +42,28 @@ class MatVecSpec extends AnyFunSuite {
       Seq(Seq(2.0, 1.0), Seq(3.0, 0.0), Seq(4.0, -1.0)))
   }
 
+  test("roundHalfUp fast path is bit-identical to BigDecimal HALF_UP") {
+    def ref(v: Double, dp: Int): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+    // deterministic sweep: magnitudes across the embedding range plus the
+    // adversarial neighborhoods (exact .5 boundaries, sub-ulp offsets,
+    // negative-rounds-to-zero, huge/tiny, non-round-trip decimals)
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      0.0, -0.0, 0.1, -0.1, 0.0000005, -0.0000005, 0.0000015, -0.0000015,
+      1.9999995, -1.9999995, 123.4567895, 1e-9, -1e-9, 0.49999949999,
+      12345678.0000005, 4.6e15, -4.6e15, 1e18, Double.MinPositiveValue) ++
+      (1 to 20000).map(_ => (rng.nextDouble() - 0.5) * math.pow(10, rng.nextInt(12) - 6))
+    for (v <- cases; dp <- Seq(0, 2, 6)) {
+      val got = MatVec.roundHalfUp(v, dp)
+      val want = ref(v, dp)
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"v=$v dp=$dp got=$got want=$want")
+    }
+  }
+
   test("null row stays null; short input treated as zero-padded") {
     val s = spark
     import s.implicits._
