@@ -462,6 +462,96 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph index: assign + graph + corpus move in ONE transaction") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.queries.{GraphAnn, GraphIndex}
+    catalog.createNamespace(Seq("it_gix"))
+    val locC = java.nio.file.Files.createTempDirectory("gix_corpus").toFile.getPath
+    val locA = java.nio.file.Files.createTempDirectory("gix_assign").toFile.getPath
+    val locG = java.nio.file.Files.createTempDirectory("gix_graph").toFile.getPath
+    val corpusId = Seq("it_gix", "corpus")
+    val assignId = Seq("it_gix", "assign")
+    val graphId = Seq("it_gix", "graph")
+    catalog.createTable(corpusId, Schema(0, StructT(Seq(
+      NestedField(1, "vec_id", LongT, required = true),
+      NestedField(2, "embedding", ListT(4, DoubleT, elementRequired = true))))),
+      location = Some(locC))
+    catalog.createTable(assignId, Schema(0, StructT(Seq(
+      NestedField(1, "vec_id", LongT, required = true),
+      NestedField(2, "cid", LongT, required = true)))), location = Some(locA))
+    catalog.createTable(graphId, Schema(0, StructT(Seq(
+      NestedField(1, "src", LongT, required = true),
+      NestedField(2, "dst", LongT, required = true)))), location = Some(locG))
+
+    val p = GraphAnn.GraphParams(nCells = 4, probes = 2, degree = 3,
+      beamWidth = 4, hops = 2, refine = 0)
+    def vec(i: Long): Seq[Double] =
+      Seq((i % 3).toDouble, (i * 7 % 5).toDouble, (i * 3 % 11).toDouble, 1.0)
+    def corpusDf(ids: Seq[Long]) = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def stagedFile(df: org.apache.spark.sql.DataFrame, tag: String)
+        : graft.spark.CowFileOut = {
+      val raw = java.nio.file.Files.createTempDirectory(s"gix_$tag").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+      val src = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(new java.io.File(locC, "data"), s"$tag.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dest.toPath)
+      graft.spark.CowFileOut(dest.getPath, df.count(), Map.empty)
+    }
+    def asWindow(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      df.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_sequence", lit(seq))
+    def tableDf(id: Seq[String]) = graft.spark.TableWriter
+      .restTableOf(catalog.loadTable(id)).newScan().toDF(spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // bootstrap = sync-from-empty, landed WITH the corpus append in one tx;
+    // centers frozen from the bootstrap batch (the ann07 rule)
+    val b1 = corpusDf(0L to 9L)
+    val cents = GraphIndex.centersOf(b1, p)
+    val tx1 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(corpusId, Seq(stagedFile(b1, "b1")))
+    assert(GraphIndex.stageChanges(tx1, catalog, assignId, graphId,
+      b1, asWindow(b1, 1L), cents, p))
+    tx1.commit()
+    def scratch(corpus: org.apache.spark.sql.DataFrame) =
+      (GraphIndex.assignOf(corpus, cents, p),
+        GraphIndex.edgesOf(corpus, cents, p))
+    val (asg1, g1) = scratch(b1)
+    assert(pairSet(tableDf(assignId)) == pairSet(asg1))
+    assert(pairSet(tableDf(graphId)) == pairSet(g1))
+
+    // second window: corpus + both index tables advance atomically
+    val b2 = corpusDf(10L to 14L)
+    val all = b1.union(b2)
+    val tx2 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(corpusId, Seq(stagedFile(b2, "b2")))
+    assert(GraphIndex.stageChanges(tx2, catalog, assignId, graphId,
+      all, asWindow(b2, 2L), cents, p))
+    tx2.commit()
+    val (asg2, g2) = scratch(all)
+    assert(pairSet(tableDf(assignId)) == pairSet(asg2))
+    assert(pairSet(tableDf(graphId)) == pairSet(g2))
+    assert(tableDf(corpusId).count() == 15L)
+
+    // conflict between stage and commit rolls back the whole triple
+    val idxSnapBefore = catalog.loadTable(graphId).metadata.currentSnapshotId
+    val b3 = corpusDf(15L to 16L)
+    val tx3 = graft.spark.TableWriter.transaction(catalog)
+      .stageAppend(corpusId, Seq(stagedFile(b3, "b3")))
+    assert(GraphIndex.stageChanges(tx3, catalog, assignId, graphId,
+      all.union(b3), asWindow(b3, 3L), cents, p))
+    graft.spark.TableWriter.appendFilesRest(catalog, corpusId,
+      Seq(stagedFile(corpusDf(Seq(99L)), "sneak")))
+    intercept[CommitConflictError](tx3.commit())
+    assert(catalog.loadTable(graphId).metadata.currentSnapshotId == idxSnapBefore,
+      "graph must not move when the corpus-side guard failed")
+    assert(pairSet(tableDf(graphId)) == pairSet(g2))
+  }
+
   test("stageDelta: a MoR tombstone+append joins a multi-table transaction") {
     val spark = graft.spark.SparkTestSession.spark
     import spark.implicits._
