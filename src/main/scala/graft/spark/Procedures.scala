@@ -30,6 +30,7 @@ object GraftProcedures {
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
     "sync_ann_index", "sync_sq_index",
+    "sync_graph_index", "graph_index_stats",
     "ann_index_stats", "ann_ivf_index_stats", "sq_index_stats",
     "rebuild_ann_index", "rebuild_ann_ivf_index", "rebuild_sq_index",
     "ann_recall_probe", "ann_ivf_recall_probe")
@@ -731,6 +732,77 @@ object GraftProcedures {
         }
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.newScan().toDF(spark).count())
+      }
+      case "sync_graph_index" => proc(name,
+        Seq("corpus" -> StringType, "cents" -> StringType,
+          "assign" -> StringType, "graph" -> StringType,
+          "after_snapshot_id" -> LongType),
+        StructType(Seq(
+          StructField("graph_snapshot_id", LongType, nullable = false),
+          StructField("edge_rows", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val from = in.getLong(4) match { case 0L => None; case id => Some(id) }
+        val corpusRef = in.getUTF8String(0).toString
+        val centsRef = in.getUTF8String(1).toString
+        val assignRef = in.getUTF8String(2).toString
+        val graphRef = in.getUTF8String(3).toString
+        // the frozen centers are read from EITHER plane (the sync_ann_index
+        // codebook rule); corpus + both index tables must share a plane —
+        // on REST the sync lands as ONE transaction (lockstep or nothing)
+        def centsDf = (resolveRest(centsRef) match {
+          case Some((rc2, id)) => TableWriter.restTableOf(rc2.loadTable(id))
+          case None => IcebergTables.load(resolveLocation(centsRef))
+        }).newScan().toDF(spark)
+        val out = (resolveRest(corpusRef), resolveRest(assignRef),
+            resolveRest(graphRef)) match {
+          case (Some((rc, corpusId)), Some((_, assignId)), Some((_, graphId))) =>
+            val corpusT = TableWriter.restTableOf(rc.loadTable(corpusId))
+            val changes =
+              graft.streaming.Changelog.changelogDF(spark, corpusT, from)
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.GraphIndex.stageChanges(tx, rc, assignId,
+                graphId, corpusT.newScan().toDF(spark), changes, centsDf))
+              tx.commit()
+            TableWriter.restTableOf(rc.loadTable(graphId))
+          case (None, None, None) =>
+            graft.queries.GraphIndex.syncFromChangelog(spark,
+              IcebergTables.load(resolveLocation(corpusRef)),
+              IcebergTables.load(resolveLocation(assignRef)),
+              IcebergTables.load(resolveLocation(graphRef)),
+              centsDf, from)._2
+          case _ => throw new IllegalArgumentException(
+            "sync_graph_index: corpus, assign, and graph must live in the " +
+              "same catalog plane")
+        }
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.newScan().toDF(spark).count())
+      }
+      case "graph_index_stats" => proc(name,
+        Seq("corpus" -> StringType, "graph" -> StringType),
+        StructType(Seq(
+          StructField("edge_rows", LongType, nullable = false),
+          StructField("max_out_degree", LongType, nullable = false),
+          StructField("orphan_nodes", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        def df(ref: String) = (resolveRest(ref) match {
+          case Some((rc, id)) => TableWriter.restTableOf(rc.loadTable(id))
+          case None => IcebergTables.load(resolveLocation(ref))
+        }).newScan().toDF(spark)
+        import org.apache.spark.sql.functions.{col, count, lit, max}
+        val graph = df(in.getUTF8String(1).toString)
+        val edges = graph.count()
+        val maxDeg =
+          if (edges == 0L) 0L
+          else graph.groupBy("src").agg(count(lit(1)).as("d"))
+            .agg(max("d")).collect()(0).getLong(0)
+        // orphans = corpus rows with NO out-edges: fresh inserts whose
+        // sync hasn't run, or nodes alone in their cells — the drift
+        // signal that says "sync or re-center"
+        val orphans = df(in.getUTF8String(0).toString)
+          .select(col("vec_id").as("src")).distinct()
+          .join(graph.select("src").distinct(), Seq("src"), "left_anti")
+          .count()
+        Array[Any](edges, maxDeg, orphans)
       }
       case "sync_sq_index" => proc(name,
         Seq("corpus" -> StringType, "params" -> StringType,

@@ -485,4 +485,18 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(l => l.contains("shard#")).size
     assert(corpusExchanges <= 2, s"expected <=2 shard exchanges:\n$p")
   }
+
+  test("ann19: graph pairs form inside cells only; serving stays bounded") {
+    import graft.tables.Tables
+    // build plan: the pair join is KEYED on cid (never all-pairs); the
+    // only nested loops are the tiny centroid broadcasts (the ann03 shape)
+    val en = GraphAnn.withNorm(Similarity.pqEmb(Tables.embeddings(spark, sf)))
+    val cents = GraphAnn.graphCentroids(en, 64)
+    val pBuild = plan(GraphAnn.graphEdges(en,
+      GraphAnn.graphAssign(en, cents, 2), 12))
+    assert(!pBuild.contains("CartesianProduct"), s"graph build cartesianed:\n$pBuild")
+    // serving plan: frontier/query joins broadcast; no cartesian anywhere
+    val pServe = plan(GraphAnn.annGraph(spark, sf))
+    assert(!pServe.contains("CartesianProduct"), s"graph serve cartesianed:\n$pServe")
+  }
 }

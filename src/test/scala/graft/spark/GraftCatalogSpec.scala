@@ -1232,6 +1232,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(row.getLong(1) == 40L * 8, s"code rows ${row.getLong(1)}")
   }
 
+  test("CALL sync_graph_index folds the changefeed; graph_index_stats reports") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db30")
+    val src = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val t1 = TableWriter.create(src.filter(col("vec_id") < 30),
+      s"$warehouse/db30/gvecs")
+    val c1 = t1.currentSnapshot.get.snapshotId
+    graft.queries.GraphIndex.build(t1.newScan().toDF(spark),
+      s"$warehouse/db30/gcents", s"$warehouse/db30/gassign",
+      s"$warehouse/db30/ggraph")
+    TableWriter.append(t1, src.filter(col("vec_id") >= 30 && col("vec_id") < 40))
+    val row = spark.sql(
+      s"""CALL graft.system.sync_graph_index('db30.gvecs', 'db30.gcents',
+          'db30.gassign', 'db30.ggraph', ${c1}L)""").collect()(0)
+    // synced table ≡ from-scratch edges of the 40-vector corpus against
+    // the frozen bootstrap centers
+    val corpus = IcebergTables.load(s"$warehouse/db30/gvecs").newScan().toDF(spark)
+    val cents = IcebergTables.load(s"$warehouse/db30/gcents").newScan().toDF(spark)
+    val scratch = graft.queries.GraphIndex.edgesOf(corpus, cents)
+      .collect().map(_.toSeq).toSet
+    val got = IcebergTables.load(s"$warehouse/db30/ggraph").newScan().toDF(spark)
+      .collect().map(_.toSeq).toSet
+    assert(got == scratch)
+    assert(row.getLong(1) == scratch.size.toLong, s"edge rows ${row.getLong(1)}")
+    val st = spark.sql(
+      "CALL graft.system.graph_index_stats('db30.gvecs', 'db30.ggraph')")
+      .collect()(0)
+    assert(st.getLong(0) == scratch.size.toLong)
+    assert(st.getLong(1) <= 12L, s"max degree ${st.getLong(1)}")
+    assert(st.getLong(2) < 40L, s"orphans ${st.getLong(2)}")
+  }
+
   test("rename table") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
     spark.sql("CREATE TABLE graft.db3.a (x INT)")
