@@ -721,6 +721,69 @@ class RestIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.remoteSigningOnly = false
   }
 
+  test("join view: REST-staged sync applies the merge with both watermarks") {
+    val spark = graft.spark.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.JoinView
+    catalog.createNamespace(Seq("it_jv"))
+    // local source tables (read-only to the sync: changelog + time travel)
+    val oLoc = java.nio.file.Files.createTempDirectory("jv_o").toFile.getPath
+    val lLoc = java.nio.file.Files.createTempDirectory("jv_l").toFile.getPath
+    val locV = java.nio.file.Files.createTempDirectory("jv_v").toFile.getPath
+    val o1 = graft.spark.TableWriter.create(
+      (1L to 8L).map(ok => (ok, ok % 4 + 1)).toDF("o_orderkey", "o_custkey")
+        .coalesce(1), oLoc)
+    val l1 = graft.spark.TableWriter.create(
+      (for { ok <- 1L to 8L; ln <- 1 to 3 } yield (ok, ln, 10.0 * ln))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity").coalesce(1), lLoc)
+    // REST view: watermark props from table creation, bootstrap appended
+    val viewId = Seq("it_jv", "view")
+    val viewSchema = Schema(0, StructT(Seq(
+      NestedField(1, "o_custkey", LongT),
+      NestedField(2, "items", LongT),
+      NestedField(3, "qty", LongT))))
+    catalog.createTable(viewId, viewSchema, Map(
+      JoinView.OrdersSnapProp -> o1.currentSnapshot.get.snapshotId.toString,
+      JoinView.LineitemSnapProp -> l1.currentSnapshot.get.snapshotId.toString),
+      location = Some(locV))
+    // strip column metadata before the hand-rolled write: o_custkey
+    // carries the ORDERS table's parquet field id, which the view's
+    // id-first reader would map to view field 2 (`items`)
+    val boot0 = JoinView.aggregate(o1.newScan().toDF(spark),
+      l1.newScan().toDF(spark))
+    val boot = boot0.select(boot0.columns.map(c =>
+      col(c).as(c, org.apache.spark.sql.types.Metadata.empty)).toIndexedSeq: _*)
+    val raw = java.nio.file.Files.createTempDirectory("jv_boot").toFile
+    boot.coalesce(1).write.mode("overwrite").parquet(raw.getPath)
+    val srcF = raw.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val destF = new java.io.File(new java.io.File(locV, "data"), "boot.parquet")
+    destF.getParentFile.mkdirs()
+    java.nio.file.Files.copy(srcF.toPath, destF.toPath)
+    graft.spark.TableWriter.appendFilesRest(catalog, viewId,
+      Seq(graft.spark.CowFileOut(destF.getPath, boot.count(), Map.empty)))
+
+    // both sources move after the watermark
+    val o2 = graft.spark.TableWriter.deleteWhere(o1, spark,
+      col("o_custkey") === 2)
+    val l2 = graft.spark.TableWriter.append(l1,
+      Seq((3L, 4, 7.0)).toDF("l_orderkey", "l_linenumber", "l_quantity")
+        .coalesce(1))
+    val tx = graft.spark.TableWriter.transaction(catalog)
+    assert(JoinView.stageChanges(tx, catalog, viewId, o2, l2, spark))
+    tx.commit()
+    def viewRows = graft.spark.TableWriter.restTableOf(catalog.loadTable(viewId))
+      .newScan().toDF(spark).select("o_custkey", "items", "qty")
+      .orderBy("o_custkey").collect().map(_.toSeq).toSeq
+    val expect = JoinView.aggregate(o2.newScan().toDF(spark),
+      l2.newScan().toDF(spark)).orderBy("o_custkey")
+      .collect().map(_.toSeq).toSeq
+    assert(viewRows == expect)
+    // watermarks advanced in the SAME commit: a re-stage is a no-op
+    assert(!JoinView.stageChanges(graft.spark.TableWriter.transaction(catalog),
+      catalog, viewId, o2, l2, spark))
+  }
+
   test("invalidated bearer token self-heals by re-minting from credentials") {
     catalog.createNamespace(Seq("it_auth"))
     // a SECOND client authenticating invalidates our token server-side
