@@ -55,13 +55,31 @@ import graft.tables.Tables
   */
 object GraphAnn {
 
-  /** Graph geometry + search budget. Defaults sized for the battery
-    * corpus (hundreds–thousands of vectors/cell never exceeds the d10
-    * Σc² budget; at larger corpora raise `nCells` ∝ N to keep cell size
-    * constant — the SemDeDup scaling argument). */
+  /** Graph geometry + search budget. `nCells` is a FLOOR: the session
+    * build raises the cell count to `corpus·probes / targetCellPop`
+    * (the SemDeDup scaling argument, implemented rather than documented),
+    * so cell population — and with it the Σ cell² pair stage and the
+    * oracle's replay cost — stays CONSTANT as the corpus grows: the
+    * build is linear in N at any scale. The battery corpora at
+    * sf0.001/sf0.01 sit exactly at the floor, so their results are
+    * unchanged by the adaptivity. The maintained index ([[GraphIndex]])
+    * deliberately does NOT adapt: its centers are frozen at bootstrap
+    * (re-scaling a live index's geometry means re-bootstrapping it). */
   final case class GraphParams(nCells: Int = 64, probes: Int = 2,
                                degree: Int = 12, beamWidth: Int = 12,
-                               hops: Int = 3, refine: Int = 2)
+                               hops: Int = 3, refine: Int = 2,
+                               targetCellPop: Int = 16)
+
+  /** The adaptive cell count for a corpus of `n` vectors. */
+  private[queries] def effectiveCells(n: Long, p: GraphParams): Int =
+    math.max(p.nCells,
+      ((n * p.probes + p.targetCellPop - 1) / p.targetCellPop).toInt)
+
+  /** The cell count the last [[annGraph]]/[[annGraphVisited]] run used —
+    * embedded into [[annGraphSql]] (the ann17 learned-literal
+    * discipline: Verify runs queries BEFORE dumping oracle SQL). */
+  @volatile private var lastGraphCells: Option[Int] = None
+  CacheSlot.onReleaseAll(() => lastGraphCells = None)
 
   private val enSlot = new CacheSlot
 
@@ -252,7 +270,9 @@ object GraphAnn {
   def annGraph(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
                p: GraphParams = GraphParams()): DataFrame = {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
-    val cents = graphCentroids(en, p.nCells)
+    val cells = effectiveCells(en.count(), p)
+    lastGraphCells = Some(cells)
+    val cents = graphCentroids(en, cells)
     val graph = buildGraph(en, cents, p)
     topKFromVisited(
       beamVisited(en, cents, graph, queriesOf(en, nQueries), p), en, k)
@@ -263,7 +283,9 @@ object GraphAnn {
   def annGraphVisited(s: SparkSession, d: String, nQueries: Int = 10,
                       p: GraphParams = GraphParams()): DataFrame = {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
-    val cents = graphCentroids(en, p.nCells)
+    val cells = effectiveCells(en.count(), p)
+    lastGraphCells = Some(cells)
+    val cents = graphCentroids(en, cells)
     val graph = buildGraph(en, cents, p)
     beamVisited(en, cents, graph, queriesOf(en, nQueries), p)
   }
@@ -285,7 +307,9 @@ object GraphAnn {
     * bit-identical across engines. */
   def annGraphSqlOver(eRel: String, centroidRel: Option[String] = None,
                       nQueries: Int = 10, k: Int = 5,
-                      p: GraphParams = GraphParams()): String = {
+                      p: GraphParams = GraphParams(),
+                      nCellsOverride: Option[Int] = None): String = {
+    val nCells = nCellsOverride.getOrElse(p.nCells)
     val centSrc = centroidRel.fold("SELECT vec_id, e, norm FROM en")(r =>
       s"""SELECT vec_id, e,
             sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS norm
@@ -334,7 +358,7 @@ object GraphAnn {
          FROM e0),
        c AS (
          SELECT vec_id AS cid, e, norm FROM ($centSrc) cs
-         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT ${p.nCells}),
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $nCells),
        asg AS (
          SELECT vec_id, cid FROM (
            SELECT a.vec_id, c.cid,
@@ -373,7 +397,10 @@ object GraphAnn {
        WHERE rank <= $k ORDER BY qid, rank"""
   }
 
-  /** ann19's oracle over the raw embeddings table. */
-  val annGraphSql: String = annGraphSqlOver(
-    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings")
+  /** ann19's oracle over the raw embeddings table — a `def`: the
+    * adaptive cell count of the LAST query run is embedded as a literal
+    * (Verify runs every query before dumping oracle SQL). */
+  def annGraphSql: String = annGraphSqlOver(
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings",
+    nCellsOverride = lastGraphCells)
 }

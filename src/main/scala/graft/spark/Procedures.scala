@@ -29,6 +29,7 @@ object GraftProcedures {
     "compute_table_stats", "compute_partition_stats",
     "merge_keyed",
     "sync_dedup_index", "sync_bm25_index", "sync_lm_counts", "sync_agg_view",
+    "sync_join_view",
     "sync_ann_index", "sync_sq_index",
     "sync_graph_index", "graph_index_stats",
     "ann_index_stats", "ann_ivf_index_stats", "sq_index_stats",
@@ -694,6 +695,42 @@ object GraftProcedures {
         Array[Any](out.currentSnapshot.get.snapshotId,
           out.properties.get(graft.queries.MatView.AppliedSeqProp)
             .flatMap(_.toLongOption).orNull)
+      }
+      case "sync_join_view" => proc(name,
+        // no after_snapshot_id: the view's per-source watermark properties
+        // are the window — the CALL is self-describing and idempotent
+        Seq("orders" -> StringType, "lineitem" -> StringType,
+          "view" -> StringType),
+        StructType(Seq(
+          StructField("view_snapshot_id", LongType, nullable = false),
+          StructField("orders_snapshot", LongType, nullable = false),
+          StructField("lineitem_snapshot", LongType, nullable = false)))) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val oRef = in.getUTF8String(0).toString
+        val lRef = in.getUTF8String(1).toString
+        val vRef = in.getUTF8String(2).toString
+        // all three must share a plane (the sync_graph_index triple rule);
+        // on REST the merge lands as ONE transaction
+        val out = (resolveRest(oRef), resolveRest(lRef), resolveRest(vRef)) match {
+          case (Some((rc, oId)), Some((_, lId)), Some((_, vId))) =>
+            val oT = TableWriter.restTableOf(rc.loadTable(oId))
+            val lT = TableWriter.restTableOf(rc.loadTable(lId))
+            val tx = TableWriter.transaction(rc)
+            if (graft.queries.JoinView.stageChanges(tx, rc, vId, oT, lT,
+                spark)) tx.commit()
+            TableWriter.restTableOf(rc.loadTable(vId))
+          case (None, None, None) =>
+            graft.queries.JoinView.applyChanges(
+              IcebergTables.load(resolveLocation(vRef)),
+              IcebergTables.load(resolveLocation(oRef)),
+              IcebergTables.load(resolveLocation(lRef)), spark)
+          case _ => throw new IllegalArgumentException(
+            "sync_join_view: orders, lineitem, and view must live in the " +
+              "same catalog plane")
+        }
+        Array[Any](out.currentSnapshot.get.snapshotId,
+          out.properties(graft.queries.JoinView.OrdersSnapProp).toLong,
+          out.properties(graft.queries.JoinView.LineitemSnapProp).toLong)
       }
       case "sync_ann_index" => proc(name,
         Seq("corpus" -> StringType, "codebook" -> StringType,

@@ -1166,6 +1166,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == want, "synced view != from-scratch aggregate")
   }
 
+  test("CALL sync_join_view folds both sources' changefeeds into the join view") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db41")
+    val o1 = TableWriter.create(
+      (1L to 8L).map(ok => (ok, ok % 4 + 1)).toDF("o_orderkey", "o_custkey")
+        .coalesce(1), s"$warehouse/db41/orders")
+    val l1 = TableWriter.create(
+      (for { ok <- 1L to 8L; ln <- 1 to 3 } yield (ok, ln, 10.0 * ln))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity").coalesce(1),
+      s"$warehouse/db41/lineitem")
+    graft.queries.JoinView.build(o1, l1, s"$warehouse/db41/jv", spark)
+    // both sources move past the bootstrap watermarks
+    val o2 = TableWriter.deleteWhere(o1, spark, col("o_custkey") === 2)
+    val l2 = TableWriter.append(l1,
+      Seq((3L, 4, 7.0)).toDF("l_orderkey", "l_linenumber", "l_quantity")
+        .coalesce(1))
+    val row = spark.sql(
+      "CALL graft.system.sync_join_view('db41.orders', 'db41.lineitem', 'db41.jv')")
+      .collect()(0)
+    assert(row.getLong(1) == o2.currentSnapshot.get.snapshotId)
+    assert(row.getLong(2) == l2.currentSnapshot.get.snapshotId)
+    val got = IcebergTables.load(s"$warehouse/db41/jv").newScan().toDF(spark)
+      .select("o_custkey", "items", "qty")
+      .orderBy("o_custkey").collect().map(_.toSeq).toSeq
+    val want = graft.queries.JoinView.aggregate(o2.newScan().toDF(spark),
+      l2.newScan().toDF(spark)).orderBy("o_custkey")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "synced join view != from-scratch join aggregate")
+    // idempotent: a second CALL at the same heads leaves the snapshot alone
+    val snapBefore = IcebergTables.load(s"$warehouse/db41/jv")
+      .currentSnapshot.get.snapshotId
+    spark.sql(
+      "CALL graft.system.sync_join_view('db41.orders', 'db41.lineitem', 'db41.jv')")
+      .collect()
+    assert(IcebergTables.load(s"$warehouse/db41/jv")
+      .currentSnapshot.get.snapshotId == snapBefore)
+  }
+
   test("CALL sync_bm25_index folds the changefeed into the postings table") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db31")
