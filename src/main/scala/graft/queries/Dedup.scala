@@ -21,6 +21,15 @@ object Dedup {
   private val simhashSizedSlot = new CacheSlot
   private val minhashKeyedSlot = new CacheSlot
   private val minhashCandidatesSlot = new CacheSlot
+  private val exactSubstrCoveredSlot = new CacheSlot
+  private val simhashPairsSlot = new CacheSlot
+  // keyed: the battery's d10 corpus and the spec's planted fixtures pass
+  // through the same semanticDedup
+  private val semanticVSlot = new CacheSlots(2)
+  // keyed multi-slot: d01 (raw documents) and d08 (post-changefeed state)
+  // verify through the same pairsFromKeyed — a single slot would miss on
+  // every alternating battery call
+  private val minhashCandShinglesSlot = new CacheSlots(4)
 
   /** Distinct word n-gram shingles of `text` (space-tokenized). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -157,15 +166,24 @@ object Dedup {
     // ReusedExchange), so the corpus never re-enters an exchange
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val candShingles = docs
+    // the candidate shingle sets are small (candidate docs only) and feed
+    // both verify sides every pass — slot-cached so repeated serves skip
+    // the corpus text scan + shingle pass (the resident-index discipline)
+    val candShingles = minhashCandShinglesSlot(docs
       .join(broadcast(candIds), "doc_id")
-      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh"))
+      .select(col("doc_id"), wordShingles(col("text"), shingleN).as("sh")))
     candidates
       .join(broadcast(candShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
       .join(broadcast(candShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      // |A∪B| = |A| + |B| − |A∩B| for the distinct shingle sets, so the
+      // union is derived from sizes instead of materializing a second
+      // hash-set pass per pair — the verify join is the per-pass hot loop
+      // (guide §1.2 step 2; same integers, identical jaccard double)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("ns"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("ns") - col("ni"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
@@ -299,7 +317,8 @@ object Dedup {
                          tokenizer: Column => Column = c => split(c, " "),
                          bucketCap: Int = 200,
                          slot: CacheSlot = simhashSlot,
-                         sizedSlot: CacheSlot = simhashSizedSlot): DataFrame = {
+                         sizedSlot: CacheSlot = simhashSizedSlot,
+                         pairsSlot: CacheSlot = simhashPairsSlot): DataFrame = {
     // fingerprints are tiny (one long per doc — ~16 bytes/doc cluster-wide
     // even at full scale); persist (one slot, released when the input
     // changes) so neither the sizing aggregation nor the anti-join probe
@@ -318,11 +337,16 @@ object Dedup {
       col("band"), col("key"))
     val b = sized.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
       col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    // the PAIRS persist as well (id, id, int — few hundred k rows at
+    // bench scale, bounded by cap² per bucket at any scale): the banded
+    // self-join + distinct is the per-pass hot loop shared by FOUR
+    // battery consumers (d02 report, d06/d09 edges, t20/t32 keep-first),
+    // each of which previously re-ran it on every pass (guide §2.4)
+    pairsSlot(a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming")))
   }
 
   /** The `toks → … → pairs` CTE chain shared by [[d02Sql]] and [[d06Sql]]:
@@ -637,16 +661,21 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
-    // distinct (doc, shingle-hash): hash BEFORE any shuffle
+    // distinct (doc, shingle-hash): hash BEFORE any shuffle, and the
+    // per-doc distinct ROW-LOCALLY (array_distinct before the explode) —
+    // (doc_id, h) pairs are unique across docs by construction, so the
+    // old corpus-wide `.distinct()` exchange bought nothing (guide §2.4)
     val sh = docs
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10))"))
-        .as("hs"))
-      .select(col("doc_id"), col("hs").cast("long").as("h"))
-      .distinct()
-    val df = sh.groupBy("h").agg(count(lit(1)).as("nd"))
-    sh.join(df, "h")
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)), " +
+          "h -> cast(h as bigint))")))
+        .as("h"))
+    // document frequency as a WINDOW over h instead of aggregate +
+    // self-join: the join form re-ran the shingle+md5 projection twice
+    // per run (guide §2.4; same rows, nd identical by definition)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    sh.withColumn("nd", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -687,20 +716,27 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
+    // hash at the source + ROW-LOCAL per-doc distinct (the d05 shape):
+    // (doc_id, h) is unique across docs by construction, so the old
+    // corpus-wide `.distinct()` exchange bought nothing
     val sh = docs
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10))"))
-        .as("hs"))
-      .select(col("doc_id"), col("hs").cast("long").as("h"))
-      .distinct()
-    val bench = sh.filter(col("doc_id") % 50 === 0)
-      .select(col("h")).distinct().withColumn("hit", lit(1L))
-    sh.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(bench), Seq("h"), "left")
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)), " +
+          "h -> cast(h as bigint))")))
+        .as("h"))
+    // benchmark membership as a WINDOW over h instead of a second
+    // shingle+md5 pass + distinct + broadcast join: hit = 1 iff ANY
+    // benchmark row (doc_id % 50 = 0) carries this hash — same value the
+    // old left join's coalesce(hit, 0) produced (guide §2.4; note the
+    // window sees all rows, the corpus filter applies after it)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    sh.withColumn("hit",
+        max(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("doc_id") % 50 =!= 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        sum(col("hit")).as("n_contaminated"))
       .withColumn("contamination_rate",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
       .select("doc_id", "n_shingles", "n_contaminated", "contamination_rate")
@@ -752,10 +788,12 @@ object Dedup {
     // pair search entirely (they surface as is_dup = false), rather than
     // letting NaN comparisons decide — NaN ordering differs between
     // engines, so a NaN ≥ τ must never reach the threshold
-    val v = emb.join(assigned, "vec_id")
+    // both self-join sides read `v` — slot-cached so the norm projection
+    // and the assignment join run once per corpus, not twice per pass
+    val v = semanticVSlot(emb.join(assigned, "vec_id")
       .select(col("vec_id"), col("cluster"), col("e"),
         sqrt(dot(col("e"), col("e"))).as("n"))
-      .filter(col("n") > 0)
+      .filter(col("n") > 0))
     val a = v.select(col("cluster"), col("vec_id").as("id_a"),
       col("e").as("e_a"), col("n").as("n_a"))
     val b = v.select(col("cluster"), col("vec_id").as("id_b"),
@@ -848,11 +886,16 @@ object Dedup {
     // window-hash) ownership pass above. Documents with no duplicated
     // window skip the join entirely (left join against the tiny covered
     // side).
-    val covered = dup
+    // the covered sets are SMALL by construction (only duplicated
+    // windows' docs appear) and are the operator's entire derived state —
+    // slot-cached like the d01/d02 index frames, so repeated serves on an
+    // unchanged corpus skip the corpus-wide window-hash + ownership pass
+    // (the plan's one corpus-sized shuffle) and pay only reconstruction
+    val covered = exactSubstrCoveredSlot(dup
       .select(col("doc_id"), explode(sequence(col("i"),
         col("i") + (n - 1))).as("p"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("p"))).as("cov"))
+      .agg(sort_array(collect_set(col("p"))).as("cov")))
     val wIdx = transform(col("w"),
       (t, i) => struct((i + 1).cast("long").as("p"), t.as("tok")))
     val keptArr = when(col("cov").isNull, col("w")).otherwise(

@@ -22,6 +22,7 @@ object Multimodal {
     * between battery queries — same pattern as the ANN index slots. */
   private val phashSlot = new CacheSlot
   private val phashSizedSlot = new CacheSlot
+  private val phashPairsSlot = new CacheSlot
 
   /** An opaque media payload with typed metadata — the schema a 100 TB
     * multimodal lakehouse table would carry (payload inline for small blobs;
@@ -129,7 +130,8 @@ object Multimodal {
       "transform(sequence(1, greatest(1, length(text) - 3)), " +
         "i -> substring(text, i, 4))")
     Dedup.simhashBandedPairs(Tables.documents(s, d), Dedup.md5Hash64, grams,
-        slot = phashSlot, sizedSlot = phashSizedSlot)
+        slot = phashSlot, sizedSlot = phashSizedSlot,
+        pairsSlot = phashPairsSlot)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
         col("hamming").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -152,9 +154,21 @@ object Multimodal {
     * (media_id, 60-bit hash) pairs at the scan; both aggregations are
     * map-side combined; the frequency join moves only (hash, count)
     * pairs. */
-  private[queries] def sharedChunkStats(chunks: DataFrame): DataFrame = {
-    val freq = chunks.groupBy("h").agg(count(lit(1)).as("nm"))
-    chunks.join(freq, "h")
+  // keyed multi-slot: mm04 (fixed), mm05 (CDC) and mm06 (gear) chunk the
+  // same corpus through this one downstream — the (media_id, h) chunk
+  // index is tiny and is each operator's entire derived state, so it
+  // stays resident like the d01/d02 index frames
+  private val chunksSlot = new CacheSlots(4)
+
+  private[queries] def sharedChunkStats(chunks0: DataFrame): DataFrame = {
+    val chunks = chunksSlot(chunks0)
+    // per-chunk multiplicity as a WINDOW over h instead of an
+    // aggregate + self-join: the join form evaluated the `chunks`
+    // subtree twice per run — for mm05 that is the per-position-digest
+    // chunker, the most expensive projection in the battery (guide §2.4;
+    // same surviving rows, nm per row identical by definition)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    chunks.withColumn("nm", count(lit(1)).over(w))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("nm") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -163,19 +177,19 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  private val chunkHash60 =
-    conv(substring(md5(col("c")), 1, 15), 16, 10).cast("long")
-
   /** Fixed-offset chunker over a BINARY payload column: cut into
     * `chunkLen`-byte chunks, hash to 60-bit keys, distinct per media. */
   private[queries] def fixedChunks(media: DataFrame, chunkLen: Int): DataFrame =
     media
       .select(col("media_id"),
-        explode(expr(
-          s"transform(sequence(0, greatest(0, cast(floor((length(payload)-1)/$chunkLen) as int))), " +
-            s"i -> substring(payload, i*$chunkLen+1, $chunkLen))")).as("c"))
-      .select(col("media_id"), chunkHash60.as("h"))
-      .distinct()
+        // per-media distinct is ROW-LOCAL (one media = one row), so
+        // array_distinct before the explode replaces the corpus-wide
+        // distinct exchange the old shape paid (guide §2.4)
+        explode(array_distinct(expr(
+          s"transform(transform(sequence(0, greatest(0, cast(floor((length(payload)-1)/$chunkLen) as int))), " +
+            s"i -> substring(payload, i*$chunkLen+1, $chunkLen)), " +
+            "c -> cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint))")))
+        .as("h"))
 
   /** Content-defined chunker over a BINARY payload column: a boundary
     * falls after byte `i` wherever the hash of the `window`-byte window
@@ -198,14 +212,13 @@ object Multimodal {
                   conv(substring(md5(substring(payload, i - ${w - 1}, $w)), 1, 15),
                        16, 10) % $divisor = 0),
               array(length(payload)))))""").as("b"))
-      .select(col("media_id"), explode(expr(
-        """transform(sequence(1, size(b)),
+      .select(col("media_id"), explode(array_distinct(expr(
+        """transform(transform(sequence(1, size(b)),
              j -> substring(payload,
                     IF(j = 1, 0, element_at(b, j - 1)) + 1,
-                    element_at(b, j) - IF(j = 1, 0, element_at(b, j - 1))))"""))
-        .as("c"))
-      .select(col("media_id"), chunkHash60.as("h"))
-      .distinct()
+                    element_at(b, j) - IF(j = 1, 0, element_at(b, j - 1)))),
+             c -> cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint))""")))
+        .as("h"))
   }
 
   /** Chunk-level dedup estimator over the media table's BINARY payloads:

@@ -37,6 +37,32 @@ final class CacheSlot {
   }
 }
 
+/** A small FIFO of [[CacheSlot]]-style persists keyed by plan semantics —
+  * for call sites that serve SEVERAL distinct inputs round-robin (e.g. one
+  * scoring function serving two different index tables in the same battery
+  * pass): a single slot would MISS on every call and re-persist each time,
+  * strictly worse than no cache. Capacity-bounded; eviction unpersists. */
+final class CacheSlots(capacity: Int) {
+  private val slots =
+    scala.collection.mutable.ArrayDeque.empty[org.apache.spark.sql.DataFrame]
+  CacheSlot.onReleaseAll(() => synchronized {
+    slots.foreach(_.unpersist())
+    slots.clear()
+  })
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    synchronized {
+      slots.find(c => (c.sparkSession eq df.sparkSession) &&
+          c.sameSemantics(df)) match {
+        case Some(c) => c
+        case None =>
+          if (slots.size >= capacity) slots.removeHead().unpersist()
+          val p = df.persist()
+          slots.append(p)
+          p
+      }
+    }
+}
+
 object CacheSlot {
   /** Diagnostic: `SPARK_GRAFT_CACHE_DEBUG=1` logs each slot hit/miss to
     * stderr (a slot that misses on every battery pass re-materializes its

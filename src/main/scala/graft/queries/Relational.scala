@@ -385,13 +385,20 @@ object Relational {
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** Correlated-aggregate comparison (TPC-H Q17 shape): lineitems under 30%
-    * of their part's average quantity. Computed as agg + re-join (the
-    * decorrelated plan Catalyst itself would produce). */
+    * of their part's average quantity. Computed as a WINDOW over
+    * l_partkey (r18, guide §2.4): the per-part average is an unbounded
+    * whole-partition frame, so lineitem crosses ONE exchange — the former
+    * agg + re-join shape shuffled lineitem twice (partial agg + join
+    * probe side) and paid a sort-merge join. The average is the same
+    * exact-decimal sum / count in both shapes, so the filter decisions —
+    * and the result — are bit-identical. */
   def q17AvgCompare(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
-      .agg((dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
-    li.join(avgQty, col("l_partkey") === col("p_key"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(col("l_quantity")).over(w))
       .filter(col("l_quantity") < lit(0.3) * col("avg_qty"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
   }

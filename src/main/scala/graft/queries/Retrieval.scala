@@ -64,35 +64,80 @@ object Retrieval {
 
   /** BM25 top-k per query over an arbitrary (doc_id, text) corpus —
     * returns (qid, doc_id, rank). See the object doc for the plan and
-    * determinism discipline. */
-  def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    bm25FromTf(termFreqs(docs), queries, k)
+    * determinism discipline.
+    *
+    * Plan shape (optimization guide §2.3/§2.4, r18): when the corpus text
+    * is in hand, document length is ROW-LOCAL (`size` of the tokenized
+    * array) — it never needs the corpus-wide `(doc_id, w)` aggregation or
+    * a corpus-sized `dl` join that [[bm25FromTf]] must run when only a
+    * postings table exists. Tokens are filtered to QUERY terms before the
+    * one remaining aggregation, so the only shuffles are (a) the 1-row
+    * stats aggregate and (b) the query-term posting rollup, both
+    * map-side combined and both carrying query-matched rows only. The
+    * previous shape ran the full-corpus `(doc_id, w)` groupBy three times
+    * (dl, dfreq, contrib) and joined corpus-sized `dl` back by doc_id. */
+  def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select("qid", "term").distinct()
+    val toks = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+      .filter(col("dl") > 0) // zero-token docs were absent from tf-derived dl too
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // postings restricted to query terms BEFORE the aggregation; dl rides
+    // the row (it is per-doc constant), so no corpus-sized join reattaches it
+    val tfq = toks
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .join(broadcast(q.select("term").distinct()), col("w") === col("term"))
+      .groupBy("doc_id", "w", "dl").agg(count(lit(1)).as("tf"))
+    bm25Score(tfq, q, stats, k)
+  }
 
   /** BM25 scoring from an ALREADY-BUILT term-frequency frame — the term
-    * column `w` can be any key type (raw strings in [[t22Bm25]], 60-bit
-    * term hashes when serving from [[Bm25Index]]'s persistent postings);
-    * `queries` is (qid, term) in the same key space. Document length is
-    * Σ tf per doc — derivable from the postings alone, which is what
-    * makes ONE maintained table sufficient for the whole model. */
+    * column `w` can be any key type (raw strings, 60-bit term hashes when
+    * serving from [[Bm25Index]]'s persistent postings); `queries` is
+    * (qid, term) in the same key space. Document length is Σ tf per doc —
+    * derivable from the postings alone, which is what makes ONE
+    * maintained table sufficient for the whole model.
+    *
+    * The per-doc length aggregation feeds TWO consumers (the corpus
+    * stats and the contrib join) — slot-cached so each serve pays the
+    * postings rollup once, not per consumer per pass (the d01/ann06
+    * resident-index discipline; the slot releases with the battery
+    * caches). */
   def bm25FromTf(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // a repeated term within one query must contribute ONCE (standard
     // BM25 treats the query as a term set) — dedup the (qid, term) pairs
     // so caller-supplied lists with repeats don't double-count
     val q = queries.select("qid", "term").distinct()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = dlSlot(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     // ONE row: corpus size + total token count (avgdl is derived inside
     // the scoring expression as dl * n_docs / sum_dl, exact integers in,
     // one double division — no pre-divided avgdl to disagree on)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val dfreq = tf
+    val tfq = tf
       .join(broadcast(q.select("term").distinct()), col("w") === col("term"))
-      .groupBy("w").agg(count(lit(1)).as("df"))
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("w"), col("dl"), col("tf"))
+    bm25Score(tfq, q, stats, k)
+  }
+
+  // keyed multi-slot: t28 and t33 serve DIFFERENT postings tables through
+  // this one function in the same battery pass — a single slot would miss
+  // (and re-persist) on every alternating call
+  private val dlSlot = new CacheSlots(4)
+
+  /** Shared scoring tail: `tfq` is (doc_id, w, dl, tf) already restricted
+    * to query terms; `stats` is the 1-row (n_docs, sum_dl). Document
+    * frequency derives from `tfq` itself (one row per matched (doc, w)). */
+  private def bm25Score(tfq: DataFrame, q: DataFrame, stats: DataFrame,
+                        k: Int): DataFrame = {
+    val dfreq = tfq.groupBy("w").agg(count(lit(1)).as("df"))
     // per-(qid, doc, term) contribution: idf × saturated-tf, rounded to
     // 6 dp and cast to exact decimal so the per-doc sum is order-free
-    val contrib = tf
+    val contrib = tfq
       .join(broadcast(q), col("w") === col("term"))
       .join(broadcast(dfreq), "w")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),
         round(

@@ -1555,6 +1555,11 @@ object Similarity {
     * cluster, dist_r) with 6-dp-rounded squared distances and min-cid
     * tie-breaks, bit-identical to the CTE chain [[kmeansAssignCtes]]
     * emits for DuckDB. */
+  // keyed multi-slot: ann04 (k=4) and d10 (k=10) assign the same corpus
+  // through this one core — the assignment is each caller's entire
+  // derived state (3 narrow columns), so it stays resident per (emb, k)
+  private val kmeansAssignSlot = new CacheSlots(4)
+
   private[queries] def oneStepKmeansAssign(emb: DataFrame, k: Int): DataFrame = {
     val c0 = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("c"))
@@ -1580,7 +1585,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
       .select(col("cluster").as("cid"), col("c"))
 
-    assign(c1)
+    kmeansAssignSlot(assign(c1))
   }
 
   /** CTE chain mirroring [[oneStepKmeansAssign]] (k parametrized), ending

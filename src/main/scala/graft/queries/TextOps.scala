@@ -18,6 +18,7 @@ import QueryUtils._
 object TextOps {
 
   private val dsirToksSlot = new CacheSlot
+  private val t18TriSlot = new CacheSlot
 
   /** Per-document structural stats: chars, tokens, punctuation ratio. */
   def t01TextStats(s: SparkSession, d: String): DataFrame =
@@ -217,13 +218,19 @@ object TextOps {
     * over the already-aggregated (doc, term, tf) rows, never raw tokens. */
   def t11Keywords(s: SparkSession, d: String, maxId: Int = 50,
                   k: Int = 5): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 3)
-    val tf = toks.filter(col("doc_id") < maxId)
+    val longToks = expr("filter(split(text, ' '), w -> length(w) > 3)")
+    val tf = Tables.documents(s, d)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"), explode(longToks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency via ROW-LOCAL per-doc dedup + a plain count:
+    // countDistinct(doc_id) per term was a two-phase distinct aggregation
+    // shuffling every (term, doc) occurrence; array_distinct collapses
+    // duplicates inside the row first, so one map-side-combined count
+    // over already-unique (doc, term) pairs gives the same df (guide §2.3)
+    val df = Tables.documents(s, d)
+      .select(explode(array_distinct(longToks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
     broadcast(tf).join(df, "term")
@@ -513,15 +520,20 @@ object TextOps {
     * and BROADCASTS into the membership join — the corpus side never
     * shuffles for it. */
   def t18TrigramNovelty(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
-    val tri = Tables.documents(s, d)
+    // per-doc distinct ROW-LOCALLY (array_distinct before the explode —
+    // the d05 shape: (doc_id, h) is unique across docs by construction,
+    // so the old corpus-wide distinct exchange bought nothing), and the
+    // (doc_id, trigram-hash) index slot-cached: it feeds BOTH the top-k
+    // aggregation and the membership join, which previously re-ran the
+    // per-trigram md5 pass twice per battery pass
+    val tri = t18TriSlot(Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10))"))
-        .as("hs"))
-      .select(col("doc_id"), col("hs").cast("long").as("h"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(transform(sequence(1, size(w) - 2), " +
+          "i -> conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10)), " +
+          "h -> cast(h as bigint))")))
+        .as("h")))
     val top = tri.groupBy("h").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("h"))
       .limit(topK)

@@ -21,6 +21,21 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Every node of `p`, recursing into slot-cached subtrees: the r18
+    * resident-index slots hide an operator's exchanges inside
+    * InMemoryRelations, which would make plan audits silently vacuous. */
+  private def expand(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        t +: expand(t.relation.cachedPlan)
+      case n => Seq(n)
+    }
+
+  /** [[plan]] with slot-cached subtrees expanded (string form). */
+  private def deepPlan(df: org.apache.spark.sql.DataFrame): String =
+    expand(df.queryExecution.executedPlan).map(_.nodeName).mkString("\n")
+
   test("q03: dimension joins broadcast, filter pushed to scan") {
     val p = plan(Relational.q03TopOrders(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
@@ -127,7 +142,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // collects on the default session's executedPlan see nothing at all
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    val exec = Dedup.d01MinhashLsh(s, sf).queryExecution.executedPlan
+    // the LSH index + verify frames are slot-cached (r18): expand every
+    // InMemoryRelation so the audit sees the exchanges INSIDE the cached
+    // subtrees, not just the (exchange-free) serving tail
+    val exec = expand(Dedup.d01MinhashLsh(s, sf).queryExecution.executedPlan)
     assert(exec.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
       "plan audit is vacuous: no exchanges visible")
     // no window operator anywhere (bucket sizing must be aggregate+join)
@@ -273,10 +291,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one hash exchange (user_id), got ${hashEx.size}")
   }
 
-  test("d07: the benchmark shingle set broadcasts; corpus side never sort-merges") {
+  test("d07: benchmark membership is one window over h — no join, one shingle pass") {
+    // r18 shape: hit = max(is_benchmark) OVER (PARTITION BY h) — the
+    // former aggregate + distinct + broadcast join re-ran the shingle+md5
+    // projection twice; now the corpus is shingled once and the only
+    // corpus-sized movement is the one hash exchange the window needs
     val p = plan(Dedup.d07Contamination(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"corpus rides a join shuffle:\n$p")
+    assert(p.contains("Window"), s"expected window membership test:\n$p")
+    assert(!p.contains("Join"), s"membership must not plan a join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -289,7 +311,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ann04: centroids broadcast into both assignment passes") {
-    val p = plan(Similarity.ann04Kmeans(spark, sf))
+    // the assignment is slot-cached (r18) — audit the cached subtree,
+    // on an AQE-off session (AdaptiveSparkPlanExec is a collect leaf)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = deepPlan(Similarity.ann04Kmeans(s, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"k-row centroid side should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
