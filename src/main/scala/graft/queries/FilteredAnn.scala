@@ -73,6 +73,9 @@ object FilteredAnn {
                                 assignProbes: Int = 2)
 
   private val assignedSlot = new CacheSlot
+  // the centroid sample is bounded derived state — resident so a serve
+  // pass skips the md5 TakeOrdered over the corpus (the GraphAnn shape)
+  private val centsSlot = new CacheSlot
 
   import Similarity.dot
 
@@ -122,10 +125,10 @@ object FilteredAnn {
     val en = Similarity.pqEmb(Tables.embeddings(s, d))
       .select(col("vec_id"), col("e"),
         sqrt(dot(col("e"), col("e"))).as("norm"))
-    en.withColumn("h", md5(col("vec_id").cast("string")))
+    centsSlot(en.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(nCells)
       .select(col("vec_id").as("cid"), col("e").as("ce"),
-        col("norm").as("cnorm"))
+        col("norm").as("cnorm")))
   }
 
   private[queries] def annFilteredOver(asg: DataFrame, cents: DataFrame,

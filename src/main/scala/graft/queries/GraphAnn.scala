@@ -82,6 +82,10 @@ object GraphAnn {
   CacheSlot.onReleaseAll(() => lastGraphCells = None)
 
   private val enSlot = new CacheSlot
+  // the centroid sample is bounded (effectiveCells rows) derived state —
+  // resident like the corpus projection, so a serve pass does not re-run
+  // the md5 TakeOrdered over the corpus
+  private val centsSlot = new CacheSlot
 
   /** Memoized built graph, keyed on the BASE edge plan's semantics + the
     * params (the d06 connected-components memo pattern): the refined
@@ -223,10 +227,12 @@ object GraphAnn {
         .filter(col("rk") <= p.beamWidth)
         .select(col("qid"), col("nid"))
       // frontier is bounded at nQueries·beamWidth·degree rows → broadcast;
-      // the scoring join streams the (cached) corpus map-only
+      // the scoring join streams the (cached) corpus map-only. NOT
+      // deduped here (r18): a node reached via two beam members scores
+      // identically, and the union-distinct below collapses it — same
+      // visited set, one less exchange per hop (guide §2.4)
       val frontier = beam.join(graph, beam("nid") === graph("src"))
         .select(col("qid"), col("dst").as("nid"))
-        .distinct()
       val scored = en.join(broadcast(frontier),
           en("vec_id") === frontier("nid"))
         .join(q, "qid")
@@ -272,7 +278,7 @@ object GraphAnn {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
     val cells = effectiveCells(en.count(), p)
     lastGraphCells = Some(cells)
-    val cents = graphCentroids(en, cells)
+    val cents = centsSlot(graphCentroids(en, cells))
     val graph = buildGraph(en, cents, p)
     topKFromVisited(
       beamVisited(en, cents, graph, queriesOf(en, nQueries), p), en, k)
@@ -285,7 +291,7 @@ object GraphAnn {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
     val cells = effectiveCells(en.count(), p)
     lastGraphCells = Some(cells)
-    val cents = graphCentroids(en, cells)
+    val cents = centsSlot(graphCentroids(en, cells))
     val graph = buildGraph(en, cents, p)
     beamVisited(en, cents, graph, queriesOf(en, nQueries), p)
   }

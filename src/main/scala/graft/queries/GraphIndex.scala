@@ -44,6 +44,11 @@ object GraphIndex {
     * disabled (see class doc). */
   val MaintainedParams: GraphParams = GraphParams(refine = 0)
 
+  // serve-side resident state (see topK); keyed because the maintenance
+  // specs serve successive table states through the same path
+  private val serveEnSlot = new CacheSlots(2)
+  private val serveGraphSlot = new CacheSlots(2)
+
   private def en(corpus: DataFrame): DataFrame =
     GraphAnn.withNorm(Similarity.pqEmb(corpus))
 
@@ -222,9 +227,13 @@ object GraphIndex {
   def topK(spark: SparkSession, corpus: DataFrame, centsT: IcebergTable,
            graphT: IcebergTable, queries: DataFrame, k: Int,
            p: GraphParams = MaintainedParams): DataFrame = {
-    val e = en(corpus)
+    // resident serve-side state (keyed: specs serve evolving tables
+    // through this same path): the norm projection over the corpus and
+    // the edge table otherwise re-scan per pass — the corpus TWICE per
+    // beam hop (frontier scoring + the final membership semi-join)
+    val e = serveEnSlot(en(corpus))
     val cents = centsT.newScan().toDF(spark)
-    val graph = graphT.newScan().toDF(spark)
+    val graph = serveGraphSlot(graphT.newScan().toDF(spark))
     val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"),
       col("qnorm"))
     GraphAnn.topKFromVisited(

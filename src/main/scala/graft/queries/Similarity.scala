@@ -22,6 +22,34 @@ import graft.tables.Tables
   */
 object Similarity {
 
+  // Tiny trained-model frames (sampled/trained codebooks, refined cells,
+  // residual codebooks, SQ8 params — each <= a few hundred rows): keyed
+  // multi-slot so a serve pass reuses the trained model instead of
+  // re-running the sample TakeOrdered + training aggregations per pass.
+  // The frames are derived corpus state exactly like the code slots below.
+  private val modelSlot = new CacheSlots(16)
+
+  // The OPQ rotation solve collects the bounded sample to the driver and
+  // runs a breeze SVD — deterministic, so memoize per (sample plan,
+  // params); drops with the battery caches (the graph-memo pattern).
+  private val opqRotMemoLock = new Object
+  private var opqRotMemo: List[(DataFrame, (Int, Int, Int), Array[Array[Double]])] = Nil
+  CacheSlot.onReleaseAll(() => opqRotMemoLock.synchronized { opqRotMemo = Nil })
+  private def opqRotationMemo(sample: DataFrame, nSub: Int, kSub: Int,
+                              iters: Int): Array[Array[Double]] =
+    opqRotMemoLock.synchronized {
+      opqRotMemo.find { case (df, params, _) =>
+        params == ((nSub, kSub, iters)) &&
+          (df.sparkSession eq sample.sparkSession) && df.sameSemantics(sample)
+      } match {
+        case Some((_, _, r)) => r
+        case None =>
+          val r = opqRotation(sample, nSub, kSub, iters)
+          opqRotMemo = (sample, (nSub, kSub, iters), r) :: opqRotMemo.take(3)
+          r
+      }
+    }
+
   private val lshBandedSlot = new CacheSlot
   private val ivfAssignedSlot = new CacheSlot
   private val pqCodesSlot = new CacheSlot
@@ -107,7 +135,7 @@ object Similarity {
         md5(col("vec_id").cast("string")).as("h"))
       .orderBy("h").limit(nCells)
       .select(col("cid"), col("ce"))
-    val cb = broadcast(centroids)
+    val cb = broadcast(modelSlot(centroids))
 
     // corpus → nearest cell: one pass, centroids broadcast, per-pair work a
     // single dot product. The argmin is a min_by AGGREGATION (tie-broken on
@@ -342,7 +370,7 @@ object Similarity {
   def annPq(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
             nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
-    val codebook = pqCodebook(emb, nSub, kSub)
+    val codebook = modelSlot(pqCodebook(emb, nSub, kSub))
     // Slot-cached: the PQ index is built once per corpus and reused across
     // queries on the same corpus
     val codes = pqCodesSlot(pqEncode(emb, codebook, nSub))
@@ -416,6 +444,7 @@ object Similarity {
     // the ENCODE below still covers the full corpus
     val train = trainSample(emb)
     (0 until iters).foreach(_ => cb = pqTrainStep(train, cb, nSub))
+    cb = modelSlot(cb)
     val codes = trainedPqCodesSlot(pqEncode(emb, cb, nSub))
     pqTopK(emb, codes, cb, emb.filter(col("vec_id") < nQueries),
       nSub, k, shortlist)
@@ -498,7 +527,7 @@ object Similarity {
                nSub: Int = 8, kSub: Int = 16, shortlist: Int = 50,
                iters: Int = 2): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
-    val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    val r = opqRotationMemo(trainSample(emb), nSub, kSub, iters)
     lastOpqRotation = Some(r)
     // Slot-cache the rotated corpus: the 6-dp rounding matmul (exactness
     // for the embedded-rotation oracle) otherwise re-executes on the
@@ -507,7 +536,7 @@ object Similarity {
     // constant, so the slot hits across passes of the same learned R.
     val rot = opqRotSlot(opqRotate(emb, r))
     var cb = pqCodebook(rot, nSub, kSub)
-    cb = pqTrainStep(trainSample(rot), cb, nSub)
+    cb = modelSlot(pqTrainStep(trainSample(rot), cb, nSub))
     val codes = opqCodesSlot(pqEncode(rot, cb, nSub))
     pqTopK(rot, codes, cb, rot.filter(col("vec_id") < nQueries),
       nSub, k, shortlist)
@@ -535,14 +564,15 @@ object Similarity {
                   kSub: Int = 16, shortlist: Int = 50,
                   iters: Int = 2): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
-    val r = opqRotation(trainSample(emb), nSub, kSub, iters)
+    val r = opqRotationMemo(trainSample(emb), nSub, kSub, iters)
     lastOpqRotation = Some(r)
     // Same rotated-corpus slot discipline as [[annOpqPq]] — one rounding
     // matmul per corpus, shared by assign/encode/re-rank/query sides.
     val rot = opqIvfRotSlot(ivfEn(opqRotate(emb, r)))
-    val cents = ivfTrainStep(trainSample(rot), ivfCentroids(rot, nCells))
+    val cents = modelSlot(
+      ivfTrainStep(trainSample(rot), ivfCentroids(rot, nCells)))
     val assigned = opqIvfAssignedSlot(ivfAssignResiduals(rot, cents))
-    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    val rcodebook = modelSlot(ivfResidualCodebook(assigned, nSub, kSub))
     val codes = opqIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
     ivfPqTopK(rot, cents, rcodebook, codes,
       rot.filter(col("vec_id") < nQueries), nProbe, nSub, k, shortlist)
@@ -832,7 +862,7 @@ object Similarity {
   def annSq8(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
              shortlist: Int = 40): DataFrame = {
     val emb = pqEmb(Tables.embeddings(s, d))
-    val params = sq8Params(emb)
+    val params = modelSlot(sq8Params(emb))
     // encode -> dequantize against the just-trained params (the int codes
     // are the PERSISTED form in the maintained variant, ann15; here they
     // exist only inside the expression -- the slot caches the
@@ -1069,10 +1099,10 @@ object Similarity {
                nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8,
                kSub: Int = 16, shortlist: Int = 50): DataFrame = {
     val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
-    val cents = ivfCentroids(en, nCells)
+    val cents = modelSlot(ivfCentroids(en, nCells))
     // assign each vector to its nearest cell; carry the RESIDUAL out
     val assigned = ivfPqAssignedSlot(ivfAssignResiduals(en, cents))
-    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    val rcodebook = modelSlot(ivfResidualCodebook(assigned, nSub, kSub))
     // encode residuals; codes CARRY the cell id so the ADC join composes
     // cell filtering with codeword lookup in one equi-join
     val codes = ivfPqCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
@@ -1110,9 +1140,10 @@ object Similarity {
     val en = ivfEn(pqEmb(Tables.embeddings(s, d)))
     // cells refine on the bounded sample ([[trainSample]]); assignment
     // and encode below still cover the full corpus
-    val cents = ivfTrainStep(trainSample(en), ivfCentroids(en, nCells))
+    val cents = modelSlot(
+      ivfTrainStep(trainSample(en), ivfCentroids(en, nCells)))
     val assigned = trainedIvfAssignedSlot(ivfAssignResiduals(en, cents))
-    val rcodebook = ivfResidualCodebook(assigned, nSub, kSub)
+    val rcodebook = modelSlot(ivfResidualCodebook(assigned, nSub, kSub))
     val codes = trainedIvfCodesSlot(ivfPqEncode(assigned, rcodebook, nSub))
     (en, cents, rcodebook, codes)
   }
