@@ -48,7 +48,30 @@ object Training {
     * the same fold DuckDB's `list_reduce` runs in [[t24Sql]], and the
     * same semantics as [[graft.spark.functions.Bpe.learn]]'s in-memory
     * loop (BpeTrainSpec pins them equal). */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  /** Memoized learned merge table (the d06/graph memo pattern): the
+    * result is a chain of per-round localCheckpoints whose plans never
+    * compare equal across builds, so it keys on the INPUT plan + nMerges
+    * and drops with the battery caches. The merge table is the trained
+    * MODEL — O(nMerges) rows — and training is deterministic, so serving
+    * it resident is the same discipline as the ANN codebook slots. */
+  private val bpeMemoLock = new Object
+  private var bpeMemo: List[(DataFrame, Int, DataFrame)] = Nil
+  CacheSlot.onReleaseAll(() => bpeMemoLock.synchronized { bpeMemo = Nil })
+
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeMemoLock.synchronized {
+      bpeMemo.find { case (df, n, _) => n == nMerges &&
+        (df.sparkSession eq docs.sparkSession) && df.sameSemantics(docs)
+      } match {
+        case Some((_, _, m)) => m
+        case None =>
+          val m = bpeTrainUncached(docs, nMerges)
+          bpeMemo = (docs, nMerges, m) :: bpeMemo.take(3)
+          m
+      }
+    }
+
+  private def bpeTrainUncached(docs: DataFrame, nMerges: Int): DataFrame = {
     // corpus → word-frequency table: all subsequent rounds are O(vocab)
     var syms = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -169,7 +192,29 @@ object Training {
     * weights are bit-identical across engines even though σ uses `exp`
     * (≤1 ulp each, absorbed by the rounding). Returns the 1-row weight
     * frame (w0..w3). */
-  def logisticFit(feats: DataFrame, iters: Int, lr: Double): DataFrame = {
+  /** Memoized fitted weights (the bpeTrain memo discipline): the 1-row
+    * weight frame is a localCheckpoint chain (never plan-equal across
+    * builds), so the memo keys on the INPUT feature plan + (iters, lr);
+    * training is deterministic and the model is O(features). */
+  private val logitMemoLock = new Object
+  private var logitMemo: List[(DataFrame, (Int, Double), DataFrame)] = Nil
+  CacheSlot.onReleaseAll(() => logitMemoLock.synchronized { logitMemo = Nil })
+
+  def logisticFit(feats: DataFrame, iters: Int, lr: Double): DataFrame =
+    logitMemoLock.synchronized {
+      logitMemo.find { case (df, p, _) => p == ((iters, lr)) &&
+        (df.sparkSession eq feats.sparkSession) && df.sameSemantics(feats)
+      } match {
+        case Some((_, _, w)) => w
+        case None =>
+          val w = logisticFitUncached(feats, iters, lr)
+          logitMemo = (feats, (iters, lr), w) :: logitMemo.take(3)
+          w
+      }
+    }
+
+  private def logisticFitUncached(feats: DataFrame, iters: Int,
+                                  lr: Double): DataFrame = {
     val s = feats.sparkSession
     import s.implicits._
     var w = Seq((0.0, 0.0, 0.0, 0.0)).toDF("w0", "w1", "w2", "w3")
