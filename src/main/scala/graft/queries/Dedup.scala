@@ -713,30 +713,30 @@ object Dedup {
     * corpus side streams map-only — one scan, one broadcast, no shuffle of
     * the corpus at all beyond the per-document rollup. */
   def d07Contamination(s: SparkSession, d: String, n: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // per-doc shingle hashes with ROW-LOCAL distinct (the d05 shape):
+    // (doc_id, h) is unique across docs by construction, so no
+    // corpus-wide distinct exchange
+    def sh(docs: DataFrame) = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
-    // hash at the source + ROW-LOCAL per-doc distinct (the d05 shape):
-    // (doc_id, h) is unique across docs by construction, so the old
-    // corpus-wide `.distinct()` exchange bought nothing
-    val sh = docs
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(transform(sequence(1, size(w) - ${n - 1}), " +
           s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)), " +
           "h -> cast(h as bigint))")))
         .as("h"))
-    // benchmark membership as a WINDOW over h instead of a second
-    // shingle+md5 pass + distinct + broadcast join: hit = 1 iff ANY
-    // benchmark row (doc_id % 50 = 0) carries this hash — same value the
-    // old left join's coalesce(hit, 0) produced (guide §2.4; note the
-    // window sees all rows, the corpus filter applies after it)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    sh.withColumn("hit",
-        max(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).over(w))
-      .filter(col("doc_id") % 50 =!= 0)
+    // the benchmark side shingles ONLY the benchmark slice (the doc_id
+    // filter pushes to the scan, so this pass reads 1/50 of the corpus —
+    // the r17 shape shingled everything twice; an r18 interim window-
+    // over-h variant sorted the whole corpus's shingles, which LOST at
+    // sf1). The corpus side stays one map-only pass + a broadcast probe —
+    // benchmarks are fixed-size next to a corpus, the right 100 TB shape.
+    val bench = sh(Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    sh(Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(bench), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(col("hit")).as("n_contaminated"))
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contamination_rate",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
       .select("doc_id", "n_shingles", "n_contaminated", "contamination_rate")

@@ -308,8 +308,9 @@ object Training {
   private val bigramSlot = new CacheSlot
   // keyed multi-slot: t26 (session-built counts) and t31 (maintained index
   // counts) serve through the same scorer in one battery pass — a single
-  // slot would miss on every alternating call
-  private val countsSlot = new CacheSlots(4)
+  // slot would miss on every alternating call; holds counts + uni per
+  // serving pipeline
+  private val countsSlot = new CacheSlots(8)
 
   /** Per-doc adjacent hashed-token bigrams: (doc_id, is_t, w1, w2) —
     * pairs form ROW-LOCALLY inside the tokenized array (no
@@ -380,7 +381,9 @@ object Training {
     require(!counts.isEmpty,
       "LM count table is EMPTY — empty target slice, or wrong table location")
     val big = counts.select(col("w1"), col("w2"), col("cnt").as("cb"))
-    val uni = counts.groupBy("w1").agg(sum(col("cnt")).as("cu"))
+    // the prefix rollup feeds TWO consumers (the vocabulary size and the
+    // scoring join) — resident like the count table itself
+    val uni = countsSlot(counts.groupBy("w1").agg(sum(col("cnt")).as("cu")))
     // the prefix vocabulary size is the prefix table's row count — derive
     // it from `uni` (|prefixes| rows) instead of a third full-width
     // distinct aggregation over the count table

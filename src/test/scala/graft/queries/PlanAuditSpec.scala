@@ -291,14 +291,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one hash exchange (user_id), got ${hashEx.size}")
   }
 
-  test("d07: benchmark membership is one window over h — no join, one shingle pass") {
-    // r18 shape: hit = max(is_benchmark) OVER (PARTITION BY h) — the
-    // former aggregate + distinct + broadcast join re-ran the shingle+md5
-    // projection twice; now the corpus is shingled once and the only
-    // corpus-sized movement is the one hash exchange the window needs
+  test("d07: benchmark side shingles its slice only and broadcasts; no window sort") {
+    // r18 shape: the benchmark side's doc_id filter pushes to the scan so
+    // its shingle+md5 pass reads 1/50 of the corpus; the corpus side is
+    // one map-only pass probing the broadcast set. (An interim window-
+    // over-h variant sorted every corpus shingle — lost at sf1.)
     val p = plan(Dedup.d07Contamination(spark, sf))
-    assert(p.contains("Window"), s"expected window membership test:\n$p")
-    assert(!p.contains("Join"), s"membership must not plan a join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus rides a join shuffle:\n$p")
+    assert(!p.contains("Window"), s"membership must not sort the corpus:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
