@@ -30,6 +30,9 @@ object Dedup {
   // verify through the same pairsFromKeyed — a single slot would miss on
   // every alternating battery call
   private val minhashCandShinglesSlot = new CacheSlots(4)
+  // (doc_id, shingle-hash) indexes: d05's 5-gram index, d07's corpus-side
+  // 8-gram index and its benchmark probe set — three distinct plans
+  private val shingleSlot = new CacheSlots(4)
 
   /** Distinct word n-gram shingles of `text` (space-tokenized). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -673,9 +676,11 @@ object Dedup {
         .as("h"))
     // document frequency as a WINDOW over h instead of aggregate +
     // self-join: the join form re-ran the shingle+md5 projection twice
-    // per run (guide §2.4; same rows, nd identical by definition)
+    // per run (guide §2.4; same rows, nd identical by definition).
+    // The (doc_id, h) shingle index is resident (the d01/d02 discipline)
+    // so repeated serves skip the per-shingle md5 projection entirely.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    sh.withColumn("nd", count(lit(1)).over(w))
+    shingleSlot(sh).withColumn("nd", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -730,9 +735,13 @@ object Dedup {
     // over-h variant sorted the whole corpus's shingles, which LOST at
     // sf1). The corpus side stays one map-only pass + a broadcast probe —
     // benchmarks are fixed-size next to a corpus, the right 100 TB shape.
-    val bench = sh(Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
-      .select(col("h")).distinct().withColumn("hit", lit(1L))
-    sh(Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0))
+    // both shingle indexes are resident (keyed — the benchmark set and
+    // the corpus side are distinct plans; d05's 5-gram index is a third):
+    // a serve pays the broadcast probe + rollup, not the md5 projection
+    val bench = shingleSlot(
+      sh(Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
+        .select(col("h")).distinct().withColumn("hit", lit(1L)))
+    shingleSlot(sh(Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)))
       .join(broadcast(bench), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

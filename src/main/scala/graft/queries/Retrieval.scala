@@ -78,11 +78,16 @@ object Retrieval {
     * (dl, dfreq, contrib) and joined corpus-sized `dl` back by doc_id. */
   def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select("qid", "term").distinct()
-    val toks = docs
+    // the tokenized corpus feeds TWO consumers per serve (the 1-row stats
+    // aggregate and the query-term posting rollup) and is the serve's only
+    // corpus-sized input — resident (keyed: t22 and ann12 share the
+    // documents corpus, one entry serves both; the d01/ann06 slot
+    // discipline, released with the battery caches)
+    val toks = toksSlot(docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
-      .filter(col("dl") > 0) // zero-token docs were absent from tf-derived dl too
+      .filter(col("dl") > 0)) // zero-token docs were absent from tf-derived dl too
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // postings restricted to query terms BEFORE the aggregation; dl rides
     // the row (it is per-doc constant), so no corpus-sized join reattaches it
@@ -110,22 +115,28 @@ object Retrieval {
     // BM25 treats the query as a term set) — dedup the (qid, term) pairs
     // so caller-supplied lists with repeats don't double-count
     val q = queries.select("qid", "term").distinct()
-    val dl = dlSlot(tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    // the postings relation itself is the resident inverted index: without
+    // this slot every serve re-scanned the index TABLE once per pass (the
+    // dl rollup below was cached, the tfq probe was not)
+    val tfc = tfSlot(tf)
+    val dl = dlSlot(tfc.groupBy("doc_id").agg(sum("tf").as("dl")))
     // ONE row: corpus size + total token count (avgdl is derived inside
     // the scoring expression as dl * n_docs / sum_dl, exact integers in,
     // one double division — no pre-divided avgdl to disagree on)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tfq = tf
+    val tfq = tfc
       .join(broadcast(q.select("term").distinct()), col("w") === col("term"))
       .join(dl, "doc_id")
       .select(col("doc_id"), col("w"), col("dl"), col("tf"))
     bm25Score(tfq, q, stats, k)
   }
 
-  // keyed multi-slot: t28 and t33 serve DIFFERENT postings tables through
+  // keyed multi-slots: t28 and t33 serve DIFFERENT postings tables through
   // this one function in the same battery pass — a single slot would miss
   // (and re-persist) on every alternating call
   private val dlSlot = new CacheSlots(4)
+  private val tfSlot = new CacheSlots(4)
+  private val toksSlot = new CacheSlots(4)
 
   /** Shared scoring tail: `tfq` is (doc_id, w, dl, tf) already restricted
     * to query terms; `stats` is the 1-row (n_docs, sum_dl). Document

@@ -304,8 +304,12 @@ object Training {
 
   // the bigram stream feeds FOUR consumers (bigram counts, prefix
   // counts, vocab size, and the scoring join) — one slot-cached
-  // materialization instead of four tokenize+explode replays
-  private val bigramSlot = new CacheSlot
+  // materialization instead of four tokenize+explode replays. KEYED:
+  // t26 scores the session corpus's stream and t31 scores the fixture
+  // table's stream through the same scorer in one battery pass — a
+  // single slot would thrash on every alternating call (t31's serve
+  // previously re-ran tokenize+md5+explode over the corpus per pass)
+  private val bigramSlot = new CacheSlots(4)
   // keyed multi-slot: t26 (session-built counts) and t31 (maintained index
   // counts) serve through the same scorer in one battery pass — a single
   // slot would miss on every alternating call; holds counts + uni per
@@ -367,7 +371,7 @@ object Training {
     * prefix vocabulary is `count distinct w1` — both DERIVED from the
     * count table, which is what makes one maintained table the entire
     * LM (the t28 single-table insight applied to the language model). */
-  private[queries] def lmScoreAgainst(counts0: DataFrame, pairs: DataFrame,
+  private[queries] def lmScoreAgainst(counts0: DataFrame, pairs0: DataFrame,
                                       topK: Int): DataFrame = {
     // the count table feeds FOUR consumers (the emptiness guard, the
     // bigram join, the prefix rollup, the vocabulary size) — slot-cached
@@ -375,6 +379,11 @@ object Training {
     // per pass (guide §2.4: the t31 serve re-scanned the index table four
     // times; releases with the battery caches)
     val counts = countsSlot(counts0)
+    // the scored stream is the serve's only corpus-sized input — resident
+    // like the counts (a hit when the caller already slotted it, e.g.
+    // [[lmCrossEntropy]]; fills for callers that did not, e.g. the t31
+    // maintained-index serve, which re-tokenized the corpus per pass)
+    val pairs = bigramSlot(pairs0)
     // an LM trained on nothing is undefined (v = 0 would drive every
     // -ln p to -Infinity and rank garbage); fail loudly instead. This is
     // a limit-1 probe of the (cached) counts plan (Dataset.isEmpty)

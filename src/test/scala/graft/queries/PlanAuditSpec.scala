@@ -36,6 +36,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private def deepPlan(df: org.apache.spark.sql.DataFrame): String =
     expand(df.queryExecution.executedPlan).map(_.nodeName).mkString("\n")
 
+  /** Full tree strings of the top plan AND every slot-cached subtree —
+    * for audits that must see scan DETAILS (paths, pushed filters)
+    * hidden inside InMemoryRelations. */
+  private def deepPlanStr(df: org.apache.spark.sql.DataFrame): String = {
+    def trees(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.toString +: p.collect {
+        case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => t
+      }.flatMap(t => trees(t.relation.cachedPlan))
+    trees(df.queryExecution.executedPlan).mkString("\n")
+  }
+
   test("q03: dimension joins broadcast, filter pushed to scan") {
     val p = plan(Relational.q03TopOrders(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
@@ -187,7 +198,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("ann09 serves from the persisted codes table, not a corpus re-encode") {
-    val p = plan(AnnIndex.ann09IncrementalIvfPq(spark, sf))
+    // the codes relation is slot-cached since r18 — expand the cached
+    // subtrees so the scan's table path is visible to the assertion
+    val p = deepPlanStr(AnnIndex.ann09IncrementalIvfPq(spark, sf))
     // the ADC side must be a SCAN of the maintained index table — the
     // whole point of persisting it is that queries never re-assign or
     // re-encode the corpus
