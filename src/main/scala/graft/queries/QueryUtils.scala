@@ -53,8 +53,13 @@ final class CacheSlots(capacity: Int) {
     synchronized {
       slots.find(c => (c.sparkSession eq df.sparkSession) &&
           c.sameSemantics(df)) match {
-        case Some(c) => c
+        case Some(c) =>
+          if (CacheSlot.debug)
+            System.err.println(s"[slots ${hashCode()}] hit (${slots.size} resident)")
+          c
         case None =>
+          if (CacheSlot.debug)
+            System.err.println(s"[slots ${hashCode()}] MISS (${slots.size} resident)")
           if (slots.size >= capacity) slots.removeHead().unpersist()
           val p = df.persist()
           slots.append(p)
