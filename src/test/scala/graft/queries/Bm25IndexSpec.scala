@@ -77,6 +77,32 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(served.exists { case (q, d, _) => q == 0 && d == 4L })
   }
 
+  test("serve slots never serve a stale index state across a sync (r18)") {
+    // the r18 resident-index slots key on plan semantics, and a table
+    // scan's plan bakes in the planned file list — so serving, evolving
+    // the index, and serving again MUST re-fill, never hit stale. This
+    // pins the one hazard the serve-path caches could introduce.
+    val loc = Files.createTempDirectory("bm25_docs5").toFile.getPath
+    val t1 = TableWriter.create(
+      docsDF(1L -> "aa bb", 2L -> "cc dd", 3L -> "ee ff"), loc)
+    val idxLoc = Files.createTempDirectory("bm25_idx5").toFile.getPath
+    val idx1 = Bm25Index.build(t1.newScan().toDF(spark), idxLoc, P)
+    val queries = Seq(0 -> Seq("aa"))
+    def serve(idx: graft.spark.IcebergTable): Set[Long] =
+      Bm25Index.topK(spark, idx, queries, P, k = 10).collect()
+        .map(_.getLong(1)).toSet
+    assert(serve(idx1) == Set(1L)) // fills the postings slot for state 1
+    // evolve: a new doc matching the query arrives via the changefeed
+    val t2 = TableWriter.append(t1, docsDF(4L -> "aa zz"))
+    val idx2 = Bm25Index.syncFromChangelog(spark, t2, idx1,
+      Some(t1.currentSnapshot.get.snapshotId), P)
+    // the evolved state is a different plan → different slot entry; a
+    // stale hit would return Set(1L) here
+    assert(serve(idx2) == Set(1L, 4L))
+    // the OLD state keeps serving its own results (keyed, not evicted)
+    assert(serve(idx1) == Set(1L))
+  }
+
   test("streaming read-changes maintenance equals from-scratch rebuild") {
     val loc = Files.createTempDirectory("bm25_docs3").toFile.getPath
     val t1 = TableWriter.create(
