@@ -1,12 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE compact JSON line as the LAST stdout line
-  * (nothing is written to stdout after it) and persists the same object to
-  * `bench_out.json` — **the artifact of record**: the driver's committed
-  * `BENCH_r{N}.json` keeps only a stdout tail, which has truncated the JSON
-  * mid-key before (r5, r6); when the two disagree, grade from
-  * `bench_out.json`.
+/** Benchmark main. Prints the full one-line JSON (the r1–r18 contract
+  * object, `queries` map included), then a SHORT summary JSON as the LAST
+  * stdout line, and persists the full object to `bench_out.json` — **the
+  * artifact of record**. Why two lines (r19, VERDICT item 1): the driver's
+  * committed `BENCH_r{N}.json` keeps only a stdout *tail*, and the full
+  * line (~6 KB at 143 queries) outlived that window three rounds running
+  * (r16–r18 all parsed null). The short line carries every headline field
+  * plus `"per_query_file":"bench_out.json"` — it fits any tail window, so
+  * the summary always parses and the per-query map is one file read away.
+  * When stdout and the file disagree, grade from `bench_out.json`.
+  *
+  * Per-query COLD times (r19, VERDICT item 2): the warmup pass is now
+  * timed and reported as `"cold": {...}` beside the warm-min `"queries"`
+  * map. The warm numbers measure steady-state serving (resident indexes
+  * filled); cold measures the same query with every cache slot empty plus
+  * first-run JIT/codegen. A query whose warm number rides a resident
+  * index shows the residency win as cold/warm spread — the two effects
+  * are separable per query, which the warm-only artifact never allowed.
+  * The timed statistic (`queries`, min of RunsPerQuery passes after
+  * warmup) is UNCHANGED from r1–r18, so the round-over-round series stays
+  * comparable.
   *
   * Contamination guards (the r6 committed artifact showed 4-6× "regressions"
   * on untouched queries that no clean re-run reproduced):
@@ -154,21 +169,30 @@ object Bench {
     * across all passes after it — the artifact's mid-run-co-tenant
     * signature. */
   private final case class PhaseResult(times: Map[String, Double],
+                                       cold: Map[String, Double],
                                        reruns: Int, unstable: Int)
 
   private def runPhase(spark: SparkSession, sfDir: String,
                        qs: Seq[(String, (SparkSession, String) =>
                          org.apache.spark.sql.DataFrame)])
       : PhaseResult = {
-    // Untimed warmup: JIT + whole-stage-codegen compilation and one-time
-    // Iceberg table materialization happen here, so the timed passes
-    // measure steady-state throughput (what a resident engine serves).
-    qs.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
+    // Warmup (excluded from the warm min): JIT + whole-stage-codegen
+    // compilation, one-time Iceberg table materialization and cache-slot
+    // fills happen here, so the timed passes measure steady-state
+    // throughput (what a resident engine serves). The warmup IS timed and
+    // reported separately as the per-query COLD number — the cost of the
+    // same query with empty caches — so residency wins and algorithmic
+    // wins stay separable in the artifact (r19, VERDICT item 2).
+    val cold = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        name -> -1.0
       }
-    }
+    }.toMap
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
@@ -217,7 +241,7 @@ object Bench {
         name -> all.min
       }
     }.toMap
-    PhaseResult(times, reruns, unstable)
+    PhaseResult(times, cold, reruns, unstable)
   }
 
   def main(args: Array[String]): Unit = {
@@ -292,13 +316,16 @@ object Bench {
     val freshPhase = runPhase(spark, sfDir, freshQs)
     val freshResults = freshPhase.times
     val results = stableResults ++ freshResults
+    val colds = stablePhase.cold ++ freshPhase.cold
     val loadEnd = loadAvg()
     val spreadReruns = stablePhase.reruns + freshPhase.reruns
     val spreadUnstable = stablePhase.unstable + freshPhase.unstable
 
-    val qsJson = results.toSeq.sortBy(_._1)
+    def mapJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsJson = mapJson(results)
+    val coldJson = mapJson(colds)
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     // A failed frozen-set query must make the headline VISIBLY invalid:
@@ -338,7 +365,7 @@ object Bench {
     // loadavg_end alone can't be the test, Spark itself drives it to ~cpus
     // on a clean run).
     val suspect = loadStart > BusyThreshold || spreadUnstable >= 3
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"stable_norm_mt":$stableNormMt,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib,"calib_mt":$calibMt$filterJson$roundJson,"queries":$qsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"stable_norm_mt":$stableNormMt,"runs_per_query":$RunsPerQuery,"loadavg_start":$loadStart,"loadavg_mid":$loadMid,"loadavg_end":$loadEnd,"busy_at_start":${loadStart > BusyThreshold},"busy_waits":$deferred,"spread_reruns":$spreadReruns,"spread_unstable":$spreadUnstable,"suspect":$suspect,"calib_sec":$calib,"calib_mt":$calibMt$filterJson$roundJson,"queries":$qsJson,"cold":$coldJson,"sf":"$sfDir"}"""
     // bench_out.json is the artifact the driver reads (write it BEFORE the
     // stdout line so the println below is the last stdout write). A
     // FILTERED profiling run must never overwrite the full-battery
@@ -364,6 +391,12 @@ object Bench {
     }
     graft.queries.CacheSlot.releaseAll() // battery done: drop pipeline caches
     println(json)
+    // LAST stdout line: a SHORT summary that survives any stdout-tail
+    // window (the full line above is ~6 KB and was truncated mid-object in
+    // the driver's committed BENCH_r16/17/18 tails — parsed:null three
+    // rounds running). Same headline fields, per-query maps by pointer.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","total_stable":$stable,"stable_failed":$stableFailed,"stable_norm":$stableNorm,"stable_norm_mt":$stableNormMt,"suspect":$suspect,"calib_sec":$calib,"calib_mt":$calibMt,"n_queries":${results.size}$filterJson$roundJson,"per_query_file":"$outFile","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -14,11 +14,19 @@ import org.apache.spark.sql.SparkSession
   * `AdaptiveSparkPlan isFinalPlan=false` where AQE applies): that is where
   * scan pushdown (PushedFilters/ReadSchema), join strategy and Exchange
   * placement are decided and reviewable without timing noise.
+  *
+  * `SPARK_GRAFT_PLAN_EXEC=1` (r19): additionally EXECUTE each query before
+  * dumping, so the file carries the FINAL adaptive plan
+  * (`isFinalPlan=true`) — the only place AQE-time decisions (ReusedExchange
+  * stage reuse, AQEShuffleRead coalescing, runtime join demotions) are
+  * visible. Battery queries all have small outputs, so the collect that
+  * finalizes the plan in place is bounded.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val tag = args(1)
+    val execMode = sys.env.get("SPARK_GRAFT_PLAN_EXEC").exists(_.nonEmpty)
     val only = args.lift(2).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,6 +43,7 @@ object PlanDump {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
+          if (execMode) df.collect() // finalize the adaptive plan in place
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
