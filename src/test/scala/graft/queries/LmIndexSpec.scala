@@ -77,9 +77,13 @@ class LmIndexSpec extends AnyFunSuite {
     val loc = Files.createTempDirectory("lm_docs4").toFile.getPath
     val docs = TableWriter.create(docsDF((1L, "xx", "aa bb")), loc)
     val lmLoc = Files.createTempDirectory("lm_idx4").toFile.getPath
-    // target slice is empty → zero count rows
+    // target slice is empty → zero count rows. r19: the guard rides
+    // IN-PLAN (assert_true on the 1-row vocab frame) instead of an eager
+    // isEmpty probe that cost one extra job per serve — so it surfaces as
+    // Spark's USER_RAISED_EXCEPTION at execution time, not as an eager
+    // require at construction time
     val lm = LmIndex.build(docs.newScan().toDF(spark), target, lmLoc)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       LmIndex.score(spark, lm, docs.newScan().toDF(spark), 10).collect()
     }
     assert(e.getMessage.contains("EMPTY"))
