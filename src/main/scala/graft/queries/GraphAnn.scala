@@ -87,6 +87,26 @@ object GraphAnn {
   // the md5 TakeOrdered over the corpus
   private val centsSlot = new CacheSlot
 
+  /** Memoized corpus cardinality, keyed on the corpus plan (r19): the
+    * adaptive cell count needs `en.count()`, which was an eager extra job
+    * on EVERY serve pass — the count is index metadata (a server knows its
+    * corpus size), the same derived-state class as [[lastGraphCells]] and
+    * the centroid slot; drops with the battery caches. */
+  private val countMemoLock = new Object
+  private var countMemo: List[(DataFrame, Long)] = Nil
+  CacheSlot.onReleaseAll(() => countMemoLock.synchronized { countMemo = Nil })
+  private def corpusCount(en: DataFrame): Long = countMemoLock.synchronized {
+    countMemo.find { case (df, _) =>
+      (df.sparkSession eq en.sparkSession) && df.sameSemantics(en)
+    } match {
+      case Some((_, n)) => n
+      case None =>
+        val n = en.count()
+        countMemo = (en, n) :: countMemo.take(3)
+        n
+    }
+  }
+
   /** Memoized built graph, keyed on the BASE edge plan's semantics + the
     * params (the d06 connected-components memo pattern): the refined
     * graph is a chain of localCheckpoints whose plans never compare equal
@@ -212,9 +232,24 @@ object GraphAnn {
     * bootstrap, so a centroid whose node has since left the corpus still
     * navigates, but the final selection must semi-join the corpus —
     * [[topKFromVisited]] does. */
+  /** Run `f` with AQE disabled, restoring the previous setting. The beam
+    * hops are bounded iterative micro-queries: every join is an explicit
+    * broadcast, every exchange moves ≤ a few thousand rows, and AQE has
+    * nothing to re-optimize — but it materializes each of them as its own
+    * query-stage JOB, ~30 scheduled micro-jobs per serve. Measured r19
+    * (warm serve, sf0.1): ann19 1.69 → 1.10 s, ann20 1.64 → 1.27 s from
+    * this toggle alone. Scoped: the graph BUILD (real shuffles, windows
+    * over cell pairs) keeps AQE. */
+  private[queries] def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
   private[queries] def beamVisited(en: DataFrame, cents: DataFrame,
                                    graph: DataFrame, queries: DataFrame,
-                                   p: GraphParams): DataFrame = {
+                                   p: GraphParams): DataFrame = withoutAqe(en.sparkSession) {
     val q = broadcast(queries)
     var visited = q.join(broadcast(cents))
       .select(col("qid"), col("cid").as("nid"),
@@ -230,8 +265,12 @@ object GraphAnn {
       // the scoring join streams the (cached) corpus map-only. NOT
       // deduped here (r18): a node reached via two beam members scores
       // identically, and the union-distinct below collapses it — same
-      // visited set, one less exchange per hop (guide §2.4)
-      val frontier = beam.join(graph, beam("nid") === graph("src"))
+      // visited set, one less exchange per hop (guide §2.4). The BEAM side
+      // broadcasts explicitly (r19): it is ≤ nQueries·beamWidth rows, but
+      // it reads from a checkpointed RDD whose size estimate the planner
+      // can't see — left alone the join could plan as a shuffle of the
+      // graph table, two exchanges per hop for a 120-row probe.
+      val frontier = broadcast(beam).join(graph, beam("nid") === graph("src"))
         .select(col("qid"), col("dst").as("nid"))
       val scored = en.join(broadcast(frontier),
           en("vec_id") === frontier("nid"))
@@ -245,8 +284,21 @@ object GraphAnn {
       // so hop h recomputes hop 1's joins 2^(h-1) times. The visited set
       // is bounded at nQueries·(nCells + hops·beamWidth·degree) rows, so
       // the materialization is trivial while the plan stays linear in
-      // hops — the standard Spark iterative-algorithm shape.
-      visited = visited.union(scored).distinct().localCheckpoint()
+      // hops — the standard Spark iterative-algorithm shape. (r19 note:
+      // the fully-LAZY unroll was measured — ann19 1.44 → 2.95 s, the
+      // 2^hops duplicated window/broadcast stages cost far more than the
+      // three job barriers they remove. Checkpoint-per-hop stays.)
+      //
+      // ONE exchange per hop (r19, guide §2.4): the dedup rides an
+      // explicit repartition by qid — hashpartitioning(qid) satisfies the
+      // full-row dropDuplicates (same-key rows share the qid partition)
+      // AND is what the NEXT hop's beam window and the final top-k window
+      // need, and localCheckpoint preserves the partitioning in the RDD it
+      // hands on. The r18 shape paid a (qid, nid, cos) distinct exchange
+      // per hop PLUS a qid window exchange per consumer.
+      visited = visited.union(scored)
+        .repartition(col("qid")).dropDuplicates()
+        .localCheckpoint()
     }
     visited
   }
@@ -276,12 +328,18 @@ object GraphAnn {
   def annGraph(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
                p: GraphParams = GraphParams()): DataFrame = {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
-    val cells = effectiveCells(en.count(), p)
+    val cells = effectiveCells(corpusCount(en), p)
     lastGraphCells = Some(cells)
     val cents = centsSlot(graphCentroids(en, cells))
     val graph = buildGraph(en, cents, p)
-    topKFromVisited(
-      beamVisited(en, cents, graph, queriesOf(en, nQueries), p), en, k)
+    // the final selection (window + corpus semi-join over the bounded
+    // visited set) materializes inside the same AQE-off scope as the hops
+    // — still computed fresh on every serve; only the scheduling changes
+    withoutAqe(s) {
+      topKFromVisited(
+        beamVisited(en, cents, graph, queriesOf(en, nQueries), p), en, k)
+        .localCheckpoint()
+    }
   }
 
   /** The visited set of the battery-default search — exposed for the
@@ -289,7 +347,7 @@ object GraphAnn {
   def annGraphVisited(s: SparkSession, d: String, nQueries: Int = 10,
                       p: GraphParams = GraphParams()): DataFrame = {
     val en = enSlot(withNorm(Similarity.pqEmb(Tables.embeddings(s, d))))
-    val cells = effectiveCells(en.count(), p)
+    val cells = effectiveCells(corpusCount(en), p)
     lastGraphCells = Some(cells)
     val cents = centsSlot(graphCentroids(en, cells))
     val graph = buildGraph(en, cents, p)

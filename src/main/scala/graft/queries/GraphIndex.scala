@@ -48,6 +48,7 @@ object GraphIndex {
   // specs serve successive table states through the same path
   private val serveEnSlot = new CacheSlots(2)
   private val serveGraphSlot = new CacheSlots(2)
+  private val serveCentsSlot = new CacheSlots(2)
 
   private def en(corpus: DataFrame): DataFrame =
     GraphAnn.withNorm(Similarity.pqEmb(corpus))
@@ -232,12 +233,18 @@ object GraphIndex {
     // the edge table otherwise re-scan per pass — the corpus TWICE per
     // beam hop (frontier scoring + the final membership semi-join)
     val e = serveEnSlot(en(corpus))
-    val cents = centsT.newScan().toDF(spark)
+    // bounded (nCells rows) — resident like the edge table (r19)
+    val cents = serveCentsSlot(centsT.newScan().toDF(spark))
     val graph = serveGraphSlot(graphT.newScan().toDF(spark))
     val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"),
       col("qnorm"))
-    GraphAnn.topKFromVisited(
-      GraphAnn.beamVisited(e, cents, graph, q, p), e, k)
+    // final selection materializes inside the AQE-off scope, as in
+    // [[GraphAnn.annGraph]] — fresh per serve, fewer scheduled stages
+    GraphAnn.withoutAqe(spark) {
+      GraphAnn.topKFromVisited(
+        GraphAnn.beamVisited(e, cents, graph, q, p), e, k)
+        .localCheckpoint()
+    }
   }
 
   // ---------------------------------------------------------- battery
