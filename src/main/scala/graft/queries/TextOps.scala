@@ -25,10 +25,6 @@ object TextOps {
   // t19's sharded token-count frame (feeds the per-shard base offsets AND
   // the local running sums — 4 scan+regex replays per pass without it)
   private val packShardSlot = new CacheSlots(2)
-  // t32's per-doc curation decision frame (feeds the drop rollup AND the
-  // mixture selection; its subtree chains the regex tokenizer, the sha2
-  // exact-dup window, and the simhash near-dup pass)
-  private val statusSlot = new CacheSlots(2)
 
   /** Per-document structural stats: chars, tokens, punctuation ratio. */
   def t01TextStats(s: SparkSession, d: String): DataFrame =
@@ -1244,8 +1240,12 @@ object TextOps {
     val nearDup = Dedup.nearDupIds(docs, maxHamming)
       .withColumn("nd", lit(true))
     // the per-doc decision frame feeds the drop rollup AND the mixture
-    // selection — resident, so a serve pays two aggregations instead of
-    // re-running the tokenizer + sha2 window + near-dup chain per consumer
+    // selection, so the tokenizer + sha2 window + near-dup chain runs once
+    // per consumer. Holding IT resident was tried in r18 and measured
+    // SLOWER (1.34 vs 1.12 s adjacent runs): the selection side already
+    // rides the mixDocsSlot entry, so a second cache layer added an
+    // InMemory-on-InMemory read per pass without removing any work —
+    // the chain re-runs per consumer BY DESIGN (r18 measured revert).
     val status = base
       .join(exactDup, Seq("doc_id"), "left")
       .join(nearDup, Seq("doc_id"), "left")

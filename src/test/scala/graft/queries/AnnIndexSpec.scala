@@ -291,4 +291,44 @@ class AnnIndexSpec extends AnyFunSuite {
         freshEncode(t3, IcebergTables.load(cbLoc).newScan().toDF(spark)))
     } finally q.stop()
   }
+
+  test("serve slots never serve a stale index state across a sync (r19)") {
+    // the Bm25IndexSpec freshness pin, applied to the ANN serve path: the
+    // codes-table serveSlot keys on plan semantics, and `toDF` bakes the
+    // planned FILE LIST into the plan — so serving, syncing the index, and
+    // serving again MUST re-fill against the evolved state, never hit
+    // stale (InMemoryFileIndex equality is rootPaths-based, so a
+    // directory-rooted input would NOT give this guarantee — see the
+    // CacheSlots scaladoc precondition).
+    val loc = Files.createTempDirectory("ann_corpus5").toFile.getPath
+    val t1 = TableWriter.create(embDF(0L until 20L), loc)
+    val c1 = t1.currentSnapshot.get.snapshotId
+    val cbLoc = Files.createTempDirectory("ann_cb5").toFile.getPath
+    val cdLoc = Files.createTempDirectory("ann_codes5").toFile.getPath
+    val (cbT, codes1) = AnnIndex.build(
+      Similarity.pqEmb(t1.newScan().toDF(spark)), cbLoc, cdLoc, P)
+    val cb = cbT.newScan().toDF(spark)
+    def serve(codes: graft.spark.IcebergTable,
+              corpus: graft.spark.IcebergTable): Set[Long] = {
+      val c = Similarity.pqEmb(corpus.newScan().toDF(spark))
+      AnnIndex.topK(spark, codes, cb, c, c.filter(col("vec_id") === 0L),
+        P, k = 5, shortlist = 50).collect().map(_.getLong(1)).toSet
+    }
+    val before = serve(codes1, t1) // fills the codes slot for state 1
+    assert(before.nonEmpty && !before.contains(100L))
+    // evolve: an exact duplicate of query vector 0 arrives — it MUST rank
+    // in the post-sync top-k (zero ADC distance, nid tie-break after 0's
+    // own codeword twins)
+    val t2 = {
+      val s = spark
+      import s.implicits._
+      TableWriter.append(t1, Seq((100L, vec(0L))).toDF("vec_id", "embedding"))
+    }
+    val codes2 = AnnIndex.syncFromChangelog(spark, t2, codes1, cb, Some(c1), P)
+    val after = serve(codes2, t2)
+    assert(after.contains(100L),
+      s"evolved index must surface the new duplicate vector: $after")
+    // the OLD state keeps serving its own results (keyed, not evicted)
+    assert(serve(codes1, t1) == before)
+  }
 }
