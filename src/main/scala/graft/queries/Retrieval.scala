@@ -78,16 +78,20 @@ object Retrieval {
     * (dl, dfreq, contrib) and joined corpus-sized `dl` back by doc_id. */
   def bm25RanksFrom(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select("qid", "term").distinct()
-    // the tokenized corpus feeds TWO consumers per serve (the 1-row stats
-    // aggregate and the query-term posting rollup) and is the serve's only
-    // corpus-sized input — resident (keyed: t22 and ann12 share the
-    // documents corpus, one entry serves both; the d01/ann06 slot
-    // discipline, released with the battery caches)
-    val toks = toksSlot(docs
+    // NOT resident (r19, VERDICT item 3 discipline): r18 held this
+    // tokenized corpus in a slot, but it is raw token-array PAYLOAD —
+    // O(corpus text) executor storage, the exact frame class the verdict
+    // flagged as 100 TB-unsafe (with bigramSlot). The two consumers (the
+    // 1-row stats aggregate and the query-term posting rollup) each scan
+    // and split once per serve; neither side has an exchange of the corpus
+    // to share (stats is map-side-combined to one row, the rollup's
+    // exchange carries only query-matched postings), so a second split
+    // scan is the honest floor.
+    val toks = docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
-      .filter(col("dl") > 0)) // zero-token docs were absent from tf-derived dl too
+      .filter(col("dl") > 0) // zero-token docs were absent from tf-derived dl too
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // postings restricted to query terms BEFORE the aggregation; dl rides
     // the row (it is per-doc constant), so no corpus-sized join reattaches it
@@ -136,7 +140,6 @@ object Retrieval {
   // (and re-persist) on every alternating call
   private val dlSlot = new CacheSlots(4)
   private val tfSlot = new CacheSlots(4)
-  private val toksSlot = new CacheSlots(4)
 
   /** Shared scoring tail: `tfq` is (doc_id, w, dl, tf) already restricted
     * to query terms; `stats` is the 1-row (n_docs, sum_dl). Document
