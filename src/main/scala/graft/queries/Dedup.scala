@@ -50,14 +50,21 @@ object Dedup {
     * battery entries; the library default stays xxhash64, which is
     * non-cryptographic and several times cheaper per token at 100 TB. */
   def md5Hash64(c: Column): Column =
-    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+    graft.spark.functions.Md5Prefix.md5PrefixLong(c, 16)
 
   /** 60-bit variant (15 hex chars): always positive, so signed (Spark) and
     * unsigned (DuckDB) minima/orderings agree — required where hash VALUES
-    * are compared, e.g. minhash minima. */
+    * are compared, e.g. minhash minima.
+    *
+    * r19: both variants ride [[graft.spark.functions.Md5PrefixLongExpr]],
+    * which computes the identical value straight from the digest bytes —
+    * the previous `conv(substring(md5(c), 1, n), 16, 10)` chain paid a
+    * hex-string encode + substring copy + base-16 string parse per value
+    * in every hot tokenize/shingle projection (Md5PrefixSpec pins
+    * bit-equality against the old chain; the DuckDB oracles still compute
+    * the substr(md5(..)) form and the driver hash-compares). */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.spark.functions.Md5Prefix.md5PrefixLong(c, 15)
 
   /** Per-battery-run fixed 60-bit seeds for the XOR minhash family (shared
     * by the Spark plan and the generated [[d01Sql]], so both engines derive
@@ -669,10 +676,10 @@ object Dedup {
     // (doc_id, h) pairs are unique across docs by construction, so the
     // old corpus-wide `.distinct()` exchange bought nothing (guide §2.4)
     val sh = docs
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)), " +
-          "h -> cast(h as bigint))")))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => graft.spark.functions.Md5Prefix.md5PrefixLong(
+            array_join(slice(col("w"), i, lit(n)), " "), 15))))
         .as("h"))
     // document frequency as a WINDOW over h instead of aggregate +
     // self-join: the join form re-ran the shingle+md5 projection twice
@@ -724,10 +731,10 @@ object Dedup {
     def sh(docs: DataFrame) = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> conv(substring(md5(array_join(slice(w, i, $n), ' ')), 1, 15), 16, 10)), " +
-          "h -> cast(h as bigint))")))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => graft.spark.functions.Md5Prefix.md5PrefixLong(
+            array_join(slice(col("w"), i, lit(n)), " "), 15))))
         .as("h"))
     // the benchmark side shingles ONLY the benchmark slice (the doc_id
     // filter pushes to the scan, so this pass reads 1/50 of the corpus —

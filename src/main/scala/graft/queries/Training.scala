@@ -351,19 +351,23 @@ object Training {
     * prefix vocabulary is `count distinct w1` — both DERIVED from the
     * count table, which is what makes one maintained table the entire
     * LM (the t28 single-table insight applied to the language model). */
-  private[queries] def lmScoreAgainst(counts: DataFrame, pairs: DataFrame,
+  // keyed multi-slot for the MODEL-sized LM state only (VERDICT item 3:
+  // "persist only the model-sized count/uni tables"): t26's session
+  // counts and t31's maintained-table counts serve through this one
+  // scorer in the same battery pass. The corpus bigram STREAM is never
+  // slotted — an O(corpus) resident traded away exchange reuse and lost
+  // at sf1 (r18's own soak), and is the frame class the CacheSlots
+  // scaladoc forbids.
+  private val countsSlot = new CacheSlots(8)
+
+  private[queries] def lmScoreAgainst(counts0: DataFrame, pairs: DataFrame,
                                       topK: Int): DataFrame = {
-    // No residency here (r19, VERDICT item 3): the count/uni tables are
-    // model-sized and CHEAP to derive (for t26 the count aggregation's
-    // exchange is stage-reused across the big/uni/vocab consumers; for
-    // t31 they re-scan the small maintained parquet table), and the
-    // corpus bigram stream must NOT be pinned — at 100 TB a resident
-    // corpus projection is O(corpus) executor storage, and at sf1 it
-    // measurably lost to plain exchange reuse (r18's own soak).
+    val counts = countsSlot(counts0)
     val big = counts.select(col("w1"), col("w2"), col("cnt").as("cb"))
     // the prefix rollup: Σ_w2 cnt — derived from the count table at serve
-    // time, which is what makes one maintained table the entire LM
-    val uni = counts.groupBy("w1").agg(sum(col("cnt")).as("cu"))
+    // time (which is what makes one maintained table the entire LM), and
+    // resident like the count table itself (|prefixes| rows)
+    val uni = countsSlot(counts.groupBy("w1").agg(sum(col("cnt")).as("cu")))
     // the prefix vocabulary size is the prefix table's row count — derive
     // it from `uni` (|prefixes| rows) instead of a third full-width
     // distinct aggregation over the count table. An LM trained on nothing
@@ -377,17 +381,30 @@ object Training {
       .filter(assert_true(col("v") > 0, lit(
         "LM count table is EMPTY — empty target slice, or wrong table location"
       )).isNull)
+    // The exact-decimal per-doc sum is carried as LONG MICROS (r19):
+    // round(x, 6) is by construction an integer count of 1e-6 units
+    // (0 ≤ x ≤ ~30 here, so micros ≤ 3e7 and per-doc sums ≪ 2^53), so
+    // summing the micros in a plain long IS the decimal(38,6) sum —
+    // without the 128-bit BigDecimal allocation Spark pays per row at
+    // precision 38 (measured at sf1: +1.5 s per pass over the corpus
+    // stream, the scoring chain's single biggest term). Recovery is
+    // exact: round(v,6)·1e6 sits within ~1e-8 of its integer, so the
+    // outer round(.., 0) always lands on it; sum_micros/1e6 as double
+    // equals the decimal sum's double cast bit-for-bit (one correctly-
+    // rounded division of an exactly-representable integer), and the
+    // final round(../count, 6) is unchanged — ce_r is bit-identical.
     val nll = pairs
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round(-log(
+        round(round(-log(
           (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("cu"), lit(0L)) + col("v"))), 6)
-          .cast(DecimalType(38, 6)).as("nll"))
+            (coalesce(col("cu"), lit(0L)) + col("v"))), 6) * lit(1e6), 0)
+          .cast("long").as("nll_u"))
     nll.groupBy("doc_id")
-      .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("ce_r"))
+      .agg(round((sum(col("nll_u")).cast("double") / lit(1e6)) /
+        count(lit(1)), 6).as("ce_r"))
       .orderBy(col("ce_r"), col("doc_id"))
       .limit(topK)
       .withColumn("rank",
