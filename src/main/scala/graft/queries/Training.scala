@@ -334,10 +334,13 @@ object Training {
     // plus three re-reads, 1.9 s vs 1.2 s end to end). The explicit
     // not-null filter pre-satisfies the per-consumer `isnotnull`
     // constraints the optimizer infers from the downstream joins — without
-    // it the count/prefix/vocab subtrees canonicalize DIFFERENTLY and the
-    // count aggregation's exchange is re-executed per consumer instead of
-    // being stage-reused (md5-derived hashes are never null, so the filter
-    // drops nothing).
+    // it the count/prefix/vocab subtrees canonicalize DIFFERENTLY and,
+    // whenever the counts are not slot-resident (the fill pass, or any
+    // caller outside the slot), the count aggregation's exchange is
+    // re-executed per consumer instead of being stage-reused
+    // (plans/r19/t26_lm_score_unslotted_exec_sf1.txt shows the reuse
+    // firing; md5-derived hashes are never null, so the filter drops
+    // nothing).
     val pairs = bigrams(docs, target)
       .filter(col("w1").isNotNull && col("w2").isNotNull)
     val counts = pairs.filter(col("is_t"))
